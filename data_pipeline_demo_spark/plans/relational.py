@@ -1,0 +1,449 @@
+"""Relational query surface: scans, filters, joins, aggregates.
+
+Covers SURVEY.md §2.1 P1/P2/P4/A1-A4 and §2.2 join/aggregation rows.
+The reference has exactly one join-shaped operation — the duplicate-run
+ledger probe (`/root/reference/data_pipeline.py:213-238`), generalized
+here to set-based semi/anti joins — and four aggregate shapes
+(count/sum/null-count/min-max, `:149,:401,:430,:700`), generalized to the
+full groupBy/agg surface.
+
+Scale notes: fact-fact joins (lineitem ⋈ orders) shuffle on the join key —
+at 100 TB both sides would be bucketed by orderkey to make this a
+shuffle-free sort-merge join. Dim joins (customer→nation→region) broadcast
+(`F.broadcast`), so the fact side never shuffles.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+from operator import and_
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.numeric import exact_avg, exact_sum, sql_avg, sql_sum
+from ..sources.tables import table
+from .registry import register
+
+
+# --------------------------------------------------------------------------
+# Flagship: pricing summary (TPC-H Q1 shape) — mirrors the reference's ETL
+# pipeline shape (cast → filter → aggregate, data_pipeline.py:352-459) as a
+# declarative plan. Map-side partial aggregation + 6-group output: the scan
+# dominates; at 100 TB this is embarrassingly parallel with no skew.
+# --------------------------------------------------------------------------
+@register(
+    "q01_pricing_summary",
+    oracle=f"""
+    SELECT
+      l_returnflag,
+      l_linestatus,
+      {sql_sum('l_quantity')}                                   AS sum_qty,
+      {sql_sum('l_extendedprice')}                              AS sum_base_price,
+      {sql_sum('l_extendedprice * (1 - l_discount)')}           AS sum_disc_price,
+      {sql_sum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+      {sql_avg('l_quantity')}                                   AS avg_qty,
+      {sql_avg('l_extendedprice')}                              AS avg_price,
+      {sql_avg('l_discount')}                                   AS avg_disc,
+      COUNT(*)                                                  AS count_order
+    FROM lineitem
+    WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.to_date("l_shipdate") <= F.lit("1998-09-02").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            exact_sum("l_quantity").alias("sum_qty"),
+            exact_sum("l_extendedprice").alias("sum_base_price"),
+            exact_sum(disc_price).alias("sum_disc_price"),
+            exact_sum(charge).alias("sum_charge"),
+            exact_avg("l_quantity").alias("avg_qty"),
+            exact_avg("l_extendedprice").alias("avg_price"),
+            exact_avg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# P1/P2-style projection + predicate — pushed to the parquet scan.
+# --------------------------------------------------------------------------
+@register(
+    "q02_filter_project",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) AS disc_price
+    FROM lineitem
+    WHERE l_quantity > 45 AND l_discount >= 0.05
+    """,
+)
+def q02_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.filter((F.col("l_quantity") > 45) & (F.col("l_discount") >= 0.05))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("disc_price"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Null-conjunction diagnostic (P2, data_pipeline.py:383-398): rows where a
+# whole set of measure columns is null/absent. The synthetic lineitem has
+# no nulls, so the conjunction is over value predicates with the same
+# reduce(and_) construction the ETL cast-spec uses.
+# --------------------------------------------------------------------------
+@register(
+    "q03_conjunction_filter",
+    oracle="""
+    SELECT COUNT(*) AS n_blank,
+           CAST(SUM(CASE WHEN l_tax = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_tax
+    FROM lineitem
+    WHERE l_discount = 0 AND l_tax <= 0.02 AND l_quantity < 10
+    """,
+)
+def q03_conjunction_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    preds = [F.col("l_discount") == 0, F.col("l_tax") <= 0.02, F.col("l_quantity") < 10]
+    return li.filter(reduce(and_, preds)).agg(
+        F.count(F.lit(1)).alias("n_blank"),
+        F.sum(F.when(F.col("l_tax") == 0, 1).otherwise(0)).cast("long").alias("n_zero_tax"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Joins — every type. Fact-fact equi joins shuffle-partition on the key;
+# dim chains broadcast.
+# --------------------------------------------------------------------------
+@register(
+    "q04_join_inner",
+    oracle=f"""
+    SELECT o.o_orderkey,
+           CAST(o.o_orderdate AS DATE) AS order_date,
+           {sql_sum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+           COUNT(*) AS n_lines
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderstatus = 'O'
+    GROUP BY o.o_orderkey, CAST(o.o_orderdate AS DATE)
+    """,
+)
+def q04_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", F.to_date("o_orderdate").alias("order_date"))
+        .agg(
+            exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "q05_join_left_outer",
+    oracle="""
+    SELECT o.o_orderkey, COUNT(l.l_orderkey) AS n_lines
+    FROM orders o LEFT JOIN lineitem l
+      ON o.o_orderkey = l.l_orderkey AND l.l_quantity > 49
+    GROUP BY o.o_orderkey
+    """,
+)
+def q05_join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    cond = (o.o_orderkey == li.l_orderkey) & (li.l_quantity > 49)
+    return (
+        o.join(li, cond, "left")
+        .groupBy("o_orderkey")
+        .agg(F.count("l_orderkey").alias("n_lines"))
+    )
+
+
+@register(
+    "q06_join_semi",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000
+    )
+    """,
+)
+def q06_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generalized ledger existence probe (data_pipeline.py:213-238, P4):
+    set-based left-semi join instead of one LIMIT-1 probe per file."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@register(
+    "q07_join_anti",
+    oracle="""
+    SELECT c_custkey, c_acctbal
+    FROM customer c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 250000
+    )
+    """,
+)
+def q07_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup guard as an anti-join (data_pipeline.py:138-142): new files
+    = landing-set ANTI ledger; here: customers with no large orders."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 250000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_acctbal"
+    )
+
+
+@register(
+    "q08_join_full_outer",
+    oracle="""
+    WITH big_cust AS (
+      SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 7000
+    ),
+    big_orders AS (
+      SELECT o_custkey, COUNT(*) AS n_orders FROM orders
+      WHERE o_totalprice > 300000 GROUP BY o_custkey
+    )
+    SELECT COALESCE(b.c_custkey, g.o_custkey) AS custkey,
+           b.c_acctbal, g.n_orders
+    FROM big_cust b FULL OUTER JOIN big_orders g ON b.c_custkey = g.o_custkey
+    """,
+)
+def q08_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 7000)
+        .select("c_custkey", "c_acctbal")
+    )
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 300000)
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    return c.join(o, c.c_custkey == o.o_custkey, "full_outer").select(
+        F.coalesce("c_custkey", "o_custkey").alias("custkey"),
+        "c_acctbal",
+        "n_orders",
+    )
+
+
+@register(
+    "q09_join_broadcast_dims",
+    oracle=f"""
+    SELECT r.r_name AS region, n.n_name AS nation,
+           COUNT(*) AS n_customers,
+           {sql_sum('c.c_acctbal')} AS total_acctbal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+    """,
+)
+def q09_join_broadcast_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-join with explicitly broadcast dimensions: the fact side never
+    shuffles for the join — only the final 25-group agg exchanges."""
+    c = table(spark, sf_dir, "customer")
+    n = F.broadcast(table(spark, sf_dir, "nation"))
+    r = F.broadcast(table(spark, sf_dir, "region"))
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            exact_sum("c_acctbal").alias("total_acctbal"),
+        )
+    )
+
+
+@register(
+    "q10_join_range",
+    oracle="""
+    SELECT p.p_partkey, COUNT(*) AS n_matches
+    FROM part p JOIN supplier s
+      ON s.s_acctbal > p.p_retailprice / 100.0
+    WHERE p.p_size <= 5
+    GROUP BY p.p_partkey
+    """,
+)
+def q10_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi (theta/range) join. No equi key → Spark picks broadcast
+    nested-loop; correct here because one side is a filtered dim. At scale,
+    range joins get bucketed on a banded key first (see similarity ops)."""
+    p = table(spark, sf_dir, "part").filter(F.col("p_size") <= 5)
+    s = F.broadcast(table(spark, sf_dir, "supplier"))
+    return (
+        p.join(s, s.s_acctbal > p.p_retailprice / 100.0)
+        .groupBy("p_partkey")
+        .agg(F.count(F.lit(1)).alias("n_matches"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Aggregation surface beyond the reference's four shapes.
+# --------------------------------------------------------------------------
+@register(
+    "q11_agg_stats",
+    oracle=f"""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           {sql_sum('o_totalprice')} AS sum_price,
+           MIN(o_totalprice) AS min_price,
+           MAX(o_totalprice) AS max_price,
+           {sql_avg('o_totalprice')} AS avg_price
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q11_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1-A4 generalized: count / distinct / sum / min / max / avg in one
+    grouped pass (all map-side-combinable except the distinct, which AQE
+    plans as a two-phase expand)."""
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+        exact_sum("o_totalprice").alias("sum_price"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+        exact_avg("o_totalprice").alias("avg_price"),
+    )
+
+
+@register(
+    "q12_null_counts",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           COUNT(*) - COUNT(n_orders) AS n_null,
+           COUNT(n_orders) AS n_not_null
+    FROM (
+      SELECT c.c_custkey, g.n_orders
+      FROM customer c LEFT JOIN (
+        SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY o_custkey
+      ) g ON c.c_custkey = g.o_custkey
+    )
+    """,
+)
+def q12_null_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null/non-null QA counts (A3, data_pipeline.py:430,:446,:689-690) over
+    a column that actually contains nulls (left-join miss)."""
+    c = table(spark, sf_dir, "customer")
+    g = (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    joined = c.join(g, c.c_custkey == g.o_custkey, "left")
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.count(F.lit(1)) - F.count("n_orders")).alias("n_null"),
+        F.count("n_orders").alias("n_not_null"),
+    )
+
+
+@register(
+    "q13_groupby_having",
+    oracle=f"""
+    SELECT l_suppkey, COUNT(*) AS n_lines,
+           {sql_sum('l_quantity')} AS total_qty
+    FROM lineitem
+    GROUP BY l_suppkey
+    HAVING {sql_sum('l_quantity')} > 100
+    """,
+)
+def q13_groupby_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_suppkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            exact_sum("l_quantity").alias("total_qty"),
+        )
+        .filter(F.col("total_qty") > 100)
+    )
+
+
+@register(
+    "q14_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q14_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "q15_cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def q15_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "q16_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+           CAST(GROUPING(l_returnflag) AS INT) AS g_flag
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def q16_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping sets via the SQL surface (spark.sql text → same Catalyst
+    plan as the DataFrame cube/rollup API)."""
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+               CAST(GROUPING(l_returnflag) AS INT) AS g_flag
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@register(
+    "q17_distinct",
+    oracle="""
+    SELECT DISTINCT l_returnflag, l_linestatus, l_shipmode FROM (
+      SELECT l_returnflag, l_linestatus,
+             CASE WHEN l_quantity < 25 THEN 'SMALL' ELSE 'LARGE' END AS l_shipmode
+      FROM lineitem
+    )
+    """,
+)
+def q17_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            "l_returnflag",
+            "l_linestatus",
+            F.when(F.col("l_quantity") < 25, "SMALL").otherwise("LARGE").alias("l_shipmode"),
+        ).distinct()
+    )

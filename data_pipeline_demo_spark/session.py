@@ -1,0 +1,88 @@
+"""SparkSession factory with scale-aware defaults.
+
+The reference runs a single Python process (SURVEY.md §3); our engine is
+built for a multi-executor cluster. The same config block works on
+``local[N]`` (tests/bench) and on a real cluster — only ``master`` and the
+shuffle-partition count change.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime-settable confs we also re-assert on sessions we did not create
+# (the driver hands `entry()` its own session): determinism first.
+RUNTIME_CONFS: dict[str, str] = {
+    # Naive parquet timestamps must mean the same wall time in Spark and
+    # in the DuckDB oracle.
+    "spark.sql.session.timeZone": "UTC",
+    # AQE: runtime re-planning (partition coalescing, skew-join splitting,
+    # broadcast conversion) — the main lever that makes one logical plan
+    # work at sf0.001 and at 100 TB.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow for any pandas_udf / toPandas path.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+STATIC_CONFS: dict[str, str] = {
+    # ~128 MB input splits: sane parallelism for large parquet scans.
+    "spark.sql.files.maxPartitionBytes": "134217728",
+    # 10 MB broadcast threshold is Spark's default; dims (region, nation,
+    # supplier, part at small SF) fall under it. AQE can also convert
+    # sort-merge joins to broadcast at runtime via this threshold.
+    "spark.sql.autoBroadcastJoinThreshold": str(10 * 1024 * 1024),
+    "spark.sql.parquet.filterPushdown": "true",
+    "spark.sql.parquet.aggregatePushdown": "true",
+    "spark.sql.parquet.columnarReaderBatchSize": "4096",
+    "spark.sql.shuffle.partitions": "32",
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+    "spark.ui.enabled": "false",
+    "spark.ui.showConsoleProgress": "false",
+}
+
+
+def get_spark(
+    app_name: str = "data-pipeline-demo-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_confs: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` outside a cluster.
+    ``shuffle_partitions`` should track cluster core count; 32 suits the
+    local harness, a 1000-executor cluster wants O(cores × 2-3) — AQE
+    coalesces the excess either way.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    builder = SparkSession.builder.appName(app_name).master(
+        master or f"local[{cpus}]"
+    )
+    confs = {**STATIC_CONFS, **RUNTIME_CONFS}
+    if shuffle_partitions is not None:
+        confs["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    if extra_confs:
+        confs.update(extra_confs)
+    for k, v in confs.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def ensure_runtime_confs(spark: SparkSession) -> SparkSession:
+    """Assert determinism-critical confs on a session we did not build.
+
+    The driver passes its own session to ``entry()``/``queries()``; these
+    confs are all runtime-settable so this is safe and idempotent.
+    """
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # non-settable on this build — keep going
+    return spark
