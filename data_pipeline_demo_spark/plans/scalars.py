@@ -1,0 +1,310 @@
+"""Scalar-function surface: the reference's ETL transforms (F1-F7) recast
+as declarative column expressions, plus string/date/math/conditional/JSON
+coverage (SURVEY.md §2.2).
+
+The reference's core cleaning ops — currency strip+cast
+(`/root/reference/data_pipeline.py:372-377`), literal-'nan' guard
+(`:638-641`), multi-format day-first datetime parse (`:636-663`), abs
+normalization (`:406`) — are exercised here on shared tables by
+round-tripping: render a messy string deterministically in BOTH engines,
+then clean it with the engine's cast expressions. Everything is built-in
+(JVM, whole-stage codegen) — zero Python UDFs.
+
+Spark 4 runs ANSI mode by default, so all fallible parses use the
+``try_``-family functions (`try_to_date`, `try_cast`) — unparseable input
+yields null, matching the reference's NaT semantics without its
+type-inconsistency bug (SURVEY.md §2.1 F3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.numeric import sql_sum
+from ..sources.tables import table
+from .registry import register
+
+
+@register(
+    "q27_currency_cast",
+    oracle=f"""
+    WITH messy AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 97 = 0 THEN 'nan'
+                  WHEN o_orderkey % 2 = 0
+                    THEN '$' || CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR)
+                  ELSE ' ' || CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) || ' '
+             END AS raw_price
+      FROM orders
+    )
+    SELECT o_orderkey,
+           CASE WHEN LOWER(TRIM(raw_price)) IN ('nan', '')
+                THEN NULL
+                ELSE TRY_CAST(REGEXP_REPLACE(TRIM(raw_price), '[$,]', '', 'g') AS DOUBLE)
+           END AS price,
+           COUNT(*) OVER () AS n_total
+    FROM messy
+    """,
+)
+def q27_currency_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1+F7: money-string strip & cast with the literal-'nan' guard.
+
+    The messy strings are synthesized identically in Spark and DuckDB
+    (decimal-rendered price, some '$'-prefixed, some padded, some 'nan'),
+    then cleaned by the engine's declarative cast expression:
+    ``regexp_replace(trim(c), '[$,]', '').try_cast(double)``.
+    """
+    o = table(spark, sf_dir, "orders")
+    rendered = F.col("o_totalprice").cast("decimal(18,2)").cast("string")
+    messy = o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 97 == 0, F.lit("nan"))
+        .when(F.col("o_orderkey") % 2 == 0, F.concat(F.lit("$"), rendered))
+        .otherwise(F.concat(F.lit(" "), rendered, F.lit(" ")))
+        .alias("raw_price"),
+    )
+    cleaned = F.when(
+        F.lower(F.trim(F.col("raw_price"))).isin("nan", ""), F.lit(None)
+    ).otherwise(
+        F.regexp_replace(F.trim(F.col("raw_price")), r"[$,]", "").try_cast("double")
+    )
+    from pyspark.sql.window import Window
+
+    return messy.select(
+        "o_orderkey",
+        cleaned.alias("price"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n_total"),
+    )
+
+
+@register(
+    "q28_robust_date_parse",
+    oracle="""
+    WITH messy AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 89 = 0 THEN 'not a date'
+                  WHEN o_orderkey % 2 = 0
+                    THEN strftime(o_orderdate, '%d/%m/%Y %H:%M')
+                  ELSE strftime(o_orderdate, '%d/%m/%y %H:%M')
+             END AS raw_dt
+      FROM messy_src
+    ),
+    -- DuckDB's %y uses the POSIX 1969 pivot (97 → 1997); Spark's 'yy' is
+    -- base-2000 (97 → 2097). The oracle replays the branch explicitly and
+    -- shifts pre-2000 results forward a century to match Spark.
+    parsed AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 89 = 0 THEN NULL
+                  WHEN o_orderkey % 2 = 0 THEN try_strptime(raw_dt, '%d/%m/%Y %H:%M')
+                  ELSE CASE
+                    WHEN EXTRACT(YEAR FROM try_strptime(raw_dt, '%d/%m/%y %H:%M')) < 2000
+                    THEN try_strptime(raw_dt, '%d/%m/%y %H:%M') + INTERVAL 100 YEAR
+                    ELSE try_strptime(raw_dt, '%d/%m/%y %H:%M')
+                  END
+             END AS p
+      FROM messy
+    )
+    SELECT o_orderkey, CAST(p AS DATE) AS order_date,
+           EXTRACT(YEAR FROM p) AS order_year
+    FROM parsed
+    """.replace("messy_src", "orders"),
+)
+def q28_robust_date_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3+F4: multi-format day-first datetime parse → date truncation.
+
+    Mirrors `convert_datetime_robust_main` (data_pipeline.py:636-663) as a
+    single coalesce of format attempts — always DateType, unparseable →
+    null (deliberately NOT replicating the reference's string-vs-Timestamp
+    return-type bug, SURVEY.md §2.1 F3).
+    """
+    o = table(spark, sf_dir, "orders")
+    messy = o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 89 == 0, F.lit("not a date"))
+        .when(
+            F.col("o_orderkey") % 2 == 0,
+            F.date_format("o_orderdate", "dd/MM/yyyy HH:mm"),
+        )
+        .otherwise(F.date_format("o_orderdate", "dd/MM/yy HH:mm"))
+        .alias("raw_dt"),
+    )
+    parsed = F.coalesce(
+        F.try_to_timestamp(F.col("raw_dt"), F.lit("dd/MM/yyyy HH:mm")),
+        F.try_to_timestamp(F.col("raw_dt"), F.lit("dd/MM/yy HH:mm")),
+    )
+    return messy.select(
+        "o_orderkey",
+        parsed.cast("date").alias("order_date"),
+        F.year(parsed).cast("long").alias("order_year"),
+    )
+
+
+@register(
+    "q29_string_fns",
+    oracle="""
+    SELECT c_custkey,
+           UPPER(c_name) AS name_upper,
+           LOWER(c_mktsegment) AS seg_lower,
+           LENGTH(c_name) AS name_len,
+           SUBSTRING(c_name, 1, 8) AS name_prefix,
+           CONCAT_WS('|', c_mktsegment, CAST(c_custkey AS VARCHAR)) AS tagged,
+           REPLACE(c_name, '#', '-') AS name_dashed,
+           LPAD(CAST(c_custkey AS VARCHAR), 10, '0') AS padded_key,
+           STRPOS(c_name, '#') AS hash_pos,
+           LEN(STRING_SPLIT(c_name, '#')) AS n_parts,
+           TRIM(' ' || c_mktsegment || ' ') AS seg_trim
+    FROM customer
+    """,
+)
+def q29_string_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.lower("c_mktsegment").alias("seg_lower"),
+        F.length("c_name").cast("long").alias("name_len"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.concat_ws("|", "c_mktsegment", F.col("c_custkey").cast("string")).alias("tagged"),
+        F.replace(F.col("c_name"), F.lit("#"), F.lit("-")).alias("name_dashed"),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("padded_key"),
+        F.instr("c_name", "#").cast("long").alias("hash_pos"),
+        F.size(F.split("c_name", "#")).cast("long").alias("n_parts"),
+        F.trim(F.concat(F.lit(" "), F.col("c_mktsegment"), F.lit(" "))).alias("seg_trim"),
+    )
+
+
+@register(
+    "q30_date_fns",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderdate AS DATE) AS od,
+           EXTRACT(YEAR FROM o_orderdate) AS y,
+           EXTRACT(MONTH FROM o_orderdate) AS m,
+           EXTRACT(DAY FROM o_orderdate) AS d,
+           EXTRACT(QUARTER FROM o_orderdate) AS q,
+           CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS due_date,
+           date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS days_to_2002,
+           date_diff('month', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS months_to_2002,
+           last_day(CAST(o_orderdate AS DATE)) AS eom,
+           CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start
+    FROM orders
+    WHERE o_orderkey % 7 = 0
+    """,
+)
+def q30_date_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 7 == 0)
+    od = F.to_date("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        od.alias("od"),
+        F.year("o_orderdate").cast("long").alias("y"),
+        F.month("o_orderdate").cast("long").alias("m"),
+        F.dayofmonth("o_orderdate").cast("long").alias("d"),
+        F.quarter("o_orderdate").cast("long").alias("q"),
+        F.date_add(od, 30).cast("timestamp").alias("due_date"),
+        F.datediff(F.lit("2002-01-01").cast("date"), od).cast("long").alias("days_to_2002"),
+        F.months_between(
+            F.date_trunc("month", F.lit("2002-01-01").cast("date")),
+            F.date_trunc("month", od),
+        ).cast("long").alias("months_to_2002"),
+        F.last_day(od).alias("eom"),
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month_start"),
+    )
+
+
+@register(
+    "q31_math_conditional",
+    oracle="""
+    SELECT c_custkey,
+           ABS(c_acctbal) AS abs_bal,
+           ROUND(c_acctbal, 1) AS bal_round1,
+           CAST(FLOOR(c_acctbal) AS BIGINT) AS bal_floor,
+           CAST(CEIL(c_acctbal) AS BIGINT) AS bal_ceil,
+           SQRT(ABS(c_acctbal)) AS bal_sqrt,
+           c_custkey % 10 AS key_mod,
+           CAST(SIGN(c_acctbal) AS DOUBLE) AS bal_sign,
+           CASE WHEN c_acctbal < 0 THEN 'overdrawn'
+                WHEN c_acctbal < 1000 THEN 'low'
+                ELSE 'high' END AS bal_band,
+           COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'OTHER') AS seg_or_other,
+           GREATEST(c_acctbal, 0.0) AS bal_pos,
+           LEAST(c_acctbal, 9999.0) AS bal_capped
+    FROM customer
+    """,
+)
+def q31_math_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 (conditional abs, data_pipeline.py:406) + math/conditional
+    coverage. `abs`/`sign`/`greatest` replace the reference's row-at-a-time
+    `apply(lambda)` with codegen'd expressions."""
+    c = table(spark, sf_dir, "customer")
+    bal = F.col("c_acctbal")
+    return c.select(
+        "c_custkey",
+        F.abs(bal).alias("abs_bal"),
+        F.round(bal, 1).alias("bal_round1"),
+        F.floor(bal).alias("bal_floor"),
+        F.ceil(bal).alias("bal_ceil"),
+        F.sqrt(F.abs(bal)).alias("bal_sqrt"),
+        (F.col("c_custkey") % 10).alias("key_mod"),
+        F.signum(bal).alias("bal_sign"),
+        F.when(bal < 0, "overdrawn").when(bal < 1000, "low").otherwise("high").alias("bal_band"),
+        F.coalesce(F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")), F.lit("OTHER")).alias("seg_or_other"),
+        F.greatest(bal, F.lit(0.0)).alias("bal_pos"),
+        F.least(bal, F.lit(9999.0)).alias("bal_capped"),
+    )
+
+
+@register(
+    "q32_json_extract",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+           MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS INT) >= 50
+    GROUP BY event_type
+    """,
+)
+def q32_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured JSON column (events.props): typed extraction via
+    from_json (schema'd, vectorized) — the engine's path for JSON props at
+    scale; get_json_object is equivalent for one-off path access."""
+    ev = table(spark, sf_dir, "events")
+    k = F.from_json("props", "k INT").getField("k")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .filter(F.col("k") >= 50)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+@register(
+    "q33_binary_ops",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           md5(text) AS text_md5,
+           substring(md5(text), 1, 8) AS md5_prefix
+    FROM documents
+    WHERE doc_id % 3 = 0
+    """,
+)
+def q33_binary_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column plumbing: utf-8 encode → byte length + content hash.
+    The same pattern (binary payload + derived metadata columns) carries
+    the multimodal image/audio columns (operators/multimodal.py)."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 0)
+    blob = F.encode("text", "utf-8")
+    return d.select(
+        "doc_id",
+        F.length(blob).cast("long").alias("n_bytes"),
+        F.md5(blob).alias("text_md5"),
+        F.substring(F.md5(blob), 1, 8).alias("md5_prefix"),
+    )

@@ -1,0 +1,268 @@
+"""Window functions, sort/top-k, and set operations (SURVEY.md §2.2).
+
+Determinism rule for windows: every ORDER BY inside a window includes a
+unique tiebreaker key, so ranking/offset functions are well-defined and
+oracle-comparable. Per-group top-k uses row_number (one shuffle on the
+partition key) instead of a global sort — at 100 TB a global ORDER BY is a
+range-partition exchange over everything, while row_number-per-group is a
+single hash exchange.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.numeric import exact_sum, sql_sum
+from ..sources.tables import table
+from .registry import register
+
+
+@register(
+    "q18_window_rank",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           ROW_NUMBER() OVER w AS rn,
+           RANK()       OVER w AS rnk,
+           DENSE_RANK() OVER w AS drnk
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+def q18_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+    )
+
+
+@register(
+    "q19_window_lag_lead",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           LAG(o_totalprice)  OVER w AS prev_price,
+           LEAD(o_totalprice) OVER w AS next_price,
+           o_totalprice - LAG(o_totalprice) OVER w AS delta_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE), o_orderkey)
+    """,
+)
+def q19_window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.to_date("o_orderdate"), F.col("o_orderkey")
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        (F.col("o_totalprice") - F.lag("o_totalprice").over(w)).alias("delta_price"),
+    )
+
+
+@register(
+    "q20_window_running_sum",
+    oracle=f"""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6)))
+                OVER (PARTITION BY o_custkey
+                      ORDER BY CAST(o_orderdate AS DATE), o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS running_spend,
+           COUNT(*) OVER (PARTITION BY o_custkey
+                          ORDER BY CAST(o_orderdate AS DATE), o_orderkey
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS n_so_far
+    FROM orders
+    """,
+)
+def q20_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative frame (ROWS UNBOUNDED PRECEDING..CURRENT). The running
+    decimal sum keeps the prefix sums order-exact vs the oracle."""
+    o = table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.to_date("o_orderdate"), F.col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(30,6)")).over(w).cast("double").alias("running_spend"),
+        F.count(F.lit(1)).over(w).alias("n_so_far"),
+    )
+
+
+@register(
+    "q21_window_range_frame",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice,
+           COUNT(*) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice
+                          RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW)
+             AS n_similar_cheaper
+    FROM orders
+    """,
+)
+def q21_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame (value-based, well-defined under ties without a unique
+    order key — the frame is a function of the ORDER BY value)."""
+    o = table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_orderstatus")
+        .orderBy("o_totalprice")
+        .rangeBetween(-10000, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.count(F.lit(1)).over(w).alias("n_similar_cheaper"),
+    )
+
+
+@register(
+    "q22_window_ntile_first_last",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           NTILE(4) OVER w AS balance_quartile,
+           FIRST_VALUE(c_custkey) OVER w2 AS richest_in_segment,
+           LAST_VALUE(c_custkey)  OVER w2 AS poorest_in_segment
+    FROM customer
+    WINDOW
+      w  AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey),
+      w2 AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def q22_window_ntile_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    w2 = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.ntile(4).over(w).cast("long").alias("balance_quartile"),
+        F.first("c_custkey").over(w2).alias("richest_in_segment"),
+        F.last("c_custkey").over(w2).alias("poorest_in_segment"),
+    )
+
+
+@register(
+    "q23_topk_global",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 20
+    """,
+)
+def q23_topk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: Spark plans TakeOrderedAndProject — per-partition heaps
+    then a k-row merge on the driver; no full sort, no full shuffle."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "q24_topk_per_group",
+    oracle="""
+    SELECT c_mktsegment, c_custkey, c_acctbal, rn FROM (
+      SELECT c_mktsegment, c_custkey, c_acctbal,
+             ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                ORDER BY c_acctbal DESC, c_custkey) AS rn
+      FROM customer
+    ) WHERE rn <= 5
+    """,
+)
+def q24_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return (
+        c.select(
+            "c_mktsegment",
+            "c_custkey",
+            "c_acctbal",
+            F.row_number().over(w).cast("long").alias("rn"),
+        ).filter(F.col("rn") <= 5)
+    )
+
+
+@register(
+    "q25_set_ops",
+    oracle="""
+    WITH hi_bal AS (SELECT c_custkey FROM customer WHERE c_acctbal > 5000),
+         big_buyers AS (SELECT DISTINCT o_custkey AS c_custkey FROM orders
+                        WHERE o_totalprice > 200000)
+    SELECT 'union' AS op, c_custkey FROM (
+      SELECT c_custkey FROM hi_bal UNION SELECT c_custkey FROM big_buyers)
+    UNION ALL
+    SELECT 'intersect' AS op, c_custkey FROM (
+      SELECT c_custkey FROM hi_bal INTERSECT SELECT c_custkey FROM big_buyers)
+    UNION ALL
+    SELECT 'except' AS op, c_custkey FROM (
+      SELECT c_custkey FROM hi_bal EXCEPT SELECT c_custkey FROM big_buyers)
+    """,
+)
+def q25_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    hi_bal = c.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    big_buyers = (
+        o.filter(F.col("o_totalprice") > 200000)
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+    )
+    tag = lambda df, op: df.select(F.lit(op).alias("op"), "c_custkey")  # noqa: E731
+    return (
+        tag(hi_bal.union(big_buyers).distinct(), "union")
+        .unionAll(tag(hi_bal.intersect(big_buyers), "intersect"))
+        .unionAll(tag(hi_bal.exceptAll(big_buyers.intersect(hi_bal)), "except"))
+    )
+
+
+@register(
+    "q26_union_all_multiset",
+    oracle=f"""
+    SELECT src, keyval, {sql_sum('price')} AS total FROM (
+      SELECT 'orders' AS src, o_orderkey % 10 AS keyval, o_totalprice AS price
+      FROM orders
+      UNION ALL
+      SELECT 'lineitem' AS src, l_orderkey % 10 AS keyval, l_extendedprice AS price
+      FROM lineitem
+    ) GROUP BY src, keyval
+    """,
+)
+def q26_union_all_multiset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL (bag semantics) + unionByName column alignment."""
+    o = table(spark, sf_dir, "orders").select(
+        F.lit("orders").alias("src"),
+        (F.col("o_orderkey") % 10).alias("keyval"),
+        F.col("o_totalprice").alias("price"),
+    )
+    li = table(spark, sf_dir, "lineitem").select(
+        F.lit("lineitem").alias("src"),
+        (F.col("l_orderkey") % 10).alias("keyval"),
+        F.col("l_extendedprice").alias("price"),
+    )
+    return (
+        o.unionByName(li)
+        .groupBy("src", "keyval")
+        .agg(exact_sum("price").alias("total"))
+    )

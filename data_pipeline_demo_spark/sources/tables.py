@@ -16,6 +16,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLE_NAMES = (
     "region",
@@ -38,7 +39,23 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one catalog table from ``sf_dir``."""
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; have {TABLE_NAMES}")
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        return _load_events(spark, path)
+    return spark.read.parquet(path)
+
+
+def _load_events(spark: SparkSession, path: str) -> DataFrame:
+    """Events carries TIMESTAMP(NANOS) parquet, which Spark's vectorized
+    reader rejects (PARQUET_TYPE_ILLEGAL). Read nanos as raw int64 and
+    truncate to microseconds (floor-division, matching DuckDB's
+    TIMESTAMP_NS→TIMESTAMP cast) so `ts` is a first-class TimestampType
+    for window/watermark operators."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(path)
+    if dict(raw.dtypes).get("ts") == "bigint":
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
