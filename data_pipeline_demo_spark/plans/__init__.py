@@ -8,7 +8,7 @@ def all_queries():
     return (QUERIES, ORACLE)."""
     global _LOADED
     if not _LOADED:
-        from . import relational, scalars, windows_sort  # noqa: F401
+        from . import relational, scalars, timeseries, windows_sort  # noqa: F401
 
         _LOADED = True
     return QUERIES, ORACLE

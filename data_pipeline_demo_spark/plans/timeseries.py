@@ -1,0 +1,243 @@
+"""Event-time operators over the `events` stream table (SURVEY.md §2.2).
+
+These are the *batch-equivalent* forms of the engine's Structured
+Streaming jobs (streaming/jobs.py) so every operator is oracle-checkable:
+`F.window`/`F.session_window` produce identical results in batch and
+streaming modes, which is exactly how Spark recommends validating
+streaming logic. Watermark/late-data semantics are exercised in the
+streaming tests; here the same aggregations run over the full history.
+
+Scale: windowed aggs shuffle once on (window, key); session windows add a
+per-key sort. Both stream at 100 TB given partitioning by key — no global
+ordering is ever required.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.numeric import exact_sum, sql_sum
+from ..sources.tables import table
+from .registry import register
+
+
+@register(
+    "q34_tumbling_window",
+    oracle=f"""
+    SELECT time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           {sql_sum('value')} AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q34_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time window — identical code path to the streaming
+    job (readStream → withWatermark → groupBy(window(...)))."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            exact_sum("value").alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "q35_sliding_window",
+    oracle="""
+    WITH buckets AS (
+      -- a 30-min-slide / 1-hour-width window: each event lands in 2 slides
+      SELECT user_id,
+             time_bucket(INTERVAL 30 MINUTE, CAST(ts AS TIMESTAMP))
+               - INTERVAL (30 * s.off) MINUTE AS window_start
+      FROM events, (SELECT 0 AS off UNION ALL SELECT 1) s
+    )
+    SELECT window_start, COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM buckets
+    GROUP BY window_start
+    """,
+)
+def q35_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (1h width, 30m slide): Spark expands each event into
+    width/slide windows before the shuffle — the oracle replays that
+    expansion with an explicit 2-row cross join."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(F.col("window.start").alias("window_start"), "n_events", "n_users")
+    )
+
+
+@register(
+    "q36_session_window",
+    oracle="""
+    -- gaps-and-islands replay of session_window(ts, '30 minutes')
+    WITH ordered AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+             LAG(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+      FROM events
+    ),
+    marked AS (
+      SELECT user_id, ts,
+             CASE WHEN prev_ts IS NULL
+                       OR ts - prev_ts > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS is_new
+      FROM ordered
+    ),
+    sessions AS (
+      SELECT user_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+      FROM marked
+    )
+    SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS last_event,
+           COUNT(*) AS n_events
+    FROM sessions
+    GROUP BY user_id, sess_id
+    """,
+)
+def q36_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-min inactivity gap) via the native
+    session_window operator — the streaming-capable form of
+    gaps-and-islands. session_window.end is exclusive (last event + gap),
+    so last_event is aggregated explicitly for oracle parity."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("last_event"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select("user_id", "session_start", "last_event", "n_events")
+    )
+
+
+@register(
+    "q37_event_dedup",
+    oracle="""
+    SELECT user_id, event_type, COUNT(*) AS n FROM (
+      SELECT DISTINCT ON (user_id, event_type,
+                          time_bucket(INTERVAL 1 MINUTE, CAST(ts AS TIMESTAMP)))
+             user_id, event_type
+      FROM events
+      ORDER BY user_id, event_type,
+               time_bucket(INTERVAL 1 MINUTE, CAST(ts AS TIMESTAMP))
+    ) GROUP BY user_id, event_type
+    """,
+)
+def q37_event_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful dedup analog (dropDuplicatesWithinWatermark in streaming):
+    collapse replays of the same (user, type) within a 1-minute bucket."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.withColumn("minute_bucket", F.date_trunc("minute", "ts"))
+        .dropDuplicates(["user_id", "event_type", "minute_bucket"])
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "q38_asof_join",
+    oracle="""
+    -- for each 'purchase', the user's most recent prior 'signup' or 'click'
+    WITH purchases AS (
+      SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS pts
+      FROM events WHERE event_type = 'purchase'
+    ),
+    touches AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS tts, value
+      FROM events WHERE event_type IN ('signup', 'click')
+    )
+    SELECT p.event_id, p.user_id,
+           (SELECT MAX(t.tts) FROM touches t
+            WHERE t.user_id = p.user_id AND t.tts <= p.pts) AS last_touch_ts
+    FROM purchases p
+    """,
+)
+def q38_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (the reference lacks it; core time-series op): composed
+    from a union + window max-so-far instead of a per-row subquery — one
+    shuffle on user_id, linear scan, no O(n·m) probe. At 100 TB this is
+    the canonical pattern: interleave both streams, carry state forward."""
+    ev = table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts").alias("pts")
+    )
+    touches = ev.filter(F.col("event_type").isin("signup", "click")).select(
+        F.lit(None).cast("long").alias("event_id"),
+        "user_id",
+        F.col("ts").alias("pts"),
+    )
+    # Interleave: touches sort before purchases at the same timestamp
+    # (<= semantics). is_touch=1 rows carry their ts as touch_ts.
+    merged = purchases.withColumn("is_purchase", F.lit(1)).unionByName(
+        touches.withColumn("is_purchase", F.lit(0))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("pts"), F.col("is_purchase"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    touch_ts = F.when(F.col("is_purchase") == 0, F.col("pts"))
+    return (
+        merged.withColumn("last_touch_ts", F.max(touch_ts).over(w))
+        .filter(F.col("is_purchase") == 1)
+        .select("event_id", "user_id", "last_touch_ts")
+    )
+
+
+@register(
+    "q39_event_funnel",
+    oracle="""
+    WITH stages AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'signup' THEN CAST(ts AS TIMESTAMP) END) AS t_signup,
+             MIN(CASE WHEN event_type = 'purchase' THEN CAST(ts AS TIMESTAMP) END) AS t_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT COUNT(*) AS n_users,
+           CAST(SUM(CASE WHEN t_signup IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_signed_up,
+           CAST(SUM(CASE WHEN t_signup IS NOT NULL AND t_purchase > t_signup
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
+    FROM stages
+    """,
+)
+def q39_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel: conditional-min pivot per user then one global rollup —
+    a single shuffle on user_id regardless of event volume."""
+    ev = table(spark, sf_dir, "events")
+    stages = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("t_signup"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t_purchase"),
+    )
+    return stages.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(F.when(F.col("t_signup").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_signed_up"),
+        F.sum(
+            F.when(
+                F.col("t_signup").isNotNull()
+                & (F.col("t_purchase") > F.col("t_signup")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_converted"),
+    )
