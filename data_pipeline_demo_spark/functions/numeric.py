@@ -8,9 +8,14 @@ partitioning/shuffle order yields the *identical* result, which then casts
 to double deterministically. This is also the numerically right thing for
 payments data (the reference keeps raw float64: SURVEY.md §1.2).
 
-Scale 6 against data with ≤2 real decimal digits means the double→decimal
-rounding step is exact far beyond the tie threshold, so Spark's HALF_UP vs
-the oracle's rounding mode can never disagree.
+Scale choice is load-bearing in BOTH directions:
+- Scale must COVER the data's true decimal precision (price 2dp ×
+  discount 2dp × tax 2dp = 6dp): rounding at a position carrying real
+  information hits exact .5 ties, where DuckDB's fast double→decimal cast
+  (scaled multiply) and Java's exact BigDecimal rounding disagree.
+- Scale must keep the SUM's unscaled integer below 2^53, or the final
+  decimal→double cast stops being correctly rounded (observed drift at
+  scale 18). Scale 6 satisfies both at the sf0.01 correctness gate.
 
 SQL-oracle equivalents (DuckDB):
     exact_sum(x) == CAST(SUM(CAST(x AS DECIMAL(30,6))) AS DOUBLE)

@@ -1,0 +1,181 @@
+"""Embedding similarity search (north-star surface).
+
+Two tiers over `embeddings.embedding: array<float>[64]`:
+
+- **Exact brute-force top-k** (`knn_exact`): probe set ⋈ corpus with a
+  deterministic decimal-exact cosine — the correctness baseline, and the
+  right choice when the probe set is small enough to broadcast.
+- **LSH-bucketed ANN** (`ann_lsh_topk`): random-hyperplane signatures →
+  candidates share a bucket → exact re-rank inside buckets. The 100 TB
+  path: the corpus is scanned once to sign, and each probe only touches
+  its buckets (partition pruning on the bucket key).
+
+Float determinism: dot products and norms route through
+``functions.vectors`` decimal sums, so Spark's result is bit-identical to
+the single-threaded DuckDB oracle (same per-element IEEE products, exact
+decimal accumulation, one final double division).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# Fixed-point scale for dot products: per-element products are floor-scaled
+# to integers BEFORE accumulation. floor() operates on bit-identical IEEE
+# doubles in any engine, so there is no rounding-direction ambiguity at
+# all (decimal casts round, and engines disagree on inexact scaled values).
+# 1e-12 quantization is far below any similarity-search signal.
+DOT_SCALE = 1e12
+
+
+def _dot_exact(a: Column, b: Column) -> Column:
+    """Deterministic dot product of two float arrays: identical IEEE
+    products, floor-scaled to int64, exact integer accumulation."""
+    prods = F.zip_with(
+        a,
+        b,
+        lambda x, y: F.floor(x.cast("double") * y.cast("double") * F.lit(DOT_SCALE)),
+    )
+    total = F.aggregate(prods, F.lit(0).cast("long"), lambda acc, x: acc + x)
+    return total.cast("double") / F.lit(DOT_SCALE)
+
+
+def l2_norm_exact(v: Column) -> Column:
+    return F.sqrt(_dot_exact(v, v))
+
+
+def cosine_exact(a: Column, b: Column) -> Column:
+    return _dot_exact(a, b) / (l2_norm_exact(a) * l2_norm_exact(b))
+
+
+def knn_exact(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_id_col: str = "probe_id",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each probe vector.
+
+    probes: (probe_id, embedding). The probe side is broadcast — the
+    corpus streams through one scan regardless of size; per-probe top-k
+    via row_number with vec_id tiebreak (deterministic under score ties).
+    """
+    p = F.broadcast(
+        probes.select(F.col(probe_id_col), F.col(vec_col).alias("__pvec"))
+    )
+    scored = (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .crossJoin(p)
+        .filter(F.col(id_col) != F.col(probe_id_col))
+        .select(
+            probe_id_col,
+            id_col,
+            cosine_exact(F.col("__pvec"), F.col(vec_col)).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy(probe_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def hyperplane_signature(
+    vec: Column, num_planes: int = 16, dim: int = 64, seed: int = 42
+) -> Column:
+    """Random-hyperplane LSH signature (an integer bucket id).
+
+    Plane weights are deterministic pseudo-randoms derived from
+    xxhash64(seed, plane, dim-index), mapped to ±1 — sign-stable across
+    engines and runs, no stored model needed.
+    """
+    bits = []
+    for pl in range(num_planes):
+        weights = F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda i: F.when(
+                F.xxhash64(F.concat_ws("|", F.lit(seed), F.lit(pl), i.cast("string")))
+                .bitwiseAND(F.lit(1))
+                == 1,
+                F.lit(1.0),
+            ).otherwise(F.lit(-1.0)),
+        )
+        proj = F.aggregate(
+            F.zip_with(vec, weights, lambda x, w: x.cast("double") * w),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(proj > 0, F.lit(1 << pl)).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out.cast("long")
+
+
+def ann_lsh_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_id_col: str = "probe_id",
+    num_planes: int = 8,
+    num_tables: int = 4,
+) -> DataFrame:
+    """ANN: probes only compare against corpus vectors sharing an LSH
+    bucket in ≥1 of `num_tables` hash tables, then exact cosine re-rank.
+
+    Recall is tunable via (planes, tables); the exactness-critical final
+    scoring reuses `cosine_exact`. At 100 TB the corpus side is written
+    bucketed by (table, bucket) so probe lookups prune partitions.
+    """
+    def signed(df: DataFrame, idc: str) -> DataFrame:
+        sigs = [
+            hyperplane_signature(F.col(vec_col), num_planes, seed=1000 + t).alias(f"sig_{t}")
+            for t in range(num_tables)
+        ]
+        melted = df.select(F.col(idc), F.col(vec_col), *sigs).select(
+            F.col(idc),
+            F.col(vec_col),
+            F.explode(
+                F.array(*[
+                    F.struct(F.lit(t).alias("tbl"), F.col(f"sig_{t}").alias("bucket"))
+                    for t in range(num_tables)
+                ])
+            ).alias("tb"),
+        )
+        return melted.select(
+            F.col(idc), F.col(vec_col), F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket")
+        )
+
+    c = signed(corpus, id_col)
+    p = F.broadcast(
+        signed(probes.select(F.col(probe_id_col).alias("__pid"), F.col(vec_col)), "__pid")
+        .withColumnRenamed(vec_col, "__pvec")
+    )
+    cand = (
+        c.join(p, ["tbl", "bucket"])
+        .filter(F.col(id_col) != F.col("__pid"))
+        .select(
+            F.col("__pid").alias(probe_id_col),
+            F.col(id_col),
+            F.col("__pvec"),
+            F.col(vec_col),
+        )
+        .dropDuplicates([probe_id_col, id_col])
+    )
+    scored = cand.select(
+        probe_id_col,
+        id_col,
+        cosine_exact(F.col("__pvec"), F.col(vec_col)).alias("cosine"),
+    )
+    w = Window.partitionBy(probe_id_col).orderBy(F.col("cosine").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )

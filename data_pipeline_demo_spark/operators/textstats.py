@@ -1,0 +1,99 @@
+"""Text-analysis operators: token counting, quality scoring, language ID,
+fingerprinting (north-star surface).
+
+Everything is a built-in column expression (codegen, zero UDF): these run
+as a streaming scan with no shuffle, so they cost one pass at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from .textprep import shingles, tokens
+
+# Tiny per-language stopword lists for the n-gram/stopword-overlap
+# language-ID heuristic. Deterministic and SQL-expressible — a real
+# deployment swaps in larger lists (same operator shape).
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "it"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein"),
+    "es": ("el", "la", "los", "de", "que", "es", "un"),
+    "fr": ("le", "la", "les", "et", "est", "un", "une"),
+}
+
+# A BPE-ish word/number/punctuation segmentation: runs of letters, runs of
+# digits, or single non-space symbols — a regex shared verbatim with the
+# DuckDB oracle.
+BPE_ISH_PATTERN = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+
+
+def token_count(text: Column | str) -> Column:
+    """Whitespace token count."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(F.split(c, r"\s+")).cast("long")
+
+
+def bpe_ish_token_count(text: Column | str) -> Column:
+    """Sub-word-ish token count via the shared segmentation regex."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_count(c, F.lit(BPE_ISH_PATTERN)).cast("long")
+
+
+def stopword_hits(text: Column | str, lang: str) -> Column:
+    """Occurrences of `lang`'s stopwords among the tokens."""
+    toks = tokens(text)
+    words = LANG_STOPWORDS[lang]
+    return F.aggregate(
+        toks,
+        F.lit(0),
+        lambda acc, t: acc + F.when(t.isin(*words), 1).otherwise(0),
+    ).cast("long")
+
+
+def lang_id(text: Column | str) -> Column:
+    """Heuristic language ID: argmax of stopword hits (ties → lexical
+    order, no hits → 'unknown')."""
+    scored = [(lang, stopword_hits(text, lang)) for lang in sorted(LANG_STOPWORDS)]
+    best_score = F.greatest(*[s for _, s in scored])
+    out = F.lit("unknown")
+    # fold in reverse so earlier (lexically smaller) langs win ties
+    for lang, score in reversed(scored):
+        out = F.when((score == best_score) & (best_score > 0), F.lit(lang)).otherwise(out)
+    return out
+
+
+def quality_features(text: Column | str) -> dict[str, Column]:
+    """Length / punctuation / stopword quality signals (the classic
+    pre-training quality filters), as named columns."""
+    c = F.col(text) if isinstance(text, str) else text
+    n_chars = F.length(c).cast("long")
+    n_tokens = token_count(c)
+    n_punct = F.regexp_count(c, F.lit(r"[^\w\s]")).cast("long")
+    n_stop = stopword_hits(c, "en")
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "mean_token_len": (n_chars - (n_tokens - 1)) / n_tokens,
+        "punct_ratio": n_punct / n_chars,
+        "stopword_ratio": n_stop / n_tokens,
+    }
+
+
+def quality_score(text: Column | str) -> Column:
+    """Composite [0,1]-ish quality score from the features — a fixed
+    linear blend, deterministic double arithmetic."""
+    f = quality_features(text)
+    length_ok = F.when((f["n_tokens"] >= 10) & (f["n_tokens"] <= 10000), 1.0).otherwise(0.3)
+    return (
+        0.4 * length_ok
+        + 0.3 * (1.0 - F.least(f["punct_ratio"] * 5.0, F.lit(1.0)))
+        + 0.3 * F.least(f["stopword_ratio"] * 3.0, F.lit(1.0))
+    )
+
+
+def doc_fingerprint(text: Column | str, k: int = 3) -> Column:
+    """Content-defined fingerprint: the lexicographic min of the shingle
+    md5s (a 1-hash MinHash — the rolling-window sketch used for fast
+    near-dup prefilters), alongside exact md5 for identity."""
+    return F.array_min(F.transform(shingles(text, k), lambda s: F.md5(F.encode(s, "utf-8"))))

@@ -8,7 +8,13 @@ def all_queries():
     return (QUERIES, ORACLE)."""
     global _LOADED
     if not _LOADED:
-        from . import relational, scalars, timeseries, windows_sort  # noqa: F401
+        from . import (  # noqa: F401
+            llm_ops,
+            relational,
+            scalars,
+            timeseries,
+            windows_sort,
+        )
 
         _LOADED = True
     return QUERIES, ORACLE

@@ -1,0 +1,299 @@
+"""LLM-data-pipeline queries: dedup, similarity search, text analysis
+(north-star surface, BASELINE.json).
+
+Exact variants are oracle-checked value-for-value against DuckDB; the
+approximate scale paths (MinHash-LSH, SimHash, hyperplane ANN) verify
+their candidates exactly, and where recall is deterministically 1 at the
+chosen operating point they share the exact oracle; otherwise they are
+rows-only with recall covered by unit tests (tests/test_llm_ops.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators import dedup, similarity, textstats
+from ..sources.tables import table
+from .registry import register
+
+# Shared DuckDB fragment: distinct word 3-shingles per doc.
+_DUCK_SHINGLES = """
+    toks AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                            for i in generate_series(1, len(w)-2)]) AS s
+      FROM toks
+    )
+"""
+
+_DUCK_JACCARD_PAIRS = f"""
+    WITH {_DUCK_SHINGLES}
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           len(list_intersect(a.s, b.s))::DOUBLE
+             / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.s, b.s))::DOUBLE
+          / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.7
+"""
+
+
+@register(
+    "q40_dedup_exact",
+    oracle="""
+    SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY md5(text)
+    """,
+)
+def q40_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: content-hash groupBy, lowest-id representative."""
+    return dedup.exact_dedup(table(spark, sf_dir, "documents"))
+
+
+@register("q41_jaccard_similarity_join", oracle=_DUCK_JACCARD_PAIRS)
+def q41_jaccard_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT n-gram Jaccard near-dup pairs via inverted-index join —
+    DuckDB replays it as an all-pairs list-intersection."""
+    return dedup.jaccard_similarity_join(
+        table(spark, sf_dir, "documents"), threshold=0.7
+    )
+
+
+@register("q42_minhash_lsh_dedup", oracle=_DUCK_JACCARD_PAIRS)
+def q42_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash→LSH→exact-verify near-dup pairs. Shares q41's exact oracle:
+    at threshold 0.7 with 16 bands × 2 rows, every true pair is a
+    candidate with certainty on this corpus (validated in unit tests), so
+    the verified output equals the exact join."""
+    return dedup.minhash_dedup_pairs(
+        table(spark, sf_dir, "documents"), threshold=0.7, num_hashes=32, bands=16
+    )
+
+
+@register("q43_simhash_near_pairs")
+def q43_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (rows-only: xxhash64 has no DuckDB
+    equivalent). Deterministic; recall vs the exact join is unit-tested."""
+    return dedup.simhash_near_pairs(table(spark, sf_dir, "documents"), max_hamming=12)
+
+
+_DUCK_KNN = """
+    WITH probes AS (
+      SELECT vec_id AS probe_id, embedding AS pvec FROM embeddings
+      WHERE vec_id % 50 = 0
+    ),
+    scored AS (
+      SELECT p.probe_id, e.vec_id,
+        ((SELECT SUM(CAST(FLOOR(p.pvec[g]::DOUBLE * e.embedding[g]::DOUBLE * 1e12) AS BIGINT))
+          FROM generate_series(1, 64) t(g))::DOUBLE / 1e12)
+        / (sqrt((SELECT SUM(CAST(FLOOR(p.pvec[g]::DOUBLE * p.pvec[g]::DOUBLE * 1e12) AS BIGINT))
+                 FROM generate_series(1, 64) t(g))::DOUBLE / 1e12)
+           * sqrt((SELECT SUM(CAST(FLOOR(e.embedding[g]::DOUBLE * e.embedding[g]::DOUBLE * 1e12) AS BIGINT))
+                   FROM generate_series(1, 64) t(g))::DOUBLE / 1e12)) AS cosine
+      FROM probes p, embeddings e
+      WHERE e.vec_id <> p.probe_id
+    )
+    SELECT probe_id, vec_id, cosine, rank FROM (
+      SELECT probe_id, vec_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY probe_id
+                                ORDER BY cosine DESC, vec_id) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+"""
+
+
+@register("q44_knn_bruteforce", oracle=_DUCK_KNN)
+def q44_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 cosine neighbors for 10 probe vectors: broadcast
+    probes × one corpus scan, decimal-exact cosine, row_number top-k."""
+    emb = table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    return similarity.knn_exact(emb, probes, k=5)
+
+
+@register("q45_ann_lsh_topk")
+def q45_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via random-hyperplane LSH buckets + exact
+    re-rank (rows-only; recall vs q44 is unit-tested)."""
+    emb = table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    return similarity.ann_lsh_topk(emb, probes, k=5)
+
+
+@register(
+    "q46_text_stats",
+    oracle=f"""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           len(regexp_extract_all(text, '{textstats.BPE_ISH_PATTERN}')) AS n_bpe_tokens,
+           length(text) AS n_chars_measured,
+           n_chars AS n_chars_recorded
+    FROM documents
+    """,
+)
+def q46_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + BPE-ish regex segmentation."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        textstats.token_count("text").alias("n_tokens"),
+        textstats.bpe_ish_token_count("text").alias("n_bpe_tokens"),
+        F.length("text").cast("long").alias("n_chars_measured"),
+        F.col("n_chars").alias("n_chars_recorded"),
+    )
+
+
+def _duck_stop_hits(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in textstats.LANG_STOPWORDS[lang])
+    return (
+        f"len(list_filter(string_split(text, ' '), t -> t IN ({words})))"
+    )
+
+
+@register(
+    "q47_lang_id",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang AS lang_recorded,
+             {_duck_stop_hits('de')} AS h_de,
+             {_duck_stop_hits('en')} AS h_en,
+             {_duck_stop_hits('es')} AS h_es,
+             {_duck_stop_hits('fr')} AS h_fr
+      FROM documents
+    )
+    SELECT doc_id, lang_recorded,
+           CASE
+             WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'unknown'
+             WHEN h_de = greatest(h_de, h_en, h_es, h_fr) THEN 'de'
+             WHEN h_en = greatest(h_de, h_en, h_es, h_fr) THEN 'en'
+             WHEN h_es = greatest(h_de, h_en, h_es, h_fr) THEN 'es'
+             ELSE 'fr'
+           END AS lang_detected,
+           h_en AS en_stopword_hits
+    FROM scored
+    """,
+)
+def q47_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-overlap language ID (argmax, lexical tiebreak)."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("lang_recorded"),
+        textstats.lang_id("text").alias("lang_detected"),
+        textstats.stopword_hits("text", "en").alias("en_stopword_hits"),
+    )
+
+
+@register(
+    "q48_quality_score",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id,
+             length(text) AS n_chars,
+             len(string_split(text, ' ')) AS n_tokens,
+             len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct,
+             len(list_filter(string_split(text, ' '),
+                 t -> t IN ('the','and','of','to','a','in','is','it'))) AS n_stop
+      FROM documents
+    )
+    SELECT doc_id,
+           n_tokens,
+           n_punct::DOUBLE / n_chars AS punct_ratio,
+           n_stop::DOUBLE / n_tokens AS stopword_ratio,
+           0.4 * (CASE WHEN n_tokens BETWEEN 10 AND 10000 THEN 1.0 ELSE 0.3 END)
+           + 0.3 * (1.0 - least(n_punct::DOUBLE / n_chars * 5.0, 1.0))
+           + 0.3 * least(n_stop::DOUBLE / n_tokens * 3.0, 1.0) AS quality
+    FROM f
+    """,
+)
+def q48_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-training quality filter: length/punct/stopword blend."""
+    d = table(spark, sf_dir, "documents")
+    f = textstats.quality_features("text")
+    return d.select(
+        "doc_id",
+        f["n_tokens"].alias("n_tokens"),
+        f["punct_ratio"].alias("punct_ratio"),
+        f["stopword_ratio"].alias("stopword_ratio"),
+        textstats.quality_score("text").alias("quality"),
+    )
+
+
+@register(
+    "q49_doc_fingerprint",
+    oracle=f"""
+    WITH {_DUCK_SHINGLES}
+    SELECT d.doc_id,
+           md5(d.text) AS content_md5,
+           list_aggregate(list_transform(sh.s, x -> md5(x)), 'min') AS shingle_sketch
+    FROM documents d JOIN sh ON d.doc_id = sh.doc_id
+    """,
+)
+def q49_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Identity hash + 1-hash MinHash sketch (rolling-window min-md5)."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5(F.encode("text", "utf-8")).alias("content_md5"),
+        textstats.doc_fingerprint("text").alias("shingle_sketch"),
+    )
+
+
+@register(
+    "q50_embedding_stats",
+    oracle="""
+    WITH norms AS (
+      SELECT label, vec_id,
+        sqrt((SELECT SUM(CAST(FLOOR(e.embedding[g]::DOUBLE * e.embedding[g]::DOUBLE * 1e12) AS BIGINT))
+              FROM generate_series(1, 64) t(g))::DOUBLE / 1e12) AS l2
+      FROM embeddings e
+    )
+    SELECT label, COUNT(*) AS n_vectors,
+           CAST(SUM(CAST(l2 AS DECIMAL(30,6))) AS DOUBLE) / COUNT(l2) AS avg_norm,
+           MIN(l2) AS min_norm, MAX(l2) AS max_norm
+    FROM norms GROUP BY label
+    """,
+)
+def q50_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-column profiling: per-label L2 norm distribution."""
+    emb = table(spark, sf_dir, "embeddings")
+    from ..functions.numeric import exact_avg
+
+    norms = emb.select(
+        "label",
+        similarity.l2_norm_exact(F.col("embedding")).alias("l2"),
+    )
+    return norms.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        exact_avg("l2").alias("avg_norm"),
+        F.min("l2").alias("min_norm"),
+        F.max("l2").alias("max_norm"),
+    )
+
+
+@register(
+    "q51_word_count",
+    oracle="""
+    SELECT word, COUNT(*) AS n
+    FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+    GROUP BY word
+    HAVING COUNT(*) >= 10
+    """,
+)
+def q51_word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical explode→count corpus vocabulary histogram."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split("text", r"\s+")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 10)
+    )
