@@ -1,0 +1,137 @@
+"""Declarative cast-spec cleaning — the reference's ETL semantics as
+reusable column expressions (SURVEY.md §2.1 F1-F7).
+
+The reference cleans a dealer-transactions CSV imperatively
+(`/root/reference/data_pipeline.py:352-459`); here the same semantics are
+a declarative spec applied with ``withColumns`` so Catalyst folds the
+whole cleaning stage into the scan projection (one codegen'd pass, no
+intermediate materialization — at 100 TB cleaning is free with the read).
+
+All fallible casts use ``try_``-functions (Spark 4 ANSI mode): bad input
+→ null, never an aborted job; quarantine happens downstream (sinks).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# The reference's 11 money columns (data_pipeline.py:372-375).
+MONEY_COLS = (
+    "Amount",
+    "TotalAmount",
+    "Surcharge",
+    "MSF",
+    "Tip",
+    "Cashout",
+    "Extras",
+    "Levy",
+    "ServiceFee",
+    "TxnFee",
+    "Rebate",
+)
+
+# Day-first formats the reference attempts (data_pipeline.py:644-650,
+# deduplicated — the reference lists several twice).
+DATETIME_FORMATS = (
+    "dd/MM/yyyy HH:mm",
+    "dd/MM/yy HH:mm",
+    "d/M/yyyy H:mm",
+    "d/M/yy H:mm",
+    "dd/MM/yyyy",
+    "d/M/yyyy",
+)
+
+
+def clean_money(c: Column | str) -> Column:
+    """Currency string → double: strip $ and thousands separators, trim,
+    treat ''/'nan' literals as null (F1+F7, data_pipeline.py:372-377,
+    :638-641). `$1,234.56` → 1234.56, `-$12.00` → -12.0."""
+    col = F.col(c) if isinstance(c, str) else c
+    t = F.trim(col)
+    return (
+        F.when(F.lower(t).isin("", "nan", "none", "null"), F.lit(None))
+        .otherwise(F.regexp_replace(t, r"[$,]", ""))
+        .try_cast("double")
+    )
+
+
+def parse_datetime_robust(c: Column | str, formats: tuple[str, ...] = DATETIME_FORMATS) -> Column:
+    """Multi-format day-first parse → DateType (F3+F4,
+    data_pipeline.py:636-663). Always DateType; unparseable → null —
+    deliberately NOT the reference's mixed str/Timestamp return.
+    """
+    col = F.col(c) if isinstance(c, str) else c
+    t = F.trim(col)
+    guarded = F.when(F.lower(t).isin("", "nan"), F.lit(None)).otherwise(t)
+    attempts = [F.try_to_timestamp(guarded, F.lit(fmt)) for fmt in formats]
+    return F.coalesce(*attempts).cast("date")
+
+
+def abs_normalize(c: Column | str) -> Column:
+    """Force-positive normalization (F2, data_pipeline.py:406): the
+    reference's `apply(lambda x: abs(x) if x < 0 else x)` is just abs."""
+    col = F.col(c) if isinstance(c, str) else c
+    return F.abs(col)
+
+
+def all_null_flag(cols: tuple[str, ...]) -> Column:
+    """Blank-row diagnostic (P2, data_pipeline.py:383-398): true when
+    every listed column is null."""
+    from functools import reduce
+    from operator import and_
+
+    return reduce(and_, [F.col(c).isNull() for c in cols])
+
+
+def clean_transactions(
+    df: DataFrame,
+    money_cols: tuple[str, ...] = MONEY_COLS,
+    datetime_col: str = "TransactionDatetime",
+    abs_cols: tuple[str, ...] = ("MSF",),
+) -> DataFrame:
+    """The reference's full transform stage (EP3, data_pipeline.py:352-459)
+    as one declarative pass:
+
+    money casts → robust date parse → abs normalization → blank-row flag.
+    Input columns may be missing (partial feeds): only present columns are
+    touched.
+    """
+    present = set(df.columns)
+    updates: dict[str, Column] = {}
+    for c in money_cols:
+        if c in present:
+            updates[c] = clean_money(c)
+    for c in abs_cols:
+        if c in present and c in money_cols:
+            updates[c] = abs_normalize(clean_money(c))
+    if datetime_col in present:
+        updates[datetime_col] = parse_datetime_robust(datetime_col)
+    out = df.withColumns(updates)
+    flag_cols = tuple(c for c in money_cols if c in present)
+    if flag_cols:
+        out = out.withColumn("_all_money_null", all_null_flag(flag_cols))
+    return out
+
+
+def qa_aggregates(df: DataFrame, checksum_col: str = "TotalAmount", date_col: str = "TransactionDatetime") -> DataFrame:
+    """The reference's inline QA (A1-A4, data_pipeline.py:397-402,
+    :689-701) as one aggregate row: row count, blank count, checksum,
+    null/non-null conversion counts, date range."""
+    from .numeric import exact_sum
+
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    if "_all_money_null" in df.columns:
+        aggs.append(
+            F.sum(F.col("_all_money_null").cast("int")).cast("long").alias("n_blank_rows")
+        )
+    if checksum_col in df.columns:
+        aggs.append(exact_sum(checksum_col).alias("checksum_total"))
+    if date_col in df.columns:
+        aggs += [
+            F.count(date_col).alias("n_dates_parsed"),
+            (F.count(F.lit(1)) - F.count(date_col)).alias("n_dates_null"),
+            F.min(date_col).alias("date_min"),
+            F.max(date_col).alias("date_max"),
+        ]
+    return df.agg(*aggs)

@@ -217,14 +217,17 @@ def simhash_near_pairs(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    max_hamming: int = 8,
-    prefix_bits: int = 16,
+    max_hamming: int = 10,
+    prefix_bits: int = 8,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance.
 
-    Blocking: pairs are only compared when they share one of 4 rotated
-    16-bit prefixes (pigeonhole: ≤3 differing bits always collide on one
-    block; higher distances probabilistically). Avoids the O(n²) compare.
+    Blocking: pairs are only compared when they share one of 64/prefix_bits
+    rotated prefix blocks (pigeonhole: ≤ n_blocks-1 differing bits always
+    collide on one block; higher distances probabilistically). 8-bit
+    blocks guarantee recall to Hamming 7 — short-document SimHashes have
+    soft bit margins, so distances up to ~10 matter; wider (16-bit) blocks
+    shrink buckets at scale but only guarantee Hamming 3.
     """
     fps = simhash(df, text_col, id_col)
     blocks = fps.select(

@@ -1,0 +1,146 @@
+"""Multimodal (image/audio/video) column plumbing (north-star surface).
+
+Media are opaque ``binary`` payload columns + a typed metadata struct;
+all per-item compute rides ``mapInPandas`` (Arrow-batched, pipelined,
+no shuffle). The Spark-side contract — schema, batch shape, partition
+behavior — is real and tested; the actual codec calls are STUBBED because
+this container has no image/audio libraries:
+
+- `decode_image` raises NotImplementedError (clearly marked seam: swap in
+  PIL/torchvision in a real deployment).
+- `fake_decode_meta` is a deterministic stand-in (parses dimensions we
+  pack into the payload header) so the plumbing is testable end-to-end.
+
+At 100 TB: payloads stay in columnar files next to their metadata;
+``spark.sql.files.maxPartitionBytes`` sizes batches, and feature
+extraction is a map-only stage that scales linearly with executors.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),  # image | audio | video
+        T.StructField("payload", T.BinaryType()),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("content_type", T.StringType()),
+                    T.StructField("n_bytes", T.LongType()),
+                    T.StructField("sha256", T.StringType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("sha256", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+    ]
+)
+
+
+def decode_image(payload: bytes) -> object:
+    """REAL-CODEC SEAM — intentionally unimplemented in this container.
+
+    A deployment replaces this with e.g. ``PIL.Image.open(io.BytesIO(
+    payload))``; everything around it (batching, schema, partitioning)
+    is already production-shaped.
+    """
+    raise NotImplementedError(
+        "image codec not available in this environment; "
+        "swap in PIL/torchvision via this seam"
+    )
+
+
+def fake_encode(media_id: int, width: int, height: int) -> bytes:
+    """Deterministic fake payload: 12-byte header (id, w, h) + body."""
+    return struct.pack(">qii", media_id, width, height) + b"\x00" * 64
+
+
+def fake_decode_meta(payload: bytes) -> tuple[int, int]:
+    """Deterministic stand-in for the codec: read (w, h) from the header
+    `fake_encode` wrote."""
+    _, w, h = struct.unpack(">qii", payload[:16])
+    return w, h
+
+
+def synthesize_media(documents: DataFrame) -> DataFrame:
+    """Derive a media table from `documents` (deterministic fake payloads)
+    so the multimodal path has distributed test data at any SF."""
+    d = documents.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        (F.col("n_chars") % 1024 + 16).cast("int").alias("w"),
+        (F.col("doc_id") % 768 + 16).cast("int").alias("h"),
+    )
+
+    @F.pandas_udf(T.BinaryType())
+    def make_payload(mid: pd.Series, w: pd.Series, h: pd.Series) -> pd.Series:
+        return pd.Series(
+            [fake_encode(int(m), int(a), int(b)) for m, a, b in zip(mid, w, h)]
+        )
+
+    with_payload = d.withColumn("payload", make_payload("media_id", "w", "h"))
+    return with_payload.select(
+        "media_id",
+        "kind",
+        "payload",
+        F.struct(
+            F.lit("image/fake").alias("content_type"),
+            F.length("payload").cast("long").alias("n_bytes"),
+            F.sha2("payload", 256).alias("sha256"),
+        ).alias("meta"),
+    )
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads.
+
+    mapInPandas: each partition arrives as an iterator of pandas
+    DataFrames (bounded memory for huge payload columns); per-item work
+    is plain Python over bytes — the codec seam. Hashing recomputed
+    Python-side deliberately: it exercises the real payload bytes
+    crossing the Arrow boundary intact.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            dims = [fake_decode_meta(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_bytes": [len(p) for p in pdf["payload"]],
+                    "sha256": [hashlib.sha256(p).hexdigest() for p in pdf["payload"]],
+                    "width": [w for w, _ in dims],
+                    "height": [h for _, h in dims],
+                }
+            )
+
+    return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:
+    """Video frame-sampling PLAN (stub): emits (media_id, frame_idx) rows
+    for the frames a decoder would extract — the Spark-side shape
+    (explode to frame granularity, then per-frame decode via
+    `extract_features`-style mapInPandas) without the codec."""
+    n_frames = (F.col("meta.n_bytes") / 16).cast("int")
+    idx = F.sequence(F.lit(0), F.greatest(n_frames - 1, F.lit(0)), F.lit(every_n))
+    return media.select("media_id", F.explode(idx).alias("frame_idx"))

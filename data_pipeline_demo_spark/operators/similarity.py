@@ -124,15 +124,19 @@ def ann_lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     probe_id_col: str = "probe_id",
-    num_planes: int = 8,
-    num_tables: int = 4,
+    num_planes: int = 4,
+    num_tables: int = 8,
 ) -> DataFrame:
     """ANN: probes only compare against corpus vectors sharing an LSH
     bucket in ≥1 of `num_tables` hash tables, then exact cosine re-rank.
 
-    Recall is tunable via (planes, tables); the exactness-critical final
-    scoring reuses `cosine_exact`. At 100 TB the corpus side is written
-    bucketed by (table, bucket) so probe lookups prune partitions.
+    Recall is tunable via (planes, tables): P(bucket hit) = p^planes per
+    table with p = 1 - θ/π. Weakly-similar neighbors (cosine ~0.3, θ≈72°,
+    p≈0.6) need few planes and several tables — 4×8 gives ~0.7 recall on
+    near-random corpora; strongly-clustered embeddings afford more planes
+    (smaller buckets). The exactness-critical final scoring reuses
+    `cosine_exact`. At 100 TB the corpus side is written bucketed by
+    (table, bucket) so probe lookups prune partitions.
     """
     def signed(df: DataFrame, idc: str) -> DataFrame:
         sigs = [

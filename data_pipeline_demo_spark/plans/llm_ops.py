@@ -279,6 +279,19 @@ def q50_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("q52_multimodal_features")
+def q52_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing end-to-end (rows-only: Arrow/pandas-UDF hashes
+    aren't SQL-expressible): synthesize binary media payloads from
+    documents, then mapInPandas feature extraction (operators/
+    multimodal.py). The codec itself is a stubbed seam; the distributed
+    schema/batch/partition path is fully real."""
+    from ..operators import multimodal
+
+    media = multimodal.synthesize_media(table(spark, sf_dir, "documents"))
+    return multimodal.extract_features(media)
+
+
 @register(
     "q51_word_count",
     oracle="""

@@ -1,0 +1,97 @@
+"""Structured Streaming jobs over event streams (SURVEY.md §2.2).
+
+The reference's daily cron is an incremental micro-batch (SURVEY §1.1);
+the engine's streaming surface is real Structured Streaming:
+``readStream → event-time transforms → writeStream``. Every
+transformation here is the SAME function used by the batch oracle
+queries (plans/timeseries.py) — window()/session_window() semantics are
+identical in both modes, so batch results validate the streaming logic
+(tests/test_streaming.py runs these with Trigger.AvailableNow against a
+file source and compares with the batch run).
+
+Watermarks bound state: at 100 TB/day the only viable stateful operators
+are those whose state expires — every job below declares one.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def with_event_time(stream: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Normalize the event-time column (int64 nanos or timestamp) —
+    mirror of sources.tables._load_events for streaming inputs."""
+    if dict(stream.dtypes).get(ts_col) == "bigint":
+        stream = stream.withColumn(ts_col, F.timestamp_micros(F.expr(f"{ts_col} div 1000")))
+    return stream
+
+
+def tumbling_counts(
+    stream: DataFrame,
+    window_size: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Tumbling per-type counts with late-data drop beyond the watermark.
+    Streaming form of q34 (plans/timeseries.py)."""
+    return (
+        with_event_time(stream)
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window_size), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("window.start").alias("window_start"), "event_type", "n_events")
+    )
+
+
+def sliding_user_activity(
+    stream: DataFrame,
+    width: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Sliding-window distinct-user approximation (exact count per window;
+    streaming form of q35)."""
+    return (
+        with_event_time(stream)
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width, slide))
+        .agg(F.approx_count_distinct("user_id").alias("approx_users"))
+        .select(F.col("window.start").alias("window_start"), "approx_users")
+    )
+
+
+def sessionize(
+    stream: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Session windows with inactivity gap (streaming form of q36):
+    state merges as events arrive, emits when the watermark passes
+    session end."""
+    return (
+        with_event_time(stream)
+        .withWatermark("ts", watermark)
+        .groupBy("user_id", F.session_window("ts", gap))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+def dedup_within_watermark(
+    stream: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stateful replay-dedup: drop re-deliveries of the same event id
+    within the watermark horizon (state auto-expires — the streaming form
+    of q37's bucketed dedup; the reference's ledger guard generalized to
+    row granularity)."""
+    return (
+        with_event_time(stream)
+        .withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(keys or ["event_id"])
+    )

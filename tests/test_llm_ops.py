@@ -1,0 +1,98 @@
+"""LLM-op correctness the oracle can't check: LSH recall vs exact,
+SimHash determinism, ANN recall, multimodal plumbing."""
+
+from pyspark.sql import functions as F
+
+from data_pipeline_demo_spark.operators import dedup, multimodal, similarity
+from data_pipeline_demo_spark.sources.tables import table
+
+
+def _pairs(df):
+    return {(r["doc_a"], r["doc_b"]) for r in df.collect()}
+
+
+def test_minhash_lsh_matches_exact(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    exact = _pairs(dedup.jaccard_similarity_join(docs, threshold=0.7))
+    lsh = _pairs(dedup.minhash_dedup_pairs(docs, threshold=0.7))
+    assert lsh == exact  # full recall at this operating point
+    assert len(exact) > 0  # the corpus has planted near-dups
+
+
+def test_simhash_deterministic_and_finds_dups(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    fp1 = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs).collect()}
+    fp2 = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs).collect()}
+    assert fp1 == fp2  # run-to-run deterministic
+    near = dedup.simhash_near_pairs(docs, max_hamming=12)
+    exact = _pairs(dedup.jaccard_similarity_join(docs, threshold=0.7))
+    found = _pairs(near)
+    # 8-bit blocking guarantees recall to Hamming 7; true pairs on this
+    # corpus sit at 0-9, so overall recall should still be high
+    assert len(exact & found) / len(exact) >= 0.8
+
+
+def test_exact_dedup_counts(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    out = dedup.exact_dedup(docs)
+    assert out.count() == docs.select("text").distinct().count()
+    assert out.agg(F.sum("n_copies")).collect()[0][0] == docs.count()
+
+
+def test_ann_recall_vs_exact(spark, sf_dir):
+    emb = table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    exact = {
+        (r["probe_id"], r["vec_id"])
+        for r in similarity.knn_exact(emb, probes, k=5).collect()
+    }
+    ann = {
+        (r["probe_id"], r["vec_id"])
+        for r in similarity.ann_lsh_topk(emb, probes, k=5).collect()
+    }
+    recall = len(exact & ann) / len(exact)
+    assert recall >= 0.5, f"ANN recall {recall} collapsed"
+
+
+def test_knn_self_excluded_and_k(spark, sf_dir):
+    emb = table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    out = similarity.knn_exact(emb, probes, k=3).collect()
+    per_probe = {}
+    for r in out:
+        assert r["probe_id"] != r["vec_id"]
+        per_probe.setdefault(r["probe_id"], []).append(r["rank"])
+    assert all(sorted(v) == [1, 2, 3] for v in per_probe.values())
+
+
+def test_multimodal_roundtrip(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents").limit(50)
+    media = multimodal.synthesize_media(docs)
+    feats = {r["media_id"]: r for r in multimodal.extract_features(media).collect()}
+    src = {r["media_id"]: r for r in media.collect()}
+    assert set(feats) == set(src)
+    for mid, f in feats.items():
+        # payload bytes crossed the Arrow boundary intact
+        assert f["sha256"] == src[mid]["meta"]["sha256"]
+        assert f["n_bytes"] == src[mid]["meta"]["n_bytes"]
+        w, h = multimodal.fake_decode_meta(bytes(src[mid]["payload"]))
+        assert (f["width"], f["height"]) == (w, h)
+
+
+def test_decode_seam_is_explicit():
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"\x89PNG")
+
+
+def test_frame_sample_plan(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents").limit(5)
+    media = multimodal.synthesize_media(docs)
+    frames = multimodal.frame_sample_plan(media, every_n=2).collect()
+    assert len(frames) > 0
+    assert all(r["frame_idx"] % 2 == 0 for r in frames)

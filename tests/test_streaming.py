@@ -1,0 +1,85 @@
+"""Structured Streaming jobs vs their batch-equivalent oracles.
+
+Strategy (SURVEY.md §5): window()/session_window() are mode-agnostic, so
+running the SAME transformation in a file-source stream with
+Trigger.AvailableNow must reproduce the batch result exactly.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_pipeline_demo_spark.sources.tables import table
+from data_pipeline_demo_spark.streaming import jobs
+
+
+@pytest.fixture(scope="module")
+def event_stream_source(spark, sf_dir, tmp_path_factory):
+    """Stage events as a parquet dir a readStream file source can tail.
+
+    ts is written as long micros (the nanos parquet needs the legacy conf
+    anyway) and normalized by jobs.with_event_time — mirroring a real
+    ingest where event time arrives as an epoch integer.
+    """
+    path = str(tmp_path_factory.mktemp("stream") / "events")
+    ev = table(spark, sf_dir, "events").withColumn(
+        "ts", F.unix_micros("ts") * 1000  # back to nanos-as-long
+    )
+    ev.write.mode("overwrite").parquet(path)
+    return path, ev.schema
+
+
+def _run_available_now(spark, stream_df, name):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+def _rows(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def test_tumbling_stream_equals_batch(spark, event_stream_source):
+    path, schema = event_stream_source
+    stream = spark.readStream.schema(schema).parquet(path)
+    out = _run_available_now(spark, jobs.tumbling_counts(stream), "t_tumbling")
+
+    batch = jobs.tumbling_counts(spark.read.schema(schema).parquet(path))
+    cols = ["window_start", "event_type", "n_events"]
+    assert _rows(out, cols) == _rows(batch, cols)
+
+
+def test_sessionize_stream_equals_batch(spark, event_stream_source):
+    path, schema = event_stream_source
+    stream = spark.readStream.schema(schema).parquet(path)
+    out = _run_available_now(spark, jobs.sessionize(stream), "t_sessions")
+
+    batch = jobs.sessionize(spark.read.schema(schema).parquet(path))
+    cols = ["user_id", "session_start", "n_events"]
+    assert _rows(out, cols) == _rows(batch, cols)
+
+
+def test_dedup_within_watermark_drops_replays(spark, event_stream_source, tmp_path):
+    path, schema = event_stream_source
+    # duplicate the source: every event delivered twice
+    dup_path = str(tmp_path / "dup")
+    base = spark.read.schema(schema).parquet(path)
+    base.unionByName(base).write.mode("overwrite").parquet(dup_path)
+
+    stream = spark.readStream.schema(schema).parquet(dup_path)
+    deduped = jobs.dedup_within_watermark(stream)
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("t_dedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("t_dedup").count()
+    assert got == base.count()  # replays dropped, originals kept
