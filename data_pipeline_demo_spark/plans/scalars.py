@@ -69,12 +69,12 @@ def q27_currency_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).otherwise(
         F.regexp_replace(F.trim(F.col("raw_price")), r"[$,]", "").try_cast("double")
     )
-    from pyspark.sql.window import Window
-
-    return messy.select(
-        "o_orderkey",
-        cleaned.alias("price"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("n_total"),
+    # n_total is a 1-row aggregate broadcast back onto every row — never
+    # an empty-partition window, which would funnel the whole table
+    # through a single task just to stamp a constant.
+    totals = messy.agg(F.count(F.lit(1)).alias("n_total"))
+    return messy.select("o_orderkey", cleaned.alias("price")).crossJoin(
+        F.broadcast(totals)
     )
 
 
