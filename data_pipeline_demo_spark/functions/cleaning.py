@@ -114,10 +114,7 @@ def clean_transactions(
     return out
 
 
-def qa_aggregates(df: DataFrame, checksum_col: str = "TotalAmount", date_col: str = "TransactionDatetime") -> DataFrame:
-    """The reference's inline QA (A1-A4, data_pipeline.py:397-402,
-    :689-701) as one aggregate row: row count, blank count, checksum,
-    null/non-null conversion counts, date range."""
+def _qa_agg_exprs(df: DataFrame, checksum_col: str, date_col: str) -> list[Column]:
     from .numeric import exact_sum
 
     aggs = [F.count(F.lit(1)).alias("n_rows")]
@@ -134,4 +131,23 @@ def qa_aggregates(df: DataFrame, checksum_col: str = "TotalAmount", date_col: st
             F.min(date_col).alias("date_min"),
             F.max(date_col).alias("date_max"),
         ]
-    return df.agg(*aggs)
+    return aggs
+
+
+def qa_aggregates(df: DataFrame, checksum_col: str = "TotalAmount", date_col: str = "TransactionDatetime") -> DataFrame:
+    """The reference's inline QA (A1-A4, data_pipeline.py:397-402,
+    :689-701) as one aggregate row: row count, blank count, checksum,
+    null/non-null conversion counts, date range."""
+    return df.agg(*_qa_agg_exprs(df, checksum_col, date_col))
+
+
+def qa_aggregates_by(
+    df: DataFrame,
+    group_col: str,
+    checksum_col: str = "TotalAmount",
+    date_col: str = "TransactionDatetime",
+) -> DataFrame:
+    """Per-group QA (one row per source file in the batched ingest) —
+    the same aggregate list keyed by ``group_col``, so N files cost one
+    grouped pass instead of N single-row agg jobs."""
+    return df.groupBy(group_col).agg(*_qa_agg_exprs(df, checksum_col, date_col))

@@ -25,10 +25,16 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.cleaning import clean_transactions, qa_aggregates
-from ..sinks.upsert import append_ledger, new_files, upsert_parquet, write_quarantine
+from ..functions.cleaning import clean_transactions, qa_aggregates_by
+from ..sinks.upsert import (
+    append_ledger_rows,
+    new_files,
+    upsert_parquet,
+    write_quarantine,
+)
 from ..sources.csv_ingest import (
     DEALER_TRANSACTIONS_SCHEMA,
+    SOURCE_COL,
     TRANSACTION_LOG_SCHEMA,
     read_csv_with_quarantine,
 )
@@ -50,9 +56,19 @@ class PipelineConfig:
 
 
 def run_ingest(spark: SparkSession, cfg: PipelineConfig) -> dict[str, object]:
-    """Process every not-yet-ingested CSV under ``landing_dir``.
+    """Process every not-yet-ingested CSV under ``landing_dir`` in ONE
+    Spark read.
 
-    Returns a run report: per-file row counts + QA aggregate row.
+    The reference loops file-at-a-time (per-file read + count + upsert,
+    data_pipeline.py:106-161), which serializes the cluster with many
+    landing files. Here the whole new-file batch is a single scan tagged
+    with ``_metadata.file_name``; per-file row counts, QA rows, and
+    ledger entries come from grouped aggregates over that scan, and the
+    target takes one bucketed upsert for the batch. EP2 step-5 ordering
+    is preserved per file: notify-start → write → ledger →
+    notify-complete.
+
+    Returns a run report: per-file row counts + QA aggregate rows.
     """
     files = sorted(
         f for f in os.listdir(cfg.landing_dir) if f.endswith(".csv")
@@ -67,30 +83,66 @@ def run_ingest(spark: SparkSession, cfg: PipelineConfig) -> dict[str, object]:
         "filename string, filedate string",
     )
     todo = [r.filename for r in new_files(candidates, ledger).collect()]
-
     report: dict[str, object] = {"processed": [], "skipped": len(files) - len(todo)}
-    for fname in todo:
-        path = os.path.join(cfg.landing_dir, fname)
-        good, quarantine = read_csv_with_quarantine(
-            spark, path, DEALER_TRANSACTIONS_SCHEMA
-        )
-        cleaned = clean_transactions(good).withColumn(
-            "id", F.col("id").try_cast("long")
-        )
-        n = cleaned.count()
-        cfg.notify_start(fname, n)
+    if not todo:
+        return report
 
-        n_bad = quarantine.count()
-        if n_bad:
-            write_quarantine(quarantine, cfg.quarantine_path, reason=f"csv:{fname}")
-        total = upsert_parquet(
-            spark, cleaned.drop("_all_money_null"), cfg.target_path, key=cfg.key
+    paths = [os.path.join(cfg.landing_dir, f) for f in sorted(todo)]
+    good, quarantine = read_csv_with_quarantine(
+        spark, paths, DEALER_TRANSACTIONS_SCHEMA, with_source=True
+    )
+    cleaned = clean_transactions(good).withColumn("id", F.col("id").try_cast("long"))
+
+    # Per-file QA (row counts included) and quarantine tallies: two
+    # grouped passes over the batch, not 2×N single-file jobs.
+    qa_rows = {}
+    for r in qa_aggregates_by(cleaned, SOURCE_COL).collect():
+        d = r.asDict()
+        qa_rows[d.pop(SOURCE_COL)] = d
+    bad_by_file = {
+        r[SOURCE_COL]: r["n"]
+        for r in quarantine.groupBy(SOURCE_COL)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    n_by_file = {f: qa["n_rows"] for f, qa in qa_rows.items()}
+
+    for fname in sorted(todo):
+        cfg.notify_start(fname, n_by_file.get(fname, 0))
+    if bad_by_file:
+        write_quarantine(
+            quarantine,
+            cfg.quarantine_path,
+            reason=F.concat(F.lit("csv:"), F.col(SOURCE_COL)),
         )
-        filedate = fname.rsplit(".", 1)[0][-10:].replace("-", "/")
-        append_ledger(spark, cfg.ledger_path, fname, filedate, n, subject=fname)
-        cfg.notify_complete(fname, n)
-        qa = qa_aggregates(cleaned).collect()[0].asDict()
+    total = upsert_parquet(
+        spark,
+        cleaned.drop("_all_money_null", SOURCE_COL),
+        cfg.target_path,
+        key=cfg.key,
+    )
+    append_ledger_rows(
+        spark,
+        cfg.ledger_path,
+        [
+            (
+                fname,
+                fname.rsplit(".", 1)[0][-10:].replace("-", "/"),
+                int(n_by_file.get(fname, 0)),
+                fname,
+            )
+            for fname in sorted(todo)
+        ],
+    )
+    for fname in sorted(todo):
+        cfg.notify_complete(fname, n_by_file.get(fname, 0))
         report["processed"].append(
-            {"file": fname, "rows": n, "quarantined": n_bad, "target_total": total, "qa": qa}
+            {
+                "file": fname,
+                "rows": n_by_file.get(fname, 0),
+                "quarantined": bad_by_file.get(fname, 0),
+                "target_total": total,
+                "qa": qa_rows.get(fname, {}),
+            }
         )
     return report

@@ -56,16 +56,26 @@ TRANSACTION_LOG_SCHEMA = T.StructType(
 )
 
 
+SOURCE_COL = "_src_file"
+
+
 def read_csv_with_quarantine(
     spark: SparkSession,
-    path: str,
+    path: str | list[str],
     schema: T.StructType,
+    with_source: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Read CSV permissively against an explicit schema.
 
     Returns (good, quarantine): good rows with `_corrupt_record` dropped,
     and the raw text of rows that failed the schema. `columnNameOfCorruptRecord`
     must exist in the schema (StringType) for PERMISSIVE capture.
+
+    ``path`` may be a list — ONE Spark scan covers a whole batch of
+    landing files (the reference loops file-at-a-time,
+    data_pipeline.py:106-161). With ``with_source=True`` both outputs
+    carry a ``_src_file`` column (the scan's hidden ``_metadata.file_name``)
+    so per-file ledger/QA stays possible after the batch read.
     """
     df = (
         spark.read.options(
@@ -75,14 +85,17 @@ def read_csv_with_quarantine(
         )
         .schema(schema)
         .csv(path)
-        # Spark disallows querying only the corrupt-record column of a raw
-        # scan (QUERY_ONLY_CORRUPT_RECORD_COLUMN); cache() is the
-        # documented contract for splitting good/quarantine off one read.
-        .cache()
     )
+    if with_source:
+        df = df.withColumn(SOURCE_COL, F.col("_metadata.file_name"))
+    # Spark disallows querying only the corrupt-record column of a raw
+    # scan (QUERY_ONLY_CORRUPT_RECORD_COLUMN); cache() is the
+    # documented contract for splitting good/quarantine off one read.
+    df = df.cache()
+    extra = [SOURCE_COL] if with_source else []
     good = df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
     quarantine = df.filter(F.col(CORRUPT_COL).isNotNull()).select(
-        F.col(CORRUPT_COL).alias("raw_record")
+        F.col(CORRUPT_COL).alias("raw_record"), *extra
     )
     return good, quarantine
 

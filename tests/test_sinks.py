@@ -1,7 +1,12 @@
 """Sink semantics: upsert idempotency + update-wins (FIXTURES.md §B),
-ledger anti-join dedup, quarantine capture, end-to-end reference ETL."""
+incremental bucket rewrites, the JDBC executor, ledger anti-join dedup,
+quarantine capture, end-to-end reference ETL."""
 
+import glob
+import hashlib
+import json
 import os
+import uuid
 
 from pyspark.sql import functions as F
 
@@ -9,6 +14,7 @@ from data_pipeline_demo_spark.plans.reference_etl import PipelineConfig, run_ing
 from data_pipeline_demo_spark.sinks.upsert import (
     append_ledger,
     new_files,
+    upsert_jdbc,
     upsert_parquet,
     upsert_sql,
 )
@@ -38,6 +44,108 @@ def test_upsert_idempotent_and_update_wins(spark, tmp_path):
         r["id"]: r["amount"] for r in spark.read.parquet(target).collect()
     }
     assert rows == {1: 10.0, 2: 99.0, 3: 30.0}
+
+
+def _bucket_of_key(spark, key_val, num_buckets=32):
+    return (
+        spark.range(1)
+        .select(F.pmod(F.xxhash64(F.lit(key_val).cast("long")), F.lit(num_buckets)))
+        .collect()[0][0]
+    )
+
+
+def test_upsert_untouched_buckets_not_rewritten(spark, tmp_path):
+    """A disjoint-key batch must leave other buckets' files byte-identical
+    (incremental merge is O(touched buckets), not O(table))."""
+    target = str(tmp_path / "target")
+    # find two keys landing in different buckets
+    k1 = 1
+    k2 = next(
+        k for k in range(2, 200)
+        if _bucket_of_key(spark, k) != _bucket_of_key(spark, k1)
+    )
+    upsert_parquet(spark, spark.createDataFrame([(k1, 10.0)], "id long, amount double"), target)
+    b1_dir = os.path.join(target, f"__bucket={_bucket_of_key(spark, k1)}")
+
+    def snapshot(d):
+        return {
+            p: hashlib.md5(open(p, "rb").read()).hexdigest()
+            for p in sorted(glob.glob(os.path.join(d, "*.parquet")))
+        }
+
+    before = snapshot(b1_dir)
+    assert before, "bucket dir for k1 should exist"
+    upsert_parquet(spark, spark.createDataFrame([(k2, 20.0)], "id long, amount double"), target)
+    assert snapshot(b1_dir) == before  # same files, same bytes
+    rows = {r["id"]: r["amount"] for r in spark.read.parquet(target).collect()}
+    assert rows == {k1: 10.0, k2: 20.0}
+
+
+class RecordingConnectionFactory:
+    """Picklable DB-API stand-in: each connection journals executemany
+    calls to a unique JSONL file under `dir_path` (executor-side), so the
+    driver-side test can read back exactly what would hit Postgres."""
+
+    def __init__(self, dir_path):
+        self.dir_path = dir_path
+
+    def __call__(self):
+        return _RecordingConnection(self.dir_path)
+
+
+class _RecordingConnection:
+    def __init__(self, dir_path):
+        self.path = os.path.join(dir_path, f"conn_{uuid.uuid4().hex}.jsonl")
+        self.calls = []
+        self.committed = False
+
+    def cursor(self):
+        return _RecordingCursor(self)
+
+    def commit(self):
+        self.committed = True
+        with open(self.path, "w") as f:
+            for sql, params in self.calls:
+                f.write(json.dumps({"sql": sql, "params": params}) + "\n")
+
+    def rollback(self):
+        self.calls.clear()
+
+    def close(self):
+        pass
+
+
+class _RecordingCursor:
+    def __init__(self, conn):
+        self.conn = conn
+
+    def executemany(self, sql, seq):
+        self.conn.calls.append((sql, [list(p) for p in seq]))
+
+
+def test_upsert_jdbc_executes_batched_statements(spark, tmp_path):
+    # the factory unpickles inside executor Python workers, which don't
+    # have pytest's rootdir on sys.path — ship this module to them
+    spark.sparkContext.addPyFile(os.path.abspath(__file__))
+    rec_dir = str(tmp_path / "rec")
+    os.makedirs(rec_dir)
+    df = spark.createDataFrame(
+        [(i, float(i) * 1.5) for i in range(10)], "id long, amount double"
+    ).repartition(2)
+    upsert_jdbc(df, "transactions", RecordingConnectionFactory(rec_dir), batch_size=3)
+
+    files = glob.glob(os.path.join(rec_dir, "*.jsonl"))
+    assert len(files) == 2  # one connection per non-empty partition
+    all_params, sqls, batch_sizes = [], set(), []
+    for p in files:
+        for line in open(p):
+            call = json.loads(line)
+            sqls.add(call["sql"])
+            batch_sizes.append(len(call["params"]))
+            all_params.extend(call["params"])
+    assert sqls == {upsert_sql("transactions", ["id", "amount"])}
+    assert sorted(all_params) == [[i, i * 1.5] for i in range(10)]
+    assert max(batch_sizes) <= 3  # chunking honored
 
 
 def test_upsert_sql_render():
@@ -101,3 +209,42 @@ def test_reference_etl_end_to_end(spark, tmp_path):
     # second run: ledger guard skips the already-ingested file (O1/P4)
     report2 = run_ingest(spark, cfg)
     assert report2["processed"] == [] and report2["skipped"] == 1
+
+
+def test_reference_etl_multifile_batch(spark, tmp_path):
+    """N landing files are ONE Spark read; per-file rows/QA/ledger and
+    notification ordering survive the batching."""
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    (landing / "dealer_2025-05-01.csv").write_text(
+        f"{CSV_HEADER}\n1,30/04/2025 19:36,$10.00,$100.00,,,,,,,,,\n"
+        f"2,30/04/2025 19:37,$20.00,$200.00,,,,,,,,,\n"
+    )
+    (landing / "dealer_2025-05-02.csv").write_text(
+        f"{CSV_HEADER}\n3,01/05/2025 08:00,$30.00,$300.00,,,,,,,,,\n"
+    )
+    events = []
+    cfg = PipelineConfig(
+        landing_dir=str(landing),
+        target_path=str(tmp_path / "target"),
+        ledger_path=str(tmp_path / "ledger"),
+        quarantine_path=str(tmp_path / "quarantine"),
+        notify_start=lambda f, n: events.append(("start", f, n)),
+        notify_complete=lambda f, n: events.append(("done", f, n)),
+    )
+    report = run_ingest(spark, cfg)
+    by_file = {p["file"]: p for p in report["processed"]}
+    assert by_file["dealer_2025-05-01.csv"]["rows"] == 2
+    assert by_file["dealer_2025-05-02.csv"]["rows"] == 1
+    assert by_file["dealer_2025-05-01.csv"]["qa"]["checksum_total"] == 300.0
+    assert by_file["dealer_2025-05-02.csv"]["qa"]["checksum_total"] == 300.0
+    # every start precedes every complete (write happens between)
+    starts = [i for i, e in enumerate(events) if e[0] == "start"]
+    dones = [i for i, e in enumerate(events) if e[0] == "done"]
+    assert max(starts) < min(dones)
+    assert {r["id"] for r in spark.read.parquet(cfg.target_path).collect()} == {1, 2, 3}
+    ledger = {r["filename"]: r["num_rows"] for r in spark.read.parquet(cfg.ledger_path).collect()}
+    assert ledger == {"dealer_2025-05-01.csv": 2, "dealer_2025-05-02.csv": 1}
+    # rerun: everything skipped
+    report2 = run_ingest(spark, cfg)
+    assert report2["processed"] == [] and report2["skipped"] == 2
