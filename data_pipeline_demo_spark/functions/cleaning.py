@@ -13,6 +13,7 @@ All fallible casts use ``try_``-functions (Spark 4 ANSI mode): bad input
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -66,6 +67,61 @@ def parse_datetime_robust(c: Column | str, formats: tuple[str, ...] = DATETIME_F
     guarded = F.when(F.lower(t).isin("", "nan"), F.lit(None)).otherwise(t)
     attempts = [F.try_to_timestamp(guarded, F.lit(fmt)) for fmt in formats]
     return F.coalesce(*attempts).cast("date")
+
+
+# Minimal entity map for the JVM fast path; '&amp;' is decoded LAST so
+# double-escaped input ('&amp;lt;') never re-materializes markup.
+HTML_ENTITIES = (
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+)
+
+
+def strip_html(c: Column | str) -> Column:
+    """S3: HTML body → plain text (`extract_inner_text`,
+    /root/reference/data_pipeline.py:163-168) as pure JVM expressions:
+    strip tags, decode the common entities, trim. Runs in whole-stage
+    codegen — no Python in the scan.
+
+    For bs4-level fidelity (script/style elision, full entity table)
+    use ``html_to_text_udf`` below; this declarative form is the path
+    that survives a 100 TB scan.
+    """
+    col = F.col(c) if isinstance(c, str) else c
+    out = F.regexp_replace(col, r"<[^>]+>", "")
+    for ent, ch in HTML_ENTITIES:
+        out = F.replace(out, F.lit(ent), F.lit(ch))
+    return F.trim(out)
+
+
+def html_to_text_udf() -> Column:
+    """Arrow-batched pandas_udf seam for high-fidelity HTML extraction.
+
+    Uses the stdlib ``html.unescape`` (full entity table). The reference
+    uses BeautifulSoup (`data_pipeline.py:166-168`); this container has
+    no bs4, so the tag strip is the same regex as the JVM path — swap
+    the body for ``BeautifulSoup(s, "html.parser").get_text("\\n")`` in
+    a deployment with bs4 available.
+    """
+    import re as _re
+    from html import unescape as _unescape
+
+    @F.pandas_udf("string")
+    def _extract(s: pd.Series) -> pd.Series:
+        # \xa0 -> ' ' : html.unescape renders &nbsp; as U+00A0; the
+        # engine normalizes to plain space (tokenizers downstream split
+        # on ASCII whitespace), keeping both extraction paths identical.
+        return s.map(
+            lambda v: None
+            if v is None
+            else _unescape(_re.sub(r"<[^>]+>", "", v)).replace("\xa0", " ").strip()
+        )
+
+    return _extract
 
 
 def abs_normalize(c: Column | str) -> Column:

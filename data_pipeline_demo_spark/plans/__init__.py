@@ -13,6 +13,7 @@ def all_queries():
             relational,
             scalars,
             timeseries,
+            udfs,
             windows_sort,
         )
 

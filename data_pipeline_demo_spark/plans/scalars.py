@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.cleaning import strip_html
 from ..functions.numeric import sql_sum
 from ..sources.tables import table
 from .registry import register
@@ -282,6 +283,52 @@ def q32_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("k").cast("long").alias("sum_k"),
             F.max("k").alias("max_k"),
         )
+    )
+
+
+_DUCK_UNESCAPE = (
+    "TRIM(REPLACE(REPLACE(REPLACE(REPLACE(REPLACE(REPLACE("
+    "REGEXP_REPLACE({x}, '<[^>]+>', '', 'g'),"
+    " '&lt;', '<'), '&gt;', '>'), '&quot;', '\"'), '&#39;', ''''),"
+    " '&nbsp;', ' '), '&amp;', '&'))"
+)
+
+
+@register(
+    "q53_html_extract",
+    oracle=f"""
+    WITH rendered AS (
+      SELECT doc_id,
+             '<html><body><h1>' || source || '</h1><p>'
+               || REPLACE(text, 'the', '&amp;the&nbsp;')
+               || '</p><br/></body></html>' AS raw_html
+      FROM documents
+    )
+    SELECT doc_id,
+           {_DUCK_UNESCAPE.format(x='raw_html')} AS body_text,
+           LENGTH({_DUCK_UNESCAPE.format(x='raw_html')}) AS n_chars_text
+    FROM rendered
+    """,
+)
+def q53_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3: HTML body text extraction (`extract_inner_text`,
+    data_pipeline.py:133-137, :163-168). The messy HTML is synthesized
+    identically in Spark and DuckDB (tags + entity-bearing text), then
+    extracted by the engine's declarative strip: tag regex → entity
+    decode → trim, all whole-stage codegen."""
+    d = table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.lit("<html><body><h1>"),
+        F.col("source"),
+        F.lit("</h1><p>"),
+        F.replace(F.col("text"), F.lit("the"), F.lit("&amp;the&nbsp;")),
+        F.lit("</p><br/></body></html>"),
+    )
+    rendered = d.select("doc_id", raw.alias("raw_html"))
+    return rendered.select(
+        "doc_id",
+        strip_html("raw_html").alias("body_text"),
+        F.length(strip_html("raw_html")).cast("long").alias("n_chars_text"),
     )
 
 

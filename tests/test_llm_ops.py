@@ -90,6 +90,49 @@ def test_decode_seam_is_explicit():
         multimodal.decode_image(b"\x89PNG")
 
 
+def test_approx_count_distinct_tolerance(spark, sf_dir):
+    from data_pipeline_demo_spark.plans import all_queries
+
+    qs, _ = all_queries()
+    approx = {
+        r["event_type"]: r["approx_users"]
+        for r in qs["q56_approx_count_distinct"](spark, sf_dir).collect()
+    }
+    ev = table(spark, sf_dir, "events")
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for k in exact:
+        assert abs(approx[k] - exact[k]) <= max(1, 0.05 * exact[k])
+
+
+def test_html_udf_seam_matches_jvm_path(spark):
+    from data_pipeline_demo_spark.functions.cleaning import (
+        html_to_text_udf,
+        strip_html,
+    )
+
+    rows = [
+        (1, "<p>plain &amp; simple</p>"),
+        (2, "<div class='x'>a &lt;tag&gt; literal</div><br/>"),
+        (3, "no markup at all"),
+        (4, "&quot;quoted&quot; &#39;single&#39;&nbsp;end"),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, html string")
+    out = df.select(
+        "id",
+        strip_html("html").alias("jvm"),
+        html_to_text_udf()("html").alias("py"),
+    ).collect()
+    for r in out:
+        assert r["jvm"] == r["py"], (r["id"], r["jvm"], r["py"])
+
+
 def test_frame_sample_plan(spark, sf_dir):
     docs = table(spark, sf_dir, "documents").limit(5)
     media = multimodal.synthesize_media(docs)
