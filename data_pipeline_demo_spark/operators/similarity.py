@@ -63,17 +63,32 @@ def knn_exact(
     corpus streams through one scan regardless of size; per-probe top-k
     via row_number with vec_id tiebreak (deterministic under score ties).
     """
+    # Norms are per-vector, not per-pair: compute each side's L2 ONCE
+    # below the join (the projection sits under the join boundary, so
+    # Catalyst can't inline it back into the per-pair expression). The
+    # pair then costs one dot-product aggregate, not three.
     p = F.broadcast(
-        probes.select(F.col(probe_id_col), F.col(vec_col).alias("__pvec"))
+        probes.select(
+            F.col(probe_id_col),
+            F.col(vec_col).alias("__pvec"),
+            l2_norm_exact(F.col(vec_col)).alias("__pnorm"),
+        )
     )
     scored = (
-        corpus.select(F.col(id_col), F.col(vec_col))
+        corpus.select(
+            F.col(id_col),
+            F.col(vec_col),
+            l2_norm_exact(F.col(vec_col)).alias("__cnorm"),
+        )
         .crossJoin(p)
         .filter(F.col(id_col) != F.col(probe_id_col))
         .select(
             probe_id_col,
             id_col,
-            cosine_exact(F.col("__pvec"), F.col(vec_col)).alias("cosine"),
+            (
+                _dot_exact(F.col("__pvec"), F.col(vec_col))
+                / (F.col("__pnorm") * F.col("__cnorm"))
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy(probe_id_col).orderBy(
@@ -85,26 +100,33 @@ def knn_exact(
     )
 
 
+def _plane_signs(seed: int, plane: int, dim: int) -> list[float]:
+    """±1 hyperplane weights, derived driver-side from md5(seed|plane|i).
+
+    The planes are model constants: burning executor cycles re-deriving
+    them per row (the old per-element hash-in-a-lambda did dim hashes ×
+    planes × rows) is pure waste — they fold into the plan as literals.
+    """
+    import hashlib
+
+    return [
+        1.0 if hashlib.md5(f"{seed}|{plane}|{i}".encode()).digest()[0] & 1 else -1.0
+        for i in range(dim)
+    ]
+
+
 def hyperplane_signature(
     vec: Column, num_planes: int = 16, dim: int = 64, seed: int = 42
 ) -> Column:
     """Random-hyperplane LSH signature (an integer bucket id).
 
-    Plane weights are deterministic pseudo-randoms derived from
-    xxhash64(seed, plane, dim-index), mapped to ±1 — sign-stable across
-    engines and runs, no stored model needed.
+    Plane weights are deterministic literals (no stored model, no per-row
+    derivation); each projection is one zip_with/aggregate fold over the
+    vector.
     """
     bits = []
     for pl in range(num_planes):
-        weights = F.transform(
-            F.sequence(F.lit(0), F.lit(dim - 1)),
-            lambda i: F.when(
-                F.xxhash64(F.concat_ws("|", F.lit(seed), F.lit(pl), i.cast("string")))
-                .bitwiseAND(F.lit(1))
-                == 1,
-                F.lit(1.0),
-            ).otherwise(F.lit(-1.0)),
-        )
+        weights = F.array(*[F.lit(w) for w in _plane_signs(seed, pl, dim)])
         proj = F.aggregate(
             F.zip_with(vec, weights, lambda x, w: x.cast("double") * w),
             F.lit(0.0),
@@ -138,14 +160,20 @@ def ann_lsh_topk(
     `cosine_exact`. At 100 TB the corpus side is written bucketed by
     (table, bucket) so probe lookups prune partitions.
     """
-    def signed(df: DataFrame, idc: str) -> DataFrame:
+    def signed(df: DataFrame, idc: str, norm_alias: str) -> DataFrame:
         sigs = [
             hyperplane_signature(F.col(vec_col), num_planes, seed=1000 + t).alias(f"sig_{t}")
             for t in range(num_tables)
         ]
-        melted = df.select(F.col(idc), F.col(vec_col), *sigs).select(
+        melted = df.select(
             F.col(idc),
             F.col(vec_col),
+            l2_norm_exact(F.col(vec_col)).alias(norm_alias),
+            *sigs,
+        ).select(
+            F.col(idc),
+            F.col(vec_col),
+            F.col(norm_alias),
             F.explode(
                 F.array(*[
                     F.struct(F.lit(t).alias("tbl"), F.col(f"sig_{t}").alias("bucket"))
@@ -154,12 +182,16 @@ def ann_lsh_topk(
             ).alias("tb"),
         )
         return melted.select(
-            F.col(idc), F.col(vec_col), F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket")
+            F.col(idc),
+            F.col(vec_col),
+            F.col(norm_alias),
+            F.col("tb.tbl").alias("tbl"),
+            F.col("tb.bucket").alias("bucket"),
         )
 
-    c = signed(corpus, id_col)
+    c = signed(corpus, id_col, "__cnorm")
     p = F.broadcast(
-        signed(probes.select(F.col(probe_id_col).alias("__pid"), F.col(vec_col)), "__pid")
+        signed(probes.select(F.col(probe_id_col).alias("__pid"), F.col(vec_col)), "__pid", "__pnorm")
         .withColumnRenamed(vec_col, "__pvec")
     )
     cand = (
@@ -170,13 +202,18 @@ def ann_lsh_topk(
             F.col(id_col),
             F.col("__pvec"),
             F.col(vec_col),
+            F.col("__pnorm"),
+            F.col("__cnorm"),
         )
         .dropDuplicates([probe_id_col, id_col])
     )
     scored = cand.select(
         probe_id_col,
         id_col,
-        cosine_exact(F.col("__pvec"), F.col(vec_col)).alias("cosine"),
+        (
+            _dot_exact(F.col("__pvec"), F.col(vec_col))
+            / (F.col("__pnorm") * F.col("__cnorm"))
+        ).alias("cosine"),
     )
     w = Window.partitionBy(probe_id_col).orderBy(F.col("cosine").desc(), F.col(id_col))
     return (
