@@ -137,10 +137,103 @@ def extract_features(media: DataFrame) -> DataFrame:
 
 
 def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:
-    """Video frame-sampling PLAN (stub): emits (media_id, frame_idx) rows
-    for the frames a decoder would extract — the Spark-side shape
-    (explode to frame granularity, then per-frame decode via
-    `extract_features`-style mapInPandas) without the codec."""
+    """Frame-index plan: (media_id, frame_idx) rows for the frames a
+    decoder would extract — the cheap metadata-only projection used to
+    size a sampling job before paying for payload decode
+    (`sample_frames` below does the actual byte extraction)."""
     n_frames = (F.col("meta.n_bytes") / 16).cast("int")
     idx = F.sequence(F.lit(0), F.greatest(n_frames - 1, F.lit(0)), F.lit(every_n))
     return media.select("media_id", F.explode(idx).alias("frame_idx"))
+
+
+# --- video: container of fixed-size frame records -------------------------
+
+VIDEO_HEADER = ">qi"  # media_id, n_frames
+FRAME_SIZE = 32
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_bytes", T.BinaryType()),
+        T.StructField("frame_sha256", T.StringType()),
+    ]
+)
+
+
+def fake_encode_video(media_id: int, n_frames: int) -> bytes:
+    """Deterministic fake video container: 12-byte header + n_frames
+    fixed-size records (each carries its own (media_id, idx) tag). A real
+    deployment swaps this + `_decode_frame` for an actual demuxer via the
+    same seam pattern as `decode_image`."""
+    header = struct.pack(VIDEO_HEADER, media_id, n_frames)
+    frames = b"".join(
+        struct.pack(">qi", media_id, i).ljust(FRAME_SIZE, bytes([i % 251]))
+        for i in range(n_frames)
+    )
+    return header + frames
+
+
+def _decode_frame(payload: bytes, idx: int) -> bytes:
+    start = struct.calcsize(VIDEO_HEADER) + idx * FRAME_SIZE
+    return payload[start : start + FRAME_SIZE]
+
+
+def synthesize_video(documents: DataFrame) -> DataFrame:
+    """Derive a video table from `documents`: deterministic multi-frame
+    payloads with frame counts varying per item."""
+    d = documents.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("kind"),
+        (F.col("n_chars") % 24 + 1).cast("int").alias("n_frames"),
+    )
+
+    @F.pandas_udf(T.BinaryType())
+    def make_video(mid: pd.Series, nf: pd.Series) -> pd.Series:
+        return pd.Series(
+            [fake_encode_video(int(m), int(n)) for m, n in zip(mid, nf)]
+        )
+
+    with_payload = d.withColumn("payload", make_video("media_id", "n_frames"))
+    return with_payload.select(
+        "media_id",
+        "kind",
+        "payload",
+        F.struct(
+            F.lit("video/fake").alias("content_type"),
+            F.length("payload").cast("long").alias("n_bytes"),
+            F.sha2("payload", 256).alias("sha256"),
+        ).alias("meta"),
+        "n_frames",
+    )
+
+
+def sample_frames(media: DataFrame, every_n: int = 2) -> DataFrame:
+    """REAL frame sampling: mapInPandas demuxes every_n-th frame out of
+    each binary payload into its own row (media_id, frame_idx,
+    frame_bytes, frame_sha256).
+
+    Scale shape: map-only over payload partitions — no shuffle; output
+    rows are frame-sized, so downstream per-frame feature extraction
+    (`extract_features`-style) pipelines without ever materializing whole
+    videos in one task. The demux itself is the deterministic fake
+    container format above; a real codec drops in at `_decode_frame`.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "media_id": [], "frame_idx": [], "frame_bytes": [], "frame_sha256": []
+            }
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                raw = bytes(payload)
+                _, n_frames = struct.unpack(VIDEO_HEADER, raw[: struct.calcsize(VIDEO_HEADER)])
+                for i in range(0, n_frames, every_n):
+                    fb = _decode_frame(raw, i)
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(i)
+                    out["frame_bytes"].append(fb)
+                    out["frame_sha256"].append(hashlib.sha256(fb).hexdigest())
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "payload").mapInPandas(run, schema=FRAME_SCHEMA)

@@ -292,6 +292,20 @@ def q52_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.extract_features(media)
 
 
+@register("q57_video_frame_sample")
+def q57_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling end-to-end (rows-only: binary demux output
+    isn't SQL-expressible): synthesize multi-frame binary containers from
+    documents, then mapInPandas extracts every 2nd frame into its own row
+    with integrity hash (operators/multimodal.py:sample_frames). The
+    container format is the deterministic fake; the demux seam is where a
+    real codec drops in."""
+    from ..operators import multimodal
+
+    video = multimodal.synthesize_video(table(spark, sf_dir, "documents"))
+    return multimodal.sample_frames(video, every_n=2)
+
+
 @register(
     "q51_word_count",
     oracle="""

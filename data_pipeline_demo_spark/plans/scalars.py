@@ -286,6 +286,47 @@ def q32_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q58_json_roundtrip",
+    oracle="""
+    WITH enc AS (
+      SELECT to_json(struct_pack(
+               k := o_orderkey,
+               price := o_totalprice,
+               status := o_orderstatus
+             )) AS doc
+      FROM orders WHERE o_orderkey % 11 = 0
+    )
+    SELECT CAST(json_extract_string(doc, '$.k') AS BIGINT) AS k,
+           CAST(json_extract_string(doc, '$.price') AS DOUBLE) AS price,
+           json_extract_string(doc, '$.status') AS status
+    FROM enc
+    """,
+)
+def q58_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6: JSON encoding with type coercion (the reference's
+    NanHandlingEncoder, data_pipeline.py:491-497) → typed re-extraction.
+    Each engine builds ITS OWN JSON (`to_json(struct(...))` vs
+    `struct_pack`) — formatting differs, but both emit round-trip-safe
+    doubles, so the typed values extracted back must agree exactly.
+    """
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 11 == 0)
+    doc = F.to_json(
+        F.struct(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_totalprice").alias("price"),
+            F.col("o_orderstatus").alias("status"),
+        )
+    )
+    enc = o.select(doc.alias("doc"))
+    parsed = F.from_json("doc", "k BIGINT, price DOUBLE, status STRING")
+    return enc.select(
+        parsed.getField("k").alias("k"),
+        parsed.getField("price").alias("price"),
+        parsed.getField("status").alias("status"),
+    )
+
+
 _DUCK_UNESCAPE = (
     "TRIM(REPLACE(REPLACE(REPLACE(REPLACE(REPLACE(REPLACE("
     "REGEXP_REPLACE({x}, '<[^>]+>', '', 'g'),"

@@ -15,6 +15,9 @@ are those whose state expires — every job below declares one.
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -77,6 +80,49 @@ def sessionize(
             "user_id",
             F.col("session_window.start").alias("session_start"),
             "n_events",
+        )
+    )
+
+
+def stateful_user_counts(
+    stream: DataFrame,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: a running
+    per-user event counter held in explicit group state across
+    micro-batches, emitting the updated total whenever the user appears
+    in a batch.
+
+    This is the engine's escape hatch for stateful semantics the
+    built-in operators can't express (custom sessionization, pattern
+    FSMs, per-key model state). State is a typed tuple the runtime
+    checkpoints; Arrow batches per group keep it vectorized. The
+    watermark bounds how long idle state may linger — with a real
+    timeout policy (``GroupStateTimeout.EventTimeTimeout``) expired keys
+    get a final callback to flush; the counter here keeps NoTimeout
+    because its state is one long per active user.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        n = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            n += len(pdf)
+        state.update((n,))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n]})
+
+    return (
+        with_event_time(stream)
+        .withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType="user_id long, n_events long",
+            stateStructType="n long",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
 

@@ -139,3 +139,32 @@ def test_frame_sample_plan(spark, sf_dir):
     frames = multimodal.frame_sample_plan(media, every_n=2).collect()
     assert len(frames) > 0
     assert all(r["frame_idx"] % 2 == 0 for r in frames)
+
+
+def test_video_frame_sampling_roundtrip(spark, sf_dir):
+    import hashlib
+    import math
+
+    docs = table(spark, sf_dir, "documents").limit(40)
+    video = multimodal.synthesize_video(docs)
+    n_frames = {r["media_id"]: r["n_frames"] for r in video.collect()}
+    frames = multimodal.sample_frames(video, every_n=2).collect()
+    by_media = {}
+    for r in frames:
+        by_media.setdefault(r["media_id"], []).append(r)
+    assert set(by_media) == set(n_frames)
+    for mid, rows in by_media.items():
+        # every 2nd frame, starting at 0
+        assert sorted(r["frame_idx"] for r in rows) == list(
+            range(0, n_frames[mid], 2)
+        )
+        assert len(rows) == math.ceil(n_frames[mid] / 2)
+        for r in rows:
+            fb = bytes(r["frame_bytes"])
+            assert len(fb) == multimodal.FRAME_SIZE
+            # frame self-describes (media_id, idx) and hash survived Arrow
+            import struct as _s
+
+            m, i = _s.unpack(">qi", fb[:12])
+            assert (m, i) == (r["media_id"], r["frame_idx"])
+            assert hashlib.sha256(fb).hexdigest() == r["frame_sha256"]

@@ -181,6 +181,22 @@ def test_csv_quarantine(spark, tmp_path):
     assert len(q) == 1 and q[0]["raw_record"].startswith("x,x,")
 
 
+def test_json_scan_explicit_schema(spark, sf_dir, tmp_path):
+    """S5: JSON-lines scan with explicit schema round-trips the same rows
+    the parquet source holds (no inference drift)."""
+    from data_pipeline_demo_spark.sources.csv_ingest import read_json
+    from data_pipeline_demo_spark.sources.tables import table
+
+    docs = table(spark, sf_dir, "documents").limit(100)
+    p = str(tmp_path / "docs_json")
+    docs.write.mode("overwrite").json(p)
+    back = read_json(spark, p, docs.schema)
+    assert back.schema == docs.schema
+    a = sorted(tuple(r) for r in docs.collect())
+    b = sorted(tuple(r) for r in back.collect())
+    assert a == b
+
+
 def test_reference_etl_end_to_end(spark, tmp_path):
     landing = tmp_path / "landing"
     landing.mkdir()

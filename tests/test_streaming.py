@@ -64,6 +64,45 @@ def test_sessionize_stream_equals_batch(spark, event_stream_source):
     assert _rows(out, cols) == _rows(batch, cols)
 
 
+def test_stateful_user_counts_match_batch(spark, event_stream_source, tmp_path):
+    """applyInPandasWithState keeps running per-user counts across
+    micro-batches; with maxFilesPerTrigger=1 the file source forces
+    several batches, so the operator must accumulate via its state —
+    the FINAL emitted count per user equals the batch groupBy count."""
+    path, schema = event_stream_source
+    # several part files + maxFilesPerTrigger=1 => several micro-batches
+    multi = str(tmp_path / "multi")
+    spark.read.schema(schema).parquet(path).repartition(4).write.parquet(multi)
+    path = multi
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(path)
+    counted = jobs.stateful_user_counts(stream)
+    q = (
+        counted.writeStream.format("memory")
+        .queryName("t_stateful")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    out = spark.table("t_stateful")
+    final = {
+        r["user_id"]: r["n"]
+        for r in out.groupBy("user_id").agg(F.max("n_events").alias("n")).collect()
+    }
+    batch = {
+        r["user_id"]: r["n"]
+        for r in spark.read.schema(schema)
+        .parquet(path)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert final == batch
+    # state really accumulated across >1 batch: some user emitted twice
+    n_emits = out.groupBy("user_id").count().agg(F.max("count")).collect()[0][0]
+    assert n_emits >= 2
+
+
 def test_dedup_within_watermark_drops_replays(spark, event_stream_source, tmp_path):
     path, schema = event_stream_source
     # duplicate the source: every event delivered twice
