@@ -42,6 +42,12 @@ STATIC_CONFS: dict[str, str] = {
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
     "spark.ui.enabled": "false",
     "spark.ui.showConsoleProgress": "false",
+    # Catalog tables (bucketed-join layout, sinks/bucketed.py) land under
+    # a scratch warehouse, never the repo working dir. Static conf — must
+    # be set before the session exists.
+    "spark.sql.warehouse.dir": os.environ.get(
+        "SPARK_GRAFT_WAREHOUSE", "/tmp/spark-graft-warehouse"
+    ),
 }
 
 

@@ -1,0 +1,53 @@
+"""salted_join: exact results under heavy key skew + salt spreading."""
+
+from pyspark.sql import functions as F
+
+from data_pipeline_demo_spark.operators.skew import salted_join, with_salt
+
+
+def _skewed_fact(spark, n=20000):
+    # 90% of rows hit key 7; the rest spread over 100 keys
+    return spark.range(n).select(
+        F.when(F.col("id") % 10 < 9, F.lit(7))
+        .otherwise(F.col("id") % 100)
+        .cast("long")
+        .alias("k"),
+        (F.col("id") * 3).alias("v"),
+    )
+
+
+def test_salted_join_matches_plain_join(spark):
+    fact = _skewed_fact(spark)
+    dim = spark.range(100).select(
+        F.col("id").alias("k"), F.concat(F.lit("d"), F.col("id")).alias("label")
+    )
+    plain = fact.join(dim, "k").groupBy("k", "label").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("v").alias("s")
+    )
+    salted = salted_join(fact, dim, on="k", num_salts=8).groupBy("k", "label").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("v").alias("s")
+    )
+    a = sorted(tuple(r) for r in plain.collect())
+    b = sorted(tuple(r) for r in salted.collect())
+    assert a == b
+
+
+def test_salt_spreads_hot_key(spark):
+    fact = _skewed_fact(spark)
+    salted = with_salt(fact, num_salts=8, salt_by=["v"])
+    spread = (
+        salted.filter(F.col("k") == 7)
+        .groupBy("__salt")
+        .count()
+        .collect()
+    )
+    assert len(spread) == 8  # hot key occupies every salt bucket
+    counts = [r["count"] for r in spread]
+    assert max(counts) < sum(counts) * 0.5  # no salt holds a majority
+
+
+def test_salt_deterministic(spark):
+    fact = _skewed_fact(spark, n=500)
+    s1 = {(r["k"], r["v"], r["__salt"]) for r in with_salt(fact, 8, ["v"]).collect()}
+    s2 = {(r["k"], r["v"], r["__salt"]) for r in with_salt(fact, 8, ["v"]).collect()}
+    assert s1 == s2
