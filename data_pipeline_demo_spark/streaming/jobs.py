@@ -127,6 +127,35 @@ def stateful_user_counts(
     )
 
 
+def stream_upsert_writer(
+    stream: DataFrame,
+    target_path: str,
+    key: str = "id",
+    checkpoint: str | None = None,
+):
+    """foreachBatch bridge into the batch upsert sink: every micro-batch
+    lands through the same idempotent bucketed merge the batch pipeline
+    uses (sinks.upsert.upsert_parquet), giving the stream end-to-end
+    effectively-once semantics — foreachBatch may re-deliver a batch
+    after failure, and keyed upsert makes the replay a no-op (the
+    streaming form of the reference's chunked `on_conflict` sink,
+    data_pipeline.py:501-542).
+
+    Returns the configured DataStreamWriter; caller picks the trigger
+    (`.trigger(availableNow=True)` for the reference's cron shape,
+    processingTime for continuous ingest).
+    """
+    from ..sinks.upsert import upsert_parquet
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        upsert_parquet(batch_df.sparkSession, batch_df, target_path, key=key)
+
+    writer = stream.writeStream.foreachBatch(write_batch).outputMode("append")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer
+
+
 def dedup_within_watermark(
     stream: DataFrame,
     keys: list[str] | None = None,

@@ -1,0 +1,67 @@
+"""Physical-plan invariants for the headline queries — the scale
+properties the code claims, asserted against `.explain` output so a
+regression in plan shape fails CI even while results stay correct:
+
+- filters reach the parquet scan (PushedFilters), projections prune
+  the read schema;
+- dimension joins broadcast (no fact shuffle);
+- per-row queries contain no single-partition exchange;
+- no row-at-a-time Python eval (BatchEvalPython) anywhere in the
+  registered query surface.
+"""
+
+import pytest
+
+import __spark_entry__ as e
+
+
+def _plan(spark, sf_dir, name):
+    df = e.queries()[name](spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_and_column_pruning(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q02_filter_project")
+    assert "PushedFilters: [" in plan
+    # pushed filters are non-empty
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert pushed.strip(), plan[:1500]
+    # projection pruning: lineitem has 16 columns; the read schema must
+    # carry only what q02 selects/filters (well under half)
+    read_schema = plan.split("ReadSchema: struct<", 1)[1].split(">", 1)[0]
+    assert len(read_schema.split(",")) <= 8, read_schema
+
+
+def test_dim_join_broadcasts(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q09_join_broadcast_dims")
+    assert plan.count("BroadcastHashJoin") == 2  # nation + region dims
+    # exactly ONE hash-partition exchange, and it belongs to the grouped
+    # aggregation (keyed on group-by columns after map-side partials) —
+    # the joins themselves never shuffle the fact side
+    shuffles = [
+        seg.split(",", 2)[:2]
+        for seg in plan.split("Exchange hashpartitioning(")[1:]
+    ]
+    assert len(shuffles) == 1, plan[:2000]
+    assert "r_name" in shuffles[0][0], shuffles
+
+
+def test_scalar_queries_have_no_global_window(spark, sf_dir):
+    # q27 computes a corpus total: it must arrive via a 1-row aggregate +
+    # broadcast, never a single-partition exchange of the full table
+    plan = _plan(spark, sf_dir, "q27_currency_cast")
+    assert "Window" not in plan
+    before_agg = plan.split("HashAggregate", 1)[0]
+    assert "Exchange SinglePartition" not in before_agg
+
+
+@pytest.mark.parametrize(
+    "name",
+    sorted(e.queries()),
+)
+def test_no_row_at_a_time_python(spark, sf_dir, name):
+    """No registered query may fall back to row-at-a-time Python eval —
+    Python appears only as ArrowEvalPython / FlatMapGroupsInPandas /
+    MapInPandas (vectorized)."""
+    plan = _plan(spark, sf_dir, name)
+    assert "BatchEvalPython" not in plan, name

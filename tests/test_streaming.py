@@ -103,6 +103,38 @@ def test_stateful_user_counts_match_batch(spark, event_stream_source, tmp_path):
     assert n_emits >= 2
 
 
+def test_stream_upsert_effectively_once(spark, event_stream_source, tmp_path):
+    """foreachBatch -> bucketed upsert: multi-batch stream lands every
+    event exactly once in the target; replaying the whole stream (fresh
+    checkpoint, same data) changes nothing — keyed idempotency."""
+    path, schema = event_stream_source
+    target = str(tmp_path / "target")
+
+    def run(checkpoint):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(path)
+        )
+        q = (
+            jobs.stream_upsert_writer(
+                stream, target, key="event_id", checkpoint=checkpoint
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run(str(tmp_path / "ckpt1"))
+    base = spark.read.schema(schema).parquet(path)
+    n_expected = base.select("event_id").distinct().count()
+    assert spark.read.parquet(target).count() == n_expected
+
+    # full redelivery: new checkpoint, same source -> target unchanged
+    run(str(tmp_path / "ckpt2"))
+    assert spark.read.parquet(target).count() == n_expected
+
+
 def test_dedup_within_watermark_drops_replays(spark, event_stream_source, tmp_path):
     path, schema = event_stream_source
     # duplicate the source: every event delivered twice
