@@ -107,3 +107,30 @@ def read_json(spark: SparkSession, path: str, schema: T.StructType | None = None
     if schema is not None:
         reader = reader.schema(schema)
     return reader.json(path)
+
+
+def read_json_with_quarantine(
+    spark: SparkSession,
+    path: str | list[str],
+    schema: T.StructType,
+) -> tuple[DataFrame, DataFrame]:
+    """JSON-lines scan with the same dead-letter contract as the CSV
+    reader: malformed lines land intact in the quarantine frame instead
+    of aborting the load or silently nulling (S5 + K4)."""
+    if not any(f.name == CORRUPT_COL for f in schema.fields):
+        schema = T.StructType(
+            list(schema.fields) + [T.StructField(CORRUPT_COL, T.StringType())]
+        )
+    df = (
+        spark.read.options(
+            mode="PERMISSIVE", columnNameOfCorruptRecord=CORRUPT_COL
+        )
+        .schema(schema)
+        .json(path)
+        .cache()
+    )
+    good = df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+    quarantine = df.filter(F.col(CORRUPT_COL).isNotNull()).select(
+        F.col(CORRUPT_COL).alias("raw_record")
+    )
+    return good, quarantine

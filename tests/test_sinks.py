@@ -197,6 +197,28 @@ def test_json_scan_explicit_schema(spark, sf_dir, tmp_path):
     assert a == b
 
 
+def test_json_quarantine(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from data_pipeline_demo_spark.sources.csv_ingest import (
+        read_json_with_quarantine,
+    )
+
+    p = tmp_path / "in.jsonl"
+    p.write_text(
+        '{"id": 1, "v": "a"}\n'
+        "{broken json!!\n"
+        '{"id": 2, "v": "b"}\n'
+    )
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("v", T.StringType())]
+    )
+    good, quarantine = read_json_with_quarantine(spark, str(p), schema)
+    assert {r["id"] for r in good.collect()} == {1, 2}
+    q = quarantine.collect()
+    assert len(q) == 1 and q[0]["raw_record"].startswith("{broken")
+
+
 def test_reference_etl_end_to_end(spark, tmp_path):
     landing = tmp_path / "landing"
     landing.mkdir()
