@@ -66,10 +66,27 @@ def hashed_shingle_index(
     surface as one null row and are dropped after the Generate.
     """
     sets = shingle_hash_sets(df, text_col, id_col, k)
+    return _index_from_sets(sets, id_col)
+
+
+def _index_from_sets(sets: DataFrame, id_col: str) -> DataFrame:
     return (
         sets.select(F.col(id_col), F.explode_outer("sh").alias("h"))
         .filter(F.col("h").isNotNull())
     )
+
+
+def _persisted_sets(
+    df: DataFrame, text_col: str, id_col: str, k: int
+) -> DataFrame:
+    """Shingle sets, cached: the Jaccard/MinHash pipelines consume this
+    relation 2-3 times (doc-frequency pass, prefix/signature pass, exact
+    verify), and re-deriving the hash arrays from text costs ~1s per
+    pass at sf0.1. Executor cache (MEMORY_AND_DISK) amortizes it; at
+    cluster scale the equivalent move is materializing the shingle-set
+    relation as an intermediate table once per corpus snapshot rather
+    than leaning on cache memory."""
+    return shingle_hash_sets(df, text_col, id_col, k).persist()
 
 
 def _verify_pairs_exact(
@@ -124,7 +141,8 @@ def jaccard_similarity_join(
     output to the naive all-pairs join; the plan is the one that survives
     a 100× corpus.
     """
-    idx = hashed_shingle_index(df, text_col, id_col, k)
+    sets = _persisted_sets(df, text_col, id_col, k)
+    idx = _index_from_sets(sets, id_col)
     dfreq = idx.groupBy("h").agg(F.count(F.lit(1)).alias("df_h"))
     by_doc = Window.partitionBy(id_col)
     ranked = (
@@ -143,7 +161,6 @@ def jaccard_similarity_join(
         )
         .distinct()
     )
-    sets = shingle_hash_sets(df, text_col, id_col, k)
     return _verify_pairs_exact(cands, sets, id_col, threshold)
 
 
@@ -222,9 +239,14 @@ def minhash_dedup_pairs(
     `jaccard_similarity_join` (its exact oracle) — at the planted-dup
     threshold the LSH recall is ≈1, so results coincide deterministically.
     """
-    sigs = minhash_signatures(df, text_col, id_col, k, num_hashes)
+    sets = _persisted_sets(df, text_col, id_col, k)
+    idx = _index_from_sets(sets, id_col)
+    mins = [
+        F.min(F.xxhash64(F.col("h"), F.lit(i))).alias(f"mh_{i}")
+        for i in range(num_hashes)
+    ]
+    sigs = idx.groupBy(id_col).agg(*mins)
     cands = lsh_candidate_pairs(sigs, id_col, num_hashes, bands)
-    sets = shingle_hash_sets(df, text_col, id_col, k)
     return _verify_pairs_exact(cands, sets, id_col, threshold)
 
 
