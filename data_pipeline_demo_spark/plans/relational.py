@@ -447,3 +447,125 @@ def q17_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("l_quantity") < 25, "SMALL").otherwise("LARGE").alias("l_shipmode"),
         ).distinct()
     )
+
+
+@register(
+    "q59_join_right_cross",
+    oracle="""
+    WITH biggest AS (
+      SELECT o_custkey, COUNT(*) AS n_orders
+      FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 12
+    ),
+    named AS (
+      -- right outer: every qualifying customer appears even with no match
+      SELECT c.c_custkey, c.c_mktsegment, b.n_orders
+      FROM biggest b RIGHT JOIN customer c ON b.o_custkey = c.c_custkey
+      WHERE c.c_custkey % 20 = 0
+    )
+    SELECT n.c_custkey, n.c_mktsegment, n.n_orders, r.r_name
+    FROM named n CROSS JOIN region r
+    """,
+)
+def q59_join_right_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right outer join (§2.2's remaining equi-join flavor) composed with
+    an explicit small cross join: the cross side is a 5-row dim, so the
+    product is a broadcast nested loop — the only setting where a
+    cartesian is plan-legal at scale."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    r = table(spark, sf_dir, "region").select("r_name")
+    biggest = (
+        o.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= 12)
+    )
+    named = (
+        biggest.join(c, biggest.o_custkey == c.c_custkey, how="right")
+        .filter(F.col("c_custkey") % 20 == 0)
+        .select("c_custkey", "c_mktsegment", "n_orders")
+    )
+    return named.crossJoin(F.broadcast(r))
+
+
+@register(
+    "q60_array_fns",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      WHERE doc_id % 5 = 0
+    )
+    SELECT doc_id,
+           len(w) AS n_tokens,
+           list_sort(list_distinct(w))[1] AS first_token_sorted,
+           list_aggregate(list_transform(w, t -> length(t)), 'sum') AS total_chars,
+           CAST(list_contains(w, 'the') AS BOOLEAN) AS has_the,
+           array_to_string(w[1:3], '-') AS first3_joined,
+           list_sort(list_transform(w, t -> length(t)), 'DESC')[1] AS longest_len
+    FROM toks
+    """,
+)
+def q60_array_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.2 array-function coverage as one codegen'd pass: transform /
+    aggregate / array_sort / array_distinct / array_contains / slice /
+    array_join — the building blocks the dedup and similarity operators
+    compose, exercised directly against DuckDB's list functions."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    toks = d.select("doc_id", F.split("text", r"\s+").alias("w"))
+    lens = F.transform("w", lambda t: F.length(t))
+    return toks.select(
+        "doc_id",
+        F.size("w").cast("long").alias("n_tokens"),
+        F.element_at(F.array_sort(F.array_distinct("w")), 1).alias(
+            "first_token_sorted"
+        ),
+        F.aggregate(lens, F.lit(0).cast("long"), lambda a, x: a + x).alias(
+            "total_chars"
+        ),
+        F.array_contains("w", "the").alias("has_the"),
+        F.array_join(F.slice("w", 1, 3), "-").alias("first3_joined"),
+        F.element_at(F.sort_array(lens, asc=False), 1).cast("long").alias(
+            "longest_len"
+        ),
+    )
+
+
+@register(
+    "q61_map_fns",
+    oracle="""
+    -- the oracle replays the MAP semantics with plain expressions: the
+    -- values Spark routes through create_map/element_at/map_keys must
+    -- surface identically
+    SELECT event_type,
+           COUNT(*) AS n,
+           SUM(CASE WHEN CAST(json_extract_string(props, '$.k') AS INT) > 50
+                    THEN 1 ELSE 0 END) AS n_high,
+           'event_type,k' AS map_keys_csv
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q61_map_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.2 map-function coverage: rows carry a MapType column built with
+    create_map, values re-extracted with element_at and map_keys — the
+    oracle replays the same values without a map type (DuckDB MAP
+    comparison semantics differ; the check is on extracted scalars)."""
+    ev = table(spark, sf_dir, "events")
+    k = F.from_json("props", "k INT").getField("k")
+    m = F.create_map(
+        F.lit("event_type"), F.col("event_type"),
+        F.lit("k"), k.cast("string"),
+    )
+    mapped = ev.select(m.alias("m"))
+    return (
+        mapped.select(
+            F.element_at("m", "event_type").alias("event_type"),
+            F.element_at("m", "k").cast("int").alias("k"),
+            F.array_join(F.map_keys("m"), ",").alias("map_keys_csv"),
+        )
+        .groupBy("event_type", "map_keys_csv")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("k") > 50, 1).otherwise(0)).cast("long").alias("n_high"),
+        )
+        .select("event_type", "n", "n_high", "map_keys_csv")
+    )
