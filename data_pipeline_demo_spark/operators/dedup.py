@@ -29,7 +29,7 @@ from operator import add
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .textprep import shingle_hash_sets, shingles
+from .textprep import shingle_hash_sets
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -42,13 +42,6 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
         .groupBy("__h")
         .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_copies"))
         .drop("__h")
-    )
-
-
-def shingle_index(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3) -> DataFrame:
-    """Inverted index: one row per (doc, distinct shingle)."""
-    return df.select(
-        F.col(id_col), F.explode(shingles(F.col(text_col), k)).alias("shingle")
     )
 
 

@@ -37,6 +37,9 @@ STATIC_CONFS: dict[str, str] = {
     "spark.sql.autoBroadcastJoinThreshold": str(10 * 1024 * 1024),
     "spark.sql.parquet.filterPushdown": "true",
     "spark.sql.parquet.aggregatePushdown": "true",
+    # zstd over snappy default: ~30% smaller files at comparable CPU —
+    # at 100 TB the scan is IO-bound, so smaller bytes win end-to-end.
+    "spark.sql.parquet.compression.codec": "zstd",
     "spark.sql.parquet.columnarReaderBatchSize": "4096",
     "spark.sql.shuffle.partitions": "32",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
