@@ -67,12 +67,14 @@ def knn_exact(
     # below the join (the projection sits under the join boundary, so
     # Catalyst can't inline it back into the per-pair expression). The
     # pair then costs one dot-product aggregate, not three.
+    # zero-norm vectors have no defined cosine: filtering them beats the
+    # ANSI DIVIDE_BY_ZERO the division would raise on degenerate input
     p = F.broadcast(
         probes.select(
             F.col(probe_id_col),
             F.col(vec_col).alias("__pvec"),
             l2_norm_exact(F.col(vec_col)).alias("__pnorm"),
-        )
+        ).filter(F.col("__pnorm") > 0)
     )
     scored = (
         corpus.select(
@@ -80,6 +82,7 @@ def knn_exact(
             F.col(vec_col),
             l2_norm_exact(F.col(vec_col)).alias("__cnorm"),
         )
+        .filter(F.col("__cnorm") > 0)
         .crossJoin(p)
         .filter(F.col(id_col) != F.col(probe_id_col))
         .select(
@@ -139,6 +142,120 @@ def hyperplane_signature(
     return out.cast("long")
 
 
+def build_ann_index(
+    corpus: DataFrame,
+    index_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = 4,
+    num_tables: int = 8,
+) -> None:
+    """Materialize the LSH-signed corpus as a parquet layout partitioned
+    by (tbl, bucket) — the at-rest form of the ANN index.
+
+    This is the 100 TB shape of `ann_lsh_topk`'s corpus side: sign once
+    per corpus snapshot, write `partitionBy(tbl, bucket)`, and every
+    probe batch afterwards reads ONLY its buckets via partition pruning
+    (`PartitionFilters` in the scan — asserted in tests) instead of
+    re-signing and shuffling the whole corpus per query.
+    """
+    signed = corpus.select(
+        F.col(id_col),
+        F.col(vec_col),
+        l2_norm_exact(F.col(vec_col)).alias("norm"),
+        *[
+            hyperplane_signature(F.col(vec_col), num_planes, seed=1000 + t).alias(f"sig_{t}")
+            for t in range(num_tables)
+        ],
+    )
+    melted = signed.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.col("norm"),
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(t).alias("tbl"), F.col(f"sig_{t}").alias("bucket"))
+                for t in range(num_tables)
+            ])
+        ).alias("tb"),
+    ).select(
+        F.col(id_col), F.col(vec_col), F.col("norm"),
+        F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"),
+    )
+    melted.filter(F.col("norm") > 0).write.mode("overwrite").partitionBy(
+        "tbl", "bucket"
+    ).parquet(index_path)
+
+
+def ann_query_indexed(
+    spark,
+    index_path: str,
+    probes: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_id_col: str = "probe_id",
+    num_planes: int = 4,
+    num_tables: int = 8,
+) -> DataFrame:
+    """Top-k over a persisted ANN index: sign the probes, prune the
+    index scan to exactly the (tbl, bucket) partitions the probes hash
+    into, then exact-cosine re-rank — the corpus is never re-signed and
+    untouched buckets are never read."""
+    p_signed = probes.select(
+        F.col(probe_id_col).alias("__pid"),
+        F.col(vec_col).alias("__pvec"),
+        l2_norm_exact(F.col(vec_col)).alias("__pnorm"),
+        *[
+            hyperplane_signature(F.col(vec_col), num_planes, seed=1000 + t).alias(f"sig_{t}")
+            for t in range(num_tables)
+        ],
+    )
+    p = F.broadcast(
+        p_signed.filter(F.col("__pnorm") > 0).select(
+            "__pid", "__pvec", "__pnorm",
+            F.explode(
+                F.array(*[
+                    F.struct(F.lit(t).alias("tbl"), F.col(f"sig_{t}").alias("bucket"))
+                    for t in range(num_tables)
+                ])
+            ).alias("tb"),
+        ).select(
+            "__pid", "__pvec", "__pnorm",
+            F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"),
+        )
+    )
+    wanted = [
+        (r["tbl"], r["bucket"])
+        for r in p.select("tbl", "bucket").distinct().collect()
+    ]
+    index = spark.read.parquet(index_path)
+    # partition-pruning predicate on the partition columns: the scan's
+    # PartitionFilters keeps unselected bucket directories unread
+    pred = F.struct(F.col("tbl"), F.col("bucket")).isin(
+        [F.struct(F.lit(t), F.lit(b)) for t, b in wanted]
+    )
+    cand = (
+        index.filter(pred)
+        .join(p, ["tbl", "bucket"])
+        .filter(F.col(id_col) != F.col("__pid"))
+        .dropDuplicates(["__pid", id_col])
+    )
+    scored = cand.select(
+        F.col("__pid").alias(probe_id_col),
+        F.col(id_col),
+        (
+            _dot_exact(F.col("__pvec"), F.col(vec_col))
+            / (F.col("__pnorm") * F.col("norm"))
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy(probe_id_col).orderBy(F.col("cosine").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def ann_lsh_topk(
     corpus: DataFrame,
     probes: DataFrame,
@@ -181,7 +298,7 @@ def ann_lsh_topk(
                 ])
             ).alias("tb"),
         )
-        return melted.select(
+        return melted.filter(F.col(norm_alias) > 0).select(
             F.col(idc),
             F.col(vec_col),
             F.col(norm_alias),

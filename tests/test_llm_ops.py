@@ -56,6 +56,29 @@ def test_ann_recall_vs_exact(spark, sf_dir):
     assert recall >= 0.5, f"ANN recall {recall} collapsed"
 
 
+def test_ann_persisted_index_prunes_and_matches(spark, sf_dir, tmp_path):
+    """The at-rest ANN index: probes read ONLY their (tbl, bucket)
+    partitions (PartitionFilters in the scan) and return the same top-k
+    as the in-memory ANN path."""
+    emb = table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    idx_path = str(tmp_path / "ann_index")
+    similarity.build_ann_index(emb, idx_path)
+    out = similarity.ann_query_indexed(spark, idx_path, probes, k=5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    pf = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert pf.strip(), plan[:1500]  # pruning predicate reached the scan
+
+    mem = {
+        (r["probe_id"], r["vec_id"])
+        for r in similarity.ann_lsh_topk(emb, probes, k=5).collect()
+    }
+    idx = {(r["probe_id"], r["vec_id"]) for r in out.collect()}
+    assert idx == mem  # same candidates, same exact re-rank
+
+
 def test_knn_self_excluded_and_k(spark, sf_dir):
     emb = table(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") % 100 == 0).select(
