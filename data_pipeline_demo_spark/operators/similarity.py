@@ -337,3 +337,140 @@ def ann_lsh_topk(
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
     )
+
+
+# --- IVF (inverted-file) tier --------------------------------------------
+
+
+def _centroids(
+    corpus: DataFrame,
+    n_centroids: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Deterministic coarse quantizer: the n_centroids corpus vectors with
+    the smallest xxhash64(id) — a uniform pseudo-random sample that needs
+    no training job and is reproducible across engines and runs. (A
+    k-means refinement can replace this seam without touching the
+    assign/query shape.)"""
+    return (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .withColumn("__r", F.xxhash64(F.col(id_col)))
+        .orderBy("__r")
+        .limit(n_centroids)
+        .drop("__r")
+        .select(
+            F.row_number()
+            .over(Window.orderBy(F.col(id_col)))
+            .alias("centroid_id"),
+            F.col(vec_col).alias("__cvec"),
+        )
+    )
+
+
+def _best_centroids(
+    vectors: DataFrame,
+    cents: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_best: int,
+) -> DataFrame:
+    """(id → n_best nearest centroid_ids) by exact cosine: one scan of
+    `vectors` against the broadcast centroid table."""
+    scored = (
+        vectors.crossJoin(F.broadcast(cents))
+        .select(
+            F.col(id_col),
+            F.col("centroid_id"),
+            (
+                _dot_exact(F.col(vec_col), F.col("__cvec"))
+                / (
+                    l2_norm_exact(F.col(vec_col))
+                    * l2_norm_exact(F.col("__cvec"))
+                )
+            ).alias("__sim"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("__sim").desc(), F.col("centroid_id"))
+    return (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= n_best)
+        .select(id_col, "centroid_id")
+    )
+
+
+def ivf_build_index(
+    corpus: DataFrame,
+    index_path: str,
+    n_centroids: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """IVF index build: each corpus vector is assigned to its nearest
+    centroid (one broadcast pass) and the corpus lands partitioned by
+    ``centroid_id``. Complementary to the LSH index: IVF partitions
+    follow the data's own geometry, so probe cost scales with nprobe/
+    n_centroids of the corpus rather than bucket occupancy."""
+    nz = corpus.filter(l2_norm_exact(F.col(vec_col)) > 0)
+    cents = _centroids(nz, n_centroids, id_col, vec_col)
+    assign = _best_centroids(nz, cents, id_col, vec_col, n_best=1)
+    (
+        nz.join(assign, id_col)
+        .select(F.col(id_col), F.col(vec_col), F.col("centroid_id"))
+        .write.mode("overwrite")
+        .partitionBy("centroid_id")
+        .parquet(index_path)
+    )
+    cents.write.mode("overwrite").parquet(index_path + "_centroids")
+
+
+def ivf_query(
+    spark,
+    index_path: str,
+    probes: DataFrame,
+    k: int = 5,
+    nprobe: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_id_col: str = "probe_id",
+) -> DataFrame:
+    """IVF probe: rank centroids per probe, read ONLY the nprobe best
+    partitions (partition pruning on centroid_id), exact-cosine re-rank.
+    Recall rises with nprobe; nprobe == n_centroids degenerates to the
+    exact scan."""
+    cents = spark.read.parquet(index_path + "_centroids")
+    p = probes.select(
+        F.col(probe_id_col).alias("__pid"),
+        F.col(vec_col).alias("__pvec"),
+        l2_norm_exact(F.col(vec_col)).alias("__pnorm"),
+    ).filter(F.col("__pnorm") > 0)
+    route = _best_centroids(
+        p.select(F.col("__pid"), F.col("__pvec").alias(vec_col)),
+        cents,
+        "__pid",
+        vec_col,
+        n_best=nprobe,
+    )
+    wanted = sorted({r["centroid_id"] for r in route.collect()})
+    index = spark.read.parquet(index_path).filter(
+        F.col("centroid_id").isin(wanted)
+    )
+    cand = (
+        index.join(F.broadcast(route), "centroid_id")
+        .join(F.broadcast(p), "__pid")
+        .filter(F.col(id_col) != F.col("__pid"))
+        .dropDuplicates(["__pid", id_col])
+    )
+    scored = cand.select(
+        F.col("__pid").alias(probe_id_col),
+        F.col(id_col),
+        (
+            _dot_exact(F.col("__pvec"), F.col(vec_col))
+            / (F.col("__pnorm") * l2_norm_exact(F.col(vec_col)))
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy(probe_id_col).orderBy(F.col("cosine").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )

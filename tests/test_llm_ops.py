@@ -79,6 +79,34 @@ def test_ann_persisted_index_prunes_and_matches(spark, sf_dir, tmp_path):
     assert idx == mem  # same candidates, same exact re-rank
 
 
+def test_ivf_index_recall_and_pruning(spark, sf_dir, tmp_path):
+    """IVF tier: corpus partitioned by nearest centroid; probes read only
+    nprobe partitions; recall vs exact knn stays useful and reaches 1.0
+    when nprobe covers every centroid."""
+    emb = table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    idx = str(tmp_path / "ivf")
+    similarity.ivf_build_index(emb, idx, n_centroids=16)
+    exact = {
+        (r["probe_id"], r["vec_id"])
+        for r in similarity.knn_exact(emb, probes, k=5).collect()
+    }
+    got = {
+        (r["probe_id"], r["vec_id"])
+        for r in similarity.ivf_query(spark, idx, probes, k=5, nprobe=6).collect()
+    }
+    recall = len(exact & got) / len(exact)
+    assert recall >= 0.4, recall  # weak-similarity corpus, 6/16 partitions read
+    # full probe == exact (ANN degenerates to exhaustive correctly)
+    full = {
+        (r["probe_id"], r["vec_id"])
+        for r in similarity.ivf_query(spark, idx, probes, k=5, nprobe=16).collect()
+    }
+    assert full == exact
+
+
 def test_knn_self_excluded_and_k(spark, sf_dir):
     emb = table(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") % 100 == 0).select(
