@@ -10,10 +10,10 @@ Two tiers over `embeddings.embedding: array<float>[64]`:
   path: the corpus is scanned once to sign, and each probe only touches
   its buckets (partition pruning on the bucket key).
 
-Float determinism: dot products and norms route through
-``functions.vectors`` decimal sums, so Spark's result is bit-identical to
-the single-threaded DuckDB oracle (same per-element IEEE products, exact
-decimal accumulation, one final double division).
+Float determinism: dot products and norms route through ``_dot_exact``'s
+floor-scaled integer accumulation below, so Spark's result is
+bit-identical to the single-threaded DuckDB oracle (same per-element
+IEEE products, exact integer accumulation, one final double division).
 """
 
 from __future__ import annotations
