@@ -380,29 +380,47 @@ def q13_groupby_having(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q14_rollup",
+    "q14_rollup_cube",
     oracle="""
-    SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+    SELECT 'rollup' AS grp_src, l_returnflag AS k1, l_linestatus AS k2,
+           COUNT(*) AS n
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
-    """,
-)
-def q14_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = table(spark, sf_dir, "lineitem")
-    return li.rollup("l_returnflag", "l_linestatus").agg(F.count(F.lit(1)).alias("n"))
-
-
-@register(
-    "q15_cube",
-    oracle="""
-    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+    UNION ALL
+    SELECT 'cube' AS grp_src, o_orderstatus AS k1, o_orderpriority AS k2,
+           COUNT(*) AS n
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
 )
-def q15_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q14_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP and CUBE in one registered query (consolidated so the full
+    oracle-bearing registry fits the driver's 50-entry correctness gate):
+    rollup over lineitem flags, cube over orders status×priority, tagged
+    and unioned under a common (grp_src, k1, k2, n) schema."""
+    li = table(spark, sf_dir, "lineitem")
     o = table(spark, sf_dir, "orders")
-    return o.cube("o_orderstatus", "o_orderpriority").agg(F.count(F.lit(1)).alias("n"))
+    rolled = (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.lit("rollup").alias("grp_src"),
+            F.col("l_returnflag").alias("k1"),
+            F.col("l_linestatus").alias("k2"),
+            "n",
+        )
+    )
+    cubed = (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.lit("cube").alias("grp_src"),
+            F.col("o_orderstatus").alias("k1"),
+            F.col("o_orderpriority").alias("k2"),
+            "n",
+        )
+    )
+    return rolled.unionByName(cubed)
 
 
 @register(
@@ -488,8 +506,13 @@ def q59_join_right_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q60_array_fns",
+    "q60_array_map_fns",
     oracle="""
+    -- the oracle replays the MAP columns with plain expressions: the
+    -- values Spark routes through create_map/try_element_at/map_keys
+    -- must surface identically. Sums that would be HUGEINT in DuckDB
+    -- are cast to BIGINT (house convention — the driver's hasher
+    -- serializes HUGEINT differently).
     WITH toks AS (
       SELECT doc_id, string_split(text, ' ') AS w FROM documents
       WHERE doc_id % 5 = 0
@@ -497,22 +520,39 @@ def q59_join_right_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            len(w) AS n_tokens,
            list_sort(list_distinct(w))[1] AS first_token_sorted,
-           list_aggregate(list_transform(w, t -> length(t)), 'sum') AS total_chars,
+           CAST(list_aggregate(list_transform(w, t -> length(t)), 'sum')
+                AS BIGINT) AS total_chars,
            CAST(list_contains(w, 'the') AS BOOLEAN) AS has_the,
            array_to_string(w[1:3], '-') AS first3_joined,
-           list_sort(list_transform(w, t -> length(t)), 'DESC')[1] AS longest_len
+           CAST(list_sort(list_transform(w, t -> length(t)), 'DESC')[1]
+                AS BIGINT) AS longest_len,
+           CAST(len(w) AS BIGINT) AS map_n,
+           list_sort(list_distinct(w))[1] AS map_first,
+           'n,first' AS map_keys_csv
     FROM toks
     """,
 )
-def q60_array_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.2 array-function coverage as one codegen'd pass: transform /
-    aggregate / array_sort / array_distinct / array_contains / slice /
-    array_join — the building blocks the dedup and similarity operators
-    compose, exercised directly against DuckDB's list functions."""
+def q60_array_map_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.2 array + map function coverage in one codegen'd pass
+    (consolidated from the former q60/q61 for the 50-entry gate):
+    transform / aggregate / array_sort / array_distinct / array_contains
+    / slice / array_join over token arrays, plus a MapType column built
+    with create_map and re-extracted with try_element_at / map_keys —
+    the oracle replays the map values as plain expressions (DuckDB MAP
+    comparison semantics differ; the check is on extracted scalars)."""
     d = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
     toks = d.select("doc_id", F.split("text", r"\s+").alias("w"))
     lens = F.transform("w", lambda t: F.length(t))
-    return toks.select(
+    first_sorted = F.element_at(F.array_sort(F.array_distinct("w")), 1)
+    staged = toks.select(
+        "doc_id",
+        "w",
+        F.create_map(
+            F.lit("n"), F.size("w").cast("string"),
+            F.lit("first"), first_sorted,
+        ).alias("m"),
+    )
+    return staged.select(
         "doc_id",
         F.size("w").cast("long").alias("n_tokens"),
         F.element_at(F.array_sort(F.array_distinct("w")), 1).alias(
@@ -526,46 +566,7 @@ def q60_array_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(F.sort_array(lens, asc=False), 1).cast("long").alias(
             "longest_len"
         ),
-    )
-
-
-@register(
-    "q61_map_fns",
-    oracle="""
-    -- the oracle replays the MAP semantics with plain expressions: the
-    -- values Spark routes through create_map/element_at/map_keys must
-    -- surface identically
-    SELECT event_type,
-           COUNT(*) AS n,
-           SUM(CASE WHEN CAST(json_extract_string(props, '$.k') AS INT) > 50
-                    THEN 1 ELSE 0 END) AS n_high,
-           'event_type,k' AS map_keys_csv
-    FROM events
-    GROUP BY event_type
-    """,
-)
-def q61_map_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.2 map-function coverage: rows carry a MapType column built with
-    create_map, values re-extracted with element_at and map_keys — the
-    oracle replays the same values without a map type (DuckDB MAP
-    comparison semantics differ; the check is on extracted scalars)."""
-    ev = table(spark, sf_dir, "events")
-    k = F.from_json("props", "k INT").getField("k")
-    m = F.create_map(
-        F.lit("event_type"), F.col("event_type"),
-        F.lit("k"), k.cast("string"),
-    )
-    mapped = ev.select(m.alias("m"))
-    return (
-        mapped.select(
-            F.element_at("m", "event_type").alias("event_type"),
-            F.element_at("m", "k").cast("int").alias("k"),
-            F.array_join(F.map_keys("m"), ",").alias("map_keys_csv"),
-        )
-        .groupBy("event_type", "map_keys_csv")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.when(F.col("k") > 50, 1).otherwise(0)).cast("long").alias("n_high"),
-        )
-        .select("event_type", "n", "n_high", "map_keys_csv")
+        F.try_element_at("m", F.lit("n")).cast("long").alias("map_n"),
+        F.try_element_at("m", F.lit("first")).alias("map_first"),
+        F.array_join(F.map_keys("m"), ",").alias("map_keys_csv"),
     )

@@ -142,7 +142,7 @@ def q28_robust_date_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q29_string_fns",
+    "q29_string_math_fns",
     oracle="""
     SELECT c_custkey,
            UPPER(c_name) AS name_upper,
@@ -154,12 +154,31 @@ def q28_robust_date_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
            LPAD(CAST(c_custkey AS VARCHAR), 10, '0') AS padded_key,
            STRPOS(c_name, '#') AS hash_pos,
            LEN(STRING_SPLIT(c_name, '#')) AS n_parts,
-           TRIM(' ' || c_mktsegment || ' ') AS seg_trim
+           TRIM(' ' || c_mktsegment || ' ') AS seg_trim,
+           ABS(c_acctbal) AS abs_bal,
+           ROUND(c_acctbal, 1) AS bal_round1,
+           CAST(FLOOR(c_acctbal) AS BIGINT) AS bal_floor,
+           CAST(CEIL(c_acctbal) AS BIGINT) AS bal_ceil,
+           SQRT(ABS(c_acctbal)) AS bal_sqrt,
+           c_custkey % 10 AS key_mod,
+           CAST(SIGN(c_acctbal) AS DOUBLE) AS bal_sign,
+           CASE WHEN c_acctbal < 0 THEN 'overdrawn'
+                WHEN c_acctbal < 1000 THEN 'low'
+                ELSE 'high' END AS bal_band,
+           COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'OTHER') AS seg_or_other,
+           GREATEST(c_acctbal, 0.0) AS bal_pos,
+           LEAST(c_acctbal, 9999.0) AS bal_capped
     FROM customer
     """,
 )
-def q29_string_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q29_string_math_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String + math/conditional scalar coverage in one scan over
+    customer (consolidated from the former q29/q31 for the 50-entry
+    gate). Includes F2's conditional abs (data_pipeline.py:406) —
+    `abs`/`sign`/`greatest` replace the reference's row-at-a-time
+    `apply(lambda)` with codegen'd expressions."""
     c = table(spark, sf_dir, "customer")
+    bal = F.col("c_acctbal")
     return c.select(
         "c_custkey",
         F.upper("c_name").alias("name_upper"),
@@ -172,6 +191,17 @@ def q29_string_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.instr("c_name", "#").cast("long").alias("hash_pos"),
         F.size(F.split("c_name", "#")).cast("long").alias("n_parts"),
         F.trim(F.concat(F.lit(" "), F.col("c_mktsegment"), F.lit(" "))).alias("seg_trim"),
+        F.abs(bal).alias("abs_bal"),
+        F.round(bal, 1).alias("bal_round1"),
+        F.floor(bal).alias("bal_floor"),
+        F.ceil(bal).alias("bal_ceil"),
+        F.sqrt(F.abs(bal)).alias("bal_sqrt"),
+        (F.col("c_custkey") % 10).alias("key_mod"),
+        F.signum(bal).alias("bal_sign"),
+        F.when(bal < 0, "overdrawn").when(bal < 1000, "low").otherwise("high").alias("bal_band"),
+        F.coalesce(F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")), F.lit("OTHER")).alias("seg_or_other"),
+        F.greatest(bal, F.lit(0.0)).alias("bal_pos"),
+        F.least(bal, F.lit(9999.0)).alias("bal_capped"),
     )
 
 
@@ -211,48 +241,6 @@ def q30_date_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long").alias("months_to_2002"),
         F.last_day(od).alias("eom"),
         F.date_trunc("month", "o_orderdate").cast("date").alias("month_start"),
-    )
-
-
-@register(
-    "q31_math_conditional",
-    oracle="""
-    SELECT c_custkey,
-           ABS(c_acctbal) AS abs_bal,
-           ROUND(c_acctbal, 1) AS bal_round1,
-           CAST(FLOOR(c_acctbal) AS BIGINT) AS bal_floor,
-           CAST(CEIL(c_acctbal) AS BIGINT) AS bal_ceil,
-           SQRT(ABS(c_acctbal)) AS bal_sqrt,
-           c_custkey % 10 AS key_mod,
-           CAST(SIGN(c_acctbal) AS DOUBLE) AS bal_sign,
-           CASE WHEN c_acctbal < 0 THEN 'overdrawn'
-                WHEN c_acctbal < 1000 THEN 'low'
-                ELSE 'high' END AS bal_band,
-           COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'OTHER') AS seg_or_other,
-           GREATEST(c_acctbal, 0.0) AS bal_pos,
-           LEAST(c_acctbal, 9999.0) AS bal_capped
-    FROM customer
-    """,
-)
-def q31_math_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F2 (conditional abs, data_pipeline.py:406) + math/conditional
-    coverage. `abs`/`sign`/`greatest` replace the reference's row-at-a-time
-    `apply(lambda)` with codegen'd expressions."""
-    c = table(spark, sf_dir, "customer")
-    bal = F.col("c_acctbal")
-    return c.select(
-        "c_custkey",
-        F.abs(bal).alias("abs_bal"),
-        F.round(bal, 1).alias("bal_round1"),
-        F.floor(bal).alias("bal_floor"),
-        F.ceil(bal).alias("bal_ceil"),
-        F.sqrt(F.abs(bal)).alias("bal_sqrt"),
-        (F.col("c_custkey") % 10).alias("key_mod"),
-        F.signum(bal).alias("bal_sign"),
-        F.when(bal < 0, "overdrawn").when(bal < 1000, "low").otherwise("high").alias("bal_band"),
-        F.coalesce(F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")), F.lit("OTHER")).alias("seg_or_other"),
-        F.greatest(bal, F.lit(0.0)).alias("bal_pos"),
-        F.least(bal, F.lit(9999.0)).alias("bal_capped"),
     )
 
 

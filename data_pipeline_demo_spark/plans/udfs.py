@@ -96,9 +96,9 @@ def q55_grouped_agg_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q56_approx_count_distinct")
 def q56_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Batch HyperLogLog++ distinct-user sketch per event type (rows-only:
+    """Batch HyperLogLog++ distinct-user sketch per event type (rows-only,
+    registered in plans/approx.py:
     the sketch estimate is implementation-specific, so no cross-engine
     oracle exists by construction; the ±5%-of-exact bound is unit-tested
     in tests/test_llm_ops.py). At 100 TB this is THE distinct-count
