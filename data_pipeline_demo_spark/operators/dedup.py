@@ -326,23 +326,38 @@ def simhash(
     return voted.select(F.col(id_col), fp.alias("simhash"))
 
 
-def simhash_near_pairs(
-    df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    max_hamming: int = 10,
-    prefix_bits: int = 8,
-) -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance.
+def auto_prefix_bits(n_docs: int, target_bucket_rows: int = 512) -> int:
+    """Corpus-size-aware SimHash block width.
 
-    Blocking: pairs are only compared when they share one of 64/prefix_bits
-    rotated prefix blocks (pigeonhole: ≤ n_blocks-1 differing bits always
-    collide on one block; higher distances probabilistically). 8-bit
-    blocks guarantee recall to Hamming 7 — short-document SimHashes have
-    soft bit margins, so distances up to ~10 matter; wider (16-bit) blocks
-    shrink buckets at scale but only guarantee Hamming 3.
-    """
-    fps = simhash(df, text_col, id_col)
+    ``w = clamp(ceil(log2(n_docs / target_bucket_rows)), 8, 16)``:
+    expected bucket occupancy under near-uniform fingerprint bits stays
+    ~``target_bucket_rows`` regardless of corpus size, so the
+    within-bucket self-join never goes quadratic in n (the round-2
+    100×-scale flag: a fixed 8-bit width means 256 buckets per rotation
+    → ~4M docs per bucket at 10⁹ docs).
+
+    The pigeonhole recall guarantee is ``64 // w − 1`` Hamming bits
+    (any pair differing in ≤ blocks−1 bits shares a clean block):
+    w=8 → guaranteed to 7; the cap w=16 → 4 blocks, guaranteed to 3,
+    with higher distances caught probabilistically — at 10⁹+ docs that
+    is the published trade (Manku et al., WWW'07: tighter blocks for
+    bigger corpora, verify candidates exactly)."""
+    import math
+
+    if n_docs <= 0:
+        return 8
+    w = math.ceil(math.log2(max(n_docs / max(target_bucket_rows, 1), 1.0)))
+    return max(8, min(16, w))
+
+
+def _simhash_block_candidates(
+    fps: DataFrame, id_col: str, prefix_bits: int
+) -> DataFrame:
+    """Blocking stage: explode each fingerprint into ``64 // prefix_bits``
+    rotated blocks and self-join on (block position, block value). Returns
+    candidate pairs (doc_a, doc_b, hamming) BEFORE the distance filter —
+    exposed separately so the candidate-volume bound is testable."""
+    n_blocks = 64 // prefix_bits
     blocks = fps.select(
         F.col(id_col),
         F.col("simhash"),
@@ -354,7 +369,7 @@ def simhash_near_pairs(
                     .bitwiseAND(F.lit((1 << prefix_bits) - 1))
                     .alias("key"),
                 )
-                for i in range(64 // prefix_bits)
+                for i in range(n_blocks)
             ])
         ).alias("b"),
     ).select(F.col(id_col), "simhash", F.col("b.blk").alias("blk"), F.col("b.key").alias("key"))
@@ -368,6 +383,35 @@ def simhash_near_pairs(
             F.col(f"b.{id_col}").alias("doc_b"),
             ham.alias("hamming"),
         )
+    )
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 10,
+    prefix_bits: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance.
+
+    Blocking: pairs are only compared when they share one of
+    ``64 // prefix_bits`` rotated prefix blocks (pigeonhole: ≤ blocks−1
+    differing bits always collide on one block; higher distances
+    probabilistically). ``prefix_bits=None`` (default) derives the width
+    from the corpus size via :func:`auto_prefix_bits`, so bucket
+    occupancy — and with it the within-bucket self-join — stays bounded
+    as the corpus grows instead of freezing the keyspace at 256 values
+    per rotation. Small corpora keep 8-bit blocks (recall guaranteed to
+    Hamming 7, matching short-document soft bit margins); the width
+    widens logarithmically with n and the exact Hamming verify keeps
+    precision exact at every width.
+    """
+    if prefix_bits is None:
+        prefix_bits = auto_prefix_bits(df.count())
+    fps = simhash(df, text_col, id_col)
+    return (
+        _simhash_block_candidates(fps, id_col, prefix_bits)
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
