@@ -56,7 +56,25 @@ def salted_join(
     in exchange for the fact side's hottest key spreading over
     ``num_salts`` partitions. Worth it when hot-key volume ≫ dim size;
     measure before reaching for it — AQE already handles moderate skew.
+
+    ``how`` is restricted to fact-preserving joins (inner / left /
+    left_semi / left_anti): the dim side is physically replicated
+    ``num_salts`` times, so any dim-preserving join (right / full /
+    cross) would emit each unmatched dim row once per salt, silently
+    breaking the exact-join contract. Those shapes should salt the
+    other side or use AQE skew handling instead.
     """
+    allowed = {
+        "inner", "left", "left_outer", "leftouter",
+        "left_semi", "leftsemi", "semi",
+        "left_anti", "leftanti", "anti",
+    }
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join supports fact-preserving joins only "
+            f"(inner/left/left_semi/left_anti), got how={how!r}: the "
+            f"replicated dim side would duplicate unmatched dim rows."
+        )
     keys = [on] if isinstance(on, str) else list(on)
     f = with_salt(fact, num_salts, salt_by)
     d = replicate_per_salt(dim, num_salts)

@@ -27,7 +27,7 @@ rows that still fail schema/cast validation quarantine explicitly
 from __future__ import annotations
 
 import json
-import os
+import uuid
 from collections.abc import Callable, Iterable, Iterator, Sequence
 from itertools import chain
 
@@ -44,6 +44,59 @@ def _bucket_of(key: str, num_buckets: int) -> Column:
     return F.coalesce(
         F.pmod(F.xxhash64(F.col(key)), F.lit(num_buckets)), F.lit(0)
     ).cast("int")
+
+
+def _hadoop_fs(spark: SparkSession, path: str):
+    """(FileSystem, qualified Path) for any Hadoop-FS URI — file://,
+    hdfs://, s3a://, or a bare local path. All sink metadata and commit
+    renames go through this so the sink is not POSIX-bound."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, fs.makeQualified(p)
+
+
+def _read_bucket_spec(spark: SparkSession, target_path: str) -> dict | None:
+    fs, spec = _hadoop_fs(spark, target_path.rstrip("/") + "/" + BUCKET_SPEC)
+    if not fs.exists(spec):
+        return None
+    stream = fs.open(spec)
+    try:
+        text = spark._jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+    finally:
+        stream.close()
+    return json.loads(text)
+
+
+def _write_bucket_spec(spark: SparkSession, target_path: str, spec: dict) -> None:
+    fs, p = _hadoop_fs(spark, target_path.rstrip("/") + "/" + BUCKET_SPEC)
+    out = fs.create(p, True)
+    try:
+        out.write(bytearray(json.dumps(spec).encode("utf-8")))
+    finally:
+        out.close()
+
+
+def _swap_in(fs, jvm, src, dst) -> None:
+    """Replace ``dst`` with ``src`` via two renames. The in-between
+    window is two metadata ops on a real filesystem; on object stores
+    without atomic rename this is the documented non-atomic seam (a
+    lakehouse MERGE with a commit log is the real fix — see module
+    docstring)."""
+    trash = jvm.org.apache.hadoop.fs.Path(
+        dst.getParent(), "." + dst.getName() + ".replaced"
+    )
+    if fs.exists(trash):
+        fs.delete(trash, True)
+    had_old = fs.exists(dst)
+    if had_old and not fs.rename(dst, trash):
+        raise IOError(f"rename {dst} -> {trash} failed")
+    if not fs.rename(src, dst):
+        if had_old:
+            fs.rename(trash, dst)  # roll back; staged output still intact
+        raise IOError(f"rename {src} -> {dst} failed")
+    if had_old:
+        fs.delete(trash, True)
 
 
 def upsert_parquet(
@@ -70,17 +123,36 @@ def upsert_parquet(
     ``_upsert_bucket_spec.json`` sidecar (a lakehouse keeps this in its
     table metadata); later calls use the recorded value so differing
     ``num_buckets`` arguments can never split one key across buckets.
+
+    Commit protocol (write-audit-publish): the merge job only ever READS
+    the target and WRITES a staging directory — the target is never the
+    sink of a job that also scans it, so no cache eviction/recompute can
+    observe a half-deleted input (that was the hazard of overwriting in
+    place). Staged bucket directories are then renamed over the live
+    ones through the Hadoop FS API, so ``file://``-qualified and
+    ``hdfs://`` paths work identically. Renames are atomic per bucket on
+    a real filesystem; on S3-like stores rename is copy+delete and NOT
+    atomic — single-writer only, and a concurrent reader can glimpse a
+    missing bucket for the duration of two metadata ops. That residual
+    window is the documented seam a Delta/Iceberg ``MERGE INTO`` (log-
+    backed commit) closes; see README "Limits".
+
+    Null keys are treated as one key: the supersede join is null-safe
+    (``<=>``), so a null-keyed update row replaces the existing
+    null-keyed row instead of accumulating duplicates.
     """
-    spec_path = os.path.join(target_path, BUCKET_SPEC)
-    if os.path.isfile(spec_path):
-        with open(spec_path) as fh:
-            num_buckets = json.load(fh)["num_buckets"]
+    spec = _read_bucket_spec(spark, target_path)
+    if spec is not None:
+        num_buckets = spec["num_buckets"]
     updates = updates.dropDuplicates([key]).withColumn(
         BUCKET_COL, _bucket_of(key, num_buckets)
     )
+    jvm = spark._jvm
+    fs, target = _hadoop_fs(spark, target_path)
     untouched_n = 0
-    dynamic = False
-    if os.path.isdir(target_path):
+    incremental = False
+    touched: list[int] = []
+    if fs.exists(target):
         current = spark.read.parquet(target_path)
         if BUCKET_COL in current.columns:
             # Incremental path: prune to touched buckets only.
@@ -90,29 +162,48 @@ def upsert_parquet(
             untouched = current.filter(~F.col(BUCKET_COL).isin(touched))
             untouched_n = untouched.count()
             current = current.filter(F.col(BUCKET_COL).isin(touched))
-            dynamic = True
+            incremental = True
         else:
             # Legacy flat layout: one-time full rewrite into buckets —
             # existing rows need bucket ids too, or the union would land
             # them all in the null (__HIVE_DEFAULT_PARTITION__) dir.
             current = current.withColumn(BUCKET_COL, _bucket_of(key, num_buckets))
-        keep = current.join(updates.select(key), on=key, how="left_anti")
+        upd_keys = updates.select(F.col(key).alias("__upd_key"))
+        keep = current.join(
+            upd_keys, F.col(key).eqNullSafe(F.col("__upd_key")), "left_anti"
+        )
         merged = keep.unionByName(updates, allowMissingColumns=True)
     else:
         merged = updates
 
-    merged = merged.persist()
+    staging_str = target.toString() + "__staging_" + uuid.uuid4().hex
+    merged = merged.persist()  # perf only: one compute for count + write
     try:
         n_merged = merged.count()
-        writer = merged.write.mode("overwrite").partitionBy(BUCKET_COL)
-        if dynamic:
-            writer = writer.option("partitionOverwriteMode", "dynamic")
-        writer.parquet(target_path)
+        merged.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(staging_str)
     finally:
         merged.unpersist()
-    if not os.path.isfile(spec_path):
-        with open(spec_path, "w") as fh:
-            json.dump({"num_buckets": num_buckets, "key": key}, fh)
+
+    staging = jvm.org.apache.hadoop.fs.Path(staging_str)
+    if incremental:
+        # Publish only the touched bucket dirs; untouched bucket files
+        # are never opened, moved, or rewritten.
+        for b in touched:
+            name = f"{BUCKET_COL}={b}"
+            src = jvm.org.apache.hadoop.fs.Path(staging, name)
+            if fs.exists(src):
+                _swap_in(fs, jvm, src, jvm.org.apache.hadoop.fs.Path(target, name))
+        fs.delete(staging, True)
+    else:
+        # Fresh table or legacy full rewrite: publish the whole dataset.
+        parent = target.getParent()
+        if parent is not None and not fs.exists(parent):
+            fs.mkdirs(parent)
+        _swap_in(fs, jvm, staging, target)
+    if spec is None:
+        _write_bucket_spec(
+            spark, target_path, {"num_buckets": num_buckets, "key": key}
+        )
     return untouched_n + n_merged
 
 

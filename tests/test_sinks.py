@@ -46,6 +46,44 @@ def test_upsert_idempotent_and_update_wins(spark, tmp_path):
     assert rows == {1: 10.0, 2: 99.0, 3: 30.0}
 
 
+def test_upsert_file_uri_target(spark, tmp_path):
+    """The sink must work against a qualified file:// URI (all metadata
+    and commit renames go through the Hadoop FS API, not os.path)."""
+    target = "file://" + str(tmp_path / "target")
+    b1 = spark.createDataFrame([(1, 10.0), (2, 20.0)], "id long, amount double")
+    assert upsert_parquet(spark, b1, target) == 2
+    b2 = spark.createDataFrame([(2, 99.0), (3, 30.0)], "id long, amount double")
+    assert upsert_parquet(spark, b2, target) == 3
+    rows = {r["id"]: r["amount"] for r in spark.read.parquet(target).collect()}
+    assert rows == {1: 10.0, 2: 99.0, 3: 30.0}
+    # sidecar landed inside the target through the FS API
+    assert (tmp_path / "target" / "_upsert_bucket_spec.json").is_file()
+
+
+def test_upsert_null_key_superseded_not_duplicated(spark, tmp_path):
+    """Null keys are one key: successive batches must replace the
+    null-keyed row (null-safe supersede join), not accumulate copies."""
+    target = str(tmp_path / "target")
+    b1 = spark.createDataFrame([(None, 1.0), (7, 70.0)], "id long, amount double")
+    assert upsert_parquet(spark, b1, target) == 2
+    b2 = spark.createDataFrame([(None, 2.0)], "id long, amount double")
+    assert upsert_parquet(spark, b2, target) == 2
+    rows = {(r["id"], r["amount"]) for r in spark.read.parquet(target).collect()}
+    assert rows == {(7, 70.0), (None, 2.0)}
+
+
+def test_upsert_no_staging_leftovers(spark, tmp_path):
+    """The staging directory must be gone after a successful publish."""
+    target = str(tmp_path / "target")
+    b = spark.createDataFrame([(1, 1.0)], "id long, amount double")
+    upsert_parquet(spark, b, target)
+    upsert_parquet(spark, b, target)
+    leftovers = [p for p in os.listdir(tmp_path) if "staging" in p]
+    assert leftovers == []
+    inside = [p for p in os.listdir(target) if "staging" in p or ".replaced" in p]
+    assert inside == []
+
+
 def _bucket_of_key(spark, key_val, num_buckets=32):
     return (
         spark.range(1)

@@ -51,3 +51,18 @@ def test_salt_deterministic(spark):
     s1 = {(r["k"], r["v"], r["__salt"]) for r in with_salt(fact, 8, ["v"]).collect()}
     s2 = {(r["k"], r["v"], r["__salt"]) for r in with_salt(fact, 8, ["v"]).collect()}
     assert s1 == s2
+
+
+def test_salted_join_rejects_dim_preserving_how(spark):
+    """right/full/cross would emit each unmatched dim row once per salt
+    (the dim side is physically replicated) — the API must refuse."""
+    import pytest
+
+    fact = spark.createDataFrame([(1, "a")], "k long, v string")
+    dim = spark.createDataFrame([(1, "x"), (2, "y")], "k long, d string")
+    for how in ("right", "full", "outer", "cross", "full_outer"):
+        with pytest.raises(ValueError, match="fact-preserving"):
+            salted_join(fact, dim, on="k", how=how)
+    # fact-preserving shapes still work and stay exact
+    assert salted_join(fact, dim, on="k", how="left_semi").count() == 1
+    assert salted_join(fact, dim, on="k", how="left_anti").count() == 0
