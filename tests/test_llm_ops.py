@@ -158,6 +158,56 @@ def test_ivf_index_recall_and_pruning(spark, sf_dir, tmp_path):
     assert full == exact
 
 
+def test_ivf_kmeans_refinement_recall_and_determinism(spark, sf_dir, tmp_path):
+    """Lloyd refinement behind the quantizer seam: at equal nprobe the
+    refined index's recall vs exact knn must be >= the hash-sample
+    init's (centroids move toward member means, clusters tighten), the
+    nprobe=n_centroids degenerate case must stay exactly == knn, and
+    two refined builds must produce identical centroids (decimal-exact
+    means are order-independent)."""
+    emb = table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    exact = {
+        (r["probe_id"], r["vec_id"])
+        for r in similarity.knn_exact(emb, probes, k=5).collect()
+    }
+
+    def recall(idx_path, nprobe):
+        got = {
+            (r["probe_id"], r["vec_id"])
+            for r in similarity.ivf_query(
+                spark, idx_path, probes, k=5, nprobe=nprobe
+            ).collect()
+        }
+        return len(exact & got) / len(exact), got
+
+    base_idx = str(tmp_path / "ivf_base")
+    ref_idx = str(tmp_path / "ivf_ref")
+    similarity.ivf_build_index(emb, base_idx, n_centroids=16)
+    similarity.ivf_build_index(emb, ref_idx, n_centroids=16, refine_iters=2)
+
+    base_recall, _ = recall(base_idx, 6)
+    ref_recall, _ = recall(ref_idx, 6)
+    assert ref_recall >= base_recall, (base_recall, ref_recall)
+    # degenerate full probe still equals the exhaustive answer
+    _, full = recall(ref_idx, 16)
+    assert full == exact
+
+    ref_idx2 = str(tmp_path / "ivf_ref2")
+    similarity.ivf_build_index(emb, ref_idx2, n_centroids=16, refine_iters=2)
+    c1 = sorted(
+        (r["centroid_id"], tuple(r["__cvec"]))
+        for r in spark.read.parquet(ref_idx + "_centroids").collect()
+    )
+    c2 = sorted(
+        (r["centroid_id"], tuple(r["__cvec"]))
+        for r in spark.read.parquet(ref_idx2 + "_centroids").collect()
+    )
+    assert c1 == c2
+
+
 def test_knn_self_excluded_and_k(spark, sf_dir):
     emb = table(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") % 100 == 0).select(
