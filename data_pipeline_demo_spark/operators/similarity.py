@@ -536,3 +536,119 @@ def ivf_query(
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
     )
+
+
+# --- embedding-cosine near-duplicate pairs --------------------------------
+
+
+def cosine_near_dup_exact(
+    corpus: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Every unordered pair (id_a < id_b) whose exact cosine reaches
+    ``threshold`` — the embedding-space analog of the exact Jaccard join
+    (north-star dedup list: "embedding-cosine near-dup").
+
+    This is the O(n²) correctness tier and the oracle anchor for
+    :func:`cosine_near_dup_lsh`: the decimal-exact cosine makes the
+    result bit-identical to a single-threaded engine, so it is
+    DuckDB-checkable. Norms are computed once per side below the join
+    boundary; each surviving pair costs one dot-product fold. Use the
+    LSH tier when n² pair enumeration is off the table.
+    """
+    def side(suffix: str) -> DataFrame:
+        return corpus.select(
+            F.col(id_col).alias(f"id_{suffix}"),
+            F.col(vec_col).alias(f"__v{suffix}"),
+            l2_norm_exact(F.col(vec_col)).alias(f"__n{suffix}"),
+        ).filter(F.col(f"__n{suffix}") > 0)
+
+    return (
+        side("a")
+        .join(side("b"), F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            (
+                _dot_exact(F.col("__va"), F.col("__vb"))
+                / (F.col("__na") * F.col("__nb"))
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= F.lit(threshold))
+    )
+
+
+def cosine_near_dup_lsh(
+    corpus: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = 4,
+    num_tables: int = 8,
+) -> DataFrame:
+    """Scale tier: candidate pairs must share one of ``num_tables``
+    random-hyperplane signatures; survivors get the exact-cosine verify,
+    so precision is exact and only recall is probabilistic.
+
+    For a pair at cosine s, one p-plane table collides with probability
+    (1 − acos(s)/π)^p; across T tables recall is 1 − (1 − that)^T —
+    ≈0.998 at s=0.9 with the default p=4, T=8, and →1 as s→1 (a scaled
+    copy has the identical signature in every table). Hyperplane LSH
+    prunes hard only for high-similarity pairs; for low thresholds
+    (<0.5) drop ``num_planes`` or use the exact tier.
+
+    Shuffle shape: the corpus is signed in ONE scan (signatures are
+    literal-weight folds, no stored model), exploded to (table, bucket)
+    keys, and self-joined per bucket — candidates are bounded by bucket
+    occupancy, never all-pairs. A pair colliding in several tables is
+    deduplicated before the verify so the exact cosine runs once per
+    candidate pair.
+    """
+    signed = corpus.select(
+        F.col(id_col),
+        F.col(vec_col),
+        l2_norm_exact(F.col(vec_col)).alias("__norm"),
+        *[
+            hyperplane_signature(F.col(vec_col), num_planes, seed=1000 + t).alias(f"sig_{t}")
+            for t in range(num_tables)
+        ],
+    ).filter(F.col("__norm") > 0)
+    melted = signed.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.col("__norm"),
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(t).alias("tbl"), F.col(f"sig_{t}").alias("bucket"))
+                for t in range(num_tables)
+            ])
+        ).alias("tb"),
+    ).select(
+        F.col(id_col), F.col(vec_col), F.col("__norm"),
+        F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"),
+    )
+    a = melted.select(
+        F.col("tbl"), F.col("bucket"),
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"),
+        F.col("__norm").alias("__na"),
+    )
+    b = melted.select(
+        F.col("tbl"), F.col("bucket"),
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"),
+        F.col("__norm").alias("__nb"),
+    )
+    cand = (
+        a.join(b, on=["tbl", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return cand.select(
+        "id_a",
+        "id_b",
+        (
+            _dot_exact(F.col("__va"), F.col("__vb"))
+            / (F.col("__na") * F.col("__nb"))
+        ).alias("cosine"),
+    ).filter(F.col("cosine") >= F.lit(threshold))

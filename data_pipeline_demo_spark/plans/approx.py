@@ -10,7 +10,7 @@ tests/test_llm_ops.py) instead of the driver's hash gate.
 Registered LAST deliberately: the driver's correctness file caps at 50
 entries in registration order, and the 50 oracle-bearing queries must
 all land inside it (judge round-2 directive #1). These six sit past the
-cap; the judge sees their checks in pytest.
+cap; the judge sees their checks in pytest. (Seven as of q64.)
 """
 
 from __future__ import annotations
@@ -24,3 +24,4 @@ register("q45_ann_lsh_topk")(llm_ops.q45_ann_lsh_topk)
 register("q52_multimodal_features")(llm_ops.q52_multimodal_features)
 register("q56_approx_count_distinct")(udfs.q56_approx_count_distinct)
 register("q57_video_frame_sample")(llm_ops.q57_video_frame_sample)
+register("q64_cosine_near_dup_lsh")(llm_ops.q64_cosine_near_dup_lsh)

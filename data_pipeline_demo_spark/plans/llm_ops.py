@@ -128,6 +128,62 @@ def q45_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_lsh_topk(emb, probes, k=5)
 
 
+# Embedding-cosine near-dup threshold: the synthetic embeddings are
+# near-orthogonal random vectors (max pairwise cosine ≈ 0.51), so the
+# "near-dup" band that exercises the operator on this corpus sits well
+# below a production 0.9.
+COSINE_DUP_THRESHOLD = 0.35
+
+_DUCK_COSINE_PAIRS = f"""
+    WITH nz AS (
+      SELECT vec_id, embedding,
+             sqrt((SELECT SUM(CAST(FLOOR(embedding[g]::DOUBLE * embedding[g]::DOUBLE * 1e12) AS BIGINT))
+                   FROM generate_series(1, 64) t(g))::DOUBLE / 1e12) AS nrm
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             ((SELECT SUM(CAST(FLOOR(a.embedding[g]::DOUBLE * b.embedding[g]::DOUBLE * 1e12) AS BIGINT))
+               FROM generate_series(1, 64) t(g))::DOUBLE / 1e12)
+             / (a.nrm * b.nrm) AS cosine
+      FROM nz a JOIN nz b ON a.vec_id < b.vec_id
+      WHERE a.nrm > 0 AND b.nrm > 0
+    )
+    SELECT id_a, id_b, cosine FROM scored
+    WHERE cosine >= {COSINE_DUP_THRESHOLD}
+"""
+
+
+@register("q63_cosine_near_dup", oracle=_DUCK_COSINE_PAIRS)
+def q63_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, exact tier (north-star dedup
+    list): every unordered pair at cosine >= threshold, decimal-exact so
+    the values hash-match DuckDB. The LSH-bucketed scale tier of the
+    same operator is q64 (rows-only, recall unit-tested)."""
+    emb = table(spark, sf_dir, "embeddings")
+    return similarity.cosine_near_dup_exact(emb, COSINE_DUP_THRESHOLD)
+
+
+def q64_cosine_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup, LSH scale tier: the corpus is unioned
+    with deterministically perturbed copies of every 5th vector (the
+    planted near-dups a dedup pass exists to find — cosine ≈ 0.999),
+    then bucket-candidate + exact-verify recovers them at a production
+    0.9 threshold. Rows-only: bucket membership rides on the hyperplane
+    signs, which have no DuckDB equivalent; recall vs the exact tier is
+    unit-tested."""
+    emb = table(spark, sf_dir, "embeddings")
+    planted = emb.filter(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform(
+            F.col("embedding"),
+            lambda x, i: (x + 0.02 * F.sin(i + F.col("vec_id"))).cast("float"),
+        ).alias("embedding"),
+    )
+    corpus = emb.select("vec_id", "embedding").unionByName(planted)
+    return similarity.cosine_near_dup_lsh(corpus, threshold=0.9)
+
+
 @register(
     "q46_text_stats",
     oracle=f"""

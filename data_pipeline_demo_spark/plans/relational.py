@@ -78,44 +78,33 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q02_filter_project",
     oracle="""
     SELECT l_orderkey, l_linenumber,
-           l_extendedprice * (1 - l_discount) AS disc_price
+           l_extendedprice * (1 - l_discount) AS disc_price,
+           CAST(CASE WHEN l_tax = 0 THEN 1 ELSE 0 END AS BIGINT) AS is_zero_tax
     FROM lineitem
-    WHERE l_quantity > 45 AND l_discount >= 0.05
+    WHERE l_quantity > 45 AND l_discount >= 0.05 AND l_tax <= 0.07
     """,
 )
 def q02_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = table(spark, sf_dir, "lineitem")
-    return (
-        li.filter((F.col("l_quantity") > 45) & (F.col("l_discount") >= 0.05))
-        .select(
-            "l_orderkey",
-            "l_linenumber",
-            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("disc_price"),
-        )
-    )
+    """P1 projection + P2 conjunction filter in one scan-stream plan.
 
-
-# --------------------------------------------------------------------------
-# Null-conjunction diagnostic (P2, data_pipeline.py:383-398): rows where a
-# whole set of measure columns is null/absent. The synthetic lineitem has
-# no nulls, so the conjunction is over value predicates with the same
-# reduce(and_) construction the ETL cast-spec uses.
-# --------------------------------------------------------------------------
-@register(
-    "q03_conjunction_filter",
-    oracle="""
-    SELECT COUNT(*) AS n_blank,
-           CAST(SUM(CASE WHEN l_tax = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_tax
-    FROM lineitem
-    WHERE l_discount = 0 AND l_tax <= 0.02 AND l_quantity < 10
-    """,
-)
-def q03_conjunction_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    The conjunction uses the same reduce(and_) construction the ETL
+    cast-spec applies to its null-set diagnostic (data_pipeline.py:
+    383-398; the synthetic lineitem has no nulls, so the predicates are
+    value tests). Merged with the former q03_conjunction_filter so all
+    oracle-bearing queries fit the driver's 50-entry gate — the
+    aggregate shape q03 carried is still covered by q11/q12.
+    """
     li = table(spark, sf_dir, "lineitem")
-    preds = [F.col("l_discount") == 0, F.col("l_tax") <= 0.02, F.col("l_quantity") < 10]
-    return li.filter(reduce(and_, preds)).agg(
-        F.count(F.lit(1)).alias("n_blank"),
-        F.sum(F.when(F.col("l_tax") == 0, 1).otherwise(0)).cast("long").alias("n_zero_tax"),
+    preds = [
+        F.col("l_quantity") > 45,
+        F.col("l_discount") >= 0.05,
+        F.col("l_tax") <= 0.07,
+    ]
+    return li.filter(reduce(and_, preds)).select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("disc_price"),
+        F.when(F.col("l_tax") == 0, 1).otherwise(0).cast("long").alias("is_zero_tax"),
     )
 
 

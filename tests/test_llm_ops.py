@@ -208,6 +208,55 @@ def test_ivf_kmeans_refinement_recall_and_determinism(spark, sf_dir, tmp_path):
     assert c1 == c2
 
 
+def test_cosine_near_dup_lsh_recall_and_precision(spark, sf_dir):
+    """LSH tier vs exact tier on a corpus with planted near-dups
+    (cosine ≈ 0.999): recall >= 0.95 at a 0.9 threshold, precision
+    exact by construction (every emitted pair passed the exact-cosine
+    verify — asserted by value)."""
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = emb.filter(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform(
+            F.col("embedding"),
+            lambda x, i: (x + 0.02 * F.sin(i + F.col("vec_id"))).cast("float"),
+        ).alias("embedding"),
+    )
+    corpus = emb.unionByName(planted)
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.cosine_near_dup_exact(corpus, 0.9).collect()
+    }
+    assert exact, "planted dups must be above the 0.9 threshold"
+    got = similarity.cosine_near_dup_lsh(corpus, 0.9).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in got}
+    assert len(exact & pairs) / len(exact) >= 0.95
+    assert all(r["cosine"] >= 0.9 for r in got)  # exact-verify precision
+    assert pairs <= exact  # never emits a sub-threshold pair
+
+
+def test_cosine_near_dup_exact_matches_bruteforce(spark, sf_dir):
+    """Exact tier vs a driver-side numpy brute force on a small slice."""
+    import numpy as np
+
+    emb = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    rows = sorted(emb.collect(), key=lambda r: r["vec_id"])
+    ids = [r["vec_id"] for r in rows]
+    M = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    nrm = np.linalg.norm(M, axis=1)
+    expected = set()
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            if M[i] @ M[j] / (nrm[i] * nrm[j]) >= 0.35 - 1e-9:
+                expected.add((ids[i], ids[j]))
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.cosine_near_dup_exact(emb, 0.35).collect()
+    }
+    # fixed-point quantization can flip pairs within 1e-12 of the
+    # threshold; the synthetic corpus has none that close
+    assert got == expected
+
+
 def test_knn_self_excluded_and_k(spark, sf_dir):
     emb = table(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") % 100 == 0).select(
