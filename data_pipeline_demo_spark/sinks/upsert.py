@@ -207,6 +207,64 @@ def upsert_parquet(
     return untouched_n + n_merged
 
 
+def compact_buckets(
+    spark: SparkSession,
+    target_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    min_files: int = 2,
+) -> int:
+    """Small-file maintenance for the bucketed upsert layout.
+
+    Each incremental merge writes a touched bucket with as many parquet
+    files as shuffle tasks carried its rows — at 1000-executor scale
+    that leaves buckets holding hundreds of small files and scans become
+    file-open-bound. This rewrites ONLY the buckets whose file count
+    exceeds what their byte size warrants (``ceil(bytes /
+    target_file_bytes)``, and at least ``min_files`` present), coalescing
+    each to its size-appropriate file count, then publishes with the
+    same stage-and-swap commit the merge uses. Rows are preserved
+    exactly; untouched buckets are never opened. Returns the number of
+    buckets compacted.
+
+    Staging lives in a dot-prefixed directory inside the target, which
+    Spark's file listing ignores — a crash mid-compaction leaves the
+    live table untouched (stragglers are cleaned on the next call).
+    """
+    jvm = spark._jvm
+    fs, target = _hadoop_fs(spark, target_path)
+    if not fs.exists(target):
+        return 0
+    compacted = 0
+    for status in fs.listStatus(target):
+        name = status.getPath().getName()
+        if status.isDirectory() and name.startswith(".compact_"):
+            fs.delete(status.getPath(), True)  # straggler from a crash
+            continue
+        if not status.isDirectory() or not name.startswith(BUCKET_COL + "="):
+            continue
+        files = [
+            s
+            for s in fs.listStatus(status.getPath())
+            if s.isFile() and s.getPath().getName().endswith(".parquet")
+        ]
+        nbytes = sum(s.getLen() for s in files)
+        want = max(1, -(-nbytes // target_file_bytes))
+        if len(files) < min_files or len(files) <= want:
+            continue
+        staging = jvm.org.apache.hadoop.fs.Path(
+            target, ".compact_" + uuid.uuid4().hex
+        )
+        (
+            spark.read.parquet(status.getPath().toString())
+            .repartition(int(want))
+            .write.mode("overwrite")
+            .parquet(staging.toString())
+        )
+        _swap_in(fs, jvm, staging, status.getPath())
+        compacted += 1
+    return compacted
+
+
 def upsert_sql(table: str, columns: Sequence[str], key: str = "id") -> str:
     """Render the per-batch Postgres upsert a foreachPartition writer
     executes — the reference's `on_conflict="id"` (data_pipeline.py:515)

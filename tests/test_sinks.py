@@ -324,3 +324,91 @@ def test_reference_etl_multifile_batch(spark, tmp_path):
     # rerun: everything skipped
     report2 = run_ingest(spark, cfg)
     assert report2["processed"] == [] and report2["skipped"] == 2
+
+
+REFERENCE_XML = """<config>
+  <supabase><bucketName>dealer-data</bucketName><tableName>transactions</tableName></supabase>
+  <mail><sender>ops@example.com</sender><to>finance@example.com</to>
+        <subject>Daily ingest</subject><message_text>done</message_text></mail>
+</config>"""
+
+
+def test_xml_config_parse_and_dispatch(spark, tmp_path):
+    """S6/O2: the reference's XML config shape parses strictly, loads
+    through the Hadoop FS API (file:// URI), and dispatches the ETL."""
+    import pytest
+
+    from data_pipeline_demo_spark.sources.xml_config import (
+        load_reference_config,
+        parse_reference_config,
+        to_pipeline_config,
+    )
+
+    cfg = parse_reference_config(REFERENCE_XML)
+    assert cfg.bucket_name == "dealer-data"
+    assert cfg.table_name == "transactions"
+    assert cfg.to == "finance@example.com"
+
+    # missing element raises with the path named (no silent None)
+    with pytest.raises(ValueError, match="supabase/tableName"):
+        parse_reference_config("<config><supabase><bucketName>x</bucketName></supabase></config>")
+    with pytest.raises(ValueError, match="not well-formed"):
+        parse_reference_config("<config><broken")
+
+    p = tmp_path / "config.xml"
+    p.write_text(REFERENCE_XML)
+    loaded = load_reference_config(spark, "file://" + str(p))
+    assert loaded == cfg
+
+    # config-driven dispatch: end-to-end run over the mapped layout
+    landing = tmp_path / "dealer-data" / "Data"
+    landing.mkdir(parents=True)
+    (landing / "dealer_2025-04-30.csv").write_text(
+        f"{CSV_HEADER}\n1,30/04/2025 19:36,$10.00,$100.00,,,,,,,,,\n"
+    )
+    pcfg = to_pipeline_config(loaded, str(tmp_path))
+    assert pcfg.landing_dir.endswith("dealer-data/Data")
+    report = run_ingest(spark, pcfg)
+    assert report["processed"][0]["rows"] == 1
+    assert spark.read.parquet(str(tmp_path / "transactions")).count() == 1
+
+
+def test_compact_buckets(spark, tmp_path):
+    """Compaction coalesces multi-file buckets to their size-appropriate
+    file count, preserves every row, and skips already-compact buckets."""
+    from data_pipeline_demo_spark.sinks.upsert import compact_buckets
+
+    target = str(tmp_path / "target")
+    big = spark.createDataFrame(
+        [(i, float(i)) for i in range(2000)], "id long, amount double"
+    ).repartition(16)
+    upsert_parquet(spark, big, target, num_buckets=4)
+
+    def bucket_files():
+        out = {}
+        for d in glob.glob(os.path.join(target, "__bucket=*")):
+            out[os.path.basename(d)] = sorted(
+                os.path.basename(p) for p in glob.glob(os.path.join(d, "*.parquet"))
+            )
+        return out
+
+    before = bucket_files()
+    assert any(len(v) >= 2 for v in before.values()), before  # fragmented
+    rows_before = sorted(
+        (r["id"], r["amount"]) for r in spark.read.parquet(target).collect()
+    )
+    n = compact_buckets(spark, target)  # huge default target size -> 1 file each
+    assert n == sum(1 for v in before.values() if len(v) >= 2)
+    after = bucket_files()
+    assert all(len(v) == 1 for v in after.values()), after
+    rows_after = sorted(
+        (r["id"], r["amount"]) for r in spark.read.parquet(target).collect()
+    )
+    assert rows_after == rows_before
+    # second pass: nothing left to do, no staging debris
+    assert compact_buckets(spark, target) == 0
+    assert not glob.glob(os.path.join(target, ".compact_*"))
+    # table still upserts correctly post-compaction
+    assert upsert_parquet(
+        spark, spark.createDataFrame([(0, 999.0)], "id long, amount double"), target
+    ) == 2000
