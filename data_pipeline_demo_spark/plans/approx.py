@@ -15,7 +15,7 @@ cap; the judge sees their checks in pytest. (Seven as of q64.)
 
 from __future__ import annotations
 
-from . import llm_ops, udfs
+from . import llm_ops, timeseries, udfs
 from .registry import register
 
 register("q42_minhash_lsh_dedup")(llm_ops.q42_minhash_lsh_dedup)
@@ -25,3 +25,11 @@ register("q52_multimodal_features")(llm_ops.q52_multimodal_features)
 register("q56_approx_count_distinct")(udfs.q56_approx_count_distinct)
 register("q57_video_frame_sample")(llm_ops.q57_video_frame_sample)
 register("q64_cosine_near_dup_lsh")(llm_ops.q64_cosine_near_dup_lsh)
+
+# q65 DOES carry an oracle (the rollup cascade is SQL-expressible); it
+# sits past the driver's 50-entry cap only because the gate is full, so
+# its differential check runs via tools/check_oracle.py and pytest
+# rather than the driver file.
+register("q65_rollup_cascade", oracle=timeseries._DUCK_ROLLUP_DAY)(
+    timeseries.q65_rollup_cascade
+)

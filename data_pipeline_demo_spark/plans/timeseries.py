@@ -241,3 +241,33 @@ def q39_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_converted"),
     )
+
+
+# --------------------------------------------------------------------------
+# Hypertable rollup cascade (north-star custom operator; operators/rollup.py)
+# --------------------------------------------------------------------------
+_DUCK_ROLLUP_DAY = f"""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+           event_type,
+           COUNT(*) AS n_events,
+           {sql_sum('value')} AS sum_value,
+           {sql_sum('value')} / COUNT(*) AS avg_value,
+           MIN(value) AS min_value,
+           MAX(value) AS max_value
+    FROM events
+    GROUP BY 1, 2
+"""
+
+
+def q65_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-resolution continuous aggregate: minute→hour→day cascade
+    where each tier re-aggregates the previous tier's decimal partials
+    (the raw table is scanned ONCE). The day tier returned here equals
+    the direct day aggregate bit-for-bit — decimal addition is
+    associative — which is exactly what the oracle computes, so the
+    cascade's exactness is itself oracle-checked."""
+    from ..operators import rollup
+
+    ev = table(spark, sf_dir, "events")
+    cascade = rollup.rollup_cascade(ev)
+    return rollup.finalize(cascade["day"])
