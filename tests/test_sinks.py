@@ -412,3 +412,31 @@ def test_compact_buckets(spark, tmp_path):
     assert upsert_parquet(
         spark, spark.createDataFrame([(0, 999.0)], "id long, amount double"), target
     ) == 2000
+
+
+def test_upsert_schema_evolution_new_column(spark, tmp_path):
+    """A batch carrying a new column must merge: old rows surface null
+    for it, new rows carry it, and the key merge semantics hold."""
+    target = str(tmp_path / "target")
+    upsert_parquet(
+        spark, spark.createDataFrame([(1, 10.0)], "id long, amount double"), target
+    )
+    evolved = spark.createDataFrame(
+        [(1, 11.0, "AUD"), (2, 20.0, "NZD")],
+        "id long, amount double, currency string",
+    )
+    assert upsert_parquet(spark, evolved, target) == 2
+    rows = {
+        r["id"]: (r["amount"], r["currency"])
+        for r in spark.read.parquet(target).collect()
+    }
+    assert rows == {1: (11.0, "AUD"), 2: (20.0, "NZD")}
+    # reverse direction: a narrow batch against the evolved table
+    assert upsert_parquet(
+        spark, spark.createDataFrame([(3, 30.0)], "id long, amount double"), target
+    ) == 3
+    rows = {
+        r["id"]: (r["amount"], r["currency"])
+        for r in spark.read.parquet(target).collect()
+    }
+    assert rows == {1: (11.0, "AUD"), 2: (20.0, "NZD"), 3: (30.0, None)}

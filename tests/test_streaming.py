@@ -154,3 +154,41 @@ def test_dedup_within_watermark_drops_replays(spark, event_stream_source, tmp_pa
     q.awaitTermination(120)
     got = spark.table("t_dedup").count()
     assert got == base.count()  # replays dropped, originals kept
+
+
+def test_stream_ingest_landing_exactly_once_per_file(spark, tmp_path):
+    """AvailableNow landing ingest: run 1 processes the initial file,
+    run 2 (same checkpoint) picks up ONLY the new file — Spark's file
+    log replaces the per-file ledger probe — and the keyed upsert keeps
+    the target exact across both runs. Corrupt rows quarantine."""
+    header = (
+        "id,TransactionDatetime,Amount,TotalAmount,Surcharge,MSF,Tip,Cashout,"
+        "Extras,Levy,ServiceFee,TxnFee,Rebate"
+    )
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    (landing / "a.csv").write_text(
+        f"{header}\n1,30/04/2025 19:36,$10.00,$100.00,,,,,,,,,\n"
+        + ",".join(["x"] * 30)  # 30 fields: cannot fit the schema
+        + "\n"
+    )
+    target = str(tmp_path / "target")
+    quarantine = str(tmp_path / "quarantine")
+    ckpt = str(tmp_path / "ckpt")
+
+    q = jobs.stream_ingest_landing(spark, str(landing), target, quarantine, ckpt)
+    q.awaitTermination(120)
+    got = {r["id"]: r["Amount"] for r in spark.read.parquet(target).collect()}
+    assert got == {"1": 10.0}
+    assert spark.read.parquet(quarantine).count() == 1
+
+    # new file + an update for id=1; old file must NOT be reprocessed
+    (landing / "b.csv").write_text(
+        f"{header}\n1,30/04/2025 19:36,$99.00,$100.00,,,,,,,,,\n"
+        f"2,12/4/25 20:46,$20.00,$200.00,,,,,,,,,\n"
+    )
+    q2 = jobs.stream_ingest_landing(spark, str(landing), target, quarantine, ckpt)
+    q2.awaitTermination(120)
+    got = {r["id"]: r["Amount"] for r in spark.read.parquet(target).collect()}
+    assert got == {"1": 99.0, "2": 20.0}
+    assert spark.read.parquet(quarantine).count() == 1  # not re-quarantined
