@@ -415,3 +415,85 @@ def simhash_near_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+# --- near-dup clustering: pairs → components → canonical survivor --------
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_col_a: str = "doc_a",
+    id_col_b: str = "doc_b",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Connected components over a near-dup pair list: returns
+    ``(node, component)`` where ``component`` is the MINIMUM node id in
+    the component — the deterministic canonical representative.
+
+    Algorithm is hash-min label propagation: every node starts as its
+    own label; each round, each node adopts the smallest label among
+    itself and its neighbors; stop when no label changed. Rounds needed
+    = graph diameter (near-dup clusters are shallow — a handful), and
+    each round is one join + one min-agg, all shuffles on the node id.
+    Label frames are localCheckpoint()ed per round so lineage doesn't
+    deepen with iterations (iterative plans otherwise re-derive every
+    prior round per action). This is the documented iterative-algorithm
+    exception to SQL-expressibility (driver contract): correctness is
+    pinned by unit tests against known graphs.
+    """
+    # undirected edge list, both directions, self-loops dropped
+    e = pairs.select(
+        F.col(id_col_a).alias("src"), F.col(id_col_b).alias("dst")
+    ).filter(F.col("src") != F.col("dst"))
+    edges = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    edges = edges.localCheckpoint()
+
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges["dst"] == labels["node"])
+            .groupBy("src")
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels["node"] == neighbor_min["src"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("nbr_component"), F.col("component")),
+                ).alias("component"),
+                (F.col("nbr_component") < F.col("component")).alias("__changed"),
+            )
+        )
+        updated = updated.localCheckpoint()
+        changed = updated.filter(F.col("__changed")).limit(1).count()
+        labels = updated.drop("__changed")
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_keep_canonical(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_col_a: str = "doc_a",
+    id_col_b: str = "doc_b",
+) -> DataFrame:
+    """The dedup pass's last mile: given the corpus and ANY tier's
+    near-dup pairs (q41/q42/q43/q63 output shape), keep exactly one row
+    per near-dup cluster — the minimum id, deterministically — and every
+    row that appears in no pair. One components run + one anti-join."""
+    comps = connected_components(pairs, id_col_a, id_col_b)
+    losers = comps.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(losers, on=id_col, how="left_anti")

@@ -369,3 +369,53 @@ def test_video_frame_sampling_roundtrip(spark, sf_dir):
             m, i = _s.unpack(">qi", fb[:12])
             assert (m, i) == (r["media_id"], r["frame_idx"])
             assert hashlib.sha256(fb).hexdigest() == r["frame_sha256"]
+
+
+def test_connected_components_known_graph(spark):
+    """Two chains and an isolated pair: labels converge to the min id of
+    each component (chain diameter > 1 exercises multiple rounds)."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4),          # chain: component 1
+         (10, 11),                        # pair: component 10
+         (20, 21), (21, 22), (20, 22)],   # triangle: component 20
+        "doc_a long, doc_b long",
+    )
+    got = {
+        (r["node"], r["component"])
+        for r in dedup.connected_components(pairs).collect()
+    }
+    assert got == {
+        (1, 1), (2, 1), (3, 1), (4, 1),
+        (10, 10), (11, 10),
+        (20, 20), (21, 20), (22, 20),
+    }
+
+
+def test_dedup_keep_canonical_end_to_end(spark, sf_dir):
+    """Full pass over the documents table: pairs from the exact Jaccard
+    tier -> one survivor per cluster (the min doc_id), non-paired docs
+    untouched."""
+    docs = table(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_similarity_join(docs, threshold=0.7)
+    kept = dedup.dedup_keep_canonical(docs, pairs)
+    p = [(r["doc_a"], r["doc_b"]) for r in pairs.collect()]
+    comp = {}
+    for a, b in p:
+        # brute-force union-find for the expected survivor set
+        ra = comp.setdefault(a, a)
+        rb = comp.setdefault(b, b)
+        while comp[ra] != ra:
+            ra = comp[ra]
+        while comp[rb] != rb:
+            rb = comp[rb]
+        if ra != rb:
+            comp[max(ra, rb)] = min(ra, rb)
+    def root(x):
+        while comp[x] != x:
+            x = comp[x]
+        return x
+    losers = {x for x in comp if root(x) != x}
+    all_ids = {r["doc_id"] for r in docs.select("doc_id").collect()}
+    kept_ids = {r["doc_id"] for r in kept.collect()}
+    assert kept_ids == all_ids - losers
+    assert kept.count() == docs.count() - len(losers)
