@@ -97,3 +97,56 @@ def doc_fingerprint(text: Column | str, k: int = 3) -> Column:
     md5s (a 1-hash MinHash — the rolling-window sketch used for fast
     near-dup prefilters), alongside exact md5 for identity."""
     return F.array_min(F.transform(shingles(text, k), lambda s: F.md5(F.encode(s, "utf-8"))))
+
+
+# --- repetition signals (Gopher-style training-data filters) -------------
+
+
+def dup_line_fraction(text: Column | str) -> Column:
+    """Fraction of non-blank lines that are repeats of an earlier line —
+    the classic boilerplate/repetition filter signal. Pure codegen
+    expression (split/filter/array_distinct): scan-stream, no shuffle."""
+    c = F.col(text) if isinstance(text, str) else text
+    lines = F.filter(F.split(c, "\n"), lambda x: F.length(F.trim(x)) > 0)
+    n = F.size(lines)
+    return F.when(n <= 0, F.lit(0.0)).otherwise(
+        F.lit(1.0) - F.size(F.array_distinct(lines)) / n
+    )
+
+
+def repetition_stats(df, text_col: str = "text", id_col: str = "doc_id", n: int = 2):
+    """Per-doc top-n-gram concentration: what fraction of a document's
+    word n-grams is its single most frequent n-gram? High values mark
+    machine-generated/looping text (the Gopher repetition filters).
+
+    Needs a true frequency mode, which no single column expression
+    gives, so this is the explode → count → max shape: tokens are
+    staged as a real column BEFORE the n-gram transform (a lambda
+    re-evaluates captured expression subtrees per element), grams
+    explode via explode_outer + null filter (InferFiltersFromGenerate
+    would otherwise inline the whole gram expression into a synthesized
+    size()>0 filter), and both aggregations shuffle on the doc id with
+    map-side partial aggregation. Returns (id, n_grams,
+    top_gram_count, top_ngram_fraction).
+    """
+    toks = df.select(F.col(id_col), tokens(text_col).alias("__w"))
+    grams = (
+        toks.select(
+            id_col,
+            F.explode_outer(
+                F.transform(
+                    F.sequence(
+                        F.lit(0), F.greatest(F.size("__w") - n, F.lit(0))
+                    ),
+                    lambda i: F.concat_ws(" ", F.slice(F.col("__w"), i + 1, n)),
+                )
+            ).alias("gram"),
+        )
+        .filter(F.col("gram").isNotNull())
+    )
+    counts = grams.groupBy(id_col, "gram").agg(F.count(F.lit(1)).alias("c"))
+    return counts.groupBy(id_col).agg(
+        F.sum("c").alias("n_grams"),
+        F.max("c").alias("top_gram_count"),
+        (F.max("c") / F.sum("c")).alias("top_ngram_fraction"),
+    )

@@ -419,3 +419,47 @@ def test_dedup_keep_canonical_end_to_end(spark, sf_dir):
     kept_ids = {r["doc_id"] for r in kept.collect()}
     assert kept_ids == all_ids - losers
     assert kept.count() == docs.count() - len(losers)
+
+
+def test_repetition_signals(spark, sf_dir):
+    """Gopher-style repetition filters: hand-computed fixtures, then a
+    smoke pass over the documents corpus."""
+    from data_pipeline_demo_spark.operators import textstats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),       # 5 bigrams, top 'a b' x3 -> 0.6
+            (2, "u v w x y z"),       # all bigrams distinct -> 0.2
+            (3, "solo"),              # shorter than n: one gram -> 1.0
+        ],
+        "doc_id long, text string",
+    )
+    rep = {
+        r["doc_id"]: r for r in textstats.repetition_stats(docs, n=2).collect()
+    }
+    assert rep[1]["n_grams"] == 5 and rep[1]["top_gram_count"] == 3
+    assert abs(rep[1]["top_ngram_fraction"] - 0.6) < 1e-12
+    assert abs(rep[2]["top_ngram_fraction"] - 0.2) < 1e-12
+    assert rep[3]["top_ngram_fraction"] == 1.0
+
+    lines = spark.createDataFrame(
+        [(1, "x\nx\ny"), (2, "a\nb\nc"), (3, ""), (4, "p\n\n  \np")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["f"]
+        for r in lines.select(
+            "doc_id", textstats.dup_line_fraction("text").alias("f")
+        ).collect()
+    }
+    assert abs(got[1] - 1 / 3) < 1e-12
+    assert got[2] == 0.0
+    assert got[3] == 0.0        # no non-blank lines
+    assert abs(got[4] - 0.5) < 1e-12  # blanks ignored, 'p' repeated
+
+    # corpus smoke: fractions are well-formed over real documents
+    corpus = table(spark, sf_dir, "documents")
+    stats = textstats.repetition_stats(corpus).agg(
+        F.min("top_ngram_fraction"), F.max("top_ngram_fraction")
+    ).collect()[0]
+    assert 0.0 < stats[0] <= stats[1] <= 1.0
