@@ -187,6 +187,26 @@ def build_ann_index(
     ).parquet(index_path)
 
 
+def _probe_bucket_structs(num_tables: int, multiprobe: int, num_planes: int):
+    """(tbl, bucket) struct list for the probe-side melt: each table's
+    own signature, plus — under multi-probe — the ``multiprobe`` buckets
+    at Hamming distance 1 (least-significant plane bits flipped first).
+    Planes near the decision boundary are the likeliest single-bit
+    misses, so probing 1-flip neighbors buys recall at a fixed table
+    count for (1 + multiprobe)× probe-side bucket fan-out — the
+    multi-probe LSH trade (Lv et al., VLDB'07). Corpus-side signatures
+    are never flipped: the index layout is untouched."""
+    flips = [0] + [1 << j for j in range(min(multiprobe, num_planes))]
+    return [
+        F.struct(
+            F.lit(t).alias("tbl"),
+            F.col(f"sig_{t}").bitwiseXOR(F.lit(flip)).alias("bucket"),
+        )
+        for t in range(num_tables)
+        for flip in flips
+    ]
+
+
 def ann_query_indexed(
     spark,
     index_path: str,
@@ -197,11 +217,15 @@ def ann_query_indexed(
     probe_id_col: str = "probe_id",
     num_planes: int = 4,
     num_tables: int = 8,
+    multiprobe: int = 0,
 ) -> DataFrame:
     """Top-k over a persisted ANN index: sign the probes, prune the
     index scan to exactly the (tbl, bucket) partitions the probes hash
     into, then exact-cosine re-rank — the corpus is never re-signed and
-    untouched buckets are never read."""
+    untouched buckets are never read. ``multiprobe`` additionally reads
+    each probe's Hamming-1 neighbor buckets (see
+    :func:`_probe_bucket_structs`) — more partitions read, higher
+    recall, same index."""
     p_signed = probes.select(
         F.col(probe_id_col).alias("__pid"),
         F.col(vec_col).alias("__pvec"),
@@ -215,10 +239,7 @@ def ann_query_indexed(
         p_signed.filter(F.col("__pnorm") > 0).select(
             "__pid", "__pvec", "__pnorm",
             F.explode(
-                F.array(*[
-                    F.struct(F.lit(t).alias("tbl"), F.col(f"sig_{t}").alias("bucket"))
-                    for t in range(num_tables)
-                ])
+                F.array(*_probe_bucket_structs(num_tables, multiprobe, num_planes))
             ).alias("tb"),
         ).select(
             "__pid", "__pvec", "__pnorm",
@@ -265,6 +286,7 @@ def ann_lsh_topk(
     probe_id_col: str = "probe_id",
     num_planes: int = 4,
     num_tables: int = 8,
+    multiprobe: int = 0,
 ) -> DataFrame:
     """ANN: probes only compare against corpus vectors sharing an LSH
     bucket in ≥1 of `num_tables` hash tables, then exact cosine re-rank.
@@ -273,11 +295,14 @@ def ann_lsh_topk(
     table with p = 1 - θ/π. Weakly-similar neighbors (cosine ~0.3, θ≈72°,
     p≈0.6) need few planes and several tables — 4×8 gives ~0.7 recall on
     near-random corpora; strongly-clustered embeddings afford more planes
-    (smaller buckets). The exactness-critical final scoring reuses
-    `cosine_exact`. At 100 TB the corpus side is written bucketed by
-    (table, bucket) so probe lookups prune partitions.
+    (smaller buckets). ``multiprobe`` additionally probes each probe's
+    Hamming-1 neighbor buckets (probe side only — see
+    :func:`_probe_bucket_structs`), raising recall without more tables.
+    The exactness-critical final scoring reuses `cosine_exact`. At 100 TB
+    the corpus side is written bucketed by (table, bucket) so probe
+    lookups prune partitions.
     """
-    def signed(df: DataFrame, idc: str, norm_alias: str) -> DataFrame:
+    def signed(df: DataFrame, idc: str, norm_alias: str, flips: int = 0) -> DataFrame:
         sigs = [
             hyperplane_signature(F.col(vec_col), num_planes, seed=1000 + t).alias(f"sig_{t}")
             for t in range(num_tables)
@@ -292,10 +317,7 @@ def ann_lsh_topk(
             F.col(vec_col),
             F.col(norm_alias),
             F.explode(
-                F.array(*[
-                    F.struct(F.lit(t).alias("tbl"), F.col(f"sig_{t}").alias("bucket"))
-                    for t in range(num_tables)
-                ])
+                F.array(*_probe_bucket_structs(num_tables, flips, num_planes))
             ).alias("tb"),
         )
         return melted.filter(F.col(norm_alias) > 0).select(
@@ -308,8 +330,12 @@ def ann_lsh_topk(
 
     c = signed(corpus, id_col, "__cnorm")
     p = F.broadcast(
-        signed(probes.select(F.col(probe_id_col).alias("__pid"), F.col(vec_col)), "__pid", "__pnorm")
-        .withColumnRenamed(vec_col, "__pvec")
+        signed(
+            probes.select(F.col(probe_id_col).alias("__pid"), F.col(vec_col)),
+            "__pid",
+            "__pnorm",
+            flips=multiprobe,
+        ).withColumnRenamed(vec_col, "__pvec")
     )
     cand = (
         c.join(p, ["tbl", "bucket"])

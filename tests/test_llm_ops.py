@@ -463,3 +463,44 @@ def test_repetition_signals(spark, sf_dir):
         F.min("top_ngram_fraction"), F.max("top_ngram_fraction")
     ).collect()[0]
     assert 0.0 < stats[0] <= stats[1] <= 1.0
+
+
+def test_ann_multiprobe_raises_recall(spark, sf_dir, tmp_path):
+    """Multi-probe (Hamming-1 neighbor buckets, probe side only) must
+    give recall >= the single-probe baseline on the same index, and the
+    candidate set must be a superset (same signatures, more buckets)."""
+    emb = table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    exact = {
+        (r["probe_id"], r["vec_id"])
+        for r in similarity.knn_exact(emb, probes, k=5).collect()
+    }
+
+    def recall(mp):
+        got = {
+            (r["probe_id"], r["vec_id"])
+            for r in similarity.ann_lsh_topk(
+                emb, probes, k=5, multiprobe=mp
+            ).collect()
+        }
+        return len(exact & got) / len(exact)
+
+    r0, r4 = recall(0), recall(4)
+    assert r4 >= r0, (r0, r4)
+
+    # indexed path agrees with the in-memory path under multiprobe
+    idx_path = str(tmp_path / "ann_mp")
+    similarity.build_ann_index(emb, idx_path)
+    mem = {
+        (r["probe_id"], r["vec_id"])
+        for r in similarity.ann_lsh_topk(emb, probes, k=5, multiprobe=2).collect()
+    }
+    idx = {
+        (r["probe_id"], r["vec_id"])
+        for r in similarity.ann_query_indexed(
+            spark, idx_path, probes, k=5, multiprobe=2
+        ).collect()
+    }
+    assert idx == mem
