@@ -150,3 +150,46 @@ def repetition_stats(df, text_col: str = "text", id_col: str = "doc_id", n: int 
         F.max("c").alias("top_gram_count"),
         (F.max("c") / F.sum("c")).alias("top_ngram_fraction"),
     )
+
+
+# --- PII scrubbing (training-data redaction) ------------------------------
+
+# Order matters: cards before phones (a 16-digit card is also a long
+# digit run), emails independent. Patterns are deliberately high-recall
+# / moderate-precision — redaction favors false positives.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    ("EMAIL", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("CARD", r"\b(?:\d[ -]?){13,19}\b"),
+    # the leading lookahead keeps ISO dates (4-2-2 digit shape) out of
+    # the phone net — the one digit-run false positive worth excluding
+    ("PHONE", r"(?<![\d-])(?!\d{4}-\d{2}-\d{2}(?!\d))\+?\d{1,3}[ -]?\(?\d{1,4}\)?(?:[ -]?\d{2,4}){2,3}(?![\d-])"),
+)
+
+
+def scrub_pii(text: Column | str, patterns=PII_PATTERNS) -> Column:
+    """Redact PII spans to ``<TYPE>`` placeholders — the standard
+    pre-training redaction pass. A chain of ``regexp_replace`` stays
+    whole-stage-codegen (one scan, no shuffle, no UDF), which is the
+    only shape that survives a 100 TB corpus pass. The reference's own
+    domain (payments emails) is exactly where card/phone/email strings
+    leak into free text; its pipeline prints them
+    (data_pipeline.py:26-41) — this operator exists so ours never
+    stores them."""
+    c = F.col(text) if isinstance(text, str) else text
+    for tag, pat in patterns:
+        c = F.regexp_replace(c, pat, f"<{tag}>")
+    return c
+
+
+def pii_hits(text: Column | str, patterns=PII_PATTERNS) -> Column:
+    """Per-doc count of redactable spans (QA signal for the scrub).
+    Counts mirror the scrub exactly: each pattern counts against the
+    text already scrubbed of earlier patterns, so a span never counts
+    twice (a card number is also a long digit run a phone pattern
+    would re-match)."""
+    c = F.col(text) if isinstance(text, str) else text
+    total = F.lit(0)
+    for tag, pat in patterns:
+        total = total + F.size(F.regexp_extract_all(c, F.lit(pat), F.lit(0)))
+        c = F.regexp_replace(c, pat, f"<{tag}>")
+    return total.cast("long")

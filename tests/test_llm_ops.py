@@ -504,3 +504,37 @@ def test_ann_multiprobe_raises_recall(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert idx == mem
+
+
+def test_pii_scrub(spark):
+    from data_pipeline_demo_spark.operators import textstats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "contact jane.doe+x@corp.example.com for refunds"),
+            (2, "card 4111 1111 1111 1111 charged, call +61 2 9876 5432"),
+            (3, "no pii here just words"),
+            (4, "order #12 shipped 2025-04-30"),  # short digit runs survive
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["clean"], r["hits"])
+        for r in docs.select(
+            "doc_id",
+            textstats.scrub_pii("text").alias("clean"),
+            textstats.pii_hits("text").alias("hits"),
+        ).collect()
+    }
+    assert out[1] == ("contact <EMAIL> for refunds", 1)
+    assert "<CARD>" in out[2][0] and "<PHONE>" in out[2][0]
+    assert "4111" not in out[2][0] and "9876" not in out[2][0]
+    assert out[2][1] == 2
+    assert out[3] == ("no pii here just words", 0)
+    assert "2025" in out[4][0] and out[4][1] == 0
+    # scrub is idempotent
+    twice = docs.select(
+        textstats.scrub_pii(textstats.scrub_pii("text")).alias("c")
+    ).collect()
+    once = docs.select(textstats.scrub_pii("text").alias("c")).collect()
+    assert [r["c"] for r in twice] == [r["c"] for r in once]
