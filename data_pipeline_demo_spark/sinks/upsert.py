@@ -149,6 +149,15 @@ def upsert_parquet(
     )
     jvm = spark._jvm
     fs, target = _hadoop_fs(spark, target_path)
+    # a crashed previous publish leaves a sibling staging dir; it is
+    # never half-applied (publish is rename-only after a full write),
+    # so it is safe to drop before this commit writes its own
+    parent = target.getParent()
+    if parent is not None and fs.exists(parent):
+        prefix = target.getName() + "__staging_"
+        for st in fs.listStatus(parent):
+            if st.getPath().getName().startswith(prefix):
+                fs.delete(st.getPath(), True)
     untouched_n = 0
     incremental = False
     touched: list[int] = []

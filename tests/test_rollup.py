@@ -42,3 +42,57 @@ def test_cascade_rejects_misordered_levels(spark, sf_dir):
         rollup.rollup_cascade(ev, levels=("day", "hour"))
     with pytest.raises(ValueError, match="fine-to-coarse"):
         rollup.rollup_cascade(ev, levels=("hour", "hour"))
+
+
+def test_refresh_cascade_incremental_equals_one_shot(spark, sf_dir, tmp_path):
+    """A store refreshed in two arbitrary increments must equal the
+    one-shot cascade over all events, bit-for-bit, at every tier."""
+    ev = table(spark, sf_dir, "events")
+    first = ev.filter(F.col("event_id") % 2 == 0)
+    second = ev.filter(F.col("event_id") % 2 == 1)
+    base = str(tmp_path / "store")
+    rollup.refresh_cascade(spark, first, base)
+    rollup.refresh_cascade(spark, second, base)
+    one_shot = rollup.rollup_cascade(ev)
+    for lvl in ("minute", "hour", "day"):
+        got = sorted(
+            map(tuple, rollup.finalize(rollup.read_rollup(spark, base, lvl)).collect())
+        )
+        want = sorted(map(tuple, rollup.finalize(one_shot[lvl]).collect()))
+        assert got == want, f"incremental {lvl} != one-shot"
+
+
+def test_refresh_cascade_touches_only_affected_days(spark, sf_dir, tmp_path):
+    """A single-day increment must leave every other day's partition
+    files byte-identical in every tier."""
+    import glob
+    import hashlib
+    import os
+
+    ev = table(spark, sf_dir, "events")
+    base = str(tmp_path / "store")
+    rollup.refresh_cascade(spark, ev, base)
+
+    def snapshot():
+        out = {}
+        for lvl in ("minute", "hour", "day"):
+            for d in glob.glob(os.path.join(base, lvl, "p_date=*")):
+                for p in glob.glob(os.path.join(d, "*.parquet")):
+                    out[p] = hashlib.md5(open(p, "rb").read()).hexdigest()
+        return out
+
+    before = snapshot()
+    inc = ev.filter(F.to_date("ts") == "2024-01-15")
+    assert inc.count() > 0
+    days = rollup.refresh_cascade(spark, inc, base)
+    assert days == ["2024-01-15"]
+    after = snapshot()
+    unaffected_before = {p: h for p, h in before.items() if "p_date=2024-01-15" not in p}
+    unaffected_after = {p: h for p, h in after.items() if "p_date=2024-01-15" not in p}
+    assert unaffected_before == unaffected_after
+    # and the affected day doubled its counts (events added twice)
+    day15 = rollup.read_rollup(spark, base, "day").filter(
+        F.to_date("bucket") == "2024-01-15"
+    )
+    n = day15.agg(F.sum("n_events")).collect()[0][0]
+    assert n == 2 * inc.count()
