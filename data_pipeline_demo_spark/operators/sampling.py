@@ -1,0 +1,113 @@
+"""Deterministic sampling, source mixing, and sequence packing —
+dataset-assembly operators for training pipelines (north-star surface).
+
+Everything keys on hashes of a stable id, never ``rand()``: a sample
+must survive task retries, reruns, and engine upgrades identically, and
+a train/holdout split must stay disjoint forever. The hash-threshold
+trick (keep iff ``hash(id, salt) mod M < fraction·M``) gives exact,
+order-independent, replayable selection with zero state — and is plain
+SQL, so every operator here is oracle-checkable by construction.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_M = 1_000_000  # threshold resolution: fractions quantize to 1e-6
+
+
+def _bucket(key: Column, salt: int) -> Column:
+    return F.pmod(F.xxhash64(key, F.lit(salt)), F.lit(_M))
+
+
+def deterministic_sample(
+    df: DataFrame, fraction: float, key_col: str = "doc_id", salt: int = 0
+) -> DataFrame:
+    """Keep a ``fraction`` of rows, chosen by hash threshold on
+    ``key_col`` — deterministic, retry-safe, no shuffle (a scan-stream
+    filter that pushes down). Different ``salt`` values draw
+    independent samples."""
+    return df.filter(_bucket(F.col(key_col), salt) < int(fraction * _M))
+
+
+def stratified_sample(
+    df: DataFrame,
+    fractions: Mapping[object, float],
+    stratum_col: str,
+    key_col: str = "doc_id",
+    salt: int = 0,
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Per-stratum hash-threshold sampling — the source-mixing
+    primitive (e.g. keep 100% of books, 10% of web). Strata absent from
+    ``fractions`` keep ``default_fraction``. One scan, no shuffle."""
+    thresh = F.lit(int(default_fraction * _M))
+    for value, frac in fractions.items():
+        thresh = F.when(
+            F.col(stratum_col) == F.lit(value), F.lit(int(frac * _M))
+        ).otherwise(thresh)
+    return df.filter(_bucket(F.col(key_col), salt) < thresh)
+
+
+def train_holdout_split(
+    df: DataFrame, holdout_fraction: float, key_col: str = "doc_id", salt: int = 7
+) -> tuple[DataFrame, DataFrame]:
+    """(train, holdout): disjoint, covering, and stable — a row's side
+    depends only on its key, so later increments of the same corpus
+    never leak a holdout key into train."""
+    cut = int(holdout_fraction * _M)
+    b = _bucket(F.col(key_col), salt)
+    return df.filter(b >= cut), df.filter(b < cut)
+
+
+def pack_sequences(
+    df: DataFrame,
+    token_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    budget: int = 2048,
+    num_shards: int = 1024,
+    order_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Assign each document to a fixed-token-budget pack (the batch
+    assembly step before training): documents are laid out in a
+    deterministic order and a pack boundary falls every ``budget``
+    tokens of running length — pack id = floor(exclusive-cumsum /
+    budget). A pack's payload can overshoot the budget by at most its
+    last document (the standard contiguous-packing trade; the trainer
+    truncates or pads).
+
+    Scale shape: a single global running sum would serialize on one
+    partition, so documents are first sharded by key hash and packed
+    WITHIN shards — each shard's window sorts independently, and pack
+    ids are (shard, local pack) pairs flattened into one long. At 100 TB
+    pick ``num_shards`` ≳ cluster parallelism; packing quality is
+    unaffected (every shard still fills packs back-to-back).
+
+    Returns the input plus ``pack_id`` and ``pack_offset`` (the doc's
+    starting token offset inside its pack).
+    """
+    shard = F.pmod(F.xxhash64(F.col(id_col)), F.lit(num_shards)).alias("__shard")
+    w = Window.partitionBy("__shard").orderBy(
+        *[F.col(c) for c in order_cols], F.col(id_col)
+    )
+    cum_excl = F.coalesce(
+        F.sum(token_col).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0),
+    )
+    local_pack = F.floor(cum_excl / F.lit(budget))
+    return (
+        df.withColumn("__shard", shard)
+        .withColumn("__cum_excl", cum_excl)
+        .withColumn(
+            "pack_id",
+            (F.col("__shard") * F.lit(2**40) + local_pack).cast("long"),
+        )
+        .withColumn(
+            "pack_offset",
+            (F.col("__cum_excl") - local_pack * F.lit(budget)).cast("long"),
+        )
+        .drop("__shard", "__cum_excl")
+    )

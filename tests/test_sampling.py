@@ -1,0 +1,86 @@
+"""Deterministic sampling / mixing / packing invariants."""
+
+from pyspark.sql import functions as F
+
+from data_pipeline_demo_spark.operators import sampling, textstats
+from data_pipeline_demo_spark.sources.tables import table
+
+
+def test_deterministic_sample_stable_and_sized(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    s1 = {r["doc_id"] for r in sampling.deterministic_sample(docs, 0.3).collect()}
+    s2 = {r["doc_id"] for r in sampling.deterministic_sample(docs, 0.3).collect()}
+    assert s1 == s2  # replayable
+    n = docs.count()
+    assert 0.2 * n < len(s1) < 0.4 * n  # hash-uniform sizing
+    # nested fractions: a smaller sample with the same salt is a subset
+    s_small = {r["doc_id"] for r in sampling.deterministic_sample(docs, 0.1).collect()}
+    assert s_small <= s1
+    # different salt draws an (essentially) independent sample
+    s_other = {
+        r["doc_id"] for r in sampling.deterministic_sample(docs, 0.3, salt=1).collect()
+    }
+    assert s_other != s1
+
+
+def test_stratified_sample_mixing(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    mixed = sampling.stratified_sample(
+        ev, {"click": 1.0, "view": 0.2}, stratum_col="event_type", key_col="event_id"
+    )
+    by_type = {
+        r["event_type"]: r["n"]
+        for r in mixed.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+    totals = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_type["click"] == totals["click"]  # keep-all stratum intact
+    assert 0.1 * totals["view"] < by_type.get("view", 0) < 0.3 * totals["view"]
+    assert set(by_type) == {"click", "view"}  # default_fraction=0 drops the rest
+
+
+def test_train_holdout_split_disjoint_covering_stable(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    train, hold = sampling.train_holdout_split(docs, 0.2)
+    t = {r["doc_id"] for r in train.collect()}
+    h = {r["doc_id"] for r in hold.collect()}
+    assert t.isdisjoint(h)
+    assert t | h == {r["doc_id"] for r in docs.collect()}
+    # stability under increments: the split of a subset agrees
+    sub = docs.filter(F.col("doc_id") % 3 == 0)
+    t2, h2 = sampling.train_holdout_split(sub, 0.2)
+    assert {r["doc_id"] for r in h2.collect()} == h & {
+        r["doc_id"] for r in sub.collect()
+    }
+
+
+def test_pack_sequences_budget_and_coverage(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", textstats.token_count("text").alias("n_tokens")
+    )
+    budget = 256
+    packed = sampling.pack_sequences(docs, budget=budget, num_shards=8)
+    rows = packed.collect()
+    assert len(rows) == docs.count()  # every doc packed exactly once
+    by_pack = {}
+    for r in rows:
+        by_pack.setdefault(r["pack_id"], []).append(r)
+    for pack in by_pack.values():
+        toks = sorted((r["pack_offset"], r["n_tokens"]) for r in pack)
+        # offsets are a contiguous token layout within the pack
+        pos = toks[0][0]
+        assert pos < budget  # a pack starts within budget
+        for off, n in toks:
+            assert off == pos
+            pos += n
+        # overshoot is at most the last doc (contiguous packing contract)
+        total = sum(n for _, n in toks)
+        assert total - toks[-1][1] < budget
+    # deterministic
+    again = sorted(
+        (r["doc_id"], r["pack_id"], r["pack_offset"])
+        for r in sampling.pack_sequences(docs, budget=budget, num_shards=8).collect()
+    )
+    assert again == sorted((r["doc_id"], r["pack_id"], r["pack_offset"]) for r in rows)
