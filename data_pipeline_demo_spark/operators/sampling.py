@@ -27,9 +27,10 @@ def deterministic_sample(
     df: DataFrame, fraction: float, key_col: str = "doc_id", salt: int = 0
 ) -> DataFrame:
     """Keep a ``fraction`` of rows, chosen by hash threshold on
-    ``key_col`` — deterministic, retry-safe, no shuffle (a scan-stream
-    filter that pushes down). Different ``salt`` values draw
-    independent samples."""
+    ``key_col`` — deterministic, retry-safe, no shuffle: the predicate
+    evaluates inside the scan stage (hash expressions aren't
+    parquet-pushable, but nothing leaves the stage either). Different
+    ``salt`` values draw independent samples."""
     return df.filter(_bucket(F.col(key_col), salt) < int(fraction * _M))
 
 
@@ -43,7 +44,8 @@ def stratified_sample(
 ) -> DataFrame:
     """Per-stratum hash-threshold sampling — the source-mixing
     primitive (e.g. keep 100% of books, 10% of web). Strata absent from
-    ``fractions`` keep ``default_fraction``. One scan, no shuffle."""
+    ``fractions`` keep ``default_fraction``. One scan-stage filter, no
+    shuffle."""
     thresh = F.lit(int(default_fraction * _M))
     for value, frac in fractions.items():
         thresh = F.when(
