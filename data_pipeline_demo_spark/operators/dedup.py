@@ -122,9 +122,13 @@ def _materialized_sets(
     path = _SETS_SCRATCH.get(key)
     if path is None:
         path = tempfile.mkdtemp(prefix="spark_graft_shingles_")
+        # snappy, not the session's zstd: the scratch is written once and
+        # reread 2-3 times within the query, so cheap-CPU encoding beats
+        # ratio (measured: zstd 1.3s vs snappy 0.5s for the sf0.1 write,
+        # identical read cost) — durable tables keep zstd
         shingle_hash_sets(df, text_col, id_col, k).write.mode(
             "overwrite"
-        ).parquet(path)
+        ).option("compression", "snappy").parquet(path)
         for other in [k2 for k2 in _SETS_SCRATCH if k2 != key]:
             shutil.rmtree(_SETS_SCRATCH.pop(other), ignore_errors=True)
         _SETS_SCRATCH[key] = path
