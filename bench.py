@@ -50,8 +50,35 @@ def main() -> None:
     spark = get_spark("bench")
     queries, _ = all_queries()
 
-    # warmup: touch every table + JIT the common codepaths
-    queries["q01_pricing_summary"](spark, sf_dir).count()
+    # warmup: touch every table family + JIT the common codepaths
+    # (relational scan/agg, document text HOFs, embedding folds, event
+    # windows) so the first heavy query isn't billed JVM/codegen
+    # startup — the headline set itself is unchanged
+    for w in (
+        "q01_pricing_summary",    # lineitem scan + agg
+        "q46_text_stats",         # documents + array/HOF codegen
+        "q50_embedding_stats",    # embeddings + aggregate folds
+        "q34_tumbling_window",    # events + window exprs
+    ):
+        queries[w](spark, sf_dir).count()
+    # JIT the dedup/similarity operator shapes on a tiny slice, then
+    # drop the warmup scratch so q41 still pays its full-corpus shingle
+    # materialization honestly (only codegen/JIT is pre-warmed, never
+    # data)
+    from pyspark.sql import functions as F  # noqa: E402
+
+    from data_pipeline_demo_spark.operators import dedup, similarity  # noqa: E402
+    from data_pipeline_demo_spark.sources.tables import table  # noqa: E402
+
+    tiny_docs = table(spark, sf_dir, "documents").limit(64)
+    dedup.jaccard_similarity_join(tiny_docs, threshold=0.7).count()
+    dedup.minhash_dedup_pairs(tiny_docs, threshold=0.7).count()
+    dedup.clear_shingle_scratch()
+    tiny_emb = table(spark, sf_dir, "embeddings").limit(64)
+    similarity.knn_exact(
+        tiny_emb,
+        tiny_emb.limit(2).select(F.col("vec_id").alias("probe_id"), "embedding"),
+    ).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
