@@ -460,6 +460,7 @@ def connected_components(
         .withColumn("component", F.col("node"))
         .localCheckpoint()
     )
+    converged = False
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges["dst"] == labels["node"])
@@ -481,7 +482,16 @@ def connected_components(
         changed = updated.filter(F.col("__changed")).limit(1).count()
         labels = updated.drop("__changed")
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # partially-propagated labels would silently split components —
+        # refuse instead (a diameter this long means the pair list is
+        # not near-dup-shaped; raise max_iterations deliberately if so)
+        raise RuntimeError(
+            f"connected_components did not converge within "
+            f"{max_iterations} iterations (graph diameter exceeds it)"
+        )
     return labels
 
 

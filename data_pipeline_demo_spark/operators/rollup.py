@@ -162,6 +162,10 @@ def refresh_cascade(
     from ..sinks.upsert import _hadoop_fs, _swap_in
 
     jvm = spark._jvm
+    # a null event time has no bucket, no p_date partition, and would
+    # stage into __HIVE_DEFAULT_PARTITION__ that the publish loop never
+    # swaps — drop explicitly rather than lose rows silently
+    increment = increment.filter(F.col(ts_col).isNotNull())
     inc = _finest_partials(increment, ts_col, dims, value_col, levels[0])
     days = sorted(
         str(r["d"]) for r in inc.select(F.to_date("bucket").alias("d")).distinct().collect()

@@ -538,3 +538,14 @@ def test_pii_scrub(spark):
     ).collect()
     once = docs.select(textstats.scrub_pii("text").alias("c")).collect()
     assert [r["c"] for r in twice] == [r["c"] for r in once]
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    import pytest
+
+    # a 6-node path graph needs ~5 propagation rounds; cap at 2 -> raise
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 6)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(chain, max_iterations=2)

@@ -96,3 +96,16 @@ def test_refresh_cascade_touches_only_affected_days(spark, sf_dir, tmp_path):
     )
     n = day15.agg(F.sum("n_events")).collect()[0][0]
     assert n == 2 * inc.count()
+
+
+def test_refresh_cascade_null_ts_and_empty_increment(spark, sf_dir, tmp_path):
+    ev = table(spark, sf_dir, "events")
+    base = str(tmp_path / "store")
+    # null event times are dropped explicitly, not lost in a phantom
+    # partition; an all-null (effectively empty) increment is a no-op
+    withnull = ev.limit(10).withColumn("ts", F.lit(None).cast("timestamp"))
+    assert rollup.refresh_cascade(spark, withnull, base) == []
+    days = rollup.refresh_cascade(spark, ev.limit(100), base)
+    assert days  # real rows still build the store
+    total = rollup.read_rollup(spark, base, "day").agg(F.sum("n_events")).collect()[0][0]
+    assert total == 100
