@@ -100,7 +100,10 @@ def q19_window_offsets_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_custkey, c_mktsegment,
            NTILE(4) OVER w AS balance_quartile,
+           PERCENT_RANK() OVER w AS balance_pct_rank,
+           CUME_DIST() OVER w AS balance_cume_dist,
            FIRST_VALUE(c_custkey) OVER w2 AS richest_in_segment,
+           NTH_VALUE(c_custkey, 2) OVER w2 AS second_richest,
            LAST_VALUE(c_custkey)  OVER w2 AS poorest_in_segment
     FROM customer
     WINDOW
@@ -110,6 +113,11 @@ def q19_window_offsets_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q22_window_ntile_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full analytic-window roster beyond rank/lag/lead (q18/q19):
+    ntile, percent_rank, cume_dist, first/nth/last over an explicit
+    whole-partition frame. percent_rank and cume_dist are rank
+    arithmetic over exact ints ((rank−1)/(n−1), rank/n) so their
+    doubles hash identically across engines."""
     c = table(spark, sf_dir, "customer")
     w = Window.partitionBy("c_mktsegment").orderBy(
         F.col("c_acctbal").desc(), F.col("c_custkey")
@@ -119,7 +127,10 @@ def q22_window_ntile_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey",
         "c_mktsegment",
         F.ntile(4).over(w).cast("long").alias("balance_quartile"),
+        F.percent_rank().over(w).alias("balance_pct_rank"),
+        F.cume_dist().over(w).alias("balance_cume_dist"),
         F.first("c_custkey").over(w2).alias("richest_in_segment"),
+        F.nth_value("c_custkey", 2).over(w2).alias("second_richest"),
         F.last("c_custkey").over(w2).alias("poorest_in_segment"),
     )
 
