@@ -155,6 +155,10 @@ def q28_robust_date_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
            STRPOS(c_name, '#') AS hash_pos,
            LEN(STRING_SPLIT(c_name, '#')) AS n_parts,
            TRIM(' ' || c_mktsegment || ' ') AS seg_trim,
+           LEVENSHTEIN(c_mktsegment, 'MACHINERY') AS seg_edit_dist,
+           TRANSLATE(c_name, '#0', '_O') AS name_translated,
+           REVERSE(c_mktsegment) AS seg_reversed,
+           REPEAT('ab', CAST(c_custkey % 3 AS INT)) AS ab_repeated,
            ABS(c_acctbal) AS abs_bal,
            ROUND(c_acctbal, 1) AS bal_round1,
            CAST(FLOOR(c_acctbal) AS BIGINT) AS bal_floor,
@@ -191,6 +195,10 @@ def q29_string_math_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.instr("c_name", "#").cast("long").alias("hash_pos"),
         F.size(F.split("c_name", "#")).cast("long").alias("n_parts"),
         F.trim(F.concat(F.lit(" "), F.col("c_mktsegment"), F.lit(" "))).alias("seg_trim"),
+        F.levenshtein(F.col("c_mktsegment"), F.lit("MACHINERY")).cast("long").alias("seg_edit_dist"),
+        F.translate(F.col("c_name"), "#0", "_O").alias("name_translated"),
+        F.reverse(F.col("c_mktsegment")).alias("seg_reversed"),
+        F.repeat(F.lit("ab"), (F.col("c_custkey") % 3).cast("int")).alias("ab_repeated"),
         F.abs(bal).alias("abs_bal"),
         F.round(bal, 1).alias("bal_round1"),
         F.floor(bal).alias("bal_floor"),
