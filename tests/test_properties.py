@@ -110,3 +110,75 @@ def test_upsert_idempotent_and_update_wins_property(spark, batch1, batch2):
         assert got == {**batch1, **batch2}  # update wins, inserts kept
     finally:
         shutil.rmtree(target.rsplit("/", 1)[0], ignore_errors=True)
+
+
+# --- rollup refresh ≡ one-shot under arbitrary increments ----------------
+
+from datetime import datetime
+
+from data_pipeline_demo_spark.operators import rollup, sampling
+
+event_rows = st.lists(
+    st.tuples(
+        st.integers(0, 10**6),
+        st.datetimes(
+            min_value=datetime(2024, 1, 1), max_value=datetime(2024, 2, 15)
+        ),
+        st.sampled_from(["a", "b", None]),
+        st.integers(-(10**8), 10**8).map(lambda n: n / 100.0),  # cents-exact
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(rows=event_rows, cut=st.integers(0, 40))
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_refresh_cascade_property(spark, rows, cut):
+    """Any batch split at any point, refreshed as two increments, must
+    equal the one-shot cascade at every tier — including null dims and
+    colliding minutes."""
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+    a = spark.createDataFrame(rows[:cut] or [], df.schema)
+    b = spark.createDataFrame(rows[cut:] or [], df.schema)
+    base = tempfile.mkdtemp(prefix="rollup_prop_")
+    try:
+        rollup.refresh_cascade(spark, a, base)
+        rollup.refresh_cascade(spark, b, base)
+        one_shot = rollup.rollup_cascade(df)
+        nullsafe = lambda row: [(v is None, v) for v in row]
+        for lvl in ("minute", "day"):
+            got = sorted(
+                map(tuple, rollup.finalize(rollup.read_rollup(spark, base, lvl)).collect()),
+                key=nullsafe,
+            )
+            want = sorted(
+                map(tuple, rollup.finalize(one_shot[lvl]).collect()), key=nullsafe
+            )
+            assert got == want, lvl
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+@given(
+    ids=st.lists(st.integers(0, 10**9), min_size=1, max_size=200, unique=True),
+    f1=st.integers(0, 100),
+    f2=st.integers(0, 100),
+)
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_sampling_laws_property(spark, ids, f1, f2):
+    """Hash-threshold laws for any id set and fractions: nestedness at
+    one salt, and train/holdout is a disjoint cover at any fraction."""
+    lo, hi = sorted((f1, f2))
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    small = {r["doc_id"] for r in sampling.deterministic_sample(df, lo / 100).collect()}
+    big = {r["doc_id"] for r in sampling.deterministic_sample(df, hi / 100).collect()}
+    assert small <= big
+    train, hold = sampling.train_holdout_split(df, f1 / 100)
+    t = {r["doc_id"] for r in train.collect()}
+    h = {r["doc_id"] for r in hold.collect()}
+    assert t.isdisjoint(h) and t | h == set(ids)
