@@ -215,9 +215,10 @@ def _duck_stop_hits(lang: str) -> str:
 
 
 @register(
-    "q47_lang_id",
+    "q47_lang_fingerprint",
     oracle=f"""
-    WITH scored AS (
+    WITH {_DUCK_SHINGLES},
+    scored AS (
       SELECT doc_id, lang AS lang_recorded,
              {_duck_stop_hits('de')} AS h_de,
              {_duck_stop_hits('en')} AS h_en,
@@ -225,7 +226,7 @@ def _duck_stop_hits(lang: str) -> str:
              {_duck_stop_hits('fr')} AS h_fr
       FROM documents
     )
-    SELECT doc_id, lang_recorded,
+    SELECT s.doc_id, s.lang_recorded,
            CASE
              WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'unknown'
              WHEN h_de = greatest(h_de, h_en, h_es, h_fr) THEN 'de'
@@ -233,18 +234,33 @@ def _duck_stop_hits(lang: str) -> str:
              WHEN h_es = greatest(h_de, h_en, h_es, h_fr) THEN 'es'
              ELSE 'fr'
            END AS lang_detected,
-           h_en AS en_stopword_hits
-    FROM scored
+           h_en AS en_stopword_hits,
+           md5(d.text) AS content_md5,
+           list_aggregate(list_transform(sh.s, x -> md5(x)), 'min')
+             AS shingle_sketch
+    FROM scored s
+    JOIN documents d ON s.doc_id = d.doc_id
+    JOIN sh ON s.doc_id = sh.doc_id
     """,
 )
-def q47_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stopword-overlap language ID (argmax, lexical tiebreak)."""
+def q47_lang_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc identity signals in ONE scan: stopword-overlap language ID
+    (argmax, lexical tiebreak) + identity hash + 1-hash MinHash sketch
+    (rolling-window min-md5).
+
+    Consolidated from the former q47_lang_id / q49_doc_fingerprint (same
+    table, same doc_id grain) so the freed slot keeps every oracle-bearing
+    query inside the driver's 50-entry correctness gate. Scale: pure
+    codegen scan-stream over documents, no shuffle.
+    """
     d = table(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
         F.col("lang").alias("lang_recorded"),
         textstats.lang_id("text").alias("lang_detected"),
         textstats.stopword_hits("text", "en").alias("en_stopword_hits"),
+        F.md5(F.encode("text", "utf-8")).alias("content_md5"),
+        textstats.doc_fingerprint("text").alias("shingle_sketch"),
     )
 
 
@@ -280,26 +296,6 @@ def q48_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         f["punct_ratio"].alias("punct_ratio"),
         f["stopword_ratio"].alias("stopword_ratio"),
         textstats.quality_score("text").alias("quality"),
-    )
-
-
-@register(
-    "q49_doc_fingerprint",
-    oracle=f"""
-    WITH {_DUCK_SHINGLES}
-    SELECT d.doc_id,
-           md5(d.text) AS content_md5,
-           list_aggregate(list_transform(sh.s, x -> md5(x)), 'min') AS shingle_sketch
-    FROM documents d JOIN sh ON d.doc_id = sh.doc_id
-    """,
-)
-def q49_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Identity hash + 1-hash MinHash sketch (rolling-window min-md5)."""
-    d = table(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id",
-        F.md5(F.encode("text", "utf-8")).alias("content_md5"),
-        textstats.doc_fingerprint("text").alias("shingle_sketch"),
     )
 
 

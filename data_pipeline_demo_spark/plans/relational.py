@@ -316,33 +316,111 @@ def q11_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q12_null_counts",
+    "q12_qa_profile",
     oracle="""
-    SELECT COUNT(*) AS n_rows,
-           COUNT(*) - COUNT(n_orders) AS n_null,
-           COUNT(n_orders) AS n_not_null
-    FROM (
-      SELECT c.c_custkey, g.n_orders
+    WITH j AS (
+      SELECT c.c_custkey,
+             CAST(ROUND(c.c_acctbal * 100) AS BIGINT) AS bal_cents,
+             g.n_orders
       FROM customer c LEFT JOIN (
         SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY o_custkey
       ) g ON c.c_custkey = g.o_custkey
+    ), m AS (
+      SELECT COUNT(*) AS n_rows,
+             COUNT(*) - COUNT(n_orders) AS n_null,
+             COUNT(n_orders) AS n_not_null,
+             SUM(n_orders) AS s1,
+             SUM(n_orders * n_orders) AS s2,
+             SUM(CASE WHEN n_orders IS NOT NULL THEN bal_cents END) AS bx,
+             SUM(CASE WHEN n_orders IS NOT NULL
+                 THEN bal_cents * bal_cents END) AS bxx,
+             SUM(bal_cents * n_orders) AS bxy,
+             quantile_cont(n_orders, [0.25, 0.5, 0.75]) AS qs
+      FROM j
     )
+    SELECT CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(n_null AS BIGINT) AS n_null,
+           CAST(n_not_null AS BIGINT) AS n_not_null,
+           CAST(s1 AS DOUBLE) / n_not_null AS avg_orders,
+           CAST(n_not_null * s2 - s1 * s1 AS DOUBLE)
+             / CAST(n_not_null * (n_not_null - 1) AS DOUBLE) AS var_orders,
+           sqrt(CAST(n_not_null * s2 - s1 * s1 AS DOUBLE)
+             / CAST(n_not_null * (n_not_null - 1) AS DOUBLE)) AS stddev_orders,
+           qs[1] AS q25_orders, qs[2] AS q50_orders, qs[3] AS q75_orders,
+           CAST(n_not_null * bxy - bx * s1 AS DOUBLE)
+             / (sqrt(CAST(n_not_null * bxx - bx * bx AS DOUBLE))
+                * sqrt(CAST(n_not_null * s2 - s1 * s1 AS DOUBLE)))
+             AS corr_bal_orders
+    FROM m
     """,
 )
-def q12_null_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Null/non-null QA counts (A3, data_pipeline.py:430,:446,:689-690) over
-    a column that actually contains nulls (left-join miss)."""
+def q12_qa_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset QA profile in one grouped pass: null/non-null counts (A3,
+    data_pipeline.py:430,:446,:689-690) over a column that actually
+    contains nulls (left-join miss), plus distribution moments
+    (avg/var/stddev), exact interpolated quartiles, and a balance↔activity
+    correlation.
+
+    Determinism contract (the driver hash-compares against DuckDB):
+    moments are derived from EXACT integer accumulators (n·Σx² − (Σx)²
+    etc. in decimal(38,0) — order-independent under any shuffle), then
+    cast to double once and combined with IEEE-correct ops (/, sqrt), so
+    Spark and the oracle agree bit-for-bit. ``percentile`` interpolates at
+    (n−1)·p exactly like DuckDB's ``quantile_cont`` (type-7), exact in
+    double for this integral column. Scale: single global agg row —
+    map-side partial aggregation, O(1) shuffle; percentile buffers one
+    integer per non-null row per partition, the only non-sketch state.
+    """
     c = table(spark, sf_dir, "customer")
     g = (
         table(spark, sf_dir, "orders")
         .groupBy("o_custkey")
         .agg(F.count(F.lit(1)).alias("n_orders"))
     )
-    joined = c.join(g, c.c_custkey == g.o_custkey, "left")
-    return joined.agg(
+    joined = c.join(g, c.c_custkey == g.o_custkey, "left").select(
+        F.round(F.col("c_acctbal") * 100)
+        .cast("bigint")
+        .alias("bal_cents"),
+        "n_orders",
+    )
+    dec = "decimal(38,0)"
+    y = F.col("n_orders")
+    x_paired = F.when(y.isNotNull(), F.col("bal_cents"))
+    m = joined.agg(
         F.count(F.lit(1)).alias("n_rows"),
-        (F.count(F.lit(1)) - F.count("n_orders")).alias("n_null"),
-        F.count("n_orders").alias("n_not_null"),
+        (F.count(F.lit(1)) - F.count(y)).alias("n_null"),
+        F.count(y).alias("n_not_null"),
+        F.sum(y.cast(dec)).alias("s1"),
+        F.sum((y * y).cast(dec)).alias("s2"),
+        F.sum(x_paired.cast(dec)).alias("bx"),
+        F.sum((x_paired * x_paired).cast(dec)).alias("bxx"),
+        F.sum((x_paired * y).cast(dec)).alias("bxy"),
+        F.expr("percentile(n_orders, array(0.25, 0.5, 0.75))").alias("qs"),
+    )
+    n = F.col("n_not_null")
+    var_num = (n.cast(dec) * F.col("s2") - F.col("s1") * F.col("s1")).cast(
+        "double"
+    )
+    pairs_denom = (n * (n - F.lit(1))).cast("double")
+    cov_num = (n.cast(dec) * F.col("bxy") - F.col("bx") * F.col("s1")).cast(
+        "double"
+    )
+    bvar_num = (n.cast(dec) * F.col("bxx") - F.col("bx") * F.col("bx")).cast(
+        "double"
+    )
+    return m.select(
+        "n_rows",
+        "n_null",
+        "n_not_null",
+        (F.col("s1").cast("double") / n).alias("avg_orders"),
+        (var_num / pairs_denom).alias("var_orders"),
+        F.sqrt(var_num / pairs_denom).alias("stddev_orders"),
+        F.col("qs")[0].alias("q25_orders"),
+        F.col("qs")[1].alias("q50_orders"),
+        F.col("qs")[2].alias("q75_orders"),
+        (cov_num / (F.sqrt(bvar_num) * F.sqrt(var_num))).alias(
+            "corr_bal_orders"
+        ),
     )
 
 
@@ -454,6 +532,63 @@ def q17_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("l_quantity") < 25, "SMALL").otherwise("LARGE").alias("l_shipmode"),
         ).distinct()
     )
+
+
+@register(
+    "q66_pivot_unpivot",
+    oracle=f"""
+    WITH wide AS (
+      SELECT o_orderpriority,
+             {sql_sum("CASE WHEN o_orderstatus = 'F' THEN o_totalprice END")} AS sum_f,
+             {sql_sum("CASE WHEN o_orderstatus = 'O' THEN o_totalprice END")} AS sum_o,
+             {sql_sum("CASE WHEN o_orderstatus = 'P' THEN o_totalprice END")} AS sum_p
+      FROM orders GROUP BY o_orderpriority
+    ),
+    long AS (
+      SELECT * FROM wide UNPIVOT (status_sum FOR status IN (sum_f, sum_o, sum_p))
+    )
+    SELECT w.o_orderpriority, w.sum_f, w.sum_o, w.sum_p, t.total_check
+    FROM wide w JOIN (
+      SELECT o_orderpriority,
+             {sql_sum('status_sum')} AS total_check
+      FROM long GROUP BY o_orderpriority
+    ) t USING (o_orderpriority)
+    """,
+)
+def q66_pivot_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long→wide) and unpivot (wide→long) as first-class reshapes:
+    per-priority revenue pivoted over order status, then melted back and
+    re-aggregated as a cross-status checksum re-joined onto the wide row.
+
+    Scale notes: the pivot passes an EXPLICIT value list, so Spark skips
+    the values-discovery job (a full extra scan at 100 TB) and plans one
+    map-side-combinable hash aggregate with 3·|priorities| cells; unpivot
+    is a zero-shuffle generate. Both sums run through the exact decimal
+    accumulator so the 3-way cross-status re-sum is order-independent.
+    """
+    o = table(spark, sf_dir, "orders")
+    wide = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(exact_sum("o_totalprice"))
+        .select(
+            "o_orderpriority",
+            F.col("F").alias("sum_f"),
+            F.col("O").alias("sum_o"),
+            F.col("P").alias("sum_p"),
+        )
+    )
+    total = (
+        wide.unpivot(
+            ["o_orderpriority"],
+            ["sum_f", "sum_o", "sum_p"],
+            "status",
+            "status_sum",
+        )
+        .groupBy("o_orderpriority")
+        .agg(exact_sum("status_sum").alias("total_check"))
+    )
+    return wide.join(total, "o_orderpriority")
 
 
 @register(
