@@ -233,3 +233,55 @@ def dedup_within_watermark(
         .withWatermark("ts", watermark)
         .dropDuplicatesWithinWatermark(keys or ["event_id"])
     )
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    within: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Stream-stream inner interval join: pair each right-side event with
+    the left-side events of the same key that PRECEDE it by at most
+    ``within`` (view→click attribution shape).
+
+    Mode-agnostic: the same plan runs as a batch range join (AQE picks
+    the strategy) or as a Structured Streaming stream-stream join. In
+    streaming, BOTH sides carry a watermark and the two-sided time-range
+    condition lets Spark derive per-side state-retention bounds — each
+    side buffers only ``watermark + within`` of events per key, so state
+    is bounded at 100 TB/day instead of growing with the stream. Matched
+    rows emit immediately (inner join); the watermark only expires state.
+    """
+    lhs = (
+        with_event_time(left)
+        .withWatermark("ts", watermark)
+        .select(
+            F.col(key).alias(key),
+            F.col("ts").alias("l_ts"),
+            F.col("event_id").alias("l_event_id"),
+        )
+    )
+    rhs = (
+        with_event_time(right)
+        .withWatermark("ts", watermark)
+        .select(
+            F.col(key).alias(f"r_{key}"),
+            F.col("ts").alias("r_ts"),
+            F.col("event_id").alias("r_event_id"),
+        )
+    )
+    cond = (
+        (lhs[key] == rhs[f"r_{key}"])
+        & (rhs["r_ts"] >= lhs["l_ts"])
+        & (rhs["r_ts"] <= lhs["l_ts"] + F.expr(f"INTERVAL {within}"))
+    )
+    return lhs.join(rhs, cond, "inner").select(
+        key,
+        "l_event_id",
+        "r_event_id",
+        "l_ts",
+        "r_ts",
+        (F.unix_micros("r_ts") - F.unix_micros("l_ts")).alias("lag_micros"),
+    )

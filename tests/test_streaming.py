@@ -192,3 +192,50 @@ def test_stream_ingest_landing_exactly_once_per_file(spark, tmp_path):
     got = {r["id"]: r["Amount"] for r in spark.read.parquet(target).collect()}
     assert got == {"1": 99.0, "2": 20.0}
     assert spark.read.parquet(quarantine).count() == 1  # not re-quarantined
+
+
+def test_interval_join_stream_equals_batch(spark, event_stream_source, tmp_path):
+    """Stream-stream interval join (view→click attribution): both sides
+    watermarked, two-sided range condition bounds per-side state. With
+    maxFilesPerTrigger=1 each side arrives across several micro-batches,
+    so matches spanning batches only appear if the join state actually
+    buffers — the appended result must equal the batch range join.
+
+    The files are hash-partitioned, NOT time-ordered, so a recent-heavy
+    first batch would advance the watermark past older rows in later
+    files and late-drop them (correct streaming semantics, but not what
+    this equivalence asserts). The watermark is therefore set wider than
+    the fixture's whole 30-day span: state still buffers across batches,
+    nothing is ever late."""
+    path, schema = event_stream_source
+    base = spark.read.schema(schema).parquet(path)
+    views_p = str(tmp_path / "views")
+    clicks_p = str(tmp_path / "clicks")
+    base.filter("event_type = 'view'").repartition(3).write.parquet(views_p)
+    base.filter("event_type = 'click'").repartition(3).write.parquet(clicks_p)
+
+    def src(p):
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(p)
+        )
+
+    joined = jobs.interval_join(src(views_p), src(clicks_p), watermark="60 days")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("t_interval_join")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    batch = jobs.interval_join(
+        spark.read.parquet(views_p), spark.read.parquet(clicks_p)
+    )
+    cols = ["user_id", "l_event_id", "r_event_id", "lag_micros"]
+    got = _rows(spark.table("t_interval_join"), cols)
+    want = _rows(batch, cols)
+    assert len(want) > 0  # fixture must actually exercise the join
+    assert got == want
