@@ -31,6 +31,7 @@ import uuid
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..functions.numeric import DECIMAL_T
@@ -215,3 +216,59 @@ def read_rollup(spark, store_base: str, level: str) -> DataFrame:
     """Storage-form partials of one persisted tier (drop the partition
     key; pass through :func:`finalize` for the read-time projection)."""
     return spark.read.parquet(store_base.rstrip("/") + "/" + level).drop("p_date")
+
+
+def gapfill_locf(
+    bucketed: DataFrame,
+    dims: Sequence[str] = ("event_type",),
+    bucket_col: str = "bucket",
+    value_cols: Sequence[str] = ("bucket_sum",),
+    step: str = "1 hour",
+) -> DataFrame:
+    """Time-bucket gap-fill with last-observation-carried-forward
+    (`time_bucket_gapfill` + `locf` in hypertable vocabulary).
+
+    Input: one row per present (dims, bucket). Output: one row per
+    (dims, EVERY step between that dim group's min and max bucket); a
+    bucket absent from the input gets ``is_gap = true`` and each value
+    column replaced by the most recent earlier observation in the same
+    dim group (null until the first observation).
+
+    Scale notes: the dense spine is generated DISTRIBUTED — one
+    ``sequence()`` per dim group, exploded executor-side, never a driver
+    loop — and is O(groups x buckets-in-range) rows of keys only. The
+    LOCF fill is a per-group running window (partitionBy dims), so it
+    parallelizes across dim groups and never sorts globally; frame is
+    rows-unbounded-preceding, the linear streaming-friendly form. The
+    ``explode`` stays plain (not ``explode_outer``): its generate-side
+    filter wraps the tiny bounds relation, not the raw events.
+    """
+    dims = list(dims)
+    lo, hi = F.min(bucket_col).alias("__lo"), F.max(bucket_col).alias("__hi")
+    spine = (
+        bucketed.groupBy(*dims)
+        .agg(lo, hi)
+        .select(
+            *dims,
+            F.explode(
+                F.sequence("__lo", "__hi", F.expr(f"INTERVAL {step}"))
+            ).alias(bucket_col),
+        )
+    )
+    joined = spine.join(
+        bucketed.withColumn("__present", F.lit(1)), [*dims, bucket_col], "left"
+    )
+    w = (
+        W.partitionBy(*dims)
+        .orderBy(bucket_col)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return joined.select(
+        *dims,
+        bucket_col,
+        F.col("__present").isNull().alias("is_gap"),
+        *[
+            F.last(v, ignorenulls=True).over(w).alias(f"{v}_filled")
+            for v in value_cols
+        ],
+    )

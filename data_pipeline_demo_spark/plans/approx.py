@@ -10,7 +10,8 @@ tests/test_llm_ops.py) instead of the driver's hash gate.
 Registered LAST deliberately: the driver's correctness file caps at 50
 entries in registration order, and the 50 oracle-bearing queries must
 all land inside it (judge round-2 directive #1). These six sit past the
-cap; the judge sees their checks in pytest. (Seven as of q64.)
+cap; the judge sees their checks in pytest. (Seven rows-only as of
+q64, plus the oracle-bearing q65/q67 noted below.)
 """
 
 from __future__ import annotations
@@ -32,4 +33,7 @@ register("q64_cosine_near_dup_lsh")(llm_ops.q64_cosine_near_dup_lsh)
 # rather than the driver file.
 register("q65_rollup_cascade", oracle=timeseries._DUCK_ROLLUP_DAY)(
     timeseries.q65_rollup_cascade
+)
+register("q67_gapfill_locf", oracle=timeseries._DUCK_GAPFILL)(
+    timeseries.q67_gapfill_locf
 )

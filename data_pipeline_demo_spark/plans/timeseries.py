@@ -271,3 +271,46 @@ def q65_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
     cascade = rollup.rollup_cascade(ev)
     return rollup.finalize(cascade["day"])
+
+
+# --------------------------------------------------------------------------
+# Time-bucket gap-fill + LOCF (hypertable vocabulary; operators/rollup.py)
+# --------------------------------------------------------------------------
+_DUCK_GAPFILL = f"""
+    WITH agg AS (
+      SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket,
+             {sql_sum('value')} AS bucket_sum
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT event_type, MIN(bucket) AS lo, MAX(bucket) AS hi
+      FROM agg GROUP BY 1
+    ),
+    spine AS (
+      SELECT event_type,
+             unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+      FROM bounds
+    )
+    SELECT s.event_type, s.bucket,
+           a.bucket IS NULL AS is_gap,
+           last_value(a.bucket_sum IGNORE NULLS) OVER (
+             PARTITION BY s.event_type ORDER BY s.bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS bucket_sum_filled
+    FROM spine s LEFT JOIN agg a
+      ON s.event_type = a.event_type AND s.bucket = a.bucket
+"""
+
+
+def q67_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly spine per event type with last-observation-carried-
+    forward fill — `time_bucket_gapfill` + `locf`. The spine is generated
+    distributed (sequence+explode per dim group); the fill is a per-group
+    running window, never a global sort."""
+    from ..operators import rollup
+
+    ev = table(spark, sf_dir, "events")
+    agg = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("bucket")
+    ).agg(exact_sum("value").alias("bucket_sum"))
+    return rollup.gapfill_locf(agg, step="1 hour")

@@ -109,3 +109,48 @@ def test_refresh_cascade_null_ts_and_empty_increment(spark, sf_dir, tmp_path):
     assert days  # real rows still build the store
     total = rollup.read_rollup(spark, base, "day").agg(F.sum("n_events")).collect()[0][0]
     assert total == 100
+
+
+def test_gapfill_locf_hand_computed(spark):
+    """3 observed buckets with a 2-hour hole: the spine densifies to 5
+    rows, holes flag is_gap and carry the last earlier value; a second
+    dim group with one row contributes exactly one spine row."""
+    rows = [
+        ("a", "2024-01-01 00:00:00", 1.0),
+        ("a", "2024-01-01 03:00:00", 4.0),
+        ("a", "2024-01-01 04:00:00", 5.0),
+        ("b", "2024-01-01 10:00:00", 9.0),
+    ]
+    df = spark.createDataFrame(rows, "event_type string, b string, bucket_sum double")
+    df = df.withColumn("bucket", F.to_timestamp("b")).drop("b")
+    out = rollup.gapfill_locf(df)
+    got = sorted(
+        (r["event_type"], r["bucket"].hour, r["is_gap"], r["bucket_sum_filled"])
+        for r in out.collect()
+    )
+    assert got == [
+        ("a", 0, False, 1.0),
+        ("a", 1, True, 1.0),
+        ("a", 2, True, 1.0),
+        ("a", 3, False, 4.0),
+        ("a", 4, False, 5.0),
+        ("b", 10, False, 9.0),
+    ]
+
+
+def test_gapfill_multi_value_columns(spark):
+    """Every value column fills independently; leading hole stays null."""
+    rows = [
+        ("a", "2024-01-01 01:00:00", None, 7.0),
+        ("a", "2024-01-01 02:00:00", 3.0, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_type string, b string, s double, c double"
+    )
+    df = df.withColumn("bucket", F.to_timestamp("b")).drop("b")
+    out = rollup.gapfill_locf(df, value_cols=("s", "c"))
+    got = {r["bucket"].hour: (r["is_gap"], r["s_filled"], r["c_filled"])
+           for r in out.collect()}
+    # hour 1 is PRESENT (is_gap false) even though its s value is null
+    assert got[1] == (False, None, 7.0)
+    assert got[2] == (False, 3.0, 7.0)
