@@ -16,7 +16,7 @@ q64, plus the oracle-bearing q65/q67 noted below.)
 
 from __future__ import annotations
 
-from . import llm_ops, timeseries, udfs
+from . import llm_ops, relational, timeseries, udfs
 from .registry import register
 
 register("q42_minhash_lsh_dedup")(llm_ops.q42_minhash_lsh_dedup)
@@ -36,4 +36,7 @@ register("q65_rollup_cascade", oracle=timeseries._DUCK_ROLLUP_DAY)(
 )
 register("q67_gapfill_locf", oracle=timeseries._DUCK_GAPFILL)(
     timeseries.q67_gapfill_locf
+)
+register("q68_local_supplier_revenue", oracle=relational._DUCK_Q5)(
+    relational.q68_local_supplier_revenue
 )

@@ -694,3 +694,67 @@ def q60_array_map_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.try_element_at("m", F.lit("first")).alias("map_first"),
         F.array_join(F.map_keys("m"), ",").alias("map_keys_csv"),
     )
+
+
+# --------------------------------------------------------------------------
+# Multi-join stress (TPC-H Q5 shape) — registered past the driver's
+# 50-entry gate in plans/approx.py; differential-checked locally.
+# --------------------------------------------------------------------------
+_DUCK_Q5 = f"""
+    SELECT n.n_name AS nation,
+           {sql_sum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+           COUNT(*) AS n_lines
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= DATE '1996-01-01'
+      AND o.o_orderdate <  DATE '1998-01-01'
+    GROUP BY n.n_name
+"""
+
+
+def q68_local_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: six-table join (3 facts, 3 dims) with a cross-fact
+    residual predicate (customer and supplier share a nation) and a
+    selective region/date filter.
+
+    Plan shape at scale: the date filter pushes to the orders scan and the
+    region filter prunes nation/region BEFORE they broadcast; the three
+    fact-fact joins shuffle on their natural keys (custkey, orderkey,
+    suppkey) — each a candidate for bucketing at 100 TB — while the
+    nation-match is a residual condition on the supplier join, not an
+    extra shuffle. Catalyst/AQE pick broadcast for every dim and reorder
+    freely because the plan is fully declarative.
+    """
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(
+        (F.to_date("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.to_date("o_orderdate") < F.lit("1998-01-01").cast("date"))
+    )
+    li = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    n = F.broadcast(table(spark, sf_dir, "nation"))
+    r = F.broadcast(table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA"))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(
+            s,
+            (li.l_suppkey == s.s_suppkey)
+            & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            exact_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
