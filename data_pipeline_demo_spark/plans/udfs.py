@@ -103,10 +103,14 @@ def q56_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle exists by construction; the ±5%-of-exact bound is unit-tested
     in tests/test_llm_ops.py). At 100 TB this is THE distinct-count
     shape: constant-memory sketches merge map-side, no exact-distinct
-    shuffle of raw user ids.
+    shuffle of raw user ids. The quantile sketch (percentile_approx,
+    Greenwald-Khanna) is the same story for order statistics: bounded
+    state per partition instead of a per-group sort; its error bound vs
+    the exact percentile is unit-tested alongside the HLL bound.
     """
     ev = table(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
         F.count(F.lit(1)).alias("n_events"),
+        F.percentile_approx("value", 0.5, 10000).alias("approx_median_value"),
     )

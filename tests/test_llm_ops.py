@@ -311,6 +311,30 @@ def test_approx_count_distinct_tolerance(spark, sf_dir):
         assert abs(approx[k] - exact[k]) <= max(1, 0.05 * exact[k])
 
 
+def test_approx_percentile_tolerance(spark, sf_dir):
+    """GK quantile sketch vs the exact median, per group: with accuracy
+    10000 the rank error is <=1/10000 of the group, which these group
+    sizes round to at-worst-neighboring order statistics."""
+    from data_pipeline_demo_spark.plans import all_queries
+
+    qs, _ = all_queries()
+    approx = {
+        r["event_type"]: r["approx_median_value"]
+        for r in qs["q56_approx_count_distinct"](spark, sf_dir).collect()
+    }
+    ev = table(spark, sf_dir, "events")
+    exact = {
+        r["event_type"]: r["m"]
+        for r in ev.groupBy("event_type")
+        .agg(F.expr("percentile(value, 0.5)").alias("m"))
+        .collect()
+    }
+    for k in exact:
+        # exact interpolated median lies between the two neighboring
+        # order statistics GK may return — allow a 2% value band
+        assert abs(approx[k] - exact[k]) <= max(0.5, 0.02 * abs(exact[k]))
+
+
 def test_html_udf_seam_matches_jvm_path(spark):
     from data_pipeline_demo_spark.functions.cleaning import (
         html_to_text_udf,
