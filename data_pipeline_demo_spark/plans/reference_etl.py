@@ -92,6 +92,10 @@ def run_ingest(spark: SparkSession, cfg: PipelineConfig) -> dict[str, object]:
         spark, paths, DEALER_TRANSACTIONS_SCHEMA, with_source=True
     )
     cleaned = clean_transactions(good).withColumn("id", F.col("id").try_cast("long"))
+    # The batch is consumed twice (QA aggregates, then the upsert);
+    # persist the parsed+cleaned form so the CSV parse/clean chain runs
+    # once per batch instead of once per consumer.
+    cleaned = cleaned.persist()
 
     # Per-file QA (row counts included) and quarantine tallies: two
     # grouped passes over the batch, not 2×N single-file jobs.
@@ -121,6 +125,7 @@ def run_ingest(spark: SparkSession, cfg: PipelineConfig) -> dict[str, object]:
         cfg.target_path,
         key=cfg.key,
     )
+    cleaned.unpersist()
     append_ledger_rows(
         spark,
         cfg.ledger_path,
