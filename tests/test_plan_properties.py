@@ -65,3 +65,21 @@ def test_no_row_at_a_time_python(spark, sf_dir, name):
     MapInPandas (vectorized)."""
     plan = _plan(spark, sf_dir, name)
     assert "BatchEvalPython" not in plan, name
+
+
+def test_multi_join_plan_shape(spark, sf_dir):
+    """q68 (TPC-H Q5 shape): the date filter reaches the orders scan,
+    no join degrades to a nested loop (the same-nation predicate must
+    ride the supplier equi-join as a residual), and every dim join is
+    hash-based."""
+    plan = _plan(spark, sf_dir, "q68_local_supplier_revenue")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # the orders scan itself carries the date range (pushed, not a
+    # post-scan filter): its FileScan line names o_orderdate >= 1996
+    orders_scan = [
+        ln for ln in plan.splitlines()
+        if "FileScan" in ln and "o_orderdate" in ln
+    ]
+    assert orders_scan, plan[:2000]
+    assert any(">= 1996-01-01" in ln for ln in orders_scan), orders_scan
