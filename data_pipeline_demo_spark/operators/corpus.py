@@ -1,0 +1,80 @@
+"""End-to-end training-corpus preparation: the north-star composition.
+
+A user of the reference family prepares LLM training data in exactly
+this order; each stage is one of the engine's tested operators, composed
+into a single declarative chain (one logical plan up to the near-dup
+pair join, which is the only iterative piece):
+
+1. quality + language gate   — codegen scan-stream filters
+2. PII scrub                 — codegen regex chain, text rewritten
+3. exact dedup               — hash-first groupBy + semi-join (16-byte
+                               shuffle keys; documents never shuffle)
+4. near-dup canonicalization — MinHash-LSH candidates, exact verify,
+                               connected components, keep-min-id
+5. deterministic sample      — hash-threshold predicate, replay-safe
+6. token count + packing     — sharded running-window pack assembly
+
+Stage order is load-bearing: scrubbing BEFORE dedup lets documents that
+differ only in PII collapse into one cluster; sampling AFTER dedup keeps
+the sample a function of the deduplicated id space (stable across
+re-runs); packing last so budgets see final token counts.
+
+Scale: stages 1-3, 5-6 are scan-stream or bounded-shuffle; stage 4 is
+the candidate-bounded LSH path (never all-pairs) plus a component
+propagation whose iterations are bounded by cluster diameter —
+typically 2-3 for near-dup graphs.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from . import dedup, sampling, textstats
+
+
+@dataclass(frozen=True)
+class CorpusConfig:
+    min_quality: float = 0.5
+    langs: tuple[str, ...] = ("en",)
+    near_dup_threshold: float = 0.7
+    sample_fraction: float = 1.0
+    sample_salt: int = 0
+    pack_budget: int = 2048
+    num_shards: int = 1024
+
+
+def prepare_training_corpus(
+    df: DataFrame,
+    cfg: CorpusConfig = CorpusConfig(),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Run the 6-stage preparation chain; returns the packed corpus
+    (input columns with ``text_col`` scrubbed, plus ``n_tokens``,
+    ``pack_id``, ``pack_offset``)."""
+    gated = df.filter(
+        (textstats.quality_score(text_col) >= cfg.min_quality)
+        & textstats.lang_id(text_col).isin(*cfg.langs)
+    )
+    scrubbed = gated.withColumn(text_col, textstats.scrub_pii(text_col))
+    exact = dedup.exact_dedup_rows(scrubbed, text_col, id_col)
+    pairs = dedup.minhash_dedup_pairs(
+        exact, text_col, id_col, threshold=cfg.near_dup_threshold
+    )
+    canon = dedup.dedup_keep_canonical(exact, pairs, id_col)
+    sampled = sampling.deterministic_sample(
+        canon, cfg.sample_fraction, id_col, cfg.sample_salt
+    )
+    with_tokens = sampled.withColumn(
+        "n_tokens", textstats.token_count(text_col)
+    )
+    return sampling.pack_sequences(
+        with_tokens,
+        "n_tokens",
+        id_col,
+        budget=cfg.pack_budget,
+        num_shards=cfg.num_shards,
+    )

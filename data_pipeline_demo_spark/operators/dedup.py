@@ -48,6 +48,26 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def exact_dedup_rows(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Full-row exact dedup: keep the lowest-id ROW per identical text.
+
+    Two-phase so documents never ride a shuffle: hash-group (16-byte
+    keys) picks the surviving ids, then a semi-join on the id brings
+    back the surviving rows with all their columns intact.
+    """
+    keep = (
+        df.select(
+            id_col, F.md5(F.encode(F.col(text_col), "utf-8")).alias("__h")
+        )
+        .groupBy("__h")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    return df.join(keep, id_col, "left_semi")
+
+
 def hashed_shingle_index(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
 ) -> DataFrame:

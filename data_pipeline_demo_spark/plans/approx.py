@@ -40,3 +40,4 @@ register("q67_gapfill_locf", oracle=timeseries._DUCK_GAPFILL)(
 register("q68_local_supplier_revenue", oracle=relational._DUCK_Q5)(
     relational.q68_local_supplier_revenue
 )
+register("q69_prepare_corpus")(llm_ops.q69_prepare_corpus)

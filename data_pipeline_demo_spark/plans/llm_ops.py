@@ -374,3 +374,23 @@ def q51_word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") >= 10)
     )
+
+
+def q69_prepare_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star composition: the full 6-stage training-corpus
+    preparation chain (quality/lang gate → PII scrub → exact dedup →
+    near-dup canonicalization → deterministic sample → packing) over
+    documents. Rows-only by construction: the connected-components
+    stage is iterative. Stage semantics are unit-tested in
+    tests/test_corpus.py; the LSH tier's recall bound in
+    tests/test_llm_ops.py."""
+    from ..operators import corpus
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = corpus.prepare_training_corpus(
+        d,
+        corpus.CorpusConfig(
+            min_quality=0.4, langs=("en", "de", "es", "fr")
+        ),
+    )
+    return out.select("doc_id", "n_tokens", "pack_id", "pack_offset")
