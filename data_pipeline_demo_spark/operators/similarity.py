@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..sinks.upsert import read_json_sidecar, write_json_sidecar
+
 # Fixed-point scale for dot products: per-element products are floor-scaled
 # to integers BEFORE accumulation. floor() operates on bit-identical IEEE
 # doubles in any engine, so there is no rounding-direction ambiguity at
@@ -142,6 +144,44 @@ def hyperplane_signature(
     return out.cast("long")
 
 
+ANN_INDEX_META = "_ann_index_meta.json"
+
+
+def _sign_melt(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    num_planes: int,
+    num_tables: int,
+) -> DataFrame:
+    """Sign a vector relation with the deterministic hyperplane family
+    and melt to one (id, vec, norm, tbl, bucket) row per table — the
+    at-rest row shape of the persisted ANN index."""
+    signed = corpus.select(
+        F.col(id_col),
+        F.col(vec_col),
+        l2_norm_exact(F.col(vec_col)).alias("norm"),
+        *[
+            hyperplane_signature(F.col(vec_col), num_planes, seed=1000 + t).alias(f"sig_{t}")
+            for t in range(num_tables)
+        ],
+    )
+    return signed.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.col("norm"),
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(t).alias("tbl"), F.col(f"sig_{t}").alias("bucket"))
+                for t in range(num_tables)
+            ])
+        ).alias("tb"),
+    ).select(
+        F.col(id_col), F.col(vec_col), F.col("norm"),
+        F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"),
+    ).filter(F.col("norm") > 0)
+
+
 def build_ann_index(
     corpus: DataFrame,
     index_path: str,
@@ -159,32 +199,49 @@ def build_ann_index(
     (`PartitionFilters` in the scan — asserted in tests) instead of
     re-signing and shuffling the whole corpus per query.
     """
-    signed = corpus.select(
-        F.col(id_col),
-        F.col(vec_col),
-        l2_norm_exact(F.col(vec_col)).alias("norm"),
-        *[
-            hyperplane_signature(F.col(vec_col), num_planes, seed=1000 + t).alias(f"sig_{t}")
-            for t in range(num_tables)
-        ],
+    _sign_melt(corpus, id_col, vec_col, num_planes, num_tables).write.mode(
+        "overwrite"
+    ).partitionBy("tbl", "bucket").parquet(index_path)
+    write_json_sidecar(
+        corpus.sparkSession,
+        index_path.rstrip("/") + "/" + ANN_INDEX_META,
+        {"num_planes": num_planes, "num_tables": num_tables},
     )
-    melted = signed.select(
-        F.col(id_col),
-        F.col(vec_col),
-        F.col("norm"),
-        F.explode(
-            F.array(*[
-                F.struct(F.lit(t).alias("tbl"), F.col(f"sig_{t}").alias("bucket"))
-                for t in range(num_tables)
-            ])
-        ).alias("tb"),
-    ).select(
-        F.col(id_col), F.col(vec_col), F.col("norm"),
-        F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"),
+
+
+
+
+def ann_index_append(
+    new_vectors: DataFrame,
+    index_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental index maintenance: sign ONLY the new vectors and
+    append their rows to the existing (tbl, bucket) layout.
+
+    The hyperplane family is derived from fixed seeds, so a vector
+    signed today lands in exactly the bucket it would have landed in at
+    build time — the plane/table parameters are read back from the
+    index's own metadata sidecar, never trusted from the caller. At
+    100 TB this turns index refresh from an O(corpus) rebuild into an
+    O(new vectors) append; probes see old and new vectors uniformly.
+
+    Append-only contract: re-adding an id that is already indexed
+    duplicates it (detecting that would read the whole index — the
+    caller dedups its increment, same as the upsert sink's batch
+    contract).
+    """
+    meta = read_json_sidecar(
+        new_vectors.sparkSession, index_path.rstrip("/") + "/" + ANN_INDEX_META
     )
-    melted.filter(F.col("norm") > 0).write.mode("overwrite").partitionBy(
-        "tbl", "bucket"
-    ).parquet(index_path)
+    if meta is None:
+        raise ValueError(
+            f"no ANN index metadata at {index_path}; build_ann_index first"
+        )
+    _sign_melt(
+        new_vectors, id_col, vec_col, meta["num_planes"], meta["num_tables"]
+    ).write.mode("append").partitionBy("tbl", "bucket").parquet(index_path)
 
 
 def _probe_bucket_structs(num_tables: int, multiprobe: int, num_planes: int):

@@ -56,8 +56,11 @@ def _hadoop_fs(spark: SparkSession, path: str):
     return fs, fs.makeQualified(p)
 
 
-def _read_bucket_spec(spark: SparkSession, target_path: str) -> dict | None:
-    fs, spec = _hadoop_fs(spark, target_path.rstrip("/") + "/" + BUCKET_SPEC)
+def read_json_sidecar(spark: SparkSession, path: str) -> dict | None:
+    """Read a small JSON metadata file through the Hadoop FS API (so it
+    works on file://, hdfs://, s3a:// — sink layouts carry their own
+    self-describing metadata this way)."""
+    fs, spec = _hadoop_fs(spark, path)
     if not fs.exists(spec):
         return None
     stream = fs.open(spec)
@@ -68,13 +71,22 @@ def _read_bucket_spec(spark: SparkSession, target_path: str) -> dict | None:
     return json.loads(text)
 
 
-def _write_bucket_spec(spark: SparkSession, target_path: str, spec: dict) -> None:
-    fs, p = _hadoop_fs(spark, target_path.rstrip("/") + "/" + BUCKET_SPEC)
+def write_json_sidecar(spark: SparkSession, path: str, obj: dict) -> None:
+    """Overwrite a small JSON metadata file through the Hadoop FS API."""
+    fs, p = _hadoop_fs(spark, path)
     out = fs.create(p, True)
     try:
-        out.write(bytearray(json.dumps(spec).encode("utf-8")))
+        out.write(bytearray(json.dumps(obj).encode("utf-8")))
     finally:
         out.close()
+
+
+def _read_bucket_spec(spark: SparkSession, target_path: str) -> dict | None:
+    return read_json_sidecar(spark, target_path.rstrip("/") + "/" + BUCKET_SPEC)
+
+
+def _write_bucket_spec(spark: SparkSession, target_path: str, spec: dict) -> None:
+    write_json_sidecar(spark, target_path.rstrip("/") + "/" + BUCKET_SPEC, spec)
 
 
 def _swap_in(fs, jvm, src, dst) -> None:

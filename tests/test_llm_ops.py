@@ -130,6 +130,41 @@ def test_ann_persisted_index_prunes_and_matches(spark, sf_dir, tmp_path):
     assert idx == mem  # same candidates, same exact re-rank
 
 
+def test_ann_index_append_equals_rebuild(spark, sf_dir, tmp_path):
+    """Incremental maintenance: build on half the corpus, append the
+    other half — queries against the appended index return exactly what
+    a one-shot build over the full corpus returns (the deterministic
+    hyperplane family makes late-signed vectors land in their build-time
+    buckets). Appending without metadata raises."""
+    import pytest as _pytest
+
+    emb = table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    half_a = emb.filter(F.col("vec_id") % 2 == 0)
+    half_b = emb.filter(F.col("vec_id") % 2 == 1)
+
+    full_path = str(tmp_path / "ann_full")
+    similarity.build_ann_index(emb, full_path)
+    inc_path = str(tmp_path / "ann_inc")
+    similarity.build_ann_index(half_a, inc_path)
+    similarity.ann_index_append(half_b, inc_path)
+
+    full = {
+        (r["probe_id"], r["vec_id"], r["cosine"])
+        for r in similarity.ann_query_indexed(spark, full_path, probes, k=5).collect()
+    }
+    inc = {
+        (r["probe_id"], r["vec_id"], r["cosine"])
+        for r in similarity.ann_query_indexed(spark, inc_path, probes, k=5).collect()
+    }
+    assert inc == full
+
+    with _pytest.raises(ValueError, match="metadata"):
+        similarity.ann_index_append(half_b, str(tmp_path / "nowhere"))
+
+
 def test_ivf_index_recall_and_pruning(spark, sf_dir, tmp_path):
     """IVF tier: corpus partitioned by nearest centroid; probes read only
     nprobe partitions; recall vs exact knn stays useful and reaches 1.0
