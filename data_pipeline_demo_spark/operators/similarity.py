@@ -569,6 +569,39 @@ def ivf_build_index(
     cents.write.mode("overwrite").parquet(index_path + "_centroids")
 
 
+def ivf_index_append(
+    new_vectors: DataFrame,
+    index_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental IVF maintenance: route new vectors to the EXISTING
+    centroids and append to their partitions. The coarse quantizer is
+    frozen after build (standard IVF practice — inverted lists grow,
+    centroids don't move), so old and new vectors share one geometry and
+    every query property (nprobe pruning, the nprobe == n_centroids
+    exact degeneracy) holds over the unioned corpus. O(new vectors) per
+    refresh; rebuild when drift makes the frozen quantizer a bad fit.
+    """
+    spark = new_vectors.sparkSession
+    cent_path = index_path + "_centroids"
+    try:
+        cents = spark.read.parquet(cent_path)
+    except Exception as exc:
+        raise ValueError(
+            f"no IVF centroids at {cent_path}; ivf_build_index first"
+        ) from exc
+    nz = new_vectors.filter(l2_norm_exact(F.col(vec_col)) > 0)
+    assign = _best_centroids(nz, cents, id_col, vec_col, n_best=1)
+    (
+        nz.join(assign, id_col)
+        .select(F.col(id_col), F.col(vec_col), F.col("centroid_id"))
+        .write.mode("append")
+        .partitionBy("centroid_id")
+        .parquet(index_path)
+    )
+
+
 def ivf_query(
     spark,
     index_path: str,

@@ -165,6 +165,34 @@ def test_ann_index_append_equals_rebuild(spark, sf_dir, tmp_path):
         similarity.ann_index_append(half_b, str(tmp_path / "nowhere"))
 
 
+def test_ivf_index_append_exact_degeneracy(spark, sf_dir, tmp_path):
+    """Append half the corpus to an IVF index built on the other half:
+    with the quantizer frozen, nprobe == n_centroids must still equal
+    the exact knn over the UNIONED corpus."""
+    import pytest as _pytest
+
+    emb = table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    idx = str(tmp_path / "ivf_inc")
+    similarity.ivf_build_index(emb.filter(F.col("vec_id") % 2 == 0), idx, n_centroids=16)
+    similarity.ivf_index_append(emb.filter(F.col("vec_id") % 2 == 1), idx)
+
+    exact = {
+        (r["probe_id"], r["vec_id"])
+        for r in similarity.knn_exact(emb, probes, k=5).collect()
+    }
+    got = {
+        (r["probe_id"], r["vec_id"])
+        for r in similarity.ivf_query(spark, idx, probes, k=5, nprobe=16).collect()
+    }
+    assert got == exact
+
+    with _pytest.raises(ValueError, match="centroids"):
+        similarity.ivf_index_append(emb, str(tmp_path / "missing"))
+
+
 def test_ivf_index_recall_and_pruning(spark, sf_dir, tmp_path):
     """IVF tier: corpus partitioned by nearest centroid; probes read only
     nprobe partitions; recall vs exact knn stays useful and reaches 1.0
