@@ -458,13 +458,21 @@ def q13_groupby_having(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    UNION ALL
+    SELECT 'gsets_g' || CAST(GROUPING(l_returnflag) AS VARCHAR) AS grp_src,
+           l_returnflag AS k1, l_linestatus AS k2, COUNT(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
     """,
 )
 def q14_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ROLLUP and CUBE in one registered query (consolidated so the full
-    oracle-bearing registry fits the driver's 50-entry correctness gate):
-    rollup over lineitem flags, cube over orders status×priority, tagged
-    and unioned under a common (grp_src, k1, k2, n) schema."""
+    """ROLLUP, CUBE, and GROUPING SETS in one registered query
+    (consolidated so the full oracle-bearing registry fits the driver's
+    50-entry correctness gate): rollup over lineitem flags, cube over
+    orders status×priority, and a grouping-sets arm via the SQL surface
+    (spark.sql text → the same Catalyst Expand plan as the DataFrame
+    API) whose GROUPING() flag is encoded into grp_src — all unioned
+    under a common (grp_src, k1, k2, n) schema."""
     li = table(spark, sf_dir, "lineitem")
     o = table(spark, sf_dir, "orders")
     rolled = (
@@ -487,30 +495,16 @@ def q14_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
-    return rolled.unionByName(cubed)
-
-
-@register(
-    "q16_grouping_sets",
-    oracle="""
-    SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
-           CAST(GROUPING(l_returnflag) AS INT) AS g_flag
-    FROM lineitem
-    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
-    """,
-)
-def q16_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Grouping sets via the SQL surface (spark.sql text → same Catalyst
-    plan as the DataFrame cube/rollup API)."""
-    table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_gs")
-    return spark.sql(
+    li.createOrReplaceTempView("lineitem_gs")
+    gsets = spark.sql(
         """
-        SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
-               CAST(GROUPING(l_returnflag) AS INT) AS g_flag
+        SELECT CONCAT('gsets_g', CAST(GROUPING(l_returnflag) AS STRING)) AS grp_src,
+               l_returnflag AS k1, l_linestatus AS k2, COUNT(*) AS n
         FROM lineitem_gs
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         """
     )
+    return rolled.unionByName(cubed).unionByName(gsets)
 
 
 @register(
@@ -718,6 +712,7 @@ _DUCK_Q5 = f"""
 """
 
 
+@register("q68_local_supplier_revenue", oracle=_DUCK_Q5)
 def q68_local_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: six-table join (3 facts, 3 dims) with a cross-fact
     residual predicate (customer and supplier share a nation) and a

@@ -107,12 +107,24 @@ def q27_currency_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM messy
     )
     SELECT o_orderkey, CAST(p AS DATE) AS order_date,
-           EXTRACT(YEAR FROM p) AS order_year
+           EXTRACT(YEAR FROM p) AS order_year,
+           EXTRACT(MONTH FROM p) AS order_month,
+           EXTRACT(DAY FROM p) AS order_dom,
+           EXTRACT(QUARTER FROM p) AS order_quarter,
+           CAST(p AS DATE) + INTERVAL 30 DAY AS due_date,
+           date_diff('day', CAST(p AS DATE), DATE '2002-01-01') AS days_to_2002,
+           date_diff('month', CAST(p AS DATE), DATE '2002-01-01') AS months_to_2002,
+           last_day(CAST(p AS DATE)) AS eom,
+           CAST(date_trunc('month', p) AS DATE) AS month_start
     FROM parsed
     """.replace("messy_src", "orders"),
 )
 def q28_robust_date_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F3+F4: multi-format day-first datetime parse → date truncation.
+    """F3+F4: multi-format day-first datetime parse → date truncation,
+    plus the date-function surface (extract/add/diff/last_day/trunc —
+    consolidated from the former q30 for the 50-entry gate) applied to
+    the parsed timestamp; unparseable rows null-propagate through every
+    derived column.
 
     Mirrors `convert_datetime_robust_main` (data_pipeline.py:636-663) as a
     single coalesce of format attempts — always DateType, unparseable →
@@ -134,10 +146,22 @@ def q28_robust_date_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.try_to_timestamp(F.col("raw_dt"), F.lit("dd/MM/yyyy HH:mm")),
         F.try_to_timestamp(F.col("raw_dt"), F.lit("dd/MM/yy HH:mm")),
     )
+    od = parsed.cast("date")
     return messy.select(
         "o_orderkey",
-        parsed.cast("date").alias("order_date"),
+        od.alias("order_date"),
         F.year(parsed).cast("long").alias("order_year"),
+        F.month(parsed).cast("long").alias("order_month"),
+        F.dayofmonth(parsed).cast("long").alias("order_dom"),
+        F.quarter(parsed).cast("long").alias("order_quarter"),
+        F.date_add(od, 30).cast("timestamp").alias("due_date"),
+        F.datediff(F.lit("2002-01-01").cast("date"), od).cast("long").alias("days_to_2002"),
+        F.months_between(
+            F.date_trunc("month", F.lit("2002-01-01").cast("date")),
+            F.date_trunc("month", od),
+        ).cast("long").alias("months_to_2002"),
+        F.last_day(od).alias("eom"),
+        F.date_trunc("month", parsed).cast("date").alias("month_start"),
     )
 
 
@@ -214,78 +238,23 @@ def q29_string_math_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q30_date_fns",
+    "q32_json_ops",
     oracle="""
-    SELECT o_orderkey,
-           CAST(o_orderdate AS DATE) AS od,
-           EXTRACT(YEAR FROM o_orderdate) AS y,
-           EXTRACT(MONTH FROM o_orderdate) AS m,
-           EXTRACT(DAY FROM o_orderdate) AS d,
-           EXTRACT(QUARTER FROM o_orderdate) AS q,
-           CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS due_date,
-           date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS days_to_2002,
-           date_diff('month', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS months_to_2002,
-           last_day(CAST(o_orderdate AS DATE)) AS eom,
-           CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start
-    FROM orders
-    WHERE o_orderkey % 7 = 0
-    """,
-)
-def q30_date_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 7 == 0)
-    od = F.to_date("o_orderdate")
-    return o.select(
-        "o_orderkey",
-        od.alias("od"),
-        F.year("o_orderdate").cast("long").alias("y"),
-        F.month("o_orderdate").cast("long").alias("m"),
-        F.dayofmonth("o_orderdate").cast("long").alias("d"),
-        F.quarter("o_orderdate").cast("long").alias("q"),
-        F.date_add(od, 30).cast("timestamp").alias("due_date"),
-        F.datediff(F.lit("2002-01-01").cast("date"), od).cast("long").alias("days_to_2002"),
-        F.months_between(
-            F.date_trunc("month", F.lit("2002-01-01").cast("date")),
-            F.date_trunc("month", od),
-        ).cast("long").alias("months_to_2002"),
-        F.last_day(od).alias("eom"),
-        F.date_trunc("month", "o_orderdate").cast("date").alias("month_start"),
-    )
-
-
-@register(
-    "q32_json_extract",
-    oracle="""
-    SELECT event_type,
-           COUNT(*) AS n_events,
-           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
-           MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+    SELECT 'agg' AS src,
+           event_type AS s,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS k,
+           COUNT(*) AS n,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS DOUBLE) AS num
     FROM events
     WHERE CAST(json_extract_string(props, '$.k') AS INT) >= 50
     GROUP BY event_type
-    """,
-)
-def q32_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Semi-structured JSON column (events.props): typed extraction via
-    from_json (schema'd, vectorized) — the engine's path for JSON props at
-    scale; get_json_object is equivalent for one-off path access."""
-    ev = table(spark, sf_dir, "events")
-    k = F.from_json("props", "k INT").getField("k")
-    return (
-        ev.select("event_type", k.alias("k"))
-        .filter(F.col("k") >= 50)
-        .groupBy("event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.sum("k").cast("long").alias("sum_k"),
-            F.max("k").alias("max_k"),
-        )
-    )
-
-
-@register(
-    "q58_json_roundtrip",
-    oracle="""
-    WITH enc AS (
+    UNION ALL
+    SELECT 'roundtrip' AS src,
+           json_extract_string(doc, '$.status') AS s,
+           CAST(json_extract_string(doc, '$.k') AS BIGINT) AS k,
+           CAST(NULL AS BIGINT) AS n,
+           CAST(json_extract_string(doc, '$.price') AS DOUBLE) AS num
+    FROM (
       SELECT to_json(struct_pack(
                k := o_orderkey,
                price := o_totalprice,
@@ -293,19 +262,43 @@ def q32_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
              )) AS doc
       FROM orders WHERE o_orderkey % 11 = 0
     )
-    SELECT CAST(json_extract_string(doc, '$.k') AS BIGINT) AS k,
-           CAST(json_extract_string(doc, '$.price') AS DOUBLE) AS price,
-           json_extract_string(doc, '$.status') AS status
-    FROM enc
     """,
 )
-def q58_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F6: JSON encoding with type coercion (the reference's
-    NanHandlingEncoder, data_pipeline.py:491-497) → typed re-extraction.
-    Each engine builds ITS OWN JSON (`to_json(struct(...))` vs
-    `struct_pack`) — formatting differs, but both emit round-trip-safe
-    doubles, so the typed values extracted back must agree exactly.
+def q32_json_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured JSON surface in one registered query (the former
+    q32 extract + q58 round-trip, consolidated for the 50-entry gate),
+    unioned under a common (src, s, k, n, num) schema.
+
+    Arm 'agg': typed extraction from events.props via from_json
+    (schema'd, vectorized) — the engine's path for JSON props at scale;
+    get_json_object is equivalent for one-off path access.
+
+    Arm 'roundtrip': F6, JSON encoding with type coercion (the
+    reference's NanHandlingEncoder, data_pipeline.py:491-497) → typed
+    re-extraction. Each engine builds ITS OWN JSON (`to_json(struct())`
+    vs `struct_pack`) — formatting differs, but both emit
+    round-trip-safe doubles, so the typed values extracted back must
+    agree exactly.
     """
+    ev = table(spark, sf_dir, "events")
+    k = F.from_json("props", "k INT").getField("k")
+    agg = (
+        ev.select("event_type", k.alias("k"))
+        .filter(F.col("k") >= 50)
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").cast("long").alias("k2"),
+            F.count(F.lit(1)).alias("n"),
+            F.max("k").cast("double").alias("num"),
+        )
+        .select(
+            F.lit("agg").alias("src"),
+            F.col("event_type").alias("s"),
+            F.col("k2").alias("k"),
+            "n",
+            "num",
+        )
+    )
     o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 11 == 0)
     doc = F.to_json(
         F.struct(
@@ -314,13 +307,15 @@ def q58_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderstatus").alias("status"),
         )
     )
-    enc = o.select(doc.alias("doc"))
     parsed = F.from_json("doc", "k BIGINT, price DOUBLE, status STRING")
-    return enc.select(
+    roundtrip = o.select(doc.alias("doc")).select(
+        F.lit("roundtrip").alias("src"),
+        parsed.getField("status").alias("s"),
         parsed.getField("k").alias("k"),
-        parsed.getField("price").alias("price"),
-        parsed.getField("status").alias("status"),
+        F.lit(None).cast("long").alias("n"),
+        parsed.getField("price").alias("num"),
     )
+    return agg.unionByName(roundtrip)
 
 
 _DUCK_UNESCAPE = (

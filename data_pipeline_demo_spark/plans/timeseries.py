@@ -259,6 +259,7 @@ _DUCK_ROLLUP_DAY = f"""
 """
 
 
+@register("q65_rollup_cascade", oracle=_DUCK_ROLLUP_DAY)
 def q65_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-resolution continuous aggregate: minute→hour→day cascade
     where each tier re-aggregates the previous tier's decimal partials
@@ -302,6 +303,7 @@ _DUCK_GAPFILL = f"""
 """
 
 
+@register("q67_gapfill_locf", oracle=_DUCK_GAPFILL)
 def q67_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dense hourly spine per event type with last-observation-carried-
     forward fill — `time_bucket_gapfill` + `locf`. The spine is generated
