@@ -199,7 +199,11 @@ def jaccard_similarity_join(
        J ≥ t ⇒ |A∩B| ≥ t·max(|A|,|B|), and a miss would require the
        whole intersection to fit in the shorter-than-t·|x| suffix);
     3. equi-join prefixes → small candidate set, skew bounded by the cap
-       that rare-first ordering implies;
+       that rare-first ordering implies; the PPJoin *length filter*
+       drops pairs where min(|x|,|y|) < t·max(|x|,|y|) at the join
+       (J ≤ min/max, so they can never verify — a 1e-9 slack keeps the
+       float compare from clipping exact-boundary pairs, which the
+       verify stage re-checks exactly anyway);
     4. exact Jaccard verification on candidates only (array_intersect on
        per-doc hash sets — row-local work, no further shuffle fan-out).
 
@@ -217,11 +221,14 @@ def jaccard_similarity_join(
         .withColumn("n_sh", F.count(F.lit(1)).over(by_doc))
     )
     prefix_len = F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
-    prefix = ranked.filter(F.col("rnk") <= prefix_len).select(id_col, "h")
+    prefix = ranked.filter(F.col("rnk") <= prefix_len).select(id_col, "h", "n_sh")
     a, b = prefix.alias("a"), prefix.alias("b")
+    size_compatible = F.least(F.col("a.n_sh"), F.col("b.n_sh")) >= (
+        F.lit(threshold) * F.greatest(F.col("a.n_sh"), F.col("b.n_sh")) - F.lit(1e-9)
+    )
     cands = (
         a.join(b, "h")
-        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .filter((F.col(f"a.{id_col}") < F.col(f"b.{id_col}")) & size_compatible)
         .select(
             F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
         )
