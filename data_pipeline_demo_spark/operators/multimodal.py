@@ -136,6 +136,52 @@ def extract_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+def resize_images(media: DataFrame, max_dim: int = 256) -> DataFrame:
+    """Cap each image's longest side at ``max_dim``, preserving aspect
+    ratio — the standard pre-training normalization pass.
+
+    Same contract as `extract_features`: a map-only ``mapInPandas``
+    stage over the payload column (no shuffle, memory bounded by Arrow
+    batch size), output schema identical to the input media table so
+    resize composes anywhere in a media pipeline. The pixel transform
+    itself is the codec seam — here the deterministic fake codec
+    re-encodes the new header dims; a deployment swaps in
+    ``PIL.Image.resize`` at the same two call sites. Images already
+    within bounds pass through byte-identical.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, metas = [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                w, h = fake_decode_meta(p)
+                scale = max_dim / max(w, h)
+                if scale >= 1.0:
+                    out = bytes(p)
+                else:
+                    nw = max(1, round(w * scale))
+                    nh = max(1, round(h * scale))
+                    out = fake_encode(int(mid), nw, nh)
+                payloads.append(out)
+                metas.append(
+                    {
+                        "content_type": "image/fake",
+                        "n_bytes": len(out),
+                        "sha256": hashlib.sha256(out).hexdigest(),
+                    }
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "payload": payloads,
+                    "meta": metas,
+                }
+            )
+
+    return media.mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
 def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:
     """Frame-index plan: (media_id, frame_idx) rows for the frames a
     decoder would extract — the cheap metadata-only projection used to

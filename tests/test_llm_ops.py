@@ -354,6 +354,35 @@ def test_decode_seam_is_explicit():
         multimodal.decode_image(b"\x89PNG")
 
 
+def test_resize_images_caps_longest_side(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents").limit(60)
+    media = multimodal.synthesize_media(docs)
+    src = {r["media_id"]: r for r in media.collect()}
+    out = multimodal.resize_images(media, max_dim=64)
+    assert out.schema == multimodal.MEDIA_SCHEMA
+    resized = {r["media_id"]: r for r in out.collect()}
+    assert set(resized) == set(src)
+    for mid, r in resized.items():
+        w0, h0 = multimodal.fake_decode_meta(bytes(src[mid]["payload"]))
+        w1, h1 = multimodal.fake_decode_meta(bytes(r["payload"]))
+        assert max(w1, h1) <= 64
+        if max(w0, h0) <= 64:
+            # within bounds → byte-identical passthrough
+            assert bytes(r["payload"]) == bytes(src[mid]["payload"])
+        else:
+            # longest side lands exactly on the cap; orientation kept
+            assert max(w1, h1) == 64
+            assert (w0 >= h0) == (w1 >= h1)
+            if min(w1, h1) >= 10:
+                # ratio preserved where rounding noise is small
+                assert abs(w1 / h1 - w0 / h0) <= w0 / h0 * 0.1
+        # meta describes the (possibly new) payload
+        import hashlib
+
+        assert r["meta"]["sha256"] == hashlib.sha256(bytes(r["payload"])).hexdigest()
+        assert r["meta"]["n_bytes"] == len(bytes(r["payload"]))
+
+
 def test_approx_count_distinct_tolerance(spark, sf_dir):
     from data_pipeline_demo_spark.plans import all_queries
 
