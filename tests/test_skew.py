@@ -66,3 +66,56 @@ def test_salted_join_rejects_dim_preserving_how(spark):
     # fact-preserving shapes still work and stay exact
     assert salted_join(fact, dim, on="k", how="left_semi").count() == 1
     assert salted_join(fact, dim, on="k", how="left_anti").count() == 0
+
+
+def _with_confs(spark, confs):
+    saved = {}
+    for k, v in confs.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    return saved
+
+
+def _restore_confs(spark, saved):
+    for k, v in saved.items():
+        if v is None:
+            spark.conf.unset(k)
+        else:
+            spark.conf.set(k, v)
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """The session's AQE confs really do split a skewed join partition:
+    the final adaptive plan marks the sort-merge join skew=true. This is
+    the no-code-change path for moderate skew (salted_join is the
+    explicit fallback for the pathological tail)."""
+    saved = _with_confs(
+        spark,
+        {
+            # force the skew machinery to engage at test scale
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize": "1KB",
+        },
+    )
+    try:
+        fact = _skewed_fact(spark, n=400_000)
+        dim = spark.range(100).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        # global agg downstream: no hash-distribution requirement on the
+        # join output, so AQE is free to split the skewed partition
+        # (a groupBy on the join key would suppress the split — AQE
+        # refuses to break a reusable partitioning)
+        res = fact.join(dim, "k").agg(F.sum(F.col("v") + F.col("w")).alias("s"))
+        res.collect()
+        plan = res._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        _restore_confs(spark, saved)
