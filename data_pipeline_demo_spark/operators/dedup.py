@@ -32,6 +32,7 @@ from operator import add
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..sinks.upsert import read_json_sidecar, write_json_sidecar
 from .textprep import shingle_hash_sets
 
 
@@ -237,6 +238,160 @@ def jaccard_similarity_join(
     return _verify_pairs_exact(cands, sets, id_col, threshold)
 
 
+MINHASH_INDEX_META = "_minhash_index_meta.json"
+
+
+def minhash_index_write(
+    df: DataFrame,
+    index_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 32,
+    bands: int = 16,
+) -> None:
+    """Materialize the banded MinHash relation as the at-rest dedup
+    index: one (doc_id, band, key) row per (doc, band), parquet.
+
+    The production near-dup flow at 100 TB is INCREMENTAL: the corpus
+    is signed once, and each new batch is signed alone and checked
+    against the index (`dedup_against_index`) — O(batch), never
+    O(corpus). The hash family is seed-derived (xxhash64 seed mixes),
+    so a doc signed today gets byte-identical band keys to one signed
+    at build time; the parameters live in the index's own sidecar and
+    are never trusted from the caller on append/query.
+    """
+    banded = _banded_keys(df, text_col, id_col, k, num_hashes, bands)
+    banded.write.mode("overwrite").parquet(index_path)
+    write_json_sidecar(
+        df.sparkSession,
+        index_path.rstrip("/") + "/" + MINHASH_INDEX_META,
+        {"k": k, "num_hashes": num_hashes, "bands": bands, "text_col": text_col,
+         "id_col": id_col},
+    )
+
+
+def minhash_index_append(
+    new_docs: DataFrame,
+    index_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Sign ONLY the new docs with the index's recorded parameters and
+    append their banded rows. Append-only contract (same as
+    `ann_index_append`): the caller dedups its increment; re-adding an
+    indexed id duplicates it."""
+    meta = read_json_sidecar(
+        new_docs.sparkSession, index_path.rstrip("/") + "/" + MINHASH_INDEX_META
+    )
+    if meta is None:
+        raise ValueError(
+            f"no MinHash index metadata at {index_path}; minhash_index_write first"
+        )
+    _banded_keys(
+        new_docs, text_col, id_col, meta["k"], meta["num_hashes"], meta["bands"]
+    ).write.mode("append").parquet(index_path)
+
+
+def dedup_against_index(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    index_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Near-dup pairs (new_id, corpus_id, jaccard) between a NEW batch
+    and the indexed corpus, touching O(batch + candidates) work only.
+
+    1. sign the batch with the index's parameters (one pass over the
+       batch — the corpus is NOT re-signed);
+    2. equi-join batch bands against the index on (band, key) — the
+       corpus side is a pruned scan of the at-rest relation;
+    3. exact-verify candidates by recomputing shingle sets for the
+       CANDIDATE docs only (semi-join into the corpus text — O(pairs),
+       not O(corpus)).
+
+    Self-matches (a batch doc already present in the index under the
+    same id) are excluded.
+    """
+    spark = new_docs.sparkSession
+    meta = read_json_sidecar(spark, index_path.rstrip("/") + "/" + MINHASH_INDEX_META)
+    if meta is None:
+        raise ValueError(
+            f"no MinHash index metadata at {index_path}; minhash_index_write first"
+        )
+    k, nh, bands = meta["k"], meta["num_hashes"], meta["bands"]
+    batch_bands = _banded_keys(new_docs, text_col, id_col, k, nh, bands).select(
+        F.col(id_col).alias("doc_new"), "band", "key"
+    )
+    index = spark.read.parquet(index_path).select(
+        F.col(id_col).alias("doc_old"), "band", "key"
+    )
+    cands = (
+        batch_bands.join(index, ["band", "key"])
+        .filter(F.col("doc_new") != F.col("doc_old"))
+        .select("doc_new", "doc_old")
+        .distinct()
+    )
+    new_sets = shingle_hash_sets(new_docs, text_col, id_col, k).select(
+        F.col(id_col).alias("doc_new"), F.col("sh").alias("sh_a")
+    )
+    old_ids = cands.select(F.col("doc_old").alias(id_col)).distinct()
+    old_sets = shingle_hash_sets(
+        corpus.join(old_ids, id_col, "left_semi"), text_col, id_col, k
+    ).select(F.col(id_col).alias("doc_old"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        cands.join(new_sets, "doc_new")
+        .join(old_sets, "doc_old")
+        .select("doc_new", "doc_old", (inter / union).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def _banded_keys(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int,
+    num_hashes: int,
+    bands: int,
+) -> DataFrame:
+    sigs = minhash_signatures(df, text_col, id_col, k, num_hashes)
+    return _melt_bands(sigs, id_col, num_hashes, bands)
+
+
+def _melt_bands(
+    signatures: DataFrame, id_col: str, num_hashes: int, bands: int
+) -> DataFrame:
+    """(id, band, key) rows: each band's slice of the signature hashed
+    to one bucket key."""
+    r = num_hashes // bands
+    band_cols = [
+        F.xxhash64(*[F.col(f"mh_{b * r + i}") for i in range(r)]).alias(f"band_{b}")
+        for b in range(bands)
+    ]
+    return (
+        signatures.select(F.col(id_col), *band_cols)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.array(*[
+                    F.struct(F.lit(b).alias("band"), F.col(f"band_{b}").alias("key"))
+                    for b in range(bands)
+                ])
+            ).alias("bk"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("bk.band").alias("band"),
+            F.col("bk.key").alias("key"),
+        )
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -272,21 +427,7 @@ def lsh_candidate_pairs(
     p ≈ 1-5e-6. Bucket keys are hashes of the band slice, so the join is
     an equi-join Catalyst shuffles on (band, key): per-bucket work only.
     """
-    r = num_hashes // bands
-    band_cols = [
-        F.xxhash64(*[F.col(f"mh_{b * r + i}") for i in range(r)]).alias(f"band_{b}")
-        for b in range(bands)
-    ]
-    banded = signatures.select(F.col(id_col), *band_cols)
-    melted = banded.select(
-        F.col(id_col),
-        F.explode(
-            F.array(*[
-                F.struct(F.lit(b).alias("band"), F.col(f"band_{b}").alias("key"))
-                for b in range(bands)
-            ])
-        ).alias("bk"),
-    ).select(F.col(id_col), F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    melted = _melt_bands(signatures, id_col, num_hashes, bands)
     a, b = melted.alias("a"), melted.alias("b")
     return (
         a.join(b, ["band", "key"])

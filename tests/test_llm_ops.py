@@ -665,3 +665,51 @@ def test_connected_components_nonconvergence_raises(spark):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         dedup.connected_components(chain, max_iterations=2)
+
+
+def test_minhash_index_append_equals_rebuild(spark, sf_dir, tmp_path):
+    docs = table(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 5 != 0)
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    inc = str(tmp_path / "inc_idx")
+    full = str(tmp_path / "full_idx")
+    dedup.minhash_index_write(old, inc)
+    dedup.minhash_index_append(new, inc)
+    dedup.minhash_index_write(docs, full)
+    a = {tuple(r) for r in spark.read.parquet(inc).collect()}
+    b = {tuple(r) for r in spark.read.parquet(full).collect()}
+    assert a == b
+
+
+def test_minhash_index_append_requires_metadata(spark, sf_dir, tmp_path):
+    import pytest
+
+    docs = table(spark, sf_dir, "documents").limit(10)
+    with pytest.raises(ValueError):
+        dedup.minhash_index_append(docs, str(tmp_path / "nowhere"))
+
+
+def test_dedup_against_index_matches_full_join_cross_pairs(spark, sf_dir, tmp_path):
+    docs = table(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 5 != 0)
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    idx = str(tmp_path / "idx")
+    dedup.minhash_index_write(old, idx)
+
+    got = {
+        (r["doc_new"], r["doc_old"], round(r["jaccard"], 9))
+        for r in dedup.dedup_against_index(new, old, idx).collect()
+    }
+
+    # ground truth: exact Jaccard over the union, restricted to pairs
+    # crossing the old/new split (LSH recall ≈ 1 at this operating
+    # point — the same property test_minhash_lsh_matches_exact pins)
+    full = dedup.jaccard_similarity_join(docs).collect()
+    want = set()
+    for r in full:
+        a_new, b_new = r["doc_a"] % 5 == 0, r["doc_b"] % 5 == 0
+        if a_new != b_new:
+            nid, oid = (r["doc_a"], r["doc_b"]) if a_new else (r["doc_b"], r["doc_a"])
+            want.add((nid, oid, round(r["jaccard"], 9)))
+    assert got == want
+    assert len(want) > 0  # the corpus plants cross-split near-dups
