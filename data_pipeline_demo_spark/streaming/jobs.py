@@ -241,8 +241,9 @@ def interval_join(
     key: str = "user_id",
     within: str = "10 minutes",
     watermark: str = "30 minutes",
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream inner interval join: pair each right-side event with
+    """Stream-stream interval join: pair each right-side event with
     the left-side events of the same key that PRECEDE it by at most
     ``within`` (view→click attribution shape).
 
@@ -252,8 +253,17 @@ def interval_join(
     condition lets Spark derive per-side state-retention bounds — each
     side buffers only ``watermark + within`` of events per key, so state
     is bounded at 100 TB/day instead of growing with the stream. Matched
-    rows emit immediately (inner join); the watermark only expires state.
+    rows emit immediately; the watermark expires state.
+
+    ``how="leftOuter"`` additionally emits every unmatched left event
+    (view with no click) with null right columns — in streaming these
+    rows can only surface once the watermark passes the event's match
+    window (Spark must prove no future right row can match), so outer
+    results trail the watermark by ``within``; the inner results are
+    identical to ``how="inner"``.
     """
+    if how not in ("inner", "leftOuter", "left_outer"):
+        raise ValueError(f"unsupported interval-join type {how!r}")
     lhs = (
         with_event_time(left)
         .withWatermark("ts", watermark)
@@ -277,7 +287,7 @@ def interval_join(
         & (rhs["r_ts"] >= lhs["l_ts"])
         & (rhs["r_ts"] <= lhs["l_ts"] + F.expr(f"INTERVAL {within}"))
     )
-    return lhs.join(rhs, cond, "inner").select(
+    return lhs.join(rhs, cond, how).select(
         key,
         "l_event_id",
         "r_event_id",

@@ -239,3 +239,76 @@ def test_interval_join_stream_equals_batch(spark, event_stream_source, tmp_path)
     want = _rows(batch, cols)
     assert len(want) > 0  # fixture must actually exercise the join
     assert got == want
+
+
+def test_interval_left_outer_join_stream_equals_batch(spark, event_stream_source, tmp_path):
+    """leftOuter stream-stream interval join: unmatched views must ALSO
+    emit (null click columns) — but only after the watermark proves no
+    future click can match. The main data lands in ONE file per side
+    (single batch, nothing late); a far-future flush row per side then
+    advances the watermark past every real event so the pending outer
+    state drains in the closing no-data batch. Flush rows (key -1) are
+    excluded from the comparison."""
+    path, schema = event_stream_source
+    base = spark.read.schema(schema).parquet(path)
+    views_p = str(tmp_path / "views")
+    clicks_p = str(tmp_path / "clicks")
+    views = base.filter("event_type = 'view'")
+    clicks = base.filter("event_type = 'click'")
+    views.coalesce(1).write.parquet(views_p)
+    clicks.coalesce(1).write.parquet(clicks_p)
+
+    # TWO far-future flush rows per side: the first advances the
+    # watermark past every real event at its batch's END; the second
+    # gives eviction a further batch to run under that watermark
+    # (availableNow does not close with a no-data batch, so state
+    # expiring on the final file's watermark would otherwise stay
+    # unemitted — observed on the max-timestamp view)
+    base_flush = base.agg(F.max("ts")).first()[0] + 100 * 86400 * 10**9
+    for i in (1, 2):
+        flush_ts = base_flush + i * 86400 * 10**9
+        for p in (views_p, clicks_p):
+            spark.createDataFrame(
+                [(10**9 + i, flush_ts, -1, "flush", 0.0, "{}")], schema
+            ).coalesce(1).write.mode("append").parquet(p)
+
+    def src(p):
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(p)
+        )
+
+    joined = jobs.interval_join(
+        src(views_p), src(clicks_p), watermark="1 minute", how="leftOuter"
+    )
+    # NOTE: do NOT filter the flush key inside the streaming query — a
+    # deterministic filter pushes BELOW the watermark operator, so the
+    # flush rows would be dropped before ever advancing the watermark
+    # and the outer state would never drain. Exclude them after the fact.
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("t_interval_louter")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    batch = jobs.interval_join(views, clicks, how="leftOuter")
+    cols = ["user_id", "l_event_id", "r_event_id", "lag_micros"]
+    got = _rows(spark.table("t_interval_louter").filter(F.col("user_id") != -1), cols)
+    want = _rows(batch, cols)
+    n_outer = sum(1 for r in want if r[2] is None)
+    assert n_outer > 0  # fixture must exercise the outer branch
+    assert len(want) > n_outer  # ... and the inner branch
+    assert got == want
+
+
+def test_interval_join_rejects_unknown_type(spark, event_stream_source):
+    import pytest
+
+    path, schema = event_stream_source
+    ev = spark.read.schema(schema).parquet(path)
+    with pytest.raises(ValueError, match="interval-join"):
+        jobs.interval_join(ev, ev, how="rightOuter")
