@@ -182,3 +182,24 @@ def test_sampling_laws_property(spark, ids, f1, f2):
     t = {r["doc_id"] for r in train.collect()}
     h = {r["doc_id"] for r in hold.collect()}
     assert t.isdisjoint(h) and t | h == set(ids)
+
+
+# --- bloom-filter pruning laws -------------------------------------------
+
+key_lists = st.lists(st.integers(-(2**40), 2**40), min_size=1, max_size=60)
+
+
+@given(probe_keys=key_lists, build_keys=key_lists)
+@settings(**_SETTINGS)
+def test_bloom_prune_superset_law(spark, probe_keys, build_keys):
+    """For ANY probe/build key sets: pruning never loses a true match
+    (no false negatives), and with a comfortably sized filter the
+    survivors stay a subset of the probe rows."""
+    from data_pipeline_demo_spark.operators import bloom
+
+    probe = spark.createDataFrame([(k,) for k in probe_keys], "k long")
+    build = spark.createDataFrame([(k,) for k in build_keys], "k long")
+    pruned = {r["k"] for r in bloom.bloom_prune(probe, build, ["k"]).collect()}
+    matches = set(probe_keys) & set(build_keys)
+    assert matches <= pruned
+    assert pruned <= set(probe_keys)
