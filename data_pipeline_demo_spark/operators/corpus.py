@@ -34,6 +34,8 @@ from pyspark.sql import functions as F
 
 from . import dedup, sampling, textstats
 
+__all__ = ["CorpusConfig", "prepare_training_corpus", "refresh_training_corpus"]
+
 
 @dataclass(frozen=True)
 class CorpusConfig:
@@ -71,6 +73,86 @@ def prepare_training_corpus(
     with_tokens = sampled.withColumn(
         "n_tokens", textstats.token_count(text_col)
     )
+    return sampling.pack_sequences(
+        with_tokens,
+        "n_tokens",
+        id_col,
+        budget=cfg.pack_budget,
+        num_shards=cfg.num_shards,
+    )
+
+
+def refresh_training_corpus(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    index_path: str,
+    cfg: CorpusConfig = CorpusConfig(),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    update_index: bool = True,
+) -> DataFrame:
+    """Incremental corpus maintenance: prepare a NEW document batch
+    against an already-prepared ``corpus`` — O(batch + candidates)
+    work, never a re-run over the corpus.
+
+    Same stages as `prepare_training_corpus`, with the dedup stages
+    split into cross (batch vs corpus, keep-old semantics: the corpus
+    doc is always canonical) and within-batch:
+
+    1. quality/lang gate + PII scrub on the batch only;
+    2. exact dedup within the batch, then exact cross-dedup via a
+       content-hash anti-join against the corpus;
+    3. near-dup cross-check via `dedup.dedup_against_index` (the
+       at-rest MinHash index — the corpus is NOT re-signed), then
+       within-batch near-dup canonicalization on the remainder;
+    4. deterministic sample with the SAME salt/fraction (membership
+       stays a pure function of doc id across refreshes);
+    5. token count + packing of the increment (pack ids are
+       per-refresh — appends land in fresh shards).
+
+    ``update_index=True`` appends the surviving docs' band keys so the
+    next refresh dedups against them too.
+
+    Caveat (inherent to incremental dedup): a batch doc linked to the
+    corpus only TRANSITIVELY through another batch doc that itself gets
+    dropped survives here, where a full re-run's connected components
+    would drop it. Planted-copy clusters (all pairwise similar) behave
+    identically — `tests/test_corpus.py` pins full ≡ old ∪ refresh on
+    such data.
+    """
+    gated = new_docs.filter(
+        (textstats.quality_score(text_col) >= cfg.min_quality)
+        & textstats.lang_id(text_col).isin(*cfg.langs)
+    )
+    scrubbed = gated.withColumn(text_col, textstats.scrub_pii(text_col))
+    batch = dedup.exact_dedup_rows(scrubbed, text_col, id_col)
+
+    corpus_hashes = corpus.select(
+        F.md5(F.encode(F.col(text_col), "utf-8")).alias("__h")
+    ).distinct()
+    batch = (
+        batch.withColumn("__h", F.md5(F.encode(F.col(text_col), "utf-8")))
+        .join(corpus_hashes, "__h", "left_anti")
+        .drop("__h")
+    )
+
+    cross = dedup.dedup_against_index(
+        batch, corpus, index_path, text_col, id_col,
+        threshold=cfg.near_dup_threshold,
+    ).select(F.col("doc_new").alias(id_col)).distinct()
+    batch = batch.join(cross, id_col, "left_anti")
+
+    pairs = dedup.minhash_dedup_pairs(
+        batch, text_col, id_col, threshold=cfg.near_dup_threshold
+    )
+    canon = dedup.dedup_keep_canonical(batch, pairs, id_col)
+
+    sampled = sampling.deterministic_sample(
+        canon, cfg.sample_fraction, id_col, cfg.sample_salt
+    )
+    if update_index:
+        dedup.minhash_index_append(sampled, index_path, text_col, id_col)
+    with_tokens = sampled.withColumn("n_tokens", textstats.token_count(text_col))
     return sampling.pack_sequences(
         with_tokens,
         "n_tokens",

@@ -76,3 +76,43 @@ def test_exact_dedup_rows_keeps_full_row(spark):
         ).exact_dedup_rows(df).collect()
     }
     assert got == {1: "y", 2: "z"}
+
+
+def test_refresh_equals_full_prepare_on_id_sets(spark, tmp_path):
+    """Incremental refresh ≡ full re-run on planted-copy data: prepare
+    the low-id docs, index them, refresh with the high-id batch — the
+    union of surviving ids (and their token counts) must equal one full
+    prepare over everything. New ids are all larger than old ids, so
+    the full run's min-id canonicalization has the same keep-old
+    preference the refresh hard-codes."""
+    from data_pipeline_demo_spark.operators import dedup
+    from data_pipeline_demo_spark.sources.tables import table
+
+    docs = table(spark, "/root/testdata/sf0.001", "documents")
+    cut = docs.approxQuantile("doc_id", [0.8], 0.0)[0]
+    old_docs = docs.filter(F.col("doc_id") < cut)
+    new_docs = docs.filter(F.col("doc_id") >= cut)
+
+    cfg = corpus.CorpusConfig(pack_budget=512, num_shards=8)
+    full = corpus.prepare_training_corpus(docs, cfg)
+
+    prepared_old = corpus.prepare_training_corpus(old_docs, cfg)
+    idx = str(tmp_path / "corpus_idx")
+    dedup.minhash_index_write(prepared_old, idx)
+    increment = corpus.refresh_training_corpus(new_docs, prepared_old, idx, cfg)
+
+    def id_tokens(df):
+        return {(r["doc_id"], r["n_tokens"]) for r in df.collect()}
+
+    got = id_tokens(prepared_old) | id_tokens(increment)
+    want = id_tokens(full)
+    assert got == want
+    assert len(id_tokens(increment)) > 0  # the batch contributed docs
+
+    # the index now covers the increment: refreshing the SAME batch
+    # again yields nothing new (its texts are exact dups of corpus)
+    again = corpus.refresh_training_corpus(
+        new_docs, prepared_old.unionByName(increment.select(prepared_old.columns)),
+        idx, cfg, update_index=False,
+    )
+    assert again.count() == 0
