@@ -34,7 +34,12 @@ from pyspark.sql import functions as F
 
 from . import dedup, sampling, textstats
 
-__all__ = ["CorpusConfig", "prepare_training_corpus", "refresh_training_corpus"]
+__all__ = [
+    "CorpusConfig",
+    "decontaminate",
+    "prepare_training_corpus",
+    "refresh_training_corpus",
+]
 
 
 @dataclass(frozen=True)
@@ -79,6 +84,56 @@ def prepare_training_corpus(
         id_col,
         budget=cfg.pack_budget,
         num_shards=cfg.num_shards,
+    )
+
+
+def decontaminate(
+    training: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 13,
+) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing any
+    ``n``-token shingle with an evaluation set (the standard n-gram
+    overlap rule; n=13 is the common published choice).
+
+    Returns ``training`` plus a ``contaminated`` boolean — callers
+    filter for the clean corpus or audit the flagged slice. Plan shape:
+    both sides reduce to distinct 64-bit shingle hashes (no shingle
+    strings ever materialize), the benchmark side is typically
+    broadcast-sized after distinct, and the membership check is a
+    semi-join from the training shingle index — O(corpus tokens +
+    benchmark tokens), with only 8-byte keys on the shuffle. Docs
+    shorter than ``n`` tokens produce no shingles and are never
+    flagged.
+    """
+    bench_grams = (
+        dedup._index_from_sets(
+            dedup.shingle_hash_sets(
+                benchmark.select(
+                    F.lit(0).alias("__bid"), F.col(text_col)
+                ),
+                text_col,
+                "__bid",
+                n,
+            ),
+            "__bid",
+        )
+        .select("h")
+        .distinct()
+    )
+    train_grams = dedup._index_from_sets(
+        dedup.shingle_hash_sets(training, text_col, id_col, n), id_col
+    )
+    hit_ids = (
+        train_grams.join(bench_grams, "h", "left_semi")
+        .select(id_col)
+        .distinct()
+        .withColumn("contaminated", F.lit(True))
+    )
+    return training.join(hit_ids, id_col, "left").withColumn(
+        "contaminated", F.coalesce(F.col("contaminated"), F.lit(False))
     )
 
 

@@ -116,3 +116,32 @@ def test_refresh_equals_full_prepare_on_id_sets(spark, tmp_path):
         idx, cfg, update_index=False,
     )
     assert again.count() == 0
+
+
+def test_decontaminate_flags_ngram_overlap(spark):
+    bench = spark.createDataFrame(
+        [(1, "what is the capital of the country of france and why does "
+             "it matter for the history of europe in the modern era")],
+        "q_id long, text string",
+    )
+    shared = "what is the capital of the country of france and why does it matter"
+    training = spark.createDataFrame(
+        [
+            # contains a >=13-token run from the benchmark -> contaminated
+            (10, "intro text then " + shared + " trailing words here"),
+            # paraphrase: overlapping vocabulary, no 13-token run -> clean
+            (11, "france has a capital city and europe has a long history "
+                 "which matters in the modern era for many reasons indeed"),
+            # unrelated -> clean
+            (12, "a completely different document about cooking pasta with "
+                 "fresh tomatoes olive oil and a little bit of basil"),
+            # shorter than 13 tokens -> never flagged
+            (13, "tiny doc"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["contaminated"]
+           for r in corpus.decontaminate(training, bench).collect()}
+    assert out == {10: True, 11: False, 12: False, 13: False}
+    clean = corpus.decontaminate(training, bench).filter("NOT contaminated")
+    assert clean.count() == 3
