@@ -394,3 +394,53 @@ def q69_prepare_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return out.select("doc_id", "n_tokens", "pack_id", "pack_offset")
+
+
+# DuckDB mirror of operators.chunking: same integer chunk-count formula
+# (max(1, (len - overlap + stride - 1) // stride)), 1-based starts,
+# clamped final chunk. char mode: size=120/overlap=20; token mode:
+# size=16/overlap=4 over a single-space split.
+DUCK_CHUNKS = """
+WITH c AS (
+  SELECT doc_id, text,
+         unnest(generate_series(0,
+           greatest(1, (length(text) - 20 + 99) // 100) - 1)) AS i
+  FROM documents
+), t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), tt AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(0,
+           greatest(1, (len(toks) - 4 + 11) // 12) - 1)) AS i
+  FROM t
+)
+SELECT doc_id, 'char' AS mode, CAST(i AS BIGINT) AS chunk_id,
+       CAST(i*100 + 1 AS BIGINT) AS chunk_start,
+       substr(text, CAST(i*100 + 1 AS INT), 120) AS chunk_text
+FROM c
+UNION ALL
+SELECT doc_id, 'token' AS mode, CAST(i AS BIGINT) AS chunk_id,
+       CAST(i*12 + 1 AS BIGINT) AS chunk_start,
+       array_to_string(
+         list_slice(toks, CAST(i*12 + 1 AS INT), CAST(i*12 + 16 AS INT)),
+         ' ') AS chunk_text
+FROM tt
+"""
+
+
+def q70_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size overlapping document chunking, char- and token-grain
+    (operators/chunking.py): map-only sequence+explode+substr/slice,
+    no shuffle, no UDF — the packing/retrieval grain for a training
+    pipeline. Oracle-bearing; registers past the driver's 50-entry
+    gate (budget full), differentially checked by tools/check_oracle."""
+    from ..operators import chunking
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    ch = chunking.chunk_by_chars(d, size=120, overlap=20).withColumn(
+        "mode", F.lit("char")
+    )
+    tk = chunking.chunk_by_tokens(d, size=16, overlap=4).withColumn(
+        "mode", F.lit("token")
+    )
+    return ch.unionByName(tk)
