@@ -7,7 +7,7 @@ as a streaming scan with no shuffle, so they cost one pass at any scale.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .textprep import shingles, tokens
@@ -193,3 +193,63 @@ def pii_hits(text: Column | str, patterns=PII_PATTERNS) -> Column:
         total = total + F.size(F.regexp_extract_all(c, F.lit(pat), F.lit(0)))
         c = F.regexp_replace(c, pat, f"<{tag}>")
     return total.cast("long")
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 3,
+) -> DataFrame:
+    """Per-document top-k TF-IDF-weighted terms: ``score = (term_count /
+    doc_len) * (n_docs / doc_freq)`` — the classic weighting with the
+    log dropped so every arithmetic step is a single correctly-rounded
+    IEEE double op, making the result bit-comparable against a SQL
+    oracle (ln() implementations differ across engines in the last ulp;
+    ratios do not).
+
+    Scale shape: one explode → two map-side-combinable aggregations
+    (per doc-term, per term) → broadcast-joined corpus constant → one
+    per-doc top-k window. The doc_freq relation is |vocabulary|-sized,
+    far smaller than the corpus, and broadcasts; nothing shuffles the
+    exploded token stream twice. Ties break on the term itself, so
+    top-k is deterministic.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("term")
+    )
+    per_doc_term = toks.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    doc_len = per_doc_term.groupBy(id_col).agg(F.sum("c").alias("doc_len"))
+    doc_freq = per_doc_term.groupBy("term").agg(
+        F.count(F.lit(1)).alias("doc_freq")
+    )
+    n_docs = df.select(
+        F.countDistinct(id_col).alias("n_docs")
+    )
+    scored = (
+        per_doc_term.join(doc_len, id_col)
+        .join(F.broadcast(doc_freq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            (F.col("c") / F.col("doc_len"))
+            * (F.col("n_docs") / F.col("doc_freq")),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= top_k)
+        .select(
+            id_col,
+            "term",
+            F.col("score").alias("tfidf"),
+            F.col("rk").cast("long").alias("rk"),
+        )
+    )

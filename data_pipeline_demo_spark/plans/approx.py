@@ -34,3 +34,6 @@ register("q69_prepare_corpus")(llm_ops.q69_prepare_corpus)
 register("q70_chunk_documents", oracle=llm_ops.DUCK_CHUNKS)(
     llm_ops.q70_chunk_documents
 )
+register("q71_tfidf_top_terms", oracle=llm_ops.DUCK_TFIDF)(
+    llm_ops.q71_tfidf_top_terms
+)

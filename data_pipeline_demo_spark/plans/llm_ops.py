@@ -444,3 +444,44 @@ def q70_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mode", F.lit("token")
     )
     return ch.unionByName(tk)
+
+
+# DuckDB mirror of operators.textstats.tfidf_top_terms. Same ratio-form
+# TF-IDF (no ln(): ratios are correctly-rounded IEEE ops in both
+# engines, ln differs in the last ulp), same tie-break on term.
+DUCK_TFIDF = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), pdt AS (
+  SELECT doc_id, term, COUNT(*) AS c FROM toks GROUP BY doc_id, term
+), dl AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS doc_len FROM pdt GROUP BY doc_id
+), dfq AS (
+  SELECT term, COUNT(*) AS doc_freq FROM pdt GROUP BY term
+), nd AS (
+  SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents
+), scored AS (
+  SELECT p.doc_id, p.term,
+         (p.c / dl.doc_len) * (nd.n_docs / dfq.doc_freq) AS tfidf
+  FROM pdt p JOIN dl USING (doc_id) JOIN dfq USING (term) CROSS JOIN nd
+), ranked AS (
+  SELECT doc_id, term, tfidf,
+         row_number() OVER (
+           PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rk
+  FROM scored
+)
+SELECT doc_id, term, tfidf, CAST(rk AS BIGINT) AS rk
+FROM ranked WHERE rk <= 3
+"""
+
+
+def q71_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF terms (operators/textstats.py:
+    tfidf_top_terms): explode → map-side-combinable aggs → broadcast
+    vocabulary join → per-doc top-k window. Oracle-bearing; registers
+    past the full 50-slot driver gate, checked by tools/check_oracle."""
+    from ..operators import textstats
+
+    return textstats.tfidf_top_terms(
+        table(spark, sf_dir, "documents"), top_k=3
+    )

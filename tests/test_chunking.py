@@ -75,3 +75,31 @@ def test_chunking_plan_is_map_only(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan  # no shuffle: generate + project only
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_tfidf_top_terms_hand_computed(spark):
+    # 3 docs; "rare" appears only in doc 0, "the" in all docs
+    from data_pipeline_demo_spark.operators.textstats import tfidf_top_terms
+
+    docs = _docs(
+        spark,
+        [
+            "the rare gem",          # doc 0: rare & gem score 1/3 * 3/1 = 1.0
+            "the the common word",   # doc 1
+            "the common word word",  # doc 2
+        ],
+    )
+    out = tfidf_top_terms(docs, top_k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append((r["rk"], r["term"], r["tfidf"]))
+    for v in by_doc.values():
+        v.sort()
+    # doc 0: gem and rare tie at (1/3)*(3/1)=1.0 -> term asc tie-break
+    assert [(t, s) for _, t, s in by_doc[0]] == [("gem", 1.0), ("rare", 1.0)]
+    # doc 1: "the" tf=2/4, df=3 -> 0.5; common/word tf=1/4, df=2 -> 0.375
+    assert by_doc[1][0][1:] == ("the", 0.5)
+    assert by_doc[1][1][1:] == ("common", 0.375)
+    # doc 2: "word" tf=2/4 df=2 -> 0.75 beats the=0.25, common=0.375
+    assert by_doc[2][0][1:] == ("word", 0.75)
+    assert by_doc[2][1][1:] == ("common", 0.375)
