@@ -203,3 +203,78 @@ def test_bloom_prune_superset_law(spark, probe_keys, build_keys):
     matches = set(probe_keys) & set(build_keys)
     assert matches <= pruned
     assert pruned <= set(probe_keys)
+
+
+# ---- txlog: model-based MERGE law ------------------------------------
+# Any sequence of upsert batches must leave the table equal to a plain
+# dict replayed in the same order (last write per key wins), at every
+# intermediate version (time travel = replaying a prefix).
+
+batches = st.lists(
+    st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 10**6)),
+        min_size=1,
+        max_size=6,
+    ),
+    min_size=1,
+    max_size=4,
+)
+
+
+@given(batches)
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_txlog_merge_matches_dict_model(spark, bs):
+    from data_pipeline_demo_spark.sinks.txlog import read_txtable, txlog_upsert
+
+    root = tempfile.mkdtemp(prefix="txprop")
+    try:
+        model: dict[int, int] = {}
+        for version, batch in enumerate(bs):
+            # within-batch duplicate keys: keep an arbitrary single row,
+            # so make the model unambiguous by deduping first
+            dedup = dict(batch)  # last wins in python; any single row ok
+            df = spark.createDataFrame(
+                list(dedup.items()), "id long, v long"
+            )
+            n = txlog_upsert(spark, df, root, num_buckets=4)
+            model.update(dedup)
+            assert n == len(model)
+            got = {
+                r["id"]: r["v"]
+                for r in read_txtable(spark, root, version=version).collect()
+            }
+            assert got == model
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+# ---- chunking: reconstruction law ------------------------------------
+# For any text and any valid (size, overlap), stitching chunk 0 plus
+# each later chunk minus its overlap reproduces the document exactly.
+
+chunk_cases = st.tuples(
+    st.text(alphabet="abc d\n", max_size=400),
+    st.integers(2, 50),          # size
+    st.integers(0, 40),          # overlap (clamped below size)
+)
+
+
+@given(st.lists(chunk_cases, min_size=1, max_size=8))
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_chunk_reconstruction_law(spark, cases):
+    from data_pipeline_demo_spark.operators.chunking import chunk_by_chars
+
+    for text, size, overlap in cases:
+        overlap = min(overlap, size - 1)
+        df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+        rows = sorted(
+            chunk_by_chars(df, size=size, overlap=overlap).collect(),
+            key=lambda r: r["chunk_id"],
+        )
+        rebuilt = rows[0]["chunk_text"] + "".join(
+            r["chunk_text"][overlap:] for r in rows[1:]
+        )
+        assert rebuilt == text
+        assert all(len(r["chunk_text"]) <= size for r in rows)
