@@ -132,6 +132,7 @@ def stream_upsert_writer(
     target_path: str,
     key: str = "id",
     checkpoint: str | None = None,
+    use_txlog: bool = False,
 ):
     """foreachBatch bridge into the batch upsert sink: every micro-batch
     lands through the same idempotent bucketed merge the batch pipeline
@@ -144,11 +145,22 @@ def stream_upsert_writer(
     Returns the configured DataStreamWriter; caller picks the trigger
     (`.trigger(availableNow=True)` for the reference's cron shape,
     processingTime for continuous ingest).
+
+    ``use_txlog=True`` routes each micro-batch through the log-backed
+    transactional table instead (sinks.txlog): every micro-batch becomes
+    one snapshot commit, so downstream readers observe the stream as a
+    sequence of atomic versions even on object stores — and a replayed
+    micro-batch commits an identical snapshot (same keys supersede),
+    keeping effectively-once end-to-end.
     """
+    from ..sinks.txlog import txlog_upsert
     from ..sinks.upsert import upsert_parquet
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        upsert_parquet(batch_df.sparkSession, batch_df, target_path, key=key)
+        if use_txlog:
+            txlog_upsert(batch_df.sparkSession, batch_df, target_path, key=key)
+        else:
+            upsert_parquet(batch_df.sparkSession, batch_df, target_path, key=key)
 
     writer = stream.writeStream.foreachBatch(write_batch).outputMode("append")
     if checkpoint:

@@ -135,6 +135,48 @@ def test_stream_upsert_effectively_once(spark, event_stream_source, tmp_path):
     assert spark.read.parquet(target).count() == n_expected
 
 
+def test_stream_upsert_txlog_snapshot_per_batch(spark, event_stream_source, tmp_path):
+    """foreachBatch -> log-backed txtable: each micro-batch is one atomic
+    snapshot commit; the final snapshot holds every event exactly once,
+    history has one version per micro-batch, and full redelivery leaves
+    the row set unchanged (keyed idempotency across commits)."""
+    from data_pipeline_demo_spark.sinks.txlog import read_txtable, txtable_history
+
+    src, schema = event_stream_source
+    # re-stage as 3 files so availableNow + maxFilesPerTrigger=1 yields
+    # 3 micro-batches -> 3 snapshot commits
+    path = str(tmp_path / "txsrc")
+    spark.read.schema(schema).parquet(src).repartition(3).write.parquet(path)
+    target = str(tmp_path / "txtarget")
+
+    def run(checkpoint):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(path)
+        )
+        q = (
+            jobs.stream_upsert_writer(
+                stream, target, key="event_id", checkpoint=checkpoint,
+                use_txlog=True,
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run(str(tmp_path / "txckpt1"))
+    base = spark.read.schema(schema).parquet(path)
+    n_expected = base.select("event_id").distinct().count()
+    assert read_txtable(spark, target).count() == n_expected
+    h1 = txtable_history(spark, target)
+    assert len(h1) >= 2  # maxFilesPerTrigger=1 over a multi-file source
+    assert h1[-1]["rows"] == n_expected
+
+    run(str(tmp_path / "txckpt2"))  # full redelivery
+    assert read_txtable(spark, target).count() == n_expected
+
+
 def test_dedup_within_watermark_drops_replays(spark, event_stream_source, tmp_path):
     path, schema = event_stream_source
     # duplicate the source: every event delivered twice
