@@ -339,3 +339,76 @@ def vacuum_txtable(
         if v not in keep:
             fs.delete(_commit_path(jvm, root, v), False)
     return deleted
+
+
+def compact_txtable(
+    spark: SparkSession,
+    root_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    min_files: int = 2,
+) -> int:
+    """OPTIMIZE for the log-backed table: rewrite buckets whose file
+    count exceeds what their byte size warrants into size-appropriate
+    files, and commit the new layout as a snapshot version. Rows are
+    untouched; readers on the old version keep working (old files stay
+    until vacuum); a crash mid-compaction is invisible (no manifest =
+    no change). Returns the number of buckets compacted.
+
+    Pairs with the streaming bridge: micro-batch commits accumulate
+    small files per touched bucket; run this on a maintenance cadence
+    and vacuum afterwards.
+    """
+    manifest = _latest_manifest(spark, root_path)
+    if manifest is None:
+        return 0
+    jvm = spark._jvm
+    fs, root = _hadoop_fs(spark, root_path)
+    todo: dict[str, list[str]] = {}
+    for b, rels in manifest["buckets"].items():
+        if len(rels) < max(2, min_files):
+            continue
+        nbytes = 0
+        for rel in rels:
+            p = jvm.org.apache.hadoop.fs.Path(root, rel)
+            nbytes += fs.getFileStatus(p).getLen()
+        want = max(1, -(-nbytes // target_file_bytes))
+        if len(rels) > want:
+            todo[b] = rels
+    if not todo:
+        return 0
+    commit_id = uuid.uuid4().hex
+    out_rel = f"{DATA_DIR}/{commit_id}"
+    buckets = dict(manifest["buckets"])
+    for b, rels in todo.items():
+        files = [_abs(root_path, rel) for rel in rels]
+        nbytes = sum(
+            fs.getFileStatus(jvm.org.apache.hadoop.fs.Path(root, rel)).getLen()
+            for rel in rels
+        )
+        want = max(1, -(-nbytes // target_file_bytes))
+        bucket_rel = f"{out_rel}/{BUCKET_COL}={b}"
+        (
+            spark.read.option("mergeSchema", "true")
+            .parquet(*files)
+            .repartition(int(want))
+            .write.mode("error")
+            .parquet(_abs(root_path, bucket_rel))
+        )
+        sub = jvm.org.apache.hadoop.fs.Path(root, bucket_rel)
+        buckets[b] = sorted(
+            bucket_rel + "/" + st.getPath().getName()
+            for st in fs.listStatus(sub)
+            if st.isFile() and st.getPath().getName().endswith(".parquet")
+        )
+    _commit_manifest(
+        spark,
+        root_path,
+        {
+            "version": manifest["version"] + 1,
+            "key": manifest["key"],
+            "num_buckets": manifest["num_buckets"],
+            "buckets": buckets,
+            "row_counts": manifest["row_counts"],
+        },
+    )
+    return len(todo)

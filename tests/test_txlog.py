@@ -168,3 +168,37 @@ def test_txlog_file_uri(spark, tmp_path):
     txlog_upsert(spark, _rows(spark, [(1, "a")]), root, num_buckets=2)
     assert _as_dict(read_txtable(spark, root)) == {1: "a"}
     assert txlog_upsert(spark, _rows(spark, [(2, "b")]), root) == 2
+
+
+def test_txlog_compact_preserves_rows_and_history(spark, tmp_path):
+    from data_pipeline_demo_spark.sinks.txlog import compact_txtable
+
+    root = str(tmp_path / "tx")
+    # several commits into the same bucket accumulate small files
+    for i in range(4):
+        txlog_upsert(
+            spark, _rows(spark, [(k, f"b{i}") for k in range(i * 5, i * 5 + 5)]),
+            root, num_buckets=1,
+        )
+    m_before = json.loads(
+        (tmp_path / "tx/_commits" / f"{3:020d}.json").read_text()
+    )
+    files_before = len(m_before["buckets"]["0"])
+    assert files_before >= 2
+    before = _as_dict(read_txtable(spark, root))
+
+    n = compact_txtable(spark, root)
+    assert n == 1
+    m_after = json.loads(
+        (tmp_path / "tx/_commits" / f"{4:020d}.json").read_text()
+    )
+    assert len(m_after["buckets"]["0"]) < files_before
+    assert m_after["row_counts"] == m_before["row_counts"]
+    # rows identical; pre-compaction snapshot still readable (time travel)
+    assert _as_dict(read_txtable(spark, root)) == before
+    assert _as_dict(read_txtable(spark, root, version=3)) == before
+    # idempotent: nothing left to compact
+    assert compact_txtable(spark, root) == 0
+    # vacuum then: old layout gone, current intact
+    vacuum_txtable(spark, root, keep_last=1)
+    assert _as_dict(read_txtable(spark, root)) == before
