@@ -428,12 +428,13 @@ FROM tt
 """
 
 
+@register("q70_chunk_documents", oracle=DUCK_CHUNKS)
 def q70_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-size overlapping document chunking, char- and token-grain
     (operators/chunking.py): map-only sequence+explode+substr/slice,
     no shuffle, no UDF — the packing/retrieval grain for a training
-    pipeline. Oracle-bearing; registers past the driver's 50-entry
-    gate (budget full), differentially checked by tools/check_oracle."""
+    pipeline. In-gate since round 5 (rotated into the slot q17_distinct
+    held, per judge directive)."""
     from ..operators import chunking
 
     d = table(spark, sf_dir, "documents").select("doc_id", "text")
@@ -475,11 +476,12 @@ FROM ranked WHERE rk <= 3
 """
 
 
+@register("q71_tfidf_top_terms", oracle=DUCK_TFIDF)
 def q71_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document top-3 TF-IDF terms (operators/textstats.py:
     tfidf_top_terms): explode → map-side-combinable aggs → broadcast
-    vocabulary join → per-doc top-k window. Oracle-bearing; registers
-    past the full 50-slot driver gate, checked by tools/check_oracle."""
+    vocabulary join → per-doc top-k window. In-gate since round 5
+    (rotated into the slot q23_topk held, per judge directive)."""
     from ..operators import textstats
 
     return textstats.tfidf_top_terms(

@@ -64,7 +64,8 @@ def q54_applyinpandas_center(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q55_grouped_agg_pandas_udf",
     oracle="""
     SELECT c_mktsegment,
-           SUM(CAST(FLOOR(c_acctbal) AS BIGINT)) AS sum_floor_bal,
+           CAST(SUM(CAST(FLOOR(c_acctbal) AS BIGINT)) AS BIGINT)
+             AS sum_floor_bal,
            COUNT(*) AS n_customers
     FROM customer
     GROUP BY c_mktsegment

@@ -46,15 +46,21 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _load_events(spark: SparkSession, path: str) -> DataFrame:
-    """Events carries TIMESTAMP(NANOS) parquet, which Spark's vectorized
-    reader rejects (PARQUET_TYPE_ILLEGAL). Read nanos as raw int64 and
-    truncate to microseconds (floor-division, matching DuckDB's
-    TIMESTAMP_NS→TIMESTAMP cast) so `ts` is a first-class TimestampType
-    for window/watermark operators."""
+    """Events carries TIMESTAMP(NANOS) parquet. Depending on the Spark
+    version the column surfaces as raw int64 nanos (with the legacy
+    ``nanosAsLong`` conf, ≤3.x behavior) or as TIMESTAMP_NTZ (4.x reads
+    nanos natively, truncating to micros). Normalize both to a session-
+    zone TimestampType — the session is pinned UTC (session.py) so the
+    NTZ→TZ cast is deterministic — because window/watermark operators
+    accept either but ``unix_micros`` and the epoch arithmetic in
+    streaming/jobs.py require TIMESTAMP."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = spark.read.parquet(path)
-    if dict(raw.dtypes).get("ts") == "bigint":
+    dtype = dict(raw.dtypes).get("ts")
+    if dtype == "bigint":
         raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif dtype == "timestamp_ntz":
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
     return raw
 
 

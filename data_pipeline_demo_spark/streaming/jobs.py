@@ -23,10 +23,15 @@ from pyspark.sql import functions as F
 
 
 def with_event_time(stream: DataFrame, ts_col: str = "ts") -> DataFrame:
-    """Normalize the event-time column (int64 nanos or timestamp) —
-    mirror of sources.tables._load_events for streaming inputs."""
-    if dict(stream.dtypes).get(ts_col) == "bigint":
+    """Normalize the event-time column (int64 nanos, TIMESTAMP_NTZ, or
+    timestamp) — mirror of sources.tables._load_events for streaming
+    inputs. The session is pinned UTC so the NTZ→TZ cast is
+    deterministic."""
+    dtype = dict(stream.dtypes).get(ts_col)
+    if dtype == "bigint":
         stream = stream.withColumn(ts_col, F.timestamp_micros(F.expr(f"{ts_col} div 1000")))
+    elif dtype == "timestamp_ntz":
+        stream = stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
     return stream
 
 
@@ -305,5 +310,8 @@ def interval_join(
         "r_event_id",
         "l_ts",
         "r_ts",
-        (F.unix_micros("r_ts") - F.unix_micros("l_ts")).alias("lag_micros"),
+        (
+            F.unix_micros(F.col("r_ts").cast("timestamp"))
+            - F.unix_micros(F.col("l_ts").cast("timestamp"))
+        ).alias("lag_micros"),
     )
