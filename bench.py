@@ -8,6 +8,12 @@ Prints ONE JSON line:
 Each query is executed to completion (count() over the result — forces
 the full plan without driver-side materialization of wide rows). A short
 warmup runs first so JVM/codegen startup isn't billed to the first query.
+
+Per-query time is the MEDIAN of $SPARK_GRAFT_BENCH_RUNS (default 3)
+back-to-back executions: a single-shot timing on a shared 32-core box
+swings ±30% run-to-run (observed on bit-identical code between rounds 3
+and 4), which is too coarse an instrument to falsify a 2× performance
+criterion; the median of 3 bounds that noise at a ~30s cost at sf0.1.
 """
 
 from __future__ import annotations
@@ -80,11 +86,22 @@ def main() -> None:
         tiny_emb.limit(2).select(F.col("vec_id").alias("probe_id"), "embedding"),
     ).count()
 
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.perf_counter()
-        queries[name](spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        samples = []
+        for _ in range(runs):
+            # repeated runs must pay the same cost as the first: the
+            # dedup family materializes a shingle-set scratch relation
+            # keyed per corpus, which a rerun would otherwise reuse
+            dedup.clear_shingle_scratch()
+            t0 = time.perf_counter()
+            queries[name](spark, sf_dir).count()
+            samples.append(time.perf_counter() - t0)
+        samples.sort()
+        timings[name] = round(samples[len(samples) // 2], 3)
+        spreads[name] = round(samples[-1] - samples[0], 3)
 
     out = {
         "metric": "headline_queries_total_runtime",
@@ -92,6 +109,8 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "runs_per_query": runs,
+        "spread_max_minus_min": spreads,
     }
     print(json.dumps(out))
 

@@ -41,8 +41,10 @@ consistent file list even while version N+1 commits, and
 from __future__ import annotations
 
 import json
+import time
 import uuid
 
+from py4j.protocol import Py4JJavaError
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -54,33 +56,69 @@ DATA_DIR = "data"
 
 class ConcurrentCommitError(RuntimeError):
     """Another writer committed this version first. The table is intact
-    at the winner's snapshot; re-run the merge against it to retry."""
+    at the winner's snapshot; re-run the merge against it to retry.
+
+    Raised ONLY for a lost version race (the destination manifest
+    already exists). Permissions, quota, or connectivity failures
+    propagate as themselves — retrying the merge cannot fix those, so
+    masking them as commit races would send callers into futile loops.
+    """
 
 
 def _commit_path(jvm, root, version: int):
     return jvm.org.apache.hadoop.fs.Path(root, f"{COMMITS_DIR}/{version:020d}.json")
 
 
+def _manifest_versions(fs, commits) -> list[int]:
+    """Committed version numbers under ``_commits/``, ascending.
+    Dot-prefixed entries are protocol internals, never manifests:
+    ``.tmp-*`` is a manifest being written (or a crash leftover) and
+    ``.quarantine-*`` an unparsable manifest set aside by a reader."""
+    versions = []
+    for st in fs.listStatus(commits):
+        name = st.getPath().getName()
+        if name.startswith(".") or not name.endswith(".json"):
+            continue
+        try:
+            versions.append(int(name[:-5]))
+        except ValueError:
+            continue
+    return sorted(versions)
+
+
 def _latest_manifest(spark: SparkSession, root_path: str) -> dict | None:
     """Resolve the highest committed version's manifest, or None for a
     table that does not exist yet. One directory listing of _commits/ —
-    metadata-sized regardless of table size."""
+    metadata-sized regardless of table size.
+
+    Self-healing: the tmp-then-rename commit protocol makes a
+    half-written manifest unreachable under its final name, but a table
+    written by the old protocol (or a filesystem that lost the rename's
+    atomicity, e.g. raw s3a) can still surface a truncated/zero-byte
+    newest manifest. Such a manifest is set aside (best-effort rename to
+    ``.quarantine-<name>``, skip-only if the rename fails) and
+    resolution falls back to the next older version, so one bad commit
+    file can never brick the table."""
     jvm = spark._jvm
     fs, root = _hadoop_fs(spark, root_path)
     commits = jvm.org.apache.hadoop.fs.Path(root, COMMITS_DIR)
     if not fs.exists(commits):
         return None
-    best = -1
-    for st in fs.listStatus(commits):
-        name = st.getPath().getName()
-        if name.endswith(".json"):
+    for v in reversed(_manifest_versions(fs, commits)):
+        try:
+            return _read_manifest(spark, root_path, v)
+        except (ValueError, json.JSONDecodeError):
+            p = _commit_path(jvm, root, v)
             try:
-                best = max(best, int(name[:-5]))
-            except ValueError:
-                continue
-    if best < 0:
-        return None
-    return _read_manifest(spark, root_path, best)
+                fs.rename(
+                    p,
+                    jvm.org.apache.hadoop.fs.Path(
+                        commits, f".quarantine-{p.getName()}"
+                    ),
+                )
+            except Exception:
+                pass  # read-only reader: skipping is enough
+    return None
 
 
 def _read_manifest(spark: SparkSession, root_path: str, version: int) -> dict:
@@ -99,27 +137,101 @@ def _read_manifest(spark: SparkSession, root_path: str, version: int) -> dict:
     return json.loads(text)
 
 
+_RACE_EXCEPTIONS = (
+    "org.apache.hadoop.fs.FileAlreadyExistsException",
+    "org.apache.hadoop.fs.PathExistsException",
+    "java.nio.file.FileAlreadyExistsException",
+)
+
+
+def _is_already_exists(e: Exception) -> bool:
+    """True iff the Java exception chain means 'destination exists' —
+    the ONLY failure that may map to ConcurrentCommitError."""
+    if not isinstance(e, Py4JJavaError):
+        return False
+    j = e.java_exception
+    while j is not None:
+        if j.getClass().getName() in _RACE_EXCEPTIONS:
+            return True
+        j = j.getCause()
+    return False
+
+
+def _rename_no_overwrite(spark: SparkSession, fs, src, dst) -> bool:
+    """Atomic rename that must NOT replace an existing destination;
+    returns False when the destination already exists (lost race).
+
+    Primary: ``FileContext.rename(src, dst, Rename.NONE)`` — the exact
+    call Delta's HDFSLogStore uses; it throws FileAlreadyExistsException
+    on an existing destination and is atomic on HDFS/local filesystems.
+    Fallback (scheme without FileContext support):
+    ``FileSystem.rename``, whose HDFS contract returns false on an
+    existing destination. Non-exists failures propagate unchanged.
+    """
+    jvm = spark._jvm
+    try:
+        fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+            dst.toUri(), spark._jsc.hadoopConfiguration()
+        )
+    except Exception:
+        return bool(fs.rename(src, dst))
+    rename_enum = jvm.org.apache.hadoop.fs.Options.Rename
+    opts = spark.sparkContext._gateway.new_array(rename_enum, 1)
+    opts[0] = rename_enum.NONE
+    try:
+        fc.rename(src, dst, opts)
+        return True
+    except Py4JJavaError as e:
+        if _is_already_exists(e):
+            return False
+        raise
+
+
 def _commit_manifest(
     spark: SparkSession, root_path: str, manifest: dict
 ) -> None:
-    """Atomically create ``_commits/<version>.json``; raise
-    ConcurrentCommitError if that version already exists."""
+    """Content-atomically publish ``_commits/<version>.json``; raise
+    ConcurrentCommitError iff that version already exists.
+
+    Protocol (Delta HDFSLogStore pattern): the manifest JSON is fully
+    written and closed as ``_commits/.tmp-<uuid>``, then renamed —
+    without overwrite — to its final name. The final name therefore
+    only ever exists with complete content: a reader listing _commits/
+    can never observe a zero-byte or truncated manifest, and a crash at
+    ANY point before the rename leaves only an invisible dot-file (the
+    table stays bit-for-bit at the previous version; vacuum sweeps the
+    leftover). The rename is the atomic version claim: exactly one of
+    two racing writers wins; the loser gets ConcurrentCommitError and
+    its tmp file is cleaned up. Rename-without-overwrite is atomic on
+    HDFS and local filesystems; raw ``s3a://`` has no atomic rename —
+    there the claim needs a real conditional PUT (S3 If-None-Match) or
+    an external commit coordinator, as Delta on S3 uses (README Limits).
+
+    Any non-race failure (permissions, quota, connectivity) propagates
+    as itself — never as ConcurrentCommitError.
+    """
     jvm = spark._jvm
     fs, root = _hadoop_fs(spark, root_path)
     commits = jvm.org.apache.hadoop.fs.Path(root, COMMITS_DIR)
     if not fs.exists(commits):
         fs.mkdirs(commits)
     p = _commit_path(jvm, root, manifest["version"])
-    if fs.exists(p):  # fast path; the create below is the real gate
+    if fs.exists(p):  # fast path; the rename below is the real gate
         raise ConcurrentCommitError(str(p))
-    try:
-        out = fs.create(p, False)  # overwrite=False: the atomic claim
-    except Exception as e:  # py4j wraps FileAlreadyExistsException
-        raise ConcurrentCommitError(str(p)) from e
+    tmp = jvm.org.apache.hadoop.fs.Path(commits, f".tmp-{uuid.uuid4().hex}")
+    out = fs.create(tmp, False)
     try:
         out.write(bytearray(json.dumps(manifest).encode("utf-8")))
     finally:
         out.close()
+    try:
+        won = _rename_no_overwrite(spark, fs, tmp, p)
+    except Exception:
+        fs.delete(tmp, False)
+        raise
+    if not won:
+        fs.delete(tmp, False)
+        raise ConcurrentCommitError(str(p))
 
 
 def _abs(root_path: str, rel: str) -> str:
@@ -130,8 +242,8 @@ def txlog_upsert(
     spark: SparkSession,
     updates: DataFrame,
     root_path: str,
-    key: str = "id",
-    num_buckets: int = 32,
+    key: str | None = None,
+    num_buckets: int | None = None,
 ) -> int:
     """MERGE a batch into the log-backed table; returns the post-merge
     row count (touched rows counted from the merge output, untouched
@@ -141,11 +253,16 @@ def txlog_upsert(
     update row (null-safe, so a null key supersedes rather than
     duplicates), unmatched insert, duplicate keys within a batch keep an
     arbitrary single row, re-delivery of the same batch is idempotent.
-    Key and bucket modulus are fixed at table creation and read from
-    the manifest thereafter.
+
+    Key and bucket modulus are fixed at table creation (defaults
+    ``id``/32 when omitted) and read from the manifest thereafter.
+    Passing a value that CONFLICTS with an existing table's manifest
+    raises ValueError — silently merging on a different column than the
+    caller asked for (or splitting a key across a different modulus)
+    would corrupt the table with no signal.
 
     Crash safety: every write lands in a fresh ``data/<uuid>/`` dir; a
-    crash anywhere before the manifest create leaves the table bit-for-
+    crash anywhere before the manifest rename leaves the table bit-for-
     bit at the previous snapshot and the partial files invisible (and
     vacuum-able). Concurrent writers: exactly one claims the next
     version; the loser raises ConcurrentCommitError and must re-merge
@@ -156,11 +273,24 @@ def txlog_upsert(
     buckets: dict[str, list[str]] = {}
     row_counts: dict[str, int] = {}
     if prev is not None:
+        if key is not None and key != prev["key"]:
+            raise ValueError(
+                f"txtable {root_path} was created with key="
+                f"{prev['key']!r}; cannot merge on {key!r}"
+            )
+        if num_buckets is not None and num_buckets != prev["num_buckets"]:
+            raise ValueError(
+                f"txtable {root_path} was created with num_buckets="
+                f"{prev['num_buckets']}; got {num_buckets}"
+            )
         version = prev["version"] + 1
         key = prev["key"]
         num_buckets = prev["num_buckets"]
         buckets = dict(prev["buckets"])
         row_counts = dict(prev["row_counts"])
+    else:
+        key = "id" if key is None else key
+        num_buckets = 32 if num_buckets is None else num_buckets
 
     updates = updates.dropDuplicates([key]).withColumn(
         BUCKET_COL, _bucket_of(key, num_buckets)
@@ -223,6 +353,7 @@ def txlog_upsert(
             "num_buckets": num_buckets,
             "buckets": buckets,
             "row_counts": row_counts,
+            "committed_at_ms": int(time.time() * 1000),
         },
     )
     return sum(row_counts.values())
@@ -263,13 +394,8 @@ def txtable_history(spark: SparkSession, root_path: str) -> list[dict]:
     commits = jvm.org.apache.hadoop.fs.Path(root, COMMITS_DIR)
     if not fs.exists(commits):
         return []
-    versions = sorted(
-        int(st.getPath().getName()[:-5])
-        for st in fs.listStatus(commits)
-        if st.getPath().getName().endswith(".json")
-    )
     out = []
-    for v in versions:
+    for v in _manifest_versions(fs, commits):
         m = _read_manifest(spark, root_path, v)
         out.append(
             {
@@ -282,29 +408,46 @@ def txtable_history(spark: SparkSession, root_path: str) -> list[dict]:
 
 
 def vacuum_txtable(
-    spark: SparkSession, root_path: str, keep_last: int = 1
+    spark: SparkSession,
+    root_path: str,
+    keep_last: int = 1,
+    retain_hours: float | None = None,
 ) -> int:
-    """Garbage-collect: keep the newest ``keep_last`` manifests, delete
-    older manifests and every data file no kept manifest references
-    (aborted-commit orphans included). Returns files deleted.
+    """Garbage-collect: keep the newest ``keep_last`` manifests plus —
+    when ``retain_hours`` is set — every manifest committed within that
+    window; delete older manifests, every data file no kept manifest
+    references (aborted-commit orphans included), and crash-leftover
+    ``.tmp-*`` / reader-quarantined ``.quarantine-*`` files. Returns
+    files deleted.
 
-    Single-writer assumption (same as the lakehouse equivalents without
-    a retention window): run vacuum only when no merge is in flight,
-    or an in-flight commit's not-yet-referenced files would be swept.
+    Reader hazard (why ``retain_hours`` exists): a count-only policy
+    can delete files under a READER — Spark DataFrames are lazy, so a
+    job that resolved an older snapshot may still be executing when its
+    files are swept, failing mid-query. ``retain_hours`` bounds that
+    window the way Delta's ``VACUUM ... RETAIN`` does: pick it longer
+    than your longest-running query/job. Manifests predating the
+    ``committed_at_ms`` field count as old (legacy tables), protected
+    only by ``keep_last``.
+
+    Single-WRITER assumption: run vacuum only when no merge is in
+    flight, or an in-flight commit's not-yet-referenced data files and
+    in-flight ``.tmp-*`` manifest would be swept.
     """
     jvm = spark._jvm
     fs, root = _hadoop_fs(spark, root_path)
     commits = jvm.org.apache.hadoop.fs.Path(root, COMMITS_DIR)
     if not fs.exists(commits):
         return 0
-    versions = sorted(
-        int(st.getPath().getName()[:-5])
-        for st in fs.listStatus(commits)
-        if st.getPath().getName().endswith(".json")
-    )
+    versions = _manifest_versions(fs, commits)
     if not versions:
         return 0
     keep = set(versions[-max(1, keep_last):])
+    if retain_hours is not None:
+        cutoff_ms = (time.time() - retain_hours * 3600.0) * 1000.0
+        for v in versions:
+            m = _read_manifest(spark, root_path, v)
+            if m.get("committed_at_ms", 0) >= cutoff_ms:
+                keep.add(v)
     live: set[str] = set()
     for v in keep:
         m = _read_manifest(spark, root_path, v)
@@ -338,6 +481,14 @@ def vacuum_txtable(
     for v in versions:
         if v not in keep:
             fs.delete(_commit_path(jvm, root, v), False)
+    # Crash-leftover tmp manifests and reader-quarantined corrupt
+    # manifests (dot-prefixed, invisible to resolution) — safe to sweep
+    # under the single-writer maintenance assumption above.
+    for st in fs.listStatus(commits):
+        name = st.getPath().getName()
+        if name.startswith(".tmp-") or name.startswith(".quarantine-"):
+            fs.delete(st.getPath(), False)
+            deleted += 1
     return deleted
 
 
@@ -409,6 +560,7 @@ def compact_txtable(
             "num_buckets": manifest["num_buckets"],
             "buckets": buckets,
             "row_counts": manifest["row_counts"],
+            "committed_at_ms": int(time.time() * 1000),
         },
     )
     return len(todo)

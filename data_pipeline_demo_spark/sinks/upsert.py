@@ -115,8 +115,8 @@ def upsert_parquet(
     spark: SparkSession,
     updates: DataFrame,
     target_path: str,
-    key: str = "id",
-    num_buckets: int = 32,
+    key: str | None = None,
+    num_buckets: int | None = None,
 ) -> int:
     """MERGE semantics onto a hash-bucketed parquet target: matched keys
     take the update row, unmatched insert; re-running the same batch is
@@ -131,10 +131,14 @@ def upsert_parquet(
     column-less (footer-only) count of the pruned untouched buckets,
     never a full re-read of what was just written.
 
-    The bucket modulus is fixed at table creation and recorded in a
+    The key and bucket modulus are fixed at table creation (defaults
+    ``id``/32 when omitted) and recorded in a
     ``_upsert_bucket_spec.json`` sidecar (a lakehouse keeps this in its
-    table metadata); later calls use the recorded value so differing
-    ``num_buckets`` arguments can never split one key across buckets.
+    table metadata); later calls use the recorded values. Passing a
+    value that CONFLICTS with an existing table's sidecar raises
+    ValueError — merging on a different column than the caller asked
+    for, or splitting a key across a different modulus, would corrupt
+    the table with no signal.
 
     Commit protocol (write-audit-publish): the merge job only ever READS
     the target and WRITES a staging directory — the target is never the
@@ -155,7 +159,21 @@ def upsert_parquet(
     """
     spec = _read_bucket_spec(spark, target_path)
     if spec is not None:
+        if key is not None and key != spec["key"]:
+            raise ValueError(
+                f"upsert target {target_path} was created with key="
+                f"{spec['key']!r}; cannot merge on {key!r}"
+            )
+        if num_buckets is not None and num_buckets != spec["num_buckets"]:
+            raise ValueError(
+                f"upsert target {target_path} was created with "
+                f"num_buckets={spec['num_buckets']}; got {num_buckets}"
+            )
+        key = spec["key"]
         num_buckets = spec["num_buckets"]
+    else:
+        key = "id" if key is None else key
+        num_buckets = 32 if num_buckets is None else num_buckets
     updates = updates.dropDuplicates([key]).withColumn(
         BUCKET_COL, _bucket_of(key, num_buckets)
     )

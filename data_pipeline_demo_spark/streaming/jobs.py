@@ -158,19 +158,35 @@ def stream_upsert_writer(
     micro-batch commits an identical snapshot (same keys supersede),
     keeping effectively-once end-to-end.
     """
+    write_batch = make_upsert_batch_fn(target_path, key=key, use_txlog=use_txlog)
+    writer = stream.writeStream.foreachBatch(write_batch).outputMode("append")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer
+
+
+def make_upsert_batch_fn(target_path: str, key: str = "id", use_txlog: bool = False):
+    """The foreachBatch callback behind ``stream_upsert_writer``,
+    exposed for direct testing.
+
+    Empty micro-batches short-circuit BEFORE touching the sink: a quiet
+    processingTime stream triggers on a cadence regardless of data, and
+    without the guard each empty trigger would commit an identical
+    txlog snapshot — growing ``_commits/`` (and data/ dirs of empty
+    writes) unboundedly between vacuums for zero information.
+    """
     from ..sinks.txlog import txlog_upsert
     from ..sinks.upsert import upsert_parquet
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
         if use_txlog:
             txlog_upsert(batch_df.sparkSession, batch_df, target_path, key=key)
         else:
             upsert_parquet(batch_df.sparkSession, batch_df, target_path, key=key)
 
-    writer = stream.writeStream.foreachBatch(write_batch).outputMode("append")
-    if checkpoint:
-        writer = writer.option("checkpointLocation", checkpoint)
-    return writer
+    return write_batch
 
 
 def stream_ingest_landing(

@@ -202,3 +202,132 @@ def test_txlog_compact_preserves_rows_and_history(spark, tmp_path):
     # vacuum then: old layout gone, current intact
     vacuum_txtable(spark, root, keep_last=1)
     assert _as_dict(read_txtable(spark, root)) == before
+
+
+def test_txlog_commit_is_content_atomic(spark, tmp_path):
+    """Round-5 protocol: the manifest is fully written as a .tmp dot-file
+    then renamed, so (a) a crash leftover tmp is invisible to resolution
+    and vacuum sweeps it, and (b) a zero-byte/truncated final manifest
+    (legacy-protocol crash, or a store that lost rename atomicity) is
+    quarantined by the reader and the table stays readable at the
+    previous version — one bad commit file can never brick the table."""
+    root = str(tmp_path / "tx")
+    txlog_upsert(spark, _rows(spark, [(1, "a"), (2, "b")]), root, num_buckets=2)
+
+    # (a) crash between content-write and rename: tmp dot-file remains
+    (tmp_path / "tx/_commits" / ".tmp-deadbeef").write_text('{"version": 99}')
+    assert _as_dict(read_txtable(spark, root)) == {1: "a", 2: "b"}
+    assert [h["version"] for h in txtable_history(spark, root)] == [0]
+
+    # (b) zero-byte final manifest at the newest version
+    bad = tmp_path / "tx/_commits" / f"{1:020d}.json"
+    bad.write_text("")
+    assert _as_dict(read_txtable(spark, root)) == {1: "a", 2: "b"}
+    assert not bad.exists()  # quarantined aside, not left in place
+    # ... and the freed version slot commits cleanly afterwards
+    assert txlog_upsert(spark, _rows(spark, [(3, "c")]), root) == 3
+    assert _as_dict(read_txtable(spark, root)) == {1: "a", 2: "b", 3: "c"}
+
+    # vacuum sweeps the tmp leftover and the quarantined manifest
+    vacuum_txtable(spark, root, keep_last=2)
+    names = {p.name for p in (tmp_path / "tx/_commits").iterdir()}
+    assert not any(n.startswith(".tmp-") for n in names)
+    assert not any(n.startswith(".quarantine-") for n in names)
+
+
+def test_txlog_commit_never_visible_half_written(spark, tmp_path):
+    """No zero-byte final manifest exists at any point: the final name
+    appears only via rename of a fully-written tmp. Proxy check: after
+    every commit, every *.json under _commits parses and is non-empty."""
+    root = str(tmp_path / "tx")
+    for i in range(3):
+        txlog_upsert(spark, _rows(spark, [(i, f"v{i}")]), root, num_buckets=2)
+        for p in (tmp_path / "tx/_commits").iterdir():
+            if p.name.endswith(".json") and not p.name.startswith("."):
+                text = p.read_text()
+                assert text and json.loads(text)["version"] >= 0
+
+
+def test_txlog_wrong_key_or_buckets_raises(spark, tmp_path):
+    root = str(tmp_path / "tx")
+    txlog_upsert(spark, _rows(spark, [(1, "a")]), root, key="id", num_buckets=4)
+    with pytest.raises(ValueError, match="key"):
+        txlog_upsert(spark, _rows(spark, [(2, "b")]), root, key="v")
+    with pytest.raises(ValueError, match="num_buckets"):
+        txlog_upsert(spark, _rows(spark, [(2, "b")]), root, num_buckets=8)
+    # matching explicit values and omitted values both still work
+    assert txlog_upsert(spark, _rows(spark, [(2, "b")]), root, key="id") == 2
+    assert txlog_upsert(spark, _rows(spark, [(3, "c")]), root) == 3
+
+
+def test_upsert_parquet_wrong_key_or_buckets_raises(spark, tmp_path):
+    from data_pipeline_demo_spark.sinks.upsert import upsert_parquet
+
+    target = str(tmp_path / "t")
+    upsert_parquet(spark, _rows(spark, [(1, "a")]), target, key="id", num_buckets=4)
+    with pytest.raises(ValueError, match="key"):
+        upsert_parquet(spark, _rows(spark, [(2, "b")]), target, key="v")
+    with pytest.raises(ValueError, match="num_buckets"):
+        upsert_parquet(spark, _rows(spark, [(2, "b")]), target, num_buckets=8)
+    assert upsert_parquet(spark, _rows(spark, [(2, "b")]), target) == 2
+
+
+def test_txlog_io_error_propagates_not_commit_race(spark, tmp_path, monkeypatch):
+    """A non-race failure (permissions/quota/connectivity) must surface
+    as itself: masking it as ConcurrentCommitError would send callers
+    into futile re-merge retry loops. The tmp file is cleaned up."""
+    from data_pipeline_demo_spark.sinks import txlog as txmod
+
+    root = str(tmp_path / "tx")
+    txlog_upsert(spark, _rows(spark, [(1, "a")]), root, num_buckets=2)
+
+    class FakeQuota(RuntimeError):
+        pass
+
+    def boom(spark_, fs, src, dst):
+        raise FakeQuota("disk quota exceeded")
+
+    monkeypatch.setattr(txmod, "_rename_no_overwrite", boom)
+    with pytest.raises(FakeQuota):
+        txlog_upsert(spark, _rows(spark, [(2, "b")]), root)
+    monkeypatch.undo()
+    # tmp cleaned; table intact at v0; next commit fine
+    names = {p.name for p in (tmp_path / "tx/_commits").iterdir()}
+    assert not any(n.startswith(".tmp-") for n in names)
+    assert _as_dict(read_txtable(spark, root)) == {1: "a"}
+    assert txlog_upsert(spark, _rows(spark, [(2, "b")]), root) == 2
+
+
+def test_txlog_empty_microbatch_no_new_version(spark, tmp_path):
+    """The streaming bridge short-circuits empty micro-batches: a quiet
+    processingTime stream must not churn identical snapshot versions."""
+    from data_pipeline_demo_spark.streaming.jobs import make_upsert_batch_fn
+
+    root = str(tmp_path / "tx")
+    fn = make_upsert_batch_fn(root, key="id", use_txlog=True)
+    fn(_rows(spark, [(1, "a")]), 0)
+    assert len(txtable_history(spark, root)) == 1
+    empty = _rows(spark, [])
+    for bid in range(1, 4):
+        fn(empty, bid)
+    assert len(txtable_history(spark, root)) == 1  # no version churn
+    fn(_rows(spark, [(2, "b")]), 4)
+    assert len(txtable_history(spark, root)) == 2
+    assert _as_dict(read_txtable(spark, root)) == {1: "a", 2: "b"}
+
+
+def test_txlog_vacuum_time_retention(spark, tmp_path):
+    """retain_hours guards lazily-executing readers of older snapshots:
+    versions committed inside the window survive vacuum regardless of
+    keep_last; retain_hours=0 degenerates to count-only retention."""
+    root = str(tmp_path / "tx")
+    for i in range(3):
+        txlog_upsert(spark, _rows(spark, [(1, f"v{i}")]), root, num_buckets=2)
+    # all three versions committed moments ago -> a 1h window keeps all
+    deleted = vacuum_txtable(spark, root, keep_last=1, retain_hours=1.0)
+    assert [h["version"] for h in txtable_history(spark, root)] == [0, 1, 2]
+    assert _as_dict(read_txtable(spark, root, version=0)) == {1: "v0"}
+    # zero-width window -> count-only policy applies
+    vacuum_txtable(spark, root, keep_last=1, retain_hours=0.0)
+    assert [h["version"] for h in txtable_history(spark, root)] == [2]
+    assert _as_dict(read_txtable(spark, root)) == {1: "v2"}
