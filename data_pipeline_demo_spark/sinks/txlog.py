@@ -238,12 +238,60 @@ def _abs(root_path: str, rel: str) -> str:
     return root_path.rstrip("/") + "/" + rel
 
 
+def _publish_touched_buckets(
+    spark: SparkSession,
+    root_path: str,
+    df: DataFrame,
+    touched: list[int],
+    buckets: dict[str, list[str]],
+    row_counts: dict[str, int],
+) -> None:
+    """Write ``df`` (carrying BUCKET_COL) into a fresh immutable
+    ``data/<uuid>/`` dir partitioned by bucket, then update the manifest
+    bookkeeping dicts in place: each touched bucket's file list is
+    replaced by the new files (or dropped entirely when the bucket came
+    out empty). Untouched buckets are never read, written, or listed.
+    The caller commits the manifest; a crash before that leaves these
+    files invisible (and vacuum-able)."""
+    commit_id = uuid.uuid4().hex
+    out_rel = f"{DATA_DIR}/{commit_id}"
+    out_dir = _abs(root_path, out_rel)
+    df = df.persist()  # perf only: one compute for counts + write
+    try:
+        per_bucket = {
+            str(r[0]): r[1] for r in df.groupBy(BUCKET_COL).count().collect()
+        }
+        df.write.mode("error").partitionBy(BUCKET_COL).parquet(out_dir)
+    finally:
+        df.unpersist()
+
+    jvm = spark._jvm
+    fs, root = _hadoop_fs(spark, root_path)
+    for b in touched:
+        sub = jvm.org.apache.hadoop.fs.Path(root, f"{out_rel}/{BUCKET_COL}={b}")
+        files = []
+        if fs.exists(sub):
+            files = sorted(
+                f"{out_rel}/{BUCKET_COL}={b}/" + st.getPath().getName()
+                for st in fs.listStatus(sub)
+                if st.isFile() and st.getPath().getName().endswith(".parquet")
+            )
+        if files:
+            buckets[str(b)] = files
+            row_counts[str(b)] = int(per_bucket.get(str(b), 0))
+        else:
+            buckets.pop(str(b), None)
+            row_counts.pop(str(b), None)
+
+
 def txlog_upsert(
     spark: SparkSession,
     updates: DataFrame,
     root_path: str,
     key: str | None = None,
     num_buckets: int | None = None,
+    txn_app_id: str | None = None,
+    txn_version: int | None = None,
 ) -> int:
     """MERGE a batch into the log-backed table; returns the post-merge
     row count (touched rows counted from the merge output, untouched
@@ -261,6 +309,17 @@ def txlog_upsert(
     caller asked for (or splitting a key across a different modulus)
     would corrupt the table with no signal.
 
+    Transactional idempotence (Delta's ``txnAppId``/``txnVersion``
+    pattern): when ``txn_app_id``/``txn_version`` are set, the manifest
+    records the highest version committed per app id, and a batch at or
+    below that watermark is SKIPPED (returns the current row count
+    unchanged). This upgrades the streaming bridge from keyed
+    effectively-once to log-enforced exactly-once: a replayed
+    foreachBatch delivery is rejected by the log itself, independent of
+    the data's key semantics. The check-then-commit pair is safe under
+    races because the version claim is atomic — a loser re-reads the
+    log and re-evaluates the watermark.
+
     Crash safety: every write lands in a fresh ``data/<uuid>/`` dir; a
     crash anywhere before the manifest rename leaves the table bit-for-
     bit at the previous snapshot and the partial files invisible (and
@@ -268,10 +327,13 @@ def txlog_upsert(
     version; the loser raises ConcurrentCommitError and must re-merge
     against the winner's snapshot (no partial state to clean first).
     """
+    if (txn_app_id is None) != (txn_version is None):
+        raise ValueError("txn_app_id and txn_version must be set together")
     prev = _latest_manifest(spark, root_path)
     version = 0
     buckets: dict[str, list[str]] = {}
     row_counts: dict[str, int] = {}
+    app_txns: dict[str, int] = {}
     if prev is not None:
         if key is not None and key != prev["key"]:
             raise ValueError(
@@ -288,9 +350,17 @@ def txlog_upsert(
         num_buckets = prev["num_buckets"]
         buckets = dict(prev["buckets"])
         row_counts = dict(prev["row_counts"])
+        app_txns = dict(prev.get("app_txns", {}))
+        if (
+            txn_app_id is not None
+            and app_txns.get(txn_app_id, -1) >= txn_version
+        ):
+            return sum(row_counts.values())  # already committed: skip
     else:
         key = "id" if key is None else key
         num_buckets = 32 if num_buckets is None else num_buckets
+    if txn_app_id is not None:
+        app_txns[txn_app_id] = txn_version
 
     updates = updates.dropDuplicates([key]).withColumn(
         BUCKET_COL, _bucket_of(key, num_buckets)
@@ -313,36 +383,7 @@ def txlog_upsert(
     else:
         merged = updates
 
-    commit_id = uuid.uuid4().hex
-    out_rel = f"{DATA_DIR}/{commit_id}"
-    out_dir = _abs(root_path, out_rel)
-    merged = merged.persist()  # perf only: one compute for counts + write
-    try:
-        per_bucket = {
-            str(r[0]): r[1]
-            for r in merged.groupBy(BUCKET_COL).count().collect()
-        }
-        merged.write.mode("error").partitionBy(BUCKET_COL).parquet(out_dir)
-    finally:
-        merged.unpersist()
-
-    jvm = spark._jvm
-    fs, root = _hadoop_fs(spark, root_path)
-    for b in touched:
-        sub = jvm.org.apache.hadoop.fs.Path(root, f"{out_rel}/{BUCKET_COL}={b}")
-        files = []
-        if fs.exists(sub):
-            files = sorted(
-                f"{out_rel}/{BUCKET_COL}={b}/" + st.getPath().getName()
-                for st in fs.listStatus(sub)
-                if st.isFile() and st.getPath().getName().endswith(".parquet")
-            )
-        if files:
-            buckets[str(b)] = files
-            row_counts[str(b)] = int(per_bucket.get(str(b), 0))
-        else:
-            buckets.pop(str(b), None)
-            row_counts.pop(str(b), None)
+    _publish_touched_buckets(spark, root_path, merged, touched, buckets, row_counts)
 
     _commit_manifest(
         spark,
@@ -353,6 +394,7 @@ def txlog_upsert(
             "num_buckets": num_buckets,
             "buckets": buckets,
             "row_counts": row_counts,
+            "app_txns": app_txns,
             "committed_at_ms": int(time.time() * 1000),
         },
     )
@@ -383,6 +425,218 @@ def read_txtable(
             f"txtable {root_path} version {manifest['version']} is empty"
         )
     return spark.read.option("mergeSchema", "true").parquet(*files)
+
+
+def txlog_delete(
+    spark: SparkSession,
+    root_path: str,
+    keys: DataFrame | None = None,
+    where: str | None = None,
+) -> int:
+    """Row-level DELETE on the log-backed table — the data-lifecycle
+    verb MERGE can't express (GDPR/right-to-be-forgotten removal,
+    quality-gate purges on a training corpus). Exactly one of:
+
+    - ``keys``: a DataFrame carrying the table's key column; matching
+      rows (null-safe) are removed. Bucket-pruned like the MERGE: only
+      buckets the keys hash into are read and rewritten — O(touched
+      buckets) regardless of table size.
+    - ``where``: a SQL predicate; rows where it evaluates TRUE are
+      removed (false/null survive — SQL DELETE semantics). One scan
+      finds the buckets containing matches; only THOSE buckets are
+      rewritten. A predicate matching nothing commits no new version.
+
+    Returns rows deleted. Deletion is a snapshot commit like any other:
+    old versions still time-travel to the deleted rows until vacuum
+    ages them out — for hard erasure, follow with
+    ``vacuum_txtable(keep_last=1)`` (and note parquet files are
+    immutable: erasure granularity is the rewritten bucket file).
+    """
+    if (keys is None) == (where is None):
+        raise ValueError("pass exactly one of keys= or where=")
+    prev = _latest_manifest(spark, root_path)
+    if prev is None:
+        raise FileNotFoundError(f"no committed txtable at {root_path}")
+    key = prev["key"]
+    num_buckets = prev["num_buckets"]
+    buckets = dict(prev["buckets"])
+    row_counts = dict(prev["row_counts"])
+
+    if keys is not None:
+        del_keys = keys.select(F.col(key).alias("__del_key")).dropDuplicates()
+        touched = sorted(
+            r[0]
+            for r in del_keys.select(
+                _bucket_of("__del_key", num_buckets).alias(BUCKET_COL)
+            )
+            .distinct()
+            .collect()
+        )
+        touched = [b for b in touched if str(b) in buckets]
+        if not touched:
+            return 0
+        files = [
+            _abs(root_path, rel) for b in touched for rel in buckets[str(b)]
+        ]
+        current = spark.read.option("mergeSchema", "true").parquet(*files)
+        survivors = current.join(
+            del_keys, F.col(key).eqNullSafe(F.col("__del_key")), "left_anti"
+        ).withColumn(BUCKET_COL, _bucket_of(key, num_buckets))
+    else:
+        pred = F.coalesce(F.expr(where), F.lit(False))
+        live = sorted(int(b) for b in buckets)
+        files = [_abs(root_path, rel) for b in live for rel in buckets[str(b)]]
+        current = (
+            spark.read.option("mergeSchema", "true").parquet(*files)
+        ).withColumn(BUCKET_COL, _bucket_of(key, num_buckets))
+        touched = sorted(
+            r[0]
+            for r in current.filter(pred).select(BUCKET_COL).distinct().collect()
+        )
+        if not touched:
+            return 0  # nothing matched: no version churn
+        survivors = current.filter(F.col(BUCKET_COL).isin(touched)).filter(
+            ~pred
+        )
+
+    prior = sum(row_counts[str(b)] for b in touched)
+    _publish_touched_buckets(
+        spark, root_path, survivors, touched, buckets, row_counts
+    )
+    kept = sum(row_counts.get(str(b), 0) for b in touched)
+    _commit_manifest(
+        spark,
+        root_path,
+        {
+            "version": prev["version"] + 1,
+            "key": key,
+            "num_buckets": num_buckets,
+            "buckets": buckets,
+            "row_counts": row_counts,
+            "app_txns": dict(prev.get("app_txns", {})),
+            "committed_at_ms": int(time.time() * 1000),
+        },
+    )
+    return prior - kept
+
+
+def txtable_changes(
+    spark: SparkSession,
+    root_path: str,
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """CDC between two snapshots: one row per key whose state changed,
+    with ``_change_type`` ∈ {insert, update, delete} — the incremental
+    feed a downstream consumer (index refresh, aggregate maintenance,
+    replication) reads instead of diffing full snapshots.
+
+    Manifest-level pruning does the heavy lifting: a bucket whose FILE
+    LIST is identical in both manifests cannot contain a change (data
+    files are immutable), so only buckets that differ are read — at
+    100 TB a small commit's CDC touches a handful of buckets, never the
+    table. Within changed buckets, old and new rows full-outer-join on
+    the key (null-safe): new-only → insert, old-only → delete, both
+    but any shared non-key column differing → update (new values
+    reported; delete rows report the old values).
+    """
+    m_from = _read_manifest(spark, root_path, from_version)
+    m_to = (
+        _latest_manifest(spark, root_path)
+        if to_version is None
+        else _read_manifest(spark, root_path, to_version)
+    )
+    if m_to is None:
+        raise FileNotFoundError(f"no committed txtable at {root_path}")
+    key = m_to["key"]
+    changed = sorted(
+        {
+            b
+            for b in set(m_from["buckets"]) | set(m_to["buckets"])
+            if m_from["buckets"].get(b) != m_to["buckets"].get(b)
+        },
+        key=int,
+    )
+    def side_files(manifest):
+        return [
+            _abs(root_path, rel)
+            for b in changed
+            for rel in manifest["buckets"].get(b, [])
+        ]
+
+    f_old, f_new = side_files(m_from), side_files(m_to)
+    # Only changed buckets' files are ever opened — including for the
+    # schema of a zero-file side (fresh or fully-deleted table), which
+    # borrows limit(0) from the OTHER side rather than reading an
+    # unchanged bucket.
+    if not f_old and not f_new:
+        # no changed buckets: empty diff. Keep the output schema stable
+        # by borrowing columns from any live file (footer-only read);
+        # a table with no files at all degrades to key+_change_type.
+        for m in (m_to, m_from):
+            if m["buckets"]:
+                src = _abs(root_path, next(iter(m["buckets"].values()))[0])
+                df = spark.read.parquet(src).limit(0)
+                return df.select(*sorted(df.columns)).withColumn(
+                    "_change_type", F.lit(None).cast("string")
+                )
+        return spark.createDataFrame([], f"{key} string").withColumn(
+            "_change_type", F.lit(None).cast("string")
+        )
+    old = (
+        spark.read.option("mergeSchema", "true").parquet(*f_old)
+        if f_old
+        else None
+    )
+    new = (
+        spark.read.option("mergeSchema", "true").parquet(*f_new)
+        if f_new
+        else None
+    )
+    if old is None:
+        old = new.limit(0)
+    if new is None:
+        new = old.limit(0)
+    # align to the union schema (evolution-safe): absent columns read null
+    for c, t in new.dtypes:
+        if c not in old.columns:
+            old = old.withColumn(c, F.lit(None).cast(t))
+    for c, t in old.dtypes:
+        if c not in new.columns:
+            new = new.withColumn(c, F.lit(None).cast(t))
+    cols = sorted(old.columns)
+    # presence must be judged structurally (a null key is a real row):
+    # full_outer emits nulls for the absent side's EVERY column, so use
+    # a per-side marker instead of the key column itself
+    o = old.select(
+        [F.col(c).alias(f"__o_{c}") for c in cols] + [F.lit(1).alias("__o_present")]
+    )
+    n = new.select(
+        [F.col(c).alias(f"__n_{c}") for c in cols] + [F.lit(1).alias("__n_present")]
+    )
+    j = o.join(
+        n, F.col(f"__o_{key}").eqNullSafe(F.col(f"__n_{key}")), "full_outer"
+    )
+    differs = F.lit(False)
+    for c in cols:
+        if c != key:
+            differs = differs | ~F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}"))
+    change = (
+        F.when(F.col("__o_present").isNull(), F.lit("insert"))
+        .when(F.col("__n_present").isNull(), F.lit("delete"))
+        .when(differs, F.lit("update"))
+    )
+    out_cols = [
+        F.when(F.col("__n_present").isNotNull(), F.col(f"__n_{c}"))
+        .otherwise(F.col(f"__o_{c}"))
+        .alias(c)
+        for c in cols
+    ]
+    return (
+        j.withColumn("_change_type", change)
+        .filter(F.col("_change_type").isNotNull())
+        .select(*out_cols, "_change_type")
+    )
 
 
 def txtable_history(spark: SparkSession, root_path: str) -> list[dict]:
@@ -560,6 +814,7 @@ def compact_txtable(
             "num_buckets": manifest["num_buckets"],
             "buckets": buckets,
             "row_counts": manifest["row_counts"],
+            "app_txns": dict(manifest.get("app_txns", {})),
             "committed_at_ms": int(time.time() * 1000),
         },
     )

@@ -138,6 +138,7 @@ def stream_upsert_writer(
     key: str = "id",
     checkpoint: str | None = None,
     use_txlog: bool = False,
+    txn_app_id: str | None = None,
 ):
     """foreachBatch bridge into the batch upsert sink: every micro-batch
     lands through the same idempotent bucketed merge the batch pipeline
@@ -157,15 +158,29 @@ def stream_upsert_writer(
     sequence of atomic versions even on object stores — and a replayed
     micro-batch commits an identical snapshot (same keys supersede),
     keeping effectively-once end-to-end.
+
+    ``txn_app_id`` (with ``use_txlog``) additionally records each
+    micro-batch's ``batch_id`` in the commit log (Delta's
+    txnAppId/txnVersion pattern): a re-delivered batch is then rejected
+    by the LOG, not merely neutralized by keyed idempotency — true
+    exactly-once even for payloads whose keys don't dedupe. Use a
+    stable id per logical stream (e.g. the checkpoint path).
     """
-    write_batch = make_upsert_batch_fn(target_path, key=key, use_txlog=use_txlog)
+    write_batch = make_upsert_batch_fn(
+        target_path, key=key, use_txlog=use_txlog, txn_app_id=txn_app_id
+    )
     writer = stream.writeStream.foreachBatch(write_batch).outputMode("append")
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
     return writer
 
 
-def make_upsert_batch_fn(target_path: str, key: str = "id", use_txlog: bool = False):
+def make_upsert_batch_fn(
+    target_path: str,
+    key: str = "id",
+    use_txlog: bool = False,
+    txn_app_id: str | None = None,
+):
     """The foreachBatch callback behind ``stream_upsert_writer``,
     exposed for direct testing.
 
@@ -182,7 +197,14 @@ def make_upsert_batch_fn(target_path: str, key: str = "id", use_txlog: bool = Fa
         if batch_df.isEmpty():
             return
         if use_txlog:
-            txlog_upsert(batch_df.sparkSession, batch_df, target_path, key=key)
+            txlog_upsert(
+                batch_df.sparkSession,
+                batch_df,
+                target_path,
+                key=key,
+                txn_app_id=txn_app_id,
+                txn_version=batch_id if txn_app_id is not None else None,
+            )
         else:
             upsert_parquet(batch_df.sparkSession, batch_df, target_path, key=key)
 

@@ -331,3 +331,140 @@ def test_txlog_vacuum_time_retention(spark, tmp_path):
     vacuum_txtable(spark, root, keep_last=1, retain_hours=0.0)
     assert [h["version"] for h in txtable_history(spark, root)] == [2]
     assert _as_dict(read_txtable(spark, root)) == {1: "v2"}
+
+
+def test_txlog_delete_by_keys_bucket_pruned(spark, tmp_path):
+    """Key-based DELETE removes exactly the matching rows, touches only
+    the buckets the keys hash into (proof: corrupt an untouched
+    bucket's file — delete still succeeds), and commits a snapshot the
+    old version can still time-travel past."""
+    from data_pipeline_demo_spark.sinks.txlog import txlog_delete
+
+    root = str(tmp_path / "tx")
+    rows = [(i, f"v{i}") for i in range(40)]
+    txlog_upsert(spark, _rows(spark, rows), root, num_buckets=8)
+    m0 = json.loads((tmp_path / "tx/_commits" / f"{0:020d}.json").read_text())
+
+    # find two ids in the same bucket, then corrupt a DIFFERENT bucket
+    from data_pipeline_demo_spark.sinks.upsert import BUCKET_COL, _bucket_of
+
+    by_bucket = {
+        r["id"]: r["b"]
+        for r in _rows(spark, rows)
+        .select("id", _bucket_of("id", 8).alias("b"))
+        .collect()
+    }
+    target_bucket = by_bucket[0]
+    victims = [i for i, b in by_bucket.items() if b == target_bucket][:2]
+    other_bucket = next(b for b in m0["buckets"] if int(b) != target_bucket)
+    corrupt_rel = m0["buckets"][other_bucket][0]
+    corrupt_path = tmp_path / "tx" / corrupt_rel
+    original_bytes = corrupt_path.read_bytes()
+    corrupt_path.write_bytes(b"NOT A PARQUET FILE")
+    try:
+        n = txlog_delete(
+            spark, root, keys=_rows(spark, [(v, None) for v in victims])
+        )
+    finally:
+        corrupt_path.write_bytes(original_bytes)
+    assert n == len(victims)
+    got = _as_dict(read_txtable(spark, root))
+    assert set(got) == {i for i in range(40) if i not in victims}
+    # time travel still shows the pre-delete rows
+    assert len(_as_dict(read_txtable(spark, root, version=0))) == 40
+    # untouched buckets carried forward file-identical
+    m1 = json.loads((tmp_path / "tx/_commits" / f"{1:020d}.json").read_text())
+    for b in m0["buckets"]:
+        if int(b) != target_bucket:
+            assert m1["buckets"][b] == m0["buckets"][b]
+
+
+def test_txlog_delete_where_predicate(spark, tmp_path):
+    """Predicate DELETE: TRUE rows go, FALSE and NULL rows survive; a
+    no-match predicate commits no new version; deleting a bucket's last
+    row drops the bucket from the manifest."""
+    from data_pipeline_demo_spark.sinks.txlog import txlog_delete
+
+    root = str(tmp_path / "tx")
+    txlog_upsert(
+        spark,
+        _rows(spark, [(1, "keep"), (2, "purge"), (3, None), (4, "purge")]),
+        root,
+        num_buckets=2,
+    )
+    assert txlog_delete(spark, root, where="v = 'nomatch'") == 0
+    assert len(txtable_history(spark, root)) == 1  # no version churn
+    n = txlog_delete(spark, root, where="v = 'purge'")
+    assert n == 2
+    assert _as_dict(read_txtable(spark, root)) == {1: "keep", 3: None}
+    with pytest.raises(ValueError, match="exactly one"):
+        txlog_delete(spark, root)
+    with pytest.raises(ValueError, match="exactly one"):
+        txlog_delete(spark, root, keys=_rows(spark, [(1, None)]), where="1=1")
+
+
+def test_txlog_txn_app_id_exactly_once(spark, tmp_path):
+    """Delta txnAppId/txnVersion semantics: a replayed (app, version)
+    commit is skipped by the log; a later version lands; a second app's
+    watermark is independent; compaction preserves the watermarks."""
+    root = str(tmp_path / "tx")
+    b0 = _rows(spark, [(1, "a")])
+    assert txlog_upsert(spark, b0, root, num_buckets=2,
+                        txn_app_id="app1", txn_version=0) == 1
+    # replay of batch 0: skipped — row count AND version count unchanged
+    assert txlog_upsert(spark, _rows(spark, [(99, "GHOST")]), root,
+                        txn_app_id="app1", txn_version=0) == 1
+    assert len(txtable_history(spark, root)) == 1
+    assert _as_dict(read_txtable(spark, root)) == {1: "a"}
+    # next version lands
+    assert txlog_upsert(spark, _rows(spark, [(2, "b")]), root,
+                        txn_app_id="app1", txn_version=1) == 2
+    # other app unaffected by app1's watermark
+    assert txlog_upsert(spark, _rows(spark, [(3, "c")]), root,
+                        txn_app_id="app2", txn_version=0) == 3
+    with pytest.raises(ValueError, match="together"):
+        txlog_upsert(spark, b0, root, txn_app_id="app1")
+    m = json.loads((tmp_path / "tx/_commits" / f"{2:020d}.json").read_text())
+    assert m["app_txns"] == {"app1": 1, "app2": 0}
+
+
+def test_txtable_changes_cdc(spark, tmp_path):
+    """Snapshot diff: insert/update/delete classified per key; only
+    buckets whose file lists differ are read (proof: corrupt a bucket
+    untouched between the versions — CDC still runs)."""
+    from data_pipeline_demo_spark.sinks.txlog import txlog_delete, txtable_changes
+
+    root = str(tmp_path / "tx")
+    txlog_upsert(
+        spark, _rows(spark, [(i, f"v{i}") for i in range(20)]), root, num_buckets=4
+    )
+    txlog_upsert(spark, _rows(spark, [(1, "CHANGED"), (100, "NEW")]), root)
+    txlog_delete(spark, root, keys=_rows(spark, [(2, None)]))
+
+    def changes(a, b):
+        return {
+            r["id"]: (r["_change_type"], r["v"])
+            for r in txtable_changes(spark, root, a, b).collect()
+        }
+
+    c01 = changes(0, 1)
+    assert c01[1] == ("update", "CHANGED")
+    assert c01[100] == ("insert", "NEW")
+    assert set(c01) == {1, 100}  # unchanged keys in touched buckets silent
+    c12 = changes(1, 2)
+    assert c12 == {2: ("delete", "v2")}
+    c02 = changes(0, 2)
+    assert c02 == {1: ("update", "CHANGED"), 100: ("insert", "NEW"),
+                   2: ("delete", "v2")}
+
+    # pruning proof: corrupt a file in a bucket untouched between v1→v2
+    m1 = json.loads((tmp_path / "tx/_commits" / f"{1:020d}.json").read_text())
+    m2 = json.loads((tmp_path / "tx/_commits" / f"{2:020d}.json").read_text())
+    same = next(b for b in m1["buckets"] if m1["buckets"][b] == m2["buckets"][b])
+    p = tmp_path / "tx" / m1["buckets"][same][0]
+    original = p.read_bytes()
+    p.write_bytes(b"JUNK")
+    try:
+        assert changes(1, 2) == {2: ("delete", "v2")}
+    finally:
+        p.write_bytes(original)
