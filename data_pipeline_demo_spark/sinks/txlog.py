@@ -751,6 +751,7 @@ def compact_txtable(
     root_path: str,
     target_file_bytes: int = 128 * 1024 * 1024,
     min_files: int = 2,
+    zorder_by: list[str] | None = None,
 ) -> int:
     """OPTIMIZE for the log-backed table: rewrite buckets whose file
     count exceeds what their byte size warrants into size-appropriate
@@ -758,6 +759,16 @@ def compact_txtable(
     untouched; readers on the old version keep working (old files stay
     until vacuum); a crash mid-compaction is invisible (no manifest =
     no change). Returns the number of buckets compacted.
+
+    ``zorder_by`` additionally re-clusters each rewritten bucket by the
+    Z-value of the named columns (Delta's ``OPTIMIZE ... ZORDER BY``):
+    rows land range-partitioned and sorted by the interleaved key, so
+    parquet footer min/max stats prune multi-column box/point queries
+    WITHIN the bucket's files — on top of the manifest's bucket-level
+    key pruning. A Z-order pass rewrites every live bucket regardless
+    of file count (it is a layout change, not just a small-file fix);
+    min/max scaling comes from one per-bucket aggregate row, and the
+    Z-value never persists (``sinks/layout.py`` machinery).
 
     Pairs with the streaming bridge: micro-batch commits accumulate
     small files per touched bucket; run this on a maintenance cadence
@@ -770,6 +781,9 @@ def compact_txtable(
     fs, root = _hadoop_fs(spark, root_path)
     todo: dict[str, list[str]] = {}
     for b, rels in manifest["buckets"].items():
+        if zorder_by:
+            todo[b] = rels
+            continue
         if len(rels) < max(2, min_files):
             continue
         nbytes = 0
@@ -790,15 +804,37 @@ def compact_txtable(
             fs.getFileStatus(jvm.org.apache.hadoop.fs.Path(root, rel)).getLen()
             for rel in rels
         )
-        want = max(1, -(-nbytes // target_file_bytes))
+        want = int(max(1, -(-nbytes // target_file_bytes)))
         bucket_rel = f"{out_rel}/{BUCKET_COL}={b}"
-        (
-            spark.read.option("mergeSchema", "true")
-            .parquet(*files)
-            .repartition(int(want))
-            .write.mode("error")
-            .parquet(_abs(root_path, bucket_rel))
-        )
+        df = spark.read.option("mergeSchema", "true").parquet(*files)
+        if zorder_by:
+            from .layout import ZORDER_BITS, _scale_to_bits, zorder_key
+
+            stats = df.agg(
+                *[F.min(c).cast("double").alias(f"__lo_{c}") for c in zorder_by],
+                *[F.max(c).cast("double").alias(f"__hi_{c}") for c in zorder_by],
+            )
+            scaled = [
+                _scale_to_bits(
+                    F.col(c), F.col(f"__lo_{c}"), F.col(f"__hi_{c}"), ZORDER_BITS
+                )
+                for c in zorder_by
+            ]
+            drop = (
+                ["__z"]
+                + [f"__lo_{c}" for c in zorder_by]
+                + [f"__hi_{c}" for c in zorder_by]
+            )
+            out = (
+                df.crossJoin(F.broadcast(stats))
+                .withColumn("__z", zorder_key(scaled, ZORDER_BITS))
+                .repartitionByRange(want, "__z")
+                .sortWithinPartitions("__z")
+                .drop(*drop)
+            )
+        else:
+            out = df.repartition(want)
+        out.write.mode("error").parquet(_abs(root_path, bucket_rel))
         sub = jvm.org.apache.hadoop.fs.Path(root, bucket_rel)
         buckets[b] = sorted(
             bucket_rel + "/" + st.getPath().getName()

@@ -5,6 +5,7 @@ time travel, concurrent-writer safety, vacuum."""
 import json
 
 import pytest
+from pyspark.sql import functions as F
 
 from data_pipeline_demo_spark.sinks.txlog import (
     ConcurrentCommitError,
@@ -468,3 +469,58 @@ def test_txtable_changes_cdc(spark, tmp_path):
         assert changes(1, 2) == {2: ("delete", "v2")}
     finally:
         p.write_bytes(original)
+
+
+def test_txlog_compact_zorder_enables_box_pruning(spark, tmp_path):
+    """OPTIMIZE ZORDER: after a z-ordered compaction the bucket's files
+    carry tight multi-column min/max footers — a 2-D box query overlaps
+    a strict minority of files, while the pre-compaction (insert-order)
+    layout prunes nothing. Rows are bit-identical before/after."""
+    from data_pipeline_demo_spark.sinks.txlog import compact_txtable
+
+    root = str(tmp_path / "tx")
+    # x,y lattice delivered in an order that scatters both columns
+    # across every file, so insert-order footers are all full-range
+    pts = [(i, (i * 37) % 50, (i * 61) % 50) for i in range(2000)]
+    df = spark.createDataFrame(pts, "id long, x long, y long")
+    for part in range(4):
+        txlog_upsert(
+            spark, df.filter(F.col("id") % 4 == part), root, num_buckets=1
+        )
+    before = {(r["id"], r["x"], r["y"]) for r in read_txtable(spark, root).collect()}
+
+    def overlap_fraction():
+        m = _latest_manifest_dict(tmp_path)
+        files = [str(tmp_path / "tx" / rel) for rel in m["buckets"]["0"]]
+        hit = 0
+        for f in files:
+            s = (
+                spark.read.parquet(f)
+                .agg(F.min("x"), F.max("x"), F.min("y"), F.max("y"))
+                .first()
+            )
+            if s[0] <= 10 and s[1] >= 0 and s[2] <= 10 and s[3] >= 0:
+                hit += 1
+        return hit, len(files)
+
+    hit0, n0 = overlap_fraction()
+    assert hit0 == n0  # scattered layout: the box overlaps EVERY file
+
+    n = compact_txtable(
+        spark, root, target_file_bytes=4 * 1024, zorder_by=["x", "y"]
+    )
+    assert n == 1
+    after = {(r["id"], r["x"], r["y"]) for r in read_txtable(spark, root).collect()}
+    assert after == before
+    hit1, n1 = overlap_fraction()
+    assert n1 >= 3  # the byte target actually split the bucket
+    assert hit1 <= n1 // 2  # box query now prunes a majority of files
+
+
+def _latest_manifest_dict(tmp_path):
+    commits = tmp_path / "tx/_commits"
+    best = max(
+        p for p in commits.iterdir()
+        if p.name.endswith(".json") and not p.name.startswith(".")
+    )
+    return json.loads(best.read_text())
