@@ -278,3 +278,83 @@ def test_chunk_reconstruction_law(spark, cases):
         )
         assert rebuilt == text
         assert all(len(r["chunk_text"]) <= size for r in rows)
+
+
+# ---- txlog: model-based MERGE+DELETE law -----------------------------
+# Any interleaving of upsert batches, key deletes, and predicate
+# deletes must leave the table equal to a plain dict replayed in the
+# same order, with every delete reporting the model's removal count.
+
+tx_ops = st.lists(
+    st.one_of(
+        st.tuples(
+            st.just("upsert"),
+            st.lists(
+                st.tuples(st.integers(0, 12), st.integers(0, 10**6)),
+                min_size=1, max_size=6,
+            ),
+        ),
+        st.tuples(
+            st.just("delete_keys"),
+            st.lists(st.integers(0, 12), min_size=1, max_size=4),
+        ),
+        st.tuples(st.just("delete_where"), st.integers(0, 10**6)),
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+@given(tx_ops)
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_txlog_upsert_delete_matches_dict_model(spark, ops):
+    from data_pipeline_demo_spark.sinks.txlog import (
+        read_txtable,
+        txlog_delete,
+        txlog_upsert,
+    )
+
+    root = tempfile.mkdtemp(prefix="txprop")
+    try:
+        model: dict[int, int] = {1: 0}
+        txlog_upsert(
+            spark,
+            spark.createDataFrame([(1, 0)], "id long, v long"),
+            root,
+            num_buckets=4,
+        )
+        for kind, arg in ops:
+            if kind == "upsert":
+                dedup = dict(arg)
+                txlog_upsert(
+                    spark,
+                    spark.createDataFrame(list(dedup.items()), "id long, v long"),
+                    root,
+                )
+                model.update(dedup)
+            elif kind == "delete_keys":
+                n = txlog_delete(
+                    spark,
+                    root,
+                    keys=spark.createDataFrame(
+                        [(k,) for k in set(arg)], "id long"
+                    ),
+                )
+                expect = sum(1 for k in set(arg) if k in model)
+                for k in arg:
+                    model.pop(k, None)
+                assert n == expect
+            else:  # delete_where: v > threshold
+                n = txlog_delete(spark, root, where=f"v > {arg}")
+                doomed = [k for k, v in model.items() if v > arg]
+                for k in doomed:
+                    del model[k]
+                assert n == len(doomed)
+            if model:
+                got = {
+                    r["id"]: r["v"] for r in read_txtable(spark, root).collect()
+                }
+                assert got == model
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
