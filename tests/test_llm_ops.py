@@ -713,3 +713,25 @@ def test_dedup_against_index_matches_full_join_cross_pairs(spark, sf_dir, tmp_pa
             want.add((nid, oid, round(r["jaccard"], 9)))
     assert got == want
     assert len(want) > 0  # the corpus plants cross-split near-dups
+
+
+def test_knn_numpy_matches_exact_tier(spark, sf_dir):
+    """The BLAS throughput tier returns the SAME neighbors (and ranks)
+    as the bit-exact fold tier — only the score arithmetic differs
+    (pairwise-BLAS vs fixed-point fold), which cannot reorder results
+    on a corpus with no ties within float error."""
+    emb = table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    exact = {
+        (r["probe_id"], r["rank"]): r["vec_id"]
+        for r in similarity.knn_exact(emb, probes, k=5).collect()
+    }
+    fast = {
+        (r["probe_id"], r["rank"]): r["vec_id"]
+        for r in similarity.knn_numpy(emb, probes.toPandas(), k=5).collect()
+    }
+    assert fast == exact
+    # partial top-k per batch never exceeds k per probe globally
+    assert len(fast) == len({p for p, _ in fast}) * 5
