@@ -245,6 +245,8 @@ def _publish_touched_buckets(
     touched: list[int],
     buckets: dict[str, list[str]],
     row_counts: dict[str, int],
+    stats_columns: list[str] | None = None,
+    bucket_stats: dict[str, dict] | None = None,
 ) -> None:
     """Write ``df`` (carrying BUCKET_COL) into a fresh immutable
     ``data/<uuid>/`` dir partitioned by bucket, then update the manifest
@@ -252,15 +254,37 @@ def _publish_touched_buckets(
     replaced by the new files (or dropped entirely when the bucket came
     out empty). Untouched buckets are never read, written, or listed.
     The caller commits the manifest; a crash before that leaves these
-    files invisible (and vacuum-able)."""
+    files invisible (and vacuum-able).
+
+    ``stats_columns``: zone-map columns — per-bucket min/max land in
+    ``bucket_stats`` (same one-pass aggregate as the row counts), so
+    the read path can prune buckets by value predicate from the
+    manifest alone, before any file IO."""
     commit_id = uuid.uuid4().hex
     out_rel = f"{DATA_DIR}/{commit_id}"
     out_dir = _abs(root_path, out_rel)
     df = df.persist()  # perf only: one compute for counts + write
     try:
-        per_bucket = {
-            str(r[0]): r[1] for r in df.groupBy(BUCKET_COL).count().collect()
-        }
+        aggs = [F.count(F.lit(1)).alias("__n")]
+        for c in stats_columns or []:
+            aggs.append(F.min(c).alias(f"__lo_{c}"))
+            aggs.append(F.max(c).alias(f"__hi_{c}"))
+        stat_rows = df.groupBy(BUCKET_COL).agg(*aggs).collect()
+        per_bucket = {str(r[BUCKET_COL]): r["__n"] for r in stat_rows}
+        if stats_columns and bucket_stats is not None:
+            # JSON-safe: dates/decimals stored via str() — ISO date
+            # strings order lexicographically = chronologically, so
+            # range pruning stays correct for them too
+            def sv(v):
+                if v is None or isinstance(v, (int, float, str, bool)):
+                    return v
+                return str(v)
+
+            for r in stat_rows:
+                bucket_stats[str(r[BUCKET_COL])] = {
+                    c: [sv(r[f"__lo_{c}"]), sv(r[f"__hi_{c}"])]
+                    for c in stats_columns
+                }
         df.write.mode("error").partitionBy(BUCKET_COL).parquet(out_dir)
     finally:
         df.unpersist()
@@ -282,6 +306,8 @@ def _publish_touched_buckets(
         else:
             buckets.pop(str(b), None)
             row_counts.pop(str(b), None)
+            if bucket_stats is not None:
+                bucket_stats.pop(str(b), None)
 
 
 def txlog_upsert(
@@ -292,10 +318,19 @@ def txlog_upsert(
     num_buckets: int | None = None,
     txn_app_id: str | None = None,
     txn_version: int | None = None,
+    stats_columns: list[str] | None = None,
 ) -> int:
     """MERGE a batch into the log-backed table; returns the post-merge
     row count (touched rows counted from the merge output, untouched
     rows summed from manifest bookkeeping — no table re-read).
+
+    ``stats_columns`` (creation-time, like key/num_buckets): zone-map
+    columns whose per-bucket min/max are maintained in the manifest —
+    one extra min/max pair in the SAME aggregate pass that already
+    counts rows per bucket, so stats cost no additional scan. The read
+    path (``read_txtable(prune_between=...)``) then skips whole
+    buckets from metadata alone. Untouched buckets carry their stats
+    forward; rewritten buckets recompute exactly.
 
     Same contract as `upsert.upsert_parquet`: matched keys take the
     update row (null-safe, so a null key supersedes rather than
@@ -334,6 +369,7 @@ def txlog_upsert(
     buckets: dict[str, list[str]] = {}
     row_counts: dict[str, int] = {}
     app_txns: dict[str, int] = {}
+    bucket_stats: dict[str, dict] = {}
     if prev is not None:
         if key is not None and key != prev["key"]:
             raise ValueError(
@@ -345,12 +381,21 @@ def txlog_upsert(
                 f"txtable {root_path} was created with num_buckets="
                 f"{prev['num_buckets']}; got {num_buckets}"
             )
+        if stats_columns is not None and stats_columns != prev.get(
+            "stats_columns", []
+        ):
+            raise ValueError(
+                f"txtable {root_path} was created with stats_columns="
+                f"{prev.get('stats_columns', [])}; got {stats_columns}"
+            )
         version = prev["version"] + 1
         key = prev["key"]
         num_buckets = prev["num_buckets"]
+        stats_columns = prev.get("stats_columns", [])
         buckets = dict(prev["buckets"])
         row_counts = dict(prev["row_counts"])
         app_txns = dict(prev.get("app_txns", {}))
+        bucket_stats = dict(prev.get("bucket_stats", {}))
         if (
             txn_app_id is not None
             and app_txns.get(txn_app_id, -1) >= txn_version
@@ -359,6 +404,7 @@ def txlog_upsert(
     else:
         key = "id" if key is None else key
         num_buckets = 32 if num_buckets is None else num_buckets
+        stats_columns = list(stats_columns or [])
     if txn_app_id is not None:
         app_txns[txn_app_id] = txn_version
 
@@ -383,7 +429,16 @@ def txlog_upsert(
     else:
         merged = updates
 
-    _publish_touched_buckets(spark, root_path, merged, touched, buckets, row_counts)
+    _publish_touched_buckets(
+        spark,
+        root_path,
+        merged,
+        touched,
+        buckets,
+        row_counts,
+        stats_columns=stats_columns,
+        bucket_stats=bucket_stats,
+    )
 
     _commit_manifest(
         spark,
@@ -395,6 +450,8 @@ def txlog_upsert(
             "buckets": buckets,
             "row_counts": row_counts,
             "app_txns": app_txns,
+            "stats_columns": stats_columns,
+            "bucket_stats": bucket_stats,
             "committed_at_ms": int(time.time() * 1000),
         },
     )
@@ -402,12 +459,26 @@ def txlog_upsert(
 
 
 def read_txtable(
-    spark: SparkSession, root_path: str, version: int | None = None
+    spark: SparkSession,
+    root_path: str,
+    version: int | None = None,
+    prune_between: dict[str, tuple] | None = None,
 ) -> DataFrame:
     """Read a snapshot: the latest committed version, or an explicit
     ``version`` for time travel. The file list comes entirely from the
     manifest — uncommitted data directories are invisible by
-    construction."""
+    construction.
+
+    ``prune_between={col: (lo, hi)}``: manifest zone-map pruning. A
+    bucket whose recorded [min, max] for ``col`` cannot intersect
+    [lo, hi] is skipped WITHOUT any file IO — metadata-only skipping on
+    top of parquet's footer stats, exactly Iceberg's manifest-stats
+    role. Either bound may be None (one-sided range). The returned
+    frame still carries the matching filter as a real predicate (so
+    results are exact, and parquet prunes row groups within kept
+    buckets); buckets with no recorded stats are conservatively kept.
+    Requires the table to have been created with ``stats_columns``.
+    """
     manifest = (
         _latest_manifest(spark, root_path)
         if version is None
@@ -415,16 +486,61 @@ def read_txtable(
     )
     if manifest is None:
         raise FileNotFoundError(f"no committed txtable at {root_path}")
+    live = sorted(manifest["buckets"], key=int)
+    predicate = None
+    if prune_between:
+        recorded = set(manifest.get("stats_columns", []))
+        missing = set(prune_between) - recorded
+        if missing:
+            raise ValueError(
+                f"txtable {root_path} has no zone maps for {sorted(missing)}; "
+                f"stats_columns={sorted(recorded)} (fixed at table creation)"
+            )
+        stats = manifest.get("bucket_stats", {})
+
+        def overlaps(b: str) -> bool:
+            st = stats.get(b)
+            if st is None:
+                return True  # no stats recorded: must keep
+            for c, (lo, hi) in prune_between.items():
+                mn, mx = st.get(c, [None, None])
+                if mn is None or mx is None:
+                    continue  # all-null bucket column: keep
+                if lo is not None and mx < lo:
+                    return False
+                if hi is not None and mn > hi:
+                    return False
+            return True
+
+        live = [b for b in live if overlaps(b)]
+        for c, (lo, hi) in prune_between.items():
+            cond = F.lit(True)
+            if lo is not None:
+                cond = cond & (F.col(c) >= F.lit(lo))
+            if hi is not None:
+                cond = cond & (F.col(c) <= F.lit(hi))
+            predicate = cond if predicate is None else predicate & cond
     files = [
-        _abs(root_path, rel)
-        for b in sorted(manifest["buckets"], key=int)
-        for rel in manifest["buckets"][b]
+        _abs(root_path, rel) for b in live for rel in manifest["buckets"][b]
     ]
     if not files:
+        if prune_between:
+            schema_files = [
+                _abs(root_path, rel)
+                for b in sorted(manifest["buckets"], key=int)
+                for rel in manifest["buckets"][b]
+            ]
+            if schema_files:  # everything pruned: empty frame, real schema
+                return (
+                    spark.read.option("mergeSchema", "true")
+                    .parquet(*schema_files)
+                    .limit(0)
+                )
         raise FileNotFoundError(
             f"txtable {root_path} version {manifest['version']} is empty"
         )
-    return spark.read.option("mergeSchema", "true").parquet(*files)
+    df = spark.read.option("mergeSchema", "true").parquet(*files)
+    return df.filter(predicate) if predicate is not None else df
 
 
 def txlog_delete(
@@ -500,8 +616,16 @@ def txlog_delete(
         )
 
     prior = sum(row_counts[str(b)] for b in touched)
+    bucket_stats = dict(prev.get("bucket_stats", {}))
     _publish_touched_buckets(
-        spark, root_path, survivors, touched, buckets, row_counts
+        spark,
+        root_path,
+        survivors,
+        touched,
+        buckets,
+        row_counts,
+        stats_columns=prev.get("stats_columns", []),
+        bucket_stats=bucket_stats,
     )
     kept = sum(row_counts.get(str(b), 0) for b in touched)
     _commit_manifest(
@@ -514,6 +638,8 @@ def txlog_delete(
             "buckets": buckets,
             "row_counts": row_counts,
             "app_txns": dict(prev.get("app_txns", {})),
+            "stats_columns": prev.get("stats_columns", []),
+            "bucket_stats": bucket_stats,
             "committed_at_ms": int(time.time() * 1000),
         },
     )
@@ -851,6 +977,9 @@ def compact_txtable(
             "buckets": buckets,
             "row_counts": manifest["row_counts"],
             "app_txns": dict(manifest.get("app_txns", {})),
+            # rows unchanged by compaction/ZORDER ⇒ zone maps still exact
+            "stats_columns": manifest.get("stats_columns", []),
+            "bucket_stats": dict(manifest.get("bucket_stats", {})),
             "committed_at_ms": int(time.time() * 1000),
         },
     )

@@ -524,3 +524,72 @@ def _latest_manifest_dict(tmp_path):
         if p.name.endswith(".json") and not p.name.startswith(".")
     )
     return json.loads(best.read_text())
+
+
+def test_txlog_zone_map_pruning(spark, tmp_path):
+    """Manifest zone maps: per-bucket min/max recorded at commit time
+    let the read path skip buckets with NO file IO (proof: every
+    pruned bucket's files corrupted — pruned read still works), while
+    results stay exact and stats survive merges."""
+    from data_pipeline_demo_spark.sinks.txlog import read_txtable as rt
+    from data_pipeline_demo_spark.sinks.upsert import _bucket_of
+
+    root = str(tmp_path / "tx")
+    ids = spark.createDataFrame([(i,) for i in range(40)], "id long")
+    with_b = ids.withColumn("b", _bucket_of("id", 8))
+    # x encodes the bucket, so each bucket's zone map is one tight point
+    df = with_b.selectExpr("id", "CAST(b * 10 AS BIGINT) AS x").drop("b")
+    txlog_upsert(spark, df, root, num_buckets=8, stats_columns=["x"])
+    m0 = json.loads((tmp_path / "tx/_commits" / f"{0:020d}.json").read_text())
+    assert m0["stats_columns"] == ["x"]
+    assert all(st["x"][0] == st["x"][1] for st in m0["bucket_stats"].values())
+
+    want_bucket = next(iter(m0["buckets"]))  # prune to exactly this one
+    lo = hi = m0["bucket_stats"][want_bucket]["x"][0]
+    # corrupt EVERY other bucket's files: pruned read must not open them
+    originals = {}
+    for b, rels in m0["buckets"].items():
+        if b != want_bucket:
+            for rel in rels:
+                p = tmp_path / "tx" / rel
+                originals[p] = p.read_bytes()
+                p.write_bytes(b"JUNK")
+    try:
+        got = rt(spark, root, prune_between={"x": (lo, hi)}).collect()
+    finally:
+        for p, data in originals.items():
+            p.write_bytes(data)
+    expect = {
+        r["id"]
+        for r in df.withColumn("b", _bucket_of("id", 8))
+        .filter(F.col("b") == int(want_bucket))
+        .collect()
+    }
+    assert {r["id"] for r in got} == expect
+    assert all(r["x"] == lo for r in got)
+
+    # one-sided range + exactness of the residual predicate
+    full = {r["id"] for r in rt(spark, root, prune_between={"x": (None, 10)}).collect()}
+    model = {
+        r["id"]
+        for r in df.withColumn("b", _bucket_of("id", 8))
+        .filter(F.col("b") * 10 <= 10)
+        .collect()
+    }
+    assert full == model
+
+    # merges keep stats exact; conflicting creation params raise
+    txlog_upsert(spark, spark.createDataFrame([(0, 999)], "id long, x long"), root)
+    m1 = json.loads((tmp_path / "tx/_commits" / f"{1:020d}.json").read_text())
+    b0 = str(
+        spark.createDataFrame([(0,)], "id long")
+        .select(_bucket_of("id", 8).alias("b")).first()["b"]
+    )
+    assert m1["bucket_stats"][b0]["x"][1] == 999
+    with pytest.raises(ValueError, match="stats_columns"):
+        txlog_upsert(spark, df, root, stats_columns=["id"])
+    with pytest.raises(ValueError, match="zone maps"):
+        rt(spark, root, prune_between={"id": (0, 1)})
+    # everything pruned -> empty frame with the real schema
+    empty = rt(spark, root, prune_between={"x": (10**9, None)})
+    assert empty.count() == 0 and set(empty.columns) == {"id", "x"}
