@@ -212,6 +212,113 @@ def refresh_cascade(
     return days
 
 
+def refresh_cascade_from_txtable(
+    spark,
+    table_root: str,
+    store_base: str,
+    since_version: int | None = None,
+    ts_col: str = "ts",
+    dims: Sequence[str] = ("event_type",),
+    value_col: str = "value",
+    levels: Sequence[str] = ("minute", "hour", "day"),
+) -> tuple[list[str], int]:
+    """Continuous-aggregate maintenance driven by the txtable change
+    feed — the TimescaleDB invalidation model on the engine's own CDC.
+
+    The additive :func:`refresh_cascade` cannot absorb updates or
+    deletes (min/max partials are not invertible — nothing is
+    subtractable from a min). Instead: the CDC between
+    ``since_version`` and the table's latest version (preimages
+    included, so an update that MOVES an event across days invalidates
+    both days) yields the set of affected calendar days; those days'
+    finest partials are recomputed from the CURRENT snapshot and
+    REPLACE the stored partitions; coarser tiers re-derive from the
+    tier below. A day whose rows all vanished has its partition
+    deleted. Untouched days are never read or rewritten.
+
+    Cost is O(changed buckets) for the diff + O(affected days' rows)
+    for the recompute — pair the table with
+    ``compact_txtable(zorder_by=[ts_col])`` so the day-filtered rescan
+    is file-pruned by parquet footers. ``since_version=None``
+    bootstraps: every day of the current table is (re)built.
+
+    Returns ``(affected p_date strings, consumed version)`` — persist
+    the version as the consumer watermark and pass it back as
+    ``since_version`` next call (same-version call is a no-op).
+    """
+    from ..sinks.txlog import _latest_manifest, read_txtable, txtable_changes
+
+    manifest = _latest_manifest(spark, table_root)
+    if manifest is None:
+        raise FileNotFoundError(f"no committed txtable at {table_root}")
+    latest = manifest["version"]
+    if since_version is None:
+        src = read_txtable(spark, table_root)
+        days = sorted(
+            str(r["d"])
+            for r in src.filter(F.col(ts_col).isNotNull())
+            .select(F.to_date(ts_col).alias("d"))
+            .distinct()
+            .collect()
+        )
+    else:
+        if since_version >= latest:
+            return [], latest
+        feed = txtable_changes(
+            spark, table_root, since_version, latest, include_preimages=True
+        )
+        days = sorted(
+            str(r["d"])
+            for r in feed.filter(F.col(ts_col).isNotNull())
+            .select(F.to_date(ts_col).alias("d"))
+            .distinct()
+            .collect()
+        )
+        src = read_txtable(spark, table_root)
+    if not days:
+        return [], latest
+    rows = src.filter(F.to_date(ts_col).cast("string").isin(days))
+
+    from ..sinks.upsert import _hadoop_fs, _swap_in
+
+    jvm = spark._jvm
+    below: DataFrame | None = None
+    for i, lvl in enumerate(levels):
+        store = store_base.rstrip("/") + "/" + lvl
+        fs, tpath = _hadoop_fs(spark, store)
+        if i == 0:
+            merged = _finest_partials(rows, ts_col, dims, value_col, lvl)
+        else:
+            merged = _reagg_partials(below, dims, lvl)
+        out = merged.withColumn("p_date", F.to_date("bucket").cast("string"))
+        staging_str = tpath.toString() + "__staging_" + uuid.uuid4().hex
+        out.write.mode("overwrite").partitionBy("p_date").parquet(staging_str)
+        staging = jvm.org.apache.hadoop.fs.Path(staging_str)
+        if not fs.exists(tpath):
+            fs.mkdirs(tpath)
+        for d in days:
+            src_p = jvm.org.apache.hadoop.fs.Path(staging, f"p_date={d}")
+            dst_p = jvm.org.apache.hadoop.fs.Path(tpath, f"p_date={d}")
+            if fs.exists(src_p):
+                _swap_in(fs, jvm, src_p, dst_p)
+            elif fs.exists(dst_p):
+                # the day's rows all vanished: replacement = removal
+                fs.delete(dst_p, True)
+        fs.delete(staging, True)
+        has_parts = any(
+            st.getPath().getName().startswith("p_date=")
+            for st in fs.listStatus(tpath)
+        )
+        below = (
+            spark.read.parquet(store)
+            .filter(F.col("p_date").isin(days))
+            .drop("p_date")
+            if has_parts
+            else merged.limit(0)
+        )
+    return days, latest
+
+
 def read_rollup(spark, store_base: str, level: str) -> DataFrame:
     """Storage-form partials of one persisted tier (drop the partition
     key; pass through :func:`finalize` for the read-time projection)."""

@@ -651,6 +651,7 @@ def txtable_changes(
     root_path: str,
     from_version: int,
     to_version: int | None = None,
+    include_preimages: bool = False,
 ) -> DataFrame:
     """CDC between two snapshots: one row per key whose state changed,
     with ``_change_type`` ∈ {insert, update, delete} — the incremental
@@ -665,6 +666,13 @@ def txtable_changes(
     the key (null-safe): new-only → insert, old-only → delete, both
     but any shared non-key column differing → update (new values
     reported; delete rows report the old values).
+
+    ``include_preimages=True`` switches updates to the Delta-CDF shape:
+    TWO rows per updated key — ``update_preimage`` (old values) and
+    ``update_postimage`` (new values) — making the feed algebraically
+    complete for consumers that must RETRACT the old contribution
+    (aggregate maintenance, index deletion), not just observe the new
+    state.
     """
     m_from = _read_manifest(spark, root_path, from_version)
     m_to = (
@@ -758,10 +766,30 @@ def txtable_changes(
         .alias(c)
         for c in cols
     ]
+    if not include_preimages:
+        return (
+            j.withColumn("_change_type", change)
+            .filter(F.col("_change_type").isNotNull())
+            .select(*out_cols, "_change_type")
+        )
+    # one struct per emitted row, exploded — the join is evaluated once
+    pre = F.struct(
+        *[F.col(f"__o_{c}").alias(c) for c in cols],
+        F.lit("update_preimage").alias("_change_type"),
+    )
+    post = F.struct(
+        *[F.col(f"__n_{c}").alias(c) for c in cols],
+        F.lit("update_postimage").alias("_change_type"),
+    )
+    base = F.struct(*out_cols, change.alias("_change_type"))
+    rows = F.when(change == "update", F.array(pre, post)).otherwise(
+        F.array(base)
+    )
     return (
-        j.withColumn("_change_type", change)
-        .filter(F.col("_change_type").isNotNull())
-        .select(*out_cols, "_change_type")
+        j.withColumn("__ct", change)
+        .filter(F.col("__ct").isNotNull())
+        .select(F.explode(rows).alias("__r"))
+        .select("__r.*")
     )
 
 

@@ -154,3 +154,81 @@ def test_gapfill_multi_value_columns(spark):
     # hour 1 is PRESENT (is_gap false) even though its s value is null
     assert got[1] == (False, None, 7.0)
     assert got[2] == (False, 3.0, 7.0)
+
+
+def test_refresh_cascade_from_txtable_cdc(spark, sf_dir, tmp_path):
+    """CDC-driven invalidation maintenance: bootstrap build, then a
+    commit batch containing an update (value change), a cross-day
+    MOVE (ts change — preimage day must also refresh), an insert, and
+    a whole-day delete. After refresh, every tier equals the one-shot
+    cascade over the CURRENT table, and the deleted day's partition is
+    gone."""
+    from data_pipeline_demo_spark.sinks.txlog import (
+        read_txtable,
+        txlog_delete,
+        txlog_upsert,
+    )
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    ).limit(3000)
+    root = str(tmp_path / "events_tx")
+    store = str(tmp_path / "store")
+    txlog_upsert(spark, ev, root, key="event_id", num_buckets=8)
+
+    days0, v0 = rollup.refresh_cascade_from_txtable(spark, root, store)
+    assert v0 == 0 and len(days0) > 0
+    one_shot = rollup.rollup_cascade(read_txtable(spark, root))
+    for lvl in ("minute", "hour", "day"):
+        got = sorted(map(tuple, rollup.read_rollup(spark, store, lvl).collect()))
+        want = sorted(map(tuple, one_shot[lvl].collect()))
+        assert got == want, f"bootstrap {lvl} mismatch"
+
+    # same-version refresh: no-op
+    assert rollup.refresh_cascade_from_txtable(
+        spark, root, store, since_version=v0
+    ) == ([], v0)
+
+    rows = read_txtable(spark, root).orderBy("event_id").limit(3).collect()
+    a, b, c = rows
+    all_days = sorted(
+        str(r["d"]) for r in read_txtable(spark, root)
+        .select(F.to_date("ts").alias("d")).distinct().collect()
+    )
+    doomed_day = all_days[0]
+    batch = spark.createDataFrame(
+        [
+            # value update in place
+            (a["event_id"], a["ts"], a["event_type"], a["value"] + 100.0),
+            # cross-day move: ts shifted by 40 days
+            (b["event_id"], b["ts"], b["event_type"], b["value"]),
+            # fresh insert on b's original day
+            (10**9, c["ts"], "view", 1.5),
+        ],
+        read_txtable(spark, root).schema,
+    ).withColumn(
+        "ts",
+        F.when(F.col("event_id") == b["event_id"],
+               F.col("ts") + F.expr("INTERVAL 40 DAYS")).otherwise(F.col("ts")),
+    )
+    txlog_upsert(spark, batch, root)
+    txlog_delete(spark, root, where=f"to_date(ts) = '{doomed_day}'")
+
+    days1, v1 = rollup.refresh_cascade_from_txtable(
+        spark, root, store, since_version=v0
+    )
+    assert v1 > v0
+    # the preimage day of the moved event and the doomed day both refresh
+    assert str((b["ts"]).date()) in days1
+    assert doomed_day in days1
+
+    current = read_txtable(spark, root)
+    one_shot = rollup.rollup_cascade(current)
+    for lvl in ("minute", "hour", "day"):
+        got = sorted(map(tuple, rollup.read_rollup(spark, store, lvl).collect()))
+        want = sorted(map(tuple, one_shot[lvl].collect()))
+        assert got == want, f"post-CDC {lvl} mismatch"
+    import os
+    assert not os.path.exists(
+        os.path.join(store, "day", f"p_date={doomed_day}")
+    )

@@ -593,3 +593,27 @@ def test_txlog_zone_map_pruning(spark, tmp_path):
     # everything pruned -> empty frame with the real schema
     empty = rt(spark, root, prune_between={"x": (10**9, None)})
     assert empty.count() == 0 and set(empty.columns) == {"id", "x"}
+
+
+def test_txtable_changes_preimages(spark, tmp_path):
+    """Delta-CDF shape: with include_preimages an update emits BOTH the
+    old row (update_preimage) and the new row (update_postimage);
+    inserts and deletes are unchanged."""
+    from data_pipeline_demo_spark.sinks.txlog import txlog_delete, txtable_changes
+
+    root = str(tmp_path / "tx")
+    txlog_upsert(spark, _rows(spark, [(1, "old"), (2, "b")]), root, num_buckets=2)
+    txlog_upsert(spark, _rows(spark, [(1, "new"), (3, "c")]), root)
+    txlog_delete(spark, root, keys=_rows(spark, [(2, None)]))
+    got = {
+        (r["id"], r["_change_type"], r["v"])
+        for r in txtable_changes(
+            spark, root, 0, include_preimages=True
+        ).collect()
+    }
+    assert got == {
+        (1, "update_preimage", "old"),
+        (1, "update_postimage", "new"),
+        (3, "insert", "c"),
+        (2, "delete", "b"),
+    }
