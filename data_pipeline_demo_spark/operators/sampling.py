@@ -34,6 +34,44 @@ def deterministic_sample(
     return df.filter(_bucket(F.col(key_col), salt) < int(fraction * _M))
 
 
+def weighted_sample_k(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    key_col: str = "doc_id",
+    salt: int = 0,
+) -> DataFrame:
+    """Exactly-k sample without replacement, inclusion probability
+    proportional to ``weight_col`` — Efraimidis–Spirakis A-Res, the
+    standard distributed weighted reservoir: each row draws
+    ``u ∈ (0,1]`` and ranks by ``u^(1/w)``; the global top-k by that
+    key IS a weighted sample. Quality-score-proportional corpus
+    selection in one pass.
+
+    ``u`` comes from ``xxhash64(key, salt)``, not ``rand()`` — the
+    draw is a pure function of (row identity, salt), so the sample
+    survives retries/reruns identically and different salts give
+    independent draws (same determinism contract as everything here).
+
+    Scale shape: the rank key evaluates in the scan stage; the global
+    top-k plans as TakeOrderedAndProject (per-partition heaps, k-row
+    driver merge — never a full sort). Rows with non-positive or null
+    weight are excluded (zero weight = never sampled).
+    """
+    # u in (0,1]: (bucket+1)/M over a fine modulus; +1 avoids ln(0)
+    u = (_bucket(F.col(key_col), salt) + 1).cast("double") / F.lit(float(_M))
+    # rank = u^(1/w), monotone in ln(u)/w — use the log form directly
+    # (equal ordering, better conditioning for tiny weights)
+    rank = F.log(u) / F.col(weight_col).cast("double")
+    return (
+        df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .withColumn("__wr", rank)
+        .orderBy(F.col("__wr").desc(), F.col(key_col))
+        .limit(k)
+        .drop("__wr")
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     fractions: Mapping[object, float],

@@ -84,3 +84,36 @@ def test_pack_sequences_budget_and_coverage(spark, sf_dir):
         for r in sampling.pack_sequences(docs, budget=budget, num_shards=8).collect()
     )
     assert again == sorted((r["doc_id"], r["pack_id"], r["pack_offset"]) for r in rows)
+
+
+def test_weighted_sample_k_properties(spark):
+    """A-Res weighted sampling: exact k, deterministic per salt,
+    non-positive weights excluded, and inclusion frequency tracks
+    weight (exercised over 60 deterministic salts: the heavy item must
+    appear far more often than any light one)."""
+    from data_pipeline_demo_spark.operators.sampling import weighted_sample_k
+
+    rows = [(i, 10.0 if i == 0 else 1.0) for i in range(40)]
+    rows += [(100, 0.0), (101, -5.0), (102, None)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+
+    s0 = sorted(r["doc_id"] for r in weighted_sample_k(df, 5, "w", salt=7).collect())
+    assert len(s0) == 5
+    assert sorted(
+        r["doc_id"] for r in weighted_sample_k(df, 5, "w", salt=7).collect()
+    ) == s0  # replayable
+    assert not {100, 101, 102} & set(s0)
+
+    hits = {i: 0 for i, _ in rows}
+    n_salts = 60
+    for salt in range(n_salts):
+        for r in weighted_sample_k(df, 5, "w", salt=salt).collect():
+            hits[r["doc_id"]] += 1
+    assert hits[100] == hits[101] == hits[102] == 0
+    light = [hits[i] for i in range(1, 40)]
+    # E[heavy] ≈ 0.78·n (w=10 vs 39×1, k=5) vs E[light] ≈ 0.108·n;
+    # deterministic given the salt range, so the margin is stable
+    assert hits[0] > max(light)
+    assert hits[0] > 3 * (sum(light) / len(light))
+    # k larger than eligible rows: returns all eligible, no error
+    assert weighted_sample_k(df, 1000, "w").count() == 40
