@@ -265,8 +265,12 @@ def _publish_touched_buckets(
     out_dir = _abs(root_path, out_rel)
     df = df.persist()  # perf only: one compute for counts + write
     try:
+        # schema evolution: a batch may predate a stats column — record
+        # stats only for columns this write carries; absent entries are
+        # conservatively kept by the pruning reader
+        stats_columns = [c for c in (stats_columns or []) if c in df.columns]
         aggs = [F.count(F.lit(1)).alias("__n")]
-        for c in stats_columns or []:
+        for c in stats_columns:
             aggs.append(F.min(c).alias(f"__lo_{c}"))
             aggs.append(F.max(c).alias(f"__hi_{c}"))
         stat_rows = df.groupBy(BUCKET_COL).agg(*aggs).collect()
