@@ -32,6 +32,13 @@ Design constraints of the Python DS API honored here:
 Local and ``file://`` paths are supported; other filesystems would
 need an fsspec bridge here (the JVM-side readers in ``sinks.txlog``
 already speak any Hadoop FS) — a declared seam, raised loudly.
+
+SQL access: ``spark.read.format("txtable").load(root)
+.createOrReplaceTempView("t")`` then query ``t``. ``CREATE TABLE …
+USING txtable`` resolves the schema but this Spark version does not
+deliver the DDL OPTIONS to the Python reader at scan time (observed:
+``self.options == {}`` in ``reader()``), so persisted-catalog DDL is
+not supported yet.
 """
 
 from __future__ import annotations
@@ -53,14 +60,17 @@ CHANGE_COL = "_change_type"
 
 
 def _local_root(path: str) -> str:
-    if path.startswith("file://"):
-        return path[len("file://"):]
-    if "://" in path:
-        raise NotImplementedError(
-            f"txtable data source reads local/file:// paths; for {path!r} "
-            "use sinks.txlog.read_txtable (Hadoop FS) or add an fsspec bridge"
-        )
-    return path
+    # accept every local spelling Spark produces: /x, file:/x, file://x,
+    # file:///x (SQL DDL normalizes OPTIONS paths to the file:/ form)
+    from urllib.parse import urlparse
+
+    parsed = urlparse(path)
+    if parsed.scheme in ("", "file"):
+        return parsed.path or path
+    raise NotImplementedError(
+        f"txtable data source reads local/file:// paths; for {path!r} "
+        "use sinks.txlog.read_txtable (Hadoop FS) or add an fsspec bridge"
+    )
 
 
 def _manifest_versions(root: str) -> list[int]:
