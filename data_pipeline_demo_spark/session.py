@@ -80,7 +80,20 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    _register_engine_sources(spark)
     return spark
+
+
+def _register_engine_sources(spark: SparkSession) -> None:
+    """Make the engine's Python data sources (``format("txtable")``)
+    resolvable on every session the factory hands out. Registration is
+    per-session metadata only — no-op cost when unused."""
+    try:
+        from .sources.txtable_source import register_txtable_source
+
+        register_txtable_source(spark)
+    except Exception:
+        pass  # a Spark build without the Python DataSource API still works
 
 
 def ensure_runtime_confs(spark: SparkSession) -> SparkSession:

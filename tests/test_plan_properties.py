@@ -83,3 +83,20 @@ def test_multi_join_plan_shape(spark, sf_dir):
     ]
     assert orders_scan, plan[:2000]
     assert any(">= 1996-01-01" in ln for ln in orders_scan), orders_scan
+
+
+def test_weighted_sample_plans_take_ordered(spark):
+    """weighted_sample_k's global top-k must plan as
+    TakeOrderedAndProject (per-partition heaps + k-row driver merge),
+    never a full global sort."""
+    from data_pipeline_demo_spark.operators.sampling import weighted_sample_k
+
+    df = spark.createDataFrame(
+        [(i, float(i % 7 + 1)) for i in range(1000)], "doc_id long, w double"
+    )
+    plan = (
+        weighted_sample_k(df, 10, "w")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan

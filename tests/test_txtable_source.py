@@ -114,3 +114,26 @@ def test_txtable_change_feed_stream(registered, tmp_path):
         assert (3, "delete", "c") in got
     finally:
         q.stop()
+
+
+def test_txtable_batch_parallelizes_per_bucket(registered, tmp_path):
+    """The batch reader plans one input partition per live bucket (the
+    manifest's parallel grain) — not one, not per-file."""
+    spark = registered
+    root = str(tmp_path / "tx")
+    txlog_upsert(
+        spark,
+        spark.createDataFrame([(i, f"v{i}") for i in range(200)], "id long, v string"),
+        root,
+        num_buckets=8,
+    )
+    import json as _json
+    from pathlib import Path
+
+    m = _json.loads(
+        sorted((Path(root) / "_commits").glob("0*.json"))[-1].read_text()
+    )
+    n_live = len(m["buckets"])
+    df = spark.read.format("txtable").load(root)
+    assert df.rdd.getNumPartitions() == n_live
+    assert df.count() == 200
