@@ -235,6 +235,12 @@ def _commit_manifest(
 
 
 def _abs(root_path: str, rel: str) -> str:
+    """Resolve a manifest file reference. Normally relative to the
+    table root; a shallow clone's manifest carries ABSOLUTE references
+    into its source table's immutable files (see
+    :func:`shallow_clone_txtable`) — those pass through unchanged."""
+    if rel.startswith("/") or "://" in rel or rel.startswith("file:"):
+        return rel
     return root_path.rstrip("/") + "/" + rel
 
 
@@ -795,6 +801,71 @@ def txtable_changes(
         .select(F.explode(rows).alias("__r"))
         .select("__r.*")
     )
+
+
+def shallow_clone_txtable(
+    spark: SparkSession,
+    source_root: str,
+    target_root: str,
+    version: int | None = None,
+) -> int:
+    """Zero-copy clone (Delta ``CLONE`` shallow semantics): create a new
+    txtable at ``target_root`` whose version-0 manifest references the
+    source snapshot's immutable data files by ABSOLUTE path — one
+    metadata write, no data IO, whatever the table size.
+
+    Copy-on-write falls out of the commit protocol: a later MERGE or
+    DELETE on the clone rewrites only its touched buckets into the
+    clone's own ``data/`` (relative refs), leaving every untouched
+    bucket still pointing into the source. Branch-and-experiment on a
+    100 TB corpus costs one JSON file.
+
+    Contract: the clone depends on the source's files staying alive —
+    ``vacuum_txtable`` on the SOURCE below the cloned version breaks
+    the clone (exactly Delta's shallow-clone caveat). Vacuum on the
+    CLONE is always safe: it sweeps only the clone's own ``data/``
+    directory, never the absolute source refs. ``compact_txtable`` on
+    the clone localizes (materializes) every bucket it rewrites.
+
+    Writer-idempotency watermarks (``app_txns``) are NOT copied: the
+    clone is a fresh target, and inherited watermarks would wrongly
+    suppress the first delivery of each stream into it.
+
+    Returns the cloned row count.
+    """
+    src = (
+        _latest_manifest(spark, source_root)
+        if version is None
+        else _read_manifest(spark, source_root, version)
+    )
+    if src is None:
+        raise FileNotFoundError(f"no committed txtable at {source_root}")
+    if _latest_manifest(spark, target_root) is not None:
+        raise FileExistsError(
+            f"target {target_root} is already a txtable; clone onto a "
+            "fresh path"
+        )
+    fs, root = _hadoop_fs(spark, source_root)
+    qualified = fs.makeQualified(root).toString()
+    _commit_manifest(
+        spark,
+        target_root,
+        {
+            "version": 0,
+            "key": src["key"],
+            "num_buckets": src["num_buckets"],
+            "buckets": {
+                b: [_abs(qualified, rel) for rel in rels]
+                for b, rels in src["buckets"].items()
+            },
+            "row_counts": dict(src["row_counts"]),
+            "app_txns": {},
+            "stats_columns": src.get("stats_columns", []),
+            "bucket_stats": dict(src.get("bucket_stats", {})),
+            "committed_at_ms": int(time.time() * 1000),
+        },
+    )
+    return sum(src["row_counts"].values())
 
 
 def txtable_history(spark: SparkSession, root_path: str) -> list[dict]:

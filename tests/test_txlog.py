@@ -617,3 +617,50 @@ def test_txtable_changes_preimages(spark, tmp_path):
         (3, "insert", "c"),
         (2, "delete", "b"),
     }
+
+
+def test_txlog_shallow_clone_zero_copy_cow(spark, tmp_path):
+    """Shallow clone: one JSON write, no data IO; copy-on-write merges
+    localize only touched buckets; vacuum on the clone never touches
+    source files; source vacuum caveat holds."""
+    from data_pipeline_demo_spark.sinks.txlog import shallow_clone_txtable
+
+    src = str(tmp_path / "src")
+    clone = str(tmp_path / "clone")
+    txlog_upsert(
+        spark, _rows(spark, [(i, f"v{i}") for i in range(40)]), src, num_buckets=8
+    )
+    n = shallow_clone_txtable(spark, src, clone)
+    assert n == 40
+    # zero data IO: the clone has no data/ directory at all
+    assert not (tmp_path / "clone/data").exists()
+    assert _as_dict(read_txtable(spark, clone)) == _as_dict(read_txtable(spark, src))
+
+    # copy-on-write: merge into the clone — source bit-unchanged,
+    # untouched clone buckets still reference the source absolutely
+    txlog_upsert(spark, _rows(spark, [(1, "CLONE-EDIT"), (999, "NEW")]), clone)
+    assert _as_dict(read_txtable(spark, src))[1] == "v1"
+    got = _as_dict(read_txtable(spark, clone))
+    assert got[1] == "CLONE-EDIT" and got[999] == "NEW" and len(got) == 41
+    m1 = json.loads((tmp_path / "clone/_commits" / f"{1:020d}.json").read_text())
+    local = [b for b, rels in m1["buckets"].items()
+             if all(rel.startswith("data/") for rel in rels)]
+    remote = [b for b, rels in m1["buckets"].items()
+              if all("/src/" in rel for rel in rels)]
+    assert len(local) >= 1  # the touched buckets localized
+    assert len(remote) == len(m1["buckets"]) - len(local)  # rest still shared
+
+    # vacuum on the clone sweeps only its own data/; source intact
+    vacuum_txtable(spark, clone, keep_last=1)
+    assert _as_dict(read_txtable(spark, src))[1] == "v1"
+    assert _as_dict(read_txtable(spark, clone))[1] == "CLONE-EDIT"
+
+    # cloning onto an existing table refuses
+    with pytest.raises(FileExistsError):
+        shallow_clone_txtable(spark, src, clone)
+
+    # time-travel clone of an older source version
+    txlog_upsert(spark, _rows(spark, [(1, "v1b")]), src)
+    clone0 = str(tmp_path / "clone0")
+    shallow_clone_txtable(spark, src, clone0, version=0)
+    assert _as_dict(read_txtable(spark, clone0))[1] == "v1"
