@@ -664,3 +664,38 @@ def test_txlog_shallow_clone_zero_copy_cow(spark, tmp_path):
     clone0 = str(tmp_path / "clone0")
     shallow_clone_txtable(spark, src, clone0, version=0)
     assert _as_dict(read_txtable(spark, clone0))[1] == "v1"
+
+
+def test_txlog_racing_writers_converge(spark, tmp_path):
+    """Optimistic concurrency end-to-end: four threads race commits on
+    one table with a re-merge-on-ConcurrentCommitError retry loop.
+    Every writer's row must land exactly once, versions are a gapless
+    chain, and no writer errors out for a non-race reason."""
+    import threading
+
+    from data_pipeline_demo_spark.sinks.txlog import ConcurrentCommitError
+
+    root = str(tmp_path / "tx")
+    txlog_upsert(spark, _rows(spark, [(0, "seed")]), root, num_buckets=4)
+    failures = []
+
+    def writer(i):
+        for _ in range(20):
+            try:
+                txlog_upsert(spark, _rows(spark, [(i, f"w{i}")]), root)
+                return
+            except ConcurrentCommitError:
+                continue
+        failures.append(i)
+
+    threads = [threading.Thread(target=writer, args=(i,)) for i in range(1, 5)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert failures == []
+    got = _as_dict(read_txtable(spark, root))
+    assert got == {0: "seed", 1: "w1", 2: "w2", 3: "w3", 4: "w4"}
+    versions = [h["version"] for h in txtable_history(spark, root)]
+    assert versions == list(range(len(versions)))  # gapless chain
+    assert len(versions) == 5  # exactly one commit per successful writer
