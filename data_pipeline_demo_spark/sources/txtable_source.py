@@ -169,47 +169,109 @@ class _TxTableBatchReader(DataSourceReader):
                 yield batch
 
 
+def _changed_buckets(m_from: dict, m_to: dict) -> list[str]:
+    return sorted(
+        (
+            b
+            for b in set(m_from["buckets"]) | set(m_to["buckets"])
+            if m_from["buckets"].get(b) != m_to["buckets"].get(b)
+        ),
+        key=int,
+    )
+
+
+def _bucket_rows(root: str, manifest: dict, b: str, key: str) -> dict:
+    files = [os.path.join(root, rel) for rel in manifest["buckets"].get(b, [])]
+    if not files:
+        return {}
+    schema = _union_arrow_schema(files)
+    rows = {}
+    for f in files:
+        for r in _aligned_table(f, schema).to_pylist():
+            k = r.get(key)
+            if k is None:
+                raise ValueError(
+                    "txtable change feed requires non-null keys "
+                    "(the JVM-side txtable_changes handles null keys)"
+                )
+            rows[k] = r
+    return rows
+
+
+def _bucket_change_rows(
+    root: str, m_from: dict, m_to: dict, b: str, columns: list[str], key: str
+):
+    """insert/update/delete tuples for ONE bucket between two
+    manifests. Exact python-object comparison (pyarrow ``to_pylist`` —
+    no float coercion)."""
+    old = _bucket_rows(root, m_from, b, key)
+    new = _bucket_rows(root, m_to, b, key)
+    for k, row in new.items():
+        if k not in old:
+            yield tuple(row.get(c) for c in columns) + ("insert",)
+        elif any(row.get(c) != old[k].get(c) for c in columns):
+            yield tuple(row.get(c) for c in columns) + ("update",)
+    for k, row in old.items():
+        if k not in new:
+            yield tuple(row.get(c) for c in columns) + ("delete",)
+
+
 def _changes_rows(root: str, from_v: int, to_v: int, columns: list[str]):
-    """insert/update/delete tuples between two snapshot versions,
-    reading only buckets whose file lists differ. Exact python-object
-    comparison (pyarrow ``to_pylist`` — no float coercion)."""
+    """All buckets' change tuples, reading only buckets whose file
+    lists differ (driver-side form for the streaming reader)."""
     m_from, m_to = _read_manifest(root, from_v), _read_manifest(root, to_v)
     key = m_to["key"]
-    changed = [
-        b
-        for b in set(m_from["buckets"]) | set(m_to["buckets"])
-        if m_from["buckets"].get(b) != m_to["buckets"].get(b)
-    ]
+    for b in _changed_buckets(m_from, m_to):
+        yield from _bucket_change_rows(root, m_from, m_to, b, columns, key)
 
-    def bucket_rows(manifest, b):
+
+class _ChangesPartition(InputPartition):
+    def __init__(self, bucket: str):
+        self.bucket = bucket
+
+
+class _TxTableChangesBatchReader(DataSourceReader):
+    """Batch change-feed read (Delta CDF shape):
+    ``spark.read.format("txtable").option("readChangeFeed", "true")
+    .option("startingVersion", a)[.option("endingVersion", b)]`` —
+    one executor partition per CHANGED bucket."""
+
+    def __init__(self, root: str, from_v: int, to_v: int):
+        self.root = root
+        self.from_v = from_v
+        self.to_v = to_v
+        self.m_from = _read_manifest(root, from_v)
+        self.m_to = _read_manifest(root, to_v)
+        self.key = self.m_to["key"]
         files = [
-            os.path.join(root, rel) for rel in manifest["buckets"].get(b, [])
+            os.path.join(root, rel)
+            for b in self.m_to["buckets"]
+            for rel in self.m_to["buckets"][b]
+        ] or [
+            os.path.join(root, rel)
+            for b in self.m_from["buckets"]
+            for rel in self.m_from["buckets"][b]
         ]
-        if not files:
-            return {}
-        schema = _union_arrow_schema(files)
-        rows = {}
-        for f in files:
-            for r in _aligned_table(f, schema).to_pylist():
-                k = r.get(key)
-                if k is None:
-                    raise ValueError(
-                        "txtable change feed requires non-null keys "
-                        "(the JVM-side txtable_changes handles null keys)"
-                    )
-                rows[k] = r
-        return rows
+        self.columns = [f.name for f in _union_arrow_schema(files)]
 
-    for b in sorted(changed, key=int):
-        old, new = bucket_rows(m_from, b), bucket_rows(m_to, b)
-        for k, row in new.items():
-            if k not in old:
-                yield tuple(row.get(c) for c in columns) + ("insert",)
-            elif any(row.get(c) != old[k].get(c) for c in columns):
-                yield tuple(row.get(c) for c in columns) + ("update",)
-        for k, row in old.items():
-            if k not in new:
-                yield tuple(row.get(c) for c in columns) + ("delete",)
+    def partitions(self) -> list[InputPartition]:
+        changed = _changed_buckets(self.m_from, self.m_to)
+        # the API needs >=1 partition; an empty diff reads as no rows
+        return [_ChangesPartition(b) for b in changed] or [
+            _ChangesPartition("")
+        ]
+
+    def read(self, partition: _ChangesPartition) -> Iterator:
+        if not partition.bucket:
+            return
+        yield from _bucket_change_rows(
+            self.root,
+            self.m_from,
+            self.m_to,
+            partition.bucket,
+            self.columns,
+            self.key,
+        )
 
 
 class _TxTableChangeFeedReader(SimpleDataSourceStreamReader):
@@ -271,12 +333,19 @@ class TxTableDataSource(DataSource):
             raise ValueError("txtable requires a path: load(<table root>)")
         return _local_root(path)
 
+    def _is_cdf(self) -> bool:
+        return self.options.get("readchangefeed", "").lower() == "true"
+
     def schema(self):
         from pyspark.sql.pandas.types import from_arrow_schema
 
         root = self._root()
-        version = self.options.get("version")
-        v = int(version) if version is not None else _latest_version(root)
+        if self._is_cdf():
+            ev = self.options.get("endingversion")
+            v = int(ev) if ev is not None else _latest_version(root)
+        else:
+            version = self.options.get("version")
+            v = int(version) if version is not None else _latest_version(root)
         manifest = _read_manifest(root, v)
         files = [
             os.path.join(root, rel)
@@ -286,7 +355,7 @@ class TxTableDataSource(DataSource):
         if not files:
             raise FileNotFoundError(f"txtable {root} version {v} is empty")
         schema = from_arrow_schema(_union_arrow_schema(files))
-        if self.options.get("readchangefeed", "").lower() == "true":
+        if self._is_cdf():
             from pyspark.sql.types import StringType, StructField
 
             return StructType(
@@ -296,6 +365,16 @@ class TxTableDataSource(DataSource):
 
     def reader(self, schema: StructType) -> DataSourceReader:
         root = self._root()
+        if self._is_cdf():
+            sv = self.options.get("startingversion")
+            if sv is None:
+                raise ValueError(
+                    "batch readChangeFeed requires "
+                    '.option("startingVersion", <v>)'
+                )
+            ev = self.options.get("endingversion")
+            to_v = int(ev) if ev is not None else _latest_version(root)
+            return _TxTableChangesBatchReader(root, int(sv), to_v)
         version = self.options.get("version")
         v = int(version) if version is not None else _latest_version(root)
         return _TxTableBatchReader(root, v)

@@ -137,3 +137,36 @@ def test_txtable_batch_parallelizes_per_bucket(registered, tmp_path):
     df = spark.read.format("txtable").load(root)
     assert df.rdd.getNumPartitions() == n_live
     assert df.count() == 200
+
+
+def test_txtable_batch_change_feed(registered, tmp_path):
+    """Batch CDF: startingVersion/endingVersion window the diff; one
+    partition per changed bucket; missing startingVersion raises; an
+    empty diff returns zero rows."""
+    spark = registered
+    root = str(tmp_path / "tx")
+    txlog_upsert(spark, _rows(spark, [(1, "a"), (2, "b")]), root, num_buckets=4)
+    txlog_upsert(spark, _rows(spark, [(2, "B"), (3, "c")]), root)
+    txlog_delete(spark, root, keys=_rows(spark, [(1, None)]))
+
+    def cdf(a, b=None):
+        r = (
+            spark.read.format("txtable")
+            .option("readChangeFeed", "true")
+            .option("startingVersion", str(a))
+        )
+        if b is not None:
+            r = r.option("endingVersion", str(b))
+        return {
+            (x["id"], x["_change_type"], x["v"]) for x in r.load(root).collect()
+        }
+
+    assert cdf(0, 1) == {(2, "update", "B"), (3, "insert", "c")}
+    assert cdf(1) == {(1, "delete", "a")}
+    assert cdf(0) == {(2, "update", "B"), (3, "insert", "c"), (1, "delete", "a")}
+    assert cdf(2, 2) == set()  # empty diff
+
+    with pytest.raises(Exception, match="startingVersion"):
+        spark.read.format("txtable").option("readChangeFeed", "true").load(
+            root
+        ).collect()
