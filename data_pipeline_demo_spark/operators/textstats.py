@@ -253,3 +253,85 @@ def tfidf_top_terms(
             F.col("rk").cast("long").alias("rk"),
         )
     )
+
+
+def _char_bigrams(df: DataFrame, text_col: str, *keep: str) -> DataFrame:
+    """(keep..., prefix_char, bigram) — one row per character position
+    via sequence+explode+substring (the chunking pattern): map-only,
+    no UDF, no shuffle."""
+    return (
+        df.filter(F.length(text_col) >= 2)
+        .select(
+            *keep,
+            F.explode(
+                F.sequence(F.lit(1), F.length(text_col) - 1)
+            ).alias("__i"),
+            F.col(text_col).alias("__t"),
+        )
+        .select(
+            *keep,
+            F.substring(F.col("__t"), F.col("__i"), 1).alias("c1"),
+            F.substring(F.col("__t"), F.col("__i"), 2).alias("c12"),
+        )
+    )
+
+
+def train_char_lm(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus-trained character-bigram language model:
+    ``(c12, logp)`` with Laplace smoothing over the observed alphabet —
+    the self-supervised backbone of a KenLM-style perplexity quality
+    filter (CCNet/Gopher family) with no external model artifact.
+
+    Two grouped counts over the exploded bigrams (map-side combinable);
+    the result is alphabet²-sized — broadcastable by construction.
+    ``logp = ln((count(c1c2)+1) / (count(c1·)+V))``.
+    """
+    grams = _char_bigrams(df, text_col)
+    big = grams.groupBy("c1", "c12").agg(F.count(F.lit(1)).alias("n12"))
+    pre = grams.groupBy("c1").agg(F.count(F.lit(1)).alias("n1"))
+    vocab = grams.select(F.countDistinct("c1").alias("v"))
+    return (
+        big.join(pre, "c1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "c12",
+            F.log((F.col("n12") + 1) / (F.col("n1") + F.col("v"))).alias(
+                "logp"
+            ),
+            "v",
+        )
+    )
+
+
+def perplexity_score(
+    df: DataFrame,
+    lm: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Bits-per-character of each document under a char-bigram LM —
+    the perplexity quality signal: gibberish and boilerplate score
+    high, fluent in-distribution text scores low; filter on a
+    percentile of this column (CCNet keeps the low-perplexity head).
+
+    One exploded scan joined to the BROADCAST LM table (alphabet²
+    rows); bigrams the LM never saw take the global smoothing floor
+    ``ln(1/(max_n1+V))``-ish via the LM's minimum logp minus ln(2) — a
+    deterministic pessimistic constant, not a per-prefix lookup, so
+    the join stays single and broadcast. Returns
+    ``(id_col, n_chars_scored, bits_per_char)``.
+    """
+    floor_row = lm.agg(F.min("logp").alias("f"), F.max("v").alias("v")).first()
+    unseen_logp = float(floor_row["f"]) - 0.6931471805599453  # − ln 2
+    grams = _char_bigrams(df, text_col, id_col)
+    scored = grams.join(F.broadcast(lm.select("c12", "logp")), "c12", "left")
+    ln2 = 0.6931471805599453
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_chars_scored"),
+            (
+                -F.avg(F.coalesce(F.col("logp"), F.lit(unseen_logp))) / ln2
+            ).alias("bits_per_char"),
+        )
+    )

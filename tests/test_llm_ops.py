@@ -735,3 +735,44 @@ def test_knn_numpy_matches_exact_tier(spark, sf_dir):
     assert fast == exact
     # partial top-k per batch never exceeds k per probe globally
     assert len(fast) == len({p for p, _ in fast}) * 5
+
+
+def test_perplexity_filter_separates_gibberish(spark, sf_dir):
+    """Char-bigram LM perplexity (CCNet/Gopher-style quality filter):
+    the LM trains on the corpus itself; real corpus documents must
+    score fewer bits-per-char than planted high-entropy gibberish, and
+    a repeated in-distribution phrase scores lowest of all.
+    Deterministic: two runs agree exactly."""
+    from data_pipeline_demo_spark.operators.textstats import (
+        perplexity_score,
+        train_char_lm,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text").limit(300)
+    lm = train_char_lm(docs)
+    v = lm.select("v").first()["v"]
+    assert lm.count() <= v * v  # alphabet^2 bound: broadcastable
+
+    import random
+
+    rng = random.Random(42)
+    alphabet = "abcdefghijklmnopqrstuvwxyz0123456789#@$%^&*()_+"
+    gibberish = "".join(rng.choice(alphabet) for _ in range(400))
+    common = docs.select(F.substring("text", 1, 40).alias("s")).first()["s"]
+    probes = spark.createDataFrame(
+        [(10**9, gibberish), (10**9 + 1, common * 10)],
+        "doc_id long, text string",
+    )
+    scored = {
+        r["doc_id"]: r["bits_per_char"]
+        for r in perplexity_score(docs.unionByName(probes), lm).collect()
+    }
+    corpus_scores = [s for d, s in scored.items() if d < 10**9]
+    assert scored[10**9] > max(corpus_scores)  # gibberish worst
+    assert scored[10**9 + 1] <= min(corpus_scores) + 0.5  # phrase fluent
+    # replay determinism
+    again = {
+        r["doc_id"]: r["bits_per_char"]
+        for r in perplexity_score(docs.unionByName(probes), lm).collect()
+    }
+    assert again == scored
