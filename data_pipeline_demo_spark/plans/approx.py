@@ -35,3 +35,5 @@ register("q64_cosine_near_dup_lsh")(llm_ops.q64_cosine_near_dup_lsh)
 register("q69_prepare_corpus")(llm_ops.q69_prepare_corpus)
 register("q17_distinct", oracle=relational.Q17_ORACLE)(relational.q17_distinct)
 register("q23_topk", oracle=windows_sort.Q23_ORACLE)(windows_sort.q23_topk)
+register("q72_perplexity_filter")(llm_ops.q72_perplexity_filter)
+register("q73_weighted_sample")(llm_ops.q73_weighted_sample)

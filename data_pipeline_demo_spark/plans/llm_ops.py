@@ -476,6 +476,33 @@ FROM ranked WHERE rk <= 3
 """
 
 
+def q72_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained char-bigram LM perplexity per document
+    (operators/textstats.py:train_char_lm/perplexity_score) — the
+    CCNet/Gopher-style quality signal. Rows-only by construction:
+    ``ln`` differs in the last ulp across engines, so probabilities
+    can never value-hash; separation and determinism are unit-tested
+    (tests/test_llm_ops.py)."""
+    from ..operators import textstats
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    lm = textstats.train_char_lm(d)
+    return textstats.perplexity_score(d, lm)
+
+
+def q73_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic A-Res weighted sample of documents, weight =
+    quality score (operators/sampling.py:weighted_sample_k). Rows-only:
+    the u-draw rides on xxhash64, which DuckDB lacks; exact-k/replay/
+    weight-tracking are unit-tested (tests/test_sampling.py)."""
+    from ..operators import textstats
+    from ..operators.sampling import weighted_sample_k
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    scored = d.withColumn("w", textstats.quality_score(F.col("text")))
+    return weighted_sample_k(scored, 100, "w").select("doc_id", "w")
+
+
 @register("q71_tfidf_top_terms", oracle=DUCK_TFIDF)
 def q71_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document top-3 TF-IDF terms (operators/textstats.py:
