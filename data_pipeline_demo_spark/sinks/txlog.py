@@ -612,6 +612,8 @@ def txlog_delete(
         pred = F.coalesce(F.expr(where), F.lit(False))
         live = sorted(int(b) for b in buckets)
         files = [_abs(root_path, rel) for b in live for rel in buckets[str(b)]]
+        if not files:
+            return 0  # table already empty: nothing to match
         current = (
             spark.read.option("mergeSchema", "true").parquet(*files)
         ).withColumn(BUCKET_COL, _bucket_of(key, num_buckets))
