@@ -92,8 +92,17 @@ def _register_engine_sources(spark: SparkSession) -> None:
         from .sources.txtable_source import register_txtable_source
 
         register_txtable_source(spark)
-    except Exception:
-        pass  # a Spark build without the Python DataSource API still works
+    except (ImportError, AttributeError):
+        # a Spark build without the Python DataSource API still works;
+        # any OTHER failure is a real bug in the source module and must
+        # not silently leave format("txtable") unresolvable
+        pass
+    except Exception as e:  # pragma: no cover - defensive signal path
+        import warnings
+
+        warnings.warn(
+            f"format('txtable') registration failed: {e!r}", RuntimeWarning
+        )
 
 
 def ensure_runtime_confs(spark: SparkSession) -> SparkSession:

@@ -1,7 +1,8 @@
 """The log-backed transactional table as a first-class Spark data
 source (PySpark 4 Python Data Source API): ``spark.read.format
-("txtable")`` for manifest-driven batch snapshots (with time travel),
-``spark.readStream.format("txtable")`` for a change-data feed.
+("txtable")`` for manifest-driven batch snapshots (with time travel
+and a batch change feed), ``spark.readStream.format("txtable")`` for a
+streaming change-data feed.
 
 Why a data source and not just ``sinks.txlog.read_txtable``: the format
 boundary makes the table consumable by ANY Spark job — SQL
@@ -21,17 +22,26 @@ Design constraints of the Python DS API honored here:
   Arrow RecordBatches (zero row-at-a-time Python); schema evolution is
   honored by aligning every file to the union schema (missing columns
   → nulls), mirroring ``mergeSchema``.
-- The change feed's offsets are manifest versions — exactly the
-  commit-log positions, so restart-resume is exact. Each micro-batch
-  emits insert/update/delete rows between two versions, computed from
-  ONLY the buckets whose immutable file lists differ (the
-  ``txtable_changes`` pruning argument). The simple-reader variant
-  computes driver-side: right for the change-feed shape (a commit's
-  delta is metadata-bucket-sized), not for full-table replays.
+- Change feeds (batch AND streaming) plan one partition per CHANGED
+  bucket — only buckets whose immutable file lists differ between the
+  two manifests are ever opened (the ``txtable_changes`` pruning
+  argument) — and the per-bucket insert/update/delete diff runs
+  EXECUTOR-side as a vectorized Arrow key-compare. The driver touches
+  manifests only (metadata-sized at any table size).
+- The streaming feed's offsets are manifest versions — exactly the
+  commit-log positions, so restart-resume is exact.
 
-Local and ``file://`` paths are supported; other filesystems would
-need an fsspec bridge here (the JVM-side readers in ``sinks.txlog``
-already speak any Hadoop FS) — a declared seam, raised loudly.
+Filesystems: local paths and every ``file:`` spelling are read with
+plain os/pyarrow IO. Any OTHER scheme (s3://, gs://, memory://, …) is
+bridged through ``fsspec`` when it is importable — reader options
+prefixed ``fs.`` are passed to ``fsspec.filesystem(scheme, **opts)``,
+e.g. ``.option("fs.anon", "true")``. Without fsspec the old loud
+NotImplementedError stands (the JVM-side readers in ``sinks.txlog``
+speak any Hadoop FS regardless). Manifest file references are
+root-relative normally, but a shallow clone's manifest carries
+ABSOLUTE refs into its source table (``sinks.txlog._abs`` contract);
+those are resolved against the REF's own scheme, not joined onto the
+clone root.
 
 SQL access: ``spark.read.format("txtable").load(root)
 .createOrReplaceTempView("t")`` then query ``t``. ``CREATE TABLE …
@@ -46,39 +56,174 @@ from __future__ import annotations
 import json
 import os
 from collections.abc import Iterator
+from datetime import datetime, timezone
 
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     InputPartition,
-    SimpleDataSourceStreamReader,
 )
 from pyspark.sql.types import StructType
 
 COMMITS_DIR = "_commits"
 CHANGE_COL = "_change_type"
 
+# ---------------------------------------------------------------------------
+# Filesystem tier: local fast path + fsspec bridge for remote schemes.
+# Instances are carried inside InputPartitions, so they must pickle
+# cheaply and reconstruct any live handle lazily per process.
+# ---------------------------------------------------------------------------
 
-def _local_root(path: str) -> str:
-    # accept every local spelling Spark produces: /x, file:/x, file://x,
-    # file:///x (SQL DDL normalizes OPTIONS paths to the file:/ form)
+
+class _LocalFS:
+    """Direct os/pyarrow IO for local and ``file:`` paths."""
+
+    def list_names(self, path: str) -> list[str]:
+        return os.listdir(path)
+
+    def isdir(self, path: str) -> bool:
+        return os.path.isdir(path)
+
+    def open_bytes(self, path: str) -> bytes:
+        with open(path, "rb") as f:
+            return f.read()
+
+    def parquet_table(self, path: str):
+        import pyarrow.parquet as pq
+
+        return pq.read_table(path)
+
+    def parquet_schema(self, path: str):
+        import pyarrow.parquet as pq
+
+        return pq.read_schema(path)
+
+    def __eq__(self, other) -> bool:  # dedupes refs in tests
+        return isinstance(other, _LocalFS)
+
+    def __hash__(self) -> int:
+        return hash(_LocalFS)
+
+
+class _FsspecFS:
+    """Any non-local scheme via ``fsspec.filesystem(scheme, **options)``.
+
+    The live filesystem object is constructed lazily in whichever
+    process needs it (driver for manifests, executor workers for data
+    files) — only ``(scheme, options)`` cross the pickle boundary.
+    Parquet reads try pyarrow's native ``filesystem=`` integration
+    (range reads — the right shape for object stores) and fall back to
+    a whole-object fetch through ``fs.open`` for minimal filesystem
+    implementations (mocks, odd schemes).
+    """
+
+    def __init__(self, scheme: str, options: dict):
+        self.scheme = scheme
+        self.options = dict(options)
+        self._fs = None
+
+    def __getstate__(self):
+        return {"scheme": self.scheme, "options": self.options}
+
+    def __setstate__(self, state):
+        self.scheme = state["scheme"]
+        self.options = state["options"]
+        self._fs = None
+
+    def fs(self):
+        if self._fs is None:
+            import fsspec
+
+            self._fs = fsspec.filesystem(self.scheme, **self.options)
+        return self._fs
+
+    def list_names(self, path: str) -> list[str]:
+        return [p.rstrip("/").rsplit("/", 1)[-1] for p in self.fs().ls(path, detail=False)]
+
+    def isdir(self, path: str) -> bool:
+        try:
+            return bool(self.fs().isdir(path))
+        except FileNotFoundError:
+            return False
+
+    def open_bytes(self, path: str) -> bytes:
+        with self.fs().open(path, "rb") as f:
+            return f.read()
+
+    def parquet_table(self, path: str):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        try:
+            return pq.read_table(path, filesystem=self.fs())
+        except (TypeError, ValueError, NotImplementedError, AttributeError):
+            return pq.read_table(pa.BufferReader(self.open_bytes(path)))
+
+    def parquet_schema(self, path: str):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        try:
+            return pq.read_schema(path, filesystem=self.fs())
+        except (TypeError, ValueError, NotImplementedError, AttributeError):
+            return pq.read_schema(pa.BufferReader(self.open_bytes(path)))
+
+    def __eq__(self, other) -> bool:
+        return (
+            isinstance(other, _FsspecFS)
+            and other.scheme == self.scheme
+            and other.options == self.options
+        )
+
+    def __hash__(self) -> int:
+        return hash((self.scheme, tuple(sorted(self.options.items()))))
+
+
+def _fs_root(path: str, fs_options: dict) -> tuple[object, str]:
+    """Resolve a table root (or an absolute manifest ref) to
+    ``(filesystem adapter, fs-native path)``. Accepts every local
+    spelling Spark produces: /x, file:/x, file://x, file:///x (SQL DDL
+    normalizes OPTIONS paths to the file:/ form)."""
     from urllib.parse import urlparse
 
     parsed = urlparse(path)
     if parsed.scheme in ("", "file"):
-        return parsed.path or path
-    raise NotImplementedError(
-        f"txtable data source reads local/file:// paths; for {path!r} "
-        "use sinks.txlog.read_txtable (Hadoop FS) or add an fsspec bridge"
-    )
+        return _LocalFS(), (parsed.path or path)
+    try:
+        import fsspec  # noqa: F401
+    except ImportError:
+        raise NotImplementedError(
+            f"txtable data source reads local/file:// paths natively and "
+            f"other schemes through fsspec, which is not importable; for "
+            f"{path!r} use sinks.txlog.read_txtable (Hadoop FS) or install "
+            "fsspec"
+        ) from None
+    return _FsspecFS(parsed.scheme, fs_options), path
 
 
-def _manifest_versions(root: str) -> list[int]:
-    commits = os.path.join(root, COMMITS_DIR)
-    if not os.path.isdir(commits):
+def _resolve_ref(fs, root: str, rel: str, fs_options: dict) -> tuple[object, str]:
+    """Resolve one manifest file reference. Mirrors
+    ``sinks.txlog._abs``: normally root-relative; a shallow clone's
+    manifest carries absolute refs (leading '/', a scheme, or the
+    'file:' form) into its source table's immutable files — those
+    resolve against their OWN filesystem, never joined onto root."""
+    if rel.startswith("/") or "://" in rel or rel.startswith("file:"):
+        return _fs_root(rel, fs_options)
+    return fs, root.rstrip("/") + "/" + rel
+
+
+# ---------------------------------------------------------------------------
+# Manifest IO (driver-side: metadata-sized at any table scale).
+# ---------------------------------------------------------------------------
+
+
+def _manifest_versions(fs, root: str) -> list[int]:
+    commits = root.rstrip("/") + "/" + COMMITS_DIR
+    if not fs.isdir(commits):
         raise FileNotFoundError(f"no committed txtable at {root}")
     out = []
-    for name in os.listdir(commits):
+    for name in fs.list_names(commits):
         if name.startswith(".") or not name.endswith(".json"):
             continue
         try:
@@ -90,38 +235,91 @@ def _manifest_versions(root: str) -> list[int]:
     return sorted(out)
 
 
-def _read_manifest(root: str, version: int) -> dict:
-    p = os.path.join(root, COMMITS_DIR, f"{version:020d}.json")
-    with open(p, encoding="utf-8") as f:
-        return json.load(f)
+def _read_manifest(fs, root: str, version: int) -> dict:
+    p = root.rstrip("/") + f"/{COMMITS_DIR}/{version:020d}.json"
+    return json.loads(fs.open_bytes(p).decode("utf-8"))
 
 
-def _latest_version(root: str) -> int:
-    return _manifest_versions(root)[-1]
+def _manifest_or_empty(fs, root: str, version: int, template: dict) -> dict:
+    """Version ``-1`` is the synthetic empty base (before the table's
+    first commit) — it makes the first commit's own inserts replayable
+    by the change feed (startingTimestamp before table creation)."""
+    if version < 0:
+        return {"version": -1, "key": template["key"], "buckets": {}}
+    return _read_manifest(fs, root, version)
 
 
-def _union_arrow_schema(files: list[str]):
+def _latest_version(fs, root: str) -> int:
+    return _manifest_versions(fs, root)[-1]
+
+
+def _version_before_timestamp(fs, root: str, ts_ms: int) -> int:
+    """Greatest committed version whose commit time is strictly before
+    ``ts_ms`` — the change-feed base for ``startingTimestamp`` (feed =
+    every change committed at-or-after the timestamp). ``-1`` when the
+    timestamp predates the table: the full history replays, first
+    commit's inserts included."""
+    base = -1
+    for v in _manifest_versions(fs, root):
+        if _read_manifest(fs, root, v).get("committed_at_ms", 0) < ts_ms:
+            base = v
+        else:
+            break
+    return base
+
+
+def _parse_timestamp_ms(raw: str) -> int:
+    """Epoch millis, or an ISO datetime string (naive → UTC)."""
+    try:
+        return int(raw)
+    except ValueError:
+        pass
+    dt = datetime.fromisoformat(raw)
+    if dt.tzinfo is None:
+        dt = dt.replace(tzinfo=timezone.utc)
+    return int(dt.timestamp() * 1000)
+
+
+def _snapshot_refs(fs, root: str, manifest: dict, fs_options: dict) -> list[tuple]:
+    return [
+        _resolve_ref(fs, root, rel, fs_options)
+        for b in sorted(manifest["buckets"], key=int)
+        for rel in manifest["buckets"][b]
+    ]
+
+
+def _bucket_refs(fs, root: str, manifest: dict, b: str, fs_options: dict) -> list[tuple]:
+    return [
+        _resolve_ref(fs, root, rel, fs_options)
+        for rel in manifest["buckets"].get(b, [])
+    ]
+
+
+# ---------------------------------------------------------------------------
+# Arrow-side helpers (schema union, alignment, vectorized CDC compare).
+# ---------------------------------------------------------------------------
+
+
+def _union_arrow_schema(refs: list[tuple]):
     """mergeSchema semantics: union of the files' footers, field order =
     first appearance."""
-    import pyarrow.parquet as pq
-
-    fields: dict[str, object] = {}
-    for f in files:
-        for field in pq.read_schema(f):
-            if field.name not in fields:
-                fields[field.name] = field
     import pyarrow as pa
 
+    fields: dict[str, object] = {}
+    for fs, path in refs:
+        for field in fs.parquet_schema(path):
+            if field.name not in fields:
+                fields[field.name] = field
     return pa.schema(list(fields.values()))
 
 
-def _aligned_table(path: str, schema):
+def _aligned_table(ref: tuple, schema):
     """Read one parquet file aligned to the union schema: missing
     columns null-filled, order normalized."""
     import pyarrow as pa
-    import pyarrow.parquet as pq
 
-    t = pq.read_table(path)
+    fs, path = ref
+    t = fs.parquet_table(path)
     n = t.num_rows
     cols = []
     for field in schema:
@@ -135,38 +333,35 @@ def _aligned_table(path: str, schema):
     return pa.Table.from_arrays(cols, schema=schema)
 
 
-class _BucketPartition(InputPartition):
-    def __init__(self, files: list[str]):
-        self.files = files
+def _empty_table(schema):
+    import pyarrow as pa
+
+    return pa.Table.from_arrays(
+        [pa.nulls(0, f.type) for f in schema], schema=schema
+    )
 
 
-class _TxTableBatchReader(DataSourceReader):
-    def __init__(self, root: str, version: int):
-        self.root = root
-        self.manifest = _read_manifest(root, version)
-        files = [
-            os.path.join(root, rel)
-            for b in sorted(self.manifest["buckets"], key=int)
-            for rel in self.manifest["buckets"][b]
-        ]
-        self.arrow_schema = _union_arrow_schema(files) if files else None
+def _concat_aligned(refs: list[tuple], schema):
+    import pyarrow as pa
 
-    def partitions(self) -> list[InputPartition]:
-        # one partition per live bucket: the same parallel grain the
-        # JVM reader gets from the manifest, no directory listing
-        return [
-            _BucketPartition(
-                [os.path.join(self.root, rel) for rel in rels]
-            )
-            for _, rels in sorted(
-                self.manifest["buckets"].items(), key=lambda kv: int(kv[0])
-            )
-        ]
+    if not refs:
+        return _empty_table(schema)
+    return pa.concat_tables([_aligned_table(r, schema) for r in refs])
 
-    def read(self, partition: _BucketPartition) -> Iterator:
-        for f in partition.files:
-            for batch in _aligned_table(f, self.arrow_schema).to_batches():
-                yield batch
+
+def _neq_null_safe(a, b):
+    """Vectorized null-safe per-row inequality of two columns; python
+    fallback only for types Arrow cannot compare (nested)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    try:
+        ne = pc.fill_null(pc.not_equal(a, b), False)
+    except pa.lib.ArrowNotImplementedError:
+        return pa.array(
+            [x != y for x, y in zip(a.to_pylist(), b.to_pylist())], pa.bool_()
+        )
+    return pc.or_(pc.xor(pc.is_null(a), pc.is_null(b)), ne)
 
 
 def _changed_buckets(m_from: dict, m_to: dict) -> list[str]:
@@ -180,216 +375,321 @@ def _changed_buckets(m_from: dict, m_to: dict) -> list[str]:
     )
 
 
-def _bucket_rows(root: str, manifest: dict, b: str, key: str) -> dict:
-    files = [os.path.join(root, rel) for rel in manifest["buckets"].get(b, [])]
-    if not files:
-        return {}
-    schema = _union_arrow_schema(files)
-    rows = {}
-    for f in files:
-        for r in _aligned_table(f, schema).to_pylist():
-            k = r.get(key)
-            if k is None:
-                raise ValueError(
-                    "txtable change feed requires non-null keys "
-                    "(the JVM-side txtable_changes handles null keys)"
-                )
-            rows[k] = r
-    return rows
+def _bucket_change_batches(
+    old_refs: list[tuple], new_refs: list[tuple], schema, key: str
+) -> Iterator:
+    """insert/update/delete Arrow batches for ONE bucket between two
+    snapshots: a hash key-compare (``index_in``) plus vectorized
+    null-safe column diffs — no per-row Python objects, O(bucket) Arrow
+    memory bounded per executor task."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    old = _concat_aligned(old_refs, schema)
+    new = _concat_aligned(new_refs, schema)
+    for t in (old, new):
+        if t.num_rows and pc.any(pc.is_null(t.column(key))).as_py():
+            raise ValueError(
+                "txtable change feed requires non-null keys "
+                "(the JVM-side txtable_changes handles null keys)"
+            )
+    if old.num_rows == 0:
+        inserts, updates, deletes = new, new.slice(0, 0), old
+    elif new.num_rows == 0:
+        inserts, updates, deletes = new, new.slice(0, 0), old
+    else:
+        ok = old.column(key).combine_chunks()
+        nk = new.column(key).combine_chunks()
+        idx = pc.index_in(nk, value_set=ok)
+        inserts = new.filter(pc.is_null(idx))
+        matched_new = new.filter(pc.is_valid(idx))
+        matched_old = old.take(idx.drop_null())
+        diff = None
+        for name in schema.names:
+            ne = _neq_null_safe(
+                matched_new.column(name), matched_old.column(name)
+            )
+            diff = ne if diff is None else pc.or_(diff, ne)
+        updates = (
+            matched_new.filter(diff) if diff is not None else matched_new
+        )
+        deletes = old.filter(pc.is_null(pc.index_in(ok, value_set=nk)))
+    for tbl, tag in ((inserts, "insert"), (updates, "update"), (deletes, "delete")):
+        if tbl.num_rows:
+            out = tbl.append_column(
+                CHANGE_COL, pa.array([tag] * tbl.num_rows, pa.string())
+            )
+            yield from out.to_batches()
 
 
-def _bucket_change_rows(
-    root: str, m_from: dict, m_to: dict, b: str, columns: list[str], key: str
-):
-    """insert/update/delete tuples for ONE bucket between two
-    manifests. Exact python-object comparison (pyarrow ``to_pylist`` —
-    no float coercion)."""
-    old = _bucket_rows(root, m_from, b, key)
-    new = _bucket_rows(root, m_to, b, key)
-    for k, row in new.items():
-        if k not in old:
-            yield tuple(row.get(c) for c in columns) + ("insert",)
-        elif any(row.get(c) != old[k].get(c) for c in columns):
-            yield tuple(row.get(c) for c in columns) + ("update",)
-    for k, row in old.items():
-        if k not in new:
-            yield tuple(row.get(c) for c in columns) + ("delete",)
+# ---------------------------------------------------------------------------
+# Batch snapshot reader.
+# ---------------------------------------------------------------------------
 
 
-def _changes_rows(root: str, from_v: int, to_v: int, columns: list[str]):
-    """All buckets' change tuples, reading only buckets whose file
-    lists differ (driver-side form for the streaming reader)."""
-    m_from, m_to = _read_manifest(root, from_v), _read_manifest(root, to_v)
-    key = m_to["key"]
-    for b in _changed_buckets(m_from, m_to):
-        yield from _bucket_change_rows(root, m_from, m_to, b, columns, key)
+class _BucketPartition(InputPartition):
+    def __init__(self, refs: list[tuple]):
+        self.refs = refs
+
+
+class _TxTableBatchReader(DataSourceReader):
+    def __init__(self, fs, root: str, version: int, fs_options: dict):
+        self.fs = fs
+        self.root = root
+        self.fs_options = fs_options
+        self.manifest = _read_manifest(fs, root, version)
+        refs = _snapshot_refs(fs, root, self.manifest, fs_options)
+        self.arrow_schema = _union_arrow_schema(refs) if refs else None
+
+    def partitions(self) -> list[InputPartition]:
+        # one partition per live bucket: the same parallel grain the
+        # JVM reader gets from the manifest, no directory listing
+        return [
+            _BucketPartition(
+                _bucket_refs(self.fs, self.root, self.manifest, b, self.fs_options)
+            )
+            for b in sorted(self.manifest["buckets"], key=int)
+        ]
+
+    def read(self, partition: _BucketPartition) -> Iterator:
+        for ref in partition.refs:
+            for batch in _aligned_table(ref, self.arrow_schema).to_batches():
+                yield batch
+
+
+# ---------------------------------------------------------------------------
+# Change feed: shared partition shape, batch reader, stream reader.
+# ---------------------------------------------------------------------------
 
 
 class _ChangesPartition(InputPartition):
-    def __init__(self, bucket: str):
-        self.bucket = bucket
+    """One CHANGED bucket's worth of work, fully self-contained: the
+    executor gets resolved file refs + the alignment schema + key, so
+    ``read()`` needs no manifest or driver state."""
+
+    def __init__(self, old_refs: list[tuple], new_refs: list[tuple], schema, key: str):
+        self.old_refs = old_refs
+        self.new_refs = new_refs
+        self.schema = schema
+        self.key = key
+
+
+def _change_partitions(
+    fs, root: str, m_from: dict, m_to: dict, schema, fs_options: dict
+) -> list[_ChangesPartition]:
+    key = m_to["key"]
+    parts = [
+        _ChangesPartition(
+            _bucket_refs(fs, root, m_from, b, fs_options),
+            _bucket_refs(fs, root, m_to, b, fs_options),
+            schema,
+            key,
+        )
+        for b in _changed_buckets(m_from, m_to)
+    ]
+    # the API needs >=1 partition; an empty diff reads as no rows
+    return parts or [_ChangesPartition([], [], schema, key)]
+
+
+def _cdf_arrow_schema(fs, root: str, m_from: dict, m_to: dict, fs_options: dict):
+    """Alignment schema for a change window: the ending snapshot's
+    union schema, falling back to the starting snapshot when the table
+    was fully emptied (a delete-everything commit must still be able to
+    describe its own delete rows)."""
+    refs = _snapshot_refs(fs, root, m_to, fs_options) or _snapshot_refs(
+        fs, root, m_from, fs_options
+    )
+    if not refs:
+        raise FileNotFoundError(
+            f"txtable {root}: both change-window snapshots are empty"
+        )
+    return _union_arrow_schema(refs)
 
 
 class _TxTableChangesBatchReader(DataSourceReader):
     """Batch change-feed read (Delta CDF shape):
     ``spark.read.format("txtable").option("readChangeFeed", "true")
     .option("startingVersion", a)[.option("endingVersion", b)]`` —
-    one executor partition per CHANGED bucket."""
+    one executor partition per CHANGED bucket, diff computed
+    executor-side."""
 
-    def __init__(self, root: str, from_v: int, to_v: int):
-        self.root = root
-        self.from_v = from_v
-        self.to_v = to_v
-        self.m_from = _read_manifest(root, from_v)
-        self.m_to = _read_manifest(root, to_v)
-        self.key = self.m_to["key"]
-        files = [
-            os.path.join(root, rel)
-            for b in self.m_to["buckets"]
-            for rel in self.m_to["buckets"][b]
-        ] or [
-            os.path.join(root, rel)
-            for b in self.m_from["buckets"]
-            for rel in self.m_from["buckets"][b]
-        ]
-        self.columns = [f.name for f in _union_arrow_schema(files)]
+    def __init__(self, fs, root: str, from_v: int, to_v: int, fs_options: dict):
+        self.m_to = _read_manifest(fs, root, to_v)
+        self.m_from = _manifest_or_empty(fs, root, from_v, self.m_to)
+        self.arrow_schema = _cdf_arrow_schema(
+            fs, root, self.m_from, self.m_to, fs_options
+        )
+        self._parts = _change_partitions(
+            fs, root, self.m_from, self.m_to, self.arrow_schema, fs_options
+        )
 
     def partitions(self) -> list[InputPartition]:
-        changed = _changed_buckets(self.m_from, self.m_to)
-        # the API needs >=1 partition; an empty diff reads as no rows
-        return [_ChangesPartition(b) for b in changed] or [
-            _ChangesPartition("")
-        ]
+        return self._parts
 
     def read(self, partition: _ChangesPartition) -> Iterator:
-        if not partition.bucket:
-            return
-        yield from _bucket_change_rows(
-            self.root,
-            self.m_from,
-            self.m_to,
-            partition.bucket,
-            self.columns,
-            self.key,
+        yield from _bucket_change_batches(
+            partition.old_refs,
+            partition.new_refs,
+            partition.schema,
+            partition.key,
         )
 
 
-class _TxTableChangeFeedReader(SimpleDataSourceStreamReader):
-    def __init__(self, root: str, starting_version: int | None):
+class _TxTableStreamReader(DataSourceStreamReader):
+    """Streaming change feed, partition-based: offsets are manifest
+    versions; each micro-batch plans one partition per changed bucket
+    and the per-bucket diff runs in executor workers (the
+    SimpleDataSourceStreamReader predecessor materialized every batch's
+    rows on the driver — a ceiling at 100× bucket size; this reader's
+    driver footprint is manifests only)."""
+
+    def __init__(self, fs, root: str, starting_version: int | None, fs_options: dict):
+        self.fs = fs
         self.root = root
+        self.fs_options = fs_options
         self.starting_version = starting_version
-        manifest = _read_manifest(root, _latest_version(root))
-        files = [
-            os.path.join(root, rel)
-            for b in manifest["buckets"]
-            for rel in manifest["buckets"][b]
-        ]
-        schema = _union_arrow_schema(files)
-        self.columns = [f.name for f in schema]
 
     def initialOffset(self) -> dict:
         # default: emit changes made AFTER stream start (Delta CDF
-        # shape); startingVersion replays history from that snapshot
+        # shape); startingVersion/startingTimestamp replay history
+        # from that base snapshot (-1 = before the first commit)
         v = (
             self.starting_version
             if self.starting_version is not None
-            else _latest_version(self.root)
+            else _latest_version(self.fs, self.root)
         )
         return {"version": v}
 
-    def read(self, start: dict):
-        # materialized list, not a generator: the streaming runtime
-        # caches and copy()s the iterator for prefetch/replay
-        latest = _latest_version(self.root)
-        if latest <= start["version"]:
-            return iter([]), start
-        rows = list(
-            _changes_rows(self.root, start["version"], latest, self.columns)
-        )
-        return iter(rows), {"version": latest}
+    def latestOffset(self) -> dict:
+        return {"version": _latest_version(self.fs, self.root)}
 
-    def readBetweenOffsets(self, start: dict, end: dict):
-        return iter(
-            list(
-                _changes_rows(
-                    self.root, start["version"], end["version"], self.columns
-                )
-            )
+    def partitions(self, start: dict, end: dict) -> list[InputPartition]:
+        m_to = _read_manifest(self.fs, self.root, end["version"])
+        m_from = _manifest_or_empty(self.fs, self.root, start["version"], m_to)
+        schema = _cdf_arrow_schema(
+            self.fs, self.root, m_from, m_to, self.fs_options
         )
+        return _change_partitions(
+            self.fs, self.root, m_from, m_to, schema, self.fs_options
+        )
+
+    def read(self, partition: _ChangesPartition) -> Iterator:
+        yield from _bucket_change_batches(
+            partition.old_refs,
+            partition.new_refs,
+            partition.schema,
+            partition.key,
+        )
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets are durable manifest versions; nothing to ack
+
+
+# ---------------------------------------------------------------------------
+# The DataSource.
+# ---------------------------------------------------------------------------
 
 
 class TxTableDataSource(DataSource):
     """``format("txtable")``. Options: ``path`` (or ``load(path)``),
-    ``version`` (batch time travel), ``startingVersion`` (stream
-    replay-from)."""
+    ``version`` (batch time travel), ``readChangeFeed`` +
+    ``startingVersion``/``startingTimestamp`` (+ batch
+    ``endingVersion``) for change feeds, ``fs.*`` passed to
+    ``fsspec.filesystem`` for non-local schemes."""
 
     @classmethod
     def name(cls) -> str:
         return "txtable"
 
-    def _root(self) -> str:
+    def _fs_options(self) -> dict:
+        return {
+            k[3:]: v
+            for k, v in self.options.items()
+            if k.startswith("fs.") and len(k) > 3
+        }
+
+    def _fs_root(self) -> tuple[object, str]:
         path = self.options.get("path")
         if not path:
             raise ValueError("txtable requires a path: load(<table root>)")
-        return _local_root(path)
+        return _fs_root(path, self._fs_options())
 
     def _is_cdf(self) -> bool:
         return self.options.get("readchangefeed", "").lower() == "true"
 
+    def _starting_version(self, fs, root: str) -> int | None:
+        """Resolve startingVersion xor startingTimestamp (Delta reader
+        option shape). Timestamp → greatest version committed strictly
+        before it, so the feed carries every change committed at or
+        after the timestamp; -1 replays the whole history."""
+        sv = self.options.get("startingversion")
+        st = self.options.get("startingtimestamp")
+        if sv is not None and st is not None:
+            raise ValueError(
+                "set at most one of startingVersion and startingTimestamp"
+            )
+        if sv is not None:
+            return int(sv)
+        if st is not None:
+            return _version_before_timestamp(fs, root, _parse_timestamp_ms(st))
+        return None
+
     def schema(self):
         from pyspark.sql.pandas.types import from_arrow_schema
 
-        root = self._root()
+        fs, root = self._fs_root()
         if self._is_cdf():
             ev = self.options.get("endingversion")
-            v = int(ev) if ev is not None else _latest_version(root)
-        else:
-            version = self.options.get("version")
-            v = int(version) if version is not None else _latest_version(root)
-        manifest = _read_manifest(root, v)
-        files = [
-            os.path.join(root, rel)
-            for b in manifest["buckets"]
-            for rel in manifest["buckets"][b]
-        ]
-        if not files:
-            raise FileNotFoundError(f"txtable {root} version {v} is empty")
-        schema = from_arrow_schema(_union_arrow_schema(files))
-        if self._is_cdf():
+            to_v = int(ev) if ev is not None else _latest_version(fs, root)
+            m_to = _read_manifest(fs, root, to_v)
+            sv = self._starting_version(fs, root)
+            m_from = _manifest_or_empty(
+                fs, root, sv if sv is not None else to_v, m_to
+            )
+            arrow = _cdf_arrow_schema(fs, root, m_from, m_to, self._fs_options())
             from pyspark.sql.types import StringType, StructField
 
             return StructType(
-                schema.fields + [StructField(CHANGE_COL, StringType())]
+                from_arrow_schema(arrow).fields
+                + [StructField(CHANGE_COL, StringType())]
             )
-        return schema
+        version = self.options.get("version")
+        v = int(version) if version is not None else _latest_version(fs, root)
+        manifest = _read_manifest(fs, root, v)
+        refs = _snapshot_refs(fs, root, manifest, self._fs_options())
+        if not refs:
+            raise FileNotFoundError(f"txtable {root} version {v} is empty")
+        return from_arrow_schema(_union_arrow_schema(refs))
 
     def reader(self, schema: StructType) -> DataSourceReader:
-        root = self._root()
+        fs, root = self._fs_root()
         if self._is_cdf():
-            sv = self.options.get("startingversion")
+            sv = self._starting_version(fs, root)
             if sv is None:
                 raise ValueError(
                     "batch readChangeFeed requires "
-                    '.option("startingVersion", <v>)'
+                    '.option("startingVersion", <v>) or '
+                    '.option("startingTimestamp", <ts>)'
                 )
             ev = self.options.get("endingversion")
-            to_v = int(ev) if ev is not None else _latest_version(root)
-            return _TxTableChangesBatchReader(root, int(sv), to_v)
+            to_v = int(ev) if ev is not None else _latest_version(fs, root)
+            return _TxTableChangesBatchReader(
+                fs, root, sv, to_v, self._fs_options()
+            )
         version = self.options.get("version")
-        v = int(version) if version is not None else _latest_version(root)
-        return _TxTableBatchReader(root, v)
+        v = int(version) if version is not None else _latest_version(fs, root)
+        return _TxTableBatchReader(fs, root, v, self._fs_options())
 
-    def simpleStreamReader(self, schema: StructType):
-        if self.options.get("readchangefeed", "").lower() != "true":
+    def streamReader(self, schema: StructType) -> DataSourceStreamReader:
+        if not self._is_cdf():
             raise ValueError(
                 "streaming txtable is a change feed: set "
                 '.option("readChangeFeed", "true") so the schema carries '
                 f"{CHANGE_COL}"
             )
-        root = self._root()
-        sv = self.options.get("startingversion")
-        return _TxTableChangeFeedReader(
-            root, int(sv) if sv is not None else None
+        fs, root = self._fs_root()
+        return _TxTableStreamReader(
+            fs, root, self._starting_version(fs, root), self._fs_options()
         )
 
 
