@@ -16,7 +16,15 @@ and 4), which is too coarse an instrument to falsify a 2× performance
 criterion; the median of 3 bounds that noise at a ~30s cost at sf0.1.
 Observed full-run total spread with medians: 9.165s vs 8.885s back to
 back (~3%) — inside the <10% bar the round-4 judge set for the
-instrument.
+instrument. The two shingle queries (q41/q42) showed the widest
+median-of-3 spreads in round 5 (1.79s/0.62s); they run 5 samples
+(EXTRA_RUNS) so their medians sit on a deeper sort.
+
+Round 6 adds a "lakehouse" section (same JSON line, separate keys so
+the headline total stays comparable across rounds): txlog MERGE of a
+~10% update batch, the manifest-pruned CDC diff, and a
+ZORDER-clustered predicate read — timed at sf0.1 over a scratch
+txtable built from lineitem, medians + spreads like the headline set.
 """
 
 from __future__ import annotations
@@ -51,6 +59,101 @@ HEADLINE = (
     "q48_quality_score",
     "q51_word_count",
 )
+
+# round-5 spread outliers get extra samples (judge directive #7): the
+# shingle pipeline's first run after scratch-clear occasionally absorbs
+# a GC/compile hiccup that a 3-sample median can land on
+EXTRA_RUNS = {
+    "q41_jaccard_similarity_join": 5,
+    "q42_minhash_lsh_dedup": 5,
+}
+
+
+def _timed(fn, runs: int, setup=None) -> tuple[float, float]:
+    samples = []
+    for _ in range(runs):
+        if setup is not None:
+            setup()  # untimed per-run reset
+        t0 = time.perf_counter()
+        fn()
+        samples.append(time.perf_counter() - t0)
+    samples.sort()
+    return (
+        round(samples[len(samples) // 2], 3),
+        round(samples[-1] - samples[0], 3),
+    )
+
+
+def bench_lakehouse(spark, sf_dir: str, runs: int):
+    """Timed lakehouse-tier entries over a scratch txtable built (untimed)
+    from sf lineitem: MERGE, CDC diff, ZORDER-clustered predicate read."""
+    import shutil
+    import tempfile
+    from datetime import date
+
+    from pyspark.sql import functions as F
+
+    from data_pipeline_demo_spark.sinks.txlog import (
+        compact_txtable,
+        read_txtable,
+        txlog_upsert,
+        txtable_changes,
+    )
+    from data_pipeline_demo_spark.sources.tables import table
+
+    tmp = tempfile.mkdtemp(prefix="bench-txtable-")
+    root = os.path.join(tmp, "lineitem_tx")
+    timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
+    try:
+        li = table(spark, sf_dir, "lineitem")
+        base = li.select(
+            (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("li_id"),
+            "l_orderkey",
+            "l_partkey",
+            "l_quantity",
+            "l_extendedprice",
+            "l_shipdate",
+        )
+        # setup (untimed): initial full load with shipdate zone maps
+        txlog_upsert(
+            spark,
+            base,
+            root,
+            key="li_id",
+            num_buckets=32,
+            stats_columns=["l_shipdate"],
+        )
+        updates = base.filter(F.col("l_orderkey") % 10 == 0).withColumn(
+            "l_quantity", F.col("l_quantity") + F.lit(1.0)
+        )
+        updates = updates.persist()
+        updates.count()  # isolate MERGE cost from update-batch compute
+        # each run commits a fresh version; per-run cost is the steady-
+        # state micro-batch MERGE (bucket-pruned rewrite of touched
+        # buckets), the shape the streaming bridge pays per trigger
+        timings["lh_merge_upsert"], spreads["lh_merge_upsert"] = _timed(
+            lambda: txlog_upsert(spark, updates, root), runs
+        )
+        updates.unpersist()
+        # fixed v0->v1 window so the number is comparable across rounds
+        timings["lh_cdc_diff"], spreads["lh_cdc_diff"] = _timed(
+            lambda: txtable_changes(spark, root, 0, 1).count(), runs
+        )
+        # setup (untimed): OPTIMIZE ZORDER, then a 3-month box read —
+        # manifest zone maps + parquet footer pruning on the clustered
+        # layout do the skipping
+        compact_txtable(spark, root, zorder_by=["l_shipdate", "l_partkey"])
+        window = {"l_shipdate": (date(1994, 1, 1), date(1994, 3, 31))}
+        timings["lh_zorder_pruned_read"], spreads["lh_zorder_pruned_read"] = _timed(
+            lambda: read_txtable(spark, root, prune_between=window)
+            .agg(F.sum("l_extendedprice"))
+            .collect(),
+            runs,
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return timings, spreads
 
 
 def main() -> None:
@@ -93,18 +196,16 @@ def main() -> None:
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
     for name in HEADLINE:
-        samples = []
-        for _ in range(runs):
+        timings[name], spreads[name] = _timed(
+            lambda name=name: queries[name](spark, sf_dir).count(),
+            max(runs, EXTRA_RUNS.get(name, 0)),
             # repeated runs must pay the same cost as the first: the
             # dedup family materializes a shingle-set scratch relation
             # keyed per corpus, which a rerun would otherwise reuse
-            dedup.clear_shingle_scratch()
-            t0 = time.perf_counter()
-            queries[name](spark, sf_dir).count()
-            samples.append(time.perf_counter() - t0)
-        samples.sort()
-        timings[name] = round(samples[len(samples) // 2], 3)
-        spreads[name] = round(samples[-1] - samples[0], 3)
+            setup=dedup.clear_shingle_scratch,
+        )
+
+    lh_timings, lh_spreads = bench_lakehouse(spark, sf_dir, runs)
 
     out = {
         "metric": "headline_queries_total_runtime",
@@ -114,6 +215,8 @@ def main() -> None:
         "sf": sf,
         "runs_per_query": runs,
         "spread_max_minus_min": spreads,
+        "lakehouse": lh_timings,
+        "lakehouse_spread": lh_spreads,
     }
     print(json.dumps(out))
 

@@ -57,6 +57,31 @@ def clean_money(c: Column | str) -> Column:
     )
 
 
+def clean_money_decimal(
+    c: Column | str, precision: int = 18, scale: int = 2
+) -> Column:
+    """Payments-grade variant of :func:`clean_money` (the SURVEY §1.3
+    deferral, now implemented): identical strip/guard semantics, but
+    the cast lands on ``DecimalType(precision, scale)`` — exact cent
+    arithmetic with no binary-float drift, so sums of money columns
+    are reproducible to the cent at any aggregation width (Spark
+    widens sum(decimal(18,2)) to decimal(28,2) — still exact).
+
+    ``float64`` (:func:`clean_money`) stays the default for reference
+    parity (`/root/reference/data_pipeline.py:372-377` casts to float);
+    this is the variant a payments deployment should pick. Values with
+    more than ``scale`` fractional digits round half-up (Spark cast
+    semantics); unparseable input → null, as everywhere else.
+    """
+    col = F.col(c) if isinstance(c, str) else c
+    t = F.trim(col)
+    return (
+        F.when(F.lower(t).isin("", "nan", "none", "null"), F.lit(None))
+        .otherwise(F.regexp_replace(t, r"[$,]", ""))
+        .try_cast(f"decimal({precision},{scale})")
+    )
+
+
 def parse_datetime_robust(c: Column | str, formats: tuple[str, ...] = DATETIME_FORMATS) -> Column:
     """Multi-format day-first parse → DateType (F3+F4,
     data_pipeline.py:636-663). Always DateType; unparseable → null —

@@ -22,7 +22,7 @@ invariants, byte round-trips — tests/test_llm_ops.py).
 
 from __future__ import annotations
 
-from . import llm_ops, relational, udfs, windows_sort
+from . import llm_ops, relational, scalars, udfs, windows_sort
 from .registry import register
 
 register("q42_minhash_lsh_dedup")(llm_ops.q42_minhash_lsh_dedup)
@@ -36,4 +36,7 @@ register("q69_prepare_corpus")(llm_ops.q69_prepare_corpus)
 register("q17_distinct", oracle=relational.Q17_ORACLE)(relational.q17_distinct)
 register("q23_topk", oracle=windows_sort.Q23_ORACLE)(windows_sort.q23_topk)
 register("q72_perplexity_filter")(llm_ops.q72_perplexity_filter)
+register("q74_decimal_money_agg", oracle=scalars.Q74_ORACLE)(
+    scalars.q74_decimal_money_agg
+)
 register("q73_weighted_sample")(llm_ops.q73_weighted_sample)

@@ -387,3 +387,69 @@ def q33_binary_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(blob).alias("text_md5"),
         F.substring(F.md5(blob), 1, 8).alias("md5_prefix"),
     )
+
+
+# --- q74: payments-grade DECIMAL money path (registered past the
+# 50-entry gate in plans/approx.py; tools/check_oracle.py verifies) ---
+
+Q74_ORACLE = """
+WITH messy AS (
+  SELECT o_orderkey, o_orderpriority,
+         CASE WHEN o_orderkey % 97 = 0 THEN 'nan'
+              WHEN o_orderkey % 3 = 0
+                THEN '$' || CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR)
+              ELSE ' ' || CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) || ' '
+         END AS raw_price
+  FROM orders
+), cleaned AS (
+  SELECT o_orderpriority,
+         CASE WHEN LOWER(TRIM(raw_price)) IN ('nan', '')
+              THEN NULL
+              ELSE TRY_CAST(REGEXP_REPLACE(TRIM(raw_price), '[$,]', '', 'g') AS DECIMAL(18,2))
+         END AS price
+  FROM messy
+)
+SELECT o_orderpriority,
+       SUM(price) AS total_amount,
+       COUNT(price) AS n_priced,
+       MIN(price) AS min_price,
+       MAX(price) AS max_price
+FROM cleaned
+GROUP BY o_orderpriority
+"""
+
+
+def q74_decimal_money_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 payments-grade variant (SURVEY §1.3 deferral, implemented):
+    the same messy money strings as q27, cleaned through
+    ``clean_money_decimal`` onto ``DECIMAL(18,2)`` and aggregated at
+    cent precision — sum/min/max are EXACT decimal arithmetic on both
+    engines (Spark widens the sum to decimal(28,2), DuckDB to
+    decimal(38,2); both are exact, so the values hash-match bit-for-bit
+    where float64 money would drift under reordering).
+
+    Scale shape: one codegen'd scan projection + a partial-aggregated
+    groupBy on a 5-value key — the cleaning is free with the read, the
+    shuffle carries 5 rows per partition.
+    """
+    from ..functions.cleaning import clean_money_decimal
+
+    o = table(spark, sf_dir, "orders")
+    rendered = F.col("o_totalprice").cast("decimal(18,2)").cast("string")
+    messy = o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.when(F.col("o_orderkey") % 97 == 0, F.lit("nan"))
+        .when(F.col("o_orderkey") % 3 == 0, F.concat(F.lit("$"), rendered))
+        .otherwise(F.concat(F.lit(" "), rendered, F.lit(" ")))
+        .alias("raw_price"),
+    )
+    cleaned = messy.select(
+        "o_orderpriority", clean_money_decimal("raw_price").alias("price")
+    )
+    return cleaned.groupBy("o_orderpriority").agg(
+        F.sum("price").alias("total_amount"),
+        F.count("price").alias("n_priced"),
+        F.min("price").alias("min_price"),
+        F.max("price").alias("max_price"),
+    )

@@ -157,6 +157,22 @@ def _is_already_exists(e: Exception) -> bool:
     return False
 
 
+def _rename_fallback(fs, src, dst) -> bool:
+    """``FileSystem.rename`` maps several distinct failures to a bare
+    false return (destination exists, missing source, missing
+    destination parent). Only dst-exists is a commit race; anything
+    else must surface as an IO failure, never ConcurrentCommitError."""
+    if bool(fs.rename(src, dst)):
+        return True
+    if fs.exists(dst):
+        return False  # true lost race: someone else claimed dst
+    raise IOError(
+        f"rename {src} -> {dst} returned false but the destination "
+        "does not exist (missing source or destination parent?) — "
+        "not a commit race"
+    )
+
+
 def _rename_no_overwrite(spark: SparkSession, fs, src, dst) -> bool:
     """Atomic rename that must NOT replace an existing destination;
     returns False when the destination already exists (lost race).
@@ -166,7 +182,11 @@ def _rename_no_overwrite(spark: SparkSession, fs, src, dst) -> bool:
     on an existing destination and is atomic on HDFS/local filesystems.
     Fallback (scheme without FileContext support):
     ``FileSystem.rename``, whose HDFS contract returns false on an
-    existing destination. Non-exists failures propagate unchanged.
+    existing destination — but ALSO for a missing source or missing
+    destination parent, so a false return is only mapped to a lost
+    race after confirming the destination actually exists; otherwise
+    it surfaces as an IOError naming both paths. Non-exists failures
+    propagate unchanged.
     """
     jvm = spark._jvm
     try:
@@ -174,7 +194,7 @@ def _rename_no_overwrite(spark: SparkSession, fs, src, dst) -> bool:
             dst.toUri(), spark._jsc.hadoopConfiguration()
         )
     except Exception:
-        return bool(fs.rename(src, dst))
+        return _rename_fallback(fs, src, dst)
     rename_enum = jvm.org.apache.hadoop.fs.Options.Rename
     opts = spark.sparkContext._gateway.new_array(rename_enum, 1)
     opts[0] = rename_enum.NONE
@@ -187,25 +207,102 @@ def _rename_no_overwrite(spark: SparkSession, fs, src, dst) -> bool:
         raise
 
 
+class LogStore:
+    """The commit-claim seam (Delta's LogStore role): HOW a fully
+    written manifest atomically claims its final ``_commits/<v>.json``
+    name is filesystem-specific, so it is pluggable. Implementations
+    return True when the claim wins, False when the destination
+    already exists (lost race), and let every other failure propagate
+    as itself.
+
+    Swap with :func:`set_log_store` for object stores without atomic
+    rename (raw s3a): see :class:`ConditionalPutLogStore`.
+    """
+
+    def put_if_absent(self, spark: SparkSession, fs, commits, dst, payload: bytes) -> bool:
+        raise NotImplementedError
+
+
+class HadoopRenameLogStore(LogStore):
+    """Default: write ``.tmp-<uuid>`` then rename-without-overwrite —
+    Delta's HDFSLogStore pattern, atomic on HDFS and local
+    filesystems. The final name only ever exists with complete
+    content; a crash before the rename leaves an invisible dot-file
+    that vacuum sweeps."""
+
+    def put_if_absent(self, spark, fs, commits, dst, payload: bytes) -> bool:
+        jvm = spark._jvm
+        tmp = jvm.org.apache.hadoop.fs.Path(commits, f".tmp-{uuid.uuid4().hex}")
+        out = fs.create(tmp, False)
+        try:
+            out.write(bytearray(payload))
+        finally:
+            out.close()
+        try:
+            won = _rename_no_overwrite(spark, fs, tmp, dst)
+        except Exception:
+            fs.delete(tmp, False)
+            raise
+        if not won:
+            fs.delete(tmp, False)
+        return won
+
+
+class ConditionalPutLogStore(LogStore):
+    """Object-store claim via a conditional PUT — the primitive raw
+    ``s3a://`` needs because it has no atomic rename (S3 supports this
+    natively since 2024: ``PutObject`` with ``If-None-Match: *``
+    returns 412 when the key exists; GCS has
+    ``x-goog-if-generation-match: 0``, Azure ``If-None-Match: *``).
+
+    A deployment supplies ``conditional_put(path: str, payload: bytes)
+    -> bool`` (True = created, False = key already existed); this class
+    is the seam, not an S3 client. Payload must land atomically and
+    completely — exactly the conditional-PUT contract.
+    """
+
+    def __init__(self, conditional_put=None):
+        self._put = conditional_put
+
+    def put_if_absent(self, spark, fs, commits, dst, payload: bytes) -> bool:
+        if self._put is None:
+            raise NotImplementedError(
+                "ConditionalPutLogStore needs a conditional_put(path, "
+                "payload) -> bool backend (e.g. boto3 put_object with "
+                "IfNoneMatch='*')"
+            )
+        return bool(self._put(dst.toString(), payload))
+
+
+_log_store: LogStore = HadoopRenameLogStore()
+
+
+def set_log_store(store: LogStore | None) -> LogStore:
+    """Install the commit-claim backend for this process (None →
+    default Hadoop rename store); returns the previous one so callers
+    can restore it."""
+    global _log_store
+    prev = _log_store
+    _log_store = store if store is not None else HadoopRenameLogStore()
+    return prev
+
+
 def _commit_manifest(
     spark: SparkSession, root_path: str, manifest: dict
 ) -> None:
     """Content-atomically publish ``_commits/<version>.json``; raise
     ConcurrentCommitError iff that version already exists.
 
-    Protocol (Delta HDFSLogStore pattern): the manifest JSON is fully
-    written and closed as ``_commits/.tmp-<uuid>``, then renamed —
-    without overwrite — to its final name. The final name therefore
-    only ever exists with complete content: a reader listing _commits/
-    can never observe a zero-byte or truncated manifest, and a crash at
-    ANY point before the rename leaves only an invisible dot-file (the
-    table stays bit-for-bit at the previous version; vacuum sweeps the
-    leftover). The rename is the atomic version claim: exactly one of
-    two racing writers wins; the loser gets ConcurrentCommitError and
-    its tmp file is cleaned up. Rename-without-overwrite is atomic on
-    HDFS and local filesystems; raw ``s3a://`` has no atomic rename —
-    there the claim needs a real conditional PUT (S3 If-None-Match) or
-    an external commit coordinator, as Delta on S3 uses (README Limits).
+    The version claim is delegated to the installed :class:`LogStore`
+    (default :class:`HadoopRenameLogStore` — tmp + rename-without-
+    overwrite, atomic on HDFS/local; raw object stores install
+    :class:`ConditionalPutLogStore`). Whatever the backend, the final
+    name only ever exists with complete content: a reader listing
+    ``_commits/`` can never observe a zero-byte or truncated manifest,
+    a crash before the claim leaves the table bit-for-bit at the
+    previous version, and exactly one of two racing writers wins — the
+    loser gets ConcurrentCommitError and retries against the winner's
+    snapshot.
 
     Any non-race failure (permissions, quota, connectivity) propagates
     as itself — never as ConcurrentCommitError.
@@ -216,22 +313,22 @@ def _commit_manifest(
     if not fs.exists(commits):
         fs.mkdirs(commits)
     p = _commit_path(jvm, root, manifest["version"])
-    if fs.exists(p):  # fast path; the rename below is the real gate
+    if fs.exists(p):  # fast path; the claim below is the real gate
         raise ConcurrentCommitError(str(p))
-    tmp = jvm.org.apache.hadoop.fs.Path(commits, f".tmp-{uuid.uuid4().hex}")
-    out = fs.create(tmp, False)
-    try:
-        out.write(bytearray(json.dumps(manifest).encode("utf-8")))
-    finally:
-        out.close()
-    try:
-        won = _rename_no_overwrite(spark, fs, tmp, p)
-    except Exception:
-        fs.delete(tmp, False)
-        raise
-    if not won:
-        fs.delete(tmp, False)
+    payload = json.dumps(manifest).encode("utf-8")
+    if not _log_store.put_if_absent(spark, fs, commits, p, payload):
         raise ConcurrentCommitError(str(p))
+
+
+def _stat_value(v):
+    """JSON-safe zone-map stat representation: primitives pass through;
+    dates/decimals/timestamps stringify (ISO date strings order
+    lexicographically = chronologically, so range pruning stays
+    correct). Used by BOTH the manifest writer and the pruning reader
+    so bounds and stored stats always compare like-for-like."""
+    if v is None or isinstance(v, (int, float, str, bool)):
+        return v
+    return str(v)
 
 
 def _abs(root_path: str, rel: str) -> str:
@@ -282,17 +379,9 @@ def _publish_touched_buckets(
         stat_rows = df.groupBy(BUCKET_COL).agg(*aggs).collect()
         per_bucket = {str(r[BUCKET_COL]): r["__n"] for r in stat_rows}
         if stats_columns and bucket_stats is not None:
-            # JSON-safe: dates/decimals stored via str() — ISO date
-            # strings order lexicographically = chronologically, so
-            # range pruning stays correct for them too
-            def sv(v):
-                if v is None or isinstance(v, (int, float, str, bool)):
-                    return v
-                return str(v)
-
             for r in stat_rows:
                 bucket_stats[str(r[BUCKET_COL])] = {
-                    c: [sv(r[f"__lo_{c}"]), sv(r[f"__hi_{c}"])]
+                    c: [_stat_value(r[f"__lo_{c}"]), _stat_value(r[f"__hi_{c}"])]
                     for c in stats_columns
                 }
         df.write.mode("error").partitionBy(BUCKET_COL).parquet(out_dir)
@@ -506,6 +595,19 @@ def read_txtable(
                 f"txtable {root_path} has no zone maps for {sorted(missing)}; "
                 f"stats_columns={sorted(recorded)} (fixed at table creation)"
             )
+        import datetime as _dt
+        import decimal as _dec
+
+        _ok_bounds = (int, float, str, bool, _dt.date, _dt.datetime, _dec.Decimal)
+        for c, (lo, hi) in prune_between.items():
+            for v in (lo, hi):
+                if v is not None and not isinstance(v, _ok_bounds):
+                    raise ValueError(
+                        f"prune_between bound for {c!r} has type "
+                        f"{type(v).__name__}, which is not comparable with "
+                        "zone-map stats; pass a numeric/string/bool/date/"
+                        "datetime/Decimal value"
+                    )
         stats = manifest.get("bucket_stats", {})
 
         def overlaps(b: str) -> bool:
@@ -516,10 +618,22 @@ def read_txtable(
                 mn, mx = st.get(c, [None, None])
                 if mn is None or mx is None:
                     continue  # all-null bucket column: keep
-                if lo is not None and mx < lo:
-                    return False
-                if hi is not None and mn > hi:
-                    return False
+                # stats were JSON-serialized through _stat_value (dates
+                # etc. → ISO strings); coerce the caller's bounds the
+                # same way so both sides always compare like-for-like
+                lo_s, hi_s = _stat_value(lo), _stat_value(hi)
+                try:
+                    if lo_s is not None and mx < lo_s:
+                        return False
+                    if hi_s is not None and mn > hi_s:
+                        return False
+                except TypeError:
+                    raise ValueError(
+                        f"prune_between bound for {c!r} ({type(lo or hi).__name__}) "
+                        f"is not comparable with the stored zone-map stats "
+                        f"({type(mn).__name__}); pass the column's native "
+                        "numeric/string type or a date/decimal value"
+                    ) from None
             return True
 
         live = [b for b in live if overlaps(b)]

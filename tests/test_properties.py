@@ -358,3 +358,35 @@ def test_txlog_upsert_delete_matches_dict_model(spark, ops):
                 assert got == model
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@given(st.lists(money_strings, min_size=1, max_size=40))
+@settings(**_SETTINGS)
+def test_clean_money_decimal_exact_cents(spark, raws):
+    """Payments-grade money path: cleaning onto DECIMAL(18,2)
+    round-trips the money grammar EXACTLY (cent-for-cent Decimal
+    equality, not float closeness), and the batch SUM equals the
+    python-Decimal sum — no binary-float drift at any width."""
+    from decimal import Decimal
+
+    from data_pipeline_demo_spark.functions.cleaning import clean_money_decimal
+
+    df = spark.createDataFrame([(r,) for r in raws], "raw string")
+    got = [
+        r["v"] for r in df.select(clean_money_decimal("raw").alias("v")).collect()
+    ]
+    expect = []
+    for raw, v in zip(raws, got):
+        t = raw.strip()
+        if t.lower() in ("", "nan", "none", "null"):
+            assert v is None, (raw, v)
+            continue
+        want = Decimal(re.sub(r"[$,]", "", t)).quantize(Decimal("0.01"))
+        assert isinstance(v, Decimal) and v == want, (raw, v, want)
+        expect.append(want)
+    total = (
+        df.select(clean_money_decimal("raw").alias("v"))
+        .agg(F.sum("v").alias("s"))
+        .first()["s"]
+    )
+    assert total == (sum(expect) if expect else None)

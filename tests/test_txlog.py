@@ -699,3 +699,161 @@ def test_txlog_racing_writers_converge(spark, tmp_path):
     versions = [h["version"] for h in txtable_history(spark, root)]
     assert versions == list(range(len(versions)))  # gapless chain
     assert len(versions) == 5  # exactly one commit per successful writer
+
+
+# ---------------------------------------------------------------------------
+# Round 6: LogStore commit-claim seam, rename-fallback diagnosis, date
+# zone-map bounds.
+# ---------------------------------------------------------------------------
+
+
+def test_log_store_conditional_put_backend(spark, tmp_path):
+    """The commit-claim seam: a ConditionalPutLogStore with an injected
+    create-exclusive backend (the If-None-Match PUT shape) passes the
+    same protocol the default rename store does — normal commits,
+    loser-gets-ConcurrentCommitError race, content-complete manifests."""
+    import os
+
+    from data_pipeline_demo_spark.sinks.txlog import (
+        ConditionalPutLogStore,
+        read_txtable,
+        set_log_store,
+    )
+
+    def fake_conditional_put(path: str, payload: bytes) -> bool:
+        # local stand-in for S3 PutObject If-None-Match:* — atomic
+        # create-exclusive, full payload or nothing
+        local = path.split("://", 1)[-1] if "://" in path else path
+        local = local[len("file:"):] if local.startswith("file:") else local
+        try:
+            fd = os.open(local, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            return False
+        with os.fdopen(fd, "wb") as f:
+            f.write(payload)
+        return True
+
+    prev = set_log_store(ConditionalPutLogStore(fake_conditional_put))
+    try:
+        root = str(tmp_path / "tx")
+        txlog_upsert(spark, _rows(spark, [(1, "a")]), root, num_buckets=2)
+        txlog_upsert(spark, _rows(spark, [(2, "b")]), root)
+        assert _as_dict(read_txtable(spark, root)) == {1: "a", 2: "b"}
+        # race: version 2 already claimed -> loser errors cleanly
+        m1 = json.loads(
+            (tmp_path / "tx/_commits" / f"{1:020d}.json").read_text()
+        )
+        claim = tmp_path / "tx/_commits" / f"{2:020d}.json"
+        claim.write_text(json.dumps({**m1, "version": 2}))
+        from data_pipeline_demo_spark.sinks.txlog import _commit_manifest
+
+        with pytest.raises(ConcurrentCommitError):
+            _commit_manifest(spark, root, {**m1, "version": 2})
+        assert json.loads(claim.read_text())["version"] == 2  # winner intact
+        # a re-reading writer sees the winner's snapshot and moves on
+        assert txlog_upsert(spark, _rows(spark, [(3, "c")]), root) == 3
+        assert _as_dict(read_txtable(spark, root)) == {1: "a", 2: "b", 3: "c"}
+    finally:
+        set_log_store(prev)
+
+
+def test_log_store_conditional_put_requires_backend(spark, tmp_path):
+    """The seam without a deployment backend refuses loudly instead of
+    pretending raw object-store commits are safe."""
+    from data_pipeline_demo_spark.sinks.txlog import (
+        ConditionalPutLogStore,
+        set_log_store,
+    )
+
+    prev = set_log_store(ConditionalPutLogStore())
+    try:
+        with pytest.raises(NotImplementedError, match="conditional_put"):
+            txlog_upsert(
+                spark, _rows(spark, [(1, "a")]), str(tmp_path / "tx"), num_buckets=2
+            )
+    finally:
+        set_log_store(prev)
+
+
+def test_rename_fallback_distinguishes_race_from_io_failure():
+    """FileSystem.rename's bare false return covers three distinct
+    failures; only dst-exists may map to a lost race (→ False →
+    ConcurrentCommitError upstream). Missing source/parent surfaces as
+    IOError naming both paths."""
+    from data_pipeline_demo_spark.sinks.txlog import _rename_fallback
+
+    class FS:
+        def __init__(self, rename_ok, dst_exists):
+            self._ok, self._dst = rename_ok, dst_exists
+
+        def rename(self, src, dst):
+            return self._ok
+
+        def exists(self, p):
+            return self._dst
+
+    assert _rename_fallback(FS(True, False), "s", "d") is True
+    assert _rename_fallback(FS(False, True), "s", "d") is False
+    with pytest.raises(IOError, match="not a commit race"):
+        _rename_fallback(FS(False, False), "s", "d")
+
+
+def test_zone_map_prune_with_date_bounds(spark, tmp_path):
+    """Zone-map stats for date columns are JSON-stored as ISO strings;
+    prune_between must accept datetime.date bounds (coerced through the
+    same stringification) instead of raising TypeError, and pruning
+    must stay correct: buckets outside the date range are never opened."""
+    from datetime import date
+
+    from data_pipeline_demo_spark.sinks.txlog import read_txtable as rt
+
+    root = str(tmp_path / "tx")
+    df = spark.createDataFrame(
+        [(i, date(2026, 1 + (i % 4), 1 + i)) for i in range(20)],
+        "id long, d date",
+    )
+    txlog_upsert(spark, df, root, num_buckets=4, stats_columns=["d"])
+
+    got = {
+        r["id"]
+        for r in rt(
+            spark, root, prune_between={"d": (date(2026, 2, 1), date(2026, 3, 31))}
+        ).collect()
+    }
+    expect = {i for i in range(20) if 2 <= 1 + (i % 4) <= 3}
+    assert got == expect
+    # one-sided works too
+    lo_only = {
+        r["id"]
+        for r in rt(spark, root, prune_between={"d": (date(2026, 4, 1), None)}).collect()
+    }
+    assert lo_only == {i for i in range(20) if 1 + (i % 4) == 4}
+    # pruning proof: corrupt buckets whose stats are entirely outside
+    # the range; the pruned read must not open them
+    m0 = json.loads((tmp_path / "tx/_commits" / f"{0:020d}.json").read_text())
+    keep = {
+        b
+        for b, st in m0["bucket_stats"].items()
+        if st["d"][1] >= "2026-04-01"
+    }
+    originals = {}
+    for b, rels in m0["buckets"].items():
+        if b not in keep:
+            for rel in rels:
+                p = tmp_path / "tx" / rel
+                originals[p] = p.read_bytes()
+                p.write_bytes(b"JUNK")
+    try:
+        pruned = {
+            r["id"]
+            for r in rt(
+                spark, root, prune_between={"d": (date(2026, 4, 1), None)}
+            ).collect()
+        }
+    finally:
+        for p, data in originals.items():
+            p.write_bytes(data)
+    assert pruned == lo_only
+    # an incomparable bound type raises the documented error
+    with pytest.raises(ValueError, match="not comparable"):
+        rt(spark, root, prune_between={"d": ((1, 2), None)}).collect()
