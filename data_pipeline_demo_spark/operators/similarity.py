@@ -850,3 +850,80 @@ def cosine_near_dup_lsh(
             / (F.col("__na") * F.col("__nb"))
         ).alias("cosine"),
     ).filter(F.col("cosine") >= F.lit(threshold))
+
+
+# --- k-means corpus clustering -------------------------------------------
+
+
+def cluster_embeddings(
+    corpus: DataFrame,
+    n_clusters: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    refine_iters: int = 5,
+) -> DataFrame:
+    """K-means clustering of an embedding column — the corpus-curation
+    primitive behind topic bucketing, domain-mixture analysis, and
+    cluster-stratified sampling of a training set (the role clustering
+    plays in dataset-curation pipelines: group semantically, then
+    inspect/sample/reweight per group).
+
+    Reuses the IVF machinery end-to-end: deterministic hash-sample
+    init (reproducible across runs/engines), ``refine_iters`` Lloyd
+    iterations with decimal-exact means (order-independent under
+    parallel aggregation), one broadcast assign pass. Zero-norm
+    vectors — where cosine is undefined — are excluded, like the IVF
+    build. Returns one row per assigned vector:
+    ``(id_col, cluster_id, sim)`` with ``sim`` the exact cosine to the
+    winning centroid.
+
+    Scale shape: centroids are n_clusters × dim — broadcast-sized by
+    construction; every pass over the corpus is a scan + broadcast
+    join (no all-pairs anywhere); the grouped means shuffle
+    n_clusters × dim rows. 100× corpus = 100× scan, same shuffle.
+    """
+    nz = corpus.filter(l2_norm_exact(F.col(vec_col)) > 0)
+    cents = _centroids(nz, n_clusters, id_col, vec_col)
+    if refine_iters > 0:
+        cents = _refine_centroids(nz, cents, id_col, vec_col, refine_iters)
+    scored = nz.crossJoin(F.broadcast(cents)).select(
+        F.col(id_col),
+        F.col("centroid_id").alias("cluster_id"),
+        (
+            _dot_exact(F.col(vec_col), F.col("__cvec"))
+            / (l2_norm_exact(F.col(vec_col)) * l2_norm_exact(F.col("__cvec")))
+        ).alias("sim"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("sim").desc(), F.col("cluster_id")
+    )
+    return (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .drop("__rk")
+    )
+
+
+def cluster_summary(assignments: DataFrame) -> DataFrame:
+    """Per-cluster curation report over :func:`cluster_embeddings`
+    output: member count, mean/min cosine to centroid (cohesion), and
+    the member share — the table a data-mixing pass reads to decide
+    which semantic buckets to up/down-sample. One grouped pass plus a
+    broadcast total."""
+    totals = assignments.agg(F.count(F.lit(1)).alias("__n_total"))
+    return (
+        assignments.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.avg("sim").alias("mean_sim"),
+            F.min("sim").alias("min_sim"),
+        )
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "cluster_id",
+            "n_members",
+            "mean_sim",
+            "min_sim",
+            (F.col("n_members") / F.col("__n_total")).alias("share"),
+        )
+    )

@@ -316,22 +316,26 @@ def perplexity_score(
 
     One exploded scan joined to the BROADCAST LM table (alphabet²
     rows); bigrams the LM never saw take the global smoothing floor
-    ``ln(1/(max_n1+V))``-ish via the LM's minimum logp minus ln(2) — a
-    deterministic pessimistic constant, not a per-prefix lookup, so
-    the join stays single and broadcast. Returns
+    via the LM's minimum logp minus ln(2) — a deterministic
+    pessimistic constant, not a per-prefix lookup, so the join stays
+    single and broadcast. The floor itself stays IN-PLANE: a one-row
+    aggregate broadcast-crossed onto the scored grams, so calling
+    this function launches no driver job (the whole score is one
+    lazily-planned DataFrame). Returns
     ``(id_col, n_chars_scored, bits_per_char)``.
     """
-    floor_row = lm.agg(F.min("logp").alias("f"), F.max("v").alias("v")).first()
-    unseen_logp = float(floor_row["f"]) - 0.6931471805599453  # − ln 2
-    grams = _char_bigrams(df, text_col, id_col)
-    scored = grams.join(F.broadcast(lm.select("c12", "logp")), "c12", "left")
     ln2 = 0.6931471805599453
+    floor = lm.agg((F.min("logp") - F.lit(ln2)).alias("__unseen_logp"))
+    grams = _char_bigrams(df, text_col, id_col)
+    scored = grams.join(
+        F.broadcast(lm.select("c12", "logp")), "c12", "left"
+    ).crossJoin(F.broadcast(floor))
     return (
         scored.groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_chars_scored"),
             (
-                -F.avg(F.coalesce(F.col("logp"), F.lit(unseen_logp))) / ln2
+                -F.avg(F.coalesce(F.col("logp"), F.col("__unseen_logp"))) / ln2
             ).alias("bits_per_char"),
         )
     )

@@ -40,3 +40,4 @@ register("q74_decimal_money_agg", oracle=scalars.Q74_ORACLE)(
     scalars.q74_decimal_money_agg
 )
 register("q73_weighted_sample")(llm_ops.q73_weighted_sample)
+register("q75_embedding_clusters")(llm_ops.q75_embedding_clusters)

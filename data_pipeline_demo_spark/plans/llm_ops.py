@@ -514,3 +514,17 @@ def q71_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.tfidf_top_terms(
         table(spark, sf_dir, "documents"), top_k=3
     )
+
+
+def q75_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means corpus clustering (registered past the gate cap,
+    rows-only): every embedding assigned to one of 8 clusters with its
+    cosine-to-centroid, joined to the per-cluster curation summary.
+    Rows-only by construction: the hash-sample init and Lloyd
+    refinement have no DuckDB equivalent; determinism, coverage, and
+    cohesion-beats-random are unit-tested (tests/test_llm_ops.py)."""
+    emb = table(spark, sf_dir, "embeddings")
+    assign = similarity.cluster_embeddings(emb, n_clusters=8, refine_iters=2)
+    return assign.join(
+        F.broadcast(similarity.cluster_summary(assign)), "cluster_id"
+    ).select("vec_id", "cluster_id", "sim", "n_members", "share")

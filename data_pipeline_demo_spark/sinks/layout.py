@@ -60,6 +60,32 @@ def cluster_write(
     )
 
 
+def zorder_numeric_image(df: DataFrame, c: str) -> Column:
+    """Monotone NUMERIC image of a Z-order column: numerics pass
+    through; date → days since epoch; timestamp (tz'd or NTZ) →
+    microseconds since epoch. Min/max scaling only needs monotonicity,
+    so any order-preserving numeric embedding Z-orders correctly —
+    this is what lets ``zorder_by`` take event-time columns, the most
+    common clustering key in practice (Delta's OPTIMIZE ZORDER
+    accepts them for the same reason). Unsupported types raise a
+    clear error instead of an analysis-time cast failure."""
+    from pyspark.sql import types as T
+
+    dt = df.schema[c].dataType
+    col = F.col(c)
+    if isinstance(dt, T.DateType):
+        return F.unix_date(col).cast("double")
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        return F.unix_micros(col.cast("timestamp")).cast("double")
+    if isinstance(dt, (T.NumericType, T.BooleanType)):
+        return col.cast("double")
+    raise ValueError(
+        f"zorder_by column {c!r} has type {dt.simpleString()}, which has "
+        "no monotone numeric image; supported: numeric, boolean, date, "
+        "timestamp"
+    )
+
+
 def _scale_to_bits(col: Column, lo: Column, hi: Column, bits: int) -> Column:
     """Map a numeric column linearly onto [0, 2^bits) as a long.
 
@@ -100,14 +126,15 @@ def zorder_write(
     scan shuffle); the Z-value itself never leaves the plan: files are
     clustered by it, but the stored schema is unchanged.
     """
+    imgs = {c: zorder_numeric_image(df, c) for c in zorder_by}
     stats = df.agg(
-        *[F.min(c).cast("double").alias(f"__lo_{c}") for c in zorder_by],
-        *[F.max(c).cast("double").alias(f"__hi_{c}") for c in zorder_by],
+        *[F.min(imgs[c]).alias(f"__lo_{c}") for c in zorder_by],
+        *[F.max(imgs[c]).alias(f"__hi_{c}") for c in zorder_by],
     )
     with_stats = df.crossJoin(F.broadcast(stats))
     scaled = [
         _scale_to_bits(
-            F.col(c), F.col(f"__lo_{c}"), F.col(f"__hi_{c}"), bits
+            imgs[c], F.col(f"__lo_{c}"), F.col(f"__hi_{c}"), bits
         )
         for c in zorder_by
     ]

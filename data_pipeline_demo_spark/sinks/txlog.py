@@ -384,7 +384,20 @@ def _publish_touched_buckets(
                     c: [_stat_value(r[f"__lo_{c}"]), _stat_value(r[f"__hi_{c}"])]
                     for c in stats_columns
                 }
-        df.write.mode("error").partitionBy(BUCKET_COL).parquet(out_dir)
+        # one shuffle on the bucket column so each bucket's rows sit in
+        # ONE task before the partitioned write: without it every task
+        # writes a sliver into every touched bucket dir — tasks×buckets
+        # files of a few KB (measured: 32×32=1024 ~10 KB files for one
+        # sf0.1 commit), which is metadata poison at scale and makes
+        # every later read/CDC diff open them all. One file per touched
+        # bucket per commit is the Delta optimizeWrite shape; oversized
+        # buckets are re-split by size in compact_txtable.
+        (
+            df.repartition(max(len(touched), 1), F.col(BUCKET_COL))
+            .write.mode("error")
+            .partitionBy(BUCKET_COL)
+            .parquet(out_dir)
+        )
     finally:
         df.unpersist()
 
@@ -1153,15 +1166,21 @@ def compact_txtable(
         bucket_rel = f"{out_rel}/{BUCKET_COL}={b}"
         df = spark.read.option("mergeSchema", "true").parquet(*files)
         if zorder_by:
-            from .layout import ZORDER_BITS, _scale_to_bits, zorder_key
+            from .layout import (
+                ZORDER_BITS,
+                _scale_to_bits,
+                zorder_key,
+                zorder_numeric_image,
+            )
 
+            imgs = {c: zorder_numeric_image(df, c) for c in zorder_by}
             stats = df.agg(
-                *[F.min(c).cast("double").alias(f"__lo_{c}") for c in zorder_by],
-                *[F.max(c).cast("double").alias(f"__hi_{c}") for c in zorder_by],
+                *[F.min(imgs[c]).alias(f"__lo_{c}") for c in zorder_by],
+                *[F.max(imgs[c]).alias(f"__hi_{c}") for c in zorder_by],
             )
             scaled = [
                 _scale_to_bits(
-                    F.col(c), F.col(f"__lo_{c}"), F.col(f"__hi_{c}"), ZORDER_BITS
+                    imgs[c], F.col(f"__lo_{c}"), F.col(f"__hi_{c}"), ZORDER_BITS
                 )
                 for c in zorder_by
             ]

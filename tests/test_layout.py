@@ -131,3 +131,37 @@ def test_zorder_constant_column_is_safe(spark, tmp_path):
     dst = str(tmp_path / "const")
     layout.zorder_write(df, dst, ["a", "b"], num_files=4)
     assert spark.read.parquet(dst).count() == 100
+
+
+def test_zorder_accepts_date_and_timestamp_columns(spark, tmp_path):
+    """zorder_by takes event-time columns (the most common clustering
+    key): date and timestamp map onto a monotone numeric image before
+    bit scaling. Proof from footers: a one-month box on the date
+    dimension is a candidate in a minority of z-ordered files."""
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").withColumn(
+        "l_shipdate", F.col("l_shipdate").cast("date")
+    )
+    dst = str(tmp_path / "z_date")
+    layout.zorder_write(li, dst, ["l_shipdate", "l_partkey"], num_files=16)
+    stats = _file_stats(dst, "l_shipdate")
+    assert len(stats) >= 8
+    import datetime as dt
+
+    lo, hi = dt.date(1994, 1, 1), dt.date(1994, 1, 31)
+    # footer stats for date32 come back as date objects via pyarrow
+    cand = sum(1 for mn, mx in stats if not (mx < lo or mn > hi))
+    assert cand <= len(stats) // 2, (cand, len(stats))
+
+    # timestamp (incl. NTZ as read from nanos parquet) works too
+    ts = li.withColumn("ship_ts", F.col("l_shipdate").cast("timestamp"))
+    dst2 = str(tmp_path / "z_ts")
+    layout.zorder_write(ts, dst2, ["ship_ts", "l_partkey"], num_files=8)
+    assert len(_file_stats(dst2, "l_partkey")) >= 4
+
+    # unsupported type raises the documented error, not a cast failure
+    import pytest
+
+    with pytest.raises(ValueError, match="monotone numeric image"):
+        layout.zorder_write(
+            li.withColumn("s", F.lit("x")), str(tmp_path / "z_bad"), ["s"]
+        )

@@ -776,3 +776,55 @@ def test_perplexity_filter_separates_gibberish(spark, sf_dir):
         for r in perplexity_score(docs.unionByName(probes), lm).collect()
     }
     assert again == scored
+
+
+def test_cluster_embeddings_recovers_planted_structure(spark):
+    """K-means clustering: three well-separated planted groups come
+    back as pure clusters (every planted group lands wholly inside one
+    cluster), every nonzero vector is assigned exactly once, the
+    output replays deterministically, and the summary's shares sum
+    to 1."""
+    import math
+
+    from data_pipeline_demo_spark.operators.similarity import (
+        cluster_embeddings,
+        cluster_summary,
+    )
+
+    # 3 orthogonal-ish directions in 8-d, 20 jittered members each,
+    # plus one zero vector that must be excluded
+    rows = []
+    for g in range(3):
+        base = [0.0] * 8
+        base[g] = 1.0
+        base[g + 3] = 0.5
+        for m in range(20):
+            jit = [
+                v + 0.03 * math.sin(7 * g + m + i) for i, v in enumerate(base)
+            ]
+            rows.append((g * 100 + m, jit))
+    rows.append((999, [0.0] * 8))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    assign = cluster_embeddings(emb, n_clusters=3, refine_iters=3)
+    got = assign.collect()
+    assert len(got) == 60  # zero vector excluded, everyone else once
+    assert len({r["vec_id"] for r in got}) == 60
+    by_group = {}
+    for r in got:
+        by_group.setdefault(r["vec_id"] // 100, set()).add(r["cluster_id"])
+    # purity: each planted group maps into exactly one cluster
+    assert all(len(cids) == 1 for cids in by_group.values()), by_group
+    # separation: the three groups land in three distinct clusters
+    assert len({next(iter(c)) for c in by_group.values()}) == 3
+    assert all(r["sim"] > 0.9 for r in got)
+
+    # determinism: bit-identical replay
+    again = cluster_embeddings(emb, n_clusters=3, refine_iters=3).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, got))
+
+    summ = {r["cluster_id"]: r for r in cluster_summary(assign).collect()}
+    assert len(summ) == 3
+    assert abs(sum(r["share"] for r in summ.values()) - 1.0) < 1e-12
+    assert all(r["n_members"] == 20 for r in summ.values())
+    assert all(r["min_sim"] > 0.9 for r in summ.values())
