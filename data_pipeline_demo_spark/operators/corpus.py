@@ -37,6 +37,7 @@ from . import dedup, sampling, textstats
 __all__ = [
     "CorpusConfig",
     "decontaminate",
+    "decontaminate_semantic",
     "prepare_training_corpus",
     "refresh_training_corpus",
 ]
@@ -215,3 +216,55 @@ def refresh_training_corpus(
         budget=cfg.pack_budget,
         num_shards=cfg.num_shards,
     )
+
+
+def decontaminate_semantic(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space benchmark decontamination — the semantic
+    complement of :func:`decontaminate`'s 13-token n-gram rule: drop
+    every corpus row whose exact cosine to ANY benchmark vector
+    reaches ``threshold``. Paraphrased or reformatted benchmark
+    leakage that shares no 13-gram still collides in embedding space;
+    running both rules is the standard two-layer decontamination.
+
+    Shape: benchmark suites are small by nature (10³–10⁴ rows), so the
+    benchmark side BROADCASTS (norms precomputed below the join
+    boundary) and the corpus is ONE scan — no shuffle, no corpus²
+    term; cost is O(|corpus| × |benchmark|) fused dot-products. For a
+    benchmark too large to broadcast, run the LSH tier instead
+    (`similarity.cosine_near_dup_lsh` over the tagged union). The
+    cosine is decimal-exact (`similarity._dot_exact`), so the decision
+    boundary is reproducible bit-for-bit across engines. Zero-norm
+    vectors on either side never match (cosine undefined → corpus row
+    kept). Returns the surviving corpus rows unchanged.
+    """
+    from .similarity import _dot_exact, l2_norm_exact
+
+    bench = (
+        benchmark.select(
+            F.col(vec_col).alias("__bvec"),
+            l2_norm_exact(F.col(vec_col)).alias("__bnorm"),
+        ).filter(F.col("__bnorm") > 0)
+    )
+    flagged = (
+        corpus.select(
+            F.col(id_col),
+            F.col(vec_col),
+            l2_norm_exact(F.col(vec_col)).alias("__cnorm"),
+        )
+        .filter(F.col("__cnorm") > 0)
+        .crossJoin(F.broadcast(bench))
+        .filter(
+            _dot_exact(F.col(vec_col), F.col("__bvec"))
+            / (F.col("__cnorm") * F.col("__bnorm"))
+            >= F.lit(threshold)
+        )
+        .select(id_col)
+        .distinct()
+    )
+    return corpus.join(flagged, id_col, "left_anti")

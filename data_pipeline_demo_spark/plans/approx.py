@@ -41,3 +41,6 @@ register("q74_decimal_money_agg", oracle=scalars.Q74_ORACLE)(
 )
 register("q73_weighted_sample")(llm_ops.q73_weighted_sample)
 register("q75_embedding_clusters")(llm_ops.q75_embedding_clusters)
+register("q76_semantic_decontam", oracle=llm_ops._DUCK_SEMANTIC_DECONTAM)(
+    llm_ops.q76_semantic_decontam
+)

@@ -528,3 +528,39 @@ def q75_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assign.join(
         F.broadcast(similarity.cluster_summary(assign)), "cluster_id"
     ).select("vec_id", "cluster_id", "sim", "n_members", "share")
+
+
+_DUCK_SEMANTIC_DECONTAM = f"""
+    WITH nz AS (
+      SELECT vec_id, embedding,
+             sqrt((SELECT SUM(CAST(FLOOR(embedding[g]::DOUBLE * embedding[g]::DOUBLE * 1e12) AS BIGINT))
+                   FROM generate_series(1, 64) t(g))::DOUBLE / 1e12) AS nrm
+      FROM embeddings
+    ),
+    flagged AS (
+      SELECT DISTINCT c.vec_id
+      FROM nz c JOIN nz b ON b.vec_id % 50 = 0
+      WHERE c.nrm > 0 AND b.nrm > 0
+        AND ((SELECT SUM(CAST(FLOOR(c.embedding[g]::DOUBLE * b.embedding[g]::DOUBLE * 1e12) AS BIGINT))
+              FROM generate_series(1, 64) t(g))::DOUBLE / 1e12)
+            / (c.nrm * b.nrm) >= {COSINE_DUP_THRESHOLD}
+    )
+    SELECT vec_id FROM embeddings
+    WHERE vec_id NOT IN (SELECT vec_id FROM flagged)
+"""
+
+
+def q76_semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic benchmark decontamination (oracle-checked, registered
+    past the gate cap): every 50th embedding plays the benchmark set;
+    corpus rows within cosine {COSINE}≥τ of any benchmark vector drop —
+    the benchmark rows themselves vanish (self-cosine 1.0) plus any
+    true semantic neighbors. Decimal-exact cosine on both engines, so
+    the survivor set hash-matches DuckDB bit-for-bit."""
+    from ..operators import corpus as corpus_ops
+
+    emb = table(spark, sf_dir, "embeddings")
+    benchmark = emb.filter(F.col("vec_id") % 50 == 0)
+    return corpus_ops.decontaminate_semantic(
+        emb, benchmark, threshold=COSINE_DUP_THRESHOLD
+    ).select("vec_id")

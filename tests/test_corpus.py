@@ -145,3 +145,59 @@ def test_decontaminate_flags_ngram_overlap(spark):
     assert out == {10: True, 11: False, 12: False, 13: False}
     clean = corpus.decontaminate(training, bench).filter("NOT contaminated")
     assert clean.count() == 3
+
+
+def test_decontaminate_semantic_drops_planted_neighbors(spark):
+    """Semantic decontamination: corpus rows that are near-copies of a
+    benchmark vector drop; orthogonal rows survive untouched; zero-norm
+    rows are kept (cosine undefined); replay is deterministic."""
+    import math
+
+    from data_pipeline_demo_spark.operators.corpus import (
+        decontaminate_semantic,
+    )
+
+    dim = 8
+
+    def unit(axis):
+        v = [0.0] * dim
+        v[axis] = 1.0
+        return v
+
+    # benchmark: axes 0 and 1
+    bench = spark.createDataFrame(
+        [(1000, unit(0)), (1001, unit(1))],
+        "vec_id long, embedding array<float>",
+    )
+    # corpus: 2 near-copies of benchmark axes (cos≈0.995), 3 orthogonal
+    # rows, 1 zero vector
+    near0 = [x + 0.1 * math.sin(i + 1) for i, x in enumerate(unit(0))]
+    near1 = [x + 0.1 * math.cos(i + 2) for i, x in enumerate(unit(1))]
+    corpus = spark.createDataFrame(
+        [
+            (1, near0),
+            (2, near1),
+            (3, unit(4)),
+            (4, unit(5)),
+            (5, unit(6)),
+            (6, [0.0] * dim),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    kept = decontaminate_semantic(corpus, bench, threshold=0.9)
+    ids = {r["vec_id"] for r in kept.collect()}
+    assert ids == {3, 4, 5, 6}
+    # survivors are the original rows, untouched
+    assert set(kept.columns) == {"vec_id", "embedding"}
+    # replay determinism
+    again = {
+        r["vec_id"]
+        for r in decontaminate_semantic(corpus, bench, threshold=0.9).collect()
+    }
+    assert again == ids
+    # a permissive threshold keeps everything except exact hits
+    all_kept = {
+        r["vec_id"]
+        for r in decontaminate_semantic(corpus, bench, threshold=1.01).collect()
+    }
+    assert all_kept == {1, 2, 3, 4, 5, 6}
