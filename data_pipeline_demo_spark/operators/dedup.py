@@ -29,7 +29,7 @@ import tempfile
 from functools import reduce
 from operator import add
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..sinks.upsert import read_json_sidecar, write_json_sidecar
@@ -321,13 +321,28 @@ def dedup_against_index(
         raise ValueError(
             f"no MinHash index metadata at {index_path}; minhash_index_write first"
         )
+    index = spark.read.parquet(index_path)
+    return _pairs_against_index_df(
+        new_docs, corpus, index, meta, text_col, id_col, threshold
+    )
+
+
+def _pairs_against_index_df(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    index: DataFrame,
+    meta: dict,
+    text_col: str,
+    id_col: str,
+    threshold: float,
+) -> DataFrame:
+    """Shared candidate + exact-verify body for both index storages
+    (plain parquet and the transactional txtable form)."""
     k, nh, bands = meta["k"], meta["num_hashes"], meta["bands"]
     batch_bands = _banded_keys(new_docs, text_col, id_col, k, nh, bands).select(
         F.col(id_col).alias("doc_new"), "band", "key"
     )
-    index = spark.read.parquet(index_path).select(
-        F.col(id_col).alias("doc_old"), "band", "key"
-    )
+    index = index.select(F.col(id_col).alias("doc_old"), "band", "key")
     cands = (
         batch_bands.join(index, ["band", "key"])
         .filter(F.col("doc_new") != F.col("doc_old"))
@@ -348,6 +363,167 @@ def dedup_against_index(
         .join(old_sets, "doc_old")
         .select("doc_new", "doc_old", (inter / union).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# --- transactional (CDC-maintainable) index form --------------------------
+
+#: Row key of the transactional index: one row per (doc, band), so a
+#: re-signed doc's bands MERGE in place and a deleted doc's bands are
+#: exactly ``bands`` known keys.
+TX_ROW_KEY = "__row_key"
+
+
+def _tx_row_key(id_col: str) -> Column:
+    return F.concat_ws(
+        ":", F.col(id_col).cast("string"), F.col("band").cast("string")
+    )
+
+
+def minhash_index_write_tx(
+    df: DataFrame,
+    index_root: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 32,
+    bands: int = 16,
+    num_buckets: int = 32,
+) -> None:
+    """The at-rest MinHash index as a LOG-BACKED TABLE (sinks.txlog)
+    keyed by (doc, band) — the storage that makes the index
+    CDC-maintainable. Plain parquet (:func:`minhash_index_write`) can
+    append a new batch but can never retract the bands of a deleted or
+    re-written document; the transactional form inherits the table
+    tier's verbs instead: MERGE for insert/update (stable (doc, band)
+    keys replace in place), bucket-pruned DELETE, snapshot isolation,
+    time travel, vacuum and compaction. Parameters live in the same
+    sidecar contract as the plain form.
+    """
+    from ..sinks.txlog import txlog_upsert
+
+    banded = _banded_keys(df, text_col, id_col, k, num_hashes, bands)
+    txlog_upsert(
+        df.sparkSession,
+        banded.withColumn(TX_ROW_KEY, _tx_row_key(id_col)),
+        index_root,
+        key=TX_ROW_KEY,
+        num_buckets=num_buckets,
+    )
+    write_json_sidecar(
+        df.sparkSession,
+        index_root.rstrip("/") + "/" + MINHASH_INDEX_META,
+        {
+            "k": k,
+            "num_hashes": num_hashes,
+            "bands": bands,
+            "text_col": text_col,
+            "id_col": id_col,
+        },
+    )
+
+
+def minhash_index_refresh_from_txtable(
+    spark,
+    index_root: str,
+    table_root: str,
+    since_version: int,
+) -> tuple[int, int]:
+    """CDC-driven near-dup index maintenance — the index analog of
+    ``rollup.refresh_cascade_from_txtable``: documents live in a
+    txtable; the change feed between ``since_version`` and the latest
+    snapshot drives the minimal index mutation.
+
+    - insert/update rows: the postimage text is re-signed with the
+      index's recorded parameters and MERGEd — (doc, band) row keys are
+      stable, so an updated document's bands replace in place;
+    - delete rows: the document's exactly-``bands`` row keys are
+      generated from the feed (no index scan) and removed with a
+      bucket-pruned ``txlog_delete``.
+
+    Cost is O(changed buckets) for the diff + O(changed docs × bands)
+    for the index writes — never O(corpus), never O(index). Returns
+    ``(docs_refreshed, consumed_version)``; persist the version as the
+    consumer watermark and pass it back next call (same-version call is
+    a no-op). Bootstrap an index with :func:`minhash_index_write_tx`
+    over the table's current snapshot, recording the snapshot version.
+    """
+    from ..sinks.txlog import (
+        _latest_manifest,
+        txlog_delete,
+        txlog_upsert,
+        txtable_changes,
+    )
+
+    meta = read_json_sidecar(
+        spark, index_root.rstrip("/") + "/" + MINHASH_INDEX_META
+    )
+    if meta is None:
+        raise ValueError(
+            f"no MinHash index metadata at {index_root}; "
+            "minhash_index_write_tx first"
+        )
+    manifest = _latest_manifest(spark, table_root)
+    if manifest is None:
+        raise FileNotFoundError(f"no committed txtable at {table_root}")
+    latest = manifest["version"]
+    if since_version >= latest:
+        return 0, latest
+    text_col, id_col = meta["text_col"], meta["id_col"]
+    feed = txtable_changes(spark, table_root, since_version, latest)
+
+    upserts = feed.filter(
+        F.col("_change_type").isin("insert", "update")
+    ).drop("_change_type")
+    n_upserts = upserts.select(id_col).distinct().count()
+    if n_upserts:
+        banded = _banded_keys(
+            upserts, text_col, id_col, meta["k"], meta["num_hashes"], meta["bands"]
+        )
+        txlog_upsert(
+            spark,
+            banded.withColumn(TX_ROW_KEY, _tx_row_key(id_col)),
+            index_root,
+        )
+
+    deleted = feed.filter(F.col("_change_type") == "delete").select(id_col).distinct()
+    n_deleted = deleted.count()
+    if n_deleted:
+        band_range = F.explode(
+            F.sequence(F.lit(0), F.lit(meta["bands"] - 1))
+        ).alias("band")
+        del_keys = deleted.select(F.col(id_col), band_range).select(
+            _tx_row_key(id_col).alias(TX_ROW_KEY)
+        )
+        txlog_delete(spark, index_root, keys=del_keys)
+    return n_upserts + n_deleted, latest
+
+
+def dedup_against_tx_index(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    index_root: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+) -> DataFrame:
+    """:func:`dedup_against_index` over the transactional index form:
+    same contract, same O(batch + candidates) shape — the index side is
+    a manifest-driven snapshot read instead of a directory scan."""
+    from ..sinks.txlog import read_txtable
+
+    spark = new_docs.sparkSession
+    meta = read_json_sidecar(
+        spark, index_root.rstrip("/") + "/" + MINHASH_INDEX_META
+    )
+    if meta is None:
+        raise ValueError(
+            f"no MinHash index metadata at {index_root}; "
+            "minhash_index_write_tx first"
+        )
+    index = read_txtable(spark, index_root).drop(TX_ROW_KEY)
+    return _pairs_against_index_df(
+        new_docs, corpus, index, meta, text_col, id_col, threshold
     )
 
 

@@ -828,3 +828,101 @@ def test_cluster_embeddings_recovers_planted_structure(spark):
     assert abs(sum(r["share"] for r in summ.values()) - 1.0) < 1e-12
     assert all(r["n_members"] == 20 for r in summ.values())
     assert all(r["min_sim"] > 0.9 for r in summ.values())
+
+
+def test_minhash_tx_index_cdc_refresh_equals_rebuild(spark, tmp_path):
+    """CDC-driven near-dup index maintenance: documents live in a
+    txtable, the index in the transactional (doc, band)-keyed form.
+    After update + insert + delete commits, one change-feed refresh
+    leaves the index bit-identical to a from-scratch rebuild of the
+    current snapshot, a same-version refresh is a no-op, and the
+    refreshed index surfaces the newly planted near-dup."""
+    from data_pipeline_demo_spark.operators.dedup import (
+        TX_ROW_KEY,
+        _banded_keys,
+        dedup_against_tx_index,
+        minhash_index_refresh_from_txtable,
+        minhash_index_write_tx,
+    )
+    from data_pipeline_demo_spark.sinks.txlog import (
+        read_txtable,
+        txlog_delete,
+        txlog_upsert,
+    )
+
+    docs_root = str(tmp_path / "docs")
+    index_root = str(tmp_path / "idx")
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, f"document number {i} says: {base} variant {i}") for i in range(8)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    txlog_upsert(spark, docs, docs_root, key="doc_id", num_buckets=4)
+
+    minhash_index_write_tx(
+        read_txtable(spark, docs_root), index_root, k=3, num_hashes=16, bands=8,
+        num_buckets=4,
+    )
+    watermark = 0  # index built from snapshot version 0
+
+    # change commits: rewrite doc 2 as a near-copy of doc 1, insert a
+    # new near-copy of doc 3, delete doc 5
+    txlog_upsert(
+        spark,
+        spark.createDataFrame(
+            [
+                (2, f"document number 1 says: {base} variant 1 tweaked"),
+                (9, f"document number 3 says: {base} variant 3"),
+            ],
+            "doc_id long, text string",
+        ),
+        docs_root,
+    )
+    txlog_delete(
+        spark, docs_root,
+        keys=spark.createDataFrame([(5,)], "doc_id long"),
+    )
+
+    n, consumed = minhash_index_refresh_from_txtable(
+        spark, index_root, docs_root, since_version=watermark
+    )
+    assert n == 3  # 2 re-signed/inserted docs + 1 deleted doc
+    assert consumed == 2
+
+    # refresh ≡ rebuild: band rows of the refreshed index match a
+    # from-scratch signing of the CURRENT snapshot exactly
+    current = read_txtable(spark, docs_root)
+    rebuilt = sorted(
+        map(
+            tuple,
+            _banded_keys(current, "text", "doc_id", 3, 16, 8)
+            .select("doc_id", "band", "key")
+            .collect(),
+        )
+    )
+    refreshed = sorted(
+        map(
+            tuple,
+            read_txtable(spark, index_root)
+            .select("doc_id", "band", "key")
+            .collect(),
+        )
+    )
+    assert refreshed == rebuilt
+
+    # same-version refresh is a no-op
+    assert minhash_index_refresh_from_txtable(
+        spark, index_root, docs_root, since_version=consumed
+    ) == (0, consumed)
+
+    # the refreshed index finds the planted near-dup for a new batch
+    probe = spark.createDataFrame(
+        [(100, f"document number 1 says: {base} variant 1 tweaked")],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r["doc_new"], r["doc_old"])
+        for r in dedup_against_tx_index(
+            probe, current, index_root, threshold=0.5
+        ).collect()
+    }
+    assert (100, 2) in pairs  # the rewritten doc 2
+    assert (100, 5) not in pairs  # deleted doc's bands are gone
