@@ -151,3 +151,68 @@ def pack_sequences(
         )
         .drop("__shard", "__cum_excl")
     )
+
+
+def mixture_plan(
+    df: DataFrame,
+    targets: Mapping[object, float],
+    domain_col: str,
+    weight_col: str | None = None,
+) -> dict[object, float]:
+    """Solve per-domain sampling fractions that realize a target
+    mixture (data-mixing layer above :func:`stratified_sample` — the
+    DoReMi/Pile-style "fix domain shares, sample accordingly" step).
+
+    ``targets`` are relative shares (renormalized here); availability
+    per domain is measured as row count, or mass of ``weight_col``
+    (e.g. token counts) when given. The plan keeps the mixture EXACT
+    at the largest total the scarcest domain allows:
+    ``T = min_d(avail_d / share_d)``, ``fraction_d = share_d·T /
+    avail_d`` — the binding domain keeps fraction 1.0 and everything
+    else downsamples to match. One metadata-sized grouped aggregate;
+    domains absent from ``targets`` get fraction 0 (dropped); a target
+    domain with NO data raises (the mixture is unrealizable, silently
+    returning a skewed sample would be worse).
+    """
+    total = float(sum(targets.values()))
+    if total <= 0:
+        raise ValueError("targets must have positive total share")
+    shares = {d: s / total for d, s in targets.items() if s > 0}
+    measure = (
+        F.count(F.lit(1)) if weight_col is None else F.sum(weight_col)
+    ).alias("__avail")
+    avail = {
+        r[domain_col]: float(r["__avail"] or 0)
+        for r in df.groupBy(domain_col).agg(measure).collect()
+        if r[domain_col] in shares
+    }
+    missing = [d for d in shares if avail.get(d, 0) <= 0]
+    if missing:
+        raise ValueError(
+            f"mixture targets name domains with no available data: "
+            f"{sorted(map(str, missing))}"
+        )
+    t_max = min(avail[d] / s for d, s in shares.items())
+    return {d: min(1.0, s * t_max / avail[d]) for d, s in shares.items()}
+
+
+def mixture_sample(
+    df: DataFrame,
+    targets: Mapping[object, float],
+    domain_col: str,
+    weight_col: str | None = None,
+    key_col: str = "doc_id",
+    salt: int = 0,
+) -> DataFrame:
+    """Deterministic mixture resampling: compute :func:`mixture_plan`
+    and apply it as one hash-threshold scan filter
+    (:func:`stratified_sample` semantics — replayable, retry-safe, no
+    shuffle). With ``weight_col`` the plan balances mass (tokens)
+    rather than rows; per-row hash selection then realizes each
+    domain's fraction in expectation over rows, which preserves the
+    target mass mixture when weights are identically distributed
+    within a domain (document the caveat, don't hide it)."""
+    plan = mixture_plan(df, targets, domain_col, weight_col)
+    return stratified_sample(
+        df, plan, domain_col, key_col=key_col, salt=salt, default_fraction=0.0
+    )

@@ -44,3 +44,4 @@ register("q75_embedding_clusters")(llm_ops.q75_embedding_clusters)
 register("q76_semantic_decontam", oracle=llm_ops._DUCK_SEMANTIC_DECONTAM)(
     llm_ops.q76_semantic_decontam
 )
+register("q77_mixture_sample")(llm_ops.q77_mixture_sample)

@@ -564,3 +564,27 @@ def q76_semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_ops.decontaminate_semantic(
         emb, benchmark, threshold=COSINE_DUP_THRESHOLD
     ).select("vec_id")
+
+
+def q77_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic domain-mixture resampling (registered past the
+    gate cap, rows-only: selection keys on xxhash64, no DuckDB
+    equivalent; share realization + determinism are unit-tested).
+    Documents play three synthetic domains via doc_id mod 3 with a
+    skewed availability; the 50/30/20 target is realized at the
+    largest size the scarcest domain allows."""
+    from ..operators import sampling
+
+    d = table(spark, sf_dir, "documents").withColumn(
+        "domain",
+        F.when(F.col("doc_id") % 10 < 7, F.lit("web"))
+        .when(F.col("doc_id") % 10 < 9, F.lit("code"))
+        .otherwise(F.lit("books")),
+    )
+    mixed = sampling.mixture_sample(
+        d, {"web": 0.5, "code": 0.3, "books": 0.2}, "domain"
+    )
+    return mixed.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("n_chars_total"),
+    )

@@ -117,3 +117,57 @@ def test_weighted_sample_k_properties(spark):
     assert hits[0] > 3 * (sum(light) / len(light))
     # k larger than eligible rows: returns all eligible, no error
     assert weighted_sample_k(df, 1000, "w").count() == 40
+
+
+def test_mixture_sample_realizes_target_shares(spark):
+    """Data-mixing layer: from a skewed corpus (90% web / 9% code / 1%
+    books), a 50/30/20 target comes back at the largest size the
+    scarcest domain allows — books (binding) kept 100%, web and code
+    downsampled so realized shares track the target within hash-
+    threshold tolerance; absent-domain targets raise; replay is
+    deterministic."""
+    import pytest
+
+    from data_pipeline_demo_spark.operators.sampling import (
+        mixture_plan,
+        mixture_sample,
+    )
+
+    rows = (
+        [(i, "web") for i in range(9000)]
+        + [(10_000 + i, "code") for i in range(900)]
+        + [(20_000 + i, "books") for i in range(100)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, domain string")
+    targets = {"web": 0.5, "code": 0.3, "books": 0.2}
+
+    plan = mixture_plan(df, targets, "domain")
+    # books is binding: T = 100/0.2 = 500 -> web 250/9000, code 150/900
+    assert plan["books"] == 1.0
+    assert abs(plan["web"] - 250 / 9000) < 1e-9
+    assert abs(plan["code"] - 150 / 900) < 1e-9
+
+    got = mixture_sample(df, targets, "domain")
+    counts = {r["domain"]: r["n"] for r in got.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert counts["books"] == 100  # binding domain fully kept
+    # hash-threshold realization: expected 250 web / 150 code, allow
+    # binomial-ish slack
+    assert abs(counts["web"] - 250) < 60
+    assert abs(counts["code"] - 150) < 45
+    # deterministic replay
+    again = {r["doc_id"] for r in mixture_sample(df, targets, "domain").collect()}
+    assert again == {r["doc_id"] for r in got.collect()}
+
+    # weight-mass planning: books get 100x heavier rows -> far less
+    # downsampling needed elsewhere
+    w = df.withColumn(
+        "tokens", F.when(F.col("domain") == "books", 10_000).otherwise(100)
+    )
+    wplan = mixture_plan(w, targets, "domain", weight_col="tokens")
+    assert wplan["books"] < 1.0 or wplan["web"] == 1.0  # binding moved
+
+    with pytest.raises(ValueError, match="no available data"):
+        mixture_plan(df, {"web": 0.5, "audio": 0.5}, "domain")
+    with pytest.raises(ValueError, match="positive total"):
+        mixture_plan(df, {"web": 0.0}, "domain")

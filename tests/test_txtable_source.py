@@ -529,3 +529,40 @@ def test_cdf_schema_survives_delete_everything(registered, tmp_path):
         .collect()
     }
     assert got == {(1, "delete", "a"), (2, "delete", "b")}
+
+
+def test_stream_reader_starting_timestamp_full_replay(registered, tmp_path):
+    """startingTimestamp on the STREAMING reader: a timestamp before
+    table creation resolves to the synthetic empty base (-1), so the
+    first micro-batch replays full history — v0's own inserts
+    included — all through the executor-partitioned path."""
+    import pyarrow as pa
+
+    from data_pipeline_demo_spark.sources.txtable_source import (
+        CHANGE_COL,
+        TxTableDataSource,
+    )
+
+    spark = registered
+    root = str(tmp_path / "tx")
+    txlog_upsert(spark, _rows(spark, [(1, "a"), (2, "b")]), root, num_buckets=4)
+    txlog_upsert(spark, _rows(spark, [(2, "B"), (3, "c")]), root)
+
+    ds = TxTableDataSource(
+        {"path": root, "readchangefeed": "true", "startingtimestamp": "0"}
+    )
+    reader = ds.streamReader(ds.schema())
+    start = reader.initialOffset()
+    assert start == {"version": -1}
+    end = reader.latestOffset()
+    assert end == {"version": 1}
+    parts = reader.partitions(start, end)
+    rows = [
+        r
+        for p in parts
+        for b in reader.read(p)
+        for r in pa.Table.from_batches([b]).to_pylist()
+    ]
+    got = {(r["id"], r[CHANGE_COL], r["v"]) for r in rows}
+    # net diff of empty-base -> v1: every live row is an insert
+    assert got == {(1, "insert", "a"), (2, "insert", "B"), (3, "insert", "c")}
