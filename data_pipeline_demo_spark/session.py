@@ -36,6 +36,10 @@ STATIC_CONFS: dict[str, str] = {
     # sort-merge joins to broadcast at runtime via this threshold.
     "spark.sql.autoBroadcastJoinThreshold": str(10 * 1024 * 1024),
     "spark.sql.parquet.filterPushdown": "true",
+    # format("txtable")'s reader implements DataSourceReader.pushFilters
+    # (zone-map + key-bucket partition pruning); Spark 4.1 refuses a
+    # pushFilters-bearing reader unless this is on.
+    "spark.sql.python.filterPushdown.enabled": "true",
     "spark.sql.parquet.aggregatePushdown": "true",
     # zstd over snappy default: ~30% smaller files at comparable CPU —
     # at 100 TB the scan is IO-bound, so smaller bytes win end-to-end.

@@ -457,6 +457,48 @@ class _TxTableBatchReader(DataSourceReader):
                 yield batch
 
 
+class _TxTablePushdownBatchReader(_TxTableBatchReader):
+    """Snapshot reader + planning-time partition pruning from the query's
+    pushed predicates (``sources/pushdown.py``): manifest zone maps plus
+    writer-parity key-bucket hashing.  Every filter is returned unhandled
+    so Spark re-applies it — pruning only skips buckets that provably
+    hold no match; results stay exact.
+
+    Defining ``pushFilters`` makes Spark REQUIRE
+    ``spark.sql.python.filterPushdown.enabled=true`` (the engine session
+    factory sets it); sessions that can't flip the conf opt out with
+    ``.option("pushdown", "false")``, which selects the base reader."""
+
+    def __init__(self, fs, root: str, version: int, fs_options: dict):
+        super().__init__(fs, root, version, fs_options)
+        self._kept: list[str] | None = None
+
+    def pushFilters(self, filters):
+        from .pushdown import prune_bucket_ids
+
+        filters = list(filters)
+        self._kept = prune_bucket_ids(
+            self.manifest, filters, self.arrow_schema
+        )
+        return filters  # all re-applied by Spark: pruning is metadata-only
+
+    def partitions(self) -> list[InputPartition]:
+        ids = (
+            self._kept
+            if self._kept is not None
+            else sorted(self.manifest["buckets"], key=int)
+        )
+        parts = [
+            _BucketPartition(
+                _bucket_refs(self.fs, self.root, self.manifest, b, self.fs_options)
+            )
+            for b in ids
+        ]
+        # everything pruned: Spark replaces an EMPTY partition list with a
+        # single default None partition, so hand it one no-op partition
+        return parts or [_BucketPartition([])]
+
+
 # ---------------------------------------------------------------------------
 # Change feed: shared partition shape, batch reader, stream reader.
 # ---------------------------------------------------------------------------
@@ -678,7 +720,9 @@ class TxTableDataSource(DataSource):
             )
         version = self.options.get("version")
         v = int(version) if version is not None else _latest_version(fs, root)
-        return _TxTableBatchReader(fs, root, v, self._fs_options())
+        if str(self.options.get("pushdown", "true")).lower() == "false":
+            return _TxTableBatchReader(fs, root, v, self._fs_options())
+        return _TxTablePushdownBatchReader(fs, root, v, self._fs_options())
 
     def streamReader(self, schema: StructType) -> DataSourceStreamReader:
         if not self._is_cdf():

@@ -566,3 +566,162 @@ def test_stream_reader_starting_timestamp_full_replay(registered, tmp_path):
     got = {(r["id"], r[CHANGE_COL], r["v"]) for r in rows}
     # net diff of empty-base -> v1: every live row is an insert
     assert got == {(1, "insert", "a"), (2, "insert", "B"), (3, "insert", "c")}
+
+
+# ---------------------------------------------------------------------------
+# Filter pushdown: planning-time partition pruning (zone maps + key buckets).
+# ---------------------------------------------------------------------------
+
+
+def test_python_xxhash64_parity_with_spark(spark):
+    """The pure-Python XXH64 in sources.pushdown must agree with
+    F.xxhash64 for every encoding the bucket pruner uses — otherwise a
+    point lookup could prune the bucket that HOLDS the key."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_demo_spark.sources.pushdown import bucket_of_literal, xxh64
+
+    strs = ["", "a", "abc", "hello world", "x" * 7, "y" * 8, "z" * 31,
+            "w" * 32, "long-" * 20, "naïve-ünïcode-✓"]
+    longs = [0, 1, -1, 42, -42, 2**31, -(2**31) - 7, 2**62, -(2**63), 2**63 - 1]
+    ints = [0, 1, -1, 7, 2**31 - 1, -(2**31)]
+
+    df = spark.createDataFrame([(s,) for s in strs], "s string")
+    expect = {r["s"]: r["h"] for r in df.select("s", F.xxhash64("s").alias("h")).collect()}
+    for s in strs:
+        h = xxh64(s.encode("utf-8"), 42)
+        signed = h - (1 << 64) if h >= 1 << 63 else h
+        assert signed == expect[s], s
+
+    df = spark.createDataFrame([(v,) for v in longs], "v long")
+    expect = {r["v"]: r["h"] for r in df.select("v", F.xxhash64("v").alias("h")).collect()}
+    import struct
+    for v in longs:
+        h = xxh64(struct.pack("<q", v), 42)
+        signed = h - (1 << 64) if h >= 1 << 63 else h
+        assert signed == expect[v], v
+
+    df = spark.createDataFrame([(v,) for v in ints], "v int")
+    expect = {r["v"]: r["h"] for r in df.select("v", F.xxhash64("v").alias("h")).collect()}
+    for v in ints:
+        h = xxh64(struct.pack("<i", v), 42)
+        signed = h - (1 << 64) if h >= 1 << 63 else h
+        assert signed == expect[v], v
+
+    # bucket parity against the writer's pmod(xxhash64, n)
+    n = 16
+    df = spark.createDataFrame([(v,) for v in longs], "v long")
+    expect = {
+        r["v"]: r["b"]
+        for r in df.select(
+            "v", F.pmod(F.xxhash64("v"), F.lit(n)).cast("int").alias("b")
+        ).collect()
+    }
+    for v in longs:
+        assert bucket_of_literal(v, n, "int64") == expect[v], v
+
+
+def test_pushdown_reader_prunes_key_equality_to_one_bucket(registered, tmp_path):
+    """EqualTo on the bucketing key plans exactly the bucket the writer
+    hashed the key into — verified at the reader level (partitions()
+    after pushFilters) and end-to-end through format("txtable")."""
+    from pyspark.sql.datasource import EqualTo
+
+    from data_pipeline_demo_spark.sources.txtable_source import (
+        TxTableDataSource,
+        _TxTablePushdownBatchReader,
+    )
+
+    spark = registered
+    root = str(tmp_path / "tx")
+    rows = [(i, f"v{i}") for i in range(64)]
+    txlog_upsert(spark, _rows(spark, rows), root, num_buckets=8)
+
+    ds = TxTableDataSource({"path": root})
+    reader = ds.reader(ds.schema())
+    assert isinstance(reader, _TxTablePushdownBatchReader)
+    assert len(reader.partitions()) == 8  # unfiltered: every live bucket
+
+    ds2 = TxTableDataSource({"path": root})
+    r2 = ds2.reader(ds2.schema())
+    out = r2.pushFilters([EqualTo(("id",), 17)])
+    assert len(list(out)) == 1  # everything handed back to Spark
+    assert len(r2.partitions()) == 1  # exactly one candidate bucket
+
+    # end-to-end: the filtered read still returns the right row
+    got = (
+        spark.read.format("txtable").load(root).filter("id = 17").collect()
+    )
+    assert [(r["id"], r["v"]) for r in got] == [(17, "v17")]
+    # option("pushdown","false") keeps the plain reader working
+    got = (
+        spark.read.format("txtable")
+        .option("pushdown", "false")
+        .load(root)
+        .filter("id = 17")
+        .collect()
+    )
+    assert [(r["id"], r["v"]) for r in got] == [(17, "v17")]
+
+
+def test_pushdown_reader_prunes_with_zone_maps(registered, tmp_path):
+    """Range predicates on a stats column skip buckets whose recorded
+    [min,max] cannot intersect; an impossible range plans zero
+    partitions and returns an empty (but well-typed) result."""
+    from pyspark.sql.datasource import GreaterThan, LessThanOrEqual
+
+    from data_pipeline_demo_spark.sources.txtable_source import TxTableDataSource
+
+    spark = registered
+    root = str(tmp_path / "tx")
+    # id doubles as the stats column; 256 rows over 8 buckets
+    rows = [(i, f"v{i}") for i in range(256)]
+    txlog_upsert(
+        spark, _rows(spark, rows), root, num_buckets=8, stats_columns=["id"]
+    )
+
+    ds = TxTableDataSource({"path": root})
+    r = ds.reader(ds.schema())
+    r.pushFilters([GreaterThan(("id",), 10_000)])
+    # beyond every bucket's max: one no-op partition with zero files
+    (only,) = r.partitions()
+    assert only.refs == []
+
+    ds2 = TxTableDataSource({"path": root})
+    r2 = ds2.reader(ds2.schema())
+    r2.pushFilters([LessThanOrEqual(("id",), 3)])
+    kept = len(r2.partitions())
+    assert kept < 8  # only buckets whose min <= 3 survive
+
+    # end-to-end exactness on the pruned plan
+    got = sorted(
+        r["id"]
+        for r in spark.read.format("txtable").load(root).filter("id <= 3").collect()
+    )
+    assert got == [0, 1, 2, 3]
+    assert (
+        spark.read.format("txtable").load(root).filter("id > 10000").count() == 0
+    )
+
+
+def test_pushdown_prune_is_conservative_without_stats(registered, tmp_path):
+    """A table created WITHOUT stats_columns never zone-prunes (all
+    buckets kept), and unsupported literal types poison only the
+    key-bucket tier — never correctness."""
+    from pyspark.sql.datasource import EqualTo, GreaterThan
+
+    from data_pipeline_demo_spark.sources.txtable_source import TxTableDataSource
+
+    spark = registered
+    root = str(tmp_path / "tx")
+    txlog_upsert(spark, _rows(spark, [(i, "x") for i in range(32)]), root, num_buckets=4)
+
+    ds = TxTableDataSource({"path": root})
+    r = ds.reader(ds.schema())
+    r.pushFilters([GreaterThan(("id",), 10_000)])  # no zone maps recorded
+    assert len(r.partitions()) == 4
+
+    ds2 = TxTableDataSource({"path": root})
+    r2 = ds2.reader(ds2.schema())
+    r2.pushFilters([EqualTo(("v",), "x")])  # not the key, no stats: no-op
+    assert len(r2.partitions()) == 4
