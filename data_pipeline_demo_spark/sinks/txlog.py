@@ -1019,6 +1019,84 @@ def txtable_history(spark: SparkSession, root_path: str) -> list[dict]:
     return out
 
 
+def restore_txtable(
+    spark: SparkSession,
+    root_path: str,
+    version: int | None = None,
+    timestamp_ms: int | None = None,
+    reset_app_txns: bool = False,
+) -> int:
+    """RESTORE (Delta ``RESTORE TABLE ... TO VERSION AS OF``): roll the
+    table back to an earlier snapshot by committing a NEW manifest that
+    references that snapshot's immutable files — one metadata write, no
+    data IO, any table size. History is preserved: the bad versions stay
+    time-travelable, the change feed across the restore shows the
+    logical undo (rows reverting), and a later vacuum keeps the restored
+    files alive because the newest manifest references them.
+
+    Exactly one of ``version`` / ``timestamp_ms`` (latest commit at or
+    before the timestamp — resolution mirrors the DataSource's
+    ``startingTimestamp``).
+
+    ``reset_app_txns``: by default the CURRENT writer-idempotency
+    watermarks are kept (Delta parity — RESTORE does not roll back
+    ``txn`` state), so an idempotent stream will NOT re-deliver batches
+    committed after the restore point; pass True to also roll the
+    watermarks back to the restored snapshot's, making those batches
+    eligible for re-delivery (use when the restore is undoing a bad
+    delivery the stream will re-send corrected).
+
+    Goes through the same optimistic commit claim as every write —
+    concurrent writers make a restore lose the race loudly
+    (ConcurrentCommitError), never silently interleave.
+
+    Returns the new (restored) version number.
+    """
+    if (version is None) == (timestamp_ms is None):
+        raise ValueError("pass exactly one of version / timestamp_ms")
+    cur = _latest_manifest(spark, root_path)
+    if cur is None:
+        raise FileNotFoundError(f"no committed txtable at {root_path}")
+    if timestamp_ms is not None:
+        jvm = spark._jvm
+        fs, root = _hadoop_fs(spark, root_path)
+        commits = jvm.org.apache.hadoop.fs.Path(root, COMMITS_DIR)
+        candidates = [
+            v
+            for v in _manifest_versions(fs, commits)
+            if _read_manifest(spark, root_path, v).get("committed_at_ms", 0)
+            <= timestamp_ms
+        ]
+        if not candidates:
+            raise ValueError(
+                f"no txtable commit at {root_path} at or before "
+                f"timestamp_ms={timestamp_ms}"
+            )
+        version = candidates[-1]
+    if version == cur["version"]:
+        return version  # already there: no-op, no empty commit
+    src = _read_manifest(spark, root_path, version)
+    _commit_manifest(
+        spark,
+        root_path,
+        {
+            "version": cur["version"] + 1,
+            "key": src["key"],
+            "num_buckets": src["num_buckets"],
+            "buckets": {b: list(r) for b, r in src["buckets"].items()},
+            "row_counts": dict(src["row_counts"]),
+            "app_txns": dict(
+                (src if reset_app_txns else cur).get("app_txns", {})
+            ),
+            "stats_columns": src.get("stats_columns", []),
+            "bucket_stats": dict(src.get("bucket_stats", {})),
+            "restored_from_version": version,
+            "committed_at_ms": int(time.time() * 1000),
+        },
+    )
+    return cur["version"] + 1
+
+
 def vacuum_txtable(
     spark: SparkSession,
     root_path: str,

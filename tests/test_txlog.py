@@ -862,3 +862,80 @@ def test_zone_map_prune_with_date_bounds(spark, tmp_path):
     # an incomparable bound type raises the documented error
     with pytest.raises(ValueError, match="not comparable"):
         rt(spark, root, prune_between={"d": ((1, 2), None)}).collect()
+
+
+def test_txlog_restore_rolls_back_without_data_io(spark, tmp_path):
+    """RESTORE commits a new manifest referencing the old snapshot's
+    files: content reverts, history (and the bad versions) survive,
+    vacuum keeps the restored files alive because the newest manifest
+    references them."""
+    from data_pipeline_demo_spark.sinks.txlog import restore_txtable, txlog_delete
+
+    root = str(tmp_path / "tx")
+    txlog_upsert(spark, _rows(spark, [(1, "a"), (2, "b")]), root, num_buckets=4)  # v0
+    txlog_upsert(spark, _rows(spark, [(2, "B"), (3, "c")]), root)  # v1
+    txlog_delete(spark, root, where="id = 1")  # v2
+    assert _as_dict(read_txtable(spark, root)) == {2: "B", 3: "c"}
+
+    v = restore_txtable(spark, root, version=0)
+    assert v == 3
+    assert _as_dict(read_txtable(spark, root)) == {1: "a", 2: "b"}
+    # the bad versions stay time-travelable
+    assert _as_dict(read_txtable(spark, root, version=2)) == {2: "B", 3: "c"}
+    assert [h["version"] for h in txtable_history(spark, root)] == [0, 1, 2, 3]
+
+    # restore-to-current is a no-op, not an empty commit
+    assert restore_txtable(spark, root, version=3) == 3
+    assert [h["version"] for h in txtable_history(spark, root)] == [0, 1, 2, 3]
+
+    # vacuum keeps only the newest manifest -> restored files must survive
+    vacuum_txtable(spark, root, keep_last=1)
+    assert _as_dict(read_txtable(spark, root)) == {1: "a", 2: "b"}
+
+
+def test_txlog_restore_timestamp_and_errors(spark, tmp_path):
+    from data_pipeline_demo_spark.sinks.txlog import restore_txtable
+
+    root = str(tmp_path / "tx")
+    txlog_upsert(spark, _rows(spark, [(1, "a")]), root, num_buckets=2)  # v0
+    m0 = json.loads((tmp_path / "tx/_commits" / f"{0:020d}.json").read_text())
+    txlog_upsert(spark, _rows(spark, [(1, "A")]), root)  # v1
+
+    # timestamp at v0's commit resolves to v0
+    v = restore_txtable(spark, root, timestamp_ms=m0["committed_at_ms"])
+    assert v == 2
+    assert _as_dict(read_txtable(spark, root)) == {1: "a"}
+
+    with pytest.raises(ValueError, match="exactly one"):
+        restore_txtable(spark, root)
+    with pytest.raises(ValueError, match="exactly one"):
+        restore_txtable(spark, root, version=0, timestamp_ms=1)
+    with pytest.raises(ValueError, match="before"):
+        restore_txtable(spark, root, timestamp_ms=1)  # 1970: nothing yet
+
+
+def test_txlog_restore_app_txn_watermarks(spark, tmp_path):
+    """Default keeps current idempotency watermarks (Delta parity): a
+    post-restore re-delivery of an already-seen txn version is still
+    suppressed. reset_app_txns=True rolls them back, making the batch
+    eligible again."""
+    from data_pipeline_demo_spark.sinks.txlog import restore_txtable
+
+    root = str(tmp_path / "tx")
+    txlog_upsert(spark, _rows(spark, [(1, "a")]), root, num_buckets=2)  # v0
+    txlog_upsert(
+        spark, _rows(spark, [(2, "bad")]), root, txn_app_id="s", txn_version=7
+    )  # v1
+
+    restore_txtable(spark, root, version=0)  # v2, watermarks kept
+    # same app txn re-sent: suppressed, table unchanged
+    txlog_upsert(
+        spark, _rows(spark, [(2, "fixed")]), root, txn_app_id="s", txn_version=7
+    )
+    assert _as_dict(read_txtable(spark, root)) == {1: "a"}
+
+    restore_txtable(spark, root, version=0, reset_app_txns=True)  # v3
+    txlog_upsert(
+        spark, _rows(spark, [(2, "fixed")]), root, txn_app_id="s", txn_version=7
+    )
+    assert _as_dict(read_txtable(spark, root)) == {1: "a", 2: "fixed"}
