@@ -927,3 +927,196 @@ def cluster_summary(assignments: DataFrame) -> DataFrame:
             (F.col("n_members") / F.col("__n_total")).alias("share"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): the embedding STORAGE scale tier.
+# ---------------------------------------------------------------------------
+#
+# Exact vectors at 100 TB are the cost problem ANN alone doesn't solve: a
+# 1024-dim float32 embedding is 4 KB/row, so a trillion-row corpus carries
+# 4 PB of vectors through every scan. PQ (Jégou et al., "Product
+# Quantization for Nearest Neighbor Search", TPAMI 2011 — public paper)
+# splits each L2-normalized vector into m subvectors, vector-quantizes each
+# against a per-subspace codebook of k centroids, and stores only the m
+# code bytes: 4KB -> 16 bytes at m=16 (256x). Search never reconstructs:
+# ADC (asymmetric distance computation) builds, per probe, an m x k lookup
+# table of probe-subvector . centroid inner products, and scores a stored
+# code as the sum of m table lookups — one numpy gather per subspace per
+# Arrow batch.
+#
+# Spark shape mirrors knn_numpy: training is bounded by a deterministic
+# hash-ordered sample (corpus-size-independent, the FAISS practice),
+# encoding is one map-only mapInPandas scan, search is one scan of the
+# CODES (the 256x-smaller relation) emitting per-batch top-k, global top-k
+# by window — shuffle carries O(batches x probes x k), never the corpus.
+
+
+def pq_train(
+    corpus: DataFrame,
+    m: int = 8,
+    k: int = 256,
+    sample_rows: int = 4096,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iters: int = 15,
+    seed: int = 42,
+) -> dict:
+    """Train per-subspace codebooks on a deterministic hash-ordered
+    sample (``sample_rows`` caps driver/CPU cost regardless of corpus
+    size). Vectors are L2-normalized before splitting, so ADC inner
+    product approximates cosine. Returns a plain-dict model
+    ``{m, k, dim, codebooks}`` (JSON-serializable lists) usable across
+    sessions. Deterministic for a fixed (corpus, params, seed)."""
+    import numpy as np
+
+    sample = (
+        corpus.select(id_col, vec_col)
+        .where(l2_norm_exact(F.col(vec_col)) > 0)
+        .orderBy(F.xxhash64(F.col(id_col)))
+        .limit(int(sample_rows))
+        .select(vec_col)
+        .collect()
+    )
+    X = np.asarray([r[0] for r in sample], dtype=np.float64)
+    if X.ndim != 2 or not len(X):
+        raise ValueError("pq_train: empty or ragged embedding sample")
+    dim = X.shape[1]
+    if dim % m:
+        raise ValueError(f"pq_train: dim {dim} not divisible by m={m}")
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    dsub = dim // m
+    k_eff = min(int(k), len(X))
+    rng = np.random.default_rng(seed)
+    books = []
+    for j in range(m):
+        S = X[:, j * dsub : (j + 1) * dsub]
+        # k-means++ seeding, then Lloyd — plain numpy on the sample
+        cent = S[rng.choice(len(S), 1)]
+        for _ in range(k_eff - 1):
+            d2 = ((S[:, None, :] - cent[None, :, :]) ** 2).sum(-1).min(1)
+            p = d2 / d2.sum() if d2.sum() > 0 else None
+            cent = np.vstack([cent, S[rng.choice(len(S), 1, p=p)]])
+        for _ in range(iters):
+            a = ((S[:, None, :] - cent[None, :, :]) ** 2).sum(-1).argmin(1)
+            for c in range(k_eff):
+                mask = a == c
+                if mask.any():
+                    cent[c] = S[mask].mean(0)
+        books.append(cent.tolist())
+    return {"m": int(m), "k": k_eff, "dim": int(dim), "codebooks": books}
+
+
+def pq_encode(
+    corpus: DataFrame,
+    model: dict,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Map-only encode: each vector L2-normalized, split into m
+    subvectors, each assigned its nearest codebook centroid; the m code
+    bytes land in one BINARY column (the 256x-smaller relation that
+    replaces the vectors in the search scan). Zero-norm vectors are
+    excluded (cosine-undefined, matching every other tier). No shuffle,
+    no driver data."""
+    import numpy as np
+    import pandas as pd
+
+    books = np.asarray(model["codebooks"], dtype=np.float64)  # m,k,dsub
+    m, dim = model["m"], model["dim"]
+    dsub = dim // m
+
+    def encode(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.asarray(list(pdf[vec_col]), dtype=np.float64)
+            ids = pdf[id_col].to_numpy()
+            nrm = np.linalg.norm(X, axis=1)
+            ok = nrm > 0
+            X, ids = X[ok] / nrm[ok, None], ids[ok]
+            if not len(ids):
+                continue
+            codes = np.empty((len(ids), m), dtype=np.uint8)
+            for j in range(m):
+                S = X[:, j * dsub : (j + 1) * dsub]
+                # ||s-c||^2 = ||s||^2 - 2 s.c + ||c||^2; argmin drops ||s||^2
+                d = -2.0 * (S @ books[j].T) + (books[j] ** 2).sum(1)[None, :]
+                codes[:, j] = d.argmin(1)
+            yield pd.DataFrame(
+                {id_col: ids, "pq_code": [c.tobytes() for c in codes]}
+            )
+
+    return corpus.select(id_col, vec_col).mapInPandas(
+        encode, f"{id_col} long, pq_code binary"
+    )
+
+
+def pq_search(
+    codes: DataFrame,
+    probes_pdf,
+    model: dict,
+    k: int = 5,
+    id_col: str = "vec_id",
+    probe_id_col: str = "probe_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ADC top-k over the code relation: per probe an m x k lookup table
+    of probe-subvector . centroid inner products (numpy, driver-built,
+    rides as a plan literal like knn_numpy's probe matrix); scoring a
+    code batch is m uint8 gathers + adds — no reconstruction, no
+    vectors read. Emits k rows per probe per batch; global top-k via
+    window, so the shuffle carries O(batches x probes x k). Scores are
+    approximate cosine (probes exactly, corpus by its nearest-centroid
+    proxy)."""
+    import numpy as np
+    import pandas as pd
+
+    books = np.asarray(model["codebooks"], dtype=np.float64)  # m,k,dsub
+    m, dim = model["m"], model["dim"]
+    dsub = dim // m
+    pmat = np.asarray(list(probes_pdf[vec_col]), dtype=np.float64)
+    pids = np.asarray(list(probes_pdf[probe_id_col]))
+    pnorm = np.linalg.norm(pmat, axis=1)
+    keep = pnorm > 0
+    pmat, pids = pmat[keep] / pnorm[keep, None], pids[keep]
+    # LUT[p, j, c] = probe_p's j-th subvector . centroid c of book j
+    lut = np.einsum("pjd,jcd->pjc", pmat.reshape(len(pmat), m, dsub), books)
+    kk = int(k)
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cids = pdf[id_col].to_numpy()
+            cmat = np.frombuffer(
+                b"".join(pdf["pq_code"]), dtype=np.uint8
+            ).reshape(len(cids), m)
+            sims = np.zeros((len(cids), len(pids)))
+            for j in range(m):
+                sims += lut[:, j, :][:, cmat[:, j]].T  # batch x probes
+            for p in range(len(pids)):
+                col = sims[:, p]
+                mask = cids != pids[p]
+                idx = np.nonzero(mask)[0]
+                if not len(idx):
+                    continue
+                take = min(kk, len(idx))
+                top = idx[np.argpartition(-col[idx], take - 1)[:take]]
+                yield pd.DataFrame(
+                    {
+                        probe_id_col: pids[p].repeat(take),
+                        id_col: cids[top],
+                        "adc_score": col[top],
+                    }
+                )
+
+    partial = codes.select(id_col, "pq_code").mapInPandas(
+        score, f"{probe_id_col} long, {id_col} long, adc_score double"
+    )
+    w = Window.partitionBy(probe_id_col).orderBy(
+        F.col("adc_score").desc(), F.col(id_col)
+    )
+    return partial.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    ).filter(F.col("rank") <= k)

@@ -45,3 +45,4 @@ register("q76_semantic_decontam", oracle=llm_ops._DUCK_SEMANTIC_DECONTAM)(
     llm_ops.q76_semantic_decontam
 )
 register("q77_mixture_sample")(llm_ops.q77_mixture_sample)
+register("q78_pq_ann_topk")(llm_ops.q78_pq_ann_topk)

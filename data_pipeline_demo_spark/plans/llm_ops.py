@@ -588,3 +588,28 @@ def q77_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("n_chars_total"),
     )
+
+
+def q78_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN: train per-subspace codebooks on a
+    deterministic sample, encode the embeddings table to 16-byte codes
+    (16x compression vs 64xfloat32), ADC top-5 for 8 probes — the
+    storage-compressed search tier for corpora whose raw vectors are
+    the dominant scan cost. Registered past the gate cap, rows-only:
+    codebook training (sampled k-means) has no DuckDB equivalent; ADC
+    score parity with centroid reconstruction and recall-vs-exact are
+    unit-tested (tests/test_llm_ops.py)."""
+    from ..operators import similarity
+
+    emb = table(spark, sf_dir, "embeddings")
+    model = similarity.pq_train(emb, m=16, k=64, sample_rows=1024)
+    codes = similarity.pq_encode(emb, model)
+    probes = (
+        emb.orderBy("vec_id")
+        .limit(8)
+        .toPandas()
+        .rename(columns={"vec_id": "probe_id"})
+    )
+    return similarity.pq_search(codes, probes, model, k=5).select(
+        "probe_id", "vec_id", "adc_score", "rank"
+    )

@@ -926,3 +926,82 @@ def test_minhash_tx_index_cdc_refresh_equals_rebuild(spark, tmp_path):
     }
     assert (100, 2) in pairs  # the rewritten doc 2
     assert (100, 5) not in pairs  # deleted doc's bands are gone
+
+
+def test_pq_adc_score_parity_with_reconstruction(spark):
+    """ADC's table-lookup score must equal the numpy dot product of the
+    normalized probe with the code's reconstructed centroids — the
+    definitional identity of asymmetric distance computation."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    X = rng.normal(size=(24, 8)).astype(np.float64)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(24)],
+        "vec_id long, embedding array<double>",
+    )
+    model = similarity.pq_train(df, m=4, k=4, sample_rows=24, iters=10)
+    codes = similarity.pq_encode(df, model)
+    probes = df.limit(2).toPandas().rename(columns={"vec_id": "probe_id"})
+    got = similarity.pq_search(codes, probes, model, k=24).collect()
+    assert got  # sanity
+
+    books = np.asarray(model["codebooks"])
+    dsub = model["dim"] // model["m"]
+    code_map = {r["vec_id"]: np.frombuffer(r["pq_code"], np.uint8)
+                for r in codes.collect()}
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    for r in got:
+        recon = np.concatenate(
+            [books[j, code_map[r["vec_id"]][j]] for j in range(model["m"])]
+        )
+        assert abs(r["adc_score"] - float(Xn[r["probe_id"]] @ recon)) < 1e-9
+
+
+def test_pq_recall_compression_and_determinism(spark, sf_dir):
+    """On the real embeddings table: 16x compression (64 float32 dims ->
+    16 code bytes), top-10 recall far above random, training bit-stable."""
+    import numpy as np
+
+    emb = table(spark, sf_dir, "embeddings")
+    model = similarity.pq_train(emb, m=16, k=64, sample_rows=500)
+    model2 = similarity.pq_train(emb, m=16, k=64, sample_rows=500)
+    assert model == model2  # deterministic for fixed corpus/params/seed
+
+    codes = similarity.pq_encode(emb, model)
+    first = codes.limit(1).collect()[0]
+    assert len(first["pq_code"]) == 16  # m bytes: 16x under 64xfloat32
+
+    pdf = emb.toPandas()
+    X = np.asarray(list(pdf["embedding"]), dtype=np.float64)
+    ids = pdf["vec_id"].to_numpy()
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    probes = pdf.iloc[:10].rename(columns={"vec_id": "probe_id"})
+    got = similarity.pq_search(codes, probes, model, k=10)
+    by_probe = {}
+    for r in got.collect():
+        by_probe.setdefault(r["probe_id"], set()).add(r["vec_id"])
+
+    hits = total = 0
+    for p in range(10):
+        sims = Xn @ Xn[p]
+        order = [ids[i] for i in np.argsort(-sims) if ids[i] != ids[p]][:10]
+        hits += len(by_probe.get(ids[p], set()) & set(order))
+        total += len(order)
+    recall = hits / total
+    # random top-10 of ~500 rows would land ~0.02; PQ must be far above
+    assert recall >= 0.5, recall
+
+
+def test_pq_edge_cases(spark):
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0]), (2, [0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    with _pytest.raises(ValueError, match="divisible"):
+        similarity.pq_train(df, m=2, k=2, sample_rows=10)
+    model = similarity.pq_train(df, m=3, k=2, sample_rows=10)
+    # the zero-norm vector is excluded from the code relation
+    assert [r["vec_id"] for r in similarity.pq_encode(df, model).collect()] == [1]
