@@ -738,5 +738,17 @@ class TxTableDataSource(DataSource):
 
 
 def register_txtable_source(spark) -> None:
-    """Make ``format("txtable")`` resolvable in this session."""
+    """Make ``format("txtable")`` resolvable in this session.
+
+    Also flips ``spark.sql.python.filterPushdown.enabled`` (a runtime
+    SQL conf) on: the snapshot reader implements ``pushFilters`` for
+    zone-map/key-bucket pruning, and Spark 4.1 refuses a
+    pushFilters-bearing reader outright when the conf is off — so a
+    session registered here must never hit that error by default."""
     spark.dataSource.register(TxTableDataSource)
+    try:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    except Exception:
+        # a build where this conf is immutable still works via
+        # .option("pushdown", "false")
+        pass
