@@ -613,3 +613,18 @@ def q78_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.pq_search(codes, probes, model, k=5).select(
         "probe_id", "vec_id", "adc_score", "rank"
     )
+
+
+def q79_bpe_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned-subword token counting: induce 60 BPE merges from the
+    documents corpus (distributed word-count, driver merge loop over
+    the vocabulary-sized table), re-tokenize map-only, top-20 token
+    frequencies. Registered past the gate cap, rows-only: merge
+    induction is not SQL-expressible; the merge sequence itself is
+    hand-verified and character conservation corpus-proven in
+    tests/test_bpe.py."""
+    from ..operators import bpe
+
+    docs = table(spark, sf_dir, "documents")
+    model = bpe.bpe_train(docs, num_merges=60)
+    return bpe.token_frequencies(docs, model, top_k=20)
