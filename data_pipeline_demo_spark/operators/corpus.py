@@ -268,3 +268,165 @@ def decontaminate_semantic(
         .distinct()
     )
     return corpus.join(flagged, id_col, "left_anti")
+
+
+def duplicate_spans(
+    df: DataFrame,
+    w: int = 16,
+    min_dup: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Every w-token sliding window whose exact text occurs >= min_dup
+    times corpus-wide (within- and cross-document occurrences both
+    count) — the detection half of exact substring deduplication (Lee
+    et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better"; C4's boilerplate-span removal is the same shape).
+
+    Columns: id_col, span_start (token offset), span_end (inclusive).
+
+    Scale: spans are grouped on xxhash64 of the span text, so the
+    corpus-wide count shuffles 8-byte longs, never w-token strings
+    (collision odds at 64 bits are negligible against any real corpus;
+    the DuckDB oracle groups the strings themselves and agrees). The
+    per-doc expansion is n_tokens - w + 1 rows — linear, map-side.
+    """
+    toks = df.select(
+        id_col, F.split(F.trim(F.col(text_col)), r"\s+").alias("__t")
+    ).where((F.col(text_col).isNotNull()) & (F.trim(F.col(text_col)) != ""))
+    spans = (
+        toks.where(F.size("__t") >= w)
+        .select(
+            id_col,
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("__t") - w),
+                    lambda i: F.struct(
+                        i.alias("span_start"),
+                        F.xxhash64(
+                            F.array_join(F.slice("__t", i + 1, w), " ")
+                        ).alias("__h"),
+                    ),
+                )
+            ).alias("s"),
+        )
+        .select(id_col, "s.span_start", "s.__h")
+    )
+    dup = (
+        spans.groupBy("__h")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .where(F.col("__n") >= min_dup)
+    )
+    return spans.join(dup, "__h").select(
+        id_col,
+        "span_start",
+        (F.col("span_start") + (w - 1)).alias("span_end"),
+    )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    w: int = 16,
+    min_dup: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact substring deduplication: cut every token covered by a
+    duplicated w-token span (ALL occurrences — boilerplate semantics)
+    and reassemble the survivors in order. Whitespace normalizes to
+    single spaces; documents shorter than w tokens pass through
+    untouched; a fully-boilerplate document survives as an empty
+    string with its removal count (so the caller decides its fate).
+
+    Columns: id_col, cleaned_text, n_tokens_removed.
+
+    Entirely built-in operators — no Python in the data path:
+    1. detection: :func:`duplicate_spans` (hash-grouped counts);
+    2. interval merge: gaps-and-islands with two windows per doc
+       (running max of span_end, island id by cumulative sum);
+    3. cut: posexplode tokens, range-join against the merged islands
+       per doc (bounded by islands-per-doc), keep non-matches;
+    4. reassemble: order-preserving sort_array over (pos, token)
+       structs — associative, no order-dependent aggregation.
+    """
+    from pyspark.sql import Window
+
+    base = df.select(
+        id_col,
+        F.coalesce(
+            F.split(F.trim(F.col(text_col)), r"\s+"), F.array()
+        ).alias("__t"),
+    ).withColumn(
+        "__t", F.filter("__t", lambda t: t != "")
+    )
+    marked = duplicate_spans(df, w, min_dup, text_col, id_col)
+
+    w_prev = (
+        Window.partitionBy(id_col)
+        .orderBy("span_start")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_cum = (
+        Window.partitionBy(id_col)
+        .orderBy("span_start")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    islands = (
+        marked.withColumn("__prev_max", F.max("span_end").over(w_prev))
+        .withColumn(
+            "__new",
+            F.when(
+                F.col("__prev_max").isNull()
+                | (F.col("span_start") > F.col("__prev_max")),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn("__island", F.sum("__new").over(w_cum))
+        .groupBy(id_col, "__island")
+        .agg(
+            F.min("span_start").alias("__lo"),
+            F.max("span_end").alias("__hi"),
+        )
+    )
+
+    tokpos = base.select(
+        id_col, F.posexplode_outer("__t").alias("__pos", "__tok")
+    )
+    cut = (
+        tokpos.alias("tp")
+        .join(
+            islands.alias("iv"),
+            (F.col(f"tp.{id_col}") == F.col(f"iv.{id_col}"))
+            & (F.col("tp.__pos") >= F.col("iv.__lo"))
+            & (F.col("tp.__pos") <= F.col("iv.__hi")),
+            "left",
+        )
+        .select(
+            F.col(f"tp.{id_col}").alias(id_col),
+            "tp.__pos",
+            "tp.__tok",
+            F.col("iv.__lo").isNotNull().alias("__cut"),
+        )
+    )
+    return (
+        cut.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                ~F.col("__cut") & F.col("__tok").isNotNull(),
+                                F.struct("__pos", "__tok"),
+                            )
+                        )
+                    ),
+                    lambda s: s["__tok"],
+                ),
+                " ",
+            ).alias("cleaned_text"),
+            F.sum(
+                F.when(F.col("__cut") & F.col("__tok").isNotNull(), 1).otherwise(0)
+            ).alias("n_tokens_removed"),
+        )
+    )

@@ -47,3 +47,4 @@ register("q76_semantic_decontam", oracle=llm_ops._DUCK_SEMANTIC_DECONTAM)(
 register("q77_mixture_sample")(llm_ops.q77_mixture_sample)
 register("q78_pq_ann_topk")(llm_ops.q78_pq_ann_topk)
 register("q79_bpe_token_freq")(llm_ops.q79_bpe_token_freq)
+register("q80_span_dedup", oracle=llm_ops._DUCK_SPAN_DEDUP)(llm_ops.q80_span_dedup)

@@ -628,3 +628,73 @@ def q79_bpe_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     model = bpe.bpe_train(docs, num_merges=60)
     return bpe.token_frequencies(docs, model, top_k=20)
+
+
+_DUCK_SPAN_DEDUP = """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\\s+'),
+                         x -> x <> '') AS t
+      FROM documents
+    ),
+    idx AS (
+      SELECT doc_id, t, unnest(generate_series(0, len(t) - 8)) AS g
+      FROM toks WHERE len(t) >= 8
+    ),
+    spans AS (
+      SELECT doc_id, g AS s, array_to_string(t[g + 1 : g + 8], ' ') AS span
+      FROM idx
+    ),
+    dup AS (SELECT span FROM spans GROUP BY span HAVING count(*) >= 2),
+    marked AS (
+      SELECT sp.doc_id, sp.s AS lo0, sp.s + 7 AS hi0
+      FROM spans sp JOIN dup USING (span)
+    ),
+    ord AS (
+      SELECT doc_id, lo0, hi0,
+             max(hi0) OVER (PARTITION BY doc_id ORDER BY lo0
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_max
+      FROM marked
+    ),
+    isl AS (
+      SELECT doc_id, lo0, hi0,
+             sum(CASE WHEN prev_max IS NULL OR lo0 > prev_max THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY lo0
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM ord
+    ),
+    merged AS (
+      SELECT doc_id, island, min(lo0) AS lo, max(hi0) AS hi
+      FROM isl GROUP BY doc_id, island
+    ),
+    tokpos AS (
+      SELECT doc_id, unnest(t) AS tok,
+             unnest(generate_series(0, len(t) - 1)) AS pos
+      FROM toks
+    )
+    SELECT tp.doc_id,
+           coalesce(string_agg(CASE WHEN m.lo IS NULL THEN tp.tok END,
+                               ' ' ORDER BY tp.pos), '') AS cleaned_text,
+           CAST(coalesce(sum(CASE WHEN m.lo IS NOT NULL THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS n_tokens_removed
+    FROM tokpos tp
+    LEFT JOIN merged m
+      ON tp.doc_id = m.doc_id AND tp.pos BETWEEN m.lo AND m.hi
+    GROUP BY tp.doc_id
+"""
+
+
+def q80_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring deduplication (Lee et al. 2022 / C4 boilerplate
+    removal): every 8-token span occurring >= 2x corpus-wide is cut
+    from every document, overlapping cuts merged gaps-and-islands
+    style, survivors reassembled in order — all built-in operators, no
+    Python in the data path. Oracle-checked value-for-value against
+    DuckDB (which groups the span STRINGS; Spark groups xxhash64 of
+    them — agreement also certifies the hash grouping collision-free
+    here). Registered past the gate cap."""
+    from ..operators import corpus
+
+    docs = table(spark, sf_dir, "documents")
+    return corpus.remove_duplicate_spans(docs, w=8, min_dup=2)

@@ -201,3 +201,94 @@ def test_decontaminate_semantic_drops_planted_neighbors(spark):
         for r in decontaminate_semantic(corpus, bench, threshold=1.01).collect()
     }
     assert all_kept == {1, 2, 3, 4, 5, 6}
+
+
+def test_duplicate_span_removal_hand_cases(spark):
+    """Hand-traced exact-substring dedup: a cross-document boilerplate
+    span is cut from both docs, a within-document repeat merges its
+    overlapping islands, short docs pass through."""
+    from data_pipeline_demo_spark.operators import corpus
+
+    df = spark.createDataFrame(
+        [
+            (1, "x x x boiler plate spam spam y"),
+            (2, "z boiler plate spam spam q"),
+            (3, "a b c d a b c d"),
+            (4, "tiny doc"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["cleaned_text"], r["n_tokens_removed"])
+        for r in corpus.remove_duplicate_spans(df, w=4).collect()
+    }
+    assert got[1] == ("x x x y", 4)
+    assert got[2] == ("z q", 4)
+    # "a b c d" occurs at 0 and 4; islands [0,3]+[4,7] cover everything
+    assert got[3] == ("", 8)
+    assert got[4] == ("tiny doc", 0)
+
+
+def test_duplicate_spans_detection_counts(spark):
+    from data_pipeline_demo_spark.operators import corpus
+
+    df = spark.createDataFrame(
+        [(1, "p q r s t"), (2, "p q r s u"), (3, "only unique words here")],
+        "doc_id long, text string",
+    )
+    spans = corpus.duplicate_spans(df, w=4).collect()
+    # only "p q r s" repeats (docs 1 and 2, offset 0)
+    assert sorted((r["doc_id"], r["span_start"], r["span_end"]) for r in spans) == [
+        (1, 0, 3),
+        (2, 0, 3),
+    ]
+    # min_dup above the occurrence count: nothing flagged
+    assert corpus.duplicate_spans(df, w=4, min_dup=3).count() == 0
+
+
+def test_remove_duplicate_spans_output_is_clean(spark, sf_dir):
+    """Fixed-point-ish property on the real corpus: after removal, no
+    w-token span may still occur >= min_dup times... except spans newly
+    CREATED by splicing cut edges together — so assert the much
+    stronger corpus-level invariant that every originally-duplicated
+    span instance is gone, plus conservation of uncut tokens."""
+    import pyspark.sql.functions as F
+
+    from data_pipeline_demo_spark.operators import corpus
+    from data_pipeline_demo_spark.sources.tables import table
+
+    docs = table(spark, sf_dir, "documents").limit(200)
+    w = 8
+    cleaned = corpus.remove_duplicate_spans(docs, w=w)
+    # conservation: kept + removed == original token count
+    joined = docs.join(cleaned, "doc_id").select(
+        F.size(F.split(F.trim("text"), r"\s+")).alias("orig"),
+        (
+            F.when(F.col("cleaned_text") == "", 0).otherwise(
+                F.size(F.split("cleaned_text", " "))
+            )
+            + F.col("n_tokens_removed")
+        ).alias("acc"),
+    )
+    assert joined.filter(F.col("orig") != F.col("acc")).count() == 0
+    # every flagged span's tokens were actually removed: re-detect on
+    # the cleaned text against the ORIGINAL duplicated span texts
+    flagged = corpus.duplicate_spans(docs, w=w)
+    n_flagged_docs = flagged.select("doc_id").distinct().count()
+    assert n_flagged_docs > 0  # the synthetic corpus has boilerplate
+    originals = (
+        docs.select("doc_id", F.split(F.trim("text"), r"\s+").alias("t"))
+        .join(flagged, "doc_id")
+        .select(
+            F.array_join(
+                F.slice("t", F.col("span_start") + 1, w), " "
+            ).alias("span_text")
+        )
+        .distinct()
+    )
+    hits = (
+        cleaned.crossJoin(F.broadcast(originals))
+        .filter(F.col("cleaned_text").contains(F.col("span_text")))
+        .count()
+    )
+    assert hits == 0
