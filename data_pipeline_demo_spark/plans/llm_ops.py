@@ -698,3 +698,25 @@ def q80_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents")
     return corpus.remove_duplicate_spans(docs, w=8, min_dup=2)
+
+
+def q81_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-HLL distinct-user rollup: per-day DataSketches HLL
+    sketches unioned to month grain, estimated at read time — the
+    re-aggregatable COUNT(DISTINCT) tier a rollup hierarchy stores
+    instead of raw keys. Registered past the gate cap, rows-only:
+    DataSketches register estimates are implementation-specific (DuckDB
+    approx_count_distinct uses a different sketch); accuracy vs exact
+    and lossless re-aggregation are unit-tested
+    (tests/test_sketches.py)."""
+    from ..operators import sketches
+
+    ev = table(spark, sf_dir, "events").select(
+        F.date_trunc("month", "ts").cast("date").alias("month"),
+        F.to_date("ts").alias("day"),
+        "user_id",
+    )
+    daily = sketches.distinct_sketch(ev, ["month", "day"], "user_id")
+    return sketches.estimate(sketches.sketch_rollup(daily, ["month"])).select(
+        "month", F.col("approx_distinct").alias("approx_users")
+    )
