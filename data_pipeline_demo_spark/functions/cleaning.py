@@ -232,3 +232,48 @@ def qa_aggregates_by(
     the same aggregate list keyed by ``group_col``, so N files cost one
     grouped pass instead of N single-row agg jobs."""
     return df.groupBy(group_col).agg(*_qa_agg_exprs(df, checksum_col, date_col))
+
+
+_CTRL_CLASS = r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]"
+
+
+def nfc_normalize_udf():
+    """Arrow-batched Unicode NFC normalization (stdlib ``unicodedata``)
+    — the canonical-composition step JVM expressions cannot express.
+    Per-batch memoization: word-soup corpora re-normalize each distinct
+    string once per batch, not per row."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _nfc(s: pd.Series) -> pd.Series:
+        import unicodedata
+
+        cache: dict = {}
+
+        def one(x):
+            if x is None:
+                return None
+            got = cache.get(x)
+            if got is None:
+                got = cache[x] = unicodedata.normalize("NFC", x)
+            return got
+
+        return s.map(one)
+
+    return _nfc
+
+
+def normalize_text(c: Column | str) -> Column:
+    """Pretraining-grade text canonicalization: Unicode NFC (so visually
+    identical strings hash/dedup identically — composed é vs e +
+    combining accent), control-character strip (C0 minus \\t \\n \\r,
+    plus DEL), whitespace collapse to single spaces, trim. NFC is the
+    one Python step (Arrow-batched, memoized); everything after runs in
+    whole-stage codegen. DuckDB mirrors it exactly via
+    ``nfc_normalize`` + the same regexes (q82's oracle)."""
+    col = F.col(c) if isinstance(c, str) else c
+    out = nfc_normalize_udf()(col)
+    out = F.regexp_replace(out, _CTRL_CLASS, "")
+    out = F.regexp_replace(out, r"\s+", " ")
+    return F.trim(out)

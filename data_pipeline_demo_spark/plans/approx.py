@@ -49,3 +49,4 @@ register("q78_pq_ann_topk")(llm_ops.q78_pq_ann_topk)
 register("q79_bpe_token_freq")(llm_ops.q79_bpe_token_freq)
 register("q80_span_dedup", oracle=llm_ops._DUCK_SPAN_DEDUP)(llm_ops.q80_span_dedup)
 register("q81_sketch_rollup")(llm_ops.q81_sketch_rollup)
+register("q82_normalize_text", oracle=llm_ops._DUCK_NORMALIZE_TEXT)(llm_ops.q82_normalize_text)

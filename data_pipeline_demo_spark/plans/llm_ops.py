@@ -720,3 +720,34 @@ def q81_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketches.estimate(sketches.sketch_rollup(daily, ["month"])).select(
         "month", F.col("approx_distinct").alias("approx_users")
     )
+
+
+_DUCK_NORMALIZE_TEXT = r"""
+    SELECT doc_id,
+           trim(regexp_replace(
+               regexp_replace(nfc_normalize(text),
+                              '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+               '\s+', ' ', 'g')) AS norm_text,
+           (trim(regexp_replace(
+               regexp_replace(nfc_normalize(text),
+                              '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+               '\s+', ' ', 'g')) <> text) AS changed
+    FROM documents
+"""
+
+
+def q82_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode canonicalization over the documents table (NFC +
+    control strip + whitespace collapse): the step that makes
+    visually-identical strings hash identically before any dedup.
+    Oracle-checked value-for-value against DuckDB's nfc_normalize.
+    Registered past the gate cap."""
+    from ..functions import cleaning
+
+    docs = table(spark, sf_dir, "documents")
+    norm = cleaning.normalize_text("text")
+    return docs.select(
+        "doc_id",
+        norm.alias("norm_text"),
+        (norm != F.col("text")).alias("changed"),
+    )

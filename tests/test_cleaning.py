@@ -99,3 +99,41 @@ def test_clean_is_single_projection(spark):
     )
     plan = clean_transactions(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_normalize_text_unicode_fixtures(spark):
+    """NFC composition, control strip, whitespace collapse — fixtures
+    chosen so the pre-NFC forms are byte-DIFFERENT but canonically
+    equal (the dedup-relevant case)."""
+    import pyspark.sql.functions as F
+
+    from data_pipeline_demo_spark.functions.cleaning import normalize_text
+
+    nfd_cafe = "café"  # e + combining acute: NFD spelling
+    rows = [
+        (1, nfd_cafe),
+        (2, "café"),  # precomposed: NFC spelling of the same word
+        (3, "a\x07b\x00c"),  # BEL and NUL stripped, letters joined
+        (4, "  lots\t\tof   space\n\n"),
+        (5, None),
+        (6, "Å"),  # ANGSTROM SIGN: NFC maps to U+00C5 (Å)
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {
+        r["id"]: r["t"]
+        for r in df.select("id", normalize_text("text").alias("t")).collect()
+    }
+    assert got[1] == got[2] == "café"  # canonical equivalence unified
+    assert got[3] == "abc"
+    assert got[4] == "lots of space"
+    assert got[5] is None
+    assert got[6] == "\u00c5"
+
+    # exact dedup now sees doc 1 and doc 2 as the same content
+    n = (
+        df.filter(F.col("text").isNotNull())
+        .select(normalize_text("text").alias("t"))
+        .distinct()
+        .count()
+    )
+    assert n == 4
