@@ -736,6 +736,23 @@ class TxTableDataSource(DataSource):
             fs, root, self._starting_version(fs, root), self._fs_options()
         )
 
+    def writer(self, schema: StructType, overwrite: bool):
+        """``df.write.format("txtable")`` — blind insert-only append or
+        snapshot overwrite with writer-parity bucketing; MERGE stays the
+        ``sinks.txlog.txlog_upsert`` API (Delta's split between
+        ``df.write`` and ``MERGE INTO``). See ``txtable_writer.py``."""
+        from .txtable_writer import make_batch_writer
+
+        return make_batch_writer(self.options, schema, overwrite)
+
+    def streamWriter(self, schema: StructType, overwrite: bool):
+        """``df.writeStream.format("txtable")`` — append-only streaming
+        sink, exactly-once via the manifest's ``app_txns`` watermark
+        (option ``txnAppId``, default ``txtable-stream-sink``)."""
+        from .txtable_writer import make_stream_writer
+
+        return make_stream_writer(self.options, schema, overwrite)
+
 
 def register_txtable_source(spark) -> None:
     """Make ``format("txtable")`` resolvable in this session.

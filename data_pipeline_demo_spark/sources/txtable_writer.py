@@ -1,0 +1,649 @@
+"""Write path for the ``format("txtable")`` data source:
+``df.write.format("txtable")`` (batch append / overwrite) and
+``df.writeStream.format("txtable")`` (streaming append sink with
+log-enforced exactly-once), completing the read/stream surface in
+``txtable_source.py``.
+
+Semantics (Delta parity — the public behavior of
+``df.write.format("delta")``):
+
+- ``mode("append")`` is a BLIND INSERT-ONLY append: new files join each
+  bucket's live list; no key matching happens. Feeds whose keys are
+  unique by construction (event logs, immutable ingest batches) get the
+  cheapest possible path — no prior-bucket read, no shuffle beyond what
+  the query already did. Upsert semantics stay where Delta keeps them
+  too: the MERGE API (``sinks.txlog.txlog_upsert``). Appending a key
+  that already exists makes reads show both rows until the next MERGE
+  or compaction collapses them.
+- ``mode("overwrite")`` replaces the snapshot: the new manifest's
+  buckets are exactly this write's files. Time travel still sees every
+  prior version (nothing is deleted; vacuum handles retention).
+
+Execution shape (the 100 TB story):
+
+- Executor tasks receive Arrow RecordBatches (``DataSourceArrowWriter``
+  — no row-at-a-time Python) and split each batch by bucket id with a
+  NUMPY-VECTORIZED XXH64 over the key column — bit-for-bit the hash
+  ``sinks.upsert._bucket_of`` computes JVM-side
+  (``pmod(xxhash64(key), num_buckets)``, parity asserted in tests), so
+  a python-written table MERGEs, prunes, and CDC-diffs exactly like a
+  JVM-written one. Each task keeps at most ``num_buckets`` open
+  ParquetWriters and never materializes more than one incoming batch.
+- The driver collects only metadata (file refs + row counts + zone-map
+  min/max per bucket) and commits a manifest version through a
+  python-side content-atomic claim (tmp + ``os.link`` — link fails iff
+  the destination exists, the POSIX no-overwrite primitive; fsspec
+  backends use exclusive-create where supported). A crash before the
+  claim leaves the table at the previous version with the new files
+  invisible (and vacuum-able) — same story as the JVM LogStore path
+  (``sinks/txlog.py:226``).
+- APPEND COMMUTES, so a lost commit race is retried against the
+  winner's manifest instead of failing the job: re-read latest, re-add
+  the same file refs, claim the next version. Overwrite retries the
+  same way (last-writer-wins, Delta's default for path-based writes).
+
+Streaming exactly-once: the stream writer records
+``app_txns[txnAppId] = batchId`` in the manifest (Delta's
+``txnAppId``/``txnVersion`` pattern, same field ``txlog_upsert``
+maintains), so a replayed micro-batch commit is a no-op at the log
+level — repeated delivery after a checkpoint recovery cannot
+double-append.
+
+Reference scope: the reference's only writer is a whole-file pandas
+``to_csv``/REST upsert loop (`/root/reference/data_pipeline.py:352-572`);
+this module is that surface as a transactional, bucketed, Spark-native
+sink.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+from collections.abc import Iterator
+from dataclasses import dataclass, field
+
+from pyspark.sql.datasource import (
+    DataSourceArrowWriter,
+    DataSourceStreamArrowWriter,
+    WriterCommitMessage,
+)
+
+from .txtable_source import (
+    COMMITS_DIR,
+    _fs_root,
+    _latest_version,
+    _LocalFS,
+    _read_manifest,
+)
+
+DATA_DIR = "data"
+BUCKET_DIRNAME = "__bucket"  # sinks.upsert.BUCKET_COL partition-dir name
+_MAX_COMMIT_RETRIES = 20
+
+
+class ConcurrentCommitError(RuntimeError):
+    """Lost every commit-race retry (pathological writer contention)."""
+
+
+# ---------------------------------------------------------------------------
+# Vectorized writer-parity bucket hash.
+#
+# Spark's xxhash64 on an int column hashes the 4-byte (byte/short/int)
+# or 8-byte (long) two's-complement little-endian form with seed 42;
+# XXH64 of a fixed <32-byte input is a short straight-line mix, so both
+# widths vectorize fully in numpy uint64 arithmetic (wrapping mul/shift
+# ≡ mod 2^64). Parity with the scalar spec implementation
+# (sources/pushdown.py:81) and with pyspark's xxhash64 is asserted in
+# tests/test_txtable_writer.py.
+# ---------------------------------------------------------------------------
+
+_P1 = 0x9E3779B185EBCA87
+_P2 = 0xC2B2AE3D27D4EB4F
+_P3 = 0x165667B19E3779F9
+_P4 = 0x85EBCA77C2B2AE63
+_P5 = 0x27D4EB2F165667C5
+_SEED = 42
+
+
+def _np():
+    import numpy as np
+
+    return np
+
+
+def _rotl_v(x, r: int):
+    np = _np()
+    return (x << np.uint64(r)) | (x >> np.uint64(64 - r))
+
+
+def _fmix_v(h):
+    np = _np()
+    h = h ^ (h >> np.uint64(33))
+    h = h * np.uint64(_P2)
+    h = h ^ (h >> np.uint64(29))
+    h = h * np.uint64(_P3)
+    h = h ^ (h >> np.uint64(32))
+    return h
+
+
+def xxh64_fixed8(lanes) -> "object":
+    """Vectorized XXH64(seed=42) of 8-byte LE inputs given as a uint64
+    array (``int64.view(uint64)`` IS the LE two's-complement form)."""
+    np = _np()
+    h = np.uint64((_SEED + _P5 + 8) & ((1 << 64) - 1))
+    k = _rotl_v(lanes * np.uint64(_P2), 31) * np.uint64(_P1)
+    h = h ^ k
+    h = _rotl_v(h, 27) * np.uint64(_P1) + np.uint64(_P4)
+    return _fmix_v(h)
+
+
+def xxh64_fixed4(words) -> "object":
+    """Vectorized XXH64(seed=42) of 4-byte LE inputs given as a uint32
+    array (``int32.view(uint32)``)."""
+    np = _np()
+    h = np.uint64((_SEED + _P5 + 4) & ((1 << 64) - 1))
+    h = h ^ (words.astype(np.uint64) * np.uint64(_P1))
+    h = _rotl_v(h, 23) * np.uint64(_P2) + np.uint64(_P3)
+    return _fmix_v(h)
+
+
+def _key_kind_of_spark_type(dt) -> str:
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.LongType):
+        return "int64"
+    if isinstance(dt, (T.IntegerType, T.ShortType, T.ByteType)):
+        return "int32"
+    if isinstance(dt, T.StringType):
+        return "string"
+    raise NotImplementedError(
+        f"txtable python writer hashes int/long/string keys; key type "
+        f"{dt.simpleString()} needs the JVM path (sinks.txlog.txlog_upsert)"
+    )
+
+
+def bucket_ids_for(col, key_kind: str, num_buckets: int):
+    """Bucket id per row of an Arrow array/chunked-array: signed pmod of
+    the writer hash, nulls → bucket 0 (``sinks.upsert._bucket_of``'s
+    coalesce). Ints vectorize through numpy; strings hash per value via
+    the scalar spec (variable length defeats fixed-lane vectorization)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    np = _np()
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    null_mask = pc.is_null(col).to_numpy(zero_copy_only=False)
+    if key_kind == "string":
+        from .pushdown import xxh64
+
+        h = np.fromiter(
+            (
+                xxh64(v.encode("utf-8"), _SEED) if v is not None else 0
+                for v in col.to_pylist()
+            ),
+            dtype=np.uint64,
+            count=len(col),
+        )
+    else:
+        filled = pc.fill_null(col, 0)
+        if key_kind == "int64":
+            lanes = filled.cast(pa.int64()).to_numpy().view(np.uint64)
+            h = xxh64_fixed8(lanes)
+        else:
+            words = filled.cast(pa.int32()).to_numpy().view(np.uint32)
+            h = xxh64_fixed4(words)
+    signed = h.view(np.int64)
+    buckets = (signed % np.int64(num_buckets)).astype(np.int64)
+    buckets[null_mask] = 0
+    return buckets
+
+
+# ---------------------------------------------------------------------------
+# Python-side content-atomic manifest claim (the driver-side DataSource
+# worker has no SparkSession, so the JVM LogStore is out of reach).
+# ---------------------------------------------------------------------------
+
+
+def put_manifest_if_absent(fs, root: str, version: int, payload: bytes) -> bool:
+    """Publish ``_commits/<version>.json`` iff that version is unclaimed;
+    True = this writer won. Local: tmp + ``os.link`` (atomic claim AND
+    content-atomic — the final name never exists with partial bytes).
+    fsspec: exclusive-create (``mode='xb'``) where the backend supports
+    it, else exists-check-then-write (best effort — raw object stores
+    wanting a hard guarantee use the JVM ConditionalPutLogStore path,
+    ``sinks/txlog.py:251``)."""
+    commits = root.rstrip("/") + "/" + COMMITS_DIR
+    dst = f"{commits}/{version:020d}.json"
+    if isinstance(fs, _LocalFS):
+        os.makedirs(commits, exist_ok=True)
+        tmp = f"{commits}/.tmp-{uuid.uuid4().hex}"
+        with open(tmp, "wb") as f:
+            f.write(payload)
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(tmp, dst)
+            return True
+        except FileExistsError:
+            return False
+        finally:
+            os.unlink(tmp)
+    impl = fs.fs()
+    try:
+        impl.makedirs(commits, exist_ok=True)
+    except Exception:
+        pass
+    try:
+        with impl.open(dst, "xb") as out:
+            out.write(payload)
+        return True
+    except FileExistsError:
+        return False
+    except (ValueError, NotImplementedError, OSError):
+        if impl.exists(dst):
+            return False
+        impl.pipe_file(dst, payload)
+        return True
+
+
+def _stat_value(v):
+    """JSON-safe zone-map stat — MUST mirror ``sinks.txlog._stat_value``
+    so python- and JVM-written stats compare like-for-like in the
+    pruning readers."""
+    if v is None or isinstance(v, (int, float, str, bool)):
+        return v
+    return str(v)
+
+
+def _widen(prev: list | None, new: list | None):
+    """Union of two [lo, hi] stat intervals; ``None`` (no information)
+    poisons the result — absent stats must stay absent so the pruning
+    reader conservatively keeps the bucket."""
+    if prev is None or new is None:
+        return None
+    try:
+        lo = prev[0] if prev[0] <= new[0] else new[0]
+        hi = prev[1] if prev[1] >= new[1] else new[1]
+    except TypeError:
+        return None  # incomparable (schema-evolved type): drop stats
+    return [lo, hi]
+
+
+# ---------------------------------------------------------------------------
+# Executor-side task writer (shared by batch and streaming).
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class _TxFiles(WriterCommitMessage):
+    """One task's written files: (bucket, root-relative path, rows,
+    {stats_col: [lo, hi] | None})."""
+
+    entries: list = field(default_factory=list)
+
+
+class _TaskState:
+    """Per-bucket open ParquetWriter + running count/stats for one task."""
+
+    def __init__(self, fs, root: str, commit_id: str, stats_columns: list[str]):
+        self.fs = fs
+        self.root = root
+        self.commit_id = commit_id
+        self.stats_columns = stats_columns
+        self.writers: dict[int, object] = {}
+        self.rels: dict[int, str] = {}
+        self.rows: dict[int, int] = {}
+        self.stats: dict[int, dict] = {}
+
+    def _open(self, b: int, schema):
+        import pyarrow.parquet as pq
+
+        rel = (
+            f"{DATA_DIR}/{self.commit_id}/{BUCKET_DIRNAME}={b}/"
+            f"part-{uuid.uuid4().hex}.parquet"
+        )
+        path = self.root.rstrip("/") + "/" + rel
+        if isinstance(self.fs, _LocalFS):
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            w = pq.ParquetWriter(path, schema)
+        else:
+            impl = self.fs.fs()
+            try:
+                impl.makedirs(path.rsplit("/", 1)[0], exist_ok=True)
+            except Exception:
+                pass
+            w = pq.ParquetWriter(path, schema, filesystem=impl)
+        self.writers[b] = w
+        self.rels[b] = rel
+        self.rows[b] = 0
+        self.stats[b] = {c: None for c in self.stats_columns}
+        return w
+
+    def _track_stats(self, b: int, tbl):
+        import pyarrow.compute as pc
+
+        st = self.stats[b]
+        for c in self.stats_columns:
+            if c not in tbl.column_names:
+                continue
+            col = tbl.column(c)
+            if col.null_count == len(col):
+                continue
+            mm = pc.min_max(col)
+            lo = _stat_value(mm["min"].as_py())
+            hi = _stat_value(mm["max"].as_py())
+            cur = st.get(c)
+            st[c] = [lo, hi] if cur is None else (_widen(cur, [lo, hi]) or [lo, hi])
+
+    def write_batch(self, batch, key: str, key_kind: str, num_buckets: int):
+        import pyarrow as pa
+
+        np = _np()
+        tbl = pa.Table.from_batches([batch])
+        buckets = bucket_ids_for(tbl.column(key), key_kind, num_buckets)
+        for b in np.unique(buckets):
+            b = int(b)
+            part = tbl.filter(pa.array(buckets == b))
+            w = self.writers.get(b) or self._open(b, tbl.schema)
+            w.write_table(part)
+            self.rows[b] += part.num_rows
+            self._track_stats(b, part)
+
+    def finish(self) -> _TxFiles:
+        for w in self.writers.values():
+            w.close()
+        return _TxFiles(
+            entries=[
+                (
+                    b,
+                    self.rels[b],
+                    self.rows[b],
+                    {c: v for c, v in self.stats[b].items() if v is not None},
+                )
+                for b in sorted(self.writers)
+                if self.rows[b] > 0
+            ]
+        )
+
+
+# ---------------------------------------------------------------------------
+# Driver-side commit (shared): fold task messages into the next manifest
+# version, retrying a lost race against the winner's snapshot.
+# ---------------------------------------------------------------------------
+
+
+def _resolve_table_spec(fs, root: str, options: dict, schema) -> dict:
+    """key / num_buckets / stats_columns for this write: read from the
+    existing manifest (options that CONFLICT raise — same guard as
+    ``txlog_upsert``), or taken from options/defaults for a new table."""
+    try:
+        latest = _latest_version(fs, root)
+        m = _read_manifest(fs, root, latest)
+    except FileNotFoundError:
+        m = None
+    opt_key = options.get("key")
+    opt_nb = options.get("numbuckets")
+    opt_stats = options.get("statscolumns")
+    if m is not None:
+        if opt_key is not None and opt_key != m["key"]:
+            raise ValueError(
+                f"txtable was created with key={m['key']!r}; got {opt_key!r}"
+            )
+        if opt_nb is not None and int(opt_nb) != m["num_buckets"]:
+            raise ValueError(
+                f"txtable was created with num_buckets={m['num_buckets']}; "
+                f"got {opt_nb}"
+            )
+        declared = m.get("stats_columns", [])
+        if opt_stats is not None and [
+            s.strip() for s in opt_stats.split(",") if s.strip()
+        ] != declared:
+            raise ValueError(
+                f"txtable was created with stats_columns={declared}; "
+                f"got {opt_stats!r}"
+            )
+        spec = {
+            "key": m["key"],
+            "num_buckets": m["num_buckets"],
+            "stats_columns": declared,
+        }
+    else:
+        spec = {
+            "key": opt_key or "id",
+            "num_buckets": int(opt_nb) if opt_nb is not None else 32,
+            "stats_columns": [
+                s.strip() for s in (opt_stats or "").split(",") if s.strip()
+            ],
+        }
+    if schema is not None:
+        names = [f.name for f in schema.fields]
+        if spec["key"] not in names:
+            raise ValueError(
+                f"write schema {names} lacks the table key {spec['key']!r}"
+            )
+        dt = schema[spec["key"]].dataType
+        spec["key_kind"] = _key_kind_of_spark_type(dt)
+    return spec
+
+
+def _now_ms() -> int:
+    import time
+
+    return int(time.time() * 1000)
+
+
+def commit_files(
+    fs,
+    root: str,
+    spec: dict,
+    messages,
+    overwrite: bool,
+    txn_app_id: str | None = None,
+    txn_version: int | None = None,
+) -> bool:
+    """Fold task commit messages into the next manifest version. Returns
+    False when a txn watermark marks the batch already-committed (replay
+    → no-op). Raises ConcurrentCommitError only after exhausting
+    retries (every retry re-reads the winner's snapshot and re-applies —
+    append commutes, overwrite is last-writer-wins)."""
+    import json
+
+    entries = [
+        e for msg in messages if msg is not None for e in msg.entries
+    ]
+    for _ in range(_MAX_COMMIT_RETRIES):
+        try:
+            latest = _latest_version(fs, root)
+            prev = _read_manifest(fs, root, latest)
+        except FileNotFoundError:
+            prev = None
+        version = 0 if prev is None else prev["version"] + 1
+        app_txns = dict(prev.get("app_txns", {})) if prev else {}
+        if (
+            txn_app_id is not None
+            and app_txns.get(txn_app_id, -1) >= txn_version
+        ):
+            return False  # replayed micro-batch: the log already has it
+        if txn_app_id is not None:
+            app_txns[txn_app_id] = txn_version
+        if prev is not None and not overwrite:
+            buckets = {b: list(fl) for b, fl in prev["buckets"].items()}
+            row_counts = dict(prev["row_counts"])
+            bucket_stats = {
+                b: dict(st) for b, st in prev.get("bucket_stats", {}).items()
+            }
+        else:
+            buckets, row_counts, bucket_stats = {}, {}, {}
+        for b, rel, rows, stats in entries:
+            bs = str(b)
+            prior_files = buckets.get(bs)
+            buckets.setdefault(bs, []).append(rel)
+            row_counts[bs] = row_counts.get(bs, 0) + rows
+            if spec["stats_columns"]:
+                new_st = {
+                    c: stats.get(c) for c in spec["stats_columns"]
+                }
+                if prior_files:
+                    old_st = bucket_stats.get(bs)
+                    if old_st is None:
+                        # pre-existing files with no recorded stats:
+                        # recording only the new files' range would
+                        # wrongly prune the old rows
+                        merged = None
+                    else:
+                        merged = {}
+                        for c in spec["stats_columns"]:
+                            old_c, new_c = old_st.get(c), new_st.get(c)
+                            # all-null append leaves old bounds EXACT
+                            # (nulls never match a range predicate)
+                            w = old_c if new_c is None else _widen(old_c, new_c)
+                            if w is not None:
+                                merged[c] = w
+                else:
+                    merged = {
+                        c: v for c, v in new_st.items() if v is not None
+                    }
+                if merged:
+                    bucket_stats[bs] = merged
+                else:
+                    bucket_stats.pop(bs, None)
+        manifest = {
+            "version": version,
+            "key": spec["key"],
+            "num_buckets": spec["num_buckets"],
+            "buckets": buckets,
+            "row_counts": row_counts,
+            "app_txns": app_txns,
+            "stats_columns": spec["stats_columns"],
+            "bucket_stats": bucket_stats,
+            "committed_at_ms": _now_ms(),
+        }
+        payload = json.dumps(manifest).encode("utf-8")
+        if put_manifest_if_absent(fs, root, version, payload):
+            return True
+    raise ConcurrentCommitError(
+        f"lost {_MAX_COMMIT_RETRIES} commit races at {root}"
+    )
+
+
+def _abort_files(fs, root: str, messages) -> None:
+    """Best-effort cleanup of an aborted write's staged files — they are
+    invisible either way (no manifest references them); vacuum sweeps
+    anything this misses."""
+    for msg in messages or []:
+        if msg is None:
+            continue
+        for _, rel, _, _ in msg.entries:
+            path = root.rstrip("/") + "/" + rel
+            try:
+                if isinstance(fs, _LocalFS):
+                    os.unlink(path)
+                else:
+                    fs.fs().rm_file(path)
+            except Exception:
+                pass
+
+
+# ---------------------------------------------------------------------------
+# The writer classes the DataSource hands to Spark.
+# ---------------------------------------------------------------------------
+
+
+class TxTableBatchWriter(DataSourceArrowWriter):
+    def __init__(self, fs, root: str, spec: dict, overwrite: bool):
+        self.fs = fs
+        self.root = root
+        self.spec = spec
+        self.overwrite = overwrite
+        self.commit_id = uuid.uuid4().hex
+
+    def write(self, iterator: Iterator) -> WriterCommitMessage:
+        state = _TaskState(
+            self.fs, self.root, self.commit_id, self.spec["stats_columns"]
+        )
+        for batch in iterator:
+            state.write_batch(
+                batch,
+                self.spec["key"],
+                self.spec["key_kind"],
+                self.spec["num_buckets"],
+            )
+        return state.finish()
+
+    def commit(self, messages) -> None:
+        commit_files(self.fs, self.root, self.spec, messages, self.overwrite)
+
+    def abort(self, messages) -> None:
+        _abort_files(self.fs, self.root, messages)
+
+
+class TxTableStreamWriter(DataSourceStreamArrowWriter):
+    """Streaming append sink. Exactly-once: each micro-batch commit
+    records ``app_txns[txnAppId] = batchId``; a post-recovery replay of
+    an already-committed batch is skipped by the log itself (its staged
+    files stay unreferenced and are vacuumed). Distinct queries writing
+    the same table must use distinct ``txnAppId`` options."""
+
+    def __init__(self, fs, root: str, spec: dict, txn_app_id: str):
+        self.fs = fs
+        self.root = root
+        self.spec = spec
+        self.txn_app_id = txn_app_id
+
+    def write(self, iterator: Iterator) -> WriterCommitMessage:
+        state = _TaskState(
+            self.fs, self.root, uuid.uuid4().hex, self.spec["stats_columns"]
+        )
+        for batch in iterator:
+            state.write_batch(
+                batch,
+                self.spec["key"],
+                self.spec["key_kind"],
+                self.spec["num_buckets"],
+            )
+        return state.finish()
+
+    def commit(self, messages, batchId: int) -> None:
+        commit_files(
+            self.fs,
+            self.root,
+            self.spec,
+            messages,
+            overwrite=False,
+            txn_app_id=self.txn_app_id,
+            txn_version=batchId,
+        )
+
+    def abort(self, messages, batchId: int) -> None:
+        _abort_files(self.fs, self.root, messages)
+
+
+def make_batch_writer(options: dict, schema, overwrite: bool) -> TxTableBatchWriter:
+    path = options.get("path")
+    if not path:
+        raise ValueError("txtable write requires a path: save(<table root>)")
+    fs_options = {
+        k[3:]: v for k, v in options.items() if k.startswith("fs.") and len(k) > 3
+    }
+    fs, root = _fs_root(path, fs_options)
+    spec = _resolve_table_spec(fs, root, options, schema)
+    return TxTableBatchWriter(fs, root, spec, overwrite)
+
+
+def make_stream_writer(options: dict, schema, overwrite: bool) -> TxTableStreamWriter:
+    if overwrite:
+        raise ValueError(
+            "streaming txtable sink is append-only (outputMode append)"
+        )
+    path = options.get("path")
+    if not path:
+        raise ValueError("txtable write requires a path option")
+    fs_options = {
+        k[3:]: v for k, v in options.items() if k.startswith("fs.") and len(k) > 3
+    }
+    fs, root = _fs_root(path, fs_options)
+    spec = _resolve_table_spec(fs, root, options, schema)
+    return TxTableStreamWriter(
+        fs, root, spec, options.get("txnappid", "txtable-stream-sink")
+    )

@@ -1,0 +1,431 @@
+"""The ``format("txtable")`` write path (sources/txtable_writer.py):
+vectorized writer-parity bucketing, batch append/overwrite through
+``df.write``, zone-map maintenance, the python-side content-atomic
+manifest claim (including a real two-thread commit race), and the
+streaming sink's log-enforced exactly-once.
+
+The load-bearing property throughout: a python-written table is
+INDISTINGUISHABLE from a JVM-written one — ``txlog_upsert`` MERGEs
+into it (bucket hash parity), ``read_txtable`` prunes it (stat format
+parity), and the change feed diffs it (layout parity).
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import sys
+import threading
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_pipeline_demo_spark.sinks.txlog import (
+    read_txtable,
+    txlog_upsert,
+    txtable_changes,
+)
+from data_pipeline_demo_spark.sources.pushdown import bucket_of_literal
+from data_pipeline_demo_spark.sources.txtable_source import _read_manifest
+from data_pipeline_demo_spark.sources.txtable_writer import (
+    _fs_root,
+    _resolve_table_spec,
+    _TxFiles,
+    bucket_ids_for,
+    commit_files,
+    put_manifest_if_absent,
+)
+
+
+@pytest.fixture(scope="module")
+def registered(spark):
+    from data_pipeline_demo_spark.sources.txtable_source import (
+        register_txtable_source,
+    )
+
+    register_txtable_source(spark)
+    return spark
+
+
+# ---------------------------------------------------------------------------
+# Vectorized hash parity (no Spark needed).
+# ---------------------------------------------------------------------------
+
+
+def test_vectorized_hash_parity_int64():
+    import pyarrow as pa
+
+    vals = [0, 1, -1, 42, -(2**63), 2**63 - 1, 123456789012345, -987654321]
+    got = bucket_ids_for(pa.array(vals, pa.int64()), "int64", 32)
+    want = [bucket_of_literal(v, 32, "int64") for v in vals]
+    assert list(got) == want
+
+
+def test_vectorized_hash_parity_int32():
+    import pyarrow as pa
+
+    vals = [0, 1, -1, 42, -(2**31), 2**31 - 1, 7_654_321]
+    got = bucket_ids_for(pa.array(vals, pa.int32()), "int32", 16)
+    want = [bucket_of_literal(v, 16, "int32") for v in vals]
+    assert list(got) == want
+
+
+def test_string_and_null_keys():
+    import pyarrow as pa
+
+    vals = ["a", None, "payment-123", "", "日本語"]
+    got = list(bucket_ids_for(pa.array(vals, pa.string()), "string", 8))
+    assert got[1] == 0  # null key → bucket 0 (coalesce parity)
+    for v, b in zip(vals, got):
+        if v is not None:
+            assert b == bucket_of_literal(v, 8, "string")
+
+
+def test_spark_xxhash64_parity(spark):
+    """The ground truth: numpy bucketing == pmod(xxhash64(key), nb)
+    computed by Spark itself, across the full int64 range."""
+    import pyarrow as pa
+
+    vals = [0, 1, -1, 7, 10**17, -(10**17), 2**63 - 1, -(2**63)]
+    df = spark.createDataFrame([(v,) for v in vals], "k long")
+    want = [
+        r[0]
+        for r in df.select(
+            F.coalesce(
+                F.pmod(F.xxhash64("k"), F.lit(32)), F.lit(0)
+            ).cast("int")
+        ).collect()
+    ]
+    got = list(bucket_ids_for(pa.array(vals, pa.int64()), "int64", 32))
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Batch write → JVM interop.
+# ---------------------------------------------------------------------------
+
+
+def _base_df(spark, n=400):
+    return spark.range(0, n).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 2).alias("v"),
+        F.date_add(
+            F.lit("2024-01-01").cast("date"), (F.col("id") % 60).cast("int")
+        ).alias("d"),
+    )
+
+
+def test_append_roundtrip_and_merge_parity(registered, tmp_path):
+    spark = registered
+    root = str(tmp_path / "t")
+    (
+        _base_df(spark)
+        .write.format("txtable")
+        .option("key", "k")
+        .option("numBuckets", "8")
+        .option("statsColumns", "d")
+        .mode("append")
+        .save(root)
+    )
+    assert read_txtable(spark, root).count() == 400
+    assert spark.read.format("txtable").load(root).count() == 400
+
+    # point lookup through the pruning reader must still find the row
+    got = (
+        spark.read.format("txtable")
+        .load(root)
+        .filter(F.col("k") == 123)
+        .collect()
+    )
+    assert [(r.k, r.v) for r in got] == [(123, 246)]
+
+    # JVM MERGE recognizes python-written rows as matches — the bucket
+    # parity property: updates, not duplicate inserts
+    upd = _base_df(spark).filter(F.col("k") < 50).withColumn(
+        "v", F.col("v") + 1
+    )
+    assert txlog_upsert(spark, upd, root) == 400
+    changes = txtable_changes(spark, root, 0, 1)
+    by_type = {
+        r["_change_type"]: r["count"]
+        for r in changes.groupBy("_change_type").count().collect()
+    }
+    assert by_type == {"update": 50}
+
+
+def test_string_key_append_and_merge(registered, tmp_path):
+    spark = registered
+    root = str(tmp_path / "s")
+    df = spark.createDataFrame(
+        [(f"doc-{i}", i) for i in range(100)], "doc_id string, score int"
+    )
+    df.write.format("txtable").option("key", "doc_id").option(
+        "numBuckets", "4"
+    ).mode("append").save(root)
+    upd = spark.createDataFrame(
+        [(f"doc-{i}", i + 1000) for i in range(10)], "doc_id string, score int"
+    )
+    assert txlog_upsert(spark, upd, root) == 100  # matched, not appended
+    top = (
+        read_txtable(spark, root)
+        .filter(F.col("score") >= 1000)
+        .count()
+    )
+    assert top == 10
+
+
+def test_overwrite_and_time_travel(registered, tmp_path):
+    spark = registered
+    root = str(tmp_path / "o")
+    _base_df(spark, 200).write.format("txtable").option("key", "k").mode(
+        "append"
+    ).save(root)
+    _base_df(spark, 10).write.format("txtable").mode("overwrite").save(root)
+    assert read_txtable(spark, root).count() == 10
+    v0 = spark.read.format("txtable").option("version", "0").load(root)
+    assert v0.count() == 200
+
+
+def test_second_append_widens_zone_maps(registered, tmp_path):
+    from datetime import date
+
+    spark = registered
+    root = str(tmp_path / "z")
+    jan = spark.createDataFrame(
+        [(i, date(2024, 1, 1 + i % 20)) for i in range(100)],
+        "k long, d date",
+    )
+    jun = spark.createDataFrame(
+        [(1000 + i, date(2024, 6, 1 + i % 20)) for i in range(100)],
+        "k long, d date",
+    )
+    for df in (jan, jun):
+        df.write.format("txtable").option("key", "k").option(
+            "numBuckets", "4"
+        ).option("statsColumns", "d").mode("append").save(root)
+    fs, r = _fs_root(root, {})
+    m = _read_manifest(fs, r, 1)
+    for st in m["bucket_stats"].values():
+        lo, hi = st["d"]
+        assert lo.startswith("2024-01") and hi.startswith("2024-06")
+    # pruned read over only the june window is exact
+    got = read_txtable(
+        spark, root, prune_between={"d": ("2024-06-01", "2024-06-30")}
+    ).filter(F.col("d") >= F.lit("2024-06-01"))
+    assert got.count() == 100
+
+
+def test_conflicting_spec_raises(registered, tmp_path):
+    spark = registered
+    root = str(tmp_path / "c")
+    _base_df(spark, 10).write.format("txtable").option("key", "k").mode(
+        "append"
+    ).save(root)
+    with pytest.raises(Exception, match="created with key"):
+        _base_df(spark, 10).write.format("txtable").option(
+            "key", "v"
+        ).mode("append").save(root)
+
+
+def test_unsupported_key_type_raises(registered, tmp_path):
+    spark = registered
+    df = spark.createDataFrame([(1.5, "x")], "k double, v string")
+    with pytest.raises(Exception, match="txlog_upsert|hashes"):
+        df.write.format("txtable").option("key", "k").mode("append").save(
+            str(tmp_path / "u")
+        )
+
+
+# ---------------------------------------------------------------------------
+# Commit protocol (pure python — no Spark jobs).
+# ---------------------------------------------------------------------------
+
+
+def _spec():
+    return {"key": "k", "num_buckets": 4, "stats_columns": []}
+
+
+def test_commit_claim_is_exclusive(tmp_path):
+    fs, root = _fs_root(str(tmp_path / "t"), {})
+    assert put_manifest_if_absent(fs, root, 0, b"{}") is True
+    assert put_manifest_if_absent(fs, root, 0, b"{}") is False
+
+
+def test_concurrent_appends_both_survive(tmp_path):
+    """Two racing appenders: exactly one claims each version, the loser
+    retries against the winner's manifest — BOTH file sets end up live."""
+    fs, root = _fs_root(str(tmp_path / "t"), {})
+    commit_files(
+        fs, root, _spec(), [_TxFiles(entries=[(0, "data/base/p.parquet", 1, {})])], False
+    )
+    barrier = threading.Barrier(2)
+    errs = []
+
+    def appender(tag):
+        try:
+            barrier.wait()
+            commit_files(
+                fs,
+                root,
+                _spec(),
+                [_TxFiles(entries=[(1, f"data/{tag}/p.parquet", 1, {})])],
+                False,
+            )
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    ts = [threading.Thread(target=appender, args=(t,)) for t in ("a", "b")]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs
+    m = _read_manifest(fs, root, 2)
+    assert sorted(m["buckets"]["1"]) == [
+        "data/a/p.parquet",
+        "data/b/p.parquet",
+    ]
+    assert m["row_counts"]["1"] == 2
+
+
+def test_txn_watermark_skips_replay(tmp_path):
+    fs, root = _fs_root(str(tmp_path / "t"), {})
+    msg = [_TxFiles(entries=[(0, "data/x/p.parquet", 3, {})])]
+    assert commit_files(
+        fs, root, _spec(), msg, False, txn_app_id="app", txn_version=7
+    )
+    # replay of the same batch: skipped, no new version
+    assert not commit_files(
+        fs, root, _spec(), msg, False, txn_app_id="app", txn_version=7
+    )
+    m = _read_manifest(fs, root, 0)
+    assert m["app_txns"] == {"app": 7}
+    with pytest.raises(FileNotFoundError):
+        _read_manifest(fs, root, 1)
+    # a LATER batch commits
+    assert commit_files(
+        fs, root, _spec(), msg, False, txn_app_id="app", txn_version=8
+    )
+    assert _read_manifest(fs, root, 1)["app_txns"] == {"app": 8}
+
+
+class _MemWriteFS:
+    """fsspec-shaped in-memory store exercising the non-local claim path
+    (exclusive-create 'xb')."""
+
+    store: dict[str, bytes] = {}
+
+    def __init__(self, **options):
+        pass
+
+    @staticmethod
+    def _key(path):
+        return path.split("://", 1)[-1].rstrip("/")
+
+    def makedirs(self, path, exist_ok=False):
+        pass
+
+    def exists(self, path):
+        return self._key(path) in self.store
+
+    def open(self, path, mode="rb"):
+        key = self._key(path)
+        if "x" in mode and key in self.store:
+            raise FileExistsError(key)
+        if "w" in mode or "x" in mode:
+            buf = io.BytesIO()
+            close = buf.close
+
+            def _close():
+                self.store[key] = buf.getvalue()
+                close()
+
+            buf.close = _close
+            return buf
+        return io.BytesIO(self.store[key])
+
+    def ls(self, path, detail=False):
+        prefix = self._key(path) + "/"
+        return sorted(
+            {
+                prefix + p[len(prefix):].split("/", 1)[0]
+                for p in self.store
+                if p.startswith(prefix)
+            }
+        )
+
+    def isdir(self, path):
+        prefix = self._key(path) + "/"
+        return any(p.startswith(prefix) for p in self.store)
+
+
+class _FakeFsspec:
+    AbstractFileSystem = object
+
+    @staticmethod
+    def filesystem(scheme, **options):
+        assert scheme == "memw"
+        return _MemWriteFS(**options)
+
+
+def test_fsspec_claim_exclusive(monkeypatch):
+    monkeypatch.setitem(sys.modules, "fsspec", _FakeFsspec)
+    _MemWriteFS.store = {}
+    fs, root = _fs_root("memw://tbl", {})
+    assert put_manifest_if_absent(fs, root, 0, b'{"version": 0}') is True
+    assert put_manifest_if_absent(fs, root, 0, b"{}") is False
+    stored = json.loads(_MemWriteFS.store["tbl/_commits/" + "0" * 20 + ".json"])
+    assert stored == {"version": 0}
+
+
+# ---------------------------------------------------------------------------
+# Streaming sink: deterministic availableNow over a file source.
+# ---------------------------------------------------------------------------
+
+
+def test_stream_sink_exactly_once(registered, tmp_path):
+    spark = registered
+    src = str(tmp_path / "in")
+    root = str(tmp_path / "t")
+    ckpt = str(tmp_path / "ckpt")
+    _base_df(spark, 300).write.parquet(src)
+
+    def run():
+        q = (
+            spark.readStream.schema("k long, v long, d date")
+            .parquet(src)
+            .writeStream.format("txtable")
+            .option("key", "k")
+            .option("numBuckets", "4")
+            .option("txnAppId", "e2e-stream")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start(root)
+        )
+        q.awaitTermination(120)
+        q.stop()
+
+    run()
+    got = read_txtable(spark, root)
+    assert got.count() == 300
+    assert got.select("k").distinct().count() == 300
+    fs, r = _fs_root(root, {})
+    m0 = _read_manifest(fs, r, 0)
+    assert m0["app_txns"] == {"e2e-stream": 0}
+
+    # restart from the same checkpoint with no new data: no-op
+    run()
+    assert read_txtable(spark, root).count() == 300
+
+    # simulate a post-checkpoint-loss replay of batch 0: the LOG skips it
+    spec = _resolve_table_spec(fs, r, {}, None)
+    assert not commit_files(
+        fs,
+        r,
+        spec,
+        [_TxFiles(entries=[(0, "data/replay/p.parquet", 9, {})])],
+        False,
+        txn_app_id="e2e-stream",
+        txn_version=0,
+    )
+    assert read_txtable(spark, root).count() == 300
