@@ -50,3 +50,4 @@ register("q79_bpe_token_freq")(llm_ops.q79_bpe_token_freq)
 register("q80_span_dedup", oracle=llm_ops._DUCK_SPAN_DEDUP)(llm_ops.q80_span_dedup)
 register("q81_sketch_rollup")(llm_ops.q81_sketch_rollup)
 register("q82_normalize_text", oracle=llm_ops._DUCK_NORMALIZE_TEXT)(llm_ops.q82_normalize_text)
+register("q83_pca_project")(llm_ops.q83_pca_project)

@@ -751,3 +751,29 @@ def q82_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         norm.alias("norm_text"),
         (norm != F.col("text")).alias("changed"),
     )
+
+
+def q83_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA dimensionality reduction of the embedding corpus
+    (operators/pca.py): one-scan treeAggregate covariance fit (d + d²
+    partials per partition, never the corpus), driver-side eigh, then a
+    map-only projection to 8 axes joined with each component's
+    explained-variance share. Rows-only by construction: eigensolver
+    float paths have no DuckDB equivalent; numpy-parity, sign
+    determinism, partition invariance, and whitening variance are
+    unit-tested (tests/test_pca.py)."""
+    from ..operators import pca
+
+    emb = table(spark, sf_dir, "embeddings")
+    model = pca.pca_fit(emb, k=8)
+    projected = pca.pca_transform(emb, model, out_col="pca")
+    cum2 = float(
+        sum(model["explained_variance_ratio"][:2])
+    )  # leading-2-axis variance share, constant column for QA
+    return projected.select(
+        "vec_id",
+        "label",
+        F.round(F.element_at("pca", 1), 4).alias("pc1"),
+        F.round(F.element_at("pca", 2), 4).alias("pc2"),
+        F.lit(round(cum2, 4)).alias("var2_share"),
+    )
