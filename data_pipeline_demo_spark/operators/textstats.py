@@ -339,3 +339,85 @@ def perplexity_score(
             ).alias("bits_per_char"),
         )
     )
+
+
+# --- word n-gram counting / n-gram language model -------------------------
+#
+# The corpus-statistics primitive under contamination checks, Kneser-Ney
+# style LM estimation, and repeated-phrase quality filters: count word
+# n-grams corpus-wide, then condition the final word on its (n-1)-word
+# prefix. Plan shape: one map-only gram explode (higher-order transform
+# over the token array — no UDF, no per-row Python), one grouped count
+# (map-side combinable), one window sum for the prefix mass. At 100 TB
+# the only shuffle is the (prefix, word) aggregation; min_count
+# filtering happens post-aggregate so partial aggregation stays
+# algebraic.
+
+
+def _word_grams(
+    df: DataFrame, n: int, text_col: str, *keep: str
+) -> DataFrame:
+    """Explode each doc into its word n-grams as (prefix, word): prefix
+    = the first n-1 tokens space-joined, word = the n-th. Docs shorter
+    than n tokens contribute nothing. Tokenization is the engine
+    convention: split on single spaces (documents are pre-normalized;
+    see normalize_text)."""
+    toks = F.split(F.col(text_col), " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.struct(
+            F.concat_ws(
+                " ", F.slice(toks, i + 1, n - 1)
+            ).alias("prefix"),
+            F.element_at(toks, (i + n).cast("int")).alias("word"),
+        ),
+    )
+    return (
+        df.filter(F.size(toks) >= n)
+        .select(*keep, F.explode(grams).alias("g"))
+        .select(*keep, "g.prefix", "g.word")
+    )
+
+
+def ngram_counts(
+    df: DataFrame, n: int = 2, text_col: str = "text", min_count: int = 1
+) -> DataFrame:
+    """Corpus-wide n-gram frequencies: ``(ngram, c)``, pruned to
+    ``c >= min_count`` AFTER aggregation (the standard count-threshold
+    vocabulary cut)."""
+    grams = _word_grams(df, n, text_col)
+    ng = F.when(F.col("prefix") == "", F.col("word")).otherwise(
+        F.concat_ws(" ", "prefix", "word")
+    )
+    return (
+        grams.select(ng.alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= min_count)
+    )
+
+
+def ngram_lm(
+    df: DataFrame, n: int = 2, text_col: str = "text", min_count: int = 1
+) -> DataFrame:
+    """Maximum-likelihood conditional n-gram model:
+    ``(prefix, word, c, c_prefix, p)`` with ``p = c / c_prefix`` where
+    ``c_prefix`` is the prefix's total continuation mass — so ``p``
+    sums to exactly 1.0 over each prefix (a proper conditional
+    distribution, unlike normalizing by the raw (n-1)-gram count,
+    which over-counts prefixes ending a document). ``min_count``
+    prunes rare continuations AFTER normalization, keeping ``p``
+    estimates unbiased by the cut."""
+    from pyspark.sql import Window
+
+    counts = (
+        _word_grams(df, n, text_col)
+        .groupBy("prefix", "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.partitionBy("prefix")
+    return (
+        counts.withColumn("c_prefix", F.sum("c").over(w))
+        .withColumn("p", F.col("c") / F.col("c_prefix"))
+        .filter(F.col("c") >= min_count)
+    )

@@ -51,3 +51,4 @@ register("q80_span_dedup", oracle=llm_ops._DUCK_SPAN_DEDUP)(llm_ops.q80_span_ded
 register("q81_sketch_rollup")(llm_ops.q81_sketch_rollup)
 register("q82_normalize_text", oracle=llm_ops._DUCK_NORMALIZE_TEXT)(llm_ops.q82_normalize_text)
 register("q83_pca_project")(llm_ops.q83_pca_project)
+register("q84_bigram_lm", oracle=llm_ops._DUCK_BIGRAM_LM)(llm_ops.q84_bigram_lm)

@@ -777,3 +777,34 @@ def q83_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.element_at("pca", 2), 4).alias("pc2"),
         F.lit(round(cum2, 4)).alias("var2_share"),
     )
+
+
+_DUCK_BIGRAM_LM = """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), pairs AS (
+      SELECT t[i] AS prefix, t[i + 1] AS word
+      FROM toks, UNNEST(range(1, len(t))) AS u(i)
+      WHERE len(t) >= 2
+    ), counts AS (
+      SELECT prefix, word, COUNT(*) AS c FROM pairs GROUP BY prefix, word
+    )
+    SELECT prefix, word, c,
+           CAST(SUM(c) OVER (PARTITION BY prefix) AS BIGINT) AS c_prefix,
+           c::DOUBLE / CAST(SUM(c) OVER (PARTITION BY prefix) AS BIGINT)::DOUBLE AS p
+    FROM counts
+    QUALIFY c >= 5
+"""
+
+
+def q84_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram language model (operators/textstats.py:ngram_lm):
+    map-only gram explode (array transform, no UDF), one combinable
+    (prefix, word) count, window sum for the prefix's continuation
+    mass, ML conditional probability. Oracle-checked value-for-value —
+    the division is one correctly-rounded IEEE op on both engines."""
+    from ..operators import textstats
+
+    return textstats.ngram_lm(
+        table(spark, sf_dir, "documents"), n=2, min_count=5
+    )

@@ -1,0 +1,86 @@
+"""Word n-gram counting and conditional LM (operators/textstats.py:
+ngram_counts / ngram_lm): hand-computed parity on a tiny corpus,
+distribution properties, and the short-doc guard."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_pipeline_demo_spark.operators import textstats
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [
+            (0, "the cat sat on the mat"),
+            (1, "the cat ran"),
+            (2, "a dog sat"),
+            (3, "single"),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_bigram_counts_by_hand(docs):
+    got = {
+        r["ngram"]: r["c"]
+        for r in textstats.ngram_counts(docs, n=2).collect()
+    }
+    assert got == {
+        "the cat": 2,
+        "cat sat": 1,
+        "sat on": 1,
+        "on the": 1,
+        "the mat": 1,
+        "cat ran": 1,
+        "a dog": 1,
+        "dog sat": 1,
+    }
+
+
+def test_unigram_counts_include_short_docs(docs):
+    got = {
+        r["ngram"]: r["c"]
+        for r in textstats.ngram_counts(docs, n=1).collect()
+    }
+    assert got["the"] == 3 and got["single"] == 1
+    # the empty doc tokenizes to [""] — one empty token, counted as-is
+    assert got.get("", 0) == 1
+
+
+def test_trigram_counts(docs):
+    got = {
+        r["ngram"]: r["c"]
+        for r in textstats.ngram_counts(docs, n=3).collect()
+    }
+    assert got["the cat sat"] == 1 and got["cat sat on"] == 1
+    assert "the cat ran" in got and "a dog sat" in got
+    assert len(got) == 6  # docs 3/4 too short to contribute
+
+
+def test_lm_is_proper_distribution(docs):
+    lm = textstats.ngram_lm(docs, n=2).collect()
+    by_prefix: dict = {}
+    for r in lm:
+        by_prefix.setdefault(r["prefix"], []).append(r)
+    # "the" continues with cat(2) and mat(1): p = 2/3, 1/3
+    the = {r["word"]: r["p"] for r in by_prefix["the"]}
+    assert the == {"cat": pytest.approx(2 / 3), "mat": pytest.approx(1 / 3)}
+    for rows in by_prefix.values():
+        assert sum(r["p"] for r in rows) == pytest.approx(1.0)
+        assert all(r["c_prefix"] == sum(x["c"] for x in rows) for r in rows)
+
+
+def test_min_count_prunes_after_normalization(docs):
+    lm = textstats.ngram_lm(docs, n=2, min_count=2).collect()
+    assert [(r["prefix"], r["word"], r["c"], r["p"]) for r in lm] == [
+        ("the", "cat", 2, pytest.approx(2 / 3))
+    ]  # p keeps the pre-cut denominator
+
+
+def test_plan_is_udf_free(docs):
+    plan = textstats.ngram_lm(docs, n=2)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
