@@ -52,3 +52,4 @@ register("q81_sketch_rollup")(llm_ops.q81_sketch_rollup)
 register("q82_normalize_text", oracle=llm_ops._DUCK_NORMALIZE_TEXT)(llm_ops.q82_normalize_text)
 register("q83_pca_project")(llm_ops.q83_pca_project)
 register("q84_bigram_lm", oracle=llm_ops._DUCK_BIGRAM_LM)(llm_ops.q84_bigram_lm)
+register("q85_trained_quality")(llm_ops.q85_trained_quality)

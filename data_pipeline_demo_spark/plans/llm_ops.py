@@ -808,3 +808,20 @@ def q84_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.ngram_lm(
         table(spark, sf_dir, "documents"), n=2, min_count=5
     )
+
+
+def q85_trained_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-distilled quality classifier over documents
+    (operators/classifier.py): weak labels from the heuristic's
+    confident quartiles, hashed-bag-of-words logistic regression
+    trained by full-batch GD — every iteration is two shuffles of
+    built-in ops with broadcast dim-sized weights; scoring is one
+    featurize + grouped sum, no UDF. Rows-only by construction
+    (xxhash64 features + sigmoid floats have no DuckDB twin);
+    numpy-GD parity, accuracy, and partition invariance are
+    unit-tested (tests/test_classifier.py)."""
+    from ..operators import classifier
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    kept = classifier.quality_filter_trained(d, dim=256, iters=12)
+    return kept.select("doc_id", F.round("prob", 6).alias("prob"))
