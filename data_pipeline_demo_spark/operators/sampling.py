@@ -216,3 +216,27 @@ def mixture_sample(
     return stratified_sample(
         df, plan, domain_col, key_col=key_col, salt=salt, default_fraction=0.0
     )
+
+
+def stratified_sample_exact_k(
+    df: DataFrame,
+    k: int,
+    stratum_col: str,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Exactly-k-per-stratum sample (vs the fraction-based
+    :func:`stratified_sample`): rows ranked inside each stratum by the
+    md5 of their key — a deterministic, engine-portable shuffle order —
+    and the first k kept, with ``sample_rank`` exposed so downstream
+    stages can take nested prefixes (rank ≤ j for any j ≤ k is itself a
+    valid smaller sample). One hash-partition window per stratum; the
+    shuffle carries the corpus once, skew-bounded by the largest
+    stratum (salt the stratum key first if one stratum dominates)."""
+    from pyspark.sql import Window
+
+    order = F.md5(F.encode(F.col(key_col).cast("string"), "utf-8"))
+    w = Window.partitionBy(stratum_col).orderBy(order, key_col)
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("sample_rank") <= k)
+    )

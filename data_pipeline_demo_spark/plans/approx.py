@@ -53,3 +53,9 @@ register("q82_normalize_text", oracle=llm_ops._DUCK_NORMALIZE_TEXT)(llm_ops.q82_
 register("q83_pca_project")(llm_ops.q83_pca_project)
 register("q84_bigram_lm", oracle=llm_ops._DUCK_BIGRAM_LM)(llm_ops.q84_bigram_lm)
 register("q85_trained_quality")(llm_ops.q85_trained_quality)
+register("q86_correlated_subquery", oracle=relational._CORRELATED_SQL)(
+    relational.q86_correlated_subquery
+)
+register("q87_stratified_sample", oracle=llm_ops._DUCK_STRATIFIED)(
+    llm_ops.q87_stratified_sample
+)

@@ -825,3 +825,28 @@ def q85_trained_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents").select("doc_id", "text")
     kept = classifier.quality_filter_trained(d, dim=256, iters=12)
     return kept.select("doc_id", F.round("prob", 6).alias("prob"))
+
+
+_DUCK_STRATIFIED = """
+    SELECT lang, doc_id, sample_rank FROM (
+      SELECT lang, doc_id,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5(doc_id::VARCHAR), doc_id) AS sample_rank
+      FROM documents
+    ) WHERE sample_rank <= 20
+"""
+
+
+def q87_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-20-per-language sample (operators/sampling.py:
+    stratified_sample_exact_k): md5-of-key ranking gives a
+    deterministic, engine-portable shuffle order, so the sample — and
+    every nested prefix of it — hash-matches DuckDB exactly. One
+    window shuffle partitioned by stratum."""
+    from ..operators import sampling
+
+    d = table(spark, sf_dir, "documents")
+    return sampling.stratified_sample_exact_k(
+        d, 20, "lang"
+    ).select("lang", "doc_id", "sample_rank")

@@ -755,3 +755,32 @@ def q68_local_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
+
+
+_CORRELATED_SQL = """
+    SELECT o.o_custkey, o.o_orderkey, o.o_totalprice,
+           o.o_totalprice - (SELECT MAX(o2.o_totalprice)
+                             FROM orders o2
+                             WHERE o2.o_custkey = o.o_custkey) AS gap_to_best
+    FROM orders o
+    WHERE o.o_totalprice >= 0.95 * (SELECT MAX(o2.o_totalprice)
+                                    FROM orders o2
+                                    WHERE o2.o_custkey = o.o_custkey)
+      AND EXISTS (SELECT 1 FROM customer c
+                  WHERE c.c_custkey = o.o_custkey AND c.c_acctbal > 0)
+"""
+
+
+def q86_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subqueries (in SELECT and WHERE) plus a
+    correlated EXISTS, submitted as literal SQL so Catalyst's
+    decorrelation does the planning: both scalar subqueries rewrite to
+    ONE per-customer max aggregate joined back on o_custkey, EXISTS to
+    a left-semi join — no per-row re-execution anywhere (the subquery-
+    per-row shape a naive engine runs is the scale-killer this query
+    guards against). MAX is order-independent-exact, the 0.95 multiply
+    and the gap subtraction are single IEEE ops, so values hash-match
+    DuckDB bit-for-bit."""
+    for name in ("orders", "customer"):
+        table(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(_CORRELATED_SQL)

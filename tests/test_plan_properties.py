@@ -100,3 +100,48 @@ def test_weighted_sample_plans_take_ordered(spark):
     )
     assert "TakeOrderedAndProject" in plan
     assert "Exchange rangepartitioning" not in plan
+
+
+def test_correlated_subquery_decorrelates(spark, sf_dir):
+    """q86's two correlated scalar subqueries + EXISTS must rewrite to
+    aggregate-joins (one per-customer MAX, one semi join) — never a
+    per-row subquery re-execution (no nested-loop join against the
+    orders table, no InSubquery left in the physical plan)."""
+    plan = _plan(spark, sf_dir, "q86_correlated_subquery")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "LeftSemi" in plan  # EXISTS became a semi join
+    assert "max(o_totalprice" in plan  # scalar subqueries → one aggregate
+
+
+def test_stratified_exact_k_single_window(spark, sf_dir):
+    """q87: one window shuffle partitioned by the stratum, no global
+    sort or single-partition exchange — and the rank filter pushes into
+    a PARTIAL WindowGroupLimit below the exchange, so each map task
+    ships at most k rows per stratum instead of its whole partition."""
+    plan = _plan(spark, sf_dir, "q87_stratified_sample")
+    assert "Exchange SinglePartition" not in plan
+    assert plan.count("+- Window ") == 1
+    before_exchange = plan.split("Exchange hashpartitioning", 1)[1]
+    assert "WindowGroupLimit" in before_exchange  # map-side top-k prune
+
+
+def test_stratified_exact_k_nested_prefix(spark):
+    """rank ≤ j of a k-sample equals the j-sample — the property that
+    makes the sample reusable at several sizes without resampling."""
+    from data_pipeline_demo_spark.operators.sampling import (
+        stratified_sample_exact_k,
+    )
+
+    df = spark.createDataFrame(
+        [(i, ["en", "de", "fr"][i % 3]) for i in range(300)],
+        "doc_id long, lang string",
+    )
+    k10 = stratified_sample_exact_k(df, 10, "lang", "doc_id")
+    k4 = stratified_sample_exact_k(df, 4, "lang", "doc_id")
+    prefix = {
+        (r["lang"], r["doc_id"])
+        for r in k10.filter("sample_rank <= 4").collect()
+    }
+    direct = {(r["lang"], r["doc_id"]) for r in k4.collect()}
+    assert prefix == direct and len(direct) == 12
