@@ -81,3 +81,160 @@ def estimate(
     return sketches.withColumn(
         out_col, F.hll_sketch_estimate(sketch_col)
     ).drop(sketch_col)
+
+
+# --- mergeable heavy-hitters (Misra-Gries) sketches -----------------------
+#
+# The frequency analog of the HLL tier above: "top items + counts" does
+# not re-aggregate either (a month's top URLs are not the union of 30
+# daily top-10 lists — an item just under every daily cutoff can lead
+# the month). Misra-Gries summaries ARE mergeable with a preserved
+# error bound (Agarwal et al., "Mergeable Summaries", PODS 2012 —
+# public result): keep at most k counters; when a compress drops mass,
+# add the subtracted amount to the sketch's error bound `err`. The
+# invariant carried everywhere:
+#
+#     stored_count <= true_count <= stored_count + err
+#
+# and any item with true_count > err is guaranteed PRESENT. Merging
+# sums counters and error bounds, then re-compresses; the bound stays
+# O(n/k) for the merged stream, so day sketches roll up to months and
+# months to years without ever touching raw history.
+#
+# Distributed shape: per-partition partials via mapInPandas (exact
+# batch value_counts folded into one MG state per group — the shuffle
+# carries <= k items per (partition, group), never rows), then a
+# grouped merge. Items are stringified for identity (document the cast
+# at call sites); state is a JSON map column, portable to any store.
+
+
+def _mg_compress(counts: dict, k: int) -> tuple[dict, int]:
+    """Reduce to <= k counters; returns (counters, mass subtracted)."""
+    if len(counts) <= k:
+        return counts, 0
+    cut = sorted(counts.values(), reverse=True)[k]
+    out = {v: c - cut for v, c in counts.items() if c > cut}
+    return out, cut
+
+
+_HH_SCHEMA_SUFFIX = "items string, n bigint, err bigint"
+
+
+def heavy_hitters_sketch(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """One MG sketch per group: ``(group_cols..., items, n, err)`` with
+    ``items`` a JSON ``{item: stored_count}`` map of at most k entries,
+    ``n`` the group's row count, ``err`` the max undercount. With fewer
+    than k distinct values per group the sketch is EXACT (err = 0)."""
+    import json as _json
+
+    import pandas as pd
+
+    gc = list(group_cols)
+    src = df.select(
+        *gc, F.col(value_col).cast("string").alias("__v")
+    )
+    out_schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}"
+        for f in src.schema.fields
+        if f.name != "__v"
+    )
+    schema = f"{out_schema}, {_HH_SCHEMA_SUFFIX}"
+
+    def partials(batches):
+        state: dict = {}  # group key -> [counts dict, n, err]
+        for pdf in batches:
+            for key, grp in pdf.groupby(gc, dropna=False, sort=False):
+                kt = key if isinstance(key, tuple) else (key,)
+                st = state.setdefault(kt, [{}, 0, 0])
+                vc = grp["__v"].value_counts(dropna=False)
+                st[1] += int(vc.sum())
+                for v, c in vc.items():
+                    sv = "\x00null" if pd.isna(v) else str(v)
+                    st[0][sv] = st[0].get(sv, 0) + int(c)
+                st[0], cut = _mg_compress(st[0], k)
+                st[2] += cut
+        rows = [
+            (*kt, _json.dumps(st[0], sort_keys=True), st[1], st[2])
+            for kt, st in state.items()
+        ]
+        if rows:
+            yield pd.DataFrame(rows, columns=gc + ["items", "n", "err"])
+
+    partial = src.mapInPandas(partials, schema)
+    return _hh_grouped_merge(partial, gc, k)
+
+
+def _hh_grouped_merge(sketches: DataFrame, to_cols: list[str], k: int) -> DataFrame:
+    import json as _json
+
+    import pandas as pd
+
+    gc = list(to_cols)
+    out_schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}"
+        for f in sketches.schema.fields
+        if f.name in gc
+    )
+    schema = f"{out_schema}, {_HH_SCHEMA_SUFFIX}"
+
+    def merge(key, pdf):
+        counts: dict = {}
+        n = 0
+        err = 0
+        for _, row in pdf.iterrows():
+            for v, c in _json.loads(row["items"]).items():
+                counts[v] = counts.get(v, 0) + int(c)
+            n += int(row["n"])
+            err += int(row["err"])
+        counts, cut = _mg_compress(counts, k)
+        err += cut
+        return pd.DataFrame(
+            [(*key, _json.dumps(counts, sort_keys=True), n, err)],
+            columns=gc + ["items", "n", "err"],
+        )
+
+    return sketches.groupBy(*gc).applyInPandas(merge, schema)
+
+
+def heavy_hitters_rollup(
+    sketches: DataFrame, to_cols: list[str], k: int = 64
+) -> DataFrame:
+    """Re-aggregate stored sketches to a coarser grain — counter-map sum
+    + error-bound sum + re-compress. The merged bound stays valid for
+    the union stream (mergeable-summaries result); raw history is never
+    re-read."""
+    return _hh_grouped_merge(sketches, to_cols, k)
+
+
+def heavy_hitters_estimate(
+    sketches: DataFrame,
+    min_share: float = 0.0,
+) -> DataFrame:
+    """Explode sketches to ``(group..., item, count_lo, count_hi,
+    share_hi)`` rows — ``count_lo <= true <= count_hi`` — keeping items
+    whose UPPER-bound share clears ``min_share`` (conservative: a true
+    heavy hitter is never dropped)."""
+    gc = [
+        f.name
+        for f in sketches.schema.fields
+        if f.name not in ("items", "n", "err")
+    ]
+    kv = F.explode(
+        F.from_json("items", "map<string,bigint>")
+    ).alias("item", "count_lo")
+    out = sketches.select(*gc, "n", "err", kv)
+    return (
+        out.select(
+            *gc,
+            "item",
+            "count_lo",
+            (F.col("count_lo") + F.col("err")).alias("count_hi"),
+            ((F.col("count_lo") + F.col("err")) / F.col("n")).alias("share_hi"),
+        )
+        .filter(F.col("share_hi") >= min_share)
+    )

@@ -59,3 +59,6 @@ register("q86_correlated_subquery", oracle=relational._CORRELATED_SQL)(
 register("q87_stratified_sample", oracle=llm_ops._DUCK_STRATIFIED)(
     llm_ops.q87_stratified_sample
 )
+register("q88_heavy_hitters", oracle=llm_ops._DUCK_HEAVY_HITTERS)(
+    llm_ops.q88_heavy_hitters
+)

@@ -850,3 +850,38 @@ def q87_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.stratified_sample_exact_k(
         d, 20, "lang"
     ).select("lang", "doc_id", "sample_rank")
+
+
+_DUCK_HEAVY_HITTERS = """
+    WITH ev AS (
+      SELECT date_trunc('month', ts)::DATE AS month, event_type FROM events
+    ), c AS (
+      SELECT month, event_type AS item, COUNT(*) AS cnt
+      FROM ev GROUP BY month, event_type
+    ), tot AS (
+      SELECT month, COUNT(*) AS n FROM ev GROUP BY month
+    )
+    SELECT c.month, c.item, c.cnt AS count_lo, c.cnt AS count_hi,
+           c.cnt::DOUBLE / tot.n::DOUBLE AS share_hi
+    FROM c JOIN tot USING (month)
+"""
+
+
+def q88_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable Misra-Gries heavy-hitters sketch (operators/
+    sketches.py): per-month top event types through the full sketch
+    pipeline — per-partition partials (≤k counters per group cross the
+    shuffle, never rows), grouped merge, explode-estimate. Run in the
+    EXACT regime (k=64 > 5 distinct types ⇒ err = 0, count_lo =
+    count_hi = true count), so the oracle certifies the whole pipeline
+    value-for-value; the compressed regime's stored ≤ true ≤
+    stored+err bounds and rollup mergeability are pytest-proven
+    (tests/test_heavy_hitters.py)."""
+    from ..operators import sketches
+
+    ev = table(spark, sf_dir, "events").select(
+        F.date_trunc("month", "ts").cast("date").alias("month"),
+        "event_type",
+    )
+    sk = sketches.heavy_hitters_sketch(ev, ["month"], "event_type", k=64)
+    return sketches.heavy_hitters_estimate(sk)
