@@ -354,3 +354,90 @@ def test_interval_join_rejects_unknown_type(spark, event_stream_source):
     ev = spark.read.schema(schema).parquet(path)
     with pytest.raises(ValueError, match="interval-join"):
         jobs.interval_join(ev, ev, how="rightOuter")
+
+
+# --- transformWithState activity monitor ----------------------------------
+
+
+class _FakeValueState:
+    def __init__(self):
+        self._v = None
+
+    def exists(self):
+        return self._v is not None
+
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = tuple(v)
+
+    def clear(self):
+        self._v = None
+
+
+class _FakeHandle:
+    def __init__(self):
+        self.states = {}
+        self.timers = []
+
+    def getValueState(self, name, schema, ttlDurationMs=None):
+        return self.states.setdefault(name, _FakeValueState())
+
+    def listTimers(self):
+        return list(self.timers)
+
+    def deleteTimer(self, t):
+        self.timers.remove(t)
+
+    def registerTimer(self, t):
+        self.timers.append(t)
+
+
+def test_activity_processor_accumulate_and_flush():
+    """The transformWithState processor's logic, driven directly (the
+    Spark wiring is a declared seam — the container lacks protobuf):
+    per-user totals accumulate across calls, the idle timer re-arms to
+    last-activity+gap, and expiry flushes ONE final row and clears."""
+    import pandas as pd
+
+    from data_pipeline_demo_spark.streaming.jobs import _ActivityProcessor
+
+    p = _ActivityProcessor(gap_ms=600_000)
+    p.init(_FakeHandle())
+    key = (7,)
+
+    b1 = pd.DataFrame({"value": [1.0, 2.0], "ts_ms": [1_000, 5_000]})
+    out1 = pd.concat(p.handleInputRows(key, iter([b1]), None))
+    assert out1.iloc[0].to_dict() == {
+        "user_id": 7, "n_events": 2, "total_value": 3.0, "is_final": False
+    }
+    assert p.handle.timers == [5_000 + 600_000]
+
+    b2 = pd.DataFrame({"value": [4.0], "ts_ms": [9_000]})
+    out2 = pd.concat(p.handleInputRows(key, iter([b2]), None))
+    assert out2.iloc[0]["n_events"] == 3 and out2.iloc[0]["total_value"] == 7.0
+    assert p.handle.timers == [9_000 + 600_000]  # re-armed, old deleted
+
+    final = pd.concat(p.handleExpiredTimer(key, None, None))
+    assert final.iloc[0].to_dict() == {
+        "user_id": 7, "n_events": 3, "total_value": 7.0, "is_final": True
+    }
+    # state cleared: a second expiry emits nothing
+    assert list(p.handleExpiredTimer(key, None, None)) == []
+    # and fresh activity starts a NEW accumulation
+    out3 = pd.concat(p.handleInputRows(key, iter([b1]), None))
+    assert out3.iloc[0]["n_events"] == 2
+
+
+def test_activity_monitor_gated_without_protobuf(spark, event_stream_source):
+    path, schema = event_stream_source
+    stream = spark.readStream.schema(schema).parquet(path)
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError:
+        with pytest.raises(NotImplementedError, match="protobuf"):
+            jobs.user_activity_monitor(stream)
+    else:  # pragma: no cover - environment-dependent e2e
+        out = jobs.user_activity_monitor(stream)
+        assert "is_final" in out.schema.names
