@@ -1120,3 +1120,168 @@ def pq_search(
     return partial.withColumn(
         "rank", F.row_number().over(w).cast("long")
     ).filter(F.col("rank") <= k)
+
+
+# ---------------------------------------------------------------------------
+# Scalar quantization (SQ8): the 4x vector-storage tier.
+# ---------------------------------------------------------------------------
+#
+# The near-lossless companion to PQ above (FAISS's SQ8 recipe, public):
+# per-dimension uniform quantization of the L2-normalized corpus to one
+# byte — 4 KB float32 vectors become d bytes with reconstruction error
+# <= scale/2 per dimension, which for normalized embeddings is visually
+# lossless for search (recall@k near 1). Where PQ trades accuracy for
+# 16-32x, SQ8 keeps a calibrated 4x. Search never materializes the
+# reconstruction: dot(p, lo + code*scale) = p.lo + code.(p*scale), one
+# uint8 matmul per Arrow batch against a probe-side precomputed matrix.
+
+
+def sq_train(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+) -> dict:
+    """Per-dimension [lo, hi] calibration over the L2-NORMALIZED corpus
+    — one scan of 2xd-float partials per partition (mapInPandas, the
+    PCA-fit shape: partial size independent of row count). Returns
+    ``{dim, lo: [d], scale: [d]}`` with scale = (hi-lo)/255 (0 for a
+    constant dimension — its byte is always 0 and reconstructs lo
+    exactly)."""
+    import numpy as np
+
+    def partials(batches):
+        import pandas as pd
+
+        lo = hi = None
+        for pdf in batches:
+            X = np.asarray(list(pdf[vec_col]), dtype=np.float64)
+            if not X.size:
+                continue
+            nrm = np.linalg.norm(X, axis=1)
+            X = X[nrm > 0] / nrm[nrm > 0, None]
+            if not len(X):
+                continue
+            blo, bhi = X.min(0), X.max(0)
+            lo = blo if lo is None else np.minimum(lo, blo)
+            hi = bhi if hi is None else np.maximum(hi, bhi)
+        if lo is not None:
+            yield pd.DataFrame({"lo": [lo.tolist()], "hi": [hi.tolist()]})
+
+    rows = corpus.select(vec_col).mapInPandas(
+        partials, "lo array<double>, hi array<double>"
+    ).collect()
+    if not rows:
+        raise ValueError("sq_train: empty corpus")
+    lo = np.asarray(rows[0]["lo"])
+    hi = np.asarray(rows[0]["hi"])
+    for r in rows[1:]:
+        lo = np.minimum(lo, np.asarray(r["lo"]))
+        hi = np.maximum(hi, np.asarray(r["hi"]))
+    return {
+        "dim": int(len(lo)),
+        "lo": lo.tolist(),
+        "scale": ((hi - lo) / 255.0).tolist(),
+    }
+
+
+def sq_encode(
+    corpus: DataFrame,
+    model: dict,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Map-only encode to one byte per dimension:
+    ``code = round((x_norm - lo) / scale)`` clipped to [0, 255].
+    Zero-norm vectors are excluded (cosine-undefined, like every other
+    tier). Out-of-calibration values (vectors arriving after training)
+    clip to the range edge — bounded error, never a crash."""
+    import numpy as np
+    import pandas as pd
+
+    lo = np.asarray(model["lo"])
+    scale = np.asarray(model["scale"])
+    safe = np.where(scale > 0, scale, 1.0)
+
+    def encode(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.asarray(list(pdf[vec_col]), dtype=np.float64)
+            ids = pdf[id_col].to_numpy()
+            nrm = np.linalg.norm(X, axis=1)
+            ok = nrm > 0
+            X, ids = X[ok] / nrm[ok, None], ids[ok]
+            if not len(ids):
+                continue
+            q = np.clip(np.rint((X - lo) / safe), 0, 255).astype(np.uint8)
+            q[:, scale <= 0] = 0
+            yield pd.DataFrame(
+                {id_col: ids, "sq_code": [c.tobytes() for c in q]}
+            )
+
+    return corpus.select(id_col, vec_col).mapInPandas(
+        encode, f"{id_col} long, sq_code binary"
+    )
+
+
+def sq_search(
+    codes: DataFrame,
+    probes_pdf,
+    model: dict,
+    k: int = 5,
+    id_col: str = "vec_id",
+    probe_id_col: str = "probe_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate-cosine top-k over the byte relation: per batch ONE
+    uint8→float matmul ``codes @ (P*scale)ᵀ + P@lo`` (the expanded
+    dot against the implicit reconstruction — vectors never rebuilt),
+    per-batch top-k, global top-k by window: shuffle carries
+    O(batches × probes × k), the corpus stays in its 4x-smaller
+    codes."""
+    import numpy as np
+    import pandas as pd
+
+    lo = np.asarray(model["lo"])
+    scale = np.asarray(model["scale"])
+    P = np.asarray(list(probes_pdf[vec_col]), dtype=np.float64)
+    pids = np.asarray(list(probes_pdf[probe_id_col]))
+    pn = np.linalg.norm(P, axis=1)
+    P, pids = P[pn > 0] / pn[pn > 0, None], pids[pn > 0]
+    W = (P * scale).T  # d x p
+    const = P @ lo  # p
+    kk = int(k)
+    dim = model["dim"]
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cids = pdf[id_col].to_numpy()
+            C = np.frombuffer(
+                b"".join(pdf["sq_code"]), dtype=np.uint8
+            ).reshape(len(cids), dim)
+            sims = C.astype(np.float64) @ W + const[None, :]
+            for p in range(len(pids)):
+                col = sims[:, p]
+                idx = np.nonzero(cids != pids[p])[0]
+                if not len(idx):
+                    continue
+                take = min(kk, len(idx))
+                top = idx[np.argpartition(-col[idx], take - 1)[:take]]
+                yield pd.DataFrame(
+                    {
+                        probe_id_col: pids[p].repeat(take),
+                        id_col: cids[top],
+                        "sq_score": col[top],
+                    }
+                )
+
+    partial = codes.select(id_col, "sq_code").mapInPandas(
+        score, f"{probe_id_col} long, {id_col} long, sq_score double"
+    )
+    w = Window.partitionBy(probe_id_col).orderBy(
+        F.col("sq_score").desc(), F.col(id_col)
+    )
+    return partial.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    ).filter(F.col("rank") <= k)

@@ -62,3 +62,4 @@ register("q87_stratified_sample", oracle=llm_ops._DUCK_STRATIFIED)(
 register("q88_heavy_hitters", oracle=llm_ops._DUCK_HEAVY_HITTERS)(
     llm_ops.q88_heavy_hitters
 )
+register("q89_sq_ann_topk")(llm_ops.q89_sq_ann_topk)

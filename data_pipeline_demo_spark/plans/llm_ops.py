@@ -885,3 +885,27 @@ def q88_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sk = sketches.heavy_hitters_sketch(ev, ["month"], "event_type", k=64)
     return sketches.heavy_hitters_estimate(sk)
+
+
+def q89_sq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantized (SQ8) ANN: per-dimension byte calibration over
+    the normalized corpus (one 2xd-partial scan), map-only encode to
+    d-byte codes (4x vs float32), decode-free top-5 for 8 probes via
+    one uint8 matmul per batch — the near-lossless storage tier
+    between exact vectors and PQ's 16x. Rows-only by construction;
+    the scale/2 reconstruction bound, recall@10 >= 0.9 vs exact, and
+    determinism are unit-tested (tests/test_llm_ops.py)."""
+    from ..operators import similarity
+
+    emb = table(spark, sf_dir, "embeddings")
+    model = similarity.sq_train(emb)
+    codes = similarity.sq_encode(emb, model)
+    probes = (
+        emb.orderBy("vec_id")
+        .limit(8)
+        .toPandas()
+        .rename(columns={"vec_id": "probe_id"})
+    )
+    return similarity.sq_search(codes, probes, model, k=5).select(
+        "probe_id", "vec_id", F.round("sq_score", 6).alias("sq_score"), "rank"
+    )

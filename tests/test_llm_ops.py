@@ -1005,3 +1005,69 @@ def test_pq_edge_cases(spark):
     model = similarity.pq_train(df, m=3, k=2, sample_rows=10)
     # the zero-norm vector is excluded from the code relation
     assert [r["vec_id"] for r in similarity.pq_encode(df, model).collect()] == [1]
+
+
+# --- scalar quantization (SQ8) tier ---------------------------------------
+
+
+def test_sq_roundtrip_error_bound(spark):
+    """Reconstruction error per dimension <= scale/2 (uniform
+    quantization's defining bound) on the normalized vectors."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    X = rng.normal(size=(80, 16))
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(80)],
+        "vec_id long, embedding array<float>",
+    )
+    model = similarity.sq_train(df)
+    scale = np.asarray(model["scale"])
+    lo = np.asarray(model["lo"])
+    codes = {r["vec_id"]: r["sq_code"] for r in similarity.sq_encode(df, model).collect()}
+    X32 = X.astype(np.float32).astype(np.float64)
+    Xn = X32 / np.linalg.norm(X32, axis=1, keepdims=True)
+    for i in range(80):
+        c = np.frombuffer(codes[i], dtype=np.uint8).astype(np.float64)
+        recon = lo + c * scale
+        assert np.all(np.abs(recon - Xn[i]) <= scale / 2 + 1e-9)
+
+
+def test_sq_search_recall_vs_exact(spark, sf_dir):
+    """SQ8 at 4x compression is near-lossless for cosine top-k: recall@10
+    against the exact tier stays high on the real embeddings table."""
+    emb = table(spark, sf_dir, "embeddings")
+    probes = (
+        emb.limit(8)
+        .select(F.col("vec_id").alias("probe_id"), "embedding")
+    )
+    exact = similarity.knn_exact(emb, probes, k=10)
+    model = similarity.sq_train(emb)
+    codes = similarity.sq_encode(emb, model)
+    got = similarity.sq_search(codes, probes.toPandas(), model, k=10)
+    want = {(r["probe_id"], r["vec_id"]) for r in exact.collect()}
+    have = {(r["probe_id"], r["vec_id"]) for r in got.collect()}
+    assert len(have & want) / len(want) >= 0.9
+    # 4x compression: one byte per dimension
+    one = codes.first()
+    assert len(one["sq_code"]) == model["dim"]
+
+
+def test_sq_edge_cases(spark):
+    df = spark.createDataFrame(
+        [
+            (0, [1.0, 2.0, 3.0, 4.0]),
+            (1, [0.0, 0.0, 0.0, 0.0]),  # zero-norm: excluded
+            (2, [2.0, 4.0, 6.0, 8.0]),  # same direction as 0
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    model = similarity.sq_train(df)
+    codes = similarity.sq_encode(df, model).collect()
+    assert sorted(r["vec_id"] for r in codes) == [0, 2]
+    # rows 0 and 2 normalize identically -> identical codes
+    by_id = {r["vec_id"]: r["sq_code"] for r in codes}
+    assert by_id[0] == by_id[2]
+    # determinism
+    model2 = similarity.sq_train(df)
+    assert model == model2
