@@ -238,3 +238,199 @@ def heavy_hitters_estimate(
         )
         .filter(F.col("share_hi") >= min_share)
     )
+
+
+# --- mergeable quantile sketches (MRL-style randomized compaction) --------
+#
+# The third classic mergeable summary (with HLL distinct counts and MG
+# heavy hitters above): percentiles do not re-aggregate either — a
+# month's p99 is not any combination of 30 daily p99s — so rollup
+# hierarchies need a quantile SKETCH stored at the fine grain.
+# Manku-Rajagopalan-Lindsay-shape sketch with randomized-offset
+# compaction (the mergeable variant analyzed in Agarwal et al.,
+# "Mergeable Summaries", PODS 2012; KLL 2016 refines capacities —
+# public results): level h holds items of weight 2^h, at most k each;
+# a full level sorts and promotes every other item (random parity) one
+# level up. Rank estimates err by O(n·log(n/k)/k); the tests pin an
+# empirical <=2% rank error at k=256 across distributions, merge
+# orders, and rollups.
+#
+# Distributed shape mirrors the MG tier: per-partition partials via
+# mapInPandas (each partial <= k·levels floats), grouped merge, JSON
+# state column, estimate at read time.
+
+
+def _kll_parity(level: int, items: list) -> int:
+    """Deterministic pseudo-coin for compaction offset: replayable for
+    identical input, varied across levels/contents (a fixed parity
+    would bias every compaction the same way)."""
+    h = hash((level, len(items), float(items[0]), float(items[-1])))
+    return h & 1
+
+
+def _kll_insert(levels: list, values, k: int) -> None:
+    levels[0].extend(float(v) for v in values)
+    _kll_compact(levels, k)
+
+
+def _kll_compact(levels: list, k: int) -> None:
+    h = 0
+    while h < len(levels):
+        if len(levels[h]) > k:
+            buf = sorted(levels[h])
+            off = _kll_parity(h, buf)
+            promoted = buf[off::2]
+            levels[h] = []
+            if h + 1 == len(levels):
+                levels.append([])
+            levels[h + 1].extend(promoted)
+        h += 1
+
+
+def _kll_merge(a: list, b: list, k: int) -> list:
+    out = [list(lvl) for lvl in a]
+    while len(out) < len(b):
+        out.append([])
+    for h, lvl in enumerate(b):
+        out[h].extend(lvl)
+    _kll_compact(out, k)
+    return out
+
+
+def _kll_quantile(levels: list, n: int, q: float):
+    """Weighted-rank quantile from the sketch: items carry weight 2^h."""
+    pairs = [
+        (v, 1 << h) for h, lvl in enumerate(levels) for v in lvl
+    ]
+    if not pairs:
+        return None
+    pairs.sort()
+    target = q * n
+    acc = 0
+    for v, w in pairs:
+        acc += w
+        if acc >= target:
+            return v
+    return pairs[-1][0]
+
+
+_QS_SCHEMA_SUFFIX = "levels string, n bigint"
+
+
+def quantile_sketch(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    k: int = 256,
+) -> DataFrame:
+    """One mergeable quantile sketch per group over a numeric column:
+    ``(group_cols..., levels, n)`` with ``levels`` the JSON level
+    buffers (<= k·log(n/k) floats total) and ``n`` the exact row count.
+    Nulls are excluded (SQL aggregate semantics)."""
+    import json as _json
+
+    import pandas as pd
+
+    gc = list(group_cols)
+    src = df.select(*gc, F.col(value_col).cast("double").alias("__v"))
+    out_schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}"
+        for f in src.schema.fields
+        if f.name != "__v"
+    )
+    schema = f"{out_schema}, {_QS_SCHEMA_SUFFIX}"
+
+    def partials(batches):
+        state: dict = {}
+        for pdf in batches:
+            for key, grp in pdf.groupby(gc, dropna=False, sort=False):
+                kt = key if isinstance(key, tuple) else (key,)
+                st = state.setdefault(kt, [[[]], 0])
+                vals = grp["__v"].dropna()
+                _kll_insert(st[0], vals, k)
+                st[1] += int(vals.size)
+        rows = [
+            (*kt, _json.dumps(st[0]), st[1]) for kt, st in state.items()
+        ]
+        if rows:
+            yield pd.DataFrame(rows, columns=gc + ["levels", "n"])
+
+    partial = src.mapInPandas(partials, schema)
+    return _qs_grouped_merge(partial, gc, k)
+
+
+def _qs_grouped_merge(sketches: DataFrame, to_cols: list[str], k: int) -> DataFrame:
+    import json as _json
+
+    import pandas as pd
+
+    gc = list(to_cols)
+    out_schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}"
+        for f in sketches.schema.fields
+        if f.name in gc
+    )
+    schema = f"{out_schema}, {_QS_SCHEMA_SUFFIX}"
+
+    def merge(key, pdf):
+        levels: list = [[]]
+        n = 0
+        for _, row in pdf.iterrows():
+            levels = _kll_merge(levels, _json.loads(row["levels"]), k)
+            n += int(row["n"])
+        return pd.DataFrame(
+            [(*key, _json.dumps(levels), n)], columns=gc + ["levels", "n"]
+        )
+
+    return sketches.groupBy(*gc).applyInPandas(merge, schema)
+
+
+def quantile_rollup(
+    sketches: DataFrame, to_cols: list[str], k: int = 256
+) -> DataFrame:
+    """Re-aggregate stored quantile sketches to a coarser grain — level
+    concatenation + re-compaction; the rank-error bound is preserved
+    under merging (the mergeable-summaries result), raw history never
+    re-read."""
+    return _qs_grouped_merge(sketches, to_cols, k)
+
+
+def quantile_estimate(
+    sketches: DataFrame,
+    probs: list[float] = (0.5, 0.95, 0.99),
+) -> DataFrame:
+    """Explode sketches to ``(group..., prob, value)`` estimates."""
+    import json as _json
+
+    import pandas as pd
+
+    gc = [
+        f.name
+        for f in sketches.schema.fields
+        if f.name not in ("levels", "n")
+    ]
+    out_schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}"
+        for f in sketches.schema.fields
+        if f.name in gc
+    )
+    schema = f"{out_schema}, prob double, value double"
+    plist = [float(p) for p in probs]
+
+    def explode(batches):
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                levels = _json.loads(row["levels"])
+                for p in plist:
+                    rows.append(
+                        (
+                            *[row[c] for c in gc],
+                            p,
+                            _kll_quantile(levels, int(row["n"]), p),
+                        )
+                    )
+            if rows:
+                yield pd.DataFrame(rows, columns=gc + ["prob", "value"])
+
+    return sketches.mapInPandas(explode, schema)

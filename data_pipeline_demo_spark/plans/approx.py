@@ -63,3 +63,4 @@ register("q88_heavy_hitters", oracle=llm_ops._DUCK_HEAVY_HITTERS)(
     llm_ops.q88_heavy_hitters
 )
 register("q89_sq_ann_topk")(llm_ops.q89_sq_ann_topk)
+register("q90_quantile_sketch")(llm_ops.q90_quantile_sketch)

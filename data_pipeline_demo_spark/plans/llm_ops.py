@@ -909,3 +909,22 @@ def q89_sq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.sq_search(codes, probes, model, k=5).select(
         "probe_id", "vec_id", F.round("sq_score", 6).alias("sq_score"), "rank"
     )
+
+
+def q90_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketches (operators/sketches.py): per-month
+    p50/p95/p99 of the event value through the sketch pipeline —
+    per-partition partials (<= k·levels floats per group cross the
+    shuffle), grouped merge, weighted-rank estimate. Rows-only by
+    construction (randomized-offset compaction has no DuckDB twin);
+    the <=2% rank-error bound across distributions, merge orders, and
+    day->month rollups is pytest-proven (tests/test_heavy_hitters.py)."""
+    from ..operators import sketches
+
+    ev = table(spark, sf_dir, "events").select(
+        F.date_trunc("month", "ts").cast("date").alias("month"), "value"
+    )
+    sk = sketches.quantile_sketch(ev, ["month"], "value", k=256)
+    return sketches.quantile_estimate(sk, [0.5, 0.95, 0.99]).select(
+        "month", "prob", F.round("value", 4).alias("value")
+    )

@@ -111,3 +111,107 @@ def test_null_values_tracked(spark):
     sk = sketches.heavy_hitters_sketch(df, ["g"], "v", k=4).collect()
     items = json.loads(sk[0]["items"])
     assert items["\x00null"] == 50 and items["x"] == 10
+
+
+# --- mergeable quantile sketches ------------------------------------------
+
+
+def _exact_quantile(vals, q):
+    vals = sorted(vals)
+    import math
+
+    idx = max(0, min(len(vals) - 1, math.ceil(q * len(vals)) - 1))
+    return vals[idx]
+
+
+def _rank_error(spark_rows, truth_vals, group_key_cols):
+    """max |estimated rank - target rank| / n over the estimates."""
+    errs = []
+    for r in spark_rows:
+        vals = sorted(truth_vals[tuple(r[c] for c in group_key_cols)])
+        n = len(vals)
+        import bisect
+
+        est_rank = bisect.bisect_right(vals, r["value"])
+        errs.append(abs(est_rank - r["prob"] * n) / n)
+    return max(errs)
+
+
+@pytest.fixture(scope="module")
+def valued(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    rows = []
+    for g in ("a", "b"):
+        for day in (1, 2):
+            # mixed distributions so no single shape is privileged
+            vals = np.concatenate(
+                [
+                    rng.uniform(0, 100, 4000),
+                    rng.exponential(10, 4000),
+                    np.arange(2000),
+                ]
+            )
+            rows += [(g, day, float(v)) for v in vals]
+    return spark.createDataFrame(rows, "g string, day int, v double")
+
+
+def _truth_vals(df, group_cols):
+    out = {}
+    for r in df.collect():
+        out.setdefault(tuple(r[c] for c in group_cols), []).append(r["v"])
+    return out
+
+
+def test_quantile_sketch_rank_error(valued):
+    sk = sketches.quantile_sketch(valued, ["g", "day"], "v", k=256)
+    est = sketches.quantile_estimate(sk, [0.1, 0.5, 0.9, 0.99]).collect()
+    truth = _truth_vals(valued, ["g", "day"])
+    assert _rank_error(est, truth, ["g", "day"]) <= 0.02
+    # n is exact
+    for r in sk.collect():
+        assert r["n"] == 10_000
+
+
+def test_quantile_rollup_preserves_error(valued):
+    daily = sketches.quantile_sketch(valued, ["g", "day"], "v", k=256)
+    monthly = sketches.quantile_rollup(daily, ["g"], k=256)
+    est = sketches.quantile_estimate(monthly, [0.5, 0.95]).collect()
+    truth = _truth_vals(valued, ["g"])
+    assert _rank_error(est, truth, ["g"]) <= 0.02
+    for r in monthly.collect():
+        assert r["n"] == 20_000
+
+
+def test_quantile_partition_layouts_within_bound(valued):
+    truth = _truth_vals(valued, ["g"])
+    for parts in (2, 17):
+        sk = sketches.quantile_sketch(
+            valued.repartition(parts), ["g"], "v", k=256
+        )
+        est = sketches.quantile_estimate(sk, [0.5, 0.9]).collect()
+        assert _rank_error(est, truth, ["g"]) <= 0.02
+
+
+def test_quantile_exact_when_small(spark):
+    """Below one level's capacity nothing compacts: estimates are the
+    exact order statistics."""
+    df = spark.createDataFrame(
+        [("a", float(v)) for v in range(100)], "g string, v double"
+    )
+    sk = sketches.quantile_sketch(df, ["g"], "v", k=256)
+    est = {r["prob"]: r["value"] for r in
+           sketches.quantile_estimate(sk, [0.01, 0.5, 1.0]).collect()}
+    assert est[0.01] == 0.0 and est[0.5] == 49.0 and est[1.0] == 99.0
+
+
+def test_quantile_nulls_excluded(spark):
+    df = spark.createDataFrame(
+        [("a", None), ("a", 1.0), ("a", 2.0), ("a", 3.0)],
+        "g string, v double",
+    )
+    sk = sketches.quantile_sketch(df, ["g"], "v")
+    assert sk.first()["n"] == 3
+    est = sketches.quantile_estimate(sk, [1.0]).first()
+    assert est["value"] == 3.0
