@@ -429,3 +429,22 @@ def test_stream_sink_exactly_once(registered, tmp_path):
         txn_version=0,
     )
     assert read_txtable(spark, root).count() == 300
+
+
+def test_append_schema_evolution(registered, tmp_path):
+    """A later append may carry extra columns (and drop others): the
+    union-schema readers null-fill both directions, like mergeSchema."""
+    spark = registered
+    root = str(tmp_path / "ev")
+    spark.createDataFrame(
+        [(1, "a")], "k long, v string"
+    ).write.format("txtable").option("key", "k").mode("append").save(root)
+    spark.createDataFrame(
+        [(2, 9.5)], "k long, extra double"
+    ).write.format("txtable").mode("append").save(root)
+    got = {r["k"]: r for r in spark.read.format("txtable").load(root).collect()}
+    assert got[1]["v"] == "a" and got[1]["extra"] is None
+    assert got[2]["v"] is None and got[2]["extra"] == 9.5
+    # the JVM reader agrees
+    jvm = {r["k"]: r for r in read_txtable(spark, root).collect()}
+    assert jvm[2]["extra"] == 9.5 and jvm[1]["extra"] is None
