@@ -785,6 +785,104 @@ def txlog_delete(
     return prior - kept
 
 
+def txlog_update(
+    spark: SparkSession,
+    root_path: str,
+    set: dict[str, str],
+    where: str,
+) -> int:
+    """Predicate UPDATE on the log-backed table — the third DML verb
+    beside MERGE (`txlog_upsert`) and DELETE (`txlog_delete`), Delta's
+    ``UPDATE t SET col = expr WHERE pred`` shape.
+
+    ``set`` maps column → SQL expression; every expression is evaluated
+    against the OLD row (simultaneous assignment, SQL UPDATE
+    semantics — ``{"a": "b", "b": "a"}`` swaps). Rows where ``where``
+    is TRUE are rewritten; false/null rows survive untouched. The key
+    column cannot be SET (rows would migrate buckets — that operation
+    is a delete + insert, by design the caller's explicit choice), and
+    every SET column must already exist in the table schema.
+
+    Scale shape mirrors DELETE's predicate path: one scan finds the
+    buckets containing matches, only THOSE buckets rewrite (zone-map
+    stats recompute in the same pass), untouched buckets carry forward
+    without a file open. A predicate matching nothing commits no new
+    version. Old versions still time-travel to the pre-update rows;
+    the change feed shows the rewrite as updates with Delta-CDF
+    preimages. Returns rows updated.
+    """
+    if not set:
+        raise ValueError("txlog_update: empty set= mapping")
+    prev = _latest_manifest(spark, root_path)
+    if prev is None:
+        raise FileNotFoundError(f"no committed txtable at {root_path}")
+    key = prev["key"]
+    if key in set:
+        raise ValueError(
+            f"cannot SET the table key {key!r}: a key change moves rows "
+            "across buckets — express it as txlog_delete + txlog_upsert"
+        )
+    num_buckets = prev["num_buckets"]
+    buckets = dict(prev["buckets"])
+    row_counts = dict(prev["row_counts"])
+    live = sorted(int(b) for b in buckets)
+    files = [_abs(root_path, rel) for b in live for rel in buckets[str(b)]]
+    if not files:
+        return 0
+    current = (
+        spark.read.option("mergeSchema", "true").parquet(*files)
+    ).withColumn(BUCKET_COL, _bucket_of(key, num_buckets))
+    unknown = [c for c in set if c not in current.columns]
+    if unknown:
+        raise ValueError(f"SET columns not in table schema: {unknown}")
+    pred = F.coalesce(F.expr(where), F.lit(False))
+    touched = sorted(
+        r[0]
+        for r in current.filter(pred).select(BUCKET_COL).distinct().collect()
+    )
+    if not touched:
+        return 0
+    in_touched = current.filter(F.col(BUCKET_COL).isin(touched))
+    n_updated = in_touched.filter(pred).count()
+    rewritten = in_touched.select(
+        *[
+            (
+                F.when(pred, F.expr(set[c])).otherwise(F.col(c)).alias(c)
+                if c in set
+                else F.col(c)
+            )
+            for c in in_touched.columns
+        ]
+    )
+    bucket_stats = dict(prev.get("bucket_stats", {}))
+    _publish_touched_buckets(
+        spark,
+        root_path,
+        rewritten,
+        touched,
+        buckets,
+        row_counts,
+        stats_columns=prev.get("stats_columns", []),
+        bucket_stats=bucket_stats,
+    )
+    _commit_manifest(
+        spark,
+        root_path,
+        {
+            "version": prev["version"] + 1,
+            "key": key,
+            "num_buckets": num_buckets,
+            "buckets": buckets,
+            "row_counts": row_counts,
+            "app_txns": dict(prev.get("app_txns", {})),
+            "stats_columns": prev.get("stats_columns", []),
+            "bucket_stats": bucket_stats,
+            "committed_at_ms": int(time.time() * 1000),
+        },
+    )
+    return n_updated
+
+
 def txtable_changes(
     spark: SparkSession,
     root_path: str,

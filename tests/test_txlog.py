@@ -939,3 +939,102 @@ def test_txlog_restore_app_txn_watermarks(spark, tmp_path):
         spark, _rows(spark, [(2, "fixed")]), root, txn_app_id="s", txn_version=7
     )
     assert _as_dict(read_txtable(spark, root)) == {1: "a", 2: "fixed"}
+
+
+# --- predicate UPDATE ------------------------------------------------------
+
+
+class TestUpdate:
+    def _seed(self, spark, root):
+        df = spark.createDataFrame(
+            [(i, i * 10.0, "open" if i % 3 else "closed") for i in range(40)],
+            "id long, amount double, status string",
+        )
+        txlog_upsert(spark, df, root, num_buckets=4)
+        return df
+
+    def test_update_semantics(self, spark, tmp_path):
+        from data_pipeline_demo_spark.sinks.txlog import txlog_update
+
+        root = str(tmp_path / "t")
+        self._seed(spark, root)
+        n = txlog_update(
+            spark, root,
+            set={"amount": "amount + 5", "status": "'flagged'"},
+            where="id < 10 AND status = 'open'",
+        )
+        got = {r["id"]: r for r in read_txtable(spark, root).collect()}
+        assert n == sum(1 for i in range(10) if i % 3)
+        for i in range(40):
+            hit = i < 10 and i % 3
+            assert got[i]["amount"] == i * 10.0 + (5 if hit else 0)
+            assert got[i]["status"] == (
+                "flagged" if hit else ("open" if i % 3 else "closed")
+            )
+
+    def test_simultaneous_assignment(self, spark, tmp_path):
+        from data_pipeline_demo_spark.sinks.txlog import txlog_update
+
+        root = str(tmp_path / "t")
+        df = spark.createDataFrame(
+            [(0, 1.0, 2.0)], "id long, a double, b double"
+        )
+        txlog_upsert(spark, df, root, num_buckets=2)
+        txlog_update(spark, root, set={"a": "b", "b": "a"}, where="true")
+        r = read_txtable(spark, root).first()
+        assert (r["a"], r["b"]) == (2.0, 1.0)  # swap, not chain
+
+    def test_untouched_buckets_not_rewritten(self, spark, tmp_path):
+        from data_pipeline_demo_spark.sinks.txlog import txlog_update
+        from data_pipeline_demo_spark.sinks.txlog import _latest_manifest
+
+        root = str(tmp_path / "t")
+        self._seed(spark, root)
+        before = _latest_manifest(spark, root)["buckets"]
+        txlog_update(spark, root, set={"amount": "0.0"}, where="id = 7")
+        after = _latest_manifest(spark, root)["buckets"]
+        changed = [b for b in before if before[b] != after.get(b)]
+        assert len(changed) == 1  # only the bucket id=7 hashes into
+
+    def test_no_match_no_version(self, spark, tmp_path):
+        from data_pipeline_demo_spark.sinks.txlog import (
+            txlog_update,
+            txtable_history,
+        )
+
+        root = str(tmp_path / "t")
+        self._seed(spark, root)
+        v = len(txtable_history(spark, root))
+        assert txlog_update(spark, root, set={"amount": "0"}, where="id = 999") == 0
+        assert len(txtable_history(spark, root)) == v
+
+    def test_guards(self, spark, tmp_path):
+        from data_pipeline_demo_spark.sinks.txlog import txlog_update
+
+        root = str(tmp_path / "t")
+        self._seed(spark, root)
+        with pytest.raises(ValueError, match="cannot SET the table key"):
+            txlog_update(spark, root, set={"id": "id + 1"}, where="true")
+        with pytest.raises(ValueError, match="not in table schema"):
+            txlog_update(spark, root, set={"nope": "1"}, where="true")
+        with pytest.raises(ValueError, match="empty set"):
+            txlog_update(spark, root, set={}, where="true")
+
+    def test_cdc_shows_updates_and_time_travel(self, spark, tmp_path):
+        from data_pipeline_demo_spark.sinks.txlog import (
+            read_txtable as read_tx,
+            txlog_update,
+            txtable_changes,
+        )
+
+        root = str(tmp_path / "t")
+        self._seed(spark, root)
+        txlog_update(spark, root, set={"status": "'done'"}, where="id % 10 = 0")
+        ch = txtable_changes(spark, root, 0, 1)
+        by_type = {
+            r["_change_type"]: r["count"]
+            for r in ch.groupBy("_change_type").count().collect()
+        }
+        assert by_type == {"update": 4}
+        old = read_tx(spark, root, version=0)
+        assert old.filter("status = 'done'").count() == 0
