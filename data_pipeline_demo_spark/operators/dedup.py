@@ -855,3 +855,58 @@ def dedup_keep_canonical(
         F.col("node").alias(id_col)
     )
     return df.join(losers, on=id_col, how="left_anti")
+
+
+def containment_join(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """EXACT directional containment join: pairs where
+    ``|A∩B| / |A| >= threshold`` — "most of doc_a's shingles appear in
+    doc_b". The excerpt/quote detector Jaccard misses: a paragraph
+    quoted inside a long document has tiny Jaccard (the union is the
+    long doc) but containment ≈ 1, and training-corpus curation wants
+    exactly that asymmetry (drop the excerpt, keep the source).
+
+    Prefix filter, containment form: order shingles rarest-first
+    globally; if |A∩B| >= t·|A| then doc_b must share one of doc_a's
+    first ``|A| - ⌈t·|A|⌉ + 1`` shingles (a miss would force the whole
+    required overlap into a shorter-than-(1-t)·|A| suffix). Only the
+    CONTAINED side prunes to a prefix — the containing side keeps its
+    full inverted index (no symmetric length filter exists: doc_b may
+    be any size). Candidates still bound by prefix rarity; exact
+    verification on candidates only. Returns
+    ``(doc_a, doc_b, containment)`` with doc_a ≠ doc_b, directional
+    (both orientations emitted when both clear the bar).
+    """
+    sets = _materialized_sets(df, text_col, id_col, k)
+    idx = _index_from_sets(sets, id_col)
+    dfreq = idx.groupBy("h").agg(F.count(F.lit(1)).alias("df_h"))
+    by_doc = Window.partitionBy(id_col)
+    ranked = (
+        idx.join(dfreq, "h")
+        .withColumn("rnk", F.row_number().over(by_doc.orderBy("df_h", "h")))
+        .withColumn("n_sh", F.count(F.lit(1)).over(by_doc))
+    )
+    prefix_len = F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
+    prefix = ranked.filter(F.col("rnk") <= prefix_len).select(id_col, "h")
+    full = idx.select(F.col(id_col).alias("doc_b"), "h")
+    cands = (
+        prefix.alias("a")
+        .join(full.alias("b"), "h")
+        .filter(F.col(f"a.{id_col}") != F.col("doc_b"))
+        .select(F.col(f"a.{id_col}").alias("doc_a"), "doc_b")
+        .distinct()
+    )
+    a = sets.select(F.col(id_col).alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sets.select(F.col(id_col).alias("doc_b"), F.col("sh").alias("sh_b"))
+    containment = F.size(F.array_intersect("sh_a", "sh_b")) / F.size("sh_a")
+    return (
+        cands.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select("doc_a", "doc_b", containment.alias("containment"))
+        .filter(F.col("containment") >= threshold)
+    )

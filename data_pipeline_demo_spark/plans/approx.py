@@ -64,3 +64,6 @@ register("q88_heavy_hitters", oracle=llm_ops._DUCK_HEAVY_HITTERS)(
 )
 register("q89_sq_ann_topk")(llm_ops.q89_sq_ann_topk)
 register("q90_quantile_sketch")(llm_ops.q90_quantile_sketch)
+register("q91_containment_join", oracle=llm_ops._DUCK_CONTAINMENT)(
+    llm_ops.q91_containment_join
+)

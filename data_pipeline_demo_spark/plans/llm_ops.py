@@ -928,3 +928,25 @@ def q90_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketches.quantile_estimate(sk, [0.5, 0.95, 0.99]).select(
         "month", "prob", F.round("value", 4).alias("value")
     )
+
+
+_DUCK_CONTAINMENT = f"""
+    WITH {_DUCK_SHINGLES}
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           len(list_intersect(a.s, b.s))::DOUBLE / len(a.s) AS containment
+    FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
+    WHERE len(a.s) > 0
+      AND len(list_intersect(a.s, b.s))::DOUBLE / len(a.s) >= 0.8
+"""
+
+
+def q91_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional shingle-containment pairs (operators/dedup.py:
+    containment_join): the excerpt/quote detector — prefix filter on
+    the contained side only, full inverted index on the containing
+    side, exact verify on candidates. Oracle-checked value-for-value
+    against an all-pairs DuckDB replay (which also re-certifies the
+    shingle hashing collision-free on this corpus)."""
+    return dedup.containment_join(
+        table(spark, sf_dir, "documents"), threshold=0.8
+    )

@@ -1071,3 +1071,65 @@ def test_sq_edge_cases(spark):
     # determinism
     model2 = similarity.sq_train(df)
     assert model == model2
+
+
+# --- directional containment join -----------------------------------------
+
+
+def test_containment_finds_excerpt_jaccard_misses(spark):
+    """A paragraph quoted inside a long doc: containment(excerpt→long)
+    ≈ 1 while Jaccard is far below any useful bar — the asymmetry this
+    operator exists for."""
+    para = " ".join(f"tok{i}" for i in range(30))
+    long_doc = para + " " + " ".join(f"fill{i}" for i in range(300))
+    df = spark.createDataFrame(
+        [(1, long_doc), (2, para)], "doc_id long, text string"
+    )
+    got = dedup.containment_join(df, threshold=0.8).collect()
+    dedup.clear_shingle_scratch()
+    assert [(r["doc_a"], r["doc_b"]) for r in got] == [(2, 1)]
+    assert got[0]["containment"] == 1.0
+    jac = dedup.jaccard_similarity_join(df, threshold=0.3).collect()
+    dedup.clear_shingle_scratch()
+    assert jac == []  # jaccard ≈ 28/328: the excerpt is invisible to it
+
+
+def test_containment_prefix_filter_is_exact(spark):
+    """Prefix-filtered result == naive all-pairs verification on a
+    corpus with overlapping token windows (candidates pruned, answers
+    identical)."""
+    from data_pipeline_demo_spark.operators.textprep import shingle_hash_sets
+
+    docs = []
+    base = [f"w{i}" for i in range(60)]
+    for d in range(20):
+        lo = (d * 3) % 40
+        docs.append((d, " ".join(base[lo : lo + 25])))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["doc_a"], r["doc_b"]): r["containment"]
+        for r in dedup.containment_join(df, threshold=0.6).collect()
+    }
+    sets = {
+        r["doc_id"]: set(r["sh"])
+        for r in shingle_hash_sets(df, "text", "doc_id", 3).collect()
+    }
+    dedup.clear_shingle_scratch()
+    want = {}
+    for a, sa in sets.items():
+        for b, sb in sets.items():
+            if a != b and sa and len(sa & sb) / len(sa) >= 0.6:
+                want[(a, b)] = len(sa & sb) / len(sa)
+    assert got.keys() == want.keys()
+    for p in want:
+        assert abs(got[p] - want[p]) < 1e-12
+
+
+def test_containment_short_docs_excluded(spark):
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "a b c d e f g")], "doc_id long, text string"
+    )
+    got = dedup.containment_join(df, threshold=0.5).collect()
+    dedup.clear_shingle_scratch()
+    # doc 1 has < k tokens -> no shingles -> no pair in either direction
+    assert got == []
