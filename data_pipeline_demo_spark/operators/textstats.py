@@ -421,3 +421,38 @@ def ngram_lm(
         .withColumn("p", F.col("c") / F.col("c_prefix"))
         .filter(F.col("c") >= min_count)
     )
+
+
+# --- compression-ratio quality signal -------------------------------------
+
+
+def compression_ratio(text: Column | str) -> Column:
+    """``len(zlib(text)) / len(text)`` in bytes — the classic two-sided
+    entropy filter (used in Gopher/C4-style curation, public recipes):
+    boilerplate and template spam compress far below natural prose,
+    while random noise/binary-in-text refuses to compress. Natural
+    text sits in a stable middle band; gate with
+    ``between(lo, hi)``. Arrow-batched pandas UDF (zlib is C-speed; the
+    per-doc call is the irreducible cost), null/empty → null."""
+    import pandas as pd
+
+    def ratio(s):
+        import zlib
+
+        def one(t):
+            if t is None:
+                return None
+            raw = t.encode("utf-8")
+            if not raw:
+                return None
+            return len(zlib.compress(raw, 6)) / len(raw)
+
+        return s.map(one)
+
+    # hints would be PEP-563 strings here (module-level `from __future__
+    # import annotations`) and unresolvable in this module's globals, so
+    # the eval type is pinned via explicit annotations instead
+    ratio.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return F.pandas_udf(ratio, "double")(
+        F.col(text) if isinstance(text, str) else text
+    )

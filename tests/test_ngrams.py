@@ -84,3 +84,31 @@ def test_min_count_prunes_after_normalization(docs):
 def test_plan_is_udf_free(docs):
     plan = textstats.ngram_lm(docs, n=2)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_compression_ratio_separates_entropy_bands(spark):
+    """Repetitive boilerplate compresses hard, random hex refuses to,
+    prose sits between — the two-sided band the filter gates on."""
+    import random
+
+    random.seed(5)
+    rep = "click here to win " * 60
+    prose = (
+        "The committee reviewed the proposal in detail and concluded "
+        "that further analysis of the revenue projections was required "
+        "before any commitment could be made to the expanded program."
+    ) * 4
+    noise = "".join(random.choice("0123456789abcdef") for _ in range(1000))
+    df = spark.createDataFrame(
+        [(1, rep), (2, prose), (3, noise), (4, None), (5, "")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["cr"]
+        for r in df.select(
+            "doc_id", textstats.compression_ratio("text").alias("cr")
+        ).collect()
+    }
+    assert got[1] < got[2] < got[3]
+    assert got[1] < 0.15 and got[3] > 0.5
+    assert got[4] is None and got[5] is None
