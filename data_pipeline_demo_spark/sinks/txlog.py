@@ -570,16 +570,41 @@ def txlog_upsert(
     return sum(row_counts.values())
 
 
+def _version_at_timestamp(
+    spark: SparkSession, root_path: str, timestamp_ms: int
+) -> int:
+    """Greatest version committed at or before ``timestamp_ms`` (Delta's
+    TIMESTAMP AS OF resolution). Raises when the timestamp predates the
+    table's first commit."""
+    jvm = spark._jvm
+    fs, root = _hadoop_fs(spark, root_path)
+    commits = jvm.org.apache.hadoop.fs.Path(root, COMMITS_DIR)
+    candidates = [
+        v
+        for v in _manifest_versions(fs, commits)
+        if _read_manifest(spark, root_path, v).get("committed_at_ms", 0)
+        <= timestamp_ms
+    ]
+    if not candidates:
+        raise ValueError(
+            f"no txtable commit at {root_path} at or before "
+            f"timestamp_ms={timestamp_ms}"
+        )
+    return candidates[-1]
+
+
 def read_txtable(
     spark: SparkSession,
     root_path: str,
     version: int | None = None,
     prune_between: dict[str, tuple] | None = None,
+    timestamp_ms: int | None = None,
 ) -> DataFrame:
-    """Read a snapshot: the latest committed version, or an explicit
-    ``version`` for time travel. The file list comes entirely from the
-    manifest — uncommitted data directories are invisible by
-    construction.
+    """Read a snapshot: the latest committed version, an explicit
+    ``version``, or ``timestamp_ms`` (the last version committed at or
+    before it — Delta's ``TIMESTAMP AS OF``; at most one of the two).
+    The file list comes entirely from the manifest — uncommitted data
+    directories are invisible by construction.
 
     ``prune_between={col: (lo, hi)}``: manifest zone-map pruning. A
     bucket whose recorded [min, max] for ``col`` cannot intersect
@@ -591,6 +616,10 @@ def read_txtable(
     buckets); buckets with no recorded stats are conservatively kept.
     Requires the table to have been created with ``stats_columns``.
     """
+    if version is not None and timestamp_ms is not None:
+        raise ValueError("pass at most one of version / timestamp_ms")
+    if timestamp_ms is not None:
+        version = _version_at_timestamp(spark, root_path, timestamp_ms)
     manifest = (
         _latest_manifest(spark, root_path)
         if version is None
@@ -1112,6 +1141,7 @@ def txtable_history(spark: SparkSession, root_path: str) -> list[dict]:
                 "version": v,
                 "num_buckets_live": len(m["buckets"]),
                 "rows": sum(m["row_counts"].values()),
+                "committed_at_ms": m.get("committed_at_ms"),
             }
         )
     return out
@@ -1156,21 +1186,7 @@ def restore_txtable(
     if cur is None:
         raise FileNotFoundError(f"no committed txtable at {root_path}")
     if timestamp_ms is not None:
-        jvm = spark._jvm
-        fs, root = _hadoop_fs(spark, root_path)
-        commits = jvm.org.apache.hadoop.fs.Path(root, COMMITS_DIR)
-        candidates = [
-            v
-            for v in _manifest_versions(fs, commits)
-            if _read_manifest(spark, root_path, v).get("committed_at_ms", 0)
-            <= timestamp_ms
-        ]
-        if not candidates:
-            raise ValueError(
-                f"no txtable commit at {root_path} at or before "
-                f"timestamp_ms={timestamp_ms}"
-            )
-        version = candidates[-1]
+        version = _version_at_timestamp(spark, root_path, timestamp_ms)
     if version == cur["version"]:
         return version  # already there: no-op, no empty commit
     src = _read_manifest(spark, root_path, version)

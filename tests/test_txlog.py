@@ -1038,3 +1038,26 @@ class TestUpdate:
         assert by_type == {"update": 4}
         old = read_tx(spark, root, version=0)
         assert old.filter("status = 'done'").count() == 0
+
+
+def test_read_timestamp_time_travel(spark, tmp_path):
+    """read_txtable(timestamp_ms=...) resolves to the last version
+    committed at or before the timestamp — Delta's TIMESTAMP AS OF on
+    the read path (restore already had it)."""
+    from data_pipeline_demo_spark.sinks.txlog import (
+        read_txtable as read_tx,
+        txtable_history,
+    )
+
+    root = str(tmp_path / "t")
+    txlog_upsert(spark, spark.createDataFrame([(1, "a")], "id long, v string"), root)
+    txlog_upsert(spark, spark.createDataFrame([(2, "b")], "id long, v string"), root)
+    hist = txtable_history(spark, root)
+    t0 = hist[0]["committed_at_ms"]
+    t1 = hist[1]["committed_at_ms"]
+    assert read_tx(spark, root, timestamp_ms=t0).count() == 1
+    assert read_tx(spark, root, timestamp_ms=t1 + 10_000).count() == 2
+    with pytest.raises(ValueError, match="at or before"):
+        read_tx(spark, root, timestamp_ms=t0 - 10_000)
+    with pytest.raises(ValueError, match="at most one"):
+        read_tx(spark, root, version=0, timestamp_ms=t0)
