@@ -485,3 +485,84 @@ def _duration_ms(text: str) -> int:
         "days": 86_400_000,
     }[unit]
     return int(qty) * mult
+
+
+def make_sketch_batch_fn(
+    root_path: str,
+    group_cols: list[str],
+    value_col: str,
+    lg_k: int = 12,
+    txn_app_id: str = "sketch-maintenance",
+):
+    """foreachBatch callback behind :func:`stream_distinct_sketches`,
+    exposed for direct testing."""
+    from pyspark.sql import functions as SF
+
+    from ..operators import sketches
+    from ..sinks.txlog import read_txtable, txlog_upsert
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        new = sketches.distinct_sketch(
+            batch_df, group_cols, value_col, lg_k=lg_k
+        )
+        try:
+            old = read_txtable(spark, root_path).select(
+                *group_cols, "sketch"
+            )
+            merged = sketches.sketch_merge_batches(old, new, group_cols)
+        except FileNotFoundError:
+            merged = new
+        keyed = merged.withColumn(
+            "__gkey", SF.concat_ws("\x1f", *[SF.col(c).cast("string") for c in group_cols])
+        )
+        txlog_upsert(
+            spark,
+            keyed,
+            root_path,
+            key="__gkey",
+            txn_app_id=txn_app_id,
+            txn_version=batch_id,
+        )
+
+    return write_batch
+
+
+def stream_distinct_sketches(
+    stream: DataFrame,
+    root_path: str,
+    group_cols: list[str],
+    value_col: str,
+    checkpoint: str | None = None,
+    lg_k: int = 12,
+    txn_app_id: str = "sketch-maintenance",
+):
+    """Continuously-maintained COUNT(DISTINCT) sketch table: each
+    micro-batch sketches its own rows (map-side combinable HLL agg),
+    unions them into the at-rest per-group sketches, and commits the
+    result to a transactional txtable — stream + sketch + log composed:
+
+    - cost per trigger is O(groups touched + table groups), never
+      O(history): the raw stream is never retained, only the KB-sized
+      register state per group;
+    - HLL union is register-max — ORDER-INDEPENDENT — so the maintained
+      table equals the sketch of the whole history regardless of how
+      the stream was micro-batched (asserted in tests);
+    - the txn watermark (txnAppId/batchId) makes a replayed micro-batch
+      a log-level no-op, so the union is applied exactly once — the
+      property that matters here, because re-unioning a batch is
+      harmless for distinct counts but would NOT be for additive stats.
+
+    Readers get any-grain rollups from the maintained table via
+    ``sketches.sketch_rollup`` + ``estimate`` without touching the
+    stream or its history. Caller picks the trigger.
+    """
+    write_batch = make_sketch_batch_fn(
+        root_path, group_cols, value_col, lg_k=lg_k, txn_app_id=txn_app_id
+    )
+    writer = stream.writeStream.foreachBatch(write_batch).outputMode("update")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer

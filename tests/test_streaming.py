@@ -441,3 +441,47 @@ def test_activity_monitor_gated_without_protobuf(spark, event_stream_source):
     else:  # pragma: no cover - environment-dependent e2e
         out = jobs.user_activity_monitor(stream)
         assert "is_final" in out.schema.names
+
+
+def test_stream_sketch_maintenance_order_independent(spark, event_stream_source, tmp_path):
+    """Continuously-maintained HLL sketch table: streaming the events in
+    micro-batches then estimating equals sketching the whole history in
+    one batch (HLL union is register-max, order-independent), and a
+    replayed micro-batch is a log-level no-op."""
+    from data_pipeline_demo_spark.operators import sketches
+    from data_pipeline_demo_spark.sinks.txlog import read_txtable, txtable_history
+    from data_pipeline_demo_spark.streaming.jobs import make_sketch_batch_fn
+
+    path, schema = event_stream_source
+    root = str(tmp_path / "sk")
+    ev = spark.read.schema(schema).parquet(path).select("event_type", "user_id")
+
+    fn = make_sketch_batch_fn(root, ["event_type"], "user_id", lg_k=12)
+    # drive the callback directly with a 3-way split = 3 micro-batches
+    parts = [
+        ev.filter(F.pmod(F.col("user_id"), F.lit(3)) == i) for i in range(3)
+    ]
+    for i, p in enumerate(parts):
+        fn(p, i)
+
+    maintained = sketches.estimate(
+        read_txtable(spark, root).select("event_type", "sketch")
+    )
+    direct = sketches.estimate(
+        sketches.distinct_sketch(ev, ["event_type"], "user_id", lg_k=12)
+    )
+    m = {r["event_type"]: r["approx_distinct"] for r in maintained.collect()}
+    d = {r["event_type"]: r["approx_distinct"] for r in direct.collect()}
+    assert m == d  # register-level union: bit-equal estimates
+
+    # replay of batch 1: txn watermark skips, nothing changes
+    v = len(txtable_history(spark, root))
+    fn(parts[1], 1)
+    assert len(txtable_history(spark, root)) == v
+    m2 = {
+        r["event_type"]: r["approx_distinct"]
+        for r in sketches.estimate(
+            read_txtable(spark, root).select("event_type", "sketch")
+        ).collect()
+    }
+    assert m2 == d
