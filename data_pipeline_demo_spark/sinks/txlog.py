@@ -1216,6 +1216,7 @@ def vacuum_txtable(
     root_path: str,
     keep_last: int = 1,
     retain_hours: float | None = None,
+    dry_run: bool = False,
 ) -> int:
     """Garbage-collect: keep the newest ``keep_last`` manifests plus —
     when ``retain_hours`` is set — every manifest committed within that
@@ -1223,6 +1224,10 @@ def vacuum_txtable(
     references (aborted-commit orphans included), and crash-leftover
     ``.tmp-*`` / reader-quarantined ``.quarantine-*`` files. Returns
     files deleted.
+
+    ``dry_run=True`` (Delta's ``VACUUM ... DRY RUN``): walk and COUNT
+    exactly what a real run would delete, touch nothing — the
+    operational safety check before an aggressive retention change.
 
     Reader hazard (why ``retain_hours`` exists): a count-only policy
     can delete files under a READER — Spark DataFrames are lazy, so a
@@ -1266,6 +1271,7 @@ def vacuum_txtable(
                 continue
             commit_name = commit_st.getPath().getName()
             any_kept = False
+            counted_here = 0
             for bucket_st in fs.listStatus(commit_st.getPath()):
                 if not bucket_st.isDirectory():
                     continue
@@ -1275,23 +1281,36 @@ def vacuum_txtable(
                     if rel in live:
                         any_kept = True
                     elif file_st.isFile():
-                        fs.delete(file_st.getPath(), False)
+                        if not dry_run:
+                            fs.delete(file_st.getPath(), False)
                         deleted += 1
+                        counted_here += 1
             if not any_kept:
-                deleted += int(
+                # the whole commit dir goes: count its remaining files
+                # (write markers etc.) once, then remove recursively. A
+                # dry run deleted nothing above, so the summary still
+                # includes the per-file-counted ones — subtract them to
+                # report exactly what a real run would.
+                remaining = int(
                     fs.getContentSummary(commit_st.getPath()).getFileCount()
                 )
-                fs.delete(commit_st.getPath(), True)
+                if dry_run:
+                    remaining -= counted_here
+                deleted += max(remaining, 0)
+                if not dry_run:
+                    fs.delete(commit_st.getPath(), True)
     for v in versions:
         if v not in keep:
-            fs.delete(_commit_path(jvm, root, v), False)
+            if not dry_run:
+                fs.delete(_commit_path(jvm, root, v), False)
     # Crash-leftover tmp manifests and reader-quarantined corrupt
     # manifests (dot-prefixed, invisible to resolution) — safe to sweep
     # under the single-writer maintenance assumption above.
     for st in fs.listStatus(commits):
         name = st.getPath().getName()
         if name.startswith(".tmp-") or name.startswith(".quarantine-"):
-            fs.delete(st.getPath(), False)
+            if not dry_run:
+                fs.delete(st.getPath(), False)
             deleted += 1
     return deleted
 

@@ -1061,3 +1061,27 @@ def test_read_timestamp_time_travel(spark, tmp_path):
         read_tx(spark, root, timestamp_ms=t0 - 10_000)
     with pytest.raises(ValueError, match="at most one"):
         read_tx(spark, root, version=0, timestamp_ms=t0)
+
+
+def test_vacuum_dry_run_counts_without_deleting(spark, tmp_path):
+    from data_pipeline_demo_spark.sinks.txlog import vacuum_txtable
+
+    root = str(tmp_path / "t")
+    for i in range(3):
+        txlog_upsert(
+            spark,
+            spark.createDataFrame([(i, f"v{i}")], "id long, v string"),
+            root,
+            num_buckets=2,
+        )
+    would = vacuum_txtable(spark, root, keep_last=1, dry_run=True)
+    assert would > 0
+    # nothing was touched: all three versions still read
+    for v in range(3):
+        assert read_txtable(spark, root, version=v).count() == v + 1
+    # the real run deletes exactly what the dry run counted
+    did = vacuum_txtable(spark, root, keep_last=1)
+    assert did == would
+    assert read_txtable(spark, root).count() == 3
+    with pytest.raises(FileNotFoundError):
+        read_txtable(spark, root, version=0)
