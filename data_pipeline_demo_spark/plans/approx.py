@@ -67,3 +67,6 @@ register("q90_quantile_sketch")(llm_ops.q90_quantile_sketch)
 register("q91_containment_join", oracle=llm_ops._DUCK_CONTAINMENT)(
     llm_ops.q91_containment_join
 )
+register("q92_dml_roundtrip", oracle=llm_ops._DUCK_DML_ROUNDTRIP)(
+    llm_ops.q92_dml_roundtrip
+)

@@ -950,3 +950,64 @@ def q91_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.containment_join(
         table(spark, sf_dir, "documents"), threshold=0.8
     )
+
+
+_DUCK_DML_ROUNDTRIP = """
+    WITH base AS (
+      SELECT l_orderkey * 8 + l_linenumber AS li_id,
+             l_orderkey, l_quantity, l_extendedprice
+      FROM lineitem WHERE l_orderkey < 1000
+    ), upd AS (
+      SELECT li_id, l_orderkey,
+             CASE WHEN l_orderkey % 7 = 0 THEN l_quantity + 100
+                  ELSE l_quantity END AS l_quantity,
+             l_extendedprice
+      FROM base
+    )
+    SELECT li_id, l_orderkey, l_quantity, l_extendedprice
+    FROM upd WHERE NOT (l_quantity < 10)
+"""
+
+
+def q92_dml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full transactional DML stack under the value-exact oracle:
+    a lineitem slice lands through ``df.write.format("txtable")`` (the
+    python writer — vectorized bucket parity on the write path), then
+    ``txlog_update`` rewrites matched buckets with SQL UPDATE
+    semantics, ``txlog_delete`` removes a predicate band, and the final
+    snapshot reads back through ``read_txtable``. The oracle replays
+    write→update→delete as pure SQL (CASE + anti-predicate), so a
+    hash match certifies bucketing, the commit protocol, and both DML
+    verbs end-to-end — not just each in isolation."""
+    import tempfile
+
+    from ..sinks.txlog import read_txtable, txlog_delete, txlog_update
+
+    root = tempfile.mkdtemp(prefix="q92-dml-") + "/t"
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") < 1000)
+        .select(
+            (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("li_id"),
+            "l_orderkey",
+            "l_quantity",
+            "l_extendedprice",
+        )
+    )
+    (
+        li.write.format("txtable")
+        .option("key", "li_id")
+        .option("numBuckets", "8")
+        .mode("append")
+        .save(root)
+    )
+    txlog_update(
+        spark,
+        root,
+        set={"l_quantity": "l_quantity + 100"},
+        where="l_orderkey % 7 = 0",
+    )
+    txlog_delete(spark, root, where="l_quantity < 10")
+    return read_txtable(spark, root).select(
+        "li_id", "l_orderkey", "l_quantity", "l_extendedprice"
+    )

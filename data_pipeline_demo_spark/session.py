@@ -120,4 +120,7 @@ def ensure_runtime_confs(spark: SparkSession) -> SparkSession:
             spark.conf.set(k, v)
         except Exception:
             pass  # non-settable on this build — keep going
+    # the engine's data sources are part of its query surface: a foreign
+    # session running registry queries needs format("txtable") resolvable
+    _register_engine_sources(spark)
     return spark
