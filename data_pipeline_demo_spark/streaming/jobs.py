@@ -491,28 +491,55 @@ def make_sketch_batch_fn(
     root_path: str,
     group_cols: list[str],
     value_col: str,
+    kind: str = "distinct",
     lg_k: int = 12,
+    k: int = 64,
     txn_app_id: str = "sketch-maintenance",
 ):
     """foreachBatch callback behind :func:`stream_distinct_sketches`,
-    exposed for direct testing."""
+    exposed for direct testing and generalized over the three mergeable
+    summaries: ``kind="distinct"`` (HLL — union is order-independent,
+    maintained table bit-equals one-shot sketching), ``"heavy_hitters"``
+    (MG — stored ≤ true ≤ stored+err carried through every merge) and
+    ``"quantile"`` (MRL — rank-error bound preserved under merging)."""
     from pyspark.sql import functions as SF
 
     from ..operators import sketches
     from ..sinks.txlog import read_txtable, txlog_upsert
 
+    state_cols = {
+        "distinct": ["sketch"],
+        "heavy_hitters": ["items", "n", "err"],
+        "quantile": ["levels", "n"],
+    }
+    if kind not in state_cols:
+        raise ValueError(f"unknown sketch kind {kind!r}")
+
+    def sketch_batch(df: DataFrame) -> DataFrame:
+        if kind == "distinct":
+            return sketches.distinct_sketch(df, group_cols, value_col, lg_k=lg_k)
+        if kind == "heavy_hitters":
+            return sketches.heavy_hitters_sketch(df, group_cols, value_col, k=k)
+        return sketches.quantile_sketch(df, group_cols, value_col, k=k)
+
+    def merge(old: DataFrame, new: DataFrame) -> DataFrame:
+        both = old.unionByName(new)
+        if kind == "distinct":
+            return sketches.sketch_merge_batches(old, new, group_cols)
+        if kind == "heavy_hitters":
+            return sketches.heavy_hitters_rollup(both, group_cols, k=k)
+        return sketches.quantile_rollup(both, group_cols, k=k)
+
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
-        new = sketches.distinct_sketch(
-            batch_df, group_cols, value_col, lg_k=lg_k
-        )
+        new = sketch_batch(batch_df)
         try:
             old = read_txtable(spark, root_path).select(
-                *group_cols, "sketch"
+                *group_cols, *state_cols[kind]
             )
-            merged = sketches.sketch_merge_batches(old, new, group_cols)
+            merged = merge(old, new)
         except FileNotFoundError:
             merged = new
         keyed = merged.withColumn(
@@ -560,7 +587,8 @@ def stream_distinct_sketches(
     stream or its history. Caller picks the trigger.
     """
     write_batch = make_sketch_batch_fn(
-        root_path, group_cols, value_col, lg_k=lg_k, txn_app_id=txn_app_id
+        root_path, group_cols, value_col, kind="distinct", lg_k=lg_k,
+        txn_app_id=txn_app_id,
     )
     writer = stream.writeStream.foreachBatch(write_batch).outputMode("update")
     if checkpoint:

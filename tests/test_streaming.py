@@ -485,3 +485,48 @@ def test_stream_sketch_maintenance_order_independent(spark, event_stream_source,
         ).collect()
     }
     assert m2 == d
+
+
+def test_stream_sketch_maintenance_hh_and_quantile(spark, event_stream_source, tmp_path):
+    """The generalized maintenance kinds: heavy-hitter bounds and
+    quantile rank error both hold on the maintained tables after
+    micro-batched ingestion."""
+    import json as _json
+
+    from data_pipeline_demo_spark.operators import sketches
+    from data_pipeline_demo_spark.sinks.txlog import read_txtable
+    from data_pipeline_demo_spark.streaming.jobs import make_sketch_batch_fn
+
+    path, schema = event_stream_source
+    ev = spark.read.schema(schema).parquet(path)
+
+    hh_root = str(tmp_path / "hh")
+    fn = make_sketch_batch_fn(hh_root, ["event_type"], "user_id", kind="heavy_hitters", k=8)
+    for i in range(3):
+        fn(ev.filter(F.pmod(F.col("user_id"), F.lit(3)) == i), i)
+    truth = {
+        (r["event_type"], str(r["user_id"])): r["count"]
+        for r in ev.groupBy("event_type", "user_id").count().collect()
+    }
+    for r in read_txtable(spark, hh_root).collect():
+        for v, stored in _json.loads(r["items"]).items():
+            t = truth.get((r["event_type"], v), 0)
+            assert stored <= t <= stored + r["err"]
+
+    q_root = str(tmp_path / "q")
+    fn = make_sketch_batch_fn(q_root, ["event_type"], "value", kind="quantile", k=256)
+    for i in range(3):
+        fn(ev.filter(F.pmod(F.col("user_id"), F.lit(3)) == i), i)
+    est = sketches.quantile_estimate(
+        read_txtable(spark, q_root).select("event_type", "levels", "n"),
+        [0.5, 0.95],
+    ).collect()
+    import bisect
+
+    vals_by_type: dict = {}
+    for r in ev.select("event_type", "value").collect():
+        vals_by_type.setdefault(r["event_type"], []).append(r["value"])
+    for r in est:
+        vals = sorted(vals_by_type[r["event_type"]])
+        rank = bisect.bisect_right(vals, r["value"])
+        assert abs(rank - r["prob"] * len(vals)) / len(vals) <= 0.03
