@@ -299,6 +299,10 @@ tx_ops = st.lists(
             st.lists(st.integers(0, 12), min_size=1, max_size=4),
         ),
         st.tuples(st.just("delete_where"), st.integers(0, 10**6)),
+        st.tuples(
+            st.just("update_where"),
+            st.tuples(st.integers(0, 10**6), st.integers(1, 1000)),
+        ),
     ),
     min_size=1,
     max_size=6,
@@ -345,12 +349,26 @@ def test_txlog_upsert_delete_matches_dict_model(spark, ops):
                 for k in arg:
                     model.pop(k, None)
                 assert n == expect
-            else:  # delete_where: v > threshold
+            elif kind == "delete_where":  # v > threshold
                 n = txlog_delete(spark, root, where=f"v > {arg}")
                 doomed = [k for k, v in model.items() if v > arg]
                 for k in doomed:
                     del model[k]
                 assert n == len(doomed)
+            else:  # update_where: v > threshold -> v += delta
+                thresh, delta = arg
+                from data_pipeline_demo_spark.sinks.txlog import txlog_update
+
+                n = txlog_update(
+                    spark,
+                    root,
+                    set={"v": f"v + {delta}"},
+                    where=f"v > {thresh}",
+                )
+                hits = [k for k, v in model.items() if v > thresh]
+                for k in hits:
+                    model[k] += delta
+                assert n == len(hits)
             if model:
                 got = {
                     r["id"]: r["v"] for r in read_txtable(spark, root).collect()
