@@ -1124,6 +1124,54 @@ def shallow_clone_txtable(
     return sum(src["row_counts"].values())
 
 
+def deep_clone_txtable(
+    spark: SparkSession,
+    source_root: str,
+    target_root: str,
+    version: int | None = None,
+    timestamp_ms: int | None = None,
+) -> int:
+    """Self-contained copy of a snapshot (Delta ``CLONE`` deep
+    semantics): the snapshot's rows are REWRITTEN into the target's own
+    ``data/`` directory with the source's key/bucketing/stats spec, so
+    the result has no dependency on the source's files — vacuum the
+    source freely, ship the target elsewhere. The complement of
+    :func:`shallow_clone_txtable` (zero-copy, source-dependent):
+    shallow to branch cheaply, deep to detach.
+
+    One full read + bucketed write of the chosen snapshot — O(snapshot)
+    data IO by definition; history does NOT come along (the clone
+    starts at version 0, Delta parity), and writer-idempotency
+    watermarks are not inherited for the same reason as the shallow
+    clone. At most one of ``version`` / ``timestamp_ms``. Returns the
+    cloned row count.
+    """
+    if version is not None and timestamp_ms is not None:
+        raise ValueError("pass at most one of version / timestamp_ms")
+    if timestamp_ms is not None:
+        version = _version_at_timestamp(spark, source_root, timestamp_ms)
+    m = (
+        _latest_manifest(spark, source_root)
+        if version is None
+        else _read_manifest(spark, source_root, version)
+    )
+    if m is None:
+        raise FileNotFoundError(f"no committed txtable at {source_root}")
+    if _latest_manifest(spark, target_root) is not None:
+        raise FileExistsError(
+            f"deep clone target {target_root} is already a txtable"
+        )
+    rows = read_txtable(spark, source_root, version=version)
+    return txlog_upsert(
+        spark,
+        rows,
+        target_root,
+        key=m["key"],
+        num_buckets=m["num_buckets"],
+        stats_columns=m.get("stats_columns", []) or None,
+    )
+
+
 def txtable_history(spark: SparkSession, root_path: str) -> list[dict]:
     """All committed versions, oldest first: version, buckets touched
     count, total rows — the audit trail a lakehouse DESCRIBE HISTORY

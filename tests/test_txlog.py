@@ -1085,3 +1085,42 @@ def test_vacuum_dry_run_counts_without_deleting(spark, tmp_path):
     assert read_txtable(spark, root).count() == 3
     with pytest.raises(FileNotFoundError):
         read_txtable(spark, root, version=0)
+
+
+def test_deep_clone_detaches_from_source(spark, tmp_path):
+    """Deep clone: same rows, fresh history, and the clone survives the
+    source's files being vacuumed away (the exact failure a shallow
+    clone is documented to have)."""
+    from data_pipeline_demo_spark.sinks.txlog import (
+        deep_clone_txtable,
+        txtable_history,
+        vacuum_txtable,
+    )
+
+    src = str(tmp_path / "src")
+    tgt = str(tmp_path / "tgt")
+    for i in range(2):
+        txlog_upsert(
+            spark,
+            spark.createDataFrame(
+                [(j, f"v{i}") for j in range(10 * (i + 1))], "id long, v string"
+            ),
+            src,
+            num_buckets=4,
+        )
+    n = deep_clone_txtable(spark, src, tgt, version=0)
+    assert n == 10
+    assert len(txtable_history(spark, tgt)) == 1  # fresh history
+    # obliterate the source's old files entirely
+    vacuum_txtable(spark, src, keep_last=1)
+    import shutil as _sh
+
+    _sh.rmtree(src)
+    got = {r["id"]: r["v"] for r in read_txtable(spark, tgt).collect()}
+    assert got == {j: "v0" for j in range(10)}
+    # spec carried over: merging into the clone respects source bucketing
+    assert txlog_upsert(
+        spark, spark.createDataFrame([(0, "x")], "id long, v string"), tgt
+    ) == 10
+    with pytest.raises(FileExistsError):
+        deep_clone_txtable(spark, tgt, tgt)
