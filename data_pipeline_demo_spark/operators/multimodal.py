@@ -283,3 +283,140 @@ def sample_frames(media: DataFrame, every_n: int = 2) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.select("media_id", "payload").mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+# --- audio tier ------------------------------------------------------------
+#
+# Completes the image/audio/video triad with the same seam pattern: a
+# deterministic fake PCM codec stands in for a real decoder (this
+# container has no audio libs), while the Spark-side plumbing — binary
+# payloads, typed metadata, vectorized per-batch DSP on the decoded
+# samples — is real and tested. The numpy work below (RMS, peak, linear
+# resample) IS what a production feature pass runs, just on real
+# decoder output.
+
+AUDIO_HEADER = ">4sqii"  # magic, media_id, sample_rate, n_samples
+AUDIO_MAGIC = b"FAUD"
+
+
+def fake_encode_audio(media_id: int, n_samples: int, rate: int = 16_000) -> bytes:
+    """Deterministic fake PCM container: header + int16 LE samples of a
+    media_id-keyed sine (amplitude 8000, frequency varies per id)."""
+    import numpy as np
+
+    t = np.arange(int(n_samples), dtype=np.float64)
+    freq = 220.0 + (int(media_id) % 16) * 55.0
+    samples = (8000.0 * np.sin(2.0 * np.pi * freq * t / rate)).astype("<i2")
+    header = struct.pack(AUDIO_HEADER, AUDIO_MAGIC, media_id, rate, int(n_samples))
+    return header + samples.tobytes()
+
+
+def _decode_audio(payload: bytes):
+    """(media_id, rate, samples ndarray) — the decoder seam."""
+    import numpy as np
+
+    hsize = struct.calcsize(AUDIO_HEADER)
+    magic, mid, rate, n = struct.unpack(AUDIO_HEADER, payload[:hsize])
+    if magic != AUDIO_MAGIC:
+        raise ValueError("not a fake-PCM payload (real codec = seam)")
+    samples = np.frombuffer(payload[hsize:], dtype="<i2", count=n)
+    return mid, rate, samples
+
+
+def synthesize_audio(documents: DataFrame) -> DataFrame:
+    """Derive an audio table from `documents`: 0.05-0.5s deterministic
+    clips, length varying per item."""
+    d = documents.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("audio").alias("kind"),
+        ((F.col("n_chars") % 8 + 1) * 1000).cast("int").alias("n_samples"),
+    )
+
+    @F.pandas_udf(T.BinaryType())
+    def make_audio(mid: pd.Series, ns: pd.Series) -> pd.Series:
+        return pd.Series(
+            [fake_encode_audio(int(m), int(n)) for m, n in zip(mid, ns)]
+        )
+
+    with_payload = d.withColumn("payload", make_audio("media_id", "n_samples"))
+    return with_payload.select(
+        "media_id",
+        "kind",
+        "payload",
+        F.struct(
+            F.lit("audio/fake-pcm").alias("content_type"),
+            F.length("payload").cast("long").alias("n_bytes"),
+            F.sha2("payload", 256).alias("sha256"),
+        ).alias("meta"),
+        "n_samples",
+    )
+
+
+AUDIO_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("duration_s", T.DoubleType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("peak", T.DoubleType()),
+    ]
+)
+
+
+def audio_stats(media: DataFrame) -> DataFrame:
+    """REAL per-clip DSP features over the decoded samples: duration,
+    RMS, peak — one numpy pass per payload inside mapInPandas (map-only,
+    no shuffle; the audio analog of extract_features)."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for payload in pdf["payload"]:
+                mid, rate, s = _decode_audio(bytes(payload))
+                x = s.astype(np.float64)
+                rows.append(
+                    (
+                        mid,
+                        rate,
+                        len(s) / rate,
+                        float(np.sqrt(np.mean(x * x))) if len(s) else 0.0,
+                        float(np.abs(x).max()) if len(s) else 0.0,
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in AUDIO_STATS_SCHEMA.fields]
+            )
+
+    return media.select("payload").mapInPandas(run, AUDIO_STATS_SCHEMA)
+
+
+def resample_audio(media: DataFrame, target_rate: int = 8_000) -> DataFrame:
+    """REAL rate conversion: linear interpolation onto the target grid
+    (numpy vectorized per clip), re-encoded into the same container —
+    the normalize-before-training pass. Map-only."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for payload in pdf["payload"]:
+                mid, rate, s = _decode_audio(bytes(payload))
+                n_out = max(1, int(round(len(s) * target_rate / rate)))
+                grid = np.linspace(0, len(s) - 1, n_out)
+                res = np.interp(grid, np.arange(len(s)), s.astype(np.float64))
+                hdr = struct.pack(
+                    AUDIO_HEADER, AUDIO_MAGIC, mid, target_rate, n_out
+                )
+                out.append(
+                    (mid, hdr + res.astype("<i2").tobytes(), target_rate, n_out)
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["media_id", "payload", "sample_rate", "n_samples"],
+            )
+
+    return media.select("payload").mapInPandas(
+        run,
+        "media_id long, payload binary, sample_rate int, n_samples int",
+    )

@@ -70,3 +70,4 @@ register("q91_containment_join", oracle=llm_ops._DUCK_CONTAINMENT)(
 register("q92_dml_roundtrip", oracle=llm_ops._DUCK_DML_ROUNDTRIP)(
     llm_ops.q92_dml_roundtrip
 )
+register("q93_audio_stats")(llm_ops.q93_audio_stats)

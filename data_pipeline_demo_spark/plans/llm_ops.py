@@ -1011,3 +1011,24 @@ def q92_dml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_txtable(spark, root).select(
         "li_id", "l_orderkey", "l_quantity", "l_extendedprice"
     )
+
+
+def q93_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio tier of the multimodal surface (operators/multimodal.py):
+    deterministic fake-PCM clips derived from documents, decoded and
+    feature-extracted (duration/RMS/peak) with one numpy pass per clip
+    inside mapInPandas — map-only, the audio analog of q52 (image
+    features) and q57 (video frame sampling). Rows-only: the codec is
+    a declared seam; signal math is pytest-proven against closed-form
+    sine values (tests/test_llm_ops.py)."""
+    from ..operators import multimodal
+
+    docs = table(spark, sf_dir, "documents")
+    audio = multimodal.synthesize_audio(docs)
+    return multimodal.audio_stats(audio).select(
+        "media_id",
+        "sample_rate",
+        F.round("duration_s", 4).alias("duration_s"),
+        F.round("rms", 2).alias("rms"),
+        F.round("peak", 2).alias("peak"),
+    )

@@ -1,6 +1,7 @@
 """LLM-op correctness the oracle can't check: LSH recall vs exact,
 SimHash determinism, ANN recall, multimodal plumbing."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from data_pipeline_demo_spark.operators import dedup, multimodal, similarity
@@ -1133,3 +1134,49 @@ def test_containment_short_docs_excluded(spark):
     dedup.clear_shingle_scratch()
     # doc 1 has < k tokens -> no shingles -> no pair in either direction
     assert got == []
+
+
+# --- audio tier ------------------------------------------------------------
+
+
+def test_audio_stats_known_signal(spark, sf_dir):
+    """RMS of a full-amplitude sine ≈ A/√2, peak ≤ A, duration exact —
+    real DSP on the decoded samples."""
+    import math
+
+    docs = table(spark, sf_dir, "documents").limit(16)
+    audio = multimodal.synthesize_audio(docs)
+    stats = {r["media_id"]: r for r in multimodal.audio_stats(audio).collect()}
+    src = {r["media_id"]: r["n_samples"] for r in audio.collect()}
+    assert stats.keys() == src.keys()
+    for mid, r in stats.items():
+        assert r["duration_s"] == pytest.approx(src[mid] / r["sample_rate"])
+        assert r["rms"] == pytest.approx(8000 / math.sqrt(2), rel=0.05)
+        assert 7000 <= r["peak"] <= 8000
+
+
+def test_audio_resample_preserves_signal(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents").limit(8)
+    audio = multimodal.synthesize_audio(docs)
+    res = multimodal.resample_audio(audio, target_rate=8_000)
+    before = {r["media_id"]: r["n_samples"] for r in audio.collect()}
+    stats = {
+        r["media_id"]: r
+        for r in multimodal.audio_stats(
+            res.select("payload")
+        ).collect()
+    }
+    for mid, r in stats.items():
+        # half the rate -> half the samples, same duration
+        assert abs(r["duration_s"] - before[mid] / 16_000) < 1e-3
+        assert r["sample_rate"] == 8_000
+        # energy roughly preserved through linear interp (a 220-1045 Hz
+        # sine at 8 kHz is far below Nyquist)
+        import math
+
+        assert r["rms"] == pytest.approx(8000 / math.sqrt(2), rel=0.1)
+
+
+def test_audio_codec_seam_is_loud(spark):
+    with pytest.raises(ValueError, match="seam"):
+        multimodal._decode_audio(b"JUNKJUNKJUNKJUNKJUNKJUNK")
