@@ -47,11 +47,29 @@ __all__ = [
 class CorpusConfig:
     min_quality: float = 0.5
     langs: tuple[str, ...] = ("en",)
+    # optional two-sided zlib-entropy band (Gopher-style): docs whose
+    # compression ratio falls outside [lo, hi] are gated out — None
+    # disables the check (default: behavior unchanged)
+    compression_band: tuple[float, float] | None = None
     near_dup_threshold: float = 0.7
     sample_fraction: float = 1.0
     sample_salt: int = 0
     pack_budget: int = 2048
     num_shards: int = 1024
+
+
+def _quality_gate(cfg: CorpusConfig, text_col: str):
+    """The shared stage-1 gate (quality score + language + optional
+    compression band) — ONE definition so the full run and the
+    incremental refresh can never drift apart."""
+    gate = (
+        (textstats.quality_score(text_col) >= cfg.min_quality)
+        & textstats.lang_id(text_col).isin(*cfg.langs)
+    )
+    if cfg.compression_band is not None:
+        lo, hi = cfg.compression_band
+        gate = gate & textstats.compression_ratio(text_col).between(lo, hi)
+    return gate
 
 
 def prepare_training_corpus(
@@ -63,10 +81,7 @@ def prepare_training_corpus(
     """Run the 6-stage preparation chain; returns the packed corpus
     (input columns with ``text_col`` scrubbed, plus ``n_tokens``,
     ``pack_id``, ``pack_offset``)."""
-    gated = df.filter(
-        (textstats.quality_score(text_col) >= cfg.min_quality)
-        & textstats.lang_id(text_col).isin(*cfg.langs)
-    )
+    gated = df.filter(_quality_gate(cfg, text_col))
     scrubbed = gated.withColumn(text_col, textstats.scrub_pii(text_col))
     exact = dedup.exact_dedup_rows(scrubbed, text_col, id_col)
     pairs = dedup.minhash_dedup_pairs(
@@ -176,10 +191,7 @@ def refresh_training_corpus(
     identically — `tests/test_corpus.py` pins full ≡ old ∪ refresh on
     such data.
     """
-    gated = new_docs.filter(
-        (textstats.quality_score(text_col) >= cfg.min_quality)
-        & textstats.lang_id(text_col).isin(*cfg.langs)
-    )
+    gated = new_docs.filter(_quality_gate(cfg, text_col))
     scrubbed = gated.withColumn(text_col, textstats.scrub_pii(text_col))
     batch = dedup.exact_dedup_rows(scrubbed, text_col, id_col)
 

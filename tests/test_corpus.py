@@ -292,3 +292,31 @@ def test_remove_duplicate_spans_output_is_clean(spark, sf_dir):
         .count()
     )
     assert hits == 0
+
+
+def test_compression_band_gates_both_paths(spark):
+    """The optional zlib-entropy band drops boilerplate/noise in BOTH
+    the full run and the incremental refresh (one shared gate)."""
+    from data_pipeline_demo_spark.operators.corpus import (
+        CorpusConfig,
+        _quality_gate,
+    )
+
+    prose = (
+        "the committee is reviewing the analysis and the report of the "
+        "first quarter which is a detailed study of the trends in it"
+    )
+    # repetitive but English-passing (stopwords keep lang-ID = en), so
+    # ONLY the compression band can tell it apart from prose
+    boiler = "the offer is the best and it is a deal in the sale " * 20
+    df = spark.createDataFrame(
+        [(1, prose), (2, boiler)], "doc_id long, text string"
+    )
+    cfg_off = CorpusConfig(min_quality=0.0, langs=("en",))
+    cfg_on = CorpusConfig(
+        min_quality=0.0, langs=("en",), compression_band=(0.2, 0.9)
+    )
+    kept_off = {r["doc_id"] for r in df.filter(_quality_gate(cfg_off, "text")).collect()}
+    kept_on = {r["doc_id"] for r in df.filter(_quality_gate(cfg_on, "text")).collect()}
+    assert 2 in kept_off        # without the band the boilerplate passes
+    assert kept_on == {1}       # with it, only prose survives
