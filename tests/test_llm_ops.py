@@ -1180,3 +1180,58 @@ def test_audio_resample_preserves_signal(spark, sf_dir):
 def test_audio_codec_seam_is_loud(spark):
     with pytest.raises(ValueError, match="seam"):
         multimodal._decode_audio(b"JUNKJUNKJUNKJUNKJUNKJUNK")
+
+
+# --- certified fast exact kNN ----------------------------------------------
+
+
+def test_knn_exact_fast_bit_equals_exact(spark, sf_dir):
+    emb = table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    want = {
+        (r["probe_id"], r["vec_id"], r["cosine"], r["rank"])
+        for r in similarity.knn_exact(emb, probes, k=5).collect()
+    }
+    got = {
+        (r["probe_id"], r["vec_id"], r["cosine"], r["rank"])
+        for r in similarity.knn_exact_fast(emb, probes, k=5).collect()
+    }
+    assert got == want  # bit-exact scores AND identical ranking
+
+
+def test_knn_exact_fast_fallback_on_degenerate_ties(spark):
+    """A corpus of identical vectors defeats the certificate (every
+    cosine is 1.0) — the fallback must still reproduce knn_exact."""
+    rows = [(i, [1.0, 2.0, 3.0, 4.0]) for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    probes = df.limit(2).select(F.col("vec_id").alias("probe_id"), "embedding")
+    want = {
+        (r["probe_id"], r["vec_id"], r["cosine"], r["rank"])
+        for r in similarity.knn_exact(df, probes, k=5).collect()
+    }
+    got = {
+        (r["probe_id"], r["vec_id"], r["cosine"], r["rank"])
+        for r in similarity.knn_exact_fast(df, probes, k=5).collect()
+    }
+    assert got == want
+
+
+def test_knn_exact_fast_small_corpus(spark):
+    """Corpus smaller than k+margin: vacuous certificate, exact result."""
+    import numpy as np
+
+    rng = np.random.default_rng(2)
+    rows = [(i, [float(v) for v in rng.normal(size=8)]) for i in range(6)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    probes = df.limit(1).select(F.col("vec_id").alias("probe_id"), "embedding")
+    want = {
+        (r["probe_id"], r["vec_id"], r["cosine"], r["rank"])
+        for r in similarity.knn_exact(df, probes, k=5).collect()
+    }
+    got = {
+        (r["probe_id"], r["vec_id"], r["cosine"], r["rank"])
+        for r in similarity.knn_exact_fast(df, probes, k=5).collect()
+    }
+    assert got == want
