@@ -220,6 +220,13 @@ def main() -> None:
     dedup.minhash_dedup_pairs(tiny_docs, threshold=0.7).count()
     dedup.clear_shingle_scratch()
     tiny_emb = table(spark, sf_dir, "embeddings").limit(64)
+    # warm the tier q44 actually runs (certified fast path: BLAS scan +
+    # rescore join + literal-DF assembly) AND the pure tier it may fall
+    # back to — warming only one left the other's first run an outlier
+    similarity.knn_exact_fast(
+        tiny_emb,
+        tiny_emb.limit(2).select(F.col("vec_id").alias("probe_id"), "embedding"),
+    ).count()
     similarity.knn_exact(
         tiny_emb,
         tiny_emb.limit(2).select(F.col("vec_id").alias("probe_id"), "embedding"),
