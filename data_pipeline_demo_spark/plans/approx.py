@@ -71,3 +71,6 @@ register("q92_dml_roundtrip", oracle=llm_ops._DUCK_DML_ROUNDTRIP)(
     llm_ops.q92_dml_roundtrip
 )
 register("q93_audio_stats")(llm_ops.q93_audio_stats)
+register("q94_grouping_sets", oracle=relational._GROUPING_SETS_SQL)(
+    relational.q94_grouping_sets
+)

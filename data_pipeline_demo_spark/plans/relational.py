@@ -784,3 +784,28 @@ def q86_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     for name in ("orders", "customer"):
         table(spark, sf_dir, name).createOrReplaceTempView(name)
     return spark.sql(_CORRELATED_SQL)
+
+
+_GROUPING_SETS_SQL = """
+    SELECT o_orderpriority, o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(GROUPING(o_orderpriority) AS INT) AS g_prio,
+           CAST(GROUPING(o_orderstatus) AS INT) AS g_status
+    FROM orders
+    GROUP BY GROUPING SETS (
+      (o_orderpriority, o_orderstatus),
+      (o_orderpriority),
+      (o_orderstatus)
+    )
+"""
+
+
+def q94_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the irregular-lattice aggregation
+    ROLLUP/CUBE (q14) cannot express (here: both one-dimension margins
+    plus the full cross, but NO grand total). Submitted as literal SQL;
+    Spark plans ONE Expand + aggregate, not three scans. GROUPING()
+    flags disambiguate real nulls from subtotal rows, exactly as in the
+    DuckDB oracle."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_GROUPING_SETS_SQL)
