@@ -74,3 +74,6 @@ register("q93_audio_stats")(llm_ops.q93_audio_stats)
 register("q94_grouping_sets", oracle=relational._GROUPING_SETS_SQL)(
     relational.q94_grouping_sets
 )
+register("q95_indexed_lookup", oracle=llm_ops._DUCK_INDEXED_LOOKUP)(
+    llm_ops.q95_indexed_lookup
+)

@@ -1038,3 +1038,36 @@ def q93_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("rms", 2).alias("rms"),
         F.round("peak", 2).alias("peak"),
     )
+
+
+_DUCK_INDEXED_LOOKUP = """
+    SELECT o_orderkey, o_custkey, o_orderpriority, o_totalprice
+    FROM orders
+    WHERE o_orderkey < 3000 AND o_orderpriority = '1-URGENT'
+"""
+
+
+def q95_indexed_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Secondary value index end-to-end (sinks/value_index.py): an
+    orders slice lands in a txtable, a Hyperspace-style index is built
+    over the non-key o_orderpriority column, and the lookup reads ONLY
+    the index-selected buckets (require_fresh=True — no fallback). The
+    oracle replays the predicate as plain SQL, so a hash match
+    certifies that bucket pruning lost nothing."""
+    import tempfile
+
+    from ..sinks.value_index import lookup_with_index, refresh_value_index
+    from ..sinks.txlog import txlog_upsert
+
+    tmp = tempfile.mkdtemp(prefix="q95-ix-")
+    root, idx = tmp + "/t", tmp + "/ix"
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 3000)
+        .select("o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice")
+    )
+    txlog_upsert(spark, o, root, key="o_orderkey", num_buckets=16)
+    refresh_value_index(spark, root, idx, "o_orderpriority")
+    return lookup_with_index(
+        spark, root, idx, "o_orderpriority", "1-URGENT", require_fresh=True
+    ).select("o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice")
