@@ -456,3 +456,83 @@ def compression_ratio(text: Column | str) -> Column:
     return F.pandas_udf(ratio, "double")(
         F.col(text) if isinstance(text, str) else text
     )
+
+
+# --- BM25 keyword retrieval ------------------------------------------------
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 top-k document retrieval for a fixed query-term set —
+    the keyword-retrieval half of a retrieval pipeline (the vector half
+    is operators/similarity.py), also the standard relevance filter a
+    training-data curation pass runs against a topic's seed terms.
+
+    ``score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·|d|/avgdl))``
+    with ``idf = ln(1 + (N − df + ½)/(df + ½))``.
+
+    Scale shape: the exploded token stream is filtered to the query's
+    terms BEFORE the first aggregation, so the per-(doc, term) shuffle
+    carries only matching postings — the corpus-sized token stream
+    never shuffles. Document lengths are a map-side ``size(split())``
+    (no second explode), the df/idf relation is |query|-sized and
+    broadcasts, the corpus stats (N, avgdl) are a 1-row broadcast, and
+    the final top-k is one TakeOrdered over per-doc scores. Scores are
+    rounded to 4 decimals BEFORE ranking so ranking and the oracle
+    hash-compare are immune to last-ulp ln()/summation-order drift
+    across engines; ties break on doc_id.
+    """
+    from pyspark.sql import Window
+
+    k1p1 = k1 + 1.0
+    omb = 1.0 - b
+    base = df.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("toks")
+    )
+    lens = base.select(F.col(id_col), F.size("toks").cast("bigint").alias("dl"))
+    # avgdl as one exact-integer sum / count division (NOT F.avg, whose
+    # streaming-mean implementation need not bit-match other engines)
+    stats = lens.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    tf = (
+        base.select(F.col(id_col), F.explode("toks").alias("term"))
+        .filter(F.col("term").isin(list(query_terms)))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    tfw = (F.col("c") * F.lit(k1p1)) / (
+        F.col("c")
+        + F.lit(k1) * (F.lit(omb) + F.lit(b) * (F.col("dl") / F.col("avgdl")))
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(lens, id_col)
+        .crossJoin(F.broadcast(stats))
+        .withColumn("sc", idf * tfw)
+    )
+    agg = scored.groupBy(id_col).agg(F.round(F.sum("sc"), 4).alias("bm25"))
+    # top-k as TakeOrderedAndProject (O(k) heap per partition), NOT a
+    # global row_number window (single-partition sort of every scored
+    # doc); the rank window then runs over only the k survivors
+    topk = agg.orderBy(F.col("bm25").desc(), F.col(id_col).asc()).limit(k)
+    w = Window.orderBy(F.col("bm25").desc(), F.col(id_col).asc())
+    return topk.select(
+        F.col(id_col),
+        "bm25",
+        F.row_number().over(w).cast("bigint").alias("rk"),
+    )

@@ -22,7 +22,7 @@ invariants, byte round-trips — tests/test_llm_ops.py).
 
 from __future__ import annotations
 
-from . import llm_ops, relational, scalars, udfs, windows_sort
+from . import llm_ops, relational, scalars, timeseries, udfs, windows_sort
 from .registry import register
 
 register("q42_minhash_lsh_dedup")(llm_ops.q42_minhash_lsh_dedup)
@@ -76,4 +76,17 @@ register("q94_grouping_sets", oracle=relational._GROUPING_SETS_SQL)(
 )
 register("q95_indexed_lookup", oracle=llm_ops._DUCK_INDEXED_LOOKUP)(
     llm_ops.q95_indexed_lookup
+)
+register("q96_lateral_topn", oracle=relational._LATERAL_TOPN_SQL)(
+    relational.q96_lateral_topn
+)
+register("q97_recursive_chain", oracle=relational._RECURSIVE_CHAIN_SQL)(
+    relational.q97_recursive_chain
+)
+register("q98_scd2_intervals", oracle=timeseries._DUCK_SCD2)(
+    timeseries.q98_scd2_intervals
+)
+register("q99_bm25_topk", oracle=llm_ops._DUCK_BM25)(llm_ops.q99_bm25_topk)
+register("q100_udtf_tokenize", oracle=udfs._DUCK_UDTF_TOKENIZE)(
+    udfs.q100_udtf_tokenize
 )

@@ -1071,3 +1071,59 @@ def q95_indexed_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lookup_with_index(
         spark, root, idx, "o_orderpriority", "1-URGENT", require_fresh=True
     ).select("o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice")
+
+
+_DUCK_BM25 = """
+    WITH base AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    lens AS (SELECT doc_id, len(toks) AS dl FROM base),
+    stats AS (
+      SELECT COUNT(*) AS n_docs, SUM(dl) / COUNT(*) AS avgdl FROM lens
+    ),
+    tf AS (
+      SELECT b.doc_id, u.term, COUNT(*) AS c
+      FROM base b, UNNEST(b.toks) AS u(term)
+      WHERE u.term IN ('hash', 'merge', 'window')
+      GROUP BY b.doc_id, u.term
+    ),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    scored AS (
+      SELECT t.doc_id,
+             LN(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+             * ((t.c * 2.2) / (t.c + 1.2 * (0.25 + 0.75 * (l.dl / s.avgdl))))
+               AS sc
+      FROM tf t
+      JOIN dfreq d USING (term)
+      JOIN lens l USING (doc_id)
+      CROSS JOIN stats s
+    ),
+    agg AS (
+      SELECT doc_id, ROUND(SUM(sc), 4) AS bm25 FROM scored GROUP BY doc_id
+    ),
+    topk AS (SELECT doc_id, bm25 FROM agg ORDER BY bm25 DESC, doc_id LIMIT 10)
+    SELECT doc_id, bm25,
+           CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT) AS rk
+    FROM topk
+"""
+
+
+def q99_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-10 retrieval for a 3-term keyword query over the
+    document corpus (operators/textstats.py:bm25_topk) — the lexical
+    half of a retrieval stack beside the kNN/ANN vector tiers. The
+    token stream is filtered to the query's terms before anything
+    shuffles, doc lengths stay map-side, the query-sized df and 1-row
+    corpus stats broadcast, and the global top-k is a
+    TakeOrderedAndProject, so nothing corpus-sized crosses an exchange.
+    Oracle-checked value-for-value: every arithmetic step is written
+    identically in both engines (same literals, same associativity,
+    exact-integer sum/count for avgdl) and scores round to 4 decimals
+    before ranking, absorbing last-ulp ln() differences."""
+    from ..operators import textstats
+
+    return textstats.bm25_topk(
+        table(spark, sf_dir, "documents"),
+        query_terms=["hash", "merge", "window"],
+        k=10,
+    )

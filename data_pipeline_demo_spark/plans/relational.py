@@ -809,3 +809,69 @@ def q94_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB oracle."""
     table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(_GROUPING_SETS_SQL)
+
+
+_LATERAL_TOPN_SQL = """
+    SELECT c.c_custkey, t.o_orderkey, t.o_totalprice, CAST(t.rk AS BIGINT) AS rk
+    FROM customer c,
+    LATERAL (
+      SELECT o.o_orderkey, o.o_totalprice,
+             ROW_NUMBER() OVER (ORDER BY o.o_totalprice DESC, o.o_orderkey) AS rk
+      FROM orders o WHERE o.o_custkey = c.c_custkey
+      ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 3
+    ) t
+    WHERE c.c_mktsegment = 'BUILDING'
+"""
+
+
+def q96_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with ORDER BY + LIMIT — per-customer
+    top-3 orders, the per-row-subtable shape ANSI calls a lateral
+    derived table. Identical SQL text runs on Spark and on the DuckDB
+    oracle. Catalyst decorrelates the lateral into a single
+    window-ranked join (one shuffle on o_custkey) rather than
+    re-running the subquery per outer row — at 100 TB the per-row
+    re-execution shape would be the scale-killer, and a
+    WindowGroupLimit pushes the LIMIT below the exchange so the
+    shuffle carries at most 3 rows per customer, not the orders table.
+    Values are untouched doubles from the scan and an integer rank, so
+    the hash comparison is exact by construction."""
+    for name in ("orders", "customer"):
+        table(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(_LATERAL_TOPN_SQL)
+
+
+_RECURSIVE_CHAIN_SQL = """
+    WITH RECURSIVE up(c_custkey, anc, dist) AS (
+      SELECT c_custkey, CAST(FLOOR(c_custkey / 10) AS BIGINT) AS anc, 1 AS dist
+      FROM customer WHERE c_custkey >= 10
+      UNION ALL
+      SELECT u.c_custkey, CAST(FLOOR(u.anc / 10) AS BIGINT) AS anc, u.dist + 1
+      FROM up u WHERE u.anc >= 10
+    )
+    SELECT u.c_custkey,
+           CAST(MAX(u.dist) AS BIGINT) AS chain_len,
+           CAST(MIN(u.anc) AS BIGINT)  AS root
+    FROM up u
+    GROUP BY u.c_custkey
+"""
+
+
+def q97_recursive_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE (Spark 4's recursive CTE runtime, UnionLoopExec):
+    every customer walks up a deterministic decimal-prefix hierarchy
+    (parent = key/10) to its single-digit root, then an outer aggregate
+    reports chain length and root — the canonical ancestor-chain
+    traversal, same SQL text on Spark and the DuckDB oracle.
+
+    Scale shape: Spark executes the recursion as an iterated UNION ALL
+    whose per-step frontier here is the customer table mapped once per
+    level (max ~log10(maxkey) ≈ 6 levels; no joins in the step, so the
+    frontier never grows). Spark only supports UNION ALL recursion and
+    caps materialized rows (RECURSION_ROW_LIMIT_EXCEEDED at 1M,
+    raisable via conf) — for unbounded-depth graph closures the engine's
+    iterative DataFrame loop (operators/dedup.py connected components)
+    is the scale path; the CTE is the SQL-surface form for
+    bounded-depth hierarchy walks."""
+    table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(_RECURSIVE_CHAIN_SQL)

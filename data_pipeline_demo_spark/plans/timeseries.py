@@ -316,3 +316,68 @@ def q67_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", F.date_trunc("hour", "ts").alias("bucket")
     ).agg(exact_sum("value").alias("bucket_sum"))
     return rollup.gapfill_locf(agg, step="1 hour")
+
+
+# --------------------------------------------------------------------------
+# SCD Type-2 dimension build: collapse an event history into validity
+# intervals (gaps-and-islands), the lakehouse pattern for "what was this
+# entity's state at time T".
+# --------------------------------------------------------------------------
+_DUCK_SCD2 = """
+    WITH marked AS (
+      SELECT user_id, event_type, ts, event_id,
+             LAG(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS prev_type
+      FROM events
+    ),
+    changes AS (
+      SELECT user_id, event_type, ts, event_id
+      FROM marked
+      WHERE prev_type IS NULL OR prev_type <> event_type
+    )
+    SELECT user_id, event_type,
+           CAST(ROW_NUMBER() OVER w AS BIGINT) AS version,
+           ts AS valid_from,
+           LEAD(ts) OVER w AS valid_to,
+           LEAD(ts) OVER w IS NULL AS is_current
+    FROM changes
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+def q98_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension build from an append-only event history:
+    per user, keep only rows where the tracked attribute actually
+    changed (gaps-and-islands via LAG), then stamp each surviving state
+    with a validity interval [valid_from, valid_to) via LEAD and an
+    is_current flag — the standard slowly-changing-dimension shape a
+    warehouse MERGE maintains, derived here in two window passes.
+
+    Scale shape: both windows hash-partition by user_id only — per-user
+    state is bounded by that user's change count, there is no global
+    sort, and the two windows share one partitioning so Catalyst plans
+    a single exchange. The total order (ts, event_id) makes the result
+    deterministic under any parallelism; values are passed-through
+    timestamps and strings, so the oracle hash-compare is exact.
+    Registered past the driver cap in plans/approx.py (with oracle)."""
+    ev = table(spark, sf_dir, "events")
+    order = [F.col("ts").asc(), F.col("event_id").asc()]
+    w = Window.partitionBy("user_id").orderBy(*order)
+    changes = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(
+            F.col("prev_type").isNull()
+            | (F.col("prev_type") != F.col("event_type"))
+        )
+        .select("user_id", "event_type", "ts", "event_id")
+    )
+    w2 = Window.partitionBy("user_id").orderBy(*order)
+    return changes.select(
+        "user_id",
+        "event_type",
+        F.row_number().over(w2).cast("bigint").alias("version"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w2).alias("valid_to"),
+        F.lead("ts").over(w2).isNull().alias("is_current"),
+    )

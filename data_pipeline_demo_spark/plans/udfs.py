@@ -115,3 +115,48 @@ def q56_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.percentile_approx("value", 0.5, 10000).alias("approx_median_value"),
     )
+
+
+_DUCK_UDTF_TOKENIZE = """
+    SELECT d.doc_id, CAST(u.i - 1 AS BIGINT) AS pos, d.arr[u.i] AS term
+    FROM (
+      SELECT doc_id, string_split(text, ' ') AS arr
+      FROM documents WHERE doc_id % 50 = 0
+    ) d, UNNEST(range(1, len(d.arr) + 1)) AS u(i)
+"""
+
+
+def q100_udtf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (table function) surface: a ``@udtf`` class emitting
+    one (pos, term) row per token, applied per document through SQL's
+    ``LATERAL udtf(col)`` correlated-table-function join — the
+    one-row-to-many-rows API shape (Spark 4's pyspark.sql.functions.udtf).
+
+    A UDTF evaluates per row in Python — the engine's slow path, kept
+    off every hot query (the same tokenization is one codegen
+    ``explode(split())`` in q51/q84; that built-in form is the 100 TB
+    path). ``useArrow=True`` keeps the transfer vectorized
+    (ArrowEvalPythonUDTF — the plan-properties suite rejects any
+    BatchEvalPython fallback). This query exists to certify the API
+    surface: the filter sits below the lateral join so only selected
+    rows cross into Python, and the UDTF remains embarrassingly
+    parallel (no state, no shuffle). Oracle-checked
+    exactly: Python's split(' ') and DuckDB's string_split are
+    byte-identical on single-space separators."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos: bigint, term: string", useArrow=True)
+    class TokenizeTerms:
+        def eval(self, text: str):
+            for i, w in enumerate((text or "").split(" ")):
+                yield i, w
+
+    spark.udtf.register("tokenize_terms", TokenizeTerms)
+    table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.pos, t.term
+        FROM documents d, LATERAL tokenize_terms(d.text) t
+        WHERE d.doc_id % 50 = 0
+        """
+    )

@@ -1,0 +1,143 @@
+"""Targeted tests for the round-6 SQL-surface queries: LATERAL + LIMIT
+(q96), WITH RECURSIVE (q97), SCD2 interval build (q98), BM25 retrieval
+(q99), Python UDTF (q100). Value-level parity with DuckDB lives in the
+oracle gate; these pin the operator semantics on literal frames where
+the expected output is hand-checkable."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from data_pipeline_demo_spark.operators.textstats import bm25_topk
+
+
+def test_lateral_topn_per_group_bound_and_order(spark):
+    spark.createDataFrame(
+        [(1, "BUILDING"), (2, "BUILDING"), (3, "AUTOMOBILE")],
+        "c_custkey long, c_mktsegment string",
+    ).createOrReplaceTempView("customer")
+    spark.createDataFrame(
+        [
+            (10, 1, 100.0),
+            (11, 1, 300.0),
+            (12, 1, 200.0),
+            (13, 1, 50.0),
+            (20, 2, 5.0),
+        ],
+        "o_orderkey long, o_custkey long, o_totalprice double",
+    ).createOrReplaceTempView("orders")
+    from data_pipeline_demo_spark.plans.relational import _LATERAL_TOPN_SQL
+
+    rows = {
+        (r.c_custkey, r.rk): (r.o_orderkey, r.o_totalprice)
+        for r in spark.sql(_LATERAL_TOPN_SQL).collect()
+    }
+    # customer 1: top-3 of 4 orders by price desc; customer 2: its single
+    # order; customer 3: filtered out by segment
+    assert rows == {
+        (1, 1): (11, 300.0),
+        (1, 2): (12, 200.0),
+        (1, 3): (10, 100.0),
+        (2, 1): (20, 5.0),
+    }
+
+
+def test_recursive_chain_depth_and_root(spark):
+    spark.createDataFrame(
+        [(5,), (42,), (317,), (1234,)], "c_custkey long"
+    ).createOrReplaceTempView("customer")
+    from data_pipeline_demo_spark.plans.relational import _RECURSIVE_CHAIN_SQL
+
+    rows = {
+        r.c_custkey: (r.chain_len, r.root)
+        for r in spark.sql(_RECURSIVE_CHAIN_SQL).collect()
+    }
+    # 5 is its own root (single digit, excluded); 42 -> 4; 317 -> 31 -> 3;
+    # 1234 -> 123 -> 12 -> 1
+    assert rows == {42: (1, 4), 317: (2, 3), 1234: (3, 1)}
+
+
+def test_scd2_collapses_runs_and_stamps_intervals(spark, monkeypatch):
+    t = [dt.datetime(2024, 1, 1, h) for h in range(5)]
+    ev = spark.createDataFrame(
+        [
+            (1, t[0], 7, "A", 0.0, "{}"),
+            (2, t[1], 7, "A", 0.0, "{}"),  # same state: collapsed
+            (3, t[2], 7, "B", 0.0, "{}"),
+            (4, t[3], 7, "A", 0.0, "{}"),  # A again: NEW version, not merged
+            (5, t[0], 8, "X", 0.0, "{}"),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    import data_pipeline_demo_spark.plans.timeseries as ts_mod
+
+    monkeypatch.setattr(ts_mod, "table", lambda s, d, n: ev)
+    out = ts_mod.q98_scd2_intervals(spark, "ignored")
+    rows = {
+        (r.user_id, r.version): (
+            r.event_type,
+            r.valid_from,
+            r.valid_to,
+            r.is_current,
+        )
+        for r in out.collect()
+    }
+    assert rows == {
+        (7, 1): ("A", t[0], t[2], False),
+        (7, 2): ("B", t[2], t[3], False),
+        (7, 3): ("A", t[3], None, True),
+        (8, 1): ("X", t[0], None, True),
+    }
+
+
+def test_bm25_ranks_higher_tf_and_respects_k(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "x x x y"),       # tf(x)=3
+            (2, "x y z w"),       # tf(x)=1, same length
+            (3, "y z w v"),       # no query term: never scored
+            (4, "x x y y"),       # tf(x)=2
+        ],
+        "doc_id long, text string",
+    )
+    out = bm25_topk(docs, ["x"], k=2).collect()
+    assert [r.doc_id for r in out] == [1, 4]
+    assert [r.rk for r in out] == [1, 2]
+    assert out[0].bm25 > out[1].bm25 > 0
+    # equal doc lengths: score is monotone in tf, and k bounds the output
+    assert len(out) == 2
+
+
+def test_bm25_length_normalization(spark):
+    # same tf, longer doc scores lower (b > 0 length penalty)
+    docs = spark.createDataFrame(
+        [(1, "x a"), (2, "x a a a a a a a")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.bm25 for r in bm25_topk(docs, ["x"], k=10).collect()}
+    assert out[1] > out[2]
+
+
+def test_udtf_tokenize_positions(spark, sf_dir):
+    from data_pipeline_demo_spark.plans.udfs import q100_udtf_tokenize
+
+    out = q100_udtf_tokenize(spark, sf_dir)
+    first = (
+        out.filter(F.col("pos") == 0)
+        .select("doc_id")
+        .distinct()
+        .count()
+    )
+    docs = out.select("doc_id").distinct().count()
+    assert docs > 0 and first == docs  # every doc emits a pos-0 token
+    # positions are dense 0..n-1 per doc: max(pos)+1 == row count per doc
+    bad = (
+        out.groupBy("doc_id")
+        .agg(F.max("pos").alias("mx"), F.count(F.lit(1)).alias("n"))
+        .filter(F.col("mx") + 1 != F.col("n"))
+        .count()
+    )
+    assert bad == 0
