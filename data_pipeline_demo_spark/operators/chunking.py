@@ -91,3 +91,69 @@ def chunk_by_tokens(
         start.cast("long").alias("chunk_start"),
         F.array_join(F.slice("__toks", start, F.lit(size)), sep).alias("chunk_text"),
     )
+
+
+def pack_token_stream(
+    docs: DataFrame,
+    budget: int = 256,
+    groups: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Training-sequence packing, concat-and-split style: documents are
+    concatenated (in deterministic id order within ``groups`` parallel
+    streams) and the token stream is cut at exact ``budget`` boundaries
+    — the standard LLM pre-training packing where a document may span
+    two adjacent packs and every pack except a stream's last is
+    EXACTLY full. Output is one row per (document × pack) segment:
+    ``(grp, pack_id, doc_id, seg_start, seg_len)`` with ``seg_start``
+    the 0-based token offset inside the document.
+
+    Scale shape: a single global stream would serialize on one
+    cumulative-sum partition, so the stream is sharded into ``groups``
+    independent packing lanes (``doc_id % groups``) — the window
+    cumulative sum partitions by lane (state per lane = one running
+    count), the boundary arithmetic is map-side integer math, and the
+    pack fan-out explode stays inside the row's partition. Lanes trade
+    at most one underfull tail pack each for full parallelism; at
+    cluster scale ``groups`` ≈ executor slots. Every output is integer,
+    so the DuckDB oracle comparison is exact.
+    """
+    from pyspark.sql import Window
+
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    w = (
+        Window.partitionBy("grp")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    lens = docs.select(
+        F.col(id_col),
+        (F.col(id_col) % groups).alias("grp"),
+        F.size(F.split(F.col(text_col), " ", -1)).cast("bigint").alias("tok_len"),
+    )
+    cum = lens.withColumn(
+        "cum_excl", F.coalesce(F.sum("tok_len").over(w), F.lit(0).cast("bigint"))
+    )
+    # true integer division (Spark `div` / DuckDB `//`): exact at any
+    # int64 stream position, unlike FLOOR over a double quotient which
+    # loses unit precision past 2^53 tokens per lane
+    first_pack = F.expr(f"cum_excl div {budget}").cast("bigint")
+    last_pack = F.expr(f"(cum_excl + tok_len - 1) div {budget}").cast("bigint")
+    seg = cum.withColumn(
+        "pack_id", F.explode(F.sequence(first_pack, last_pack))
+    )
+    seg_start = F.greatest(
+        F.col("pack_id") * budget - F.col("cum_excl"), F.lit(0).cast("bigint")
+    )
+    seg_end = F.least(
+        (F.col("pack_id") + 1) * budget - F.col("cum_excl"), F.col("tok_len")
+    )
+    return seg.select(
+        "grp",
+        F.col("pack_id").cast("bigint").alias("pack_id"),
+        F.col(id_col),
+        seg_start.alias("seg_start"),
+        (seg_end - seg_start).alias("seg_len"),
+    )

@@ -90,3 +90,9 @@ register("q99_bm25_topk", oracle=llm_ops._DUCK_BM25)(llm_ops.q99_bm25_topk)
 register("q100_udtf_tokenize", oracle=udfs._DUCK_UDTF_TOKENIZE)(
     udfs.q100_udtf_tokenize
 )
+register("q101_pack_sequences", oracle=llm_ops._DUCK_PACK)(
+    llm_ops.q101_pack_sequences
+)
+register("q102_hybrid_rrf", oracle=llm_ops._DUCK_HYBRID_RRF)(
+    llm_ops.q102_hybrid_rrf
+)

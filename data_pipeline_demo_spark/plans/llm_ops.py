@@ -1127,3 +1127,138 @@ def q99_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         query_terms=["hash", "merge", "window"],
         k=10,
     )
+
+
+_DUCK_PACK = """
+    WITH lens AS (
+      SELECT doc_id, doc_id % 8 AS grp,
+             len(string_split(text, ' ')) AS tok_len
+      FROM documents
+    ),
+    cum AS (
+      SELECT doc_id, grp, tok_len,
+             CAST(COALESCE(SUM(tok_len) OVER (
+               PARTITION BY grp ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS cum_excl
+      FROM lens
+    ),
+    seg AS (
+      SELECT doc_id, grp, tok_len, cum_excl,
+             UNNEST(range(cum_excl // 256,
+                          (cum_excl + tok_len - 1) // 256 + 1)) AS pack_id
+      FROM cum
+    )
+    SELECT grp, CAST(pack_id AS BIGINT) AS pack_id, doc_id,
+           GREATEST(pack_id * 256 - cum_excl, 0) AS seg_start,
+           LEAST((pack_id + 1) * 256 - cum_excl, tok_len)
+             - GREATEST(pack_id * 256 - cum_excl, 0) AS seg_len
+    FROM seg
+"""
+
+
+def q101_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing (operators/chunking.py:
+    pack_token_stream): concat-and-split packing of the document token
+    stream into exactly-256-token training sequences across 8 parallel
+    lanes — each output row is one (document × pack) segment, docs may
+    straddle a pack boundary, and every pack except a lane's tail is
+    exactly full. Integer arithmetic end-to-end (true int64 division,
+    not a double floor), so the oracle compare is exact; the window
+    cumsum partitions by lane, never globally."""
+    from ..operators import chunking
+
+    return chunking.pack_token_stream(
+        table(spark, sf_dir, "documents"), budget=256, groups=8
+    )
+
+
+_DUCK_HYBRID_RRF = """
+    WITH base AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    lens AS (SELECT doc_id, len(toks) AS dl FROM base),
+    stats AS (
+      SELECT COUNT(*) AS n_docs, SUM(dl) / COUNT(*) AS avgdl FROM lens
+    ),
+    tf AS (
+      SELECT b.doc_id, u.term, COUNT(*) AS c
+      FROM base b, UNNEST(b.toks) AS u(term)
+      WHERE u.term IN ('hash', 'merge', 'window')
+      GROUP BY b.doc_id, u.term
+    ),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    scored AS (
+      SELECT t.doc_id,
+             LN(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+             * ((t.c * 2.2) / (t.c + 1.2 * (0.25 + 0.75 * (l.dl / s.avgdl))))
+               AS sc
+      FROM tf t
+      JOIN dfreq d USING (term)
+      JOIN lens l USING (doc_id)
+      CROSS JOIN stats s
+    ),
+    bagg AS (
+      SELECT doc_id, ROUND(SUM(sc), 4) AS bm25 FROM scored GROUP BY doc_id
+    ),
+    lex AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS lrank
+      FROM bagg QUALIFY lrank <= 20
+    ),
+    pvec AS (SELECT embedding AS pv FROM embeddings WHERE vec_id = 0),
+    vscored AS (
+      SELECT e.vec_id,
+        ((SELECT SUM(CAST(FLOOR(p.pv[g]::DOUBLE * e.embedding[g]::DOUBLE * 1e12) AS BIGINT))
+          FROM generate_series(1, 64) t(g))::DOUBLE / 1e12)
+        / (sqrt((SELECT SUM(CAST(FLOOR(p.pv[g]::DOUBLE * p.pv[g]::DOUBLE * 1e12) AS BIGINT))
+                 FROM generate_series(1, 64) t(g))::DOUBLE / 1e12)
+           * sqrt((SELECT SUM(CAST(FLOOR(e.embedding[g]::DOUBLE * e.embedding[g]::DOUBLE * 1e12) AS BIGINT))
+                   FROM generate_series(1, 64) t(g))::DOUBLE / 1e12)) AS cosine
+      FROM embeddings e, pvec p
+      WHERE e.vec_id <> 0
+    ),
+    vtop AS (
+      SELECT vec_id,
+             ROW_NUMBER() OVER (ORDER BY cosine DESC, vec_id) AS vrank
+      FROM vscored QUALIFY vrank <= 20
+    ),
+    fused AS (
+      SELECT COALESCE(l.doc_id, v.vec_id) AS doc_id,
+             ROUND(COALESCE(1.0 / (60.0 + l.lrank), 0)
+                   + COALESCE(1.0 / (60.0 + v.vrank), 0), 6) AS rrf
+      FROM lex l FULL OUTER JOIN vtop v ON l.doc_id = v.vec_id
+    ),
+    top AS (SELECT doc_id, rrf FROM fused ORDER BY rrf DESC, doc_id LIMIT 10)
+    SELECT doc_id, rrf,
+           CAST(ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS BIGINT) AS rk
+    FROM top
+"""
+
+
+def q102_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 lexical top-20 and certified-exact cosine
+    kNN top-20 for one probe document, fused by Reciprocal Rank Fusion
+    (operators/retrieval.py:rrf_fuse) into a final top-10 — the
+    standard two-tower hybrid search shape, composed entirely from the
+    engine's own retrievers. Fusion consumes only integer ranks (one
+    IEEE reciprocal + one commutative addition per doc, rounded before
+    re-ranking), so the oracle compare stays exact even though the two
+    score spaces are incomparable. Corpus-scale cost lives in the
+    upstream retrievers (each already bucketed/broadcast-shaped); the
+    fusion itself joins two 20-row relations."""
+    from ..operators import chunking  # noqa: F401  (module peer)
+    from ..operators import retrieval, textstats
+
+    docs = table(spark, sf_dir, "documents")
+    emb = table(spark, sf_dir, "embeddings")
+    lex = textstats.bm25_topk(
+        docs, query_terms=["hash", "merge", "window"], k=20
+    ).select("doc_id", F.col("rk").alias("rank"))
+    probe = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    vec = similarity.knn_exact_fast(emb, probe, k=20).select(
+        F.col("vec_id").alias("doc_id"), "rank"
+    )
+    return retrieval.rrf_fuse([lex, vec], id_col="doc_id", k=10)

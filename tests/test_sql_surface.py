@@ -1,8 +1,9 @@
 """Targeted tests for the round-6 SQL-surface queries: LATERAL + LIMIT
 (q96), WITH RECURSIVE (q97), SCD2 interval build (q98), BM25 retrieval
-(q99), Python UDTF (q100). Value-level parity with DuckDB lives in the
-oracle gate; these pin the operator semantics on literal frames where
-the expected output is hand-checkable."""
+(q99), Python UDTF (q100), sequence packing (q101), RRF hybrid fusion
+(q102). Value-level parity with DuckDB lives in the oracle gate; these
+pin the operator semantics on literal frames where the expected output
+is hand-checkable."""
 
 from __future__ import annotations
 
@@ -141,3 +142,53 @@ def test_udtf_tokenize_positions(spark, sf_dir):
         .count()
     )
     assert bad == 0
+
+
+def test_pack_token_stream_invariants(spark):
+    from data_pipeline_demo_spark.operators.chunking import pack_token_stream
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["t"] * n)) for i, n in enumerate([5, 9, 3, 12, 7, 2])],
+        "doc_id long, text string",
+    )
+    out = pack_token_stream(docs, budget=8, groups=2).collect()
+    # segments of one doc partition the doc exactly
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    lens = {0: 5, 1: 9, 2: 3, 3: 12, 4: 7, 5: 2}
+    for d, segs in by_doc.items():
+        segs.sort(key=lambda r: r.seg_start)
+        assert segs[0].seg_start == 0
+        assert sum(s.seg_len for s in segs) == lens[d]
+        cur = 0
+        for s in segs:
+            assert s.seg_start == cur and s.seg_len > 0
+            cur += s.seg_len
+    # every pack except each lane's last is exactly full
+    packs = {}
+    for r in out:
+        key = (r.grp, r.pack_id)
+        packs[key] = packs.get(key, 0) + r.seg_len
+    for grp in {g for g, _ in packs}:
+        lane = sorted(p for g, p in packs if g == grp)
+        for p in lane[:-1]:
+            assert packs[(grp, p)] == 8, (grp, p, packs[(grp, p)])
+        assert packs[(grp, lane[-1])] <= 8
+
+
+def test_rrf_fuse_combines_and_handles_absentees(spark):
+    from data_pipeline_demo_spark.operators.retrieval import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(1, 1), (2, 2), (3, 3)], "doc_id long, rank long"
+    )
+    b = spark.createDataFrame(
+        [(3, 1), (4, 2)], "doc_id long, rank long"
+    )
+    out = {r.doc_id: (r.rrf, r.rk) for r in rrf_fuse([a, b], k=10).collect()}
+    # doc 3 appears in both lists -> highest fused score
+    assert out[3][1] == 1
+    assert set(out) == {1, 2, 3, 4}
+    assert round(out[3][0], 6) == round(1 / 63 + 1 / 61, 6)
+    assert round(out[4][0], 6) == round(1 / 62, 6)  # single-list absentee
