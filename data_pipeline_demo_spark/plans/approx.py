@@ -96,3 +96,12 @@ register("q101_pack_sequences", oracle=llm_ops._DUCK_PACK)(
 register("q102_hybrid_rrf", oracle=llm_ops._DUCK_HYBRID_RRF)(
     llm_ops.q102_hybrid_rrf
 )
+register("q103_time_range_window", oracle=windows_sort._DUCK_TIME_RANGE)(
+    windows_sort.q103_time_range_window
+)
+register("q104_exact_percentile", oracle=relational._EXACT_PERCENTILE_ORACLE)(
+    relational.q104_exact_percentile
+)
+register("q105_cohort_retention", oracle=timeseries._DUCK_COHORT)(
+    timeseries.q105_cohort_retention
+)

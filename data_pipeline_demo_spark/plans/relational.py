@@ -875,3 +875,31 @@ def q97_recursive_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded-depth hierarchy walks."""
     table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
     return spark.sql(_RECURSIVE_CHAIN_SQL)
+
+
+_EXACT_PERCENTILE_ORACLE = """
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_quantity, 0.5), 6) AS p50,
+           ROUND(quantile_cont(l_quantity, 0.9), 6) AS p90,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+"""
+
+
+def q104_exact_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT order statistics per group: Spark SQL's ``percentile``
+    aggregate (continuous interpolation at p·(n−1)) against DuckDB's
+    ``quantile_cont`` — the same estimator, so values agree to the
+    rounding guard. Complements the approximate tier (q56
+    percentile_approx, q90 mergeable quantile sketches): exact
+    percentile sorts each group's values, which is affordable per
+    bounded group and is precisely what the sketch tier replaces when a
+    group's cardinality is unbounded — that trade is the documented
+    reason both live in the engine."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(l_quantity, 0.9)"), 6).alias("p90"),
+        F.count(F.lit(1)).alias("n"),
+    )

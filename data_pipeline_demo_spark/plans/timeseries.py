@@ -381,3 +381,47 @@ def q98_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("ts").over(w2).alias("valid_to"),
         F.lead("ts").over(w2).isNull().alias("is_current"),
     )
+
+
+_DUCK_COHORT = """
+    WITH ua AS (
+      SELECT DISTINCT user_id,
+             CAST(date_trunc('week', ts) AS TIMESTAMP) AS week
+      FROM events
+    ),
+    coh AS (SELECT user_id, MIN(week) AS cohort_week FROM ua GROUP BY user_id)
+    SELECT cohort_week,
+           CAST(datediff('day', cohort_week, week) / 7 AS BIGINT)
+             AS weeks_since,
+           COUNT(DISTINCT ua.user_id) AS active_users
+    FROM ua JOIN coh USING (user_id)
+    GROUP BY 1, 2
+"""
+
+
+def q105_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix — the standard product-analytics rollup:
+    users grouped by first-active week, activity counted per
+    weeks-since-cohort offset. Three shuffles, all on user_id or the
+    (cohort_week, weeks_since) cell grain: distinct user-weeks, the
+    per-user MIN, and the final distinct-count — every intermediate is
+    user- or cell-sized, never event-sized, and week arithmetic is
+    integer-exact (aligned week starts differ by multiples of 7 days).
+    Registered past the driver cap in plans/approx.py (with oracle)."""
+    ev = table(spark, sf_dir, "events")
+    ua = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("week")
+    ).distinct()
+    cohort = ua.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        ua.join(cohort, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (F.datediff("week", "cohort_week") / 7)
+            .cast("bigint")
+            .alias("weeks_since"),
+        )
+        .groupBy("cohort_week", "weeks_since")
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )

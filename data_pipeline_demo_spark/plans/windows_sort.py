@@ -259,3 +259,48 @@ def q26_union_all_multiset(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("src", "keyval")
         .agg(exact_sum("price").alias("total"))
     )
+
+
+_DUCK_TIME_RANGE = """
+    SELECT o_orderkey, o_custkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) OVER w AS DOUBLE)
+             AS spend_30d,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_30d
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+                 RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)
+"""
+
+
+def q103_time_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time RANGE window frame: per customer, each order's rolling
+    30-day spend and order count — the time-interval frame
+    (``RANGE BETWEEN INTERVAL ... PRECEDING``) that q19's numeric
+    rangeBetween can't express. The DataFrame side orders by epoch
+    seconds with ``rangeBetween(-30*86400, 0)``, the exact integer
+    image of the oracle's interval frame (order dates carry no
+    sub-second parts). The windowed sum routes through the engine's
+    exact decimal accumulator so the rolling money total is
+    order-independent and hash-matches DuckDB.
+
+    Scale shape: one hash partition by o_custkey, per-customer frames
+    bounded by a customer's 30-day order count — no global sort, and
+    the frame is evaluated by Spark's sliding range-frame machinery
+    (each row enters/leaves the running frame once), not by
+    re-aggregating the window per row."""
+    o = table(spark, sf_dir, "orders")
+    sec = F.col("o_orderdate").cast("timestamp").cast("long")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(sec)
+        .rangeBetween(-30 * 86400, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.sum(F.col("o_totalprice").cast("decimal(30,6)"))
+        .over(w)
+        .cast("double")
+        .alias("spend_30d"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_30d"),
+    )

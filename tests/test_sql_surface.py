@@ -192,3 +192,103 @@ def test_rrf_fuse_combines_and_handles_absentees(spark):
     assert set(out) == {1, 2, 3, 4}
     assert round(out[3][0], 6) == round(1 / 63 + 1 / 61, 6)
     assert round(out[4][0], 6) == round(1 / 62, 6)  # single-list absentee
+
+
+def test_pack_token_stream_property(spark):
+    """Property check across randomized doc-length profiles: segments
+    always partition every doc, non-tail packs are always exactly full,
+    and output is independent of input partitioning."""
+    import random
+
+    from data_pipeline_demo_spark.operators.chunking import pack_token_stream
+
+    rng = random.Random(1234)
+    for trial in range(3):
+        lens = [rng.randint(1, 40) for _ in range(rng.randint(5, 30))]
+        budget = rng.choice([7, 16, 64])
+        docs = spark.createDataFrame(
+            [(i, " ".join(["w"] * n)) for i, n in enumerate(lens)],
+            "doc_id long, text string",
+        )
+        out = pack_token_stream(docs, budget=budget, groups=3).collect()
+        per_doc = {}
+        packs = {}
+        for r in out:
+            per_doc[r.doc_id] = per_doc.get(r.doc_id, 0) + r.seg_len
+            packs[(r.grp, r.pack_id)] = (
+                packs.get((r.grp, r.pack_id), 0) + r.seg_len
+            )
+        assert per_doc == {i: n for i, n in enumerate(lens)}, (trial, budget)
+        for grp in {g for g, _ in packs}:
+            lane = sorted(p for g, p in packs if g == grp)
+            assert all(packs[(grp, p)] == budget for p in lane[:-1])
+            assert packs[(grp, lane[-1])] <= budget
+        # repartitioned input yields the identical multiset of rows
+        out2 = pack_token_stream(
+            docs.repartition(7), budget=budget, groups=3
+        ).collect()
+        key = lambda r: (r.grp, r.pack_id, r.doc_id, r.seg_start, r.seg_len)
+        assert sorted(map(key, out)) == sorted(map(key, out2))
+
+
+def test_time_range_window_vs_bruteforce(spark):
+    import datetime as dtm
+
+    import data_pipeline_demo_spark.plans.windows_sort as ws
+
+    rows = [
+        (1, 10, dtm.datetime(2024, 1, 1), 100.0),
+        (2, 10, dtm.datetime(2024, 1, 20), 50.0),
+        (3, 10, dtm.datetime(2024, 2, 25), 25.0),   # >30d after both
+        (4, 11, dtm.datetime(2024, 1, 15), 10.0),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderdate timestamp,"
+        " o_totalprice double",
+    )
+    import pytest as _pytest
+
+    mp = _pytest.MonkeyPatch()
+    mp.setattr(ws, "table", lambda s, d, n: df)
+    try:
+        got = {
+            r.o_orderkey: (r.spend_30d, r.n_30d)
+            for r in ws.q103_time_range_window(spark, "x").collect()
+        }
+    finally:
+        mp.undo()
+    assert got == {
+        1: (100.0, 1),
+        2: (150.0, 2),   # 19 days after order 1: included
+        3: (25.0, 1),    # both priors outside 30 days
+        4: (10.0, 1),
+    }
+
+
+def test_cohort_retention_counts(spark, monkeypatch):
+    import datetime as dtm
+
+    import data_pipeline_demo_spark.plans.timeseries as ts_mod
+
+    mon1, mon2 = dtm.datetime(2024, 1, 1, 9), dtm.datetime(2024, 1, 8, 9)
+    ev = spark.createDataFrame(
+        [
+            (1, mon1, 1, "a", 0.0, "{}"),
+            (2, mon1, 2, "a", 0.0, "{}"),
+            (3, mon2, 1, "a", 0.0, "{}"),   # user 1 retained week 1
+            (4, mon2, 3, "a", 0.0, "{}"),   # user 3 new cohort week 2
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    monkeypatch.setattr(ts_mod, "table", lambda s, d, n: ev)
+    got = {
+        (r.cohort_week.date().isoformat(), r.weeks_since): r.active_users
+        for r in ts_mod.q105_cohort_retention(spark, "x").collect()
+    }
+    assert got == {
+        ("2024-01-01", 0): 2,
+        ("2024-01-01", 1): 1,
+        ("2024-01-08", 0): 1,
+    }
