@@ -105,3 +105,7 @@ register("q104_exact_percentile", oracle=relational._EXACT_PERCENTILE_ORACLE)(
 register("q105_cohort_retention", oracle=timeseries._DUCK_COHORT)(
     timeseries.q105_cohort_retention
 )
+register("q106_variant_ops", oracle=scalars._DUCK_VARIANT)(
+    scalars.q106_variant_ops
+)
+register("q107_pagerank")(llm_ops.q107_pagerank)

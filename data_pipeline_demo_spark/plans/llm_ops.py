@@ -1262,3 +1262,24 @@ def q102_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("doc_id"), "rank"
     )
     return retrieval.rrf_fuse([lex, vec], id_col="doc_id", k=10)
+
+
+def q107_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the supplier→part supply graph derived from
+    lineitem (operators/graph.py:pagerank) — the iterative-fixpoint
+    family beside the connected-components loop; rows-only by
+    construction (per-dst float contribution sums are shuffle-order-
+    dependent in the last ulps, so no cross-engine value hash exists),
+    with numpy power-iteration parity, mass conservation, and
+    partition-invariance pinned in tests/test_sql_surface.py. Ten
+    rounds, each ONE contribution shuffle keyed by dst plus a broadcast
+    1-row dangling-mass aggregate; ranks rounded for stable output."""
+    from ..operators import graph
+
+    li = table(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("src"),
+        F.concat(F.lit("p"), F.col("l_partkey")).alias("dst"),
+    )
+    pr = graph.pagerank(edges, iters=10)
+    return pr.select("node", F.round("rank", 8).alias("rank"))

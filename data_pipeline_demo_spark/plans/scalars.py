@@ -453,3 +453,46 @@ def q74_decimal_money_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("price").alias("min_price"),
         F.max("price").alias("max_price"),
     )
+
+
+_DUCK_VARIANT = """
+    SELECT event_type,
+           MIN(CAST(json_extract(props, '$.k') AS INTEGER)) AS k_min,
+           MAX(CAST(json_extract(props, '$.k') AS INTEGER)) AS k_max,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT)
+             AS k_sum,
+           COUNT(*) AS n,
+           CAST(SUM(CASE WHEN NOT json_valid('}' || props) THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_bad
+    FROM events
+    GROUP BY event_type
+"""
+
+
+def q106_variant_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT surface: ``parse_json`` → binary variant →
+    typed ``variant_get`` path extraction, plus ``try_parse_json``
+    null-tolerance on deliberately corrupted JSON (leading brace;
+    Spark's parser tolerates TRAILING junk after a complete value, so
+    the corruption must precede it) —
+    the open-schema semi-structured path that complements q32's
+    schema'd ``from_json``. Variant parses once into a binary form and
+    every path access is a cheap binary probe, the engine-grade answer
+    to repeated ``get_json_object`` string re-parsing; the final
+    projection carries only typed columns (variant never crosses the
+    result boundary, so the oracle hash stays engine-neutral)."""
+    ev = table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    k = F.variant_get(v, "$.k", "int")
+    bad = F.try_parse_json(F.concat(F.lit("}"), F.col("props")))
+    return ev.select("event_type", k.alias("k"), bad.alias("bad")).groupBy(
+        "event_type"
+    ).agg(
+        F.min("k").alias("k_min"),
+        F.max("k").alias("k_max"),
+        F.sum("k").cast("bigint").alias("k_sum"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("bad").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_bad"),
+    )

@@ -292,3 +292,69 @@ def test_cohort_retention_counts(spark, monkeypatch):
         ("2024-01-01", 1): 1,
         ("2024-01-08", 0): 1,
     }
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    import numpy as np
+
+    from data_pipeline_demo_spark.operators.graph import pagerank
+
+    # small directed graph with a dangling node (3 has no out-edges)
+    edges = [(0, 1), (0, 2), (1, 2), (2, 0), (1, 3)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.rank for r in pagerank(df, iters=15).collect()}
+
+    n, d = 4, 0.85
+    out = {0: [1, 2], 1: [2, 3], 2: [0], 3: []}
+    r = np.full(n, 1.0 / n)
+    for _ in range(15):
+        nxt = np.full(n, (1 - d) / n)
+        dangling = sum(r[u] for u in range(n) if not out[u])
+        nxt += d * dangling / n
+        for u, vs in out.items():
+            for v in vs:
+                nxt[v] += d * r[u] / len(vs)
+        r = nxt
+    for node in range(n):
+        assert abs(got[node] - r[node]) < 1e-9, (node, got[node], r[node])
+    assert abs(sum(got.values()) - 1.0) < 1e-9  # mass conserved
+
+
+def test_pagerank_partition_invariant(spark):
+    from data_pipeline_demo_spark.operators.graph import pagerank
+
+    edges = [(i, (i * 7 + 3) % 20) for i in range(20)] + [
+        (i, (i + 1) % 20) for i in range(20)
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    a = {r.node: round(r.rank, 9) for r in pagerank(df, iters=8).collect()}
+    b = {
+        r.node: round(r.rank, 9)
+        for r in pagerank(df.repartition(13), iters=8).collect()
+    }
+    assert a == b
+
+
+def test_variant_ops_matches_from_json(spark, sf_dir):
+    from data_pipeline_demo_spark.plans.scalars import q106_variant_ops
+
+    out = {r.event_type: (r.k_sum, r.n, r.n_bad) for r in
+           q106_variant_ops(spark, sf_dir).collect()}
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ref = {
+        r.event_type: (r.k_sum, r.n)
+        for r in ev.select(
+            "event_type",
+            F.from_json("props", "k INT").getField("k").alias("k"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").cast("bigint").alias("k_sum"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    }
+    assert set(out) == set(ref)
+    for et, (k_sum, cnt) in ref.items():
+        assert out[et][0] == k_sum and out[et][1] == cnt
+        assert out[et][2] == cnt  # every corrupted (leading-brace) row is null
