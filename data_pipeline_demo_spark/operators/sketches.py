@@ -434,3 +434,109 @@ def quantile_estimate(
                 yield pd.DataFrame(rows, columns=gc + ["prob", "value"])
 
     return sketches.mapInPandas(explode, schema)
+
+
+# --- KMV (k-minimum-values) theta sketches --------------------------------
+#
+# HLL unions losslessly but cannot INTERSECT; the KMV/theta family
+# (Beyer et al. SIGMOD'07; Apache DataSketches theta) estimates distinct
+# counts for unions AND intersections from the k smallest hash values of
+# each set — the sample of the hash space doubles as a uniform sample of
+# the set, so |A∩B| ≈ jaccard(sample) · |A∪B|. Sketch state is a sorted
+# k-array of int64 hashes: mergeable (union = k smallest of the concat),
+# bounded, storable in a txtable column like the HLL/MG/MRL trio.
+
+_KMV_FULL = 2.0**64
+
+
+def _kmv_pos(h):
+    """Signed int64 hash → uniform position in (0, 1]."""
+    return (h + F.lit(2.0**63) + F.lit(1.0)) / F.lit(_KMV_FULL)
+
+
+def kmv_sketch(
+    df: DataFrame,
+    group_cols: list[str],
+    item_col: str,
+    k: int = 256,
+) -> DataFrame:
+    """Per-group KMV sketch: the ``k`` smallest distinct ``xxhash64``
+    values of ``item_col`` as a sorted array, plus ``n_kept``. Below
+    capacity the sketch IS the distinct hash set (estimates exact).
+
+    Scale shape: distinct (group, hash) pairs shuffle once; the
+    k-smallest selection is a per-group window with the rank filter
+    Spark pushes below the exchange as a partial WindowGroupLimit —
+    map tasks ship at most k hashes per group, never the raw items."""
+    from pyspark.sql import Window
+
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    h = df.select(
+        *[F.col(c) for c in group_cols], F.xxhash64(F.col(item_col)).alias("h")
+    ).distinct()
+    w = Window.partitionBy(*[F.col(c) for c in group_cols]).orderBy("h")
+    return (
+        h.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .groupBy(*[F.col(c) for c in group_cols])
+        .agg(
+            F.sort_array(F.collect_list("h")).alias("kmv"),
+            F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+        )
+        .withColumn("k", F.lit(k).cast("bigint"))
+    )
+
+
+def kmv_estimate(col="kmv", n_kept="n_kept", k="k") -> F.Column:
+    """Distinct-count estimate from a sketch row: exact ``n_kept`` below
+    capacity, else the KMV estimator ``(k − 1) / pos(k-th smallest)``."""
+    kth = F.try_element_at(F.col(col), F.col(k).cast("int"))
+    return F.when(F.col(n_kept) < F.col(k), F.col(n_kept).cast("double")).otherwise(
+        (F.col(k) - 1) / _kmv_pos(kth)
+    )
+
+
+def kmv_union(a="kmv_a", b="kmv_b", k="k") -> F.Column:
+    """Union sketch: k smallest of the merged distinct hash arrays —
+    exactly the sketch of A ∪ B, so unions re-aggregate losslessly."""
+    return F.slice(
+        F.array_sort(F.array_union(F.col(a), F.col(b))), 1, F.col(k).cast("int")
+    )
+
+
+def kmv_overlap_estimates(pairs: DataFrame) -> DataFrame:
+    """Given rows carrying two sketches (``kmv_a``/``n_a``, ``kmv_b``/
+    ``n_b``, shared ``k``), append union / intersection / jaccard
+    estimates (theta-sketch set algebra):
+
+    - ``est_union`` from the merged sketch;
+    - ``jaccard_est`` = fraction of the union sketch's members present
+      in BOTH input sketches (the union sketch is a uniform hash-space
+      sample of A ∪ B);
+    - ``est_intersection`` = jaccard_est · est_union.
+
+    Pure array built-ins over k-sized state — no shuffle, no Python."""
+    u = kmv_union()
+    d = (
+        pairs.withColumn("kmv_u", u)
+        .withColumn("n_u", F.size("kmv_u").cast("bigint"))
+        .withColumn(
+            "est_union",
+            F.when(
+                (F.col("n_a") < F.col("k")) & (F.col("n_b") < F.col("k")),
+                F.size(F.array_union("kmv_a", "kmv_b")).cast("double"),
+            ).otherwise(
+                (F.col("k") - 1)
+                / _kmv_pos(F.try_element_at("kmv_u", F.col("k").cast("int")))
+            ),
+        )
+    )
+    both = F.size(
+        F.array_intersect(
+            F.array_intersect("kmv_u", "kmv_a"), F.col("kmv_b")
+        )
+    )
+    return d.withColumn(
+        "jaccard_est", both / F.col("n_u")
+    ).withColumn("est_intersection", F.col("jaccard_est") * F.col("est_union"))

@@ -109,3 +109,7 @@ register("q106_variant_ops", oracle=scalars._DUCK_VARIANT)(
     scalars.q106_variant_ops
 )
 register("q107_pagerank")(llm_ops.q107_pagerank)
+register("q108_drift_psi", oracle=llm_ops._DUCK_DRIFT_PSI)(
+    llm_ops.q108_drift_psi
+)
+register("q109_theta_overlap")(llm_ops.q109_theta_overlap)

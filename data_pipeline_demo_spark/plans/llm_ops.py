@@ -1283,3 +1283,109 @@ def q107_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pr = graph.pagerank(edges, iters=10)
     return pr.select("node", F.round("rank", 8).alias("rank"))
+
+
+_DUCK_DRIFT_PSI = """
+    WITH binned AS (
+      SELECT event_type AS grp,
+             LEAST(GREATEST(CAST(FLOOR((value - 0.0) / 50.0) AS BIGINT), 0), 9)
+               AS bin,
+             ts < TIMESTAMP '2024-01-16' AS is_ref
+      FROM events
+    ),
+    rh AS (
+      SELECT grp, bin, COUNT(*) AS c_ref FROM binned WHERE is_ref
+      GROUP BY grp, bin
+    ),
+    ch AS (
+      SELECT grp, bin, COUNT(*) AS c_cur FROM binned WHERE NOT is_ref
+      GROUP BY grp, bin
+    ),
+    grid AS (
+      SELECT g.grp, b.bin
+      FROM (SELECT grp FROM rh UNION SELECT grp FROM ch) g,
+           (SELECT UNNEST(range(0, 10)) AS bin) b
+    ),
+    h AS (
+      SELECT grid.grp, grid.bin,
+             COALESCE(rh.c_ref, 0) AS c_ref,
+             COALESCE(ch.c_cur, 0) AS c_cur
+      FROM grid
+      LEFT JOIN rh ON grid.grp = rh.grp AND grid.bin = rh.bin
+      LEFT JOIN ch ON grid.grp = ch.grp AND grid.bin = ch.bin
+    ),
+    t AS (
+      SELECT grp, CAST(SUM(c_ref) AS BIGINT) AS n_ref,
+             CAST(SUM(c_cur) AS BIGINT) AS n_cur
+      FROM h GROUP BY grp
+    )
+    SELECT h.grp,
+           ROUND(SUM(
+             (((c_cur + 1) / (n_cur + 10)) - ((c_ref + 1) / (n_ref + 10)))
+             * LN(((c_cur + 1) / (n_cur + 10)) / ((c_ref + 1) / (n_ref + 10)))
+           ), 6) AS psi,
+           t.n_ref, t.n_cur
+    FROM h JOIN t ON h.grp = t.grp
+    GROUP BY h.grp, t.n_ref, t.n_cur
+"""
+
+
+def q108_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift gate (operators/drift.py:psi): Population
+    Stability Index of the event value distribution, first half of the
+    month (reference) vs second half (current), 10 fixed-width bins per
+    event type with add-one smoothing. Each snapshot collapses to
+    (groups × bins) integer counts in one combinable aggregation — raw
+    rows never shuffle — and the PSI fold runs over that tiny relation.
+    Oracle-checked: binning and totals are integer-exact; the 10-term
+    smoothed PSI sum rounds to 6 decimals, absorbing last-ulp ln() and
+    summation-order drift."""
+    from ..operators import drift
+
+    ev = table(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16").cast("timestamp")
+    return drift.psi(
+        ev.filter(F.col("ts") < cut),
+        ev.filter(F.col("ts") >= cut),
+        group_col="event_type",
+        value_col="value",
+        lo=0.0,
+        hi=500.0,
+        bins=10,
+    )
+
+
+def q109_theta_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-set OVERLAP estimation from mergeable KMV/theta sketches
+    (operators/sketches.py) — the set-algebra tier HLL cannot provide:
+    per event-type pair, estimated distinct users, union, intersection,
+    and Jaccard, all computed from k-sized sorted hash arrays (the
+    sketches union losslessly like the HLL/MG/MRL trio and store the
+    same way). Rows-only by construction (xxhash64 sample has no DuckDB
+    twin); estimator error bounds, below-capacity exactness, and union
+    losslessness are unit-tested."""
+    from ..operators import sketches
+
+    ev = table(spark, sf_dir, "events")
+    sk = sketches.kmv_sketch(ev, ["event_type"], "user_id", k=64)
+    a = sk.select(
+        F.col("event_type").alias("type_a"),
+        F.col("kmv").alias("kmv_a"),
+        F.col("n_kept").alias("n_a"),
+        "k",
+    )
+    b = sk.select(
+        F.col("event_type").alias("type_b"),
+        F.col("kmv").alias("kmv_b"),
+        F.col("n_kept").alias("n_b"),
+    )
+    pairs = a.join(b, F.col("type_a") < F.col("type_b"))
+    est = sketches.kmv_overlap_estimates(pairs)
+    return est.select(
+        "type_a",
+        "type_b",
+        F.round(sketches.kmv_estimate("kmv_a", "n_a", "k"), 2).alias("est_a"),
+        F.round("est_union", 2).alias("est_union"),
+        F.round("est_intersection", 2).alias("est_intersection"),
+        F.round("jaccard_est", 4).alias("jaccard_est"),
+    )

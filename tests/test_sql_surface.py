@@ -358,3 +358,94 @@ def test_variant_ops_matches_from_json(spark, sf_dir):
     for et, (k_sum, cnt) in ref.items():
         assert out[et][0] == k_sum and out[et][1] == cnt
         assert out[et][2] == cnt  # every corrupted (leading-brace) row is null
+
+
+def test_psi_zero_for_identical_and_large_for_shifted(spark):
+    from data_pipeline_demo_spark.operators.drift import psi
+
+    same = spark.createDataFrame(
+        [("g", float(v % 100)) for v in range(500)], "grp string, v double"
+    )
+    out = psi(same, same, "grp", "v", lo=0.0, hi=100.0, bins=10).collect()
+    assert len(out) == 1 and out[0].psi == 0.0  # identical dists: PSI exactly 0
+    shifted = spark.createDataFrame(
+        [("g", float(v % 100) / 10 + 90) for v in range(500)],
+        "grp string, v double",
+    )
+    out2 = psi(same, shifted, "grp", "v", lo=0.0, hi=100.0, bins=10).collect()
+    assert out2[0].psi > 0.25  # mass moved to the top bin: action-level drift
+    assert out2[0].n_ref == 500 and out2[0].n_cur == 500
+
+
+def test_psi_clamps_out_of_range_rows(spark):
+    from data_pipeline_demo_spark.operators.drift import psi
+
+    ref = spark.createDataFrame(
+        [("g", -5.0), ("g", 1000.0), ("g", 50.0)], "grp string, v double"
+    )
+    out = psi(ref, ref, "grp", "v", lo=0.0, hi=100.0, bins=10).collect()
+    # nothing dropped: totals count every row including clamped ones
+    assert out[0].n_ref == 3 and out[0].psi == 0.0
+
+
+def test_kmv_exact_below_capacity_and_estimates_above(spark):
+    from data_pipeline_demo_spark.operators.sketches import (
+        kmv_estimate,
+        kmv_sketch,
+    )
+
+    small = spark.createDataFrame(
+        [("a", i % 40) for i in range(400)], "g string, item long"
+    )
+    sk = kmv_sketch(small, ["g"], "item", k=64)
+    est = sk.select(kmv_estimate().alias("e")).first().e
+    assert est == 40.0  # below capacity: exact
+    big = spark.createDataFrame(
+        [("a", i) for i in range(5000)], "g string, item long"
+    )
+    est2 = (
+        kmv_sketch(big, ["g"], "item", k=256)
+        .select(kmv_estimate().alias("e"))
+        .first()
+        .e
+    )
+    assert abs(est2 - 5000) / 5000 < 0.25  # KMV rse ~ 1/sqrt(k) ≈ 6%
+
+
+def test_kmv_overlap_estimates(spark):
+    from data_pipeline_demo_spark.operators.sketches import (
+        kmv_overlap_estimates,
+        kmv_sketch,
+    )
+    from pyspark.sql import functions as FF
+
+    # A = 0..2999, B = 2000..4999 -> |A∪B|=5000, |A∩B|=1000, J=0.2
+    rows = [("a", i) for i in range(3000)] + [
+        ("b", i) for i in range(2000, 5000)
+    ]
+    df = spark.createDataFrame(rows, "g string, item long")
+    sk = kmv_sketch(df, ["g"], "item", k=256)
+    a = sk.filter(FF.col("g") == "a").select(
+        FF.col("kmv").alias("kmv_a"), FF.col("n_kept").alias("n_a"), "k"
+    )
+    b = sk.filter(FF.col("g") == "b").select(
+        FF.col("kmv").alias("kmv_b"), FF.col("n_kept").alias("n_b")
+    )
+    est = kmv_overlap_estimates(a.crossJoin(b)).first()
+    assert abs(est.est_union - 5000) / 5000 < 0.25
+    assert abs(est.jaccard_est - 0.2) < 0.1
+    assert abs(est.est_intersection - 1000) / 1000 < 0.5
+    # union of two below-capacity sketches is exact
+    small = spark.createDataFrame(
+        [("a", i) for i in range(30)] + [("b", i) for i in range(20, 50)],
+        "g string, item long",
+    )
+    sk2 = kmv_sketch(small, ["g"], "item", k=256)
+    a2 = sk2.filter(FF.col("g") == "a").select(
+        FF.col("kmv").alias("kmv_a"), FF.col("n_kept").alias("n_a"), "k"
+    )
+    b2 = sk2.filter(FF.col("g") == "b").select(
+        FF.col("kmv").alias("kmv_b"), FF.col("n_kept").alias("n_b")
+    )
+    e2 = kmv_overlap_estimates(a2.crossJoin(b2)).first()
+    assert e2.est_union == 50.0 and abs(e2.est_intersection - 10) < 1e-9
