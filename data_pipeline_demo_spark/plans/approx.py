@@ -113,3 +113,6 @@ register("q108_drift_psi", oracle=llm_ops._DUCK_DRIFT_PSI)(
     llm_ops.q108_drift_psi
 )
 register("q109_theta_overlap")(llm_ops.q109_theta_overlap)
+register("q110_copurchase_lift", oracle=relational._COPURCHASE_ORACLE)(
+    relational.q110_copurchase_lift
+)

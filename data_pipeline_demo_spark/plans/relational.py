@@ -903,3 +903,81 @@ def q104_exact_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(l_quantity, 0.9)"), 6).alias("p90"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+_COPURCHASE_ORACLE = """
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    n_orders AS (SELECT COUNT(DISTINCT l_orderkey) AS n FROM items),
+    part_cnt AS (
+      SELECT l_partkey, COUNT(*) AS c FROM items GROUP BY l_partkey
+    ),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             COUNT(*) AS n_ab
+      FROM items a
+      JOIN items b ON a.l_orderkey = b.l_orderkey
+                  AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    )
+    SELECT part_a, part_b, n_ab,
+           (n_ab * n.n) / (ca.c * cb.c) AS lift
+    FROM pairs
+    JOIN part_cnt ca ON ca.l_partkey = part_a
+    JOIN part_cnt cb ON cb.l_partkey = part_b
+    CROSS JOIN n_orders n
+    WHERE n_ab >= 3
+"""
+
+
+def q110_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence with lift — association analytics
+    (support ≥ 3 pairs, ``lift = P(a,b) / (P(a)·P(b))`` computed as ONE
+    integer-product division so the value hash-matches DuckDB exactly).
+
+    Scale shape: the pair generation is a self-join WITHIN an order key
+    — candidate volume is Σ C(order_size, 2), bounded by the basket
+    size, never |parts|² — and the support filter is applied on the
+    grouped counts before the dimension joins. The per-part counts and
+    the 1-row order total broadcast; nothing item-level shuffles after
+    the pair aggregation. The same shape at 100 TB is the standard
+    FP-growth preprocessing step (frequent-pair mining)."""
+    li = table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    n_orders = items.agg(
+        F.countDistinct("l_orderkey").alias("n")
+    )
+    part_cnt = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
+    a = items.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a")
+    )
+    b = items.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b")
+    )
+    pairs = (
+        a.join(b, ["ok"])
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= 3)
+    )
+    ca = part_cnt.select(
+        F.col("l_partkey").alias("part_a"), F.col("c").alias("c_a")
+    )
+    cb = part_cnt.select(
+        F.col("l_partkey").alias("part_b"), F.col("c").alias("c_b")
+    )
+    return (
+        pairs.join(F.broadcast(ca), "part_a")
+        .join(F.broadcast(cb), "part_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "part_a",
+            "part_b",
+            "n_ab",
+            ((F.col("n_ab") * F.col("n")) / (F.col("c_a") * F.col("c_b"))).alias(
+                "lift"
+            ),
+        )
+    )

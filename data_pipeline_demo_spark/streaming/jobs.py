@@ -594,3 +594,90 @@ def stream_distinct_sketches(
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
     return writer
+
+
+def make_drift_batch_fn(
+    root_path: str,
+    ref: DataFrame,
+    group_col: str,
+    value_col: str,
+    lo: float,
+    hi: float,
+    bins: int = 10,
+    txn_app_id: str = "drift-monitor",
+):
+    """foreachBatch callback behind :func:`stream_drift_monitor`,
+    exposed for direct testing (same convention as
+    ``make_sketch_batch_fn``): scores ONE micro-batch's PSI against the
+    frozen reference and appends per-group rows keyed
+    (batch_id, group) to a txtable under the txn watermark, so a
+    replayed batch is a log-level no-op."""
+    from pyspark.sql import functions as SF
+
+    from ..operators.drift import psi
+    from ..sinks.txlog import txlog_upsert
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        out = (
+            psi(ref, batch_df, group_col, value_col, lo, hi, bins)
+            .select(
+                SF.lit(int(batch_id)).cast("long").alias("batch_id"),
+                "grp",
+                "psi",
+                "n_ref",
+                "n_cur",
+            )
+            .withColumn(
+                "__dkey",
+                SF.concat_ws(
+                    "\x1f", SF.col("batch_id").cast("string"), SF.col("grp")
+                ),
+            )
+        )
+        txlog_upsert(
+            batch_df.sparkSession,
+            out,
+            root_path,
+            key="__dkey",
+            txn_app_id=txn_app_id,
+            txn_version=batch_id,
+        )
+
+    return write_batch
+
+
+def stream_drift_monitor(
+    stream: DataFrame,
+    ref: DataFrame,
+    root_path: str,
+    group_col: str,
+    value_col: str,
+    lo: float,
+    hi: float,
+    bins: int = 10,
+    checkpoint: str | None = None,
+    txn_app_id: str = "drift-monitor",
+):
+    """Continuous data-quality gate: every micro-batch's value
+    distribution is PSI-scored against a FROZEN reference snapshot
+    (operators/drift.py) and the per-group scores land in a
+    transactional table — the monitoring loop an ingest pipeline
+    watches before trusting new data.
+
+    Per-trigger cost is O(batch + groups × bins): the reference
+    collapses to its histogram inside each psi() call's combinable
+    aggregation (a caller can pre-aggregate/persist ``ref`` for long
+    streams), the batch never shuffles raw rows, and the appended
+    verdict rows are (batch × groups)-sized. Exactly-once via the
+    commit log's txn watermark, same as every foreachBatch sink here.
+    Caller picks the trigger."""
+    write_batch = make_drift_batch_fn(
+        root_path, ref, group_col, value_col, lo, hi, bins,
+        txn_app_id=txn_app_id,
+    )
+    writer = stream.writeStream.foreachBatch(write_batch).outputMode("append")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer

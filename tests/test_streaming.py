@@ -530,3 +530,45 @@ def test_stream_sketch_maintenance_hh_and_quantile(spark, event_stream_source, t
         vals = sorted(vals_by_type[r["event_type"]])
         rank = bisect.bisect_right(vals, r["value"])
         assert abs(rank - r["prob"] * len(vals)) / len(vals) <= 0.03
+
+
+def test_stream_drift_monitor_batches_and_replay(spark, tmp_path):
+    """The drift foreachBatch callback scores each micro-batch against
+    the frozen reference, matches the batch-mode psi() on the same
+    slice, and a replayed batch_id is a log-level no-op."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_demo_spark.operators.drift import psi
+    from data_pipeline_demo_spark.sinks.txlog import read_txtable
+    from data_pipeline_demo_spark.streaming.jobs import make_drift_batch_fn
+
+    ref = spark.createDataFrame(
+        [("a", float(v % 100)) for v in range(300)], "grp string, v double"
+    )
+    b1 = spark.createDataFrame(
+        [("a", float(v % 100)) for v in range(200)], "grp string, v double"
+    )
+    b2 = spark.createDataFrame(
+        [("a", 95.0)] * 120, "grp string, v double"
+    )
+    root = str(tmp_path / "drift_tx")
+    fn = make_drift_batch_fn(root, ref, "grp", "v", lo=0.0, hi=100.0, bins=10)
+    fn(b1, 0)
+    fn(b2, 1)
+    rows = {
+        (r.batch_id, r.grp): (r.psi, r.n_cur)
+        for r in read_txtable(spark, root).collect()
+    }
+    assert set(rows) == {(0, "a"), (1, "a")}
+    direct1 = psi(ref, b1, "grp", "v", 0.0, 100.0, 10).first()
+    direct2 = psi(ref, b2, "grp", "v", 0.0, 100.0, 10).first()
+    assert rows[(0, "a")] == (direct1.psi, 200)
+    assert rows[(1, "a")] == (direct2.psi, 120)
+    assert rows[(1, "a")][0] > rows[(0, "a")][0]  # shifted batch drifts more
+    # replay of batch 1 with different data: watermark makes it a no-op
+    fn(b1, 1)
+    after = {
+        (r.batch_id, r.grp): (r.psi, r.n_cur)
+        for r in read_txtable(spark, root).collect()
+    }
+    assert after == rows
