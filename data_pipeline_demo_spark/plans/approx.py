@@ -116,3 +116,6 @@ register("q109_theta_overlap")(llm_ops.q109_theta_overlap)
 register("q110_copurchase_lift", oracle=relational._COPURCHASE_ORACLE)(
     relational.q110_copurchase_lift
 )
+register("q111_pit_join", oracle=timeseries._DUCK_PIT)(
+    timeseries.q111_pit_join
+)

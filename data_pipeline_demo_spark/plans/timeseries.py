@@ -361,7 +361,13 @@ def q98_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic under any parallelism; values are passed-through
     timestamps and strings, so the oracle hash-compare is exact.
     Registered past the driver cap in plans/approx.py (with oracle)."""
-    ev = table(spark, sf_dir, "events")
+    return scd2_intervals(table(spark, sf_dir, "events"))
+
+
+def scd2_intervals(ev: DataFrame) -> DataFrame:
+    """The SCD2 build itself (shared by q98 and the point-in-time join
+    q111): collapse per-user attribute runs via LAG, stamp
+    [valid_from, valid_to) + version + is_current via LEAD/ROW_NUMBER."""
     order = [F.col("ts").asc(), F.col("event_id").asc()]
     w = Window.partitionBy("user_id").orderBy(*order)
     changes = (
@@ -424,4 +430,74 @@ def q105_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("cohort_week", "weeks_since")
         .agg(F.countDistinct("user_id").alias("active_users"))
+    )
+
+
+_DUCK_PIT = """
+    WITH ctx AS (
+      SELECT user_id, event_type, ts, event_id FROM events
+      WHERE event_type <> 'purchase'
+    ),
+    marked AS (
+      SELECT user_id, event_type, ts, event_id,
+             LAG(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS prev_type
+      FROM ctx
+    ),
+    changes AS (
+      SELECT user_id, event_type, ts, event_id
+      FROM marked
+      WHERE prev_type IS NULL OR prev_type <> event_type
+    ),
+    dim AS (
+      SELECT user_id, event_type AS context_state,
+             ts AS valid_from,
+             LEAD(ts) OVER w AS valid_to
+      FROM changes
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT p.event_id, p.user_id, p.ts, d.context_state
+    FROM (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'purchase') p
+    LEFT JOIN dim d
+      ON d.user_id = p.user_id
+     AND d.valid_from <= p.ts
+     AND (d.valid_to IS NULL OR p.ts < d.valid_to)
+"""
+
+
+def q111_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (temporal) join against the SCD2 dimension: each
+    purchase is attributed the user's context state — the last
+    non-purchase activity run — valid AT the purchase timestamp
+    ([valid_from, valid_to) containment). This is the lookup an SCD2
+    dimension exists to serve ("what was this entity's state at T"),
+    composed from the shared scd2_intervals build (q98) plus a
+    half-open-interval join.
+
+    Scale shape: the join is EQUALITY on user_id with the interval
+    containment as a residual predicate — a plain hash join whose probe
+    side is each user's interval list (bounded by that user's change
+    count), not a cross product; intervals per user are disjoint by
+    construction, so every purchase matches at most one row and the
+    result is purchase-sized. Purchases before any context event keep
+    a null state via the left join (no silent row loss)."""
+    ev = table(spark, sf_dir, "events")
+    dim = scd2_intervals(ev.filter(F.col("event_type") != "purchase")).select(
+        F.col("user_id").alias("d_user"),
+        F.col("event_type").alias("context_state"),
+        "valid_from",
+        "valid_to",
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    cond = (
+        (F.col("d_user") == F.col("user_id"))
+        & (F.col("valid_from") <= F.col("ts"))
+        & (F.col("valid_to").isNull() | (F.col("ts") < F.col("valid_to")))
+    )
+    return purchases.join(dim, cond, "left").select(
+        "event_id", "user_id", "ts", "context_state"
     )

@@ -449,3 +449,29 @@ def test_kmv_overlap_estimates(spark):
     )
     e2 = kmv_overlap_estimates(a2.crossJoin(b2)).first()
     assert e2.est_union == 50.0 and abs(e2.est_intersection - 10) < 1e-9
+
+
+def test_pit_join_attributes_state_at_time(spark, monkeypatch):
+    import datetime as dtm
+
+    import data_pipeline_demo_spark.plans.timeseries as ts_mod
+
+    t = [dtm.datetime(2024, 3, 1, h) for h in range(6)]
+    ev = spark.createDataFrame(
+        [
+            (1, t[0], 9, "view", 0.0, "{}"),
+            (2, t[1], 9, "purchase", 0.0, "{}"),   # during 'view'
+            (3, t[2], 9, "click", 0.0, "{}"),
+            (4, t[3], 9, "purchase", 0.0, "{}"),   # during 'click'
+            (5, t[4], 9, "purchase", 0.0, "{}"),   # still 'click' (current)
+            (6, t[0], 10, "purchase", 0.0, "{}"),  # user with no context: null
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    monkeypatch.setattr(ts_mod, "table", lambda s, d, n: ev)
+    got = {
+        r.event_id: r.context_state
+        for r in ts_mod.q111_pit_join(spark, "x").collect()
+    }
+    assert got == {2: "view", 4: "click", 5: "click", 6: None}
