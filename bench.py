@@ -248,6 +248,23 @@ def main() -> None:
 
     lh_timings, lh_spreads = bench_lakehouse(spark, sf_dir, runs)
 
+    # round-6 surface additions, timed under separate keys so the
+    # headline total stays comparable across rounds
+    sf_timings: dict[str, float] = {}
+    sf_spreads: dict[str, float] = {}
+    for name in (
+        "q99_bm25_topk",
+        "q101_pack_sequences",
+        "q103_time_range_window",
+        "q105_cohort_retention",
+        "q108_drift_psi",
+        "q110_copurchase_lift",
+        "q111_pit_join",
+    ):
+        sf_timings[name], sf_spreads[name] = _timed(
+            lambda name=name: queries[name](spark, sf_dir).count(), runs
+        )
+
     out = {
         "metric": "headline_queries_total_runtime",
         "value": round(sum(timings.values()), 3),
@@ -258,6 +275,8 @@ def main() -> None:
         "spread_max_minus_min": spreads,
         "lakehouse": lh_timings,
         "lakehouse_spread": lh_spreads,
+        "surface_r6": sf_timings,
+        "surface_r6_spread": sf_spreads,
     }
     print(json.dumps(out))
 
