@@ -25,7 +25,11 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.cleaning import clean_transactions, qa_aggregates_by
+from ..functions.cleaning import (
+    _qa_agg_exprs,
+    clean_transactions,
+    qa_aggregates_by,
+)
 from ..sinks.upsert import (
     append_ledger_rows,
     new_files,
@@ -119,12 +123,25 @@ def run_ingest(spark: SparkSession, cfg: PipelineConfig) -> dict[str, object]:
             cfg.quarantine_path,
             reason=F.concat(F.lit("csv:"), F.col(SOURCE_COL)),
         )
+    # Whole-batch QA rides the upsert's OWN scan via df.observe — the
+    # reference's inline checksum / date-range / null-count prints
+    # (data_pipeline.py:401-402, :430, :689-701) computed with ZERO
+    # extra jobs (the per-file grouped QA above still needs its one
+    # grouped pass; Observation metrics are global-only by design).
+    from pyspark.sql import Observation
+
+    obs = Observation("batch_qa")
+    to_write = cleaned.drop("_all_money_null", SOURCE_COL)
+    to_write = to_write.observe(
+        obs, *_qa_agg_exprs(to_write, "TotalAmount", "TransactionDatetime")
+    )
     total = upsert_parquet(
         spark,
-        cleaned.drop("_all_money_null", SOURCE_COL),
+        to_write,
         cfg.target_path,
         key=cfg.key,
     )
+    report["batch_qa"] = dict(obs.get)
     cleaned.unpersist()
     append_ledger_rows(
         spark,

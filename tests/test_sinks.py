@@ -440,3 +440,31 @@ def test_upsert_schema_evolution_new_column(spark, tmp_path):
         for r in spark.read.parquet(target).collect()
     }
     assert rows == {1: (11.0, "AUD"), 2: (20.0, "NZD"), 3: (30.0, None)}
+
+
+def test_run_ingest_batch_qa_observation(spark, tmp_path):
+    """Whole-batch QA metrics ride the upsert scan via df.observe: the
+    report's batch_qa matches the per-file QA rows summed."""
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    (landing / "dealer_2025-06-01.csv").write_text(
+        f"{CSV_HEADER}\n1,30/04/2025 19:36,$10.00,$100.00,,,,,,,,,\n"
+        f"2,30/04/2025 19:37,$20.00,$200.00,,,,,,,,,\n"
+    )
+    (landing / "dealer_2025-06-02.csv").write_text(
+        f"{CSV_HEADER}\n3,01/05/2025 08:00,$30.00,$300.00,,,,,,,,,\n"
+    )
+    cfg = PipelineConfig(
+        landing_dir=str(landing),
+        target_path=str(tmp_path / "target"),
+        ledger_path=str(tmp_path / "ledger"),
+        quarantine_path=str(tmp_path / "quarantine"),
+    )
+    report = run_ingest(spark, cfg)
+    qa = report["batch_qa"]
+    per_file = [p["qa"] for p in report["processed"]]
+    assert qa["n_rows"] == sum(p["n_rows"] for p in per_file) == 3
+    assert qa["checksum_total"] == sum(p["checksum_total"] for p in per_file)
+    assert qa["n_dates_parsed"] == 3 and qa["n_dates_null"] == 0
+    assert qa["date_min"] == min(p["date_min"] for p in per_file)
+    assert qa["date_max"] == max(p["date_max"] for p in per_file)
