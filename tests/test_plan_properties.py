@@ -145,3 +145,24 @@ def test_stratified_exact_k_nested_prefix(spark):
     }
     direct = {(r["lang"], r["doc_id"]) for r in k4.collect()}
     assert prefix == direct and len(direct) == 12
+
+
+def test_join_hints_switch_physical_strategy(spark, sf_dir):
+    """Join-strategy control surface: the same logical join planned as
+    broadcast-hash, shuffle-hash, and sort-merge purely via hints —
+    the knob a 100 TB deployment turns when AQE's choice is wrong for
+    a known workload."""
+    from data_pipeline_demo_spark.sources.tables import table
+
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+
+    def plan(j):
+        return j._jdf.queryExecution().executedPlan().toString()
+
+    b = plan(li.join(o.hint("broadcast"), li.l_orderkey == o.o_orderkey))
+    assert "BroadcastHashJoin" in b
+    sh = plan(li.join(o.hint("shuffle_hash"), li.l_orderkey == o.o_orderkey))
+    assert "ShuffledHashJoin" in sh
+    sm = plan(li.join(o.hint("merge"), li.l_orderkey == o.o_orderkey))
+    assert "SortMergeJoin" in sm
