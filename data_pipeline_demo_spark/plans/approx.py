@@ -119,3 +119,6 @@ register("q110_copurchase_lift", oracle=relational._COPURCHASE_ORACLE)(
 register("q111_pit_join", oracle=timeseries._DUCK_PIT)(
     timeseries.q111_pit_join
 )
+register("q112_join_view_refresh", oracle=llm_ops._DUCK_JOIN_VIEW)(
+    llm_ops.q112_join_view_refresh
+)

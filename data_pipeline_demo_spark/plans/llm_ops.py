@@ -1389,3 +1389,91 @@ def q109_theta_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("est_intersection", 2).alias("est_intersection"),
         F.round("jaccard_est", 4).alias("jaccard_est"),
     )
+
+
+_DUCK_JOIN_VIEW = """
+    WITH a AS (
+      SELECT o_orderkey, o_custkey,
+             CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1000.0
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders WHERE o_orderkey < 2000
+    ),
+    b AS (SELECT c_custkey, c_mktsegment FROM customer)
+    SELECT a.o_orderkey, a.o_custkey, a.o_totalprice, b.c_mktsegment
+    FROM a JOIN b ON a.o_custkey = b.c_custkey
+    WHERE a.o_totalprice >= 50000.0
+"""
+
+
+def q112_join_view_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained JOIN materialization end-to-end under
+    the value-exact oracle (sinks/join_view.py): orders and customer
+    land as txtables, their join materializes into a view txtable, then
+    an UPDATE (price bump on every 5th order) and a DELETE (price
+    floor) hit the orders side; the view refreshes from the REAL change
+    feed (preimages included) via dirty-key partial recompute, and the
+    final view snapshot must hash-match the oracle's from-scratch SQL
+    join of the post-DML state — certifying CDC completeness, the
+    dirty-key algebra, and the bucket-pruned delete/MERGE composed."""
+    import tempfile
+
+    from ..sinks.join_view import (
+        VIEW_KEY,
+        build_join_view,
+        dirty_join_keys,
+        refresh_join_view,
+    )
+    from ..sinks.txlog import (
+        read_txtable,
+        txlog_delete,
+        txlog_update,
+        txlog_upsert,
+        txtable_changes,
+    )
+
+    base = tempfile.mkdtemp(prefix="q112-jv-")
+    a_root, b_root, v_root = f"{base}/a", f"{base}/b", f"{base}/v"
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 2000)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    txlog_upsert(spark, o, a_root, key="o_orderkey", num_buckets=8)
+    txlog_upsert(spark, c, b_root, key="c_custkey", num_buckets=8)
+
+    def a_side():
+        return read_txtable(spark, a_root).withColumnRenamed(
+            "o_custkey", "custkey"
+        )
+
+    def b_side():
+        return read_txtable(spark, b_root).withColumnRenamed(
+            "c_custkey", "custkey"
+        )
+
+    build_join_view(
+        spark, v_root, a_side(), b_side(),
+        on="custkey", a_id="o_orderkey", b_id="custkey", num_buckets=8,
+    )
+    txlog_update(
+        spark, a_root,
+        set={"o_totalprice": "o_totalprice + 1000.0"},
+        where="o_orderkey % 5 = 0",
+    )
+    txlog_delete(spark, a_root, where="o_totalprice < 50000.0")
+    dirty = dirty_join_keys(
+        "custkey",
+        txtable_changes(spark, a_root, 0, include_preimages=True)
+        .withColumnRenamed("o_custkey", "custkey"),
+    )
+    refresh_join_view(
+        spark, v_root, a_side(), b_side(), dirty,
+        on="custkey", a_id="o_orderkey", b_id="custkey",
+    )
+    return read_txtable(spark, v_root).select(
+        "o_orderkey",
+        F.col("custkey").alias("o_custkey"),
+        "o_totalprice",
+        "c_mktsegment",
+    )

@@ -1,0 +1,148 @@
+"""Incrementally-maintained join view (sinks/join_view.py): the
+refreshed materialization must equal a from-scratch rebuild of
+A ⋈ B after every DML round, with dirty keys taken from the REAL
+txtable change feeds (preimages included, so join-key moves dirty both
+the old and the new key)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_pipeline_demo_spark.sinks.join_view import (
+    VIEW_KEY,
+    build_join_view,
+    dirty_join_keys,
+    refresh_join_view,
+)
+from data_pipeline_demo_spark.sinks.txlog import (
+    read_txtable,
+    txlog_delete,
+    txlog_upsert,
+    txtable_changes,
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "id long, k long, val string")
+
+
+def _view_rows(spark, root):
+    return {
+        tuple(r)
+        for r in read_txtable(spark, root)
+        .drop(VIEW_KEY)
+        .select("k", "a_id", "a_val", "b_id", "b_val")
+        .collect()
+    }
+
+
+def _expected(a, b):
+    return {
+        tuple(r)
+        for r in a.selectExpr("k", "id AS a_id", "val AS a_val")
+        .join(b.selectExpr("k", "id AS b_id", "val AS b_val"), "k")
+        .select("k", "a_id", "a_val", "b_id", "b_val")
+        .collect()
+    }
+
+
+def test_join_view_refresh_equals_rebuild_across_dml(spark, tmp_path):
+    a_root = str(tmp_path / "a_tx")
+    b_root = str(tmp_path / "b_tx")
+    v_root = str(tmp_path / "view_tx")
+
+    a0 = _df(spark, [(1, 10, "a1"), (2, 10, "a2"), (3, 20, "a3"), (4, 30, "a4")])
+    b0 = _df(spark, [(101, 10, "b1"), (102, 20, "b2"), (103, 40, "b3")])
+    txlog_upsert(spark, a0, a_root, key="id", num_buckets=4)
+    txlog_upsert(spark, b0, b_root, key="id", num_buckets=4)
+
+    def snap(root):
+        return read_txtable(spark, root).select("id", "k", "val")
+
+    def viewify(df, side):
+        return df.selectExpr(
+            "k", f"id AS {side}_id", f"val AS {side}_val"
+        )
+
+    build_join_view(
+        spark,
+        v_root,
+        viewify(snap(a_root), "a"),
+        viewify(snap(b_root), "b"),
+        on="k",
+        a_id="a_id",
+        b_id="b_id",
+        num_buckets=4,
+    )
+    assert _view_rows(spark, v_root) == _expected(snap(a_root), snap(b_root))
+
+    # round 1: A update (join-key MOVE 10 -> 20), A insert, B delete
+    txlog_upsert(
+        spark, _df(spark, [(2, 20, "a2x"), (5, 40, "a5")]), a_root
+    )
+    txlog_delete(spark, b_root, where="id = 102")
+    a_ch = txtable_changes(spark, a_root, 0, 1, include_preimages=True)
+    b_ch = txtable_changes(spark, b_root, 0, 1, include_preimages=True)
+    dirty = dirty_join_keys("k", a_ch, b_ch)
+    # the key-move update must dirty BOTH keys via pre+postimage rows
+    assert {r.k for r in dirty.collect()} >= {10, 20, 40}
+    refresh_join_view(
+        spark,
+        v_root,
+        viewify(snap(a_root), "a"),
+        viewify(snap(b_root), "b"),
+        dirty,
+        on="k",
+        a_id="a_id",
+        b_id="b_id",
+    )
+    assert _view_rows(spark, v_root) == _expected(snap(a_root), snap(b_root))
+
+    # round 2: B gains a key matching the moved row; A loses a row
+    txlog_upsert(spark, _df(spark, [(104, 40, "b4"), (105, 30, "b5")]), b_root)
+    txlog_delete(spark, a_root, where="id = 1")
+    a_ch2 = txtable_changes(spark, a_root, 1, 2, include_preimages=True)
+    b_ch2 = txtable_changes(spark, b_root, 1, 2, include_preimages=True)
+    refresh_join_view(
+        spark,
+        v_root,
+        viewify(snap(a_root), "a"),
+        viewify(snap(b_root), "b"),
+        dirty_join_keys("k", a_ch2, b_ch2),
+        on="k",
+        a_id="a_id",
+        b_id="b_id",
+    )
+    assert _view_rows(spark, v_root) == _expected(snap(a_root), snap(b_root))
+
+
+def test_refresh_untouched_keys_never_rewritten(spark, tmp_path):
+    """A refresh whose dirty set misses a join key leaves that key's
+    view rows byte-identical (no spurious delete/upsert churn)."""
+    a_root = str(tmp_path / "a2_tx")
+    b_root = str(tmp_path / "b2_tx")
+    v_root = str(tmp_path / "v2_tx")
+    a0 = _df(spark, [(1, 10, "a1"), (2, 20, "a2")])
+    b0 = _df(spark, [(101, 10, "b1"), (102, 20, "b2")])
+    txlog_upsert(spark, a0, a_root, key="id", num_buckets=2)
+    txlog_upsert(spark, b0, b_root, key="id", num_buckets=2)
+
+    def viewify(df, side):
+        return df.selectExpr("k", f"id AS {side}_id", f"val AS {side}_val")
+
+    def snap(root):
+        return read_txtable(spark, root).select("id", "k", "val")
+
+    build_join_view(
+        spark, v_root, viewify(snap(a_root), "a"), viewify(snap(b_root), "b"),
+        on="k", a_id="a_id", b_id="b_id", num_buckets=2,
+    )
+    txlog_upsert(spark, _df(spark, [(1, 10, "a1x")]), a_root)
+    stats = refresh_join_view(
+        spark, v_root, viewify(snap(a_root), "a"), viewify(snap(b_root), "b"),
+        dirty_join_keys("k", txtable_changes(spark, a_root, 0, 1, include_preimages=True)),
+        on="k", a_id="a_id", b_id="b_id",
+    )
+    # nothing under key 20 was deleted or re-derived stale
+    assert stats["deleted"] == 0
+    assert _view_rows(spark, v_root) == _expected(snap(a_root), snap(b_root))
