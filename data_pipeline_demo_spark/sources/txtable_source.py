@@ -376,12 +376,21 @@ def _changed_buckets(m_from: dict, m_to: dict) -> list[str]:
 
 
 def _bucket_change_batches(
-    old_refs: list[tuple], new_refs: list[tuple], schema, key: str
+    old_refs: list[tuple],
+    new_refs: list[tuple],
+    schema,
+    key: str,
+    include_preimages: bool = False,
 ) -> Iterator:
     """insert/update/delete Arrow batches for ONE bucket between two
     snapshots: a hash key-compare (``index_in``) plus vectorized
     null-safe column diffs — no per-row Python objects, O(bucket) Arrow
-    memory bounded per executor task."""
+    memory bounded per executor task. ``include_preimages`` switches
+    updates to the Delta-CDF shape (``update_preimage`` with the OLD
+    values + ``update_postimage`` with the new) — algebraically
+    complete for consumers that must retract old contributions
+    (join-view/aggregate maintenance), matching the JVM reader's
+    ``txtable_changes(include_preimages=True)``."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
@@ -393,9 +402,8 @@ def _bucket_change_batches(
                 "txtable change feed requires non-null keys "
                 "(the JVM-side txtable_changes handles null keys)"
             )
-    if old.num_rows == 0:
-        inserts, updates, deletes = new, new.slice(0, 0), old
-    elif new.num_rows == 0:
+    pre = new.slice(0, 0)
+    if old.num_rows == 0 or new.num_rows == 0:
         inserts, updates, deletes = new, new.slice(0, 0), old
     else:
         ok = old.column(key).combine_chunks()
@@ -413,8 +421,21 @@ def _bucket_change_batches(
         updates = (
             matched_new.filter(diff) if diff is not None else matched_new
         )
+        if include_preimages:
+            # row-aligned with matched_new, so the same diff mask selects
+            # exactly the preimages of the emitted postimages
+            pre = (
+                matched_old.filter(diff) if diff is not None else matched_old
+            )
         deletes = old.filter(pc.is_null(pc.index_in(ok, value_set=nk)))
-    for tbl, tag in ((inserts, "insert"), (updates, "update"), (deletes, "delete")):
+    update_tag = "update_postimage" if include_preimages else "update"
+    emit = (
+        (inserts, "insert"),
+        (pre, "update_preimage"),
+        (updates, update_tag),
+        (deletes, "delete"),
+    )
+    for tbl, tag in emit:
         if tbl.num_rows:
             out = tbl.append_column(
                 CHANGE_COL, pa.array([tag] * tbl.num_rows, pa.string())
@@ -509,15 +530,29 @@ class _ChangesPartition(InputPartition):
     executor gets resolved file refs + the alignment schema + key, so
     ``read()`` needs no manifest or driver state."""
 
-    def __init__(self, old_refs: list[tuple], new_refs: list[tuple], schema, key: str):
+    def __init__(
+        self,
+        old_refs: list[tuple],
+        new_refs: list[tuple],
+        schema,
+        key: str,
+        pre: bool = False,
+    ):
         self.old_refs = old_refs
         self.new_refs = new_refs
         self.schema = schema
         self.key = key
+        self.pre = pre
 
 
 def _change_partitions(
-    fs, root: str, m_from: dict, m_to: dict, schema, fs_options: dict
+    fs,
+    root: str,
+    m_from: dict,
+    m_to: dict,
+    schema,
+    fs_options: dict,
+    pre: bool = False,
 ) -> list[_ChangesPartition]:
     key = m_to["key"]
     parts = [
@@ -526,11 +561,12 @@ def _change_partitions(
             _bucket_refs(fs, root, m_to, b, fs_options),
             schema,
             key,
+            pre,
         )
         for b in _changed_buckets(m_from, m_to)
     ]
     # the API needs >=1 partition; an empty diff reads as no rows
-    return parts or [_ChangesPartition([], [], schema, key)]
+    return parts or [_ChangesPartition([], [], schema, key, pre)]
 
 
 def _cdf_arrow_schema(fs, root: str, m_from: dict, m_to: dict, fs_options: dict):
@@ -555,14 +591,23 @@ class _TxTableChangesBatchReader(DataSourceReader):
     one executor partition per CHANGED bucket, diff computed
     executor-side."""
 
-    def __init__(self, fs, root: str, from_v: int, to_v: int, fs_options: dict):
+    def __init__(
+        self,
+        fs,
+        root: str,
+        from_v: int,
+        to_v: int,
+        fs_options: dict,
+        pre: bool = False,
+    ):
         self.m_to = _read_manifest(fs, root, to_v)
         self.m_from = _manifest_or_empty(fs, root, from_v, self.m_to)
         self.arrow_schema = _cdf_arrow_schema(
             fs, root, self.m_from, self.m_to, fs_options
         )
         self._parts = _change_partitions(
-            fs, root, self.m_from, self.m_to, self.arrow_schema, fs_options
+            fs, root, self.m_from, self.m_to, self.arrow_schema, fs_options,
+            pre,
         )
 
     def partitions(self) -> list[InputPartition]:
@@ -574,6 +619,7 @@ class _TxTableChangesBatchReader(DataSourceReader):
             partition.new_refs,
             partition.schema,
             partition.key,
+            getattr(partition, "pre", False),
         )
 
 
@@ -585,11 +631,19 @@ class _TxTableStreamReader(DataSourceStreamReader):
     rows on the driver — a ceiling at 100× bucket size; this reader's
     driver footprint is manifests only)."""
 
-    def __init__(self, fs, root: str, starting_version: int | None, fs_options: dict):
+    def __init__(
+        self,
+        fs,
+        root: str,
+        starting_version: int | None,
+        fs_options: dict,
+        pre: bool = False,
+    ):
         self.fs = fs
         self.root = root
         self.fs_options = fs_options
         self.starting_version = starting_version
+        self.pre = pre
 
     def initialOffset(self) -> dict:
         # default: emit changes made AFTER stream start (Delta CDF
@@ -612,7 +666,8 @@ class _TxTableStreamReader(DataSourceStreamReader):
             self.fs, self.root, m_from, m_to, self.fs_options
         )
         return _change_partitions(
-            self.fs, self.root, m_from, m_to, schema, self.fs_options
+            self.fs, self.root, m_from, m_to, schema, self.fs_options,
+            self.pre,
         )
 
     def read(self, partition: _ChangesPartition) -> Iterator:
@@ -621,6 +676,7 @@ class _TxTableStreamReader(DataSourceStreamReader):
             partition.new_refs,
             partition.schema,
             partition.key,
+            getattr(partition, "pre", False),
         )
 
     def commit(self, end: dict) -> None:
@@ -636,8 +692,11 @@ class TxTableDataSource(DataSource):
     """``format("txtable")``. Options: ``path`` (or ``load(path)``),
     ``version`` (batch time travel), ``readChangeFeed`` +
     ``startingVersion``/``startingTimestamp`` (+ batch
-    ``endingVersion``) for change feeds, ``fs.*`` passed to
-    ``fsspec.filesystem`` for non-local schemes."""
+    ``endingVersion``) for change feeds, ``includePreimages`` for the
+    Delta-CDF update_preimage/update_postimage shape (algebraic
+    completeness for retraction-based consumers — join-view/aggregate
+    maintenance), ``fs.*`` passed to ``fsspec.filesystem`` for
+    non-local schemes."""
 
     @classmethod
     def name(cls) -> str:
@@ -658,6 +717,9 @@ class TxTableDataSource(DataSource):
 
     def _is_cdf(self) -> bool:
         return self.options.get("readchangefeed", "").lower() == "true"
+
+    def _include_preimages(self) -> bool:
+        return self.options.get("includepreimages", "").lower() == "true"
 
     def _starting_version(self, fs, root: str) -> int | None:
         """Resolve startingVersion xor startingTimestamp (Delta reader
@@ -716,7 +778,8 @@ class TxTableDataSource(DataSource):
             ev = self.options.get("endingversion")
             to_v = int(ev) if ev is not None else _latest_version(fs, root)
             return _TxTableChangesBatchReader(
-                fs, root, sv, to_v, self._fs_options()
+                fs, root, sv, to_v, self._fs_options(),
+                self._include_preimages(),
             )
         version = self.options.get("version")
         v = int(version) if version is not None else _latest_version(fs, root)
@@ -733,7 +796,8 @@ class TxTableDataSource(DataSource):
             )
         fs, root = self._fs_root()
         return _TxTableStreamReader(
-            fs, root, self._starting_version(fs, root), self._fs_options()
+            fs, root, self._starting_version(fs, root), self._fs_options(),
+            self._include_preimages(),
         )
 
     def writer(self, schema: StructType, overwrite: bool):

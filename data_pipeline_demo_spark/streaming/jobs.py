@@ -681,3 +681,75 @@ def stream_drift_monitor(
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
     return writer
+
+
+def make_join_view_batch_fn(
+    view_root: str,
+    a_current,
+    b_current,
+    on: str,
+    a_id: str,
+    b_id: str,
+):
+    """foreachBatch callback behind :func:`stream_join_view_maintenance`
+    (exposed for direct testing): the micro-batch IS a change-feed
+    slice — rows from ``format("txtable")`` with ``readChangeFeed`` +
+    ``includePreimages`` — so its distinct ``on`` values are exactly
+    the dirty join keys (preimages dirty the OLD key of a key-moving
+    update), and the view refreshes for that slice from the CURRENT
+    snapshots (``a_current()``/``b_current()`` callables, evaluated per
+    trigger). The refresh is a deterministic function of (snapshots,
+    dirty keys), so a replayed batch re-converges to the same view —
+    idempotent at the semantic level even though it may commit
+    additional no-op-shaped versions."""
+    from pyspark.sql import functions as SF
+
+    from ..sinks.join_view import refresh_join_view
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        dirty = batch_df.select(SF.col(on)).dropDuplicates()
+        refresh_join_view(
+            batch_df.sparkSession,
+            view_root,
+            a_current(),
+            b_current(),
+            dirty,
+            on=on,
+            a_id=a_id,
+            b_id=b_id,
+        )
+
+    return write_batch
+
+
+def stream_join_view_maintenance(
+    change_stream: DataFrame,
+    view_root: str,
+    a_current,
+    b_current,
+    on: str,
+    a_id: str,
+    b_id: str,
+    checkpoint: str | None = None,
+):
+    """Continuously-maintained JOIN view (stream ∘ join_view ∘ txlog):
+    subscribe to one side's txtable change feed (MUST be read with
+    ``includePreimages`` — a postimage-only feed misses the old key of
+    key-moving updates, `sinks/join_view.py` module docstring) and
+    refresh the materialized join per trigger via dirty-key partial
+    recompute. Per-trigger cost is O(dirty share + touched view
+    buckets); the view is never rebuilt. For churn on BOTH sides run
+    one maintenance stream per side against the same view root — the
+    refresh is key-scoped, so interleaved refreshes converge. Caller
+    picks the trigger."""
+    write_batch = make_join_view_batch_fn(
+        view_root, a_current, b_current, on, a_id, b_id
+    )
+    writer = change_stream.writeStream.foreachBatch(write_batch).outputMode(
+        "append"
+    )
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer

@@ -146,3 +146,75 @@ def test_refresh_untouched_keys_never_rewritten(spark, tmp_path):
     # nothing under key 20 was deleted or re-derived stale
     assert stats["deleted"] == 0
     assert _view_rows(spark, v_root) == _expected(snap(a_root), snap(b_root))
+
+
+def test_stream_join_view_maintenance_batches(spark, tmp_path):
+    """The streaming maintenance callback, fed REAL change-feed slices
+    (preimages included), keeps the view equal to a from-scratch join
+    after every trigger — including a join-key move."""
+    from data_pipeline_demo_spark.sources.txtable_source import (
+        register_txtable_source,
+    )
+    from data_pipeline_demo_spark.streaming.jobs import (
+        make_join_view_batch_fn,
+    )
+
+    register_txtable_source(spark)
+    a_root = str(tmp_path / "sa_tx")
+    b_root = str(tmp_path / "sb_tx")
+    v_root = str(tmp_path / "sv_tx")
+    txlog_upsert(
+        spark,
+        _df(spark, [(1, 10, "a1"), (2, 20, "a2")]),
+        a_root,
+        key="id",
+        num_buckets=4,
+    )
+    txlog_upsert(
+        spark,
+        _df(spark, [(101, 10, "b1"), (102, 20, "b2"), (103, 30, "b3")]),
+        b_root,
+        key="id",
+        num_buckets=4,
+    )
+
+    def viewify(df, side):
+        return df.selectExpr("k", f"id AS {side}_id", f"val AS {side}_val")
+
+    def a_current():
+        return viewify(read_txtable(spark, a_root).select("id", "k", "val"), "a")
+
+    def b_current():
+        return viewify(read_txtable(spark, b_root).select("id", "k", "val"), "b")
+
+    build_join_view(
+        spark, v_root, a_current(), b_current(),
+        on="k", a_id="a_id", b_id="b_id", num_buckets=4,
+    )
+    fn = make_join_view_batch_fn(
+        v_root, a_current, b_current, on="k", a_id="a_id", b_id="b_id"
+    )
+
+    def feed(from_v, to_v, batch_id):
+        slice_df = (
+            spark.read.format("txtable")
+            .option("readChangeFeed", "true")
+            .option("startingVersion", str(from_v))
+            .option("endingVersion", str(to_v))
+            .option("includePreimages", "true")
+            .load(a_root)
+        )
+        fn(slice_df, batch_id)
+
+    # trigger 1: key move 10 -> 30 plus an insert
+    txlog_upsert(spark, _df(spark, [(1, 30, "a1x"), (3, 20, "a3")]), a_root)
+    feed(0, 1, 0)
+    a_now = read_txtable(spark, a_root).select("id", "k", "val")
+    b_now = read_txtable(spark, b_root).select("id", "k", "val")
+    assert _view_rows(spark, v_root) == _expected(a_now, b_now)
+
+    # trigger 2: delete
+    txlog_delete(spark, a_root, where="id = 2")
+    feed(1, 2, 1)
+    a_now = read_txtable(spark, a_root).select("id", "k", "val")
+    assert _view_rows(spark, v_root) == _expected(a_now, b_now)

@@ -725,3 +725,87 @@ def test_pushdown_prune_is_conservative_without_stats(registered, tmp_path):
     r2 = ds2.reader(ds2.schema())
     r2.pushFilters([EqualTo(("v",), "x")])  # not the key, no stats: no-op
     assert len(r2.partitions()) == 4
+
+
+def test_batch_cdf_include_preimages(registered, tmp_path):
+    """includePreimages flips updates to the Delta-CDF pre/postimage
+    pair, matching the JVM reader's include_preimages=True shape —
+    inserts and deletes are unchanged."""
+    from data_pipeline_demo_spark.sinks.txlog import txtable_changes
+
+    spark = registered
+    root = str(tmp_path / "pre_tx")
+    txlog_upsert(spark, _rows(spark, [(1, "a"), (2, "b")]), root, num_buckets=4)
+    txlog_upsert(spark, _rows(spark, [(2, "B"), (3, "c")]), root)
+
+    got = {
+        (x["id"], x["_change_type"], x["v"])
+        for x in spark.read.format("txtable")
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "0")
+        .option("includePreimages", "true")
+        .load(root)
+        .collect()
+    }
+    assert got == {
+        (2, "update_preimage", "b"),
+        (2, "update_postimage", "B"),
+        (3, "insert", "c"),
+    }
+    jvm = {
+        (x["id"], x["_change_type"], x["v"])
+        for x in txtable_changes(
+            spark, root, 0, include_preimages=True
+        ).collect()
+    }
+    assert got == jvm
+
+
+def test_stream_cdf_include_preimages(registered, tmp_path):
+    """The STREAMING change feed also honors includePreimages — the
+    algebraic completeness a join-view/aggregate maintainer needs (a
+    key-moving update must retract under its OLD key)."""
+    spark = registered
+    root = str(tmp_path / "pre_stream_tx")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    txlog_upsert(spark, _rows(spark, [(1, "a"), (2, "b")]), root, num_buckets=4)
+
+    stream = (
+        spark.readStream.format("txtable")
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "0")
+        .option("includePreimages", "true")
+        .load(root)
+    )
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    txlog_upsert(spark, _rows(spark, [(2, "B2")]), root)
+    q2 = (
+        spark.readStream.format("txtable")
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "0")
+        .option("includePreimages", "true")
+        .load(root)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    rows = {
+        (x["id"], x["_change_type"], x["v"])
+        for x in spark.read.parquet(out_dir).collect()
+    }
+    # startingVersion=0 feeds changes AFTER v0: exactly the pre/post pair
+    assert rows == {
+        (2, "update_preimage", "b"),
+        (2, "update_postimage", "B2"),
+    }
