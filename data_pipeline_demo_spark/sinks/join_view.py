@@ -112,12 +112,21 @@ def refresh_join_view(
     b_slice = b_new.join(k, on, "left_semi")
     new_slice = _with_view_key(a_slice.join(b_slice, on, "inner"), on, a_id, b_id)
 
-    view = read_txtable(spark, view_root)
-    stale = (
-        view.join(k, on, "left_semi")
-        .select(VIEW_KEY)
-        .join(new_slice.select(VIEW_KEY), VIEW_KEY, "left_anti")
-    )
-    deleted = txlog_delete(spark, view_root, keys=stale)
+    try:
+        view = read_txtable(spark, view_root)
+        stale = (
+            view.join(k, on, "left_semi")
+            .select(VIEW_KEY)
+            .join(new_slice.select(VIEW_KEY), VIEW_KEY, "left_anti")
+        )
+        deleted = txlog_delete(spark, view_root, keys=stale)
+    except FileNotFoundError as e:
+        # a prior refresh may have deleted EVERY view row (both sides'
+        # dirty keys stopped joining) — the current version is then
+        # empty and unreadable, but "nothing to delete" is exactly
+        # right; a genuinely missing table still raises
+        if "is empty" not in str(e):
+            raise
+        deleted = 0
     upserted = txlog_upsert(spark, new_slice, view_root)
     return {"deleted": int(deleted), "upserted": int(upserted)}

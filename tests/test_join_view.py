@@ -27,10 +27,15 @@ def _df(spark, rows):
 
 
 def _view_rows(spark, root):
+    try:
+        df = read_txtable(spark, root)
+    except FileNotFoundError as e:
+        if "is empty" not in str(e):
+            raise
+        return set()  # fully-emptied view: semantically zero rows
     return {
         tuple(r)
-        for r in read_txtable(spark, root)
-        .drop(VIEW_KEY)
+        for r in df.drop(VIEW_KEY)
         .select("k", "a_id", "a_val", "b_id", "b_val")
         .collect()
     }
@@ -218,3 +223,82 @@ def test_stream_join_view_maintenance_batches(spark, tmp_path):
     feed(1, 2, 1)
     a_now = read_txtable(spark, a_root).select("id", "k", "val")
     assert _view_rows(spark, v_root) == _expected(a_now, b_now)
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_op = st.tuples(
+    st.sampled_from(["upsert_a", "upsert_b", "delete_a", "delete_b"]),
+    st.integers(min_value=1, max_value=6),    # row id
+    st.integers(min_value=10, max_value=13),  # join key (collisions + moves)
+)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=st.lists(_op, min_size=1, max_size=5))
+def test_join_view_model_random_dml(spark, tmp_path_factory, ops):
+    """Model check: after ANY short random DML history on both sides —
+    inserts, value updates, join-key moves, deletes — one refresh from
+    the cumulative preimage-complete change feeds makes the view equal
+    a from-scratch rebuild."""
+    tmp = tmp_path_factory.mktemp("jv_model")
+    a_root, b_root, v_root = (
+        str(tmp / "a"), str(tmp / "b"), str(tmp / "v"),
+    )
+    txlog_upsert(
+        spark, _df(spark, [(1, 10, "a0"), (2, 11, "a0")]),
+        a_root, key="id", num_buckets=4,
+    )
+    txlog_upsert(
+        spark, _df(spark, [(1, 10, "b0"), (2, 12, "b0")]),
+        b_root, key="id", num_buckets=4,
+    )
+
+    def viewify(df, side):
+        return df.selectExpr("k", f"id AS {side}_id", f"val AS {side}_val")
+
+    def snap(root):
+        return read_txtable(spark, root).select("id", "k", "val")
+
+    build_join_view(
+        spark, v_root, viewify(snap(a_root), "a"), viewify(snap(b_root), "b"),
+        on="k", a_id="a_id", b_id="b_id", num_buckets=4,
+    )
+    a_v = b_v = 0
+    for i, (kind, rid, k) in enumerate(ops):
+        root = a_root if kind.endswith("_a") else b_root
+        if kind.startswith("upsert"):
+            txlog_upsert(spark, _df(spark, [(rid, k, f"v{i}")]), root)
+        else:
+            # delete may match nothing: no version committed then
+            txlog_delete(spark, root, where=f"id = {rid}")
+        if kind.endswith("_a"):
+            a_v = len(
+                __import__("os").listdir(f"{a_root}/_commits")
+            ) - 1
+        else:
+            b_v = len(
+                __import__("os").listdir(f"{b_root}/_commits")
+            ) - 1
+    feeds = []
+    if a_v > 0:
+        feeds.append(
+            txtable_changes(spark, a_root, 0, include_preimages=True)
+        )
+    if b_v > 0:
+        feeds.append(
+            txtable_changes(spark, b_root, 0, include_preimages=True)
+        )
+    if feeds:
+        refresh_join_view(
+            spark, v_root,
+            viewify(snap(a_root), "a"), viewify(snap(b_root), "b"),
+            dirty_join_keys("k", *feeds),
+            on="k", a_id="a_id", b_id="b_id",
+        )
+    assert _view_rows(spark, v_root) == _expected(snap(a_root), snap(b_root))
