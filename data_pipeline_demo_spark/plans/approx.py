@@ -122,3 +122,9 @@ register("q111_pit_join", oracle=timeseries._DUCK_PIT)(
 register("q112_join_view_refresh", oracle=llm_ops._DUCK_JOIN_VIEW)(
     llm_ops.q112_join_view_refresh
 )
+register("q113_fuzzy_match_join", oracle=llm_ops._DUCK_FUZZY)(
+    llm_ops.q113_fuzzy_match_join
+)
+register("q114_outliers_mad", oracle=relational._MAD_OUTLIER_ORACLE)(
+    relational.q114_outliers_mad
+)

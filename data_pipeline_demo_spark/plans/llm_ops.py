@@ -1477,3 +1477,27 @@ def q112_join_view_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_totalprice",
         "c_mktsegment",
     )
+
+
+_DUCK_FUZZY = """
+    SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+           a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+    FROM part a JOIN part b ON a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 2
+"""
+
+
+def q113_fuzzy_match_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution fuzzy join over part names
+    (operators/dedup.py:fuzzy_name_pairs): every pair within 2
+    Levenshtein edits, via SymSpell deletion-neighborhood blocking +
+    exact verify — candidate volume is typo-cluster-sized, never n².
+    The DuckDB oracle replays it as the all-pairs quadratic it replaces
+    (affordable at sf0.01), so a hash match proves the blocking loses
+    NO true pair and the verify admits no false one."""
+    from ..operators import dedup as _dedup
+
+    return _dedup.fuzzy_name_pairs(
+        table(spark, sf_dir, "part"), name_col="p_name", id_col="p_partkey"
+    )

@@ -981,3 +981,68 @@ def q110_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_MAD_OUTLIER_ORACLE = """
+    WITH med AS (
+      SELECT event_type, ROUND(quantile_cont(value, 0.5), 6) AS med
+      FROM events GROUP BY event_type
+    ),
+    mad AS (
+      SELECT e.event_type,
+             ROUND(quantile_cont(ABS(e.value - m.med), 0.5), 6) AS mad
+      FROM events e JOIN med m USING (event_type)
+      GROUP BY e.event_type
+    )
+    SELECT m.event_type, m.med, d.mad,
+           CAST(SUM(CASE WHEN ABS(0.6745 * (e.value - m.med) / d.mad) > 1.2
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           COUNT(*) AS n
+    FROM events e
+    JOIN med m USING (event_type)
+    JOIN mad d USING (event_type)
+    GROUP BY m.event_type, m.med, d.mad
+"""
+
+
+def q114_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection per group: median + MAD (median
+    absolute deviation) via the EXACT percentile aggregate, then the
+    0.6745-scaled robust z-score count — the data-quality screen that,
+    unlike mean/stddev z-scores, a few extreme values cannot mask.
+
+    Scale shape: two grouped exact-percentile passes (each sorts within
+    its bounded group — the q90 sketches replace them at unbounded
+    cardinality) with the medians broadcast back onto the scan; the
+    outlier count is one combinable aggregation. Median/MAD round to 6
+    decimals and the robust-z threshold compares identical arithmetic
+    on both engines, so the oracle hash is exact."""
+    ev = table(spark, sf_dir, "events")
+    # med/mad round to 6 BEFORE the threshold compare so a last-ulp
+    # interpolation difference between engines can never flip a
+    # borderline row's outlier verdict
+    med = ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("med")
+    )
+    mad = (
+        ev.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(abs(value - med), 0.5)"), 6).alias("mad")
+        )
+    )
+    rz = F.abs(
+        F.lit(0.6745) * (F.col("value") - F.col("med")) / F.col("mad")
+    )
+    return (
+        ev.join(F.broadcast(med), "event_type")
+        .join(F.broadcast(mad), "event_type")
+        .groupBy("event_type", "med", "mad")
+        .agg(
+            F.sum(F.when(rz > 1.2, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_outliers"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select("event_type", "med", "mad", "n_outliers", "n")
+    )

@@ -475,3 +475,51 @@ def test_pit_join_attributes_state_at_time(spark, monkeypatch):
         for r in ts_mod.q111_pit_join(spark, "x").collect()
     }
     assert got == {2: "view", 4: "click", 5: "click", 6: None}
+
+
+def test_fuzzy_name_pairs_exact_neighborhood(spark):
+    from data_pipeline_demo_spark.operators.dedup import fuzzy_name_pairs
+
+    df = spark.createDataFrame(
+        [
+            (1, "widget"),
+            (2, "widgte"),   # transposition = 2 edits
+            (3, "widget"),   # identical -> dist 0
+            (4, "wadget"),   # 1 substitution
+            (5, "gadget"),   # 2 substitutions from widget
+            (6, "sprocket"),  # far from everything
+        ],
+        "id long, name string",
+    )
+    got = {
+        (r.id_a, r.id_b): r.dist
+        for r in fuzzy_name_pairs(df, "name", "id", max_distance=2).collect()
+    }
+    assert got[(1, 3)] == 0
+    assert got[(1, 4)] == 1
+    assert got[(1, 2)] == 2
+    assert got[(1, 5)] == 2
+    assert not any(6 in pair for pair in got)  # sprocket matches nothing
+    # no candidate admitted above the threshold
+    assert all(d <= 2 for d in got.values())
+
+
+def test_mad_outliers_literal(spark, monkeypatch):
+    import data_pipeline_demo_spark.plans.relational as rel
+
+    # group g: cluster at 10 +/- 1 (MAD = 1, so the +/-1 points sit at
+    # robust-z 0.6745 < 1.2), one far point at 100
+    rows = [(i, None, 0, "g", float(v), "{}") for i, v in
+            enumerate([9, 9, 9, 10, 10, 10, 10, 11, 11, 11, 100])]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    monkeypatch.setattr(rel, "table", lambda s, d, n: ev)
+    out = rel.q114_outliers_mad(spark, "x").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.med == 10.0 and r.mad == 1.0
+    # only the far point exceeds the robust-z threshold
+    assert r.n_outliers == 1 and r.n == 11
