@@ -1,0 +1,118 @@
+"""Geospatial radius join — blocked, never all-pairs.
+
+The spatial member of the engine's blocked-join family (shingle prefix
+filter for text, deletion neighborhoods for names, LSH for vectors):
+candidate pairs come from a degree-grid equality join, the exact
+haversine verify runs on candidates only.
+
+Blocking completeness: with cell size ``cell_deg`` at least the radius'
+worst-case angular span in BOTH axes (lat: r/111.045 km-per-degree;
+lon: that over cos(max |lat|)), two points within ``radius_km`` can
+differ by at most one cell index per axis — so stamping ONE side onto
+its 3×3 cell neighborhood and equality-joining on the cell catches
+every true pair. The caller guarantees ``|lat| <= max_abs_lat`` (the
+cos() used for the lon bound); points beyond it would need wider cells.
+
+Scale shape: the 9× stamp is a map-only explode; the join shuffles
+8-byte cell hashes; candidate volume is bounded by local point density
+(points sharing a cell neighborhood), never n². This is the standard
+grid-partitioned spatial join (the public GeoSpark/Sedona recipe)
+re-expressed with built-ins.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+EARTH_RADIUS_KM = 6371.0088
+KM_PER_DEG_LAT = 111.045
+
+
+def haversine_km(lat1, lon1, lat2, lon2):
+    """Great-circle distance in km — written as the exact same
+    expression tree the SQL oracle uses, so rounded values compare
+    across engines."""
+    dlat = F.radians(lat2 - lat1) / 2
+    dlon = F.radians(lon2 - lon1) / 2
+    a = (
+        F.pow(F.sin(dlat), 2)
+        + F.cos(F.radians(lat1)) * F.cos(F.radians(lat2)) * F.pow(F.sin(dlon), 2)
+    )
+    return F.lit(2 * EARTH_RADIUS_KM) * F.asin(F.sqrt(a))
+
+
+def radius_join(
+    points: DataFrame,
+    radius_km: float,
+    id_col: str = "id",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    max_abs_lat: float = 60.0,
+) -> DataFrame:
+    """All unordered point pairs within ``radius_km`` (great-circle):
+    ``(id_a, id_b, dist_km)`` with ``dist_km`` rounded to 3 decimals
+    and the threshold applied to the ROUNDED value, so trig-library
+    ulps can never flip a borderline pair across engines."""
+    if radius_km <= 0:
+        raise ValueError(f"radius_km must be positive, got {radius_km}")
+    if not 0 < max_abs_lat < 90:
+        raise ValueError(f"max_abs_lat must be in (0, 90), got {max_abs_lat}")
+    lat_span = radius_km / KM_PER_DEG_LAT
+    lon_span = lat_span / math.cos(math.radians(max_abs_lat))
+    cell_deg = max(lat_span, lon_span)
+
+    def cells(df, stamp: bool):
+        ci = F.floor(F.col(lat_col) / cell_deg).cast("long")
+        cj = F.floor(F.col(lon_col) / cell_deg).cast("long")
+        base = df.select(
+            F.col(id_col), F.col(lat_col), F.col(lon_col),
+            ci.alias("__ci"), cj.alias("__cj"),
+        )
+        if not stamp:
+            return base.select(
+                id_col, lat_col, lon_col,
+                F.concat_ws(":", "__ci", "__cj").alias("__cell"),
+            )
+        # 3x3 neighborhood stamp (map-only explode)
+        return (
+            base.withColumn("__di", F.explode(F.array(*[F.lit(d) for d in (-1, 0, 1)])))
+            .withColumn("__dj", F.explode(F.array(*[F.lit(d) for d in (-1, 0, 1)])))
+            .select(
+                id_col, lat_col, lon_col,
+                F.concat_ws(
+                    ":", F.col("__ci") + F.col("__di"), F.col("__cj") + F.col("__dj")
+                ).alias("__cell"),
+            )
+        )
+
+    a = cells(points, stamp=True).select(
+        F.col(id_col).alias("id_a"),
+        F.col(lat_col).alias("lat_a"),
+        F.col(lon_col).alias("lon_a"),
+        "__cell",
+    )
+    b = cells(points, stamp=False).select(
+        F.col(id_col).alias("id_b"),
+        F.col(lat_col).alias("lat_b"),
+        F.col(lon_col).alias("lon_b"),
+        "__cell",
+    )
+    cands = (
+        a.join(b, "__cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    dist = F.round(
+        haversine_km(
+            F.col("lat_a"), F.col("lon_a"), F.col("lat_b"), F.col("lon_b")
+        ),
+        3,
+    )
+    return (
+        cands.withColumn("dist_km", dist)
+        .filter(F.col("dist_km") <= radius_km)
+        .select("id_a", "id_b", "dist_km")
+    )

@@ -128,3 +128,6 @@ register("q113_fuzzy_match_join", oracle=llm_ops._DUCK_FUZZY)(
 register("q114_outliers_mad", oracle=relational._MAD_OUTLIER_ORACLE)(
     relational.q114_outliers_mad
 )
+register("q115_radius_join", oracle=llm_ops._DUCK_RADIUS)(
+    llm_ops.q115_radius_join
+)

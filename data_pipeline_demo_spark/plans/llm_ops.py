@@ -1501,3 +1501,44 @@ def q113_fuzzy_match_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dedup.fuzzy_name_pairs(
         table(spark, sf_dir, "part"), name_col="p_name", id_col="p_partkey"
     )
+
+
+_DUCK_RADIUS = """
+    WITH pts AS (
+      SELECT c_custkey AS id,
+             (c_custkey * 7919 % 12000) / 100.0 - 60.0  AS lat,
+             (c_custkey * 104729 % 36000) / 100.0 - 180.0 AS lon
+      FROM customer
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+           ROUND(2 * 6371.0088 * ASIN(SQRT(
+             POW(SIN(RADIANS(b.lat - a.lat) / 2), 2)
+             + COS(RADIANS(a.lat)) * COS(RADIANS(b.lat))
+               * POW(SIN(RADIANS(b.lon - a.lon) / 2), 2)
+           )), 3) AS dist_km
+    FROM pts a JOIN pts b ON a.id < b.id
+    WHERE ROUND(2 * 6371.0088 * ASIN(SQRT(
+             POW(SIN(RADIANS(b.lat - a.lat) / 2), 2)
+             + COS(RADIANS(a.lat)) * COS(RADIANS(b.lat))
+               * POW(SIN(RADIANS(b.lon - a.lon) / 2), 2)
+           )), 3) <= 400.0
+"""
+
+
+def q115_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geospatial radius join (operators/spatial.py): every customer
+    pair within 400 km great-circle distance over deterministic
+    key-derived coordinates (|lat| ≤ 60 by construction — integer
+    modular arithmetic, so both engines derive identical doubles). The
+    grid-blocked join is oracle-checked against the all-pairs quadratic
+    it replaces: a hash match proves the 3×3 cell stamp loses no true
+    pair and the rounded-haversine verify admits no false one."""
+    from ..operators import spatial
+
+    c = table(spark, sf_dir, "customer")
+    pts = c.select(
+        F.col("c_custkey").alias("id"),
+        ((F.col("c_custkey") * 7919 % 12000) / 100.0 - 60.0).alias("lat"),
+        ((F.col("c_custkey") * 104729 % 36000) / 100.0 - 180.0).alias("lon"),
+    )
+    return spatial.radius_join(pts, radius_km=400.0)

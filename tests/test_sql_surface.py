@@ -523,3 +523,48 @@ def test_mad_outliers_literal(spark, monkeypatch):
     assert r.med == 10.0 and r.mad == 1.0
     # only the far point exceeds the robust-z threshold
     assert r.n_outliers == 1 and r.n == 11
+
+
+def test_radius_join_blocking_equals_bruteforce(spark):
+    """Grid blocking loses no pair: compare against the all-pairs
+    brute force on a point cloud engineered to straddle cell borders
+    (including the antimeridian-free worst case of near-boundary
+    latitudes)."""
+    import itertools
+    import math
+
+    from data_pipeline_demo_spark.operators.spatial import (
+        EARTH_RADIUS_KM,
+        radius_join,
+    )
+
+    pts = [
+        (1, 0.0, 0.0),
+        (2, 0.0, 0.4),      # ~44 km east
+        (3, 0.45, 0.0),     # ~50 km north (boundary-ish)
+        (4, 59.9, 10.0),    # high-lat pair: lon degrees shrink
+        (5, 59.9, 10.8),    # ~45 km from 4 at this latitude
+        (6, -30.0, 100.0),  # isolated
+    ]
+    df = spark.createDataFrame(pts, "id long, lat double, lon double")
+    got = {(r.id_a, r.id_b): r.dist_km for r in radius_join(df, 50.0).collect()}
+
+    def hav(a, b):
+        (_, la1, lo1), (_, la2, lo2) = a, b
+        dlat = math.radians(la2 - la1) / 2
+        dlon = math.radians(lo2 - lo1) / 2
+        x = (
+            math.sin(dlat) ** 2
+            + math.cos(math.radians(la1))
+            * math.cos(math.radians(la2))
+            * math.sin(dlon) ** 2
+        )
+        return 2 * EARTH_RADIUS_KM * math.asin(math.sqrt(x))
+
+    want = {
+        (a[0], b[0]): round(hav(a, b), 3)
+        for a, b in itertools.combinations(pts, 2)
+        if round(hav(a, b), 3) <= 50.0
+    }
+    assert got == want and (4, 5) in got and (1, 2) in got
+    assert not any(6 in p for p in got)
