@@ -260,6 +260,8 @@ def main() -> None:
         "q108_drift_psi",
         "q110_copurchase_lift",
         "q111_pit_join",
+        "q113_fuzzy_match_join",
+        "q115_radius_join",
     ):
         sf_timings[name], sf_spreads[name] = _timed(
             lambda name=name: queries[name](spark, sf_dir).count(), runs

@@ -936,28 +936,33 @@ def q110_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     (support ≥ 3 pairs, ``lift = P(a,b) / (P(a)·P(b))`` computed as ONE
     integer-product division so the value hash-matches DuckDB exactly).
 
-    Scale shape: the pair generation is a self-join WITHIN an order key
-    — candidate volume is Σ C(order_size, 2), bounded by the basket
-    size, never |parts|² — and the support filter is applied on the
-    grouped counts before the dimension joins. The per-part counts and
-    the 1-row order total broadcast; nothing item-level shuffles after
-    the pair aggregation. The same shape at 100 TB is the standard
-    FP-growth preprocessing step (frequent-pair mining)."""
+    Scale shape: baskets materialize as per-order sorted arrays (ONE
+    shuffle of distinct items), and the pair explode is a map-only
+    codegen HOF over each array — candidate volume is Σ C(basket, 2),
+    bounded by basket size, never |parts|², with no self-join (a
+    self-join form shuffles the item relation twice; the array form
+    once — verified on the physical plan). The support filter applies
+    on the grouped counts before the dimension joins; per-part counts
+    and the 1-row order total broadcast. The same shape at 100 TB is
+    the standard FP-growth preprocessing step (frequent-pair
+    mining)."""
     li = table(spark, sf_dir, "lineitem")
     items = li.select("l_orderkey", "l_partkey").distinct()
     n_orders = items.agg(
         F.countDistinct("l_orderkey").alias("n")
     )
     part_cnt = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
-    a = items.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a")
+    baskets = items.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_list("l_partkey")).alias("ps")
     )
-    b = items.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b")
+    pair_expr = (
+        "flatten(transform(ps, x -> "
+        "transform(filter(ps, y -> y > x), "
+        "y -> struct(x AS part_a, y AS part_b))))"
     )
     pairs = (
-        a.join(b, ["ok"])
-        .filter(F.col("part_a") < F.col("part_b"))
+        baskets.select(F.explode(F.expr(pair_expr)).alias("p"))
+        .select("p.part_a", "p.part_b")
         .groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).alias("n_ab"))
         .filter(F.col("n_ab") >= 3)
