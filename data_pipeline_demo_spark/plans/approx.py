@@ -131,3 +131,9 @@ register("q114_outliers_mad", oracle=relational._MAD_OUTLIER_ORACLE)(
 register("q115_radius_join", oracle=llm_ops._DUCK_RADIUS)(
     llm_ops.q115_radius_join
 )
+register("q116_tpch_q3", oracle=relational._TPCH_Q3_SQL)(
+    relational.q116_tpch_q3
+)
+register("q117_tpch_q10", oracle=relational._TPCH_Q10_SQL)(
+    relational.q117_tpch_q10
+)

@@ -1051,3 +1051,61 @@ def q114_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_type", "med", "mad", "n_outliers", "n")
     )
+
+
+_TPCH_Q3_SQL = """
+    SELECT l.l_orderkey,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         AS DECIMAL(30,6))) AS DOUBLE) AS revenue,
+           o.o_orderdate,
+           o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND CAST(o.o_orderdate AS DATE) < DATE '1995-03-15'
+      AND CAST(l.l_shipdate AS DATE) > DATE '1995-03-15'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+"""
+
+
+def q116_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 (shipping priority), adapted to the engine's tables —
+    the classic 3-way fact/dim join + filtered aggregate, submitted as
+    literal SQL so Catalyst owns the join order: the customer dim
+    filters to one segment and broadcasts, the date predicates push to
+    both fact scans, revenue aggregates through the exact decimal
+    accumulator for hash parity. (The classic ORDER BY/LIMIT 10
+    presentation is dropped — the driver's comparison is
+    order-insensitive and the full group list certifies more rows.)"""
+    for name in ("customer", "orders", "lineitem"):
+        table(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(_TPCH_Q3_SQL)
+
+
+_TPCH_Q10_SQL = """
+    SELECT c.c_custkey, c.c_name,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         AS DECIMAL(30,6))) AS DOUBLE) AS revenue,
+           c.c_acctbal, n.n_name
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE CAST(o.o_orderdate AS DATE) >= DATE '1995-01-01'
+      AND CAST(o.o_orderdate AS DATE) < DATE '1995-04-01'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+"""
+
+
+def q117_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 (returned-item reporting): 4-way join across both
+    fact tables and two dims with a quarter-window predicate and a
+    return-flag filter — the canonical "who returned the most" revenue
+    attribution. Same literal SQL on both engines; dims broadcast, the
+    fact-fact join shuffles on orderkey (bucketed layouts make it
+    exchange-free, sinks/bucketed.py), revenue is decimal-exact."""
+    for name in ("customer", "orders", "lineitem", "nation"):
+        table(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(_TPCH_Q10_SQL)
