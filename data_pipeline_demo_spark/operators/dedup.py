@@ -918,60 +918,72 @@ def fuzzy_name_pairs(
     id_col: str,
     max_distance: int = 2,
 ) -> DataFrame:
-    """Entity-resolution fuzzy join: all id pairs whose names are
-    within ``max_distance`` (1 or 2) Levenshtein edits — found WITHOUT
-    an all-pairs comparison via deletion-neighborhood blocking (the
-    SymSpell recipe, public method): two strings within d edits always
-    share at least one variant obtainable by deleting ≤ d characters
-    from each, so generating each name's ≤d-deletion neighborhood and
-    joining on the variants yields a candidate set that provably
-    CONTAINS every true pair; an exact ``levenshtein`` verify then
-    filters it. Identical names (distance 0) are reported too — they
-    are the strongest duplicates.
+    """Entity-resolution fuzzy match over the DISTINCT-NAME vocabulary:
+    all unordered pairs of distinct names within ``max_distance`` (1 or
+    2) Levenshtein edits, each with its occurrence count —
+    ``(name_a, name_b, dist, n_a, n_b)`` — found WITHOUT an all-pairs
+    comparison via deletion-neighborhood blocking (the SymSpell recipe,
+    public method): two strings within d edits always share at least
+    one variant obtainable by deleting ≤ d characters from each, so
+    joining the names' ≤d-deletion neighborhoods yields a candidate
+    set that provably CONTAINS every true pair; an exact
+    ``levenshtein`` verify then filters it.
 
-    Scale shape: the neighborhood explode is map-only codegen (nested
+    The vocabulary grain is the scale contract: matching at the ROW
+    grain would emit C(n, 2) pairs for every group of n identical rows
+    (and push that same quadratic through the variant join — measured
+    as a 100× blow-up at 10× data on a duplicate-heavy column), while
+    the name grain keeps both candidates and output
+    vocabulary-bounded; identical-name duplicates are exactly the
+    ``n_a > 1`` rows of the vocabulary, and expanding any name pair
+    back to row ids is one join the caller controls.
+
+    Scale shape: one distinct-count shuffle collapses rows to the
+    vocabulary, the neighborhood explode is map-only codegen (nested
     array ``transform`` + ``flatten``, no UDF), candidate volume is
-    bounded by names sharing a variant (typo-cluster-sized, never n²),
-    the variant join shuffles 8-byte hashes, and the verify runs only
-    on candidates. At 100 TB the variant relation is ~len²/2 rows per
-    name — cheap for the short entity names this targets; long-text
-    near-dup belongs to the shingle/MinHash family instead.
+    bounded by names sharing a variant (typo-cluster-sized over the
+    vocabulary, never rows²), and the verify runs only on candidates.
     """
     if max_distance not in (1, 2):
         raise ValueError(f"max_distance must be 1 or 2, got {max_distance}")
-    s = F.col(name_col)
-    # all strings with exactly one character deleted (codegen HOF)
+    names = df.groupBy(F.col(name_col).alias("__name")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n")
+    )
     one_del = """
         transform(sequence(1, length({s})),
                   i -> concat(substr({s}, 1, i - 1), substr({s}, i + 1)))
     """
-    v1 = F.expr(one_del.format(s=name_col))
-    variants = F.array_union(F.array(s), v1)
+    v1 = F.expr(one_del.format(s="__name"))
+    variants = F.array_union(F.array(F.col("__name")), v1)
     if max_distance == 2:
         v2 = F.expr(
             f"""
-            flatten(transform({one_del.format(s=name_col)},
+            flatten(transform({one_del.format(s="__name")},
                 v -> transform(sequence(1, length(v)),
                      i -> concat(substr(v, 1, i - 1), substr(v, i + 1)))))
             """
         )
         variants = F.array_union(variants, v2)
-    exploded = df.select(
-        F.col(id_col), s.alias("__name"),
+    exploded = names.select(
+        "__name", "__n",
         F.explode(F.array_distinct(variants)).alias("__var"),
-    ).select(F.col(id_col), "__name", F.xxhash64("__var").alias("__vh"))
+    ).select("__name", "__n", F.xxhash64("__var").alias("__vh"))
     a = exploded.select(
-        F.col(id_col).alias("id_a"), F.col("__name").alias("name_a"), "__vh"
+        F.col("__name").alias("name_a"), F.col("__n").alias("n_a"), "__vh"
     )
     b = exploded.select(
-        F.col(id_col).alias("id_b"), F.col("__name").alias("name_b"), "__vh"
+        F.col("__name").alias("name_b"), F.col("__n").alias("n_b"), "__vh"
     )
     cands = (
         a.join(b, "__vh")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "name_a", "name_b")
-        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.col("name_a") < F.col("name_b"))
+        .select("name_a", "name_b", "n_a", "n_b")
+        .dropDuplicates(["name_a", "name_b"])
     )
-    return cands.withColumn(
-        "dist", F.levenshtein("name_a", "name_b").cast("bigint")
-    ).filter(F.col("dist") <= max_distance)
+    return (
+        cands.withColumn(
+            "dist", F.levenshtein("name_a", "name_b").cast("bigint")
+        )
+        .filter(F.col("dist") <= max_distance)
+        .select("name_a", "name_b", "dist", "n_a", "n_b")
+    )

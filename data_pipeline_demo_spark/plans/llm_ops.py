@@ -1480,22 +1480,28 @@ def q112_join_view_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _DUCK_FUZZY = """
-    SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
-           a.p_name AS name_a, b.p_name AS name_b,
-           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
-    FROM part a JOIN part b ON a.p_partkey < b.p_partkey
-    WHERE levenshtein(a.p_name, b.p_name) <= 2
+    WITH names AS (
+      SELECT p_name AS name, CAST(COUNT(*) AS BIGINT) AS n
+      FROM part GROUP BY p_name
+    )
+    SELECT a.name AS name_a, b.name AS name_b,
+           CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist,
+           a.n AS n_a, b.n AS n_b
+    FROM names a JOIN names b ON a.name < b.name
+    WHERE levenshtein(a.name, b.name) <= 2
 """
 
 
 def q113_fuzzy_match_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Entity-resolution fuzzy join over part names
-    (operators/dedup.py:fuzzy_name_pairs): every pair within 2
-    Levenshtein edits, via SymSpell deletion-neighborhood blocking +
-    exact verify — candidate volume is typo-cluster-sized, never n².
-    The DuckDB oracle replays it as the all-pairs quadratic it replaces
-    (affordable at sf0.01), so a hash match proves the blocking loses
-    NO true pair and the verify admits no false one."""
+    """Entity-resolution fuzzy match over the part-name VOCABULARY
+    (operators/dedup.py:fuzzy_name_pairs): every distinct-name pair
+    within 2 Levenshtein edits with occurrence counts, via SymSpell
+    deletion-neighborhood blocking + exact verify. The vocabulary grain
+    is the scale contract — the row grain pushes C(dupes, 2) through
+    the variant join and the output (a measured 100× blow-up at 10×
+    data on this duplicate-heavy column). The DuckDB oracle replays the
+    all-pairs quadratic over the vocabulary, so a hash match proves the
+    blocking loses NO true pair and the verify admits no false one."""
     from ..operators import dedup as _dedup
 
     return _dedup.fuzzy_name_pairs(

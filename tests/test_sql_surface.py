@@ -491,17 +491,14 @@ def test_fuzzy_name_pairs_exact_neighborhood(spark):
         ],
         "id long, name string",
     )
-    got = {
-        (r.id_a, r.id_b): r.dist
-        for r in fuzzy_name_pairs(df, "name", "id", max_distance=2).collect()
-    }
-    assert got[(1, 3)] == 0
-    assert got[(1, 4)] == 1
-    assert got[(1, 2)] == 2
-    assert got[(1, 5)] == 2
-    assert not any(6 in pair for pair in got)  # sprocket matches nothing
-    # no candidate admitted above the threshold
-    assert all(d <= 2 for d in got.values())
+    out = fuzzy_name_pairs(df, "name", "id", max_distance=2).collect()
+    got = {(r.name_a, r.name_b): (r.dist, r.n_a, r.n_b) for r in out}
+    # vocabulary grain: "widget" occurs twice (ids 1, 3) -> n = 2
+    assert got[("wadget", "widget")] == (1, 1, 2)
+    assert got[("widget", "widgte")] == (2, 2, 1)
+    assert got[("gadget", "widget")] == (2, 1, 2)
+    assert not any("sprocket" in p for p in got)  # matches nothing
+    assert all(v[0] <= 2 for v in got.values())
 
 
 def test_mad_outliers_literal(spark, monkeypatch):
