@@ -987,3 +987,28 @@ def fuzzy_name_pairs(
         .filter(F.col("dist") <= max_distance)
         .select("name_a", "name_b", "dist", "n_a", "n_b")
     )
+
+
+def expand_name_pairs(
+    pairs: DataFrame,
+    df: DataFrame,
+    name_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Expand vocabulary-grain fuzzy pairs (:func:`fuzzy_name_pairs`)
+    back to row-id pairs: ``(id_a, id_b, name_a, name_b, dist)``. The
+    caller chooses when to pay the product — the expansion of a name
+    pair costs n_a · n_b rows BY DEFINITION (that is the answer's
+    size), so it belongs after any name-level triage, not inside the
+    matcher."""
+    a = df.select(
+        F.col(name_col).alias("name_a"), F.col(id_col).alias("id_a")
+    )
+    b = df.select(
+        F.col(name_col).alias("name_b"), F.col(id_col).alias("id_b")
+    )
+    return (
+        pairs.join(a, "name_a")
+        .join(b, "name_b")
+        .select("id_a", "id_b", "name_a", "name_b", "dist")
+    )

@@ -137,3 +137,4 @@ register("q116_tpch_q3", oracle=relational._TPCH_Q3_SQL)(
 register("q117_tpch_q10", oracle=relational._TPCH_Q10_SQL)(
     relational.q117_tpch_q10
 )
+register("q118_holt_forecast")(llm_ops.q118_holt_forecast)

@@ -1548,3 +1548,27 @@ def q115_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("c_custkey") * 104729 % 36000) / 100.0 - 180.0).alias("lon"),
     )
     return spatial.radius_join(pts, radius_km=400.0)
+
+
+def q118_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type daily volume forecast, 3 days ahead, by Holt's
+    linear smoothing (operators/forecast.py) — the sequential-fold
+    workload done RIGHT in Spark: the event stream collapses to daily
+    per-type totals in one combinable aggregation, then one
+    Arrow-batched fold per key runs over that series-length frame
+    (applyInPandas — parallel across keys, never row-Python over raw
+    events). Rows-only by construction (a sequential fold has no SQL
+    twin); numpy parity and closed-form linear-series exactness are
+    unit-tested."""
+    from ..operators import forecast
+
+    ev = table(spark, sf_dir, "events")
+    daily = ev.select(
+        "event_type",
+        F.date_trunc("day", "ts").alias("day"),
+        "value",
+    )
+    return forecast.holt_forecast(
+        daily, key_col="event_type", bucket_col="day", value_col="value",
+        horizon=3,
+    )

@@ -565,3 +565,57 @@ def test_radius_join_blocking_equals_bruteforce(spark):
     }
     assert got == want and (4, 5) in got and (1, 2) in got
     assert not any(6 in p for p in got)
+
+
+def test_holt_forecast_linear_series_is_exact(spark):
+    from data_pipeline_demo_spark.operators.forecast import holt_forecast
+
+    # y_t = 10 + 5t: level/trend lock on exactly; forecast continues it
+    rows = [("a", t, 10.0 + 5.0 * t) for t in range(8)]
+    df = spark.createDataFrame(rows, "k string, b long, v double")
+    out = {
+        r.step: (r.forecast, r.level, r.trend)
+        for r in holt_forecast(df, "k", "b", "v", horizon=3).collect()
+    }
+    last = 10.0 + 5.0 * 7
+    for h in (1, 2, 3):
+        f, level, trend = out[h]
+        assert abs(trend - 5.0) < 1e-9
+        assert abs(level - last) < 1e-9
+        assert abs(f - (last + 5.0 * h)) < 1e-9
+
+
+def test_holt_forecast_matches_numpy_fold(spark):
+    import random
+
+    from data_pipeline_demo_spark.operators.forecast import holt_forecast
+
+    rng = random.Random(7)
+    series = {k: [rng.uniform(0, 100) for _ in range(12)] for k in "xyz"}
+    rows = [(k, t, v) for k, ys in series.items() for t, v in enumerate(ys)]
+    df = spark.createDataFrame(rows, "k string, b long, v double")
+    got = {
+        (r.k, r.step): r.forecast
+        for r in holt_forecast(
+            df, "k", "b", "v", horizon=2, alpha=0.4, beta=0.2
+        ).collect()
+    }
+    for k, ys in series.items():
+        level, trend = ys[0], ys[1] - ys[0]
+        for y in ys[1:]:
+            prev = level
+            level = 0.4 * y + 0.6 * (level + trend)
+            trend = 0.2 * (level - prev) + 0.8 * trend
+        for h in (1, 2):
+            assert abs(got[(k, h)] - round(level + h * trend, 6)) < 1e-9
+
+
+def test_holt_forecast_single_point_flat(spark):
+    from data_pipeline_demo_spark.operators.forecast import holt_forecast
+
+    df = spark.createDataFrame([("a", 0, 42.0)], "k string, b long, v double")
+    out = holt_forecast(df, "k", "b", "v", horizon=2).collect()
+    assert {(r.step, r.forecast, r.trend, r.n_obs) for r in out} == {
+        (1, 42.0, 0.0, 1),
+        (2, 42.0, 0.0, 1),
+    }
