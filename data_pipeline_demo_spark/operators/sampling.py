@@ -240,3 +240,48 @@ def stratified_sample_exact_k(
         df.withColumn("sample_rank", F.row_number().over(w).cast("long"))
         .filter(F.col("sample_rank") <= k)
     )
+
+
+def global_row_index(
+    df: DataFrame, order_by: Sequence[str], index_col: str = "idx"
+) -> DataFrame:
+    """Stable 0-based GLOBAL row index in total ``order_by`` order —
+    the "give every training example a global id" primitive — without
+    the naive global window's single-partition sort (which serializes
+    the whole table through one task; the plan-properties suite bans
+    that shape for table-sized data).
+
+    Two-pass distributed ranking (the classic zipWithIndex recipe
+    re-expressed declaratively): range-repartition on the total order
+    (range partition i holds strictly smaller keys than i+1), rank
+    WITHIN each partition (per-partition window — parallel), then add
+    each partition's exclusive prefix count, computed by a window over
+    the PARTITION-COUNT-sized tally relation (metadata-sized: its
+    single-partition exchange carries ~numPartitions rows, never the
+    table) and broadcast back. ``order_by`` must be a total order
+    (include a unique tiebreaker) or ranks at range boundaries are
+    nondeterministic."""
+    if not order_by:
+        raise ValueError("order_by must name at least one column")
+    cols = [F.col(c) for c in order_by]
+    ranged = df.repartitionByRange(*cols).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    w = Window.partitionBy("__pid").orderBy(*cols)
+    local = ranged.withColumn("__lrn", F.row_number().over(w))
+    counts = local.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n"))
+    w2 = (
+        Window.orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.withColumn(
+        "__off", F.coalesce(F.sum("__n").over(w2), F.lit(0))
+    ).select("__pid", "__off")
+    return (
+        local.join(F.broadcast(offsets), "__pid")
+        .withColumn(
+            index_col,
+            (F.col("__off") + F.col("__lrn") - 1).cast("bigint"),
+        )
+        .drop("__pid", "__lrn", "__off")
+    )

@@ -138,3 +138,9 @@ register("q117_tpch_q10", oracle=relational._TPCH_Q10_SQL)(
     relational.q117_tpch_q10
 )
 register("q118_holt_forecast")(llm_ops.q118_holt_forecast)
+register("q119_global_index", oracle=relational._GLOBAL_INDEX_ORACLE)(
+    relational.q119_global_index
+)
+register("q120_correlation", oracle=relational._CORR_ORACLE)(
+    relational.q120_correlation
+)

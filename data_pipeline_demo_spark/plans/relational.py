@@ -1109,3 +1109,71 @@ def q117_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     for name in ("customer", "orders", "lineitem", "nation"):
         table(spark, sf_dir, name).createOrReplaceTempView(name)
     return spark.sql(_TPCH_Q10_SQL)
+
+
+_GLOBAL_INDEX_ORACLE = """
+    SELECT o_orderkey,
+           CAST(ROW_NUMBER() OVER (ORDER BY o_orderdate, o_orderkey) - 1
+                AS BIGINT) AS idx
+    FROM orders
+"""
+
+
+def q119_global_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global 0-based row index in total (o_orderdate, o_orderkey)
+    order (operators/sampling.py:global_row_index) — two-pass
+    distributed ranking: range repartition + per-partition window +
+    broadcast prefix offsets. The oracle's ROW_NUMBER over the same
+    total order must match every row exactly, certifying both the
+    range partitioner's global ordering and the offset arithmetic; the
+    only single-partition exchange in the plan carries the
+    partition-count tally, never the table."""
+    from ..operators.sampling import global_row_index
+
+    o = table(spark, sf_dir, "orders")
+    return global_row_index(
+        o, ["o_orderdate", "o_orderkey"]
+    ).select("o_orderkey", "idx")
+
+
+_CORR_ORACLE = """
+    SELECT 'qty_price' AS pair,
+           ROUND(corr(l_quantity, l_extendedprice), 4) AS r,
+           COUNT(*) AS n
+    FROM lineitem
+    UNION ALL
+    SELECT 'qty_disc', ROUND(corr(l_quantity, l_discount), 4), COUNT(*)
+    FROM lineitem
+    UNION ALL
+    SELECT 'price_tax', ROUND(corr(l_extendedprice, l_tax), 4), COUNT(*)
+    FROM lineitem
+"""
+
+
+def q120_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlations over the measure columns — the
+    profiling pass a feature-engineering pipeline runs before modeling.
+    Both engines compute the sample correlation with one-pass
+    co-moment aggregation (map-side combinable — no per-pair rescans);
+    the estimates round to 4 decimals to absorb co-moment
+    accumulation-order ulps. One scan serves all three pairs (Spark
+    collapses the UNION's identical scans; the aggregation computes
+    the co-moments in parallel)."""
+    li = table(spark, sf_dir, "lineitem")
+    pairs = [
+        ("qty_price", "l_quantity", "l_extendedprice"),
+        ("qty_disc", "l_quantity", "l_discount"),
+        ("price_tax", "l_extendedprice", "l_tax"),
+    ]
+    parts = [
+        li.agg(
+            F.lit(name).alias("pair"),
+            F.round(F.corr(x, y), 4).alias("r"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        for name, x, y in pairs
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

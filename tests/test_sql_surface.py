@@ -619,3 +619,49 @@ def test_holt_forecast_single_point_flat(spark):
         (1, 42.0, 0.0, 1),
         (2, 42.0, 0.0, 1),
     }
+
+
+def test_global_row_index_dense_and_partition_invariant(spark):
+    from data_pipeline_demo_spark.operators.sampling import global_row_index
+
+    import random
+
+    rng = random.Random(11)
+    rows = [(i, rng.randint(0, 10**6)) for i in range(5000)]
+    df = spark.createDataFrame(rows, "id long, v long")
+    out = global_row_index(df, ["v", "id"]).select("id", "idx").collect()
+    got = {r.id: r.idx for r in out}
+    want = {
+        rid: pos
+        for pos, (rid, _) in enumerate(sorted(rows, key=lambda r: (r[1], r[0])))
+    }
+    assert got == want  # dense 0..n-1, exactly the total-order ranks
+    # partitioning of the input must not change the assignment
+    out2 = {
+        r.id: r.idx
+        for r in global_row_index(df.repartition(17), ["v", "id"])
+        .select("id", "idx")
+        .collect()
+    }
+    assert out2 == got
+
+
+def test_global_row_index_no_table_sized_single_partition(spark):
+    """The only SinglePartition exchange in the plan feeds the
+    partition-count tally (a ~numPartitions-row aggregate), never the
+    table: the table-sized path goes through range partitioning."""
+    from data_pipeline_demo_spark.operators.sampling import global_row_index
+
+    df = spark.range(10000).selectExpr("id", "id % 97 AS v")
+    plan = (
+        global_row_index(df, ["v", "id"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "rangepartitioning" in plan.lower()
+    # exactly ONE SinglePartition exchange — the tally window — and the
+    # subtree it feeds from is an aggregate, not the table scan/sort
+    assert plan.count("Exchange SinglePartition") == 1
+    below = plan.split("Exchange SinglePartition", 1)[1]
+    assert "HashAggregate" in below.split("Exchange", 1)[0]
