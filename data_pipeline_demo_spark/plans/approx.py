@@ -144,3 +144,6 @@ register("q119_global_index", oracle=relational._GLOBAL_INDEX_ORACLE)(
 register("q120_correlation", oracle=relational._CORR_ORACLE)(
     relational.q120_correlation
 )
+register("q121_ab_proportion_test", oracle=relational._AB_TEST_ORACLE)(
+    relational.q121_ab_proportion_test
+)

@@ -1177,3 +1177,78 @@ def q120_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+_AB_TEST_ORACLE = """
+    WITH g AS (
+      SELECT c_mktsegment,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN c_acctbal > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS k
+      FROM customer
+      WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+      GROUP BY c_mktsegment
+    ),
+    w AS (
+      SELECT
+        MAX(CASE WHEN c_mktsegment = 'BUILDING' THEN n END) AS n1,
+        MAX(CASE WHEN c_mktsegment = 'BUILDING' THEN k END) AS k1,
+        MAX(CASE WHEN c_mktsegment = 'MACHINERY' THEN n END) AS n2,
+        MAX(CASE WHEN c_mktsegment = 'MACHINERY' THEN k END) AS k2
+      FROM g
+    )
+    SELECT n1, k1, n2, k2,
+           ROUND((k1 / n1) - (k2 / n2), 6) AS diff,
+           ROUND(((k1 / n1) - (k2 / n2))
+                 / SQRT(((k1 + k2) / (n1 + n2))
+                        * (1 - (k1 + k2) / (n1 + n2))
+                        * ((1.0 / n1) + (1.0 / n2))), 4) AS z,
+           ABS(((k1 / n1) - (k2 / n2))
+               / SQRT(((k1 + k2) / (n1 + n2))
+                      * (1 - (k1 + k2) / (n1 + n2))
+                      * ((1.0 / n1) + (1.0 / n2)))) > 1.96 AS significant
+    FROM w
+"""
+
+
+def q121_ab_proportion_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test (pooled standard error) — experiment
+    analysis over two customer segments' positive-balance rates: the
+    A/B readout a data platform serves daily. One grouped pass
+    collapses each variant to (n, k); the test statistic is arithmetic
+    over a 2-row relation pivoted to one row. Identical expression
+    text on both engines (integer counts divide as doubles the same
+    way); z rounds to 4 and the significance flag compares the
+    UNROUNDED statistic to 1.96 identically on both sides."""
+    c = table(spark, sf_dir, "customer")
+    g = (
+        c.filter(F.col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("c_acctbal") > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("k"),
+        )
+    )
+    seg = F.col("c_mktsegment")
+    w = g.agg(
+        F.max(F.when(seg == "BUILDING", F.col("n"))).alias("n1"),
+        F.max(F.when(seg == "BUILDING", F.col("k"))).alias("k1"),
+        F.max(F.when(seg == "MACHINERY", F.col("n"))).alias("n2"),
+        F.max(F.when(seg == "MACHINERY", F.col("k"))).alias("k2"),
+    )
+    p1 = F.col("k1") / F.col("n1")
+    p2 = F.col("k2") / F.col("n2")
+    pp = (F.col("k1") + F.col("k2")) / (F.col("n1") + F.col("n2"))
+    se = F.sqrt(
+        pp * (F.lit(1) - pp)
+        * ((F.lit(1.0) / F.col("n1")) + (F.lit(1.0) / F.col("n2")))
+    )
+    z = (p1 - p2) / se
+    return w.select(
+        "n1", "k1", "n2", "k2",
+        F.round(p1 - p2, 6).alias("diff"),
+        F.round(z, 4).alias("z"),
+        (F.abs(z) > 1.96).alias("significant"),
+    )
