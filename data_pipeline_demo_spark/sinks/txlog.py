@@ -520,6 +520,10 @@ def txlog_upsert(
     if txn_app_id is not None:
         app_txns[txn_app_id] = txn_version
 
+    # CHECK constraints gate the batch BEFORE any file is written
+    # (one counting pass, only when the table declares constraints)
+    _enforce_table_constraints(spark, root_path, updates)
+
     updates = updates.dropDuplicates([key]).withColumn(
         BUCKET_COL, _bucket_of(key, num_buckets)
     )
@@ -883,6 +887,10 @@ def txlog_update(
             for c in in_touched.columns
         ]
     )
+    # UPDATE results must satisfy the table's CHECK constraints (the
+    # un-matched survivors already did; validating the whole rewrite
+    # keeps the check one pass)
+    _enforce_table_constraints(spark, root_path, rewritten)
     bucket_stats = dict(prev.get("bucket_stats", {}))
     _publish_touched_buckets(
         spark,
@@ -1481,3 +1489,121 @@ def compact_txtable(
         },
     )
     return len(todo)
+
+
+# ---------------------------------------------------------------------------
+# CHECK constraints: Delta's ADD CONSTRAINT semantics for the txtable.
+# ---------------------------------------------------------------------------
+
+CONSTRAINTS_FILE = "_constraints.json"
+
+
+class ConstraintViolationError(ValueError):
+    """A write would commit rows violating a table CHECK constraint."""
+
+
+def _constraints_path(jvm, root):
+    return jvm.org.apache.hadoop.fs.Path(root, CONSTRAINTS_FILE)
+
+
+def table_constraints(spark: SparkSession, root_path: str) -> dict[str, str]:
+    """The table's CHECK constraints: ``{name: sql_predicate}``. Stored
+    as mutable table metadata in one root-level file (Delta stores them
+    in table properties — same versioning stance: constraints govern
+    writes from the moment they are set; they are not themselves
+    time-traveled)."""
+    jvm = spark._jvm
+    fs, root = _hadoop_fs(spark, root_path)
+    p = _constraints_path(jvm, root)
+    if not fs.exists(p):
+        return {}
+    stream = fs.open(p)
+    try:
+        text = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+    finally:
+        stream.close()
+    return dict(json.loads(text))
+
+
+def _write_constraints(spark: SparkSession, root_path: str, cons: dict) -> None:
+    jvm = spark._jvm
+    fs, root = _hadoop_fs(spark, root_path)
+    p = _constraints_path(jvm, root)
+    tmp = jvm.org.apache.hadoop.fs.Path(
+        root, f".{CONSTRAINTS_FILE}.{uuid.uuid4().hex}.tmp"
+    )
+    out = fs.create(tmp, True)
+    try:
+        out.write(json.dumps(cons).encode("utf-8"))
+    finally:
+        out.close()
+    fs.delete(p, False)
+    if not fs.rename(tmp, p):
+        raise IOError(f"could not publish constraints at {p}")
+
+
+def check_constraints(df, constraints: dict[str, str]) -> None:
+    """Raise :class:`ConstraintViolationError` if any row of ``df``
+    violates any constraint — ONE aggregate pass counts every
+    constraint's violations simultaneously (no per-constraint rescan).
+    SQL CHECK semantics: a row violates only when the predicate is
+    FALSE; NULL passes."""
+    if not constraints:
+        return
+    counts = df.agg(
+        *[
+            F.sum(
+                F.when(~F.coalesce(F.expr(pred), F.lit(True)), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias(name)
+            for name, pred in constraints.items()
+        ]
+    ).first()
+    bad = {n: counts[n] for n in constraints if (counts[n] or 0) > 0}
+    if bad:
+        raise ConstraintViolationError(
+            "CHECK constraint violation(s): "
+            + ", ".join(
+                f"{n!r} ({constraints[n]}): {c} row(s)"
+                for n, c in sorted(bad.items())
+            )
+        )
+
+
+def set_table_constraint(
+    spark: SparkSession, root_path: str, name: str, predicate: str
+) -> None:
+    """ADD CONSTRAINT: validates the predicate parses AND that every
+    EXISTING row satisfies it (Delta's ADD CONSTRAINT scan — a
+    constraint the current data violates would make the table
+    unwritable), then publishes it; every subsequent MERGE/UPDATE/write
+    validates incoming rows against it."""
+    if not name or not name.isidentifier():
+        raise ValueError(f"constraint name must be an identifier: {name!r}")
+    try:
+        current = read_txtable(spark, root_path)
+        check_constraints(current, {name: predicate})
+    except FileNotFoundError as e:
+        if "is empty" not in str(e):
+            raise  # no table at all: nothing to attach constraints to
+    cons = table_constraints(spark, root_path)
+    cons[name] = predicate
+    _write_constraints(spark, root_path, cons)
+
+
+def drop_table_constraint(
+    spark: SparkSession, root_path: str, name: str
+) -> bool:
+    """DROP CONSTRAINT; returns whether it existed."""
+    cons = table_constraints(spark, root_path)
+    existed = name in cons
+    if existed:
+        del cons[name]
+        _write_constraints(spark, root_path, cons)
+    return existed
+
+
+def _enforce_table_constraints(spark, root_path, df) -> None:
+    """Write-path hook: validate a batch about to be committed."""
+    check_constraints(df, table_constraints(spark, root_path))

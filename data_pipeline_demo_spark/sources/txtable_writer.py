@@ -667,8 +667,14 @@ def write_txtable(
     publisher's optimizeWrite shape, `sinks/txlog.py`), full
     parallelism (measured ~3-5× at sf0.01). Raw
     ``df.write.format("txtable")`` stays available for inputs already
-    partitioned sensibly."""
+    partitioned sensibly — note that raw path cannot evaluate SQL CHECK
+    constraints (the DSv2 writer sees only Arrow batches); THIS wrapper
+    and the txlog verbs enforce them."""
     from pyspark.sql import functions as F
+
+    from ..sinks.txlog import _enforce_table_constraints
+
+    _enforce_table_constraints(df.sparkSession, path, df)
 
     bucket = F.coalesce(
         F.pmod(F.xxhash64(F.col(key)), F.lit(int(num_buckets))), F.lit(0)

@@ -1124,3 +1124,87 @@ def test_deep_clone_detaches_from_source(spark, tmp_path):
     ) == 10
     with pytest.raises(FileExistsError):
         deep_clone_txtable(spark, tgt, tgt)
+
+
+# ---------------------------------------------------------------------------
+# CHECK constraints
+# ---------------------------------------------------------------------------
+
+
+def test_check_constraints_gate_every_write_verb(spark, tmp_path):
+    from data_pipeline_demo_spark.sinks.txlog import (
+        ConstraintViolationError,
+        drop_table_constraint,
+        read_txtable,
+        set_table_constraint,
+        table_constraints,
+        txlog_update,
+        txlog_upsert,
+    )
+    from data_pipeline_demo_spark.sources.txtable_writer import write_txtable
+
+    root = str(tmp_path / "cons_tx")
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0)], "id long, amount double"
+    )
+    txlog_upsert(spark, df, root, key="id", num_buckets=4)
+    set_table_constraint(spark, root, "amount_nonneg", "amount >= 0")
+    assert table_constraints(spark, root) == {"amount_nonneg": "amount >= 0"}
+
+    # MERGE of a violating batch refuses BEFORE writing anything
+    bad = spark.createDataFrame([(3, -5.0)], "id long, amount double")
+    import pytest as _pytest
+
+    with _pytest.raises(ConstraintViolationError, match="amount_nonneg"):
+        txlog_upsert(spark, bad, root)
+    assert read_txtable(spark, root).count() == 2  # nothing committed
+
+    # UPDATE that would break the invariant refuses too
+    with _pytest.raises(ConstraintViolationError, match="amount_nonneg"):
+        txlog_update(
+            spark, root, set={"amount": "amount - 100"}, where="id = 1"
+        )
+    assert {
+        r.amount for r in read_txtable(spark, root).collect()
+    } == {10.0, 20.0}
+
+    # the bucket-aligned writer wrapper enforces as well
+    with _pytest.raises(ConstraintViolationError, match="amount_nonneg"):
+        write_txtable(bad, root, key="id", num_buckets=4, mode="append")
+
+    # conforming writes still flow; NULL passes (SQL CHECK semantics)
+    ok = spark.createDataFrame(
+        [(3, 30.0), (4, None)], "id long, amount double"
+    )
+    txlog_upsert(spark, ok, root)
+    assert read_txtable(spark, root).count() == 4
+
+    # DROP lifts the gate (fresh key so the merge INSERTS)
+    assert drop_table_constraint(spark, root, "amount_nonneg") is True
+    txlog_upsert(
+        spark,
+        spark.createDataFrame([(5, -5.0)], "id long, amount double"),
+        root,
+    )
+    assert read_txtable(spark, root).count() == 5
+
+
+def test_add_constraint_scans_existing_rows(spark, tmp_path):
+    from data_pipeline_demo_spark.sinks.txlog import (
+        ConstraintViolationError,
+        set_table_constraint,
+        txlog_upsert,
+    )
+
+    root = str(tmp_path / "cons2_tx")
+    txlog_upsert(
+        spark,
+        spark.createDataFrame([(1, -1.0)], "id long, amount double"),
+        root,
+        key="id",
+        num_buckets=2,
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ConstraintViolationError, match="amount_nonneg"):
+        set_table_constraint(spark, root, "amount_nonneg", "amount >= 0")
