@@ -1526,6 +1526,12 @@ def table_constraints(spark: SparkSession, root_path: str) -> dict[str, str]:
 
 
 def _write_constraints(spark: SparkSession, root_path: str, cons: dict) -> None:
+    """Publish the constraints file content-atomically: write a tmp,
+    then REPLACE the live file in one FileContext rename (OVERWRITE) —
+    a concurrent writer reading mid-publish sees either the old or the
+    new constraint set, never an absent/truncated one. Filesystems
+    without FileContext fall back to delete+rename (a documented
+    instant of absence, same caveat as any non-atomic-replace store)."""
     jvm = spark._jvm
     fs, root = _hadoop_fs(spark, root_path)
     p = _constraints_path(jvm, root)
@@ -1537,6 +1543,17 @@ def _write_constraints(spark: SparkSession, root_path: str, cons: dict) -> None:
         out.write(json.dumps(cons).encode("utf-8"))
     finally:
         out.close()
+    try:
+        fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+            p.toUri(), spark._jsc.hadoopConfiguration()
+        )
+        rename_enum = jvm.org.apache.hadoop.fs.Options.Rename
+        opts = spark.sparkContext._gateway.new_array(rename_enum, 1)
+        opts[0] = rename_enum.OVERWRITE
+        fc.rename(tmp, p, opts)
+        return
+    except Exception:
+        pass
     fs.delete(p, False)
     if not fs.rename(tmp, p):
         raise IOError(f"could not publish constraints at {p}")
