@@ -39,8 +39,12 @@ BUCKET_SPEC = "_upsert_bucket_spec.json"
 
 
 def _bucket_of(key: str, num_buckets: int) -> Column:
-    """Stable key → bucket id; null keys land in bucket 0 so every row
-    has a concrete partition directory."""
+    """Stable key → bucket id. Null keys land in bucket ``42 % n``:
+    Spark's ``xxhash64`` skips null inputs and returns the seed (42)
+    unchanged, so ``pmod`` of it is never null — the ``coalesce`` is a
+    belt-and-suspenders guard that cannot actually fire. The python
+    writer (``sources/txtable_writer.py:bucket_ids_for``) mirrors this
+    exactly (parity tested)."""
     return F.coalesce(
         F.pmod(F.xxhash64(F.col(key)), F.lit(num_buckets)), F.lit(0)
     ).cast("int")

@@ -25,7 +25,7 @@ from data_pipeline_demo_spark.sinks.txlog import (
     txlog_upsert,
     txtable_changes,
 )
-from data_pipeline_demo_spark.sources.pushdown import bucket_of_literal
+from data_pipeline_demo_spark.sources.pushdown import bucket_of_literal, xxh64
 from data_pipeline_demo_spark.sources.txtable_source import _read_manifest
 from data_pipeline_demo_spark.sources.txtable_writer import (
     _fs_root,
@@ -75,10 +75,55 @@ def test_string_and_null_keys():
 
     vals = ["a", None, "payment-123", "", "日本語"]
     got = list(bucket_ids_for(pa.array(vals, pa.string()), "string", 8))
-    assert got[1] == 0  # null key → bucket 0 (coalesce parity)
+    # null key parity: Spark's xxhash64 skips nulls (hash = seed = 42),
+    # so the JVM _bucket_of lands null keys at 42 % n — NOT 0 (its
+    # coalesce never fires). Round-7 fix; asserted vs Spark below.
+    assert got[1] == 42 % 8
     for v, b in zip(vals, got):
         if v is not None:
             assert b == bucket_of_literal(v, 8, "string")
+
+
+def test_vectorized_string_hash_boundaries(spark):
+    """Spark ground truth for the length-grouped vectorized string hash
+    across every XXH64 code-path boundary: empty, tail-only (<4), one
+    4-byte word, 8-byte lanes, the 32-byte stripe threshold, multi-
+    stripe, plus multibyte UTF-8 — and the same values through
+    large_string and a sliced (non-zero-offset) array."""
+    import pyarrow as pa
+
+    from data_pipeline_demo_spark.sources.txtable_writer import xxh64_strings
+
+    vals = [
+        "", "a", "ab", "abc", "abcd", "abcde", "abcdefg", "abcdefgh",
+        "abcdefghi", "x" * 15, "x" * 16, "x" * 17, "y" * 31, "z" * 32,
+        "z" * 33, "w" * 63, "w" * 64, "w" * 65, "q" * 100,
+        "日本語テスト", "påyment-æøå-123", "a\x00b", None,
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], "k string")
+    want = [
+        r[0]
+        for r in df.select(
+            F.coalesce(F.pmod(F.xxhash64("k"), F.lit(32)), F.lit(0)).cast(
+                "int"
+            )
+        ).collect()
+    ]
+    got = list(bucket_ids_for(pa.array(vals, pa.string()), "string", 32))
+    assert got == want
+    assert list(bucket_ids_for(pa.array(vals, pa.large_string()), "string", 32)) == want
+    # sliced array: non-zero arr.offset must not shift the byte windows
+    sliced = pa.array(["pad1", "pad2"] + vals, pa.string()).slice(2)
+    assert list(bucket_ids_for(sliced, "string", 32)) == want
+    # raw-hash parity vs the scalar spec on a big uniform batch (the
+    # contiguous reshape fast path) and a shuffled mixed batch (gather)
+    uni = [f"doc-{i:09d}" for i in range(4096)]
+    import numpy as np
+
+    assert (
+        xxh64_strings(pa.array(uni, pa.string()))
+        == np.array([xxh64(v.encode(), 42) for v in uni], np.uint64)
+    ).all()
 
 
 def test_spark_xxhash64_parity(spark):
