@@ -9,6 +9,8 @@ from __future__ import annotations
 
 import datetime as dt
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from data_pipeline_demo_spark.operators.textstats import bm25_topk
@@ -565,6 +567,32 @@ def test_radius_join_blocking_equals_bruteforce(spark):
     }
     assert got == want and (4, 5) in got and (1, 2) in got
     assert not any(6 in p for p in got)
+    # emit-exactly-once: the join produces each pair once BY
+    # CONSTRUCTION (B at its home cell only) — no dedup pass exists to
+    # hide a double emission, so assert it directly on the raw rows
+    rows = radius_join(df, 50.0).collect()
+    pairs = [(r.id_a, r.id_b) for r in rows]
+    assert len(pairs) == len(set(pairs))
+
+
+def test_radius_join_out_of_bound_lat_raises(spark):
+    """A point beyond max_abs_lat must FAIL the job (incomplete pair
+    sets are the one unacceptable failure mode of a provably-complete
+    blocked join), and the error must name the remedy."""
+    from data_pipeline_demo_spark.operators.spatial import radius_join
+
+    df = spark.createDataFrame(
+        [(1, 61.5, 5.0), (2, 61.5, 5.1)], "id long, lat double, lon double"
+    )
+    with pytest.raises(Exception, match="max_abs_lat"):
+        radius_join(df, 50.0, max_abs_lat=60.0).collect()
+    # widening the bound (wider cells) makes the same data legal
+    assert radius_join(df, 50.0, max_abs_lat=65.0).count() == 1
+    # null latitude is data, not an error: stays unpaired, job succeeds
+    dfn = spark.createDataFrame(
+        [(1, None, 5.0), (2, 0.0, 5.0)], "id long, lat double, lon double"
+    )
+    assert radius_join(dfn, 50.0).count() == 0
 
 
 def test_holt_forecast_linear_series_is_exact(spark):
