@@ -462,7 +462,8 @@ _DUCK_VARIANT = """
            CAST(SUM(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT)
              AS k_sum,
            COUNT(*) AS n,
-           CAST(SUM(CASE WHEN NOT json_valid('}' || props) THEN 1 ELSE 0 END)
+           CAST(SUM(CASE WHEN NOT json_valid('}' || COALESCE(props, ''))
+                         THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_bad
     FROM events
     GROUP BY event_type
@@ -484,7 +485,14 @@ def q106_variant_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
     v = F.parse_json("props")
     k = F.variant_get(v, "$.k", "int")
-    bad = F.try_parse_json(F.concat(F.lit("}"), F.col("props")))
+    # NULL props count as corrupt on BOTH engines: without the
+    # coalesce, Spark's concat propagates NULL (counted bad) while the
+    # oracle's json_valid(NULL) CASE yields 0 — a latent cross-engine
+    # divergence a data-gen change would expose (round-6 advisor
+    # finding)
+    bad = F.try_parse_json(
+        F.concat(F.lit("}"), F.coalesce(F.col("props"), F.lit("")))
+    )
     return ev.select("event_type", k.alias("k"), bad.alias("bad")).groupBy(
         "event_type"
     ).agg(

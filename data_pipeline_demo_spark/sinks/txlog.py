@@ -1368,6 +1368,34 @@ def vacuum_txtable(
             if not dry_run:
                 fs.delete(st.getPath(), False)
             deleted += 1
+    # Superseded constraint versions (and the legacy single file once a
+    # versioned one exists) are dead metadata — only the NEWEST version
+    # governs writes, so sweeping the rest never changes behavior.
+    cdir = jvm.org.apache.hadoop.fs.Path(root, CONSTRAINTS_DIR)
+    if fs.exists(cdir):
+        cvers = []
+        for st in fs.listStatus(cdir):
+            nm = st.getPath().getName()
+            if nm.endswith(".json") and not nm.startswith("."):
+                try:
+                    cvers.append(int(nm[: -len(".json")]))
+                except ValueError:
+                    continue
+        for v in cvers:
+            if cvers and v != max(cvers):
+                if not dry_run:
+                    fs.delete(
+                        jvm.org.apache.hadoop.fs.Path(
+                            cdir, f"{v:020d}.json"
+                        ),
+                        False,
+                    )
+                deleted += 1
+        legacy = jvm.org.apache.hadoop.fs.Path(root, CONSTRAINTS_FILE)
+        if cvers and fs.exists(legacy):
+            if not dry_run:
+                fs.delete(legacy, False)
+            deleted += 1
     return deleted
 
 
@@ -1495,68 +1523,88 @@ def compact_txtable(
 # CHECK constraints: Delta's ADD CONSTRAINT semantics for the txtable.
 # ---------------------------------------------------------------------------
 
-CONSTRAINTS_FILE = "_constraints.json"
+CONSTRAINTS_FILE = "_constraints.json"  # legacy single-file (read fallback)
+CONSTRAINTS_DIR = "_constraints"
 
 
 class ConstraintViolationError(ValueError):
     """A write would commit rows violating a table CHECK constraint."""
 
 
-def _constraints_path(jvm, root):
-    return jvm.org.apache.hadoop.fs.Path(root, CONSTRAINTS_FILE)
-
-
-def table_constraints(spark: SparkSession, root_path: str) -> dict[str, str]:
-    """The table's CHECK constraints: ``{name: sql_predicate}``. Stored
-    as mutable table metadata in one root-level file (Delta stores them
-    in table properties — same versioning stance: constraints govern
-    writes from the moment they are set; they are not themselves
-    time-traveled)."""
+def _latest_constraints(
+    spark: SparkSession, root_path: str
+) -> tuple[int | None, dict[str, str]]:
+    """(version, {name: predicate}) of the newest constraints version.
+    Constraints are VERSIONED like the commit log — one immutable
+    ``_constraints/<v>.json`` per change, claimed create-no-overwrite —
+    because a last-writer-wins replace let two concurrent ADD
+    CONSTRAINT calls silently drop one constraint (round-6 advisor
+    finding). A pre-versioning ``_constraints.json`` single file reads
+    as version -1; the first versioned publish supersedes it. Returns
+    ``(None, {})`` when the table has no constraints."""
     jvm = spark._jvm
     fs, root = _hadoop_fs(spark, root_path)
-    p = _constraints_path(jvm, root)
-    if not fs.exists(p):
-        return {}
+    d = jvm.org.apache.hadoop.fs.Path(root, CONSTRAINTS_DIR)
+    best = None
+    if fs.exists(d):
+        for st in fs.listStatus(d):
+            nm = st.getPath().getName()
+            if not nm.endswith(".json") or nm.startswith("."):
+                continue
+            try:
+                v = int(nm[: -len(".json")])
+            except ValueError:
+                continue
+            if best is None or v > best:
+                best = v
+    if best is not None:
+        p = jvm.org.apache.hadoop.fs.Path(d, f"{best:020d}.json")
+    else:
+        p = jvm.org.apache.hadoop.fs.Path(root, CONSTRAINTS_FILE)
+        if not fs.exists(p):
+            return None, {}
+        best = -1
     stream = fs.open(p)
     try:
         text = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
     finally:
         stream.close()
-    return dict(json.loads(text))
+    return best, dict(json.loads(text))
 
 
-def _write_constraints(spark: SparkSession, root_path: str, cons: dict) -> None:
-    """Publish the constraints file content-atomically: write a tmp,
-    then REPLACE the live file in one FileContext rename (OVERWRITE) —
-    a concurrent writer reading mid-publish sees either the old or the
-    new constraint set, never an absent/truncated one. Filesystems
-    without FileContext fall back to delete+rename (a documented
-    instant of absence, same caveat as any non-atomic-replace store)."""
+def table_constraints(spark: SparkSession, root_path: str) -> dict[str, str]:
+    """The table's CHECK constraints: ``{name: sql_predicate}``.
+    Mutable table metadata (Delta stores them in table properties —
+    same stance: constraints govern writes from the moment they are
+    set; they are not themselves time-traveled), but each CHANGE is an
+    immutable versioned file so concurrent changes race on a
+    create-no-overwrite claim instead of overwriting each other."""
+    return _latest_constraints(spark, root_path)[1]
+
+
+def _publish_constraints(
+    spark: SparkSession,
+    root_path: str,
+    cons: dict,
+    base_version: int | None,
+) -> None:
+    """Claim ``_constraints/<base+1>.json`` through the installed
+    LogStore (the same create-no-overwrite seam the commit log uses).
+    A concurrent constraint change that already claimed the version
+    raises :class:`ConcurrentCommitError` — the caller re-reads and
+    retries with intent intact, instead of silently losing an entry."""
     jvm = spark._jvm
     fs, root = _hadoop_fs(spark, root_path)
-    p = _constraints_path(jvm, root)
-    tmp = jvm.org.apache.hadoop.fs.Path(
-        root, f".{CONSTRAINTS_FILE}.{uuid.uuid4().hex}.tmp"
-    )
-    out = fs.create(tmp, True)
-    try:
-        out.write(json.dumps(cons).encode("utf-8"))
-    finally:
-        out.close()
-    try:
-        fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
-            p.toUri(), spark._jsc.hadoopConfiguration()
+    d = jvm.org.apache.hadoop.fs.Path(root, CONSTRAINTS_DIR)
+    fs.mkdirs(d)
+    version = 0 if base_version is None else base_version + 1
+    dst = jvm.org.apache.hadoop.fs.Path(d, f"{version:020d}.json")
+    payload = json.dumps(cons).encode("utf-8")
+    if not _log_store.put_if_absent(spark, fs, d, dst, payload):
+        raise ConcurrentCommitError(
+            f"constraints version {version} at {root_path} was claimed "
+            "by a concurrent constraint change; re-read and retry"
         )
-        rename_enum = jvm.org.apache.hadoop.fs.Options.Rename
-        opts = spark.sparkContext._gateway.new_array(rename_enum, 1)
-        opts[0] = rename_enum.OVERWRITE
-        fc.rename(tmp, p, opts)
-        return
-    except Exception:
-        pass
-    fs.delete(p, False)
-    if not fs.rename(tmp, p):
-        raise IOError(f"could not publish constraints at {p}")
 
 
 def check_constraints(df, constraints: dict[str, str]) -> None:
@@ -1604,20 +1652,20 @@ def set_table_constraint(
     except FileNotFoundError as e:
         if "is empty" not in str(e):
             raise  # no table at all: nothing to attach constraints to
-    cons = table_constraints(spark, root_path)
+    base, cons = _latest_constraints(spark, root_path)
     cons[name] = predicate
-    _write_constraints(spark, root_path, cons)
+    _publish_constraints(spark, root_path, cons, base)
 
 
 def drop_table_constraint(
     spark: SparkSession, root_path: str, name: str
 ) -> bool:
     """DROP CONSTRAINT; returns whether it existed."""
-    cons = table_constraints(spark, root_path)
+    base, cons = _latest_constraints(spark, root_path)
     existed = name in cons
     if existed:
         del cons[name]
-        _write_constraints(spark, root_path, cons)
+        _publish_constraints(spark, root_path, cons, base)
     return existed
 
 

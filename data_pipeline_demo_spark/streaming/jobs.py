@@ -701,25 +701,44 @@ def make_join_view_batch_fn(
     trigger). The refresh is a deterministic function of (snapshots,
     dirty keys), so a replayed batch re-converges to the same view —
     idempotent at the semantic level even though it may commit
-    additional no-op-shaped versions."""
+    additional no-op-shaped versions.
+
+    Commit races: with maintenance streams on BOTH sides of the view
+    (the documented two-sided deployment), two triggers can race a
+    view-table commit; the loser's ``ConcurrentCommitError`` is caught
+    here and the refresh RE-RUNS against the winner's snapshot (fresh
+    dirty-key scoped recompute — exactly the re-read-and-re-merge shape
+    ``test_txlog_racing_writers_converge`` proves safe). Without the
+    retry a benign race killed the streaming query (round-6 advisor
+    finding)."""
     from pyspark.sql import functions as SF
 
     from ..sinks.join_view import refresh_join_view
+    from ..sinks.txlog import ConcurrentCommitError
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         dirty = batch_df.select(SF.col(on)).dropDuplicates()
-        refresh_join_view(
-            batch_df.sparkSession,
-            view_root,
-            a_current(),
-            b_current(),
-            dirty,
-            on=on,
-            a_id=a_id,
-            b_id=b_id,
-        )
+        attempts = 5
+        for attempt in range(attempts):
+            try:
+                refresh_join_view(
+                    batch_df.sparkSession,
+                    view_root,
+                    a_current(),
+                    b_current(),
+                    dirty,
+                    on=on,
+                    a_id=a_id,
+                    b_id=b_id,
+                )
+                return
+            except ConcurrentCommitError:
+                if attempt == attempts - 1:
+                    raise
+                # lost a view-commit race to the other side's trigger:
+                # re-run the key-scoped refresh on the winner's snapshot
 
     return write_batch
 

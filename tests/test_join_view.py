@@ -51,6 +51,37 @@ def _expected(a, b):
     }
 
 
+def test_view_key_null_distinct_and_separator_safe(spark):
+    """The composite view key must be INJECTIVE: rows differing only in
+    which of (on, a_id, b_id) is NULL, or ids containing the \\x1f
+    separator, must map to distinct keys — concat_ws's null-skipping
+    made them collide so one MERGE row silently overwrote another
+    (round-6 advisor finding)."""
+    from data_pipeline_demo_spark.sinks.join_view import (
+        VIEW_KEY,
+        _with_view_key,
+    )
+
+    rows = [
+        ("5", None, "x"),       # null a_id
+        (None, "5", "x"),       # null on — same non-null values, shifted
+        ("5", "x", None),       # null b_id
+        ("5\x1fx", None, None), # separator inside a value
+        ("5", "x", "\x00N"),    # value that spells the null marker
+        ("5", "x", None),       # ACTUAL null in the same position: distinct
+    ]
+    df = spark.createDataFrame(rows, "on string, a string, b string")
+    keys = [
+        r[VIEW_KEY]
+        for r in _with_view_key(df, "on", "a", "b").collect()
+    ]
+    # rows 2 and 5 are identical inputs -> identical keys; all OTHER
+    # distinct inputs -> distinct keys
+    assert keys[2] == keys[5]
+    distinct_inputs = [keys[i] for i in (0, 1, 2, 3, 4)]
+    assert len(set(distinct_inputs)) == 5
+
+
 def test_join_view_refresh_equals_rebuild_across_dml(spark, tmp_path):
     a_root = str(tmp_path / "a_tx")
     b_root = str(tmp_path / "b_tx")
@@ -222,6 +253,76 @@ def test_stream_join_view_maintenance_batches(spark, tmp_path):
     txlog_delete(spark, a_root, where="id = 2")
     feed(1, 2, 1)
     a_now = read_txtable(spark, a_root).select("id", "k", "val")
+    assert _view_rows(spark, v_root) == _expected(a_now, b_now)
+
+
+def test_join_view_maintenance_retries_commit_race(
+    spark, tmp_path, monkeypatch
+):
+    """A lost view-commit race (two-sided maintenance racing the same
+    view root) must not kill the streaming query: the foreachBatch
+    callback catches ConcurrentCommitError and re-runs the key-scoped
+    refresh against the winner's snapshot, converging to the correct
+    view (round-6 advisor finding)."""
+    import data_pipeline_demo_spark.sinks.join_view as jv_mod
+    from data_pipeline_demo_spark.sinks.txlog import ConcurrentCommitError
+    from data_pipeline_demo_spark.sources.txtable_source import (
+        register_txtable_source,
+    )
+    from data_pipeline_demo_spark.streaming.jobs import (
+        make_join_view_batch_fn,
+    )
+
+    register_txtable_source(spark)
+    a_root = str(tmp_path / "ra_tx")
+    b_root = str(tmp_path / "rb_tx")
+    v_root = str(tmp_path / "rv_tx")
+    txlog_upsert(
+        spark, _df(spark, [(1, 10, "a1")]), a_root, key="id", num_buckets=4
+    )
+    txlog_upsert(
+        spark, _df(spark, [(101, 10, "b1")]), b_root, key="id", num_buckets=4
+    )
+
+    def viewify(df, side):
+        return df.selectExpr("k", f"id AS {side}_id", f"val AS {side}_val")
+
+    def a_current():
+        return viewify(read_txtable(spark, a_root).select("id", "k", "val"), "a")
+
+    def b_current():
+        return viewify(read_txtable(spark, b_root).select("id", "k", "val"), "b")
+
+    build_join_view(
+        spark, v_root, a_current(), b_current(),
+        on="k", a_id="a_id", b_id="b_id", num_buckets=4,
+    )
+    real_refresh = jv_mod.refresh_join_view
+    calls = {"n": 0}
+
+    def flaky_refresh(*args, **kwargs):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise ConcurrentCommitError("simulated lost view-commit race")
+        return real_refresh(*args, **kwargs)
+
+    monkeypatch.setattr(jv_mod, "refresh_join_view", flaky_refresh)
+    fn = make_join_view_batch_fn(
+        v_root, a_current, b_current, on="k", a_id="a_id", b_id="b_id"
+    )
+    txlog_upsert(spark, _df(spark, [(2, 10, "a2")]), a_root)
+    slice_df = (
+        spark.read.format("txtable")
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "0")
+        .option("endingVersion", "1")
+        .option("includePreimages", "true")
+        .load(a_root)
+    )
+    fn(slice_df, 0)  # must NOT raise: first attempt loses, retry wins
+    assert calls["n"] == 2
+    a_now = read_txtable(spark, a_root).select("id", "k", "val")
+    b_now = read_txtable(spark, b_root).select("id", "k", "val")
     assert _view_rows(spark, v_root) == _expected(a_now, b_now)
 
 
