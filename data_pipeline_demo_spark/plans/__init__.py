@@ -2,19 +2,69 @@ from .registry import ORACLE, QUERIES, register
 
 _LOADED = False
 
+# The driver's correctness file caps at 50 entries, and REGISTRATION
+# ORDER is its check order — so the first 50 names below form the
+# attested gate. Queries past the cap are still differentially checked
+# by tools/check_oracle.py every round (same comparator), so rotation
+# never drops coverage; it chooses WHICH 50 the driver re-attests.
+#
+# Round-7 rotation (round-6 judge directive #5): the round-6 surface's
+# highest-value oracle queries move INTO the gate — q74 (DECIMAL
+# money), q92 (lakehouse DML roundtrip), q95 (secondary value index),
+# q116/q117 (TPC-H Q3/Q10) — displacing five long-stable members
+# (q05_join_left_outer, q08_join_full_outer, q10_join_range,
+# q25_set_ops, q33_binary_ops) past the cap where check_oracle.py
+# keeps certifying them.
+_GATE_ROTATE_IN = (
+    "q74_decimal_money_agg",
+    "q92_dml_roundtrip",
+    "q95_indexed_lookup",
+    "q116_tpch_q3",
+    "q117_tpch_q10",
+)
+_GATE_ROTATE_OUT = (
+    "q05_join_left_outer",
+    "q08_join_full_outer",
+    "q10_join_range",
+    "q25_set_ops",
+    "q33_binary_ops",
+)
+
+
+def _apply_gate_rotation() -> None:
+    """Reorder the registries: rotated-out members move to the END
+    (past the driver cap, adjacent to the other check_oracle-covered
+    queries) and rotated-in members take their slots in the first 50.
+    Pure reordering — no query or oracle is added or removed."""
+    names = list(QUERIES)
+    missing = [
+        n for n in (*_GATE_ROTATE_IN, *_GATE_ROTATE_OUT) if n not in names
+    ]
+    if missing:
+        raise RuntimeError(f"gate rotation names not registered: {missing}")
+    body = [
+        n for n in names if n not in _GATE_ROTATE_IN and n not in _GATE_ROTATE_OUT
+    ]
+    new_order = body[:45] + list(_GATE_ROTATE_IN) + body[45:] + list(
+        _GATE_ROTATE_OUT
+    )
+    for registry in (QUERIES, ORACLE):
+        snapshot = dict(registry)
+        registry.clear()
+        for n in new_order:
+            if n in snapshot:
+                registry[n] = snapshot[n]
+
 
 def all_queries():
     """Import every query module (side-effect: registry population) and
     return (QUERIES, ORACLE)."""
     global _LOADED
     if not _LOADED:
-        # Import order IS registration order IS the driver's check order,
-        # and the driver's correctness file caps at 50 entries: 50
-        # oracle-bearing queries register first (relational → windows →
-        # scalars → timeseries → udfs → llm_ops → etl); the rows-only
-        # queries and the bonus oracle-bearing q65 (plans/approx.py)
-        # register past the cap, where tools/check_oracle.py still
-        # differentially checks q65.
+        # Import order seeds registration order (relational →
+        # windows → scalars → timeseries → udfs → llm_ops → etl →
+        # approx); the explicit gate rotation above then fixes the
+        # driver-attested first-50 set.
         from . import (  # noqa: F401
             relational,
             windows_sort,
@@ -26,6 +76,7 @@ def all_queries():
             approx,
         )
 
+        _apply_gate_rotation()
         _LOADED = True
     return QUERIES, ORACLE
 
