@@ -173,6 +173,54 @@ def bench_lakehouse(spark, sf_dir: str, runs: int):
             runs,
             warmup_runs=1,
         )
+        # string-keyed python write (round-6 directive #1 done-criterion:
+        # within ~2x of the int-keyed overwrite now that string hashing
+        # is vectorized) — same rows, key cast to a doc-id-like string
+        str_root = os.path.join(tmp, "lineitem_tx_str")
+        str_base = base.withColumn(
+            "li_id", F.concat(F.lit("li-"), F.col("li_id").cast("string"))
+        )
+        timings["lh_py_writer_string_key"], spreads["lh_py_writer_string_key"] = _timed(
+            lambda: write_txtable(
+                str_base, str_root, key="li_id", num_buckets=32,
+                mode="overwrite",
+            ),
+            runs,
+            warmup_runs=1,
+        )
+        # python format("txtable") READ path vs the JVM read_txtable
+        # (round-6 directive #7): full snapshot scan, then a key point
+        # lookup with planning-time pushdown pruning on vs off. Each
+        # takes one untimed warmup: the session's FIRST python
+        # DataSource read pays ~4s of plan+executor python-worker
+        # spin-up (measured 4.7s cold vs 0.73s warm at sf0.01) that no
+        # steady-state read repays — same treatment as the writer keys
+        timings["lh_py_reader_scan"], spreads["lh_py_reader_scan"] = _timed(
+            lambda: spark.read.format("txtable").load(root).count(),
+            runs,
+            warmup_runs=1,
+        )
+        timings["lh_jvm_reader_scan"], spreads["lh_jvm_reader_scan"] = _timed(
+            lambda: read_txtable(spark, root).count(), runs
+        )
+        probe_key = base.limit(1).collect()[0]["li_id"]
+        timings["lh_py_point_lookup"], spreads["lh_py_point_lookup"] = _timed(
+            lambda: spark.read.format("txtable")
+            .load(root)
+            .filter(F.col("li_id") == probe_key)
+            .count(),
+            runs,
+            warmup_runs=1,
+        )
+        timings["lh_py_point_nopushdown"], spreads["lh_py_point_nopushdown"] = _timed(
+            lambda: spark.read.format("txtable")
+            .option("pushdown", "false")
+            .load(root)
+            .filter(F.col("li_id") == probe_key)
+            .count(),
+            runs,
+            warmup_runs=1,
+        )
         # setup (untimed): OPTIMIZE ZORDER, then a 3-month box read —
         # manifest zone maps + parquet footer pruning on the clustered
         # layout do the skipping

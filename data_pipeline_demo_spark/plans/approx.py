@@ -147,3 +147,4 @@ register("q120_correlation", oracle=relational._CORR_ORACLE)(
 register("q121_ab_proportion_test", oracle=relational._AB_TEST_ORACLE)(
     relational.q121_ab_proportion_test
 )
+register("q122_image_near_dup")(llm_ops.q122_image_near_dup)

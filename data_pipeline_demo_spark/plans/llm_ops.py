@@ -1572,3 +1572,30 @@ def q118_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         daily, key_col="event_type", bucket_col="day", value_col="value",
         horizon=3,
     )
+
+
+def q122_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate detection over REAL PNG payloads (rows-only:
+    perceptual hashing isn't SQL-expressible): documents synthesize to
+    32×32 PNGs through the stdlib codec (groups of 4 doc_ids share a
+    base pattern with per-member pixel speckles — planted visual
+    near-dups), dHash signatures extract map-only, and the banded
+    Hamming join (`operators/multimodal.py:image_near_dup_pairs`)
+    returns close pairs. Output is the per-Hamming-distance pair count
+    — small, stable, and a direct recall witness (the planted
+    within-group pairs dominate distance 0-2).
+
+    Scale shape: signatures are 8 bytes/image; the join shuffles
+    (band_idx, band_val) 8-byte keys; verify runs on band collisions
+    only — never all-pairs (same pigeonhole guarantee as the MinHash
+    banding, `operators/dedup.py`)."""
+    from ..operators import multimodal
+
+    docs = table(spark, sf_dir, "documents").limit(2000)
+    media = multimodal.synthesize_png_media(docs)
+    pairs = multimodal.image_near_dup_pairs(media, max_hamming=3)
+    return (
+        pairs.groupBy("hamming")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("hamming")
+    )
