@@ -540,3 +540,110 @@ def kmv_overlap_estimates(pairs: DataFrame) -> DataFrame:
     return d.withColumn(
         "jaccard_est", both / F.col("n_u")
     ).withColumn("est_intersection", F.col("jaccard_est") * F.col("est_union"))
+
+
+# --- Count-Min sketches (Cormode & Muthukrishnan 2005) ---------------------
+#
+# The per-item FREQUENCY estimator completing the mergeable family:
+# HLL answers "how many distinct", MG answers "which items are heavy",
+# KMV answers set algebra, MRL answers quantiles — Count-Min answers
+# "how often did THIS item occur" for arbitrary probe items, including
+# ones no top-k list retained. Guarantee (public result): estimates
+# never undercount, and overcount ≤ εN with probability 1−δ at
+# width = ⌈e/ε⌉, depth = ⌈ln 1/δ⌉.
+#
+# Spark-first shape — unlike the pandas-seamed MG state, Count-Min is
+# PURE BUILT-INS end to end: the sketch is a sparse (depth, pos, cnt)
+# relation per group built by one explode + one combinable groupBy-sum;
+# rollups are counter-wise sums (exactly equal to direct coarse
+# sketching — same property the HLL tier proves); estimates are a
+# probe-sized join + min over depth. State is bounded by depth × width
+# counters per group regardless of stream size.
+
+
+def _cm_pos(value_col, j: int, width: int) -> F.Column:
+    """Row j's counter position: pmod(xxhash64(value, j), width) — the
+    depth index as a second hash input gives d independent hash
+    functions from the one built-in."""
+    return F.pmod(
+        F.xxhash64(F.col(value_col).cast("string"), F.lit(j)), F.lit(width)
+    ).cast("int")
+
+
+def countmin_sketch(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    width: int = 1024,
+    depth: int = 4,
+) -> DataFrame:
+    """One Count-Min sketch per group as a SPARSE counter relation:
+    ``(group_cols..., cm_depth, cm_pos, cm_cnt)`` — at most
+    depth × width rows per group, fewer when the stream is small
+    (absent counters are zero). Nulls count under their own hash like
+    any value. One explode (map-only) + one combinable sum."""
+    gc = list(group_cols)
+    expanded = df.select(
+        *gc,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("cm_depth"),
+                        _cm_pos(value_col, j, width).alias("cm_pos"),
+                    )
+                    for j in range(depth)
+                ]
+            )
+        ).alias("__c"),
+    ).select(*gc, "__c.cm_depth", "__c.cm_pos")
+    return expanded.groupBy(*gc, "cm_depth", "cm_pos").agg(
+        F.count(F.lit(1)).alias("cm_cnt")
+    )
+
+
+def countmin_rollup(sketches: DataFrame, to_cols: list[str]) -> DataFrame:
+    """Re-aggregate stored sketches to a coarser grain by counter-wise
+    sum — BIT-EQUAL to sketching the coarse grain directly (positions
+    depend only on the value, counts are additive), so day sketches
+    roll to months without touching raw history and without widening
+    the error bound beyond the merged stream's εN."""
+    return sketches.groupBy(*to_cols, "cm_depth", "cm_pos").agg(
+        F.sum("cm_cnt").alias("cm_cnt")
+    )
+
+
+def countmin_estimate(
+    sketches: DataFrame,
+    probes: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    width: int = 1024,
+    depth: int = 4,
+) -> DataFrame:
+    """Frequency estimates for ``probes`` rows ``(group_cols...,
+    value_col)``: ``est = min over depth of the probed counter``
+    (absent counter = 0). Never undercounts; overcount ≤ εN with
+    probability 1−δ. Cost: the probe relation expands ×depth and joins
+    the sparse sketch on (group, depth, pos) — probe-sized, never
+    sketch-scan-sized."""
+    gc = list(group_cols)
+    exp = probes.select(
+        *gc,
+        F.col(value_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("cm_depth"),
+                        _cm_pos(value_col, j, width).alias("cm_pos"),
+                    )
+                    for j in range(depth)
+                ]
+            )
+        ).alias("__c"),
+    ).select(*gc, value_col, "__c.cm_depth", "__c.cm_pos")
+    joined = exp.join(sketches, [*gc, "cm_depth", "cm_pos"], "left")
+    return joined.groupBy(*gc, value_col).agg(
+        F.min(F.coalesce(F.col("cm_cnt"), F.lit(0))).alias("est")
+    )

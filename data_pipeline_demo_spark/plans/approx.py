@@ -148,3 +148,13 @@ register("q121_ab_proportion_test", oracle=relational._AB_TEST_ORACLE)(
     relational.q121_ab_proportion_test
 )
 register("q122_image_near_dup")(llm_ops.q122_image_near_dup)
+register("q123_countmin_freq")(llm_ops.q123_countmin_freq)
+register("q124_tpch_q18", oracle=relational._TPCH_Q18_SQL)(
+    relational.q124_tpch_q18
+)
+register("q125_triangle_count", oracle=relational._TRIANGLE_SQL)(
+    relational.q125_triangle_count
+)
+register("q126_apply_changes", oracle=llm_ops._DUCK_APPLY_CHANGES)(
+    llm_ops.q126_apply_changes
+)

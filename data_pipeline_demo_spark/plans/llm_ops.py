@@ -1599,3 +1599,108 @@ def q122_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_pairs"))
         .orderBy("hamming")
     )
+
+
+def q123_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min frequency estimation (rows-only: estimates are sketch
+    artifacts, not SQL aggregates): sketch per-event-type user activity
+    into bounded (depth × width) counter state, then probe the 20 most
+    active users' counts back out of the sketch alone. The estimate
+    never undercounts and overcounts ≤ εN w.h.p. (Cormode &
+    Muthukrishnan 2005); rollup mergeability is bit-proven in
+    tests/test_countmin.py.
+
+    Scale shape: pure built-ins — one map-only explode (×depth) + one
+    combinable sum builds the sketch; the probe is a probe-sized join.
+    State per group is ≤ depth×width counters at ANY stream size — the
+    'how often did THIS user act' answer without a per-user table."""
+    from ..operators import sketches
+
+    ev = table(spark, sf_dir, "events")
+    sk = sketches.countmin_sketch(
+        ev, ["event_type"], "user_id", width=1024, depth=4
+    )
+    probes = (
+        ev.groupBy("event_type", "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "event_type", "user_id")
+        .limit(20)
+        .select("event_type", "user_id")
+    )
+    return sketches.countmin_estimate(
+        sk, probes, ["event_type"], "user_id", width=1024, depth=4
+    ).orderBy("event_type", "user_id")
+
+
+_DUCK_APPLY_CHANGES = """
+    WITH base AS (
+        SELECT o_orderkey AS id, o_orderstatus AS val
+        FROM orders WHERE o_orderkey < 2000
+    ),
+    feed AS (
+        SELECT o_orderkey AS id,
+               CASE WHEN o_orderkey % 5 = 0 THEN NULL
+                    ELSE o_orderpriority END AS val,
+               CASE WHEN o_orderkey % 5 = 0 THEN 'delete'
+                    ELSE 'upsert' END AS op,
+               CAST(o_orderkey % 3 AS BIGINT) AS sequence
+        FROM orders WHERE o_orderkey >= 1000 AND o_orderkey < 3000
+    ),
+    net AS (
+        SELECT id, val, op
+        FROM (
+            SELECT f.*, ROW_NUMBER() OVER (
+                PARTITION BY id
+                ORDER BY sequence DESC,
+                         CASE WHEN op = 'delete' THEN 1 ELSE 0 END DESC
+            ) AS rn
+            FROM feed f
+        ) WHERE rn = 1
+    )
+    SELECT COALESCE(n.id, b.id) AS id,
+           CASE WHEN n.id IS NOT NULL THEN n.val ELSE b.val END AS val
+    FROM base b
+    FULL OUTER JOIN net n ON b.id = n.id
+    WHERE COALESCE(n.op, 'keep') != 'delete'
+"""
+
+
+def q126_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY CHANGES INTO under the value-exact oracle
+    (sinks/cdc_apply.py): a base snapshot lands in a txtable, then a
+    synthetic CDC feed — upserts AND deletes, keys colliding with and
+    disjoint from the base, sequence numbers deliberately non-unique
+    per key — applies through the net-effect window + bucket-pruned
+    verbs. The oracle replays base ∘ net(feed) as one SQL full-outer
+    merge, so a hash match certifies the latest-sequence-wins
+    reduction, the delete-wins tie-break, and both DML verbs composed.
+
+    Note the feed's per-key sequences here are collision-free BY
+    CONSTRUCTION for upsert rows (one feed row per key per sequence
+    value), so the oracle needs no hash tie-break — the delete-wins
+    rule is the only tie exercised, deterministically."""
+    import tempfile
+
+    from ..sinks.cdc_apply import apply_changes
+    from ..sinks.txlog import read_txtable, txlog_upsert
+
+    root = tempfile.mkdtemp(prefix="q126-cdc-") + "/t"
+    o = table(spark, sf_dir, "orders")
+    base = o.filter(F.col("o_orderkey") < 2000).select(
+        F.col("o_orderkey").alias("id"), F.col("o_orderstatus").alias("val")
+    )
+    txlog_upsert(spark, base, root, key="id", num_buckets=8)
+    feed = o.filter(
+        (F.col("o_orderkey") >= 1000) & (F.col("o_orderkey") < 3000)
+    ).select(
+        F.col("o_orderkey").alias("id"),
+        F.when(F.col("o_orderkey") % 5 == 0, F.lit(None)).otherwise(
+            F.col("o_orderpriority")
+        ).alias("val"),
+        F.when(F.col("o_orderkey") % 5 == 0, F.lit("delete"))
+        .otherwise(F.lit("upsert"))
+        .alias("op"),
+        (F.col("o_orderkey") % 3).cast("long").alias("sequence"),
+    )
+    apply_changes(spark, feed, root)
+    return read_txtable(spark, root).select("id", "val")

@@ -1256,3 +1256,81 @@ def q121_ab_proportion_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z, 4).alias("z"),
         (F.abs(z) > 1.96).alias("significant"),
     )
+
+
+_TPCH_Q18_SQL = """
+    SELECT c.c_name, c.c_custkey, o.o_orderkey,
+           CAST(o.o_orderdate AS DATE) AS o_orderdate,
+           CAST(o.o_totalprice AS DOUBLE) AS o_totalprice,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(20,4))) AS DOUBLE)
+             AS sum_qty
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey
+        HAVING SUM(CAST(l_quantity AS DECIMAL(20,4))) > 250
+    )
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+             o.o_totalprice
+"""
+
+
+def q124_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume customer): the classic grouped-HAVING
+    IN-subquery shape — find orders whose total quantity clears a
+    threshold, then attribute them to customers. Same literal SQL on
+    both engines (threshold lowered from the spec's 300 to fit the
+    synthetic data's quantity range, like the other adapted classics).
+
+    Scale shape: Catalyst rewrites the IN-subquery to a LEFT SEMI join
+    against the pre-aggregated lineitem (one combinable sum + HAVING
+    filter — the semi side is qualifying-orders-sized, tiny after the
+    threshold), then the outer 3-way join shuffles on orderkey;
+    quantity sums run decimal-exact for hash parity."""
+    for name in ("customer", "orders", "lineitem"):
+        table(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(_TPCH_Q18_SQL)
+
+
+_TRIANGLE_SQL = """
+    WITH pairs AS (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM lineitem a
+        JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                       AND a.l_partkey < b.l_partkey
+    ),
+    deg AS (
+        SELECT u AS node, COUNT(*) AS d
+        FROM (SELECT u FROM pairs UNION ALL SELECT v FROM pairs)
+             AS ends(u)
+        GROUP BY u
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM pairs) AS n_edges,
+           (SELECT CAST(MAX(d) AS BIGINT) FROM deg) AS max_degree
+    FROM pairs e1
+    JOIN pairs e2 ON e1.v = e2.u
+    JOIN pairs e3 ON e1.u = e3.u AND e2.v = e3.v
+"""
+
+
+def q125_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph triangle counting over the co-purchase graph (parts are
+    nodes, an edge joins parts sharing an order) — the classic
+    clustering-coefficient numerator, as pure joins: orient every edge
+    u < v, then count wedge-closing edges via a two-hop join checked
+    against the third edge. Identical SQL on both engines.
+
+    Scale shape: edge orientation (u < v) is the standard trick that
+    makes the join volume Σ d(v)² over ORIENTED degrees — bounded by
+    the arboricity argument, far below the undirected Σ d², since
+    every triangle is counted exactly once from its lowest-id corner
+    rather than six times. The wedge join shuffles edge keys only; at
+    100 TB the same plan runs with the edge relation bucketed on u.
+    Degree/edge counts ride along as scalar subqueries (one-row
+    broadcasts)."""
+    for name in ("lineitem",):
+        table(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(_TRIANGLE_SQL)

@@ -1,0 +1,144 @@
+"""APPLY CHANGES INTO (sinks/cdc_apply.py): out-of-order + duplicated
+CDC feeds converge to per-key latest-sequence state; delete wins ties;
+replay is a log-level no-op; delete-only batches still watermark."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_pipeline_demo_spark.sinks.cdc_apply import apply_changes, net_changes
+from data_pipeline_demo_spark.sinks.txlog import read_txtable, txlog_upsert
+
+
+def _feed(spark, rows):
+    return spark.createDataFrame(
+        rows, "id long, val string, op string, sequence long"
+    )
+
+
+@pytest.fixture()
+def t(spark, tmp_path):
+    root = str(tmp_path / "cdc_tx")
+    txlog_upsert(
+        spark,
+        spark.createDataFrame(
+            [(1, "base1"), (2, "base2"), (3, "base3")], "id long, val string"
+        ),
+        root,
+        key="id",
+        num_buckets=4,
+    )
+    return root
+
+
+def _state(spark, root):
+    return {r.id: r.val for r in read_txtable(spark, root).collect()}
+
+
+def test_out_of_order_feed_converges(spark, t):
+    # key 1: upserts arrive out of order — seq 30 wins
+    # key 2: delete at 20 then (earlier) upsert at 10 — delete wins
+    # key 4: brand new key, single insert
+    feed = _feed(
+        spark,
+        [
+            (1, "v30", "upsert", 30),
+            (1, "v10", "upsert", 10),
+            (1, "v20", "upsert", 20),
+            (2, None, "delete", 20),
+            (2, "late-but-old", "upsert", 10),
+            (4, "new", "upsert", 5),
+        ],
+    )
+    stats = apply_changes(spark, feed, t)
+    assert stats == {"upserted": 2, "deleted": 1, "skipped_replay": False}
+    assert _state(spark, t) == {1: "v30", 3: "base3", 4: "new"}
+
+
+def test_shuffled_feed_equals_sorted_feed(spark, t, tmp_path):
+    """Net effect is order-independent: applying a shuffled feed and a
+    sequence-sorted feed to twin tables yields identical state."""
+    rows = [
+        (1, f"v{s}", "upsert", s) for s in (5, 3, 9, 1, 7)
+    ] + [(2, None, "delete", 4), (2, "re", "upsert", 6), (3, None, "delete", 8)]
+    import random
+
+    shuffled = rows[:]
+    random.Random(7).shuffle(shuffled)
+
+    root2 = str(tmp_path / "cdc_tx2")
+    txlog_upsert(
+        spark,
+        spark.createDataFrame(
+            [(1, "base1"), (2, "base2"), (3, "base3")], "id long, val string"
+        ),
+        root2,
+        key="id",
+        num_buckets=4,
+    )
+    apply_changes(spark, _feed(spark, rows), t)
+    apply_changes(spark, _feed(spark, shuffled), root2)
+    assert _state(spark, t) == _state(spark, root2) == {1: "v9", 2: "re"}
+
+
+def test_sequence_tie_delete_wins(spark, t):
+    feed = _feed(
+        spark, [(1, "resurrect", "upsert", 10), (1, None, "delete", 10)]
+    )
+    apply_changes(spark, feed, t)
+    assert 1 not in _state(spark, t)  # conservative: delete wins the tie
+
+
+def test_replay_is_noop(spark, t):
+    feed = _feed(spark, [(1, "v2", "upsert", 2), (2, None, "delete", 3)])
+    s1 = apply_changes(
+        spark, feed, t, txn_app_id="cdc-app", txn_version=7
+    )
+    assert not s1["skipped_replay"]
+    before = _state(spark, t)
+    s2 = apply_changes(
+        spark, feed, t, txn_app_id="cdc-app", txn_version=7
+    )
+    assert s2 == {"upserted": 0, "deleted": 0, "skipped_replay": True}
+    assert _state(spark, t) == before == {1: "v2", 3: "base3"}
+    # a HIGHER version applies again
+    s3 = apply_changes(
+        spark,
+        _feed(spark, [(1, "v3", "upsert", 9)]),
+        t,
+        txn_app_id="cdc-app",
+        txn_version=8,
+    )
+    assert not s3["skipped_replay"]
+    assert _state(spark, t)[1] == "v3"
+
+
+def test_delete_only_batch_watermarks(spark, t):
+    feed = _feed(spark, [(3, None, "delete", 1)])
+    apply_changes(spark, feed, t, txn_app_id="d-app", txn_version=1)
+    assert 3 not in _state(spark, t)
+    s2 = apply_changes(spark, feed, t, txn_app_id="d-app", txn_version=1)
+    assert s2["skipped_replay"]
+
+
+def test_net_changes_window_is_group_limited(spark):
+    """The net-effect reduction must group-limit below the exchange —
+    map tasks ship one candidate row per key, not the whole feed."""
+    feed = _feed(
+        spark, [(i % 10, f"v{i}", "upsert", i) for i in range(1000)]
+    )
+    net = net_changes(feed, "id", "sequence", "op")
+    plan = net._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    assert net.count() == 10
+
+
+def test_new_table_needs_key(spark, tmp_path):
+    feed = _feed(spark, [(1, "v", "upsert", 1)])
+    with pytest.raises(ValueError, match="key"):
+        apply_changes(spark, feed, str(tmp_path / "nope"))
+    # with an explicit key the table is created
+    root = str(tmp_path / "fresh")
+    apply_changes(spark, feed, root, key="id", num_buckets=2)
+    assert _state(spark, root) == {1: "v"}
