@@ -221,6 +221,29 @@ def bench_lakehouse(spark, sf_dir: str, runs: int):
             runs,
             warmup_runs=1,
         )
+        # manifest bloom index: non-key point lookup with per-bucket
+        # bloom pruning vs the same lookup as a plain filtered scan
+        bloom_root = os.path.join(tmp, "lineitem_tx_bloom")
+        keyed = base.withColumn(
+            "part_tag", F.concat(F.lit("p-"), F.col("l_partkey").cast("string"))
+        )
+        txlog_upsert(
+            spark, keyed, bloom_root, key="li_id", num_buckets=32,
+            bloom_columns=["part_tag"],
+        )
+        probe_tag = keyed.limit(1).collect()[0]["part_tag"]
+        timings["lh_bloom_point_lookup"], spreads["lh_bloom_point_lookup"] = _timed(
+            lambda: read_txtable(
+                spark, bloom_root, bloom_eq={"part_tag": probe_tag}
+            ).count(),
+            runs,
+        )
+        timings["lh_nobloom_point_lookup"], spreads["lh_nobloom_point_lookup"] = _timed(
+            lambda: read_txtable(spark, bloom_root)
+            .filter(F.col("part_tag") == probe_tag)
+            .count(),
+            runs,
+        )
         # setup (untimed): OPTIMIZE ZORDER, then a 3-month box read —
         # manifest zone maps + parquet footer pruning on the clustered
         # layout do the skipping

@@ -341,6 +341,96 @@ def _abs(root_path: str, rel: str) -> str:
     return root_path.rstrip("/") + "/" + rel
 
 
+# --- manifest bloom index (Delta bloom-filter-index role) ------------------
+#
+# Per-bucket Bloom filters over DECLARED non-key columns, stored in the
+# manifest beside the zone maps: a point predicate on a bloom column
+# prunes every bucket whose filter provably excludes the value —
+# metadata-only, before any file IO — catching the case zone maps
+# can't (high-cardinality values scattered across the whole min/max
+# range). 1024 bits / 3 hashes per (bucket, column): 256 hex chars of
+# manifest per entry, fpp ≈ (1−e^(−3n/1024))³ (~1% at n≈100 distinct
+# values/bucket; a saturated filter simply stops pruning — never
+# wrong). Values hash through CAST(col AS STRING) so the python-side
+# probe (`_bloom_probe_positions`) reproduces positions exactly for
+# int/string/date literals.
+
+BLOOM_BITS = 1024
+BLOOM_WORDS = BLOOM_BITS // 64
+BLOOM_K = 3
+
+
+def _bloom_pos_cols(c: str) -> dict[str, Column]:
+    """The K hash-position columns for bloom column ``c`` — JVM side:
+    ``pmod(xxhash64(CAST(c AS STRING), j), BLOOM_BITS)``."""
+    return {
+        f"__bfp_{c}_{j}": F.pmod(
+            F.xxhash64(F.col(c).cast("string"), F.lit(j)),
+            F.lit(BLOOM_BITS),
+        )
+        for j in range(BLOOM_K)
+    }
+
+
+def _bloom_agg_exprs(c: str) -> list[Column]:
+    """One ``bit_or`` aggregate per 64-bit word of the filter."""
+    pos_names = [f"__bfp_{c}_{j}" for j in range(BLOOM_K)]
+    out = []
+    for w in range(BLOOM_WORDS):
+        terms = " | ".join(
+            f"IF(CAST({p} / 64 AS INT) = {w}, "
+            f"shiftleft(1L, CAST({p} % 64 AS INT)), 0L)"
+            for p in pos_names
+        )
+        out.append(F.expr(f"bit_or({terms})").alias(f"__bf_{c}_{w}"))
+    return out
+
+
+def _bloom_hex(row, c: str) -> str:
+    mask = (1 << 64) - 1
+    return "".join(
+        format((row[f"__bf_{c}_{w}"] or 0) & mask, "016x")
+        for w in range(BLOOM_WORDS)
+    )
+
+
+def _bloom_probe_positions(value) -> list[int]:
+    """Python-side replica of ``_bloom_pos_cols`` for a probe literal —
+    Spark's multi-arg xxhash64 folds left to right (each argument
+    hashed with the running result as seed), and ``F.lit(j)`` is an
+    INT literal (4-byte hash path), so:
+    ``h1 = xxh64(utf8(cast(v)), 42); pos_j = pmod(xxh64(le32(j), h1),
+    BLOOM_BITS)``. Parity asserted against the JVM in tests."""
+    import datetime as _dt
+    import struct as _struct
+
+    from ..sources.pushdown import xxh64
+
+    if isinstance(value, bool) or not isinstance(
+        value, (str, int, _dt.date)
+    ):
+        raise ValueError(
+            f"bloom_eq probes support string/int/date literals (values "
+            f"hash via CAST AS STRING); got {type(value).__name__}"
+        )
+    h1 = xxh64(str(value).encode("utf-8"), 42)
+    out = []
+    for j in range(BLOOM_K):
+        h2 = xxh64(_struct.pack("<i", j), seed=h1)
+        signed = h2 - (1 << 64) if h2 >= 1 << 63 else h2
+        out.append(signed % BLOOM_BITS)
+    return out
+
+
+def _bloom_might_contain(hex_filter: str, positions: list[int]) -> bool:
+    for pos in positions:
+        w = pos // 64
+        word = int(hex_filter[w * 16 : (w + 1) * 16], 16)
+        if not (word >> (pos % 64)) & 1:
+            return False
+    return True
+
+
 def _publish_touched_buckets(
     spark: SparkSession,
     root_path: str,
@@ -350,6 +440,8 @@ def _publish_touched_buckets(
     row_counts: dict[str, int],
     stats_columns: list[str] | None = None,
     bucket_stats: dict[str, dict] | None = None,
+    bloom_columns: list[str] | None = None,
+    bucket_blooms: dict[str, dict] | None = None,
 ) -> None:
     """Write ``df`` (carrying BUCKET_COL) into a fresh immutable
     ``data/<uuid>/`` dir partitioned by bucket, then update the manifest
@@ -372,17 +464,27 @@ def _publish_touched_buckets(
         # stats only for columns this write carries; absent entries are
         # conservatively kept by the pruning reader
         stats_columns = [c for c in (stats_columns or []) if c in df.columns]
+        bloom_columns = [c for c in (bloom_columns or []) if c in df.columns]
         aggs = [F.count(F.lit(1)).alias("__n")]
         for c in stats_columns:
             aggs.append(F.min(c).alias(f"__lo_{c}"))
             aggs.append(F.max(c).alias(f"__hi_{c}"))
-        stat_rows = df.groupBy(BUCKET_COL).agg(*aggs).collect()
+        stat_src = df
+        for c in bloom_columns:
+            stat_src = stat_src.withColumns(_bloom_pos_cols(c))
+            aggs.extend(_bloom_agg_exprs(c))
+        stat_rows = stat_src.groupBy(BUCKET_COL).agg(*aggs).collect()
         per_bucket = {str(r[BUCKET_COL]): r["__n"] for r in stat_rows}
         if stats_columns and bucket_stats is not None:
             for r in stat_rows:
                 bucket_stats[str(r[BUCKET_COL])] = {
                     c: [_stat_value(r[f"__lo_{c}"]), _stat_value(r[f"__hi_{c}"])]
                     for c in stats_columns
+                }
+        if bloom_columns and bucket_blooms is not None:
+            for r in stat_rows:
+                bucket_blooms[str(r[BUCKET_COL])] = {
+                    c: _bloom_hex(r, c) for c in bloom_columns
                 }
         # one shuffle on the bucket column so each bucket's rows sit in
         # ONE task before the partitioned write: without it every task
@@ -420,6 +522,8 @@ def _publish_touched_buckets(
             row_counts.pop(str(b), None)
             if bucket_stats is not None:
                 bucket_stats.pop(str(b), None)
+            if bucket_blooms is not None:
+                bucket_blooms.pop(str(b), None)
 
 
 def txlog_upsert(
@@ -431,10 +535,19 @@ def txlog_upsert(
     txn_app_id: str | None = None,
     txn_version: int | None = None,
     stats_columns: list[str] | None = None,
+    bloom_columns: list[str] | None = None,
 ) -> int:
     """MERGE a batch into the log-backed table; returns the post-merge
     row count (touched rows counted from the merge output, untouched
     rows summed from manifest bookkeeping — no table re-read).
+
+    ``bloom_columns`` (creation-time, like ``stats_columns``): columns
+    whose per-bucket Bloom filters are maintained in the manifest —
+    computed in the SAME aggregate pass as the row counts and zone
+    maps. ``read_txtable(bloom_eq={col: value})`` then prunes buckets
+    whose filter provably excludes the value — the point-lookup
+    complement to the zone maps' range pruning, without the separate
+    table the secondary value index maintains.
 
     ``stats_columns`` (creation-time, like key/num_buckets): zone-map
     columns whose per-bucket min/max are maintained in the manifest —
@@ -500,14 +613,23 @@ def txlog_upsert(
                 f"txtable {root_path} was created with stats_columns="
                 f"{prev.get('stats_columns', [])}; got {stats_columns}"
             )
+        if bloom_columns is not None and bloom_columns != prev.get(
+            "bloom_columns", []
+        ):
+            raise ValueError(
+                f"txtable {root_path} was created with bloom_columns="
+                f"{prev.get('bloom_columns', [])}; got {bloom_columns}"
+            )
         version = prev["version"] + 1
         key = prev["key"]
         num_buckets = prev["num_buckets"]
         stats_columns = prev.get("stats_columns", [])
+        bloom_columns = prev.get("bloom_columns", [])
         buckets = dict(prev["buckets"])
         row_counts = dict(prev["row_counts"])
         app_txns = dict(prev.get("app_txns", {}))
         bucket_stats = dict(prev.get("bucket_stats", {}))
+        bucket_blooms = dict(prev.get("bucket_blooms", {}))
         if (
             txn_app_id is not None
             and app_txns.get(txn_app_id, -1) >= txn_version
@@ -517,6 +639,8 @@ def txlog_upsert(
         key = "id" if key is None else key
         num_buckets = 32 if num_buckets is None else num_buckets
         stats_columns = list(stats_columns or [])
+        bloom_columns = list(bloom_columns or [])
+        bucket_blooms = {}
     if txn_app_id is not None:
         app_txns[txn_app_id] = txn_version
 
@@ -554,6 +678,8 @@ def txlog_upsert(
         row_counts,
         stats_columns=stats_columns,
         bucket_stats=bucket_stats,
+        bloom_columns=bloom_columns,
+        bucket_blooms=bucket_blooms,
     )
 
     _commit_manifest(
@@ -568,6 +694,8 @@ def txlog_upsert(
             "app_txns": app_txns,
             "stats_columns": stats_columns,
             "bucket_stats": bucket_stats,
+            "bloom_columns": bloom_columns,
+            "bucket_blooms": bucket_blooms,
             "committed_at_ms": int(time.time() * 1000),
         },
     )
@@ -603,6 +731,7 @@ def read_txtable(
     version: int | None = None,
     prune_between: dict[str, tuple] | None = None,
     timestamp_ms: int | None = None,
+    bloom_eq: dict[str, object] | None = None,
 ) -> DataFrame:
     """Read a snapshot: the latest committed version, an explicit
     ``version``, or ``timestamp_ms`` (the last version committed at or
@@ -690,11 +819,36 @@ def read_txtable(
             if hi is not None:
                 cond = cond & (F.col(c) <= F.lit(hi))
             predicate = cond if predicate is None else predicate & cond
+    if bloom_eq:
+        declared = set(manifest.get("bloom_columns", []))
+        missing = set(bloom_eq) - declared
+        if missing:
+            raise ValueError(
+                f"txtable {root_path} has no bloom index for "
+                f"{sorted(missing)}; bloom_columns={sorted(declared)} "
+                "(fixed at table creation)"
+            )
+        blooms = manifest.get("bucket_blooms", {})
+        for c, v in bloom_eq.items():
+            if v is None:
+                raise ValueError(
+                    "bloom_eq cannot probe NULL (xxhash64 skips nulls; "
+                    "use an explicit IS NULL filter instead)"
+                )
+            positions = _bloom_probe_positions(v)
+            live = [
+                b
+                for b in live
+                if (hx := blooms.get(b, {}).get(c)) is None
+                or _bloom_might_contain(hx, positions)
+            ]
+            cond = F.col(c).cast("string") == F.lit(str(v))
+            predicate = cond if predicate is None else predicate & cond
     files = [
         _abs(root_path, rel) for b in live for rel in manifest["buckets"][b]
     ]
     if not files:
-        if prune_between:
+        if prune_between or bloom_eq:
             schema_files = [
                 _abs(root_path, rel)
                 for b in sorted(manifest["buckets"], key=int)
@@ -789,6 +943,7 @@ def txlog_delete(
 
     prior = sum(row_counts[str(b)] for b in touched)
     bucket_stats = dict(prev.get("bucket_stats", {}))
+    bucket_blooms = dict(prev.get("bucket_blooms", {}))
     _publish_touched_buckets(
         spark,
         root_path,
@@ -798,6 +953,8 @@ def txlog_delete(
         row_counts,
         stats_columns=prev.get("stats_columns", []),
         bucket_stats=bucket_stats,
+        bloom_columns=prev.get("bloom_columns", []),
+        bucket_blooms=bucket_blooms,
     )
     kept = sum(row_counts.get(str(b), 0) for b in touched)
     _commit_manifest(
@@ -812,6 +969,8 @@ def txlog_delete(
             "app_txns": dict(prev.get("app_txns", {})),
             "stats_columns": prev.get("stats_columns", []),
             "bucket_stats": bucket_stats,
+            "bloom_columns": prev.get("bloom_columns", []),
+            "bucket_blooms": bucket_blooms,
             "committed_at_ms": int(time.time() * 1000),
         },
     )
@@ -892,6 +1051,7 @@ def txlog_update(
     # keeps the check one pass)
     _enforce_table_constraints(spark, root_path, rewritten)
     bucket_stats = dict(prev.get("bucket_stats", {}))
+    bucket_blooms = dict(prev.get("bucket_blooms", {}))
     _publish_touched_buckets(
         spark,
         root_path,
@@ -901,6 +1061,8 @@ def txlog_update(
         row_counts,
         stats_columns=prev.get("stats_columns", []),
         bucket_stats=bucket_stats,
+        bloom_columns=prev.get("bloom_columns", []),
+        bucket_blooms=bucket_blooms,
     )
     _commit_manifest(
         spark,
@@ -914,6 +1076,8 @@ def txlog_update(
             "app_txns": dict(prev.get("app_txns", {})),
             "stats_columns": prev.get("stats_columns", []),
             "bucket_stats": bucket_stats,
+            "bloom_columns": prev.get("bloom_columns", []),
+            "bucket_blooms": bucket_blooms,
             "committed_at_ms": int(time.time() * 1000),
         },
     )
@@ -1126,6 +1290,8 @@ def shallow_clone_txtable(
             "app_txns": {},
             "stats_columns": src.get("stats_columns", []),
             "bucket_stats": dict(src.get("bucket_stats", {})),
+            "bloom_columns": src.get("bloom_columns", []),
+            "bucket_blooms": dict(src.get("bucket_blooms", {})),
             "committed_at_ms": int(time.time() * 1000),
         },
     )
@@ -1177,6 +1343,7 @@ def deep_clone_txtable(
         key=m["key"],
         num_buckets=m["num_buckets"],
         stats_columns=m.get("stats_columns", []) or None,
+        bloom_columns=m.get("bloom_columns", []) or None,
     )
 
 
@@ -1260,6 +1427,8 @@ def restore_txtable(
             ),
             "stats_columns": src.get("stats_columns", []),
             "bucket_stats": dict(src.get("bucket_stats", {})),
+            "bloom_columns": src.get("bloom_columns", []),
+            "bucket_blooms": dict(src.get("bucket_blooms", {})),
             "restored_from_version": version,
             "committed_at_ms": int(time.time() * 1000),
         },
@@ -1510,9 +1679,12 @@ def compact_txtable(
             "buckets": buckets,
             "row_counts": manifest["row_counts"],
             "app_txns": dict(manifest.get("app_txns", {})),
-            # rows unchanged by compaction/ZORDER ⇒ zone maps still exact
+            # rows unchanged by compaction/ZORDER ⇒ zone maps and
+            # bloom filters both still exact
             "stats_columns": manifest.get("stats_columns", []),
             "bucket_stats": dict(manifest.get("bucket_stats", {})),
+            "bloom_columns": manifest.get("bloom_columns", []),
+            "bucket_blooms": dict(manifest.get("bucket_blooms", {})),
             "committed_at_ms": int(time.time() * 1000),
         },
     )

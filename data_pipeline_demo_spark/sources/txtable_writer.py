@@ -608,13 +608,27 @@ def commit_files(
             bucket_stats = {
                 b: dict(st) for b, st in prev.get("bucket_stats", {}).items()
             }
+            bucket_blooms = {
+                b: dict(st) for b, st in prev.get("bucket_blooms", {}).items()
+            }
         else:
             buckets, row_counts, bucket_stats = {}, {}, {}
+            bucket_blooms = {}
+        bloom_columns = (
+            prev.get("bloom_columns", []) if prev is not None else []
+        )
         for b, rel, rows, stats in entries:
             bs = str(b)
             prior_files = buckets.get(bs)
             buckets.setdefault(bs, []).append(rel)
             row_counts[bs] = row_counts.get(bs, 0) + rows
+            if bloom_columns:
+                # the python writer does not compute manifest bloom
+                # filters; a bucket it appends to would have a STALE
+                # filter that wrongly prunes the new rows — drop it
+                # (conservative: the reader keeps filterless buckets).
+                # The next JVM MERGE/UPDATE of the bucket rebuilds it.
+                bucket_blooms.pop(bs, None)
             if spec["stats_columns"]:
                 new_st = {
                     c: stats.get(c) for c in spec["stats_columns"]
@@ -652,6 +666,8 @@ def commit_files(
             "app_txns": app_txns,
             "stats_columns": spec["stats_columns"],
             "bucket_stats": bucket_stats,
+            "bloom_columns": bloom_columns,
+            "bucket_blooms": bucket_blooms,
             "committed_at_ms": _now_ms(),
         }
         payload = json.dumps(manifest).encode("utf-8")

@@ -1,0 +1,193 @@
+"""Manifest bloom index (Delta bloom-filter-index role): JVM↔python
+hash-position parity, metadata-only pruning proven by corrupting
+prunable buckets, no-false-negative guarantee, DML maintenance, the
+python writer's conservative bloom drop, and restore carry."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_pipeline_demo_spark.sinks.txlog import (
+    BLOOM_BITS,
+    _bloom_probe_positions,
+    read_txtable,
+    restore_txtable,
+    txlog_delete,
+    txlog_update,
+    txlog_upsert,
+)
+
+
+def _rows(spark, pairs):
+    return spark.createDataFrame(pairs, "id long, v string")
+
+
+def _manifest(tmp_path, name, version):
+    return json.loads(
+        (tmp_path / name / "_commits" / f"{version:020d}.json").read_text()
+    )
+
+
+def test_probe_positions_match_jvm(spark):
+    """The python probe must reproduce pmod(xxhash64(cast(col as
+    string), j), BLOOM_BITS) bit-for-bit — the parity everything else
+    rests on. Covers strings, ints, unicode, dates."""
+    import datetime as dt
+
+    vals = ["a", "payment-123", "日本語", "", "42"]
+    df = spark.createDataFrame([(v,) for v in vals], "c string")
+    for j in range(3):
+        want = [
+            r[0]
+            for r in df.select(
+                F.pmod(
+                    F.xxhash64(F.col("c").cast("string"), F.lit(j)),
+                    F.lit(BLOOM_BITS),
+                )
+            ).collect()
+        ]
+        got = [_bloom_probe_positions(v)[j] for v in vals]
+        assert got == want, (j, got, want)
+    # int and date literals hash through their canonical string form
+    di = spark.createDataFrame(
+        [(7,), (123456789,), (-5,)], "c long"
+    ).select(
+        F.pmod(F.xxhash64(F.col("c").cast("string"), F.lit(0)), F.lit(BLOOM_BITS))
+    )
+    assert [r[0] for r in di.collect()] == [
+        _bloom_probe_positions(v)[0] for v in (7, 123456789, -5)
+    ]
+    dd = spark.createDataFrame(
+        [(dt.date(2024, 3, 1),)], "c date"
+    ).select(
+        F.pmod(F.xxhash64(F.col("c").cast("string"), F.lit(1)), F.lit(BLOOM_BITS))
+    )
+    assert dd.first()[0] == _bloom_probe_positions(dt.date(2024, 3, 1))[1]
+
+
+@pytest.fixture()
+def bloom_table(spark, tmp_path):
+    root = str(tmp_path / "bl_tx")
+    # distinct v per row, ids spread over 8 buckets
+    txlog_upsert(
+        spark,
+        _rows(spark, [(i, f"val-{i}") for i in range(200)]),
+        root,
+        key="id",
+        num_buckets=8,
+        bloom_columns=["v"],
+    )
+    return root
+
+
+def test_bloom_pruning_never_opens_excluded_buckets(spark, tmp_path, bloom_table):
+    """Point lookup on the bloom column: buckets whose filter excludes
+    the value are corrupted on disk — the read must succeed anyway
+    (metadata-only skip) and return exactly the matching row."""
+    root = bloom_table
+    m = _manifest(tmp_path, "bl_tx", 0)
+    assert m["bloom_columns"] == ["v"]
+    target = "val-77"
+    positions = _bloom_probe_positions(target)
+    from data_pipeline_demo_spark.sinks.txlog import _bloom_might_contain
+
+    keep = {
+        b
+        for b, bl in m["bucket_blooms"].items()
+        if _bloom_might_contain(bl["v"], positions)
+    }
+    assert keep and len(keep) < len(m["buckets"])  # pruning is real
+    for b, rels in m["buckets"].items():
+        if b not in keep:
+            for rel in rels:
+                (tmp_path / "bl_tx" / rel).write_bytes(b"NOT PARQUET")
+    got = read_txtable(spark, root, bloom_eq={"v": target}).collect()
+    assert [(r.id, r.v) for r in got] == [(77, "val-77")]
+
+
+def test_bloom_no_false_negatives(spark, bloom_table):
+    """Every present value must survive pruning — Bloom filters never
+    exclude a member. Checked for all 200 values."""
+    spark_vals = [f"val-{i}" for i in range(200)]
+    for v in spark_vals[::13] + spark_vals[:3]:  # sample incl. edges
+        got = read_txtable(spark, bloom_table, bloom_eq={"v": v}).count()
+        assert got == 1, v
+
+
+def test_bloom_maintained_by_update_delete_restore(spark, tmp_path, bloom_table):
+    root = bloom_table
+    # UPDATE rewrites matched buckets -> their blooms now contain the
+    # NEW value and the lookup finds it
+    txlog_update(spark, root, set={"v": "'replaced-7'"}, where="id = 7")
+    got = read_txtable(spark, root, bloom_eq={"v": "replaced-7"}).collect()
+    assert [(r.id, r.v) for r in got] == [(7, "replaced-7")]
+    # the OLD value is gone (its bucket's rebuilt filter may or may not
+    # exclude it, but the residual predicate guarantees correctness)
+    assert read_txtable(spark, root, bloom_eq={"v": "val-7"}).count() == 0
+    # DELETE keeps correctness too
+    txlog_delete(spark, root, where="v = 'val-11'")
+    assert read_txtable(spark, root, bloom_eq={"v": "val-11"}).count() == 0
+    # RESTORE carries the restored snapshot's blooms
+    restore_txtable(spark, root, version=0)
+    assert read_txtable(spark, root, bloom_eq={"v": "val-7"}).count() == 1
+    m = _manifest(tmp_path, "bl_tx", 3)
+    assert m["bloom_columns"] == ["v"] and m["bucket_blooms"]
+
+
+def test_python_writer_append_drops_touched_blooms(spark, tmp_path, bloom_table):
+    from data_pipeline_demo_spark.sources.txtable_source import (
+        register_txtable_source,
+    )
+
+    register_txtable_source(spark)
+    root = bloom_table
+    m0 = _manifest(tmp_path, "bl_tx", 0)
+    (
+        _rows(spark, [(1000, "brand-new")])
+        .write.format("txtable")
+        .mode("append")
+        .save(root)
+    )
+    m1 = _manifest(tmp_path, "bl_tx", 1)
+    from data_pipeline_demo_spark.sinks.upsert import _bucket_of, BUCKET_COL
+
+    b = (
+        _rows(spark, [(1000, "x")])
+        .withColumn(BUCKET_COL, _bucket_of("id", m0["num_buckets"]))
+        .first()[BUCKET_COL]
+    )
+    # the appended bucket's filter is DROPPED (python writer computes
+    # no blooms; a stale filter would wrongly prune the new row) ...
+    assert str(b) not in m1["bucket_blooms"]
+    # ... and untouched buckets keep theirs
+    untouched = set(m0["bucket_blooms"]) - {str(b)}
+    assert untouched and all(
+        m1["bucket_blooms"][x] == m0["bucket_blooms"][x] for x in untouched
+    )
+    # lookup of the new value still works (filterless bucket kept)
+    got = read_txtable(spark, root, bloom_eq={"v": "brand-new"}).collect()
+    assert [(r.id, r.v) for r in got] == [(1000, "brand-new")]
+
+
+def test_bloom_guards(spark, tmp_path, bloom_table):
+    with pytest.raises(ValueError, match="bloom_columns"):
+        txlog_upsert(
+            spark,
+            _rows(spark, [(1, "x")]),
+            bloom_table,
+            bloom_columns=["other"],
+        )
+    with pytest.raises(ValueError, match="no bloom index"):
+        read_txtable(spark, bloom_table, bloom_eq={"id": 5})
+    with pytest.raises(ValueError, match="NULL"):
+        read_txtable(spark, bloom_table, bloom_eq={"v": None})
+    with pytest.raises(ValueError, match="string/int/date"):
+        read_txtable(spark, bloom_table, bloom_eq={"v": 1.5})
+    # a table created WITHOUT blooms refuses bloom_eq
+    plain = str(tmp_path / "plain_tx")
+    txlog_upsert(spark, _rows(spark, [(1, "x")]), plain, num_buckets=2)
+    with pytest.raises(ValueError, match="no bloom index"):
+        read_txtable(spark, plain, bloom_eq={"v": "x"})
