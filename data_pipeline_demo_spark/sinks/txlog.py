@@ -355,9 +355,14 @@ def _abs(root_path: str, rel: str) -> str:
 # probe (`_bloom_probe_positions`) reproduces positions exactly for
 # int/string/date literals.
 
-BLOOM_BITS = 1024
+from ..sources.pushdown import (  # noqa: E402  (parity home)
+    BLOOM_BITS,
+    BLOOM_K,
+    bloom_might_contain as _bloom_might_contain,
+    bloom_probe_positions as _bloom_probe_positions,
+)
+
 BLOOM_WORDS = BLOOM_BITS // 64
-BLOOM_K = 3
 
 
 def _bloom_pos_cols(c: str) -> dict[str, Column]:
@@ -392,43 +397,6 @@ def _bloom_hex(row, c: str) -> str:
         format((row[f"__bf_{c}_{w}"] or 0) & mask, "016x")
         for w in range(BLOOM_WORDS)
     )
-
-
-def _bloom_probe_positions(value) -> list[int]:
-    """Python-side replica of ``_bloom_pos_cols`` for a probe literal —
-    Spark's multi-arg xxhash64 folds left to right (each argument
-    hashed with the running result as seed), and ``F.lit(j)`` is an
-    INT literal (4-byte hash path), so:
-    ``h1 = xxh64(utf8(cast(v)), 42); pos_j = pmod(xxh64(le32(j), h1),
-    BLOOM_BITS)``. Parity asserted against the JVM in tests."""
-    import datetime as _dt
-    import struct as _struct
-
-    from ..sources.pushdown import xxh64
-
-    if isinstance(value, bool) or not isinstance(
-        value, (str, int, _dt.date)
-    ):
-        raise ValueError(
-            f"bloom_eq probes support string/int/date literals (values "
-            f"hash via CAST AS STRING); got {type(value).__name__}"
-        )
-    h1 = xxh64(str(value).encode("utf-8"), 42)
-    out = []
-    for j in range(BLOOM_K):
-        h2 = xxh64(_struct.pack("<i", j), seed=h1)
-        signed = h2 - (1 << 64) if h2 >= 1 << 63 else h2
-        out.append(signed % BLOOM_BITS)
-    return out
-
-
-def _bloom_might_contain(hex_filter: str, positions: list[int]) -> bool:
-    for pos in positions:
-        w = pos // 64
-        word = int(hex_filter[w * 16 : (w + 1) * 16], 16)
-        if not (word >> (pos % 64)) & 1:
-            return False
-    return True
 
 
 def _publish_touched_buckets(

@@ -143,6 +143,47 @@ def bucket_of_literal(value, num_buckets: int, key_kind: str) -> int | None:
     return h % num_buckets
 
 
+# --- manifest bloom-index probe (shared with sinks.txlog) ------------------
+#
+# Positions replicate the JVM build expression
+# ``pmod(xxhash64(CAST(col AS STRING), j), BLOOM_BITS)``: Spark's
+# multi-arg xxhash64 folds left to right (argument hashed with the
+# running result as seed) and ``F.lit(j)`` is an INT literal, so the
+# depth index hashes through the 4-byte path. Parity pinned in
+# tests/test_bloom_index.py.
+
+BLOOM_BITS = 1024
+BLOOM_K = 3
+
+
+def bloom_probe_positions(value) -> list[int]:
+    """The K filter positions a string/int/date literal hashes to, or
+    raises for unsupported probe types."""
+    import datetime as _dt
+
+    if isinstance(value, bool) or not isinstance(value, (str, int, _dt.date)):
+        raise ValueError(
+            f"bloom probes support string/int/date literals (values hash "
+            f"via CAST AS STRING); got {type(value).__name__}"
+        )
+    h1 = xxh64(str(value).encode("utf-8"), 42)
+    out = []
+    for j in range(BLOOM_K):
+        h2 = xxh64(struct.pack("<i", j), seed=h1)
+        signed = h2 - (1 << 64) if h2 >= 1 << 63 else h2
+        out.append(signed % BLOOM_BITS)
+    return out
+
+
+def bloom_might_contain(hex_filter: str, positions: list[int]) -> bool:
+    for pos in positions:
+        w = pos // 64
+        word = int(hex_filter[w * 16 : (w + 1) * 16], 16)
+        if not (word >> (pos % 64)) & 1:
+            return False
+    return True
+
+
 def _arrow_key_kind(arrow_schema, key: str) -> str | None:
     """Map the key column's Arrow type onto the hash encoding Spark uses,
     or None for types this tier doesn't cover (dates, decimals, ...)."""
@@ -249,12 +290,56 @@ def key_equality_buckets(filters, key: str, num_buckets: int, key_kind: str):
     return out
 
 
+def bloom_filter_buckets(filters, manifest: dict):
+    """Bucket-keep predicate from the manifest bloom index: for each
+    Equal/In filter on a DECLARED bloom column, a bucket survives only
+    if its stored filter might contain at least one of the literals.
+    Returns a set of surviving bucket ids, or None when no usable
+    bloom filter applies (unsupported literal types poison only their
+    own filter — conservative)."""
+    declared = set(manifest.get("bloom_columns", []))
+    if not declared:
+        return None
+    blooms = manifest.get("bucket_blooms", {})
+    out: set[str] | None = None
+    for f in filters:
+        col = _one_col(f)
+        if col not in declared:
+            continue
+        if isinstance(f, EqualTo) and f.value is not None:
+            vals = [f.value]
+        elif isinstance(f, In):
+            vals = [v for v in f.value if v is not None]
+            if not vals:
+                continue
+        else:
+            continue
+        try:
+            pos_sets = [bloom_probe_positions(v) for v in vals]
+        except ValueError:
+            continue  # unhashable literal type: skip THIS filter
+        keep = set()
+        for b in manifest["buckets"]:
+            hx = blooms.get(b, {}).get(col)
+            if hx is None or any(
+                bloom_might_contain(hx, ps) for ps in pos_sets
+            ):
+                keep.add(b)
+        out = keep if out is None else (out & keep)
+    return out
+
+
 def prune_bucket_ids(manifest: dict, filters, arrow_schema) -> list[str]:
     """Live bucket ids that can still hold matching rows — the
-    intersection of the key-equality tier and the zone-map tier, in the
-    manifest's sorted order.  With no usable filter this is exactly the
-    full live set (pruning is opt-out-free: it can only remove work)."""
+    intersection of the key-equality tier, the zone-map tier, and the
+    bloom-index tier, in the manifest's sorted order.  With no usable
+    filter this is exactly the full live set (pruning is opt-out-free:
+    it can only remove work)."""
     live = sorted(manifest["buckets"], key=int)
+
+    bf = bloom_filter_buckets(filters, manifest)
+    if bf is not None:
+        live = [b for b in live if b in bf]
 
     kb = key_equality_buckets(
         filters,

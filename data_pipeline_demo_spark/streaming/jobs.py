@@ -772,3 +772,76 @@ def stream_join_view_maintenance(
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
     return writer
+
+
+def make_apply_changes_batch_fn(
+    target_path: str,
+    key: str | None = None,
+    sequence_col: str = "sequence",
+    op_col: str = "op",
+    delete_op: str = "delete",
+    num_buckets: int | None = None,
+    txn_app_id: str | None = "stream-apply-changes",
+):
+    """foreachBatch callback behind :func:`stream_apply_changes`
+    (exposed for direct testing): each micro-batch of CDC rows applies
+    through ``sinks.cdc_apply.apply_changes`` — net-effect reduction
+    (latest sequence wins, delete-wins tie-break) then the bucket-
+    pruned verbs. The txn watermark makes a replayed micro-batch a
+    log-level no-op, so checkpoint recovery cannot double-apply.
+
+    Cross-batch ordering note: WITHIN a batch, sequence decides; a
+    LATER batch always wins over an earlier one for the same key (the
+    verbs overwrite), so the feed source must deliver a key's changes
+    in batch order that does not regress sequence — true of any
+    offset-ordered source (Kafka partition, change feed). Out-of-order
+    ACROSS batches would need sequence persistence, documented out of
+    scope (Delta's APPLY CHANGES has the same contract).
+    """
+    from ..sinks.cdc_apply import apply_changes
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        apply_changes(
+            batch_df.sparkSession,
+            batch_df,
+            target_path,
+            key=key,
+            sequence_col=sequence_col,
+            op_col=op_col,
+            delete_op=delete_op,
+            num_buckets=num_buckets,
+            txn_app_id=txn_app_id,
+            txn_version=batch_id if txn_app_id is not None else None,
+        )
+
+    return write_batch
+
+
+def stream_apply_changes(
+    cdc_stream: DataFrame,
+    target_path: str,
+    key: str | None = None,
+    sequence_col: str = "sequence",
+    op_col: str = "op",
+    delete_op: str = "delete",
+    num_buckets: int | None = None,
+    checkpoint: str | None = None,
+    txn_app_id: str | None = "stream-apply-changes",
+):
+    """Continuously apply a CDC stream (Debezium-shaped rows: data +
+    op + sequence) to a txtable — streaming APPLY CHANGES INTO: every
+    trigger reduces its slice to per-key net effect and applies via
+    the bucket-pruned DML verbs, exactly-once under replay through the
+    manifest txn watermark. Caller picks the trigger."""
+    write_batch = make_apply_changes_batch_fn(
+        target_path, key, sequence_col, op_col, delete_op, num_buckets,
+        txn_app_id,
+    )
+    writer = cdc_stream.writeStream.foreachBatch(write_batch).outputMode(
+        "append"
+    )
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer

@@ -172,6 +172,52 @@ def test_python_writer_append_drops_touched_blooms(spark, tmp_path, bloom_table)
     assert [(r.id, r.v) for r in got] == [(1000, "brand-new")]
 
 
+def test_bloom_pushdown_prunes_datasource_partitions(spark, tmp_path, bloom_table):
+    """The format('txtable') reader's planning-time pushdown uses the
+    manifest bloom index too: an equality on a bloom column plans
+    exactly the buckets whose filters might contain the value (reader-
+    level partitions() assertion, same harness as the key/zone-map
+    tiers), and the end-to-end filtered read returns the right row."""
+    from pyspark.sql.datasource import EqualTo
+
+    from data_pipeline_demo_spark.sinks.txlog import _bloom_might_contain
+    from data_pipeline_demo_spark.sources.txtable_source import (
+        TxTableDataSource,
+        _TxTablePushdownBatchReader,
+        register_txtable_source,
+    )
+
+    register_txtable_source(spark)
+    root = bloom_table
+    m = _manifest(tmp_path, "bl_tx", 0)
+    target = "val-42"
+    positions = _bloom_probe_positions(target)
+    keep = {
+        b
+        for b, bl in m["bucket_blooms"].items()
+        if _bloom_might_contain(bl["v"], positions)
+    }
+    assert keep and len(keep) < len(m["buckets"])  # pruning is real
+
+    ds = TxTableDataSource({"path": root})
+    reader = ds.reader(ds.schema())
+    assert isinstance(reader, _TxTablePushdownBatchReader)
+    assert len(reader.partitions()) == len(m["buckets"])  # unfiltered
+    ds2 = TxTableDataSource({"path": root})
+    r2 = ds2.reader(ds2.schema())
+    handed_back = list(r2.pushFilters([EqualTo(("v",), target)]))
+    assert len(handed_back) == 1  # filter re-applied by Spark: exact
+    assert len(r2.partitions()) == len(keep)
+
+    got = (
+        spark.read.format("txtable")
+        .load(root)
+        .filter(F.col("v") == target)
+        .collect()
+    )
+    assert [(r.id, r.v) for r in got] == [(42, "val-42")]
+
+
 def test_bloom_guards(spark, tmp_path, bloom_table):
     with pytest.raises(ValueError, match="bloom_columns"):
         txlog_upsert(

@@ -134,6 +134,36 @@ def test_net_changes_window_is_group_limited(spark):
     assert net.count() == 10
 
 
+def test_stream_apply_changes_batches(spark, t, tmp_path):
+    """Streaming APPLY CHANGES: CDC rows delivered across several
+    micro-batches (one file per trigger) converge the table to the
+    same state a single batch application produces, and a replayed
+    batch id is a log-level no-op."""
+    from data_pipeline_demo_spark.streaming.jobs import (
+        make_apply_changes_batch_fn,
+    )
+
+    fn = make_apply_changes_batch_fn(t, txn_app_id="cdc-stream")
+    # trigger 0: upserts; trigger 1: a delete + an out-of-order upsert
+    b0 = _feed(spark, [(1, "s1", "upsert", 10), (4, "s4", "upsert", 1)])
+    b1 = _feed(spark, [(2, None, "delete", 5), (1, "late", "upsert", 3)])
+    fn(b0, 0)
+    fn(b1, 1)
+    # batch 1's seq-3 upsert for key 1 arrived in a LATER batch: the
+    # verbs overwrite, so batch order wins (the documented contract)
+    assert _state(spark, t) == {1: "late", 3: "base3", 4: "s4"}
+    # replaying batch 1 changes nothing (watermark)
+    before = _state(spark, t)
+    fn(b1, 1)
+    assert _state(spark, t) == before
+    # empty batch short-circuits (no version churn)
+    from data_pipeline_demo_spark.sinks.txlog import txtable_history
+
+    n_versions = len(txtable_history(spark, t))
+    fn(_feed(spark, []), 2)
+    assert len(txtable_history(spark, t)) == n_versions
+
+
 def test_new_table_needs_key(spark, tmp_path):
     feed = _feed(spark, [(1, "v", "upsert", 1)])
     with pytest.raises(ValueError, match="key"):
