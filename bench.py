@@ -227,20 +227,29 @@ def bench_lakehouse(spark, sf_dir: str, runs: int):
         keyed = base.withColumn(
             "part_tag", F.concat(F.lit("p-"), F.col("l_partkey").cast("string"))
         )
+        # bloom_bits sized to the data: ~6k distinct part tags per
+        # bucket at sf0.1 → 64Ki bits ≈ 10 bits/value ≈ 1% fpp (the
+        # default 1024 would saturate and stop pruning)
         txlog_upsert(
             spark, keyed, bloom_root, key="li_id", num_buckets=32,
-            bloom_columns=["part_tag"],
+            bloom_columns=["part_tag"], bloom_bits=1 << 16,
         )
-        probe_tag = keyed.limit(1).collect()[0]["part_tag"]
-        timings["lh_bloom_point_lookup"], spreads["lh_bloom_point_lookup"] = _timed(
+        # the bloom index's win case is ABSENT/rare values (existence
+        # checks before ingest; dedup probes): a value in no bucket
+        # prunes everything metadata-only, where the plain read scans
+        # the whole table. (A PRESENT value's rows scatter across
+        # buckets by the li_id bucketing, so most kept buckets are true
+        # positives — bloom pruning rightly keeps them.)
+        absent_tag = "p-definitely-not-present"
+        timings["lh_bloom_absent_probe"], spreads["lh_bloom_absent_probe"] = _timed(
             lambda: read_txtable(
-                spark, bloom_root, bloom_eq={"part_tag": probe_tag}
+                spark, bloom_root, bloom_eq={"part_tag": absent_tag}
             ).count(),
             runs,
         )
-        timings["lh_nobloom_point_lookup"], spreads["lh_nobloom_point_lookup"] = _timed(
+        timings["lh_nobloom_absent_probe"], spreads["lh_nobloom_absent_probe"] = _timed(
             lambda: read_txtable(spark, bloom_root)
-            .filter(F.col("part_tag") == probe_tag)
+            .filter(F.col("part_tag") == absent_tag)
             .count(),
             runs,
         )

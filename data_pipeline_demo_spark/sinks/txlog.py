@@ -348,12 +348,15 @@ def _abs(root_path: str, rel: str) -> str:
 # prunes every bucket whose filter provably excludes the value —
 # metadata-only, before any file IO — catching the case zone maps
 # can't (high-cardinality values scattered across the whole min/max
-# range). 1024 bits / 3 hashes per (bucket, column): 256 hex chars of
-# manifest per entry, fpp ≈ (1−e^(−3n/1024))³ (~1% at n≈100 distinct
-# values/bucket; a saturated filter simply stops pruning — never
-# wrong). Values hash through CAST(col AS STRING) so the python-side
-# probe (`_bloom_probe_positions`) reproduces positions exactly for
-# int/string/date literals.
+# range). ``bloom_bits`` is a creation-time knob (default 1024; size
+# ≈10 bits per expected distinct value per bucket for ~1% fpp — a
+# saturated filter simply stops pruning, never goes wrong). Filters
+# are stored SPARSE ({word_idx: hex16} of non-zero 64-bit words), so
+# large filters cost manifest space proportional to what they actually
+# hold and the build is ONE combinable (bucket, word) bit_or aggregate
+# regardless of size. Values hash through CAST(col AS STRING) so the
+# python-side probe reproduces positions exactly for int/string/date
+# literals (parity home: ``sources/pushdown.py``).
 
 from ..sources.pushdown import (  # noqa: E402  (parity home)
     BLOOM_BITS,
@@ -362,41 +365,44 @@ from ..sources.pushdown import (  # noqa: E402  (parity home)
     bloom_probe_positions as _bloom_probe_positions,
 )
 
-BLOOM_WORDS = BLOOM_BITS // 64
 
-
-def _bloom_pos_cols(c: str) -> dict[str, Column]:
-    """The K hash-position columns for bloom column ``c`` — JVM side:
-    ``pmod(xxhash64(CAST(c AS STRING), j), BLOOM_BITS)``."""
-    return {
-        f"__bfp_{c}_{j}": F.pmod(
-            F.xxhash64(F.col(c).cast("string"), F.lit(j)),
-            F.lit(BLOOM_BITS),
+def _bloom_sparse_words(
+    df: DataFrame, c: str, bits: int
+) -> dict[str, dict[str, str]]:
+    """{bucket: {word_idx: hex16}} for bloom column ``c`` over ``df``
+    (which carries BUCKET_COL): positions explode map-only (K per
+    row), then ONE combinable bit_or groups by (bucket, word). The
+    collect is bounded by buckets × min(K·rows, bits/64) non-zero
+    words — the same order as the manifest entry being built."""
+    pos = F.explode(
+        F.array(
+            *[
+                F.pmod(
+                    F.xxhash64(F.col(c).cast("string"), F.lit(j)),
+                    F.lit(bits),
+                )
+                for j in range(BLOOM_K)
+            ]
         )
-        for j in range(BLOOM_K)
-    }
-
-
-def _bloom_agg_exprs(c: str) -> list[Column]:
-    """One ``bit_or`` aggregate per 64-bit word of the filter."""
-    pos_names = [f"__bfp_{c}_{j}" for j in range(BLOOM_K)]
-    out = []
-    for w in range(BLOOM_WORDS):
-        terms = " | ".join(
-            f"IF(CAST({p} / 64 AS INT) = {w}, "
-            f"shiftleft(1L, CAST({p} % 64 AS INT)), 0L)"
-            for p in pos_names
+    ).alias("__p")
+    rows = (
+        df.select(F.col(BUCKET_COL), pos)
+        .select(
+            BUCKET_COL,
+            F.shiftright("__p", 6).alias("__w"),
+            F.expr("shiftleft(1L, CAST(__p % 64 AS INT))").alias("__m"),
         )
-        out.append(F.expr(f"bit_or({terms})").alias(f"__bf_{c}_{w}"))
-    return out
-
-
-def _bloom_hex(row, c: str) -> str:
-    mask = (1 << 64) - 1
-    return "".join(
-        format((row[f"__bf_{c}_{w}"] or 0) & mask, "016x")
-        for w in range(BLOOM_WORDS)
+        .groupBy(BUCKET_COL, "__w")
+        .agg(F.bit_or("__m").alias("__word"))
+        .collect()
     )
+    mask = (1 << 64) - 1
+    out: dict[str, dict[str, str]] = {}
+    for r in rows:
+        out.setdefault(str(r[BUCKET_COL]), {})[str(r["__w"])] = format(
+            r["__word"] & mask, "016x"
+        )
+    return out
 
 
 def _publish_touched_buckets(
@@ -410,6 +416,7 @@ def _publish_touched_buckets(
     bucket_stats: dict[str, dict] | None = None,
     bloom_columns: list[str] | None = None,
     bucket_blooms: dict[str, dict] | None = None,
+    bloom_bits: int = BLOOM_BITS,
 ) -> None:
     """Write ``df`` (carrying BUCKET_COL) into a fresh immutable
     ``data/<uuid>/`` dir partitioned by bucket, then update the manifest
@@ -437,11 +444,7 @@ def _publish_touched_buckets(
         for c in stats_columns:
             aggs.append(F.min(c).alias(f"__lo_{c}"))
             aggs.append(F.max(c).alias(f"__hi_{c}"))
-        stat_src = df
-        for c in bloom_columns:
-            stat_src = stat_src.withColumns(_bloom_pos_cols(c))
-            aggs.extend(_bloom_agg_exprs(c))
-        stat_rows = stat_src.groupBy(BUCKET_COL).agg(*aggs).collect()
+        stat_rows = df.groupBy(BUCKET_COL).agg(*aggs).collect()
         per_bucket = {str(r[BUCKET_COL]): r["__n"] for r in stat_rows}
         if stats_columns and bucket_stats is not None:
             for r in stat_rows:
@@ -450,10 +453,15 @@ def _publish_touched_buckets(
                     for c in stats_columns
                 }
         if bloom_columns and bucket_blooms is not None:
-            for r in stat_rows:
-                bucket_blooms[str(r[BUCKET_COL])] = {
-                    c: _bloom_hex(r, c) for c in bloom_columns
-                }
+            # fresh filters for every touched bucket, one sparse
+            # combinable aggregate per declared column (df is persisted
+            # above, so these re-read cached partitions)
+            touched_strs = {str(b) for b in touched}
+            for bs in touched_strs:
+                bucket_blooms.pop(bs, None)
+            for c in bloom_columns:
+                for bs, words in _bloom_sparse_words(df, c, bloom_bits).items():
+                    bucket_blooms.setdefault(bs, {})[c] = words
         # one shuffle on the bucket column so each bucket's rows sit in
         # ONE task before the partitioned write: without it every task
         # writes a sliver into every touched bucket dir — tasks×buckets
@@ -504,6 +512,7 @@ def txlog_upsert(
     txn_version: int | None = None,
     stats_columns: list[str] | None = None,
     bloom_columns: list[str] | None = None,
+    bloom_bits: int = BLOOM_BITS,
 ) -> int:
     """MERGE a batch into the log-backed table; returns the post-merge
     row count (touched rows counted from the merge output, untouched
@@ -593,6 +602,7 @@ def txlog_upsert(
         num_buckets = prev["num_buckets"]
         stats_columns = prev.get("stats_columns", [])
         bloom_columns = prev.get("bloom_columns", [])
+        bloom_bits = int(prev.get("bloom_bits", BLOOM_BITS))
         buckets = dict(prev["buckets"])
         row_counts = dict(prev["row_counts"])
         app_txns = dict(prev.get("app_txns", {}))
@@ -648,6 +658,7 @@ def txlog_upsert(
         bucket_stats=bucket_stats,
         bloom_columns=bloom_columns,
         bucket_blooms=bucket_blooms,
+        bloom_bits=bloom_bits,
     )
 
     _commit_manifest(
@@ -664,6 +675,7 @@ def txlog_upsert(
             "bucket_stats": bucket_stats,
             "bloom_columns": bloom_columns,
             "bucket_blooms": bucket_blooms,
+            "bloom_bits": bloom_bits,
             "committed_at_ms": int(time.time() * 1000),
         },
     )
@@ -803,7 +815,9 @@ def read_txtable(
                     "bloom_eq cannot probe NULL (xxhash64 skips nulls; "
                     "use an explicit IS NULL filter instead)"
                 )
-            positions = _bloom_probe_positions(v)
+            positions = _bloom_probe_positions(
+                v, int(manifest.get("bloom_bits", BLOOM_BITS))
+            )
             live = [
                 b
                 for b in live
@@ -923,6 +937,7 @@ def txlog_delete(
         bucket_stats=bucket_stats,
         bloom_columns=prev.get("bloom_columns", []),
         bucket_blooms=bucket_blooms,
+        bloom_bits=int(prev.get("bloom_bits", BLOOM_BITS)),
     )
     kept = sum(row_counts.get(str(b), 0) for b in touched)
     _commit_manifest(
@@ -939,6 +954,7 @@ def txlog_delete(
             "bucket_stats": bucket_stats,
             "bloom_columns": prev.get("bloom_columns", []),
             "bucket_blooms": bucket_blooms,
+            "bloom_bits": int(prev.get("bloom_bits", BLOOM_BITS)),
             "committed_at_ms": int(time.time() * 1000),
         },
     )
@@ -1031,6 +1047,7 @@ def txlog_update(
         bucket_stats=bucket_stats,
         bloom_columns=prev.get("bloom_columns", []),
         bucket_blooms=bucket_blooms,
+        bloom_bits=int(prev.get("bloom_bits", BLOOM_BITS)),
     )
     _commit_manifest(
         spark,
@@ -1046,6 +1063,7 @@ def txlog_update(
             "bucket_stats": bucket_stats,
             "bloom_columns": prev.get("bloom_columns", []),
             "bucket_blooms": bucket_blooms,
+            "bloom_bits": int(prev.get("bloom_bits", BLOOM_BITS)),
             "committed_at_ms": int(time.time() * 1000),
         },
     )
@@ -1260,6 +1278,7 @@ def shallow_clone_txtable(
             "bucket_stats": dict(src.get("bucket_stats", {})),
             "bloom_columns": src.get("bloom_columns", []),
             "bucket_blooms": dict(src.get("bucket_blooms", {})),
+            "bloom_bits": int(src.get("bloom_bits", BLOOM_BITS)),
             "committed_at_ms": int(time.time() * 1000),
         },
     )
@@ -1312,6 +1331,7 @@ def deep_clone_txtable(
         num_buckets=m["num_buckets"],
         stats_columns=m.get("stats_columns", []) or None,
         bloom_columns=m.get("bloom_columns", []) or None,
+        bloom_bits=int(m.get("bloom_bits", BLOOM_BITS)),
     )
 
 
@@ -1397,6 +1417,7 @@ def restore_txtable(
             "bucket_stats": dict(src.get("bucket_stats", {})),
             "bloom_columns": src.get("bloom_columns", []),
             "bucket_blooms": dict(src.get("bucket_blooms", {})),
+            "bloom_bits": int(src.get("bloom_bits", BLOOM_BITS)),
             "restored_from_version": version,
             "committed_at_ms": int(time.time() * 1000),
         },
@@ -1653,6 +1674,7 @@ def compact_txtable(
             "bucket_stats": dict(manifest.get("bucket_stats", {})),
             "bloom_columns": manifest.get("bloom_columns", []),
             "bucket_blooms": dict(manifest.get("bucket_blooms", {})),
+            "bloom_bits": int(manifest.get("bloom_bits", BLOOM_BITS)),
             "committed_at_ms": int(time.time() * 1000),
         },
     )

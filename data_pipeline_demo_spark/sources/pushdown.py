@@ -146,17 +146,21 @@ def bucket_of_literal(value, num_buckets: int, key_kind: str) -> int | None:
 # --- manifest bloom-index probe (shared with sinks.txlog) ------------------
 #
 # Positions replicate the JVM build expression
-# ``pmod(xxhash64(CAST(col AS STRING), j), BLOOM_BITS)``: Spark's
-# multi-arg xxhash64 folds left to right (argument hashed with the
-# running result as seed) and ``F.lit(j)`` is an INT literal, so the
-# depth index hashes through the 4-byte path. Parity pinned in
-# tests/test_bloom_index.py.
+# ``pmod(xxhash64(CAST(col AS STRING), j), bits)``: Spark's multi-arg
+# xxhash64 folds left to right (argument hashed with the running
+# result as seed) and ``F.lit(j)`` is an INT literal, so the depth
+# index hashes through the 4-byte path. Parity pinned in
+# tests/test_bloom_index.py. Filters are stored SPARSE — a JSON map
+# {word_idx: 16-hex-char word} holding only non-zero 64-bit words —
+# so ``bloom_bits`` can be sized to the data (≈10 bits per expected
+# distinct value per bucket for ~1% fpp) without either a fixed
+# expression count at build time or dense manifest blobs.
 
-BLOOM_BITS = 1024
+BLOOM_BITS = 1024  # default creation-time size
 BLOOM_K = 3
 
 
-def bloom_probe_positions(value) -> list[int]:
+def bloom_probe_positions(value, bits: int = BLOOM_BITS) -> list[int]:
     """The K filter positions a string/int/date literal hashes to, or
     raises for unsupported probe types."""
     import datetime as _dt
@@ -171,15 +175,15 @@ def bloom_probe_positions(value) -> list[int]:
     for j in range(BLOOM_K):
         h2 = xxh64(struct.pack("<i", j), seed=h1)
         signed = h2 - (1 << 64) if h2 >= 1 << 63 else h2
-        out.append(signed % BLOOM_BITS)
+        out.append(signed % bits)
     return out
 
 
-def bloom_might_contain(hex_filter: str, positions: list[int]) -> bool:
+def bloom_might_contain(words: dict, positions: list[int]) -> bool:
+    """``words``: the sparse {word_idx(str): hex16} filter map."""
     for pos in positions:
-        w = pos // 64
-        word = int(hex_filter[w * 16 : (w + 1) * 16], 16)
-        if not (word >> (pos % 64)) & 1:
+        w = words.get(str(pos // 64))
+        if w is None or not (int(w, 16) >> (pos % 64)) & 1:
             return False
     return True
 
@@ -314,8 +318,9 @@ def bloom_filter_buckets(filters, manifest: dict):
                 continue
         else:
             continue
+        bits = int(manifest.get("bloom_bits", BLOOM_BITS))
         try:
-            pos_sets = [bloom_probe_positions(v) for v in vals]
+            pos_sets = [bloom_probe_positions(v, bits) for v in vals]
         except ValueError:
             continue  # unhashable literal type: skip THIS filter
         keep = set()

@@ -617,6 +617,9 @@ def commit_files(
         bloom_columns = (
             prev.get("bloom_columns", []) if prev is not None else []
         )
+        bloom_bits = (
+            int(prev.get("bloom_bits", 1024)) if prev is not None else 1024
+        )
         for b, rel, rows, stats in entries:
             bs = str(b)
             prior_files = buckets.get(bs)
@@ -668,6 +671,7 @@ def commit_files(
             "bucket_stats": bucket_stats,
             "bloom_columns": bloom_columns,
             "bucket_blooms": bucket_blooms,
+            "bloom_bits": bloom_bits,
             "committed_at_ms": _now_ms(),
         }
         payload = json.dumps(manifest).encode("utf-8")
