@@ -1412,3 +1412,237 @@ def knn_exact_fast(
         probe_id_col=probe_id_col,
     )
     return fast.unionByName(slow)
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: the composed production ANN architecture (FAISS IVFADC,
+# Jégou et al. 2011): a coarse quantizer routes vectors to inverted
+# lists; PQ codes encode each vector's RESIDUAL from its centroid
+# (residuals are small and centered, so the same code budget carries
+# far more precision than coding raw vectors); search probes nprobe
+# lists and ADC-scores codes only. Storage = m bytes + 1 small int per
+# vector; query cost = (nprobe / n_centroids) of the code relation.
+# ---------------------------------------------------------------------------
+
+
+def ivfpq_build_index(
+    corpus: DataFrame,
+    index_path: str,
+    n_centroids: int = 64,
+    m: int = 8,
+    k: int = 256,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    refine_iters: int = 2,
+    sample_rows: int = 4096,
+) -> None:
+    """Build: coarse centroids (hash-sample + Lloyd refinement, the IVF
+    machinery) → one broadcast assign pass → residual PQ codebooks
+    trained on a deterministic residual sample → map-only residual
+    encode. Codes land partitioned by ``centroid_id`` (probe pruning =
+    partition pruning); centroids and the PQ model persist beside them.
+    Every stage is a scan or a map — nothing corpus-sized reaches the
+    driver except the ``sample_rows``-capped training sample."""
+    import json as _json
+
+    import numpy as np
+
+    nz = corpus.filter(l2_norm_exact(F.col(vec_col)) > 0)
+    cents = _centroids(nz, n_centroids, id_col, vec_col)
+    if refine_iters > 0:
+        cents = _refine_centroids(nz, cents, id_col, vec_col, refine_iters)
+    cents = cents.persist()
+    assign = _best_centroids(nz, cents, id_col, vec_col, n_best=1)
+    with_cid = nz.select(id_col, vec_col).join(assign, id_col)
+
+    cent_rows = cents.collect()
+    cmat = np.asarray([r["__cvec"] for r in cent_rows], dtype=np.float64)
+    cmat /= np.linalg.norm(cmat, axis=1, keepdims=True)
+    cids = np.asarray([r["centroid_id"] for r in cent_rows])
+    cid_to_row = {int(c): i for i, c in enumerate(cids)}
+    dim = cmat.shape[1]
+    if dim % m:
+        raise ValueError(f"ivfpq: dim {dim} not divisible by m={m}")
+
+    # residual sample for codebook training (hash-ordered, capped)
+    sample = (
+        with_cid.withColumn("__r", F.xxhash64(F.col(id_col)))
+        .orderBy("__r")
+        .limit(int(sample_rows))
+        .select(vec_col, "centroid_id")
+        .collect()
+    )
+    X = np.asarray([r[0] for r in sample], dtype=np.float64)
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    R = X - cmat[[cid_to_row[int(r[1])] for r in sample]]
+    model = _pq_fit_numpy(R, m=m, k=k)
+    model["centroid_ids"] = [int(c) for c in cids]
+    model["centroids"] = cmat.tolist()
+
+    import pandas as pd
+
+    books = np.asarray(model["codebooks"], dtype=np.float64)
+    dsub = dim // m
+
+    def encode(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            Xb = np.asarray(list(pdf[vec_col]), dtype=np.float64)
+            ids = pdf[id_col].to_numpy()
+            cid = pdf["centroid_id"].to_numpy()
+            nrm = np.linalg.norm(Xb, axis=1)
+            ok = nrm > 0
+            Xb, ids, cid = Xb[ok] / nrm[ok, None], ids[ok], cid[ok]
+            if not len(ids):
+                continue
+            Rb = Xb - cmat[[cid_to_row[int(c)] for c in cid]]
+            codes = np.empty((len(ids), m), dtype=np.uint8)
+            for j in range(m):
+                S = Rb[:, j * dsub : (j + 1) * dsub]
+                d = -2.0 * (S @ books[j].T) + (books[j] ** 2).sum(1)[None, :]
+                codes[:, j] = d.argmin(1)
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "centroid_id": cid,
+                    "pq_code": [c.tobytes() for c in codes],
+                }
+            )
+
+    (
+        with_cid.mapInPandas(
+            encode, f"{id_col} long, centroid_id int, pq_code binary"
+        )
+        .write.mode("overwrite")
+        .partitionBy("centroid_id")
+        .parquet(index_path)
+    )
+    cents.unpersist()
+    with open(index_path.rstrip("/") + "_ivfpq.json", "w") as f:
+        _json.dump(model, f)
+
+
+def _pq_fit_numpy(R, m: int, k: int, iters: int = 15, seed: int = 42) -> dict:
+    """k-means++ + Lloyd per subspace over a residual matrix — the
+    numpy core shared with ``pq_train`` (which fits raw vectors)."""
+    import numpy as np
+
+    dim = R.shape[1]
+    dsub = dim // m
+    k_eff = min(int(k), len(R))
+    rng = np.random.default_rng(seed)
+    books = []
+    for j in range(m):
+        S = R[:, j * dsub : (j + 1) * dsub]
+        cent = S[rng.choice(len(S), 1)]
+        for _ in range(k_eff - 1):
+            d2 = ((S[:, None, :] - cent[None, :, :]) ** 2).sum(-1).min(1)
+            p = d2 / d2.sum() if d2.sum() > 0 else None
+            cent = np.vstack([cent, S[rng.choice(len(S), 1, p=p)]])
+        for _ in range(iters):
+            d = -2.0 * (S @ cent.T) + (cent**2).sum(1)[None, :]
+            a = d.argmin(1)
+            for c in range(len(cent)):
+                mask = a == c
+                if mask.any():
+                    cent[c] = S[mask].mean(0)
+        books.append(cent.tolist())
+    return {"m": m, "k": k_eff, "dim": dim, "codebooks": books}
+
+
+def ivfpq_search(
+    spark,
+    index_path: str,
+    probes_pdf,
+    k: int = 5,
+    nprobe: int = 8,
+    id_col: str = "vec_id",
+    probe_id_col: str = "probe_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVFADC query: each probe picks its ``nprobe`` nearest centroids
+    (driver numpy over the small centroid matrix), the scan reads ONLY
+    those partitions (one isin filter on the partition column → parquet
+    partition pruning), and scoring is
+    ``probe·centroid + Σ_j LUT[probe][j][code]`` — the exact inner
+    product against each vector's quantized reconstruction, m uint8
+    gathers per row, no vectors read. Global top-k via window; shuffle
+    carries O(batches × probes × k)."""
+    import json as _json
+
+    import numpy as np
+    import pandas as pd
+
+    with open(index_path.rstrip("/") + "_ivfpq.json") as f:
+        model = _json.load(f)
+    books = np.asarray(model["codebooks"], dtype=np.float64)
+    cmat = np.asarray(model["centroids"], dtype=np.float64)
+    cent_ids = np.asarray(model["centroid_ids"])
+    m, dim = model["m"], model["dim"]
+    dsub = dim // m
+
+    pmat = np.asarray(list(probes_pdf[vec_col]), dtype=np.float64)
+    pids = np.asarray(list(probes_pdf[probe_id_col]))
+    pnorm = np.linalg.norm(pmat, axis=1)
+    keep = pnorm > 0
+    pmat, pids = pmat[keep] / pnorm[keep, None], pids[keep]
+    # probe → nprobe nearest centroids, by inner product (unit probes)
+    pc = pmat @ cmat.T  # probes × centroids
+    np_eff = min(int(nprobe), cmat.shape[0])
+    probe_rows = np.argpartition(-pc, np_eff - 1, axis=1)[:, :np_eff]
+    probed_cids = {
+        int(cent_ids[c]) for row in probe_rows for c in row
+    }
+    # residual LUT: probe's j-th subvector · residual-codebook centroids
+    lut = np.einsum(
+        "pjd,jcd->pjc", pmat.reshape(len(pmat), m, dsub), books
+    )
+    allowed = np.zeros((len(pids), cmat.shape[0]), dtype=bool)
+    for p in range(len(pids)):
+        allowed[p, probe_rows[p]] = True
+    cid_to_row = {int(c): i for i, c in enumerate(cent_ids)}
+    kk = int(k)
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy()
+            rowc = np.asarray(
+                [cid_to_row[int(c)] for c in pdf["centroid_id"]]
+            )
+            codes = np.frombuffer(
+                b"".join(pdf["pq_code"]), dtype=np.uint8
+            ).reshape(len(ids), m)
+            sims = pc[:, rowc].copy()  # probes × rows: probe·centroid
+            for j in range(m):
+                sims += lut[:, j, :][:, codes[:, j]]
+            sims = np.where(allowed[:, rowc], sims, -np.inf)
+            for p in range(len(pids)):
+                col = sims[p]
+                idx = np.nonzero(np.isfinite(col) & (ids != pids[p]))[0]
+                if not len(idx):
+                    continue
+                take = min(kk, len(idx))
+                top = idx[np.argpartition(-col[idx], take - 1)[:take]]
+                yield pd.DataFrame(
+                    {
+                        probe_id_col: pids[p].repeat(take),
+                        id_col: ids[top],
+                        "adc_score": col[top],
+                    }
+                )
+
+    codes = spark.read.parquet(index_path).filter(
+        F.col("centroid_id").isin([int(c) for c in probed_cids])
+    )
+    partial = codes.select(id_col, "centroid_id", "pq_code").mapInPandas(
+        score, f"{probe_id_col} long, {id_col} long, adc_score double"
+    )
+    w = Window.partitionBy(probe_id_col).orderBy(
+        F.col("adc_score").desc(), F.col(id_col)
+    )
+    return partial.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    ).filter(F.col("rank") <= k)

@@ -158,3 +158,10 @@ register("q125_triangle_count", oracle=relational._TRIANGLE_SQL)(
 register("q126_apply_changes", oracle=llm_ops._DUCK_APPLY_CHANGES)(
     llm_ops.q126_apply_changes
 )
+register("q127_table_profile", oracle=relational._PROFILE_ORACLE)(
+    relational.q127_table_profile
+)
+register("q128_tpch_q21", oracle=relational._TPCH_Q21_SQL)(
+    relational.q128_tpch_q21
+)
+register("q129_ivfpq_topk")(llm_ops.q129_ivfpq_topk)

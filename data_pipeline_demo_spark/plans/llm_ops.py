@@ -1704,3 +1704,32 @@ def q126_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     apply_changes(spark, feed, root)
     return read_txtable(spark, root).select("id", "val")
+
+
+def q129_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ (FAISS IVFADC) composed ANN tier end-to-end (rows-only:
+    approximate ranks have no SQL twin; recall floors and partition-
+    pruning plan shape are pytest-pinned): coarse-quantizer routing +
+    residual PQ codes built to a scratch index, then 8 probes at
+    nprobe=8 over a 16-list layout — the scan reads only probed
+    partitions, scoring is probe·centroid + residual ADC.
+
+    Scale shape: THE production ANN architecture — storage m bytes +
+    one small int per vector, query cost (nprobe/n_centroids) of a
+    code-only relation; every build stage a scan or a map."""
+    import tempfile
+
+    from ..operators import similarity
+
+    emb = table(spark, sf_dir, "embeddings")
+    path = tempfile.mkdtemp(prefix="q129-ivfpq-") + "/idx"
+    similarity.ivfpq_build_index(
+        emb, path, n_centroids=16, m=16, k=64, refine_iters=1
+    )
+    probes = (
+        emb.orderBy("vec_id")
+        .limit(8)
+        .selectExpr("vec_id AS probe_id", "embedding")
+        .toPandas()
+    )
+    return similarity.ivfpq_search(spark, path, probes, k=10, nprobe=8)

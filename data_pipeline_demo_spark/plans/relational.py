@@ -1334,3 +1334,131 @@ def q125_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     for name in ("lineitem",):
         table(spark, sf_dir, name).createOrReplaceTempView(name)
     return spark.sql(_TRIANGLE_SQL)
+
+
+_PROFILE_ORACLE = """
+    SELECT 'o_orderkey' AS column_name, COUNT(*) AS n,
+           CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+           CAST(MIN(o_orderkey) AS DOUBLE) AS min_num,
+           CAST(MAX(o_orderkey) AS DOUBLE) AS max_num,
+           CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', COUNT(*),
+           CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT),
+           CAST(MIN(o_custkey) AS DOUBLE), CAST(MAX(o_custkey) AS DOUBLE),
+           NULL, NULL
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', COUNT(*),
+           CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(DISTINCT o_totalprice) AS BIGINT),
+           MIN(o_totalprice), MAX(o_totalprice), NULL, NULL
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', COUNT(*),
+           CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT),
+           NULL, NULL, MIN(o_orderstatus), MAX(o_orderstatus)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', COUNT(*),
+           CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT),
+           NULL, NULL, MIN(o_orderpriority), MAX(o_orderpriority)
+    FROM orders
+"""
+
+_PROFILE_NUM = ["o_orderkey", "o_custkey", "o_totalprice"]
+_PROFILE_STR = ["o_orderstatus", "o_orderpriority"]
+
+
+def q127_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative table profiling (the Deequ/dbt-profiler shape): one
+    row per column with count / null count / EXACT distinct count /
+    typed min-max — the data-quality summary every ingestion pipeline
+    publishes beside its tables (the reference prints ad-hoc fragments
+    of exactly this, `/root/reference/data_pipeline.py:430,446,689`).
+
+    Scale shape: ONE aggregate job over one scan. The multiple
+    count-distincts make Catalyst plan a single Expand (one row per
+    distinct-column per input row) feeding combinable partial
+    aggregates — the standard multi-distinct strategy, shuffle keyed
+    by the expand id, no per-column rescan. The per-column reshape is
+    a driver-side union of 1-row projections of the SAME collected
+    aggregate row (zero extra jobs). At unbounded cardinality swap the
+    exact distincts for approx_count_distinct (q56's tier)."""
+    o = table(spark, sf_dir, "orders")
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for c in _PROFILE_NUM + _PROFILE_STR:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"null_{c}"),
+            F.countDistinct(c).alias(f"dist_{c}"),
+            F.min(c).alias(f"min_{c}"),
+            F.max(c).alias(f"max_{c}"),
+        ]
+    row = o.agg(*aggs)
+    parts = []
+    for c in _PROFILE_NUM + _PROFILE_STR:
+        is_num = c in _PROFILE_NUM
+        parts.append(
+            row.select(
+                F.lit(c).alias("column_name"),
+                F.col("n"),
+                F.col(f"null_{c}").alias("n_null"),
+                F.col(f"dist_{c}").alias("n_distinct"),
+                (F.col(f"min_{c}").cast("double") if is_num else F.lit(None).cast("double")).alias("min_num"),
+                (F.col(f"max_{c}").cast("double") if is_num else F.lit(None).cast("double")).alias("max_num"),
+                (F.col(f"min_{c}") if not is_num else F.lit(None).cast("string")).alias("min_str"),
+                (F.col(f"max_{c}") if not is_num else F.lit(None).cast("string")).alias("max_str"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+_TPCH_Q21_SQL = """
+    SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE o.o_orderstatus = 'F'
+      AND l1.l_returnflag = 'R'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_returnflag = 'R'
+      )
+      AND n.n_regionkey = 1
+    GROUP BY s.s_name
+"""
+
+
+def q128_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 (suppliers who kept orders waiting) — the hardest
+    classic decorrelation shape: a correlated EXISTS and a correlated
+    NOT EXISTS against the SAME fact table inside a 4-way join.
+    Identical SQL on both engines. Adapted to the synthetic schema:
+    the "late line" marker is l_returnflag = 'R' (the testdata carries
+    no receipt/commit dates) and the nation filter is a region key —
+    the decorrelation shape, Q21's actual point, is unchanged.
+
+    Scale shape: Catalyst rewrites EXISTS → left-semi and NOT EXISTS →
+    left-anti joins on l_orderkey, both against projections of the
+    one lineitem scan — no nested-loop re-execution; the dims
+    broadcast, the three fact-side joins share the orderkey shuffle
+    key (bucketed layouts make them co-partitioned at 100 TB)."""
+    for name in ("supplier", "lineitem", "orders", "nation"):
+        table(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(_TPCH_Q21_SQL)

@@ -1235,3 +1235,82 @@ def test_knn_exact_fast_small_corpus(spark):
         for r in similarity.knn_exact_fast(df, probes, k=5).collect()
     }
     assert got == want
+
+
+# --- IVF-PQ composed tier (IVFADC) ----------------------------------------
+
+
+def test_ivfpq_recall_and_partition_pruning(spark, sf_dir, tmp_path):
+    """The composed IVF-PQ index on the real embeddings table: recall
+    beats plain PQ's bar at modest nprobe (residual coding carries more
+    precision per byte), full-probe recall is at least as good, and the
+    probed scan reads only nprobe partitions."""
+    import numpy as np
+
+    emb = table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "ivfpq_idx")
+    similarity.ivfpq_build_index(
+        emb, path, n_centroids=16, m=16, k=64, refine_iters=1
+    )
+
+    pdf = emb.toPandas()
+    X = np.asarray(list(pdf["embedding"]), dtype=np.float64)
+    ids = pdf["vec_id"].to_numpy()
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    probes = pdf.iloc[:10].rename(columns={"vec_id": "probe_id"})
+
+    got = similarity.ivfpq_search(spark, path, probes, k=10, nprobe=8)
+    by_probe = {}
+    for r in got.collect():
+        by_probe.setdefault(r["probe_id"], set()).add(r["vec_id"])
+    hits = total = 0
+    for p in range(10):
+        sims = Xn @ Xn[p]
+        order = [ids[i] for i in np.argsort(-sims) if ids[i] != ids[p]][:10]
+        hits += len(by_probe.get(ids[p], set()) & set(order))
+        total += len(order)
+    recall = hits / total
+    assert recall >= 0.5, recall
+
+    # full probe (nprobe = n_centroids) recall >= partial
+    got_full = similarity.ivfpq_search(spark, path, probes, k=10, nprobe=16)
+    by_full = {}
+    for r in got_full.collect():
+        by_full.setdefault(r["probe_id"], set()).add(r["vec_id"])
+    hits_f = sum(
+        len(
+            by_full.get(ids[p], set())
+            & set([ids[i] for i in np.argsort(-(Xn @ Xn[p])) if ids[i] != ids[p]][:10])
+        )
+        for p in range(10)
+    )
+    assert hits_f >= hits
+
+    # partition pruning: a single probe at nprobe=2 plans <= 2
+    # centroid partitions (PartitionFilters on the parquet scan)
+    one = probes.iloc[:1]
+    df = similarity.ivfpq_search(spark, path, one, k=5, nprobe=2)
+    import re
+
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"PartitionFilters: \[centroid_id#\d+ IN \(\d+,\d+\)\]", plan)
+
+
+def test_ivfpq_determinism_and_storage(spark, sf_dir, tmp_path):
+    import json
+
+    import numpy as np
+
+    emb = table(spark, sf_dir, "embeddings").limit(300)
+    p1, p2 = str(tmp_path / "a"), str(tmp_path / "b")
+    similarity.ivfpq_build_index(emb, p1, n_centroids=8, m=8, k=32)
+    similarity.ivfpq_build_index(emb, p2, n_centroids=8, m=8, k=32)
+    m1 = json.load(open(p1 + "_ivfpq.json"))
+    m2 = json.load(open(p2 + "_ivfpq.json"))
+    assert m1 == m2  # bit-stable build
+    codes = spark.read.parquet(p1)
+    row = codes.limit(1).collect()[0]
+    assert len(row["pq_code"]) == 8  # m bytes/vector + small centroid id
+    # every non-zero corpus vector is coded exactly once
+    assert codes.count() == emb.count()
+    assert codes.select("vec_id").distinct().count() == codes.count()
