@@ -165,3 +165,9 @@ register("q128_tpch_q21", oracle=relational._TPCH_Q21_SQL)(
     relational.q128_tpch_q21
 )
 register("q129_ivfpq_topk")(llm_ops.q129_ivfpq_topk)
+register("q130_asof_variants", oracle=timeseries._DUCK_ASOF_VARIANTS)(
+    timeseries.q130_asof_variants
+)
+register("q131_interval_overlap", oracle=timeseries._DUCK_INTERVAL_OVERLAP)(
+    timeseries.q131_interval_overlap
+)

@@ -501,3 +501,116 @@ def q111_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return purchases.join(dim, cond, "left").select(
         "event_id", "user_id", "ts", "context_state"
     )
+
+
+_DUCK_ASOF_VARIANTS = """
+    WITH purchases AS (
+        SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        FROM events WHERE event_type = 'purchase'
+    ),
+    touches AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts
+        FROM events WHERE event_type IN ('signup', 'click')
+    ),
+    bw AS (
+        SELECT p.event_id, p.user_id, p.ts, t.ts AS bw_ts
+        FROM purchases p
+        ASOF LEFT JOIN touches t
+          ON p.user_id = t.user_id AND p.ts >= t.ts
+    ),
+    fw AS (
+        SELECT p.event_id, t.ts AS fw_ts
+        FROM purchases p
+        ASOF LEFT JOIN touches t
+          ON p.user_id = t.user_id AND p.ts <= t.ts
+    )
+    SELECT b.event_id, b.user_id, b.bw_ts, f.fw_ts,
+           CASE
+             WHEN b.bw_ts IS NULL THEN f.fw_ts
+             WHEN f.fw_ts IS NULL THEN b.bw_ts
+             WHEN (b.ts - b.bw_ts) <= (f.fw_ts - b.ts) THEN b.bw_ts
+             ELSE f.fw_ts
+           END AS nearest_ts
+    FROM bw b JOIN fw f USING (event_id)
+"""
+
+
+def q130_asof_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL as-of join surface (operators/asof.py): backward,
+    forward, and nearest temporal alignment of purchases against
+    touch events, certified value-for-value against DuckDB's NATIVE
+    ASOF JOIN in both directions (nearest composes from the two with
+    the backward tie-break) — the pandas merge_asof / kdb aj surface
+    as one union-interleave + two windows per direction, one shuffle
+    on the key, never a range probe."""
+    from ..operators.asof import asof_join
+
+    ev = table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    touches = ev.filter(
+        F.col("event_type").isin("signup", "click")
+    ).select("user_id", F.col("ts").cast("timestamp").alias("ts"))
+    bw = asof_join(purchases, touches, direction="backward").select(
+        "event_id", "user_id", F.col("asof_ts").alias("bw_ts")
+    )
+    fw = asof_join(purchases, touches, direction="forward").select(
+        F.col("event_id").alias("event_id_f"), F.col("asof_ts").alias("fw_ts")
+    )
+    nr = asof_join(purchases, touches, direction="nearest").select(
+        F.col("event_id").alias("event_id_n"),
+        F.col("asof_ts").alias("nearest_ts"),
+    )
+    return (
+        bw.join(fw, bw.event_id == fw.event_id_f)
+        .join(nr, bw.event_id == nr.event_id_n)
+        .select("event_id", "user_id", "bw_ts", "fw_ts", "nearest_ts")
+    )
+
+
+_DUCK_INTERVAL_OVERLAP = """
+    WITH iv AS (
+        SELECT o_orderkey AS id,
+               CAST(o_orderdate AS TIMESTAMP) AS start_ts,
+               CAST(o_orderdate AS TIMESTAMP)
+                 + INTERVAL (o_orderkey % 30) DAY AS end_ts
+        FROM orders WHERE o_orderkey < 2500
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+           GREATEST(a.start_ts, b.start_ts) AS overlap_start,
+           LEAST(a.end_ts, b.end_ts) AS overlap_end
+    FROM iv a JOIN iv b
+      ON a.id < b.id
+     AND a.start_ts <= b.end_ts
+     AND b.start_ts <= a.end_ts
+"""
+
+
+def q131_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval overlap self-join over order validity windows
+    (operators/intervals.py) vs the all-pairs inequality-join oracle —
+    certifies both the bucket blocking's completeness AND the
+    emit-once-at-overlap-start trick (no dedup exchange) value-for-
+    value. Unit = 30 days (the max interval length), so each interval
+    stamps at most 2 buckets."""
+    from ..operators.intervals import interval_overlap_join
+
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2500)
+    iv = o.select(
+        F.col("o_orderkey").alias("id"),
+        F.col("o_orderdate").cast("timestamp").alias("start_ts"),
+        (
+            F.col("o_orderdate").cast("timestamp")
+            + F.make_dt_interval(days=(F.col("o_orderkey") % 30).cast("int"))
+        ).alias("end_ts"),
+    )
+    a = iv.select(
+        F.col("id").alias("id_a"), "start_ts", "end_ts"
+    )
+    b = iv.select(
+        F.col("id").alias("id_b"), "start_ts", "end_ts"
+    )
+    return interval_overlap_join(
+        a, b, unit_seconds=30 * 86400
+    ).filter(F.col("id_a") < F.col("id_b"))

@@ -1,0 +1,130 @@
+"""Generalized as-of join (backward/forward/nearest/tolerance) and the
+blocked interval-overlap join, pinned on literal hand-checkable frames;
+value-level engine parity lives in the q130/q131 oracles."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_pipeline_demo_spark.operators.asof import asof_join
+from data_pipeline_demo_spark.operators.intervals import (
+    interval_overlap_join,
+)
+
+
+def _t(h, m=0):
+    return dt.datetime(2024, 1, 1, h, m)
+
+
+@pytest.fixture()
+def frames(spark):
+    left = spark.createDataFrame(
+        [(1, 7, _t(10)), (2, 7, _t(12)), (3, 8, _t(9))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(7, _t(9)), (7, _t(10)), (7, _t(13)), (9, _t(1))],
+        "user_id long, ts timestamp",
+    )
+    return left, right
+
+
+def test_asof_backward_forward_nearest(spark, frames):
+    left, right = frames
+
+    def got(direction, **kw):
+        return {
+            r.event_id: r.asof_ts
+            for r in asof_join(left, right, direction=direction, **kw).collect()
+        }
+
+    # backward: greatest right ts <= left ts (equal matches)
+    assert got("backward") == {1: _t(10), 2: _t(10), 3: None}
+    # forward: least right ts >= left ts
+    assert got("forward") == {1: _t(10), 2: _t(13), 3: None}
+    # nearest: event 2 is 2h from 10:00 and 1h from 13:00 -> forward
+    assert got("nearest") == {1: _t(10), 2: _t(13), 3: None}
+    # tolerance: the 1h-away match survives a 90min bound, not a 30min
+    assert got("nearest", tolerance_seconds=5400)[2] == _t(13)
+    assert got("nearest", tolerance_seconds=1800)[2] is None
+
+
+def test_asof_nearest_tie_prefers_backward(spark):
+    left = spark.createDataFrame(
+        [(1, 5, _t(12))], "event_id long, user_id long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(5, _t(11)), (5, _t(13))], "user_id long, ts timestamp"
+    )
+    out = asof_join(left, right, direction="nearest").collect()[0]
+    assert out.asof_ts == _t(11)  # equidistant -> backward wins
+
+
+def test_asof_right_value_payload(spark, frames):
+    left, _ = frames
+    right = spark.createDataFrame(
+        [(7, _t(9), "early"), (7, _t(10), "ontime")],
+        "user_id long, ts timestamp, label string",
+    )
+    out = {
+        r.event_id: r.asof_label
+        for r in asof_join(
+            left, right, direction="backward", right_value="label"
+        ).collect()
+    }
+    assert out[1] == "ontime" and out[2] == "ontime" and out[3] is None
+
+
+def test_asof_bad_direction(spark, frames):
+    left, right = frames
+    with pytest.raises(ValueError, match="direction"):
+        asof_join(left, right, direction="sideways")
+
+
+def _iv(spark, rows, idc):
+    return spark.createDataFrame(
+        rows, f"{idc} long, start_ts timestamp, end_ts timestamp"
+    )
+
+
+def test_interval_overlap_literal_and_emit_once(spark):
+    a = _iv(
+        spark,
+        [
+            (1, _t(1), _t(5)),
+            (2, _t(10), _t(11)),
+            (3, _t(3), _t(20)),   # long interval spanning many buckets
+        ],
+        "id_a",
+    )
+    b = _iv(
+        spark,
+        [
+            (10, _t(4), _t(6)),    # overlaps 1 and 3
+            (11, _t(7), _t(8)),    # overlaps 3 only
+            (12, _t(21), _t(22)),  # overlaps nothing
+            (13, _t(5), _t(5)),    # point interval at 1's endpoint
+        ],
+        "id_b",
+    )
+    for unit in (600.0, 3600.0, 86400.0):  # results unit-invariant
+        rows = interval_overlap_join(a, b, unit_seconds=unit).collect()
+        pairs = [(r.id_a, r.id_b) for r in rows]
+        assert len(pairs) == len(set(pairs)), unit  # emit exactly once
+        assert set(pairs) == {
+            (1, 10), (3, 10), (3, 11), (1, 13), (3, 13)
+        }, unit
+        span = {(r.id_a, r.id_b): (r.overlap_start, r.overlap_end) for r in rows}
+        assert span[(1, 10)] == (_t(4), _t(5))
+        assert span[(1, 13)] == (_t(5), _t(5))  # inclusive endpoint touch
+
+
+def test_interval_overlap_malformed_rows_never_match(spark):
+    a = _iv(spark, [(1, _t(5), _t(1)), (2, None, _t(3))], "id_a")
+    b = _iv(spark, [(10, _t(0), _t(23))], "id_b")
+    assert interval_overlap_join(a, b, unit_seconds=3600).count() == 0
+    with pytest.raises(ValueError, match="unit_seconds"):
+        interval_overlap_join(a, b, unit_seconds=0)
