@@ -337,14 +337,72 @@ def fake_encode_audio(media_id: int, n_samples: int, rate: int = 16_000) -> byte
     return header + samples.tobytes()
 
 
-def _decode_audio(payload: bytes):
-    """(media_id, rate, samples ndarray) — the decoder seam."""
+def wav_encode(samples, rate: int) -> bytes:
+    """REAL RIFF/WAVE PCM16 mono encoder (pure stdlib struct — the WAV
+    container is simple enough to implement from the public spec, the
+    audio analog of the stdlib PNG codec): int16 numpy array → playable
+    .wav bytes any decoder accepts."""
     import numpy as np
 
+    data = np.asarray(samples, dtype="<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def wav_decode(payload: bytes):
+    """(rate, mono int16 samples) from RIFF/WAVE PCM16 bytes — walks
+    the chunk list (unknown chunks skipped, per spec), requires PCM
+    16-bit, averages multi-channel audio down to mono."""
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, rate, n_ch, bits, data = 12, None, None, None, None
+    while pos + 8 <= len(payload):
+        tag = payload[pos : pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + size]
+        if tag == b"fmt ":
+            codec, n_ch, rate, _, _, bits = struct.unpack("<HHIIHH", body[:16])
+            if codec != 1 or bits != 16:
+                raise ValueError(
+                    f"only PCM16 WAV supported (codec={codec}, bits={bits})"
+                )
+        elif tag == b"data":
+            data = body
+        pos += 8 + size + (size % 2)  # chunks are word-aligned
+    if rate is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    samples = np.frombuffer(data, dtype="<i2")
+    if n_ch > 1:
+        samples = (
+            samples[: len(samples) - len(samples) % n_ch]
+            .reshape(-1, n_ch)
+            .mean(1)
+            .astype("<i2")
+        )
+    return rate, samples
+
+
+def _decode_audio(payload: bytes):
+    """(media_id | None, rate, samples ndarray) — dispatches on
+    container magic: REAL RIFF/WAVE PCM16 (stdlib codec above; WAV
+    carries no media id → None, callers use the row's column) or the
+    deterministic fake-PCM container (hermetic tests)."""
+    import numpy as np
+
+    if payload[:4] == b"RIFF":
+        rate, samples = wav_decode(payload)
+        return None, rate, samples
     hsize = struct.calcsize(AUDIO_HEADER)
     magic, mid, rate, n = struct.unpack(AUDIO_HEADER, payload[:hsize])
     if magic != AUDIO_MAGIC:
-        raise ValueError("not a fake-PCM payload (real codec = seam)")
+        raise ValueError("neither RIFF/WAVE nor fake-PCM payload")
     samples = np.frombuffer(payload[hsize:], dtype="<i2", count=n)
     return mid, rate, samples
 
@@ -398,12 +456,12 @@ def audio_stats(media: DataFrame) -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for payload in pdf["payload"]:
+            for row_mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 mid, rate, s = _decode_audio(bytes(payload))
                 x = s.astype(np.float64)
                 rows.append(
                     (
-                        mid,
+                        row_mid if mid is None else mid,
                         rate,
                         len(s) / rate,
                         float(np.sqrt(np.mean(x * x))) if len(s) else 0.0,
@@ -414,7 +472,9 @@ def audio_stats(media: DataFrame) -> DataFrame:
                 rows, columns=[f.name for f in AUDIO_STATS_SCHEMA.fields]
             )
 
-    return media.select("payload").mapInPandas(run, AUDIO_STATS_SCHEMA)
+    return media.select("media_id", "payload").mapInPandas(
+        run, AUDIO_STATS_SCHEMA
+    )
 
 
 def resample_audio(media: DataFrame, target_rate: int = 8_000) -> DataFrame:
@@ -426,23 +486,26 @@ def resample_audio(media: DataFrame, target_rate: int = 8_000) -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
-            for payload in pdf["payload"]:
-                mid, rate, s = _decode_audio(bytes(payload))
+            for row_mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                raw = bytes(payload)
+                mid, rate, s = _decode_audio(raw)
                 n_out = max(1, int(round(len(s) * target_rate / rate)))
                 grid = np.linspace(0, len(s) - 1, n_out)
                 res = np.interp(grid, np.arange(len(s)), s.astype(np.float64))
-                hdr = struct.pack(
-                    AUDIO_HEADER, AUDIO_MAGIC, mid, target_rate, n_out
-                )
-                out.append(
-                    (mid, hdr + res.astype("<i2").tobytes(), target_rate, n_out)
-                )
+                if raw[:4] == b"RIFF":  # WAV in -> WAV out
+                    enc = wav_encode(res.astype("<i2"), target_rate)
+                    mid = row_mid
+                else:
+                    enc = struct.pack(
+                        AUDIO_HEADER, AUDIO_MAGIC, mid, target_rate, n_out
+                    ) + res.astype("<i2").tobytes()
+                out.append((mid, enc, target_rate, n_out))
             yield pd.DataFrame(
                 out,
                 columns=["media_id", "payload", "sample_rate", "n_samples"],
             )
 
-    return media.select("payload").mapInPandas(
+    return media.select("media_id", "payload").mapInPandas(
         run,
         "media_id long, payload binary, sample_rate int, n_samples int",
     )

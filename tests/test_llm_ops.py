@@ -1163,7 +1163,7 @@ def test_audio_resample_preserves_signal(spark, sf_dir):
     stats = {
         r["media_id"]: r
         for r in multimodal.audio_stats(
-            res.select("payload")
+            res.select("media_id", "payload")
         ).collect()
     }
     for mid, r in stats.items():
@@ -1177,9 +1177,75 @@ def test_audio_resample_preserves_signal(spark, sf_dir):
         assert r["rms"] == pytest.approx(8000 / math.sqrt(2), rel=0.1)
 
 
-def test_audio_codec_seam_is_loud(spark):
-    with pytest.raises(ValueError, match="seam"):
+def test_audio_codec_rejects_unknown_container(spark):
+    with pytest.raises(ValueError, match="RIFF"):
         multimodal._decode_audio(b"JUNKJUNKJUNKJUNKJUNKJUNK")
+
+
+def test_wav_roundtrip_and_pipeline(spark):
+    """REAL RIFF/WAVE PCM16 flows through the audio operators: encode
+    via the stdlib codec, decode bit-exact, stats/resample dispatch on
+    the RIFF magic, stereo downmixes to mono, unknown chunks skip."""
+    import hashlib
+    import math
+    import struct as _struct
+
+    import numpy as np
+
+    rate = 16_000
+    t = np.arange(rate)  # one second
+    sig = (8000 * np.sin(2 * np.pi * 440 * t / rate)).astype("<i2")
+    wav = multimodal.wav_encode(sig, rate)
+    got_rate, got = multimodal.wav_decode(wav)
+    assert got_rate == rate and (got == sig).all()
+
+    # unknown chunk between fmt and data is skipped per spec
+    pos = wav.index(b"data")
+    junk = b"LIST" + _struct.pack("<I", 6) + b"junk!!"
+    tolerant = wav[:pos] + junk + wav[pos:]
+    assert (multimodal.wav_decode(tolerant)[1] == sig).all()
+
+    # stereo -> mono average
+    stereo = np.empty(2 * len(sig), dtype="<i2")
+    stereo[0::2] = sig
+    stereo[1::2] = 0
+    raw = multimodal.wav_encode(stereo, rate)
+    # patch channel count and byte-rate fields to stereo
+    fmt_at = raw.index(b"fmt ") + 8
+    raw = (
+        raw[: fmt_at + 2]
+        + _struct.pack("<H", 2)
+        + raw[fmt_at + 4 :]
+    )
+    _, mono = multimodal.wav_decode(raw)
+    assert np.abs(mono - sig // 2).max() <= 1  # integer-mean downmix
+
+    # through the Spark operators: stats + resample on real WAV bytes
+    media = spark.createDataFrame(
+        [
+            (
+                1,
+                "audio",
+                bytearray(wav),
+                ("audio/wav", len(wav), hashlib.sha256(wav).hexdigest()),
+            )
+        ],
+        multimodal.MEDIA_SCHEMA,
+    )
+    st = multimodal.audio_stats(media).collect()[0]
+    assert st.media_id == 1 and st.sample_rate == rate
+    assert st.duration_s == pytest.approx(1.0)
+    assert st.rms == pytest.approx(8000 / math.sqrt(2), rel=0.01)
+
+    res = multimodal.resample_audio(media, target_rate=8_000).collect()[0]
+    assert res.sample_rate == 8_000 and res.n_samples == 8_000
+    out = bytes(res.payload)
+    assert out[:4] == b"RIFF"  # WAV in -> WAV out
+    r2, s2 = multimodal.wav_decode(out)
+    x = s2.astype(np.float64)
+    assert float(np.sqrt((x * x).mean())) == pytest.approx(
+        8000 / math.sqrt(2), rel=0.02
+    )
 
 
 # --- certified fast exact kNN ----------------------------------------------
