@@ -87,3 +87,71 @@ def psi(
         .agg(F.round(F.sum("term"), 6).alias("psi"))
         .select("grp", "psi", "n_ref", "n_cur")
     )
+
+
+def cusum_changepoints(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+    k_sigmas: float = 0.5,
+    h_sigmas: float = 5.0,
+) -> DataFrame:
+    """Per-key CUSUM change-point detection (Page 1954, the standard
+    sequential mean-shift monitor): values standardize against the
+    key's own mean/std, then the two-sided cumulative sums
+    ``s⁺ = max(0, s⁺ + z − k)`` / ``s⁻ = max(0, s⁻ − z − k)`` raise an
+    alarm row whenever either crosses ``h`` (statistics reset after an
+    alarm — multiple shifts per key all surface). Output:
+    ``(key, order value at alarm, direction 'up'|'down', statistic)``.
+
+    Scale shape (the Holt-forecast pattern, `operators/forecast.py`):
+    standardization is ONE combinable grouped aggregate broadcast back
+    onto the scan; the inherently sequential fold runs as one
+    Arrow-batched pass per key over that key's series — parallel
+    across keys, series-length frames only, raw history never
+    collected. The recursion has no SQL form (each step clamps at
+    zero), hence rows-only certification + numpy parity tests.
+    """
+    import numpy as np
+    import pandas as pd
+
+    stats = df.groupBy(key_col).agg(
+        F.avg(value_col).alias("__mu"),
+        F.stddev_pop(value_col).alias("__sd"),
+    )
+    src = (
+        df.join(F.broadcast(stats), key_col)
+        .filter(F.col("__sd") > 0)
+        .select(
+            key_col,
+            order_col,
+            ((F.col(value_col) - F.col("__mu")) / F.col("__sd")).alias("__z"),
+        )
+    )
+    out_schema = (
+        f"{key_col} string, {order_col} string, direction string, "
+        "statistic double"
+    )
+    kf, of = key_col, order_col
+
+    def fold(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(of, kind="mergesort")
+        z = pdf["__z"].to_numpy(dtype=np.float64)
+        orders = pdf[of].to_numpy()
+        sp = sn = 0.0
+        rows = []
+        for i in range(len(z)):
+            sp = max(0.0, sp + z[i] - k_sigmas)
+            sn = max(0.0, sn - z[i] - k_sigmas)
+            if sp > h_sigmas:
+                rows.append((str(key[0]), str(orders[i]), "up", float(sp)))
+                sp = sn = 0.0
+            elif sn > h_sigmas:
+                rows.append((str(key[0]), str(orders[i]), "down", float(sn)))
+                sp = sn = 0.0
+        return pd.DataFrame(
+            rows, columns=[kf, of, "direction", "statistic"]
+        )
+
+    return src.groupBy(key_col).applyInPandas(fold, out_schema)

@@ -171,3 +171,7 @@ register("q130_asof_variants", oracle=timeseries._DUCK_ASOF_VARIANTS)(
 register("q131_interval_overlap", oracle=timeseries._DUCK_INTERVAL_OVERLAP)(
     timeseries.q131_interval_overlap
 )
+register("q132_funnel_sequence", oracle=timeseries._FUNNEL_SEQ_SQL)(
+    timeseries.q132_funnel_sequence
+)
+register("q133_cusum_changepoints")(llm_ops.q133_cusum_changepoints)

@@ -1733,3 +1733,39 @@ def q129_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .toPandas()
     )
     return similarity.ivfpq_search(spark, path, probes, k=10, nprobe=8)
+
+
+def q133_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection over a PLANTED mean shift
+    (rows-only: the clamped-at-zero recursion has no SQL twin; numpy
+    parity and detection-position tests pin semantics): each event
+    type's daily mean value gets a deterministic synthetic level shift
+    injected in its second half, and the monitor must flag it. The
+    per-key sequential fold runs Arrow-batched over day-grain series
+    (operators/drift.py:cusum_changepoints) — raw events collapse to
+    (key, day) first, so the fold's frames are series-length, never
+    event-count."""
+    from ..operators.drift import cusum_changepoints
+
+    ev = table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            "event_type", F.date_trunc("day", "ts").alias("day")
+        )
+        .agg(F.avg("value").alias("v"), F.count(F.lit(1)).alias("n"))
+        # plant a strong level shift in the second half of the month
+        # (the synthetic events span one month)
+        .withColumn(
+            "v",
+            F.when(
+                F.dayofmonth("day") > 15, F.col("v") + F.lit(50.0)
+            ).otherwise(F.col("v")),
+        )
+    )
+    return (
+        cusum_changepoints(
+            daily, key_col="event_type", order_col="day", value_col="v",
+            k_sigmas=0.5, h_sigmas=4.0,
+        )
+        .orderBy("event_type", "day")
+    )

@@ -614,3 +614,49 @@ def q131_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return interval_overlap_join(
         a, b, unit_seconds=30 * 86400
     ).filter(F.col("id_a") < F.col("id_b"))
+
+
+_FUNNEL_SEQ_SQL = """
+    WITH s1 AS (
+        SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS t1
+        FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    s2 AS (
+        SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t2
+        FROM events e JOIN s1 ON e.user_id = s1.user_id
+        WHERE e.event_type = 'click' AND CAST(e.ts AS TIMESTAMP) > s1.t1
+        GROUP BY e.user_id
+    ),
+    s3 AS (
+        SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t3
+        FROM events e JOIN s2 ON e.user_id = s2.user_id
+        WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) > s2.t2
+        GROUP BY e.user_id
+    )
+    SELECT s1.user_id, s1.t1, s2.t2, s3.t3,
+           CAST(CASE WHEN s3.t3 IS NOT NULL
+                      AND s3.t3 <= s1.t1 + INTERVAL 7 DAY
+                     THEN 1 ELSE 0 END AS BIGINT) AS converted_7d
+    FROM s1
+    LEFT JOIN s2 ON s1.user_id = s2.user_id
+    LEFT JOIN s3 ON s2.user_id = s3.user_id
+"""
+
+
+def q132_funnel_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDERED multi-step funnel (signup → first click AFTER it →
+    first purchase AFTER that, converted iff the chain closes within 7
+    days) — the sequential-pattern query q39's unordered funnel can't
+    express: each stage's timestamp must exceed the PREVIOUS stage's,
+    so a purchase before the first post-signup click doesn't count.
+    Identical SQL on both engines.
+
+    Scale shape: three grouped MINs, each over the event scan filtered
+    to one stage and semi-joined to user-sized prior-stage timestamps
+    — every exchange is user-keyed and user-sized; Catalyst collapses
+    the stage joins onto one user_id partitioning. The general K-step
+    form is K chained user-sized joins, never a per-user sort or a
+    pattern automaton over raw events."""
+    for name in ("events",):
+        table(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(_FUNNEL_SEQ_SQL)

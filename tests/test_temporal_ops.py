@@ -128,3 +128,93 @@ def test_interval_overlap_malformed_rows_never_match(spark):
     assert interval_overlap_join(a, b, unit_seconds=3600).count() == 0
     with pytest.raises(ValueError, match="unit_seconds"):
         interval_overlap_join(a, b, unit_seconds=0)
+
+
+# --- CUSUM change-point detection ------------------------------------------
+
+
+def _series(spark, vals, key="k"):
+    return spark.createDataFrame(
+        [(key, f"{i:04d}", float(v)) for i, v in enumerate(vals)],
+        "k string, t string, v double",
+    )
+
+
+def test_cusum_detects_planted_shift_promptly(spark):
+    """A clean +4σ level shift at index 50 must alarm within a few
+    samples of the shift — and the first alarm's direction is 'up'."""
+    from data_pipeline_demo_spark.operators.drift import cusum_changepoints
+
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    vals = np.concatenate(
+        [rng.normal(0, 1, 50), rng.normal(8, 1, 50)]
+    )
+    out = cusum_changepoints(
+        _series(spark, vals), "k", "t", "v", k_sigmas=0.5, h_sigmas=5.0
+    ).collect()
+    ups = sorted(int(r.t) for r in out if r.direction == "up")
+    # standardization uses the FULL-series mean (between the regimes),
+    # so the effective post-shift z is ~+1/sample and s+ grows by
+    # ~h/10 per step: detection lands ~10 samples after the shift
+    assert ups and 50 <= ups[0] <= 62
+    # never an 'up' alarm before the shift point
+    assert all(i >= 50 for i in ups)
+
+
+def test_cusum_constant_series_silent_and_zero_std_excluded(spark):
+    from data_pipeline_demo_spark.operators.drift import cusum_changepoints
+
+    # constant series: stddev 0 -> excluded entirely (no div-by-zero)
+    out = cusum_changepoints(_series(spark, [5.0] * 40), "k", "t", "v")
+    assert out.count() == 0
+    # mild stationary noise never crosses h=5
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    out2 = cusum_changepoints(
+        _series(spark, rng.normal(0, 1, 200)), "k", "t", "v",
+        k_sigmas=0.5, h_sigmas=5.0,
+    )
+    assert out2.count() == 0
+
+
+def test_cusum_matches_numpy_reference_and_partition_invariant(spark):
+    from data_pipeline_demo_spark.operators.drift import cusum_changepoints
+
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    vals = np.concatenate(
+        [rng.normal(0, 1, 30), rng.normal(-6, 1, 30), rng.normal(0, 1, 30)]
+    )
+    df = _series(spark, vals)
+
+    def reference(vals, k=0.5, h=5.0):
+        z = (vals - vals.mean()) / vals.std()
+        sp = sn = 0.0
+        alarms = []
+        for i, x in enumerate(z):
+            sp = max(0.0, sp + x - k)
+            sn = max(0.0, sn - x - k)
+            if sp > h:
+                alarms.append((i, "up"))
+                sp = sn = 0.0
+            elif sn > h:
+                alarms.append((i, "down"))
+                sp = sn = 0.0
+        return alarms
+
+    want = reference(vals)
+    for reparted in (df, df.repartition(13)):
+        got = sorted(
+            (int(r.t), r.direction)
+            for r in cusum_changepoints(
+                reparted, "k", "t", "v", k_sigmas=0.5, h_sigmas=5.0
+            ).collect()
+        )
+        assert got == sorted(want)
+    # the multi-shift series surfaces BOTH directions
+    dirs = {d for _, d in want}
+    assert dirs == {"up", "down"}
