@@ -175,3 +175,9 @@ register("q132_funnel_sequence", oracle=timeseries._FUNNEL_SEQ_SQL)(
     timeseries.q132_funnel_sequence
 )
 register("q133_cusum_changepoints")(llm_ops.q133_cusum_changepoints)
+register("q134_tpch_q13", oracle=relational._TPCH_Q13_SQL)(
+    relational.q134_tpch_q13
+)
+register("q135_tpch_q14", oracle=relational._TPCH_Q14_SQL)(
+    relational.q135_tpch_q14
+)

@@ -1462,3 +1462,59 @@ def q128_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     for name in ("supplier", "lineitem", "orders", "nation"):
         table(spark, sf_dir, name).createOrReplaceTempView(name)
     return spark.sql(_TPCH_Q21_SQL)
+
+
+_TPCH_Q13_SQL = """
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM (
+        SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+        FROM customer c
+        LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                          AND o.o_orderpriority <> '1-URGENT'
+        GROUP BY c.c_custkey
+    ) AS c_orders
+    GROUP BY c_count
+"""
+
+
+def q134_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (customer distribution): the outer-join-then-histogram
+    classic — per-customer order counts under a join-condition filter
+    (customers with no qualifying orders count as 0 via the LEFT join),
+    re-aggregated into a count-of-counts distribution. Identical SQL on
+    both engines.
+
+    Scale shape: one custkey-keyed outer join (the filter rides the
+    join condition, so it prunes the fact side BEFORE the join), one
+    customer-sized count, then a histogram over the tiny count domain
+    — the second aggregation's keys are order-count values, dozens at
+    any scale."""
+    for name in ("customer", "orders"):
+        table(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(_TPCH_Q13_SQL)
+
+
+_TPCH_Q14_SQL = """
+    SELECT CAST(ROUND(100.00 * SUM(CASE WHEN p.p_type = 'PROMO'
+                   THEN CAST(l.l_extendedprice * (1 - l.l_discount)
+                             AS DECIMAL(30,6)) ELSE 0 END)
+           / SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                      AS DECIMAL(30,6))), 4) AS DOUBLE) AS promo_revenue
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE CAST(l.l_shipdate AS DATE) >= DATE '1995-09-01'
+      AND CAST(l.l_shipdate AS DATE) < DATE '1995-10-01'
+"""
+
+
+def q135_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promotion effect): conditional revenue share over a
+    one-month fact window joined to the part dimension — the classic
+    filtered-ratio aggregate. Decimal-exact numerator/denominator; the
+    ratio rounds to 4 decimals BEFORE the double cast so Spark's
+    decimal-division scale rules and DuckDB's double division agree
+    bit-for-bit. Identical SQL on both engines. The date band
+    pushes to the lineitem scan; the part dim broadcasts."""
+    for name in ("lineitem", "part"):
+        table(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(_TPCH_Q14_SQL)
