@@ -95,3 +95,66 @@ def pagerank(
     nodes.unpersist()
     ed.unpersist()
     return out
+
+
+def label_propagation(
+    edges: DataFrame,
+    iters: int = 5,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan
+    et al. 2007, the standard near-linear community algorithm; the
+    GraphFrames ``labelPropagation`` surface): every node starts as its
+    own label; each round it adopts the MOST FREQUENT label among its
+    neighbors PLUS its own current label (the inclusive/self-vote
+    variant — without it, synchronous updates oscillate on bipartite
+    structures as small as one edge), ties breaking on the smallest
+    label, so the result is a deterministic function of the graph —
+    no RNG. Undirected: each input edge counts in both directions.
+    Returns ``(node, label)`` after ``iters`` rounds.
+
+    Scale shape (the PageRank loop's discipline): one round = one
+    edge-keyed join against node-sized labels + one (node, label)
+    count + one per-node arg-max window — every shuffle carries edges
+    or node-label pairs, never anything quadratic; lineage is cut by
+    ``localCheckpoint`` every 3 rounds. Synchronous updates oscillate
+    on bipartite structures at large ``iters`` — the standard caveat;
+    fixed small ``iters`` (the default) is the documented operating
+    point, matching the public implementations."""
+    from pyspark.sql.window import Window
+
+    und = (
+        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .unionByName(
+            edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b"))
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .persist()
+    )
+    nodes = und.select(F.col("a").alias("node")).distinct()
+    labels = nodes.select("node", F.col("node").alias("label")).persist()
+    labels.count()
+    for i in range(int(iters)):
+        nbr = und.join(
+            labels.select(F.col("node").alias("b"), "label"), "b"
+        ).select(F.col("a").alias("node"), "label")
+        votes = nbr.unionByName(labels)  # self-vote stabilizes ties
+        counted = votes.groupBy("node", "label").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        w = Window.partitionBy("node").orderBy(
+            F.col("n").desc(), F.col("label").asc()
+        )
+        new_labels = (
+            counted.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") == 1)
+            .select("node", "label")
+        )
+        if (i + 1) % 3 == 0:
+            new_labels = new_labels.localCheckpoint(eager=True)
+        labels = new_labels
+    out = labels
+    und.unpersist()
+    return out

@@ -181,3 +181,7 @@ register("q134_tpch_q13", oracle=relational._TPCH_Q13_SQL)(
 register("q135_tpch_q14", oracle=relational._TPCH_Q14_SQL)(
     relational.q135_tpch_q14
 )
+register("q136_inclusion_profile", oracle=relational._INCLUSION_ORACLE)(
+    relational.q136_inclusion_profile
+)
+register("q137_label_propagation")(llm_ops.q137_label_propagation)

@@ -1769,3 +1769,43 @@ def q133_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+def q137_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection on the co-purchase graph via label
+    propagation (operators/graph.py:label_propagation — rows-only:
+    iterative fixpoints have no SQL twin; planted-community recovery
+    and determinism are pytest-pinned). Edges = part pairs sharing ≥3
+    orders (the q110 support filter keeps the graph to genuinely
+    related parts); output = community size histogram, a small stable
+    relation.
+
+    Scale shape: per round one edge-keyed join + one (node, label)
+    count + one per-node WindowGroupLimit arg-max — shuffles carry
+    edges or node-label pairs, lineage cut every 3 rounds."""
+    from ..operators.graph import label_propagation
+
+    li = table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    pair_expr = (
+        "flatten(transform(ps, x -> "
+        "transform(filter(ps, y -> y > x), y -> struct(x AS src, y AS dst))))"
+    )
+    edges = (
+        items.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_list("l_partkey")).alias("ps"))
+        .select(F.explode(F.expr(pair_expr)).alias("p"))
+        .select("p.src", "p.dst")
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 3)
+        .select("src", "dst")
+    )
+    communities = label_propagation(edges, iters=4)
+    return (
+        communities.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+        .groupBy("n_nodes")
+        .agg(F.count(F.lit(1)).alias("n_communities"))
+        .orderBy("n_nodes")
+    )

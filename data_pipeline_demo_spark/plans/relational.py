@@ -1518,3 +1518,112 @@ def q135_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     for name in ("lineitem", "part"):
         table(spark, sf_dir, name).createOrReplaceTempView(name)
     return spark.sql(_TPCH_Q14_SQL)
+
+
+_INCLUSION_ORACLE = """
+    WITH pairs AS (
+        SELECT 'orders.o_custkey->customer.c_custkey' AS candidate,
+               (SELECT COUNT(DISTINCT o_custkey) FROM orders) AS n_child,
+               (SELECT COUNT(*) FROM
+                  (SELECT DISTINCT o_custkey FROM orders) oc
+                  JOIN (SELECT DISTINCT c_custkey FROM customer) c
+                    ON oc.o_custkey = c.c_custkey) AS n_contained
+        UNION ALL
+        SELECT 'lineitem.l_orderkey->orders.o_orderkey',
+               (SELECT COUNT(DISTINCT l_orderkey) FROM lineitem),
+               (SELECT COUNT(*) FROM
+                  (SELECT DISTINCT l_orderkey FROM lineitem) lk
+                  JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+                    ON lk.l_orderkey = o.o_orderkey)
+        UNION ALL
+        SELECT 'customer.c_custkey->orders.o_custkey',
+               (SELECT COUNT(DISTINCT c_custkey) FROM customer),
+               (SELECT COUNT(*) FROM
+                  (SELECT DISTINCT c_custkey FROM customer) c
+                  JOIN (SELECT DISTINCT o_custkey FROM orders) oc
+                    ON c.c_custkey = oc.o_custkey)
+        UNION ALL
+        SELECT 'orders.o_orderkey->lineitem.l_orderkey',
+               (SELECT COUNT(DISTINCT o_orderkey) FROM orders),
+               (SELECT COUNT(*) FROM
+                  (SELECT DISTINCT o_orderkey FROM orders) o
+                  JOIN (SELECT DISTINCT l_orderkey FROM lineitem) lk
+                    ON o.o_orderkey = lk.l_orderkey)
+    )
+    SELECT candidate, CAST(n_child AS BIGINT) AS n_child,
+           CAST(n_contained AS BIGINT) AS n_contained,
+           ROUND(CAST(n_contained AS DOUBLE) / n_child, 6) AS containment,
+           CAST(CASE WHEN n_contained = n_child THEN 1 ELSE 0 END AS BIGINT)
+             AS is_inclusion
+    FROM pairs
+"""
+
+
+def inclusion_profile(pairs: list) -> "DataFrame":
+    """See :func:`q136_inclusion_profile` — the general operator:
+    ``pairs`` is a list of (name, child_df_distinct_keys,
+    parent_df_distinct_keys) triples; emits containment share +
+    inclusion-dependency verdict per candidate. Each candidate costs
+    two distinct reductions + one key-sized semi join."""
+    out = None
+    for name, child, parent in pairs:
+        child_d = child.distinct()
+        c = child_d.count()
+        contained = child_d.join(parent.distinct(), child_d.columns, "left_semi").count()
+        row = (name, c, contained)
+        part = child.sparkSession.createDataFrame(
+            [row], "candidate string, n_child long, n_contained long"
+        )
+        out = part if out is None else out.unionByName(part)
+    return out.select(
+        "candidate",
+        "n_child",
+        "n_contained",
+        F.round(F.col("n_contained") / F.col("n_child"), 6).alias("containment"),
+        (F.col("n_contained") == F.col("n_child"))
+        .cast("long")
+        .alias("is_inclusion"),
+    )
+
+
+def q136_inclusion_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inclusion-dependency (foreign-key) discovery — the data-
+    discovery profiler that finds join paths in an unfamiliar lake
+    (the Metanome/Sindy problem, reduced to its Spark-native core):
+    for each candidate column pair, the share of the child side's
+    DISTINCT values contained in the parent side; containment 1.0 =
+    a verified inclusion dependency (lineitem.l_orderkey →
+    orders.o_orderkey holds; the reverse direction generally doesn't).
+
+    Scale shape: per candidate two distinct reductions + one KEY-SIZED
+    left-semi join — raw rows collapse to distinct keys before any
+    join; verdict rows are candidate-count-sized. (A full column-pair
+    sweep composes this with the q127 profile to preselect candidates
+    by type/cardinality.)"""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    li = table(spark, sf_dir, "lineitem")
+    return inclusion_profile(
+        [
+            (
+                "orders.o_custkey->customer.c_custkey",
+                o.select(F.col("o_custkey").alias("k")),
+                c.select(F.col("c_custkey").alias("k")),
+            ),
+            (
+                "lineitem.l_orderkey->orders.o_orderkey",
+                li.select(F.col("l_orderkey").alias("k")),
+                o.select(F.col("o_orderkey").alias("k")),
+            ),
+            (
+                "customer.c_custkey->orders.o_custkey",
+                c.select(F.col("c_custkey").alias("k")),
+                o.select(F.col("o_custkey").alias("k")),
+            ),
+            (
+                "orders.o_orderkey->lineitem.l_orderkey",
+                o.select(F.col("o_orderkey").alias("k")),
+                li.select(F.col("l_orderkey").alias("k")),
+            ),
+        ]
+    )

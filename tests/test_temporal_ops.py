@@ -218,3 +218,38 @@ def test_cusum_matches_numpy_reference_and_partition_invariant(spark):
     # the multi-shift series surfaces BOTH directions
     dirs = {d for _, d in want}
     assert dirs == {"up", "down"}
+
+
+# --- label propagation communities -----------------------------------------
+
+
+def test_label_propagation_recovers_planted_communities(spark):
+    """Two dense cliques joined by one bridge edge: LPA must give each
+    clique one internal label and keep the two labels distinct; the
+    result is deterministic (min-label tie-break, no RNG)."""
+    from data_pipeline_demo_spark.operators.graph import label_propagation
+
+    import itertools
+
+    clique_a = list(itertools.combinations(range(1, 7), 2))
+    clique_b = list(itertools.combinations(range(101, 107), 2))
+    bridge = [(6, 101)]
+    edges = spark.createDataFrame(
+        clique_a + clique_b + bridge, "src long, dst long"
+    )
+    out1 = {r.node: r.label for r in label_propagation(edges, iters=5).collect()}
+    out2 = {r.node: r.label for r in label_propagation(edges, iters=5).collect()}
+    assert out1 == out2  # deterministic
+    la = {out1[n] for n in range(1, 7)}
+    lb = {out1[n] for n in range(101, 107)}
+    assert len(la) == 1 and len(lb) == 1 and la != lb
+
+
+def test_label_propagation_isolated_pairs(spark):
+    from data_pipeline_demo_spark.operators.graph import label_propagation
+
+    edges = spark.createDataFrame(
+        [(1, 2), (3, 4)], "src long, dst long"
+    )
+    out = {r.node: r.label for r in label_propagation(edges, iters=3).collect()}
+    assert out[1] == out[2] and out[3] == out[4] and out[1] != out[3]
