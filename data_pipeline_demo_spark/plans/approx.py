@@ -185,3 +185,4 @@ register("q136_inclusion_profile", oracle=relational._INCLUSION_ORACLE)(
     relational.q136_inclusion_profile
 )
 register("q137_label_propagation")(llm_ops.q137_label_propagation)
+register("q138_webdataset_export")(llm_ops.q138_webdataset_export)

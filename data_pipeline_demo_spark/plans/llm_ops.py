@@ -1809,3 +1809,32 @@ def q137_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_communities"))
         .orderBy("n_nodes")
     )
+
+
+def q138_webdataset_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus → WebDataset TAR shards end-to-end (rows-only: tar blobs
+    have no SQL twin; member round-trip, exactly-once coverage, size
+    bounds, and bit-determinism are pytest-pinned). Documents pack
+    into 256 KB shard blobs across 8 hash lanes
+    (operators/shards.py); output is the per-lane shard census —
+    small, stable, and a direct completeness witness (Σ n_docs =
+    corpus size).
+
+    Scale shape: shard assignment is a lane-partitioned running sum
+    (never a global sort); each task assembles at most one bounded
+    shard; lanes parallelize across executors — the delivery format
+    training infrastructure actually reads, produced without any
+    driver-side materialization."""
+    from ..operators.shards import export_webdataset
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    shards = export_webdataset(docs, shard_max_bytes=256 * 1024, lanes=8)
+    return (
+        shards.groupBy("lane")
+        .agg(
+            F.count(F.lit(1)).alias("n_shards"),
+            F.sum("n_docs").alias("n_docs"),
+            F.sum("n_bytes").alias("n_tar_bytes"),
+        )
+        .orderBy("lane")
+    )

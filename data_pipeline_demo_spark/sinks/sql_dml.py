@@ -34,6 +34,7 @@ bucket-pruned verb it names.
 from __future__ import annotations
 
 import re
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -91,12 +92,55 @@ def _split_set_clause(text: str) -> dict[str, str]:
     return out
 
 
+_TBL_REF = re.compile(
+    r"txtable\.`(?P<path>[^`]+)`"
+    r"(?:\s+VERSION\s+AS\s+OF\s+(?P<ver>\d+)"
+    r"|\s+TIMESTAMP\s+AS\s+OF\s+'(?P<ts>[^']+)')?",
+    re.IGNORECASE,
+)
+
+
+def _rewrite_selects(spark: SparkSession, text: str) -> str:
+    """Replace every ``txtable.`<path>` [VERSION/TIMESTAMP AS OF ...]``
+    table reference in a SELECT with a registered temp view over the
+    resolved snapshot — Delta's ``SELECT * FROM delta.`/p` VERSION AS
+    OF n`` surface."""
+    from .txlog import _version_at_timestamp, read_txtable
+
+    def sub(m: re.Match) -> str:
+        path = m.group("path")
+        version = int(m.group("ver")) if m.group("ver") else None
+        if m.group("ts"):
+            import datetime as _dt
+
+            ts = _dt.datetime.fromisoformat(m.group("ts"))
+            if ts.tzinfo is None:
+                ts = ts.replace(tzinfo=_dt.timezone.utc)
+            version = _version_at_timestamp(
+                spark, path, int(ts.timestamp() * 1000)
+            )
+        name = "txtable_" + uuid.uuid4().hex[:12]
+        read_txtable(spark, path, version=version).createOrReplaceTempView(
+            name
+        )
+        return name
+
+    return _TBL_REF.sub(sub, text)
+
+
 def txtable_sql(spark: SparkSession, sql: str) -> DataFrame | int | None:
-    """Execute one txtable DML/utility statement (grammar above).
-    Returns what the underlying verb returns: affected-row count for
-    MERGE/UPDATE/DELETE, swept-file count for VACUUM, the history rows
-    for DESCRIBE HISTORY, the restored version for RESTORE."""
+    """Execute one txtable statement (grammar above). SELECT/WITH
+    queries run through Spark SQL with every ``txtable.`<path>``
+    reference (optionally ``VERSION AS OF n`` / ``TIMESTAMP AS OF
+    'ts'`` — Delta's time-travel SQL shape) resolved to the snapshot;
+    DML/utility statements return what the underlying verb returns:
+    affected-row count for MERGE/UPDATE/DELETE, swept-file count for
+    VACUUM, the history rows for DESCRIBE HISTORY, the restored
+    version for RESTORE."""
     text = _norm(sql)
+
+    if re.match(r"(SELECT|WITH)\b", text, re.IGNORECASE):
+        return spark.sql(_rewrite_selects(spark, text))
 
     m = re.match(
         rf"UPDATE{_WS}{_TBL}{_WS}SET{_WS}(?P<set>.+?)"

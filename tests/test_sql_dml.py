@@ -126,3 +126,24 @@ def test_sql_set_clause_commas_inside_exprs(spark, t):
     )
     assert n == 1
     assert _rows(spark, t)[1] == (10.0, "ab")
+
+
+def test_sql_select_with_time_travel(spark, t):
+    n0 = len(_rows(spark, t))
+    txtable_sql(spark, f"DELETE FROM txtable.`{t}` WHERE id <= 3")
+    # current snapshot
+    cur = txtable_sql(spark, f"SELECT COUNT(*) AS n FROM txtable.`{t}`")
+    assert cur.collect()[0].n == n0 - 3
+    # VERSION AS OF reads the pre-delete snapshot
+    old = txtable_sql(
+        spark, f"SELECT COUNT(*) AS n FROM txtable.`{t}` VERSION AS OF 0"
+    )
+    assert old.collect()[0].n == n0
+    # joins across two snapshots of the same table, plus WITH
+    diff = txtable_sql(
+        spark,
+        f"WITH cur AS (SELECT id FROM txtable.`{t}`) "
+        f"SELECT COUNT(*) AS gone FROM txtable.`{t}` VERSION AS OF 0 v0 "
+        "LEFT ANTI JOIN cur ON v0.id = cur.id",
+    )
+    assert diff.collect()[0].gone == 3
