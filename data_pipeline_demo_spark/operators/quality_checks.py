@@ -124,3 +124,119 @@ def assert_publishable(report: DataFrame) -> None:
     if failed:
         detail = "; ".join(f"{r['check']}({r['target']})={r['violations']}" for r in failed)
         raise ValueError(f"quality gate failed: {detail}")
+
+
+# --- row-level expectations (the Delta Live Tables surface) ----------------
+#
+# The checks above gate a TABLE (one verdict row per suite member);
+# expectations route individual ROWS: each rule is a SQL predicate a
+# row must satisfy, with a per-rule action on violation —
+#
+#   'warn'       keep the row, count the violation (DLT expect)
+#   'drop'       remove the row          (DLT expect_or_drop)
+#   'quarantine' remove AND capture it   (the dead-letter pattern the
+#                reference hand-rolls as failed-chunk CSVs,
+#                data_pipeline.py:559-570)
+#   'fail'       abort the job if ANY row violates (DLT expect_or_fail)
+#
+# One pass, no row Python: every rule evaluates as a column, the
+# routing predicate is their conjunction, and the metrics come from a
+# single observe()-style aggregate over the same scan.
+
+
+class ExpectationFailedError(ValueError):
+    """A 'fail'-action expectation saw violating rows."""
+
+
+def apply_expectations(
+    df: DataFrame, rules: dict[str, tuple[str, str]]
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Route ``df`` through row-level expectations. ``rules`` maps
+    rule name → (SQL predicate the row SHOULD satisfy, action ∈
+    warn|drop|quarantine|fail). NULL predicate results count as
+    violations (a rule you cannot evaluate did not pass — stricter
+    than SQL CHECK, the right default for routing).
+
+    Returns ``(passed, quarantined, metrics)``:
+
+    - ``passed``: rows satisfying every drop/quarantine/fail rule
+      (warn rules never remove rows);
+    - ``quarantined``: rows failing at least one 'quarantine' rule,
+      with a ``__violations`` array column naming the rules they
+      failed — the dead-letter relation;
+    - ``metrics``: one row per rule (rule, action, n_violations) —
+      computed in ONE aggregate over the scan.
+
+    'fail' rules raise :class:`ExpectationFailedError` (after the
+    metrics pass, so the error message carries exact counts). Rows
+    failing BOTH a drop and a quarantine rule quarantine (capture
+    beats silent removal)."""
+    ok_cols = {}
+    for name, (pred, action) in rules.items():
+        if action not in ("warn", "drop", "quarantine", "fail"):
+            raise ValueError(
+                f"expectation {name!r}: action must be "
+                f"warn/drop/quarantine/fail, got {action!r}"
+            )
+        ok_cols[name] = F.coalesce(F.expr(pred), F.lit(False))
+
+    counts = df.agg(
+        *[
+            F.sum((~ok).cast("long")).alias(name)
+            for name, ok in ok_cols.items()
+        ]
+    ).first()
+    metrics = df.sparkSession.createDataFrame(
+        [
+            (name, rules[name][1], int(counts[name] or 0))
+            for name in rules
+        ],
+        "rule string, action string, n_violations long",
+    )
+    failed_hard = {
+        name: int(counts[name] or 0)
+        for name, (p, a) in rules.items()
+        if a == "fail" and (counts[name] or 0) > 0
+    }
+    if failed_hard:
+        raise ExpectationFailedError(
+            "expectation(s) failed: "
+            + ", ".join(f"{n} ({c} rows)" for n, c in sorted(failed_hard.items()))
+        )
+
+    removing = {
+        n: ok for n, ok in ok_cols.items() if rules[n][1] in ("drop", "quarantine")
+    }
+    if not removing:
+        return df, df.limit(0).withColumn(
+            "__violations", F.array().cast("array<string>")
+        ), metrics
+    keep = None
+    for ok in removing.values():
+        keep = ok if keep is None else (keep & ok)
+    passed = df.filter(keep)
+    q_rules = {
+        n: ok for n, ok in ok_cols.items() if rules[n][1] == "quarantine"
+    }
+    viol = F.array_compact(
+        F.array(
+            *[
+                F.when(~ok, F.lit(n))
+                for n, ok in ok_cols.items()
+                if rules[n][1] in ("drop", "quarantine")
+            ]
+        )
+    )
+    quarantined = (
+        df.filter(~keep)
+        .withColumn("__violations", viol)
+        # quarantine only rows that failed at least one QUARANTINE rule;
+        # pure drop-rule failures vanish (their counts are in metrics)
+        .filter(
+            F.arrays_overlap(
+                "__violations",
+                F.array(*[F.lit(n) for n in q_rules]) if q_rules else F.array().cast("array<string>"),
+            )
+        )
+    )
+    return passed, quarantined, metrics

@@ -87,3 +87,79 @@ def test_empty_table_is_publishable(spark):
         ]
     )
     assert all(r["violations"] == 0 and r["ok"] for r in report.collect())
+
+
+# --- row-level expectations (DLT surface) ----------------------------------
+
+
+def _exp_df(spark):
+    return spark.createDataFrame(
+        [
+            (1, 10.0, "a"),
+            (2, -5.0, "a"),     # violates nonneg
+            (3, 10.0, None),    # violates tag_set (null -> violation)
+            (4, -1.0, "zz"),    # violates nonneg AND tag_set
+            (5, 3.0, "b"),
+        ],
+        "id long, amount double, tag string",
+    )
+
+
+def test_expectations_route_and_count(spark):
+    from data_pipeline_demo_spark.operators.quality_checks import (
+        apply_expectations,
+    )
+
+    passed, quarantined, metrics = apply_expectations(
+        _exp_df(spark),
+        {
+            "nonneg": ("amount >= 0", "drop"),
+            "tag_set": ("tag IN ('a', 'b')", "quarantine"),
+            "id_known": ("id IS NOT NULL", "warn"),
+        },
+    )
+    assert {r.id for r in passed.collect()} == {1, 5}
+    q = {r["id"]: sorted(r["__violations"]) for r in quarantined.collect()}
+    # 2 failed only the DROP rule: vanishes (not captured)
+    assert q == {3: ["tag_set"], 4: ["nonneg", "tag_set"]}
+    m = {r.rule: (r.action, r.n_violations) for r in metrics.collect()}
+    assert m == {
+        "nonneg": ("drop", 2),
+        "tag_set": ("quarantine", 2),
+        "id_known": ("warn", 0),
+    }
+
+
+def test_expectations_warn_keeps_rows_fail_raises(spark):
+    import pytest as _pytest
+
+    from data_pipeline_demo_spark.operators.quality_checks import (
+        ExpectationFailedError,
+        apply_expectations,
+    )
+
+    df = _exp_df(spark)
+    passed, _, metrics = apply_expectations(
+        df, {"nonneg": ("amount >= 0", "warn")}
+    )
+    assert passed.count() == 5  # warn never removes
+    assert metrics.collect()[0].n_violations == 2
+    with _pytest.raises(ExpectationFailedError, match="nonneg \\(2 rows\\)"):
+        apply_expectations(df, {"nonneg": ("amount >= 0", "fail")})
+    # bad action name refuses
+    with _pytest.raises(ValueError, match="action"):
+        apply_expectations(df, {"x": ("true", "explode")})
+
+
+def test_expectations_null_predicate_is_violation(spark):
+    from data_pipeline_demo_spark.operators.quality_checks import (
+        apply_expectations,
+    )
+
+    df = _exp_df(spark)
+    # tag IN (...) is NULL for row 3 -> routed out (stricter than SQL
+    # CHECK, the right default when routing rows)
+    passed, _, _ = apply_expectations(
+        df, {"tag_set": ("tag IN ('a', 'b')", "drop")}
+    )
+    assert {r.id for r in passed.collect()} == {1, 2, 5}
