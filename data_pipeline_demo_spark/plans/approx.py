@@ -186,3 +186,36 @@ register("q136_inclusion_profile", oracle=relational._INCLUSION_ORACLE)(
 )
 register("q137_label_propagation")(llm_ops.q137_label_propagation)
 register("q138_webdataset_export")(llm_ops.q138_webdataset_export)
+register("q139_tpch_q6", oracle=relational._TPCH_Q6_SQL)(
+    relational.q139_tpch_q6
+)
+register("q140_tpch_q7", oracle=relational._TPCH_Q7_SQL)(
+    relational.q140_tpch_q7
+)
+register("q141_tpch_q8", oracle=relational._TPCH_Q8_SQL)(
+    relational.q141_tpch_q8
+)
+register("q142_tpch_q15", oracle=relational._TPCH_Q15_SQL)(
+    relational.q142_tpch_q15
+)
+register("q143_tpch_q17", oracle=relational._TPCH_Q17_SQL)(
+    relational.q143_tpch_q17
+)
+register("q144_tpch_q4", oracle=relational._TPCH_Q4_SQL)(
+    relational.q144_tpch_q4
+)
+register("q145_tpch_q19", oracle=relational._TPCH_Q19_SQL)(
+    relational.q145_tpch_q19
+)
+register("q146_tpch_q22", oracle=relational._TPCH_Q22_SQL)(
+    relational.q146_tpch_q22
+)
+register("q147_tpch_q9", oracle=relational._TPCH_Q9_SQL)(
+    relational.q147_tpch_q9
+)
+register("q148_tpch_q12", oracle=relational._TPCH_Q12_SQL)(
+    relational.q148_tpch_q12
+)
+register("q149_tpch_q16", oracle=relational._TPCH_Q16_SQL)(
+    relational.q149_tpch_q16
+)

@@ -1627,3 +1627,408 @@ def q136_inclusion_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ]
     )
+
+
+# --------------------------------------------------------------------------
+# TPC-H completion sweep (round 7): with Q1 (q01 shape), Q3 (q116),
+# Q5 (q68 shape), Q10 (q117), Q13 (q134), Q14 (q135), Q18 (q124) and
+# Q21 (q128) already certified, the queries below close out every
+# remaining classic the synthetic schema can express. Q6/Q7/Q8/Q15/Q17
+# run essentially verbatim; Q4/Q9/Q12/Q16/Q19/Q22 are documented
+# adaptations that preserve each query's PLAN SHAPE (the point of the
+# benchmark) where a column is absent from the testdata (no partsupp
+# table, no l_commitdate/l_receiptdate/l_shipmode, no p_container, no
+# c_phone). Q2/Q11/Q20 are partsupp-bound end to end and stay out of
+# scope — documented in README Limits. Every query is ONE literal SQL
+# string submitted to both engines, decimal-exact money per the q135
+# pattern (cast to DECIMAL(30,6) before SUM → order-independent exact
+# accumulation; ROUND before any double cast so engine division ulps
+# can't flip the hash).
+# --------------------------------------------------------------------------
+
+_TPCH_Q6_SQL = """
+    SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(30,6)))
+                AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+      AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'
+      AND l_discount BETWEEN 0.04 AND 0.06
+      AND l_quantity < 24
+"""
+
+
+def q139_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecasting revenue change), verbatim on this schema:
+    the pure scan-and-aggregate classic — three conjunctive predicates,
+    no join, one global sum.
+
+    Scale shape: every predicate pushes to the parquet scan (date
+    band prunes row groups via min/max stats); the aggregate is one
+    map-side partial per partition + a 1-row final — the query is
+    scan-bound at any scale, the shape AQE cannot improve and the
+    optimizer must not regress (no shuffle beyond the 1-row final)."""
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_TPCH_Q6_SQL)
+
+
+_TPCH_Q7_SQL = """
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(SUM(volume) AS DOUBLE) AS revenue
+    FROM (
+        SELECT n1.n_name AS supp_nation,
+               n2.n_name AS cust_nation,
+               EXTRACT(YEAR FROM CAST(l.l_shipdate AS DATE)) AS l_year,
+               CAST(l.l_extendedprice * (1 - l.l_discount)
+                    AS DECIMAL(30,6)) AS volume
+        FROM supplier s
+        JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+        WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+            OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+          AND CAST(l.l_shipdate AS DATE) BETWEEN DATE '1995-01-01'
+                                             AND DATE '1996-12-31'
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+def q140_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 (volume shipping): bilateral trade volume between two
+    nations by year — the two-role-dimension classic (nation joined
+    TWICE under different aliases, a disjunctive cross-dimension
+    predicate). Verbatim on this schema.
+
+    Scale shape: both nation copies broadcast; the disjunctive nation
+    filter semi-reduces supplier and customer BEFORE the fact joins
+    (Catalyst pushes each disjunct arm through its own dim join); the
+    two fact-fact joins share the orderkey spine. Output is
+    2 nations x 2 years — final aggregation is trivial at any scale."""
+    for name in ("supplier", "lineitem", "orders", "customer", "nation"):
+        table(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(_TPCH_Q7_SQL)
+
+
+_TPCH_Q8_SQL = """
+    SELECT o_year,
+           CAST(ROUND(SUM(CASE WHEN nation = 'NATION_3' THEN volume
+                               ELSE CAST(0 AS DECIMAL(30,6)) END)
+                      / SUM(volume), 6) AS DOUBLE) AS mkt_share
+    FROM (
+        SELECT EXTRACT(YEAR FROM CAST(o.o_orderdate AS DATE)) AS o_year,
+               CAST(l.l_extendedprice * (1 - l.l_discount)
+                    AS DECIMAL(30,6)) AS volume,
+               n2.n_name AS nation
+        FROM part p
+        JOIN lineitem l ON p.p_partkey = l.l_partkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+        JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+        WHERE n1.n_regionkey = 1
+          AND p.p_type = 'PROMO'
+          AND CAST(o.o_orderdate AS DATE) BETWEEN DATE '1995-01-01'
+                                              AND DATE '1996-12-31'
+    ) all_nations
+    GROUP BY o_year
+"""
+
+
+def q141_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (national market share): one supplier nation's share of
+    regional revenue for one part type by year — the deepest classic
+    join tree (6-way: part, lineitem, supplier, orders, customer,
+    nation twice) feeding a conditional-ratio aggregate. Verbatim on
+    this schema.
+
+    Scale shape: part/customer-side nation filters semi-reduce the
+    fact scan through broadcast dim joins before the orderkey-spine
+    fact joins; numerator and denominator accumulate decimal-exact in
+    ONE pass (the CASE rides the same aggregate), ratio rounded before
+    the double cast for cross-engine bit parity."""
+    for name in ("part", "lineitem", "supplier", "orders", "customer", "nation"):
+        table(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(_TPCH_Q8_SQL)
+
+
+_TPCH_Q15_SQL = """
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               SUM(CAST(l_extendedprice * (1 - l_discount)
+                        AS DECIMAL(30,6))) AS total_revenue
+        FROM lineitem
+        WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+          AND CAST(l_shipdate AS DATE) < DATE '1996-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name,
+           CAST(r.total_revenue AS DOUBLE) AS total_revenue
+    FROM supplier s
+    JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+"""
+
+
+def q142_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): the view-reuse classic — a revenue
+    view consumed twice, once as the join input and once inside the
+    MAX scalar subquery selecting the top supplier(s). Verbatim on
+    this schema (CTE instead of CREATE VIEW, same plan).
+
+    Scale shape: the CTE aggregates lineitem to supplier grain ONCE
+    under the date band (Spark materializes it per consumer; at 100 TB
+    a cached/materialized view or the txtable join-view keeps it to
+    one scan); the MAX side is a 1-row broadcast, the equality join
+    against it costs nothing. Ties surface as multiple rows — decimal
+    accumulation makes revenue equality EXACT, not ulp-dependent."""
+    for name in ("supplier", "lineitem"):
+        table(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(_TPCH_Q15_SQL)
+
+
+_TPCH_Q17_SQL = """
+    SELECT CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(30,6)))
+                      / 7.0, 4) AS DOUBLE) AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#23'
+      AND l.l_quantity < (
+          SELECT 0.2 * AVG(CAST(l2.l_quantity AS DOUBLE))
+          FROM lineitem l2
+          WHERE l2.l_partkey = l.l_partkey
+      )
+"""
+
+
+def q143_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (small-quantity-order revenue): the correlated-AVG
+    classic — each line compares against a scalar subquery over ITS
+    OWN part's lines. Verbatim on this schema.
+
+    Scale shape: Catalyst decorrelates the subquery into one
+    per-partkey AVG aggregate joined back on partkey — lineitem is
+    scanned twice but never nested-loop re-executed; the brand filter
+    broadcasts through the part join and prunes the probe side first.
+    The AVG threshold is IEEE-deterministic on both engines (integer-
+    valued quantities sum exactly in double at any group size), so
+    row membership is bit-stable; the revenue sum is decimal-exact."""
+    for name in ("lineitem", "part"):
+        table(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(_TPCH_Q17_SQL)
+
+
+_TPCH_Q4_SQL = """
+    SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE CAST(o.o_orderdate AS DATE) >= DATE '1996-01-01'
+      AND CAST(o.o_orderdate AS DATE) < DATE '1996-04-01'
+      AND EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_orderkey = o.o_orderkey
+            AND l.l_returnflag = 'R'
+      )
+    GROUP BY o.o_orderpriority
+"""
+
+
+def q144_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 (order priority checking), ADAPTED: the classic's
+    late-line EXISTS predicate is l_commitdate < l_receiptdate; the
+    testdata carries neither date, so the marker is l_returnflag = 'R'
+    (the q128/Q21 convention). The query's POINT — a correlated EXISTS
+    against the fact table under a tight date band, rewritten to a
+    semi join — is unchanged.
+
+    Scale shape: EXISTS becomes a LEFT SEMI join on orderkey against
+    the filtered lineitem projection (no row explosion however many
+    'R' lines an order has); the 3-month date band prunes the orders
+    scan; output is priority-domain-sized (5 rows at any scale)."""
+    for name in ("orders", "lineitem"):
+        table(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(_TPCH_Q4_SQL)
+
+
+_TPCH_Q19_SQL = """
+    SELECT CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity >= 1 AND l.l_quantity <= 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity >= 10 AND l.l_quantity <= 20)
+       OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity >= 20 AND l.l_quantity <= 30)
+"""
+
+
+def q145_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 (discounted revenue), ADAPTED: the classic's three
+    disjunctive clauses mix p_container/l_shipmode predicates the
+    testdata lacks; the brand + size-range + quantity-range core of
+    each clause is kept, so the query's POINT — a disjunction of
+    conjunctions SPANNING both join sides, the hardest predicate for
+    naive pushdown — is unchanged.
+
+    Scale shape: Catalyst factors the single-side arms: each brand
+    predicate prunes the part build side and the quantity bands
+    constrain the probe side BEFORE the join, with the residual
+    cross-side disjunction evaluated on join output — no clause forces
+    a full cartesian or a second scan. One decimal-exact global sum."""
+    for name in ("lineitem", "part"):
+        table(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(_TPCH_Q19_SQL)
+
+
+_TPCH_Q22_SQL = """
+    WITH avgbal AS (
+        SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS s,
+               CAST(COUNT(*) AS DECIMAL(10,0)) AS c
+        FROM customer
+        WHERE c_acctbal > 0.0
+    )
+    SELECT c.c_nationkey AS cntrycode,
+           CAST(COUNT(*) AS BIGINT) AS numcust,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+               AS totacctbal
+    FROM customer c, avgbal
+    WHERE c.c_nationkey IN (1, 3, 5, 7, 9, 11)
+      AND CAST(c.c_acctbal AS DECIMAL(18,2)) * avgbal.c > avgbal.s
+      AND NOT EXISTS (
+          SELECT 1 FROM orders o
+          WHERE o.o_custkey = c.c_custkey
+            AND o.o_orderpriority = '1-URGENT'
+      )
+    GROUP BY c.c_nationkey
+"""
+
+
+def q146_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 (global sales opportunity), ADAPTED: the classic
+    segments customers by phone country code — the testdata has no
+    c_phone, so c_nationkey IS the country code (same role, same
+    cardinality), and the "never ordered" arm becomes "never placed an
+    URGENT order" (this testdata gives every customer orders — the
+    pure form is vacuously empty, which would certify nothing). The
+    query's POINT is unchanged: an uncorrelated above-average balance
+    threshold + a NOT EXISTS anti join against orders, grouped by
+    country.
+
+    Scale shape: the average is one 1-row aggregate broadcast to the
+    filter; the threshold compare is EXACT — written as
+    acctbal * count > sum (decimal multiply) so no engine-specific
+    decimal-division scale rule can flip a boundary row's membership;
+    NOT EXISTS rewrites to a LEFT ANTI join on custkey; output is
+    country-code-sized."""
+    for name in ("customer", "orders"):
+        table(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(_TPCH_Q22_SQL)
+
+
+_TPCH_Q9_SQL = """
+    SELECT nation, o_year, CAST(SUM(amount) AS DOUBLE) AS sum_profit
+    FROM (
+        SELECT n.n_name AS nation,
+               EXTRACT(YEAR FROM CAST(o.o_orderdate AS DATE)) AS o_year,
+               CAST(l.l_extendedprice * (1 - l.l_discount)
+                    AS DECIMAL(30,6)) AS amount
+        FROM part p
+        JOIN lineitem l ON p.p_partkey = l.l_partkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        WHERE p.p_name LIKE '%gear%'
+    ) profit
+    GROUP BY nation, o_year
+"""
+
+
+def q147_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 (product type profit), ADAPTED: the classic's profit
+    subtracts ps_supplycost * l_quantity — the testdata has no
+    partsupp table, so amount reduces to the revenue term. The query's
+    POINT is unchanged: a substring part-name filter that CANNOT push
+    to parquet min/max stats, driving a 5-way join aggregated by
+    (nation, year) over every order year.
+
+    Scale shape: the LIKE filter prunes part early (a Bloom/dictionary
+    filter at the scan at 100 TB, the q-bloom story); the reduced part
+    dim broadcasts into lineitem; supplier/nation broadcast; the one
+    fact-fact join rides the orderkey spine. Grouping keys are
+    (25 nations x ~7 years) — the aggregate is map-side-combinable to
+    a trivial final."""
+    for name in ("part", "lineitem", "supplier", "orders", "nation"):
+        table(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(_TPCH_Q9_SQL)
+
+
+_TPCH_Q12_SQL = """
+    SELECT l.l_linestatus AS shipmode,
+           CAST(SUM(CASE WHEN o.o_orderpriority = '1-URGENT'
+                           OR o.o_orderpriority = '2-HIGH'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority <> '1-URGENT'
+                          AND o.o_orderpriority <> '2-HIGH'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders o
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_returnflag = 'R'
+      AND CAST(l.l_shipdate AS DATE) >= DATE '1996-01-01'
+      AND CAST(l.l_shipdate AS DATE) < DATE '1997-01-01'
+    GROUP BY l.l_linestatus
+"""
+
+
+def q148_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 (shipping modes and order priority), ADAPTED: the
+    classic groups by l_shipmode and bands commit/receipt dates —
+    absent here, so l_linestatus plays the mode (same low-cardinality
+    line-side role) and the band is a shipdate year + returnflag. The
+    query's POINT is unchanged: a fact-fact join where the GROUP BY
+    key comes from one side and the CASE-counted attribute from the
+    other — the shape that forces the join before any aggregation.
+
+    Scale shape: line-side predicates push to the lineitem scan; the
+    join rides the orderkey spine (co-partitioned under bucketing);
+    both conditional counts ride ONE aggregate pass; output is
+    linestatus-domain-sized."""
+    for name in ("orders", "lineitem"):
+        table(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(_TPCH_Q12_SQL)
+
+
+_TPCH_Q16_SQL = """
+    SELECT p.p_brand, p.p_type, p.p_size,
+           CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM part p
+    JOIN lineitem l ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#45'
+      AND p.p_type <> 'MEDIUM'
+      AND p.p_size IN (1, 4, 9, 16, 25, 36, 49)
+      AND l.l_suppkey NOT IN (
+          SELECT s.s_suppkey FROM supplier s WHERE s.s_acctbal < 0.0
+      )
+    GROUP BY p.p_brand, p.p_type, p.p_size
+"""
+
+
+def q149_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 (parts/supplier relationship), ADAPTED: the classic
+    counts distinct suppliers per (brand, type, size) from partsupp —
+    absent here, so the supplier-per-part relation comes from lineitem
+    (who actually shipped the part), and the complaint-comment
+    NOT IN subquery keys on negative account balance. The query's
+    POINT is unchanged: a negated IN subquery (null-aware anti join)
+    feeding a high-cardinality-group COUNT DISTINCT.
+
+    Scale shape: the NOT IN rewrites to a null-aware anti join against
+    a tiny supplier projection (broadcast); part predicates prune the
+    build side; COUNT DISTINCT expands to a two-level aggregate
+    (partial distinct per partition, then merge) — no row ever carries
+    more than the 4 grouping/distinct columns."""
+    for name in ("part", "lineitem", "supplier"):
+        table(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(_TPCH_Q16_SQL)
