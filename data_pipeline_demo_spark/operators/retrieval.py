@@ -62,3 +62,81 @@ def rrf_fuse(
         "rrf",
         F.row_number().over(w).cast("bigint").alias("rk"),
     )
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    k: int = 10,
+    lam: float = 0.7,
+    group_col: str = "query_id",
+    id_col: str = "doc_id",
+    vec_col: str = "embedding",
+    rel_col: str = "rel",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    SIGIR'98 — public method): greedily pick, ``k`` times, the
+    candidate maximizing ``lam * rel(d) - (1 - lam) * max_{s in S}
+    cos(d, s)`` over the already-selected set ``S`` — the standard
+    diversification pass over a retriever's top pool, trading
+    relevance against redundancy (``lam = 1`` reduces to relevance
+    order; ``lam = 0`` to pure diversity).
+
+    Input is one pool per ``group_col`` value: ``(group_col, id_col,
+    vec_col, rel_col)`` — the POOL-sized output of an upstream
+    retriever (BM25 / kNN / ANN / RRF), not a corpus. Returns
+    ``(group_col, id_col, mmr, rk)`` with ``rk`` the 1-based selection
+    order and ``mmr`` the score at selection time, rounded to 6
+    decimals. Ties break on the id, so the ranking is deterministic.
+
+    Scale shape: MMR is inherently sequential IN ``k`` but independent
+    ACROSS queries — the Holt/CUSUM pattern: one ``applyInPandas``
+    group per query over its pool-sized candidate set (k * pool cosine
+    updates as numpy matmuls), parallel across queries, nothing ever
+    all-pairs against the corpus. The expensive corpus work stays in
+    the upstream retriever; this pass touches pool rows only.
+    """
+    import numpy as np
+    import pandas as pd
+
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError(f"lam must be in [0, 1], got {lam}")
+    out_schema = (
+        f"{group_col} string, {id_col} string, mmr double, rk bigint"
+    )
+
+    def pick(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col, kind="mergesort").reset_index(drop=True)
+        V = np.asarray(pdf[vec_col].to_list(), dtype=np.float64)
+        norms = np.linalg.norm(V, axis=1)
+        norms[norms == 0.0] = 1.0  # zero vectors: cos treated as 0
+        U = V / norms[:, None]
+        rel = pdf[rel_col].to_numpy(dtype=np.float64)
+        n = len(pdf)
+        chosen: list[int] = []
+        scores: list[float] = []
+        max_sim = np.zeros(n, dtype=np.float64)
+        avail = np.ones(n, dtype=bool)
+        for _ in range(min(k, n)):
+            mmr = lam * rel - (1.0 - lam) * max_sim
+            mmr_masked = np.where(avail, mmr, -np.inf)
+            best = int(np.argmax(mmr_masked))  # argmax -> lowest index
+            chosen.append(best)                # on ties = smallest id
+            scores.append(float(mmr_masked[best]))
+            avail[best] = False
+            max_sim = np.maximum(max_sim, U @ U[best])
+        return pd.DataFrame(
+            {
+                group_col: pdf[group_col].iloc[0],
+                id_col: pdf[id_col].iloc[chosen].astype(str).to_numpy(),
+                "mmr": np.round(np.asarray(scores), 6),
+                "rk": np.arange(1, len(chosen) + 1, dtype=np.int64),
+            }
+        )
+
+    cast = candidates.select(
+        F.col(group_col).cast("string").alias(group_col),
+        F.col(id_col).cast("string").alias(id_col),
+        F.col(vec_col).cast("array<double>").alias(vec_col),
+        F.col(rel_col).cast("double").alias(rel_col),
+    )
+    return cast.groupBy(group_col).applyInPandas(pick, schema=out_schema)

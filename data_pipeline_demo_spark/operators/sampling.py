@@ -285,3 +285,166 @@ def global_row_index(
         )
         .drop("__pid", "__lrn", "__off")
     )
+
+
+# --- DSIR: data selection via importance resampling ------------------------
+
+
+def _dsir_features(
+    df: DataFrame, text_col: str, id_col: str, buckets: int
+) -> DataFrame:
+    """Hashed n-gram featurization for DSIR: lowercase word unigrams +
+    bigrams, each hashed into ``buckets`` via xxhash64 — one map-only
+    explode + one combinable (id, bucket) count. Returns
+    ``(id_col, bucket, cnt)``."""
+    toks = F.filter(
+        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"[^\p{L}\p{N}]+"),
+        lambda t: t != "",
+    )
+    # zip_with pads the shorter side with nulls — mask those slots and
+    # filter them, else the last token would emit a spurious pseudo-bigram
+    grams = F.concat(
+        toks,
+        F.filter(
+            F.zip_with(
+                toks,
+                F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+                lambda a, b: F.when(b.isNotNull(), F.concat_ws(" ", a, b)),
+            ),
+            lambda g: g.isNotNull(),
+        ),
+    )
+    return (
+        df.select(F.col(id_col), F.explode(grams).alias("__g"))
+        .select(
+            F.col(id_col),
+            F.pmod(F.xxhash64(F.col("__g")), F.lit(buckets)).alias("bucket"),
+        )
+        .groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def _dsir_log_probs(
+    feats: DataFrame, buckets: int, alpha: float
+) -> DataFrame:
+    """Smoothed log bucket distribution from a featurized corpus:
+    ``log p[b] = log(cnt_b + alpha) - log(total + alpha * buckets)``
+    (add-alpha over the FULL bucket domain, so absent buckets carry
+    ``log alpha - log(total + alpha * buckets)`` — the caller encodes
+    that via coalesce at join time). Returns ``(bucket, lp, lp0)``
+    where ``lp0`` is the absent-bucket log-prob constant replicated
+    per row for join-side coalescing."""
+    counts = feats.groupBy("bucket").agg(F.sum("cnt").alias("n_b"))
+    total = counts.agg(F.sum("n_b").alias("n"))
+    denom = F.log(F.col("n") + F.lit(alpha * buckets))
+    return counts.crossJoin(F.broadcast(total)).select(
+        "bucket",
+        (F.log(F.col("n_b") + F.lit(alpha)) - denom).alias("lp"),
+        (F.log(F.lit(alpha)) - denom).alias("lp0"),
+    )
+
+
+def dsir_importance_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 8192,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling" — public method): score
+    every ``raw`` document by how much more likely its hashed-n-gram
+    features are under the ``target`` domain's bag-of-ngrams
+    distribution than under the raw pool's own:
+    ``log w(x) = sum_b cnt_b(x) * (log p_target[b] - log p_raw[b])``.
+    Returns ``(id_col, log_weight)`` for every raw doc (docs with no
+    tokens get log_weight 0 — indifferent). Both distributions use
+    add-``alpha`` smoothing over the full bucket domain, so unseen
+    buckets penalize rather than blow up.
+
+    Scale shape: featurization is map-only explode + combinable count;
+    both distributions collapse to <= ``buckets`` rows (broadcast-
+    sized BY CONSTRUCTION — the hashing trick's point); the scoring
+    join is doc-feature rows against those broadcasts, then one
+    combinable per-doc sum. The target corpus is typically tiny
+    (a quality benchmark / curated seed); the raw pool is the 100 TB
+    side and is scanned exactly twice (its distribution, its scores).
+    """
+    if buckets <= 0:
+        raise ValueError(f"buckets must be positive, got {buckets}")
+    if alpha <= 0:
+        raise ValueError(f"alpha must be positive, got {alpha}")
+    raw_feats = _dsir_features(raw, text_col, id_col, buckets)
+    tgt_lp = _dsir_log_probs(
+        _dsir_features(target, text_col, id_col, buckets), buckets, alpha
+    ).select("bucket", F.col("lp").alias("__lpt"), F.col("lp0").alias("__lpt0"))
+    raw_lp = _dsir_log_probs(raw_feats, buckets, alpha).select(
+        "bucket", F.col("lp").alias("__lpr"), F.col("lp0").alias("__lpr0")
+    )
+    # absent-bucket constants are per-row copies; grab one of each for
+    # the coalesce fallbacks via a 1-row broadcast
+    consts = tgt_lp.limit(1).select("__lpt0").crossJoin(
+        raw_lp.limit(1).select("__lpr0")
+    )
+    scored = (
+        raw_feats.join(F.broadcast(tgt_lp.drop("__lpt0")), "bucket", "left")
+        .join(F.broadcast(raw_lp.drop("__lpr0")), "bucket", "left")
+        .crossJoin(F.broadcast(consts))
+        .select(
+            F.col(id_col),
+            (
+                F.col("cnt")
+                * (
+                    F.coalesce(F.col("__lpt"), F.col("__lpt0"))
+                    - F.coalesce(F.col("__lpr"), F.col("__lpr0"))
+                )
+            ).alias("__c"),
+        )
+        .groupBy(id_col)
+        .agg(F.sum("__c").alias("log_weight"))
+    )
+    ids = raw.select(id_col).distinct()
+    return ids.join(scored, id_col, "left").select(
+        id_col, F.coalesce(F.col("log_weight"), F.lit(0.0)).alias("log_weight")
+    )
+
+
+def dsir_sample(
+    raw: DataFrame,
+    target: DataFrame,
+    k: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 8192,
+    alpha: float = 1.0,
+    salt: int = 0,
+) -> DataFrame:
+    """DSIR selection end to end: importance weights + Gumbel-top-k
+    resampling — exactly ``k`` raw docs drawn without replacement with
+    probability proportional to their importance weight (the paper's
+    sampling step; Gumbel-max over ``log w + G`` is the standard
+    log-space form of weighted sampling without replacement). The
+    Gumbel draw derives from ``xxhash64(id, salt)``, not ``rand()`` —
+    deterministic, retry-safe, independent across salts.
+
+    Scale shape: weights per :func:`dsir_importance_weights`; the
+    selection is one scan ranking by ``log_weight + gumbel`` planned
+    as TakeOrderedAndProject (per-partition heaps, k-row merge — never
+    a global sort). Returns the selected raw rows with ``log_weight``
+    attached."""
+    lw = dsir_importance_weights(
+        raw, target, text_col=text_col, id_col=id_col,
+        buckets=buckets, alpha=alpha,
+    )
+    # u in (0,1) OPEN on both ends — u=1.0 would make the Gumbel +inf
+    u = (_bucket(F.col(id_col), salt) + 1).cast("double") / F.lit(float(_M + 1))
+    gumbel = -F.log(-F.log(u))
+    return (
+        raw.join(lw, id_col)
+        .withColumn("__gk", F.col("log_weight") + gumbel)
+        .orderBy(F.col("__gk").desc(), F.col(id_col))
+        .limit(k)
+        .drop("__gk")
+    )

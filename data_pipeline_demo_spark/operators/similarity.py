@@ -1646,3 +1646,127 @@ def ivfpq_search(
     return partial.withColumn(
         "rank", F.row_number().over(w).cast("long")
     ).filter(F.col("rank") <= k)
+
+
+# --- SemDeDup: semantic deduplication via cluster-then-prune ---------------
+
+
+def semantic_dedup_pairs(
+    corpus: DataFrame,
+    eps: float = 0.05,
+    n_clusters: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    refine_iters: int = 5,
+) -> DataFrame:
+    """Within-cluster semantic-duplicate pairs, the SemDeDup blocking
+    (Abbas et al. 2023, "SemDeDup: Data-efficient learning at web-scale
+    through semantic deduplication" — public paper): k-means the
+    embeddings, then enumerate pairs ONLY within a cluster and keep
+    those with exact cosine >= 1 - eps. Returns ``(id_a, id_b, cosine)``
+    with ``id_a < id_b``.
+
+    Compared to the LSH near-dup tier this trades probabilistic recall
+    for the paper's semantic blocking: recall is exact WITHIN clusters
+    (misses only straddling pairs, which shrink as clusters grow), and
+    the clusters themselves are reusable curation artifacts.
+
+    Scale shape: the paper's own design point — all-pairs is confined
+    to each cluster (sum of |C_i|^2, not n^2; clusters are ~n/k), the
+    pair join is an equality join on cluster_id, and the exact-cosine
+    verify runs only on co-clustered pairs. At 100 TB, n_clusters
+    scales with the corpus so cluster occupancy stays bounded.
+    """
+    if not 0.0 <= eps < 1.0:
+        raise ValueError(f"eps must be in [0, 1), got {eps}")
+    assign = cluster_embeddings(
+        corpus, n_clusters=n_clusters, id_col=id_col, vec_col=vec_col,
+        refine_iters=refine_iters,
+    ).select(id_col, "cluster_id", "sim")
+    member = corpus.join(assign, id_col).select(
+        F.col("cluster_id"),
+        F.col(id_col),
+        F.col(vec_col),
+        l2_norm_exact(F.col(vec_col)).alias("__n"),
+        F.col("sim").alias("__csim"),
+    )
+    a = member.select(
+        "cluster_id",
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"),
+        F.col("__n").alias("__na"),
+    )
+    b = member.select(
+        "cluster_id",
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"),
+        F.col("__n").alias("__nb"),
+    )
+    return (
+        a.join(b, "cluster_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            (
+                _dot_exact(F.col("__va"), F.col("__vb"))
+                / (F.col("__na") * F.col("__nb"))
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= F.lit(1.0 - eps))
+    )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    eps: float = 0.05,
+    n_clusters: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    refine_iters: int = 5,
+    keep: str = "low_centroid_sim",
+) -> DataFrame:
+    """SemDeDup end to end: cluster -> within-cluster near-pairs ->
+    connected components -> one survivor per duplicate group. Returns
+    the surviving rows of ``corpus`` (all columns).
+
+    ``keep`` picks the survivor per duplicate component:
+    ``"low_centroid_sim"`` keeps the member LEAST similar to its
+    cluster centroid — the paper's choice (it preserves the most
+    atypical exemplar, maximizing retained diversity); ``"min_id"``
+    keeps the smallest id (pure determinism). Both tie-break on id, so
+    the result is reproducible either way.
+
+    Scale shape: pairs from :func:`semantic_dedup_pairs` (cluster-
+    blocked); components via the iterative min-label propagation in
+    ``operators.dedup`` (bounded by pair count); the survivor pick is
+    one window over component-sized groups; the final semi/anti joins
+    are id-keyed. Nothing touches n^2.
+    """
+    if keep not in ("low_centroid_sim", "min_id"):
+        raise ValueError(f"unknown keep policy: {keep!r}")
+    from .dedup import connected_components
+
+    pairs = semantic_dedup_pairs(
+        corpus, eps=eps, n_clusters=n_clusters, id_col=id_col,
+        vec_col=vec_col, refine_iters=refine_iters,
+    )
+    comp = connected_components(
+        pairs.select("id_a", "id_b"), id_col_a="id_a", id_col_b="id_b"
+    )
+    if keep == "low_centroid_sim":
+        assign = cluster_embeddings(
+            corpus, n_clusters=n_clusters, id_col=id_col, vec_col=vec_col,
+            refine_iters=refine_iters,
+        ).select(F.col(id_col).alias("node"), F.col("sim"))
+        ranked = comp.join(assign, "node")
+        w = Window.partitionBy("component").orderBy(
+            F.col("sim").asc(), F.col("node").asc()
+        )
+    else:
+        ranked = comp
+        w = Window.partitionBy("component").orderBy(F.col("node").asc())
+    losers = (
+        ranked.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") > 1)
+        .select(F.col("node").alias(id_col))
+    )
+    return corpus.join(losers, id_col, "left_anti")

@@ -219,3 +219,6 @@ register("q148_tpch_q12", oracle=relational._TPCH_Q12_SQL)(
 register("q149_tpch_q16", oracle=relational._TPCH_Q16_SQL)(
     relational.q149_tpch_q16
 )
+register("q150_mmr_rerank")(llm_ops.q150_mmr_rerank)
+register("q151_semantic_dedup")(llm_ops.q151_semantic_dedup)
+register("q152_dsir_select")(llm_ops.q152_dsir_select)

@@ -1838,3 +1838,77 @@ def q138_webdataset_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lane")
     )
+
+
+def q150_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR-diversified retrieval over the embeddings table (rows-only:
+    the greedy argmax sequence has no SQL twin; reference-parity and
+    redundancy-demotion are pytest-pinned in test_selection_ops.py).
+    Pipeline = the production shape: exact kNN builds a 32-candidate
+    pool for 4 probes, then MMR (lambda=0.7) re-ranks each pool to a
+    diverse top-10.
+
+    Scale shape: corpus cost lives in the kNN retriever; the MMR pass
+    is one applyInPandas group per probe over pool-sized rows —
+    parallel across probes, sequential only in k."""
+    from ..operators.retrieval import mmr_rerank
+    from ..operators.similarity import knn_exact_fast
+
+    emb = table(spark, sf_dir, "embeddings")
+    probes = (
+        emb.orderBy("vec_id").limit(4)
+        .selectExpr("vec_id AS probe_id", "embedding")
+    )
+    pool = knn_exact_fast(emb, probes, k=32).select(
+        F.col("probe_id").cast("string").alias("query_id"),
+        F.col("vec_id").alias("doc_id"),
+        F.col("cosine").cast("double").alias("rel"),
+    )
+    cand = pool.join(
+        emb.select(F.col("vec_id").alias("doc_id"), "embedding"), "doc_id"
+    )
+    return mmr_rerank(cand, k=10, lam=0.7).orderBy("query_id", "rk")
+
+
+def q151_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the embeddings table (rows-only: k-means blocking
+    depends on hash-seeded centroids with no SQL twin; brute-force
+    pair parity and survivor policy are pytest-pinned). Clusters the
+    corpus, prunes within-cluster pairs at cosine >= 0.999, keeps the
+    paper's least-typical exemplar per duplicate group; output is the
+    per-label survivor census — stable, small, order-free.
+
+    Scale shape: all-pairs confined to clusters (the paper's design
+    point), everything else scans and id-keyed joins."""
+    from ..operators.similarity import semantic_dedup
+
+    emb = table(spark, sf_dir, "embeddings")
+    kept = semantic_dedup(emb, eps=0.001, n_clusters=8, refine_iters=2)
+    return (
+        kept.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+        .orderBy("label")
+    )
+
+
+def q152_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling over the documents table (rows-only:
+    weights hash n-grams via xxhash64, which DuckDB cannot replay;
+    pure-python weight parity and selection bias are pytest-pinned).
+    Target = the English documents (a stand-in curated seed); raw =
+    the whole corpus; output = per-(lang, source) counts of a 200-doc
+    DSIR selection — the domain-shift readout.
+
+    Scale shape: two raw-corpus scans (distribution, scores), both
+    distributions broadcast-sized by the hashing trick, selection a
+    TakeOrderedAndProject."""
+    from ..operators.sampling import dsir_sample
+
+    docs = table(spark, sf_dir, "documents")
+    target = docs.filter(F.col("lang") == "en").limit(100)
+    sel = dsir_sample(docs, target, k=200, buckets=1 << 13, salt=11)
+    return (
+        sel.groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).alias("n_selected"))
+        .orderBy("lang", "source")
+    )
