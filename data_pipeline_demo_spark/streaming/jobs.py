@@ -845,3 +845,76 @@ def stream_apply_changes(
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
     return writer
+
+
+def make_enrich_batch_fn(
+    out_root: str,
+    dim_fn,
+    on: str,
+    key: str,
+    how: str = "left",
+    txn_app_id: str = "stream-enrich",
+):
+    """foreachBatch callback behind :func:`stream_enrich_with_dim`,
+    exposed for direct testing: joins ONE micro-batch against a FRESH
+    dimension snapshot (``dim_fn(spark)`` re-evaluated per trigger) and
+    upserts the enriched rows keyed ``key`` into a txtable under the
+    txn watermark — replayed batches are log-level no-ops."""
+    from pyspark.sql import functions as SF
+
+    from ..sinks.txlog import txlog_upsert
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        dim = dim_fn(batch_df.sparkSession)
+        enriched = batch_df.join(SF.broadcast(dim), on, how)
+        txlog_upsert(
+            batch_df.sparkSession,
+            enriched,
+            out_root,
+            key=key,
+            txn_app_id=txn_app_id,
+            txn_version=batch_id,
+        )
+
+    return write_batch
+
+
+def stream_enrich_with_dim(
+    stream: DataFrame,
+    out_root: str,
+    dim_fn,
+    on: str,
+    key: str,
+    how: str = "left",
+    checkpoint: str | None = None,
+    txn_app_id: str = "stream-enrich",
+):
+    """Stream-static enrichment join against an UPDATEABLE dimension —
+    the lookup-table pattern (events x reference data) done so that
+    dimension updates are visible mid-stream.
+
+    The naive form ``stream.join(spark.read.parquet(dim))`` pins the
+    static side's FILE LISTING at plan time: rows appended or
+    overwritten in the dimension after the query starts are invisible
+    (or break the scan) for the stream's whole lifetime. Here the
+    dimension is re-resolved EVERY trigger: ``dim_fn(spark)`` returns a
+    fresh DataFrame per micro-batch — pass a lambda over
+    ``read_txtable`` and each trigger joins the dimension's CURRENT
+    committed snapshot, with snapshot isolation from the commit log
+    (a concurrent dimension MERGE either lands before a trigger's read
+    or after it, never half-way).
+
+    Scale shape: the dimension broadcasts per trigger (lookup tables
+    are broadcast-sized by definition — for a fact-sized "dimension"
+    use the join-view maintenance job instead); the micro-batch never
+    shuffles; output lands exactly-once under the txn watermark.
+    Caller picks the trigger."""
+    write_batch = make_enrich_batch_fn(
+        out_root, dim_fn, on, key, how=how, txn_app_id=txn_app_id
+    )
+    writer = stream.writeStream.foreachBatch(write_batch).outputMode("append")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer
