@@ -222,3 +222,4 @@ register("q149_tpch_q16", oracle=relational._TPCH_Q16_SQL)(
 register("q150_mmr_rerank")(llm_ops.q150_mmr_rerank)
 register("q151_semantic_dedup")(llm_ops.q151_semantic_dedup)
 register("q152_dsir_select")(llm_ops.q152_dsir_select)
+register("q153_unigram_token_freq")(llm_ops.q153_unigram_token_freq)

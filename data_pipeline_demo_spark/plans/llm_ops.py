@@ -1912,3 +1912,23 @@ def q152_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_selected"))
         .orderBy("lang", "source")
     )
+
+
+def q153_unigram_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM (SentencePiece-style) subword tokenizer end to end
+    (rows-only: EM-fitted piece probabilities have no SQL twin;
+    forward-backward hand-parity, EM monotonicity, round-trip, and
+    Viterbi-parity are pytest-pinned in test_unigram.py): train a
+    200-piece vocabulary on the documents table, tokenize the corpus,
+    return the deterministic top-50 token frequencies.
+
+    Scale shape: the BPE split — distributed word counts (vocab-sized,
+    capped), driver-side EM over that table (corpus-independent),
+    map-only Viterbi tokenize with broadcast pieces."""
+    from ..operators.unigram import unigram_token_frequencies, unigram_train
+
+    docs = table(spark, sf_dir, "documents")
+    model = unigram_train(
+        docs, vocab_size=200, max_words=4000, max_piece_len=6, em_iters=1
+    )
+    return unigram_token_frequencies(docs, model, top_k=50)
