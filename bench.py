@@ -347,6 +347,28 @@ def main() -> None:
             lambda name=name: queries[name](spark, sf_dir).count(), runs
         )
 
+    # round-7 surface additions, same convention: TPC-H classics that
+    # stress distinct plan shapes (deep join tree, correlated AVG,
+    # disjunctive cross-side predicate), the as-of/interval temporal
+    # joins, CDC application, and the new selection/tokenizer ops
+    r7_timings: dict[str, float] = {}
+    r7_spreads: dict[str, float] = {}
+    for name in (
+        "q141_tpch_q8",
+        "q143_tpch_q17",
+        "q145_tpch_q19",
+        "q130_asof_variants",
+        "q131_interval_overlap",
+        "q126_apply_changes",
+        "q150_mmr_rerank",
+        "q151_semantic_dedup",
+        "q152_dsir_select",
+        "q153_unigram_token_freq",
+    ):
+        r7_timings[name], r7_spreads[name] = _timed(
+            lambda name=name: queries[name](spark, sf_dir).count(), runs
+        )
+
     out = {
         "metric": "headline_queries_total_runtime",
         "value": round(sum(timings.values()), 3),
@@ -359,6 +381,8 @@ def main() -> None:
         "lakehouse_spread": lh_spreads,
         "surface_r6": sf_timings,
         "surface_r6_spread": sf_spreads,
+        "surface_r7": r7_timings,
+        "surface_r7_spread": r7_spreads,
     }
     print(json.dumps(out))
 

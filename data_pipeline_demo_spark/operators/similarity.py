@@ -553,22 +553,33 @@ def _refine_centroids(
     undefined — keeps its previous vector. ``centroid_id`` values are
     stable across iterations, so the assign/query shape is untouched.
     """
+    dim_row = corpus.select(F.size(F.col(vec_col)).alias("d")).first()
+    if dim_row is None:
+        return cents
+    dim = int(dim_row["d"])
     for _ in range(iters):
         assign = _best_centroids(corpus, cents, id_col, vec_col, n_best=1)
+        # element-wise decimal means in ONE combinable aggregate pass
+        # (map-side partials carry dim decimals per centroid) — no
+        # posexplode row blow-up, no collect_list reassembly exchange
         means = (
             corpus.join(assign, id_col)
-            .select(
-                F.col("centroid_id"),
-                F.posexplode(F.col(vec_col)).alias("__pos", "__val"),
-            )
-            .groupBy("centroid_id", "__pos")
-            .agg(F.avg(F.col("__val").cast("decimal(28,10)")).alias("__avg"))
             .groupBy("centroid_id")
             .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("__pos", "__avg"))),
-                    lambda s: s["__avg"].cast("float"),
-                ).alias("__mvec")
+                *[
+                    F.avg(
+                        F.element_at(F.col(vec_col), i + 1).cast(
+                            "decimal(28,10)"
+                        )
+                    ).alias(f"__m{i}")
+                    for i in range(dim)
+                ]
+            )
+            .select(
+                "centroid_id",
+                F.array(
+                    *[F.col(f"__m{i}").cast("float") for i in range(dim)]
+                ).alias("__mvec"),
             )
         )
         cents = cents.join(means, "centroid_id", "left").select(
@@ -584,6 +595,28 @@ def _refine_centroids(
     return cents
 
 
+def _cos_double(va, vb) -> Column:
+    """Codegen double cosine for centroid ROUTING: zip_with product +
+    left-to-right aggregate fold — deterministic at any partitioning
+    (fold order is array order), ~100x cheaper than the decimal fold.
+    Routing only picks WHICH centroid/list a vector belongs to, so
+    result-bearing exactness guarantees (knn_exact, the oracle-checked
+    cosine tiers) are untouched — they keep ``_dot_exact``."""
+    da, db = va.cast("array<double>"), vb.cast("array<double>")
+
+    def ssum(v):
+        return F.aggregate(
+            F.transform(v, lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+        )
+
+    dot = F.aggregate(
+        F.zip_with(da, db, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    return dot / F.sqrt(ssum(da) * ssum(db))
+
+
 def _best_centroids(
     vectors: DataFrame,
     cents: DataFrame,
@@ -591,22 +624,27 @@ def _best_centroids(
     vec_col: str,
     n_best: int,
 ) -> DataFrame:
-    """(id → n_best nearest centroid_ids) by exact cosine: one scan of
-    `vectors` against the broadcast centroid table."""
+    """(id → n_best nearest centroid_ids) by deterministic double
+    cosine: one scan of `vectors` against the broadcast centroid
+    table."""
     scored = (
         vectors.crossJoin(F.broadcast(cents))
         .select(
             F.col(id_col),
             F.col("centroid_id"),
-            (
-                _dot_exact(F.col(vec_col), F.col("__cvec"))
-                / (
-                    l2_norm_exact(F.col(vec_col))
-                    * l2_norm_exact(F.col("__cvec"))
-                )
-            ).alias("__sim"),
+            _cos_double(F.col(vec_col), F.col("__cvec")).alias("__sim"),
         )
     )
+    if n_best == 1:
+        # hash-agg argmax (map-side combinable) instead of a window
+        # sort exchange: max_by on (sim, -centroid_id) = highest sim,
+        # smallest id on ties — same pick as the window path
+        return scored.groupBy(id_col).agg(
+            F.max_by(
+                "centroid_id",
+                F.struct(F.col("__sim"), -F.col("centroid_id")),
+            ).alias("centroid_id")
+        )
     w = Window.partitionBy(id_col).orderBy(F.col("__sim").desc(), F.col("centroid_id"))
     return (
         scored.withColumn("__rk", F.row_number().over(w))
@@ -870,12 +908,13 @@ def cluster_embeddings(
 
     Reuses the IVF machinery end-to-end: deterministic hash-sample
     init (reproducible across runs/engines), ``refine_iters`` Lloyd
-    iterations with decimal-exact means (order-independent under
-    parallel aggregation), one broadcast assign pass. Zero-norm
-    vectors — where cosine is undefined — are excluded, like the IVF
-    build. Returns one row per assigned vector:
-    ``(id_col, cluster_id, sim)`` with ``sim`` the exact cosine to the
-    winning centroid.
+    iterations with decimal-exact MEANS (order-independent under
+    parallel aggregation) and deterministic double-cosine ROUTING
+    (``_cos_double`` — left-to-right fold, partition-independent),
+    one broadcast assign pass. Zero-norm vectors — where cosine is
+    undefined — are excluded, like the IVF build. Returns one row per
+    assigned vector: ``(id_col, cluster_id, sim)`` with ``sim`` the
+    double cosine to the winning centroid.
 
     Scale shape: centroids are n_clusters × dim — broadcast-sized by
     construction; every pass over the corpus is a scan + broadcast
@@ -889,19 +928,15 @@ def cluster_embeddings(
     scored = nz.crossJoin(F.broadcast(cents)).select(
         F.col(id_col),
         F.col("centroid_id").alias("cluster_id"),
-        (
-            _dot_exact(F.col(vec_col), F.col("__cvec"))
-            / (l2_norm_exact(F.col(vec_col)) * l2_norm_exact(F.col("__cvec")))
-        ).alias("sim"),
+        _cos_double(F.col(vec_col), F.col("__cvec")).alias("sim"),
     )
-    w = Window.partitionBy(id_col).orderBy(
-        F.col("sim").desc(), F.col("cluster_id")
-    )
-    return (
-        scored.withColumn("__rk", F.row_number().over(w))
-        .filter(F.col("__rk") == 1)
-        .drop("__rk")
-    )
+    # hash-agg argmax, same pick as a (sim desc, cluster_id asc) window
+    return scored.groupBy(id_col).agg(
+        F.max_by(
+            F.struct("cluster_id", "sim"),
+            F.struct(F.col("sim"), -F.col("cluster_id")),
+        ).alias("__best")
+    ).select(id_col, "__best.cluster_id", "__best.sim")
 
 
 def cluster_summary(assignments: DataFrame) -> DataFrame:
@@ -1651,6 +1686,21 @@ def ivfpq_search(
 # --- SemDeDup: semantic deduplication via cluster-then-prune ---------------
 
 
+def _cosine_double(va, vb, na, nb):
+    """Whole-stage-codegen double cosine: zip_with product + aggregate
+    sum, rounded to 9 decimals so threshold comparisons are stable
+    across partition layouts (addition order inside one fold is fixed
+    left-to-right, so the value is deterministic; rounding guards the
+    THRESHOLD against engine ulps, same convention as the MAD/radius
+    operators)."""
+    dot = F.aggregate(
+        F.zip_with(va, vb, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return F.round(dot / (na * nb), 9)
+
+
 def semantic_dedup_pairs(
     corpus: DataFrame,
     eps: float = 0.05,
@@ -1658,13 +1708,18 @@ def semantic_dedup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     refine_iters: int = 5,
+    assignments: DataFrame | None = None,
 ) -> DataFrame:
     """Within-cluster semantic-duplicate pairs, the SemDeDup blocking
     (Abbas et al. 2023, "SemDeDup: Data-efficient learning at web-scale
     through semantic deduplication" — public paper): k-means the
     embeddings, then enumerate pairs ONLY within a cluster and keep
-    those with exact cosine >= 1 - eps. Returns ``(id_a, id_b, cosine)``
-    with ``id_a < id_b``.
+    those with cosine >= 1 - eps. Returns ``(id_a, id_b, cosine)``
+    with ``id_a < id_b``; ``cosine`` is the codegen double fold rounded
+    to 9 decimals (the paper's verify is float — the decimal-exact tier
+    stays available as :func:`cosine_near_dup_exact` where an oracle
+    needs bit-parity). Pass ``assignments`` (a
+    :func:`cluster_embeddings` result) to reuse an existing clustering.
 
     Compared to the LSH near-dup tier this trades probabilistic recall
     for the paper's semantic blocking: recall is exact WITHIN clusters
@@ -1673,23 +1728,32 @@ def semantic_dedup_pairs(
 
     Scale shape: the paper's own design point — all-pairs is confined
     to each cluster (sum of |C_i|^2, not n^2; clusters are ~n/k), the
-    pair join is an equality join on cluster_id, and the exact-cosine
-    verify runs only on co-clustered pairs. At 100 TB, n_clusters
-    scales with the corpus so cluster occupancy stays bounded.
+    pair join is an equality join on cluster_id, and the cosine verify
+    runs only on co-clustered pairs, in whole-stage codegen. At 100 TB,
+    ``n_clusters`` scales with the corpus so cluster occupancy stays
+    bounded.
     """
     if not 0.0 <= eps < 1.0:
         raise ValueError(f"eps must be in [0, 1), got {eps}")
-    assign = cluster_embeddings(
-        corpus, n_clusters=n_clusters, id_col=id_col, vec_col=vec_col,
-        refine_iters=refine_iters,
-    ).select(id_col, "cluster_id", "sim")
+    if assignments is None:
+        assignments = cluster_embeddings(
+            corpus, n_clusters=n_clusters, id_col=id_col, vec_col=vec_col,
+            refine_iters=refine_iters,
+        )
+    assign = assignments.select(id_col, "cluster_id")
     member = corpus.join(assign, id_col).select(
         F.col("cluster_id"),
         F.col(id_col),
-        F.col(vec_col),
-        l2_norm_exact(F.col(vec_col)).alias("__n"),
-        F.col("sim").alias("__csim"),
-    )
+        F.col(vec_col).cast("array<double>").alias(vec_col),
+        F.sqrt(
+            F.aggregate(
+                F.transform(F.col(vec_col).cast("array<double>"),
+                            lambda x: x * x),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ).alias("__n"),
+    ).filter(F.col("__n") > 0)
     a = member.select(
         "cluster_id",
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"),
@@ -1706,9 +1770,8 @@ def semantic_dedup_pairs(
         .select(
             "id_a",
             "id_b",
-            (
-                _dot_exact(F.col("__va"), F.col("__vb"))
-                / (F.col("__na") * F.col("__nb"))
+            _cosine_double(
+                F.col("__va"), F.col("__vb"), F.col("__na"), F.col("__nb")
             ).alias("cosine"),
         )
         .filter(F.col("cosine") >= F.lit(1.0 - eps))
@@ -1726,7 +1789,8 @@ def semantic_dedup(
 ) -> DataFrame:
     """SemDeDup end to end: cluster -> within-cluster near-pairs ->
     connected components -> one survivor per duplicate group. Returns
-    the surviving rows of ``corpus`` (all columns).
+    the surviving rows of ``corpus`` (all columns). The clustering runs
+    ONCE and is shared by the blocking and the survivor policy.
 
     ``keep`` picks the survivor per duplicate component:
     ``"low_centroid_sim"`` keeps the member LEAST similar to its
@@ -1736,28 +1800,35 @@ def semantic_dedup(
     the result is reproducible either way.
 
     Scale shape: pairs from :func:`semantic_dedup_pairs` (cluster-
-    blocked); components via the iterative min-label propagation in
-    ``operators.dedup`` (bounded by pair count); the survivor pick is
-    one window over component-sized groups; the final semi/anti joins
-    are id-keyed. Nothing touches n^2.
+    blocked, codegen cosine); components via the iterative min-label
+    propagation in ``operators.dedup`` (bounded by pair count); the
+    survivor pick is one window over component-sized groups; the final
+    anti join is id-keyed. Nothing touches n^2.
     """
     if keep not in ("low_centroid_sim", "min_id"):
         raise ValueError(f"unknown keep policy: {keep!r}")
     from .dedup import connected_components
 
+    # the assignment feeds three consumers (pair blocking, the CC
+    # iteration's lineage, the survivor policy) — persist it so the
+    # k-means passes run ONCE, not once per consumer (at 100 TB this
+    # is a materialized curation artifact anyway)
+    assignments = cluster_embeddings(
+        corpus, n_clusters=n_clusters, id_col=id_col, vec_col=vec_col,
+        refine_iters=refine_iters,
+    ).persist()
     pairs = semantic_dedup_pairs(
-        corpus, eps=eps, n_clusters=n_clusters, id_col=id_col,
-        vec_col=vec_col, refine_iters=refine_iters,
-    )
+        corpus, eps=eps, id_col=id_col, vec_col=vec_col,
+        assignments=assignments,
+    ).persist()
     comp = connected_components(
         pairs.select("id_a", "id_b"), id_col_a="id_a", id_col_b="id_b"
     )
     if keep == "low_centroid_sim":
-        assign = cluster_embeddings(
-            corpus, n_clusters=n_clusters, id_col=id_col, vec_col=vec_col,
-            refine_iters=refine_iters,
-        ).select(F.col(id_col).alias("node"), F.col("sim"))
-        ranked = comp.join(assign, "node")
+        ranked = comp.join(
+            assignments.select(F.col(id_col).alias("node"), F.col("sim")),
+            "node",
+        )
         w = Window.partitionBy("component").orderBy(
             F.col("sim").asc(), F.col("node").asc()
         )

@@ -1873,21 +1873,35 @@ def q150_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q151_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup over the embeddings table (rows-only: k-means blocking
     depends on hash-seeded centroids with no SQL twin; brute-force
-    pair parity and survivor policy are pytest-pinned). Clusters the
-    corpus, prunes within-cluster pairs at cosine >= 0.999, keeps the
-    paper's least-typical exemplar per duplicate group; output is the
-    per-label survivor census — stable, small, order-free.
+    pair parity and survivor policy are pytest-pinned). The corpus is
+    unioned with deterministically perturbed copies of every 5th
+    vector (cosine ~0.999 — the q64 planting, since the synthetic
+    embeddings carry no natural near-dups), clustered, and pruned at
+    eps=0.01; the output census counts survivors per original/planted
+    range, so the planted copies' removal is visible in the result.
 
     Scale shape: all-pairs confined to clusters (the paper's design
     point), everything else scans and id-keyed joins."""
     from ..operators.similarity import semantic_dedup
 
     emb = table(spark, sf_dir, "embeddings")
-    kept = semantic_dedup(emb, eps=0.001, n_clusters=8, refine_iters=2)
+    planted = emb.filter(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform(
+            F.col("embedding"),
+            lambda x, i: (x + 0.02 * F.sin(i + F.col("vec_id"))).cast("float"),
+        ).alias("embedding"),
+        F.col("label"),
+    )
+    corpus = emb.select("vec_id", "embedding", "label").unionByName(planted)
+    kept = semantic_dedup(corpus, eps=0.01, n_clusters=32, refine_iters=2)
     return (
-        kept.groupBy("label")
+        kept.groupBy(
+            "label",
+            (F.col("vec_id") >= 1_000_000).alias("is_planted"),
+        )
         .agg(F.count(F.lit(1)).alias("n_kept"))
-        .orderBy("label")
+        .orderBy("label", "is_planted")
     )
 
 
