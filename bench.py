@@ -351,6 +351,16 @@ def main() -> None:
     # stress distinct plan shapes (deep join tree, correlated AVG,
     # disjunctive cross-side predicate), the as-of/interval temporal
     # joins, CDC application, and the new selection/tokenizer ops
+    # q151/q152/q126 get one untimed warmup run each: their FIRST
+    # full-scale run is a measured one-time outlier (q151 18.0s cold vs
+    # 3.2s steady over 5 back-to-back sf0.1 runs — codegen of the
+    # dim-wide k-means mean aggregate; q152 4.2 vs 1.9; q126 3.4 vs
+    # 2.3), the same first-run codegen pattern q41/q42 showed in r5
+    r7_warmups = {
+        "q126_apply_changes": 1,
+        "q151_semantic_dedup": 1,
+        "q152_dsir_select": 1,
+    }
     r7_timings: dict[str, float] = {}
     r7_spreads: dict[str, float] = {}
     for name in (
@@ -366,7 +376,9 @@ def main() -> None:
         "q153_unigram_token_freq",
     ):
         r7_timings[name], r7_spreads[name] = _timed(
-            lambda name=name: queries[name](spark, sf_dir).count(), runs
+            lambda name=name: queries[name](spark, sf_dir).count(),
+            runs,
+            warmup_runs=r7_warmups.get(name, 0),
         )
 
     out = {
