@@ -1,4 +1,4 @@
-"""WebDataset shard export — the training-data delivery format.
+"""WebDataset shard export + import — the training-data delivery format.
 
 Large-scale training jobs consume corpora as sequential TAR shards
 (the public WebDataset convention: members named ``<key>.<ext>``,
@@ -101,3 +101,93 @@ def export_webdataset(
         build,
         "lane long, shard_id long, n_docs long, n_bytes long, tar binary",
     )
+
+
+_MEMBER_SCHEMA = "key string, ext string, data binary, n_bytes long"
+
+
+def read_webdataset(shards: DataFrame, tar_col: str = "tar") -> DataFrame:
+    """Inverse of :func:`export_webdataset`: parse TAR shard blobs into
+    one row per member ``(key, ext, data, n_bytes)``. ``key``/``ext``
+    follow the WebDataset convention — the basename splits at its FIRST
+    dot, so ``0017.seq.txt`` → key ``0017``, ext ``seq.txt`` and all
+    members of one training sample share a key. ``data`` stays
+    ``binary``; decode per-extension at the call site
+    (``F.decode(data, 'UTF-8')`` for text members).
+
+    Scale shape: map-only ``mapInPandas`` over shard rows — each task
+    parses whole bounded blobs (the export bounds them by
+    ``shard_max_bytes``), no shuffle, no driver materialization. This
+    is the read half of the corpus-delivery loop: training
+    infrastructure streams shards sequentially; the engine re-ingests
+    them the same way."""
+    import io
+    import os as _os
+    import tarfile
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            keys: list[str] = []
+            exts: list[str] = []
+            blobs: list[bytes] = []
+            sizes: list[int] = []
+            for blob in pdf[tar_col]:
+                if blob is None:
+                    continue
+                with tarfile.open(fileobj=io.BytesIO(bytes(blob))) as tar:
+                    for info in tar:
+                        if not info.isfile():
+                            continue
+                        base = _os.path.basename(info.name)
+                        key, _, ext = base.partition(".")
+                        fh = tar.extractfile(info)
+                        data = fh.read() if fh is not None else b""
+                        keys.append(key)
+                        exts.append(ext)
+                        blobs.append(data)
+                        sizes.append(len(data))
+            yield pd.DataFrame(
+                {"key": keys, "ext": exts, "data": blobs, "n_bytes": sizes}
+            )
+
+    return shards.select(tar_col).mapInPandas(parse, _MEMBER_SCHEMA)
+
+
+def members_to_samples(
+    members: DataFrame, exts: tuple[str, ...] = ("txt",)
+) -> DataFrame:
+    """WebDataset SAMPLE grain: pivot the member rows of
+    :func:`read_webdataset` into one row per key with one binary
+    column per extension in ``exts`` (absent members are NULL). The
+    pivot value list is explicit, so there is no discovery scan — one
+    shuffle on ``key``."""
+    if not exts:
+        raise ValueError("exts must name at least one member extension")
+    return (
+        members.filter(F.col("ext").isin(list(exts)))
+        .groupBy("key")
+        .pivot("ext", list(exts))
+        .agg(F.first("data"))
+    )
+
+
+def load_webdataset(
+    spark, path: str, pattern: str = "*.tar"
+) -> DataFrame:
+    """Ingest WebDataset shard FILES from a directory (or glob) via
+    Spark's built-in ``binaryFile`` source, then parse members with
+    :func:`read_webdataset`. Each shard file becomes one binary row —
+    shards are bounded by construction, so rows fit executor memory —
+    and parsing is map-only. The ``binaryFile`` source distributes the
+    file listing and reads across executors, the same ingest shape the
+    multimodal operators use for opaque media blobs."""
+    blobs = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", pattern)
+        .load(path)
+        .select(F.col("content").alias("tar"))
+    )
+    return read_webdataset(blobs)

@@ -223,3 +223,6 @@ register("q150_mmr_rerank")(llm_ops.q150_mmr_rerank)
 register("q151_semantic_dedup")(llm_ops.q151_semantic_dedup)
 register("q152_dsir_select")(llm_ops.q152_dsir_select)
 register("q153_unigram_token_freq")(llm_ops.q153_unigram_token_freq)
+register("q154_webdataset_roundtrip", oracle=llm_ops._DUCK_WDS_ROUNDTRIP)(
+    llm_ops.q154_webdataset_roundtrip
+)

@@ -1946,3 +1946,44 @@ def q153_unigram_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, vocab_size=200, max_words=4000, max_piece_len=6, em_iters=1
     )
     return unigram_token_frequencies(docs, model, top_k=50)
+
+
+_DUCK_WDS_ROUNDTRIP = """
+SELECT substr(md5(text), 1, 2) AS h2,
+       count(*) AS n_docs,
+       sum(length(text)) AS n_chars,
+       sum(octet_length(encode(text))) AS n_bytes
+FROM documents
+WHERE text IS NOT NULL
+GROUP BY 1
+"""
+
+
+def q154_webdataset_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus → TAR shards → re-ingested members, certified against SQL
+    that never sees a tar: export the documents table with
+    export_webdataset, parse every member back with read_webdataset,
+    decode the payloads, and emit a content-addressed census (bucket =
+    first 2 hex chars of md5(text) — 256 buckets, so ANY byte
+    corruption in the tar framing or payload moves rows between
+    buckets and fails the hash compare). The DuckDB oracle computes
+    the same census straight off the parquet table, making this the
+    oracle-checked identity parse(export(docs)) ≡ docs.
+
+    Scale shape: export is the lane-partitioned running-sum packer
+    (no global sort); import is map-only mapInPandas over bounded
+    shard blobs; the census is one combinable aggregate."""
+    from ..operators.shards import export_webdataset, read_webdataset
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    shards = export_webdataset(docs, shard_max_bytes=256 * 1024, lanes=8)
+    texts = read_webdataset(shards).select(
+        F.decode(F.col("data"), "UTF-8").alias("text")
+    )
+    return texts.groupBy(
+        F.substring(F.md5(F.col("text")), 1, 2).alias("h2")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("text")).alias("n_chars"),
+        F.sum(F.octet_length("text")).alias("n_bytes"),
+    )
