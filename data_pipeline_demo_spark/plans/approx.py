@@ -226,3 +226,6 @@ register("q153_unigram_token_freq")(llm_ops.q153_unigram_token_freq)
 register("q154_webdataset_roundtrip", oracle=llm_ops._DUCK_WDS_ROUNDTRIP)(
     llm_ops.q154_webdataset_roundtrip
 )
+register("q155_text_corpus_ingest", oracle=llm_ops._DUCK_TEXT_INGEST)(
+    llm_ops.q155_text_corpus_ingest
+)

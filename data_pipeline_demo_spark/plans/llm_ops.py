@@ -1987,3 +1987,50 @@ def q154_webdataset_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.length("text")).alias("n_chars"),
         F.sum(F.octet_length("text")).alias("n_bytes"),
     )
+
+
+_DUCK_TEXT_INGEST = """
+SELECT substr(md5(text), 1, 2) AS h2,
+       count(*) AS n_docs,
+       count(DISTINCT text) AS n_unique,
+       sum(length(text)) AS n_chars
+FROM documents
+WHERE text IS NOT NULL AND NOT contains(text, chr(10))
+GROUP BY 1
+"""
+
+
+def q155_text_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-text landing-directory ingest certified end to end
+    (sources/text_corpus.py): the documents table lands as plain .txt
+    line-record files (Spark's distributed text writer), re-ingests
+    through read_text_corpus(grain='line') + to_documents, and emits
+    the content-addressed census — 256 md5-prefix buckets plus a
+    DISTINCT count over the content-hash doc_id, so the oracle (the
+    same census straight off parquet) certifies both the byte-exact
+    round-trip and the content addressing. Newline-bearing texts are
+    excluded identically on both sides (line grain is only defined
+    without embedded newlines; the synthetic corpus has none, so the
+    guard is a no-op that keeps the oracle honest under data-gen
+    changes).
+
+    Scale shape: the text source splits large files at line boundaries
+    across tasks; doc_id/n_chars are codegen projections; the census
+    is one combinable aggregate."""
+    import tempfile
+
+    from ..sources.text_corpus import read_text_corpus, to_documents
+
+    land = tempfile.mkdtemp(prefix="q155-text-") + "/corpus"
+    src = table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & ~F.col("text").contains("\n")
+    )
+    src.select("text").write.mode("overwrite").text(land)
+    corpus = to_documents(read_text_corpus(spark, land, grain="line"))
+    return corpus.groupBy(
+        F.substring(F.md5(F.col("text")), 1, 2).alias("h2")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct(F.col("doc_id")).alias("n_unique"),
+        F.sum("n_chars").alias("n_chars"),
+    )
