@@ -38,11 +38,27 @@ from pyspark.sql import Column, DataFrame, functions as F
 ZORDER_BITS = 16
 
 
+#: Columnar formats whose writers persist per-file/per-stripe min-max
+#: statistics, which is what the clustered layout exists to exploit.
+#: Both are Spark built-ins with full filter pushdown.
+_STATS_FORMATS = ("parquet", "orc")
+
+
+def _checked_format(file_format: str) -> str:
+    if file_format not in _STATS_FORMATS:
+        raise ValueError(
+            f"file_format must be one of {_STATS_FORMATS} (a stats-"
+            f"bearing columnar format), got {file_format!r}"
+        )
+    return file_format
+
+
 def cluster_write(
     df: DataFrame,
     path: str,
     cluster_by: list[str],
     num_files: int = 32,
+    file_format: str = "parquet",
 ) -> None:
     """Rewrite ``df`` at ``path`` clustered by ``cluster_by``.
 
@@ -50,13 +66,16 @@ def cluster_write(
     files are near-equal-sized contiguous key ranges regardless of
     skew; ``sortWithinPartitions`` tightens every row group inside each
     file. At scale ``num_files`` is sized so each file lands near the
-    128-256 MB sweet spot.
+    128-256 MB sweet spot. ``file_format`` picks the stats-bearing
+    columnar container (parquet footers / ORC stripe statistics) — the
+    layout property is format-independent.
     """
     (
         df.repartitionByRange(num_files, *cluster_by)
         .sortWithinPartitions(*cluster_by)
         .write.mode("overwrite")
-        .parquet(path)
+        .format(_checked_format(file_format))
+        .save(path)
     )
 
 
@@ -117,6 +136,7 @@ def zorder_write(
     zorder_by: list[str],
     num_files: int = 32,
     bits: int = ZORDER_BITS,
+    file_format: str = "parquet",
 ) -> None:
     """Rewrite ``df`` at ``path`` clustered by the Z-value of
     ``zorder_by``.
@@ -144,5 +164,6 @@ def zorder_write(
         .sortWithinPartitions("__z")
         .drop("__z", *[f"__lo_{c}" for c in zorder_by], *[f"__hi_{c}" for c in zorder_by])
         .write.mode("overwrite")
-        .parquet(path)
+        .format(_checked_format(file_format))
+        .save(path)
     )

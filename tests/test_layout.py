@@ -165,3 +165,49 @@ def test_zorder_accepts_date_and_timestamp_columns(spark, tmp_path):
         layout.zorder_write(
             li.withColumn("s", F.lit("x")), str(tmp_path / "z_bad"), ["s"]
         )
+
+
+def test_cluster_write_orc_same_skipping_property(spark, tmp_path):
+    """The layout property is format-independent: clustered ORC files
+    hold near-disjoint key ranges (proved by per-file min/max), the
+    point lookup round-trips, and Spark's ORC scan pushes the filter."""
+    import pytest
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    dst = str(tmp_path / "orc_clustered")
+    layout.cluster_write(li, dst, ["l_orderkey"], num_files=8,
+                         file_format="orc")
+    files = sorted(glob.glob(os.path.join(dst, "*.orc")))
+    assert len(files) >= 4
+    ranges = []
+    for f in files:
+        one = spark.read.orc(f).agg(
+            F.min("l_orderkey"), F.max("l_orderkey")
+        ).first()
+        ranges.append((one[0], one[1]))
+    ranges.sort()
+    for (lo_a, hi_a), (lo_b, _hi_b) in zip(ranges, ranges[1:]):
+        assert lo_a <= hi_a <= lo_b  # contiguous, non-interleaved ranges
+    probe = li.limit(1).first()["l_orderkey"]
+    back = spark.read.orc(dst).filter(F.col("l_orderkey") == probe)
+    assert back.count() == li.filter(F.col("l_orderkey") == probe).count()
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(l_orderkey), EqualTo(l_orderkey," in plan
+    assert "Format: ORC" in plan
+
+    with pytest.raises(ValueError, match="file_format"):
+        layout.cluster_write(li, dst, ["l_orderkey"], file_format="csv")
+
+
+def test_zorder_write_orc_roundtrip(spark, tmp_path):
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        "event_id", "user_id", "value"
+    )
+    dst = str(tmp_path / "orc_z")
+    layout.zorder_write(ev, dst, ["user_id", "value"], num_files=8,
+                        file_format="orc")
+    back = spark.read.orc(dst)
+    assert back.count() == ev.count()
+    assert sorted(back.columns) == sorted(ev.columns)
