@@ -918,3 +918,77 @@ def stream_enrich_with_dim(
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
     return writer
+
+
+def stream_text_corpus_landing(
+    spark,
+    landing_dir: str,
+    table_root: str,
+    checkpoint: str,
+    glob: str = "*.txt",
+    grain: str = "file",
+    num_buckets: int = 16,
+    txn_app_id: str | None = None,
+):
+    """Continuous raw-text corpus ingest: the landing-directory loop
+    (stream_ingest_landing's role) for the plain-.txt corpora the
+    LLM-ops side curates. The streaming ``text`` file source lists the
+    directory exactly once per file across runs (checkpointed file
+    log); each micro-batch annotates the document grain
+    (sources/text_corpus.to_documents — content-addressed xxhash64
+    doc_id), collapses byte-identical payloads WITHIN the batch
+    deterministically (max source_file wins — doc_id determines text,
+    so only provenance needs the tie-break), and lands through the
+    transactional upsert: one atomic txtable snapshot per micro-batch,
+    content-duplicate payloads across batches superseded by key, and a
+    re-delivered batch rejected by the log's txn watermark.
+
+    Ingest-time exact dedup is therefore FREE here — the content hash
+    IS the key — so the at-rest corpus never stores two copies of one
+    payload no matter how many landing files carry it.
+
+    Returns the started StreamingQuery (AvailableNow: drain and stop,
+    the cron shape)."""
+    if grain not in ("file", "line"):
+        raise ValueError(f"grain must be 'file' or 'line', got {grain!r}")
+    from ..sinks.txlog import txlog_upsert
+    from ..sources.text_corpus import to_documents
+
+    raw = (
+        spark.readStream.format("text")
+        .option("wholetext", "true" if grain == "file" else "false")
+        .option("pathGlobFilter", glob)
+        .load(landing_dir)
+    )
+    corpus = raw.select(
+        F.input_file_name().alias("source_file"),
+        F.col("value").alias("text"),
+    )
+    app_id = txn_app_id or checkpoint
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        docs = (
+            to_documents(batch_df)
+            .groupBy("doc_id", "text", "n_chars")
+            .agg(F.max("source_file").alias("source_file"))
+            .select("doc_id", "source_file", "text", "n_chars")
+        )
+        if docs.isEmpty():
+            return
+        txlog_upsert(
+            batch_df.sparkSession,
+            docs,
+            table_root,
+            key="doc_id",
+            num_buckets=num_buckets,
+            txn_app_id=app_id,
+            txn_version=batch_id,
+        )
+
+    return (
+        corpus.writeStream.foreachBatch(write_batch)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

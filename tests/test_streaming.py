@@ -835,3 +835,48 @@ def test_stream_enrich_live_available_now(spark, tmp_path):
     q.awaitTermination(120)
     got = {r.event_id: r.v for r in read_txtable(spark, out_root).collect()}
     assert got == {"a": "x", "b": "y", "c": None}
+
+
+def test_stream_text_corpus_landing_content_dedup_exactly_once(spark, tmp_path):
+    """Text-corpus landing stream: run 1 ingests the initial files with
+    byte-identical payloads collapsing to ONE content-addressed row;
+    run 2 (same checkpoint) sees only new files; a new file repeating
+    an at-rest payload supersedes by key (no second copy); each run
+    commits atomic snapshots."""
+    from data_pipeline_demo_spark.sinks.txlog import read_txtable
+
+    landing = tmp_path / "corpus-landing"
+    landing.mkdir()
+    (landing / "a.txt").write_text("the shared payload")
+    (landing / "b.txt").write_text("the shared payload")  # dup content
+    (landing / "c.txt").write_text("unique one")
+    (landing / "skip.json").write_text("{}")  # glob-filtered out
+    root = str(tmp_path / "corpus-table")
+    ckpt = str(tmp_path / "ckpt")
+
+    q = jobs.stream_text_corpus_landing(spark, str(landing), root, ckpt)
+    q.awaitTermination(120)
+    rows = {r.text: r for r in read_txtable(spark, root).collect()}
+    assert set(rows) == {"the shared payload", "unique one"}
+    # deterministic within-batch tie-break: max source_file wins
+    assert rows["the shared payload"].source_file.endswith("b.txt")
+    expect_id = spark.sql("SELECT xxhash64('unique one')").first()[0]
+    assert rows["unique one"].doc_id == expect_id
+
+    # run 2: one genuinely new payload + one file repeating an at-rest
+    # payload; old files must not reprocess (file log), the repeat must
+    # not duplicate (content key)
+    (landing / "d.txt").write_text("second wave")
+    (landing / "e.txt").write_text("unique one")
+    q = jobs.stream_text_corpus_landing(spark, str(landing), root, ckpt)
+    q.awaitTermination(120)
+    rows = {r.text: r.source_file for r in read_txtable(spark, root).collect()}
+    assert set(rows) == {"the shared payload", "unique one", "second wave"}
+    assert rows["unique one"].endswith("e.txt")  # superseded provenance
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="grain"):
+        jobs.stream_text_corpus_landing(
+            spark, str(landing), root, ckpt, grain="word"
+        )
