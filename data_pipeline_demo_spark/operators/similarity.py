@@ -326,6 +326,129 @@ def ann_index_append(
     ).write.mode("append").partitionBy("tbl", "bucket").parquet(index_path)
 
 
+def ann_index_refresh_from_txtable(
+    spark,
+    index_path: str,
+    table_root: str,
+    since_version: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[int, int]:
+    """CDC-driven ANN index maintenance — upgrades the append-only
+    contract to full update/delete propagation, the ANN analog of
+    ``dedup.minhash_index_refresh_from_txtable``: vectors live in a
+    txtable; the preimage-complete change feed between
+    ``since_version`` and the latest snapshot drives the minimal index
+    mutation.
+
+    The key insight is that the hyperplane family is seed-derived, so
+    a STALE row's exact location is computable from the feed alone:
+    re-signing the update/delete PREIMAGE vector names the exact
+    (tbl, bucket) partitions holding that id's rows — no index scan to
+    find them. Refresh then:
+
+    1. signs preimages (stale keys) and insert/update postimages
+       (fresh rows) with the index's recorded parameters;
+    2. reads ONLY the touched partitions (a per-table bucket IN-list
+       over the partition columns, so the scan partition-prunes — the
+       same PartitionFilters mechanism the probe path plan-asserts);
+    3. keeps survivors = old rows minus BOTH key sets (subtracting the
+       fresh keys too makes a replayed refresh converge instead of
+       duplicating — idempotent under the same watermark);
+    4. dynamic-partition-overwrites survivors ∪ fresh, and removes any
+       partition the feed fully drained (dynamic overwrite cannot
+       express an empty partition).
+
+    Cost: O(changed buckets) for the diff + O(changed vectors ×
+    num_tables) partitions rewritten — never O(corpus), never
+    O(index). Returns ``(vectors_refreshed, consumed_version)``;
+    persist the version as the consumer watermark and pass it back
+    next call (same-version call is a no-op)."""
+    from functools import reduce
+
+    from ..sinks.txlog import _latest_manifest, txtable_changes
+    from ..sinks.upsert import _hadoop_fs
+
+    meta = read_json_sidecar(
+        spark, index_path.rstrip("/") + "/" + ANN_INDEX_META
+    )
+    if meta is None:
+        raise ValueError(
+            f"no ANN index metadata at {index_path}; build_ann_index first"
+        )
+    manifest = _latest_manifest(spark, table_root)
+    if manifest is None:
+        raise FileNotFoundError(f"no committed txtable at {table_root}")
+    latest = manifest["version"]
+    if since_version >= latest:
+        return 0, latest
+    feed = txtable_changes(
+        spark, table_root, since_version, latest, include_preimages=True
+    )
+    np_, nt = meta["num_planes"], meta["num_tables"]
+    stale = feed.filter(
+        F.col("_change_type").isin("update_preimage", "delete")
+    ).select(id_col, vec_col)
+    fresh = feed.filter(
+        F.col("_change_type").isin("insert", "update_postimage")
+    ).select(id_col, vec_col)
+    stale_keys = _sign_melt(stale, id_col, vec_col, np_, nt).select(
+        id_col, "tbl", "bucket"
+    )
+    fresh_rows = _sign_melt(fresh, id_col, vec_col, np_, nt)
+    drop_keys = stale_keys.unionByName(
+        fresh_rows.select(id_col, "tbl", "bucket")
+    )
+    # touched partitions, collected: maintenance-increment-sized by
+    # contract (changed vectors × num_tables), never corpus-sized
+    touched = {
+        (r.tbl, r.bucket)
+        for r in drop_keys.select("tbl", "bucket").distinct().collect()
+    }
+    if not touched:
+        return 0, latest
+    by_tbl: dict[int, list[int]] = {}
+    for t, b in touched:
+        by_tbl.setdefault(t, []).append(b)
+    part_pred = reduce(
+        lambda a, c: a | c,
+        [
+            (F.col("tbl") == t) & F.col("bucket").isin(bs)
+            for t, bs in by_tbl.items()
+        ],
+    )
+    old = spark.read.parquet(index_path).filter(part_pred)
+    survivors = old.join(
+        drop_keys, on=[id_col, "tbl", "bucket"], how="left_anti"
+    )
+    final = survivors.unionByName(fresh_rows).persist()
+    kept_parts = {
+        (r.tbl, r.bucket)
+        for r in final.select("tbl", "bucket").distinct().collect()
+    }
+    (
+        final.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("tbl", "bucket")
+        .parquet(index_path)
+    )
+    final.unpersist()
+    fs, qualified = _hadoop_fs(spark, index_path)
+    jvm = spark._jvm
+    for t, b in sorted(touched - kept_parts):  # fully drained
+        fs.delete(
+            jvm.org.apache.hadoop.fs.Path(qualified, f"tbl={t}/bucket={b}"),
+            True,
+        )
+    n = (
+        stale.select(id_col)
+        .unionByName(fresh.select(id_col))
+        .distinct()
+        .count()
+    )
+    return n, latest
+
+
 def _probe_bucket_structs(num_tables: int, multiprobe: int, num_planes: int):
     """(tbl, bucket) struct list for the probe-side melt: each table's
     own signature, plus — under multi-probe — the ``multiprobe`` buckets

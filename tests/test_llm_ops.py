@@ -1380,3 +1380,98 @@ def test_ivfpq_determinism_and_storage(spark, sf_dir, tmp_path):
     # every non-zero corpus vector is coded exactly once
     assert codes.count() == emb.count()
     assert codes.select("vec_id").distinct().count() == codes.count()
+
+
+def test_ann_index_cdc_refresh_equals_rebuild(spark, tmp_path):
+    """CDC-driven ANN index maintenance: vectors live in a txtable;
+    after update + insert + delete commits, one preimage-fed refresh
+    leaves the (tbl, bucket) parquet layout identical to a
+    from-scratch build of the current snapshot — same rows AND same
+    partition directories (fully drained partitions are removed, which
+    dynamic overwrite alone can't do). Replay from the same watermark
+    converges; same-version refresh is a no-op; queries see the new
+    state."""
+    import glob as _glob
+    import os as _os
+
+    from data_pipeline_demo_spark.operators import similarity
+    from data_pipeline_demo_spark.sinks.txlog import (
+        read_txtable,
+        txlog_delete,
+        txlog_upsert,
+    )
+
+    def vec(seed: int) -> list[float]:
+        return [float(((seed * 37 + i * 13) % 19) - 9) for i in range(8)]
+
+    tbl_root = str(tmp_path / "vecs")
+    idx = str(tmp_path / "idx")
+    base = [(i, vec(i)) for i in range(12)]
+    txlog_upsert(
+        spark,
+        spark.createDataFrame(base, "vec_id long, embedding array<float>"),
+        tbl_root,
+        key="vec_id",
+        num_buckets=4,
+    )
+    similarity.build_ann_index(
+        read_txtable(spark, tbl_root), idx, num_planes=3, num_tables=4
+    )
+    watermark = 0
+
+    # update vec 2 (moves buckets), insert vec 20, delete vec 5
+    txlog_upsert(
+        spark,
+        spark.createDataFrame(
+            [(2, vec(101)), (20, vec(102))],
+            "vec_id long, embedding array<float>",
+        ),
+        tbl_root,
+    )
+    txlog_delete(
+        spark, tbl_root, keys=spark.createDataFrame([(5,)], "vec_id long")
+    )
+
+    n, consumed = similarity.ann_index_refresh_from_txtable(
+        spark, idx, tbl_root, since_version=watermark
+    )
+    assert n == 3 and consumed == 2
+
+    def snapshot(path: str):
+        rows = sorted(
+            (r.vec_id, r.tbl, r.bucket, tuple(r.embedding))
+            for r in spark.read.parquet(path).collect()
+        )
+        parts = sorted(
+            p.rsplit("/", 2)[-2] + "/" + p.rsplit("/", 2)[-1]
+            for p in _glob.glob(_os.path.join(path, "tbl=*", "bucket=*"))
+        )
+        return rows, parts
+
+    rebuilt_path = str(tmp_path / "rebuilt")
+    similarity.build_ann_index(
+        read_txtable(spark, tbl_root), rebuilt_path, num_planes=3,
+        num_tables=4,
+    )
+    assert snapshot(idx) == snapshot(rebuilt_path)
+
+    # replay from the SAME watermark converges (idempotent)
+    similarity.ann_index_refresh_from_txtable(
+        spark, idx, tbl_root, since_version=watermark
+    )
+    assert snapshot(idx) == snapshot(rebuilt_path)
+    # consumed-version refresh is a no-op
+    assert similarity.ann_index_refresh_from_txtable(
+        spark, idx, tbl_root, since_version=consumed
+    ) == (0, consumed)
+
+    # queries observe the refresh: the deleted id never surfaces, the
+    # updated vector is its own exact nearest neighbor at full probe
+    probes = spark.createDataFrame(
+        [(0, vec(101))], "probe_id long, embedding array<float>"
+    )
+    hits = similarity.ann_query_indexed(
+        spark, idx, probes, k=3, num_planes=3, num_tables=4, multiprobe=2
+    ).collect()
+    assert all(r.vec_id != 5 for r in hits)
+    assert hits and hits[0].vec_id == 2
