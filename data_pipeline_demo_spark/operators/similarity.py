@@ -326,6 +326,73 @@ def ann_index_append(
     ).write.mode("append").partitionBy("tbl", "bucket").parquet(index_path)
 
 
+def _rewrite_touched_partitions(
+    spark,
+    index_path: str,
+    part_cols: list[str],
+    drop_keys: DataFrame,
+    fresh_rows: DataFrame,
+    id_col: str,
+) -> bool:
+    """Shared mechanics of CDC index refresh over a partitioned parquet
+    layout: rewrite exactly the partitions named by ``drop_keys``
+    (which must be a superset of ``fresh_rows``' partition keys — the
+    caller unions stale and fresh key sets, making a replayed refresh
+    converge instead of duplicating).
+
+    1. collect the touched partition tuples (maintenance-increment-
+       sized by contract, never index-sized);
+    2. partition-pruned read of only those partitions;
+    3. survivors = old rows minus drop_keys on (id, *part_cols);
+    4. dynamic-partition-overwrite survivors ∪ fresh;
+    5. delete any partition directory the feed fully drained — dynamic
+       overwrite cannot express an empty partition.
+
+    Returns False when nothing was touched (caller short-circuits)."""
+    from functools import reduce
+
+    from ..sinks.upsert import _hadoop_fs
+
+    touched = {
+        tuple(r[c] for c in part_cols)
+        for r in drop_keys.select(*part_cols).distinct().collect()
+    }
+    if not touched:
+        return False
+    part_pred = reduce(
+        lambda a, c: a | c,
+        [
+            reduce(
+                lambda a, c: a & c,
+                [F.col(col) == v for col, v in zip(part_cols, key)],
+            )
+            for key in touched
+        ],
+    )
+    old = spark.read.parquet(index_path).filter(part_pred)
+    survivors = old.join(
+        drop_keys, on=[id_col, *part_cols], how="left_anti"
+    )
+    final = survivors.unionByName(fresh_rows).persist()
+    kept = {
+        tuple(r[c] for c in part_cols)
+        for r in final.select(*part_cols).distinct().collect()
+    }
+    (
+        final.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*part_cols)
+        .parquet(index_path)
+    )
+    final.unpersist()
+    fs, qualified = _hadoop_fs(spark, index_path)
+    jvm = spark._jvm
+    for key in sorted(touched - kept):  # fully drained
+        rel = "/".join(f"{c}={v}" for c, v in zip(part_cols, key))
+        fs.delete(jvm.org.apache.hadoop.fs.Path(qualified, rel), True)
+    return True
+
+
 def ann_index_refresh_from_txtable(
     spark,
     index_path: str,
@@ -364,10 +431,7 @@ def ann_index_refresh_from_txtable(
     O(index). Returns ``(vectors_refreshed, consumed_version)``;
     persist the version as the consumer watermark and pass it back
     next call (same-version call is a no-op)."""
-    from functools import reduce
-
     from ..sinks.txlog import _latest_manifest, txtable_changes
-    from ..sinks.upsert import _hadoop_fs
 
     meta = read_json_sidecar(
         spark, index_path.rstrip("/") + "/" + ANN_INDEX_META
@@ -392,54 +456,16 @@ def ann_index_refresh_from_txtable(
     fresh = feed.filter(
         F.col("_change_type").isin("insert", "update_postimage")
     ).select(id_col, vec_col)
-    stale_keys = _sign_melt(stale, id_col, vec_col, np_, nt).select(
-        id_col, "tbl", "bucket"
-    )
     fresh_rows = _sign_melt(fresh, id_col, vec_col, np_, nt)
-    drop_keys = stale_keys.unionByName(
-        fresh_rows.select(id_col, "tbl", "bucket")
+    drop_keys = (
+        _sign_melt(stale, id_col, vec_col, np_, nt)
+        .select(id_col, "tbl", "bucket")
+        .unionByName(fresh_rows.select(id_col, "tbl", "bucket"))
     )
-    # touched partitions, collected: maintenance-increment-sized by
-    # contract (changed vectors × num_tables), never corpus-sized
-    touched = {
-        (r.tbl, r.bucket)
-        for r in drop_keys.select("tbl", "bucket").distinct().collect()
-    }
-    if not touched:
+    if not _rewrite_touched_partitions(
+        spark, index_path, ["tbl", "bucket"], drop_keys, fresh_rows, id_col
+    ):
         return 0, latest
-    by_tbl: dict[int, list[int]] = {}
-    for t, b in touched:
-        by_tbl.setdefault(t, []).append(b)
-    part_pred = reduce(
-        lambda a, c: a | c,
-        [
-            (F.col("tbl") == t) & F.col("bucket").isin(bs)
-            for t, bs in by_tbl.items()
-        ],
-    )
-    old = spark.read.parquet(index_path).filter(part_pred)
-    survivors = old.join(
-        drop_keys, on=[id_col, "tbl", "bucket"], how="left_anti"
-    )
-    final = survivors.unionByName(fresh_rows).persist()
-    kept_parts = {
-        (r.tbl, r.bucket)
-        for r in final.select("tbl", "bucket").distinct().collect()
-    }
-    (
-        final.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("tbl", "bucket")
-        .parquet(index_path)
-    )
-    final.unpersist()
-    fs, qualified = _hadoop_fs(spark, index_path)
-    jvm = spark._jvm
-    for t, b in sorted(touched - kept_parts):  # fully drained
-        fs.delete(
-            jvm.org.apache.hadoop.fs.Path(qualified, f"tbl={t}/bucket={b}"),
-            True,
-        )
     n = (
         stale.select(id_col)
         .unionByName(fresh.select(id_col))
@@ -843,6 +869,70 @@ def ivf_index_append(
         .partitionBy("centroid_id")
         .parquet(index_path)
     )
+
+
+def ivf_index_refresh_from_txtable(
+    spark,
+    index_path: str,
+    table_root: str,
+    since_version: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[int, int]:
+    """CDC-driven IVF index maintenance — the inverted-list analog of
+    :func:`ann_index_refresh_from_txtable`: the coarse quantizer is
+    FROZEN after build (the append contract), so an update/delete
+    PREIMAGE vector routes to exactly the inverted list its stale row
+    lives in — one broadcast assign over the feed names every touched
+    ``centroid_id`` partition, no index scan. Same rewrite mechanics
+    (partition-pruned read of touched lists, survivors minus stale AND
+    fresh keys so replays converge, dynamic overwrite, drained-list
+    directory removal). Zero-norm vectors never index, matching build/
+    append.
+
+    Cost: O(changed buckets) for the diff + O(touched inverted lists)
+    rewritten. Returns ``(vectors_refreshed, consumed_version)`` —
+    persist the version as the consumer watermark; same-version call
+    is a no-op."""
+    from ..sinks.txlog import _latest_manifest, txtable_changes
+
+    cent_path = index_path + "_centroids"
+    try:
+        cents = spark.read.parquet(cent_path)
+    except Exception as exc:
+        raise ValueError(
+            f"no IVF centroids at {cent_path}; ivf_build_index first"
+        ) from exc
+    manifest = _latest_manifest(spark, table_root)
+    if manifest is None:
+        raise FileNotFoundError(f"no committed txtable at {table_root}")
+    latest = manifest["version"]
+    if since_version >= latest:
+        return 0, latest
+    feed = txtable_changes(
+        spark, table_root, since_version, latest, include_preimages=True
+    )
+
+    def routed(change_types: list[str]) -> DataFrame:
+        part = feed.filter(F.col("_change_type").isin(change_types)).select(
+            id_col, vec_col
+        )
+        nz = part.filter(l2_norm_exact(F.col(vec_col)) > 0)
+        return nz.join(
+            _best_centroids(nz, cents, id_col, vec_col, n_best=1), id_col
+        ).select(F.col(id_col), F.col(vec_col), F.col("centroid_id"))
+
+    stale_rows = routed(["update_preimage", "delete"])
+    fresh_rows = routed(["insert", "update_postimage"])
+    drop_keys = stale_rows.select(id_col, "centroid_id").unionByName(
+        fresh_rows.select(id_col, "centroid_id")
+    )
+    if not _rewrite_touched_partitions(
+        spark, index_path, ["centroid_id"], drop_keys, fresh_rows, id_col
+    ):
+        return 0, latest
+    n = drop_keys.select(id_col).distinct().count()
+    return n, latest
 
 
 def ivf_query(

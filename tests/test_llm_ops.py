@@ -1475,3 +1475,93 @@ def test_ann_index_cdc_refresh_equals_rebuild(spark, tmp_path):
     ).collect()
     assert all(r.vec_id != 5 for r in hits)
     assert hits and hits[0].vec_id == 2
+
+
+def test_ivf_index_cdc_refresh_equals_rebuild(spark, tmp_path):
+    """IVF CDC refresh against a FIXED quantizer: refresh == routing
+    the current snapshot through the same frozen centroids (rows and
+    partition directories), replay converges, no-op on consumed
+    version, deleted ids vanish from queries."""
+    import glob as _glob
+    import os as _os
+
+    from data_pipeline_demo_spark.operators import similarity
+    from data_pipeline_demo_spark.sinks.txlog import (
+        read_txtable,
+        txlog_delete,
+        txlog_upsert,
+    )
+
+    def vec(seed: int) -> list[float]:
+        return [float(((seed * 41 + i * 7) % 17) - 8) for i in range(8)]
+
+    tbl_root = str(tmp_path / "vecs")
+    idx = str(tmp_path / "ivf")
+    base = [(i, vec(i)) for i in range(16)]
+    txlog_upsert(
+        spark,
+        spark.createDataFrame(base, "vec_id long, embedding array<float>"),
+        tbl_root,
+        key="vec_id",
+        num_buckets=4,
+    )
+    similarity.ivf_build_index(
+        read_txtable(spark, tbl_root), idx, n_centroids=4
+    )
+    watermark = 0
+
+    txlog_upsert(
+        spark,
+        spark.createDataFrame(
+            [(3, vec(201)), (30, vec(202))],
+            "vec_id long, embedding array<float>",
+        ),
+        tbl_root,
+    )
+    txlog_delete(
+        spark, tbl_root, keys=spark.createDataFrame([(7,)], "vec_id long")
+    )
+
+    n, consumed = similarity.ivf_index_refresh_from_txtable(
+        spark, idx, tbl_root, since_version=watermark
+    )
+    assert n == 3 and consumed == 2
+
+    def snapshot(path: str):
+        rows = sorted(
+            (r.vec_id, r.centroid_id, tuple(r.embedding))
+            for r in spark.read.parquet(path).collect()
+        )
+        parts = sorted(
+            _os.path.basename(p)
+            for p in _glob.glob(_os.path.join(path, "centroid_id=*"))
+        )
+        return rows, parts
+
+    # reference: route the CURRENT snapshot through the SAME frozen
+    # quantizer (a rebuild would re-init centroids; the refresh
+    # contract is the append contract - frozen lists)
+    ref = str(tmp_path / "ref")
+    import shutil
+
+    shutil.copytree(idx + "_centroids", ref + "_centroids")
+    similarity.ivf_index_append(read_txtable(spark, tbl_root), ref)
+    assert snapshot(idx) == snapshot(ref)
+
+    # replay from the same watermark converges
+    similarity.ivf_index_refresh_from_txtable(
+        spark, idx, tbl_root, since_version=watermark
+    )
+    assert snapshot(idx) == snapshot(ref)
+    assert similarity.ivf_index_refresh_from_txtable(
+        spark, idx, tbl_root, since_version=consumed
+    ) == (0, consumed)
+
+    # full-probe query over the refreshed index: exact over the
+    # current snapshot - deleted id absent, updated vector found
+    probes = spark.createDataFrame(
+        [(0, vec(201))], "probe_id long, embedding array<float>"
+    )
+    hits = similarity.ivf_query(spark, idx, probes, k=3, nprobe=4).collect()
+    assert all(r.vec_id != 7 for r in hits)
+    assert hits and hits[0].vec_id == 3
