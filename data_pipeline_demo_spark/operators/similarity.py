@@ -433,13 +433,6 @@ def ann_index_refresh_from_txtable(
     next call (same-version call is a no-op)."""
     from ..sinks.txlog import _latest_manifest, txtable_changes
 
-    meta = read_json_sidecar(
-        spark, index_path.rstrip("/") + "/" + ANN_INDEX_META
-    )
-    if meta is None:
-        raise ValueError(
-            f"no ANN index metadata at {index_path}; build_ann_index first"
-        )
     manifest = _latest_manifest(spark, table_root)
     if manifest is None:
         raise FileNotFoundError(f"no committed txtable at {table_root}")
@@ -449,30 +442,81 @@ def ann_index_refresh_from_txtable(
     feed = txtable_changes(
         spark, table_root, since_version, latest, include_preimages=True
     )
-    np_, nt = meta["num_planes"], meta["num_tables"]
-    stale = feed.filter(
-        F.col("_change_type").isin("update_preimage", "delete")
-    ).select(id_col, vec_col)
-    fresh = feed.filter(
-        F.col("_change_type").isin("insert", "update_postimage")
-    ).select(id_col, vec_col)
-    fresh_rows = _sign_melt(fresh, id_col, vec_col, np_, nt)
-    drop_keys = (
-        _sign_melt(stale, id_col, vec_col, np_, nt)
-        .select(id_col, "tbl", "bucket")
-        .unionByName(fresh_rows.select(id_col, "tbl", "bucket"))
-    )
-    if not _rewrite_touched_partitions(
-        spark, index_path, ["tbl", "bucket"], drop_keys, fresh_rows, id_col
-    ):
-        return 0, latest
-    n = (
-        stale.select(id_col)
-        .unionByName(fresh.select(id_col))
-        .distinct()
-        .count()
+    n = apply_index_changes(
+        spark, index_path, feed, kind="lsh", id_col=id_col, vec_col=vec_col
     )
     return n, latest
+
+
+def apply_index_changes(
+    spark,
+    index_path: str,
+    feed: DataFrame,
+    kind: str = "lsh",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Apply ONE preimage-complete change-feed slice (``_change_type``
+    ∈ insert / update_preimage / update_postimage / delete — read the
+    feed with preimages, or key-moving updates leave stale rows) to a
+    persisted vector index: ``kind="lsh"`` for the hyperplane layout,
+    ``kind="ivf"`` for the inverted lists. This is the refresh CORE
+    shared by the version-ranged batch wrappers and the streaming
+    maintenance job — idempotent per slice (replays converge), so
+    foreachBatch redelivery is safe. Returns vectors refreshed."""
+    if kind == "lsh":
+        meta = read_json_sidecar(
+            spark, index_path.rstrip("/") + "/" + ANN_INDEX_META
+        )
+        if meta is None:
+            raise ValueError(
+                f"no ANN index metadata at {index_path}; build_ann_index "
+                "first"
+            )
+        np_, nt = meta["num_planes"], meta["num_tables"]
+
+        def place(change_types: list[str]) -> DataFrame:
+            part = feed.filter(
+                F.col("_change_type").isin(change_types)
+            ).select(id_col, vec_col)
+            return _sign_melt(part, id_col, vec_col, np_, nt)
+
+        part_cols = ["tbl", "bucket"]
+    elif kind == "ivf":
+        cent_path = index_path + "_centroids"
+        try:
+            cents = spark.read.parquet(cent_path)
+        except Exception as exc:
+            raise ValueError(
+                f"no IVF centroids at {cent_path}; ivf_build_index first"
+            ) from exc
+
+        def place(change_types: list[str]) -> DataFrame:
+            part = feed.filter(
+                F.col("_change_type").isin(change_types)
+            ).select(id_col, vec_col)
+            nz = part.filter(l2_norm_exact(F.col(vec_col)) > 0)
+            return nz.join(
+                _best_centroids(nz, cents, id_col, vec_col, n_best=1),
+                id_col,
+            ).select(F.col(id_col), F.col(vec_col), F.col("centroid_id"))
+
+        part_cols = ["centroid_id"]
+    else:
+        raise ValueError(f"kind must be 'lsh' or 'ivf', got {kind!r}")
+
+    stale_keys = place(["update_preimage", "delete"]).select(
+        id_col, *part_cols
+    )
+    fresh_rows = place(["insert", "update_postimage"])
+    drop_keys = stale_keys.unionByName(
+        fresh_rows.select(id_col, *part_cols)
+    )
+    if not _rewrite_touched_partitions(
+        spark, index_path, part_cols, drop_keys, fresh_rows, id_col
+    ):
+        return 0
+    return drop_keys.select(id_col).distinct().count()
 
 
 def _probe_bucket_structs(num_tables: int, multiprobe: int, num_planes: int):
@@ -896,13 +940,6 @@ def ivf_index_refresh_from_txtable(
     is a no-op."""
     from ..sinks.txlog import _latest_manifest, txtable_changes
 
-    cent_path = index_path + "_centroids"
-    try:
-        cents = spark.read.parquet(cent_path)
-    except Exception as exc:
-        raise ValueError(
-            f"no IVF centroids at {cent_path}; ivf_build_index first"
-        ) from exc
     manifest = _latest_manifest(spark, table_root)
     if manifest is None:
         raise FileNotFoundError(f"no committed txtable at {table_root}")
@@ -912,26 +949,9 @@ def ivf_index_refresh_from_txtable(
     feed = txtable_changes(
         spark, table_root, since_version, latest, include_preimages=True
     )
-
-    def routed(change_types: list[str]) -> DataFrame:
-        part = feed.filter(F.col("_change_type").isin(change_types)).select(
-            id_col, vec_col
-        )
-        nz = part.filter(l2_norm_exact(F.col(vec_col)) > 0)
-        return nz.join(
-            _best_centroids(nz, cents, id_col, vec_col, n_best=1), id_col
-        ).select(F.col(id_col), F.col(vec_col), F.col("centroid_id"))
-
-    stale_rows = routed(["update_preimage", "delete"])
-    fresh_rows = routed(["insert", "update_postimage"])
-    drop_keys = stale_rows.select(id_col, "centroid_id").unionByName(
-        fresh_rows.select(id_col, "centroid_id")
+    n = apply_index_changes(
+        spark, index_path, feed, kind="ivf", id_col=id_col, vec_col=vec_col
     )
-    if not _rewrite_touched_partitions(
-        spark, index_path, ["centroid_id"], drop_keys, fresh_rows, id_col
-    ):
-        return 0, latest
-    n = drop_keys.select(id_col).distinct().count()
     return n, latest
 
 

@@ -992,3 +992,62 @@ def stream_text_corpus_landing(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def make_vector_index_batch_fn(
+    index_path: str,
+    kind: str = "lsh",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """foreachBatch callback behind :func:`stream_vector_index_maintenance`
+    (exposed for direct testing): the micro-batch IS a preimage-complete
+    change-feed slice, applied to the persisted vector index through
+    ``similarity.apply_index_changes`` — the same certified core the
+    batch refresh wrappers use. The apply is idempotent per slice
+    (survivors subtract stale AND fresh keys), so foreachBatch
+    redelivery after a failure converges instead of duplicating."""
+    from ..operators.similarity import apply_index_changes
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        apply_index_changes(
+            batch_df.sparkSession,
+            index_path,
+            batch_df,
+            kind=kind,
+            id_col=id_col,
+            vec_col=vec_col,
+        )
+
+    return write_batch
+
+
+def stream_vector_index_maintenance(
+    change_stream: DataFrame,
+    index_path: str,
+    kind: str = "lsh",
+    checkpoint: str | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Continuously-maintained ANN index (stream ∘ apply_index_changes
+    ∘ partitioned layout): subscribe to the vector table's txtable
+    change feed (MUST be read with ``includePreimages`` — update/delete
+    preimages are what locate the stale index rows without any index
+    scan) and propagate every commit to the persisted LSH or IVF index
+    per trigger. Per-trigger cost is O(changed vectors × placements +
+    touched partitions) — the index is never rebuilt and never scanned.
+    Completes the maintained-structure family (MinHash index, join
+    view, rollup cascade, value index) for the vector tiers. Caller
+    picks the trigger."""
+    write_batch = make_vector_index_batch_fn(
+        index_path, kind=kind, id_col=id_col, vec_col=vec_col
+    )
+    writer = change_stream.writeStream.foreachBatch(write_batch).outputMode(
+        "append"
+    )
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer

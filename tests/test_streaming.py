@@ -880,3 +880,109 @@ def test_stream_text_corpus_landing_content_dedup_exactly_once(spark, tmp_path):
         jobs.stream_text_corpus_landing(
             spark, str(landing), root, ckpt, grain="word"
         )
+
+
+def test_stream_vector_index_maintenance_live(spark, tmp_path):
+    """Continuously-maintained ANN index, driven by the LIVE txtable
+    change-feed stream (availableNow): after update + insert + delete
+    commits, the maintained LSH index equals a from-scratch build of
+    the current snapshot — rows AND partition directories; run 2 with
+    the same checkpoint consumes only the new commits."""
+    import glob as _glob
+    import os as _os
+
+    from data_pipeline_demo_spark.operators import similarity
+    from data_pipeline_demo_spark.sinks.txlog import (
+        read_txtable,
+        txlog_delete,
+        txlog_upsert,
+    )
+    from data_pipeline_demo_spark.sources.txtable_source import (
+        register_txtable_source,
+    )
+
+    register_txtable_source(spark)
+
+    def vec(seed: int) -> list[float]:
+        return [float(((seed * 29 + i * 11) % 23) - 11) for i in range(8)]
+
+    tbl_root = str(tmp_path / "vecs")
+    idx = str(tmp_path / "idx")
+    ckpt = str(tmp_path / "ckpt")
+    txlog_upsert(
+        spark,
+        spark.createDataFrame(
+            [(i, vec(i)) for i in range(10)],
+            "vec_id long, embedding array<float>",
+        ),
+        tbl_root,
+        key="vec_id",
+        num_buckets=4,
+    )
+    similarity.build_ann_index(
+        read_txtable(spark, tbl_root), idx, num_planes=3, num_tables=4
+    )
+
+    # index built at v0 — the stream's base snapshot is v0
+    txlog_upsert(
+        spark,
+        spark.createDataFrame(
+            [(4, vec(301)), (40, vec(302))],
+            "vec_id long, embedding array<float>",
+        ),
+        tbl_root,
+    )
+    txlog_delete(
+        spark, tbl_root, keys=spark.createDataFrame([(8,)], "vec_id long")
+    )
+
+    def run_stream():
+        feed = (
+            spark.readStream.format("txtable")
+            .option("readChangeFeed", "true")
+            .option("includePreimages", "true")
+            .option("startingVersion", "0")  # base snapshot = the
+            # version the index was built from (stream offsets are
+            # snapshot versions; the first batch diffs from this base)
+            .load(tbl_root)
+        )
+        q = (
+            jobs.stream_vector_index_maintenance(feed, idx, kind="lsh")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    def snapshot(path: str):
+        rows = sorted(
+            (r.vec_id, r.tbl, r.bucket, tuple(r.embedding))
+            for r in spark.read.parquet(path).collect()
+        )
+        parts = sorted(
+            "/".join(p.rsplit("/", 2)[-2:])
+            for p in _glob.glob(_os.path.join(path, "tbl=*", "bucket=*"))
+        )
+        return rows, parts
+
+    def rebuild():
+        ref = str(tmp_path / "ref")
+        similarity.build_ann_index(
+            read_txtable(spark, tbl_root), ref, num_planes=3, num_tables=4
+        )
+        return snapshot(ref)
+
+    run_stream()
+    assert snapshot(idx) == rebuild()
+
+    # run 2: new commits only (checkpointed offsets), incl. a key that
+    # moves buckets
+    txlog_upsert(
+        spark,
+        spark.createDataFrame(
+            [(4, vec(400))], "vec_id long, embedding array<float>"
+        ),
+        tbl_root,
+    )
+    run_stream()
+    assert snapshot(idx) == rebuild()
