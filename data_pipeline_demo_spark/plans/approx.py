@@ -229,3 +229,15 @@ register("q154_webdataset_roundtrip", oracle=llm_ops._DUCK_WDS_ROUNDTRIP)(
 register("q155_text_corpus_ingest", oracle=llm_ops._DUCK_TEXT_INGEST)(
     llm_ops.q155_text_corpus_ingest
 )
+register("q156_welch_ttest", oracle=relational._WELCH_TTEST_SQL)(
+    relational.q156_welch_ttest
+)
+register("q157_chi_squared", oracle=relational._CHI2_SQL)(
+    relational.q157_chi_squared
+)
+register("q158_frequent_itemsets", oracle=relational._ITEMSETS_SQL)(
+    relational.q158_frequent_itemsets
+)
+register("q159_time_weighted_avg", oracle=timeseries._DUCK_TWA)(
+    timeseries.q159_time_weighted_avg
+)

@@ -2032,3 +2032,153 @@ def q149_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     for name in ("part", "lineitem", "supplier"):
         table(spark, sf_dir, name).createOrReplaceTempView(name)
     return spark.sql(_TPCH_Q16_SQL)
+
+
+_WELCH_TTEST_SQL = """
+    WITH g AS (
+        SELECT o_orderpriority AS grp,
+               COUNT(*) AS n,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS sx,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))
+                   * CAST(o_totalprice AS DECIMAL(18,2))) AS sxx
+        FROM orders
+        WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+        GROUP BY o_orderpriority
+    ),
+    w AS (
+        SELECT
+            MAX(CASE WHEN grp = '1-URGENT' THEN n END) AS n1,
+            CAST(MAX(CASE WHEN grp = '1-URGENT' THEN sx END) AS DOUBLE) AS sx1,
+            CAST(MAX(CASE WHEN grp = '1-URGENT' THEN sxx END) AS DOUBLE) AS sxx1,
+            MAX(CASE WHEN grp = '5-LOW' THEN n END) AS n2,
+            CAST(MAX(CASE WHEN grp = '5-LOW' THEN sx END) AS DOUBLE) AS sx2,
+            CAST(MAX(CASE WHEN grp = '5-LOW' THEN sxx END) AS DOUBLE) AS sxx2
+        FROM g
+    ),
+    s AS (
+        SELECT n1, n2,
+               sx1 / n1 AS m1, sx2 / n2 AS m2,
+               (sxx1 - sx1 * sx1 / n1) / (n1 - 1) AS v1,
+               (sxx2 - sx2 * sx2 / n2) / (n2 - 1) AS v2
+        FROM w
+    )
+    SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+           ROUND(m1, 4) AS mean1, ROUND(m2, 4) AS mean2,
+           ROUND((m1 - m2) / sqrt(v1 / n1 + v2 / n2), 4) AS t,
+           ROUND((v1 / n1 + v2 / n2) * (v1 / n1 + v2 / n2)
+                 / ((v1 / n1) * (v1 / n1) / (n1 - 1)
+                    + (v2 / n2) * (v2 / n2) / (n2 - 1)), 2) AS dof,
+           ABS((m1 - m2) / sqrt(v1 / n1 + v2 / n2)) > 1.96 AS significant
+    FROM s
+"""
+
+
+def q156_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's two-sample t-test (unequal variances) on order totals
+    between two priority classes — the continuous-metric experiment
+    readout beside q121's proportion z-test. Same literal SQL on both
+    engines; each group collapses to exact DECIMAL (n, Σx, Σx²) in ONE
+    combinable pass (order-independent sums — the float-summation
+    nondeterminism that plagues naive variance is gone by
+    construction), then mean/variance/t/Welch–Satterthwaite dof are
+    scalar arithmetic over a one-row relation. The significance flag
+    compares the UNROUNDED statistic against the normal-approximation
+    1.96 (dof is in the thousands here) identically on both sides.
+
+    Scale shape: a full scan reduced map-side to 2 rows; no shuffle
+    beyond the 2-group exchange. Reference has no statistics at all
+    (closest: the QA row counts at /root/reference/data_pipeline.py:383).
+    """
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_WELCH_TTEST_SQL)
+
+
+_CHI2_SQL = """
+    WITH obs AS (
+        SELECT o_orderpriority AS r, o_orderstatus AS c,
+               CAST(COUNT(*) AS BIGINT) AS o
+        FROM orders
+        GROUP BY o_orderpriority, o_orderstatus
+    ),
+    tot AS (SELECT SUM(o) AS n FROM obs),
+    rt AS (SELECT r, SUM(o) AS nr FROM obs GROUP BY r),
+    ct AS (SELECT c, SUM(o) AS nc FROM obs GROUP BY c)
+    SELECT
+        CAST(COUNT(*) AS BIGINT) AS n_cells,
+        CAST((COUNT(DISTINCT obs.r) - 1)
+             * (COUNT(DISTINCT obs.c) - 1) AS BIGINT) AS dof,
+        ROUND(SUM(
+            (o - CAST(nr AS DOUBLE) * nc / n)
+            * (o - CAST(nr AS DOUBLE) * nc / n)
+            / (CAST(nr AS DOUBLE) * nc / n)), 4) AS chi2
+    FROM obs
+    JOIN rt ON obs.r = rt.r
+    JOIN ct ON obs.c = ct.c
+    CROSS JOIN tot
+"""
+
+
+def q157_chi_squared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-squared independence test on the order priority ×
+    status contingency table — the categorical-association readout
+    completing the experiment-stats family (q120 correlation, q121
+    z-test, q156 t-test). Same literal SQL on both engines: observed
+    cells come from ONE exact integer groupBy; marginals re-aggregate
+    the cell relation (group-count-sized, not a second scan); expected
+    counts and the statistic are double arithmetic over exact integers
+    (convention: cells with zero observations contribute no term —
+    both engines see the same observed relation, so parity holds).
+
+    Scale shape: one combinable scan to r×c cells, then joins over
+    relations bounded by the distinct category counts — metadata-sized
+    regardless of row count."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_CHI2_SQL)
+
+
+_ITEMSETS_SQL = """
+    WITH base AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ),
+    pairs AS (
+        SELECT CAST(a.p AS VARCHAR) || ',' || CAST(b.p AS VARCHAR) AS items,
+               CAST(COUNT(*) AS BIGINT) AS support
+        FROM base a JOIN base b ON a.o = b.o AND a.p < b.p
+        GROUP BY a.p, b.p HAVING COUNT(*) >= 2
+    ),
+    triples AS (
+        SELECT CAST(a.p AS VARCHAR) || ',' || CAST(b.p AS VARCHAR)
+               || ',' || CAST(c.p AS VARCHAR) AS items,
+               CAST(COUNT(*) AS BIGINT) AS support
+        FROM base a
+        JOIN base b ON a.o = b.o AND a.p < b.p
+        JOIN base c ON a.o = c.o AND b.p < c.p
+        GROUP BY a.p, b.p, c.p HAVING COUNT(*) >= 2
+    )
+    SELECT items, 2 AS k, support FROM pairs
+    UNION ALL
+    SELECT items, 3 AS k, support FROM triples
+"""
+
+
+def q158_frequent_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent itemsets (sizes 2–3, Apriori) over order baskets — the
+    market-basket generalization of q110's pairwise lift, via
+    `operators/itemsets.py`. The oracle replays the definition as
+    plain self-joins (equivalent by the Apriori property: a frequent
+    pair's members are frequent singletons, so pruning first changes
+    nothing); the engine path instead prunes baskets to frequent items
+    and generates combinations INSIDE each basket array map-only —
+    shuffle volume = generated-combination count, not a self-join of
+    item instances. ``max_basket`` guard inactive here (TPC-H baskets
+    ≤ 7 items; set high for exact oracle parity)."""
+    from ..operators.itemsets import frequent_itemsets
+
+    li = table(spark, sf_dir, "lineitem")
+    out = frequent_itemsets(
+        li, "l_orderkey", "l_partkey", min_support=2, max_size=3,
+        max_basket=1000,
+    )
+    return out.select(
+        "items", F.col("k").cast("int").alias("k"), "support"
+    )

@@ -660,3 +660,74 @@ def q132_funnel_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
     for name in ("events",):
         table(spark, sf_dir, name).createOrReplaceTempView(name)
     return spark.sql(_FUNNEL_SEQ_SQL)
+
+
+_DUCK_TWA = """
+    WITH s AS (
+        SELECT user_id, ts, value,
+               LEAD(ts) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS nts,
+               LEAD(value) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS nv
+        FROM events
+    ),
+    seg AS (
+        SELECT user_id,
+               epoch(nts) - epoch(ts) AS dt,
+               (value + nv) / 2 AS mv
+        FROM s WHERE nts IS NOT NULL
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_seg,
+           ROUND(SUM(mv * dt) / SUM(dt), 6) AS twa
+    FROM seg
+    GROUP BY user_id
+    HAVING SUM(dt) > 0
+"""
+
+
+def q159_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user time-weighted average of an irregularly-sampled value
+    (TimescaleDB's ``time_weight('Linear')`` — trapezoidal
+    integration): consecutive readings pair via LEAD over the
+    event-time order (ties broken by event_id so both engines pair
+    identically), each segment contributes mean(value_i, value_{i+1})
+    × Δt, and the user's TWA is the weight-normalized sum. The naive
+    plain AVG over-weights burst periods; this is the correct
+    irregular-series mean a metrics platform serves.
+
+    Scale shape: ONE window pass partitioned by user (no global sort),
+    then a combinable per-user aggregate; durations come from
+    timestamp→double epoch (identical on both engines, fractional
+    seconds included). Zero-Δt segments carry zero weight by
+    construction."""
+    from pyspark.sql.window import Window
+
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        "user_id",
+        F.col("ts").cast("double").alias("e"),
+        "value",
+        F.lead(F.col("ts").cast("double")).over(w).alias("ne"),
+        F.lead("value").over(w).alias("nv"),
+    ).filter(F.col("ne").isNotNull())
+    seg = s.select(
+        "user_id",
+        (F.col("ne") - F.col("e")).alias("dt"),
+        ((F.col("value") + F.col("nv")) / 2).alias("mv"),
+    )
+    return (
+        seg.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_seg"),
+            F.sum(F.col("mv") * F.col("dt")).alias("__num"),
+            F.sum("dt").alias("__den"),
+        )
+        .filter(F.col("__den") > 0)
+        .select(
+            "user_id",
+            "n_seg",
+            F.round(F.col("__num") / F.col("__den"), 6).alias("twa"),
+        )
+    )

@@ -331,6 +331,177 @@ def _stat_value(v):
     return str(v)
 
 
+# --- per-version schema tracking (Delta's schema-on-log model) -------------
+#
+# Each manifest records the table's logical schema as StructType JSON
+# fields (the bucket column excluded, nullability forced TRUE so parquet
+# files written from non-null frames never conflict at read time). The
+# schema is the READ authority: snapshots read with an explicit
+# ``spark.read.schema(...)`` — no mergeSchema footer sweep, columns a
+# file lacks surface as nulls, columns dropped from the schema are
+# projected away — and time travel returns each version's OWN schema,
+# exactly Delta's behavior. Writes ENFORCE it: a batch with a column the
+# table doesn't have raises unless the caller opts into evolution
+# (``evolve_schema=True`` — Delta's ``schema.autoMerge``), and a column
+# whose type conflicts raises always (type changes rewrite data; that
+# must never happen implicitly). Manifests committed before this feature
+# carry no schema and keep the original mergeSchema behavior end-to-end.
+# Everything here is metadata-sized: enforcement compares field lists,
+# never touches data files.
+
+
+def _schema_fields(df: DataFrame) -> list[dict]:
+    """StructType-JSON field list of ``df`` minus the bucket column,
+    nullability forced TRUE (parquet round-trips can't preserve Spark
+    nullability reliably, and a false NOT NULL would fail reads)."""
+    return [
+        {"name": f["name"], "type": f["type"], "nullable": True, "metadata": {}}
+        for f in df.schema.jsonValue()["fields"]
+        if f["name"] != BUCKET_COL
+    ]
+
+
+def _manifest_struct(manifest: dict):
+    """The manifest's recorded schema as a StructType, or None for
+    legacy (pre-schema-tracking) manifests."""
+    fields = manifest.get("schema")
+    if not fields:
+        return None
+    from pyspark.sql.types import StructType
+
+    return StructType.fromJson({"type": "struct", "fields": fields})
+
+
+def _evolved_schema(
+    prev_fields: list[dict],
+    df: DataFrame,
+    evolve_schema: bool,
+    dropped: list[str],
+) -> list[dict]:
+    """DataFrame wrapper over :func:`_evolve_fields`."""
+    return _evolve_fields(prev_fields, _schema_fields(df), evolve_schema, dropped)
+
+
+# write-side types that cast LOSSLESSLY up to a wider table type (the
+# ANSI store-assignment upcasts that can't lose a value; long→double and
+# int→float are NOT here — they round). The write data is cast to the
+# table type; the table schema never changes.
+_LOSSLESS_UPCASTS = {
+    "byte": {"short", "integer", "long", "float", "double"},
+    "short": {"integer", "long", "float", "double"},
+    "integer": {"long", "double"},
+    "float": {"double"},
+}
+
+# integral digits each integer type can need (for fits-in-decimal)
+_INT_DIGITS = {"byte": 3, "short": 5, "integer": 10, "long": 19}
+
+
+def _dec_params(t: str) -> tuple[int, int] | None:
+    if isinstance(t, str) and t.startswith("decimal(") and t.endswith(")"):
+        p, s = t[8:-1].split(",")
+        return int(p), int(s)
+    return None
+
+
+def _upcast_ok(write_t, table_t) -> bool:
+    """Whether a write-side type stores losslessly into the table type
+    (so the writer may cast the DATA up; the schema never changes).
+    Integral widenings, float→double, decimal→wider decimal, integers
+    into a decimal with enough integral digits, and ≤15-digit decimals
+    into double (15 significant digits round-trip double exactly —
+    covers SQL literals like ``5.0``, the everyday MERGE source)."""
+    if not isinstance(write_t, str) or not isinstance(table_t, str):
+        return False
+    if table_t in _LOSSLESS_UPCASTS.get(write_t, ()):
+        return True
+    wd, td = _dec_params(write_t), _dec_params(table_t)
+    if td is not None:
+        if wd is not None:  # decimal → wider decimal
+            return td[1] >= wd[1] and td[0] - td[1] >= wd[0] - wd[1]
+        need = _INT_DIGITS.get(write_t)
+        return need is not None and td[0] - td[1] >= need
+    if table_t == "double" and wd is not None:
+        return wd[0] <= 15
+    return False
+
+
+def _evolve_fields(
+    prev_fields: list[dict],
+    new_fields: list[dict],
+    evolve_schema: bool,
+    dropped: list[str],
+    allow_upcast: bool = True,
+) -> list[dict]:
+    """The post-write schema: prev fields, plus the write's new columns
+    appended in write order when ``evolve_schema`` — else any new
+    column raises. A same-name type MISMATCH raises unless the write
+    type upcasts losslessly to the table type (``allow_upcast``; the
+    caller must then cast the data — the schema itself never changes
+    implicitly). Re-adding a tombstoned (previously dropped) name
+    raises: live files may still carry the old values, and an
+    explicit-schema read would resurrect them. Pure (shared with the
+    python writer's driver-side commit)."""
+    by_name = {f["name"]: f for f in prev_fields}
+    out = [dict(f) for f in prev_fields]
+    for f in new_fields:
+        have = by_name.get(f["name"])
+        if have is not None:
+            if have["type"] != f["type"]:
+                if allow_upcast and _upcast_ok(f["type"], have["type"]):
+                    continue  # caller casts the write data up
+                raise ValueError(
+                    f"schema conflict on column {f['name']!r}: table has "
+                    f"{have['type']!r}, write has {f['type']!r} — type "
+                    "changes never merge implicitly (rewrite via UPDATE "
+                    "or overwrite the table"
+                    + (
+                        ")"
+                        if allow_upcast
+                        else "; this write path does not auto-upcast — "
+                        "cast the column to the table type first)"
+                    )
+                )
+            continue
+        if f["name"] in dropped:
+            raise ValueError(
+                f"column {f['name']!r} was previously dropped; live data "
+                "files may still hold its old values, so re-adding the "
+                "name would resurrect them — use a fresh column name"
+            )
+        if not evolve_schema:
+            raise ValueError(
+                f"write has column {f['name']!r} the table schema lacks; "
+                "pass evolve_schema=True to add it (nulls for existing "
+                "rows), or drop it from the batch"
+            )
+        out.append(dict(f))
+    return out
+
+
+def _schema_carry(manifest: dict) -> dict:
+    """Manifest entries that propagate a snapshot's schema state into
+    the next version unchanged (schema-preserving commits: DELETE,
+    UPDATE, compaction)."""
+    out = {}
+    if "schema" in manifest:
+        out["schema"] = [dict(f) for f in manifest["schema"]]
+    if manifest.get("dropped_columns"):
+        out["dropped_columns"] = list(manifest["dropped_columns"])
+    return out
+
+
+def _read_snapshot_files(spark: SparkSession, manifest: dict, files: list[str]):
+    """Read a snapshot's parquet files under the manifest's recorded
+    schema (explicit-schema read: no footer-merge pass, missing columns
+    null, dropped columns projected away); legacy manifests fall back
+    to mergeSchema."""
+    st = _manifest_struct(manifest)
+    if st is not None:
+        return spark.read.schema(st).parquet(*files)
+    return spark.read.option("mergeSchema", "true").parquet(*files)
+
+
 def _abs(root_path: str, rel: str) -> str:
     """Resolve a manifest file reference. Normally relative to the
     table root; a shallow clone's manifest carries ABSOLUTE references
@@ -513,10 +684,18 @@ def txlog_upsert(
     stats_columns: list[str] | None = None,
     bloom_columns: list[str] | None = None,
     bloom_bits: int = BLOOM_BITS,
+    evolve_schema: bool = False,
 ) -> int:
     """MERGE a batch into the log-backed table; returns the post-merge
     row count (touched rows counted from the merge output, untouched
     rows summed from manifest bookkeeping — no table re-read).
+
+    Schema is ENFORCED against the manifest's recorded schema (Delta's
+    model): a batch column the table lacks raises unless
+    ``evolve_schema=True`` (the column is then appended to the table
+    schema; existing rows read null), a same-name type conflict raises
+    always, and a batch MISSING table columns is fine (inserted rows
+    carry nulls). Old versions keep their own schema under time travel.
 
     ``bloom_columns`` (creation-time, like ``stats_columns``): columns
     whose per-bucket Bloom filters are maintained in the manifest —
@@ -622,6 +801,33 @@ def txlog_upsert(
     if txn_app_id is not None:
         app_txns[txn_app_id] = txn_version
 
+    # schema enforcement/evolution BEFORE any file is written; legacy
+    # tables (manifests predating schema tracking) skip both
+    dropped_columns = list(prev.get("dropped_columns", [])) if prev else []
+    if prev is None:
+        schema_fields = _schema_fields(updates)
+    elif "schema" in prev:
+        schema_fields = _evolved_schema(
+            prev["schema"], updates, evolve_schema, dropped_columns
+        )
+        # lossless upcasts were accepted above: cast the batch UP to the
+        # table types so written files always match the manifest schema
+        from pyspark.sql.types import StructType as _ST
+
+        want = _ST.fromJson({"type": "struct", "fields": schema_fields})
+        casts = [
+            (f.name, f.dataType)
+            for f in want.fields
+            if f.name in set(updates.columns)
+            and updates.schema[f.name].dataType != f.dataType
+        ]
+        if casts:
+            updates = updates.withColumns(
+                {n: F.col(n).cast(t) for n, t in casts}
+            )
+    else:
+        schema_fields = None
+
     # CHECK constraints gate the batch BEFORE any file is written
     # (one counting pass, only when the table declares constraints)
     _enforce_table_constraints(spark, root_path, updates)
@@ -636,9 +842,9 @@ def txlog_upsert(
         _abs(root_path, rel) for b in touched for rel in buckets.get(str(b), [])
     ]
     if prior_files:
-        current = (
-            spark.read.option("mergeSchema", "true").parquet(*prior_files)
-        ).withColumn(BUCKET_COL, _bucket_of(key, num_buckets))
+        current = _read_snapshot_files(spark, prev, prior_files).withColumn(
+            BUCKET_COL, _bucket_of(key, num_buckets)
+        )
         upd_keys = updates.select(F.col(key).alias("__upd_key"))
         keep = current.join(
             upd_keys, F.col(key).eqNullSafe(F.col("__upd_key")), "left_anti"
@@ -676,6 +882,8 @@ def txlog_upsert(
             "bloom_columns": bloom_columns,
             "bucket_blooms": bucket_blooms,
             "bloom_bits": bloom_bits,
+            **({"schema": schema_fields} if schema_fields is not None else {}),
+            **({"dropped_columns": dropped_columns} if dropped_columns else {}),
             "committed_at_ms": int(time.time() * 1000),
         },
     )
@@ -831,6 +1039,9 @@ def read_txtable(
     ]
     if not files:
         if prune_between or bloom_eq:
+            st = _manifest_struct(manifest)
+            if st is not None:  # everything pruned: empty frame, no IO at all
+                return spark.createDataFrame([], st)
             schema_files = [
                 _abs(root_path, rel)
                 for b in sorted(manifest["buckets"], key=int)
@@ -845,7 +1056,7 @@ def read_txtable(
         raise FileNotFoundError(
             f"txtable {root_path} version {manifest['version']} is empty"
         )
-    df = spark.read.option("mergeSchema", "true").parquet(*files)
+    df = _read_snapshot_files(spark, manifest, files)
     return df.filter(predicate) if predicate is not None else df
 
 
@@ -900,7 +1111,7 @@ def txlog_delete(
         files = [
             _abs(root_path, rel) for b in touched for rel in buckets[str(b)]
         ]
-        current = spark.read.option("mergeSchema", "true").parquet(*files)
+        current = _read_snapshot_files(spark, prev, files)
         survivors = current.join(
             del_keys, F.col(key).eqNullSafe(F.col("__del_key")), "left_anti"
         ).withColumn(BUCKET_COL, _bucket_of(key, num_buckets))
@@ -910,9 +1121,9 @@ def txlog_delete(
         files = [_abs(root_path, rel) for b in live for rel in buckets[str(b)]]
         if not files:
             return 0  # table already empty: nothing to match
-        current = (
-            spark.read.option("mergeSchema", "true").parquet(*files)
-        ).withColumn(BUCKET_COL, _bucket_of(key, num_buckets))
+        current = _read_snapshot_files(spark, prev, files).withColumn(
+            BUCKET_COL, _bucket_of(key, num_buckets)
+        )
         touched = sorted(
             r[0]
             for r in current.filter(pred).select(BUCKET_COL).distinct().collect()
@@ -955,6 +1166,7 @@ def txlog_delete(
             "bloom_columns": prev.get("bloom_columns", []),
             "bucket_blooms": bucket_blooms,
             "bloom_bits": int(prev.get("bloom_bits", BLOOM_BITS)),
+            **_schema_carry(prev),
             "committed_at_ms": int(time.time() * 1000),
         },
     )
@@ -1005,9 +1217,9 @@ def txlog_update(
     files = [_abs(root_path, rel) for b in live for rel in buckets[str(b)]]
     if not files:
         return 0
-    current = (
-        spark.read.option("mergeSchema", "true").parquet(*files)
-    ).withColumn(BUCKET_COL, _bucket_of(key, num_buckets))
+    current = _read_snapshot_files(spark, prev, files).withColumn(
+        BUCKET_COL, _bucket_of(key, num_buckets)
+    )
     unknown = [c for c in set if c not in current.columns]
     if unknown:
         raise ValueError(f"SET columns not in table schema: {unknown}")
@@ -1064,10 +1276,123 @@ def txlog_update(
             "bloom_columns": prev.get("bloom_columns", []),
             "bucket_blooms": bucket_blooms,
             "bloom_bits": int(prev.get("bloom_bits", BLOOM_BITS)),
+            **_schema_carry(prev),
             "committed_at_ms": int(time.time() * 1000),
         },
     )
     return n_updated
+
+
+def _alter_commit(spark, root_path: str, prev: dict, fields, dropped) -> int:
+    """Publish a METADATA-ONLY schema change: every file reference,
+    row count, stat, and bloom carries forward untouched — the commit
+    is one manifest write, zero data IO, at any table size."""
+    new_version = prev["version"] + 1
+    _commit_manifest(
+        spark,
+        root_path,
+        {
+            "version": new_version,
+            "key": prev["key"],
+            "num_buckets": prev["num_buckets"],
+            "buckets": {b: list(r) for b, r in prev["buckets"].items()},
+            "row_counts": dict(prev["row_counts"]),
+            "app_txns": dict(prev.get("app_txns", {})),
+            "stats_columns": prev.get("stats_columns", []),
+            "bucket_stats": dict(prev.get("bucket_stats", {})),
+            "bloom_columns": prev.get("bloom_columns", []),
+            "bucket_blooms": dict(prev.get("bucket_blooms", {})),
+            "bloom_bits": int(prev.get("bloom_bits", BLOOM_BITS)),
+            "schema": fields,
+            **({"dropped_columns": dropped} if dropped else {}),
+            "committed_at_ms": int(time.time() * 1000),
+        },
+    )
+    return new_version
+
+
+def txlog_add_column(
+    spark: SparkSession, root_path: str, name: str, type_ddl: str
+) -> int:
+    """ALTER TABLE ADD COLUMN as a metadata-only commit (Delta's
+    shape): the column is appended to the manifest schema and existing
+    rows read as null — NO data file is touched, so the operation is
+    O(1) regardless of table size. ``type_ddl`` is a Spark DDL type
+    string (``"bigint"``, ``"array<double>"``, ...). Old versions keep
+    their own schema under time travel; the change feed between the
+    two versions is empty (no row changed). Re-adding a previously
+    DROPPED name raises — live files may still hold the old values and
+    would resurrect them. Returns the new version.
+
+    Requires a schema-tracked table (any table created since schema
+    tracking; legacy tables must take one write first)."""
+    from pyspark.sql.types import StructType
+
+    prev = _latest_manifest(spark, root_path)
+    if prev is None:
+        raise FileNotFoundError(f"no committed txtable at {root_path}")
+    if "schema" not in prev:
+        raise ValueError(
+            f"txtable {root_path} predates schema tracking; run one "
+            "MERGE/UPDATE to record a schema before ALTERing it"
+        )
+    fields = [dict(f) for f in prev["schema"]]
+    if any(f["name"] == name for f in fields):
+        raise ValueError(f"column {name!r} already exists")
+    dropped = list(prev.get("dropped_columns", []))
+    if name in dropped:
+        raise ValueError(
+            f"column {name!r} was previously dropped; live data files "
+            "may still hold its old values, so re-adding the name would "
+            "resurrect them — use a fresh column name"
+        )
+    parsed = StructType.fromDDL(f"`{name}` {type_ddl}")
+    fields.append(
+        {
+            "name": name,
+            "type": parsed.fields[0].dataType.jsonValue(),
+            "nullable": True,
+            "metadata": {},
+        }
+    )
+    return _alter_commit(spark, root_path, prev, fields, dropped)
+
+
+def txlog_drop_column(spark: SparkSession, root_path: str, name: str) -> int:
+    """ALTER TABLE DROP COLUMN as a metadata-only LOGICAL drop: the
+    column leaves the manifest schema (reads project it away via the
+    explicit-schema scan) while data files stay untouched — O(1) at any
+    table size, and old versions still time-travel to it. The name is
+    TOMBSTONED: re-adding it raises, because files still holding the
+    old values would silently resurrect them under a same-name column
+    (the reason Delta requires column mapping here — the tombstone is
+    the mapping-free safe subset). The table key, declared zone-map
+    stats columns, and bloom columns cannot be dropped. Returns the
+    new version."""
+    prev = _latest_manifest(spark, root_path)
+    if prev is None:
+        raise FileNotFoundError(f"no committed txtable at {root_path}")
+    if "schema" not in prev:
+        raise ValueError(
+            f"txtable {root_path} predates schema tracking; run one "
+            "MERGE/UPDATE to record a schema before ALTERing it"
+        )
+    if name == prev["key"]:
+        raise ValueError(f"cannot drop the table key {name!r}")
+    if name in prev.get("stats_columns", []) or name in prev.get(
+        "bloom_columns", []
+    ):
+        raise ValueError(
+            f"cannot drop {name!r}: it is a declared stats/bloom column "
+            "(fixed at table creation)"
+        )
+    fields = [dict(f) for f in prev["schema"]]
+    if not any(f["name"] == name for f in fields):
+        raise ValueError(f"column {name!r} does not exist")
+    fields = [f for f in fields if f["name"] != name]
+    dropped = list(prev.get("dropped_columns", []))
+    dropped.append(name)
+    return _alter_commit(spark, root_path, prev, fields, dropped)
 
 
 def txtable_changes(
@@ -1141,16 +1466,8 @@ def txtable_changes(
         return spark.createDataFrame([], f"{key} string").withColumn(
             "_change_type", F.lit(None).cast("string")
         )
-    old = (
-        spark.read.option("mergeSchema", "true").parquet(*f_old)
-        if f_old
-        else None
-    )
-    new = (
-        spark.read.option("mergeSchema", "true").parquet(*f_new)
-        if f_new
-        else None
-    )
+    old = _read_snapshot_files(spark, m_from, f_old) if f_old else None
+    new = _read_snapshot_files(spark, m_to, f_new) if f_new else None
     if old is None:
         old = new.limit(0)
     if new is None:
@@ -1279,6 +1596,7 @@ def shallow_clone_txtable(
             "bloom_columns": src.get("bloom_columns", []),
             "bucket_blooms": dict(src.get("bucket_blooms", {})),
             "bloom_bits": int(src.get("bloom_bits", BLOOM_BITS)),
+            **_schema_carry(src),
             "committed_at_ms": int(time.time() * 1000),
         },
     )
@@ -1418,6 +1736,7 @@ def restore_txtable(
             "bloom_columns": src.get("bloom_columns", []),
             "bucket_blooms": dict(src.get("bucket_blooms", {})),
             "bloom_bits": int(src.get("bloom_bits", BLOOM_BITS)),
+            **_schema_carry(src),
             "restored_from_version": version,
             "committed_at_ms": int(time.time() * 1000),
         },
@@ -1617,7 +1936,7 @@ def compact_txtable(
         )
         want = int(max(1, -(-nbytes // target_file_bytes)))
         bucket_rel = f"{out_rel}/{BUCKET_COL}={b}"
-        df = spark.read.option("mergeSchema", "true").parquet(*files)
+        df = _read_snapshot_files(spark, manifest, files)
         if zorder_by:
             from .layout import (
                 ZORDER_BITS,
@@ -1675,6 +1994,7 @@ def compact_txtable(
             "bloom_columns": manifest.get("bloom_columns", []),
             "bucket_blooms": dict(manifest.get("bucket_blooms", {})),
             "bloom_bits": int(manifest.get("bloom_bits", BLOOM_BITS)),
+            **_schema_carry(manifest),
             "committed_at_ms": int(time.time() * 1000),
         },
     )

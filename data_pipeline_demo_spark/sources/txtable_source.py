@@ -300,6 +300,22 @@ def _bucket_refs(fs, root: str, manifest: dict, b: str, fs_options: dict) -> lis
 # ---------------------------------------------------------------------------
 
 
+def _manifest_arrow_schema(manifest: dict):
+    """The manifest's recorded per-version schema as an Arrow schema
+    (the read authority when present: time travel returns each
+    version's OWN schema, metadata-added columns surface as nulls,
+    dropped columns project away), or None for legacy manifests."""
+    fields = manifest.get("schema")
+    if not fields:
+        return None
+    from pyspark.sql.pandas.types import to_arrow_schema
+    from pyspark.sql.types import StructType
+
+    return to_arrow_schema(
+        StructType.fromJson({"type": "struct", "fields": fields})
+    )
+
+
 def _union_arrow_schema(refs: list[tuple]):
     """mergeSchema semantics: union of the files' footers, field order =
     first appearance."""
@@ -459,8 +475,10 @@ class _TxTableBatchReader(DataSourceReader):
         self.root = root
         self.fs_options = fs_options
         self.manifest = _read_manifest(fs, root, version)
-        refs = _snapshot_refs(fs, root, self.manifest, fs_options)
-        self.arrow_schema = _union_arrow_schema(refs) if refs else None
+        self.arrow_schema = _manifest_arrow_schema(self.manifest)
+        if self.arrow_schema is None:  # legacy manifest: union of footers
+            refs = _snapshot_refs(fs, root, self.manifest, fs_options)
+            self.arrow_schema = _union_arrow_schema(refs) if refs else None
 
     def partitions(self) -> list[InputPartition]:
         # one partition per live bucket: the same parallel grain the
@@ -760,6 +778,9 @@ class TxTableDataSource(DataSource):
         version = self.options.get("version")
         v = int(version) if version is not None else _latest_version(fs, root)
         manifest = _read_manifest(fs, root, v)
+        fields = manifest.get("schema")
+        if fields:  # schema-tracked: the manifest is the authority
+            return StructType.fromJson({"type": "struct", "fields": fields})
         refs = _snapshot_refs(fs, root, manifest, self._fs_options())
         if not refs:
             raise FileNotFoundError(f"txtable {root} version {v} is empty")

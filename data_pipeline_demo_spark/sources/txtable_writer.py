@@ -559,7 +559,57 @@ def _resolve_table_spec(fs, root: str, options: dict, schema) -> dict:
             )
         dt = schema[spec["key"]].dataType
         spec["key_kind"] = _key_kind_of_spark_type(dt)
+        spec["schema_fields"] = [
+            {
+                "name": f.name,
+                "type": f.dataType.jsonValue(),
+                "nullable": True,
+                "metadata": {},
+            }
+            for f in schema.fields
+        ]
+    spec["evolve_schema"] = str(options.get("evolveschema", "false")).lower() in (
+        "1",
+        "true",
+        "yes",
+    )
     return spec
+
+
+def _resolve_commit_schema(prev: dict | None, spec: dict, overwrite: bool):
+    """(schema_fields, dropped_columns) the next manifest should record.
+
+    Mirrors the JVM verbs' contract (``sinks/txlog.py``): a fresh table
+    or an overwrite records the write's schema outright (overwrite
+    replaces the table, so tombstones reset too); an append against a
+    schema-tracked table ENFORCES it — new columns need the
+    ``evolveSchema`` write option, type conflicts always raise; legacy
+    (pre-tracking) tables skip both. Raises ValueError on violation —
+    before the manifest is claimed, so the staged files stay invisible
+    and vacuum-able."""
+    if prev is None or overwrite:
+        return spec.get("schema_fields"), []
+    prev_schema = prev.get("schema")
+    dropped = list(prev.get("dropped_columns", []))
+    if prev_schema is None:
+        return None, dropped
+    if not spec.get("schema_fields"):
+        return [dict(f) for f in prev_schema], dropped
+    from ..sinks.txlog import _evolve_fields  # driver-side only
+
+    return (
+        _evolve_fields(
+            prev_schema,
+            spec["schema_fields"],
+            spec.get("evolve_schema", False),
+            dropped,
+            # task files are already written from the input's Arrow
+            # batches, so this path cannot cast data up to the table
+            # type — reject type mismatches outright (the caller casts)
+            allow_upcast=False,
+        ),
+        dropped,
+    )
 
 
 def _now_ms() -> int:
@@ -620,6 +670,9 @@ def commit_files(
         bloom_bits = (
             int(prev.get("bloom_bits", 1024)) if prev is not None else 1024
         )
+        schema_fields, dropped_columns = _resolve_commit_schema(
+            prev, spec, overwrite
+        )
         for b, rel, rows, stats in entries:
             bs = str(b)
             prior_files = buckets.get(bs)
@@ -672,6 +725,8 @@ def commit_files(
             "bloom_columns": bloom_columns,
             "bucket_blooms": bucket_blooms,
             "bloom_bits": bloom_bits,
+            **({"schema": schema_fields} if schema_fields else {}),
+            **({"dropped_columns": dropped_columns} if dropped_columns else {}),
             "committed_at_ms": _now_ms(),
         }
         payload = json.dumps(manifest).encode("utf-8")
@@ -774,6 +829,18 @@ class TxTableStreamWriter(DataSourceStreamArrowWriter):
         _abort_files(self.fs, self.root, messages)
 
 
+def _precheck_schema(fs, root: str, spec: dict, overwrite: bool) -> None:
+    """Fail a schema violation at PLAN time (before any task writes a
+    file). Best-effort — the authoritative check re-runs inside
+    commit_files against the manifest current at commit, so a racing
+    evolution between plan and commit still resolves correctly."""
+    try:
+        prev = _read_manifest(fs, root, _latest_version(fs, root))
+    except FileNotFoundError:
+        return
+    _resolve_commit_schema(prev, spec, overwrite)
+
+
 def make_batch_writer(options: dict, schema, overwrite: bool) -> TxTableBatchWriter:
     path = options.get("path")
     if not path:
@@ -783,6 +850,7 @@ def make_batch_writer(options: dict, schema, overwrite: bool) -> TxTableBatchWri
     }
     fs, root = _fs_root(path, fs_options)
     spec = _resolve_table_spec(fs, root, options, schema)
+    _precheck_schema(fs, root, spec, overwrite)
     return TxTableBatchWriter(fs, root, spec, overwrite)
 
 
@@ -799,6 +867,7 @@ def make_stream_writer(options: dict, schema, overwrite: bool) -> TxTableStreamW
     }
     fs, root = _fs_root(path, fs_options)
     spec = _resolve_table_spec(fs, root, options, schema)
+    _precheck_schema(fs, root, spec, overwrite=False)
     return TxTableStreamWriter(
         fs, root, spec, options.get("txnappid", "txtable-stream-sink")
     )

@@ -159,7 +159,11 @@ def test_txlog_schema_evolution_new_column(spark, tmp_path):
     wide = spark.createDataFrame(
         [(2, "B", "extra")], "id long, v string, note string"
     )
-    assert txlog_upsert(spark, wide, root) == 2
+    # evolution is an explicit opt-in (Delta's contract; full coverage
+    # in tests/test_txlog_schema.py)
+    with pytest.raises(ValueError, match="evolve_schema"):
+        txlog_upsert(spark, wide, root)
+    assert txlog_upsert(spark, wide, root, evolve_schema=True) == 2
     got = {r["id"]: (r["v"], r["note"]) for r in read_txtable(spark, root).collect()}
     assert got == {1: ("a", None), 2: ("B", "extra")}
 

@@ -58,7 +58,7 @@ def test_txtable_format_schema_evolution(registered, tmp_path):
     wide = spark.createDataFrame(
         [(2, "b", "extra")], "id long, v string, note string"
     )
-    txlog_upsert(spark, wide, root)
+    txlog_upsert(spark, wide, root, evolve_schema=True)
     df = spark.read.format("txtable").load(root)
     assert set(df.columns) == {"id", "v", "note"}
     got = {r["id"]: (r["v"], r["note"]) for r in df.collect()}

@@ -477,8 +477,9 @@ def test_stream_sink_exactly_once(registered, tmp_path):
 
 
 def test_append_schema_evolution(registered, tmp_path):
-    """A later append may carry extra columns (and drop others): the
-    union-schema readers null-fill both directions, like mergeSchema."""
+    """A later append may carry extra columns (and drop others) under
+    the explicit evolveSchema opt-in: readers null-fill both
+    directions (full contract in tests/test_txlog_schema.py)."""
     spark = registered
     root = str(tmp_path / "ev")
     spark.createDataFrame(
@@ -486,7 +487,9 @@ def test_append_schema_evolution(registered, tmp_path):
     ).write.format("txtable").option("key", "k").mode("append").save(root)
     spark.createDataFrame(
         [(2, 9.5)], "k long, extra double"
-    ).write.format("txtable").mode("append").save(root)
+    ).write.format("txtable").option("evolveSchema", "true").mode(
+        "append"
+    ).save(root)
     got = {r["k"]: r for r in spark.read.format("txtable").load(root).collect()}
     assert got[1]["v"] == "a" and got[1]["extra"] is None
     assert got[2]["v"] is None and got[2]["extra"] == 9.5
