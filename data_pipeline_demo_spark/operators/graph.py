@@ -158,3 +158,67 @@ def label_propagation(
     out = labels
     und.unpersist()
     return out
+
+
+def bfs_distances(
+    edges: DataFrame,
+    source,
+    src: str = "src",
+    dst: str = "dst",
+    max_depth: int = 10,
+    directed: bool = False,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """Single-source BFS shortest-path distances (unweighted) — the
+    hop-count primitive completing the graph family (CC, PageRank,
+    triangles, LPA): ``(node, dist)`` for every node reachable from
+    ``source`` within ``max_depth`` hops, distances exact integers.
+
+    Frontier-based level-synchronous BFS, the standard Pregel shape as
+    DataFrame ops: each round expands ONLY the newest frontier through
+    the edge list (frontier × edges join), anti-joins nodes already
+    settled (a node's first discovery IS its shortest distance — the
+    BFS invariant), and stops early the round the frontier drains (a
+    metadata-sized count on the frontier, bounded by new nodes, not
+    the graph). Work per round is O(edges out of the frontier); total
+    O(E + V) over the run — never re-expands settled nodes, unlike the
+    naive transitive-closure join that re-derives every path each
+    round. Lineage is cut every ``checkpoint_every`` rounds
+    (localCheckpoint) exactly like :func:`pagerank`, or the plan tree
+    doubles per iteration.
+
+    Undirected by default (each edge traversable both ways); exact
+    integer arithmetic end-to-end, so the result is oracle-checkable
+    against a depth-bounded recursive CTE (q161).
+    """
+    if max_depth < 0:
+        raise ValueError(f"max_depth must be >= 0, got {max_depth}")
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).distinct()
+    if not directed:
+        e = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        e = e.distinct()
+    e = e.persist()
+    e.count()
+    spark = edges.sparkSession
+    settled = spark.createDataFrame(
+        [(source, 0)], schema=e.select("u").withColumn("d", F.lit(0)).schema
+    ).toDF("node", "dist")
+    frontier = settled
+    for depth in range(1, max_depth + 1):
+        nxt = (
+            frontier.join(e, frontier.node == e.u)
+            .select(F.col("v").alias("node"))
+            .distinct()
+            .join(settled, "node", "left_anti")
+            .withColumn("dist", F.lit(depth))
+        )
+        if (depth % checkpoint_every) == 0:
+            nxt = nxt.localCheckpoint(eager=True)
+        else:
+            nxt = nxt.persist()
+        if nxt.isEmpty():  # frontier drained: every node settled
+            break
+        settled = settled.unionByName(nxt)
+        frontier = nxt
+    e.unpersist()
+    return settled

@@ -241,3 +241,7 @@ register("q158_frequent_itemsets", oracle=relational._ITEMSETS_SQL)(
 register("q159_time_weighted_avg", oracle=timeseries._DUCK_TWA)(
     timeseries.q159_time_weighted_avg
 )
+register("q161_bfs_distances", oracle=relational._BFS_SQL)(
+    relational.q161_bfs_distances
+)
+register("q162_holt_winters")(llm_ops.q162_holt_winters)

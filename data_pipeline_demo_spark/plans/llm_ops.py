@@ -2034,3 +2034,26 @@ def q155_text_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct(F.col("doc_id")).alias("n_unique"),
         F.sum("n_chars").alias("n_chars"),
     )
+
+
+def q162_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type daily volume forecast with WEEKLY seasonality
+    (Holt-Winters additive, operators/forecast.py) — the seasonal
+    upgrade of q118: daily/weekly cycles are the norm for traffic
+    series, and Holt alone chases the season as if it were trend. Same
+    scale shape: one combinable daily aggregate, then one Arrow fold
+    per key, parallel across keys. Rows-only by construction
+    (sequential fold); numpy parity and closed-form pure-seasonal
+    exactness are unit-tested."""
+    from ..operators import forecast
+
+    ev = table(spark, sf_dir, "events")
+    daily = ev.select(
+        "event_type",
+        F.date_trunc("day", "ts").alias("day"),
+        "value",
+    )
+    return forecast.holt_winters_forecast(
+        daily, key_col="event_type", bucket_col="day", value_col="value",
+        season_length=7, horizon=5,
+    )

@@ -2182,3 +2182,66 @@ def q158_frequent_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "items", F.col("k").cast("int").alias("k"), "support"
     )
+
+
+_BFS_SQL = """
+    WITH RECURSIVE pairs AS (
+        SELECT a.l_partkey AS u, b.l_partkey AS v
+        FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+        JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY a.l_partkey, b.l_partkey
+        HAVING COUNT(*) >= 2
+    ),
+    edges AS (
+        SELECT u, v FROM pairs UNION SELECT v, u FROM pairs
+    ),
+    walk(node, dist) AS (
+        SELECT (SELECT MIN(u) FROM edges), 0
+        UNION
+        SELECT e.v, w.dist + 1
+        FROM walk w JOIN edges e ON e.u = w.node
+        WHERE w.dist < 6
+    )
+    SELECT node, CAST(MIN(dist) AS INT) AS dist
+    FROM walk
+    GROUP BY node
+"""
+
+
+def q161_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source BFS hop distances over the support-≥2 co-purchase
+    graph (`operators/graph.py:bfs_distances`) from the minimum part
+    id, depth-capped at 6 — the first ORACLE-CHECKED iterative graph
+    query (PageRank/LPA are float/tie-dependent; hop counts are exact
+    integers). The oracle replays it as a depth-bounded recursive CTE
+    with UNION dedup + MIN(dist); the engine path is level-synchronous
+    frontier BFS — each round expands only the newest frontier and
+    anti-joins settled nodes, O(E) per round instead of the CTE's
+    re-expansion of every (node, dist) pair."""
+    from ..operators.graph import bfs_distances
+
+    li = table(spark, sf_dir, "lineitem")
+    base = li.select("l_orderkey", "l_partkey").distinct()
+    a = base.alias("a")
+    b = base.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .agg(F.count(F.lit(1)).alias("s"))
+        .filter(F.col("s") >= 2)
+        .select("u", "v")
+    )
+    pairs = pairs.persist()
+    source = pairs.agg(
+        F.least(F.min("u"), F.min("v")).alias("m")
+    ).collect()[0]["m"]
+    out = bfs_distances(pairs, source, src="u", dst="v", max_depth=6)
+    pairs.unpersist()
+    return out.select("node", F.col("dist").cast("int").alias("dist"))

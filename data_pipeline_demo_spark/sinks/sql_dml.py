@@ -19,6 +19,8 @@ the same statements they would against Delta:
     RESTORE TABLE txtable.`/path/t` TO VERSION AS OF 2
     VACUUM txtable.`/path/t` RETAIN 168 HOURS [DRY RUN]
     DESCRIBE HISTORY txtable.`/path/t`
+    ALTER TABLE txtable.`/path/t` ADD COLUMN score double
+    ALTER TABLE txtable.`/path/t` DROP COLUMN score
 
 Statement SHAPES outside this grammar (conditional MERGE clauses,
 multi-action MERGE, subquery predicates) raise a clear
@@ -239,8 +241,38 @@ def txtable_sql(spark: SparkSession, sql: str) -> DataFrame | int | None:
     if m:
         return txtable_history(spark, m.group("path"))
 
+    m = re.match(
+        rf"ALTER{_WS}TABLE{_WS}{_TBL}{_WS}ADD{_WS}COLUMN"
+        rf"{_WS}(?P<col>`[^`]+`|\w+){_WS}(?P<type>.+)$",
+        text,
+        re.IGNORECASE,
+    )
+    if m:
+        from .txlog import txlog_add_column
+
+        return txlog_add_column(
+            spark,
+            m.group("path"),
+            m.group("col").strip("`"),
+            m.group("type").strip(),
+        )
+
+    m = re.match(
+        rf"ALTER{_WS}TABLE{_WS}{_TBL}{_WS}DROP{_WS}COLUMN"
+        rf"{_WS}(?P<col>`[^`]+`|\w+)$",
+        text,
+        re.IGNORECASE,
+    )
+    if m:
+        from .txlog import txlog_drop_column
+
+        return txlog_drop_column(
+            spark, m.group("path"), m.group("col").strip("`")
+        )
+
     raise UnsupportedSqlError(
         f"not a recognized txtable statement: {text[:120]!r}. Supported: "
         "MERGE INTO / UPDATE / DELETE FROM / RESTORE TABLE / VACUUM / "
-        "DESCRIBE HISTORY, each with txtable.`<path>` table refs"
+        "DESCRIBE HISTORY / ALTER TABLE ... ADD|DROP COLUMN, each with "
+        "txtable.`<path>` table refs"
     )

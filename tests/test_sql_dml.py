@@ -147,3 +147,23 @@ def test_sql_select_with_time_travel(spark, t):
         "LEFT ANTI JOIN cur ON v0.id = cur.id",
     )
     assert diff.collect()[0].gone == 3
+
+
+def test_sql_alter_add_and_drop_column(spark, t):
+    from data_pipeline_demo_spark.sinks.txlog import read_txtable
+
+    v = txtable_sql(
+        spark, f"ALTER TABLE txtable.`{t}` ADD COLUMN score double"
+    )
+    assert isinstance(v, int)
+    assert read_txtable(spark, t).columns[-1] == "score"
+    txtable_sql(spark, f"UPDATE txtable.`{t}` SET score = 1.5 WHERE id = 1")
+    got = {r["id"]: r["score"] for r in read_txtable(spark, t).collect()}
+    assert got[1] == 1.5
+    txtable_sql(spark, f"ALTER TABLE txtable.`{t}` DROP COLUMN score")
+    assert "score" not in read_txtable(spark, t).columns
+    # tombstone propagates through the SQL surface too
+    with pytest.raises(ValueError, match="previously dropped"):
+        txtable_sql(
+            spark, f"ALTER TABLE txtable.`{t}` ADD COLUMN score double"
+        )

@@ -693,3 +693,139 @@ def test_global_row_index_no_table_sized_single_partition(spark):
     assert plan.count("Exchange SinglePartition") == 1
     below = plan.split("Exchange SinglePartition", 1)[1]
     assert "HashAggregate" in below.split("Exchange", 1)[0]
+
+
+def test_holt_winters_pure_seasonal_is_exact(spark):
+    """A zero-sum pure-seasonal series (no trend) initializes exactly
+    and stays exact through every update, so forecasts reproduce the
+    season bit-for-bit."""
+    from data_pipeline_demo_spark.operators.forecast import (
+        holt_winters_forecast,
+    )
+
+    season = [3.0, -1.0, -2.0, 0.0]  # sums to zero
+    ys = [10.0 + season[t % 4] for t in range(12)]
+    df = spark.createDataFrame(
+        [("k", t, y) for t, y in enumerate(ys)], "k string, b long, v double"
+    )
+    out = {
+        r["step"]: r
+        for r in holt_winters_forecast(
+            df, "k", "b", "v", season_length=4, horizon=4
+        ).collect()
+    }
+    for h in range(1, 5):
+        assert out[h]["seasonal"] is True
+        assert out[h]["forecast"] == round(10.0 + season[(12 + h - 1) % 4], 6)
+        assert out[h]["trend"] == 0.0
+
+
+def test_holt_winters_matches_numpy_fold(spark):
+    import numpy as np
+
+    from data_pipeline_demo_spark.operators.forecast import (
+        holt_winters_forecast,
+    )
+
+    rng = np.random.RandomState(7)
+    m, n = 5, 23
+    ys = (
+        50
+        + 0.8 * np.arange(n)
+        + np.tile(rng.randn(m) * 4, 5)[:n]
+        + rng.randn(n)
+    )
+    df = spark.createDataFrame(
+        [("k", t, float(y)) for t, y in enumerate(ys)],
+        "k string, b long, v double",
+    )
+    a, b, g = 0.4, 0.2, 0.3
+    got = {
+        r["step"]: r["forecast"]
+        for r in holt_winters_forecast(
+            df, "k", "b", "v", season_length=m, horizon=3,
+            alpha=a, beta=b, gamma=g,
+        ).collect()
+    }
+    mean1, mean2 = ys[:m].mean(), ys[m : 2 * m].mean()
+    level, trend = mean1, (mean2 - mean1) / m
+    s = list(ys[:m] - mean1)
+    for t in range(m, n):
+        prev = level
+        si = s[t % m]
+        level = a * (ys[t] - si) + (1 - a) * (level + trend)
+        trend = b * (level - prev) + (1 - b) * trend
+        s[t % m] = g * (ys[t] - level) + (1 - g) * si
+    for h in range(1, 4):
+        want = round(level + h * trend + s[(n + h - 1) % m], 6)
+        assert got[h] == want
+
+
+def test_holt_winters_short_series_falls_back_to_holt(spark):
+    from data_pipeline_demo_spark.operators.forecast import (
+        holt_forecast,
+        holt_winters_forecast,
+    )
+
+    df = spark.createDataFrame(
+        [("k", t, float(2 * t)) for t in range(5)],
+        "k string, b long, v double",
+    )
+    hw = {
+        r["step"]: r
+        for r in holt_winters_forecast(
+            df, "k", "b", "v", season_length=4, horizon=2
+        ).collect()
+    }
+    h = {
+        r["step"]: r
+        for r in holt_forecast(df, "k", "b", "v", horizon=2).collect()
+    }
+    for step in (1, 2):
+        assert hw[step]["seasonal"] is False
+        assert hw[step]["forecast"] == h[step]["forecast"]
+
+
+def test_bfs_distances_hand_graph(spark):
+    """Path 1-2-3-4 plus branch 2-5; distances from 1 are exact, and a
+    node first reached at its shortest depth never updates again."""
+    from data_pipeline_demo_spark.operators.graph import bfs_distances
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (2, 5), (5, 3)], "src long, dst long"
+    )
+    got = {
+        r["node"]: r["dist"]
+        for r in bfs_distances(edges, 1, max_depth=10).collect()
+    }
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3, 5: 2}
+
+
+def test_bfs_directed_vs_undirected(spark):
+    from data_pipeline_demo_spark.operators.graph import bfs_distances
+
+    edges = spark.createDataFrame([(1, 2), (3, 2)], "src long, dst long")
+    undirected = {
+        r["node"]: r["dist"]
+        for r in bfs_distances(edges, 1, max_depth=5).collect()
+    }
+    assert undirected == {1: 0, 2: 1, 3: 2}
+    directed = {
+        r["node"]: r["dist"]
+        for r in bfs_distances(edges, 1, max_depth=5, directed=True).collect()
+    }
+    assert directed == {1: 0, 2: 1}  # 3→2 is not traversable from 2
+
+
+def test_bfs_depth_cap_and_unreachable(spark):
+    from data_pipeline_demo_spark.operators.graph import bfs_distances
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (7, 8)], "src long, dst long"
+    )
+    got = {
+        r["node"]: r["dist"]
+        for r in bfs_distances(edges, 1, max_depth=2).collect()
+    }
+    # depth cap trims the tail; the disconnected component never appears
+    assert got == {1: 0, 2: 1, 3: 2}
