@@ -245,3 +245,15 @@ register("q161_bfs_distances", oracle=relational._BFS_SQL)(
     relational.q161_bfs_distances
 )
 register("q162_holt_winters")(llm_ops.q162_holt_winters)
+register("q163_rfm_segments", oracle=relational._RFM_SQL)(
+    relational.q163_rfm_segments
+)
+register("q164_benford_digits", oracle=relational._BENFORD_SQL)(
+    relational.q164_benford_digits
+)
+register("q166_mann_whitney", oracle=relational._MANN_WHITNEY_SQL)(
+    relational.q166_mann_whitney
+)
+register("q165_ols_trend", oracle=relational._OLS_TREND_SQL)(
+    relational.q165_ols_trend
+)

@@ -2245,3 +2245,208 @@ def q161_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = bfs_distances(pairs, source, src="u", dst="v", max_depth=6)
     pairs.unpersist()
     return out.select("node", F.col("dist").cast("int").alias("dist"))
+
+
+_RFM_SQL = """
+    WITH base AS (
+        SELECT o_custkey,
+               MAX(o_orderdate) AS last_order,
+               COUNT(*) AS frequency,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary
+        FROM orders
+        GROUP BY o_custkey
+    ),
+    anchor AS (SELECT MAX(o_orderdate) AS now FROM orders),
+    scored AS (
+        SELECT o_custkey,
+               frequency,
+               CAST(monetary AS DOUBLE) AS monetary,
+               NTILE(5) OVER (ORDER BY last_order, o_custkey) AS r_score,
+               NTILE(5) OVER (ORDER BY frequency, o_custkey) AS f_score,
+               NTILE(5) OVER (ORDER BY monetary, o_custkey) AS m_score
+        FROM base CROSS JOIN anchor
+    )
+    SELECT CAST(r_score AS INT) AS r_score,
+           CAST(f_score AS INT) AS f_score,
+           CAST(m_score AS INT) AS m_score,
+           CAST(COUNT(*) AS BIGINT) AS customers,
+           CAST(SUM(frequency) AS BIGINT) AS orders,
+           ROUND(SUM(monetary), 2) AS revenue
+    FROM scored
+    GROUP BY r_score, f_score, m_score
+"""
+
+
+def q163_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation (recency / frequency / monetary
+    quintiles — the standard CRM cut of a payments ledger, reference
+    domain `/root/reference/data_pipeline.py:501-542`): one grouped
+    pass collapses orders to per-customer (last order, count, exact
+    DECIMAL revenue); NTILE(5) stamps each dimension's quintile with a
+    customer-id tiebreak so both engines assign identical scores; the
+    readout aggregates the 125-cell segment grid. Same literal SQL on
+    both engines.
+
+    Scale shape: the NTILE windows are unpartitioned BY DESIGN at the
+    customer grain (one row per customer, already 4 orders of
+    magnitude below fact grain); at extreme customer counts the same
+    scores come from percent_rank-binning, which needs no global
+    sort."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_RFM_SQL)
+
+
+_BENFORD_SQL = """
+    WITH digits AS (
+        SELECT CAST(SUBSTRING(CAST(CAST(FLOOR(o_totalprice) AS BIGINT)
+                              AS STRING), 1, 1) AS INT) AS d
+        FROM orders
+        WHERE o_totalprice >= 1
+    ),
+    counts AS (
+        SELECT d, CAST(COUNT(*) AS BIGINT) AS observed
+        FROM digits GROUP BY d
+    ),
+    tot AS (SELECT SUM(observed) AS n FROM counts)
+    SELECT d,
+           observed,
+           ROUND(CAST(observed AS DOUBLE) / n, 6) AS observed_share,
+           ROUND(LOG10(1.0 + 1.0 / d), 6) AS benford_share,
+           ROUND(ABS(CAST(observed AS DOUBLE) / n - LOG10(1.0 + 1.0 / d)),
+                 6) AS abs_dev
+    FROM counts CROSS JOIN tot
+"""
+
+
+def q164_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit profile of transaction amounts — the
+    classic fraud/anomaly screen for a payments ledger (fabricated
+    amounts flunk the log-uniform leading-digit law). The leading
+    digit comes from the integer part's STRING form (no float log10 at
+    power-of-ten knife edges), counts are exact integers, and the
+    per-digit deviation from log10(1 + 1/d) rounds to 6. Same literal
+    SQL on both engines; one combinable scan, 9-row output."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_BENFORD_SQL)
+
+
+_MANN_WHITNEY_SQL = """
+    WITH pool AS (
+        SELECT o_orderpriority AS grp,
+               CAST(o_totalprice AS DECIMAL(18,2)) AS x
+        FROM orders
+        WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+    ),
+    ranked AS (
+        SELECT grp, x,
+               RANK() OVER (ORDER BY x) AS rk,
+               COUNT(*) OVER (PARTITION BY x) AS tied
+        FROM pool
+    ),
+    avg_ranked AS (
+        SELECT grp, rk + (tied - 1) / 2.0 AS ar, tied FROM ranked
+    ),
+    sums AS (
+        SELECT
+            SUM(CASE WHEN grp = '1-URGENT' THEN ar END) AS r1,
+            SUM(CASE WHEN grp = '1-URGENT' THEN 1 ELSE 0 END) AS n1,
+            SUM(CASE WHEN grp = '5-LOW' THEN 1 ELSE 0 END) AS n2
+        FROM avg_ranked
+    ),
+    ties AS (
+        SELECT SUM(CAST(tied AS DOUBLE) * tied * tied - tied) AS tsum
+        FROM (SELECT x, MAX(tied) AS tied FROM ranked GROUP BY x) t
+    )
+    SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+           ROUND(r1 - n1 * (n1 + 1) / 2.0, 1) AS u1,
+           ROUND((r1 - n1 * (n1 + 1) / 2.0 - n1 * n2 / 2.0)
+                 / SQRT(n1 * n2 / 12.0
+                        * ((n1 + n2 + 1)
+                           - tsum / ((n1 + n2) * (n1 + n2 - 1.0)))),
+                 4) AS z
+    FROM sums CROSS JOIN ties
+"""
+
+
+def q166_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) test between two priority
+    classes' order totals — the NONPARAMETRIC member of the experiment
+    family (q120/q121/q156/q157): medians differ without assuming
+    normality. Average ranks for ties come from RANK() plus the tie
+    group's size (exact integer arithmetic, so both engines rank
+    identically); the z statistic uses the standard tie-corrected
+    variance. Same literal SQL on both engines; amounts compare as
+    exact DECIMAL so tie groups are well-defined.
+
+    Scale shape: ONE global rank window over the filtered pool — a
+    rank-sum test is order-statistics by definition; at extreme scale
+    the same ranks come from a two-pass histogram cumsum. Everything
+    after the window is group-count-sized."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_MANN_WHITNEY_SQL)
+
+
+_OLS_TREND_SQL = """
+    WITH anchor AS (SELECT MIN(CAST(ts AS DATE)) AS d0 FROM events),
+    base AS (
+        SELECT event_type,
+               datediff('day', d0, CAST(ts AS DATE)) AS x,
+               CAST(value AS DECIMAL(18,6)) AS y
+        FROM events CROSS JOIN anchor
+    ),
+    s AS (
+        SELECT event_type,
+               COUNT(*) AS n,
+               CAST(SUM(x) AS DOUBLE) AS sx,
+               CAST(SUM(y) AS DOUBLE) AS sy,
+               CAST(SUM(x * y) AS DOUBLE) AS sxy,
+               CAST(SUM(x * x) AS DOUBLE) AS sxx
+        FROM base
+        GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 8) AS slope,
+           ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n,
+                 8) AS intercept
+    FROM s
+"""
+
+
+def q165_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type ordinary-least-squares trend line (value vs day
+    index) by the closed form β = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) — the
+    regression-as-aggregation pattern: ALL sufficient statistics come
+    from ONE combinable grouped pass over exact types (integer day
+    index from the global min date; value as exact DECIMAL so the
+    moment sums are order-independent — the same trick as q156), then
+    slope/intercept are scalar double arithmetic per group, expressions
+    mirrored term-for-term against the oracle. The day index anchors
+    to a broadcast 1-row MIN aggregate, no window.
+
+    Scale shape: scan → map-side partial aggregation → one exchange of
+    (groups × 5 numbers); the regression itself costs nothing more
+    than a GROUP BY. At 100 TB this is THE way to fit per-key linear
+    models (never per-key collect + sklearn)."""
+    ev = table(spark, sf_dir, "events")
+    mn = ev.agg(F.min(F.to_date("ts")).alias("d0"))
+    base = ev.crossJoin(F.broadcast(mn)).select(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.col("d0")).cast("long").alias("x"),
+        F.col("value").cast("decimal(18,6)").alias("y"),
+    )
+    s = base.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+    )
+    n, sx, sy, sxy, sxx = (F.col(c) for c in ("n", "sx", "sy", "sxy", "sxx"))
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return s.select(
+        "event_type",
+        n.cast("bigint").alias("n"),
+        F.round(slope, 8).alias("slope"),
+        F.round((sy - slope * sx) / n, 8).alias("intercept"),
+    )
