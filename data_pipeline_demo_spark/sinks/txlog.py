@@ -482,13 +482,40 @@ def _evolve_fields(
 def _schema_carry(manifest: dict) -> dict:
     """Manifest entries that propagate a snapshot's schema state into
     the next version unchanged (schema-preserving commits: DELETE,
-    UPDATE, compaction)."""
+    UPDATE, compaction, clone, restore)."""
     out = {}
     if "schema" in manifest:
         out["schema"] = [dict(f) for f in manifest["schema"]]
     if manifest.get("dropped_columns"):
         out["dropped_columns"] = list(manifest["dropped_columns"])
+    if manifest.get("generated_columns"):
+        out["generated_columns"] = dict(manifest["generated_columns"])
     return out
+
+
+def _apply_generated_columns(
+    spark: SparkSession, updates: DataFrame, gen: dict[str, str]
+) -> DataFrame:
+    """Delta's GENERATED ALWAYS AS on the write path: a generated
+    column absent from the batch is COMPUTED from its expression; one
+    present is VALIDATED against it (one counting pass, like CHECK
+    constraints — silently accepting a divergent provided value would
+    corrupt the invariant the column exists to guarantee). Null-safe
+    equality, so expression-null rows must provide null."""
+    for c, expr in gen.items():
+        if c not in updates.columns:
+            updates = updates.withColumn(c, F.expr(expr))
+        else:
+            bad = updates.filter(
+                ~F.col(c).eqNullSafe(F.expr(expr))
+            ).count()
+            if bad:
+                raise ValueError(
+                    f"generated column {c!r} provided with {bad} row(s) "
+                    f"diverging from its expression {expr!r} — omit the "
+                    "column (it is computed) or provide matching values"
+                )
+    return updates
 
 
 def _read_snapshot_files(spark: SparkSession, manifest: dict, files: list[str]):
@@ -685,6 +712,7 @@ def txlog_upsert(
     bloom_columns: list[str] | None = None,
     bloom_bits: int = BLOOM_BITS,
     evolve_schema: bool = False,
+    generated_columns: dict[str, str] | None = None,
 ) -> int:
     """MERGE a batch into the log-backed table; returns the post-merge
     row count (touched rows counted from the merge output, untouched
@@ -776,11 +804,20 @@ def txlog_upsert(
                 f"txtable {root_path} was created with bloom_columns="
                 f"{prev.get('bloom_columns', [])}; got {bloom_columns}"
             )
+        if generated_columns is not None and generated_columns != prev.get(
+            "generated_columns", {}
+        ):
+            raise ValueError(
+                f"txtable {root_path} was created with generated_columns="
+                f"{prev.get('generated_columns', {})}; got "
+                f"{generated_columns} (fixed at table creation)"
+            )
         version = prev["version"] + 1
         key = prev["key"]
         num_buckets = prev["num_buckets"]
         stats_columns = prev.get("stats_columns", [])
         bloom_columns = prev.get("bloom_columns", [])
+        generated_columns = dict(prev.get("generated_columns", {}))
         bloom_bits = int(prev.get("bloom_bits", BLOOM_BITS))
         buckets = dict(prev["buckets"])
         row_counts = dict(prev["row_counts"])
@@ -797,9 +834,15 @@ def txlog_upsert(
         num_buckets = 32 if num_buckets is None else num_buckets
         stats_columns = list(stats_columns or [])
         bloom_columns = list(bloom_columns or [])
+        generated_columns = dict(generated_columns or {})
         bucket_blooms = {}
     if txn_app_id is not None:
         app_txns[txn_app_id] = txn_version
+
+    # GENERATED ALWAYS AS columns compute/validate before anything else
+    # (the computed columns are part of the schema being enforced)
+    if generated_columns:
+        updates = _apply_generated_columns(spark, updates, generated_columns)
 
     # schema enforcement/evolution BEFORE any file is written; legacy
     # tables (manifests predating schema tracking) skip both
@@ -884,6 +927,11 @@ def txlog_upsert(
             "bloom_bits": bloom_bits,
             **({"schema": schema_fields} if schema_fields is not None else {}),
             **({"dropped_columns": dropped_columns} if dropped_columns else {}),
+            **(
+                {"generated_columns": generated_columns}
+                if generated_columns
+                else {}
+            ),
             "committed_at_ms": int(time.time() * 1000),
         },
     )
@@ -1210,6 +1258,14 @@ def txlog_update(
             f"cannot SET the table key {key!r}: a key change moves rows "
             "across buckets — express it as txlog_delete + txlog_upsert"
         )
+    generated = dict(prev.get("generated_columns", {}))
+    gen_hit = [c for c in set if c in generated]
+    if gen_hit:
+        raise ValueError(
+            f"cannot SET generated column(s) {gen_hit}: GENERATED ALWAYS "
+            "AS columns recompute from their expressions when their "
+            "inputs change"
+        )
     num_buckets = prev["num_buckets"]
     buckets = dict(prev["buckets"])
     row_counts = dict(prev["row_counts"])
@@ -1242,6 +1298,13 @@ def txlog_update(
             for c in in_touched.columns
         ]
     )
+    # GENERATED ALWAYS AS columns recompute from the POST-update row
+    # (their inputs may have just changed); unmatched survivors
+    # recompute to their existing value — the expression is a function
+    # of the row
+    for c, expr in generated.items():
+        if c in rewritten.columns:
+            rewritten = rewritten.withColumn(c, F.expr(expr))
     # UPDATE results must satisfy the table's CHECK constraints (the
     # un-matched survivors already did; validating the whole rewrite
     # keeps the check one pass)
@@ -1283,10 +1346,17 @@ def txlog_update(
     return n_updated
 
 
-def _alter_commit(spark, root_path: str, prev: dict, fields, dropped) -> int:
+def _alter_commit(
+    spark, root_path: str, prev: dict, fields, dropped, generated=None
+) -> int:
     """Publish a METADATA-ONLY schema change: every file reference,
     row count, stat, and bloom carries forward untouched — the commit
     is one manifest write, zero data IO, at any table size."""
+    _g = (
+        dict(generated)
+        if generated is not None
+        else dict(prev.get("generated_columns", {}))
+    )
     new_version = prev["version"] + 1
     _commit_manifest(
         spark,
@@ -1305,6 +1375,7 @@ def _alter_commit(spark, root_path: str, prev: dict, fields, dropped) -> int:
             "bloom_bits": int(prev.get("bloom_bits", BLOOM_BITS)),
             "schema": fields,
             **({"dropped_columns": dropped} if dropped else {}),
+            **({"generated_columns": _g} if _g else {}),
             "committed_at_ms": int(time.time() * 1000),
         },
     )
@@ -1389,10 +1460,26 @@ def txlog_drop_column(spark: SparkSession, root_path: str, name: str) -> int:
     fields = [dict(f) for f in prev["schema"]]
     if not any(f["name"] == name for f in fields):
         raise ValueError(f"column {name!r} does not exist")
+    import re as _re
+
+    generated = dict(prev.get("generated_columns", {}))
+    generated.pop(name, None)  # dropping a generated column drops its rule
+    referers = [
+        c
+        for c, expr in generated.items()
+        if _re.search(rf"\b{_re.escape(name)}\b", expr)
+    ]
+    if referers:
+        raise ValueError(
+            f"cannot drop {name!r}: generated column(s) {referers} "
+            "reference it (drop those first)"
+        )
     fields = [f for f in fields if f["name"] != name]
     dropped = list(prev.get("dropped_columns", []))
     dropped.append(name)
-    return _alter_commit(spark, root_path, prev, fields, dropped)
+    return _alter_commit(
+        spark, root_path, prev, fields, dropped, generated=generated
+    )
 
 
 def txtable_changes(

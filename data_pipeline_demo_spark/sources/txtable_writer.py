@@ -587,6 +587,17 @@ def _resolve_commit_schema(prev: dict | None, spec: dict, overwrite: bool):
     (pre-tracking) tables skip both. Raises ValueError on violation —
     before the manifest is claimed, so the staged files stay invisible
     and vacuum-able."""
+    if prev is not None and prev.get("generated_columns"):
+        # writer-feature gate (Delta's protocol-version behavior): this
+        # write path sees only Arrow batches — it can neither compute
+        # nor validate GENERATED ALWAYS AS expressions, and writing
+        # around them would corrupt the invariant they guarantee
+        raise ValueError(
+            "table declares generated_columns="
+            f"{sorted(prev['generated_columns'])}; the python DSv2 "
+            "writer cannot compute or validate generated expressions — "
+            "write through sinks.txlog.txlog_upsert instead"
+        )
     if prev is None or overwrite:
         return spec.get("schema_fields"), []
     prev_schema = prev.get("schema")

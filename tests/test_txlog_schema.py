@@ -234,3 +234,118 @@ def test_jvm_and_python_agree_after_drop(spark, tmp_path):
     root = _base(spark, tmp_path)
     txlog_drop_column(spark, root, "v")
     assert spark.read.format("txtable").load(root).columns == ["id"]
+
+
+# --- GENERATED ALWAYS AS columns (Delta's generated-column surface) --------
+
+
+def _gen_table(spark, tmp_path):
+    root = str(tmp_path / "gen")
+    txlog_upsert(
+        spark,
+        spark.createDataFrame(
+            [(1, "2024-03-05 10:00:00", 2.0), (2, "2024-03-06 11:00:00", 3.5)],
+            "id long, ts string, amount double",
+        ),
+        root,
+        num_buckets=4,
+        generated_columns={"day": "CAST(ts AS DATE)", "cents": "CAST(amount * 100 AS BIGINT)"},
+    )
+    return root
+
+
+def test_generated_columns_computed_at_creation_and_on_merge(spark, tmp_path):
+    import datetime as dt
+
+    root = _gen_table(spark, tmp_path)
+    got = {r["id"]: (r["day"], r["cents"]) for r in read_txtable(spark, root).collect()}
+    assert got == {
+        1: (dt.date(2024, 3, 5), 200),
+        2: (dt.date(2024, 3, 6), 350),
+    }
+    # a later MERGE without the generated columns computes them too
+    txlog_upsert(
+        spark,
+        spark.createDataFrame(
+            [(3, "2024-03-07 09:00:00", 1.25)], "id long, ts string, amount double"
+        ),
+        root,
+    )
+    got = {r["id"]: r["cents"] for r in read_txtable(spark, root).collect()}
+    assert got[3] == 125
+
+
+def test_generated_column_provided_values_validate(spark, tmp_path):
+    root = _gen_table(spark, tmp_path)
+    import datetime as dt
+
+    ok = spark.createDataFrame(
+        [(4, "2024-03-08 08:00:00", 2.0, dt.date(2024, 3, 8), 200)],
+        "id long, ts string, amount double, day date, cents long",
+    )
+    txlog_upsert(spark, ok, root)  # matching values pass
+    bad = spark.createDataFrame(
+        [(5, "2024-03-09 08:00:00", 2.0, dt.date(2024, 3, 9), 999)],
+        "id long, ts string, amount double, day date, cents long",
+    )
+    with pytest.raises(ValueError, match="generated column 'cents'"):
+        txlog_upsert(spark, bad, root)
+
+
+def test_generated_columns_recompute_on_update(spark, tmp_path):
+    root = _gen_table(spark, tmp_path)
+    # updating an INPUT recomputes the generated value
+    txlog_update(spark, root, set={"amount": "amount * 2"}, where="id = 1")
+    got = {r["id"]: r["cents"] for r in read_txtable(spark, root).collect()}
+    assert got == {1: 400, 2: 350}
+    # direct SET of a generated column refuses
+    with pytest.raises(ValueError, match="generated column"):
+        txlog_update(spark, root, set={"cents": "1"}, where="id = 1")
+
+
+def test_generated_columns_fixed_at_creation(spark, tmp_path):
+    root = _gen_table(spark, tmp_path)
+    with pytest.raises(ValueError, match="generated_columns"):
+        txlog_upsert(
+            spark,
+            spark.createDataFrame(
+                [(9, "2024-03-09 00:00:00", 1.0)],
+                "id long, ts string, amount double",
+            ),
+            root,
+            generated_columns={"other": "1"},
+        )
+
+
+def test_python_writer_refuses_generated_tables(spark, tmp_path):
+    root = _gen_table(spark, tmp_path)
+    df = spark.createDataFrame(
+        [(9, "2024-03-09 00:00:00", 1.0)], "id long, ts string, amount double"
+    )
+    with pytest.raises(Exception, match="generated"):
+        df.write.format("txtable").mode("append").save(root)
+
+
+def test_drop_generated_and_referenced_columns(spark, tmp_path):
+    root = _gen_table(spark, tmp_path)
+    # dropping an INPUT of a live generated column refuses
+    with pytest.raises(ValueError, match="reference it"):
+        txlog_drop_column(spark, root, "amount")
+    # dropping the generated column itself drops the rule; its input
+    # then becomes droppable
+    txlog_drop_column(spark, root, "cents")
+    txlog_drop_column(spark, root, "amount")
+    cols = read_txtable(spark, root).columns
+    assert "cents" not in cols and "amount" not in cols
+    # MERGE afterwards: remaining generated column still computes
+    txlog_upsert(
+        spark,
+        spark.createDataFrame(
+            [(7, "2024-03-10 00:00:00")], "id long, ts string"
+        ),
+        root,
+    )
+    import datetime as dt
+
+    got = {r["id"]: r["day"] for r in read_txtable(spark, root).collect()}
+    assert got[7] == dt.date(2024, 3, 10)
