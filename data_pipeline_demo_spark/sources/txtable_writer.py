@@ -150,6 +150,20 @@ def xxh64_fixed4(words) -> "object":
     return _fmix_v(h)
 
 
+def xxh64_fixed4_seeded(word: int, seeds) -> "object":
+    """Vectorized XXH64 of ONE 4-byte LE word under a PER-ROW seed
+    vector — the second fold of Spark's multi-arg ``xxhash64(col, j)``
+    (each argument hashes with the running result as seed). Used to
+    build manifest bloom-filter positions with bit parity to the JVM
+    aggregate (`sinks/txlog.py:_bloom_sparse_words`) and the scalar
+    probe (`sources/pushdown.py:bloom_probe_positions`)."""
+    np = _np()
+    h = seeds + np.uint64((_P5 + 4) & ((1 << 64) - 1))
+    h = h ^ (np.uint64(word & 0xFFFFFFFF) * np.uint64(_P1))
+    h = _rotl_v(h, 23) * np.uint64(_P2) + np.uint64(_P3)
+    return _fmix_v(h)
+
+
 def _round_v(acc, lane):
     np = _np()
     return _rotl_v(acc + lane * np.uint64(_P2), 31) * np.uint64(_P1)
@@ -421,15 +435,27 @@ class _TxFiles(WriterCommitMessage):
 class _TaskState:
     """Per-bucket open ParquetWriter + running count/stats for one task."""
 
-    def __init__(self, fs, root: str, commit_id: str, stats_columns: list[str]):
+    def __init__(
+        self,
+        fs,
+        root: str,
+        commit_id: str,
+        stats_columns: list[str],
+        bloom_columns: list[str] | None = None,
+        bloom_bits: int = 1024,
+    ):
         self.fs = fs
         self.root = root
         self.commit_id = commit_id
         self.stats_columns = stats_columns
+        self.bloom_columns = list(bloom_columns or [])
+        self.bloom_bits = bloom_bits
+        self.bloom_failed = False  # unsupported type seen: commit pops filters
         self.writers: dict[int, object] = {}
         self.rels: dict[int, str] = {}
         self.rows: dict[int, int] = {}
         self.stats: dict[int, dict] = {}
+        self.blooms: dict[int, dict] = {}
 
     def _open(self, b: int, schema):
         import pyarrow.parquet as pq
@@ -453,6 +479,7 @@ class _TaskState:
         self.rels[b] = rel
         self.rows[b] = 0
         self.stats[b] = {c: None for c in self.stats_columns}
+        self.blooms[b] = {c: {} for c in self.bloom_columns}
         return w
 
     def _track_stats(self, b: int, tbl):
@@ -471,6 +498,59 @@ class _TaskState:
             cur = st.get(c)
             st[c] = [lo, hi] if cur is None else (_widen(cur, [lo, hi]) or [lo, hi])
 
+    def _track_blooms(self, b: int, tbl):
+        """OR this slice's bloom positions into the bucket's running
+        sparse filter, with BIT PARITY to the JVM build expression
+        ``pmod(xxhash64(CAST(col AS STRING), j), bits)``: Arrow's
+        int/date→string cast renders exactly Spark's CAST text, the
+        string fold is the vectorized xxh64, null values leave the
+        running seed at 42 (Spark's hash functions skip null args), and
+        the j fold runs under per-row seeds. An unsupported column type
+        marks the whole write's blooms failed — the commit then pops
+        touched buckets' filters (the pre-round-7 conservative
+        behavior) instead of publishing wrong bits."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        np = _np()
+        for c in self.bloom_columns:
+            if self.bloom_failed:
+                return
+            if c not in tbl.column_names:
+                continue  # column absent: appended rows read null — no
+                # value needs covering, the old filter stays a superset
+            col = tbl.column(c)
+            t = col.type
+            ok = (
+                pa.types.is_integer(t)
+                or pa.types.is_string(t)
+                or pa.types.is_large_string(t)
+                or pa.types.is_date32(t)
+            )
+            if not ok:
+                self.bloom_failed = True
+                return
+            scol = pc.cast(col, pa.string()) if not (
+                pa.types.is_string(t) or pa.types.is_large_string(t)
+            ) else col
+            if isinstance(scol, pa.ChunkedArray):
+                scol = scol.combine_chunks()
+            h1 = xxh64_strings(scol)
+            nulls = np.asarray(scol.is_null())
+            if nulls.any():
+                h1 = h1.copy()
+                h1[nulls] = np.uint64(42)  # null arg: seed passes through
+            words = self.blooms[b].setdefault(c, {})
+            for j in range(3):  # BLOOM_K, pinned by the probe parity tests
+                h2 = xxh64_fixed4_seeded(j, h1)
+                pos = h2.view(np.int64) % np.int64(self.bloom_bits)
+                widx = pos >> np.int64(6)
+                bits = np.uint64(1) << (pos.view(np.uint64) & np.uint64(63))
+                for w_i in np.unique(widx):
+                    mask = np.bitwise_or.reduce(bits[widx == w_i])
+                    k = int(w_i)
+                    words[k] = words.get(k, 0) | int(mask)
+
     def write_batch(self, batch, key: str, key_kind: str, num_buckets: int):
         import pyarrow as pa
 
@@ -484,6 +564,25 @@ class _TaskState:
             w.write_table(part)
             self.rows[b] += part.num_rows
             self._track_stats(b, part)
+            if self.bloom_columns:
+                self._track_blooms(b, part)
+
+    def _bloom_entry(self, b: int):
+        """Sparse filter payload for one bucket: {col: {word_idx(str):
+        hex16}} in the manifest's wire format, or None when this write
+        saw an unsupported bloom-column type (commit pops the filter)."""
+        if not self.bloom_columns:
+            return {}
+        if self.bloom_failed:
+            return None
+        mask = (1 << 64) - 1
+        return {
+            c: {
+                str(k): format(v & mask, "016x")
+                for k, v in sorted(self.blooms[b].get(c, {}).items())
+            }
+            for c in self.bloom_columns
+        }
 
     def finish(self) -> _TxFiles:
         for w in self.writers.values():
@@ -495,6 +594,7 @@ class _TaskState:
                     self.rels[b],
                     self.rows[b],
                     {c: v for c, v in self.stats[b].items() if v is not None},
+                    self._bloom_entry(b),
                 )
                 for b in sorted(self.writers)
                 if self.rows[b] > 0
@@ -542,6 +642,10 @@ def _resolve_table_spec(fs, root: str, options: dict, schema) -> dict:
             "key": m["key"],
             "num_buckets": m["num_buckets"],
             "stats_columns": declared,
+            # bloom declarations are creation-time (JVM verbs); the
+            # python writer MAINTAINS existing filters with bit parity
+            "bloom_columns": m.get("bloom_columns", []),
+            "bloom_bits": int(m.get("bloom_bits", 1024)),
         }
     else:
         spec = {
@@ -550,6 +654,8 @@ def _resolve_table_spec(fs, root: str, options: dict, schema) -> dict:
             "stats_columns": [
                 s.strip() for s in (opt_stats or "").split(",") if s.strip()
             ],
+            "bloom_columns": [],
+            "bloom_bits": 1024,
         }
     if schema is not None:
         names = [f.name for f in schema.fields]
@@ -684,18 +790,40 @@ def commit_files(
         schema_fields, dropped_columns = _resolve_commit_schema(
             prev, spec, overwrite
         )
-        for b, rel, rows, stats in entries:
+        for entry in entries:
+            # entries may be legacy 4-tuples (no bloom payload): treat
+            # as blooms=None → pop touched filters (pre-r7 conservative)
+            b, rel, rows, stats, *rest = entry
+            blooms = rest[0] if rest else None
             bs = str(b)
             prior_files = buckets.get(bs)
             buckets.setdefault(bs, []).append(rel)
             row_counts[bs] = row_counts.get(bs, 0) + rows
             if bloom_columns:
-                # the python writer does not compute manifest bloom
-                # filters; a bucket it appends to would have a STALE
-                # filter that wrongly prunes the new rows — drop it
-                # (conservative: the reader keeps filterless buckets).
-                # The next JVM MERGE/UPDATE of the bucket rebuilds it.
-                bucket_blooms.pop(bs, None)
+                # append COMMUTES on bloom filters too: the task's sparse
+                # words (bit-parity numpy build, `_track_blooms`) OR into
+                # the bucket's existing filter — old rows stay covered,
+                # new rows gain coverage, pruning stays exact. A write
+                # that couldn't hash a column's type (blooms=None) pops
+                # the filter instead (never publish wrong bits), as does
+                # appending to a bucket that already lost its filter
+                # (the old rows' bits are unrecoverable without a scan —
+                # the next JVM MERGE of the bucket rebuilds from scratch).
+                cur = bucket_blooms.get(bs)
+                if blooms is None or (prior_files and cur is None):
+                    bucket_blooms.pop(bs, None)
+                else:
+                    merged_bloom = {}
+                    for c in bloom_columns:
+                        old_w = dict((cur or {}).get(c, {}))
+                        for k, hx in (blooms.get(c) or {}).items():
+                            prev_hx = old_w.get(k)
+                            v = int(hx, 16) | (
+                                int(prev_hx, 16) if prev_hx else 0
+                            )
+                            old_w[k] = format(v, "016x")
+                        merged_bloom[c] = old_w
+                    bucket_blooms[bs] = merged_bloom
             if spec["stats_columns"]:
                 new_st = {
                     c: stats.get(c) for c in spec["stats_columns"]
@@ -755,7 +883,8 @@ def _abort_files(fs, root: str, messages) -> None:
     for msg in messages or []:
         if msg is None:
             continue
-        for _, rel, _, _ in msg.entries:
+        for entry in msg.entries:
+            rel = entry[1]
             path = root.rstrip("/") + "/" + rel
             try:
                 if isinstance(fs, _LocalFS):
@@ -781,7 +910,12 @@ class TxTableBatchWriter(DataSourceArrowWriter):
 
     def write(self, iterator: Iterator) -> WriterCommitMessage:
         state = _TaskState(
-            self.fs, self.root, self.commit_id, self.spec["stats_columns"]
+            self.fs,
+            self.root,
+            self.commit_id,
+            self.spec["stats_columns"],
+            bloom_columns=self.spec.get("bloom_columns"),
+            bloom_bits=self.spec.get("bloom_bits", 1024),
         )
         for batch in iterator:
             state.write_batch(
@@ -814,7 +948,12 @@ class TxTableStreamWriter(DataSourceStreamArrowWriter):
 
     def write(self, iterator: Iterator) -> WriterCommitMessage:
         state = _TaskState(
-            self.fs, self.root, uuid.uuid4().hex, self.spec["stats_columns"]
+            self.fs,
+            self.root,
+            uuid.uuid4().hex,
+            self.spec["stats_columns"],
+            bloom_columns=self.spec.get("bloom_columns"),
+            bloom_bits=self.spec.get("bloom_bits", 1024),
         )
         for batch in iterator:
             state.write_batch(

@@ -137,7 +137,12 @@ def test_bloom_maintained_by_update_delete_restore(spark, tmp_path, bloom_table)
     assert m["bloom_columns"] == ["v"] and m["bucket_blooms"]
 
 
-def test_python_writer_append_drops_touched_blooms(spark, tmp_path, bloom_table):
+def test_python_writer_append_maintains_touched_blooms(spark, tmp_path, bloom_table):
+    """Round 7: the python writer MAINTAINS manifest blooms on append —
+    the touched bucket's filter gains the new value's bits (it is a
+    superset of the old filter, append ORs and never clears), untouched
+    buckets' filters are byte-identical, and the new value is findable
+    through a bloom-pruned read."""
     from data_pipeline_demo_spark.sources.txtable_source import (
         register_txtable_source,
     )
@@ -159,15 +164,21 @@ def test_python_writer_append_drops_touched_blooms(spark, tmp_path, bloom_table)
         .withColumn(BUCKET_COL, _bucket_of("id", m0["num_buckets"]))
         .first()[BUCKET_COL]
     )
-    # the appended bucket's filter is DROPPED (python writer computes
-    # no blooms; a stale filter would wrongly prune the new row) ...
-    assert str(b) not in m1["bucket_blooms"]
-    # ... and untouched buckets keep theirs
+    # the appended bucket's filter is KEPT and now covers the new value:
+    # it must be a strict-or-equal superset of the old bits ...
+    new_bl = m1["bucket_blooms"][str(b)]["v"]
+    old_bl = m0["bucket_blooms"].get(str(b), {}).get("v", {})
+    for k, hx in old_bl.items():
+        assert int(new_bl.get(k, "0"), 16) & int(hx, 16) == int(hx, 16)
+    from data_pipeline_demo_spark.sinks.txlog import _bloom_might_contain
+
+    assert _bloom_might_contain(new_bl, _bloom_probe_positions("brand-new"))
+    # ... and untouched buckets keep theirs byte-identical
     untouched = set(m0["bucket_blooms"]) - {str(b)}
     assert untouched and all(
         m1["bucket_blooms"][x] == m0["bucket_blooms"][x] for x in untouched
     )
-    # lookup of the new value still works (filterless bucket kept)
+    # the bloom-pruned lookup finds the appended value
     got = read_txtable(spark, root, bloom_eq={"v": "brand-new"}).collect()
     assert [(r.id, r.v) for r in got] == [(1000, "brand-new")]
 

@@ -594,3 +594,93 @@ def test_write_txtable_wrapper_one_file_per_bucket(registered, tmp_path):
         "v", F.col("v") + 1
     )
     assert txlog_upsert(spark, upd, root) == 500
+
+
+# --- python-writer bloom maintenance (round-7: append keeps filters) --------
+
+
+def test_python_append_maintains_bloom_filters_bit_exact(registered, tmp_path):
+    """Filter after JVM-create(A) + python-append(B) must equal the JVM
+    build over A∪B exactly: append ORs in precisely the bits a rebuild
+    would set (bit parity of the numpy bloom build)."""
+    import json
+    import pathlib
+
+    from data_pipeline_demo_spark.sinks.txlog import txlog_upsert
+
+    spark = registered
+    a = [(i, f"sku-{i}", i % 7) for i in range(0, 40)]
+    b = [(i, f"sku-{i}", i % 7) for i in range(40, 80)]
+    schema = "id long, sku string, grp int"
+
+    root1 = str(tmp_path / "t1")
+    txlog_upsert(
+        spark, spark.createDataFrame(a, schema), root1,
+        num_buckets=4, bloom_columns=["sku", "grp"], bloom_bits=256,
+    )
+    spark.createDataFrame(b, schema).write.format("txtable").mode(
+        "append"
+    ).save(root1)
+
+    root2 = str(tmp_path / "t2")
+    txlog_upsert(
+        spark, spark.createDataFrame(a + b, schema), root2,
+        num_buckets=4, bloom_columns=["sku", "grp"], bloom_bits=256,
+    )
+
+    def latest_blooms(root):
+        commits = sorted((pathlib.Path(root) / "_commits").glob("*.json"))
+        return json.loads(commits[-1].read_text())["bucket_blooms"]
+
+    assert latest_blooms(root1) == latest_blooms(root2)
+
+
+def test_python_append_bloom_pruning_still_finds_new_rows(registered, tmp_path):
+    from data_pipeline_demo_spark.sinks.txlog import read_txtable, txlog_upsert
+
+    spark = registered
+    root = str(tmp_path / "t")
+    txlog_upsert(
+        spark,
+        spark.createDataFrame([(1, "alpha")], "id long, sku string"),
+        root,
+        num_buckets=4,
+        bloom_columns=["sku"],
+    )
+    spark.createDataFrame(
+        [(2, "beta"), (3, "gamma")], "id long, sku string"
+    ).write.format("txtable").mode("append").save(root)
+    # the appended value is findable through a bloom-pruned read
+    got = read_txtable(spark, root, bloom_eq={"sku": "beta"}).collect()
+    assert [r["id"] for r in got] == [2]
+    # an absent value prunes to empty without a wrong exclusion
+    assert read_txtable(spark, root, bloom_eq={"sku": "nope"}).count() == 0
+
+
+def test_python_append_unsupported_bloom_type_pops_filter(registered, tmp_path):
+    """A bloom column whose arrow type the numpy build can't hash with
+    parity (here: float) makes the write POP touched buckets' filters —
+    never publish wrong bits. Untouched buckets keep theirs."""
+    import json
+    import pathlib
+
+    from data_pipeline_demo_spark.sinks.txlog import txlog_upsert
+
+    spark = registered
+    root = str(tmp_path / "t")
+    txlog_upsert(
+        spark,
+        spark.createDataFrame([(1, 1.5)], "id long, score double"),
+        root,
+        num_buckets=4,
+        bloom_columns=["score"],
+    )
+    commits = sorted((pathlib.Path(root) / "_commits").glob("*.json"))
+    assert json.loads(commits[-1].read_text())["bucket_blooms"]
+    spark.createDataFrame(
+        [(1, 9.5)], "id long, score double"
+    ).write.format("txtable").mode("append").save(root)
+    commits = sorted((pathlib.Path(root) / "_commits").glob("*.json"))
+    blooms = json.loads(commits[-1].read_text())["bucket_blooms"]
+    # id=1 hashes to one bucket; that bucket's filter is popped
+    assert blooms == {}
