@@ -257,3 +257,12 @@ register("q166_mann_whitney", oracle=relational._MANN_WHITNEY_SQL)(
 register("q165_ols_trend", oracle=relational._OLS_TREND_SQL)(
     relational.q165_ols_trend
 )
+register("q167_tpch_q2", oracle=relational._TPCH_Q2_SQL)(
+    relational.q167_tpch_q2
+)
+register("q168_tpch_q11", oracle=relational._TPCH_Q11_SQL)(
+    relational.q168_tpch_q11
+)
+register("q169_tpch_q20", oracle=relational._TPCH_Q20_SQL)(
+    relational.q169_tpch_q20
+)

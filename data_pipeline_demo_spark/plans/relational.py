@@ -2450,3 +2450,146 @@ def q165_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(slope, 8).alias("slope"),
         F.round((sy - slope * sx) / n, 8).alias("intercept"),
     )
+
+
+_TPCH_Q2_SQL = """
+    WITH supply AS (
+        SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+               MIN(l_extendedprice / l_quantity) AS unit_cost
+        FROM lineitem
+        GROUP BY l_partkey, l_suppkey
+    )
+    SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, p.p_brand,
+           ps.unit_cost
+    FROM part p
+    JOIN supply ps ON p.p_partkey = ps.partkey
+    JOIN supplier s ON s.s_suppkey = ps.suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE p.p_size = 15 AND r.r_name = 'EUROPE'
+      AND ps.unit_cost = (
+          SELECT MIN(ps2.unit_cost)
+          FROM supply ps2
+          JOIN supplier s2 ON s2.s_suppkey = ps2.suppkey
+          JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+          JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+          WHERE ps2.partkey = p.p_partkey AND r2.r_name = 'EUROPE'
+      )
+    ORDER BY s.s_acctbal DESC, n.n_name, s.s_name, p.p_partkey
+    LIMIT 100
+"""
+
+
+def q167_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 (minimum cost supplier), ADAPTED: the testdata has no
+    partsupp, so the supply relation derives from lineitem — per
+    (part, supplier), the minimum observed unit price
+    (l_extendedprice / l_quantity) plays ps_supplycost. The query's
+    POINT is unchanged: a correlated scalar-MIN subquery restricted to
+    one region, equality-joined back to pick each part's cheapest
+    regional supplier, top-100 by account balance. With Q2 this
+    completes all 22 TPC-H query shapes (q01/q116/q144/q68/q139/q140/
+    q141/q147/q117/q168/q148/q134/q135/q142/q149/q143/q124/q145/q169/
+    q128/q146).
+
+    Scale shape: the supply CTE aggregates lineitem to (part, supplier)
+    grain once per consumer (at 100 TB: a materialized view or txtable
+    join-view holds it); Catalyst decorrelates the scalar subquery into
+    a per-partkey MIN aggregate over the region-filtered supply joined
+    back on partkey — never a nested-loop re-execution. Dims broadcast;
+    the top-100 is TakeOrderedAndProject (no global sort materializes).
+    The sort key set (acctbal, nation, name, partkey) is unique per row
+    — (supplier, part) pairs are distinct by the supply grain — so
+    LIMIT is deterministic across engines; unit_cost is one IEEE
+    double division + MIN (exact selection), bit-stable on both.
+
+    Reference parity: the reference has no join at all
+    (`/root/reference/data_pipeline.py` is single-table); this is
+    north-star surface per SURVEY §2.2."""
+    for name in ("part", "supplier", "nation", "region", "lineitem"):
+        table(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(_TPCH_Q2_SQL)
+
+
+_TPCH_Q11_SQL = """
+    WITH supply AS (
+        SELECT l.l_partkey AS partkey,
+               SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS val
+        FROM lineitem l
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        WHERE s.s_nationkey = 7
+        GROUP BY l.l_partkey
+    )
+    SELECT partkey AS ps_partkey, CAST(val AS DOUBLE) AS part_value
+    FROM supply
+    WHERE val * 1000 > (SELECT SUM(val) FROM supply)
+"""
+
+
+def q168_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 (important stock identification), ADAPTED: no
+    partsupp, so a part's held value in the target nation is the summed
+    extended price of its lineitems from that nation's suppliers
+    (s_nationkey = 7 plays GERMANY). The query's POINT is unchanged: a
+    grouped aggregate filtered by an UNCORRELATED scalar subquery over
+    the same aggregate — the fraction-of-global-total HAVING shape.
+
+    Scale shape: the supply CTE is one shuffle to partkey grain with
+    map-side partial sums; the global total is a 1-row aggregate
+    broadcast into the filter. The threshold compare is EXACT — decimal
+    sums with the fraction written as val * 1000 > total (integer
+    multiply), so no engine-specific decimal-division scale rule can
+    flip a boundary part — the q146 convention."""
+    for name in ("lineitem", "supplier"):
+        table(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(_TPCH_Q11_SQL)
+
+
+_TPCH_Q20_SQL = """
+    WITH shipped AS (
+        SELECT l.l_partkey, l.l_suppkey,
+               SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS qty
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_name LIKE '%bolt%'
+          AND CAST(l.l_shipdate AS DATE) >= DATE '1996-01-01'
+          AND CAST(l.l_shipdate AS DATE) < DATE '1997-01-01'
+        GROUP BY l.l_partkey, l.l_suppkey
+    ),
+    totals AS (
+        SELECT l_partkey, SUM(qty) AS total_qty
+        FROM shipped
+        GROUP BY l_partkey
+    )
+    SELECT s.s_name, s.s_acctbal
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE n.n_name = 'NATION_3'
+      AND s.s_suppkey IN (
+          SELECT sh.l_suppkey
+          FROM shipped sh
+          JOIN totals t ON sh.l_partkey = t.l_partkey
+          WHERE sh.qty * 10 > t.total_qty * 3
+      )
+"""
+
+
+def q169_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 (potential part promotion), ADAPTED: no partsupp, so
+    "supplier holds excess stock of a forest part" becomes "supplier
+    shipped more than 30% of a bolt-part's 1996 volume" — his
+    (part, supplier) shipped quantity against the part's total, both
+    from lineitem. The query's POINT is unchanged: a supplier filter
+    through an IN subquery whose members qualify via a per-part
+    aggregate threshold — the nested-subquery chain that stresses
+    subquery-to-join rewriting.
+
+    Scale shape: the name LIKE + one-year band prune lineitem before
+    the (part, supplier) aggregate; totals reuses the shipped grain
+    (one extra combine to partkey). The IN rewrites to a LEFT SEMI
+    join on suppkey; the nation filter broadcasts. Threshold compare
+    is decimal-exact (qty * 10 > total * 3 — integer multiplies, the
+    q146/q168 convention)."""
+    for name in ("lineitem", "part", "supplier", "nation"):
+        table(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(_TPCH_Q20_SQL)
