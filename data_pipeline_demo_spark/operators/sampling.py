@@ -448,3 +448,34 @@ def dsir_sample(
         .limit(k)
         .drop("__gk")
     )
+
+
+def cap_per_group(
+    df: DataFrame,
+    cap: int,
+    group_col: str,
+    order_by: Sequence = (),
+    rank_col: str = "rk",
+) -> DataFrame:
+    """Per-group cap with a CHOSEN keep order — the domain-cap curation
+    step (keep at most N docs per source/domain, preferring the ones a
+    quality criterion ranks highest), vs
+    :func:`stratified_sample_exact_k`'s hash order (a random sample).
+    ``order_by`` lists columns/Columns ranked first-kept-first; ties
+    MUST be broken to a total order by the caller (append the key
+    column) or the kept set is engine/partitioning-dependent.
+
+    Scale shape: one hash-partition window per group; the ``rank <=
+    cap`` filter pushes below the exchange as a per-partition
+    WindowGroupLimit (each map task forwards at most ``cap`` rows per
+    group it sees), so the shuffle carries O(groups × cap) candidates,
+    not the corpus — the q87 exact-k plan shape, asserted in tests."""
+    from pyspark.sql import Window
+
+    if cap <= 0:
+        raise ValueError(f"cap must be positive, got {cap}")
+    w = Window.partitionBy(group_col).orderBy(*order_by)
+    return (
+        df.withColumn(rank_col, F.row_number().over(w).cast("long"))
+        .filter(F.col(rank_col) <= cap)
+    )

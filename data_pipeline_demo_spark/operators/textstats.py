@@ -536,3 +536,154 @@ def bm25_topk(
         "bm25",
         F.row_number().over(w).cast("bigint").alias("rk"),
     )
+
+
+def doc_ngram_counts(
+    df: DataFrame, n: int = 2, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-doc word n-gram multiset: ``(id, gram, c)`` — the PER-DOC
+    companion of the corpus-wide :func:`ngram_counts`. The gram list
+    builds in ONE codegen'd transform over the token array (the
+    `textprep.shingles` staging discipline — tokens materialize once as
+    a real column so the element lambda never re-splits), then explode →
+    count. Unlike `shingles` this keeps DUPLICATE grams: clipped-count
+    metrics (ROUGE) need the multiset, not the set."""
+    w = df.select(F.col(id_col), F.split(F.col(text_col), r"\s+").alias("__w"))
+    idx = F.sequence(F.lit(0), F.size("__w") - n)
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at("__w", (i + j + 1).cast("int")) for j in range(n)]
+        ),
+    )
+    return (
+        w.filter(F.size("__w") >= n)
+        .select(F.col(id_col), F.explode(grams).alias("gram"))
+        .groupBy(id_col, "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def rouge_n_pairs(
+    docs: DataFrame,
+    pairs: DataFrame,
+    n: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+) -> DataFrame:
+    """ROUGE-N between candidate/reference pairs (Lin 2004): clipped
+    n-gram overlap ``Σ_g min(c_a(g), c_b(g))`` with precision against
+    the b side, recall against the a side, and F1 — the eval metric a
+    curation pipeline runs over its own dedup/decontamination output
+    (did the near-dup pass actually catch the overlapping pairs?).
+
+    Output: ``(id_a, id_b, overlap, rouge_p, rouge_r, rouge_f1)``,
+    ratios rounded to 6 (pure integer-count divisions — engine-portable
+    bit-for-bit).
+
+    Scale shape: n-gram counts build once per doc (explode → combinable
+    count, never per-pair re-tokenization); the overlap join touches
+    only grams SHARED by a pair (inner join on gram), so disjoint pairs
+    cost nothing past the hash lookup; per-pair totals join back at
+    pair grain. Everything shuffles on (doc, gram) / pair keys — no
+    all-pairs blowup beyond the given candidate set."""
+    cnt = doc_ngram_counts(docs, n=n, text_col=text_col, id_col=id_col)
+    tot = cnt.groupBy(id_col).agg(F.sum("c").alias("t"))
+    p = pairs.select(F.col(a_col), F.col(b_col))
+    ov = (
+        p.join(cnt.withColumnRenamed(id_col, a_col).withColumnRenamed("c", "ca"), a_col)
+        .join(
+            cnt.withColumnRenamed(id_col, b_col).withColumnRenamed("c", "cb"),
+            [b_col, "gram"],
+        )
+        .groupBy(a_col, b_col)
+        .agg(F.sum(F.least("ca", "cb")).alias("overlap"))
+    )
+    ta = tot.withColumnRenamed(id_col, a_col).withColumnRenamed("t", "ta")
+    tb = tot.withColumnRenamed(id_col, b_col).withColumnRenamed("t", "tb")
+    base = (
+        p.join(ov, [a_col, b_col], "left")
+        .join(ta, a_col)
+        .join(tb, b_col)
+        .withColumn("overlap", F.coalesce("overlap", F.lit(0)).cast("bigint"))
+    )
+    prec = F.col("overlap") / F.col("tb")
+    rec = F.col("overlap") / F.col("ta")
+    f1 = F.when(F.col("overlap") == 0, F.lit(0.0)).otherwise(
+        2 * prec * rec / (prec + rec)
+    )
+    return base.select(
+        F.col(a_col),
+        F.col(b_col),
+        "overlap",
+        F.round(prec, 6).alias("rouge_p"),
+        F.round(rec, 6).alias("rouge_r"),
+        F.round(f1, 6).alias("rouge_f1"),
+    )
+
+
+def zipf_profile(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_ranks: int = 200,
+) -> DataFrame:
+    """One-row corpus vocabulary profile: vocabulary size, total token
+    count, hapax-legomenon count, type-token ratio, and the Zipf slope
+    (OLS of log10 freq on log10 rank over the top ``top_ranks`` ranks —
+    natural corpora sit near −1; synthetic or templated text shows up
+    flat). The standard corpus-health screen before training.
+
+    Determinism: counts are exact integers; ranks come from ROW_NUMBER
+    ordered (freq DESC, term ASC) — total order, engine-portable; the
+    OLS moments cast each log10 term to DECIMAL(18,12) BEFORE summing
+    (exact decimal accumulation, the q165 regression-as-aggregation
+    convention) so no double-summation-order ulp can move the slope;
+    the closed form then runs in scalar double arithmetic and rounds.
+
+    Scale shape: term frequencies are one combinable count; the profile
+    aggregates to ONE row with map-side partials; only the top-200
+    ranks (TakeOrderedAndProject-sized) feed the regression. No
+    driver-side loop, no window over the full vocabulary — the rank
+    filter pushes as WindowGroupLimit."""
+    from pyspark.sql import Window
+
+    tf = (
+        df.select(F.explode(F.split(F.col(text_col), r"\s+")).alias("term"))
+        .filter(F.length("term") > 0)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    stats = tf.agg(
+        F.count(F.lit(1)).cast("bigint").alias("vocab_size"),
+        F.sum("freq").cast("bigint").alias("total_tokens"),
+        F.sum(F.when(F.col("freq") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("hapax_count"),
+    )
+    w = Window.orderBy(F.col("freq").desc(), F.col("term").asc())
+    ranked = tf.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= top_ranks
+    )
+    dec = "decimal(18,12)"
+    top = ranked.select(
+        F.log10("rk").cast(dec).alias("x"), F.log10("freq").cast(dec).alias("y")
+    )
+    ols = top.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+    )
+    n, sx, sy, sxy, sxx = (F.col(c) for c in ("n", "sx", "sy", "sxy", "sxx"))
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return stats.crossJoin(F.broadcast(ols)).select(
+        "vocab_size",
+        "total_tokens",
+        "hapax_count",
+        F.round(F.col("vocab_size") / F.col("total_tokens"), 6).alias("ttr"),
+        F.round(slope, 6).alias("zipf_slope"),
+    )

@@ -266,3 +266,15 @@ register("q168_tpch_q11", oracle=relational._TPCH_Q11_SQL)(
 register("q169_tpch_q20", oracle=relational._TPCH_Q20_SQL)(
     relational.q169_tpch_q20
 )
+register("q170_source_caps", oracle=llm_ops._DUCK_SOURCE_CAPS)(
+    llm_ops.q170_source_caps
+)
+register("q171_rouge_overlap", oracle=llm_ops._DUCK_ROUGE)(
+    llm_ops.q171_rouge_overlap
+)
+register("q172_zipf_profile", oracle=llm_ops._DUCK_ZIPF)(
+    llm_ops.q172_zipf_profile
+)
+register("q173_event_transitions", oracle=relational._TRANSITIONS_SQL)(
+    relational.q173_event_transitions
+)

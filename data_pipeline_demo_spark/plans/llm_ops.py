@@ -2057,3 +2057,158 @@ def q162_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
         daily, key_col="event_type", bucket_col="day", value_col="value",
         season_length=7, horizon=5,
     )
+
+
+_DUCK_SOURCE_CAPS = """
+    WITH ranked AS (
+        SELECT source, doc_id, n_chars,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source ORDER BY n_chars DESC, doc_id
+               ) AS rk
+        FROM documents
+    )
+    SELECT source, doc_id, n_chars, CAST(rk AS BIGINT) AS rk
+    FROM ranked
+    WHERE rk <= 10
+"""
+
+
+def q170_source_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document cap — the CommonCrawl-style curation step
+    (a handful of hosts dominate any crawl; capping per source bounds
+    their share): keep at most 10 docs per source, preferring longer
+    documents, ties broken by doc_id to a total order.
+
+    Scale shape (operators/sampling.py:cap_per_group): the rank filter
+    pushes below the exchange as WindowGroupLimit — each map task
+    forwards at most cap rows per source it sees, so the shuffle
+    carries O(sources × cap), not the corpus. Plan-asserted in
+    tests/test_sampling.py."""
+    from ..operators import sampling
+
+    d = table(spark, sf_dir, "documents")
+    return sampling.cap_per_group(
+        d.select("source", "doc_id", "n_chars"),
+        cap=10,
+        group_col="source",
+        order_by=[F.col("n_chars").desc(), F.col("doc_id")],
+    ).select("source", "doc_id", "n_chars", "rk")
+
+
+_DUCK_ROUGE = """
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    cnt AS (
+        SELECT doc_id, g.gram, COUNT(*) AS c
+        FROM toks, UNNEST(list_transform(
+            generate_series(1, len(w) - 1),
+            i -> w[i] || ' ' || w[i + 1]
+        )) AS g(gram)
+        GROUP BY doc_id, g.gram
+    ),
+    tot AS (SELECT doc_id, SUM(c) AS t FROM cnt GROUP BY doc_id),
+    pairs AS (
+        SELECT id_a, id_b FROM (
+            SELECT doc_id AS id_a,
+                   LEAD(doc_id) OVER (
+                       PARTITION BY source ORDER BY doc_id
+                   ) AS id_b
+            FROM documents
+        ) WHERE id_b IS NOT NULL
+    ),
+    ov AS (
+        SELECT p.id_a, p.id_b, SUM(LEAST(ca.c, cb.c)) AS overlap
+        FROM pairs p
+        JOIN cnt ca ON ca.doc_id = p.id_a
+        JOIN cnt cb ON cb.doc_id = p.id_b AND cb.gram = ca.gram
+        GROUP BY p.id_a, p.id_b
+    )
+    SELECT p.id_a, p.id_b,
+           CAST(COALESCE(o.overlap, 0) AS BIGINT) AS overlap,
+           ROUND(CAST(COALESCE(o.overlap, 0) AS DOUBLE) / tb.t, 6) AS rouge_p,
+           ROUND(CAST(COALESCE(o.overlap, 0) AS DOUBLE) / ta.t, 6) AS rouge_r,
+           CASE WHEN COALESCE(o.overlap, 0) = 0 THEN 0.0
+                ELSE ROUND(
+                    2 * (COALESCE(o.overlap, 0) / CAST(tb.t AS DOUBLE))
+                      * (COALESCE(o.overlap, 0) / CAST(ta.t AS DOUBLE))
+                    / (COALESCE(o.overlap, 0) / CAST(tb.t AS DOUBLE)
+                       + COALESCE(o.overlap, 0) / CAST(ta.t AS DOUBLE)), 6)
+           END AS rouge_f1
+    FROM pairs p
+    LEFT JOIN ov o ON o.id_a = p.id_a AND o.id_b = p.id_b
+    JOIN tot ta ON ta.doc_id = p.id_a
+    JOIN tot tb ON tb.doc_id = p.id_b
+"""
+
+
+def q171_rouge_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUGE-2 (clipped bigram overlap, Lin 2004) over deterministic
+    candidate pairs (each doc with its source's next doc_id — a LEAD
+    window, so every source contributes its full chain) — the eval
+    metric a curation pipeline runs over its own dedup output. Exact
+    integer overlap counts; precision/recall/F1 are single
+    integer-ratio divisions, bit-portable across engines
+    (operators/textstats.py:rouge_n_pairs docstring has the full scale
+    shape: per-doc counts build once, the overlap join touches only
+    shared grams)."""
+    d = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    pairs = (
+        d.select(
+            F.col("doc_id").alias("id_a"),
+            F.lead("doc_id").over(w).alias("id_b"),
+        )
+        .filter(F.col("id_b").isNotNull())
+    )
+    return textstats.rouge_n_pairs(d, pairs, n=2)
+
+
+_DUCK_ZIPF = """
+    WITH tf AS (
+        SELECT t.term, COUNT(*) AS freq
+        FROM (SELECT string_split(text, ' ') AS w FROM documents),
+             UNNEST(w) AS t(term)
+        WHERE LENGTH(t.term) > 0
+        GROUP BY t.term
+    ),
+    stats AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS vocab_size,
+               CAST(SUM(freq) AS BIGINT) AS total_tokens,
+               CAST(SUM(CASE WHEN freq = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS hapax_count
+        FROM tf
+    ),
+    ranked AS (
+        SELECT freq,
+               ROW_NUMBER() OVER (ORDER BY freq DESC, term ASC) AS rk
+        FROM tf
+    ),
+    top AS (
+        SELECT CAST(log10(rk) AS DECIMAL(18,12)) AS x,
+               CAST(log10(freq) AS DECIMAL(18,12)) AS y
+        FROM ranked WHERE rk <= 200
+    ),
+    ols AS (
+        SELECT COUNT(*) AS n,
+               CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+               CAST(SUM(x * y) AS DOUBLE) AS sxy,
+               CAST(SUM(x * x) AS DOUBLE) AS sxx
+        FROM top
+    )
+    SELECT vocab_size, total_tokens, hapax_count,
+           ROUND(CAST(vocab_size AS DOUBLE) / total_tokens, 6) AS ttr,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope
+    FROM stats, ols
+"""
+
+
+def q172_zipf_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary health profile: vocab size, token count, hapax
+    count, type-token ratio, Zipf slope (top-200-rank log-log OLS) —
+    the screen that catches templated/synthetic text (flat slope, low
+    hapax mass) before it trains. Exact counts; decimal-accumulated
+    regression moments (the q165 convention) keep the slope bit-stable
+    across engines. Full scale shape in
+    operators/textstats.py:zipf_profile."""
+    return textstats.zipf_profile(table(spark, sf_dir, "documents"))

@@ -2593,3 +2593,56 @@ def q169_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     for name in ("lineitem", "part", "supplier", "nation"):
         table(spark, sf_dir, name).createOrReplaceTempView(name)
     return spark.sql(_TPCH_Q20_SQL)
+
+
+_TRANSITIONS_SQL = """
+    WITH seq AS (
+        SELECT event_type AS from_type,
+               LEAD(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS to_type
+        FROM events
+    )
+    SELECT from_type, to_type,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           ROUND(CAST(COUNT(*) AS DOUBLE)
+                 / SUM(COUNT(*)) OVER (PARTITION BY from_type), 6) AS p
+    FROM seq
+    WHERE to_type IS NOT NULL
+    GROUP BY from_type, to_type
+"""
+
+
+def q173_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences — the clickstream path-analysis primitive (where do
+    users go after X; feeds next-step prediction and funnel-leak
+    hunting). LEAD over (user, time) pairs consecutive events; counts
+    aggregate per (from, to); row-normalized probabilities come from a
+    window sum over the from-type marginal.
+
+    Scale shape: ONE shuffle by user_id serves the sequence window
+    (per-user partitions sort locally); the transition count is
+    map-side combinable to a (|types|²)-sized relation, and the
+    normalizing window runs over that tiny aggregate, not the events.
+    Ties in ts break by event_id — a total order, so LEAD is
+    deterministic on both engines. Probability is one integer-ratio
+    double division, bit-portable."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    cnt = seq.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    norm = Window.partitionBy("from_type")
+    return cnt.select(
+        "from_type",
+        "to_type",
+        "cnt",
+        F.round(F.col("cnt") / F.sum("cnt").over(norm), 6).alias("p"),
+    )

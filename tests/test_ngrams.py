@@ -112,3 +112,81 @@ def test_compression_ratio_separates_entropy_bands(spark):
     assert got[1] < got[2] < got[3]
     assert got[1] < 0.15 and got[3] > 0.5
     assert got[4] is None and got[5] is None
+
+
+def _brute_rouge2(ta: str, tb: str):
+    from collections import Counter
+
+    def bg(t):
+        w = t.split()
+        return Counter(tuple(w[i : i + 2]) for i in range(len(w) - 1))
+
+    ca, cb = bg(ta), bg(tb)
+    ov = sum(min(ca[g], cb[g]) for g in ca.keys() & cb.keys())
+    ta_n, tb_n = sum(ca.values()), sum(cb.values())
+    p, r = ov / tb_n, ov / ta_n
+    f1 = 0.0 if ov == 0 else 2 * p * r / (p + r)
+    return ov, round(p, 6), round(r, 6), round(f1, 6)
+
+
+def test_rouge_n_pairs_matches_bruteforce(spark):
+    rows = [
+        (0, "the cat sat on the mat"),
+        (1, "the cat sat on a mat"),
+        (2, "a dog ran far away today"),
+        (3, "the cat sat on the mat"),  # exact dup of 0
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3)], "id_a long, id_b long"
+    )
+    got = {
+        (r["id_a"], r["id_b"]): (
+            r["overlap"], r["rouge_p"], r["rouge_r"], r["rouge_f1"]
+        )
+        for r in textstats.rouge_n_pairs(docs, pairs, n=2).collect()
+    }
+    text = dict(rows)
+    assert set(got) == {(0, 1), (0, 2), (0, 3)}
+    for a, b in got:
+        assert got[(a, b)] == _brute_rouge2(text[a], text[b])
+    # identical docs → perfect scores; disjoint docs → zeros
+    assert got[(0, 3)][1:] == (1.0, 1.0, 1.0)
+    assert got[(0, 2)] == (0, 0.0, 0.0, 0.0)
+
+
+def test_rouge_drops_pairs_without_bigrams(spark):
+    docs = spark.createDataFrame(
+        [(0, "two words"), (1, "single")], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(0, 1)], "id_a long, id_b long")
+    # doc 1 has no bigrams: the pair has no defined ROUGE-2 → dropped,
+    # mirroring the oracle's inner join on per-doc totals
+    assert textstats.rouge_n_pairs(docs, pairs, n=2).count() == 0
+
+
+def test_zipf_profile_counts_by_hand(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "a a a a b b c"),
+            (1, "a b d"),
+        ],
+        "doc_id long, text string",
+    )
+    row = textstats.zipf_profile(docs).collect()[0]
+    # tokens: a×5 b×3 c×1 d×1 → vocab 4, total 10, hapax 2
+    assert row["vocab_size"] == 4
+    assert row["total_tokens"] == 10
+    assert row["hapax_count"] == 2
+    assert row["ttr"] == 0.4
+    # ranks: a(1,5) b(2,3) c(3,1) d(4,1) — slope must be negative
+    assert row["zipf_slope"] < 0
+
+
+def test_zipf_profile_natural_corpus_slope(spark, sf_dir):
+    from data_pipeline_demo_spark.sources.tables import table
+
+    row = textstats.zipf_profile(table(spark, sf_dir, "documents")).collect()[0]
+    assert row["vocab_size"] > 0 and row["hapax_count"] >= 0
+    assert 0 < row["ttr"] < 1
+    assert row["zipf_slope"] < 0  # frequency decays with rank

@@ -171,3 +171,47 @@ def test_mixture_sample_realizes_target_shares(spark):
         mixture_plan(df, {"web": 0.5, "audio": 0.5}, "domain")
     with pytest.raises(ValueError, match="positive total"):
         mixture_plan(df, {"web": 0.0}, "domain")
+
+
+def test_cap_per_group_keeps_best_and_plan_prunes(spark, sf_dir):
+    """cap_per_group keeps exactly min(cap, group size) rows per group,
+    the CHOSEN order's top rows (longest docs first) — and the rank
+    filter pushes below the exchange as a partial WindowGroupLimit so
+    map tasks never ship whole groups."""
+    docs = table(spark, sf_dir, "documents")
+    capped = sampling.cap_per_group(
+        docs.select("source", "doc_id", "n_chars"),
+        cap=10,
+        group_col="source",
+        order_by=[F.col("n_chars").desc(), F.col("doc_id")],
+    )
+    rows = capped.collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r)
+    totals = {
+        r["source"]: r["n"]
+        for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    for src, kept in by_src.items():
+        assert len(kept) == min(10, totals[src])
+        # kept set == the top-10 by (n_chars desc, doc_id) brute force
+        want = {
+            r["doc_id"]
+            for r in sorted(
+                docs.filter(F.col("source") == src).collect(),
+                key=lambda r: (-r["n_chars"], r["doc_id"]),
+            )[:10]
+        }
+        assert {r["doc_id"] for r in kept} == want
+    plan = capped._jdf.queryExecution().executedPlan().toString()
+    before_exchange = plan.split("Exchange hashpartitioning", 1)[1]
+    assert "WindowGroupLimit" in before_exchange
+
+
+def test_cap_per_group_rejects_nonpositive_cap(spark, sf_dir):
+    import pytest
+
+    docs = table(spark, sf_dir, "documents")
+    with pytest.raises(ValueError):
+        sampling.cap_per_group(docs, cap=0, group_col="source")
