@@ -157,3 +157,70 @@ def pack_token_stream(
         seg_start.alias("seg_start"),
         (seg_end - seg_start).alias("seg_len"),
     )
+
+
+def content_defined_chunks(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    boundary_hex_lt: str = "08",
+    sep: str = " ",
+) -> DataFrame:
+    """Content-defined chunking (the FastCDC/rsync idea at token
+    grain): a token STARTS a new chunk when an engine-neutral hash of
+    the token falls under a threshold — ``substr(md5(tok), 1, 2) <
+    boundary_hex_lt`` (default 8/256 → ~32-token expected chunks).
+    Because boundaries depend only on LOCAL content, an insertion near
+    a document's head shifts every fixed-window chunk but leaves all
+    content-defined chunks after the next boundary IDENTICAL — the
+    property that makes chunk-grain dedup robust to edits, and the
+    reason CDC beats `chunk_by_tokens` for near-dup corpora
+    (tests assert the realignment).
+
+    Output: ``(id, chunk_id, n_tokens, chunk_text)`` with chunk_id the
+    running boundary count — consecutive in document order, starting
+    at 0 or 1 depending on whether the document opens on a boundary.
+
+    Scale shape: tokenize + flag is map-only (md5 is a builtin,
+    codegen'd); the running boundary count is a window cumulative sum
+    PARTITIONED BY DOCUMENT (state bounded by one doc's tokens, never
+    a global stream — the q101 lane discipline); reassembly groups by
+    (doc, chunk) with an array_sort over in-chunk positions, exact and
+    shuffle-local since the explode stays in the row's partition.
+    MD5-thresholding is engine-portable (identical hex in Spark and
+    DuckDB), so the whole operator oracle-checks value-for-value."""
+    from pyspark.sql import Window
+
+    import re as _re
+
+    toks = F.split(F.col(text_col), _re.escape(sep), -1)
+    pos = docs.select(
+        F.col(id_col),
+        F.posexplode(toks).alias("pos", "tok"),
+    )
+    flag = F.when(
+        F.substring(F.md5(F.col("tok")), 1, 2) < boundary_hex_lt, 1
+    ).otherwise(0)
+    w = Window.partitionBy(id_col).orderBy("pos")
+    cid = pos.withColumn("cid", F.sum(flag).over(w))
+    return (
+        cid.groupBy(id_col, "cid")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "tok"))
+                    ),
+                    lambda s: s["tok"],
+                ),
+                sep,
+            ).alias("chunk_text"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("cid").cast("bigint").alias("chunk_id"),
+            "n_tokens",
+            "chunk_text",
+        )
+    )

@@ -278,3 +278,9 @@ register("q172_zipf_profile", oracle=llm_ops._DUCK_ZIPF)(
 register("q173_event_transitions", oracle=relational._TRANSITIONS_SQL)(
     relational.q173_event_transitions
 )
+register("q174_cdc_chunks", oracle=llm_ops._DUCK_CDC_CHUNKS)(
+    llm_ops.q174_cdc_chunks
+)
+register("q175_event_regex", oracle=relational._EVENT_REGEX_SQL)(
+    relational.q175_event_regex
+)

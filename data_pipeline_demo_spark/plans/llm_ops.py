@@ -2212,3 +2212,45 @@ def q172_zipf_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     across engines. Full scale shape in
     operators/textstats.py:zipf_profile."""
     return textstats.zipf_profile(table(spark, sf_dir, "documents"))
+
+
+_DUCK_CDC_CHUNKS = """
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    pos AS (
+        SELECT doc_id, g.i - 1 AS pos, w[g.i] AS tok
+        FROM toks, UNNEST(generate_series(1, len(w))) AS g(i)
+    ),
+    flagged AS (
+        SELECT doc_id, pos, tok,
+               CASE WHEN substr(md5(tok), 1, 2) < '08' THEN 1 ELSE 0 END
+                   AS flag
+        FROM pos
+    ),
+    cids AS (
+        SELECT doc_id, pos, tok,
+               SUM(flag) OVER (
+                   PARTITION BY doc_id ORDER BY pos
+               ) AS cid
+        FROM flagged
+    )
+    SELECT doc_id, CAST(cid AS BIGINT) AS chunk_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           string_agg(tok, ' ' ORDER BY pos) AS chunk_text
+    FROM cids
+    GROUP BY doc_id, cid
+"""
+
+
+def q174_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking over the corpus — the edit-robust
+    chunk grain for chunk-level dedup (an insertion shifts fixed
+    windows everywhere but realigns CDC chunks at the next boundary).
+    Engine-neutral md5-threshold boundaries make the whole operator
+    oracle-checkable value-for-value; full scale shape in
+    operators/chunking.py:content_defined_chunks (map-only flagging,
+    per-document cumsum window, shuffle-local reassembly)."""
+    from ..operators import chunking
+
+    return chunking.content_defined_chunks(table(spark, sf_dir, "documents"))

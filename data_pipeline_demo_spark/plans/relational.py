@@ -2646,3 +2646,71 @@ def q173_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cnt",
         F.round(F.col("cnt") / F.sum("cnt").over(norm), 6).alias("p"),
     )
+
+
+_EVENT_REGEX_SQL = """
+    WITH strands AS (
+        SELECT user_id,
+               string_agg(substr(event_type, 1, 1), ''
+                          ORDER BY ts, event_id) AS path
+        FROM events
+        GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(LENGTH(path) AS BIGINT) AS n_events,
+           CAST(LENGTH(regexp_replace(path, 'v[vc]*p', '#', 'g'))
+                - LENGTH(regexp_replace(path, 'v[vc]*p', '', 'g'))
+                AS BIGINT) AS n_journeys
+    FROM strands
+    WHERE regexp_matches(path, 'v[vc]*p')
+"""
+
+
+def q175_event_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complex-event-processing via regex over per-user event strands
+    (the Flink-CEP / MATCH_RECOGNIZE pattern family expressed with
+    built-ins): each user's time-ordered event-type initials collapse
+    to one string, and 'v[vc]*p' — a view, any browsing, then a
+    purchase — counts non-overlapping browse-to-buy journeys.
+
+    Determinism: the strand is an ORDERED aggregation — Spark builds
+    it as array_sort(collect_list(struct(ts, event_id, ch))) (ties
+    break by event_id, a total order) and DuckDB as string_agg(...
+    ORDER BY ts, event_id); the match count is computed as a LENGTH
+    DIFFERENCE under global replace (marker minus deletion), the one
+    regex-count formulation whose non-overlapping semantics agree
+    across regex engines.
+
+    Scale shape: ONE shuffle to user grain (combinable collect_list
+    partials); per-user strings are session-sized; the regex scan is
+    map-only over the aggregated relation. At 100 TB this is the
+    standard sessionize-then-match plan — never a self-join per
+    pattern step."""
+    from pyspark.sql import Window  # noqa: F401  (symmetry with q173)
+
+    ev = table(spark, sf_dir, "events")
+    strands = (
+        ev.select(
+            "user_id",
+            F.struct("ts", "event_id", F.substring("event_type", 1, 1).alias("ch")).alias(
+                "__e"
+            ),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("__e")), lambda s: s["ch"]
+                ),
+                "",
+            ).alias("path")
+        )
+    )
+    pat = "v[vc]*p"
+    marked = F.regexp_replace("path", pat, "#")
+    gone = F.regexp_replace("path", pat, "")
+    return strands.filter(F.col("path").rlike(pat)).select(
+        "user_id",
+        F.length("path").cast("bigint").alias("n_events"),
+        (F.length(marked) - F.length(gone)).cast("bigint").alias("n_journeys"),
+    )

@@ -103,3 +103,60 @@ def test_tfidf_top_terms_hand_computed(spark):
     # doc 2: "word" tf=2/4 df=2 -> 0.75 beats the=0.25, common=0.375
     assert by_doc[2][0][1:] == ("word", 0.75)
     assert by_doc[2][1][1:] == ("common", 0.375)
+
+
+def test_cdc_chunks_reconstruct_and_realign(spark):
+    """Content-defined chunks must (a) round-trip the document exactly
+    and (b) REALIGN after an edit: inserting tokens near the head of a
+    doc leaves the chunk multiset of the untouched tail mostly
+    identical — the property fixed-window chunking provably lacks."""
+    base_tokens = [f"w{i % 97}x{i % 13}" for i in range(400)]
+    base = " ".join(base_tokens)
+    edited = " ".join(["INS0", "INS1", "INS2"] + base_tokens)
+    docs = spark.createDataFrame(
+        [(0, base), (1, edited)], "doc_id long, text string"
+    )
+    out = chunking.content_defined_chunks(docs).collect()
+    by_doc = {0: [], 1: []}
+    for r in out:
+        by_doc[r["doc_id"]].append(r)
+    for did, text in ((0, base), (1, edited)):
+        rows = sorted(by_doc[did], key=lambda r: r["chunk_id"])
+        # consecutive ids, exact reconstruction, n_tokens consistent
+        assert [r["chunk_id"] for r in rows] == list(
+            range(rows[0]["chunk_id"], rows[0]["chunk_id"] + len(rows))
+        )
+        assert " ".join(r["chunk_text"] for r in rows) == text
+        assert all(
+            r["n_tokens"] == len(r["chunk_text"].split(" ")) for r in rows
+        )
+    # realignment: every base chunk except possibly the first reappears
+    # verbatim among the edited doc's chunks
+    c0 = [r["chunk_text"] for r in sorted(by_doc[0], key=lambda r: r["chunk_id"])]
+    c1 = {r["chunk_text"] for r in by_doc[1]}
+    assert len(c0) >= 3  # the threshold actually split this doc
+    shared = sum(1 for c in c0[1:] if c in c1)
+    assert shared == len(c0) - 1
+
+
+def test_cdc_chunk_boundaries_match_scalar_md5(spark):
+    """Boundary rule is exactly substr(md5(tok),1,2) < '08' — verified
+    against hashlib per token."""
+    import hashlib
+
+    text = " ".join(f"t{i}" for i in range(200))
+    docs = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    rows = sorted(
+        chunking.content_defined_chunks(docs).collect(),
+        key=lambda r: r["chunk_id"],
+    )
+    # rebuild expected chunking in pure python
+    chunks, cur = [], []
+    for tok in text.split(" "):
+        if hashlib.md5(tok.encode()).hexdigest()[:2] < "08" and cur:
+            chunks.append(" ".join(cur))
+            cur = []
+        cur.append(tok)
+    chunks.append(" ".join(cur))
+    got = [r["chunk_text"] for r in rows]
+    assert got == chunks
