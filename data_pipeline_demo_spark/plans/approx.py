@@ -284,3 +284,9 @@ register("q174_cdc_chunks", oracle=llm_ops._DUCK_CDC_CHUNKS)(
 register("q175_event_regex", oracle=relational._EVENT_REGEX_SQL)(
     relational.q175_event_regex
 )
+register("q176_duplicate_payments", oracle=relational._DUP_PAYMENTS_SQL)(
+    relational.q176_duplicate_payments
+)
+register("q177_velocity_flags", oracle=relational._VELOCITY_SQL)(
+    relational.q177_velocity_flags
+)

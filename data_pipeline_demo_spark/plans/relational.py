@@ -2714,3 +2714,155 @@ def q175_event_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("path").cast("bigint").alias("n_events"),
         (F.length(marked) - F.length(gone)).cast("bigint").alias("n_journeys"),
     )
+
+
+_DUP_PAYMENTS_SQL = """
+    SELECT a.o_custkey,
+           a.o_orderkey AS orderkey_a, b.o_orderkey AS orderkey_b,
+           a.o_totalprice AS amount_a, b.o_totalprice AS amount_b,
+           CAST(DATEDIFF('day', CAST(a.o_orderdate AS DATE),
+                         CAST(b.o_orderdate AS DATE)) AS BIGINT)
+               AS days_apart
+    FROM orders a
+    JOIN orders b
+      ON a.o_custkey = b.o_custkey
+     AND a.o_orderkey < b.o_orderkey
+    WHERE CAST(b.o_orderdate AS DATE)
+          BETWEEN CAST(a.o_orderdate AS DATE)
+              AND CAST(a.o_orderdate AS DATE) + INTERVAL 7 DAY
+      AND ABS(a.o_totalprice - b.o_totalprice) <= 0.05 * a.o_totalprice
+"""
+
+_DUP_BUCKET = 25000.0  # >= the max tolerance span (5% of the max amount)
+
+
+def q176_duplicate_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate-payment screen — the classic payments-domain
+    fraud / data-quality check over the reference's own transaction
+    domain (`/root/reference/data_pipeline.py` upserts on id precisely
+    to suppress re-ingested duplicates; this finds the SEMANTIC dupes
+    an id-upsert can't): order pairs from the same customer within 7
+    days whose totals agree to 5%, keyed a < b so each pair reports
+    once.
+
+    Scale shape: the 1-D amount axis is grid-blocked exactly like the
+    spatial radius join (operators/spatial.py) — bucket width >= the
+    worst-case tolerance span, side A stamped onto its 3-bucket
+    neighborhood (map-only explode), side B at its home bucket, so two
+    qualifying orders meet on EXACTLY one (custkey, bucket) cell and
+    the equi join never goes all-pairs. The oracle is the NAIVE
+    all-pairs spec, so the driver's hash compare certifies blocking
+    completeness, not just arithmetic. Tolerance arithmetic is one
+    double multiply/compare, bit-identical across engines."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.to_date("o_orderdate").alias("d"),
+        F.floor(F.col("o_totalprice") / _DUP_BUCKET).alias("__cell"),
+    )
+    a = (
+        o.withColumn("__dc", F.explode(F.array(*[F.lit(i) for i in (-1, 0, 1)])))
+        .select(
+            F.col("o_custkey"),
+            F.col("o_orderkey").alias("orderkey_a"),
+            F.col("o_totalprice").alias("amount_a"),
+            F.col("d").alias("d_a"),
+            (F.col("__cell") + F.col("__dc")).alias("__cell"),
+        )
+    )
+    b = o.select(
+        F.col("o_custkey"),
+        F.col("o_orderkey").alias("orderkey_b"),
+        F.col("o_totalprice").alias("amount_b"),
+        F.col("d").alias("d_b"),
+        "__cell",
+    )
+    return (
+        a.join(b, ["o_custkey", "__cell"])
+        .filter(F.col("orderkey_a") < F.col("orderkey_b"))
+        .filter(
+            F.col("d_b").between(F.col("d_a"), F.date_add(F.col("d_a"), 7))
+        )
+        .filter(
+            F.abs(F.col("amount_a") - F.col("amount_b"))
+            <= 0.05 * F.col("amount_a")
+        )
+        .select(
+            "o_custkey",
+            "orderkey_a",
+            "orderkey_b",
+            "amount_a",
+            "amount_b",
+            F.datediff(F.col("d_b"), F.col("d_a"))
+            .cast("bigint")
+            .alias("days_apart"),
+        )
+    )
+
+
+_VELOCITY_SQL = """
+    WITH daily AS (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               DATEDIFF('day', DATE '1995-01-01',
+                        CAST(o_orderdate AS DATE)) AS day_idx
+        FROM orders
+    ),
+    rolled AS (
+        SELECT o_custkey, o_orderkey, day_idx,
+               COUNT(*) OVER w AS n_orders_30d,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w
+                    AS DOUBLE) AS amt_30d
+        FROM daily
+        WINDOW w AS (
+            PARTITION BY o_custkey ORDER BY day_idx
+            RANGE BETWEEN 29 PRECEDING AND CURRENT ROW
+        )
+    )
+    SELECT o_custkey, o_orderkey,
+           CAST(day_idx AS BIGINT) AS day_idx,
+           CAST(n_orders_30d AS BIGINT) AS n_orders_30d, amt_30d
+    FROM rolled
+    WHERE n_orders_30d >= 4
+"""
+
+
+def q177_velocity_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transaction-velocity screen (the other standard payments fraud
+    check beside q176): per customer, a trailing-30-day event-time
+    RANGE frame counts orders and sums spend, flagging bursts of ≥ 4
+    orders. The RANGE frame is VALUE-based (29 PRECEDING over an
+    integer day index), so same-day orders aggregate together
+    regardless of row order — the q103 event-time discipline on the
+    orders table.
+
+    Scale shape: one shuffle to customer grain; frames evaluate in a
+    single sorted pass per customer; the decimal sum keeps flagged
+    amounts exact. Flag output is burst-density-sized, not
+    order-count-sized."""
+    from pyspark.sql import Window
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.datediff(F.to_date("o_orderdate"), F.lit("1995-01-01").cast("date"))
+        .cast("long")
+        .alias("day_idx"),
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("day_idx")
+        .rangeBetween(-29, Window.currentRow)
+    )
+    rolled = o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("day_idx").cast("bigint").alias("day_idx"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_orders_30d"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("amt_30d"),
+    )
+    return rolled.filter(F.col("n_orders_30d") >= 4)
