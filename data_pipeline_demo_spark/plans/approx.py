@@ -290,3 +290,9 @@ register("q176_duplicate_payments", oracle=relational._DUP_PAYMENTS_SQL)(
 register("q177_velocity_flags", oracle=relational._VELOCITY_SQL)(
     relational.q177_velocity_flags
 )
+register("q178_fd_profile", oracle=relational._FD_SQL)(
+    relational.q178_fd_profile
+)
+register("q179_woe_iv", oracle=relational._WOE_SQL)(
+    relational.q179_woe_iv
+)

@@ -2866,3 +2866,181 @@ def q177_velocity_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("amt_30d"),
     )
     return rolled.filter(F.col("n_orders_30d") >= 4)
+
+
+_FD_SQL = """
+    WITH cand AS (
+        SELECT 'nation: n_nationkey -> n_name' AS candidate,
+               n_nationkey AS lhs, n_name AS rhs FROM nation
+        UNION ALL
+        SELECT 'nation: n_regionkey -> n_name',
+               n_regionkey, n_name FROM nation
+        UNION ALL
+        SELECT 'orders: o_orderkey -> o_orderpriority',
+               o_orderkey, o_orderpriority FROM orders
+        UNION ALL
+        SELECT 'orders: o_custkey -> o_orderpriority',
+               o_custkey, o_orderpriority FROM orders
+        UNION ALL
+        SELECT 'part: p_partkey -> p_brand',
+               p_partkey, p_brand FROM part
+        UNION ALL
+        SELECT 'part: p_size -> p_brand',
+               p_size, p_brand FROM part
+    ),
+    per_lhs AS (
+        SELECT candidate, lhs, COUNT(DISTINCT rhs) AS n_rhs
+        FROM cand
+        GROUP BY candidate, lhs
+    )
+    SELECT candidate,
+           CAST(COUNT(*) AS BIGINT) AS n_lhs_groups,
+           CAST(SUM(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_violating,
+           CAST(MAX(n_rhs) AS BIGINT) AS max_rhs_per_lhs,
+           CAST(CASE WHEN MAX(n_rhs) = 1 THEN 1 ELSE 0 END AS BIGINT)
+               AS fd_holds
+    FROM per_lhs
+    GROUP BY candidate
+"""
+
+
+def q178_fd_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency discovery — the third member of the
+    profiling triad (q127 column profile, q136 inclusion/foreign-key
+    discovery): for each candidate A → B, how many A-groups exist, how
+    many map to more than one B (violations), and whether the FD holds
+    exactly — the TANE/Metanome problem reduced to its verification
+    core over declared candidates.
+
+    Scale shape: per candidate ONE grouped distinct-count (two-level
+    aggregate, map-side partial distinct) followed by a
+    candidate-sized rollup; candidates evaluate independently and
+    union. Never a pairwise self-join — violations come from counts,
+    not witness pairs."""
+    nat = table(spark, sf_dir, "nation")
+    o = table(spark, sf_dir, "orders")
+    p = table(spark, sf_dir, "part")
+    cands = [
+        ("nation: n_nationkey -> n_name", nat, "n_nationkey", "n_name"),
+        ("nation: n_regionkey -> n_name", nat, "n_regionkey", "n_name"),
+        ("orders: o_orderkey -> o_orderpriority", o, "o_orderkey", "o_orderpriority"),
+        ("orders: o_custkey -> o_orderpriority", o, "o_custkey", "o_orderpriority"),
+        ("part: p_partkey -> p_brand", p, "p_partkey", "p_brand"),
+        ("part: p_size -> p_brand", p, "p_size", "p_brand"),
+    ]
+    out = None
+    for name, df, lhs, rhs in cands:
+        per = (
+            df.select(F.col(lhs).alias("lhs"), F.col(rhs).alias("rhs"))
+            .groupBy("lhs")
+            .agg(F.countDistinct("rhs").alias("n_rhs"))
+            .agg(
+                F.lit(name).alias("candidate"),
+                F.count(F.lit(1)).cast("bigint").alias("n_lhs_groups"),
+                F.sum(F.when(F.col("n_rhs") > 1, 1).otherwise(0))
+                .cast("bigint")
+                .alias("n_violating"),
+                F.max("n_rhs").cast("bigint").alias("max_rhs_per_lhs"),
+                F.when(F.max("n_rhs") == 1, 1)
+                .otherwise(0)
+                .cast("bigint")
+                .alias("fd_holds"),
+            )
+        )
+        out = per if out is None else out.unionByName(per)
+    return out
+
+
+_WOE_SQL = """
+    WITH binned AS (
+        SELECT NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey) AS bin,
+               CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS bad
+        FROM orders
+    ),
+    per_bin AS (
+        SELECT bin,
+               COUNT(*) AS n,
+               SUM(bad) AS n_bad,
+               COUNT(*) - SUM(bad) AS n_good
+        FROM binned
+        GROUP BY bin
+    ),
+    tot AS (
+        SELECT SUM(n_bad) AS tb, SUM(n_good) AS tg FROM per_bin
+    ),
+    woed AS (
+        SELECT bin, n, n_bad,
+               ROUND(CAST(n_bad AS DOUBLE) / n, 6) AS bad_rate,
+               ROUND(ln((CAST(n_bad AS DOUBLE) / tb)
+                        / (CAST(n_good AS DOUBLE) / tg)), 6) AS woe,
+               CAST(ROUND((CAST(n_bad AS DOUBLE) / tb
+                           - CAST(n_good AS DOUBLE) / tg)
+                          * ln((CAST(n_bad AS DOUBLE) / tb)
+                               / (CAST(n_good AS DOUBLE) / tg)), 8)
+                    AS DECIMAL(18,8)) AS iv_term
+        FROM per_bin, tot
+    )
+    SELECT CAST(bin AS BIGINT) AS bin, CAST(n AS BIGINT) AS n,
+           CAST(n_bad AS BIGINT) AS n_bad, bad_rate, woe,
+           CAST(iv_term AS DOUBLE) AS iv_term,
+           CAST(SUM(iv_term) OVER () AS DOUBLE) AS iv_total
+    FROM woed
+"""
+
+
+def q179_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-Evidence / Information-Value feature screen — the
+    credit-risk / payments-fraud feature-selection standard: decile-bin
+    the order amount (NTILE over a TOTAL order, ties broken by
+    orderkey, so bin membership is engine-identical), score each bin's
+    WOE = ln(bad-share / good-share) against the failed-order label,
+    and sum the IV. IV terms round to DECIMAL(18,8) BEFORE the total
+    sum, so the only cross-engine double arithmetic is per-term (one
+    ln of identical count ratios — the q108 PSI convention) and the
+    total is an exact decimal sum in any order.
+
+    Scale shape: NTILE needs a global sort — at 100 TB swap in the
+    q104 pre-computed percentile cut points (one approx/exact quantile
+    pass + a map-only bin lookup) and keep everything else; the rest
+    is a 10-row aggregate pipeline."""
+    from pyspark.sql import Window
+
+    o = table(spark, sf_dir, "orders")
+    binned = o.select(
+        F.ntile(10)
+        .over(Window.orderBy("o_totalprice", "o_orderkey"))
+        .alias("bin"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("bad"),
+    )
+    per = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("bad").alias("n_bad"),
+        (F.count(F.lit(1)) - F.sum("bad")).alias("n_good"),
+    )
+    tot = per.agg(
+        F.sum("n_bad").alias("tb"), F.sum("n_good").alias("tg")
+    )
+    bad_share = F.col("n_bad") / F.col("tb")
+    good_share = F.col("n_good") / F.col("tg")
+    woe = F.log(bad_share / good_share)
+    woed = per.crossJoin(F.broadcast(tot)).select(
+        F.col("bin").cast("bigint").alias("bin"),
+        F.col("n").cast("bigint").alias("n"),
+        F.col("n_bad").cast("bigint").alias("n_bad"),
+        F.round(F.col("n_bad") / F.col("n"), 6).alias("bad_rate"),
+        F.round(woe, 6).alias("woe"),
+        F.round((bad_share - good_share) * woe, 8)
+        .cast("decimal(18,8)")
+        .alias("iv_term"),
+    )
+    w = Window.partitionBy()
+    return woed.select(
+        "bin",
+        "n",
+        "n_bad",
+        "bad_rate",
+        "woe",
+        F.col("iv_term").cast("double").alias("iv_term"),
+        F.sum("iv_term").over(w).cast("double").alias("iv_total"),
+    )
