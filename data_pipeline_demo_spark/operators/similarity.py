@@ -732,6 +732,7 @@ def _refine_centroids(
     id_col: str,
     vec_col: str,
     iters: int,
+    engine: str = "expr",
 ) -> DataFrame:
     """Lloyd refinement over the deterministic hash-sample init: each
     iteration assigns every corpus vector to its nearest centroid (one
@@ -751,7 +752,9 @@ def _refine_centroids(
         return cents
     dim = int(dim_row["d"])
     for _ in range(iters):
-        assign = _best_centroids(corpus, cents, id_col, vec_col, n_best=1)
+        assign = _best_centroids(
+            corpus, cents, id_col, vec_col, n_best=1, engine=engine
+        )
         # element-wise decimal means in ONE combinable aggregate pass
         # (map-side partials carry dim decimals per centroid) — no
         # posexplode row blow-up, no collect_list reassembly exchange
@@ -810,16 +813,74 @@ def _cos_double(va, vb) -> Column:
     return dot / F.sqrt(ssum(da) * ssum(db))
 
 
+def _route_arrow(
+    vectors: DataFrame,
+    cents: DataFrame,
+    id_col: str,
+    vec_col: str,
+    with_sim: bool,
+) -> DataFrame:
+    """BLAS centroid routing: centroids collect to one numpy matrix
+    (n_clusters × dim — metadata-sized by construction) and a single
+    ``mapInPandas`` scan computes every row's cosine row-block against
+    all centroids at once, emitting the argmax (ties → smallest
+    centroid id, the ``max_by`` rule). Row-local arithmetic ⇒ the
+    assignment is independent of partitioning, like the fold tier; the
+    two tiers can disagree only on exact-tie knife edges (differential
+    test pins planted data). This removes the measured k-means
+    bottleneck: the expr tier's crossJoin evaluates an INTERPRETED
+    zip_with/aggregate fold per (row × centroid), ~n·k·d lambda calls
+    per pass."""
+    import numpy as np
+
+    cent_rows = sorted(
+        cents.collect(), key=lambda r: r["centroid_id"]
+    )
+    C = np.stack([np.asarray(r["__cvec"], dtype=np.float64) for r in cent_rows])
+    cids = np.asarray([int(r["centroid_id"]) for r in cent_rows], dtype=np.int64)
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    id_type = {
+        f.name: f.dataType.simpleString() for f in vectors.schema.fields
+    }[id_col]
+    schema = f"{id_col} {id_type}, centroid_id int" + (
+        ", __sim double" if with_sim else ""
+    )
+
+    def route(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+            S = Vn @ Cn.T
+            best = np.argmax(S, axis=1)  # first max = smallest cid
+            out = {
+                id_col: pdf[id_col].to_numpy(),
+                "centroid_id": cids[best].astype(np.int32),
+            }
+            if with_sim:
+                out["__sim"] = S[np.arange(len(pdf)), best]
+            yield pd.DataFrame(out)
+
+    return vectors.select(id_col, vec_col).mapInPandas(route, schema)
+
+
 def _best_centroids(
     vectors: DataFrame,
     cents: DataFrame,
     id_col: str,
     vec_col: str,
     n_best: int,
+    engine: str = "expr",
 ) -> DataFrame:
     """(id → n_best nearest centroid_ids) by deterministic double
     cosine: one scan of `vectors` against the broadcast centroid
-    table."""
+    table (``engine="expr"``), or the BLAS row-block scan
+    (``engine="arrow"``, n_best=1 only — see :func:`_route_arrow`)."""
+    if engine == "arrow" and n_best == 1:
+        return _route_arrow(vectors, cents, id_col, vec_col, with_sim=False)
     scored = (
         vectors.crossJoin(F.broadcast(cents))
         .select(
@@ -1132,6 +1193,7 @@ def cluster_embeddings(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     refine_iters: int = 5,
+    engine: str = "expr",
 ) -> DataFrame:
     """K-means clustering of an embedding column — the corpus-curation
     primitive behind topic bucketing, domain-mixture analysis, and
@@ -1154,10 +1216,24 @@ def cluster_embeddings(
     join (no all-pairs anywhere); the grouped means shuffle
     n_clusters × dim rows. 100× corpus = 100× scan, same shuffle.
     """
+    if engine not in ("expr", "arrow"):
+        raise ValueError(f"unknown engine tier: {engine!r}")
     nz = corpus.filter(l2_norm_exact(F.col(vec_col)) > 0)
     cents = _centroids(nz, n_clusters, id_col, vec_col)
     if refine_iters > 0:
-        cents = _refine_centroids(nz, cents, id_col, vec_col, refine_iters)
+        cents = _refine_centroids(
+            nz, cents, id_col, vec_col, refine_iters, engine=engine
+        )
+    if engine == "arrow":
+        # BLAS row-block routing (see _route_arrow): one scan, sims
+        # and argmax per Arrow batch — the SemDeDup-scale fast tier
+        return _route_arrow(
+            nz, cents, id_col, vec_col, with_sim=True
+        ).select(
+            id_col,
+            F.col("centroid_id").alias("cluster_id"),
+            F.col("__sim").alias("sim"),
+        )
     scored = nz.crossJoin(F.broadcast(cents)).select(
         F.col(id_col),
         F.col("centroid_id").alias("cluster_id"),
@@ -1942,17 +2018,36 @@ def semantic_dedup_pairs(
     vec_col: str = "embedding",
     refine_iters: int = 5,
     assignments: DataFrame | None = None,
+    verify: str = "arrow",
 ) -> DataFrame:
     """Within-cluster semantic-duplicate pairs, the SemDeDup blocking
     (Abbas et al. 2023, "SemDeDup: Data-efficient learning at web-scale
     through semantic deduplication" — public paper): k-means the
     embeddings, then enumerate pairs ONLY within a cluster and keep
     those with cosine >= 1 - eps. Returns ``(id_a, id_b, cosine)``
-    with ``id_a < id_b``; ``cosine`` is the codegen double fold rounded
-    to 9 decimals (the paper's verify is float — the decimal-exact tier
-    stays available as :func:`cosine_near_dup_exact` where an oracle
-    needs bit-parity). Pass ``assignments`` (a
-    :func:`cluster_embeddings` result) to reuse an existing clustering.
+    with ``id_a < id_b``; ``cosine`` is float64 rounded to 9 decimals
+    (the paper's verify is float — the decimal-exact tier stays
+    available as :func:`cosine_near_dup_exact` where an oracle needs
+    bit-parity). Pass ``assignments`` (a :func:`cluster_embeddings`
+    result) to reuse an existing clustering.
+
+    ``verify`` picks the within-cluster pair engine:
+
+    - ``"arrow"`` (default): ONE grouped Arrow batch per cluster
+      computes the whole gram matrix ``V·Vᵀ`` in BLAS and emits only
+      the above-threshold upper triangle. The pair join never
+      materializes: the old equi-join shipped BOTH 64-double vectors
+      per candidate pair (~1 KB × Σ|C|² shuffle) and folded cosines in
+      interpreted higher-order expressions — the measured q151
+      bottleneck; the gram batch ships each vector ONCE per cluster
+      and turns the Σ|C|²·d multiplies into BLAS (q151 3.9s → see
+      bench). Memory per task is O(|C|²) for the mask — the same
+      budget the pair relation already cost, bounded by scaling
+      ``n_clusters`` with the corpus.
+    - ``"expr"``: the original codegen zip_with/aggregate fold over
+      the cluster equi-join — no Python anywhere, kept for UDF-free
+      deployments and as the differential twin (tests assert
+      arrow ≡ expr pair sets and 9-decimal cosines on planted data).
 
     Compared to the LSH near-dup tier this trades probabilistic recall
     for the paper's semantic blocking: recall is exact WITHIN clusters
@@ -1968,6 +2063,8 @@ def semantic_dedup_pairs(
     """
     if not 0.0 <= eps < 1.0:
         raise ValueError(f"eps must be in [0, 1), got {eps}")
+    if verify not in ("arrow", "expr"):
+        raise ValueError(f"unknown verify tier: {verify!r}")
     if assignments is None:
         assignments = cluster_embeddings(
             corpus, n_clusters=n_clusters, id_col=id_col, vec_col=vec_col,
@@ -1987,6 +2084,40 @@ def semantic_dedup_pairs(
             )
         ).alias("__n"),
     ).filter(F.col("__n") > 0)
+    if verify == "arrow":
+        import numpy as np
+
+        id_type = dict(zip(corpus.columns, [f.dataType.simpleString() for f in corpus.schema.fields]))[id_col]
+        out_schema = f"id_a {id_type}, id_b {id_type}, cosine double"
+        threshold = 1.0 - eps
+
+        def gram(pdf):
+            import pandas as pd
+
+            m = len(pdf)
+            if m < 2:
+                return pd.DataFrame(
+                    {"id_a": [], "id_b": [], "cosine": []}
+                )
+            V = np.stack(pdf[vec_col].to_numpy())
+            n = pdf["__n"].to_numpy()
+            G = (V @ V.T) / np.outer(n, n)
+            iu, ju = np.triu_indices(m, k=1)
+            cos = np.round(G[iu, ju], 9)
+            keep = cos >= threshold
+            ids = pdf[id_col].to_numpy()
+            a_ids, b_ids = ids[iu[keep]], ids[ju[keep]]
+            swap = a_ids > b_ids
+            a_ids[swap], b_ids[swap] = b_ids[swap], a_ids[swap]
+            return pd.DataFrame(
+                {"id_a": a_ids, "id_b": b_ids, "cosine": cos[keep]}
+            )
+
+        return (
+            member.select("cluster_id", id_col, vec_col, "__n")
+            .groupBy("cluster_id")
+            .applyInPandas(gram, out_schema)
+        )
     a = member.select(
         "cluster_id",
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"),
@@ -2019,11 +2150,19 @@ def semantic_dedup(
     vec_col: str = "embedding",
     refine_iters: int = 5,
     keep: str = "low_centroid_sim",
+    verify: str = "arrow",
+    engine: str = "expr",
 ) -> DataFrame:
     """SemDeDup end to end: cluster -> within-cluster near-pairs ->
     connected components -> one survivor per duplicate group. Returns
     the surviving rows of ``corpus`` (all columns). The clustering runs
     ONCE and is shared by the blocking and the survivor policy.
+
+    ``engine`` routes the k-means (``"expr"`` pure-expression default —
+    measured faster at bench scale, where per-stage overhead dominates;
+    ``"arrow"`` is the BLAS tier for corpora where n·k·d interpreted
+    lambda calls actually bind) and ``verify`` the pair cosine
+    (see :func:`semantic_dedup_pairs`).
 
     ``keep`` picks the survivor per duplicate component:
     ``"low_centroid_sim"`` keeps the member LEAST similar to its
@@ -2048,11 +2187,11 @@ def semantic_dedup(
     # is a materialized curation artifact anyway)
     assignments = cluster_embeddings(
         corpus, n_clusters=n_clusters, id_col=id_col, vec_col=vec_col,
-        refine_iters=refine_iters,
+        refine_iters=refine_iters, engine=engine,
     ).persist()
     pairs = semantic_dedup_pairs(
         corpus, eps=eps, id_col=id_col, vec_col=vec_col,
-        assignments=assignments,
+        assignments=assignments, verify=verify,
     ).persist()
     comp = connected_components(
         pairs.select("id_a", "id_b"), id_col_a="id_a", id_col_b="id_b"

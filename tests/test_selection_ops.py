@@ -297,3 +297,80 @@ def test_dsir_sample_exact_k_deterministic_and_biased(spark):
         dsir_importance_weights(raw, target, buckets=0)
     with pytest.raises(ValueError, match="alpha"):
         dsir_importance_weights(raw, target, alpha=0.0)
+
+
+def test_semantic_dedup_pairs_arrow_equals_expr(spark):
+    """The BLAS gram tier and the codegen fold tier must emit the SAME
+    pair set with 9-decimal-identical cosines — the differential that
+    lets the fast tier be the default."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(40, 8))
+    rows = [(f"v{i}", [float(x) for x in base[i]]) for i in range(40)]
+    # plant near-dups: scaled copies of every 4th vector
+    rows += [
+        (f"p{i}", [float(x * 1.7) for x in base[i]]) for i in range(0, 40, 4)
+    ]
+    corpus = spark.createDataFrame(
+        rows, "vec_id string, embedding array<double>"
+    )
+    from data_pipeline_demo_spark.operators.similarity import (
+        cluster_embeddings,
+        semantic_dedup_pairs,
+    )
+
+    assignments = cluster_embeddings(
+        corpus, n_clusters=6, refine_iters=3
+    ).persist()
+    kw = dict(eps=0.05, assignments=assignments)
+    arrow = {
+        (r.id_a, r.id_b): r.cosine
+        for r in semantic_dedup_pairs(corpus, verify="arrow", **kw).collect()
+    }
+    expr = {
+        (r.id_a, r.id_b): r.cosine
+        for r in semantic_dedup_pairs(corpus, verify="expr", **kw).collect()
+    }
+    assignments.unpersist()
+    assert set(arrow) == set(expr) and len(arrow) >= 10
+    for k in arrow:
+        assert abs(arrow[k] - expr[k]) < 2e-9
+
+
+def test_semantic_dedup_pairs_rejects_bad_verify(spark):
+    corpus = _planted_corpus(spark)
+    with pytest.raises(ValueError, match="verify"):
+        semantic_dedup_pairs(corpus, verify="gpu")
+
+
+def test_cluster_routing_arrow_equals_expr(spark):
+    """The BLAS routing tier must assign every vector to the same
+    cluster as the expression fold tier on planted (non-knife-edge)
+    data — the differential that certifies the fast tier."""
+    import numpy as np
+
+    from data_pipeline_demo_spark.operators.similarity import (
+        cluster_embeddings,
+    )
+
+    rng = np.random.default_rng(11)
+    rows = [
+        (i, [float(x) for x in rng.normal(size=8)]) for i in range(120)
+    ]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    a = {
+        r.vec_id: r.cluster_id
+        for r in cluster_embeddings(
+            corpus, n_clusters=5, refine_iters=2, engine="arrow"
+        ).collect()
+    }
+    e = {
+        r.vec_id: r.cluster_id
+        for r in cluster_embeddings(
+            corpus, n_clusters=5, refine_iters=2, engine="expr"
+        ).collect()
+    }
+    assert a == e
+    with pytest.raises(ValueError, match="engine"):
+        cluster_embeddings(corpus, engine="gpu")
