@@ -381,6 +381,25 @@ def main() -> None:
             warmup_runs=r7_warmups.get(name, 0),
         )
 
+    # late-round-7 additions: TPC-H completion (Q2's correlated
+    # region-MIN), the curation/profile family (CDC chunking's
+    # per-doc cumsum + reassembly is the heaviest text shape here),
+    # and the blocked fraud screen. One untimed warmup each: first
+    # sf0.1 runs measured 2-4x steady state (q167 9.2s cold vs 2.0s —
+    # codegen of the decorrelated supply CTE; the same first-run
+    # pattern as the r7_warmups set above)
+    for name in (
+        "q167_tpch_q2",
+        "q172_zipf_profile",
+        "q174_cdc_chunks",
+        "q176_duplicate_payments",
+    ):
+        r7_timings[name], r7_spreads[name] = _timed(
+            lambda name=name: queries[name](spark, sf_dir).count(),
+            runs,
+            warmup_runs=1,
+        )
+
     out = {
         "metric": "headline_queries_total_runtime",
         "value": round(sum(timings.values()), 3),
