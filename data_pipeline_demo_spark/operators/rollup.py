@@ -379,3 +379,79 @@ def gapfill_locf(
             for v in value_cols
         ],
     )
+
+
+def gapfill_interpolate(
+    bucketed: DataFrame,
+    dims: Sequence[str] = ("event_type",),
+    bucket_col: str = "bucket",
+    value_cols: Sequence[str] = ("bucket_sum",),
+    step: str = "1 hour",
+) -> DataFrame:
+    """Time-bucket gap-fill with LINEAR INTERPOLATION — hypertable
+    ``interpolate()`` beside :func:`gapfill_locf`'s ``locf()``: an
+    absent bucket gets the straight line between its nearest earlier
+    and later observations, weighted by time position. Boundary
+    spine rows are always observations (the spine spans each group's
+    observed min..max), so the interpolant is defined on every gap.
+
+    Determinism: the fraction is a ratio of exact integer epoch
+    seconds; the blend is straight-line double arithmetic rounded to
+    6 decimals — identical on both engines (no accumulation anywhere).
+
+    Scale shape: same as LOCF — distributed spine, then TWO per-group
+    linear windows (last-non-null preceding, first-non-null following)
+    instead of one; still no global sort, still one shuffle to dim
+    grain."""
+    dims = list(dims)
+    lo, hi = F.min(bucket_col).alias("__lo"), F.max(bucket_col).alias("__hi")
+    spine = (
+        bucketed.groupBy(*dims)
+        .agg(lo, hi)
+        .select(
+            *dims,
+            F.explode(
+                F.sequence("__lo", "__hi", F.expr(f"INTERVAL {step}"))
+            ).alias(bucket_col),
+        )
+    )
+    joined = spine.join(
+        bucketed.withColumn("__present", F.lit(1)), [*dims, bucket_col], "left"
+    )
+    back = (
+        W.partitionBy(*dims)
+        .orderBy(bucket_col)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    fwd = (
+        W.partitionBy(*dims)
+        .orderBy(bucket_col)
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    t = F.unix_timestamp(bucket_col).cast("double")
+    obs_t = F.when(F.col("__present").isNotNull(), t)
+    t_prev = F.last(obs_t, ignorenulls=True).over(back)
+    t_next = F.first(obs_t, ignorenulls=True).over(fwd)
+    frac = F.when(t_next == t_prev, F.lit(0.0)).otherwise(
+        (t - t_prev) / (t_next - t_prev)
+    )
+    out_cols = []
+    for v in value_cols:
+        vd = F.col(v).cast("double")
+        v_prev = F.last(
+            F.when(F.col("__present").isNotNull(), vd), ignorenulls=True
+        ).over(back)
+        v_next = F.first(
+            F.when(F.col("__present").isNotNull(), vd), ignorenulls=True
+        ).over(fwd)
+        out_cols.append(
+            F.round(v_prev + (v_next - v_prev) * frac, 6).alias(
+                f"{v}_interp"
+            )
+        )
+    return joined.select(
+        *dims,
+        bucket_col,
+        F.col("__present").isNull().alias("is_gap"),
+        *out_cols,
+    )

@@ -731,3 +731,214 @@ def q159_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("__num") / F.col("__den"), 6).alias("twa"),
         )
     )
+
+
+_DUCK_GAPFILL_INTERP = f"""
+    WITH agg AS (
+      SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket,
+             {sql_sum('value')} AS bucket_sum
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT event_type, MIN(bucket) AS lo, MAX(bucket) AS hi
+      FROM agg GROUP BY 1
+    ),
+    spine AS (
+      SELECT event_type,
+             unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+      FROM bounds
+    ),
+    marked AS (
+      SELECT s.event_type, s.bucket,
+             a.bucket IS NULL AS is_gap,
+             CASE WHEN a.bucket IS NOT NULL
+                  THEN epoch(s.bucket) END AS obs_t,
+             CAST(a.bucket_sum AS DOUBLE) AS v
+      FROM spine s LEFT JOIN agg a
+        ON s.event_type = a.event_type AND s.bucket = a.bucket
+    ),
+    filled AS (
+      SELECT event_type, bucket, is_gap,
+             epoch(bucket) AS t,
+             last_value(obs_t IGNORE NULLS) OVER wb AS t_prev,
+             first_value(obs_t IGNORE NULLS) OVER wf AS t_next,
+             last_value(v IGNORE NULLS) OVER wb AS v_prev,
+             first_value(v IGNORE NULLS) OVER wf AS v_next
+      FROM marked
+      WINDOW
+        wb AS (PARTITION BY event_type ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        wf AS (PARTITION BY event_type ORDER BY bucket
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_type, bucket, is_gap,
+           ROUND(v_prev + (v_next - v_prev)
+                 * (CASE WHEN t_next = t_prev THEN 0.0
+                         ELSE (t - t_prev) / (t_next - t_prev) END), 6)
+               AS bucket_sum_interp
+    FROM filled
+"""
+
+
+@register("q180_gapfill_interp", oracle=_DUCK_GAPFILL_INTERP)
+def q180_gapfill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly spine with LINEAR interpolation across gaps —
+    hypertable `interpolate()` beside q67's `locf()`: each absent
+    bucket gets the time-weighted straight line between its nearest
+    observations. The blend is straight-line double arithmetic over
+    exact integer epoch seconds (no accumulation), rounded to 6 — the
+    fill itself cannot drift across engines. Scale shape in
+    operators/rollup.py:gapfill_interpolate (distributed spine, two
+    per-group linear windows, one dim-grain shuffle)."""
+    from ..operators import rollup
+
+    ev = table(spark, sf_dir, "events")
+    agg = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("bucket")
+    ).agg(exact_sum("value").alias("bucket_sum"))
+    return rollup.gapfill_interpolate(agg, step="1 hour")
+
+
+_DUCK_KAPLAN_MEIER = """
+    WITH per_user AS (
+      SELECT user_id,
+             MIN(ts) AS first_ts,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END)
+                 AS purchase_ts,
+             MAX(ts) AS last_ts
+      FROM events
+      GROUP BY user_id
+    ),
+    durations AS (
+      SELECT DATEDIFF('day', first_ts,
+                      COALESCE(purchase_ts, last_ts)) AS dur,
+             CASE WHEN purchase_ts IS NOT NULL THEN 1 ELSE 0 END AS ev
+      FROM per_user
+    ),
+    km AS (
+      SELECT dur,
+             SUM(ev) AS d,
+             COUNT(*) - SUM(ev) AS c
+      FROM durations
+      GROUP BY dur
+    ),
+    risk AS (
+      SELECT dur, d, c,
+             SUM(d + c) OVER (ORDER BY dur
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS prior_gone,
+             SUM(d + c) OVER () AS total
+      FROM km
+    ),
+    terms AS (
+      SELECT dur, d, c,
+             total - COALESCE(prior_gone, 0) AS n_risk,
+             CAST(ROUND(CASE WHEN d > 0
+                             AND d < total - COALESCE(prior_gone, 0)
+                      THEN ln(1.0 - CAST(d AS DOUBLE)
+                              / (total - COALESCE(prior_gone, 0)))
+                      ELSE 0.0 END, 10) AS DECIMAL(18,10)) AS logterm,
+             CASE WHEN d = total - COALESCE(prior_gone, 0)
+                  THEN 1 ELSE 0 END AS extinct
+      FROM risk
+    )
+    SELECT CAST(dur AS BIGINT) AS duration_days,
+           CAST(n_risk AS BIGINT) AS n_at_risk,
+           CAST(d AS BIGINT) AS n_events,
+           CAST(c AS BIGINT) AS n_censored,
+           CASE WHEN MAX(extinct) OVER (ORDER BY dur
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1
+                THEN 0.0
+                ELSE ROUND(exp(CAST(SUM(logterm) OVER (ORDER BY dur
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS DOUBLE)), 6)
+           END AS survival
+    FROM terms
+"""
+
+
+@register("q181_kaplan_meier", oracle=_DUCK_KAPLAN_MEIER)
+def q181_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival estimator over time-to-first-purchase per
+    user, right-censored at the last observed event — the
+    survival-analysis member of the experiment family (q121/q156/q157/
+    q166): at each day t with d events among n at risk, S(t) multiplies
+    by (1 - d/n).
+
+    Determinism: the cumulative PRODUCT runs as exp(Σ log-terms) with
+    each log term — a double ln of exact integer ratios — ROUNDED TO
+    DECIMAL(18,10) before the cumulative sum, so the running product is
+    an exact decimal accumulation in any evaluation order (the q179 IV
+    convention applied to a window).
+
+    Scale shape: one shuffle to user grain, then the KM table lives at
+    distinct-duration grain (days — hundreds of rows at any corpus
+    size), where the single-partition cumulative windows are free."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min("ts").alias("first_ts"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "purchase_ts"
+        ),
+        F.max("ts").alias("last_ts"),
+    )
+    durations = per_user.select(
+        F.datediff(
+            F.coalesce("purchase_ts", "last_ts"), F.col("first_ts")
+        ).alias("dur"),
+        F.when(F.col("purchase_ts").isNotNull(), 1).otherwise(0).alias("ev"),
+    )
+    km = durations.groupBy("dur").agg(
+        F.sum("ev").alias("d"),
+        (F.count(F.lit(1)) - F.sum("ev")).alias("c"),
+    )
+    w_prior = Window.orderBy("dur").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_all = Window.partitionBy()
+    risk = km.select(
+        "dur",
+        "d",
+        "c",
+        F.coalesce(F.sum(F.col("d") + F.col("c")).over(w_prior), F.lit(0)).alias(
+            "prior_gone"
+        ),
+        F.sum(F.col("d") + F.col("c")).over(w_all).alias("total"),
+    )
+    n_risk = F.col("total") - F.col("prior_gone")
+    logterm = (
+        F.round(
+            F.when(
+                (F.col("d") > 0) & (F.col("d") < n_risk),
+                F.log(F.lit(1.0) - F.col("d").cast("double") / n_risk),
+            ).otherwise(F.lit(0.0)),
+            10,
+        )
+    ).cast("decimal(18,10)")
+    extinct = F.when(F.col("d") == n_risk, 1).otherwise(0)
+    terms = risk.select(
+        "dur",
+        "d",
+        "c",
+        n_risk.alias("n_risk"),
+        logterm.alias("logterm"),
+        extinct.alias("extinct"),
+    )
+    w_cum = Window.orderBy("dur").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    # when the risk set empties (d = n at the last time), S drops to
+    # exactly 0 — guarded (not ln(0)) on both engines
+    return terms.select(
+        F.col("dur").cast("bigint").alias("duration_days"),
+        F.col("n_risk").cast("bigint").alias("n_at_risk"),
+        F.col("d").cast("bigint").alias("n_events"),
+        F.col("c").cast("bigint").alias("n_censored"),
+        F.when(F.max("extinct").over(w_cum) == 1, F.lit(0.0))
+        .otherwise(
+            F.round(F.exp(F.sum("logterm").over(w_cum).cast("double")), 6)
+        )
+        .alias("survival"),
+    )

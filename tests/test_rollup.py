@@ -232,3 +232,30 @@ def test_refresh_cascade_from_txtable_cdc(spark, sf_dir, tmp_path):
     assert not os.path.exists(
         os.path.join(store, "day", f"p_date={doomed_day}")
     )
+
+
+def test_gapfill_interpolate_by_hand(spark):
+    """Hand-computed linear fill: observations at hours 0 (v=10) and
+    3 (v=40) interpolate hour 1 → 20, hour 2 → 30; observed rows keep
+    their own value and is_gap=false."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 0)
+    rows = [
+        ("a", t0, 10.0),
+        ("a", t0 + dt.timedelta(hours=3), 40.0),
+        ("b", t0, 5.0),  # single-observation group: no gaps at all
+    ]
+    agg = spark.createDataFrame(
+        rows, "event_type string, bucket timestamp, bucket_sum double"
+    )
+    out = {
+        (r["event_type"], r["bucket"].hour): (r["is_gap"], r["bucket_sum_interp"])
+        for r in rollup.gapfill_interpolate(agg, step="1 hour").collect()
+    }
+    assert out[("a", 0)] == (False, 10.0)
+    assert out[("a", 1)] == (True, 20.0)
+    assert out[("a", 2)] == (True, 30.0)
+    assert out[("a", 3)] == (False, 40.0)
+    assert out[("b", 0)] == (False, 5.0)
+    assert len(out) == 5
