@@ -942,3 +942,114 @@ def q181_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("survival"),
     )
+
+
+_DUCK_ACF = """
+    WITH daily AS (
+      SELECT event_type,
+             DATEDIFF('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day_idx,
+             SUM(CAST(value AS DECIMAL(18,6))) AS x
+      FROM events
+      GROUP BY 1, 2
+    ),
+    lagged AS (
+      SELECT event_type, g.lag, x,
+             LAG(x, g.lag) OVER (
+                 PARTITION BY event_type, g.lag ORDER BY day_idx
+             ) AS x_lag
+      FROM daily, UNNEST([1, 2, 3, 7]) AS g(lag)
+    ),
+    stats AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             CAST(SUM(x) AS DOUBLE) AS sx,
+             CAST(SUM(x * x) AS DOUBLE) AS sxx
+      FROM daily
+      GROUP BY event_type
+    ),
+    cross_sums AS (
+      SELECT event_type, lag,
+             COUNT(x_lag) AS m,
+             CAST(SUM(CASE WHEN x_lag IS NOT NULL THEN x END)
+                  AS DOUBLE) AS sa,
+             CAST(SUM(CASE WHEN x_lag IS NOT NULL THEN x_lag END)
+                  AS DOUBLE) AS sb,
+             CAST(SUM(x * x_lag) AS DOUBLE) AS sab
+      FROM lagged
+      GROUP BY event_type, lag
+    )
+    SELECT c.event_type, CAST(c.lag AS BIGINT) AS lag,
+           ROUND((c.sab - c.sa * c.sb / c.m)
+                 / (s.sxx - s.sx * s.sx / s.n), 6) AS acf
+    FROM cross_sums c JOIN stats s ON s.event_type = c.event_type
+"""
+
+
+@register("q182_autocorrelation", oracle=_DUCK_ACF)
+def q182_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series autocorrelation at lags {1, 2, 3, 7} over the daily
+    value series — the seasonality screen that tells a forecaster
+    WHICH period to hand Holt-Winters (a weekly cycle surfaces as a
+    lag-7 peak). Standard ACF estimator: lagged co-moments about the
+    per-lag sample means, normalized by the series' total sum of
+    squares.
+
+    Determinism: daily sums, cross-products, and sums of squares all
+    accumulate as EXACT decimals (the q165 regression convention —
+    decimal × decimal products summed exactly, cast to double only for
+    the final scalar closed form), so no summation order can move the
+    estimate; ROUND(…, 6) seals the scalar arithmetic.
+
+    Scale shape: one combinable daily aggregate, then the lag explode
+    multiplies the DAILY relation (days × 4 rows — never the raw
+    events) and each lag's window shares one (event_type, lag)
+    partitioning; the final stats join is groups-sized. At 100 TB the
+    events scan dominates and happens exactly once."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")).alias(
+            "day_idx"
+        ),
+    ).agg(F.sum(F.col("value").cast("decimal(18,6)")).alias("x"))
+    lags = [1, 2, 3, 7]
+    lagged = daily.withColumn(
+        "lag", F.explode(F.array(*[F.lit(k) for k in lags]))
+    )
+    w = Window.partitionBy("event_type", "lag").orderBy("day_idx")
+    # LAG by a column offset isn't expressible; a per-lag branch picks
+    # the right fixed offset — all four share ONE window partitioning
+    lagged = lagged.withColumn(
+        "x_lag",
+        F.coalesce(
+            *[
+                F.when(F.col("lag") == k, F.lag("x", k).over(w))
+                for k in lags
+            ]
+        ),
+    )
+    stats = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+    )
+    cross = lagged.groupBy("event_type", "lag").agg(
+        F.count("x_lag").alias("m"),
+        F.sum(F.when(F.col("x_lag").isNotNull(), F.col("x")))
+        .cast("double")
+        .alias("sa"),
+        F.sum(F.when(F.col("x_lag").isNotNull(), F.col("x_lag")))
+        .cast("double")
+        .alias("sb"),
+        F.sum(F.col("x") * F.col("x_lag")).cast("double").alias("sab"),
+    )
+    acf = (F.col("sab") - F.col("sa") * F.col("sb") / F.col("m")) / (
+        F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")
+    )
+    return cross.join(stats, "event_type").select(
+        "event_type",
+        F.col("lag").cast("bigint").alias("lag"),
+        F.round(acf, 6).alias("acf"),
+    )
