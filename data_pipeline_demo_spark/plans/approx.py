@@ -296,3 +296,4 @@ register("q178_fd_profile", oracle=relational._FD_SQL)(
 register("q179_woe_iv", oracle=relational._WOE_SQL)(
     relational.q179_woe_iv
 )
+register("q183_dp_release")(llm_ops.q183_dp_release)

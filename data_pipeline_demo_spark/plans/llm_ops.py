@@ -2254,3 +2254,23 @@ def q174_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import chunking
 
     return chunking.content_defined_chunks(table(spark, sf_dir, "documents"))
+
+
+def q183_dp_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ε-DP release of per-(lang, source) document counts and clipped
+    char-mass sums (Laplace mechanism, deterministic-seeded — noise
+    derives from the group key hash, so the release is replayable and
+    the driver's rows-only check is stable). Rows-only by necessity:
+    the noise is xxhash64-derived, which DuckDB cannot replay; the
+    inverse-CDF arithmetic, scale-vs-epsilon behavior, and clipping
+    are pytest-pinned (tests/test_privacy.py). Scale shape identical
+    to the plain grouped aggregate — the noise is two scalar ops per
+    OUTPUT group."""
+    from ..operators import privacy
+
+    d = table(spark, sf_dir, "documents")
+    counts = privacy.dp_counts(d, ["lang", "source"], epsilon=1.0, seed=7)
+    sums = privacy.dp_sum(
+        d, ["lang", "source"], "n_chars", clip=500.0, epsilon=1.0, seed=7
+    )
+    return counts.join(sums, ["lang", "source"])
