@@ -241,11 +241,15 @@ def bench_lakehouse(spark, sf_dir: str, runs: int):
         # buckets by the li_id bucketing, so most kept buckets are true
         # positives — bloom pruning rightly keeps them.)
         absent_tag = "p-definitely-not-present"
+        # one untimed warmup: the first probe after the bloom-building
+        # upsert pays that table's first manifest/footer reads
+        # (measured 3.5s first-run spread at sf0.1, then stable)
         timings["lh_bloom_absent_probe"], spreads["lh_bloom_absent_probe"] = _timed(
             lambda: read_txtable(
                 spark, bloom_root, bloom_eq={"part_tag": absent_tag}
             ).count(),
             runs,
+            warmup_runs=1,
         )
         timings["lh_nobloom_absent_probe"], spreads["lh_nobloom_absent_probe"] = _timed(
             lambda: read_txtable(spark, bloom_root)
