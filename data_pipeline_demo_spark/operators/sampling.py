@@ -479,3 +479,51 @@ def cap_per_group(
         df.withColumn(rank_col, F.row_number().over(w).cast("long"))
         .filter(F.col(rank_col) <= cap)
     )
+
+
+def fill_token_budget(
+    df: DataFrame,
+    budget: int,
+    group_col: str,
+    weight_col: str,
+    key_col: str = "doc_id",
+    salt: int = 0,
+) -> DataFrame:
+    """Fill a per-group WEIGHT budget (token budget per domain — "give
+    me ≤ B tokens of each source, chosen fairly"): rows draw a
+    deterministic hash order inside their group (the
+    :func:`stratified_sample_exact_k` shuffle order, salted), then the
+    group keeps the longest prefix whose cumulative weight stays within
+    ``budget`` — PLUS the first overflowing row when the budget isn't
+    exactly met (so every group with data always contributes something
+    and realized mass lands within one document of the target; callers
+    wanting the strict-under policy filter ``cum_weight <= budget``).
+
+    Output adds ``sample_rank`` (the draw order) and ``cum_weight``
+    (inclusive running mass) so downstream stages can re-cut to any
+    SMALLER budget without resampling — nested-prefix reuse, the same
+    property the exact-k sampler guarantees.
+
+    Scale shape: one hash-partition window per group computes the
+    running sum in draw order; the budget filter cannot push below the
+    exchange (a row's fate depends on its predecessors' weights), so
+    the shuffle carries each group once — at 100 TB pre-filter with
+    :func:`stratified_sample` at ~1.2× the target fraction, then
+    budget-cut the survivors (two scans, both bounded)."""
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    order = F.md5(
+        F.concat_ws("\x1f", F.col(key_col).cast("string"), F.lit(str(salt)))
+    )
+    w = Window.partitionBy(group_col).orderBy(order, key_col)
+    ranked = df.withColumn("sample_rank", F.row_number().over(w).cast("long"))
+    cum = ranked.withColumn(
+        "cum_weight",
+        F.sum(F.col(weight_col).cast("bigint")).over(
+            Window.partitionBy(group_col)
+            .orderBy("sample_rank")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    prev = F.col("cum_weight") - F.col(weight_col).cast("bigint")
+    return cum.filter(prev < budget)

@@ -297,3 +297,6 @@ register("q179_woe_iv", oracle=relational._WOE_SQL)(
     relational.q179_woe_iv
 )
 register("q183_dp_release")(llm_ops.q183_dp_release)
+register("q184_token_budget_fill", oracle=llm_ops._DUCK_TOKEN_BUDGET)(
+    llm_ops.q184_token_budget_fill
+)

@@ -2274,3 +2274,47 @@ def q183_dp_release(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, ["lang", "source"], "n_chars", clip=500.0, epsilon=1.0, seed=7
     )
     return counts.join(sums, ["lang", "source"])
+
+
+_DUCK_TOKEN_BUDGET = """
+    WITH ranked AS (
+        SELECT source, doc_id, n_chars,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(doc_id || CHR(31) || '0'), doc_id
+               ) AS sample_rank
+        FROM documents
+    ),
+    cum AS (
+        SELECT source, doc_id, n_chars,
+               CAST(sample_rank AS BIGINT) AS sample_rank,
+               CAST(SUM(n_chars) OVER (
+                   PARTITION BY source ORDER BY sample_rank
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS cum_weight
+        FROM ranked
+    )
+    SELECT source, doc_id, n_chars, sample_rank, cum_weight
+    FROM cum
+    WHERE cum_weight - n_chars < 1500
+"""
+
+
+def q184_token_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source char-budget fill (the "give me ≤ B tokens of each
+    domain, chosen fairly" assembly step): rows draw a deterministic
+    md5 order inside their source and each source keeps the prefix
+    whose running mass stays within 1500 chars (plus the one
+    overflowing row, so realized mass lands within one document of the
+    target). The md5 draw is engine-portable, so the oracle replays
+    the EXACT selection — order, running mass, and kept set. Full
+    scale shape (and the two-scan prefilter recipe for 100 TB) in
+    operators/sampling.py:fill_token_budget."""
+    from ..operators import sampling
+
+    d = table(spark, sf_dir, "documents").select(
+        "source", "doc_id", "n_chars"
+    )
+    return sampling.fill_token_budget(
+        d, budget=1500, group_col="source", weight_col="n_chars"
+    ).select("source", "doc_id", "n_chars", "sample_rank", "cum_weight")

@@ -215,3 +215,49 @@ def test_cap_per_group_rejects_nonpositive_cap(spark, sf_dir):
     docs = table(spark, sf_dir, "documents")
     with pytest.raises(ValueError):
         sampling.cap_per_group(docs, cap=0, group_col="source")
+
+
+def test_fill_token_budget_properties(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents").select(
+        "source", "doc_id", "n_chars"
+    )
+    out = sampling.fill_token_budget(
+        docs, budget=1500, group_col="source", weight_col="n_chars"
+    ).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r)
+    for src, rows in by_src.items():
+        rows.sort(key=lambda r: r["sample_rank"])
+        # running mass consistent and in draw order
+        run = 0
+        for r in rows:
+            run += r["n_chars"]
+            assert r["cum_weight"] == run
+        # everything but the last row is strictly under budget;
+        # at least one row always contributes
+        assert all(r["cum_weight"] - r["n_chars"] < 1500 for r in rows)
+        assert rows
+        if len(rows) > 1:
+            assert rows[-2]["cum_weight"] < 1500
+    # nested-prefix reuse: a smaller budget equals re-cutting the big
+    # result by its own cum_weight
+    small = {
+        (r["source"], r["doc_id"])
+        for r in sampling.fill_token_budget(
+            docs, budget=700, group_col="source", weight_col="n_chars"
+        ).collect()
+    }
+    recut = {
+        (r["source"], r["doc_id"])
+        for r in out
+        if r["cum_weight"] - r["n_chars"] < 700
+    }
+    assert small == recut
+
+    import pytest
+
+    with pytest.raises(ValueError, match="budget"):
+        sampling.fill_token_budget(
+            docs, budget=0, group_col="source", weight_col="n_chars"
+        )
