@@ -51,6 +51,59 @@ def tumbling_counts(
     )
 
 
+def chained_window_rollup(
+    stream: DataFrame,
+    fine: str = "15 minutes",
+    coarse: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """TWO stateful event-time aggregations CHAINED in one streaming
+    query (Spark 3.4+ multiple-stateful-operators support): fine
+    tumbling per-type sums, re-windowed through ``window_time()`` into
+    a coarse rollup carrying the count of contributing fine buckets
+    and the coarse total — the streaming twin of the q65 rollup
+    cascade, previously only expressible as two separate queries
+    bridged through storage.
+
+    The second ``groupBy(window(window_time(window), coarse))`` keys
+    on the FINE WINDOW's event-time representative, so the coarse
+    state finalizes off the same watermark; both operators' state
+    expires together. Output in append mode trails the watermark —
+    stream ≡ batch asserted with AvailableNow in tests.
+
+    Scale shape: operator 1 shuffles (fine-window, type) partial sums;
+    operator 2 re-shuffles only the FINE AGGREGATE (buckets × types —
+    never the events) to coarse grain. Exactly the cascade's batch
+    contract, held per micro-batch."""
+    fine_agg = (
+        with_event_time(stream)
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", fine), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_fine"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("fine_sum"),
+        )
+    )
+    return (
+        fine_agg.groupBy(
+            F.window(F.window_time("window"), coarse).alias("cw"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.sum("n_fine").cast("bigint").alias("n_events"),
+            F.sum("fine_sum").alias("total_value"),
+        )
+        .select(
+            F.col("cw.start").alias("window_start"),
+            "event_type",
+            "n_buckets",
+            "n_events",
+            F.col("total_value").cast("double").alias("total_value"),
+        )
+    )
+
+
 def sliding_user_activity(
     stream: DataFrame,
     width: str = "1 hour",

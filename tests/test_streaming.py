@@ -986,3 +986,45 @@ def test_stream_vector_index_maintenance_live(spark, tmp_path):
     )
     run_stream()
     assert snapshot(idx) == rebuild()
+
+
+def test_chained_window_rollup_stream_equals_batch(spark, event_stream_source):
+    """Two stateful event-time aggregations in ONE streaming query
+    (fine tumbling sums re-windowed to a coarse rollup via
+    window_time) must reproduce the batch run of the same
+    transformation — the multiple-stateful-operators feature. Chained
+    stateful operators REQUIRE append output (complete mode would
+    re-emit unfinalized fine windows as late rows downstream —
+    Spark's correctness check rejects it), so the stream emits
+    exactly the coarse windows the final watermark finalized: a
+    subset of batch, complete up to max_ts - watermark."""
+    import datetime as dt
+
+    path, schema = event_stream_source
+    stream = spark.readStream.schema(schema).parquet(path)
+    q = (
+        jobs.chained_window_rollup(stream)
+        .writeStream.format("memory")
+        .queryName("t_chained")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.table("t_chained")
+    batch_events = jobs.with_event_time(spark.read.schema(schema).parquet(path))
+    batch = jobs.chained_window_rollup(spark.read.schema(schema).parquet(path))
+    cols = ["window_start", "event_type", "n_buckets", "n_events", "total_value"]
+    got, want = _rows(out, cols), _rows(batch, cols)
+    assert len(got) > 0 and set(got) <= set(want)
+    # completeness: every coarse window finalized by the terminal
+    # watermark (max event time - 2h horizon, coarse span 1h) emitted
+    max_ts = batch_events.agg(F.max("ts")).collect()[0][0]
+    horizon = max_ts - dt.timedelta(hours=2) - dt.timedelta(hours=1)
+    finalized = [r for r in want if r[0] <= horizon]
+    assert set(finalized) <= set(got)
+    # values agree row-for-row on the emitted set
+    want_by_key = {(r[0], r[1]): r for r in want}
+    assert all(want_by_key[(r[0], r[1])] == r for r in got)
+    # the coarse rollup really aggregates multiple fine buckets
+    assert any(r[2] > 1 for r in got)
