@@ -300,3 +300,12 @@ register("q183_dp_release")(llm_ops.q183_dp_release)
 register("q184_token_budget_fill", oracle=llm_ops._DUCK_TOKEN_BUDGET)(
     llm_ops.q184_token_budget_fill
 )
+register("q185_rank_distributions", oracle=windows_sort._DUCK_RANK_DIST)(
+    windows_sort.q185_rank_distributions
+)
+register("q186_skew_profile", oracle=relational._SKEW_PROFILE_SQL)(
+    relational.q186_skew_profile
+)
+register("q187_components_exact", oracle=relational._COMPONENTS_SQL)(
+    relational.q187_components_exact
+)

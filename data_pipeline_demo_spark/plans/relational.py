@@ -3044,3 +3044,161 @@ def q179_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("iv_term").cast("double").alias("iv_term"),
         F.sum("iv_term").over(w).cast("double").alias("iv_total"),
     )
+
+
+_SKEW_PROFILE_SQL = """
+    WITH keys AS (
+        SELECT 'lineitem.l_orderkey' AS key_name,
+               CAST(l_orderkey AS VARCHAR) AS k FROM lineitem
+        UNION ALL
+        SELECT 'lineitem.l_partkey', CAST(l_partkey AS VARCHAR) FROM lineitem
+        UNION ALL
+        SELECT 'lineitem.l_suppkey', CAST(l_suppkey AS VARCHAR) FROM lineitem
+        UNION ALL
+        SELECT 'orders.o_custkey', CAST(o_custkey AS VARCHAR) FROM orders
+    ),
+    per_key AS (
+        SELECT key_name, k, COUNT(*) AS c
+        FROM keys GROUP BY key_name, k
+    ),
+    ranked AS (
+        SELECT key_name, c,
+               ROW_NUMBER() OVER (
+                   PARTITION BY key_name ORDER BY c DESC, k
+               ) AS rk
+        FROM per_key
+    )
+    SELECT key_name,
+           CAST(SUM(c) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           ROUND(CAST(MAX(CASE WHEN rk = 1 THEN c END) AS DOUBLE)
+                 / SUM(c), 6) AS top1_share,
+           ROUND(CAST(SUM(CASE WHEN rk <= 10 THEN c ELSE 0 END) AS DOUBLE)
+                 / SUM(c), 6) AS top10_share
+    FROM ranked
+    GROUP BY key_name
+"""
+
+
+def q186_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew profile — the shuffle-planning diagnostic that
+    decides between a plain hash join, AQE skew splitting, and
+    `operators/skew.salted_join`: per candidate key, row count,
+    distinct count, and the share held by the hottest 1 and 10 values.
+    A top1_share near 1/n_distinct is uniform; a large one names the
+    key that will strangle a shuffle at 100×.
+
+    Scale shape: per key one combinable (key, value) count, then the
+    top-10 ranking runs over the DISTINCT-VALUE relation (WindowGroup-
+    Limit prunes map-side) and the profile rolls up to one row per
+    candidate — never a second scan of the fact table."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    cands = [
+        ("lineitem.l_orderkey", li, "l_orderkey"),
+        ("lineitem.l_partkey", li, "l_partkey"),
+        ("lineitem.l_suppkey", li, "l_suppkey"),
+        ("orders.o_custkey", o, "o_custkey"),
+    ]
+    from pyspark.sql import Window
+
+    out = None
+    for name, df, col in cands:
+        per = (
+            df.select(F.col(col).cast("string").alias("k"))
+            .groupBy("k")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        w = Window.orderBy(F.col("c").desc(), F.col("k"))
+        ranked = per.withColumn("rk", F.row_number().over(w))
+        prof = ranked.agg(
+            F.lit(name).alias("key_name"),
+            F.sum("c").cast("bigint").alias("n_rows"),
+            F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+            F.round(
+                F.max(F.when(F.col("rk") == 1, F.col("c"))).cast("double")
+                / F.sum("c"),
+                6,
+            ).alias("top1_share"),
+            F.round(
+                F.sum(F.when(F.col("rk") <= 10, F.col("c")).otherwise(0)).cast(
+                    "double"
+                )
+                / F.sum("c"),
+                6,
+            ).alias("top10_share"),
+        )
+        out = prof if out is None else out.unionByName(prof)
+    return out
+
+
+_COMPONENTS_SQL = """
+    WITH RECURSIVE op AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    pairs AS (
+        SELECT a.l_partkey AS src, b.l_partkey AS dst
+        FROM op a
+        JOIN op b ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= 3
+    ),
+    edges AS (
+        SELECT src, dst FROM pairs UNION SELECT dst, src FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    reach AS (
+        SELECT node, node AS label FROM nodes
+        UNION
+        SELECT e.dst AS node, r.label
+        FROM reach r JOIN edges e ON e.src = r.node
+    )
+    SELECT CAST(node AS BIGINT) AS node,
+           CAST(MIN(label) AS BIGINT) AS component
+    FROM reach
+    GROUP BY node
+"""
+
+
+def q187_components_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components promoted to the ORACLE-CHECKED surface:
+    the iterative min-label propagation (`operators/dedup.py:
+    connected_components` — the engine under every near-dup clustering
+    tier) runs over a deterministic co-purchase graph (part pairs
+    sharing ≥ 3 orders) and must equal DuckDB's recursive-CTE
+    transitive closure node-for-node. Until now CC correctness lived
+    only in unit tests against planted graphs; this differential
+    certifies it on real data, where component shapes aren't chosen by
+    the test author.
+
+    Scale shape: the pair build is the q110 within-order discipline
+    (Σ C(basket,2), support-filtered); the propagation shuffles the
+    edge frontier per round with localCheckpoint-bounded lineage
+    (diameter rounds, not corpus rounds). The DuckDB closure is
+    O(nodes × reachable-set) — fine as a sf0.01 oracle, never the
+    production path."""
+    from ..operators.dedup import connected_components
+
+    li = table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = op.alias("a"), op.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 3)
+        .select("src", "dst")
+    )
+    comp = connected_components(pairs, id_col_a="src", id_col_b="dst")
+    return comp.select(
+        F.col("node").cast("bigint").alias("node"),
+        F.col("component").cast("bigint").alias("component"),
+    )

@@ -304,3 +304,44 @@ def q103_time_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("spend_30d"),
         F.count(F.lit(1)).over(w).cast("bigint").alias("n_30d"),
     )
+
+
+_DUCK_RANK_DIST = """
+    SELECT o_orderpriority, o_orderkey,
+           ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+           ROUND(CUME_DIST() OVER w, 6) AS cume,
+           NTH_VALUE(o_orderkey, 3) OVER (
+               PARTITION BY o_orderpriority
+               ORDER BY o_totalprice, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS third_key
+    FROM orders
+    WINDOW w AS (
+        PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey
+    )
+"""
+
+
+def q185_rank_distributions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remaining ranking-family window functions — PERCENT_RANK,
+    CUME_DIST, NTH_VALUE — closing out §2.2's window inventory beside
+    rank/dense_rank/ntile/first/last (q18/q22). Ordered by a TOTAL
+    order (totalprice, orderkey) so rank positions are engine-identical;
+    both distribution functions are exact integer-position ratios.
+
+    Scale shape: one hash partition by priority; the running frame for
+    NTH_VALUE is the same single sorted pass the rank functions ride."""
+    from pyspark.sql import Window
+
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return o.select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.nth_value("o_orderkey", 3).over(wf).alias("third_key"),
+    )
