@@ -104,3 +104,100 @@ def dp_sum(
             F.round(F.col("__true") + noise, 6).alias("noisy_sum"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Poisson bootstrap (Chamandy et al. 2012, "Estimating uncertainty for
+# massive data streams" — the public large-scale bootstrap recipe):
+# resampling n rows WITH replacement is a shuffle-and-gather at scale,
+# but each row's multiplicity in a bootstrap replica is ~Binomial(n,1/n)
+# → Poisson(1) as n grows, which needs NO coordination: every row draws
+# its own per-replica weight from a hash. B replicas = one ×B map-only
+# explode + one combinable aggregate. Deterministic-seeded like the DP
+# release above (same module: both are "statistics you can re-publish").
+# ---------------------------------------------------------------------------
+
+import math as _math
+
+
+def _poisson1_thresholds(cap: int = 8) -> list[float]:
+    """Cumulative P[X <= k] for Poisson(1), k = 0..cap-1 (tail mass
+    lands on cap)."""
+    cum, out, term = 0.0, [], _math.exp(-1.0)
+    for k in range(cap):
+        cum += term
+        out.append(cum)
+        term /= k + 1
+    return out
+
+
+def bootstrap_mean_ci(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    key_col: str,
+    n_replicas: int = 200,
+    alpha: float = 0.05,
+    seed: int = 0,
+) -> DataFrame:
+    """Percentile-bootstrap confidence interval for each group's MEAN:
+    ``(group, n, mean, ci_lo, ci_hi)`` at level ``1 - alpha``. Each
+    row's weight in replica b is a deterministic Poisson(1) draw from
+    ``xxhash64(key, b, seed)`` (inverse CDF over a hash uniform,
+    capped at 8 — P[X > 8] < 1e-6); replica means aggregate per
+    (group, b) and the interval is the exact percentile of the B
+    replica means.
+
+    Scale shape: ONE ×B map-only explode of (group, key, value) — the
+    documented bootstrap cost, B ≈ 200 — then a combinable weighted
+    aggregate to (groups × B) rows, where the exact percentile is
+    cheap. No resampling shuffle, no per-replica scan: the corpus is
+    read once. Determinism: rerunning (or re-partitioning) reproduces
+    the interval bit-for-bit; a different seed draws fresh replicas."""
+    if not 0 < alpha < 1:
+        raise ValueError(f"alpha must be in (0, 1), got {alpha}")
+    if n_replicas < 2:
+        raise ValueError(f"need at least 2 replicas, got {n_replicas}")
+    thresholds = _poisson1_thresholds()
+    b_col = F.explode(
+        F.sequence(F.lit(0), F.lit(n_replicas - 1))
+    ).alias("__b")
+    h = F.xxhash64(F.col(key_col), F.col("__b"), F.lit(seed))
+    u = (F.pmod(h, F.lit(2**52)).cast("double") + 0.5) / F.lit(float(2**52))
+    w = F.lit(len(thresholds))
+    for k in reversed(range(len(thresholds))):
+        w = F.when(u < F.lit(thresholds[k]), F.lit(k)).otherwise(w)
+    replicas = (
+        df.select(
+            F.col(group_col), F.col(key_col), F.col(value_col), b_col
+        )
+        .withColumn("__w", w.cast("double"))
+        .groupBy(group_col, "__b")
+        .agg(
+            (
+                F.sum(F.col("__w") * F.col(value_col))
+                / F.sum("__w")
+            ).alias("__rep_mean")
+        )
+    )
+    ci = replicas.groupBy(group_col).agg(
+        F.round(
+            F.expr(f"percentile(__rep_mean, {alpha / 2})"), 6
+        ).alias("ci_lo"),
+        F.round(
+            F.expr(f"percentile(__rep_mean, {1 - alpha / 2})"), 6
+        ).alias("ci_hi"),
+    )
+    base = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(
+            (
+                F.sum(F.col(value_col).cast("decimal(18,6)"))
+                / F.count(F.lit(1))
+            ).cast("double"),
+            6,
+        ).alias("mean"),
+    )
+    return base.join(ci, group_col).select(
+        group_col, "n", "mean", "ci_lo", "ci_hi"
+    )

@@ -309,3 +309,4 @@ register("q186_skew_profile", oracle=relational._SKEW_PROFILE_SQL)(
 register("q187_components_exact", oracle=relational._COMPONENTS_SQL)(
     relational.q187_components_exact
 )
+register("q189_bootstrap_ci")(llm_ops.q189_bootstrap_ci)

@@ -2318,3 +2318,20 @@ def q184_token_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.fill_token_budget(
         d, budget=1500, group_col="source", weight_col="n_chars"
     ).select("source", "doc_id", "n_chars", "sample_rank", "cum_weight")
+
+
+def q189_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap 95% confidence intervals for each event
+    type's mean value (Chamandy et al. 2012 — uncertainty estimation
+    for massive data without a resampling shuffle): 200 deterministic
+    hash-seeded Poisson(1) replica weights per row, one ×B map-only
+    explode, combinable weighted means, exact percentile over the B
+    replica means. Rows-only (xxhash draws); coverage, width scaling,
+    determinism, and partition invariance are pytest-pinned
+    (tests/test_privacy.py)."""
+    from ..operators import privacy
+
+    ev = table(spark, sf_dir, "events")
+    return privacy.bootstrap_mean_ci(
+        ev, "event_type", "value", "event_id", n_replicas=200, seed=11
+    )

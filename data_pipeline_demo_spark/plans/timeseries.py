@@ -1053,3 +1053,63 @@ def q182_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lag").cast("bigint").alias("lag"),
         F.round(acf, 6).alias("acf"),
     )
+
+
+_DUCK_DYNAMIC_SESSION = """
+    -- gaps-and-islands replay of session_window with a PER-ROW gap
+    WITH ordered AS (
+      SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+             LAG(CAST(ts AS TIMESTAMP)) OVER (
+                 PARTITION BY user_id, event_type ORDER BY ts
+             ) AS prev_ts
+      FROM events
+    ),
+    marked AS (
+      SELECT user_id, event_type, ts,
+             CASE WHEN prev_ts IS NULL
+                       OR ts - prev_ts > (CASE WHEN event_type = 'error'
+                                          THEN INTERVAL 10 MINUTE
+                                          ELSE INTERVAL 30 MINUTE END)
+                  THEN 1 ELSE 0 END AS is_new
+      FROM ordered
+    ),
+    sessions AS (
+      SELECT user_id, event_type, ts,
+             SUM(is_new) OVER (PARTITION BY user_id, event_type ORDER BY ts
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS sess_id
+      FROM marked
+    )
+    SELECT user_id, event_type, MIN(ts) AS session_start,
+           MAX(ts) AS last_event, COUNT(*) AS n_events
+    FROM sessions
+    GROUP BY user_id, event_type, sess_id
+"""
+
+
+@register("q188_dynamic_session", oracle=_DUCK_DYNAMIC_SESSION)
+def q188_dynamic_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows with a DYNAMIC, per-row inactivity gap
+    (`session_window(ts, CASE ...)`) — error bursts close after 10
+    quiet minutes, everything else after 30: the gap policy lives in
+    the data, the q36 upgrade the fixed-gap operator can't express.
+    Same streaming-capable operator, same gaps-and-islands oracle
+    with the gap CASE'd per row.
+
+    Scale shape: identical to q36 — one shuffle to (user, type) grain,
+    session merge in a single sorted pass per key."""
+    ev = table(spark, sf_dir, "events")
+    gap = F.when(F.col("event_type") == "error", F.lit("10 minutes")).otherwise(
+        F.lit("30 minutes")
+    )
+    return (
+        ev.groupBy("user_id", "event_type", F.session_window("ts", gap))
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("last_event"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            "user_id", "event_type", "session_start", "last_event", "n_events"
+        )
+    )

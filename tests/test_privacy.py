@@ -66,3 +66,61 @@ def test_laplace_inverse_cdf_matches_math(spark):
     c = u - 0.5
     noise = -1.0 * math.copysign(1.0, c) * math.log(1.0 - 2.0 * abs(c))
     assert row["noisy_count"] == max(0, round(1 + noise))
+
+
+# --- Poisson bootstrap ------------------------------------------------------
+
+
+def test_bootstrap_ci_covers_and_shrinks(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    small = [("s", int(i), float(x)) for i, x in enumerate(rng.normal(10, 2, 50))]
+    big = [("b", int(i), float(x)) for i, x in enumerate(rng.normal(10, 2, 2000))]
+    df = spark.createDataFrame(small + big, "g string, k long, v double")
+    out = {
+        r["g"]: r
+        for r in privacy.bootstrap_mean_ci(
+            df, "g", "v", "k", n_replicas=200, seed=1
+        ).collect()
+    }
+    for g in ("s", "b"):
+        r = out[g]
+        assert r["ci_lo"] < r["mean"] < r["ci_hi"]
+        assert r["ci_lo"] < 10.5 and r["ci_hi"] > 9.5  # near the truth
+    # 40x the data -> ~sqrt(40)x tighter interval (generous band)
+    w_small = out["s"]["ci_hi"] - out["s"]["ci_lo"]
+    w_big = out["b"]["ci_hi"] - out["b"]["ci_lo"]
+    assert w_big < w_small / 2.5
+
+
+def test_bootstrap_ci_deterministic_and_partition_invariant(spark):
+    rows = [("g", int(i), float(i % 13)) for i in range(300)]
+    df1 = spark.createDataFrame(rows, "g string, k long, v double")
+    df8 = df1.repartition(8)
+    a = privacy.bootstrap_mean_ci(df1, "g", "v", "k", seed=2).collect()[0]
+    b = privacy.bootstrap_mean_ci(df8, "g", "v", "k", seed=2).collect()[0]
+    assert (a["ci_lo"], a["ci_hi"]) == (b["ci_lo"], b["ci_hi"])
+    c = privacy.bootstrap_mean_ci(df1, "g", "v", "k", seed=3).collect()[0]
+    assert (c["ci_lo"], c["ci_hi"]) != (a["ci_lo"], a["ci_hi"])
+
+
+def test_bootstrap_rejects_bad_params(spark):
+    df = spark.createDataFrame([("g", 1, 1.0)], "g string, k long, v double")
+    with pytest.raises(ValueError, match="alpha"):
+        privacy.bootstrap_mean_ci(df, "g", "v", "k", alpha=1.5)
+    with pytest.raises(ValueError, match="replicas"):
+        privacy.bootstrap_mean_ci(df, "g", "v", "k", n_replicas=1)
+
+
+def test_poisson_thresholds_are_poisson1():
+    import math
+
+    th = privacy._poisson1_thresholds()
+    want = []
+    cum = 0.0
+    for k in range(8):
+        cum += math.exp(-1) / math.factorial(k)
+        want.append(cum)
+    assert all(abs(a - b) < 1e-12 for a, b in zip(th, want))
+    assert th[-1] > 1 - 2e-5  # P[X > 7] ≈ 1.0e-5: cap tail negligible
