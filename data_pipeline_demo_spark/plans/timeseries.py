@@ -1113,3 +1113,122 @@ def q188_dynamic_session(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id", "event_type", "session_start", "last_event", "n_events"
         )
     )
+
+
+_DUCK_SEASONAL = """
+    WITH daily AS (
+      SELECT event_type,
+             DATEDIFF('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day_idx,
+             SUM(CAST(value AS DECIMAL(18,6))) AS total
+      FROM events
+      GROUP BY 1, 2
+    ),
+    trended AS (
+      SELECT event_type, day_idx,
+             CAST(total AS DOUBLE) AS total,
+             CASE WHEN COUNT(*) OVER w = 7
+                  THEN CAST(SUM(total) OVER w AS DOUBLE) / 7
+             END AS trend
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day_idx
+                   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    det AS (
+      SELECT event_type, day_idx, total, trend,
+             CAST(ROUND(total - trend, 6) AS DECIMAL(18,6)) AS detrended,
+             day_idx % 7 AS dow
+      FROM trended
+    ),
+    seasonal AS (
+      SELECT event_type, dow,
+             CAST(SUM(detrended) AS DOUBLE) / COUNT(detrended) AS s
+      FROM det
+      WHERE detrended IS NOT NULL
+      GROUP BY event_type, dow
+    )
+    SELECT d.event_type, CAST(d.day_idx AS BIGINT) AS day_idx,
+           ROUND(d.total, 6) AS total,
+           ROUND(d.trend, 6) AS trend,
+           ROUND(s.s, 6) AS seasonal,
+           ROUND(d.total - d.trend - s.s, 6) AS resid
+    FROM det d
+    JOIN seasonal s
+      ON s.event_type = d.event_type AND s.dow = d.dow
+    WHERE d.trend IS NOT NULL
+"""
+
+
+@register("q191_seasonal_decompose", oracle=_DUCK_SEASONAL)
+def q191_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition (trend = 7-day
+    centered moving average, seasonal = per-day-of-week mean of the
+    detrended series, residual = the rest) — the explainable
+    decomposition BEHIND Holt-Winters (q162) and the ACF screen
+    (q182): it shows a series' weekly shape instead of just fitting
+    it.
+
+    Determinism: daily totals and the 7-day window sum are exact
+    decimals (÷7 happens once, in double, per row); detrended values
+    round to DECIMAL(18,6) BEFORE the day-of-week mean, so the
+    seasonal means are exact decimal averages in any order — the q179
+    convention.
+
+    Scale shape: one shuffle to (type, day) grain; the centered MA is
+    one per-type sorted pass; the seasonal relation is (types × 7)
+    rows, broadcast back onto the daily relation."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")).alias(
+            "day_idx"
+        ),
+    ).agg(F.sum(F.col("value").cast("decimal(18,6)")).alias("total"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day_idx")
+        .rowsBetween(-3, 3)
+    )
+    trended = daily.select(
+        "event_type",
+        "day_idx",
+        F.col("total").cast("double").alias("total"),
+        F.when(
+            F.count(F.lit(1)).over(w) == 7,
+            F.sum("total").over(w).cast("double") / 7,
+        ).alias("trend"),
+    )
+    det = trended.select(
+        "event_type",
+        "day_idx",
+        "total",
+        "trend",
+        F.round(F.col("total") - F.col("trend"), 6)
+        .cast("decimal(18,6)")
+        .alias("detrended"),
+        (F.col("day_idx") % 7).alias("dow"),
+    )
+    seasonal = (
+        det.filter(F.col("detrended").isNotNull())
+        .groupBy("event_type", "dow")
+        .agg(
+            (
+                F.sum("detrended").cast("double") / F.count("detrended")
+            ).alias("s")
+        )
+    )
+    return (
+        det.join(F.broadcast(seasonal), ["event_type", "dow"])
+        .filter(F.col("trend").isNotNull())
+        .select(
+            "event_type",
+            F.col("day_idx").cast("bigint").alias("day_idx"),
+            F.round("total", 6).alias("total"),
+            F.round("trend", 6).alias("trend"),
+            F.round("s", 6).alias("seasonal"),
+            F.round(
+                F.col("total") - F.col("trend") - F.col("s"), 6
+            ).alias("resid"),
+        )
+    )
