@@ -1232,3 +1232,114 @@ def q191_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("resid"),
         )
     )
+
+
+_DUCK_ATTRIBUTION = """
+    WITH purchases AS (
+      SELECT user_id, event_id AS p_id, CAST(ts AS TIMESTAMP) AS p_ts
+      FROM events WHERE event_type = 'purchase'
+    ),
+    touches AS (
+      SELECT user_id, event_id AS t_id, event_type AS channel,
+             CAST(ts AS TIMESTAMP) AS t_ts
+      FROM events WHERE event_type IN ('view', 'click')
+    ),
+    joined AS (
+      SELECT p.p_id, t.channel, t.t_ts, t.t_id
+      FROM purchases p
+      JOIN touches t
+        ON t.user_id = p.user_id
+       AND t.t_ts < p.p_ts
+       AND t.t_ts >= p.p_ts - INTERVAL 7 DAY
+    ),
+    ranked AS (
+      SELECT p_id, channel,
+             ROW_NUMBER() OVER (
+                 PARTITION BY p_id ORDER BY t_ts, t_id
+             ) AS rn_first,
+             ROW_NUMBER() OVER (
+                 PARTITION BY p_id ORDER BY t_ts DESC, t_id DESC
+             ) AS rn_last,
+             COUNT(*) OVER (PARTITION BY p_id) AS n_touches
+      FROM joined
+    ),
+    credit AS (
+      SELECT channel,
+             CASE WHEN rn_first = 1 THEN 1 ELSE 0 END AS first_credit,
+             CASE WHEN rn_last = 1 THEN 1 ELSE 0 END AS last_credit,
+             CAST(ROUND(1.0 / n_touches, 9) AS DECIMAL(18,9))
+                 AS linear_credit
+      FROM ranked
+    )
+    SELECT channel,
+           CAST(SUM(first_credit) AS BIGINT) AS n_first,
+           CAST(SUM(last_credit) AS BIGINT) AS n_last,
+           ROUND(CAST(SUM(linear_credit) AS DOUBLE), 6) AS linear_total
+    FROM credit
+    GROUP BY channel
+"""
+
+
+@register("q190_attribution", oracle=_DUCK_ATTRIBUTION)
+def q190_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch marketing attribution over the event stream:
+    first-touch, last-touch, and linear credit per channel for every
+    purchase's 7-day lookback window — the three standard models side
+    by side, so channel teams see how much the answer depends on the
+    model.
+
+    Determinism: touch order is total ((ts, event_id), descending for
+    last-touch); linear shares round to DECIMAL(18,9) per touch before
+    the exact decimal channel sum (the q179 convention), so no double
+    accumulation crosses engines.
+
+    Scale shape: purchases and touches equi-join on user_id (per-user
+    candidates bounded by activity), both window passes share the
+    per-purchase partitioning, and the final rollup is channel-sized.
+    At 100 TB the lookback filter prunes the join output before any
+    window state builds."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("p_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    touches = ev.filter(F.col("event_type").isin("view", "click")).select(
+        "user_id",
+        F.col("event_id").alias("t_id"),
+        F.col("event_type").alias("channel"),
+        F.col("ts").alias("t_ts"),
+    )
+    joined = purchases.join(touches, "user_id").filter(
+        (F.col("t_ts") < F.col("p_ts"))
+        & (F.col("t_ts") >= F.col("p_ts") - F.expr("INTERVAL 7 DAYS"))
+    )
+    wf = Window.partitionBy("p_id").orderBy("t_ts", "t_id")
+    wl = Window.partitionBy("p_id").orderBy(
+        F.col("t_ts").desc(), F.col("t_id").desc()
+    )
+    wn = Window.partitionBy("p_id")
+    ranked = joined.select(
+        "p_id",
+        "channel",
+        F.row_number().over(wf).alias("rn_first"),
+        F.row_number().over(wl).alias("rn_last"),
+        F.count(F.lit(1)).over(wn).alias("n_touches"),
+    )
+    credit = ranked.select(
+        "channel",
+        F.when(F.col("rn_first") == 1, 1).otherwise(0).alias("first_credit"),
+        F.when(F.col("rn_last") == 1, 1).otherwise(0).alias("last_credit"),
+        F.round(F.lit(1.0) / F.col("n_touches"), 9)
+        .cast("decimal(18,9)")
+        .alias("linear_credit"),
+    )
+    return credit.groupBy("channel").agg(
+        F.sum("first_credit").cast("bigint").alias("n_first"),
+        F.sum("last_credit").cast("bigint").alias("n_last"),
+        F.round(F.sum("linear_credit").cast("double"), 6).alias(
+            "linear_total"
+        ),
+    )
