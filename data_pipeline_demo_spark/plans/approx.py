@@ -310,3 +310,9 @@ register("q187_components_exact", oracle=relational._COMPONENTS_SQL)(
     relational.q187_components_exact
 )
 register("q189_bootstrap_ci")(llm_ops.q189_bootstrap_ci)
+register("q192_neyman_sample", oracle=llm_ops._DUCK_NEYMAN)(
+    llm_ops.q192_neyman_sample
+)
+register("q193_theil_sen", oracle=relational._THEIL_SEN_SQL)(
+    relational.q193_theil_sen
+)

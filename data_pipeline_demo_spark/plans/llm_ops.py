@@ -2335,3 +2335,127 @@ def q189_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     return privacy.bootstrap_mean_ci(
         ev, "event_type", "value", "event_id", n_replicas=200, seed=11
     )
+
+
+_DUCK_NEYMAN = """
+    WITH moments AS (
+        SELECT event_type,
+               COUNT(*) AS n_h,
+               SUM(CAST(value AS DECIMAL(18,6))) AS sx,
+               SUM(CAST(value AS DECIMAL(18,6))
+                   * CAST(value AS DECIMAL(18,6))) AS sxx
+        FROM events
+        GROUP BY event_type
+    ),
+    sigma AS (
+        SELECT event_type, n_h,
+               sqrt((CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n_h)
+                    / (n_h - 1)) AS s
+        FROM moments
+    ),
+    alloc AS (
+        SELECT event_type, n_h,
+               500.0 * (n_h * s) / SUM(n_h * s) OVER () AS raw
+        FROM sigma
+    ),
+    rounded AS (
+        SELECT event_type, n_h,
+               CAST(FLOOR(raw) AS BIGINT) AS base,
+               raw - FLOOR(raw) AS frac,
+               CAST(500 - SUM(CAST(FLOOR(raw) AS BIGINT)) OVER () AS BIGINT)
+                   AS rem
+        FROM alloc
+    ),
+    quota AS (
+        SELECT event_type,
+               base + CASE WHEN ROW_NUMBER() OVER (
+                   ORDER BY frac DESC, event_type) <= rem
+                   THEN 1 ELSE 0 END AS quota
+        FROM rounded
+    ),
+    drawn AS (
+        SELECT e.event_type, e.event_id,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY e.event_type
+                   ORDER BY md5(e.event_id || CHR(31) || '0'), e.event_id
+               ) AS BIGINT) AS sample_rank
+        FROM events e
+    )
+    SELECT d.event_type, d.event_id, d.sample_rank,
+           CAST(q.quota AS BIGINT) AS quota
+    FROM drawn d JOIN quota q ON q.event_type = d.event_type
+    WHERE d.sample_rank <= q.quota
+"""
+
+
+def q192_neyman_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-allocated stratified sample (survey-sampling optimal
+    allocation: stratum quota ∝ N_h·σ_h under a total budget of 500)
+    with largest-remainder rounding so quotas sum EXACTLY to budget,
+    then the md5-ordered exact-quota draw per stratum. Variance comes
+    from exact decimal moments; the allocation arithmetic is scalar
+    doubles; the draw is the engine-portable md5 order — so the oracle
+    replays quotas AND the kept set verbatim.
+
+    Scale shape: one combinable moment pass, an allocation relation of
+    |strata| rows, then the q87 exact-k draw (WindowGroupLimit prunes
+    map-side... bounded by the LARGEST quota, since the cap is
+    per-stratum)."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    dec = F.col("value").cast("decimal(18,6)")
+    moments = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_h"),
+        F.sum(dec).alias("sx"),
+        F.sum(dec * dec).alias("sxx"),
+    )
+    s = F.sqrt(
+        (
+            F.col("sxx").cast("double")
+            - F.col("sx").cast("double") * F.col("sx").cast("double") / F.col("n_h")
+        )
+        / (F.col("n_h") - 1)
+    )
+    sigma = moments.select("event_type", "n_h", s.alias("s"))
+    w_all = Window.partitionBy()
+    alloc = sigma.select(
+        "event_type",
+        "n_h",
+        (
+            F.lit(500.0)
+            * (F.col("n_h") * F.col("s"))
+            / F.sum(F.col("n_h") * F.col("s")).over(w_all)
+        ).alias("raw"),
+    )
+    rounded = alloc.select(
+        "event_type",
+        F.floor("raw").cast("bigint").alias("base"),
+        (F.col("raw") - F.floor("raw")).alias("frac"),
+        (F.lit(500) - F.sum(F.floor("raw").cast("bigint")).over(w_all)).alias(
+            "rem"
+        ),
+    )
+    w_rem = Window.orderBy(F.col("frac").desc(), F.col("event_type"))
+    quota = rounded.select(
+        "event_type",
+        (
+            F.col("base")
+            + F.when(F.row_number().over(w_rem) <= F.col("rem"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("quota"),
+    )
+    order = F.md5(
+        F.concat_ws("\x1f", F.col("event_id").cast("string"), F.lit("0"))
+    )
+    w_draw = Window.partitionBy("event_type").orderBy(order, "event_id")
+    drawn = ev.select(
+        "event_type",
+        "event_id",
+        F.row_number().over(w_draw).cast("bigint").alias("sample_rank"),
+    )
+    return drawn.join(F.broadcast(quota), "event_type").filter(
+        F.col("sample_rank") <= F.col("quota")
+    )

@@ -3202,3 +3202,60 @@ def q187_components_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").cast("bigint").alias("node"),
         F.col("component").cast("bigint").alias("component"),
     )
+
+
+_THEIL_SEN_SQL = """
+    WITH daily AS (
+        SELECT event_type,
+               DATEDIFF('day', DATE '2024-01-01', CAST(ts AS DATE)) AS x,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS y
+        FROM events
+        GROUP BY 1, 2
+    ),
+    slopes AS (
+        SELECT a.event_type, (b.y - a.y) / (b.x - a.x) AS slope
+        FROM daily a
+        JOIN daily b ON b.event_type = a.event_type AND b.x > a.x
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           ROUND(MEDIAN(slope), 6) AS ts_slope
+    FROM slopes
+    GROUP BY event_type
+"""
+
+
+def q193_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend per series — the median of all pairwise
+    slopes, the robust sibling of the q165 OLS line (a handful of
+    outlier days cannot move it; breakdown point 29%).
+
+    Scale shape: the pairwise join runs WITHIN each series over the
+    DAILY relation (days² pairs per key — fine at day grain; for long
+    series the public repeated-median/sampling variants bound pairs),
+    never over raw events; the exact median runs per key over that
+    bounded slope set. Slopes are doubles of decimal-exact daily sums;
+    the interpolated median of identical multisets is engine-identical,
+    rounded to 6."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")).alias(
+            "x"
+        ),
+    ).agg(F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("y"))
+    a, b = daily.alias("a"), daily.alias("b")
+    slopes = a.join(
+        b,
+        (F.col("b.event_type") == F.col("a.event_type"))
+        & (F.col("b.x") > F.col("a.x")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        ((F.col("b.y") - F.col("a.y")) / (F.col("b.x") - F.col("a.x"))).alias(
+            "slope"
+        ),
+    )
+    return slopes.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.round(F.expr("percentile(slope, 0.5)"), 6).alias("ts_slope"),
+    )
