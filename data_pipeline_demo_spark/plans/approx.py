@@ -316,3 +316,6 @@ register("q192_neyman_sample", oracle=llm_ops._DUCK_NEYMAN)(
 register("q193_theil_sen", oracle=relational._THEIL_SEN_SQL)(
     relational.q193_theil_sen
 )
+register("q194_reconciliation", oracle=relational._RECONCILIATION_SQL)(
+    relational.q194_reconciliation
+)

@@ -3259,3 +3259,98 @@ def q193_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
         F.round(F.expr("percentile(slope, 0.5)"), 6).alias("ts_slope"),
     )
+
+
+_RECONCILIATION_SQL = """
+    WITH statement AS (
+        SELECT o_orderkey AS stmt_id, o_totalprice AS amount,
+               CAST(o_orderdate AS DATE) + INTERVAL 2 DAY AS stmt_date
+        FROM orders WHERE o_orderkey % 3 = 0
+    ),
+    ledger AS (
+        SELECT o_orderkey AS ledger_id, o_totalprice AS amount,
+               CAST(o_orderdate AS DATE) AS book_date
+        FROM orders WHERE o_orderkey % 9 <> 0
+    ),
+    cands AS (
+        SELECT s.stmt_id, l.ledger_id,
+               ABS(DATEDIFF('day', l.book_date,
+                            CAST(s.stmt_date AS DATE))) AS lag_days
+        FROM statement s
+        JOIN ledger l ON l.amount = s.amount
+        WHERE ABS(DATEDIFF('day', l.book_date,
+                           CAST(s.stmt_date AS DATE))) <= 5
+    ),
+    ranked AS (
+        SELECT stmt_id, ledger_id, lag_days,
+               ROW_NUMBER() OVER (PARTITION BY stmt_id
+                                  ORDER BY lag_days, ledger_id) AS rs,
+               ROW_NUMBER() OVER (PARTITION BY ledger_id
+                                  ORDER BY lag_days, stmt_id) AS rl
+        FROM cands
+    ),
+    matched AS (
+        SELECT stmt_id, ledger_id, CAST(lag_days AS BIGINT) AS lag_days
+        FROM ranked WHERE rs = 1 AND rl = 1
+    )
+    SELECT s.stmt_id, m.ledger_id,
+           m.lag_days,
+           m.ledger_id IS NOT NULL AS matched
+    FROM statement s
+    LEFT JOIN matched m ON m.stmt_id = s.stmt_id
+"""
+
+
+def q194_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bank-statement ↔ ledger reconciliation — the payments back-
+    office op the reference's TransactionLog exists to serve: match
+    each settlement line (orders shifted by a 2-day lag; every ninth
+    ledger entry missing, so some lines CANNOT match) to at most one
+    ledger entry on exact amount within a ±5-day window, 1:1 by
+    MUTUAL-BEST assignment (a pair matches iff each side is the
+    other's top-ranked candidate — deterministic, order-free, and
+    never double-books a ledger entry). Unmatched lines surface with
+    a null ledger id — the exception queue.
+
+    Scale shape: candidates come from an EQUI join on amount (exact-
+    amount blocking, the q176 discipline), both ranking windows run on
+    the candidate set, and the final left join is statement-sized.
+    Mutual-best is one pass — no iterative stable-marriage rounds
+    needed for 1:1 bipartite matching."""
+    from pyspark.sql import Window
+
+    o = table(spark, sf_dir, "orders")
+    statement = o.filter(F.col("o_orderkey") % 3 == 0).select(
+        F.col("o_orderkey").alias("stmt_id"),
+        F.col("o_totalprice").alias("amount"),
+        F.date_add(F.to_date("o_orderdate"), 2).alias("stmt_date"),
+    )
+    ledger = o.filter(F.col("o_orderkey") % 9 != 0).select(
+        F.col("o_orderkey").alias("ledger_id"),
+        F.col("o_totalprice").alias("amount"),
+        F.to_date("o_orderdate").alias("book_date"),
+    )
+    cands = (
+        statement.join(ledger, "amount")
+        .withColumn(
+            "lag_days",
+            F.abs(F.datediff(F.col("stmt_date"), F.col("book_date"))),
+        )
+        .filter(F.col("lag_days") <= 5)
+    )
+    rs = Window.partitionBy("stmt_id").orderBy("lag_days", "ledger_id")
+    rl = Window.partitionBy("ledger_id").orderBy("lag_days", "stmt_id")
+    matched = (
+        cands.withColumn("rs", F.row_number().over(rs))
+        .withColumn("rl", F.row_number().over(rl))
+        .filter((F.col("rs") == 1) & (F.col("rl") == 1))
+        .select(
+            "stmt_id", "ledger_id", F.col("lag_days").cast("bigint").alias("lag_days")
+        )
+    )
+    return statement.select("stmt_id").join(matched, "stmt_id", "left").select(
+        "stmt_id",
+        "ledger_id",
+        "lag_days",
+        F.col("ledger_id").isNotNull().alias("matched"),
+    )
