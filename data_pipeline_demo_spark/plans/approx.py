@@ -319,3 +319,6 @@ register("q193_theil_sen", oracle=relational._THEIL_SEN_SQL)(
 register("q194_reconciliation", oracle=relational._RECONCILIATION_SQL)(
     relational.q194_reconciliation
 )
+register("q195_weighted_median", oracle=relational._WEIGHTED_MEDIAN_SQL)(
+    relational.q195_weighted_median
+)

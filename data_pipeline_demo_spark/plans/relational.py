@@ -3354,3 +3354,88 @@ def q194_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lag_days",
         F.col("ledger_id").isNotNull().alias("matched"),
     )
+
+
+_WEIGHTED_MEDIAN_SQL = """
+    WITH lines AS (
+        SELECT l_returnflag,
+               l_extendedprice / l_quantity AS unit_price,
+               CAST(l_quantity AS DECIMAL(18,2)) AS qty,
+               l_orderkey, l_linenumber
+        FROM lineitem
+    ),
+    cum AS (
+        SELECT l_returnflag, unit_price, qty,
+               SUM(qty) OVER (
+                   PARTITION BY l_returnflag
+                   ORDER BY unit_price, l_orderkey, l_linenumber
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cum_qty,
+               SUM(qty) OVER (PARTITION BY l_returnflag) AS total_qty
+        FROM lines
+    ),
+    pick AS (
+        SELECT l_returnflag, unit_price, cum_qty, total_qty,
+               ROW_NUMBER() OVER (
+                   PARTITION BY l_returnflag
+                   ORDER BY cum_qty, unit_price
+               ) AS rn
+        FROM cum
+        WHERE cum_qty * 2 >= total_qty
+    )
+    SELECT l_returnflag,
+           ROUND(unit_price, 6) AS weighted_median_price,
+           CAST(total_qty AS DOUBLE) AS total_qty
+    FROM pick
+    WHERE rn = 1
+"""
+
+
+def q195_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-weighted median unit price per return flag — the
+    weighted order statistic (half the QUANTITY trades below this
+    price) that plain percentile can't express: rows sort by price in
+    a total order, quantities accumulate as exact decimals, and the
+    first row whose doubled running mass reaches the group total is
+    the weighted median (the lower weighted-median convention, exact —
+    no interpolation, so no arithmetic can drift).
+
+    Scale shape: one shuffle to the group grain; both windows and the
+    pick share the per-group sort. Group count is domain-sized. At
+    unbounded group cardinality the q90 quantile sketches take over
+    (weights fold into the sketch by repetition count)."""
+    from pyspark.sql import Window
+
+    li = table(spark, sf_dir, "lineitem")
+    lines = li.select(
+        "l_returnflag",
+        (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price"),
+        F.col("l_quantity").cast("decimal(18,2)").alias("qty"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    w_cum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("unit_price", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy("l_returnflag")
+    cum = lines.select(
+        "l_returnflag",
+        "unit_price",
+        F.sum("qty").over(w_cum).alias("cum_qty"),
+        F.sum("qty").over(w_tot).alias("total_qty"),
+    )
+    w_pick = Window.partitionBy("l_returnflag").orderBy(
+        "cum_qty", "unit_price"
+    )
+    return (
+        cum.filter(F.col("cum_qty") * 2 >= F.col("total_qty"))
+        .withColumn("rn", F.row_number().over(w_pick))
+        .filter(F.col("rn") == 1)
+        .select(
+            "l_returnflag",
+            F.round("unit_price", 6).alias("weighted_median_price"),
+            F.col("total_qty").cast("double").alias("total_qty"),
+        )
+    )
