@@ -26,6 +26,23 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _group_key(group_cols: Sequence[str]) -> Column:
+    """Injective, null-distinct group-key encoding: ``concat_ws`` SKIPS
+    nulls, so ``(NULL, 'a')`` and ``('a', NULL)`` would hash alike and
+    SHARE one noise draw — correlated noise across releases is a
+    privacy defect, not just a cosmetic one (the join_view VIEW_KEY
+    lesson). Encode NULL as a marker and escape the marker/separator
+    so no value can forge another component's encoding."""
+    parts = []
+    for c in group_cols:
+        s = F.col(c).cast("string")
+        escaped = F.regexp_replace(
+            F.regexp_replace(s, "\x00", "\x00\x00"), "\x1f", "\x00\x1f"
+        )
+        parts.append(F.coalesce(escaped, F.lit("\x00N")))
+    return F.concat_ws("\x1f", *parts)
+
+
 def _laplace_noise(key: Column, seed: int, scale: Column) -> Column:
     """Deterministic Laplace(0, scale) from the group key: xxhash64 →
     uniform in (0,1) via the low 52 bits (exact in double) → inverse
@@ -56,8 +73,7 @@ def dp_counts(
     if epsilon <= 0:
         raise ValueError(f"epsilon must be positive, got {epsilon}")
     group_cols = list(group_cols)
-    key = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in group_cols])
-    noise = _laplace_noise(key, seed, F.lit(1.0 / epsilon))
+    noise = _laplace_noise(_group_key(group_cols), seed, F.lit(1.0 / epsilon))
     return (
         df.groupBy(*group_cols)
         .agg(F.count(F.lit(1)).alias("__true"))
@@ -91,7 +107,7 @@ def dp_sum(
     if clip <= 0:
         raise ValueError(f"clip must be positive, got {clip}")
     group_cols = list(group_cols)
-    key = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in group_cols])
+    key = _group_key(group_cols)
     clipped = F.least(
         F.greatest(F.col(value_col).cast("double"), F.lit(0.0)), F.lit(clip)
     )

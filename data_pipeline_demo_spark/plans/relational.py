@@ -2754,12 +2754,29 @@ def q176_duplicate_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-pairs spec, so the driver's hash compare certifies blocking
     completeness, not just arithmetic. Tolerance arithmetic is one
     double multiply/compare, bit-identical across engines."""
+    # the blocking premise is tolerance span <= bucket width, i.e.
+    # amount <= _DUP_BUCKET / 0.05; a larger amount would SILENTLY
+    # produce an incomplete pair set — so it fails the job in-plane
+    # instead (the radius_join guard discipline: a raise_error branch
+    # fused into the cell expression, no extra pass)
+    max_amount = _DUP_BUCKET / 0.05
+    checked_amount = F.when(
+        F.col("o_totalprice") <= F.lit(max_amount), F.col("o_totalprice")
+    ).otherwise(
+        F.raise_error(
+            F.format_string(
+                "duplicate-payment screen: amount %s exceeds the blocking "
+                "bound " + repr(max_amount) + "; raise _DUP_BUCKET",
+                F.col("o_totalprice"),
+            )
+        )
+    )
     o = table(spark, sf_dir, "orders").select(
         "o_custkey",
         "o_orderkey",
         "o_totalprice",
         F.to_date("o_orderdate").alias("d"),
-        F.floor(F.col("o_totalprice") / _DUP_BUCKET).alias("__cell"),
+        F.floor(checked_amount / _DUP_BUCKET).alias("__cell"),
     )
     a = (
         o.withColumn("__dc", F.explode(F.array(*[F.lit(i) for i in (-1, 0, 1)])))

@@ -124,3 +124,18 @@ def test_poisson_thresholds_are_poisson1():
         want.append(cum)
     assert all(abs(a - b) < 1e-12 for a, b in zip(th, want))
     assert th[-1] > 1 - 2e-5  # P[X > 7] ≈ 1.0e-5: cap tail negligible
+
+
+def test_group_key_null_patterns_draw_distinct_noise(spark):
+    """(NULL,'a') and ('a',NULL) are different groups and must NOT
+    share a noise draw (concat_ws would collide them — correlated
+    noise is a privacy defect)."""
+    df = spark.createDataFrame(
+        [(None, "a", 1.0)] * 40 + [("a", None, 1.0)] * 40,
+        "g1 string, g2 string, v double",
+    )
+    out = privacy.dp_counts(df, ["g1", "g2"], epsilon=0.4, seed=6).collect()
+    assert len(out) == 2
+    key = privacy._group_key(["g1", "g2"])
+    ks = {r["k"] for r in df.select(key.alias("k")).distinct().collect()}
+    assert len(ks) == 2  # injective encoding
