@@ -104,6 +104,45 @@ def chained_window_rollup(
     )
 
 
+def dedup_then_window(
+    stream: DataFrame,
+    window_size: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermark DEDUP chained into a windowed aggregation in ONE
+    streaming query — the second multiple-stateful-operators shape
+    beside :func:`chained_window_rollup`: replayed deliveries collapse
+    in `dropDuplicatesWithinWatermark` state, and only first
+    occurrences count toward the hourly per-type totals. The batch
+    twin replaces the watermark dedup with exact `dropDuplicates` —
+    identical whenever replays arrive inside the horizon (the
+    at-least-once delivery contract this operator exists for).
+
+    Scale shape: dedup state is keyed by (user, type, minute bucket)
+    and expires with the watermark; the window aggregate consumes the
+    deduped stream under the same watermark. Append-mode output."""
+    base = with_event_time(stream).withWatermark("ts", watermark)
+    keyed = base.withColumn(
+        "__bucket", F.date_trunc("minute", "ts")
+    )
+    deduped = (
+        keyed.dropDuplicatesWithinWatermark(
+            ["user_id", "event_type", "__bucket"]
+        )
+        if keyed.isStreaming
+        else keyed.dropDuplicates(["user_id", "event_type", "__bucket"])
+    )
+    return (
+        deduped.groupBy(F.window("ts", window_size), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_unique"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_unique",
+        )
+    )
+
+
 def sliding_user_activity(
     stream: DataFrame,
     width: str = "1 hour",

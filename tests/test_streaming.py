@@ -1028,3 +1028,35 @@ def test_chained_window_rollup_stream_equals_batch(spark, event_stream_source):
     assert all(want_by_key[(r[0], r[1])] == r for r in got)
     # the coarse rollup really aggregates multiple fine buckets
     assert any(r[2] > 1 for r in got)
+
+
+def test_dedup_then_window_stream_equals_batch(spark, event_stream_source):
+    """dropDuplicatesWithinWatermark chained into a windowed count in
+    one query: append-mode emission must be a subset of the batch
+    (exact-dedup) twin, complete up to the terminal watermark, and
+    value-identical row for row."""
+    import datetime as dt
+
+    path, schema = event_stream_source
+    stream = spark.readStream.schema(schema).parquet(path)
+    q = (
+        jobs.dedup_then_window(stream)
+        .writeStream.format("memory")
+        .queryName("t_ddw")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.table("t_ddw")
+    batch_df = spark.read.schema(schema).parquet(path)
+    batch = jobs.dedup_then_window(batch_df)
+    cols = ["window_start", "event_type", "n_unique"]
+    got, want = _rows(out, cols), _rows(batch, cols)
+    assert len(got) > 0 and set(got) <= set(want)
+    max_ts = jobs.with_event_time(batch_df).agg(F.max("ts")).collect()[0][0]
+    horizon = max_ts - dt.timedelta(hours=2) - dt.timedelta(hours=1)
+    finalized = [r for r in want if r[0] <= horizon]
+    assert set(finalized) <= set(got)
+    want_by_key = {(r[0], r[1]): r for r in want}
+    assert all(want_by_key[(r[0], r[1])] == r for r in got)
