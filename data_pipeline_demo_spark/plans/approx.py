@@ -322,3 +322,9 @@ register("q194_reconciliation", oracle=relational._RECONCILIATION_SQL)(
 register("q195_weighted_median", oracle=relational._WEIGHTED_MEDIAN_SQL)(
     relational.q195_weighted_median
 )
+register("q196_target_encoding", oracle=relational._TARGET_ENCODING_SQL)(
+    relational.q196_target_encoding
+)
+register("q197_decayed_engagement", oracle=relational._DECAYED_SQL)(
+    relational.q197_decayed_engagement
+)

@@ -3456,3 +3456,119 @@ def q195_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("total_qty").cast("double").alias("total_qty"),
         )
     )
+
+
+_TARGET_ENCODING_SQL = """
+    WITH base AS (
+        SELECT o_orderkey, o_orderpriority AS cat,
+               o_orderkey % 5 AS fold,
+               CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+        FROM orders
+    ),
+    per_fold AS (
+        SELECT cat, fold, COUNT(*) AS n, SUM(y) AS s
+        FROM base GROUP BY cat, fold
+    ),
+    per_cat AS (
+        SELECT cat, SUM(n) AS n_tot, SUM(s) AS s_tot
+        FROM per_fold GROUP BY cat
+    )
+    SELECT b.o_orderkey, b.cat,
+           CAST(b.fold AS BIGINT) AS fold,
+           ROUND(CAST(c.s_tot - f.s AS DOUBLE) / (c.n_tot - f.n), 6)
+               AS te_oof
+    FROM base b
+    JOIN per_fold f ON f.cat = b.cat AND f.fold = b.fold
+    JOIN per_cat c ON c.cat = b.cat
+"""
+
+
+def q196_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-fold target encoding — the leakage-free categorical
+    feature (a row's encoded value is the target mean of every OTHER
+    fold, so its own label never leaks into its feature): per-(cat,
+    fold) integer sums subtract from the category total, one exact
+    integer-ratio division per row.
+
+    Scale shape: two combinable aggregates to (cat × folds) and (cat)
+    grain — both broadcast-sized — joined back onto the scan; no row
+    ever shuffles for the encoding itself. The standard mean-encoding
+    recipe (e.g. the CatBoost-motivated OOF scheme) with exact counts
+    in place of smoothing (add a prior via the same integer
+    arithmetic when categories get sparse)."""
+    o = table(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("cat"),
+        (F.col("o_orderkey") % 5).alias("fold"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"),
+    )
+    per_fold = base.groupBy("cat", "fold").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("s")
+    )
+    per_cat = per_fold.groupBy("cat").agg(
+        F.sum("n").alias("n_tot"), F.sum("s").alias("s_tot")
+    )
+    return (
+        base.join(F.broadcast(per_fold), ["cat", "fold"])
+        .join(F.broadcast(per_cat), "cat")
+        .select(
+            "o_orderkey",
+            "cat",
+            F.col("fold").cast("bigint").alias("fold"),
+            F.round(
+                (F.col("s_tot") - F.col("s")).cast("double")
+                / (F.col("n_tot") - F.col("n")),
+                6,
+            ).alias("te_oof"),
+        )
+    )
+
+
+_DECAYED_SQL = """
+    WITH anchor AS (
+        SELECT MAX(CAST(ts AS TIMESTAMP)) AS t0 FROM events
+    ),
+    terms AS (
+        SELECT e.user_id,
+               CAST(ROUND(e.value * exp(-0.05 *
+                        (DATEDIFF('day', CAST(e.ts AS DATE),
+                                  CAST(a.t0 AS DATE)))), 9)
+                    AS DECIMAL(28,9)) AS term
+        FROM events e, anchor a
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(CAST(SUM(term) AS DOUBLE), 6) AS decayed_score
+    FROM terms
+    GROUP BY user_id
+"""
+
+
+def q197_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential time-decay engagement score per user (half-life
+    ≈ 14 days at λ = 0.05/day) — the recency-weighted aggregate behind
+    churn/engagement rankings, anchored to the CORPUS MAX event time
+    (a deterministic anchor; wall-clock `now()` would make the query
+    unreproducible). Each term rounds to DECIMAL(28,9) before the
+    exact per-user sum — the q179 convention — so no double
+    accumulation crosses engines.
+
+    Scale shape: the anchor is a 1-row broadcast; decay terms are
+    map-side scalar math; the per-user sum is one combinable
+    aggregate."""
+    ev = table(spark, sf_dir, "events")
+    anchor = ev.agg(F.max("ts").alias("t0"))
+    days = F.datediff(F.to_date(F.col("t0")), F.to_date("ts"))
+    term = F.round(
+        F.col("value") * F.exp(F.lit(-0.05) * days), 9
+    ).cast("decimal(28,9)")
+    return (
+        ev.crossJoin(F.broadcast(anchor))
+        .select("user_id", term.alias("term"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.round(F.sum("term").cast("double"), 6).alias("decayed_score"),
+        )
+    )
