@@ -1343,3 +1343,68 @@ def q190_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             "linear_total"
         ),
     )
+
+
+_DUCK_CHAINED_ROLLUP = """
+    WITH fine AS (
+      SELECT time_bucket(INTERVAL 15 MINUTE, CAST(ts AS TIMESTAMP)) AS w5,
+             event_type,
+             COUNT(*) AS n_fine,
+             SUM(CAST(value AS DECIMAL(18,6))) AS fine_sum
+      FROM events
+      GROUP BY 1, 2
+    )
+    SELECT time_bucket(INTERVAL 1 HOUR, w5) AS window_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           CAST(SUM(n_fine) AS BIGINT) AS n_events,
+           CAST(SUM(fine_sum) AS DOUBLE) AS total_value
+    FROM fine
+    GROUP BY 1, 2
+"""
+
+
+@register("q198_chained_rollup", oracle=_DUCK_CHAINED_ROLLUP)
+def q198_chained_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the chained-stateful streaming rollup
+    (`streaming/jobs.py:chained_window_rollup`, run mode-agnostically
+    on the batch events): 15-minute tumbling sums re-windowed through
+    `window_time()` to hourly grain. Oracle-checking the batch form
+    certifies the VALUES the streaming test then holds the stream to
+    (subset + watermark completeness) — the two checks compose into
+    end-to-end stream correctness."""
+    from ..streaming import jobs
+
+    ev = table(spark, sf_dir, "events")
+    return jobs.chained_window_rollup(ev)
+
+
+_DUCK_DEDUP_ROLLUP = """
+    WITH dd AS (
+      SELECT DISTINCT user_id, event_type,
+             time_bucket(INTERVAL 1 MINUTE, CAST(ts AS TIMESTAMP)) AS b
+      FROM events
+    )
+    SELECT time_bucket(INTERVAL 1 HOUR, b) AS window_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_unique
+    FROM dd
+    GROUP BY 1, 2
+"""
+
+
+@register("q199_dedup_rollup", oracle=_DUCK_DEDUP_ROLLUP)
+def q199_dedup_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the dedup→window chained streaming query
+    (`streaming/jobs.py:dedup_then_window`): exact (user, type,
+    minute) dedup feeding hourly unique counts. CAUTION kept from the
+    streaming twin: window start must derive from the DEDUPED bucket,
+    which q's implementation guarantees by bucketing before windowing.
+
+    (The hourly count here counts distinct (user, type, minute)
+    triples — first-occurrence grain — matching the streaming dedup
+    semantics exactly.)"""
+    from ..streaming import jobs
+
+    ev = table(spark, sf_dir, "events")
+    return jobs.dedup_then_window(ev)
