@@ -222,3 +222,76 @@ def bfs_distances(
         frontier = nxt
     e.unpersist()
     return settled
+
+
+def kcore(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 100,
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """k-core decomposition membership (Seidman 1983): the maximal
+    induced subgraph in which every node has degree >= ``k``, found by
+    the standard peeling fixpoint — repeatedly delete nodes whose
+    CURRENT degree is below ``k`` until none remain. Peeling order
+    never changes the result (the k-core is unique), so the
+    synchronous delete-all-underdegree-nodes round used here converges
+    to the same subgraph as any sequential peel.
+
+    Returns ``(node, core_degree)`` for every member, where
+    ``core_degree`` is the node's degree WITHIN the k-core (>= k by
+    construction). Undirected: edges are symmetrized and deduplicated
+    first; self-loops are dropped (a self-loop inflates a node's
+    degree without contributing a neighbor).
+
+    Scale shape per round: one combinable degree count to node grain
+    + one node-sized semi join filtering the adjacency — the victim
+    set shrinks monotonically and is usually broadcast-sized after the
+    first round (AQE decides). The adjacency relation partitions by
+    node id throughout; lineage is cut every ``checkpoint_every``
+    rounds (localCheckpoint), the same iterative-DataFrame discipline
+    as :func:`pagerank` / :func:`bfs_distances`. Rounds are bounded by
+    the graph's degeneracy ordering depth — tiny in practice (social
+    graphs: tens) — with ``max_rounds`` as the loud backstop.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    adj = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    adj = adj.union(adj.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    adj = adj.distinct().persist()
+    adj.count()
+    for round_no in range(1, max_rounds + 1):
+        deg = adj.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+        keep = deg.filter(F.col("d") >= k).select("u").persist()
+        pruned = (
+            adj.join(keep, "u", "left_semi")
+            .join(keep.withColumnRenamed("u", "v"), "v", "left_semi")
+            .select("u", "v")
+        )
+        if (round_no % checkpoint_every) == 0:
+            pruned = pruned.localCheckpoint(eager=True)
+        else:
+            pruned = pruned.persist()
+        # Fixpoint: no edge died this round <=> no node was under-degree.
+        stable = pruned.count() == adj.count()
+        adj.unpersist()
+        keep.unpersist()
+        adj = pruned
+        if stable:
+            break
+    else:
+        raise RuntimeError(
+            f"kcore did not converge within {max_rounds} rounds"
+        )
+    out = adj.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).alias("core_degree")
+    )
+    out = out.localCheckpoint(eager=True)
+    adj.unpersist()
+    return out

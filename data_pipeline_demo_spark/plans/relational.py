@@ -3572,3 +3572,195 @@ def q197_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("term").cast("double"), 6).alias("decayed_score"),
         )
     )
+
+
+_KS_SQL = """
+    WITH s AS (
+        SELECT o_totalprice AS v,
+               CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS ia
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+    ),
+    g AS (
+        SELECT v, SUM(ia) AS ca_c, SUM(1 - ia) AS cb_c
+        FROM s GROUP BY v
+    ),
+    t AS (
+        SELECT CAST(SUM(ia) AS BIGINT) AS n_a,
+               CAST(COUNT(*) - SUM(ia) AS BIGINT) AS n_b
+        FROM s
+    ),
+    e AS (
+        SELECT
+            SUM(ca_c) OVER (
+                ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+            ) AS ca,
+            SUM(cb_c) OVER (
+                ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+            ) AS cb
+        FROM g
+    )
+    SELECT t.n_a, t.n_b,
+           ROUND(MAX(ABS(CAST(e.ca AS DOUBLE) / t.n_a
+                         - CAST(e.cb AS DOUBLE) / t.n_b)), 9) AS ks_d,
+           ROUND(MAX(ABS(CAST(e.ca AS DOUBLE) / t.n_a
+                         - CAST(e.cb AS DOUBLE) / t.n_b))
+                 * SQRT(CAST(t.n_a AS DOUBLE) * t.n_b / (t.n_a + t.n_b)),
+                 9) AS ks_scaled
+    FROM e CROSS JOIN t
+    GROUP BY t.n_a, t.n_b
+"""
+
+
+@register("q200_ks_test", oracle=_KS_SQL)
+def q200_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov test (BUILDING vs MACHINERY
+    order-value distributions) — the DISTRIBUTION-level member of the
+    experiment-readout family (q120 corr, q121 z, q156 Welch, q157
+    chi², q166 Mann-Whitney compare moments, proportions, or ranks;
+    KS compares entire CDFs): D = max |F_a(x) − F_b(x)| over the
+    pooled support, plus the sqrt(n_a·n_b/(n_a+n_b))-scaled statistic
+    the Kolmogorov distribution consumes.
+
+    Exactness: rows collapse to the DISTINCT-VALUE grain first (per-
+    value integer counts), ECDFs are running integer sums divided once
+    per point — every arithmetic step after the exact counts is a
+    single IEEE op, so both engines produce bit-identical D.
+
+    Scale shape: the only total order is over the distinct-value
+    relation (bounded by value cardinality, not rows) — the same
+    bound q195's weighted median accepts; at unbounded value
+    cardinality the ECDF grid would bin first (the q90 sketch route).
+    The (n_a, n_b) totals are a 1-row broadcast."""
+    from pyspark.sql import Window
+
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    s = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .filter(F.col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+        .select(
+            F.col("o_totalprice").alias("v"),
+            F.when(F.col("c_mktsegment") == "BUILDING", 1)
+            .otherwise(0)
+            .alias("ia"),
+        )
+    )
+    g = s.groupBy("v").agg(
+        F.sum("ia").alias("ca_c"), F.sum(1 - F.col("ia")).alias("cb_c")
+    )
+    t = s.agg(
+        F.sum("ia").cast("bigint").alias("n_a"),
+        (F.count(F.lit(1)) - F.sum("ia")).cast("bigint").alias("n_b"),
+    )
+    w = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    e = g.select(
+        F.sum("ca_c").over(w).alias("ca"), F.sum("cb_c").over(w).alias("cb")
+    )
+    diff = F.abs(
+        F.col("ca").cast("double") / F.col("n_a")
+        - F.col("cb").cast("double") / F.col("n_b")
+    )
+    scale = F.sqrt(
+        F.col("n_a").cast("double") * F.col("n_b")
+        / (F.col("n_a") + F.col("n_b"))
+    )
+    return (
+        e.crossJoin(F.broadcast(t))
+        .groupBy("n_a", "n_b")
+        .agg(F.max(diff).alias("d_raw"))
+        .select(
+            "n_a",
+            "n_b",
+            F.round(F.col("d_raw"), 9).alias("ks_d"),
+            F.round(F.col("d_raw") * scale, 9).alias("ks_scaled"),
+        )
+    )
+
+
+_KANON_SQL = """
+    SELECT c_nationkey, c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS group_size,
+           CAST(COUNT(DISTINCT CASE
+               WHEN c_acctbal < 0 THEN 'neg'
+               WHEN c_acctbal < 5000 THEN 'mid'
+               ELSE 'high' END) AS BIGINT) AS l_diversity,
+           CAST(COUNT(*) < 5 AS INT) AS at_risk
+    FROM customer
+    GROUP BY c_nationkey, c_mktsegment
+"""
+
+
+@register("q201_k_anonymity", oracle=_KANON_SQL)
+def q201_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity / l-diversity privacy profile (Sweeney 2002;
+    Machanavajjhala 2007) — the RISK-measurement complement of the
+    q183 Laplace release (DP perturbs outputs; k-anonymity measures
+    whether the quasi-identifier grid itself re-identifies): for each
+    (nation, segment) quasi-identifier cell, the cell size (k), the
+    number of distinct sensitive-value classes it contains (l — a
+    k-anonymous cell with ONE sensitive value still leaks), and an
+    at-risk flag for cells below k = 5.
+
+    Scale shape: one combinable grouped aggregate to the QI grid —
+    the distinct-count is per-cell over a 3-value class domain, so
+    Spark's single-Expand multi-distinct strategy applies; output is
+    grid-sized."""
+    band = (
+        F.when(F.col("c_acctbal") < 0, "neg")
+        .when(F.col("c_acctbal") < 5000, "mid")
+        .otherwise("high")
+    )
+    return (
+        table(spark, sf_dir, "customer")
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("group_size"),
+            F.countDistinct(band).cast("bigint").alias("l_diversity"),
+        )
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "group_size",
+            "l_diversity",
+            (F.col("group_size") < 5).cast("int").alias("at_risk"),
+        )
+    )
+
+
+@register("q202_kcore")
+def q202_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core of the support-≥2 co-purchase graph
+    (`operators/graph.py:kcore`) — the cohesion filter completing the
+    graph family (CC, PageRank, triangles, LPA, BFS): nodes surviving
+    iterative peeling of everything with degree < 3, each with its
+    degree inside the core. Rows-only by design: the peeling fixpoint
+    has no recursive-SQL twin (deletion invalidates earlier rounds —
+    not monotone, so WITH RECURSIVE can't express it); correctness is
+    pinned by pytest parity against a sequential pure-python peel on
+    the same graph plus the degree-invariant (`tests/test_graph_ops
+    .py`)."""
+    from ..operators.graph import kcore
+
+    li = table(spark, sf_dir, "lineitem")
+    base = li.select("l_orderkey", "l_partkey").distinct()
+    a = base.alias("a")
+    b = base.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .agg(F.count(F.lit(1)).alias("s"))
+        .filter(F.col("s") >= 2)
+        .select("u", "v")
+    )
+    return kcore(pairs, k=3, src="u", dst="v").select(
+        "node", F.col("core_degree").cast("int").alias("core_degree")
+    )
