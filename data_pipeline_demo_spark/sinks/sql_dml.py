@@ -14,6 +14,7 @@ the same statements they would against Delta:
 
     MERGE INTO txtable.`/path/t` AS t USING src ON t.id = src.id
         WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *
+        [WHEN NOT MATCHED BY SOURCE [AND <pred>] THEN DELETE]
     UPDATE txtable.`/path/t` SET amount = amount * 2 WHERE id < 5
     DELETE FROM txtable.`/path/t` WHERE id = 3
     RESTORE TABLE txtable.`/path/t` TO VERSION AS OF 2
@@ -171,7 +172,10 @@ def txtable_sql(spark: SparkSession, sql: str) -> DataFrame | int | None:
         rf"{_WS}USING{_WS}(?P<src>\(.+?\)|\w+)(?:{_WS}AS{_WS}(?P<salias>\w+))?"
         rf"{_WS}ON{_WS}(?P<on>.+?)"
         rf"{_WS}WHEN{_WS}MATCHED{_WS}THEN{_WS}UPDATE{_WS}SET{_WS}\*"
-        rf"{_WS}WHEN{_WS}NOT{_WS}MATCHED{_WS}THEN{_WS}INSERT{_WS}\*$",
+        rf"{_WS}WHEN{_WS}NOT{_WS}MATCHED{_WS}THEN{_WS}INSERT{_WS}\*"
+        rf"(?:{_WS}WHEN{_WS}NOT{_WS}MATCHED{_WS}BY{_WS}SOURCE"
+        rf"(?:{_WS}AND{_WS}(?P<nmbs_cond>.+?))?"
+        rf"{_WS}THEN{_WS}DELETE)?$",
         text,
         re.IGNORECASE,
     )
@@ -194,7 +198,15 @@ def txtable_sql(spark: SparkSession, sql: str) -> DataFrame | int | None:
                 f"(t.<key> = s.<key>); got {on!r}. For arbitrary merge "
                 "conditions use sinks.txlog.txlog_upsert composition."
             )
-        return txlog_upsert(spark, source_df, path)
+        # Delta's WHEN NOT MATCHED BY SOURCE THEN DELETE: the optional
+        # third clause turns the upsert into full-state sync; an AND
+        # predicate deletes unmatched target rows selectively
+        nmbs: bool | str = False
+        if "NOT MATCHED BY SOURCE" in text.upper():
+            nmbs = m.group("nmbs_cond") or True
+        return txlog_upsert(
+            spark, source_df, path, not_matched_by_source_delete=nmbs
+        )
 
     if re.match(rf"MERGE{_WS}INTO{_WS}{_TBL}", text, re.IGNORECASE):
         raise UnsupportedSqlError(

@@ -713,10 +713,23 @@ def txlog_upsert(
     bloom_bits: int = BLOOM_BITS,
     evolve_schema: bool = False,
     generated_columns: dict[str, str] | None = None,
+    not_matched_by_source_delete: bool | str = False,
 ) -> int:
     """MERGE a batch into the log-backed table; returns the post-merge
     row count (touched rows counted from the merge output, untouched
     rows summed from manifest bookkeeping — no table re-read).
+
+    ``not_matched_by_source_delete`` (Delta's ``WHEN NOT MATCHED BY
+    SOURCE THEN DELETE``): target rows whose key is ABSENT from the
+    batch are deleted — MERGE becomes full-table synchronization (the
+    batch IS the desired state). Pass ``True`` to delete every
+    unmatched row, or a SQL predicate string evaluated against the
+    target row to delete selectively (NULL/false predicate → the row
+    survives, SQL semantics). Cost honesty, same as Delta: this clause
+    must examine every target row, so EVERY non-empty bucket is read
+    and rewritten — the bucket pruning that makes plain MERGE
+    incremental does not apply. The change feed reports the removals
+    as deletes.
 
     Schema is ENFORCED against the manifest's recorded schema (Delta's
     model): a batch column the table lacks raises unless
@@ -881,6 +894,10 @@ def txlog_upsert(
     touched = sorted(
         r[0] for r in updates.select(BUCKET_COL).distinct().collect()
     )
+    if not_matched_by_source_delete:
+        # the delete clause must examine every target row: widen the
+        # touched set to every non-empty bucket (Delta pays the same)
+        touched = sorted(set(touched) | {int(b) for b in buckets})
     prior_files = [
         _abs(root_path, rel) for b in touched for rel in buckets.get(str(b), [])
     ]
@@ -892,6 +909,15 @@ def txlog_upsert(
         keep = current.join(
             upd_keys, F.col(key).eqNullSafe(F.col("__upd_key")), "left_anti"
         )
+        if not_matched_by_source_delete is True:
+            keep = keep.filter(F.lit(False))
+        elif not_matched_by_source_delete:
+            keep = keep.filter(
+                ~F.coalesce(
+                    F.expr(not_matched_by_source_delete).cast("boolean"),
+                    F.lit(False),
+                )
+            )
         merged = keep.unionByName(updates, allowMissingColumns=True)
     else:
         merged = updates

@@ -1301,3 +1301,83 @@ def test_legacy_constraints_file_migrates_and_vacuum_sweeps(spark, tmp_path):
         if f.endswith(".json")
     ]
     assert len(left) == 1
+
+
+def test_txlog_not_matched_by_source_delete_full_sync(spark, tmp_path):
+    root = str(tmp_path / "tx")
+    txlog_upsert(
+        spark, _rows(spark, [(1, "a"), (2, "b"), (3, "c")]), root, num_buckets=4
+    )
+    # batch = desired state: 2 updated, 4 new; 1 and 3 must vanish
+    n = txlog_upsert(
+        spark,
+        _rows(spark, [(2, "B"), (4, "d")]),
+        root,
+        not_matched_by_source_delete=True,
+    )
+    assert n == 2
+    assert _as_dict(read_txtable(spark, root)) == {2: "B", 4: "d"}
+    # the removals surface as deletes in the change feed
+    from data_pipeline_demo_spark.sinks.txlog import txtable_changes
+
+    ch = txtable_changes(spark, root, 0, 1)
+    kinds = {
+        (r["id"], r["_change_type"])
+        for r in ch.select("id", "_change_type").collect()
+    }
+    assert (1, "delete") in kinds and (3, "delete") in kinds
+    assert (4, "insert") in kinds
+
+
+def test_txlog_not_matched_by_source_conditional(spark, tmp_path):
+    root = str(tmp_path / "tx")
+    txlog_upsert(
+        spark,
+        _rows(spark, [(1, "keep"), (2, "b"), (3, "drop")]),
+        root,
+        num_buckets=4,
+    )
+    # delete unmatched rows ONLY where v = 'drop'; 1 survives unmatched
+    n = txlog_upsert(
+        spark,
+        _rows(spark, [(2, "B")]),
+        root,
+        not_matched_by_source_delete="v = 'drop'",
+    )
+    assert n == 2
+    assert _as_dict(read_txtable(spark, root)) == {1: "keep", 2: "B"}
+
+
+def test_txlog_not_matched_by_source_null_predicate_survives(spark, tmp_path):
+    root = str(tmp_path / "tx")
+    txlog_upsert(
+        spark, _rows(spark, [(1, None), (2, "b")]), root, num_buckets=4
+    )
+    # predicate NULL on id=1's row (v is null): SQL semantics — survives
+    n = txlog_upsert(
+        spark,
+        _rows(spark, [(3, "c")]),
+        root,
+        not_matched_by_source_delete="v = 'x'",
+    )
+    assert n == 3
+    assert set(_as_dict(read_txtable(spark, root))) == {1, 2, 3}
+
+
+def test_sql_merge_not_matched_by_source(spark, tmp_path):
+    from data_pipeline_demo_spark.sinks.sql_dml import txtable_sql
+
+    root = str(tmp_path / "tx")
+    txlog_upsert(
+        spark, _rows(spark, [(1, "a"), (2, "b")]), root, num_buckets=4
+    )
+    _rows(spark, [(2, "B"), (5, "e")]).createOrReplaceTempView("sync_src")
+    txtable_sql(
+        spark,
+        f"MERGE INTO txtable.`{root}` AS t USING sync_src AS s "
+        "ON t.id = s.id WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT * "
+        "WHEN NOT MATCHED BY SOURCE THEN DELETE",
+    )
+    assert _as_dict(read_txtable(spark, root)) == {2: "B", 5: "e"}
+    spark.catalog.dropTempView("sync_src")
