@@ -3764,3 +3764,100 @@ def q202_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kcore(pairs, k=3, src="u", dst="v").select(
         "node", F.col("core_degree").cast("int").alias("core_degree")
     )
+
+
+_FS_SQL = """
+    WITH p AS (
+        SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+               CASE WHEN levenshtein(a.c_name, b.c_name) <= 2
+                    THEN 1 ELSE 0 END AS agree_name,
+               CASE WHEN a.c_mktsegment = b.c_mktsegment
+                    THEN 1 ELSE 0 END AS agree_seg,
+               CASE WHEN ABS(a.c_acctbal - b.c_acctbal) < 500
+                    THEN 1 ELSE 0 END AS agree_bal
+        FROM customer a JOIN customer b
+          ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+    )
+    SELECT id_a, id_b, agree_name, agree_seg, agree_bal,
+           ROUND(
+               (CASE WHEN agree_name = 1 THEN LOG2(0.9 / 0.05)
+                     ELSE LOG2(0.1 / 0.95) END)
+             + (CASE WHEN agree_seg = 1 THEN LOG2(0.95 / 0.2)
+                     ELSE LOG2(0.05 / 0.8) END)
+             + (CASE WHEN agree_bal = 1 THEN LOG2(0.8 / 0.1)
+                     ELSE LOG2(0.2 / 0.9) END), 6) AS fs_score
+    FROM p
+    WHERE (CASE WHEN agree_name = 1 THEN LOG2(0.9 / 0.05)
+                ELSE LOG2(0.1 / 0.95) END)
+        + (CASE WHEN agree_seg = 1 THEN LOG2(0.95 / 0.2)
+                ELSE LOG2(0.05 / 0.8) END)
+        + (CASE WHEN agree_bal = 1 THEN LOG2(0.8 / 0.1)
+                ELSE LOG2(0.2 / 0.9) END) >= 4.0
+"""
+
+
+@register("q203_record_linkage", oracle=_FS_SQL)
+def q203_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi–Sunter probabilistic record linkage (JASA 1969 — the
+    canonical match/non-match scoring model; Splink and every serious
+    dedup system implement exactly this): candidate pairs from a
+    blocking pass score as Σ log2(m_i/u_i) over field AGREEMENTS
+    (log2((1−m_i)/(1−u_i)) on disagreement), where m/u are the
+    match/coincidence probabilities per field — here fixed literals
+    (name within edit distance 2, same segment, balance within 500);
+    estimating them by EM is the q85-classifier-style extension. Pairs
+    at or above the decision threshold survive.
+
+    Exactness: agreements are integer flags; each weight is LOG2 of a
+    literal double ratio and the score is a FIXED three-term expression
+    (not an aggregation), so both engines evaluate the identical IEEE
+    op sequence.
+
+    Scale shape: this registration blocks on nationkey (pairs within a
+    nation only) — honest caveat: block sizes here are demo-grade; at
+    corpus scale the blocking pass is the q113 SymSpell vocabulary join
+    (provably complete for the name field) or LSH, and THIS query's
+    contribution is the scoring layer on whatever candidate relation
+    blocking emits. Scoring itself is map-only over the pair relation."""
+    c = table(spark, sf_dir, "customer")
+    a, b = c.alias("a"), c.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+        & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+    ).select(
+        F.col("a.c_custkey").alias("id_a"),
+        F.col("b.c_custkey").alias("id_b"),
+        (
+            F.levenshtein(F.col("a.c_name"), F.col("b.c_name")) <= 2
+        ).cast("int").alias("agree_name"),
+        (F.col("a.c_mktsegment") == F.col("b.c_mktsegment"))
+        .cast("int")
+        .alias("agree_seg"),
+        (
+            F.abs(F.col("a.c_acctbal") - F.col("b.c_acctbal")) < 500
+        ).cast("int").alias("agree_bal"),
+    )
+
+    def _w(flag: str, m: float, u: float):
+        return F.when(
+            F.col(flag) == 1, F.log2(F.lit(m / u))
+        ).otherwise(F.log2(F.lit((1 - m) / (1 - u))))
+
+    score = (
+        _w("agree_name", 0.9, 0.05)
+        + _w("agree_seg", 0.95, 0.2)
+        + _w("agree_bal", 0.8, 0.1)
+    )
+    return (
+        pairs.withColumn("__s", score)
+        .filter(F.col("__s") >= 4.0)
+        .select(
+            "id_a",
+            "id_b",
+            "agree_name",
+            "agree_seg",
+            "agree_bal",
+            F.round(F.col("__s"), 6).alias("fs_score"),
+        )
+    )
