@@ -1408,3 +1408,83 @@ def q199_dedup_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = table(spark, sf_dir, "events")
     return jobs.dedup_then_window(ev)
+
+
+_SCD2_APPLY_SQL = """
+    WITH e AS (
+        SELECT user_id, event_type, event_id,
+               LAG(event_type) OVER (
+                   PARTITION BY user_id ORDER BY event_id
+               ) AS prev
+        FROM events
+    ),
+    chg AS (
+        SELECT user_id, event_type, event_id
+        FROM e WHERE prev IS NULL OR prev <> event_type
+    )
+    SELECT user_id, event_type, event_id AS valid_from,
+           LEAD(event_id) OVER (
+               PARTITION BY user_id ORDER BY event_id
+           ) AS valid_to,
+           CAST(LEAD(event_id) OVER (
+               PARTITION BY user_id ORDER BY event_id
+           ) IS NULL AS INT) AS is_current
+    FROM chg
+"""
+
+
+@register("q204_scd2_apply", oracle=_SCD2_APPLY_SQL)
+def q204_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY CHANGES ... STORED AS SCD TYPE 2 under the value-exact
+    oracle (`sinks/cdc_apply.py:scd2_apply_changes` — the Delta Live
+    Tables history-dimension surface): the events table becomes a CDC
+    feed (key = user, sequence = event id, every event an upsert of
+    the user's state), applied in THREE sequence-ordered batches with
+    ``suppress_unchanged=True`` into a fresh history txtable, then
+    read back. The oracle builds the same Type-2 intervals directly as
+    gaps-and-islands SQL (LAG change detection + LEAD closure — the
+    q98 shape), so a hash match certifies the incremental maintenance
+    path — open-row closure across batch boundaries, no-op
+    suppression, Bloom-pruned dirty-key reads, the synthetic version
+    key — against the from-scratch batch build, value for value."""
+    import tempfile
+
+    from ..sinks.cdc_apply import SCD2_KEY, scd2_apply_changes
+    from ..sinks.txlog import read_txtable
+
+    root = tempfile.mkdtemp(prefix="q204-scd2-") + "/t"
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.lit("upsert").alias("op"),
+        F.col("event_id").alias("sequence"),
+    )
+    cuts = ev.agg(
+        F.expr("percentile(sequence, 0.33)").alias("c1"),
+        F.expr("percentile(sequence, 0.66)").alias("c2"),
+    ).collect()[0]
+    batches = [
+        ev.filter(F.col("sequence") <= cuts["c1"]),
+        ev.filter(
+            (F.col("sequence") > cuts["c1"]) & (F.col("sequence") <= cuts["c2"])
+        ),
+        ev.filter(F.col("sequence") > cuts["c2"]),
+    ]
+    for i, b in enumerate(batches):
+        scd2_apply_changes(
+            spark,
+            b,
+            root,
+            key="user_id",
+            num_buckets=8,
+            txn_app_id="q204",
+            txn_version=i,
+            suppress_unchanged=True,
+        )
+    return read_txtable(spark, root).select(
+        "user_id",
+        "event_type",
+        "valid_from",
+        "valid_to",
+        F.col("is_current").cast("int").alias("is_current"),
+    )

@@ -144,3 +144,198 @@ def apply_changes(
         return {"upserted": n_up, "deleted": n_del, "skipped_replay": False}
     finally:
         net.unpersist()
+
+
+SCD2_KEY = "__scd_key"
+
+
+def scd2_apply_changes(
+    spark: SparkSession,
+    feed: DataFrame,
+    root_path: str,
+    key: str,
+    sequence_col: str = "sequence",
+    op_col: str = "op",
+    delete_op: str = "delete",
+    num_buckets: int | None = None,
+    txn_app_id: str | None = None,
+    txn_version: int | None = None,
+    suppress_unchanged: bool = False,
+) -> dict:
+    """APPLY CHANGES ... STORED AS SCD TYPE 2 (the Delta Live Tables
+    surface): maintain a full-history dimension from a CDC feed. Every
+    applied change OPENS a version row ``[valid_from, valid_to)`` and
+    CLOSES its predecessor; deletes close the open row without opening
+    a new one (the key's absence interval has no covering row);
+    ``is_current`` marks each key's open row. ``suppress_unchanged=
+    True`` is DLT's TRACK HISTORY behavior restricted to real changes:
+    an upsert whose data columns equal its predecessor's (null-safe)
+    opens no version.
+
+    The history table is a txtable keyed by the SYNTHETIC
+    ``__scd_key = key || '@' || valid_from`` (an SCD2 table is
+    multi-row per business key, so the business key cannot be the
+    MERGE key) with a manifest Bloom index ON the business key — the
+    read path below depends on it.
+
+    Algorithm, one atomic commit per batch:
+
+    1. dedupe the feed at (key, sequence) grain (delete wins ties,
+       then row hash — the ``net_changes`` convention);
+    2. read each dirty key's OPEN row via ``read_txtable(bloom_in=
+       {key: dirty})`` — manifest-pruned to the buckets that can hold
+       those keys, never a table scan; the dirty-key list is driver-
+       side and batch-sized (same contract as the join-view refresh);
+    3. drop STALE changes (sequence <= the open row's valid_from —
+       the cross-batch ordering contract: later batches carry later
+       sequences; out-of-order arrivals WITHIN a batch are fine);
+    4. chain per key (open row + surviving changes ordered by
+       sequence): LEAD(valid_from) is each version's valid_to, the
+       last non-delete row is current, delete rows close their
+       predecessor and vanish;
+    5. one ``txlog_upsert`` on the synthetic key writes re-closed open
+       rows and new versions together — atomic, and exactly-once under
+       replay via the ``txn_app_id``/``txn_version`` watermark.
+
+    Returns ``{"versions_written": n, "skipped_replay": bool}``.
+    """
+    if key in (sequence_col, op_col):
+        raise ValueError("key must differ from sequence/op columns")
+    m = _latest_manifest(spark, root_path)
+    if (txn_app_id is None) != (txn_version is None):
+        raise ValueError("txn_app_id and txn_version must be set together")
+    if (
+        txn_app_id is not None
+        and m is not None
+        and m.get("app_txns", {}).get(txn_app_id, -1) >= txn_version
+    ):
+        return {"versions_written": 0, "skipped_replay": True}
+
+    data_cols = [
+        c for c in feed.columns if c not in (key, sequence_col, op_col)
+    ]
+    if feed.filter(F.col(key).isNull() | F.col(sequence_col).isNull()).limit(
+        1
+    ).count():
+        raise ValueError(
+            "scd2_apply_changes: NULL business keys / sequences are not "
+            "supported (the synthetic version key and the Bloom index "
+            "both require non-null values)"
+        )
+
+    # 1. (key, sequence)-grain dedupe — delete wins, then row hash
+    w_dup = Window.partitionBy(key, sequence_col).orderBy(
+        (F.col(op_col) == delete_op).cast("int").desc(),
+        F.xxhash64(*[F.col(c) for c in feed.columns]).asc(),
+    )
+    changes = (
+        feed.withColumn("__rn", F.row_number().over(w_dup))
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.col(key),
+            *data_cols,
+            F.col(sequence_col).alias("valid_from"),
+            (F.col(op_col) == delete_op).alias("__is_del"),
+        )
+        .persist()
+    )
+    try:
+        dirty = [r[0] for r in changes.select(key).distinct().collect()]
+        if not dirty:
+            return {"versions_written": 0, "skipped_replay": False}
+
+        # 2. open rows for dirty keys, Bloom-pruned
+        if m is not None:
+            from .txlog import read_txtable
+
+            snap = read_txtable(spark, root_path, bloom_in={key: dirty})
+            open_rows = snap.filter(F.col("is_current")).select(
+                F.col(key),
+                *data_cols,
+                F.col("valid_from"),
+                F.lit(False).alias("__is_del"),
+            )
+        else:
+            open_rows = changes.limit(0)
+
+        # 3. stale-change guard (cross-batch ordering contract)
+        floor = open_rows.select(
+            F.col(key).alias("__fk"), F.col("valid_from").alias("__floor")
+        )
+        fresh = (
+            changes.join(floor, changes[key] == F.col("__fk"), "left")
+            .filter(
+                F.col("__floor").isNull()
+                | (F.col("valid_from") > F.col("__floor"))
+            )
+            .drop("__fk", "__floor")
+        )
+
+        # 4. chain: open row + fresh changes, ordered by valid_from
+        chain = open_rows.withColumn(
+            "__from_feed", F.lit(False)
+        ).unionByName(fresh.withColumn("__from_feed", F.lit(True)))
+        # only keys with at least one surviving feed change rewrite
+        active = fresh.select(key).distinct()
+        chain = chain.join(active, key, "left_semi")
+
+        w_seq = Window.partitionBy(key).orderBy("valid_from")
+        if suppress_unchanged:
+            prev_del = F.lag("__is_del").over(w_seq)
+            same = F.lit(True)
+            for c in data_cols:
+                same = same & F.col(c).eqNullSafe(F.lag(c).over(w_seq))
+            noop = (
+                F.col("__from_feed")
+                & ~F.col("__is_del")
+                & prev_del.eqNullSafe(F.lit(False))
+                & same
+            )
+            chain = chain.withColumn("__noop", noop).filter(
+                ~F.col("__noop")
+            ).drop("__noop")
+
+        closed = chain.select(
+            F.col(key),
+            *data_cols,
+            "valid_from",
+            "__is_del",
+            F.lead("valid_from").over(w_seq).alias("valid_to"),
+        )
+        versions = closed.filter(~F.col("__is_del")).select(
+            F.col(key),
+            *data_cols,
+            "valid_from",
+            "valid_to",
+            F.col("valid_to").isNull().alias("is_current"),
+            F.concat_ws(
+                "@", F.col(key).cast("string"),
+                F.col("valid_from").cast("string"),
+            ).alias(SCD2_KEY),
+        )
+
+        n = versions.count()
+        if n:
+            txlog_upsert(
+                spark,
+                versions,
+                root_path,
+                key=SCD2_KEY,
+                num_buckets=num_buckets,
+                bloom_columns=[key] if m is None else None,
+                txn_app_id=txn_app_id,
+                txn_version=txn_version,
+            )
+        elif txn_app_id is not None:
+            txlog_upsert(
+                spark,
+                versions,
+                root_path,
+                key=SCD2_KEY,
+                num_buckets=num_buckets,
+                txn_app_id=txn_app_id,
+                txn_version=txn_version,
+            )
+        return {"versions_written": n, "skipped_replay": False}
+    finally:
+        changes.unpersist()

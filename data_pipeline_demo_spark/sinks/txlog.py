@@ -994,6 +994,7 @@ def read_txtable(
     prune_between: dict[str, tuple] | None = None,
     timestamp_ms: int | None = None,
     bloom_eq: dict[str, object] | None = None,
+    bloom_in: dict[str, list] | None = None,
 ) -> DataFrame:
     """Read a snapshot: the latest committed version, an explicit
     ``version``, or ``timestamp_ms`` (the last version committed at or
@@ -1010,6 +1011,15 @@ def read_txtable(
     results are exact, and parquet prunes row groups within kept
     buckets); buckets with no recorded stats are conservatively kept.
     Requires the table to have been created with ``stats_columns``.
+
+    ``bloom_eq={col: v}`` / ``bloom_in={col: [v, ...]}``: manifest
+    Bloom pruning — keep only buckets whose per-bucket filter might
+    contain the value (ANY of the values, for ``bloom_in``), with the
+    equality/IN predicate re-applied so results stay exact. Requires
+    ``bloom_columns`` at table creation. ``bloom_in`` is the batched
+    point-lookup shape (a dirty-key set, an IN-list query): one
+    manifest pass unions the per-value probe results — never one read
+    per value.
     """
     if version is not None and timestamp_ms is not None:
         raise ValueError("pass at most one of version / timestamp_ms")
@@ -1108,11 +1118,47 @@ def read_txtable(
             ]
             cond = F.col(c).cast("string") == F.lit(str(v))
             predicate = cond if predicate is None else predicate & cond
+    if bloom_in:
+        # IN-list pruning: keep buckets whose filter might contain ANY
+        # of the probed values — the multi-key complement of bloom_eq
+        # (one manifest pass, no per-value reads); the IN predicate is
+        # re-applied so results stay exact
+        declared = set(manifest.get("bloom_columns", []))
+        missing = set(bloom_in) - declared
+        if missing:
+            raise ValueError(
+                f"txtable {root_path} has no bloom index for "
+                f"{sorted(missing)}; bloom_columns={sorted(declared)} "
+                "(fixed at table creation)"
+            )
+        blooms = manifest.get("bucket_blooms", {})
+        for c, values in bloom_in.items():
+            if not values:
+                raise ValueError(f"bloom_in[{c!r}] is empty")
+            if any(v is None for v in values):
+                raise ValueError(
+                    "bloom_in cannot probe NULL (xxhash64 skips nulls; "
+                    "use an explicit IS NULL filter instead)"
+                )
+            pos_sets = [
+                _bloom_probe_positions(
+                    v, int(manifest.get("bloom_bits", BLOOM_BITS))
+                )
+                for v in values
+            ]
+            live = [
+                b
+                for b in live
+                if (hx := blooms.get(b, {}).get(c)) is None
+                or any(_bloom_might_contain(hx, ps) for ps in pos_sets)
+            ]
+            cond = F.col(c).cast("string").isin([str(v) for v in values])
+            predicate = cond if predicate is None else predicate & cond
     files = [
         _abs(root_path, rel) for b in live for rel in manifest["buckets"][b]
     ]
     if not files:
-        if prune_between or bloom_eq:
+        if prune_between or bloom_eq or bloom_in:
             st = _manifest_struct(manifest)
             if st is not None:  # everything pruned: empty frame, no IO at all
                 return spark.createDataFrame([], st)

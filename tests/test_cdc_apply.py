@@ -172,3 +172,181 @@ def test_new_table_needs_key(spark, tmp_path):
     root = str(tmp_path / "fresh")
     apply_changes(spark, feed, root, key="id", num_buckets=2)
     assert _state(spark, root) == {1: "v"}
+
+
+# ---------------------------------------------------------------- SCD2
+
+
+def _hist(spark, root):
+    from data_pipeline_demo_spark.sinks.cdc_apply import SCD2_KEY
+
+    rows = read_txtable(spark, root).drop(SCD2_KEY).collect()
+    return sorted(
+        (r["id"], r["val"], r["valid_from"], r["valid_to"], r["is_current"])
+        for r in rows
+    )
+
+
+def test_scd2_insert_update_delete_chain(spark, tmp_path):
+    from data_pipeline_demo_spark.sinks.cdc_apply import scd2_apply_changes
+
+    root = str(tmp_path / "scd2")
+    # three batches: insert @1, update @3, delete @5
+    for i, rows in enumerate(
+        [
+            [(1, "a", "upsert", 1)],
+            [(1, "b", "upsert", 3)],
+            [(1, None, "delete", 5)],
+        ]
+    ):
+        scd2_apply_changes(
+            spark, _feed(spark, rows), root, key="id", num_buckets=4
+        )
+    assert _hist(spark, root) == [
+        (1, "a", 1, 3, False),
+        (1, "b", 3, 5, False),
+    ]
+
+
+def test_scd2_multi_version_single_batch_and_reinsert(spark, tmp_path):
+    from data_pipeline_demo_spark.sinks.cdc_apply import scd2_apply_changes
+
+    root = str(tmp_path / "scd2")
+    # one batch carries a whole chain incl. delete + re-insert
+    feed = _feed(
+        spark,
+        [
+            (1, "a", "upsert", 1),
+            (1, "b", "upsert", 2),
+            (1, None, "delete", 4),
+            (1, "c", "upsert", 7),
+            (2, "x", "upsert", 5),
+        ],
+    )
+    r = scd2_apply_changes(spark, feed, root, key="id", num_buckets=4)
+    assert r["versions_written"] == 4
+    assert _hist(spark, root) == [
+        (1, "a", 1, 2, False),
+        (1, "b", 2, 4, False),  # closed by the delete; gap 4..7 uncovered
+        (1, "c", 7, None, True),
+        (2, "x", 5, None, True),
+    ]
+
+
+def test_scd2_batch_split_invariance(spark, tmp_path):
+    from data_pipeline_demo_spark.sinks.cdc_apply import scd2_apply_changes
+
+    rows = [
+        (1, "a", "upsert", 1),
+        (1, "b", "upsert", 3),
+        (2, "p", "upsert", 2),
+        (1, None, "delete", 6),
+        (2, "q", "upsert", 8),
+        (3, "z", "upsert", 4),
+        (1, "c", "upsert", 9),
+    ]
+    one = str(tmp_path / "one")
+    scd2_apply_changes(spark, _feed(spark, rows), one, key="id", num_buckets=4)
+    split = str(tmp_path / "split")
+    # same changes over three sequence-ordered batches
+    for lo, hi in [(0, 3), (3, 5), (5, 99)]:
+        batch = [r for r in rows if lo <= r[3] < hi]
+        scd2_apply_changes(
+            spark, _feed(spark, batch), split, key="id", num_buckets=4
+        )
+    assert _hist(spark, one) == _hist(spark, split)
+
+
+def test_scd2_suppress_unchanged_and_stale(spark, tmp_path):
+    from data_pipeline_demo_spark.sinks.cdc_apply import scd2_apply_changes
+
+    root = str(tmp_path / "scd2")
+    scd2_apply_changes(
+        spark,
+        _feed(spark, [(1, "a", "upsert", 1)]),
+        root,
+        key="id",
+        num_buckets=4,
+    )
+    # no-op update (same val) suppressed; stale seq <= open valid_from dropped
+    r = scd2_apply_changes(
+        spark,
+        _feed(spark, [(1, "a", "upsert", 3), (1, "old", "upsert", 1)]),
+        root,
+        key="id",
+        num_buckets=4,
+        suppress_unchanged=True,
+    )
+    assert _hist(spark, root) == [(1, "a", 1, None, True)]
+    # a REAL change after a suppressed one chains to the surviving row
+    scd2_apply_changes(
+        spark,
+        _feed(spark, [(1, "b", "upsert", 5)]),
+        root,
+        key="id",
+        num_buckets=4,
+        suppress_unchanged=True,
+    )
+    assert _hist(spark, root) == [
+        (1, "a", 1, 5, False),
+        (1, "b", 5, None, True),
+    ]
+
+
+def test_scd2_replay_is_noop(spark, tmp_path):
+    from data_pipeline_demo_spark.sinks.cdc_apply import scd2_apply_changes
+
+    root = str(tmp_path / "scd2")
+    feed = _feed(spark, [(1, "a", "upsert", 1), (2, "b", "upsert", 2)])
+    scd2_apply_changes(
+        spark, feed, root, key="id", num_buckets=4,
+        txn_app_id="app", txn_version=7,
+    )
+    before = _hist(spark, root)
+    r = scd2_apply_changes(
+        spark,
+        _feed(spark, [(1, "EVIL", "upsert", 99)]),
+        root,
+        key="id",
+        num_buckets=4,
+        txn_app_id="app",
+        txn_version=7,  # same watermark: must skip
+    )
+    assert r["skipped_replay"] is True
+    assert _hist(spark, root) == before
+
+
+def test_scd2_null_key_refused(spark, tmp_path):
+    from data_pipeline_demo_spark.sinks.cdc_apply import scd2_apply_changes
+
+    with pytest.raises(ValueError, match="NULL"):
+        scd2_apply_changes(
+            spark,
+            _feed(spark, [(None, "a", "upsert", 1)]),
+            str(tmp_path / "scd2"),
+            key="id",
+            num_buckets=4,
+        )
+
+
+def test_bloom_in_prunes_and_stays_exact(spark, tmp_path):
+    root = str(tmp_path / "btx")
+    df = spark.createDataFrame(
+        [(i, f"name{i}") for i in range(64)], "id long, name string"
+    )
+    txlog_upsert(
+        spark, df, root, key="id", num_buckets=8, bloom_columns=["name"]
+    )
+    got = read_txtable(
+        spark, root, bloom_in={"name": ["name3", "name40"]}
+    ).collect()
+    assert sorted(r["id"] for r in got) == [3, 40]
+    # absent values prune everything -> empty frame with real schema
+    empty = read_txtable(spark, root, bloom_in={"name": ["nope"]})
+    assert empty.count() == 0
+    with pytest.raises(ValueError, match="empty"):
+        read_txtable(spark, root, bloom_in={"name": []})
+    with pytest.raises(ValueError, match="NULL"):
+        read_txtable(spark, root, bloom_in={"name": ["x", None]})
+    with pytest.raises(ValueError, match="no bloom index"):
+        read_txtable(spark, root, bloom_in={"id": [1]})
