@@ -939,6 +939,78 @@ def stream_apply_changes(
     return writer
 
 
+def make_scd2_batch_fn(
+    target_path: str,
+    key: str,
+    sequence_col: str = "sequence",
+    op_col: str = "op",
+    delete_op: str = "delete",
+    num_buckets: int | None = None,
+    txn_app_id: str | None = "stream-scd2",
+    suppress_unchanged: bool = False,
+):
+    """foreachBatch callback behind :func:`stream_scd2_maintenance`
+    (exposed for direct testing): each micro-batch of CDC rows applies
+    through ``sinks.cdc_apply.scd2_apply_changes`` — every change opens
+    a Type-2 version row and closes its predecessor, deletes close the
+    open row, dirty-key reads prune via the manifest Bloom index. The
+    txn watermark makes a replayed micro-batch a log-level no-op.
+
+    Same cross-batch ordering contract as the net-effect apply: a
+    key's sequences must not regress across batches (stale changes are
+    DROPPED, not reordered) — true of any offset-ordered source."""
+    from ..sinks.cdc_apply import scd2_apply_changes
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        scd2_apply_changes(
+            batch_df.sparkSession,
+            batch_df,
+            target_path,
+            key=key,
+            sequence_col=sequence_col,
+            op_col=op_col,
+            delete_op=delete_op,
+            num_buckets=num_buckets,
+            txn_app_id=txn_app_id,
+            txn_version=batch_id if txn_app_id is not None else None,
+            suppress_unchanged=suppress_unchanged,
+        )
+
+    return write_batch
+
+
+def stream_scd2_maintenance(
+    cdc_stream: DataFrame,
+    target_path: str,
+    key: str,
+    sequence_col: str = "sequence",
+    op_col: str = "op",
+    delete_op: str = "delete",
+    num_buckets: int | None = None,
+    checkpoint: str | None = None,
+    txn_app_id: str | None = "stream-scd2",
+    suppress_unchanged: bool = False,
+):
+    """Continuously maintain an SCD Type-2 history dimension from a
+    CDC stream (Delta Live Tables' ``APPLY CHANGES ... STORED AS SCD
+    TYPE 2`` as a streaming job): every trigger chains its changes
+    onto each dirty key's open row — one atomic history commit per
+    trigger, exactly-once under replay through the manifest txn
+    watermark. Caller picks the trigger."""
+    write_batch = make_scd2_batch_fn(
+        target_path, key, sequence_col, op_col, delete_op, num_buckets,
+        txn_app_id, suppress_unchanged,
+    )
+    writer = cdc_stream.writeStream.foreachBatch(write_batch).outputMode(
+        "append"
+    )
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer
+
+
 def make_enrich_batch_fn(
     out_root: str,
     dim_fn,

@@ -350,3 +350,30 @@ def test_bloom_in_prunes_and_stays_exact(spark, tmp_path):
         read_txtable(spark, root, bloom_in={"name": ["x", None]})
     with pytest.raises(ValueError, match="no bloom index"):
         read_txtable(spark, root, bloom_in={"id": [1]})
+
+
+def test_stream_scd2_maintenance_batches(spark, tmp_path):
+    """Streaming SCD2: CDC rows across micro-batch callbacks build the
+    same history a single batch application produces; replayed batch
+    ids are log-level no-ops; empty batches cause no version churn."""
+    from data_pipeline_demo_spark.streaming.jobs import make_scd2_batch_fn
+
+    root = str(tmp_path / "scd2s")
+    fn = make_scd2_batch_fn(root, key="id", txn_app_id="scd2-stream")
+    fn(_feed(spark, [(1, "a", "upsert", 1), (2, "x", "upsert", 2)]), 0)
+    fn(_feed(spark, [(1, "b", "upsert", 4)]), 1)
+    fn(_feed(spark, [(1, None, "delete", 6), (2, "y", "upsert", 7)]), 2)
+    assert _hist(spark, root) == [
+        (1, "a", 1, 4, False),
+        (1, "b", 4, 6, False),
+        (2, "x", 2, 7, False),
+        (2, "y", 7, None, True),
+    ]
+    before = _hist(spark, root)
+    fn(_feed(spark, [(1, "EVIL", "upsert", 99)]), 2)  # replayed id
+    assert _hist(spark, root) == before
+    from data_pipeline_demo_spark.sinks.txlog import txtable_history
+
+    n_versions = len(txtable_history(spark, root))
+    fn(_feed(spark, []), 3)
+    assert len(txtable_history(spark, root)) == n_versions
