@@ -2459,3 +2459,30 @@ def q192_neyman_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drawn.join(F.broadcast(quota), "event_type").filter(
         F.col("sample_rank") <= F.col("quota")
     )
+
+
+@register("q205_bm25_indexed", oracle=_DUCK_BM25)
+def q205_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval off the PERSISTED inverted index
+    (`operators/text_index.py`) against the SAME oracle as the q99
+    scan path: the documents corpus builds a postings txtable (term-
+    Bloom manifest index, doc length denormalized per posting, 1-row
+    stats table), then the query reads ONLY the Bloom-probed buckets
+    and reproduces the scan path's arithmetic step for step. A hash
+    match therefore certifies the whole index lifecycle — build,
+    injective posting keys, Bloom pruning losslessness, stats
+    denormalization — produces value-identical retrieval to scanning
+    the corpus. The CDC refresh path is pinned separately by
+    `tests/test_text_index.py` (refresh ≡ rebuild across
+    insert/update/delete)."""
+    import tempfile
+
+    from ..operators.text_index import bm25_query_indexed, build_text_index
+
+    root = tempfile.mkdtemp(prefix="q205-tix-") + "/ix"
+    build_text_index(
+        spark, table(spark, sf_dir, "documents"), root, num_buckets=16
+    )
+    return bm25_query_indexed(
+        spark, root, ["hash", "merge", "window"], k=10
+    )
