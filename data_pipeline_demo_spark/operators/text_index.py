@@ -203,28 +203,25 @@ def bm25_query_indexed(
     )
 
 
-def text_index_refresh_from_txtable(
+def apply_text_index_changes(
     spark: SparkSession,
     index_root: str,
-    table_root: str,
-    since_version: int,
-) -> tuple[int, int]:
-    """Propagate the documents txtable's changes since
-    ``since_version`` into the index (module docstring). Returns
-    ``(docs_refreshed, consumed_version)`` — persist the version as
-    the consumer watermark; a same-version call is a no-op.
+    feed: DataFrame,
+    txn_version: int | None = None,
+) -> int:
+    """Apply ONE preimage-complete change-feed slice to the index;
+    returns the number of documents refreshed. The slice is safe to
+    REDELIVER (foreachBatch crash recovery): posting deletes and
+    MERGEs are idempotent by key, and the stats-delta commit — the one
+    non-idempotent step — is guarded by the manifest txn watermark
+    when ``txn_version`` is given (a replayed slice's delta is a
+    log-level no-op).
 
     Delete-phase-first discipline (the ``apply_changes`` shape): stale
     term keys are removed before the postimage MERGE, so a crash
-    between the commits replays cleanly — re-deleting absent keys is
-    idempotent and the MERGE re-runs.
+    between the commits replays cleanly.
     """
-    from ..sinks.txlog import (
-        _latest_manifest,
-        txlog_delete,
-        txlog_upsert,
-        txtable_changes,
-    )
+    from ..sinks.txlog import txlog_delete, txlog_upsert
 
     meta = read_json_sidecar(
         spark, index_root.rstrip("/") + "/" + TEXT_INDEX_META
@@ -233,16 +230,8 @@ def text_index_refresh_from_txtable(
         raise ValueError(
             f"no text index at {index_root}; build_text_index first"
         )
-    manifest = _latest_manifest(spark, table_root)
-    if manifest is None:
-        raise FileNotFoundError(f"no committed txtable at {table_root}")
-    latest = manifest["version"]
-    if since_version >= latest:
-        return 0, latest
     text_col, id_col = meta["text_col"], meta["id_col"]
-    feed = txtable_changes(
-        spark, table_root, since_version, latest, include_preimages=True
-    ).persist()
+    feed = feed.persist()
     try:
         old = feed.filter(
             F.col("_change_type").isin("delete", "update_preimage")
@@ -257,7 +246,7 @@ def text_index_refresh_from_txtable(
             .count()
         )
         if n_docs_changed == 0:
-            return 0, latest
+            return 0
 
         # exact integer deltas for the stats row, computed BEFORE any
         # index commit from the same feed
@@ -295,9 +284,18 @@ def text_index_refresh_from_txtable(
             )
             txlog_upsert(spark, postings, _postings_dir(index_root))
 
-        # stats adjust by the exact deltas
-        from ..sinks.txlog import read_txtable
+        # stats adjust by the exact deltas; the watermark makes a
+        # redelivered slice's (non-idempotent) delta a log-level no-op
+        from ..sinks.txlog import _latest_manifest, read_txtable
 
+        if txn_version is not None:
+            sm = _latest_manifest(spark, _stats_dir(index_root))
+            if (
+                sm is not None
+                and sm.get("app_txns", {}).get("text-index-stats", -1)
+                >= txn_version
+            ):
+                return n_docs_changed
         cur = read_txtable(spark, _stats_dir(index_root)).collect()[0]
         stats = spark.createDataFrame(
             [
@@ -311,7 +309,40 @@ def text_index_refresh_from_txtable(
             ],
             "sid bigint, n_docs bigint, sum_dl bigint",
         )
-        txlog_upsert(spark, stats, _stats_dir(index_root))
-        return n_docs_changed, latest
+        txlog_upsert(
+            spark,
+            stats,
+            _stats_dir(index_root),
+            txn_app_id="text-index-stats" if txn_version is not None else None,
+            txn_version=txn_version,
+        )
+        return n_docs_changed
     finally:
         feed.unpersist()
+
+
+def text_index_refresh_from_txtable(
+    spark: SparkSession,
+    index_root: str,
+    table_root: str,
+    since_version: int,
+) -> tuple[int, int]:
+    """Propagate the documents txtable's changes since
+    ``since_version`` into the index (module docstring). Returns
+    ``(docs_refreshed, consumed_version)`` — persist the version as
+    the consumer watermark; a same-version call is a no-op."""
+    from ..sinks.txlog import _latest_manifest, txtable_changes
+
+    manifest = _latest_manifest(spark, table_root)
+    if manifest is None:
+        raise FileNotFoundError(f"no committed txtable at {table_root}")
+    latest = manifest["version"]
+    if since_version >= latest:
+        return 0, latest
+    feed = txtable_changes(
+        spark, table_root, since_version, latest, include_preimages=True
+    )
+    n = apply_text_index_changes(
+        spark, index_root, feed, txn_version=latest
+    )
+    return n, latest

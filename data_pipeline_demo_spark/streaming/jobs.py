@@ -1158,6 +1158,48 @@ def stream_text_corpus_landing(
     )
 
 
+def make_text_index_batch_fn(index_path: str):
+    """foreachBatch callback behind :func:`stream_text_index_maintenance`
+    (exposed for direct testing): the micro-batch IS a preimage-complete
+    change-feed slice, applied through
+    ``text_index.apply_text_index_changes`` — posting deletes/MERGEs
+    are idempotent by key and the stats delta rides the txn watermark
+    (txn_version = batch id), so redelivery after a failure converges."""
+    from ..operators.text_index import apply_text_index_changes
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        apply_text_index_changes(
+            batch_df.sparkSession, index_path, batch_df,
+            txn_version=batch_id,
+        )
+
+    return write_batch
+
+
+def stream_text_index_maintenance(
+    change_stream: DataFrame,
+    index_path: str,
+    checkpoint: str | None = None,
+):
+    """Continuously-maintained inverted text index (stream ∘
+    apply_text_index_changes ∘ postings txtable): subscribe to the
+    documents table's change feed (MUST be read with
+    ``includePreimages`` — pre-update/delete text is what names the
+    stale term keys without an index scan) and propagate every commit
+    per trigger: O(changed docs × their terms + touched buckets),
+    never an index rebuild or scan. The lexical member of the
+    maintained-structure family. Caller picks the trigger."""
+    write_batch = make_text_index_batch_fn(index_path)
+    writer = change_stream.writeStream.foreachBatch(write_batch).outputMode(
+        "append"
+    )
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer
+
+
 def make_vector_index_batch_fn(
     index_path: str,
     kind: str = "lsh",

@@ -176,3 +176,65 @@ def test_query_guards(spark, tmp_path):
     build_text_index(spark, _docs(spark), root, num_buckets=4)
     with pytest.raises(ValueError, match="empty"):
         bm25_query_indexed(spark, root, [])
+
+
+def test_streaming_maintenance_and_redelivery(spark, tmp_path):
+    """Callback-driven streaming maintenance: change-feed slices applied
+    per trigger converge the index to the rebuild state; a REDELIVERED
+    slice (same batch id — the foreachBatch crash-recovery case) leaves
+    postings AND stats unchanged."""
+    from data_pipeline_demo_spark.sinks.txlog import txtable_changes
+    from data_pipeline_demo_spark.streaming.jobs import (
+        make_text_index_batch_fn,
+    )
+
+    docs_root = str(tmp_path / "docs")
+    idx = str(tmp_path / "idx")
+    txlog_upsert(spark, _docs(spark), docs_root, key="doc_id", num_buckets=4)
+    build_text_index(
+        spark, read_txtable(spark, docs_root), idx, num_buckets=8
+    )
+    fn = make_text_index_batch_fn(idx)
+    # commit 1: update + insert; commit 2: delete
+    txlog_upsert(
+        spark,
+        _docs(spark, [(2, "slow green turtle"), (8, "another dog text")]),
+        docs_root,
+    )
+    fn(txtable_changes(spark, docs_root, 0, 1, include_preimages=True), 0)
+    txlog_delete(
+        spark, docs_root, keys=spark.createDataFrame([(5,)], "doc_id long")
+    )
+    slice2 = txtable_changes(spark, docs_root, 1, 2, include_preimages=True)
+    fn(slice2, 1)
+
+    def _snapshot():
+        postings = sorted(
+            map(
+                tuple,
+                read_txtable(spark, idx + "/postings")
+                .select("doc_id", "term", "c", "dl")
+                .collect(),
+            )
+        )
+        s = read_txtable(spark, idx + "/stats").collect()[0]
+        return postings, (s["n_docs"], s["sum_dl"])
+
+    before = _snapshot()
+    fn(slice2, 1)  # redelivered slice: must be a converged no-op
+    assert _snapshot() == before
+    # maintained index ≡ rebuild on the current snapshot
+    fresh = str(tmp_path / "fresh")
+    build_text_index(
+        spark, read_txtable(spark, docs_root), fresh, num_buckets=8
+    )
+    fb = sorted(
+        map(
+            tuple,
+            read_txtable(spark, fresh + "/postings")
+            .select("doc_id", "term", "c", "dl")
+            .collect(),
+        )
+    )
+    sb = read_txtable(spark, fresh + "/stats").collect()[0]
+    assert before == (fb, (sb["n_docs"], sb["sum_dl"]))
