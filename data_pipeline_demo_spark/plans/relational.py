@@ -3861,3 +3861,38 @@ def q203_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("__s"), 6).alias("fs_score"),
         )
     )
+
+
+_SKYLINE_SQL = """
+    SELECT p.p_partkey, p.p_size, p.p_retailprice
+    FROM part p
+    WHERE p.p_size IS NOT NULL AND p.p_retailprice IS NOT NULL
+      AND NOT EXISTS (
+        SELECT 1 FROM part d
+        WHERE d.p_retailprice <= p.p_retailprice
+          AND d.p_size >= p.p_size
+          AND (d.p_retailprice < p.p_retailprice OR d.p_size > p.p_size)
+      )
+"""
+
+
+@register("q206_skyline", oracle=_SKYLINE_SQL)
+def q206_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline / Pareto frontier over part (minimize retail price,
+    maximize size): the parts no other part beats on both axes
+    (Börzsönyi et al., ICDE 2001). The reference pipeline has no
+    analog — pure engine surface; the oracle is the literal O(n²)
+    NOT EXISTS dominance definition, which the operator must match
+    bit-for-bit including (x, y) ties.
+
+    Scale shape (operators/skyline.py): groupBy-x reduction →
+    map-only Arrow batch prefilter (running-max dominance inside each
+    batch, zero shuffle, sound under any partitioning) → one exact
+    pass over the frontier-sized survivors → hash-join row recovery.
+    Never a self-join; the quadratic oracle is DuckDB-side only."""
+    from ..operators.skyline import skyline_2d
+
+    part = table(spark, sf_dir, "part")
+    return skyline_2d(part, "p_retailprice", "p_size").select(
+        "p_partkey", "p_size", "p_retailprice"
+    )
