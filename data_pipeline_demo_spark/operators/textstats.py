@@ -99,6 +99,81 @@ def doc_fingerprint(text: Column | str, k: int = 3) -> Column:
     return F.array_min(F.transform(shingles(text, k), lambda s: F.md5(F.encode(s, "utf-8"))))
 
 
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_flags(
+    text: Column | str,
+    *,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: int = 3,
+    max_mean_word_len: int = 10,
+    min_stop_hits: int = 2,
+    stopwords: tuple[str, ...] = GOPHER_STOPWORDS,
+) -> dict[str, Column]:
+    """The published Gopher document-quality rules (Rae et al. 2021,
+    "Scaling Language Models", Appendix A) as per-doc 0/1 flag columns
+    plus the conjunction ``gopher_keep``:
+
+    - word count within [min_words, max_words]
+    - mean word length within [min_mean_word_len, max_mean_word_len]
+    - symbol-to-word ratio ('#' or '...') ≤ 0.1
+    - ≥ 80% of words contain at least one alphabetic character
+    - at least ``min_stop_hits`` DISTINCT stop-words from the 8-word list
+
+    Exactness: every threshold is evaluated in INTEGER arithmetic
+    (e.g. mean-word-length bounds become ``sum_len >= 3*n_words``),
+    so the flags are bit-stable across engines — no float compares.
+
+    Scale shape: one codegen expression tree per doc (split / filter /
+    aggregate higher-order fns, all JVM-side) — scan-stream, no
+    shuffle, no Python."""
+    c = F.coalesce(F.col(text) if isinstance(text, str) else text, F.lit(""))
+    words = F.filter(F.split(c, r"\s+"), lambda w: w != F.lit(""))
+    n_words = F.size(words).cast("long")
+    sum_len = F.aggregate(
+        words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    )
+    n_alpha = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]"))).cast(
+        "long"
+    )
+    n_sym = (
+        F.regexp_count(c, F.lit("#")) + F.regexp_count(c, F.lit(r"\.\.\."))
+    ).cast("long")
+    n_stop = F.size(
+        F.array_intersect(
+            F.array_distinct(F.transform(words, F.lower)),
+            F.array(*[F.lit(w) for w in stopwords]),
+        )
+    ).cast("long")
+
+    def _b(cond) -> Column:
+        return F.when(cond, 1).otherwise(0).cast("int")
+
+    flags = {
+        "n_words": n_words,
+        "flag_word_count": _b(
+            (n_words >= min_words) & (n_words <= max_words)
+        ),
+        "flag_mean_word_len": _b(
+            (n_words > 0)
+            & (sum_len >= min_mean_word_len * n_words)
+            & (sum_len <= max_mean_word_len * n_words)
+        ),
+        "flag_symbol_ratio": _b(10 * n_sym <= n_words),
+        "flag_alpha_words": _b(5 * n_alpha >= 4 * n_words),
+        "flag_stopwords": _b(n_stop >= min_stop_hits),
+    }
+    keep = None
+    for name, col in flags.items():
+        if name == "n_words":
+            continue
+        keep = col if keep is None else keep * col
+    flags["gopher_keep"] = keep.cast("int")
+    return flags
+
+
 # --- repetition signals (Gopher-style training-data filters) -------------
 
 

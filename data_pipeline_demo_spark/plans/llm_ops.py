@@ -2486,3 +2486,73 @@ def q205_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_query_indexed(
         spark, root, ["hash", "merge", "window"], k=10
     )
+
+
+_GOPHER_STOP_LIST = ", ".join(f"'{w}'" for w in textstats.GOPHER_STOPWORDS)
+
+_GOPHER_SQL = f"""
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(coalesce(text, ''), '\\s+'),
+                         x -> x <> '') AS ws,
+             len(regexp_extract_all(coalesce(text, ''), '#'))
+               + len(regexp_extract_all(coalesce(text, ''), '\\.\\.\\.'))
+               AS n_sym
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id,
+             CAST(len(ws) AS BIGINT) AS n_words,
+             CAST(coalesce(list_aggregate(
+                 list_transform(ws, x -> length(x)), 'sum'), 0)
+                 AS BIGINT) AS sum_len,
+             CAST(len(list_filter(ws,
+                 x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
+             CAST(n_sym AS BIGINT) AS n_sym,
+             CAST(len(list_intersect(
+                 list_distinct(list_transform(ws, x -> lower(x))),
+                 [{_GOPHER_STOP_LIST}])) AS BIGINT) AS n_stop
+      FROM w
+    )
+    SELECT doc_id, n_words,
+           CAST(n_words >= 50 AND n_words <= 100000 AS INT)
+               AS flag_word_count,
+           CAST(n_words > 0 AND sum_len >= 3 * n_words
+                AND sum_len <= 10 * n_words AS INT) AS flag_mean_word_len,
+           CAST(10 * n_sym <= n_words AS INT) AS flag_symbol_ratio,
+           CAST(5 * n_alpha >= 4 * n_words AS INT) AS flag_alpha_words,
+           CAST(n_stop >= 1 AS INT) AS flag_stopwords,
+           CAST((n_words >= 50 AND n_words <= 100000)
+                AND (n_words > 0 AND sum_len >= 3 * n_words
+                     AND sum_len <= 10 * n_words)
+                AND 10 * n_sym <= n_words
+                AND 5 * n_alpha >= 4 * n_words
+                AND n_stop >= 1 AS INT) AS gopher_keep
+    FROM s
+"""
+
+
+@register("q207_gopher_rules", oracle=_GOPHER_SQL)
+def q207_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The published Gopher document-quality rule set (Rae et al. 2021
+    Appendix A) as per-doc 0/1 flags + the keep conjunction — the
+    RULE-LIST member of the quality family (q48 is a learned-blend
+    score, q72 a compression band, q201's cousin k-anonymity measures
+    privacy): word-count bounds, mean-word-length bounds,
+    symbol-to-word ratio, alphabetic-word fraction, distinct-stopword
+    hits. ``min_stop_hits`` is 1 here (the synthetic corpus's
+    vocabulary contains only 'the' from the published 8-word list; the
+    operator's default stays at the published 2).
+
+    Exactness: all five thresholds are integer-arithmetic compares
+    (no float division anywhere), so Spark and DuckDB agree bit-for-
+    bit including the n_words=0 edge.
+
+    Scale shape: single codegen expression tree per document — a
+    map-only scan with zero shuffles and zero Python; at 100 TB this
+    is the filter you run inline in the ingest scan."""
+    d = table(spark, sf_dir, "documents")
+    flags = textstats.gopher_flags("text", min_stop_hits=1)
+    return d.select(
+        "doc_id", *[col.alias(name) for name, col in flags.items()]
+    )

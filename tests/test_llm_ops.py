@@ -1565,3 +1565,36 @@ def test_ivf_index_cdc_refresh_equals_rebuild(spark, tmp_path):
     hits = similarity.ivf_query(spark, idx, probes, k=3, nprobe=4).collect()
     assert all(r.vec_id != 7 for r in hits)
     assert hits and hits[0].vec_id == 3
+
+
+def test_gopher_flags_edges(spark):
+    """Published Gopher rules: hand-computed flag fixtures, incl. the
+    n_words=0 edge (all flags except symbol-ratio fail; keep=0)."""
+    from data_pipeline_demo_spark.operators.textstats import gopher_flags
+
+    rows = [
+        # 60 alphabetic words incl. 'the' and 'of' -> keep=1
+        (1, " ".join(["the", "of"] + ["word"] * 58)),
+        # empty text: n_words=0
+        (2, ""),
+        # symbol-heavy: 10 words, 3 '#' -> symbol flag 0
+        (3, "the of aaa bbb ccc ddd eee fff # # #".replace("# # #", "### x y")),
+        # numeric words: alpha fraction fails (2 alpha / 10 words)
+        (4, "the of 11 22 33 44 55 66 77 88"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    flags = gopher_flags("text", min_words=5, min_stop_hits=2)
+    got = {
+        r.doc_id: r.asDict()
+        for r in df.select("doc_id", *[c.alias(n) for n, c in flags.items()])
+        .collect()
+    }
+    assert got[1]["gopher_keep"] == 1 and got[1]["n_words"] == 60
+    assert got[2]["n_words"] == 0
+    assert got[2]["flag_word_count"] == 0
+    assert got[2]["flag_mean_word_len"] == 0
+    assert got[2]["gopher_keep"] == 0
+    # doc 3: "### x y" => words the,of,aaa..fff,###,x,y = 11 words, 3 '#'
+    assert got[3]["flag_symbol_ratio"] == 0
+    assert got[4]["flag_alpha_words"] == 0
+    assert got[4]["flag_stopwords"] == 1  # 'the' + 'of' distinct hits
