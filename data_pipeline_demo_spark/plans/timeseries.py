@@ -1488,3 +1488,74 @@ def q204_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         "valid_to",
         F.col("is_current").cast("int").alias("is_current"),
     )
+
+
+_SEQMINE_GAP_US = 1800 * 1_000_000
+
+_SEQMINE_SQL = f"""
+    WITH e AS (
+      SELECT user_id AS u, event_type AS t,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS ts
+      FROM events
+    ),
+    l1 AS (
+      SELECT t AS pattern, CAST(1 AS INT) AS length,
+             CAST(COUNT(DISTINCT u) AS BIGINT) AS support
+      FROM e GROUP BY t
+    ),
+    p2 AS (
+      SELECT DISTINCT e1.u, e1.t AS ta, e2.t AS tb
+      FROM e e1 JOIN e e2
+        ON e1.u = e2.u AND e2.ts > e1.ts
+       AND e2.ts - e1.ts <= {_SEQMINE_GAP_US}
+    ),
+    l2 AS (
+      SELECT ta || '>' || tb AS pattern, CAST(2 AS INT) AS length,
+             CAST(COUNT(*) AS BIGINT) AS support
+      FROM p2 GROUP BY ta, tb
+    ),
+    p3 AS (
+      SELECT DISTINCT e1.u, e1.t AS ta, e2.t AS tb, e3.t AS tc
+      FROM e e1
+      JOIN e e2 ON e1.u = e2.u AND e2.ts > e1.ts
+               AND e2.ts - e1.ts <= {_SEQMINE_GAP_US}
+      JOIN e e3 ON e2.u = e3.u AND e3.ts > e2.ts
+               AND e3.ts - e2.ts <= {_SEQMINE_GAP_US}
+    ),
+    l3 AS (
+      SELECT ta || '>' || tb || '>' || tc AS pattern,
+             CAST(3 AS INT) AS length, CAST(COUNT(*) AS BIGINT) AS support
+      FROM p3 GROUP BY ta, tb, tc
+    )
+    SELECT pattern, length, support FROM l1
+    UNION ALL SELECT pattern, length, support FROM l2
+    UNION ALL SELECT pattern, length, support FROM l3
+"""
+
+
+@register("q208_seq_patterns", oracle=_SEQMINE_SQL)
+def q208_seq_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-constrained sequential pattern mining (GSP with max-gap,
+    Srikant & Agrawal 1996) over the event stream: every length-1/2/3
+    event-type sequence a user performed with ≤30 min between
+    consecutive steps, with distinct-user support. The DISCOVERY
+    member of the sequence family — q132's funnel checks ONE fixed
+    sequence, q173's transition matrix counts ADJACENT bigrams; this
+    mines the whole ≤3-step lattice under a time constraint.
+
+    Exactness: strict-order matching uses integer-microsecond RANGE
+    frames (rangeBetween(…, -1)), so timestamp ties resolve exactly
+    as the oracle's ``e2.ts > e1.ts`` self-joins.
+
+    Scale shape (operators/seqmine.py): linear in events — one
+    per-user sort feeding V + V² conditional running-max window
+    columns (V = bounded type vocabulary), never the oracle's
+    O(events³) self-join; then explode → distinct → count."""
+    from ..operators.seqmine import gap_sequences
+
+    return gap_sequences(
+        table(spark, sf_dir, "events"),
+        max_gap_s=1800,
+        min_support=1,
+        max_len=3,
+    )
