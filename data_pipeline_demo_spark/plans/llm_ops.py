@@ -2556,3 +2556,66 @@ def q207_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id", *[col.alias(name) for name, col in flags.items()]
     )
+
+
+_DUCK_DV_ROUNDTRIP = """
+    WITH base AS (
+      SELECT o_orderkey, o_custkey, o_totalprice
+      FROM orders WHERE o_orderkey < 2000
+    ),
+    d1 AS (  -- merge-on-read DELETE by keys
+      SELECT * FROM base WHERE NOT (o_orderkey % 5 = 0)
+    ),
+    d2 AS (  -- second, stacked merge-on-read DELETE by predicate
+      SELECT * FROM d1 WHERE NOT (o_totalprice > 200000)
+    )
+    -- MERGE of the %7 batch: matched rows take the batch values,
+    -- unmatched batch rows insert (resurrecting deleted keys)
+    SELECT o_orderkey, CAST(-1 AS BIGINT) AS o_custkey, o_totalprice
+    FROM base WHERE o_orderkey % 7 = 0
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM d2 WHERE o_orderkey % 7 <> 0
+"""
+
+
+@register("q209_dv_roundtrip", oracle=_DUCK_DV_ROUNDTRIP)
+def q209_dv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read deletion vectors end-to-end under the value-exact
+    oracle (q92's copy-on-write sibling): an orders slice lands in a
+    txtable, a KEY delete and then a stacked PREDICATE delete run as
+    ``mode="merge-on-read"`` — zero data files rewritten, only
+    (file, row-position) sidecars committed — and a final MERGE both
+    materializes the touched buckets' vectors and re-inserts some
+    deleted keys. The oracle replays delete→delete→merge as pure SQL,
+    so a hash match certifies the vectors' anti-join read path, vector
+    stacking, logical-read MERGE semantics, and materialization — the
+    100 TB point-delete story (O(deleted rows) IO, not O(bucket
+    bytes)) proven value-exact, not just row-counted."""
+    import tempfile
+
+    from ..sinks.txlog import read_txtable, txlog_delete, txlog_upsert
+
+    root = tempfile.mkdtemp(prefix="q209-dv-") + "/t"
+    base = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 2000)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+    txlog_upsert(spark, base, root, key="o_orderkey", num_buckets=8)
+    txlog_delete(
+        spark,
+        root,
+        keys=base.filter(F.col("o_orderkey") % 5 == 0).select("o_orderkey"),
+        mode="merge-on-read",
+    )
+    txlog_delete(
+        spark, root, where="o_totalprice > 200000", mode="merge-on-read"
+    )
+    batch = base.filter(F.col("o_orderkey") % 7 == 0).withColumn(
+        "o_custkey", F.lit(-1).cast("long")
+    )
+    txlog_upsert(spark, batch, root)
+    return read_txtable(spark, root).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )

@@ -539,6 +539,209 @@ def _abs(root_path: str, rel: str) -> str:
     return root_path.rstrip("/") + "/" + rel
 
 
+# --- deletion vectors (merge-on-read DELETE, Delta DV role) ----------------
+#
+# A copy-on-write DELETE rewrites every touched bucket — at 100 TB a
+# GDPR-style point delete of 100 keys rewrites gigabytes to remove
+# kilobytes. Merge-on-read instead writes a DELETION VECTOR sidecar:
+# parquet files of (data-file reference, row position) pairs recorded
+# per bucket in the manifest ("bucket_dvs"). Data files stay immutable;
+# readers anti-join the (file, position) of each row (Spark's
+# ``_metadata.file_path`` / ``_metadata.row_index``) against the DV set
+# — O(deleted rows) extra work on a DV the size of the delete, not a
+# rewrite the size of the bucket. Bucket rewrites (MERGE / UPDATE /
+# copy-on-write DELETE / compaction) MATERIALIZE the DVs of the buckets
+# they touch: they read the logical rows and clear those buckets' DV
+# entries, so vectors never compound past the next rewrite.
+#
+# Protocol safety (Delta's reader/writer table-features model): a
+# manifest carrying DVs also carries ``"requires":
+# ["deletion-vectors"]``. Every verb checks ``requires`` against what
+# it supports and REFUSES loudly on unknown tokens — a code path that
+# ignored ``bucket_dvs`` would silently resurrect deleted rows, the one
+# failure mode a deletion feature must never have.
+#
+# Bookkeeping: ``row_counts`` stays PHYSICAL (file rows);
+# ``dv_counts[bucket]`` records logical deletions, so logical rows =
+# row_counts − dv_counts. Zone maps and bloom filters are left
+# untouched by a MOR delete — they become conservative (may cover
+# deleted rows), which can only fail to prune, never prune wrongly.
+
+DV_DIR = "dv"
+FEATURE_DV = "deletion-vectors"
+
+
+class UnsupportedTableFeatureError(RuntimeError):
+    """The manifest requires a table feature this code path does not
+    support. Refusing is the only safe answer: e.g. ignoring deletion
+    vectors would resurrect deleted rows."""
+
+
+def _check_features(
+    manifest: dict, supported: frozenset = frozenset(), op: str = "operate on"
+) -> None:
+    missing = sorted(set(manifest.get("requires", [])) - set(supported))
+    if missing:
+        raise UnsupportedTableFeatureError(
+            f"cannot {op} this txtable: manifest version "
+            f"{manifest.get('version')} requires table feature(s) "
+            f"{missing} unsupported here. For deletion vectors, "
+            "materialize them first (compact_txtable) or use the JVM "
+            "verbs (read_txtable / txlog_upsert / ...), which support "
+            "them."
+        )
+
+
+def _requires_of(manifest_fields: dict) -> dict:
+    """The ``requires`` entry a manifest with these fields must carry."""
+    req = []
+    if manifest_fields.get("bucket_dvs"):
+        req.append(FEATURE_DV)
+    return {"requires": req} if req else {}
+
+
+def _dv_carry(prev: dict, cleared_buckets=()) -> dict:
+    """Manifest DV fields carried forward from ``prev``, minus buckets
+    a rewrite just materialized. Returns {} for DV-free tables."""
+    cleared = {str(b) for b in cleared_buckets}
+    dvs = {
+        b: list(r)
+        for b, r in prev.get("bucket_dvs", {}).items()
+        if b not in cleared and r
+    }
+    counts = {
+        b: int(n)
+        for b, n in prev.get("dv_counts", {}).items()
+        if b not in cleared and b in dvs
+    }
+    fields = {}
+    if dvs:
+        fields["bucket_dvs"] = dvs
+        fields["dv_counts"] = counts
+    return {**fields, **_requires_of(fields)}
+
+
+def _norm_fs_path(p: str) -> str:
+    """Canonical form for comparing a manifest-derived absolute path
+    with Spark's ``_metadata.file_path`` URI: local-fs 'file:' schemes
+    collapse to a plain absolute path; other schemes pass through."""
+    if p.startswith("file:"):
+        p = p[len("file:"):]
+        while p.startswith("//"):
+            p = p[1:]
+    return p
+
+
+def _dv_rels(manifest: dict, bucket_ids) -> list[str]:
+    dvs = manifest.get("bucket_dvs", {})
+    return [r for b in bucket_ids for r in dvs.get(str(b), [])]
+
+
+def _with_row_refs(spark, root_path: str, manifest: dict, df, bucket_ids):
+    """Attach ``__dv_file`` (the MANIFEST's file reference — spelling-
+    independent, clone-safe) and ``__dv_pos`` (row position within the
+    file) to a raw snapshot scan. The file-path→reference lookup is
+    metadata-sized (the snapshot's file list) and broadcast."""
+    pairs = [
+        (_norm_fs_path(_abs(root_path, rel)), rel)
+        for b in bucket_ids
+        for rel in manifest["buckets"].get(str(b), [])
+    ]
+    lookup = spark.createDataFrame(
+        pairs, "__fp_norm string, __dv_file string"
+    )
+    fp_norm = F.regexp_replace(
+        F.col("_metadata.file_path"), "^file:/+", "/"
+    )
+    rows = df.select(
+        "*",
+        fp_norm.alias("__fp_norm"),
+        F.col("_metadata.row_index").alias("__dv_pos"),
+    )
+    return rows.join(F.broadcast(lookup), "__fp_norm", "inner").drop(
+        "__fp_norm"
+    )
+
+
+def _read_buckets_logical(
+    spark,
+    root_path: str,
+    manifest: dict,
+    bucket_ids,
+    keep_dv_cols: bool = False,
+):
+    """Read the LOGICAL rows of the given buckets: the snapshot scan
+    with the buckets' deletion vectors anti-applied. Returns None when
+    the buckets hold no files. ``keep_dv_cols=True`` keeps
+    ``__dv_file``/``__dv_pos`` on the output (the MOR delete path needs
+    them to record new vectors)."""
+    bucket_ids = [str(b) for b in bucket_ids]
+    files = [
+        _abs(root_path, rel)
+        for b in bucket_ids
+        for rel in manifest["buckets"].get(b, [])
+    ]
+    if not files:
+        return None
+    df = _read_snapshot_files(spark, manifest, files)
+    dv_rels = _dv_rels(manifest, bucket_ids)
+    if not dv_rels and not keep_dv_cols:
+        return df
+    cols = df.columns
+    rows = _with_row_refs(spark, root_path, manifest, df, bucket_ids)
+    if dv_rels:
+        dvs = spark.read.parquet(
+            *[_abs(root_path, r) for r in dv_rels]
+        ).select("__dv_file", "__dv_pos")
+        rows = rows.join(dvs, ["__dv_file", "__dv_pos"], "left_anti")
+    return rows if keep_dv_cols else rows.select(*cols)
+
+
+def _write_dv_files(
+    spark, root_path: str, doomed, prev: dict
+) -> tuple[dict, dict]:
+    """Write ``doomed`` (__dv_file, __dv_pos, BUCKET_COL) as a fresh
+    immutable ``dv/<uuid>/`` parquet dir partitioned by bucket; return
+    (new_bucket_dvs, new_dv_counts) with the previous manifest's
+    entries merged in. Caller commits; a crash first leaves the files
+    invisible (vacuum-able), exactly like data files."""
+    commit_id = uuid.uuid4().hex
+    out_rel = f"{DV_DIR}/{commit_id}"
+    doomed = doomed.persist()
+    try:
+        per_bucket = {
+            str(r[BUCKET_COL]): r["__n"]
+            for r in doomed.groupBy(BUCKET_COL)
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .collect()
+        }
+        touched = sorted(per_bucket, key=int)
+        (
+            doomed.repartition(max(len(touched), 1), F.col(BUCKET_COL))
+            .write.mode("error")
+            .partitionBy(BUCKET_COL)
+            .parquet(_abs(root_path, out_rel))
+        )
+    finally:
+        doomed.unpersist()
+    jvm = spark._jvm
+    fs, root = _hadoop_fs(spark, root_path)
+    bucket_dvs = {b: list(r) for b, r in prev.get("bucket_dvs", {}).items()}
+    dv_counts = {b: int(n) for b, n in prev.get("dv_counts", {}).items()}
+    for b in touched:
+        sub = jvm.org.apache.hadoop.fs.Path(
+            root, f"{out_rel}/{BUCKET_COL}={b}"
+        )
+        files = sorted(
+            f"{out_rel}/{BUCKET_COL}={b}/" + st.getPath().getName()
+            for st in fs.listStatus(sub)
+            if st.isFile() and st.getPath().getName().endswith(".parquet")
+        )
+        bucket_dvs[b] = bucket_dvs.get(b, []) + files
+        dv_counts[b] = dv_counts.get(b, 0) + int(per_bucket[b])
+    return bucket_dvs, dv_counts
+
+
 # --- manifest bloom index (Delta bloom-filter-index role) ------------------
 #
 # Per-bucket Bloom filters over DECLARED non-key columns, stored in the
@@ -787,6 +990,8 @@ def txlog_upsert(
     if (txn_app_id is None) != (txn_version is None):
         raise ValueError("txn_app_id and txn_version must be set together")
     prev = _latest_manifest(spark, root_path)
+    if prev is not None:
+        _check_features(prev, frozenset({FEATURE_DV}), "MERGE into")
     version = 0
     buckets: dict[str, list[str]] = {}
     row_counts: dict[str, int] = {}
@@ -898,13 +1103,13 @@ def txlog_upsert(
         # the delete clause must examine every target row: widen the
         # touched set to every non-empty bucket (Delta pays the same)
         touched = sorted(set(touched) | {int(b) for b in buckets})
-    prior_files = [
-        _abs(root_path, rel) for b in touched for rel in buckets.get(str(b), [])
-    ]
-    if prior_files:
-        current = _read_snapshot_files(spark, prev, prior_files).withColumn(
-            BUCKET_COL, _bucket_of(key, num_buckets)
-        )
+    current = (
+        _read_buckets_logical(spark, root_path, prev, touched)
+        if prev is not None
+        else None
+    )
+    if current is not None:
+        current = current.withColumn(BUCKET_COL, _bucket_of(key, num_buckets))
         upd_keys = updates.select(F.col(key).alias("__upd_key"))
         keep = current.join(
             upd_keys, F.col(key).eqNullSafe(F.col("__upd_key")), "left_anti"
@@ -958,10 +1163,16 @@ def txlog_upsert(
                 if generated_columns
                 else {}
             ),
+            **(_dv_carry(prev, touched) if prev is not None else {}),
             "committed_at_ms": int(time.time() * 1000),
         },
     )
-    return sum(row_counts.values())
+    remaining_dv = (
+        _dv_carry(prev, touched).get("dv_counts", {})
+        if prev is not None
+        else {}
+    )
+    return sum(row_counts.values()) - sum(remaining_dv.values())
 
 
 def _version_at_timestamp(
@@ -1032,6 +1243,7 @@ def read_txtable(
     )
     if manifest is None:
         raise FileNotFoundError(f"no committed txtable at {root_path}")
+    _check_features(manifest, frozenset({FEATURE_DV}), "read")
     live = sorted(manifest["buckets"], key=int)
     predicate = None
     if prune_between:
@@ -1177,6 +1389,11 @@ def read_txtable(
             f"txtable {root_path} version {manifest['version']} is empty"
         )
     df = _read_snapshot_files(spark, manifest, files)
+    if _dv_rels(manifest, live):
+        # merge-on-read: anti-apply the live buckets' deletion vectors
+        # (zone-map/bloom pruning above stays sound — DV'd rows can
+        # only make stats conservative, and the predicate re-applies)
+        df = _read_buckets_logical(spark, root_path, manifest, live)
     return df.filter(predicate) if predicate is not None else df
 
 
@@ -1185,6 +1402,7 @@ def txlog_delete(
     root_path: str,
     keys: DataFrame | None = None,
     where: str | None = None,
+    mode: str = "copy-on-write",
 ) -> int:
     """Row-level DELETE on the log-backed table — the data-lifecycle
     verb MERGE can't express (GDPR/right-to-be-forgotten removal,
@@ -1199,6 +1417,21 @@ def txlog_delete(
       finds the buckets containing matches; only THOSE buckets are
       rewritten. A predicate matching nothing commits no new version.
 
+    ``mode`` picks the physical strategy (Delta's DV switch):
+
+    - ``"copy-on-write"`` (default): touched buckets REWRITE without
+      the matched rows — best when deletes are broad, and the shape
+      hard erasure needs.
+    - ``"merge-on-read"``: matched rows are recorded in a deletion-
+      vector sidecar (``dv/<uuid>/``, per-bucket parquet of
+      (file-reference, row-position) pairs) and NO data file is
+      rewritten — O(deleted rows) IO however big the buckets are, the
+      100 TB point-delete shape. Readers anti-apply the vectors; the
+      next rewrite of a bucket (MERGE/UPDATE/DELETE/compaction)
+      materializes them. NOT hard erasure (the bytes remain until a
+      rewrite + vacuum): for GDPR removal use copy-on-write, or
+      follow with ``compact_txtable`` + vacuum.
+
     Returns rows deleted. Deletion is a snapshot commit like any other:
     old versions still time-travel to the deleted rows until vacuum
     ages them out — for hard erasure, follow with
@@ -1207,9 +1440,16 @@ def txlog_delete(
     """
     if (keys is None) == (where is None):
         raise ValueError("pass exactly one of keys= or where=")
+    if mode not in ("copy-on-write", "merge-on-read"):
+        raise ValueError(
+            f"mode={mode!r}: pass 'copy-on-write' or 'merge-on-read'"
+        )
     prev = _latest_manifest(spark, root_path)
     if prev is None:
         raise FileNotFoundError(f"no committed txtable at {root_path}")
+    _check_features(prev, frozenset({FEATURE_DV}), "DELETE from")
+    if mode == "merge-on-read":
+        return _txlog_delete_mor(spark, root_path, prev, keys, where)
     key = prev["key"]
     num_buckets = prev["num_buckets"]
     buckets = dict(prev["buckets"])
@@ -1228,22 +1468,17 @@ def txlog_delete(
         touched = [b for b in touched if str(b) in buckets]
         if not touched:
             return 0
-        files = [
-            _abs(root_path, rel) for b in touched for rel in buckets[str(b)]
-        ]
-        current = _read_snapshot_files(spark, prev, files)
+        current = _read_buckets_logical(spark, root_path, prev, touched)
         survivors = current.join(
             del_keys, F.col(key).eqNullSafe(F.col("__del_key")), "left_anti"
         ).withColumn(BUCKET_COL, _bucket_of(key, num_buckets))
     else:
         pred = F.coalesce(F.expr(where), F.lit(False))
         live = sorted(int(b) for b in buckets)
-        files = [_abs(root_path, rel) for b in live for rel in buckets[str(b)]]
-        if not files:
+        current = _read_buckets_logical(spark, root_path, prev, live)
+        if current is None:
             return 0  # table already empty: nothing to match
-        current = _read_snapshot_files(spark, prev, files).withColumn(
-            BUCKET_COL, _bucket_of(key, num_buckets)
-        )
+        current = current.withColumn(BUCKET_COL, _bucket_of(key, num_buckets))
         touched = sorted(
             r[0]
             for r in current.filter(pred).select(BUCKET_COL).distinct().collect()
@@ -1254,7 +1489,10 @@ def txlog_delete(
             ~pred
         )
 
-    prior = sum(row_counts[str(b)] for b in touched)
+    dv_counts = prev.get("dv_counts", {})
+    prior = sum(
+        row_counts[str(b)] - dv_counts.get(str(b), 0) for b in touched
+    )
     bucket_stats = dict(prev.get("bucket_stats", {}))
     bucket_blooms = dict(prev.get("bucket_blooms", {}))
     _publish_touched_buckets(
@@ -1287,10 +1525,88 @@ def txlog_delete(
             "bucket_blooms": bucket_blooms,
             "bloom_bits": int(prev.get("bloom_bits", BLOOM_BITS)),
             **_schema_carry(prev),
+            **_dv_carry(prev, touched),
             "committed_at_ms": int(time.time() * 1000),
         },
     )
     return prior - kept
+
+
+def _txlog_delete_mor(
+    spark: SparkSession,
+    root_path: str,
+    prev: dict,
+    keys: DataFrame | None,
+    where: str | None,
+) -> int:
+    """Merge-on-read DELETE body (see :func:`txlog_delete` ``mode``):
+    record matched LOGICAL rows (already-deleted rows can never be
+    re-recorded — the scan anti-applies existing vectors first) as new
+    deletion-vector files; no data file is read beyond the match scan,
+    none is rewritten. Key deletes scan only the key-hash buckets;
+    predicate deletes scan once to find matches. Commit carries every
+    data field unchanged and merges the new vectors in."""
+    key = prev["key"]
+    num_buckets = prev["num_buckets"]
+    buckets = prev["buckets"]
+    if keys is not None:
+        del_keys = keys.select(F.col(key).alias("__del_key")).dropDuplicates()
+        touched = sorted(
+            r[0]
+            for r in del_keys.select(
+                _bucket_of("__del_key", num_buckets).alias(BUCKET_COL)
+            )
+            .distinct()
+            .collect()
+        )
+        touched = [b for b in touched if str(b) in buckets]
+        if not touched:
+            return 0
+        rows = _read_buckets_logical(
+            spark, root_path, prev, touched, keep_dv_cols=True
+        )
+        matched = rows.join(
+            del_keys, F.col(key).eqNullSafe(F.col("__del_key")), "left_semi"
+        )
+    else:
+        pred = F.coalesce(F.expr(where), F.lit(False))
+        live = sorted(int(b) for b in buckets)
+        rows = _read_buckets_logical(
+            spark, root_path, prev, live, keep_dv_cols=True
+        )
+        if rows is None:
+            return 0  # table already empty: nothing to match
+        matched = rows.filter(pred)
+    doomed = matched.select(
+        "__dv_file", "__dv_pos", _bucket_of(key, num_buckets).alias(BUCKET_COL)
+    )
+    bucket_dvs, dv_counts = _write_dv_files(spark, root_path, doomed, prev)
+    n = sum(dv_counts.values()) - sum(prev.get("dv_counts", {}).values())
+    if n == 0:
+        return 0  # nothing matched: no version churn
+    fields = {"bucket_dvs": bucket_dvs, "dv_counts": dv_counts}
+    _commit_manifest(
+        spark,
+        root_path,
+        {
+            "version": prev["version"] + 1,
+            "key": key,
+            "num_buckets": num_buckets,
+            "buckets": dict(buckets),
+            "row_counts": dict(prev["row_counts"]),
+            "app_txns": dict(prev.get("app_txns", {})),
+            "stats_columns": prev.get("stats_columns", []),
+            "bucket_stats": dict(prev.get("bucket_stats", {})),
+            "bloom_columns": prev.get("bloom_columns", []),
+            "bucket_blooms": dict(prev.get("bucket_blooms", {})),
+            "bloom_bits": int(prev.get("bloom_bits", BLOOM_BITS)),
+            **_schema_carry(prev),
+            **fields,
+            **_requires_of(fields),
+            "committed_at_ms": int(time.time() * 1000),
+        },
+    )
+    return n
 
 
 def txlog_update(
@@ -1324,6 +1640,7 @@ def txlog_update(
     prev = _latest_manifest(spark, root_path)
     if prev is None:
         raise FileNotFoundError(f"no committed txtable at {root_path}")
+    _check_features(prev, frozenset({FEATURE_DV}), "UPDATE")
     key = prev["key"]
     if key in set:
         raise ValueError(
@@ -1342,12 +1659,10 @@ def txlog_update(
     buckets = dict(prev["buckets"])
     row_counts = dict(prev["row_counts"])
     live = sorted(int(b) for b in buckets)
-    files = [_abs(root_path, rel) for b in live for rel in buckets[str(b)]]
-    if not files:
+    current = _read_buckets_logical(spark, root_path, prev, live)
+    if current is None:
         return 0
-    current = _read_snapshot_files(spark, prev, files).withColumn(
-        BUCKET_COL, _bucket_of(key, num_buckets)
-    )
+    current = current.withColumn(BUCKET_COL, _bucket_of(key, num_buckets))
     unknown = [c for c in set if c not in current.columns]
     if unknown:
         raise ValueError(f"SET columns not in table schema: {unknown}")
@@ -1412,6 +1727,7 @@ def txlog_update(
             "bucket_blooms": bucket_blooms,
             "bloom_bits": int(prev.get("bloom_bits", BLOOM_BITS)),
             **_schema_carry(prev),
+            **_dv_carry(prev, touched),
             "committed_at_ms": int(time.time() * 1000),
         },
     )
@@ -1448,6 +1764,7 @@ def _alter_commit(
             "schema": fields,
             **({"dropped_columns": dropped} if dropped else {}),
             **({"generated_columns": _g} if _g else {}),
+            **_dv_carry(prev),
             "committed_at_ms": int(time.time() * 1000),
         },
     )
@@ -1590,15 +1907,28 @@ def txtable_changes(
     )
     if m_to is None:
         raise FileNotFoundError(f"no committed txtable at {root_path}")
+    for m in (m_from, m_to):
+        _check_features(m, frozenset({FEATURE_DV}), "read changes from")
     key = m_to["key"]
+
+    # a bucket changed iff its file list OR its deletion-vector list
+    # differs (a merge-on-read DELETE touches no data file, but the
+    # bucket's logical rows changed all the same)
+    def _sig(m, b):
+        return (
+            m["buckets"].get(b),
+            m.get("bucket_dvs", {}).get(b),
+        )
+
     changed = sorted(
         {
             b
             for b in set(m_from["buckets"]) | set(m_to["buckets"])
-            if m_from["buckets"].get(b) != m_to["buckets"].get(b)
+            if _sig(m_from, b) != _sig(m_to, b)
         },
         key=int,
     )
+
     def side_files(manifest):
         return [
             _abs(root_path, rel)
@@ -1625,8 +1955,16 @@ def txtable_changes(
         return spark.createDataFrame([], f"{key} string").withColumn(
             "_change_type", F.lit(None).cast("string")
         )
-    old = _read_snapshot_files(spark, m_from, f_old) if f_old else None
-    new = _read_snapshot_files(spark, m_to, f_new) if f_new else None
+    old = (
+        _read_buckets_logical(spark, root_path, m_from, changed)
+        if f_old
+        else None
+    )
+    new = (
+        _read_buckets_logical(spark, root_path, m_to, changed)
+        if f_new
+        else None
+    )
     if old is None:
         old = new.limit(0)
     if new is None:
@@ -1730,6 +2068,11 @@ def shallow_clone_txtable(
     )
     if src is None:
         raise FileNotFoundError(f"no committed txtable at {source_root}")
+    # Deliberately unsupported with deletion vectors: the clone's
+    # manifest would need the source's DV files too, and vacuum/compact
+    # interplay across tables gets subtle. Materialize first
+    # (compact_txtable) or deep-clone (reads logically).
+    _check_features(src, frozenset(), "shallow-clone")
     if _latest_manifest(spark, target_root) is not None:
         raise FileExistsError(
             f"target {target_root} is already a txtable; clone onto a "
@@ -1828,7 +2171,9 @@ def txtable_history(spark: SparkSession, root_path: str) -> list[dict]:
             {
                 "version": v,
                 "num_buckets_live": len(m["buckets"]),
-                "rows": sum(m["row_counts"].values()),
+                # logical rows: physical file rows minus DV deletions
+                "rows": sum(m["row_counts"].values())
+                - sum(m.get("dv_counts", {}).values()),
                 "committed_at_ms": m.get("committed_at_ms"),
             }
         )
@@ -1896,6 +2241,7 @@ def restore_txtable(
             "bucket_blooms": dict(src.get("bucket_blooms", {})),
             "bloom_bits": int(src.get("bloom_bits", BLOOM_BITS)),
             **_schema_carry(src),
+            **_dv_carry(src),
             "restored_from_version": version,
             "committed_at_ms": int(time.time() * 1000),
         },
@@ -1952,12 +2298,19 @@ def vacuum_txtable(
     live: set[str] = set()
     for v in keep:
         m = _read_manifest(spark, root_path, v)
+        _check_features(m, frozenset({FEATURE_DV}), "vacuum")
         for rels in m["buckets"].values():
             live.update(rels)
+        # deletion-vector sidecars referenced by a kept manifest are as
+        # live as data files — sweeping one would resurrect its rows
+        for rels in m.get("bucket_dvs", {}).values():
+            live.update(rels)
     deleted = 0
-    data = jvm.org.apache.hadoop.fs.Path(root, DATA_DIR)
-    if fs.exists(data):
-        # data/<commit-uuid>/__bucket=N/file.parquet
+    # data/<commit-uuid>/__bucket=N/file.parquet, and the same layout
+    # under dv/ for deletion-vector sidecars
+    for top_dir in (DATA_DIR, DV_DIR):
+      data = jvm.org.apache.hadoop.fs.Path(root, top_dir)
+      if fs.exists(data):
         for commit_st in fs.listStatus(data):
             if not commit_st.isDirectory():
                 continue
@@ -1969,7 +2322,7 @@ def vacuum_txtable(
                     continue
                 bname = bucket_st.getPath().getName()
                 for file_st in fs.listStatus(bucket_st.getPath()):
-                    rel = f"{DATA_DIR}/{commit_name}/{bname}/" + file_st.getPath().getName()
+                    rel = f"{top_dir}/{commit_name}/{bname}/" + file_st.getPath().getName()
                     if rel in live:
                         any_kept = True
                     elif file_st.isFile():
@@ -2066,11 +2419,16 @@ def compact_txtable(
     manifest = _latest_manifest(spark, root_path)
     if manifest is None:
         return 0
+    _check_features(manifest, frozenset({FEATURE_DV}), "compact")
     jvm = spark._jvm
     fs, root = _hadoop_fs(spark, root_path)
+    dv_buckets = set(manifest.get("bucket_dvs", {}))
     todo: dict[str, list[str]] = {}
     for b, rels in manifest["buckets"].items():
-        if zorder_by:
+        if zorder_by or b in dv_buckets:
+            # deletion-vector materialization: a DV-bearing bucket is
+            # rewritten regardless of file count — compaction is the
+            # maintenance verb that folds vectors back into data files
             todo[b] = rels
             continue
         if len(rels) < max(2, min_files):
@@ -2087,15 +2445,29 @@ def compact_txtable(
     commit_id = uuid.uuid4().hex
     out_rel = f"{DATA_DIR}/{commit_id}"
     buckets = dict(manifest["buckets"])
+    row_counts = dict(manifest["row_counts"])
+    bucket_stats = dict(manifest.get("bucket_stats", {}))
+    bucket_blooms = dict(manifest.get("bucket_blooms", {}))
+    dv_counts = manifest.get("dv_counts", {})
     for b, rels in todo.items():
-        files = [_abs(root_path, rel) for rel in rels]
+        new_rows = row_counts.get(b, 0) - dv_counts.get(b, 0)
+        if b in dv_buckets and new_rows <= 0:
+            # every row of the bucket is DV-deleted: materialization
+            # drops the bucket outright, no write needed
+            buckets.pop(b, None)
+            row_counts.pop(b, None)
+            bucket_stats.pop(b, None)
+            bucket_blooms.pop(b, None)
+            continue
         nbytes = sum(
             fs.getFileStatus(jvm.org.apache.hadoop.fs.Path(root, rel)).getLen()
             for rel in rels
         )
         want = int(max(1, -(-nbytes // target_file_bytes)))
         bucket_rel = f"{out_rel}/{BUCKET_COL}={b}"
-        df = _read_snapshot_files(spark, manifest, files)
+        # logical read: folds the bucket's deletion vectors (if any)
+        # into the rewrite — the vectors clear from the new manifest
+        df = _read_buckets_logical(spark, root_path, manifest, [b])
         if zorder_by:
             from .layout import (
                 ZORDER_BITS,
@@ -2136,6 +2508,11 @@ def compact_txtable(
             for st in fs.listStatus(sub)
             if st.isFile() and st.getPath().getName().endswith(".parquet")
         )
+        if b in dv_buckets:
+            # vectors just materialized: physical rows = logical rows.
+            # Zone maps / blooms stay AS-IS — over-approximations that
+            # can only fail to prune, never prune a live row.
+            row_counts[b] = new_rows
     _commit_manifest(
         spark,
         root_path,
@@ -2144,16 +2521,18 @@ def compact_txtable(
             "key": manifest["key"],
             "num_buckets": manifest["num_buckets"],
             "buckets": buckets,
-            "row_counts": manifest["row_counts"],
+            "row_counts": row_counts,
             "app_txns": dict(manifest.get("app_txns", {})),
             # rows unchanged by compaction/ZORDER ⇒ zone maps and
-            # bloom filters both still exact
+            # bloom filters both still exact (conservative for buckets
+            # that just materialized deletion vectors)
             "stats_columns": manifest.get("stats_columns", []),
-            "bucket_stats": dict(manifest.get("bucket_stats", {})),
+            "bucket_stats": bucket_stats,
             "bloom_columns": manifest.get("bloom_columns", []),
-            "bucket_blooms": dict(manifest.get("bucket_blooms", {})),
+            "bucket_blooms": bucket_blooms,
             "bloom_bits": int(manifest.get("bloom_bits", BLOOM_BITS)),
             **_schema_carry(manifest),
+            **_dv_carry(manifest, todo.keys()),
             "committed_at_ms": int(time.time() * 1000),
         },
     )

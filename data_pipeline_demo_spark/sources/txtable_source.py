@@ -235,9 +235,29 @@ def _manifest_versions(fs, root: str) -> list[int]:
     return sorted(out)
 
 
-def _read_manifest(fs, root: str, version: int) -> dict:
+def _check_manifest_features(manifest: dict) -> None:
+    """Protocol gate (Delta table-features model): a manifest carrying
+    ``requires`` tokens this reader does not implement must be REFUSED,
+    not half-read — e.g. ignoring ``deletion-vectors`` (``bucket_dvs``)
+    would silently resurrect deleted rows."""
+    req = sorted(set(manifest.get("requires", [])))
+    if req:
+        raise NotImplementedError(
+            f"txtable manifest version {manifest.get('version')} requires "
+            f"table feature(s) {req} the python DataSource does not "
+            "support; read via sinks.txlog.read_txtable (JVM path) or "
+            "materialize deletion vectors first (compact_txtable)"
+        )
+
+
+def _read_manifest(
+    fs, root: str, version: int, check_features: bool = True
+) -> dict:
     p = root.rstrip("/") + f"/{COMMITS_DIR}/{version:020d}.json"
-    return json.loads(fs.open_bytes(p).decode("utf-8"))
+    m = json.loads(fs.open_bytes(p).decode("utf-8"))
+    if check_features:
+        _check_manifest_features(m)
+    return m
 
 
 def _manifest_or_empty(fs, root: str, version: int, template: dict) -> dict:
@@ -261,7 +281,10 @@ def _version_before_timestamp(fs, root: str, ts_ms: int) -> int:
     commit's inserts included."""
     base = -1
     for v in _manifest_versions(fs, root):
-        if _read_manifest(fs, root, v).get("committed_at_ms", 0) < ts_ms:
+        # metadata-only probe: the eventual snapshot/CDC read re-checks
+        if _read_manifest(fs, root, v, check_features=False).get(
+            "committed_at_ms", 0
+        ) < ts_ms:
             base = v
         else:
             break

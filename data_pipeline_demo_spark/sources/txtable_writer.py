@@ -614,7 +614,9 @@ def _resolve_table_spec(fs, root: str, options: dict, schema) -> dict:
     ``txlog_upsert``), or taken from options/defaults for a new table."""
     try:
         latest = _latest_version(fs, root)
-        m = _read_manifest(fs, root, latest)
+        # spec resolution is metadata-only; feature handling happens in
+        # commit_files (append carries deletion vectors, overwrite drops)
+        m = _read_manifest(fs, root, latest, check_features=False)
     except FileNotFoundError:
         m = None
     opt_key = options.get("key")
@@ -757,9 +759,40 @@ def commit_files(
     for _ in range(_MAX_COMMIT_RETRIES):
         try:
             latest = _latest_version(fs, root)
-            prev = _read_manifest(fs, root, latest)
+            prev = _read_manifest(fs, root, latest, check_features=False)
         except FileNotFoundError:
             prev = None
+        # Table-features protocol: APPEND carries deletion vectors
+        # verbatim (new files never overlap old ones, so existing
+        # vectors stay exact); OVERWRITE replaces the whole snapshot,
+        # dropping them with the buckets they covered. Any OTHER
+        # required feature is unknown here — refuse rather than
+        # silently strip it from the next manifest.
+        unknown_req = sorted(
+            set((prev or {}).get("requires", [])) - {"deletion-vectors"}
+        )
+        if unknown_req:
+            raise NotImplementedError(
+                f"txtable at {root} requires table feature(s) "
+                f"{unknown_req} the python writer does not support"
+            )
+        dv_fields = {}
+        if prev is not None and not overwrite:
+            dvs = {
+                b: list(r)
+                for b, r in prev.get("bucket_dvs", {}).items()
+                if r
+            }
+            if dvs:
+                dv_fields = {
+                    "bucket_dvs": dvs,
+                    "dv_counts": {
+                        b: int(n)
+                        for b, n in prev.get("dv_counts", {}).items()
+                        if b in dvs
+                    },
+                    "requires": ["deletion-vectors"],
+                }
         version = 0 if prev is None else prev["version"] + 1
         app_txns = dict(prev.get("app_txns", {})) if prev else {}
         if (
@@ -866,6 +899,7 @@ def commit_files(
             "bloom_bits": bloom_bits,
             **({"schema": schema_fields} if schema_fields else {}),
             **({"dropped_columns": dropped_columns} if dropped_columns else {}),
+            **dv_fields,
             "committed_at_ms": _now_ms(),
         }
         payload = json.dumps(manifest).encode("utf-8")
@@ -985,7 +1019,9 @@ def _precheck_schema(fs, root: str, spec: dict, overwrite: bool) -> None:
     commit_files against the manifest current at commit, so a racing
     evolution between plan and commit still resolves correctly."""
     try:
-        prev = _read_manifest(fs, root, _latest_version(fs, root))
+        prev = _read_manifest(
+            fs, root, _latest_version(fs, root), check_features=False
+        )
     except FileNotFoundError:
         return
     _resolve_commit_schema(prev, spec, overwrite)

@@ -1,0 +1,244 @@
+"""Merge-on-read DELETE via deletion vectors (sinks/txlog.py):
+MOR ≡ COW results, no data-file rewrites, materialization on every
+rewrite verb, CDC/time-travel/restore interplay, protocol gates, and
+vacuum lifecycle."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_pipeline_demo_spark.sinks.txlog import (
+    UnsupportedTableFeatureError,
+    compact_txtable,
+    read_txtable,
+    restore_txtable,
+    shallow_clone_txtable,
+    txlog_delete,
+    txlog_update,
+    txlog_upsert,
+    txtable_changes,
+    txtable_history,
+    vacuum_txtable,
+)
+
+
+def _rows(spark, pairs):
+    return spark.createDataFrame(pairs, "id long, v string")
+
+
+def _as_dict(df):
+    return {r["id"]: r["v"] for r in df.collect()}
+
+
+def _manifest(tmp_path, name, version):
+    return json.loads(
+        (tmp_path / name / "_commits" / f"{version:020d}.json").read_text()
+    )
+
+
+def _fresh(spark, tmp_path, name="tx", n=40, num_buckets=4):
+    root = str(tmp_path / name)
+    txlog_upsert(
+        spark,
+        _rows(spark, [(i, f"v{i}") for i in range(n)]),
+        root,
+        num_buckets=num_buckets,
+    )
+    return root
+
+
+def test_mor_delete_by_keys_no_file_rewrite(spark, tmp_path):
+    root = _fresh(spark, tmp_path)
+    m0 = _manifest(tmp_path, "tx", 0)
+    n = txlog_delete(
+        spark,
+        root,
+        keys=spark.createDataFrame([(3,), (7,), (999,)], "id long"),
+        mode="merge-on-read",
+    )
+    assert n == 2  # 999 never existed
+    m1 = _manifest(tmp_path, "tx", 1)
+    # zero data files rewritten — identical bucket file lists
+    assert m1["buckets"] == m0["buckets"]
+    assert m1["row_counts"] == m0["row_counts"]
+    assert m1["requires"] == ["deletion-vectors"]
+    assert sum(m1["dv_counts"].values()) == 2
+    got = _as_dict(read_txtable(spark, root))
+    assert set(got) == set(range(40)) - {3, 7}
+    # time travel still sees the deleted rows
+    assert len(_as_dict(read_txtable(spark, root, version=0))) == 40
+    # history reports logical rows
+    assert [h["rows"] for h in txtable_history(spark, root)] == [40, 38]
+
+
+def test_mor_delete_matches_cow_delete(spark, tmp_path):
+    keys = spark.createDataFrame([(i,) for i in range(0, 40, 5)], "id long")
+    mor = _fresh(spark, tmp_path, "mor")
+    cow = _fresh(spark, tmp_path, "cow")
+    n1 = txlog_delete(spark, mor, keys=keys, mode="merge-on-read")
+    n2 = txlog_delete(spark, cow, keys=keys)  # copy-on-write default
+    assert n1 == n2 == 8
+    assert _as_dict(read_txtable(spark, mor)) == _as_dict(
+        read_txtable(spark, cow)
+    )
+
+
+def test_mor_predicate_delete_and_stacking(spark, tmp_path):
+    root = _fresh(spark, tmp_path)
+    assert (
+        txlog_delete(spark, root, where="id >= 30", mode="merge-on-read")
+        == 10
+    )
+    # second MOR delete stacks; already-deleted rows never re-match
+    assert (
+        txlog_delete(spark, root, where="id >= 20", mode="merge-on-read")
+        == 10
+    )
+    # no-match predicate: no version churn
+    v_before = txtable_history(spark, root)[-1]["version"]
+    assert (
+        txlog_delete(spark, root, where="id >= 20", mode="merge-on-read")
+        == 0
+    )
+    assert txtable_history(spark, root)[-1]["version"] == v_before
+    assert set(_as_dict(read_txtable(spark, root))) == set(range(20))
+
+
+def test_merge_materializes_touched_bucket_dvs(spark, tmp_path):
+    root = _fresh(spark, tmp_path)
+    txlog_delete(
+        spark,
+        root,
+        keys=spark.createDataFrame([(i,) for i in range(40)], "id long"),
+        mode="merge-on-read",
+    )  # delete EVERYTHING via DVs; every bucket carries a vector
+    # merge one row back: its bucket materializes (deleted rows must
+    # NOT resurrect), other buckets keep their vectors
+    txlog_upsert(spark, _rows(spark, [(1, "back")]), root)
+    got = _as_dict(read_txtable(spark, root))
+    assert got == {1: "back"}
+    m = _manifest(tmp_path, "tx", 2)
+    assert m.get("requires") == ["deletion-vectors"]  # other buckets still
+    # the merged bucket's DV entry is gone
+    from data_pipeline_demo_spark.sources.pushdown import bucket_of_literal
+
+    b1 = bucket_of_literal(1, 4, "int64")
+    assert str(b1) not in m.get("bucket_dvs", {})
+
+
+def test_update_after_mor_delete(spark, tmp_path):
+    root = _fresh(spark, tmp_path)
+    txlog_delete(spark, root, where="id < 5", mode="merge-on-read")
+    n = txlog_update(spark, root, set={"v": "'X'"}, where="id < 10")
+    assert n == 5  # ids 0-4 are logically gone
+    got = _as_dict(read_txtable(spark, root))
+    assert set(got) == set(range(5, 40))
+    assert all(got[i] == "X" for i in range(5, 10))
+
+
+def test_cow_delete_after_mor_counts_logical(spark, tmp_path):
+    root = _fresh(spark, tmp_path)
+    txlog_delete(spark, root, where="id < 10", mode="merge-on-read")
+    # COW delete over overlapping range: only logically-live rows count
+    assert txlog_delete(spark, root, where="id < 20") == 10
+    assert set(_as_dict(read_txtable(spark, root))) == set(range(20, 40))
+
+
+def test_compact_materializes_and_vacuum_sweeps(spark, tmp_path):
+    root = _fresh(spark, tmp_path)
+    txlog_delete(spark, root, where="id % 2 = 0", mode="merge-on-read")
+    assert compact_txtable(spark, root, min_files=2) > 0
+    m = _manifest(tmp_path, "tx", 2)
+    assert "requires" not in m and "bucket_dvs" not in m
+    assert sum(m["row_counts"].values()) == 20
+    got = set(_as_dict(read_txtable(spark, root)))
+    assert got == {i for i in range(40) if i % 2}
+    # vacuum to the newest version: DV sidecars are unreferenced now
+    vacuum_txtable(spark, root, keep_last=1)
+    dv_dir = tmp_path / "tx" / "dv"
+    leftover = (
+        [p for p in dv_dir.rglob("*.parquet")] if dv_dir.exists() else []
+    )
+    assert leftover == []
+    assert set(_as_dict(read_txtable(spark, root))) == got
+
+
+def test_vacuum_keeps_live_dvs(spark, tmp_path):
+    root = _fresh(spark, tmp_path)
+    txlog_delete(spark, root, where="id < 3", mode="merge-on-read")
+    vacuum_txtable(spark, root, keep_last=1)  # newest manifest HAS DVs
+    assert set(_as_dict(read_txtable(spark, root))) == set(range(3, 40))
+
+
+def test_cdc_sees_mor_delete(spark, tmp_path):
+    root = _fresh(spark, tmp_path)
+    txlog_delete(
+        spark,
+        root,
+        keys=spark.createDataFrame([(5,), (6,)], "id long"),
+        mode="merge-on-read",
+    )
+    ch = txtable_changes(spark, root, from_version=0).collect()
+    assert sorted((r["id"], r["_change_type"]) for r in ch) == [
+        (5, "delete"),
+        (6, "delete"),
+    ]
+
+
+def test_restore_across_mor_delete(spark, tmp_path):
+    root = _fresh(spark, tmp_path)
+    txlog_delete(spark, root, where="id < 10", mode="merge-on-read")
+    restore_txtable(spark, root, version=0)
+    assert len(_as_dict(read_txtable(spark, root))) == 40
+    # restore TO the DV version carries the vectors
+    restore_txtable(spark, root, version=1)
+    assert len(_as_dict(read_txtable(spark, root))) == 30
+
+
+def test_shallow_clone_refuses_dvs(spark, tmp_path):
+    root = _fresh(spark, tmp_path)
+    txlog_delete(spark, root, where="id < 10", mode="merge-on-read")
+    with pytest.raises(UnsupportedTableFeatureError):
+        shallow_clone_txtable(spark, root, str(tmp_path / "clone"))
+
+
+def test_python_reader_refuses_dvs(spark, tmp_path):
+    root = _fresh(spark, tmp_path)
+    txlog_delete(spark, root, where="id < 10", mode="merge-on-read")
+    from data_pipeline_demo_spark.sources.txtable_source import (
+        register_txtable_source,
+    )
+
+    register_txtable_source(spark)
+    with pytest.raises(Exception, match="deletion-vectors"):
+        spark.read.format("txtable").load(root).collect()
+
+
+def test_python_writer_append_carries_dvs(spark, tmp_path):
+    root = _fresh(spark, tmp_path)
+    txlog_delete(spark, root, where="id < 10", mode="merge-on-read")
+    from data_pipeline_demo_spark.sources.txtable_source import (
+        register_txtable_source,
+    )
+
+    register_txtable_source(spark)
+    add = spark.createDataFrame([(100, "new")], "id long, v string")
+    add.write.format("txtable").mode("append").save(root)
+    got = _as_dict(read_txtable(spark, root))
+    assert set(got) == set(range(10, 40)) | {100}  # deletes preserved
+
+
+def test_mor_unknown_feature_refused(spark, tmp_path):
+    root = _fresh(spark, tmp_path)
+    # hand-craft a manifest requiring an unknown feature
+    m = _manifest(tmp_path, "tx", 0)
+    m["version"] = 1
+    m["requires"] = ["quantum-compression"]
+    (tmp_path / "tx" / "_commits" / f"{1:020d}.json").write_text(
+        json.dumps(m)
+    )
+    with pytest.raises(UnsupportedTableFeatureError):
+        read_txtable(spark, root)
+    with pytest.raises(UnsupportedTableFeatureError):
+        txlog_upsert(spark, _rows(spark, [(1, "x")]), root)
