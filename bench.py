@@ -150,6 +150,33 @@ def bench_lakehouse(spark, sf_dir: str, runs: int):
         timings["lh_cdc_diff"], spreads["lh_cdc_diff"] = _timed(
             lambda: txtable_changes(spark, root, 0, 1).count(), runs
         )
+        # point-delete strategies head-to-head: each run deletes a
+        # FRESH ~0.1% key slice (slices never overlap, so every run
+        # pays the same real work). merge-on-read writes only a
+        # (file, row-position) sidecar — the 100 TB point-delete
+        # shape; copy-on-write rewrites every touched bucket.
+        from data_pipeline_demo_spark.sinks.txlog import txlog_delete
+
+        slice_no = iter(range(1000))
+
+        def _del_slice(mode):
+            k = next(slice_no)
+            keys = base.filter(
+                (F.col("li_id") % 1000 == k) & (F.col("l_orderkey") % 10 != 0)
+            ).select("li_id")
+            return lambda: txlog_delete(
+                spark, root, keys=keys, mode=mode
+            )
+
+        timings["lh_mor_delete"], spreads["lh_mor_delete"] = _timed(
+            lambda: _del_slice("merge-on-read")(), runs
+        )
+        timings["lh_cow_delete"], spreads["lh_cow_delete"] = _timed(
+            lambda: _del_slice("copy-on-write")(), runs
+        )
+        # (the python-writer OVERWRITE below replaces the snapshot,
+        # which drops the remaining vectors with the buckets they
+        # covered — later entries see a DV-free table)
         # python writer path: snapshot overwrite of the full base
         # through the bucket-aligned write_txtable wrapper (vectorized
         # bucket split + parquet encode per task, python-side manifest
