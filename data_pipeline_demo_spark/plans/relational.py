@@ -3896,3 +3896,77 @@ def q206_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return skyline_2d(part, "p_retailprice", "p_size").select(
         "p_partkey", "p_size", "p_retailprice"
     )
+
+
+_ABC_SQL = """
+    WITH s AS (
+      SELECT p.p_brand,
+             SUM(CAST(l.l_extendedprice AS DECIMAL(30,6))) AS rev
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY p.p_brand
+    ),
+    r AS (
+      SELECT p_brand, rev,
+             SUM(rev) OVER (
+                 ORDER BY rev DESC, p_brand
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cum,
+             SUM(rev) OVER () AS tot
+      FROM s
+    )
+    SELECT p_brand, CAST(rev AS DOUBLE) AS revenue,
+           CASE WHEN cum * 5 <= tot * 4 THEN 'A'
+                WHEN cum * 20 <= tot * 19 THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM r
+"""
+
+
+@register("q211_abc_pareto", oracle=_ABC_SQL)
+def q211_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto inventory classification (the 80/15/5 revenue-share
+    cut every supply-chain curriculum teaches): brands whose running
+    revenue share stays within 80% are 'A', within 95% 'B', the tail
+    'C'.
+
+    Exactness: revenue sums in DECIMAL(30,6) (order-independent), the
+    running sum walks one deterministic total order (rev DESC, brand),
+    and the class thresholds are DECIMAL multiplications (cum·5 ≤
+    tot·4), so no float compare anywhere — both engines agree
+    bit-for-bit even at class boundaries.
+
+    Scale shape: one combinable groupBy(brand) over the fact table;
+    everything after runs on the BRAND grain (bounded by catalog
+    cardinality, not rows), where a single-partition window is the
+    correct plan."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    from pyspark.sql import Window as W
+
+    s = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(30,6)")).alias(
+                "rev"
+            )
+        )
+    )
+    w_run = W.orderBy(F.col("rev").desc(), "p_brand").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    w_tot = W.partitionBy()
+    r = s.select(
+        "p_brand",
+        "rev",
+        F.sum("rev").over(w_run).alias("cum"),
+        F.sum("rev").over(w_tot).alias("tot"),
+    )
+    return r.select(
+        "p_brand",
+        F.col("rev").cast("double").alias("revenue"),
+        F.when(F.col("cum") * 5 <= F.col("tot") * 4, "A")
+        .when(F.col("cum") * 20 <= F.col("tot") * 19, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )

@@ -1559,3 +1559,65 @@ def q208_seq_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
         min_support=1,
         max_len=3,
     )
+
+
+_REACH_SQL = """
+    WITH f AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS first_d
+      FROM events GROUP BY user_id
+    ),
+    newu AS (
+      SELECT first_d AS d, CAST(COUNT(*) AS BIGINT) AS new_users
+      FROM f GROUP BY first_d
+    ),
+    dau AS (
+      SELECT CAST(ts AS DATE) AS d,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau
+      FROM events GROUP BY CAST(ts AS DATE)
+    )
+    SELECT dau.d, dau.dau,
+           CAST(COALESCE(newu.new_users, 0) AS BIGINT) AS new_users,
+           CAST(SUM(COALESCE(newu.new_users, 0)) OVER (
+               ORDER BY dau.d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS cum_reach
+    FROM dau LEFT JOIN newu ON dau.d = newu.d
+"""
+
+
+@register("q210_cumulative_reach", oracle=_REACH_SQL)
+def q210_cumulative_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active users + cumulative distinct reach — the RUNNING
+    COUNT DISTINCT the growth dashboard needs, which a naive window
+    can't express without re-deduplicating an ever-growing set.
+
+    Exactness: all integers (counts and a running integer sum).
+
+    Scale shape: running-distinct collapses to FIRST-SEEN — one
+    groupBy(user) for min(date) (combinable), one groupBy(date), and
+    the only total order is over the DAY grain (bounded by calendar
+    days, not rows or users) — the same bound q195/q200 accept. DAU is
+    a per-day distinct, partial-aggregated map-side. Never a growing
+    window state."""
+    e = table(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("date").alias("d")
+    )
+    first = e.groupBy("user_id").agg(F.min("d").alias("first_d"))
+    newu = first.groupBy(F.col("first_d").alias("d")).agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    dau = e.groupBy("d").agg(F.countDistinct("user_id").alias("dau"))
+    w = Window.orderBy("d").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    joined = dau.join(newu, "d", "left").select(
+        "d",
+        "dau",
+        F.coalesce("new_users", F.lit(0)).alias("new_users"),
+    )
+    return joined.select(
+        "d",
+        "dau",
+        "new_users",
+        F.sum("new_users").over(w).cast("bigint").alias("cum_reach"),
+    )

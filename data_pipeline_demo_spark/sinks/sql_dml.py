@@ -160,12 +160,20 @@ def txtable_sql(spark: SparkSession, sql: str) -> DataFrame | int | None:
         )
 
     m = re.match(
-        rf"DELETE{_WS}FROM{_WS}{_TBL}(?:{_WS}WHERE{_WS}(?P<where>.+))?$",
+        rf"DELETE(?:{_WS}/\*\+{_WS}?(?P<hint>MERGE_ON_READ){_WS}?\*/)?"
+        rf"{_WS}FROM{_WS}{_TBL}(?:{_WS}WHERE{_WS}(?P<where>.+))?$",
         text,
         re.IGNORECASE,
     )
     if m:
-        return txlog_delete(spark, m.group("path"), where=m.group("where") or "true")
+        # DELETE /*+ MERGE_ON_READ */ FROM ... selects the deletion-
+        # vector strategy (no data-file rewrite); default is copy-on-write
+        return txlog_delete(
+            spark,
+            m.group("path"),
+            where=m.group("where") or "true",
+            mode="merge-on-read" if m.group("hint") else "copy-on-write",
+        )
 
     m = re.match(
         rf"MERGE{_WS}INTO{_WS}{_TBL}(?:{_WS}AS{_WS}(?P<talias>\w+))?"

@@ -637,25 +637,33 @@ def _dv_rels(manifest: dict, bucket_ids) -> list[str]:
     return [r for b in bucket_ids for r in dvs.get(str(b), [])]
 
 
-def _with_row_refs(spark, root_path: str, manifest: dict, df, bucket_ids):
-    """Attach ``__dv_file`` (the MANIFEST's file reference — spelling-
-    independent, clone-safe) and ``__dv_pos`` (row position within the
-    file) to a raw snapshot scan. The file-path→reference lookup is
-    metadata-sized (the snapshot's file list) and broadcast."""
+def _file_ref_lookup(spark, root_path: str, manifest: dict, bucket_ids):
+    """Broadcastable (normalized absolute path → manifest file
+    reference) relation for the given buckets — metadata-sized (the
+    snapshot's file list). The manifest REF is what deletion vectors
+    store: spelling-independent and stable across reader URI forms."""
     pairs = [
         (_norm_fs_path(_abs(root_path, rel)), rel)
         for b in bucket_ids
         for rel in manifest["buckets"].get(str(b), [])
     ]
-    lookup = spark.createDataFrame(
-        pairs, "__fp_norm string, __dv_file string"
-    )
-    fp_norm = F.regexp_replace(
-        F.col("_metadata.file_path"), "^file:/+", "/"
-    )
+    return spark.createDataFrame(pairs, "__fp_norm string, __dv_file string")
+
+
+def _fp_norm():
+    """Normalized `_metadata.file_path` (local 'file:' scheme collapsed
+    to a plain absolute path) — matches `_norm_fs_path` python-side."""
+    return F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/")
+
+
+def _with_row_refs(spark, root_path: str, manifest: dict, df, bucket_ids):
+    """Attach ``__dv_file`` (the manifest's file reference) and
+    ``__dv_pos`` (row position within the file) to a raw snapshot
+    scan via one broadcast lookup join."""
+    lookup = _file_ref_lookup(spark, root_path, manifest, bucket_ids)
     rows = df.select(
         "*",
-        fp_norm.alias("__fp_norm"),
+        _fp_norm().alias("__fp_norm"),
         F.col("_metadata.row_index").alias("__dv_pos"),
     )
     return rows.join(F.broadcast(lookup), "__fp_norm", "inner").drop(
@@ -663,18 +671,10 @@ def _with_row_refs(spark, root_path: str, manifest: dict, df, bucket_ids):
     )
 
 
-def _read_buckets_logical(
-    spark,
-    root_path: str,
-    manifest: dict,
-    bucket_ids,
-    keep_dv_cols: bool = False,
-):
+def _read_buckets_logical(spark, root_path: str, manifest: dict, bucket_ids):
     """Read the LOGICAL rows of the given buckets: the snapshot scan
     with the buckets' deletion vectors anti-applied. Returns None when
-    the buckets hold no files. ``keep_dv_cols=True`` keeps
-    ``__dv_file``/``__dv_pos`` on the output (the MOR delete path needs
-    them to record new vectors)."""
+    the buckets hold no files."""
     bucket_ids = [str(b) for b in bucket_ids]
     files = [
         _abs(root_path, rel)
@@ -685,16 +685,16 @@ def _read_buckets_logical(
         return None
     df = _read_snapshot_files(spark, manifest, files)
     dv_rels = _dv_rels(manifest, bucket_ids)
-    if not dv_rels and not keep_dv_cols:
+    if not dv_rels:
         return df
     cols = df.columns
     rows = _with_row_refs(spark, root_path, manifest, df, bucket_ids)
-    if dv_rels:
-        dvs = spark.read.parquet(
-            *[_abs(root_path, r) for r in dv_rels]
-        ).select("__dv_file", "__dv_pos")
-        rows = rows.join(dvs, ["__dv_file", "__dv_pos"], "left_anti")
-    return rows if keep_dv_cols else rows.select(*cols)
+    dvs = spark.read.parquet(
+        *[_abs(root_path, r) for r in dv_rels]
+    ).select("__dv_file", "__dv_pos")
+    return rows.join(dvs, ["__dv_file", "__dv_pos"], "left_anti").select(
+        *cols
+    )
 
 
 def _write_dv_files(
@@ -1551,7 +1551,7 @@ def _txlog_delete_mor(
     buckets = prev["buckets"]
     if keys is not None:
         del_keys = keys.select(F.col(key).alias("__del_key")).dropDuplicates()
-        touched = sorted(
+        scan = sorted(
             r[0]
             for r in del_keys.select(
                 _bucket_of("__del_key", num_buckets).alias(BUCKET_COL)
@@ -1559,24 +1559,44 @@ def _txlog_delete_mor(
             .distinct()
             .collect()
         )
-        touched = [b for b in touched if str(b) in buckets]
-        if not touched:
-            return 0
-        rows = _read_buckets_logical(
-            spark, root_path, prev, touched, keep_dv_cols=True
-        )
+        scan = [b for b in scan if str(b) in buckets]
+    else:
+        scan = sorted(int(b) for b in buckets)
+    if not scan:
+        return 0
+    files = [
+        _abs(root_path, rel) for b in scan for rel in buckets[str(b)]
+    ]
+    if not files:
+        return 0  # table already empty: nothing to match
+    # Match FIRST on the raw scan (predicate/semi-join push down to the
+    # parquet read), carrying only (_metadata path, position); the
+    # broadcast ref lookup and the existing-vector anti-join then run
+    # on the MATCHED set only — O(deleted rows), not O(scanned rows).
+    rows = _read_snapshot_files(spark, prev, files).select(
+        "*",
+        _fp_norm().alias("__fp_norm"),
+        F.col("_metadata.row_index").alias("__dv_pos"),
+    )
+    if keys is not None:
         matched = rows.join(
             del_keys, F.col(key).eqNullSafe(F.col("__del_key")), "left_semi"
         )
     else:
-        pred = F.coalesce(F.expr(where), F.lit(False))
-        live = sorted(int(b) for b in buckets)
-        rows = _read_buckets_logical(
-            spark, root_path, prev, live, keep_dv_cols=True
-        )
-        if rows is None:
-            return 0  # table already empty: nothing to match
-        matched = rows.filter(pred)
+        matched = rows.filter(F.coalesce(F.expr(where), F.lit(False)))
+    matched = matched.join(
+        F.broadcast(_file_ref_lookup(spark, root_path, prev, scan)),
+        "__fp_norm",
+        "inner",
+    )
+    dv_rels = _dv_rels(prev, [str(b) for b in scan])
+    if dv_rels:
+        # rows a previous merge-on-read delete already removed must not
+        # re-record (they would double-count dv_counts)
+        dvs = spark.read.parquet(
+            *[_abs(root_path, r) for r in dv_rels]
+        ).select("__dv_file", "__dv_pos")
+        matched = matched.join(dvs, ["__dv_file", "__dv_pos"], "left_anti")
     doomed = matched.select(
         "__dv_file", "__dv_pos", _bucket_of(key, num_buckets).alias(BUCKET_COL)
     )

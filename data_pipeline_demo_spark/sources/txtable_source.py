@@ -488,8 +488,60 @@ def _bucket_change_batches(
 
 
 class _BucketPartition(InputPartition):
-    def __init__(self, refs: list[tuple]):
+    """One bucket's resolved data refs, plus — for deletion-vector
+    tables — the manifest rel string per ref (the DV files identify
+    rows by manifest reference, spelling-independently) and the
+    bucket's resolved DV refs."""
+
+    def __init__(
+        self,
+        refs: list[tuple],
+        rels: list[str] | None = None,
+        dv_refs: list[tuple] | None = None,
+    ):
         self.refs = refs
+        self.rels = rels or []
+        self.dv_refs = dv_refs or []
+
+
+def _dv_anti_filter(table, rel: str, dv_positions: dict):
+    """Drop the rows of ``table`` (read from manifest ref ``rel``)
+    whose positions appear in the deletion vectors. numpy boolean mask
+    over the file's row range — O(rows + deletes), vectorized."""
+    pos = dv_positions.get(rel)
+    if pos is None or table.num_rows == 0:
+        return table
+    import numpy as np
+    import pyarrow as pa
+
+    keep = np.ones(table.num_rows, dtype=bool)
+    idx = np.asarray(pos, dtype=np.int64)
+    idx = idx[(idx >= 0) & (idx < table.num_rows)]
+    keep[idx] = False
+    return table.filter(pa.array(keep))
+
+
+def _load_dv_positions(dv_refs: list[tuple]) -> dict:
+    """{manifest data-file ref: np.array of deleted row positions}
+    from a bucket's deletion-vector parquet sidecars. Vectorized:
+    dictionary-encode the file column (positions stay numpy); the only
+    python materialization is the DICTIONARY — file-count-sized
+    metadata, never the per-row vector."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    out: dict = {}
+    for fs, path in dv_refs:
+        t = fs.parquet_table(path)
+        enc = pc.dictionary_encode(t.column("__dv_file").combine_chunks())
+        files = enc.dictionary.to_pylist()  # unique file refs only
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        poss = t.column("__dv_pos").to_numpy(zero_copy_only=False)
+        for i, f in enumerate(files):
+            out.setdefault(f, []).append(poss[codes == i])
+    return {
+        f: np.concatenate(p).astype(np.int64) for f, p in out.items()
+    }
 
 
 class _TxTableBatchReader(DataSourceReader):
@@ -497,26 +549,53 @@ class _TxTableBatchReader(DataSourceReader):
         self.fs = fs
         self.root = root
         self.fs_options = fs_options
-        self.manifest = _read_manifest(fs, root, version)
+        # the snapshot reader SUPPORTS deletion vectors (anti-filter by
+        # row position below); any other required feature still refuses
+        self.manifest = _read_manifest(fs, root, version, check_features=False)
+        unknown = sorted(
+            set(self.manifest.get("requires", [])) - {"deletion-vectors"}
+        )
+        if unknown:
+            _check_manifest_features({**self.manifest, "requires": unknown})
         self.arrow_schema = _manifest_arrow_schema(self.manifest)
         if self.arrow_schema is None:  # legacy manifest: union of footers
             refs = _snapshot_refs(fs, root, self.manifest, fs_options)
             self.arrow_schema = _union_arrow_schema(refs) if refs else None
 
+    def _partition_for(self, b: str) -> _BucketPartition:
+        rels = self.manifest["buckets"].get(b, [])
+        dv_rels = self.manifest.get("bucket_dvs", {}).get(b, [])
+        return _BucketPartition(
+            [
+                _resolve_ref(self.fs, self.root, rel, self.fs_options)
+                for rel in rels
+            ],
+            rels=rels,
+            dv_refs=[
+                _resolve_ref(self.fs, self.root, rel, self.fs_options)
+                for rel in dv_rels
+            ],
+        )
+
     def partitions(self) -> list[InputPartition]:
         # one partition per live bucket: the same parallel grain the
         # JVM reader gets from the manifest, no directory listing
         return [
-            _BucketPartition(
-                _bucket_refs(self.fs, self.root, self.manifest, b, self.fs_options)
-            )
+            self._partition_for(b)
             for b in sorted(self.manifest["buckets"], key=int)
         ]
 
     def read(self, partition: _BucketPartition) -> Iterator:
-        for ref in partition.refs:
-            for batch in _aligned_table(ref, self.arrow_schema).to_batches():
-                yield batch
+        dv_positions = (
+            _load_dv_positions(partition.dv_refs)
+            if partition.dv_refs
+            else {}
+        )
+        for i, ref in enumerate(partition.refs):
+            t = _aligned_table(ref, self.arrow_schema)
+            if dv_positions:
+                t = _dv_anti_filter(t, partition.rels[i], dv_positions)
+            yield from t.to_batches()
 
 
 class _TxTablePushdownBatchReader(_TxTableBatchReader):
@@ -550,12 +629,7 @@ class _TxTablePushdownBatchReader(_TxTableBatchReader):
             if self._kept is not None
             else sorted(self.manifest["buckets"], key=int)
         )
-        parts = [
-            _BucketPartition(
-                _bucket_refs(self.fs, self.root, self.manifest, b, self.fs_options)
-            )
-            for b in ids
-        ]
+        parts = [self._partition_for(b) for b in ids]
         # everything pruned: Spark replaces an EMPTY partition list with a
         # single default None partition, so hand it one no-op partition
         return parts or [_BucketPartition([])]
@@ -800,7 +874,9 @@ class TxTableDataSource(DataSource):
             )
         version = self.options.get("version")
         v = int(version) if version is not None else _latest_version(fs, root)
-        manifest = _read_manifest(fs, root, v)
+        # schema resolution is metadata-only; the snapshot reader below
+        # enforces its own feature policy (deletion vectors supported)
+        manifest = _read_manifest(fs, root, v, check_features=False)
         fields = manifest.get("schema")
         if fields:  # schema-tracked: the manifest is the authority
             return StructType.fromJson({"type": "struct", "fields": fields})

@@ -167,3 +167,17 @@ def test_sql_alter_add_and_drop_column(spark, t):
         txtable_sql(
             spark, f"ALTER TABLE txtable.`{t}` ADD COLUMN score double"
         )
+
+
+def test_sql_delete_merge_on_read_hint(spark, t):
+    import json
+    from pathlib import Path
+
+    n = txtable_sql(
+        spark, f"DELETE /*+ MERGE_ON_READ */ FROM txtable.`{t}` WHERE id > 6"
+    )
+    assert n == 2
+    assert set(_rows(spark, t)) == {1, 2, 3, 4, 5, 6}
+    commits = sorted(Path(t, "_commits").glob("*.json"))
+    m = json.loads(commits[-1].read_text())
+    assert m.get("requires") == ["deletion-vectors"]  # vector, not rewrite
