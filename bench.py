@@ -157,7 +157,10 @@ def bench_lakehouse(spark, sf_dir: str, runs: int):
         # shape; copy-on-write rewrites every touched bucket.
         from data_pipeline_demo_spark.sinks.txlog import txlog_delete
 
-        slice_no = iter(range(1000))
+        # li_id = orderkey*8 + linenumber with linenumber in 1..7, so
+        # li_id % 8 != 0: slice 0 (and any k ≡ 0 mod 8) would be EMPTY
+        # and measure a no-op — start at 1
+        slice_no = iter(k for k in range(1, 1000) if k % 8 != 0)
 
         def _del_slice(mode):
             k = next(slice_no)

@@ -58,12 +58,19 @@ def knn_exact(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     probe_id_col: str = "probe_id",
+    band: tuple[float, float] | None = None,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each probe vector.
 
     probes: (probe_id, embedding). The probe side is broadcast — the
     corpus streams through one scan regardless of size; per-probe top-k
     via row_number with vec_id tiebreak (deterministic under score ties).
+
+    ``band=(lo, hi)``: rank only candidates with ``lo <= cosine < hi``
+    — the HARD-NEGATIVE mining shape for contrastive training (similar
+    enough to be informative, below the near-duplicate ceiling). The
+    filter runs before the ranking window, so banded top-k is exact,
+    not a post-filter of the unbanded top-k.
     """
     # Norms are per-vector, not per-pair: compute each side's L2 ONCE
     # below the join (the projection sits under the join boundary, so
@@ -96,6 +103,11 @@ def knn_exact(
             ).alias("cosine"),
         )
     )
+    if band is not None:
+        lo, hi = band
+        scored = scored.filter(
+            (F.col("cosine") >= lo) & (F.col("cosine") < hi)
+        )
     w = Window.partitionBy(probe_id_col).orderBy(
         F.col("cosine").desc(), F.col(id_col)
     )

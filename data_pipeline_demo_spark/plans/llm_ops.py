@@ -2619,3 +2619,57 @@ def q209_dv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_txtable(spark, root).select(
         "o_orderkey", "o_custkey", "o_totalprice"
     )
+
+
+_DUCK_HARD_NEG = f"""
+    WITH probes AS (
+      SELECT vec_id AS probe_id, embedding AS pvec FROM embeddings
+      WHERE vec_id % 50 = 0
+    ),
+    scored AS (
+      SELECT p.probe_id, e.vec_id,
+        ((SELECT SUM(CAST(FLOOR(p.pvec[g]::DOUBLE * e.embedding[g]::DOUBLE * 1e12) AS BIGINT))
+          FROM generate_series(1, 64) t(g))::DOUBLE / 1e12)
+        / (sqrt((SELECT SUM(CAST(FLOOR(p.pvec[g]::DOUBLE * p.pvec[g]::DOUBLE * 1e12) AS BIGINT))
+                 FROM generate_series(1, 64) t(g))::DOUBLE / 1e12)
+           * sqrt((SELECT SUM(CAST(FLOOR(e.embedding[g]::DOUBLE * e.embedding[g]::DOUBLE * 1e12) AS BIGINT))
+                   FROM generate_series(1, 64) t(g))::DOUBLE / 1e12)) AS cosine
+      FROM probes p, embeddings e
+      WHERE e.vec_id <> p.probe_id
+    )
+    SELECT probe_id, vec_id, cosine, rank FROM (
+      SELECT probe_id, vec_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY probe_id
+                                ORDER BY cosine DESC, vec_id) AS rank
+      FROM scored
+      WHERE cosine >= 0.15 AND cosine < {COSINE_DUP_THRESHOLD}
+    ) WHERE rank <= 3
+"""
+
+
+@register("q212_hard_negatives", oracle=_DUCK_HARD_NEG)
+def q212_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive embedding training (the
+    DPR/SimCSE data-prep step): for each anchor, the top-3 corpus
+    vectors inside the HARD BAND — cosine in [0.15, near-dup ceiling)
+    — similar enough to be informative negatives, below the q63
+    near-duplicate threshold so no positive leaks in. The banded
+    filter runs BEFORE the per-probe ranking (an exact banded top-k,
+    not a post-filter of the unbanded top-k, which would miss
+    band members ranked past k).
+
+    Exactness: the same floor-scaled fixed-point dot/norm scheme as
+    q44, so both engines produce bit-identical cosines; band compares
+    and the rank tiebreak are then deterministic.
+
+    Scale shape: identical to q44's broadcast-probe scan — one corpus
+    pass regardless of size; at production scale the band filter
+    composes with the ANN tiers (IVF/PQ candidates, exact banded
+    rescore)."""
+    emb = table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    return similarity.knn_exact(
+        emb, probes, k=3, band=(0.15, COSINE_DUP_THRESHOLD)
+    )

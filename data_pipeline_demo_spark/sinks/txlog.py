@@ -659,14 +659,19 @@ def _fp_norm():
 def _with_row_refs(spark, root_path: str, manifest: dict, df, bucket_ids):
     """Attach ``__dv_file`` (the manifest's file reference) and
     ``__dv_pos`` (row position within the file) to a raw snapshot
-    scan via one broadcast lookup join."""
+    scan via one broadcast lookup join. LEFT join on purpose: a path
+    Spark spells differently than the lookup (URI-encoding of unusual
+    characters) yields a NULL ref, which no deletion vector matches —
+    the row SURVIVES. Fail-open is the only safe direction for a read
+    (a dropped live row is data loss; an undeleted row is caught by
+    the delete-time guard in ``_write_dv_files``)."""
     lookup = _file_ref_lookup(spark, root_path, manifest, bucket_ids)
     rows = df.select(
         "*",
         _fp_norm().alias("__fp_norm"),
         F.col("_metadata.row_index").alias("__dv_pos"),
     )
-    return rows.join(F.broadcast(lookup), "__fp_norm", "inner").drop(
+    return rows.join(F.broadcast(lookup), "__fp_norm", "left").drop(
         "__fp_norm"
     )
 
@@ -709,15 +714,28 @@ def _write_dv_files(
     out_rel = f"{DV_DIR}/{commit_id}"
     doomed = doomed.persist()
     try:
-        per_bucket = {
-            str(r[BUCKET_COL]): r["__n"]
-            for r in doomed.groupBy(BUCKET_COL)
-            .agg(F.count(F.lit(1)).alias("__n"))
-            .collect()
-        }
+        stat_rows = doomed.groupBy(BUCKET_COL).agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum(F.col("__dv_file").isNull().cast("long")).alias("__bad"),
+        ).collect()
+        if sum(r["__bad"] for r in stat_rows):
+            # a matched row's file path did not resolve to a manifest
+            # reference (URI-encoding / path-canonicalization mismatch):
+            # recording it would silently NOT delete the row — refuse
+            raise ValueError(
+                "merge-on-read delete could not resolve every matched "
+                "row to a manifest file reference; use copy-on-write "
+                f"for this table path ({root_path!r})"
+            )
+        per_bucket = {str(r[BUCKET_COL]): r["__n"] for r in stat_rows}
         touched = sorted(per_bucket, key=int)
+        total = sum(per_bucket.values())
+        # point deletes produce KB-sized vectors: one writer task is
+        # faster than bucket-count tasks (partitionBy still yields one
+        # file per bucket dir either way); broad deletes parallelize
+        shuffle_n = 1 if total < 200_000 else max(len(touched), 1)
         (
-            doomed.repartition(max(len(touched), 1), F.col(BUCKET_COL))
+            doomed.repartition(shuffle_n, F.col(BUCKET_COL))
             .write.mode("error")
             .partitionBy(BUCKET_COL)
             .parquet(_abs(root_path, out_rel))
@@ -1587,7 +1605,7 @@ def _txlog_delete_mor(
     matched = matched.join(
         F.broadcast(_file_ref_lookup(spark, root_path, prev, scan)),
         "__fp_norm",
-        "inner",
+        "left",  # unresolvable refs surface as NULL → loud guard below
     )
     dv_rels = _dv_rels(prev, [str(b) for b in scan])
     if dv_rels:
