@@ -1621,3 +1621,76 @@ def q210_cumulative_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
         "new_users",
         F.sum("new_users").over(w).cast("bigint").alias("cum_reach"),
     )
+
+
+_BACKTEST_SQL = """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    j AS (
+      SELECT a.event_type, a.d, a.n,
+             b.n AS forecast
+      FROM daily a JOIN daily b
+        ON a.event_type = b.event_type AND b.d = a.d - INTERVAL 7 DAY
+      WHERE a.d > (SELECT MAX(d) FROM daily) - INTERVAL 10 DAY
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           ROUND(AVG(ABS(CAST(n - forecast AS DOUBLE))
+                     / ((CAST(n AS DOUBLE) + forecast) / 2)) * 100, 9)
+               AS smape,
+           CAST(SUM(ABS(n - forecast)) AS BIGINT) AS abs_err_total
+    FROM j GROUP BY event_type
+"""
+
+
+@register("q213_forecast_backtest", oracle=_BACKTEST_SQL)
+def q213_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling forecast backtest with the seasonal-naive baseline
+    (forecast = the count 7 days earlier) scored by sMAPE over the
+    last 10 days per event type — the EVALUATION half the forecasting
+    family (q114 Holt, q163 Holt-Winters, q191 decomposition) needs:
+    any model must beat this baseline to earn its complexity, and the
+    baseline itself is exactly SQL-expressible so the harness is
+    oracle-certified.
+
+    Exactness: daily counts and the total absolute error are integers;
+    each sMAPE term is the same IEEE sequence on both engines
+    (abs-diff / midpoint on integer-derived doubles), and the ≤10-term
+    mean is rounded to 9 dp, absorbing any summation-order ULP — a
+    drift beyond that would fail the driver hash loudly.
+
+    Scale shape: one combinable groupBy to the (type, day) grain;
+    the 7-day-lag join and the scoring run on that bounded grain."""
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("d")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    max_d = daily.agg(F.max("d").alias("mx"))
+    a = daily.alias("a")
+    b = daily.select(
+        F.col("event_type").alias("b_type"),
+        F.date_add(F.col("d"), 7).alias("b_d"),
+        F.col("n").alias("forecast"),
+    )
+    j = (
+        a.join(
+            b,
+            (F.col("a.event_type") == F.col("b_type"))
+            & (F.col("a.d") == F.col("b_d")),
+        )
+        .crossJoin(F.broadcast(max_d))
+        .filter(F.col("a.d") > F.date_sub(F.col("mx"), 10))
+    )
+    term = F.abs((F.col("n") - F.col("forecast")).cast("double")) / (
+        (F.col("n").cast("double") + F.col("forecast")) / 2
+    )
+    return j.groupBy("a.event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.round(F.avg(term) * 100, 9).alias("smape"),
+        F.sum(F.abs(F.col("n") - F.col("forecast")))
+        .cast("bigint")
+        .alias("abs_err_total"),
+    )

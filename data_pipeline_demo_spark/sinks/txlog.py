@@ -2730,3 +2730,78 @@ def drop_table_constraint(
 def _enforce_table_constraints(spark, root_path, df) -> None:
     """Write-path hook: validate a batch about to be committed."""
     check_constraints(df, table_constraints(spark, root_path))
+
+
+def rebucket_txtable(
+    spark: SparkSession, root_path: str, new_num_buckets: int
+) -> int:
+    """ALTER the table's bucket modulus (Iceberg's partition-spec
+    evolution / "rewrite with new partitioning"): read the current
+    snapshot's LOGICAL rows once, rewrite them under ``new_num_buckets``
+    into a fresh immutable data dir, and commit one new version.
+
+    The bucket count is the table's parallelism + pruning grain: a
+    table created at 32 buckets that grew 100× wants 512+ so MERGE
+    touches proportionally less and point lookups prune harder. This
+    is the explicit O(table) maintenance verb that changes it — same
+    cost class as ZORDER compaction, run it on the same cadence
+    policies. Old versions still time-travel under their OWN modulus
+    (each manifest records its ``num_buckets``, and every reader takes
+    the value from the manifest it resolved). Deletion vectors
+    materialize on the way through (the rewrite IS the materialization).
+    Zone maps and bloom filters recompute exactly for the new buckets
+    in the same publish pass as the row counts.
+
+    Returns the new version number.
+    """
+    if new_num_buckets < 1:
+        raise ValueError(f"new_num_buckets must be >= 1: {new_num_buckets}")
+    prev = _latest_manifest(spark, root_path)
+    if prev is None:
+        raise FileNotFoundError(f"no committed txtable at {root_path}")
+    _check_features(prev, frozenset({FEATURE_DV}), "rebucket")
+    key = prev["key"]
+    if new_num_buckets == prev["num_buckets"]:
+        return prev["version"]  # already there: no-op, no empty commit
+    live = sorted(int(b) for b in prev["buckets"])
+    rows = _read_buckets_logical(spark, root_path, prev, live)
+    buckets: dict[str, list[str]] = {}
+    row_counts: dict[str, int] = {}
+    bucket_stats: dict[str, dict] = {}
+    bucket_blooms: dict[str, dict] = {}
+    touched = list(range(new_num_buckets))
+    if rows is not None:
+        rows = rows.withColumn(BUCKET_COL, _bucket_of(key, new_num_buckets))
+        _publish_touched_buckets(
+            spark,
+            root_path,
+            rows,
+            touched,
+            buckets,
+            row_counts,
+            stats_columns=prev.get("stats_columns", []),
+            bucket_stats=bucket_stats,
+            bloom_columns=prev.get("bloom_columns", []),
+            bucket_blooms=bucket_blooms,
+            bloom_bits=int(prev.get("bloom_bits", BLOOM_BITS)),
+        )
+    _commit_manifest(
+        spark,
+        root_path,
+        {
+            "version": prev["version"] + 1,
+            "key": key,
+            "num_buckets": new_num_buckets,
+            "buckets": buckets,
+            "row_counts": row_counts,
+            "app_txns": dict(prev.get("app_txns", {})),
+            "stats_columns": prev.get("stats_columns", []),
+            "bucket_stats": bucket_stats,
+            "bloom_columns": prev.get("bloom_columns", []),
+            "bucket_blooms": bucket_blooms,
+            "bloom_bits": int(prev.get("bloom_bits", BLOOM_BITS)),
+            **_schema_carry(prev),
+            "committed_at_ms": int(time.time() * 1000),
+        },
+    )
+    return prev["version"] + 1

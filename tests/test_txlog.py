@@ -1381,3 +1381,43 @@ def test_sql_merge_not_matched_by_source(spark, tmp_path):
     )
     assert _as_dict(read_txtable(spark, root)) == {2: "B", 5: "e"}
     spark.catalog.dropTempView("sync_src")
+
+
+def test_rebucket_evolves_modulus(spark, tmp_path):
+    """Partition-spec evolution: same rows under a new bucket count;
+    MERGE/lookup after rebucket use the new modulus, old versions
+    time-travel under their own, DVs materialize on the way through."""
+    import json as _json
+
+    from data_pipeline_demo_spark.sinks.txlog import (
+        rebucket_txtable,
+        txlog_delete,
+    )
+
+    root = str(tmp_path / "tx")
+    txlog_upsert(
+        spark,
+        _rows(spark, [(i, f"v{i}") for i in range(40)]),
+        root,
+        num_buckets=4,
+        stats_columns=["id"],
+    )
+    txlog_delete(spark, root, where="id >= 35", mode="merge-on-read")
+    v = rebucket_txtable(spark, root, 16)
+    m = _json.loads(
+        (tmp_path / "tx/_commits" / f"{v:020d}.json").read_text()
+    )
+    assert m["num_buckets"] == 16
+    assert "bucket_dvs" not in m and "requires" not in m  # materialized
+    assert sum(m["row_counts"].values()) == 35
+    assert _as_dict(read_txtable(spark, root)) == {
+        i: f"v{i}" for i in range(35)
+    }
+    # merges keep working on the new modulus; zone maps recomputed
+    txlog_upsert(spark, _rows(spark, [(1, "NEW"), (100, "x")]), root)
+    got = _as_dict(read_txtable(spark, root))
+    assert got[1] == "NEW" and got[100] == "x" and len(got) == 36
+    # old version still reads under the old modulus
+    assert len(_as_dict(read_txtable(spark, root, version=0))) == 40
+    # no-op when already at the requested modulus
+    assert rebucket_txtable(spark, root, 16) == v + 1  # merge bumped it
