@@ -40,8 +40,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .txlog import (
-    _abs,
     _latest_manifest,
+    _read_buckets_logical,
     read_txtable,
     txlog_delete,
     txlog_upsert,
@@ -61,24 +61,18 @@ def _pairs_for_buckets(
 ) -> DataFrame:
     """Distinct (value, bucket) pairs currently present in the given
     source buckets — reads ONLY those buckets' files."""
-    files = [
-        _abs(table_root, rel)
-        for b in buckets
-        for rel in manifest["buckets"].get(str(b), [])
-    ]
     key = manifest["key"]
     nb = manifest["num_buckets"]
-    if not files:
+    # LOGICAL bucket rows: merge-on-read deletion vectors anti-apply,
+    # so the index never records a (value, bucket) pair whose only
+    # evidence is a deleted row
+    rows = _read_buckets_logical(spark, table_root, manifest, buckets)
+    if rows is None:
         return spark.createDataFrame([], f"value string, bucket int")
-    return (
-        spark.read.option("mergeSchema", "true")
-        .parquet(*files)
-        .select(
-            F.col(col).cast("string").alias("value"),
-            _bucket_of(key, nb).alias("bucket"),
-        )
-        .distinct()
-    )
+    return rows.select(
+        F.col(col).cast("string").alias("value"),
+        _bucket_of(key, nb).alias("bucket"),
+    ).distinct()
 
 
 def _with_pair_key(pairs: DataFrame) -> DataFrame:
@@ -201,16 +195,14 @@ def lookup_with_index(
         .select("bucket")
         .collect()
     ]
-    files = [
-        _abs(table_root, rel)
-        for b in sorted(buckets)
-        for rel in manifest["buckets"].get(str(b), [])
-    ]
-    if not files:
-        return read_txtable(spark, table_root).filter(pred).limit(0)
-    return (
-        spark.read.option("mergeSchema", "true").parquet(*files).filter(pred)
+    # logical read: a merge-on-read-deleted row must never surface in
+    # a lookup result (the vectors anti-apply before the predicate)
+    rows = _read_buckets_logical(
+        spark, table_root, manifest, sorted(buckets)
     )
+    if rows is None:
+        return read_txtable(spark, table_root).filter(pred).limit(0)
+    return rows.filter(pred)
 
 
 def index_selected_buckets(

@@ -235,18 +235,22 @@ def _manifest_versions(fs, root: str) -> list[int]:
     return sorted(out)
 
 
+# table features the python DataSource implements end-to-end (snapshot
+# read, pushdown read, batch CDC, streaming CDC)
+_SUPPORTED_FEATURES = frozenset({"deletion-vectors"})
+
+
 def _check_manifest_features(manifest: dict) -> None:
     """Protocol gate (Delta table-features model): a manifest carrying
     ``requires`` tokens this reader does not implement must be REFUSED,
-    not half-read — e.g. ignoring ``deletion-vectors`` (``bucket_dvs``)
-    would silently resurrect deleted rows."""
-    req = sorted(set(manifest.get("requires", [])))
+    not half-read — silently ignoring a feature like deletion vectors
+    would resurrect deleted rows."""
+    req = sorted(set(manifest.get("requires", [])) - _SUPPORTED_FEATURES)
     if req:
         raise NotImplementedError(
             f"txtable manifest version {manifest.get('version')} requires "
             f"table feature(s) {req} the python DataSource does not "
-            "support; read via sinks.txlog.read_txtable (JVM path) or "
-            "materialize deletion vectors first (compact_txtable)"
+            "support; read via the JVM-path sinks.txlog verbs"
         )
 
 
@@ -388,6 +392,27 @@ def _concat_aligned(refs: list[tuple], schema):
     return pa.concat_tables([_aligned_table(r, schema) for r in refs])
 
 
+def _concat_aligned_logical(
+    refs: list[tuple], rels: list[str], dv_refs: list[tuple], schema
+):
+    """One snapshot side's LOGICAL rows: each file anti-filtered by its
+    deletion-vector positions BEFORE concatenation (positions are
+    per-file, so the filter must run at file grain)."""
+    import pyarrow as pa
+
+    if not refs:
+        return _empty_table(schema)
+    if not dv_refs:
+        return _concat_aligned(refs, schema)
+    dv_positions = _load_dv_positions(dv_refs)
+    return pa.concat_tables(
+        [
+            _dv_anti_filter(_aligned_table(r, schema), rel, dv_positions)
+            for r, rel in zip(refs, rels)
+        ]
+    )
+
+
 def _neq_null_safe(a, b):
     """Vectorized null-safe per-row inequality of two columns; python
     fallback only for types Arrow cannot compare (nested)."""
@@ -404,11 +429,17 @@ def _neq_null_safe(a, b):
 
 
 def _changed_buckets(m_from: dict, m_to: dict) -> list[str]:
+    # a bucket changed iff its FILE list or its DELETION-VECTOR list
+    # differs: a merge-on-read DELETE touches no data file but changes
+    # the bucket's logical rows all the same
+    def sig(m, b):
+        return (m["buckets"].get(b), m.get("bucket_dvs", {}).get(b))
+
     return sorted(
         (
             b
             for b in set(m_from["buckets"]) | set(m_to["buckets"])
-            if m_from["buckets"].get(b) != m_to["buckets"].get(b)
+            if sig(m_from, b) != sig(m_to, b)
         ),
         key=int,
     )
@@ -420,6 +451,8 @@ def _bucket_change_batches(
     schema,
     key: str,
     include_preimages: bool = False,
+    old_side: tuple = ((), ()),
+    new_side: tuple = ((), ()),
 ) -> Iterator:
     """insert/update/delete Arrow batches for ONE bucket between two
     snapshots: a hash key-compare (``index_in``) plus vectorized
@@ -433,8 +466,8 @@ def _bucket_change_batches(
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    old = _concat_aligned(old_refs, schema)
-    new = _concat_aligned(new_refs, schema)
+    old = _concat_aligned_logical(old_refs, old_side[0], old_side[1], schema)
+    new = _concat_aligned_logical(new_refs, new_side[0], new_side[1], schema)
     for t in (old, new):
         if t.num_rows and pc.any(pc.is_null(t.column(key))).as_py():
             raise ValueError(
@@ -549,14 +582,7 @@ class _TxTableBatchReader(DataSourceReader):
         self.fs = fs
         self.root = root
         self.fs_options = fs_options
-        # the snapshot reader SUPPORTS deletion vectors (anti-filter by
-        # row position below); any other required feature still refuses
-        self.manifest = _read_manifest(fs, root, version, check_features=False)
-        unknown = sorted(
-            set(self.manifest.get("requires", [])) - {"deletion-vectors"}
-        )
-        if unknown:
-            _check_manifest_features({**self.manifest, "requires": unknown})
+        self.manifest = _read_manifest(fs, root, version)
         self.arrow_schema = _manifest_arrow_schema(self.manifest)
         if self.arrow_schema is None:  # legacy manifest: union of footers
             refs = _snapshot_refs(fs, root, self.manifest, fs_options)
@@ -652,12 +678,29 @@ class _ChangesPartition(InputPartition):
         schema,
         key: str,
         pre: bool = False,
+        old_side: tuple = ((), ()),
+        new_side: tuple = ((), ()),
     ):
         self.old_refs = old_refs
         self.new_refs = new_refs
         self.schema = schema
         self.key = key
         self.pre = pre
+        # (manifest rels aligned with refs, resolved DV refs) per side —
+        # empty for DV-free snapshots
+        self.old_side = old_side
+        self.new_side = new_side
+
+
+def _bucket_side(fs, root: str, m: dict, b: str, fs_options: dict):
+    """(refs, rels, dv_refs) for one bucket of one snapshot side."""
+    rels = m["buckets"].get(b, [])
+    dv_rels = m.get("bucket_dvs", {}).get(b, [])
+    return (
+        [_resolve_ref(fs, root, rel, fs_options) for rel in rels],
+        rels,
+        [_resolve_ref(fs, root, rel, fs_options) for rel in dv_rels],
+    )
 
 
 def _change_partitions(
@@ -670,16 +713,21 @@ def _change_partitions(
     pre: bool = False,
 ) -> list[_ChangesPartition]:
     key = m_to["key"]
-    parts = [
-        _ChangesPartition(
-            _bucket_refs(fs, root, m_from, b, fs_options),
-            _bucket_refs(fs, root, m_to, b, fs_options),
-            schema,
-            key,
-            pre,
+    parts = []
+    for b in _changed_buckets(m_from, m_to):
+        o_refs, o_rels, o_dvs = _bucket_side(fs, root, m_from, b, fs_options)
+        n_refs, n_rels, n_dvs = _bucket_side(fs, root, m_to, b, fs_options)
+        parts.append(
+            _ChangesPartition(
+                o_refs,
+                n_refs,
+                schema,
+                key,
+                pre,
+                old_side=(o_rels, o_dvs),
+                new_side=(n_rels, n_dvs),
+            )
         )
-        for b in _changed_buckets(m_from, m_to)
-    ]
     # the API needs >=1 partition; an empty diff reads as no rows
     return parts or [_ChangesPartition([], [], schema, key, pre)]
 
@@ -735,6 +783,8 @@ class _TxTableChangesBatchReader(DataSourceReader):
             partition.schema,
             partition.key,
             getattr(partition, "pre", False),
+            getattr(partition, "old_side", ((), ())),
+            getattr(partition, "new_side", ((), ())),
         )
 
 
@@ -792,6 +842,8 @@ class _TxTableStreamReader(DataSourceStreamReader):
             partition.schema,
             partition.key,
             getattr(partition, "pre", False),
+            getattr(partition, "old_side", ((), ())),
+            getattr(partition, "new_side", ((), ())),
         )
 
     def commit(self, end: dict) -> None:

@@ -231,16 +231,21 @@ def test_python_reader_applies_dvs(spark, tmp_path):
         .collect()
     )
     assert [r["id"] for r in pt] == [22]
-    # the CDC feed through the python DataSource stays GATED (the
-    # Arrow comparator has no DV support): refuse, never resurrect
-    with pytest.raises(Exception, match="deletion-vectors"):
-        (
-            spark.read.format("txtable")
-            .option("readChangeFeed", "true")
-            .option("startingVersion", "0")
-            .load(root)
-            .collect()
-        )
+    # the python CDC feed diffs LOGICAL rows: parity with the JVM feed
+    py_ch = sorted(
+        (r["id"], r["_change_type"])
+        for r in spark.read.format("txtable")
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "0")
+        .load(root)
+        .collect()
+    )
+    jvm_ch = sorted(
+        (r["id"], r["_change_type"])
+        for r in txtable_changes(spark, root, from_version=0).collect()
+    )
+    assert py_ch == jvm_ch
+    assert py_ch == [(i, "delete") for i in list(range(10)) + [20, 21]]
 
 
 def test_python_writer_append_carries_dvs(spark, tmp_path):

@@ -176,3 +176,33 @@ def test_null_values_indexed(spark, tmp_path):
         ).collect()
     }
     assert got == {1, 3}
+
+
+def test_value_index_across_mor_delete(spark, tmp_path):
+    """A merge-on-read DELETE (deletion vectors — no data file changes)
+    must still flow through the CDC refresh: stale (value, bucket)
+    pairs drop, and lookups never surface deleted rows."""
+    root = str(tmp_path / "t")
+    ix = str(tmp_path / "ix")
+    _seed(spark, root)
+    refresh_value_index(spark, root, ix, "color")
+    # delete EVERY 'gold' row via deletion vectors
+    n = txlog_delete(spark, root, where="color = 'gold'", mode="merge-on-read")
+    assert n == 50
+    refresh_value_index(spark, root, ix, "color")
+    # the index no longer selects any bucket for 'gold'
+    assert index_selected_buckets(spark, ix, "gold") == []
+    got = {
+        r["id"]
+        for r in lookup_with_index(
+            spark, root, ix, "color", "gold", require_fresh=True
+        ).collect()
+    }
+    assert got == set()
+    # untouched values still resolve exactly, with deleted rows absent
+    assert {
+        r["id"]
+        for r in lookup_with_index(
+            spark, root, ix, "color", "red", require_fresh=True
+        ).collect()
+    } == _truth(spark, root, "red")
