@@ -275,3 +275,50 @@ def test_mor_unknown_feature_refused(spark, tmp_path):
         read_txtable(spark, root)
     with pytest.raises(UnsupportedTableFeatureError):
         txlog_upsert(spark, _rows(spark, [(1, "x")]), root)
+
+
+def test_streaming_cdc_sees_mor_delete(spark, tmp_path):
+    """A merge-on-read DELETE committed while a txtable change-feed
+    stream runs surfaces as delete rows in the next micro-batch —
+    the python stream reader diffs LOGICAL rows (DV-aware), so the
+    downstream maintenance jobs see point deletes without any file
+    rewrite ever happening."""
+    import time
+
+    from data_pipeline_demo_spark.sources.txtable_source import (
+        register_txtable_source,
+    )
+
+    register_txtable_source(spark)
+    root = _fresh(spark, tmp_path, n=20)
+    q = (
+        spark.readStream.format("txtable")
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "0")
+        .load(root)
+        .writeStream.format("memory")
+        .queryName("dv_cdc")
+        .outputMode("append")
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        # startingVersion=0 = base snapshot v0: the feed carries only
+        # LATER commits — the MOR delete below is the first one
+        txlog_delete(
+            spark,
+            root,
+            keys=spark.createDataFrame([(4,), (9,)], "id long"),
+            mode="merge-on-read",
+        )
+        deadline = time.time() + 90
+        while time.time() < deadline and spark.table("dv_cdc").count() < 2:
+            time.sleep(1)
+        got = {
+            (r["id"], r["_change_type"])
+            for r in spark.table("dv_cdc").collect()
+            if r["_change_type"] == "delete"
+        }
+        assert got == {(4, "delete"), (9, "delete")}
+    finally:
+        q.stop()
