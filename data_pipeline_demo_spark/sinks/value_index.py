@@ -42,6 +42,7 @@ from pyspark.sql import functions as F
 from .txlog import (
     _latest_manifest,
     _read_buckets_logical,
+    _read_manifest,
     read_txtable,
     txlog_delete,
     txlog_upsert,
@@ -110,7 +111,16 @@ def refresh_value_index(
         return latest
     key = manifest["key"]
     nb = manifest["num_buckets"]
-    if since is None:
+    rebuilt = False
+    if since is not None and (
+        _read_manifest(spark, table_root, since)["num_buckets"] != nb
+    ):
+        # bucket-count evolution (rebucket_txtable) invalidates EVERY
+        # stored bucket id: the CDC feed across it is empty (rows
+        # unchanged), so detect the modulus change from the watermark
+        # manifest and rebuild the whole index under the new modulus
+        rebuilt = True
+    if since is None or rebuilt:
         touched = sorted(int(b) for b in manifest["buckets"])
     else:
         feed = txtable_changes(spark, table_root, since, latest)
@@ -138,13 +148,17 @@ def refresh_value_index(
     )
     if since is not None:
         # index rows for touched buckets that the recompute no longer
-        # justifies → delete (value vanished from that bucket)
-        stale = (
-            read_txtable(spark, index_root)
-            .filter(F.col("bucket").isin([int(b) for b in touched]))
-            .join(new_pairs.select("pair_key"), "pair_key", "left_anti")
-            .select("pair_key")
-        )
+        # justifies → delete (value vanished from that bucket); a
+        # modulus rebuild sweeps the WHOLE index (old-modulus bucket
+        # ids are meaningless now, whatever their value)
+        stale = read_txtable(spark, index_root)
+        if not rebuilt:
+            stale = stale.filter(
+                F.col("bucket").isin([int(b) for b in touched])
+            )
+        stale = stale.join(
+            new_pairs.select("pair_key"), "pair_key", "left_anti"
+        ).select("pair_key")
         if not stale.isEmpty():
             txlog_delete(spark, index_root, keys=stale)
     txlog_upsert(

@@ -206,3 +206,27 @@ def test_value_index_across_mor_delete(spark, tmp_path):
             spark, root, ix, "color", "red", require_fresh=True
         ).collect()
     } == _truth(spark, root, "red")
+
+
+def test_value_index_across_rebucket(spark, tmp_path):
+    """Bucket-count evolution invalidates every stored bucket id and
+    produces an EMPTY change feed (rows unchanged) — the refresh must
+    detect the modulus change from the watermark manifest and rebuild,
+    or lookups would scan old-modulus bucket ids and miss rows."""
+    from data_pipeline_demo_spark.sinks.txlog import rebucket_txtable
+
+    root = str(tmp_path / "t")
+    ix = str(tmp_path / "ix")
+    _seed(spark, root)  # 16 buckets
+    refresh_value_index(spark, root, ix, "color")
+    rebucket_txtable(spark, root, 4)
+    refresh_value_index(spark, root, ix, "color")
+    for color in ("red", "green", "blue", "gold"):
+        assert set(index_selected_buckets(spark, ix, color)) <= set(range(4))
+        got = {
+            r["id"]
+            for r in lookup_with_index(
+                spark, root, ix, "color", color, require_fresh=True
+            ).collect()
+        }
+        assert got == _truth(spark, root, color)
