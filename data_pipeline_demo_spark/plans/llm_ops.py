@@ -2673,3 +2673,64 @@ def q212_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.knn_exact(
         emb, probes, k=3, band=(0.15, COSINE_DUP_THRESHOLD)
     )
+
+
+_DUCK_LINE_DEDUP = """
+    WITH d AS (
+      SELECT doc_id,
+             text || chr(10) || text || chr(10) || substr(text, 1, 20)
+                  || chr(10) || text AS t2
+      FROM documents
+    ),
+    l AS (SELECT doc_id, string_split(t2, chr(10)) AS ls FROM d),
+    k AS (
+      SELECT doc_id, ls,
+             list_filter(ls, (x, i) -> list_position(ls, x) = i) AS kept
+      FROM l
+    )
+    SELECT doc_id,
+           CAST(len(ls) AS BIGINT) AS n_in,
+           CAST(len(kept) AS BIGINT) AS n_out,
+           md5(array_to_string(kept, chr(10))) AS clean_md5
+    FROM k
+"""
+
+
+@register("q214_line_dedup", oracle=_DUCK_LINE_DEDUP)
+def q214_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repeated-line REMOVAL (the C4/RefinedWeb
+    boilerplate-cleaning transform; q50's dup_line_fraction MEASURES
+    the signal, this op removes it): keep each line's FIRST occurrence,
+    preserving document order — order-preserving distinct, which
+    ``array_distinct`` alone guarantees only by implementation, here
+    pinned explicitly via first-occurrence index compare. The corpus
+    is single-line, so the input synthesizes a deterministic 4-line
+    document (text, text, 20-char prefix, text) with known duplicates.
+
+    Exactness: integer line counts + an md5 of the cleaned text —
+    any divergence in kept-set OR order flips the hash.
+
+    Scale shape: one codegen expression tree per doc (split / indexed
+    higher-order filter / join / md5) — map-only scan, no shuffle, no
+    Python. Quadratic only in LINES-PER-DOC (array_position per line),
+    the per-row bound every line-level cleaner accepts."""
+    d = table(spark, sf_dir, "documents")
+    t2 = F.concat_ws(
+        "\n",
+        F.col("text"),
+        F.col("text"),
+        F.substring("text", 1, 20),
+        F.col("text"),
+    )
+    lines = F.split(t2, "\n", -1)
+    kept = F.filter(
+        lines, lambda x, i: F.array_position(lines, x) == i + 1
+    )
+    return d.select(
+        "doc_id",
+        F.size(lines).cast("bigint").alias("n_in"),
+        F.size(kept).cast("bigint").alias("n_out"),
+        F.md5(F.encode(F.array_join(kept, "\n"), "utf-8")).alias(
+            "clean_md5"
+        ),
+    )

@@ -3970,3 +3970,63 @@ def q211_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("C")
         .alias("abc_class"),
     )
+
+
+_APRIORI3_SQL = """
+    WITH it AS (
+      SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM lineitem
+    ),
+    tr AS (
+      SELECT i1.p AS item_a, i2.p AS item_b, i3.p AS item_c
+      FROM it i1
+      JOIN it i2 ON i1.k = i2.k AND i1.p < i2.p
+      JOIN it i3 ON i2.k = i3.k AND i2.p < i3.p
+    )
+    SELECT item_a, item_b, item_c, CAST(COUNT(*) AS BIGINT) AS support
+    FROM tr GROUP BY item_a, item_b, item_c
+    HAVING COUNT(*) >= 2
+"""
+
+
+@register("q215_apriori_triples", oracle=_APRIORI3_SQL)
+def q215_apriori_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent 3-itemsets over order baskets (Apriori, Agrawal &
+    Srikant VLDB 1994) — the SIZE-3 member of the market-basket family
+    (q110 scores pairs by lift): every unordered part triple bought
+    together in ≥2 orders, with support.
+
+    Scale shape — the oracle's triple self-join is O(Σ C(basket, 2)·n)
+    join work; the operator is basket-local instead: (1) Apriori L1
+    prune (items below min-support can't join a frequent triple) →
+    (2) per-basket sorted item arrays, triples emitted by THREE chained
+    posexplodes over ever-shorter array slices — Σ C(basket, 3)
+    candidate rows, a per-basket bound, never a join across baskets —
+    → (3) one combinable groupBy(count) with the support HAVING.
+    The L1 prune is what makes this survive wide baskets at 100 TB:
+    the candidate count collapses to frequent-item sub-baskets."""
+    li = table(spark, sf_dir, "lineitem")
+    it = li.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("p")
+    ).distinct()
+    # Apriori L1: an item of a support>=2 triple itself has support>=2
+    freq = it.groupBy("p").agg(F.count(F.lit(1)).alias("__n")).filter(
+        F.col("__n") >= 2
+    )
+    pruned = it.join(freq.select("p"), "p", "left_semi")
+    baskets = (
+        pruned.groupBy("k")
+        .agg(F.sort_array(F.collect_set("p")).alias("items"))
+        .filter(F.size("items") >= 3)
+    )
+    e1 = baskets.select(
+        "k", "items", F.posexplode("items").alias("i", "item_a")
+    ).withColumn("rest1", F.expr("slice(items, i + 2, size(items))"))
+    e2 = e1.select(
+        "k", "item_a", "rest1", F.posexplode("rest1").alias("j", "item_b")
+    ).withColumn("rest2", F.expr("slice(rest1, j + 2, size(rest1))"))
+    e3 = e2.select("item_a", "item_b", F.explode("rest2").alias("item_c"))
+    return (
+        e3.groupBy("item_a", "item_b", "item_c")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= 2)
+    )
