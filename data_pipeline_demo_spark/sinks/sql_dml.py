@@ -19,6 +19,7 @@ the same statements they would against Delta:
     DELETE FROM txtable.`/path/t` WHERE id = 3
     RESTORE TABLE txtable.`/path/t` TO VERSION AS OF 2
     VACUUM txtable.`/path/t` RETAIN 168 HOURS [DRY RUN]
+    OPTIMIZE txtable.`/path/t` [ZORDER BY (col, ...)]
     DESCRIBE HISTORY txtable.`/path/t`
     ALTER TABLE txtable.`/path/t` ADD COLUMN score double
     ALTER TABLE txtable.`/path/t` DROP COLUMN score
@@ -262,6 +263,21 @@ def txtable_sql(spark: SparkSession, sql: str) -> DataFrame | int | None:
         return txtable_history(spark, m.group("path"))
 
     m = re.match(
+        rf"OPTIMIZE{_WS}{_TBL}"
+        rf"(?:{_WS}ZORDER{_WS}BY{_WS}\((?P<cols>[^)]+)\))?$",
+        text,
+        re.IGNORECASE,
+    )
+    if m:
+        from .txlog import compact_txtable
+
+        cols = m.group("cols")
+        zorder = (
+            [c.strip().strip("`") for c in cols.split(",")] if cols else None
+        )
+        return compact_txtable(spark, m.group("path"), zorder_by=zorder)
+
+    m = re.match(
         rf"ALTER{_WS}TABLE{_WS}{_TBL}{_WS}ADD{_WS}COLUMN"
         rf"{_WS}(?P<col>`[^`]+`|\w+){_WS}(?P<type>.+)$",
         text,
@@ -292,7 +308,7 @@ def txtable_sql(spark: SparkSession, sql: str) -> DataFrame | int | None:
 
     raise UnsupportedSqlError(
         f"not a recognized txtable statement: {text[:120]!r}. Supported: "
-        "MERGE INTO / UPDATE / DELETE FROM / RESTORE TABLE / VACUUM / "
+        "MERGE INTO / UPDATE / DELETE FROM / RESTORE TABLE / VACUUM / OPTIMIZE / "
         "DESCRIBE HISTORY / ALTER TABLE ... ADD|DROP COLUMN, each with "
         "txtable.`<path>` table refs"
     )

@@ -181,3 +181,27 @@ def test_sql_delete_merge_on_read_hint(spark, t):
     commits = sorted(Path(t, "_commits").glob("*.json"))
     m = json.loads(commits[-1].read_text())
     assert m.get("requires") == ["deletion-vectors"]  # vector, not rewrite
+
+
+def test_sql_optimize_and_zorder(spark, t):
+    import json
+    from pathlib import Path
+
+    # fragment the table: several single-row merges -> multi-file buckets
+    for i in range(3):
+        txtable_sql(
+            spark,
+            f"MERGE INTO txtable.`{t}` AS tgt USING "
+            f"(SELECT {100 + i} AS id, 1.0 AS amount, 'f' AS tag) AS s "
+            "ON tgt.id = s.id "
+            "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *",
+        )
+    before = _rows(spark, t)
+    n = txtable_sql(spark, f"OPTIMIZE txtable.`{t}`")
+    assert isinstance(n, int)
+    assert _rows(spark, t) == before
+    # ZORDER form rewrites every bucket; rows unchanged
+    assert txtable_sql(
+        spark, f"OPTIMIZE txtable.`{t}` ZORDER BY (amount)"
+    ) >= 1
+    assert _rows(spark, t) == before
