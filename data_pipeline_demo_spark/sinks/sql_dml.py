@@ -147,7 +147,8 @@ def txtable_sql(spark: SparkSession, sql: str) -> DataFrame | int | None:
         return spark.sql(_rewrite_selects(spark, text))
 
     m = re.match(
-        rf"UPDATE{_WS}{_TBL}{_WS}SET{_WS}(?P<set>.+?)"
+        rf"UPDATE(?:{_WS}/\*\+{_WS}?(?P<hint>MERGE_ON_READ){_WS}?\*/)?"
+        rf"{_WS}{_TBL}{_WS}SET{_WS}(?P<set>.+?)"
         rf"(?:{_WS}WHERE{_WS}(?P<where>.+))?$",
         text,
         re.IGNORECASE,
@@ -158,6 +159,7 @@ def txtable_sql(spark: SparkSession, sql: str) -> DataFrame | int | None:
             m.group("path"),
             set=_split_set_clause(m.group("set")),
             where=m.group("where") or "true",
+            mode="merge-on-read" if m.group("hint") else "copy-on-write",
         )
 
     m = re.match(

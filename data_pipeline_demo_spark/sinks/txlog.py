@@ -1647,11 +1647,158 @@ def _txlog_delete_mor(
     return n
 
 
+def _txlog_update_mor(
+    spark: SparkSession,
+    root_path: str,
+    prev: dict,
+    set_map: dict[str, str],
+    where: str,
+) -> int:
+    """Merge-on-read UPDATE body (see :func:`txlog_update` ``mode``):
+    matched LOGICAL rows are deletion-vectored and their post-update
+    images APPENDED as new files to the same buckets — IO is
+    O(updated rows) on both sides, no bucket rewrite (Delta's
+    DV-update shape). Zone maps and bloom filters of the touched
+    buckets are POPPED (no filter/stats recorded ⇒ the pruning reader
+    conservatively keeps the bucket — exact, just less prunable until
+    the next rewrite recomputes them)."""
+    key = prev["key"]
+    if key in set_map:
+        raise ValueError(
+            f"cannot SET the table key {key!r}: a key change moves rows "
+            "across buckets — express it as txlog_delete + txlog_upsert"
+        )
+    generated = dict(prev.get("generated_columns", {}))
+    gen_hit = [c for c in set_map if c in generated]
+    if gen_hit:
+        raise ValueError(
+            f"cannot SET generated column(s) {gen_hit}: GENERATED ALWAYS "
+            "AS columns recompute from their expressions when their "
+            "inputs change"
+        )
+    num_buckets = prev["num_buckets"]
+    buckets = {b: list(r) for b, r in prev["buckets"].items()}
+    row_counts = dict(prev["row_counts"])
+    live = sorted(int(b) for b in buckets)
+    files = [_abs(root_path, rel) for b in live for rel in buckets[str(b)]]
+    if not files:
+        return 0
+    scan = _read_snapshot_files(spark, prev, files)
+    data_cols = scan.columns
+    unknown = [c for c in set_map if c not in data_cols]
+    if unknown:
+        raise ValueError(f"SET columns not in table schema: {unknown}")
+    rows = scan.select(
+        "*",
+        _fp_norm().alias("__fp_norm"),
+        F.col("_metadata.row_index").alias("__dv_pos"),
+    )
+    matched = rows.filter(F.coalesce(F.expr(where), F.lit(False))).join(
+        F.broadcast(_file_ref_lookup(spark, root_path, prev, live)),
+        "__fp_norm",
+        "left",
+    )
+    dv_rels = _dv_rels(prev, [str(b) for b in live])
+    if dv_rels:
+        dvs = spark.read.parquet(
+            *[_abs(root_path, r) for r in dv_rels]
+        ).select("__dv_file", "__dv_pos")
+        matched = matched.join(dvs, ["__dv_file", "__dv_pos"], "left_anti")
+    matched = matched.persist()
+    try:
+        doomed = matched.select(
+            "__dv_file",
+            "__dv_pos",
+            _bucket_of(key, num_buckets).alias(BUCKET_COL),
+        )
+        bucket_dvs, dv_counts = _write_dv_files(
+            spark, root_path, doomed, prev
+        )
+        n = sum(dv_counts.values()) - sum(
+            prev.get("dv_counts", {}).values()
+        )
+        if n == 0:
+            return 0  # nothing matched: no version churn
+        updated = matched.select(
+            *[
+                F.expr(set_map[c]).alias(c) if c in set_map else F.col(c)
+                for c in data_cols
+            ]
+        )
+        for c, expr in generated.items():
+            if c in updated.columns:
+                updated = updated.withColumn(c, F.expr(expr))
+        _enforce_table_constraints(spark, root_path, updated)
+        updated = updated.withColumn(
+            BUCKET_COL, _bucket_of(key, num_buckets)
+        )
+        # APPEND the post-update images: fresh immutable dir, file refs
+        # appended to (not replacing) the touched buckets' lists
+        out_rel = f"{DATA_DIR}/{uuid.uuid4().hex}"
+        per_new = {
+            str(r[BUCKET_COL]): r["__n"]
+            for r in updated.groupBy(BUCKET_COL)
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .collect()
+        }
+        touched = sorted(per_new, key=int)
+        shuffle_n = 1 if n < 200_000 else max(len(touched), 1)
+        (
+            updated.repartition(shuffle_n, F.col(BUCKET_COL))
+            .write.mode("error")
+            .partitionBy(BUCKET_COL)
+            .parquet(_abs(root_path, out_rel))
+        )
+    finally:
+        matched.unpersist()
+    jvm = spark._jvm
+    fs, root = _hadoop_fs(spark, root_path)
+    bucket_stats = dict(prev.get("bucket_stats", {}))
+    bucket_blooms = dict(prev.get("bucket_blooms", {}))
+    for b in touched:
+        sub = jvm.org.apache.hadoop.fs.Path(
+            root, f"{out_rel}/{BUCKET_COL}={b}"
+        )
+        new_files = sorted(
+            f"{out_rel}/{BUCKET_COL}={b}/" + st.getPath().getName()
+            for st in fs.listStatus(sub)
+            if st.isFile() and st.getPath().getName().endswith(".parquet")
+        )
+        buckets[b] = buckets.get(b, []) + new_files
+        row_counts[b] = row_counts.get(b, 0) + int(per_new[b])
+        bucket_stats.pop(b, None)
+        bucket_blooms.pop(b, None)
+    fields = {"bucket_dvs": bucket_dvs, "dv_counts": dv_counts}
+    _commit_manifest(
+        spark,
+        root_path,
+        {
+            "version": prev["version"] + 1,
+            "key": key,
+            "num_buckets": num_buckets,
+            "buckets": buckets,
+            "row_counts": row_counts,
+            "app_txns": dict(prev.get("app_txns", {})),
+            "stats_columns": prev.get("stats_columns", []),
+            "bucket_stats": bucket_stats,
+            "bloom_columns": prev.get("bloom_columns", []),
+            "bucket_blooms": bucket_blooms,
+            "bloom_bits": int(prev.get("bloom_bits", BLOOM_BITS)),
+            **_schema_carry(prev),
+            **fields,
+            **_requires_of(fields),
+            "committed_at_ms": int(time.time() * 1000),
+        },
+    )
+    return n
+
+
 def txlog_update(
     spark: SparkSession,
     root_path: str,
     set: dict[str, str],
     where: str,
+    mode: str = "copy-on-write",
 ) -> int:
     """Predicate UPDATE on the log-backed table — the third DML verb
     beside MERGE (`txlog_upsert`) and DELETE (`txlog_delete`), Delta's
@@ -1672,13 +1819,26 @@ def txlog_update(
     version. Old versions still time-travel to the pre-update rows;
     the change feed shows the rewrite as updates with Delta-CDF
     preimages. Returns rows updated.
+
+    ``mode="merge-on-read"`` (Delta's DV update): instead of rewriting
+    the touched buckets, the matched rows are deletion-vectored and
+    their post-update images appended as new files — O(updated rows)
+    IO at any bucket size; the next rewrite of a bucket materializes.
+    Touched buckets' zone maps/blooms are popped (conservative) until
+    then.
     """
     if not set:
         raise ValueError("txlog_update: empty set= mapping")
+    if mode not in ("copy-on-write", "merge-on-read"):
+        raise ValueError(
+            f"mode={mode!r}: pass 'copy-on-write' or 'merge-on-read'"
+        )
     prev = _latest_manifest(spark, root_path)
     if prev is None:
         raise FileNotFoundError(f"no committed txtable at {root_path}")
     _check_features(prev, frozenset({FEATURE_DV}), "UPDATE")
+    if mode == "merge-on-read":
+        return _txlog_update_mor(spark, root_path, prev, set, where)
     key = prev["key"]
     if key in set:
         raise ValueError(

@@ -322,3 +322,76 @@ def test_streaming_cdc_sees_mor_delete(spark, tmp_path):
         assert got == {(4, "delete"), (9, "delete")}
     finally:
         q.stop()
+
+
+def test_mor_update_matches_cow_update(spark, tmp_path):
+    """Merge-on-read UPDATE: vectors the old rows, APPENDS the new
+    images — results identical to copy-on-write, no bucket file
+    replaced (old refs all still present), CDC shows updates."""
+    mor = _fresh(spark, tmp_path, "mor")
+    cow = _fresh(spark, tmp_path, "cow")
+    m0 = _manifest(tmp_path, "mor", 0)
+    n1 = txlog_update(
+        spark, mor, set={"v": "upper(v)"}, where="id % 3 = 0",
+        mode="merge-on-read",
+    )
+    n2 = txlog_update(spark, cow, set={"v": "upper(v)"}, where="id % 3 = 0")
+    assert n1 == n2 == 14
+    assert _as_dict(read_txtable(spark, mor)) == _as_dict(
+        read_txtable(spark, cow)
+    )
+    m1 = _manifest(tmp_path, "mor", 1)
+    for b, rels in m0["buckets"].items():
+        assert set(rels) <= set(m1["buckets"][b])  # appended, not replaced
+    assert m1["requires"] == ["deletion-vectors"]
+    ch = txtable_changes(spark, mor, from_version=0).collect()
+    assert sorted(r["id"] for r in ch) == [i for i in range(40) if i % 3 == 0]
+    assert {r["_change_type"] for r in ch} == {"update"}
+
+
+def test_mor_update_then_verbs(spark, tmp_path):
+    """Stacked MOR update → MOR delete → MERGE → compact: every verb
+    consumes the mixed appended+vectored state correctly."""
+    root = _fresh(spark, tmp_path)
+    txlog_update(
+        spark, root, set={"v": "'U'"}, where="id < 10", mode="merge-on-read"
+    )
+    # updated rows are live under their new values; update them AGAIN
+    assert (
+        txlog_update(
+            spark, root, set={"v": "v || '2'"}, where="v = 'U'",
+            mode="merge-on-read",
+        )
+        == 10
+    )
+    assert (
+        txlog_delete(spark, root, where="id in (0, 1)", mode="merge-on-read")
+        == 2
+    )
+    got = _as_dict(read_txtable(spark, root))
+    assert set(got) == set(range(2, 40))
+    assert all(got[i] == "U2" for i in range(2, 10))
+    txlog_upsert(spark, _rows(spark, [(2, "m")]), root)
+    assert _as_dict(read_txtable(spark, root))[2] == "m"
+    compact_txtable(spark, root, min_files=2)
+    m = _manifest(
+        tmp_path, "tx", txtable_history(spark, root)[-1]["version"]
+    )
+    assert "bucket_dvs" not in m
+    got = _as_dict(read_txtable(spark, root))
+    assert set(got) == set(range(2, 40)) and got[2] == "m" and got[5] == "U2"
+
+
+def test_sql_mor_update_hint(spark, tmp_path):
+    from data_pipeline_demo_spark.sinks.sql_dml import txtable_sql
+
+    root = _fresh(spark, tmp_path)
+    n = txtable_sql(
+        spark,
+        f"UPDATE /*+ MERGE_ON_READ */ txtable.`{root}` "
+        "SET v = 'X' WHERE id = 7",
+    )
+    assert n == 1
+    assert _as_dict(read_txtable(spark, root))[7] == "X"
+    m = _manifest(tmp_path, "tx", 1)
+    assert m.get("requires") == ["deletion-vectors"]
