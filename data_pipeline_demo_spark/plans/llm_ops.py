@@ -2734,3 +2734,63 @@ def q214_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "clean_md5"
         ),
     )
+
+
+_DUCK_MOR_UPDATE = """
+    WITH base AS (
+      SELECT o_orderkey, o_custkey, o_totalprice
+      FROM orders WHERE o_orderkey < 1500
+    ),
+    u AS (  -- merge-on-read UPDATE: vector old row, append new image
+      SELECT o_orderkey, o_custkey,
+             CASE WHEN o_orderkey % 3 = 0
+                  THEN ROUND(o_totalprice * 2, 2)
+                  ELSE o_totalprice END AS o_totalprice
+      FROM base
+    )
+    -- stacked merge-on-read DELETE afterwards
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM u WHERE NOT (o_orderkey % 5 = 0)
+"""
+
+
+@register("q216_mor_update_roundtrip", oracle=_DUCK_MOR_UPDATE)
+def q216_mor_update_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read UPDATE end-to-end under the value-exact oracle
+    (q209's UPDATE sibling): an orders slice lands in a txtable, a
+    ``mode="merge-on-read"`` UPDATE doubles every %3 order's total —
+    recording deletion vectors for the old rows and APPENDING the
+    post-update images, zero bucket rewrites — then a stacked MOR
+    DELETE removes the %5 band, and the final snapshot reads back
+    through the DV-aware scan. The oracle replays update→delete as
+    pure SQL (CASE + anti-predicate): a hash match certifies the
+    vector+append read semantics, cross-verb stacking, and that no
+    pre-update image ever resurfaces.
+
+    Scale: both verbs are O(touched rows) IO — the point-update shape
+    a 100 TB table needs (a COW update of 0.1% of rows rewrites
+    gigabytes; this writes kilobytes of vectors + the new images)."""
+    import tempfile
+
+    from ..sinks.txlog import read_txtable, txlog_delete, txlog_update, txlog_upsert
+
+    root = tempfile.mkdtemp(prefix="q216-morU-") + "/t"
+    base = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 1500)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+    txlog_upsert(spark, base, root, key="o_orderkey", num_buckets=8)
+    txlog_update(
+        spark,
+        root,
+        set={"o_totalprice": "round(o_totalprice * 2, 2)"},
+        where="o_orderkey % 3 = 0",
+        mode="merge-on-read",
+    )
+    txlog_delete(
+        spark, root, where="o_orderkey % 5 = 0", mode="merge-on-read"
+    )
+    return read_txtable(spark, root).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
