@@ -633,8 +633,11 @@ def _norm_fs_path(p: str) -> str:
 
 
 def _dv_rels(manifest: dict, bucket_ids) -> list[str]:
+    """Unique DV file refs for the given buckets — a flat (shared)
+    sidecar appears in MANY buckets' lists; reading it once is both
+    correct (the anti-join keys on the file reference) and the point."""
     dvs = manifest.get("bucket_dvs", {})
-    return [r for b in bucket_ids for r in dvs.get(str(b), [])]
+    return sorted({r for b in bucket_ids for r in dvs.get(str(b), [])})
 
 
 def _file_ref_lookup(spark, root_path: str, manifest: dict, bucket_ids):
@@ -730,22 +733,44 @@ def _write_dv_files(
         per_bucket = {str(r[BUCKET_COL]): r["__n"] for r in stat_rows}
         touched = sorted(per_bucket, key=int)
         total = sum(per_bucket.values())
-        # point deletes produce KB-sized vectors: one writer task is
-        # faster than bucket-count tasks (partitionBy still yields one
-        # file per bucket dir either way); broad deletes parallelize
-        shuffle_n = 1 if total < 200_000 else max(len(touched), 1)
-        (
-            doomed.repartition(shuffle_n, F.col(BUCKET_COL))
-            .write.mode("error")
-            .partitionBy(BUCKET_COL)
-            .parquet(_abs(root_path, out_rel))
-        )
+        # Point deletes produce KB-sized vectors: write ONE flat file
+        # shared by every touched bucket (each bucket's entry lists the
+        # same file; the anti-join keys on the file REFERENCE, so other
+        # buckets' rows never match — and readers dedup the file list).
+        # 32 one-row files per commit is metadata poison; one is not.
+        # Broad deletes keep the parallel per-bucket layout.
+        flat = total < 200_000
+        if flat:
+            (
+                doomed.drop(BUCKET_COL)
+                .repartition(1)
+                .write.mode("error")
+                .parquet(_abs(root_path, out_rel))
+            )
+        else:
+            (
+                doomed.repartition(max(len(touched), 1), F.col(BUCKET_COL))
+                .write.mode("error")
+                .partitionBy(BUCKET_COL)
+                .parquet(_abs(root_path, out_rel))
+            )
     finally:
         doomed.unpersist()
     jvm = spark._jvm
     fs, root = _hadoop_fs(spark, root_path)
     bucket_dvs = {b: list(r) for b, r in prev.get("bucket_dvs", {}).items()}
     dv_counts = {b: int(n) for b, n in prev.get("dv_counts", {}).items()}
+    if flat:
+        base_dir = jvm.org.apache.hadoop.fs.Path(root, out_rel)
+        shared = sorted(
+            f"{out_rel}/" + st.getPath().getName()
+            for st in fs.listStatus(base_dir)
+            if st.isFile() and st.getPath().getName().endswith(".parquet")
+        )
+        for b in touched:
+            bucket_dvs[b] = bucket_dvs.get(b, []) + shared
+            dv_counts[b] = dv_counts.get(b, 0) + int(per_bucket[b])
+        return bucket_dvs, dv_counts
     for b in touched:
         sub = jvm.org.apache.hadoop.fs.Path(
             root, f"{out_rel}/{BUCKET_COL}={b}"
@@ -2517,6 +2542,20 @@ def vacuum_txtable(
             counted_here = 0
             for bucket_st in fs.listStatus(commit_st.getPath()):
                 if not bucket_st.isDirectory():
+                    # flat deletion-vector sidecar: the file sits
+                    # directly under the commit dir (no bucket level)
+                    if bucket_st.isFile():
+                        rel = (
+                            f"{top_dir}/{commit_name}/"
+                            + bucket_st.getPath().getName()
+                        )
+                        if rel in live:
+                            any_kept = True
+                        elif rel.endswith(".parquet"):
+                            if not dry_run:
+                                fs.delete(bucket_st.getPath(), False)
+                            deleted += 1
+                            counted_here += 1
                     continue
                 bname = bucket_st.getPath().getName()
                 for file_st in fs.listStatus(bucket_st.getPath()):
