@@ -325,10 +325,33 @@ def _stat_value(v):
     dates/decimals/timestamps stringify (ISO date strings order
     lexicographically = chronologically, so range pruning stays
     correct). Used by BOTH the manifest writer and the pruning reader
-    so bounds and stored stats always compare like-for-like."""
+    so bounds and stored stats always compare like-for-like. Decimal
+    STRING stats do NOT order lexicographically ('9.5' > '12.0') —
+    the pruning comparator re-parses numeric-looking string pairs
+    through Decimal (:func:`_stat_cmp_pair`)."""
     if v is None or isinstance(v, (int, float, str, bool)):
         return v
     return str(v)
+
+
+def _stat_cmp_pair(a, b, decimal_bound: bool):
+    """(a, b) coerced so ``a < b`` compares by VALUE for zone-map
+    pruning. ``decimal_bound=True`` means the CALLER's bound was a
+    Decimal (⇒ the column is decimal-typed and its string stats are
+    stringified Decimals): string pairs re-parse through Decimal —
+    '9.5' vs '12.0' must order 9.5 < 12.0, not lexicographic '9' > '1'.
+    With a non-Decimal bound, strings pass through untouched: for
+    STRING columns Spark's own predicate semantics ARE lexicographic
+    (numeric-looking text like zip codes included), and ISO
+    date/timestamp strings order lexicographically = chronologically."""
+    if decimal_bound and isinstance(a, str) and isinstance(b, str):
+        import decimal as _dec
+
+        try:
+            return _dec.Decimal(a), _dec.Decimal(b)
+        except _dec.InvalidOperation:
+            return a, b
+    return a, b
 
 
 # --- per-version schema tracking (Delta's schema-on-log model) -------------
@@ -502,17 +525,27 @@ def _apply_generated_columns(
     constraints — silently accepting a divergent provided value would
     corrupt the invariant the column exists to guarantee). Null-safe
     equality, so expression-null rows must provide null."""
+    provided = {c: e for c, e in gen.items() if c in updates.columns}
     for c, expr in gen.items():
         if c not in updates.columns:
             updates = updates.withColumn(c, F.expr(expr))
-        else:
-            bad = updates.filter(
-                ~F.col(c).eqNullSafe(F.expr(expr))
-            ).count()
+    if provided:
+        # ONE aggregate pass validates every provided column (the
+        # check_constraints shape) — not one count job per column
+        row = updates.agg(
+            *[
+                F.sum(
+                    (~F.col(c).eqNullSafe(F.expr(e))).cast("long")
+                ).alias(c)
+                for c, e in provided.items()
+            ]
+        ).collect()[0]
+        for c, e in provided.items():
+            bad = row[c] or 0
             if bad:
                 raise ValueError(
                     f"generated column {c!r} provided with {bad} row(s) "
-                    f"diverging from its expression {expr!r} — omit the "
+                    f"diverging from its expression {e!r} — omit the "
                     "column (it is computed) or provide matching values"
                 )
     return updates
@@ -783,6 +816,38 @@ def _write_dv_files(
         bucket_dvs[b] = bucket_dvs.get(b, []) + files
         dv_counts[b] = dv_counts.get(b, 0) + int(per_bucket[b])
     return bucket_dvs, dv_counts
+
+
+def _validate_bloom_probe(manifest: dict, col: str, v) -> None:
+    """Refuse a bloom probe whose str(v) cannot reproduce Spark's
+    ``CAST(col AS STRING)`` rendering for the column's RECORDED type —
+    e.g. probing int 5 on a double column hashes '5' while the filter
+    holds '5.0': the bucket would silently prune to an empty (wrong)
+    result. String probes always pass (the explicit render-it-yourself
+    escape hatch); legacy manifests without a schema skip the check
+    (documented caller contract)."""
+    import datetime as _dt
+
+    st = _manifest_struct(manifest)
+    if st is None or isinstance(v, str):
+        return
+    names = {f.name: f.dataType.simpleString() for f in st.fields}
+    t = names.get(col)
+    if t is None:
+        return
+    ok = (
+        (isinstance(v, bool) is False and isinstance(v, int)
+         and t in ("tinyint", "smallint", "int", "bigint", "string"))
+        or (isinstance(v, _dt.date) and not isinstance(v, _dt.datetime)
+            and t in ("date", "string"))
+    )
+    if not ok:
+        raise ValueError(
+            f"bloom probe {v!r} ({type(v).__name__}) cannot reproduce "
+            f"Spark's CAST rendering for column {col!r} of type {t}; "
+            "pass the value as the exact string Spark's CAST(col AS "
+            "STRING) produces (e.g. '5.0' for a double)"
+        )
 
 
 # --- manifest bloom index (Delta bloom-filter-index role) ------------------
@@ -1089,7 +1154,11 @@ def txlog_upsert(
             txn_app_id is not None
             and app_txns.get(txn_app_id, -1) >= txn_version
         ):
-            return sum(row_counts.values())  # already committed: skip
+            # already committed: skip. LOGICAL rows (minus deletion
+            # vectors), matching what the original delivery returned
+            return sum(row_counts.values()) - sum(
+                prev.get("dv_counts", {}).values()
+            )
     else:
         key = "id" if key is None else key
         num_buckets = 32 if num_buckets is None else num_buckets
@@ -1323,12 +1392,23 @@ def read_txtable(
                 # stats were JSON-serialized through _stat_value (dates
                 # etc. → ISO strings); coerce the caller's bounds the
                 # same way so both sides always compare like-for-like
+                import decimal as _dec
+
+                dec_bound = any(
+                    isinstance(v, _dec.Decimal)
+                    for v in (lo, hi)
+                    if v is not None
+                )
                 lo_s, hi_s = _stat_value(lo), _stat_value(hi)
                 try:
-                    if lo_s is not None and mx < lo_s:
-                        return False
-                    if hi_s is not None and mn > hi_s:
-                        return False
+                    if lo_s is not None:
+                        mx_c, lo_c = _stat_cmp_pair(mx, lo_s, dec_bound)
+                        if mx_c < lo_c:
+                            return False
+                    if hi_s is not None:
+                        mn_c, hi_c = _stat_cmp_pair(mn, hi_s, dec_bound)
+                        if mn_c > hi_c:
+                            return False
                 except TypeError:
                     raise ValueError(
                         f"prune_between bound for {c!r} ({type(lo or hi).__name__}) "
@@ -1362,6 +1442,7 @@ def read_txtable(
                     "bloom_eq cannot probe NULL (xxhash64 skips nulls; "
                     "use an explicit IS NULL filter instead)"
                 )
+            _validate_bloom_probe(manifest, c, v)
             positions = _bloom_probe_positions(
                 v, int(manifest.get("bloom_bits", BLOOM_BITS))
             )
@@ -1395,6 +1476,8 @@ def read_txtable(
                     "bloom_in cannot probe NULL (xxhash64 skips nulls; "
                     "use an explicit IS NULL filter instead)"
                 )
+            for v in values:
+                _validate_bloom_probe(manifest, c, v)
             pos_sets = [
                 _bloom_probe_positions(
                     v, int(manifest.get("bloom_bits", BLOOM_BITS))
@@ -2366,7 +2449,7 @@ def deep_clone_txtable(
             f"deep clone target {target_root} is already a txtable"
         )
     rows = read_txtable(spark, source_root, version=version)
-    return txlog_upsert(
+    n = txlog_upsert(
         spark,
         rows,
         target_root,
@@ -2375,7 +2458,18 @@ def deep_clone_txtable(
         stats_columns=m.get("stats_columns", []) or None,
         bloom_columns=m.get("bloom_columns", []) or None,
         bloom_bits=int(m.get("bloom_bits", BLOOM_BITS)),
+        generated_columns=m.get("generated_columns", {}) or None,
     )
+    # dropped-column tombstones must survive the clone (without them a
+    # later ADD COLUMN of the same name would resurrect old file data
+    # on the clone — the exact hazard the tombstone exists to prevent)
+    dropped = list(m.get("dropped_columns", []))
+    if dropped:
+        tgt = _latest_manifest(spark, target_root)
+        _alter_commit(
+            spark, target_root, tgt, tgt.get("schema"), dropped
+        )
+    return n
 
 
 def txtable_history(spark: SparkSession, root_path: str) -> list[dict]:
@@ -2446,6 +2540,9 @@ def restore_txtable(
     if version == cur["version"]:
         return version  # already there: no-op, no empty commit
     src = _read_manifest(spark, root_path, version)
+    # the new manifest copies src's fields: an unknown required feature
+    # would be silently STRIPPED (its bookkeeping dropped) — refuse
+    _check_features(src, frozenset({FEATURE_DV}), "restore to")
     _commit_manifest(
         spark,
         root_path,

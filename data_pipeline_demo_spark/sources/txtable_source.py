@@ -605,11 +605,14 @@ class _TxTableBatchReader(DataSourceReader):
 
     def partitions(self) -> list[InputPartition]:
         # one partition per live bucket: the same parallel grain the
-        # JVM reader gets from the manifest, no directory listing
+        # JVM reader gets from the manifest, no directory listing.
+        # A fully-emptied table needs one no-op partition — Spark
+        # replaces an EMPTY list with a default None partition that
+        # read() cannot handle (same guard as the pushdown reader)
         return [
             self._partition_for(b)
             for b in sorted(self.manifest["buckets"], key=int)
-        ]
+        ] or [_BucketPartition([])]
 
     def read(self, partition: _BucketPartition) -> Iterator:
         dv_positions = (
@@ -713,6 +716,22 @@ def _change_partitions(
     pre: bool = False,
 ) -> list[_ChangesPartition]:
     key = m_to["key"]
+    if (
+        m_from.get("num_buckets") is not None
+        and m_from["num_buckets"] != m_to["num_buckets"]
+    ):
+        # a rebucket moved keys ACROSS buckets: this reader diffs each
+        # bucket id independently, which would emit spurious
+        # delete+insert pairs for unmoved rows. The JVM
+        # txtable_changes joins old vs new globally and handles it.
+        raise NotImplementedError(
+            f"txtable change feed across a bucket-count change "
+            f"({m_from['num_buckets']} -> {m_to['num_buckets']}, "
+            f"versions {m_from.get('version')} -> {m_to.get('version')}) "
+            "is not supported by the python DataSource; read it via "
+            "sinks.txlog.txtable_changes, or restart the feed from the "
+            "rebucketed version"
+        )
     parts = []
     for b in _changed_buckets(m_from, m_to):
         o_refs, o_rels, o_dvs = _bucket_side(fs, root, m_from, b, fs_options)
@@ -733,18 +752,33 @@ def _change_partitions(
 
 
 def _cdf_arrow_schema(fs, root: str, m_from: dict, m_to: dict, fs_options: dict):
-    """Alignment schema for a change window: the ending snapshot's
-    union schema, falling back to the starting snapshot when the table
-    was fully emptied (a delete-everything commit must still be able to
-    describe its own delete rows)."""
-    refs = _snapshot_refs(fs, root, m_to, fs_options) or _snapshot_refs(
-        fs, root, m_from, fs_options
-    )
-    if not refs:
+    """Alignment schema for a change window: the UNION of the two
+    snapshots' RECORDED schemas (evolution-safe — a column only one
+    side has reads null on the other; a column DROPPED by version
+    `to` is projected away exactly like the snapshot reader does, so
+    tombstoned data never resurrects through the change feed). A
+    legacy side with no recorded schema contributes its file-footer
+    union instead; a fully-empty legacy window (no schema, no files)
+    cannot describe its own rows and raises."""
+    import pyarrow as pa
+
+    sides = []
+    for m in (m_to, m_from):
+        a = _manifest_arrow_schema(m)
+        if a is None:
+            refs = _snapshot_refs(fs, root, m, fs_options)
+            a = _union_arrow_schema(refs) if refs else None
+        if a is not None:
+            sides.append(a)
+    if not sides:
         raise FileNotFoundError(
             f"txtable {root}: both change-window snapshots are empty"
         )
-    return _union_arrow_schema(refs)
+    fields: dict[str, object] = {}
+    for a in sides:
+        for field in a:
+            fields.setdefault(field.name, field)
+    return pa.schema(list(fields.values()))
 
 
 class _TxTableChangesBatchReader(DataSourceReader):

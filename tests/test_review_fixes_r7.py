@@ -1,0 +1,219 @@
+"""Round-7 self-review regressions: decimal zone-map compare, restore
+feature gate, watermark-skip logical counts, empty-table python read,
+CDF schema authority (no tombstone resurrection), python CDC rebucket
+gate, bloom probe type validation, deep-clone metadata carry."""
+
+from decimal import Decimal
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_pipeline_demo_spark.sinks.txlog import (
+    UnsupportedTableFeatureError,
+    deep_clone_txtable,
+    read_txtable,
+    rebucket_txtable,
+    txlog_delete,
+    txlog_drop_column,
+    txlog_upsert,
+)
+
+
+def _reg(spark):
+    from data_pipeline_demo_spark.sources.txtable_source import (
+        register_txtable_source,
+    )
+
+    register_txtable_source(spark)
+
+
+def test_decimal_zone_map_prunes_by_value_not_lexicographically(
+    spark, tmp_path
+):
+    """Stringified decimal stats must compare as NUMBERS: a bucket
+    holding 9.50..12.00 intersects [10, 11] even though '9.50' >
+    '12.00' lexicographically."""
+    root = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, Decimal("9.50")), (2, Decimal("10.50")), (3, Decimal("12.00"))],
+        "id long, amount decimal(18,2)",
+    )
+    txlog_upsert(
+        spark, df, root, num_buckets=1, stats_columns=["amount"]
+    )
+    got = read_txtable(
+        spark,
+        root,
+        prune_between={"amount": (Decimal("10"), Decimal("11"))},
+    ).collect()
+    assert [r["id"] for r in got] == [2]
+    # and a truly-disjoint range still prunes (no file IO → empty)
+    assert (
+        read_txtable(
+            spark,
+            root,
+            prune_between={"amount": (Decimal("50"), Decimal("60"))},
+        ).count()
+        == 0
+    )
+
+
+def test_restore_refuses_unknown_required_feature(spark, tmp_path):
+    import json
+
+    root = str(tmp_path / "t")
+    txlog_upsert(
+        spark, spark.createDataFrame([(1, "a")], "id long, v string"), root
+    )
+    m = json.loads((tmp_path / "t/_commits" / f"{0:020d}.json").read_text())
+    m["version"] = 1
+    m["requires"] = ["quantum-compression"]
+    (tmp_path / "t/_commits" / f"{1:020d}.json").write_text(json.dumps(m))
+    m2 = json.loads((tmp_path / "t/_commits" / f"{0:020d}.json").read_text())
+    m2["version"] = 2  # normal latest: the restore target is v1
+    (tmp_path / "t/_commits" / f"{2:020d}.json").write_text(json.dumps(m2))
+    from data_pipeline_demo_spark.sinks.txlog import restore_txtable
+
+    with pytest.raises(UnsupportedTableFeatureError):
+        restore_txtable(spark, root, version=1)
+
+
+def test_txn_watermark_skip_returns_logical_count(spark, tmp_path):
+    root = str(tmp_path / "t")
+    rows = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(10)], "id long, v string"
+    )
+    n0 = txlog_upsert(spark, rows, root, txn_app_id="app", txn_version=1)
+    assert n0 == 10
+    txlog_delete(spark, root, where="id < 4", mode="merge-on-read")
+    # replayed delivery: skipped by the watermark, LOGICAL count
+    n1 = txlog_upsert(spark, rows, root, txn_app_id="app", txn_version=1)
+    assert n1 == 6
+
+
+def test_python_reader_handles_fully_emptied_table(spark, tmp_path):
+    _reg(spark)
+    root = str(tmp_path / "t")
+    txlog_upsert(
+        spark,
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"),
+        root,
+        num_buckets=2,
+    )
+    assert txlog_delete(spark, root, where="true") == 2
+    # base reader (pushdown off) on a zero-bucket snapshot: empty, no crash
+    got = (
+        spark.read.format("txtable")
+        .option("pushdown", "false")
+        .load(root)
+        .collect()
+    )
+    assert got == []
+
+
+def test_cdf_does_not_resurrect_dropped_column(spark, tmp_path):
+    """The change feed's schema comes from the RECORDED schemas, not
+    file footers: a tombstoned column never reappears in change rows
+    once both window ends post-date the drop."""
+    _reg(spark)
+    root = str(tmp_path / "t")
+    txlog_upsert(
+        spark,
+        spark.createDataFrame(
+            [(1, "a", "123-45-6789")], "id long, v string, ssn string"
+        ),
+        root,
+        num_buckets=2,
+    )
+    txlog_drop_column(spark, root, "ssn")  # version 1, metadata-only
+    txlog_upsert(  # version 2: real row change post-drop
+        spark,
+        spark.createDataFrame([(1, "A2")], "id long, v string"),
+        root,
+    )
+    ch = (
+        spark.read.format("txtable")
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "1")
+        .load(root)
+    )
+    assert "ssn" not in ch.columns
+    rows = ch.collect()
+    assert {(r["id"], r["_change_type"]) for r in rows} == {(1, "update")}
+
+
+def test_python_cdc_refuses_rebucket_window(spark, tmp_path):
+    _reg(spark)
+    root = str(tmp_path / "t")
+    txlog_upsert(
+        spark,
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(8)], "id long, v string"
+        ),
+        root,
+        num_buckets=2,
+    )
+    rebucket_txtable(spark, root, 8)
+    with pytest.raises(Exception, match="bucket-count change"):
+        (
+            spark.read.format("txtable")
+            .option("readChangeFeed", "true")
+            .option("startingVersion", "0")
+            .load(root)
+            .collect()
+        )
+    # the JVM feed handles the same window: rows unchanged → empty diff
+    from data_pipeline_demo_spark.sinks.txlog import txtable_changes
+
+    assert txtable_changes(spark, root, from_version=0).count() == 0
+
+
+def test_bloom_probe_type_mismatch_raises(spark, tmp_path):
+    root = str(tmp_path / "t")
+    txlog_upsert(
+        spark,
+        spark.createDataFrame(
+            [(1, 5.0), (2, 6.5)], "id long, price double"
+        ),
+        root,
+        num_buckets=2,
+        bloom_columns=["price"],
+    )
+    with pytest.raises(ValueError, match="CAST rendering"):
+        read_txtable(spark, root, bloom_eq={"price": 5})
+    # the documented escape hatch: the exact Spark CAST string works
+    got = read_txtable(spark, root, bloom_eq={"price": "5.0"}).collect()
+    assert [r["id"] for r in got] == [1]
+
+
+def test_deep_clone_carries_generated_columns_and_tombstones(
+    spark, tmp_path
+):
+    src = str(tmp_path / "src")
+    tgt = str(tmp_path / "tgt")
+    txlog_upsert(
+        spark,
+        spark.createDataFrame(
+            [(1, 4.0, 8.0), (2, 3.0, 6.0)], "id long, a double, dbl double"
+        ),
+        src,
+        generated_columns={"dbl": "a * 2"},
+    )
+    deep_clone_txtable(spark, src, tgt)
+    # a divergent provided value must now be REJECTED on the clone too
+    with pytest.raises(ValueError, match="generated column"):
+        txlog_upsert(
+            spark,
+            spark.createDataFrame(
+                [(3, 1.0, 99.0)], "id long, a double, dbl double"
+            ),
+            tgt,
+        )
+    # and an omitted one computes
+    txlog_upsert(
+        spark,
+        spark.createDataFrame([(3, 5.0)], "id long, a double"),
+        tgt,
+    )
+    got = {r["id"]: r["dbl"] for r in read_txtable(spark, tgt).collect()}
+    assert got[3] == 10.0
