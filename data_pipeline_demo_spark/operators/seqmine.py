@@ -68,7 +68,12 @@ def gap_sequences(
     t = F.unix_micros(F.col(ts_col).cast("timestamp"))
     gap = int(max_gap_s) * 1_000_000
 
-    base = events.select(u.alias("__u"), ty.alias("__ty"), t.alias("__t"))
+    # null event types carry no pattern semantics — and concat_ws
+    # SKIPS null args, so an unfiltered null successor would collapse
+    # 'a>NULL' into the bare pattern 'a', double-counting L1 support
+    base = events.filter(
+        ty.isNotNull() & u.isNotNull() & F.col(ts_col).isNotNull()
+    ).select(u.alias("__u"), ty.alias("__ty"), t.alias("__t"))
 
     # L1: distinct users per type.
     l1 = (

@@ -55,11 +55,16 @@ def _local_prefilter(x_col: str, y_col: str):
 def skyline_2d(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
     """Rows not dominated under (minimize ``x_col``, maximize ``y_col``).
 
-    Null ``x``/``y`` rows are excluded (dominance is undefined on
-    unknowns, and SQL's NOT EXISTS comparison semantics would silently
-    keep every null row as "never dominated").
+    Null and NaN ``x``/``y`` rows are excluded (dominance is undefined
+    on unknowns; SQL's NOT EXISTS would silently keep every null row
+    as "never dominated", and pandas' running-max treats NaN as
+    incomparable where Spark ORDERS it greatest — the only consistent
+    contract is to exclude both).
     """
     base = df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+    for c in (x_col, y_col):
+        if dict(df.dtypes).get(c) in ("float", "double"):
+            base = base.filter(~F.isnan(F.col(c)))
 
     # 1. Equal-x reduction: only the max-y row per x can be undominated.
     best = base.groupBy(x_col).agg(F.max(y_col).alias(y_col))

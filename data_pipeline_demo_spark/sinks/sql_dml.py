@@ -62,7 +62,66 @@ _WS = r"\s+"
 
 
 def _norm(sql: str) -> str:
-    return re.sub(r"\s+", " ", sql.strip())
+    """Collapse whitespace runs OUTSIDE string literals only — a SET
+    value like 'a  b' must reach Spark byte-for-byte (doubled-quote
+    escapes fall out naturally: the closing quote ends the literal and
+    the next one reopens it)."""
+    out: list[str] = []
+    quote: str | None = None
+    pending_ws = False
+    for ch in sql.strip():
+        if quote:
+            out.append(ch)
+            if ch == quote:
+                quote = None
+            continue
+        if ch in "'\"":
+            if pending_ws:
+                out.append(" ")
+                pending_ws = False
+            quote = ch
+            out.append(ch)
+            continue
+        if ch.isspace():
+            pending_ws = True
+            continue
+        if pending_ws:
+            out.append(" ")
+            pending_ws = False
+        out.append(ch)
+    return "".join(out)
+
+
+def _split_top_where(text: str) -> tuple[str, str | None]:
+    """(head, where-or-None): split at the FIRST top-level WHERE —
+    outside quotes and parens, as a standalone keyword — so literals
+    like 'x where y' and subquery predicates never misparse."""
+    depth = 0
+    quote: str | None = None
+    low = text.lower()
+    n = len(text)
+    for i, ch in enumerate(text):
+        if quote:
+            if ch == quote:
+                quote = None
+            continue
+        if ch in "'\"":
+            quote = ch
+        elif ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        elif (
+            depth == 0
+            and low.startswith("where", i)
+            and (i == 0 or not (text[i - 1].isalnum() or text[i - 1] == "_"))
+            and (
+                i + 5 >= n
+                or not (text[i + 5].isalnum() or text[i + 5] == "_")
+            )
+        ):
+            return text[:i].rstrip(), (text[i + 5 :].strip() or None)
+    return text, None
 
 
 def _split_set_clause(text: str) -> dict[str, str]:
@@ -146,37 +205,40 @@ def txtable_sql(spark: SparkSession, sql: str) -> DataFrame | int | None:
     if re.match(r"(SELECT|WITH)\b", text, re.IGNORECASE):
         return spark.sql(_rewrite_selects(spark, text))
 
-    m = re.match(
-        rf"UPDATE(?:{_WS}/\*\+{_WS}?(?P<hint>MERGE_ON_READ){_WS}?\*/)?"
-        rf"{_WS}{_TBL}{_WS}SET{_WS}(?P<set>.+?)"
-        rf"(?:{_WS}WHERE{_WS}(?P<where>.+))?$",
-        text,
-        re.IGNORECASE,
-    )
-    if m:
-        return txlog_update(
-            spark,
-            m.group("path"),
-            set=_split_set_clause(m.group("set")),
-            where=m.group("where") or "true",
-            mode="merge-on-read" if m.group("hint") else "copy-on-write",
+    if re.match(r"UPDATE\b", text, re.IGNORECASE):
+        head, where = _split_top_where(text)
+        m = re.match(
+            rf"UPDATE(?:{_WS}/\*\+{_WS}?(?P<hint>MERGE_ON_READ){_WS}?\*/)?"
+            rf"{_WS}{_TBL}{_WS}SET{_WS}(?P<set>.+)$",
+            head,
+            re.IGNORECASE,
         )
+        if m:
+            return txlog_update(
+                spark,
+                m.group("path"),
+                set=_split_set_clause(m.group("set")),
+                where=where or "true",
+                mode="merge-on-read" if m.group("hint") else "copy-on-write",
+            )
 
-    m = re.match(
-        rf"DELETE(?:{_WS}/\*\+{_WS}?(?P<hint>MERGE_ON_READ){_WS}?\*/)?"
-        rf"{_WS}FROM{_WS}{_TBL}(?:{_WS}WHERE{_WS}(?P<where>.+))?$",
-        text,
-        re.IGNORECASE,
-    )
-    if m:
-        # DELETE /*+ MERGE_ON_READ */ FROM ... selects the deletion-
-        # vector strategy (no data-file rewrite); default is copy-on-write
-        return txlog_delete(
-            spark,
-            m.group("path"),
-            where=m.group("where") or "true",
-            mode="merge-on-read" if m.group("hint") else "copy-on-write",
+    if re.match(r"DELETE\b", text, re.IGNORECASE):
+        head, where = _split_top_where(text)
+        m = re.match(
+            rf"DELETE(?:{_WS}/\*\+{_WS}?(?P<hint>MERGE_ON_READ){_WS}?\*/)?"
+            rf"{_WS}FROM{_WS}{_TBL}$",
+            head,
+            re.IGNORECASE,
         )
+        if m:
+            # DELETE /*+ MERGE_ON_READ */ selects the deletion-vector
+            # strategy (no data-file rewrite); default is copy-on-write
+            return txlog_delete(
+                spark,
+                m.group("path"),
+                where=where or "true",
+                mode="merge-on-read" if m.group("hint") else "copy-on-write",
+            )
 
     m = re.match(
         rf"MERGE{_WS}INTO{_WS}{_TBL}(?:{_WS}AS{_WS}(?P<talias>\w+))?"
@@ -184,7 +246,7 @@ def txtable_sql(spark: SparkSession, sql: str) -> DataFrame | int | None:
         rf"{_WS}ON{_WS}(?P<on>.+?)"
         rf"{_WS}WHEN{_WS}MATCHED{_WS}THEN{_WS}UPDATE{_WS}SET{_WS}\*"
         rf"{_WS}WHEN{_WS}NOT{_WS}MATCHED{_WS}THEN{_WS}INSERT{_WS}\*"
-        rf"(?:{_WS}WHEN{_WS}NOT{_WS}MATCHED{_WS}BY{_WS}SOURCE"
+        rf"(?P<nmbs>{_WS}WHEN{_WS}NOT{_WS}MATCHED{_WS}BY{_WS}SOURCE"
         rf"(?:{_WS}AND{_WS}(?P<nmbs_cond>.+?))?"
         rf"{_WS}THEN{_WS}DELETE)?$",
         text,
@@ -213,10 +275,17 @@ def txtable_sql(spark: SparkSession, sql: str) -> DataFrame | int | None:
         # third clause turns the upsert into full-state sync; an AND
         # predicate deletes unmatched target rows selectively
         nmbs: bool | str = False
-        if "NOT MATCHED BY SOURCE" in text.upper():
-            nmbs = m.group("nmbs_cond") or True
+        if m.group("nmbs"):  # the CLAUSE matched (not just the phrase
+            nmbs = m.group("nmbs_cond") or True  # appearing in a literal)
+        # forward the ON column as the merge key: txlog_upsert's
+        # manifest guard then REFUSES an ON column that differs from
+        # the table's key instead of silently merging by the wrong one
         return txlog_upsert(
-            spark, source_df, path, not_matched_by_source_delete=nmbs
+            spark,
+            source_df,
+            path,
+            key=eq.group("c1"),
+            not_matched_by_source_delete=nmbs,
         )
 
     if re.match(rf"MERGE{_WS}INTO{_WS}{_TBL}", text, re.IGNORECASE):

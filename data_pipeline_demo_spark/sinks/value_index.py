@@ -83,6 +83,27 @@ def _with_pair_key(pairs: DataFrame) -> DataFrame:
     ).select("pair_key", "value", "bucket")
 
 
+def _target_str(value) -> str:
+    """Python rendering of a lookup value that matches the index's
+    build-time ``CAST(col AS STRING)``: bool renders Spark-style
+    lowercase; str/int/date render identically in both; float/Decimal
+    renderings can diverge (exponent forms, trailing zeros) — pass the
+    exact Spark CAST string instead."""
+    import datetime as _dt
+
+    if isinstance(value, bool):
+        return "true" if value else "false"
+    if isinstance(value, (str, int)) or (
+        isinstance(value, _dt.date) and not isinstance(value, _dt.datetime)
+    ):
+        return str(value)
+    raise ValueError(
+        f"index lookup value {value!r} ({type(value).__name__}) cannot "
+        "reproduce Spark's CAST(col AS STRING) rendering; pass the "
+        "exact string Spark produces (e.g. '5.0' for a double)"
+    )
+
+
 def index_watermark(spark: SparkSession, index_root: str) -> int | None:
     """Source version the index has consumed, or None before any build."""
     m = _latest_manifest(spark, index_root)
@@ -200,7 +221,9 @@ def lookup_with_index(
             )
         return read_txtable(spark, table_root).filter(pred)
     target = (
-        F.lit(None).cast("string") if value is None else F.lit(str(value))
+        F.lit(None).cast("string")
+        if value is None
+        else F.lit(_target_str(value))
     )
     buckets = [
         r["bucket"]
@@ -225,7 +248,9 @@ def index_selected_buckets(
     """The bucket set a lookup would scan — exposed so tests (and
     operators) can assert pruning without touching data files."""
     target = (
-        F.lit(None).cast("string") if value is None else F.lit(str(value))
+        F.lit(None).cast("string")
+        if value is None
+        else F.lit(_target_str(value))
     )
     return sorted(
         r["bucket"]

@@ -405,15 +405,30 @@ def _stat_value(v):
     return str(v)
 
 
-def _widen(prev: list | None, new: list | None):
+def _widen(prev: list | None, new: list | None, decimal: bool = False):
     """Union of two [lo, hi] stat intervals; ``None`` (no information)
     poisons the result — absent stats must stay absent so the pruning
-    reader conservatively keeps the bucket."""
+    reader conservatively keeps the bucket. ``decimal=True`` (the
+    column is decimal-typed, so string stats are stringified Decimals):
+    string pairs COMPARE by Decimal value — '9.5' vs '12.0' must pick
+    hi='12.0', never the lexical '9.5' — while the stored strings pass
+    through unchanged (parity with sinks.txlog._stat_cmp_pair)."""
     if prev is None or new is None:
         return None
+
+    def _key(v):
+        if decimal and isinstance(v, str):
+            import decimal as _dec
+
+            try:
+                return _dec.Decimal(v)
+            except _dec.InvalidOperation:
+                return v
+        return v
+
     try:
-        lo = prev[0] if prev[0] <= new[0] else new[0]
-        hi = prev[1] if prev[1] >= new[1] else new[1]
+        lo = prev[0] if _key(prev[0]) <= _key(new[0]) else new[0]
+        hi = prev[1] if _key(prev[1]) >= _key(new[1]) else new[1]
     except TypeError:
         return None  # incomparable (schema-evolved type): drop stats
     return [lo, hi]
@@ -493,8 +508,9 @@ class _TaskState:
             if col.null_count == len(col):
                 continue
             mm = pc.min_max(col)
-            lo = _stat_value(mm["min"].as_py())
-            hi = _stat_value(mm["max"].as_py())
+            # RAW python values here (Decimal/date compare by value);
+            # finish() stringifies via _stat_value for the wire format
+            lo, hi = mm["min"].as_py(), mm["max"].as_py()
             cur = st.get(c)
             st[c] = [lo, hi] if cur is None else (_widen(cur, [lo, hi]) or [lo, hi])
 
@@ -593,7 +609,11 @@ class _TaskState:
                     b,
                     self.rels[b],
                     self.rows[b],
-                    {c: v for c, v in self.stats[b].items() if v is not None},
+                    {
+                        c: [_stat_value(v[0]), _stat_value(v[1])]
+                        for c, v in self.stats[b].items()
+                        if v is not None
+                    },
                     self._bloom_entry(b),
                 )
                 for b in sorted(self.writers)
@@ -776,6 +796,24 @@ def commit_files(
                 f"txtable at {root} requires table feature(s) "
                 f"{unknown_req} the python writer does not support"
             )
+        if prev is not None and not overwrite:
+            # re-validate the PLAN-time spec against the manifest present
+            # at COMMIT time: a lost creation race (or a concurrent
+            # rebucket) between plan and commit would otherwise merge
+            # this write's mod-N file layout into a mod-M table —
+            # silently mis-bucketed forever. Same guard the schema
+            # already gets via _resolve_commit_schema below.
+            if (
+                spec["key"] != prev["key"]
+                or spec["num_buckets"] != prev["num_buckets"]
+            ):
+                raise ValueError(
+                    f"txtable at {root} is keyed "
+                    f"({prev['key']!r}, {prev['num_buckets']} buckets) but "
+                    f"this write was planned for ({spec['key']!r}, "
+                    f"{spec['num_buckets']}); a concurrent creation or "
+                    "rebucket won the race — re-run the write"
+                )
         dv_fields = {}
         if prev is not None and not overwrite:
             dvs = {
@@ -823,6 +861,15 @@ def commit_files(
         schema_fields, dropped_columns = _resolve_commit_schema(
             prev, spec, overwrite
         )
+        # decimal-typed stats columns stringify on the wire: the merge
+        # below must compare them by VALUE (never lexically) — same
+        # rule as the reader's _stat_cmp_pair
+        _fields_for_dec = schema_fields or (prev or {}).get("schema") or []
+        dec_cols = {
+            f["name"]
+            for f in _fields_for_dec
+            if str(f.get("type", "")).startswith("decimal")
+        }
         for entry in entries:
             # entries may be legacy 4-tuples (no bloom payload): treat
             # as blooms=None → pop touched filters (pre-r7 conservative)
@@ -874,7 +921,11 @@ def commit_files(
                             old_c, new_c = old_st.get(c), new_st.get(c)
                             # all-null append leaves old bounds EXACT
                             # (nulls never match a range predicate)
-                            w = old_c if new_c is None else _widen(old_c, new_c)
+                            w = (
+                                old_c
+                                if new_c is None
+                                else _widen(old_c, new_c, decimal=c in dec_cols)
+                            )
                             if w is not None:
                                 merged[c] = w
                 else:
@@ -971,8 +1022,11 @@ class TxTableStreamWriter(DataSourceStreamArrowWriter):
     """Streaming append sink. Exactly-once: each micro-batch commit
     records ``app_txns[txnAppId] = batchId``; a post-recovery replay of
     an already-committed batch is skipped by the log itself (its staged
-    files stay unreferenced and are vacuumed). Distinct queries writing
-    the same table must use distinct ``txnAppId`` options."""
+    files stay unreferenced and are vacuumed). The default ``txnAppId``
+    derives from the checkpoint location (the query's durable identity
+    — stable across restarts, distinct across queries), so two streams
+    into one table never dedup each other's batches by accident; an
+    explicit ``.option("txnAppId", ...)`` overrides."""
 
     def __init__(self, fs, root: str, spec: dict, txn_app_id: str):
         self.fs = fs
@@ -1054,9 +1108,27 @@ def make_stream_writer(options: dict, schema, overwrite: bool) -> TxTableStreamW
     fs, root = _fs_root(path, fs_options)
     spec = _resolve_table_spec(fs, root, options, schema)
     _precheck_schema(fs, root, spec, overwrite=False)
-    return TxTableStreamWriter(
-        fs, root, spec, options.get("txnappid", "txtable-stream-sink")
-    )
+    app_id = options.get("txnappid")
+    if app_id is None:
+        # Default txnAppId must be UNIQUE PER QUERY, or two distinct
+        # streams into the same table silently drop each other's
+        # batches at the watermark (batch ids overlap). The checkpoint
+        # location IS the query's durable identity — stable across
+        # restarts (exactly-once preserved), distinct across queries.
+        # Without a checkpoint there is no replay to dedup anyway, so
+        # a random id is safe; explicit .option("txnAppId", ...) still
+        # overrides everything.
+        ckpt = options.get("checkpointlocation")
+        if ckpt:
+            import hashlib
+
+            app_id = (
+                "txtable-stream-"
+                + hashlib.md5(ckpt.encode("utf-8")).hexdigest()[:16]
+            )
+        else:
+            app_id = "txtable-stream-" + uuid.uuid4().hex[:16]
+    return TxTableStreamWriter(fs, root, spec, app_id)
 
 
 def write_txtable(

@@ -217,3 +217,167 @@ def test_deep_clone_carries_generated_columns_and_tombstones(
     )
     got = {r["id"]: r["dbl"] for r in read_txtable(spark, tgt).collect()}
     assert got[3] == 10.0
+
+
+def test_sql_literal_whitespace_and_where_in_literal(spark, tmp_path):
+    """String literals survive normalization byte-for-byte, and a
+    'where' INSIDE a literal never splits the statement."""
+    from data_pipeline_demo_spark.sinks.sql_dml import txtable_sql
+
+    root = str(tmp_path / "t")
+    txlog_upsert(
+        spark,
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"),
+        root,
+    )
+    n = txtable_sql(
+        spark,
+        f"UPDATE txtable.`{root}` SET v = 'x  where  y' WHERE id = 1",
+    )
+    assert n == 1
+    got = {r["id"]: r["v"] for r in read_txtable(spark, root).collect()}
+    assert got[1] == "x  where  y"  # double spaces intact, not split
+    assert (
+        txtable_sql(
+            spark, f"DELETE FROM txtable.`{root}` WHERE v = 'x  where  y'"
+        )
+        == 1
+    )
+
+
+def test_sql_merge_on_wrong_key_refused(spark, tmp_path):
+    from data_pipeline_demo_spark.sinks.sql_dml import txtable_sql
+
+    root = str(tmp_path / "t")
+    txlog_upsert(
+        spark,
+        spark.createDataFrame([(1, "a")], "id long, v string"),
+        root,
+    )
+    spark.createDataFrame(
+        [("a", 9)], "v string, id long"
+    ).createOrReplaceTempView("wrongkey_src")
+    with pytest.raises(ValueError, match="key"):
+        txtable_sql(
+            spark,
+            f"MERGE INTO txtable.`{root}` AS t USING wrongkey_src AS s "
+            "ON t.v = s.v "
+            "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *",
+        )
+
+
+def test_sql_nmbs_phrase_in_literal_does_not_sync_delete(spark, tmp_path):
+    from data_pipeline_demo_spark.sinks.sql_dml import txtable_sql
+
+    root = str(tmp_path / "t")
+    txlog_upsert(
+        spark,
+        spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "id long, v string"
+        ),
+        root,
+    )
+    # the NMBS phrase only appears inside the USING subquery's literal:
+    # the merge must NOT delete unmatched target rows
+    txtable_sql(
+        spark,
+        f"MERGE INTO txtable.`{root}` AS t USING "
+        "(SELECT CAST(9 AS BIGINT) AS id, "
+        "'WHEN NOT MATCHED BY SOURCE THEN DELETE' AS v) AS s "
+        "ON t.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *",
+    )
+    assert set(
+        r["id"] for r in read_txtable(spark, root).collect()
+    ) == {1, 2, 3, 9}
+
+
+def test_decimal_stats_widen_by_value_in_python_writer(spark, tmp_path):
+    """Two python-writer appends to one bucket with decimal stats:
+    the merged bound must be the VALUE max (12.00), not the lexical
+    '9.50'."""
+    from data_pipeline_demo_spark.sources.txtable_writer import (
+        write_txtable,
+    )
+
+    root = str(tmp_path / "t")
+    a = spark.createDataFrame(
+        [(1, Decimal("9.50"))], "id long, amount decimal(18,2)"
+    )
+    b = spark.createDataFrame(
+        [(2, Decimal("12.00"))], "id long, amount decimal(18,2)"
+    )
+    write_txtable(
+        a, root, key="id", num_buckets=1, stats_columns=["amount"]
+    )
+    write_txtable(b, root, key="id", num_buckets=1, mode="append")
+    got = read_txtable(
+        spark,
+        root,
+        prune_between={"amount": (Decimal("11"), Decimal("13"))},
+    ).collect()
+    assert [r["id"] for r in got] == [2]
+
+
+def test_index_lookup_bool_rendering(spark, tmp_path):
+    from data_pipeline_demo_spark.sinks.value_index import (
+        lookup_with_index,
+        refresh_value_index,
+    )
+
+    root = str(tmp_path / "t")
+    ix = str(tmp_path / "ix")
+    txlog_upsert(
+        spark,
+        spark.createDataFrame(
+            [(1, True), (2, False), (3, True)], "id long, flag boolean"
+        ),
+        root,
+    )
+    refresh_value_index(spark, root, ix, "flag")
+    got = {
+        r["id"]
+        for r in lookup_with_index(
+            spark, root, ix, "flag", True, require_fresh=True
+        ).collect()
+    }
+    assert got == {1, 3}
+    with pytest.raises(ValueError, match="CAST"):
+        lookup_with_index(spark, root, ix, "flag", 1.5)
+
+
+def test_skyline_nan_rows_excluded(spark):
+    from data_pipeline_demo_spark.operators.skyline import skyline_2d
+
+    df = spark.createDataFrame(
+        [(1.0, 2.0, 1), (float("nan"), 9.0, 2), (0.5, float("nan"), 3)],
+        "x double, y double, id int",
+    )
+    got = [r.id for r in skyline_2d(df, "x", "y").collect()]
+    assert got == [1]
+
+
+def test_seqmine_null_event_type_excluded(spark):
+    import datetime as dt
+
+    from data_pipeline_demo_spark.operators.seqmine import gap_sequences
+
+    t0 = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [
+            (1, "a", t0),
+            (1, None, t0 + dt.timedelta(seconds=5)),
+            (1, "b", t0 + dt.timedelta(seconds=10)),
+        ],
+        "user_id int, event_type string, ts timestamp",
+    )
+    got = {
+        (r.pattern, r.length): r.support
+        for r in gap_sequences(df, max_gap_s=60).collect()
+    }
+    # no null pattern, no 'a' emitted twice via concat_ws collapse
+    assert got == {
+        ("a", 1): 1,
+        ("b", 1): 1,
+        ("a>b", 2): 1,
+    }
