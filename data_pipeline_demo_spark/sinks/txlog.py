@@ -926,6 +926,7 @@ def _publish_touched_buckets(
     bloom_columns: list[str] | None = None,
     bucket_blooms: dict[str, dict] | None = None,
     bloom_bits: int = BLOOM_BITS,
+    bucket_nulls: dict[str, dict] | None = None,
 ) -> None:
     """Write ``df`` (carrying BUCKET_COL) into a fresh immutable
     ``data/<uuid>/`` dir partitioned by bucket, then update the manifest
@@ -953,6 +954,12 @@ def _publish_touched_buckets(
         for c in stats_columns:
             aggs.append(F.min(c).alias(f"__lo_{c}"))
             aggs.append(F.max(c).alias(f"__hi_{c}"))
+            # null counts ride the same pass (Iceberg's null_value_counts
+            # role): IS NULL / IS NOT NULL probes then prune buckets
+            # from the manifest alone
+            aggs.append(
+                F.sum(F.col(c).isNull().cast("long")).alias(f"__nn_{c}")
+            )
         stat_rows = df.groupBy(BUCKET_COL).agg(*aggs).collect()
         per_bucket = {str(r[BUCKET_COL]): r["__n"] for r in stat_rows}
         if stats_columns and bucket_stats is not None:
@@ -960,6 +967,11 @@ def _publish_touched_buckets(
                 bucket_stats[str(r[BUCKET_COL])] = {
                     c: [_stat_value(r[f"__lo_{c}"]), _stat_value(r[f"__hi_{c}"])]
                     for c in stats_columns
+                }
+        if stats_columns and bucket_nulls is not None:
+            for r in stat_rows:
+                bucket_nulls[str(r[BUCKET_COL])] = {
+                    c: int(r[f"__nn_{c}"] or 0) for c in stats_columns
                 }
         if bloom_columns and bucket_blooms is not None:
             # fresh filters for every touched bucket, one sparse
@@ -1009,6 +1021,8 @@ def _publish_touched_buckets(
                 bucket_stats.pop(str(b), None)
             if bucket_blooms is not None:
                 bucket_blooms.pop(str(b), None)
+            if bucket_nulls is not None:
+                bucket_nulls.pop(str(b), None)
 
 
 def txlog_upsert(
@@ -1150,6 +1164,7 @@ def txlog_upsert(
         app_txns = dict(prev.get("app_txns", {}))
         bucket_stats = dict(prev.get("bucket_stats", {}))
         bucket_blooms = dict(prev.get("bucket_blooms", {}))
+        bucket_nulls = dict(prev.get("bucket_nulls", {}))
         if (
             txn_app_id is not None
             and app_txns.get(txn_app_id, -1) >= txn_version
@@ -1166,6 +1181,7 @@ def txlog_upsert(
         bloom_columns = list(bloom_columns or [])
         generated_columns = dict(generated_columns or {})
         bucket_blooms = {}
+        bucket_nulls = {}
     if txn_app_id is not None:
         app_txns[txn_app_id] = txn_version
 
@@ -1251,6 +1267,7 @@ def txlog_upsert(
         bloom_columns=bloom_columns,
         bucket_blooms=bucket_blooms,
         bloom_bits=bloom_bits,
+        bucket_nulls=bucket_nulls,
     )
 
     _commit_manifest(
@@ -1268,6 +1285,7 @@ def txlog_upsert(
             "bloom_columns": bloom_columns,
             "bucket_blooms": bucket_blooms,
             "bloom_bits": bloom_bits,
+            **({"bucket_nulls": bucket_nulls} if bucket_nulls else {}),
             **({"schema": schema_fields} if schema_fields is not None else {}),
             **({"dropped_columns": dropped_columns} if dropped_columns else {}),
             **(
@@ -1318,6 +1336,7 @@ def read_txtable(
     timestamp_ms: int | None = None,
     bloom_eq: dict[str, object] | None = None,
     bloom_in: dict[str, list] | None = None,
+    prune_is_null: dict[str, bool] | None = None,
 ) -> DataFrame:
     """Read a snapshot: the latest committed version, an explicit
     ``version``, or ``timestamp_ms`` (the last version committed at or
@@ -1343,6 +1362,16 @@ def read_txtable(
     point-lookup shape (a dirty-key set, an IN-list query): one
     manifest pass unions the per-value probe results — never one read
     per value.
+
+    ``prune_is_null={col: True|False}``: manifest NULL-COUNT pruning
+    (Iceberg's null_value_counts role, maintained per stats column in
+    the same aggregate pass as the zone maps). ``True`` probes
+    ``col IS NULL`` — buckets whose recorded null count is 0 skip;
+    ``False`` probes ``col IS NOT NULL`` — buckets that are all-null
+    skip. Counts are PHYSICAL (deletion vectors don't decrement them)
+    and buckets without a recorded count are conservatively kept, so
+    results stay exact either way — the matching predicate is
+    re-applied regardless.
     """
     if version is not None and timestamp_ms is not None:
         raise ValueError("pass at most one of version / timestamp_ms")
@@ -1492,11 +1521,37 @@ def read_txtable(
             ]
             cond = F.col(c).cast("string").isin([str(v) for v in values])
             predicate = cond if predicate is None else predicate & cond
+    if prune_is_null:
+        recorded = set(manifest.get("stats_columns", []))
+        missing = set(prune_is_null) - recorded
+        if missing:
+            raise ValueError(
+                f"txtable {root_path} has no null counts for "
+                f"{sorted(missing)}; stats_columns={sorted(recorded)} "
+                "(fixed at table creation)"
+            )
+        nulls = manifest.get("bucket_nulls", {})
+        rows_phys = manifest.get("row_counts", {})
+        for c, want_null in prune_is_null.items():
+
+            def _keep(b: str, col=c, wn=want_null) -> bool:
+                nn = nulls.get(b, {}).get(col)
+                if nn is None:
+                    return True  # no recorded count: must keep
+                if wn:
+                    return nn > 0  # IS NULL: a 0-null bucket can skip
+                return nn < rows_phys.get(b, 1)  # IS NOT NULL: all-null skips
+
+            live = [b for b in live if _keep(b)]
+            cond = (
+                F.col(c).isNull() if want_null else F.col(c).isNotNull()
+            )
+            predicate = cond if predicate is None else predicate & cond
     files = [
         _abs(root_path, rel) for b in live for rel in manifest["buckets"][b]
     ]
     if not files:
-        if prune_between or bloom_eq or bloom_in:
+        if prune_between or bloom_eq or bloom_in or prune_is_null:
             st = _manifest_struct(manifest)
             if st is not None:  # everything pruned: empty frame, no IO at all
                 return spark.createDataFrame([], st)
@@ -1621,6 +1676,7 @@ def txlog_delete(
     )
     bucket_stats = dict(prev.get("bucket_stats", {}))
     bucket_blooms = dict(prev.get("bucket_blooms", {}))
+    bucket_nulls = dict(prev.get("bucket_nulls", {}))
     _publish_touched_buckets(
         spark,
         root_path,
@@ -1633,6 +1689,7 @@ def txlog_delete(
         bloom_columns=prev.get("bloom_columns", []),
         bucket_blooms=bucket_blooms,
         bloom_bits=int(prev.get("bloom_bits", BLOOM_BITS)),
+        bucket_nulls=bucket_nulls,
     )
     kept = sum(row_counts.get(str(b), 0) for b in touched)
     _commit_manifest(
@@ -1650,6 +1707,7 @@ def txlog_delete(
             "bloom_columns": prev.get("bloom_columns", []),
             "bucket_blooms": bucket_blooms,
             "bloom_bits": int(prev.get("bloom_bits", BLOOM_BITS)),
+            **({"bucket_nulls": bucket_nulls} if bucket_nulls else {}),
             **_schema_carry(prev),
             **_dv_carry(prev, touched),
             "committed_at_ms": int(time.time() * 1000),
@@ -1746,6 +1804,13 @@ def _txlog_delete_mor(
             "bloom_columns": prev.get("bloom_columns", []),
             "bucket_blooms": dict(prev.get("bucket_blooms", {})),
             "bloom_bits": int(prev.get("bloom_bits", BLOOM_BITS)),
+            # null counts are PHYSICAL (all file rows) — a merge-on-read
+            # delete changes no file, so they carry exactly
+            **(
+                {"bucket_nulls": dict(prev["bucket_nulls"])}
+                if prev.get("bucket_nulls")
+                else {}
+            ),
             **_schema_carry(prev),
             **fields,
             **_requires_of(fields),
@@ -1863,6 +1928,7 @@ def _txlog_update_mor(
     fs, root = _hadoop_fs(spark, root_path)
     bucket_stats = dict(prev.get("bucket_stats", {}))
     bucket_blooms = dict(prev.get("bucket_blooms", {}))
+    bucket_nulls = dict(prev.get("bucket_nulls", {}))
     for b in touched:
         sub = jvm.org.apache.hadoop.fs.Path(
             root, f"{out_rel}/{BUCKET_COL}={b}"
@@ -1876,6 +1942,7 @@ def _txlog_update_mor(
         row_counts[b] = row_counts.get(b, 0) + int(per_new[b])
         bucket_stats.pop(b, None)
         bucket_blooms.pop(b, None)
+        bucket_nulls.pop(b, None)
     fields = {"bucket_dvs": bucket_dvs, "dv_counts": dv_counts}
     _commit_manifest(
         spark,
@@ -1892,6 +1959,7 @@ def _txlog_update_mor(
             "bloom_columns": prev.get("bloom_columns", []),
             "bucket_blooms": bucket_blooms,
             "bloom_bits": int(prev.get("bloom_bits", BLOOM_BITS)),
+            **({"bucket_nulls": bucket_nulls} if bucket_nulls else {}),
             **_schema_carry(prev),
             **fields,
             **_requires_of(fields),
@@ -1979,6 +2047,7 @@ def txlog_update(
     )
     if not touched:
         return 0
+    bucket_nulls = dict(prev.get("bucket_nulls", {}))
     in_touched = current.filter(F.col(BUCKET_COL).isin(touched))
     n_updated = in_touched.filter(pred).count()
     rewritten = in_touched.select(
@@ -2016,6 +2085,7 @@ def txlog_update(
         bloom_columns=prev.get("bloom_columns", []),
         bucket_blooms=bucket_blooms,
         bloom_bits=int(prev.get("bloom_bits", BLOOM_BITS)),
+        bucket_nulls=bucket_nulls,
     )
     _commit_manifest(
         spark,
@@ -2032,6 +2102,7 @@ def txlog_update(
             "bloom_columns": prev.get("bloom_columns", []),
             "bucket_blooms": bucket_blooms,
             "bloom_bits": int(prev.get("bloom_bits", BLOOM_BITS)),
+            **({"bucket_nulls": bucket_nulls} if bucket_nulls else {}),
             **_schema_carry(prev),
             **_dv_carry(prev, touched),
             "committed_at_ms": int(time.time() * 1000),
@@ -2070,6 +2141,11 @@ def _alter_commit(
             "schema": fields,
             **({"dropped_columns": dropped} if dropped else {}),
             **({"generated_columns": _g} if _g else {}),
+            **(
+                {"bucket_nulls": dict(prev["bucket_nulls"])}
+                if prev.get("bucket_nulls")
+                else {}
+            ),
             **_dv_carry(prev),
             "committed_at_ms": int(time.time() * 1000),
         },
@@ -2404,6 +2480,11 @@ def shallow_clone_txtable(
             "bloom_columns": src.get("bloom_columns", []),
             "bucket_blooms": dict(src.get("bucket_blooms", {})),
             "bloom_bits": int(src.get("bloom_bits", BLOOM_BITS)),
+            **(
+                {"bucket_nulls": dict(src["bucket_nulls"])}
+                if src.get("bucket_nulls")
+                else {}
+            ),
             **_schema_carry(src),
             "committed_at_ms": int(time.time() * 1000),
         },
@@ -2560,6 +2641,11 @@ def restore_txtable(
             "bloom_columns": src.get("bloom_columns", []),
             "bucket_blooms": dict(src.get("bucket_blooms", {})),
             "bloom_bits": int(src.get("bloom_bits", BLOOM_BITS)),
+            **(
+                {"bucket_nulls": dict(src["bucket_nulls"])}
+                if src.get("bucket_nulls")
+                else {}
+            ),
             **_schema_carry(src),
             **_dv_carry(src),
             "restored_from_version": version,
@@ -2782,6 +2868,7 @@ def compact_txtable(
     row_counts = dict(manifest["row_counts"])
     bucket_stats = dict(manifest.get("bucket_stats", {}))
     bucket_blooms = dict(manifest.get("bucket_blooms", {}))
+    bucket_nulls = dict(manifest.get("bucket_nulls", {}))
     dv_counts = manifest.get("dv_counts", {})
     for b, rels in todo.items():
         new_rows = row_counts.get(b, 0) - dv_counts.get(b, 0)
@@ -2792,6 +2879,7 @@ def compact_txtable(
             row_counts.pop(b, None)
             bucket_stats.pop(b, None)
             bucket_blooms.pop(b, None)
+            bucket_nulls.pop(b, None)
             continue
         nbytes = sum(
             fs.getFileStatus(jvm.org.apache.hadoop.fs.Path(root, rel)).getLen()
@@ -2845,8 +2933,11 @@ def compact_txtable(
         if b in dv_buckets:
             # vectors just materialized: physical rows = logical rows.
             # Zone maps / blooms stay AS-IS — over-approximations that
-            # can only fail to prune, never prune a live row.
+            # can only fail to prune, never prune a live row. Null
+            # counts POP instead: a stale count can EXCEED the new row
+            # count and wrongly prune an IS NOT NULL probe.
             row_counts[b] = new_rows
+            bucket_nulls.pop(b, None)
     _commit_manifest(
         spark,
         root_path,
@@ -2865,6 +2956,7 @@ def compact_txtable(
             "bloom_columns": manifest.get("bloom_columns", []),
             "bucket_blooms": bucket_blooms,
             "bloom_bits": int(manifest.get("bloom_bits", BLOOM_BITS)),
+            **({"bucket_nulls": bucket_nulls} if bucket_nulls else {}),
             **_schema_carry(manifest),
             **_dv_carry(manifest, todo.keys()),
             "committed_at_ms": int(time.time() * 1000),
@@ -3065,6 +3157,7 @@ def rebucket_txtable(
     row_counts: dict[str, int] = {}
     bucket_stats: dict[str, dict] = {}
     bucket_blooms: dict[str, dict] = {}
+    bucket_nulls: dict[str, dict] = {}
     touched = list(range(new_num_buckets))
     if rows is not None:
         rows = rows.withColumn(BUCKET_COL, _bucket_of(key, new_num_buckets))
@@ -3080,6 +3173,7 @@ def rebucket_txtable(
             bloom_columns=prev.get("bloom_columns", []),
             bucket_blooms=bucket_blooms,
             bloom_bits=int(prev.get("bloom_bits", BLOOM_BITS)),
+            bucket_nulls=bucket_nulls,
         )
     _commit_manifest(
         spark,
@@ -3096,6 +3190,7 @@ def rebucket_txtable(
             "bloom_columns": prev.get("bloom_columns", []),
             "bucket_blooms": bucket_blooms,
             "bloom_bits": int(prev.get("bloom_bits", BLOOM_BITS)),
+            **({"bucket_nulls": bucket_nulls} if bucket_nulls else {}),
             **_schema_carry(prev),
             "committed_at_ms": int(time.time() * 1000),
         },

@@ -1421,3 +1421,46 @@ def test_rebucket_evolves_modulus(spark, tmp_path):
     assert len(_as_dict(read_txtable(spark, root, version=0))) == 40
     # no-op when already at the requested modulus
     assert rebucket_txtable(spark, root, 16) == v + 1  # merge bumped it
+
+
+def test_null_count_pruning(spark, tmp_path):
+    """Iceberg-style null-count stats: IS NULL probes skip 0-null
+    buckets from the manifest alone, IS NOT NULL skips all-null ones,
+    both stay exact (predicate re-applied), and counts maintain
+    through MERGE / carry through merge-on-read deletes."""
+    from data_pipeline_demo_spark.sinks.txlog import txlog_delete
+
+    root = str(tmp_path / "tx")
+    df = spark.createDataFrame(
+        [(i, None if i % 3 == 0 else f"v{i}") for i in range(40)],
+        "id long, v string",
+    )
+    txlog_upsert(spark, df, root, num_buckets=8, stats_columns=["v"])
+
+    def ids(**kw):
+        return {r["id"] for r in read_txtable(spark, root, **kw).collect()}
+
+    truth_null = {i for i in range(40) if i % 3 == 0}
+    assert ids(prune_is_null={"v": True}) == truth_null
+    assert ids(prune_is_null={"v": False}) == set(range(40)) - truth_null
+    # fill most nulls; the recomputed counts keep pruning exact
+    txlog_upsert(
+        spark,
+        spark.createDataFrame(
+            [(i, "filled") for i in range(0, 40, 3) if i != 0],
+            "id long, v string",
+        ),
+        root,
+    )
+    assert ids(prune_is_null={"v": True}) == {0}
+    # physical counts carry across a merge-on-read delete: exact still
+    txlog_delete(
+        spark,
+        root,
+        keys=spark.createDataFrame([(0,)], "id long"),
+        mode="merge-on-read",
+    )
+    assert ids(prune_is_null={"v": True}) == set()
+    # undeclared column refuses loudly
+    with pytest.raises(ValueError, match="no null counts"):
+        read_txtable(spark, root, prune_is_null={"id": True})
