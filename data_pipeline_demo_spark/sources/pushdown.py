@@ -45,6 +45,8 @@ from pyspark.sql.datasource import (
     GreaterThan,
     GreaterThanOrEqual,
     In,
+    IsNotNull,
+    IsNull,
     LessThan,
     LessThanOrEqual,
 )
@@ -360,7 +362,22 @@ def prune_bucket_ids(manifest: dict, filters, arrow_schema) -> list[str]:
         c: bnds for c, bnds in collect_bounds(filters).items() if c in stats_cols
     }
     if bounds:
+        import decimal as _dec
+
         stats = manifest.get("bucket_stats", {})
+
+        def _pair(a, b, dec_bound):
+            # stringified-Decimal stats must compare by VALUE, never
+            # lexically ('9.5' > '12.0') — parity with
+            # sinks.txlog._stat_cmp_pair; only when the pushed literal
+            # itself is a Decimal (string columns keep Spark's own
+            # lexicographic semantics)
+            if dec_bound and isinstance(a, str) and isinstance(b, str):
+                try:
+                    return _dec.Decimal(a), _dec.Decimal(b)
+                except _dec.InvalidOperation:
+                    return a, b
+            return a, b
 
         def overlaps(b: str) -> bool:
             st = stats.get(b)
@@ -370,15 +387,48 @@ def prune_bucket_ids(manifest: dict, filters, arrow_schema) -> list[str]:
                 mn, mx = st.get(c, [None, None])
                 if mn is None or mx is None:
                     continue  # all-null bucket column: keep
+                dec_bound = any(
+                    isinstance(v, _dec.Decimal)
+                    for v in (lo, hi)
+                    if v is not None
+                )
                 lo_s, hi_s = _sv(lo), _sv(hi)
                 try:
-                    if lo_s is not None and mx < lo_s:
-                        return False
-                    if hi_s is not None and mn > hi_s:
-                        return False
+                    if lo_s is not None:
+                        mx_c, lo_c = _pair(mx, lo_s, dec_bound)
+                        if mx_c < lo_c:
+                            return False
+                    if hi_s is not None:
+                        mn_c, hi_c = _pair(mn, hi_s, dec_bound)
+                        if mn_c > hi_c:
+                            return False
                 except TypeError:
                     return True  # incomparable literal: keep, stay exact
             return True
 
         live = [b for b in live if overlaps(b)]
+
+    # null-count tier: Spark pushes IsNull/IsNotNull as first-class
+    # filters — a 0-null bucket cannot satisfy IS NULL, an all-null one
+    # cannot satisfy IS NOT NULL (counts are physical; absent → keep)
+    nulls = manifest.get("bucket_nulls", {})
+    rows_phys = manifest.get("row_counts", {})
+    for f in filters:
+        col = _one_col(f)
+        if col is None or col not in stats_cols:
+            continue
+        if isinstance(f, IsNull):
+            live = [
+                b
+                for b in live
+                if nulls.get(b, {}).get(col) is None
+                or nulls[b][col] > 0
+            ]
+        elif isinstance(f, IsNotNull):
+            live = [
+                b
+                for b in live
+                if nulls.get(b, {}).get(col) is None
+                or nulls[b][col] < rows_phys.get(b, 1)
+            ]
     return live

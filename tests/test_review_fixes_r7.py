@@ -381,3 +381,55 @@ def test_seqmine_null_event_type_excluded(spark):
         ("b", 1): 1,
         ("a>b", 2): 1,
     }
+
+
+def test_python_pushdown_null_counts_and_decimal_bounds(spark, tmp_path):
+    """The python reader's planning-time pruning uses null counts for
+    Spark's own IsNull/IsNotNull pushed filters, and compares decimal
+    zone-map bounds by value (never lexically) — both exact."""
+    from data_pipeline_demo_spark.sources.pushdown import prune_bucket_ids
+    from pyspark.sql.datasource import IsNotNull, IsNull
+
+    _reg(spark)
+    root = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [
+            (i, None if i % 4 == 0 else f"v{i}", Decimal(f"{i}.50"))
+            for i in range(40)
+        ],
+        "id long, v string, amount decimal(18,2)",
+    )
+    txlog_upsert(
+        spark, df, root, num_buckets=8, stats_columns=["v", "amount"]
+    )
+    import json
+
+    m = json.loads((tmp_path / "t/_commits" / f"{0:020d}.json").read_text())
+    full = sorted(m["buckets"], key=int)
+    # IsNotNull on a column with nulls in every bucket: nothing prunes,
+    # results exact; value-level read parity through format("txtable")
+    got = (
+        spark.read.format("txtable")
+        .load(root)
+        .filter("v IS NULL")
+        .collect()
+    )
+    assert sorted(r["id"] for r in got) == [i for i in range(40) if i % 4 == 0]
+    got2 = (
+        spark.read.format("txtable")
+        .load(root)
+        .filter("v IS NOT NULL AND amount >= 9.5 AND amount <= 11.0")
+        .collect()
+    )
+    assert sorted(r["id"] for r in got2) == [
+        i for i in range(40) if i % 4 and Decimal("9.5") <= Decimal(f"{i}.50") <= Decimal("11.0")
+    ]
+    # direct planner probes: a synthetic all-null / no-null bucket map
+    m2 = dict(m)
+    m2["bucket_nulls"] = {b: {"v": 0} for b in full}
+    assert prune_bucket_ids(m2, [IsNull(("v",))], None) == []
+    m2["bucket_nulls"] = {
+        b: {"v": m["row_counts"][b]} for b in full
+    }
+    assert prune_bucket_ids(m2, [IsNotNull(("v",))], None) == []
+    assert prune_bucket_ids(m2, [], None) == full
