@@ -177,6 +177,21 @@ def bench_lakehouse(spark, sf_dir: str, runs: int):
         timings["lh_cow_delete"], spreads["lh_cow_delete"] = _timed(
             lambda: _del_slice("copy-on-write")(), runs
         )
+        # null-count manifest pruning: l_shipdate has zero nulls, so an
+        # IS NULL probe prunes EVERY bucket from metadata alone —
+        # versus the same logical probe as a full predicate scan
+        timings["lh_isnull_pruned_probe"], spreads["lh_isnull_pruned_probe"] = _timed(
+            lambda: read_txtable(
+                spark, root, prune_is_null={"l_shipdate": True}
+            ).count(),
+            runs,
+        )
+        timings["lh_isnull_full_scan"], spreads["lh_isnull_full_scan"] = _timed(
+            lambda: read_txtable(spark, root)
+            .filter("l_shipdate IS NULL")
+            .count(),
+            runs,
+        )
         # (the python-writer OVERWRITE below replaces the snapshot,
         # which drops the remaining vectors with the buckets they
         # covered — later entries see a DV-free table)
