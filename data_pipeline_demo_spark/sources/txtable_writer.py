@@ -470,6 +470,7 @@ class _TaskState:
         self.rels: dict[int, str] = {}
         self.rows: dict[int, int] = {}
         self.stats: dict[int, dict] = {}
+        self.nulls: dict[int, dict] = {}
         self.blooms: dict[int, dict] = {}
 
     def _open(self, b: int, schema):
@@ -494,6 +495,7 @@ class _TaskState:
         self.rels[b] = rel
         self.rows[b] = 0
         self.stats[b] = {c: None for c in self.stats_columns}
+        self.nulls[b] = {c: 0 for c in self.stats_columns}
         self.blooms[b] = {c: {} for c in self.bloom_columns}
         return w
 
@@ -501,10 +503,12 @@ class _TaskState:
         import pyarrow.compute as pc
 
         st = self.stats[b]
+        nn = self.nulls[b]
         for c in self.stats_columns:
             if c not in tbl.column_names:
                 continue
             col = tbl.column(c)
+            nn[c] += int(col.null_count)
             if col.null_count == len(col):
                 continue
             mm = pc.min_max(col)
@@ -615,6 +619,7 @@ class _TaskState:
                         if v is not None
                     },
                     self._bloom_entry(b),
+                    dict(self.nulls[b]),
                 )
                 for b in sorted(self.writers)
                 if self.rows[b] > 0
@@ -849,9 +854,13 @@ def commit_files(
             bucket_blooms = {
                 b: dict(st) for b, st in prev.get("bucket_blooms", {}).items()
             }
+            bucket_nulls = {
+                b: dict(st) for b, st in prev.get("bucket_nulls", {}).items()
+            }
         else:
             buckets, row_counts, bucket_stats = {}, {}, {}
             bucket_blooms = {}
+            bucket_nulls = {}
         bloom_columns = (
             prev.get("bloom_columns", []) if prev is not None else []
         )
@@ -875,10 +884,26 @@ def commit_files(
             # as blooms=None → pop touched filters (pre-r7 conservative)
             b, rel, rows, stats, *rest = entry
             blooms = rest[0] if rest else None
+            nulls = rest[1] if len(rest) > 1 else None
             bs = str(b)
             prior_files = buckets.get(bs)
             buckets.setdefault(bs, []).append(rel)
             row_counts[bs] = row_counts.get(bs, 0) + rows
+            if spec["stats_columns"]:
+                # null counts SUM under append (physical, per file);
+                # a bucket with prior files but no recorded counts (or
+                # a legacy task payload) must stay absent — recording
+                # only the new files' nulls would wrongly prune IS NULL
+                if nulls is None or (
+                    prior_files and bs not in bucket_nulls
+                ):
+                    bucket_nulls.pop(bs, None)
+                else:
+                    cur_n = bucket_nulls.get(bs, {})
+                    bucket_nulls[bs] = {
+                        c: cur_n.get(c, 0) + int(nulls.get(c, 0))
+                        for c in spec["stats_columns"]
+                    }
             if bloom_columns:
                 # append COMMUTES on bloom filters too: the task's sparse
                 # words (bit-parity numpy build, `_track_blooms`) OR into
@@ -950,6 +975,7 @@ def commit_files(
             "bloom_bits": bloom_bits,
             **({"schema": schema_fields} if schema_fields else {}),
             **({"dropped_columns": dropped_columns} if dropped_columns else {}),
+            **({"bucket_nulls": bucket_nulls} if bucket_nulls else {}),
             **dv_fields,
             "committed_at_ms": _now_ms(),
         }

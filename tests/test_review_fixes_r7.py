@@ -433,3 +433,39 @@ def test_python_pushdown_null_counts_and_decimal_bounds(spark, tmp_path):
     }
     assert prune_bucket_ids(m2, [IsNotNull(("v",))], None) == []
     assert prune_bucket_ids(m2, [], None) == full
+
+
+def test_python_writer_tracks_null_counts(spark, tmp_path):
+    """The python write path records per-bucket null counts (summing
+    under append), so python-written tables prune IS NULL probes
+    exactly like JVM-written ones."""
+    import json
+
+    from data_pipeline_demo_spark.sources.txtable_writer import (
+        write_txtable,
+    )
+
+    root = str(tmp_path / "t")
+    a = spark.createDataFrame(
+        [(1, None), (2, "x")], "id long, v string"
+    )
+    b = spark.createDataFrame([(3, None)], "id long, v string")
+    write_txtable(a, root, key="id", num_buckets=2, stats_columns=["v"])
+    write_txtable(b, root, key="id", num_buckets=2, mode="append")
+    m = json.loads((tmp_path / "t/_commits" / f"{1:020d}.json").read_text())
+    assert sum(
+        st.get("v", 0) for st in m.get("bucket_nulls", {}).values()
+    ) == 2
+    got = {
+        r["id"]
+        for r in read_txtable(
+            spark, root, prune_is_null={"v": True}
+        ).collect()
+    }
+    assert got == {1, 3}
+    assert {
+        r["id"]
+        for r in read_txtable(
+            spark, root, prune_is_null={"v": False}
+        ).collect()
+    } == {2}
