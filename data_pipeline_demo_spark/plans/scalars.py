@@ -410,10 +410,10 @@ WITH messy AS (
   FROM messy
 )
 SELECT o_orderpriority,
-       SUM(price) AS total_amount,
+       CAST(SUM(price) AS DOUBLE) AS total_amount,
        COUNT(price) AS n_priced,
-       MIN(price) AS min_price,
-       MAX(price) AS max_price
+       CAST(MIN(price) AS DOUBLE) AS min_price,
+       CAST(MAX(price) AS DOUBLE) AS max_price
 FROM cleaned
 GROUP BY o_orderpriority
 """
@@ -425,8 +425,12 @@ def q74_decimal_money_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``clean_money_decimal`` onto ``DECIMAL(18,2)`` and aggregated at
     cent precision — sum/min/max are EXACT decimal arithmetic on both
     engines (Spark widens the sum to decimal(28,2), DuckDB to
-    decimal(38,2); both are exact, so the values hash-match bit-for-bit
-    where float64 money would drift under reordering).
+    decimal(38,2); both are exact). The money outputs are final-cast to
+    ``double`` AFTER the exact aggregation on both engines: the driver's
+    value hash is type-sensitive (round-7 burn — identical values, red
+    gate on DECIMAL output), and a single exact-decimal→double cast per
+    aggregated cell is lossless for these magnitudes while keeping the
+    summation itself order-independent.
 
     Scale shape: one codegen'd scan projection + a partial-aggregated
     groupBy on a 5-value key — the cleaning is free with the read, the
@@ -448,10 +452,10 @@ def q74_decimal_money_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority", clean_money_decimal("raw_price").alias("price")
     )
     return cleaned.groupBy("o_orderpriority").agg(
-        F.sum("price").alias("total_amount"),
+        F.sum("price").cast("double").alias("total_amount"),
         F.count("price").alias("n_priced"),
-        F.min("price").alias("min_price"),
-        F.max("price").alias("max_price"),
+        F.min("price").cast("double").alias("min_price"),
+        F.max("price").cast("double").alias("max_price"),
     )
 
 

@@ -241,7 +241,7 @@ def test_bloom_guards(spark, tmp_path, bloom_table):
         read_txtable(spark, bloom_table, bloom_eq={"id": 5})
     with pytest.raises(ValueError, match="NULL"):
         read_txtable(spark, bloom_table, bloom_eq={"v": None})
-    with pytest.raises(ValueError, match="string/int/date"):
+    with pytest.raises(ValueError, match="cannot reproduce"):
         read_txtable(spark, bloom_table, bloom_eq={"v": 1.5})
     # a table created WITHOUT blooms refuses bloom_eq
     plain = str(tmp_path / "plain_tx")

@@ -3,8 +3,21 @@
 For each query in ``__spark_entry__.queries()``: run the Spark DataFrame
 and the DuckDB oracle on the same sf dir, then compare row count, sorted
 column names, and the order-insensitive multiset of normalized values.
-Strictly exact on values; float near-misses (< 1e-9 rel) are reported
-separately so numeric-determinism bugs are distinguishable from logic bugs.
+
+Gate queries (the first 50 in registration order — the set the driver
+attests in CORRECTNESS_r{N}.json) are compared in STRICT mode: Decimal
+never collapses to float, there is no float tolerance path, and the
+query FAILS if its Spark result schema carries any output type outside
+the proven-hash-stable set (double / int types / string / date /
+timestamp / boolean / binary / arrays thereof). This is the round-7
+lesson: the driver's value hash is TYPE-sensitive, and a local mirror
+that is more lenient than the gate invites silent regressions (q74
+emitted DECIMAL columns with bit-identical values and failed the gate
+while this checker passed it).
+
+Past-cap queries keep the tolerant comparator, but a float near-miss
+(< 1e-9 rel) is still reported as CLOSE and counted as a failure —
+it only affects the printed diagnosis, never the exit code.
 
 Usage: python tools/check_oracle.py [--sf /root/testdata/sf0.01] [query ...]
 """
@@ -27,13 +40,48 @@ TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
 ).split()
 
+GATE_SIZE = 50
 
-def normalize(v):
+# Output dtypes allowed to cross the driver gate (prefix match for
+# parametrized types); DECIMAL is deliberately absent.
+_GATE_OK_DTYPES = (
+    "double",
+    "float",
+    "bigint",
+    "int",
+    "smallint",
+    "tinyint",
+    "string",
+    "date",
+    "timestamp",
+    "boolean",
+    "binary",
+    "array",
+    "struct",
+    "map",
+)
+
+
+def _dtype_gate_ok(dtype: str) -> bool:
+    d = dtype.strip().lower()
+    if d.startswith("decimal"):
+        return False
+    if d.startswith(("array<", "struct<", "map<")):
+        # element types must also be clean
+        return "decimal" not in d
+    return d.startswith(_GATE_OK_DTYPES)
+
+
+def normalize(v, strict: bool = False):
     if v is None:
         return None
     if isinstance(v, bool):
         return v
     if isinstance(v, Decimal):
+        if strict:
+            # Keep decimals distinct from floats, normalized so that
+            # scale-only differences (1.50 vs 1.5) still agree.
+            return ("dec", format(v.normalize(), "f"))
         return ("f", float(v))
     if isinstance(v, float):
         return ("f", v)
@@ -44,14 +92,14 @@ def normalize(v):
     if isinstance(v, dt.date):
         return ("d", v.isoformat())
     if isinstance(v, (list, tuple)):
-        return tuple(normalize(x) for x in v)
+        return tuple(normalize(x, strict) for x in v)
     if isinstance(v, (bytes, bytearray)):
         return ("b", bytes(v).hex())
     return str(v)
 
 
-def row_key(row_dict, cols):
-    return tuple(normalize(row_dict[c]) for c in cols)
+def row_key(row_dict, cols, strict: bool = False):
+    return tuple(normalize(row_dict[c], strict) for c in cols)
 
 
 def close(a, b):
@@ -77,6 +125,11 @@ def rows_close(a, b):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument(
+        "--no-strict-gate",
+        action="store_true",
+        help="disable strict (type-sensitive) comparison for gate queries",
+    )
     ap.add_argument("queries", nargs="*")
     args = ap.parse_args()
 
@@ -86,6 +139,7 @@ def main():
     spark = get_spark("oracle-check")
     qs = e.queries()
     oracles = e.oracle_sql()
+    gate_set = set(list(qs)[:GATE_SIZE])
 
     con = duckdb.connect()
     for t in TABLES:
@@ -96,18 +150,36 @@ def main():
     names = args.queries or sorted(qs)
     n_pass = n_fail = n_rows_only = 0
     for name in names:
+        strict = name in gate_set and not args.no_strict_gate
+        tag = "GATE " if strict else ""
         t0 = time.time()
         try:
             sdf = qs[name](spark, args.sf)
             srows = sdf.collect()
             scols = sorted(sdf.columns)
-            s_ms = [row_key(r.asDict(), scols) for r in srows]
+            sdtypes = dict(sdf.dtypes)
+            s_ms = [row_key(r.asDict(), scols, strict) for r in srows]
         except Exception as ex:
             print(f"FAIL  {name}: spark error: {type(ex).__name__}: {ex}")
             n_fail += 1
             continue
+        if strict:
+            print(
+                f"dtype {name}: "
+                + ", ".join(f"{c}:{sdtypes[c]}" for c in scols)
+            )
+            bad_types = [c for c in scols if not _dtype_gate_ok(sdtypes[c])]
+            if bad_types:
+                print(
+                    f"FAIL  {name}: gate-unsafe output dtypes "
+                    f"{[(c, sdtypes[c]) for c in bad_types]} — the driver "
+                    "hash is type-sensitive; final-cast to double/bigint/"
+                    "string/date/timestamp"
+                )
+                n_fail += 1
+                continue
         if name not in oracles:
-            print(f"rows  {name}: {len(srows)} rows (no oracle — rows-only)")
+            print(f"rows  {tag}{name}: {len(srows)} rows (no oracle — rows-only)")
             n_rows_only += 1
             continue
         try:
@@ -120,7 +192,7 @@ def main():
             continue
         dcols = sorted(dcols_raw)
         d_ms = [
-            row_key(dict(zip(dcols_raw, r)), dcols) for r in drows
+            row_key(dict(zip(dcols_raw, r)), dcols, strict) for r in drows
         ]
         took = time.time() - t0
         if scols != dcols:
@@ -133,9 +205,9 @@ def main():
             continue
         s_sorted, d_sorted = sorted(s_ms, key=repr), sorted(d_ms, key=repr)
         if s_sorted == d_sorted:
-            print(f"PASS  {name}: {len(s_ms)} rows  ({took:.1f}s)")
+            print(f"PASS  {tag}{name}: {len(s_ms)} rows  ({took:.1f}s)")
             n_pass += 1
-        elif rows_close(s_sorted, d_sorted):
+        elif not strict and rows_close(s_sorted, d_sorted):
             print(f"CLOSE {name}: {len(s_ms)} rows — float-only drift (<1e-9)")
             for a, b in zip(s_sorted, d_sorted):
                 if a != b:
@@ -143,7 +215,7 @@ def main():
                     break
             n_fail += 1
         else:
-            print(f"FAIL  {name}: value mismatch ({len(s_ms)} rows)")
+            print(f"FAIL  {tag}{name}: value mismatch ({len(s_ms)} rows)")
             shown = 0
             for a, b in zip(s_sorted, d_sorted):
                 if a != b and shown < 3:
