@@ -287,6 +287,71 @@ def global_row_index(
     )
 
 
+def distributed_prefix_sums(
+    df: DataFrame,
+    order_by: Sequence[str],
+    sum_cols: Sequence[str],
+    out_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Running (inclusive) prefix sums of ``sum_cols`` over a TOTAL
+    ``order_by`` order — the distributed cumulative-sum primitive
+    behind ECDFs / running totals — without the naive global window's
+    single-partition sort (``Window.orderBy`` with no partition
+    serializes the whole relation through one task; fine at 5 rows,
+    a scale-killer at distinct-value cardinality ≈ row count).
+
+    Same two-pass shape as :func:`global_row_index`: range-repartition
+    on the total order, cumulative-sum WITHIN each partition (parallel
+    per-partition windows), tally per-partition totals (a
+    ~numPartitions-row relation — its single-partition exchange is
+    metadata-sized, never the table), convert to exclusive prefix
+    offsets, broadcast back, add. Sums of integer columns stay
+    integer-exact regardless of the partitioning, so differential
+    hashes are unaffected by parallelism.
+
+    ``order_by`` must be a total order (no ties — pre-aggregate to the
+    distinct-key grain or append a unique tiebreaker), else the ROWS
+    cumulative frame is nondeterministic at range boundaries.
+    """
+    if not order_by:
+        raise ValueError("order_by must name at least one column")
+    if not sum_cols:
+        raise ValueError("sum_cols must name at least one column")
+    out_cols = list(out_cols) if out_cols is not None else list(sum_cols)
+    if len(out_cols) != len(sum_cols):
+        raise ValueError("out_cols must match sum_cols in length")
+    cols = [F.col(c) for c in order_by]
+    ranged = df.repartitionByRange(*cols).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(*cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = ranged
+    for c in sum_cols:
+        local = local.withColumn(f"__l_{c}", F.sum(c).over(w))
+    tallies = ranged.groupBy("__pid").agg(
+        *[F.sum(c).alias(f"__t_{c}") for c in sum_cols]
+    )
+    w2 = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = tallies.select(
+        "__pid",
+        *[
+            F.coalesce(F.sum(f"__t_{c}").over(w2), F.lit(0)).alias(f"__o_{c}")
+            for c in sum_cols
+        ],
+    )
+    joined = local.join(F.broadcast(offsets), "__pid")
+    for c, out in zip(sum_cols, out_cols):
+        joined = joined.withColumn(out, F.col(f"__l_{c}") + F.col(f"__o_{c}"))
+    drop = ["__pid"] + [f"__l_{c}" for c in sum_cols] + [
+        f"__o_{c}" for c in sum_cols
+    ]
+    return joined.drop(*drop)
+
+
 # --- DSIR: data selection via importance resampling ------------------------
 
 

@@ -3627,12 +3627,17 @@ def q200_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     per point — every arithmetic step after the exact counts is a
     single IEEE op, so both engines produce bit-identical D.
 
-    Scale shape: the only total order is over the distinct-value
-    relation (bounded by value cardinality, not rows) — the same
-    bound q195's weighted median accepts; at unbounded value
-    cardinality the ECDF grid would bin first (the q90 sketch route).
-    The (n_a, n_b) totals are a 1-row broadcast."""
-    from pyspark.sql import Window
+    Scale shape: `o_totalprice` is continuous, so the distinct-value
+    grain is ~row count — the running ECDF counts therefore go through
+    :func:`distributed_prefix_sums` (range repartition on the pooled
+    support + per-partition integer cumsums + a broadcast of
+    partition-count-sized exclusive prefix offsets) instead of an
+    unpartitioned cumulative window; the only single-partition exchange
+    in the plan feeds the ~numPartitions-row tally, never the value
+    relation (plan-asserted in test_plan_properties). Counts stay
+    integer-exact under any parallelism, so the differential hash is
+    unaffected. The (n_a, n_b) totals are a 1-row broadcast."""
+    from ..operators.sampling import distributed_prefix_sums
 
     o = table(spark, sf_dir, "orders")
     c = table(spark, sf_dir, "customer")
@@ -3653,12 +3658,9 @@ def q200_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("ia").cast("bigint").alias("n_a"),
         (F.count(F.lit(1)) - F.sum("ia")).cast("bigint").alias("n_b"),
     )
-    w = Window.orderBy("v").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    e = g.select(
-        F.sum("ca_c").over(w).alias("ca"), F.sum("cb_c").over(w).alias("cb")
-    )
+    e = distributed_prefix_sums(
+        g, order_by=["v"], sum_cols=["ca_c", "cb_c"], out_cols=["ca", "cb"]
+    ).select("ca", "cb")
     diff = F.abs(
         F.col("ca").cast("double") / F.col("n_a")
         - F.col("cb").cast("double") / F.col("n_b")

@@ -114,6 +114,24 @@ def test_correlated_subquery_decorrelates(spark, sf_dir):
     assert "max(o_totalprice" in plan  # scalar subqueries → one aggregate
 
 
+def test_ks_ecdf_is_distributed(spark, sf_dir):
+    """q200's running ECDF counts must NOT be an unpartitioned window
+    over the distinct-value relation (cardinality ≈ row count for a
+    continuous measure): the value-grain cumsum goes through range
+    partitioning + per-partition windows, and every SinglePartition
+    exchange in the plan feeds an aggregate (the ~numPartitions-row
+    tally / the 1-row totals), never the table."""
+    plan = _plan(spark, sf_dir, "q200_ks_test")
+    assert "rangepartitioning" in plan.lower()
+    # the table-grain cumulative window is partitioned (by __pid)
+    assert "windowspecdefinition(__pid" in plan
+    # no unpartitioned window over the value relation: every
+    # SinglePartition subtree starts with an aggregate
+    for seg in plan.split("Exchange SinglePartition")[1:]:
+        below = seg.split("Exchange", 1)[0]
+        assert "HashAggregate" in below, below[:800]
+
+
 def test_stratified_exact_k_single_window(spark, sf_dir):
     """q87: one window shuffle partitioned by the stratum, no global
     sort or single-partition exchange — and the rank filter pushes into

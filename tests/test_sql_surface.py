@@ -649,6 +649,35 @@ def test_holt_forecast_single_point_flat(spark):
     }
 
 
+def test_distributed_prefix_sums_exact_and_partition_invariant(spark):
+    from data_pipeline_demo_spark.operators.sampling import (
+        distributed_prefix_sums,
+    )
+
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, rng.randint(0, 50), rng.randint(-3, 9)) for i in range(4000)]
+    df = spark.createDataFrame(rows, "k long, a long, b long")
+    out = distributed_prefix_sums(
+        df, ["k"], ["a", "b"], out_cols=["ca", "cb"]
+    ).select("k", "ca", "cb").collect()
+    got = {r.k: (r.ca, r.cb) for r in out}
+    want, ra, rb = {}, 0, 0
+    for k, a, b in sorted(rows):
+        ra, rb = ra + a, rb + b
+        want[k] = (ra, rb)
+    assert got == want
+    # repartitioning the input must not change any prefix value
+    out2 = {
+        r.k: (r.ca, r.cb)
+        for r in distributed_prefix_sums(
+            df.repartition(13), ["k"], ["a", "b"], out_cols=["ca", "cb"]
+        ).select("k", "ca", "cb").collect()
+    }
+    assert out2 == want
+
+
 def test_global_row_index_dense_and_partition_invariant(spark):
     from data_pipeline_demo_spark.operators.sampling import global_row_index
 
