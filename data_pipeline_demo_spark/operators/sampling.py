@@ -352,6 +352,47 @@ def distributed_prefix_sums(
     return joined.drop(*drop)
 
 
+def _idiv(a, b):
+    """Exact nonnegative integer division as a Column: (a - a%b)/b —
+    the numerator is exactly divisible, so the double division is exact
+    for magnitudes < 2^53 (any realistic row count)."""
+    return ((a - F.pmod(a, b)) / b).cast("bigint")
+
+
+def exact_ntile(
+    df: DataFrame, order_by: Sequence[str], k: int, out_col: str = "bucket"
+) -> DataFrame:
+    """Exact ``NTILE(k) OVER (ORDER BY order_by)`` — bit-identical
+    bucket assignment to the SQL window function — WITHOUT its
+    unpartitioned global sort: ranks come from
+    :func:`global_row_index` (range repartition + per-partition
+    windows + broadcast prefix offsets), the row count is a 1-row
+    broadcast, and the rank→bucket map is the NTILE integer formula
+    applied map-side (the first ``n % k`` buckets take
+    ``n DIV k + 1`` rows, the rest ``n DIV k``).
+
+    ``order_by`` must be a total order (include a unique tiebreaker),
+    exactly as deterministic NTILE itself requires.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    idx = global_row_index(df, order_by, index_col="__ntile_rnk")
+    tot = df.agg(F.count(F.lit(1)).cast("bigint").alias("__ntile_n"))
+    r = F.col("__ntile_rnk") + F.lit(1)
+    n = F.col("__ntile_n")
+    q = _idiv(n, F.lit(k))
+    rem = n - q * k
+    big = (q + 1) * rem  # rows covered by the size-(q+1) buckets
+    bucket = F.when(r <= big, _idiv(r + q, q + 1)).otherwise(
+        rem + _idiv(r - big + q - 1, q)
+    )
+    return (
+        idx.crossJoin(F.broadcast(tot))
+        .withColumn(out_col, bucket.cast("int"))
+        .drop("__ntile_rnk", "__ntile_n")
+    )
+
+
 # --- DSIR: data selection via importance resampling ------------------------
 
 

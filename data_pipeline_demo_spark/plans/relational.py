@@ -2260,10 +2260,11 @@ _RFM_SQL = """
     scored AS (
         SELECT o_custkey,
                frequency,
-               CAST(monetary AS DOUBLE) AS monetary,
+               monetary,
                NTILE(5) OVER (ORDER BY last_order, o_custkey) AS r_score,
                NTILE(5) OVER (ORDER BY frequency, o_custkey) AS f_score,
-               NTILE(5) OVER (ORDER BY monetary, o_custkey) AS m_score
+               NTILE(5) OVER (ORDER BY CAST(monetary AS DOUBLE), o_custkey)
+                   AS m_score
         FROM base CROSS JOIN anchor
     )
     SELECT CAST(r_score AS INT) AS r_score,
@@ -2271,7 +2272,7 @@ _RFM_SQL = """
            CAST(m_score AS INT) AS m_score,
            CAST(COUNT(*) AS BIGINT) AS customers,
            CAST(SUM(frequency) AS BIGINT) AS orders,
-           ROUND(SUM(monetary), 2) AS revenue
+           CAST(SUM(monetary) AS DOUBLE) AS revenue
     FROM scored
     GROUP BY r_score, f_score, m_score
 """
@@ -2282,18 +2283,41 @@ def q163_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     quintiles — the standard CRM cut of a payments ledger, reference
     domain `/root/reference/data_pipeline.py:501-542`): one grouped
     pass collapses orders to per-customer (last order, count, exact
-    DECIMAL revenue); NTILE(5) stamps each dimension's quintile with a
-    customer-id tiebreak so both engines assign identical scores; the
-    readout aggregates the 125-cell segment grid. Same literal SQL on
-    both engines.
+    DECIMAL revenue); each dimension's quintile comes from
+    `operators.sampling.exact_ntile` with a customer-id tiebreak —
+    bit-identical to the oracle's NTILE(5) windows — and the readout
+    aggregates the 125-cell segment grid.
 
-    Scale shape: the NTILE windows are unpartitioned BY DESIGN at the
-    customer grain (one row per customer, already 4 orders of
-    magnitude below fact grain); at extreme customer counts the same
-    scores come from percent_rank-binning, which needs no global
-    sort."""
-    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
-    return spark.sql(_RFM_SQL)
+    Scale shape: the customer grain is 4 orders below fact grain but
+    still tens of millions of rows at 100×, so no quintile stamp may
+    serialize it through one task: each exact_ntile is a range
+    repartition + per-partition ranks + broadcast prefix offsets +
+    map-side rank→bucket math — three parallel shuffles of the
+    customer relation, zero unpartitioned windows."""
+    from ..operators.sampling import exact_ntile
+
+    o = table(spark, sf_dir, "orders")
+    base = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias(
+            "monetary_dec"
+        ),
+    ).withColumn("monetary", F.col("monetary_dec").cast("double"))
+    scored = exact_ntile(
+        base, ["last_order", "o_custkey"], 5, out_col="r_score"
+    )
+    scored = exact_ntile(
+        scored, ["frequency", "o_custkey"], 5, out_col="f_score"
+    )
+    scored = exact_ntile(
+        scored, ["monetary", "o_custkey"], 5, out_col="m_score"
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).cast("bigint").alias("customers"),
+        F.sum("frequency").cast("bigint").alias("orders"),
+        F.round(F.sum("monetary_dec"), 2).cast("double").alias("revenue"),
+    )
 
 
 _BENFORD_SQL = """
@@ -3017,19 +3041,30 @@ def q179_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
     ln of identical count ratios — the q108 PSI convention) and the
     total is an exact decimal sum in any order.
 
-    Scale shape: NTILE needs a global sort — at 100 TB swap in the
-    q104 pre-computed percentile cut points (one approx/exact quantile
-    pass + a map-only bin lookup) and keep everything else; the rest
-    is a 10-row aggregate pipeline."""
+    Scale shape: the decile stamp is `operators.sampling.exact_ntile`
+    — bit-identical to SQL NTILE(10) but distributed (range repartition
+    + per-partition ranks + broadcast prefix offsets + a map-side
+    rank→bucket integer formula), so no unpartitioned window ever sees
+    the fact table; the rest is a 10-row aggregate pipeline. The 1-row
+    iv_total window is a 10-row relation — metadata-sized by
+    construction."""
     from pyspark.sql import Window
 
+    from ..operators.sampling import exact_ntile
+
     o = table(spark, sf_dir, "orders")
-    binned = o.select(
-        F.ntile(10)
-        .over(Window.orderBy("o_totalprice", "o_orderkey"))
-        .alias("bin"),
-        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("bad"),
-    )
+    binned = exact_ntile(
+        o.select(
+            "o_totalprice",
+            "o_orderkey",
+            F.when(F.col("o_orderstatus") == "F", 1)
+            .otherwise(0)
+            .alias("bad"),
+        ),
+        ["o_totalprice", "o_orderkey"],
+        10,
+        out_col="bin",
+    ).select("bin", "bad")
     per = binned.groupBy("bin").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("bad").alias("n_bad"),

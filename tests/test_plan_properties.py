@@ -132,6 +132,22 @@ def test_ks_ecdf_is_distributed(spark, sf_dir):
         assert "HashAggregate" in below, below[:800]
 
 
+@pytest.mark.parametrize("name", ["q163_rfm_segments", "q179_woe_iv"])
+def test_ntile_queries_have_no_unpartitioned_table_window(spark, sf_dir, name):
+    """RFM quintiles / WOE deciles stamp buckets via exact_ntile, never
+    an unpartitioned NTILE over the table: every windowspec is
+    partitioned by __pid (the range-partition local rank) except
+    windows over metadata-sized relations, and every SinglePartition
+    exchange feeds an aggregate."""
+    plan = _plan(spark, sf_dir, name)
+    assert "ntile(" not in plan.lower().replace("exact_ntile", "")
+    assert "rangepartitioning" in plan.lower()
+    assert "windowspecdefinition(__pid" in plan
+    for seg in plan.split("Exchange SinglePartition")[1:]:
+        below = seg.split("Exchange", 1)[0]
+        assert "HashAggregate" in below, below[:800]
+
+
 def test_stratified_exact_k_single_window(spark, sf_dir):
     """q87: one window shuffle partitioned by the stratum, no global
     sort or single-partition exchange — and the rank filter pushes into

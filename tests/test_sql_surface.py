@@ -678,6 +678,33 @@ def test_distributed_prefix_sums_exact_and_partition_invariant(spark):
     assert out2 == want
 
 
+def test_exact_ntile_matches_sql_ntile(spark):
+    """exact_ntile must reproduce SQL NTILE(k) bit-for-bit, including
+    the uneven-bucket edge (n % k != 0) and n < k, independent of the
+    input partitioning."""
+    from data_pipeline_demo_spark.operators.sampling import exact_ntile
+
+    import random
+
+    rng = random.Random(3)
+    for n, k in ((4003, 5), (100, 7), (3, 5), (1, 1), (17, 17)):
+        rows = [(i, rng.randint(0, 40)) for i in range(n)]
+        df = spark.createDataFrame(rows, "id long, v long").repartition(9)
+        got = {
+            r.id: r.bucket
+            for r in exact_ntile(df, ["v", "id"], k).collect()
+        }
+        df.createOrReplaceTempView("ntile_in")
+        want = {
+            r.id: r.b
+            for r in spark.sql(
+                f"SELECT id, NTILE({k}) OVER (ORDER BY v, id) AS b"
+                " FROM ntile_in"
+            ).collect()
+        }
+        assert got == want, (n, k)
+
+
 def test_global_row_index_dense_and_partition_invariant(spark):
     from data_pipeline_demo_spark.operators.sampling import global_row_index
 
