@@ -108,6 +108,25 @@ def test_bloom_pruning_never_opens_excluded_buckets(spark, tmp_path, bloom_table
     assert [(r.id, r.v) for r in got] == [(77, "val-77")]
 
 
+def test_everything_pruned_read_is_scan_free(spark, bloom_table):
+    """An absent-value probe that prunes every bucket must plan with NO
+    file scan at all (metadata-only fast path, built JVM-side — the
+    python createDataFrame([], schema) construction cost ~0.35s per
+    probe, more than the small-table scan it skipped), while keeping
+    the table's recorded schema."""
+    df = read_txtable(spark, bloom_table, bloom_eq={"v": "nope-absent"})
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "FileScan" not in plan, plan[:500]
+    assert df.count() == 0
+    full = read_txtable(spark, bloom_table)
+    assert [f.name for f in df.schema.fields] == [
+        f.name for f in full.schema.fields
+    ]
+    assert [f.dataType for f in df.schema.fields] == [
+        f.dataType for f in full.schema.fields
+    ]
+
+
 def test_bloom_no_false_negatives(spark, bloom_table):
     """Every present value must survive pruning — Bloom filters never
     exclude a member. Checked for all 200 values."""
