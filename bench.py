@@ -31,6 +31,15 @@ the headline total stays comparable across rounds): txlog MERGE of a
 ~10% update batch, the manifest-pruned CDC diff, and a
 ZORDER-clustered predicate read — timed at sf0.1 over a scratch
 txtable built from lineitem, medians + spreads like the headline set.
+
+Round 8 adds machine-drift normalization: "noise_key" is a FROZEN
+inline SQL probe (literal TPC-H-Q1-shaped scan-agg over the lineitem
+parquet — no repo code in its path, so it can never change between
+rounds), and "headline_normalized" rescales the headline total by
+noise_ref/noise_key — the headline as it would read at calibration-day
+machine speed. Round-7 showed identical headline code drifting
+7.85→10.5s across runs; raw deltas under ~20% are machine noise, the
+normalized value is the comparable one.
 """
 
 from __future__ import annotations
@@ -92,6 +101,34 @@ def _timed(fn, runs: int, setup=None, warmup_runs: int = 0) -> tuple[float, floa
         round(samples[len(samples) // 2], 3),
         round(samples[-1] - samples[0], 3),
     )
+
+
+# --- machine-drift normalization (round-7 judge directive #7) --------------
+# A FROZEN probe whose plan can never change with the repo: literal SQL
+# over the lineitem parquet, inlined here so no operator edit, registry
+# rotation, or session-conf change can touch it. Identical headline code
+# benched 7.85s..10.5s across round-7 runs (uniform ~18% machine drift),
+# making round-over-round deltas below ~20% unreadable; dividing the
+# headline by this key's drift ratio restores comparability.
+_NOISE_SQL = """
+    SELECT l_returnflag, l_linestatus,
+           SUM(l_quantity) AS sq, SUM(l_extendedprice) AS se,
+           AVG(l_discount) AS ad, COUNT(*) AS n
+    FROM parquet.`{path}`
+    WHERE l_shipdate <= DATE '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+"""
+# Reference median of the noise key on the round-8 calibration run
+# (sf0.1, local[32], idle box) — headline_normalized is
+# headline_total * (NOISE_REF_SEC / noise_key), i.e. the headline as it
+# would read at calibration-day machine speed.
+NOISE_REF_SEC = 0.33
+
+
+def bench_noise_key(spark, sf_dir: str, runs: int = 5) -> float:
+    sql = _NOISE_SQL.format(path=os.path.join(sf_dir, "lineitem.parquet"))
+    t, _ = _timed(lambda: spark.sql(sql).count(), runs, warmup_runs=1)
+    return t
 
 
 def bench_lakehouse(spark, sf_dir: str, runs: int):
@@ -364,6 +401,12 @@ def main() -> None:
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
+    # noise key sampled BEFORE and AFTER the headline loop: machine
+    # contention is bursty (observed 16.8s vs 11.4s headline totals
+    # back-to-back with a calm single-point noise read), so one sample
+    # can miss the burst the headline paid — two bracketing samples
+    # average over the window the headline actually ran in
+    noise_before = bench_noise_key(spark, sf_dir)
     for name in HEADLINE:
         timings[name], spreads[name] = _timed(
             lambda name=name: queries[name](spark, sf_dir).count(),
@@ -374,6 +417,8 @@ def main() -> None:
             setup=dedup.clear_shingle_scratch,
             warmup_runs=WARMUP_RUNS.get(name, 0),
         )
+    noise_after = bench_noise_key(spark, sf_dir)
+    noise_key = round((noise_before + noise_after) / 2, 3)
 
     lh_timings, lh_spreads = bench_lakehouse(spark, sf_dir, runs)
 
@@ -449,13 +494,25 @@ def main() -> None:
             warmup_runs=1,
         )
 
+    headline_total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline_queries_total_runtime",
-        "value": round(sum(timings.values()), 3),
+        "value": headline_total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
         "runs_per_query": runs,
+        # machine-drift instrument: noise_key is a frozen inline SQL
+        # probe (never changes with the repo); headline_normalized is
+        # the headline rescaled to calibration-day machine speed
+        "noise_key": noise_key,
+        "noise_samples": [noise_before, noise_after],
+        "noise_ref": NOISE_REF_SEC,
+        "headline_normalized": round(
+            headline_total * NOISE_REF_SEC / noise_key, 3
+        )
+        if noise_key > 0
+        else None,
         "spread_max_minus_min": spreads,
         "lakehouse": lh_timings,
         "lakehouse_spread": lh_spreads,

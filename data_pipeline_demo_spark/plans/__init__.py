@@ -27,6 +27,18 @@ _GATE_ROTATE_IN = (
     # rows-only q202 slot (an oracle-bearing member attests strictly
     # more; q202 stays check_oracle-covered past the cap)
     "q209_dv_roundtrip",
+    # Round-8 rotation (round-7 judge directive #8): the strongest
+    # round-7 oracle queries move into the gate — APPLY CHANGES (CDC),
+    # SCD2 incremental≡from-scratch, MOR UPDATE roundtrip, the blocked
+    # fraud screen whose oracle IS the all-pairs spec, and BFS hop
+    # distances — all schema-audited (double/bigint/string/date only)
+    # per the q74 type lesson, displacing five long-stable basics that
+    # check_oracle.py keeps certifying past the cap.
+    "q126_apply_changes",
+    "q204_scd2_apply",
+    "q216_mor_update_roundtrip",
+    "q176_duplicate_payments",
+    "q161_bfs_distances",
 )
 _GATE_ROTATE_OUT = (
     "q05_join_left_outer",
@@ -35,6 +47,12 @@ _GATE_ROTATE_OUT = (
     "q25_set_ops",
     "q33_binary_ops",
     "q202_kcore",
+    # round-8 displacements
+    "q13_groupby_having",
+    "q14_rollup_cube",
+    "q26_union_all_multiset",
+    "q29_string_math_fns",
+    "q59_join_right_cross",
 )
 
 

@@ -412,20 +412,39 @@ def _widen(prev: list | None, new: list | None, decimal: bool = False):
     column is decimal-typed, so string stats are stringified Decimals):
     string pairs COMPARE by Decimal value — '9.5' vs '12.0' must pick
     hi='12.0', never the lexical '9.5' — while the stored strings pass
-    through unchanged (parity with sinks.txlog._stat_cmp_pair)."""
+    through unchanged (parity with sinks.txlog._stat_cmp_pair).
+
+    When ``decimal`` is False but a compared string pair PARSES as
+    Decimal AND the lexical and numeric orders disagree, the column's
+    type is ambiguous (a legacy schema-less manifest can't say whether
+    '9.5'/'12.0' are stringified decimals or genuine strings): picking
+    lexically could record a numerically too-NARROW bound that a
+    Decimal-probing reader then uses to wrongly prune rows. Drop the
+    stat to None — conservative, the bucket stays kept."""
     if prev is None or new is None:
         return None
 
+    import decimal as _dec
+
     def _key(v):
         if decimal and isinstance(v, str):
-            import decimal as _dec
-
             try:
                 return _dec.Decimal(v)
             except _dec.InvalidOperation:
                 return v
         return v
 
+    def _ambiguous(a, b) -> bool:
+        if decimal or not (isinstance(a, str) and isinstance(b, str)):
+            return False
+        try:
+            da, db = _dec.Decimal(a), _dec.Decimal(b)
+        except _dec.InvalidOperation:
+            return False  # not decimal-shaped: lexical is the order
+        return (a <= b) != (da <= db)  # orders disagree: can't pick safely
+
+    if _ambiguous(prev[0], new[0]) or _ambiguous(prev[1], new[1]):
+        return None
     try:
         lo = prev[0] if _key(prev[0]) <= _key(new[0]) else new[0]
         hi = prev[1] if _key(prev[1]) >= _key(new[1]) else new[1]
@@ -762,6 +781,11 @@ def _now_ms() -> int:
     return int(time.time() * 1000)
 
 
+# the fixed default stream app id before it became checkpoint-derived;
+# commit_files consults its watermark once at the upgrade boundary
+_LEGACY_STREAM_APP_ID = "txtable-stream-sink"
+
+
 def commit_files(
     fs,
     root: str,
@@ -770,10 +794,15 @@ def commit_files(
     overwrite: bool,
     txn_app_id: str | None = None,
     txn_version: int | None = None,
+    legacy_txn_fallback: bool = False,
 ) -> bool:
     """Fold task commit messages into the next manifest version. Returns
     False when a txn watermark marks the batch already-committed (replay
-    → no-op). Raises ConcurrentCommitError only after exhausting
+    → no-op). ``legacy_txn_fallback`` (set only for checkpoint-DERIVED
+    stream app ids, never explicit ones) additionally treats an exact
+    replay of the legacy fixed-id watermark as already-committed — the
+    one-time upgrade boundary where a restarting query's id changed.
+    Raises ConcurrentCommitError only after exhausting
     retries (every retry re-reads the winner's snapshot and re-applies —
     append commutes, overwrite is last-writer-wins)."""
     import json
@@ -843,6 +872,24 @@ def commit_files(
             and app_txns.get(txn_app_id, -1) >= txn_version
         ):
             return False  # replayed micro-batch: the log already has it
+        if (
+            legacy_txn_fallback
+            and txn_app_id is not None
+            and txn_app_id not in app_txns
+            and app_txns.get(_LEGACY_STREAM_APP_ID, -1) == txn_version
+        ):
+            # Migration boundary: the default txnAppId changed from the
+            # fixed _LEGACY_STREAM_APP_ID to a checkpoint-derived hash.
+            # A pre-existing query restarting from its checkpoint after
+            # the upgrade replays its last committed batch under the NEW
+            # id (miss) — without this check that replay double-writes
+            # once. Narrow on purpose: only the EXACT-equality replay of
+            # the legacy watermark is skipped (a crash-recovery replay
+            # is always the last committed batch id), so a genuinely new
+            # query whose early batch ids fall below an old legacy
+            # watermark still commits — the shared-id batch-loss bug the
+            # derived default fixed cannot come back through here.
+            return False
         if txn_app_id is not None:
             app_txns[txn_app_id] = txn_version
         if prev is not None and not overwrite:
@@ -1054,11 +1101,19 @@ class TxTableStreamWriter(DataSourceStreamArrowWriter):
     into one table never dedup each other's batches by accident; an
     explicit ``.option("txnAppId", ...)`` overrides."""
 
-    def __init__(self, fs, root: str, spec: dict, txn_app_id: str):
+    def __init__(
+        self,
+        fs,
+        root: str,
+        spec: dict,
+        txn_app_id: str,
+        legacy_txn_fallback: bool = False,
+    ):
         self.fs = fs
         self.root = root
         self.spec = spec
         self.txn_app_id = txn_app_id
+        self.legacy_txn_fallback = legacy_txn_fallback
 
     def write(self, iterator: Iterator) -> WriterCommitMessage:
         state = _TaskState(
@@ -1087,6 +1142,7 @@ class TxTableStreamWriter(DataSourceStreamArrowWriter):
             overwrite=False,
             txn_app_id=self.txn_app_id,
             txn_version=batchId,
+            legacy_txn_fallback=self.legacy_txn_fallback,
         )
 
     def abort(self, messages, batchId: int) -> None:
@@ -1135,6 +1191,7 @@ def make_stream_writer(options: dict, schema, overwrite: bool) -> TxTableStreamW
     spec = _resolve_table_spec(fs, root, options, schema)
     _precheck_schema(fs, root, spec, overwrite=False)
     app_id = options.get("txnappid")
+    derived = app_id is None
     if app_id is None:
         # Default txnAppId must be UNIQUE PER QUERY, or two distinct
         # streams into the same table silently drop each other's
@@ -1154,7 +1211,11 @@ def make_stream_writer(options: dict, schema, overwrite: bool) -> TxTableStreamW
             )
         else:
             app_id = "txtable-stream-" + uuid.uuid4().hex[:16]
-    return TxTableStreamWriter(fs, root, spec, app_id)
+    # the legacy-watermark fallback applies only to DERIVED ids (the
+    # upgrade boundary); an explicit txnAppId never consults it
+    return TxTableStreamWriter(
+        fs, root, spec, app_id, legacy_txn_fallback=derived
+    )
 
 
 def write_txtable(

@@ -354,6 +354,78 @@ def test_txn_watermark_skips_replay(tmp_path):
     assert _read_manifest(fs, root, 1)["app_txns"] == {"app": 8}
 
 
+def test_widen_drops_ambiguous_decimal_shaped_strings():
+    """Legacy schema-less manifest: a string stat pair that parses as
+    Decimal with lexical/numeric order DISAGREEING is type-ambiguous —
+    _widen must return None (bucket conservatively kept) instead of a
+    possibly too-narrow lexical bound ('9.5' beats '12.0' lexically)."""
+    from data_pipeline_demo_spark.sources.txtable_writer import _widen
+
+    # disagreement: lexical '12.0' < '9.5' but numeric 12.0 > 9.5
+    assert _widen(["1.0", "9.5"], ["2.0", "12.0"]) is None
+    # agreement (same order both ways): safe, widens normally
+    assert _widen(["1.0", "2.0"], ["1.5", "3.0"]) == ["1.0", "3.0"]
+    # non-decimal strings: lexical is the order (dates, ids)
+    assert _widen(["1994-01-01", "1994-06-01"], ["1994-03-01", "1994-09-01"]) == [
+        "1994-01-01",
+        "1994-09-01",
+    ]
+    # with the recorded decimal type: value compare, stat kept
+    assert _widen(["1.0", "9.5"], ["2.0", "12.0"], decimal=True) == [
+        "1.0",
+        "12.0",
+    ]
+
+
+def test_legacy_stream_app_id_migration_boundary(tmp_path):
+    """Upgrade boundary for the checkpoint-derived default txnAppId: a
+    pre-existing query restarting after the default changed replays its
+    LAST committed batch under the new id — that exact-equality replay
+    of the legacy watermark must skip (exactly-once preserved), while a
+    genuinely new query whose early batch ids fall below an old legacy
+    watermark must still commit (the shared-id batch-loss bug must not
+    come back), and an EXPLICIT app id never consults the fallback."""
+    from data_pipeline_demo_spark.sources.txtable_writer import (
+        _LEGACY_STREAM_APP_ID,
+    )
+
+    fs, root = _fs_root(str(tmp_path / "t"), {})
+    msg = [_TxFiles(entries=[(0, "data/x/p.parquet", 3, {})])]
+    # pre-upgrade history: legacy fixed id committed through batch 5
+    assert commit_files(
+        fs, root, _spec(), msg, False,
+        txn_app_id=_LEGACY_STREAM_APP_ID, txn_version=5,
+    )
+    # restart after upgrade: crash-recovery replay of batch 5 under the
+    # derived id — skipped, no new version
+    assert not commit_files(
+        fs, root, _spec(), msg, False,
+        txn_app_id="txtable-stream-deadbeef00000000", txn_version=5,
+        legacy_txn_fallback=True,
+    )
+    with pytest.raises(FileNotFoundError):
+        _read_manifest(fs, root, 1)
+    # the NEXT batch commits and starts the derived id's own watermark
+    assert commit_files(
+        fs, root, _spec(), msg, False,
+        txn_app_id="txtable-stream-deadbeef00000000", txn_version=6,
+        legacy_txn_fallback=True,
+    )
+    m = _read_manifest(fs, root, 1)
+    assert m["app_txns"]["txtable-stream-deadbeef00000000"] == 6
+    # a NEW query (fresh checkpoint, batch 0 < legacy watermark) commits
+    assert commit_files(
+        fs, root, _spec(), msg, False,
+        txn_app_id="txtable-stream-feedface00000000", txn_version=0,
+        legacy_txn_fallback=True,
+    )
+    # an explicit id equal to the legacy watermark commits (no fallback)
+    assert commit_files(
+        fs, root, _spec(), msg, False,
+        txn_app_id="my-explicit-app", txn_version=5,
+    )
+
+
 class _MemWriteFS:
     """fsspec-shaped in-memory store exercising the non-local claim path
     (exclusive-create 'xb')."""
