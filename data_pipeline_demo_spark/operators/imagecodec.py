@@ -218,9 +218,9 @@ def image_dims(payload: bytes) -> tuple[int, int]:
 
 
 def decode_rgb(payload: bytes):
-    """Decode to (width, height, (h, w, 3) uint8): the stdlib PNG path
-    first, PIL for everything else when present — the real-codec seam,
-    now actually implemented for PNG in-container."""
+    """Decode to (width, height, (h, w, 3) uint8): stdlib PNG and
+    baseline-JPEG paths first (``jpegcodec`` closed the JPEG seam in
+    round 8), PIL for everything else when present."""
     import numpy as np
 
     kind = sniff_kind(payload)
@@ -233,6 +233,10 @@ def decode_rgb(payload: bytes):
         elif arr.shape[2] == 4:
             arr = arr[:, :, :3]
         return w, h, arr
+    if kind == "jpeg" and not pil_available():
+        from .jpegcodec import jpeg_decode
+
+        return jpeg_decode(payload)
     if pil_available():
         import io
 
@@ -241,8 +245,8 @@ def decode_rgb(payload: bytes):
         img = PIL.Image.open(io.BytesIO(payload)).convert("RGB")
         return img.width, img.height, np.asarray(img, dtype=np.uint8)
     raise NotImplementedError(
-        f"decoding {kind!r} images needs PIL (absent); the stdlib codec "
-        "covers PNG"
+        f"decoding {kind!r} images needs PIL (absent); the stdlib codecs "
+        "cover PNG and baseline JPEG"
     )
 
 

@@ -3,11 +3,12 @@
 Media are opaque ``binary`` payload columns + a typed metadata struct;
 all per-item compute rides ``mapInPandas`` (Arrow-batched, pipelined,
 no shuffle). The Spark-side contract — schema, batch shape, partition
-behavior — is real and tested, and so is the PNG codec path
-(round 7): ``operators/imagecodec.py`` implements spec-valid PNG
-encode/decode in pure stdlib, so real image bytes flow through
-feature extraction, resize, dHash dedup in THIS container; PIL, when
-installed, extends the same seam to JPEG and every other format
+behavior — is real and tested, and so are the image codec paths:
+``operators/imagecodec.py`` implements spec-valid PNG encode/decode
+(round 7) and ``operators/jpegcodec.py`` baseline JPEG encode/decode
+(round 8), both in pure stdlib, so real PNG *and* JPEG bytes flow
+through feature extraction, resize, dHash dedup in THIS container;
+PIL, when installed, extends the same seam to every other format
 (those tests are skip-marked on PIL). The deterministic fake
 container (`fake_encode`/`fake_decode_meta`) remains for hermetic
 plumbing tests and for the audio/video tiers whose codecs stay
@@ -59,13 +60,14 @@ FEATURE_SCHEMA = T.StructType(
 
 
 def decode_image(payload: bytes) -> object:
-    """REAL-CODEC SEAM — now implemented (round-6 judge directive #6):
-    PNG decodes in-container via the stdlib codec
-    (``operators/imagecodec.py``, pure zlib+struct from the public PNG
-    spec); PIL, when installed, extends the same seam to JPEG and
-    every other format. Returns (width, height, (h, w, 3) uint8).
-    The deterministic fake container remains for hermetic plumbing
-    tests (``fake_decode_meta``)."""
+    """REAL-CODEC SEAM — now implemented: PNG (round 6-7,
+    ``operators/imagecodec.py``, pure zlib+struct from the public PNG
+    spec) and baseline JPEG (round 8, ``operators/jpegcodec.py``,
+    pure-stdlib ITU-T T.81 decoder) both decode in-container; PIL,
+    when installed, extends the same seam to every other format.
+    Returns (width, height, (h, w, 3) uint8). The deterministic fake
+    container remains for hermetic plumbing tests
+    (``fake_decode_meta``)."""
     from .imagecodec import decode_rgb
 
     return decode_rgb(payload)
