@@ -194,6 +194,48 @@ def refresh_value_index(
     return latest
 
 
+def _stale_scan_buckets(
+    spark: SparkSession,
+    table_root: str,
+    index_root: str,
+    wm: int,
+    latest: dict,
+    value,
+) -> list[int] | None:
+    """Bucket set a STALE lookup must read to stay exact, or None when
+    index pruning cannot help.
+
+    A bucket untouched since the watermark holds exactly the values
+    the index recorded for it (keys never move buckets while the
+    modulus is fixed), so the index remains authoritative there; any
+    bucket whose file list or deletion-vector list changed since the
+    watermark must be scanned outright. Result:
+    ``(index hits ∪ changed buckets) ∩ live buckets`` — the changed
+    set bounds the extra IO by the table's staleness, not its size.
+
+    Returns None (→ caller full-scans) when the watermark manifest is
+    gone (vacuumed) or the bucket modulus changed (old bucket ids are
+    meaningless after ``rebucket_txtable``)."""
+    try:
+        m_wm = _read_manifest(spark, table_root, wm)
+    except Exception:
+        return None
+    if m_wm["num_buckets"] != latest["num_buckets"]:
+        return None
+
+    def _sig(m, b):
+        return (m["buckets"].get(b), m.get("bucket_dvs", {}).get(b))
+
+    changed = {
+        int(b)
+        for b in set(m_wm["buckets"]) | set(latest["buckets"])
+        if _sig(m_wm, b) != _sig(latest, b)
+    }
+    hits = set(index_selected_buckets(spark, index_root, value))
+    live = {int(b) for b in latest["buckets"]}
+    return sorted((hits | changed) & live)
+
+
 def lookup_with_index(
     spark: SparkSession,
     table_root: str,
@@ -206,8 +248,12 @@ def lookup_with_index(
     the bucket set holding the value from the index (metadata-sized
     read), then scans ONLY those buckets with the filter re-applied
     (results exact by construction). A stale index (source committed
-    past the watermark) falls back to the full scan — still exact —
-    unless ``require_fresh`` raises instead."""
+    past the watermark) degrades to a HYBRID scan — index-pruned
+    untouched buckets plus a full read of only the buckets that
+    changed since the watermark, O(staleness) not O(table) — and only
+    falls all the way back to a full scan when pruning is impossible
+    (no watermark yet, watermark manifest vacuumed away, or a
+    rebucket changed the modulus). ``require_fresh`` raises instead."""
     manifest = _latest_manifest(spark, table_root)
     if manifest is None:
         raise FileNotFoundError(f"no committed txtable at {table_root}")
@@ -219,7 +265,18 @@ def lookup_with_index(
                 f"value index at {index_root} is at source version {wm}, "
                 f"table is at {manifest['version']} — refresh_value_index first"
             )
-        return read_txtable(spark, table_root).filter(pred)
+        scan = (
+            None
+            if wm is None
+            else _stale_scan_buckets(spark, table_root, index_root, wm,
+                                     manifest, value)
+        )
+        if scan is None:
+            return read_txtable(spark, table_root).filter(pred)
+        rows = _read_buckets_logical(spark, table_root, manifest, scan)
+        if rows is None:
+            return read_txtable(spark, table_root).filter(pred).limit(0)
+        return rows.filter(pred)
     target = (
         F.lit(None).cast("string")
         if value is None

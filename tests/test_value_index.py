@@ -230,3 +230,104 @@ def test_value_index_across_rebucket(spark, tmp_path):
             ).collect()
         }
         assert got == _truth(spark, root, color)
+
+
+def test_stale_lookup_is_hybrid_not_full_scan(spark, tmp_path):
+    """Round-8: a stale index no longer costs a full scan. Untouched
+    buckets stay index-pruned; only buckets changed since the
+    watermark are read outright — so the scan set is bounded by the
+    staleness, and results stay exact in every direction."""
+    from data_pipeline_demo_spark.sinks.value_index import (
+        _stale_scan_buckets,
+    )
+    from data_pipeline_demo_spark.sinks.txlog import _latest_manifest
+
+    root = str(tmp_path / "t")
+    idx = str(tmp_path / "ix")
+    _seed(spark, root)  # 200 rows, 16 buckets, 4 colors
+    # plant a rare value so the index can prove pruning
+    txlog_upsert(
+        spark,
+        spark.createDataFrame(
+            [(7, "rare", 0.0)], "id long, color string, amount double"
+        ),
+        root,
+    )
+    wm = refresh_value_index(spark, root, idx, "color")
+    # table moves on: ONE bucket changes (new key, new value)
+    txlog_upsert(
+        spark,
+        spark.createDataFrame(
+            [(5000, "fresh", 1.0)], "id long, color string, amount double"
+        ),
+        root,
+    )
+    latest = _latest_manifest(spark, root)
+    assert index_watermark(spark, idx) == wm < latest["version"]
+
+    # 1) value known to the index: scan = its bucket + the changed one
+    scan = _stale_scan_buckets(spark, root, idx, wm, latest, "rare")
+    assert scan is not None and len(scan) <= 2 < 16
+    got = {
+        r["id"]
+        for r in lookup_with_index(spark, root, idx, "color", "rare").collect()
+    }
+    assert got == {7}
+
+    # 2) value born AFTER the watermark: index has no hits, the changed
+    # bucket alone surfaces it
+    scan = _stale_scan_buckets(spark, root, idx, wm, latest, "fresh")
+    assert scan is not None and len(scan) == 1
+    got = {
+        r["id"]
+        for r in lookup_with_index(spark, root, idx, "color", "fresh").collect()
+    }
+    assert got == {5000}
+
+    # 3) merge-on-read delete of the rare row while stale: the DV-only
+    # bucket change is picked up and the row never surfaces
+    txlog_delete(spark, root, where="color = 'rare'", mode="merge-on-read")
+    latest = _latest_manifest(spark, root)
+    scan = _stale_scan_buckets(spark, root, idx, wm, latest, "rare")
+    assert scan is not None
+    got = {
+        r["id"]
+        for r in lookup_with_index(spark, root, idx, "color", "rare").collect()
+    }
+    assert got == set()
+
+    # 4) every color stays exact through the hybrid path
+    for color in ("red", "green", "blue", "gold", "missing"):
+        got = {
+            r["id"]
+            for r in lookup_with_index(
+                spark, root, idx, "color", color
+            ).collect()
+        }
+        assert got == _truth(spark, root, color), color
+
+
+def test_stale_lookup_full_scan_only_when_modulus_changed(spark, tmp_path):
+    """After rebucket_txtable the stored bucket ids mean nothing: the
+    hybrid helper refuses (None) and the lookup falls back to the full
+    scan — still exact."""
+    from data_pipeline_demo_spark.sinks.txlog import (
+        _latest_manifest,
+        rebucket_txtable,
+    )
+    from data_pipeline_demo_spark.sinks.value_index import (
+        _stale_scan_buckets,
+    )
+
+    root = str(tmp_path / "t")
+    idx = str(tmp_path / "ix")
+    _seed(spark, root)
+    wm = refresh_value_index(spark, root, idx, "color")
+    rebucket_txtable(spark, root, new_num_buckets=4)
+    latest = _latest_manifest(spark, root)
+    assert _stale_scan_buckets(spark, root, idx, wm, latest, "red") is None
+    got = {
+        r["id"]
+        for r in lookup_with_index(spark, root, idx, "color", "red").collect()
+    }
+    assert got == _truth(spark, root, "red")
