@@ -658,3 +658,53 @@ def synthesize_png_media(documents: DataFrame) -> DataFrame:
             F.sha2("payload", 256).alias("sha256"),
         ).alias("meta"),
     )
+
+
+def synthesize_mixed_image_media(documents: DataFrame) -> DataFrame:
+    """`synthesize_png_media`'s cross-format sibling (round 8): the
+    SAME deterministic per-group gradient pixels, but each group of 4
+    doc_ids stores members in alternating containers — even ids PNG,
+    odd ids baseline JPEG (stdlib codec, quality 92). Byte-level dedup
+    can never pair a PNG with a JPEG of the same picture; the dHash
+    banded join must — the exact mixed-corpus case real crawls hit."""
+    import numpy as np
+
+    from .imagecodec import png_encode
+    from .jpegcodec import jpeg_encode
+
+    d = documents.select(F.col("doc_id").alias("media_id"))
+
+    @F.pandas_udf(T.BinaryType())
+    def make_img(mid: pd.Series) -> pd.Series:
+        y, x = np.mgrid[0:32, 0:32]
+        out = []
+        for m in mid:
+            base = int(m) // 4
+            phase = base % 61
+            arr = np.stack(
+                [
+                    (x * 7 + phase * 11) % 256,
+                    (y * 5 + phase * 3) % 256,
+                    ((x + y) * 3 + phase * 17) % 256,
+                ],
+                -1,
+            ).astype(np.uint8)
+            if int(m) % 2 == 0:
+                out.append(png_encode(arr, 32, 32))
+            else:
+                out.append(jpeg_encode(arr, 32, 32, quality=92))
+        return pd.Series(out)
+
+    with_payload = d.withColumn("payload", make_img("media_id"))
+    return with_payload.select(
+        "media_id",
+        F.lit("image").alias("kind"),
+        "payload",
+        F.struct(
+            F.when(F.col("media_id") % 2 == 0, F.lit("image/png"))
+            .otherwise(F.lit("image/jpeg"))
+            .alias("content_type"),
+            F.length("payload").cast("long").alias("n_bytes"),
+            F.sha2("payload", 256).alias("sha256"),
+        ).alias("meta"),
+    )

@@ -2794,3 +2794,99 @@ def q216_mor_update_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_txtable(spark, root).select(
         "o_orderkey", "o_custkey", "o_totalprice"
     )
+
+
+_DUCK_STALE_HYBRID = """
+    WITH final_state AS (
+      SELECT o_orderkey, o_custkey, o_orderpriority, o_totalprice
+      FROM orders
+      WHERE o_orderkey < 3500        -- seed slice + stale-period insert
+        AND o_orderkey % 10 != 3     -- stale-period merge-on-read delete
+    )
+    SELECT o_orderkey, o_custkey, o_orderpriority, o_totalprice
+    FROM final_state WHERE o_orderpriority = '1-URGENT'
+"""
+
+
+@register("q217_stale_hybrid_lookup", oracle=_DUCK_STALE_HYBRID)
+def q217_stale_hybrid_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid STALE value-index lookup (round-8 sibling of q95): the
+    index is built at version 0, then the table moves TWO commits past
+    the watermark — an insert batch (new keys, new buckets) and a
+    merge-on-read delete (deletion vectors only, no data-file change)
+    — and the lookup runs WITHOUT refresh. The hybrid path
+    (sinks/value_index.py:_stale_scan_buckets) keeps index pruning on
+    untouched buckets and raw-scans only buckets whose file list or DV
+    list changed since the watermark, O(staleness) not O(table). The
+    oracle replays insert→delete→filter as pure SQL: a hash match
+    certifies that the hybrid scan set loses nothing in any direction
+    (rows born after the watermark, rows DV-deleted after it, rows the
+    index still prunes).
+
+    Scale: lookups between index refreshes are the COMMON case on a
+    100 TB table with minute-level commits; full-scan fallback made
+    staleness a cliff, the hybrid makes it a slope."""
+    import tempfile
+
+    from ..sinks.txlog import txlog_delete, txlog_upsert
+    from ..sinks.value_index import lookup_with_index, refresh_value_index
+
+    tmp = tempfile.mkdtemp(prefix="q217-stale-")
+    root, idx = tmp + "/t", tmp + "/ix"
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice"
+    )
+    txlog_upsert(
+        spark, o.filter(F.col("o_orderkey") < 3000), root,
+        key="o_orderkey", num_buckets=16,
+    )
+    refresh_value_index(spark, root, idx, "o_orderpriority")
+    # the table moves on; the index watermark stays at version 0
+    txlog_upsert(
+        spark,
+        o.filter((F.col("o_orderkey") >= 3000) & (F.col("o_orderkey") < 3500)),
+        root,
+    )
+    txlog_delete(
+        spark, root, where="o_orderkey % 10 = 3", mode="merge-on-read"
+    )
+    return lookup_with_index(
+        spark, root, idx, "o_orderpriority", "1-URGENT"
+    ).select("o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice")
+
+
+@register("q218_cross_format_image_dedup")
+def q218_cross_format_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-format image near-dup (rows-only: perceptual hashing isn't
+    SQL-expressible): q122's planted-group corpus, but each group of 4
+    doc_ids alternates PNG and baseline-JPEG containers — BOTH decoded
+    by the stdlib codecs (operators/imagecodec.py, operators/
+    jpegcodec.py, round 8). Exact (byte/sha) dedup finds nothing
+    across formats by construction; the dHash banded Hamming join must
+    pair PNG↔JPEG members of the same base pattern. Output: pair
+    counts by (format-combination, hamming) — the png↔jpeg rows are
+    the direct cross-format recall witness.
+
+    Scale shape: identical to q122 — 8-byte signatures, banded
+    pigeonhole candidates, popcount verify on collisions only; the
+    JPEG entropy decode is per-item work inside the same map-only
+    mapInPandas stage."""
+    from ..operators import multimodal
+
+    docs = table(spark, sf_dir, "documents").limit(1200)
+    media = multimodal.synthesize_mixed_image_media(docs)
+    pairs = multimodal.image_near_dup_pairs(media, max_hamming=3)
+    fmt = lambda c: F.when(c % 2 == 0, F.lit("png")).otherwise(F.lit("jpeg"))  # noqa: E731
+    return (
+        pairs.withColumn(
+            "formats",
+            F.concat_ws(
+                "<->",
+                F.least(fmt(F.col("id_a")), fmt(F.col("id_b"))),
+                F.greatest(fmt(F.col("id_a")), fmt(F.col("id_b"))),
+            ),
+        )
+        .groupBy("formats", "hamming")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("formats", "hamming")
+    )
