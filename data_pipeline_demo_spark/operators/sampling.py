@@ -292,6 +292,7 @@ def distributed_prefix_sums(
     order_by: Sequence[str],
     sum_cols: Sequence[str],
     out_cols: Sequence[str] | None = None,
+    partition_by: Sequence[str] = (),
 ) -> DataFrame:
     """Running (inclusive) prefix sums of ``sum_cols`` over a TOTAL
     ``order_by`` order — the distributed cumulative-sum primitive
@@ -312,6 +313,15 @@ def distributed_prefix_sums(
     ``order_by`` must be a total order (no ties — pre-aggregate to the
     distinct-key grain or append a unique tiebreaker), else the ROWS
     cumulative frame is nondeterministic at range boundaries.
+
+    ``partition_by`` (round 8) restarts the running sums per group —
+    the GROUPED cumulative sum (``SUM ... OVER (PARTITION BY grp ORDER
+    BY ...)``) whose naive window serializes each group through one
+    task (a scale cliff when groups are few and table-grain, e.g. 3
+    return flags over all of lineitem). The range partitioning spreads
+    (group, order) jointly, per-partition windows nest the group under
+    ``__pid``, and the offset tally/window stay (partitions × groups)-
+    sized — metadata, never the table.
     """
     if not order_by:
         raise ValueError("order_by must name at least one column")
@@ -320,30 +330,37 @@ def distributed_prefix_sums(
     out_cols = list(out_cols) if out_cols is not None else list(sum_cols)
     if len(out_cols) != len(sum_cols):
         raise ValueError("out_cols must match sum_cols in length")
+    partition_by = list(partition_by)
     cols = [F.col(c) for c in order_by]
-    ranged = df.repartitionByRange(*cols).withColumn(
+    pcols = [F.col(c) for c in partition_by]
+    ranged = df.repartitionByRange(*pcols, *cols).withColumn(
         "__pid", F.spark_partition_id()
     )
     w = (
-        Window.partitionBy("__pid")
+        Window.partitionBy("__pid", *partition_by)
         .orderBy(*cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     local = ranged
     for c in sum_cols:
         local = local.withColumn(f"__l_{c}", F.sum(c).over(w))
-    tallies = ranged.groupBy("__pid").agg(
+    tallies = ranged.groupBy("__pid", *partition_by).agg(
         *[F.sum(c).alias(f"__t_{c}") for c in sum_cols]
     )
-    w2 = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    w2 = (
+        Window.partitionBy(*partition_by)
+        if partition_by
+        else Window.partitionBy()
+    ).orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
     offsets = tallies.select(
         "__pid",
+        *partition_by,
         *[
             F.coalesce(F.sum(f"__t_{c}").over(w2), F.lit(0)).alias(f"__o_{c}")
             for c in sum_cols
         ],
     )
-    joined = local.join(F.broadcast(offsets), "__pid")
+    joined = local.join(F.broadcast(offsets), ["__pid", *partition_by])
     for c, out in zip(sum_cols, out_cols):
         joined = joined.withColumn(out, F.col(f"__l_{c}") + F.col(f"__o_{c}"))
     drop = ["__pid"] + [f"__l_{c}" for c in sum_cols] + [

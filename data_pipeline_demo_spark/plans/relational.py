@@ -2396,18 +2396,80 @@ def q166_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mann-Whitney U (Wilcoxon rank-sum) test between two priority
     classes' order totals — the NONPARAMETRIC member of the experiment
     family (q120/q121/q156/q157): medians differ without assuming
-    normality. Average ranks for ties come from RANK() plus the tie
-    group's size (exact integer arithmetic, so both engines rank
-    identically); the z statistic uses the standard tie-corrected
-    variance. Same literal SQL on both engines; amounts compare as
-    exact DECIMAL so tie groups are well-defined.
+    normality. The z statistic uses the standard tie-corrected
+    variance; amounts compare as exact DECIMAL so tie groups are
+    well-defined.
 
-    Scale shape: ONE global rank window over the filtered pool — a
-    rank-sum test is order-statistics by definition; at extreme scale
-    the same ranks come from a two-pass histogram cumsum. Everything
-    after the window is group-count-sized."""
-    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
-    return spark.sql(_MANN_WHITNEY_SQL)
+    Scale shape (round 8 — this was the registry's last genuinely
+    unpartitioned rank): rows collapse to the DISTINCT-VALUE grain
+    (per-value integer counts), and the rank of each tie group comes
+    from :func:`distributed_prefix_sums` over that grain (range
+    repartition + per-partition cumsums + broadcast prefix offsets,
+    the q200 ECDF machinery) — RANK(x) ≡ C(<x)+1 ≡ cum_cnt−cnt+1.
+    All rank/tie sums stay integer-exact (the doubled average rank
+    ``2·rk+cnt−1`` is an integer; products sum as DECIMAL(38,0) so no
+    64-bit overflow at any scale), so the final doubles mirror the
+    oracle's bit-for-bit. Everything downstream of the value grain is
+    a 1-row combinable aggregate."""
+    from ..operators.sampling import distributed_prefix_sums
+
+    pool = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+        .select(
+            F.col("o_totalprice").cast("decimal(18,2)").alias("x"),
+            F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+            .otherwise(0)
+            .alias("i1"),
+        )
+    )
+    g = pool.groupBy("x").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("i1").alias("c1")
+    )
+    cum = distributed_prefix_sums(
+        g, order_by=["x"], sum_cols=["cnt"], out_cols=["ccum"]
+    )
+    # RANK of every row in the tie group = ccum - cnt + 1; the average
+    # rank ar = rk + (cnt-1)/2, kept integer as ar2 = 2*rk + cnt - 1
+    per_v = cum.select(
+        "cnt",
+        "c1",
+        (
+            F.lit(2) * (F.col("ccum") - F.col("cnt") + F.lit(1))
+            + F.col("cnt")
+            - F.lit(1)
+        ).alias("ar2"),
+    )
+    s = per_v.agg(
+        (
+            F.sum(
+                (F.col("c1") * F.col("ar2")).cast("decimal(38,0)")
+            ).cast("double")
+            / F.lit(2.0)
+        ).alias("r1"),
+        F.sum("c1").cast("bigint").alias("n1"),
+        (F.sum("cnt") - F.sum("c1")).cast("bigint").alias("n2"),
+        F.sum(
+            F.col("cnt").cast("double") * F.col("cnt") * F.col("cnt")
+            - F.col("cnt")
+        ).alias("tsum"),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    u1 = F.col("r1") - n1 * (n1 + F.lit(1)) / F.lit(2.0)
+    num = u1 - n1 * n2 / F.lit(2.0)
+    den = F.sqrt(
+        n1 * n2 / F.lit(12.0)
+        * (
+            (n1 + n2 + F.lit(1))
+            - F.col("tsum") / ((n1 + n2) * (n1 + n2 - F.lit(1.0)))
+        )
+    )
+    return s.select(
+        n1.alias("n1"),
+        n2.alias("n2"),
+        F.round(u1, 1).alias("u1"),
+        F.round(num / den, 4).alias("z"),
+    )
 
 
 _OLS_TREND_SQL = """
@@ -3452,11 +3514,20 @@ def q195_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     the weighted median (the lower weighted-median convention, exact —
     no interpolation, so no arithmetic can drift).
 
-    Scale shape: one shuffle to the group grain; both windows and the
-    pick share the per-group sort. Group count is domain-sized. At
+    Scale shape (round 8): the old plan's windows partitioned by the
+    THREE-value return flag — each group's running sum serialized a
+    third of lineitem through one task (the q163 lesson: few groups ×
+    table grain = one-task cliffs). The cumulative mass now comes from
+    :func:`distributed_prefix_sums(partition_by=["l_returnflag"])`
+    (range repartition on (flag, price, tiebreak) + per-partition
+    windows + (partitions × groups)-sized broadcast offsets), the
+    group totals from a combinable aggregate broadcast back, and the
+    median pick is a per-group MIN over the qualifying (cum, price)
+    struct — no per-group window anywhere. Decimals keep every sum
+    exact, so the result is bit-identical to the SQL window form. At
     unbounded group cardinality the q90 quantile sketches take over
     (weights fold into the sketch by repetition count)."""
-    from pyspark.sql import Window
+    from ..operators.sampling import distributed_prefix_sums
 
     li = table(spark, sf_dir, "lineitem")
     lines = li.select(
@@ -3466,28 +3537,30 @@ def q195_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey",
         "l_linenumber",
     )
-    w_cum = (
-        Window.partitionBy("l_returnflag")
-        .orderBy("unit_price", "l_orderkey", "l_linenumber")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = distributed_prefix_sums(
+        lines,
+        order_by=["unit_price", "l_orderkey", "l_linenumber"],
+        sum_cols=["qty"],
+        out_cols=["cum_qty"],
+        partition_by=["l_returnflag"],
     )
-    w_tot = Window.partitionBy("l_returnflag")
-    cum = lines.select(
-        "l_returnflag",
-        "unit_price",
-        F.sum("qty").over(w_cum).alias("cum_qty"),
-        F.sum("qty").over(w_tot).alias("total_qty"),
+    tot = lines.groupBy("l_returnflag").agg(
+        F.sum("qty").alias("total_qty")
     )
-    w_pick = Window.partitionBy("l_returnflag").orderBy(
-        "cum_qty", "unit_price"
+    pick = (
+        cum.join(F.broadcast(tot), "l_returnflag")
+        .filter(F.col("cum_qty") * 2 >= F.col("total_qty"))
+        .groupBy("l_returnflag", "total_qty")
+        .agg(
+            F.min(F.struct("cum_qty", "unit_price")).alias("__m")
+        )
     )
     return (
-        cum.filter(F.col("cum_qty") * 2 >= F.col("total_qty"))
-        .withColumn("rn", F.row_number().over(w_pick))
-        .filter(F.col("rn") == 1)
-        .select(
+        pick.select(
             "l_returnflag",
-            F.round("unit_price", 6).alias("weighted_median_price"),
+            F.round(F.col("__m.unit_price"), 6).alias(
+                "weighted_median_price"
+            ),
             F.col("total_qty").cast("double").alias("total_qty"),
         )
     )

@@ -678,6 +678,43 @@ def test_distributed_prefix_sums_exact_and_partition_invariant(spark):
     assert out2 == want
 
 
+def test_distributed_prefix_sums_grouped_matches_sql_window(spark):
+    """partition_by= restarts the running sums per group and must be
+    bit-identical to SUM() OVER (PARTITION BY grp ORDER BY ...) — the
+    grouped cumulative form q195 rides — independent of the input
+    partitioning, including groups smaller than the parallelism and a
+    group that is entirely absent from some range partitions."""
+    from data_pipeline_demo_spark.operators.sampling import (
+        distributed_prefix_sums,
+    )
+
+    import random
+
+    rng = random.Random(11)
+    rows = [
+        (i, ["x", "y", "z"][rng.randint(0, 2)] if i > 3 else "solo",
+         rng.randint(-5, 50))
+        for i in range(3000)
+    ]
+    df = spark.createDataFrame(rows, "k long, g string, a long").repartition(7)
+    got = {
+        (r.g, r.k): r.ca
+        for r in distributed_prefix_sums(
+            df, ["k"], ["a"], out_cols=["ca"], partition_by=["g"]
+        ).collect()
+    }
+    df.createOrReplaceTempView("gps_in")
+    want = {
+        (r.g, r.k): r.ca
+        for r in spark.sql(
+            "SELECT g, k, SUM(a) OVER (PARTITION BY g ORDER BY k"
+            " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca"
+            " FROM gps_in"
+        ).collect()
+    }
+    assert got == want and len(got) == 3000
+
+
 def test_exact_ntile_matches_sql_ntile(spark):
     """exact_ntile must reproduce SQL NTILE(k) bit-for-bit, including
     the uneven-bucket edge (n % k != 0) and n < k, independent of the

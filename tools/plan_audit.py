@@ -44,6 +44,32 @@ ALLOWLIST: dict[tuple[str, str], str] = {
         "deliberate CROSS JOIN surface demo over two dimension tables "
         "(region x nation, 125 rows) - the operator under test IS the "
         "cartesian product",
+    ("q10_join_range", "cartesian"):
+        "non-equi band join probes the SUPPLIER dimension as the "
+        "broadcast side - dim-bounded, and fact-fact range joins have "
+        "the binned operators (operators/intervals.py) as the scale "
+        "path",
+    ("q63_cosine_near_dup", "cartesian"):
+        "the BRUTE-FORCE cosine baseline by contract (recall oracle "
+        "for the ANN tiers); q45/q78/q89/q129 are the scale paths",
+    ("q75_embedding_clusters", "cartesian"):
+        "k-means assignment crossJoin broadcasts the k-row centroid "
+        "relation (k<=64 by contract) - Lloyd's shape, not all-pairs",
+    ("q76_semantic_decontam", "cartesian"):
+        "broadcast side is the benchmark/eval embedding set (bounded "
+        "by contract: eval suites are thousands of rows, the corpus "
+        "side streams)",
+    ("q151_semantic_dedup", "cartesian"):
+        "SemDeDup's centroid-assignment crossJoins broadcast k-row "
+        "centroid relations; the pair search itself is "
+        "cluster-confined (never corpus all-pairs)",
+    ("q205_bm25_indexed", "cartesian"):
+        "broadcast side is the 1-row corpus-stats relation "
+        "(n_docs/avgdl) read from the stats txtable",
+    ("q212_hard_negatives", "cartesian"):
+        "broadcast side is the 8-probe query-vector relation (pool "
+        "bounded by contract); candidates are band-blocked before "
+        "ranking",
 }
 
 AGG_MARKERS = (
@@ -89,10 +115,16 @@ def _is_unpartitioned_window_line(ln: str) -> bool:
         if depth >= 2:
             cur.append(ch)
     # drop the windowspecdefinition(...) expr group; the partition spec
-    # group is the second-to-last when three groups print
+    # group is the second-to-last when three groups print. With two
+    # groups the second is EITHER the order spec (unpartitioned ordered
+    # window — contains sort directions) OR the partition spec (window
+    # with no ORDER BY — plain column list): only the former moves all
+    # rows to one task.
     if len(groups) >= 3:
         return not groups[-2].strip()
-    return True  # two groups: exprs + order only -> unpartitioned
+    if len(groups) == 2:
+        return bool(re.search(r"\b(ASC|DESC) NULLS", groups[-1]))
+    return True
 
 
 def _subtree_below(plan: str, marker: str, start: int) -> str:
