@@ -350,6 +350,66 @@ def bench_lakehouse(spark, sf_dir: str, runs: int):
             .collect(),
             runs,
         )
+        # hybrid STALE value-index lookup (round 8): index built at v0,
+        # then ONE point-write makes it stale (a single li_id -> one
+        # changed bucket). The hybrid path scans (index hits | changed)
+        # buckets — an order's ≤7 lineitems + 1 — vs the full-scan
+        # fallback's 32. This is the between-refreshes lookup shape a
+        # minute-level-commit table serves constantly.
+        from data_pipeline_demo_spark.sinks.value_index import (
+            lookup_with_index,
+            refresh_value_index,
+        )
+
+        ix_tab = os.path.join(tmp, "li_ixed")
+        ix_root = os.path.join(tmp, "li_ix")
+        tagged = base.withColumn(
+            "order_tag",
+            F.concat(F.lit("o-"), F.col("l_orderkey").cast("string")),
+        )
+        txlog_upsert(spark, tagged, ix_tab, key="li_id", num_buckets=32)
+        refresh_value_index(spark, ix_tab, ix_root, "order_tag")
+        one = tagged.orderBy("li_id").limit(1).collect()[0]
+        touch = tagged.filter(F.col("li_id") == one["li_id"]).withColumn(
+            "l_quantity", F.col("l_quantity") + F.lit(1.0)
+        )
+        txlog_upsert(spark, touch, ix_tab)  # index now one commit behind
+        probe_tag = "o-" + str(
+            tagged.filter(F.col("l_orderkey") != one["l_orderkey"])
+            .orderBy(F.desc("li_id"))
+            .limit(1)
+            .collect()[0]["l_orderkey"]
+        )
+        # lookup semantics = materialize the matching rows (collect),
+        # not count: a count() lets the full scan column-prune to the
+        # filter column alone, which no real lookup gets to do.
+        # At sf0.1 both paths are job-overhead-bound (~0.27s vs 0.28s
+        # measured); the hybrid's read is ≤9/32 buckets + one index
+        # bucket vs all 32, so the gap opens with table width × size.
+        timings["lh_stale_hybrid_lookup"], spreads["lh_stale_hybrid_lookup"] = _timed(
+            lambda: lookup_with_index(
+                spark, ix_tab, ix_root, "order_tag", probe_tag
+            ).collect(),
+            runs,
+            warmup_runs=1,
+        )
+        timings["lh_stale_full_scan"], spreads["lh_stale_full_scan"] = _timed(
+            lambda: read_txtable(spark, ix_tab)
+            .filter(F.col("order_tag") == probe_tag)
+            .collect(),
+            runs,
+        )
+        # the fresh-index point lookup (q95's shape) on the same table,
+        # for the index-vs-scan headline: ≤7 buckets + 1 index bucket
+        refresh_value_index(spark, ix_tab, ix_root, "order_tag")
+        timings["lh_fresh_index_lookup"], spreads["lh_fresh_index_lookup"] = _timed(
+            lambda: lookup_with_index(
+                spark, ix_tab, ix_root, "order_tag", probe_tag,
+                require_fresh=True,
+            ).collect(),
+            runs,
+            warmup_runs=1,
+        )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return timings, spreads

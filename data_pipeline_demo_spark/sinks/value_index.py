@@ -12,22 +12,35 @@ bucket-pruning core — public system, SIGMOD 2021), so
 
 Design points:
 
-- **The index IS a txtable** (rows ``(pair_key, value, bucket)``,
-  keyed by the value⊕bucket pair), so it inherits snapshot isolation,
-  time travel, CDC, vacuum — and stores its own CONSUMER WATERMARK in
-  the commit log (``app_txns["value-index"] = source version``), making
-  refresh self-describing and replay-safe.
+- **The index IS a txtable at VALUE grain** (rows ``(vkey, value,
+  buckets array<int>)``, keyed by the value's render — round 8; the
+  round-6/7 layout was one row per (value, bucket) pair, which made
+  every probe scan the whole index). Because the index key IS the
+  value, a probe computes the value's own index bucket python-side
+  (``sources/txtable_writer.bucket_ids_for`` — bit-parity with
+  ``F.xxhash64``) and reads exactly ONE index bucket: the probe is
+  now O(1 bucket of a 3-column table), not O(index). The index still
+  inherits snapshot isolation, time travel, CDC, vacuum — and stores
+  its CONSUMER WATERMARK in the commit log
+  (``app_txns["value-index"] = source version``), making refresh
+  self-describing and replay-safe.
 - **Maintenance is CDC-driven and bucket-scoped**: the source change
   feed names the changed buckets (a key's bucket never changes — it is
   ``pmod(xxhash64(key), n)``); refresh recomputes the (value, bucket)
-  pairs for ONLY those buckets from the current snapshot, deletes index
-  rows those buckets no longer justify, and MERGEs the rest —
-  O(changed buckets), never O(table). The recompute is idempotent, so
-  a crash between the delete and the merge re-runs cleanly.
+  pairs for ONLY those buckets, rewrites the bucket ARRAYS of exactly
+  the values that gained/lost membership there (array_except the
+  touched set, array_union the recomputed pairs), deletes values whose
+  array emptied, and MERGEs the rest — O(changed buckets) reads of the
+  source + O(dirty values) writes, never O(table). The recompute is
+  idempotent, so a crash between the delete and the merge re-runs
+  cleanly.
 - **Staleness can never produce wrong answers**: lookups compare the
-  index watermark against the table's latest version and FALL BACK to
-  a full scan when behind (exact, just unpruned) unless the caller
-  demands pruning with ``require_fresh=True``.
+  index watermark against the table's latest version and degrade to a
+  HYBRID scan when behind (index-pruned untouched buckets + raw reads
+  of only the buckets changed since the watermark — O(staleness));
+  the full-scan fallback remains only for un-prunable cases (no
+  watermark, vacuumed watermark manifest, changed modulus), and
+  ``require_fresh=True`` raises instead.
 
 Reference scope: the reference re-reads whole CSVs for every equality
 probe (`/root/reference/data_pipeline.py:219-238`); this is that probe
@@ -51,6 +64,9 @@ from .txlog import (
 from .upsert import _bucket_of
 
 INDEX_APP = "value-index"
+INDEX_NUM_BUCKETS = 8
+_NULL_VKEY = "\x00null"  # NULL's key render (NULL itself can't be a key)
+_INDEX_SCHEMA = "vkey string, value string, buckets array<int>"
 
 
 def _pairs_for_buckets(
@@ -69,18 +85,26 @@ def _pairs_for_buckets(
     # evidence is a deleted row
     rows = _read_buckets_logical(spark, table_root, manifest, buckets)
     if rows is None:
-        return spark.createDataFrame([], f"value string, bucket int")
+        return spark.createDataFrame([], "value string, bucket int")
     return rows.select(
         F.col(col).cast("string").alias("value"),
         _bucket_of(key, nb).alias("bucket"),
     ).distinct()
 
 
-def _with_pair_key(pairs: DataFrame) -> DataFrame:
-    return pairs.withColumn(
-        "pair_key",
-        F.concat_ws("\x1f", F.coalesce(F.col("value"), F.lit("\x00null")), F.col("bucket")),
-    ).select("pair_key", "value", "bucket")
+def _value_arrays(pairs: DataFrame) -> DataFrame:
+    """(value, bucket) pairs → one row per value with its sorted
+    bucket array and the non-null key render."""
+    return pairs.groupBy("value").agg(
+        F.sort_array(F.collect_set("bucket")).alias("buckets")
+    ).select(
+        F.coalesce(F.col("value"), F.lit(_NULL_VKEY)).alias("vkey"),
+        "value",
+        # pin one element nullability: collect_set yields containsNull=
+        # False while the incremental array_union path yields True —
+        # the txtable schema must be identical across both writers
+        F.col("buckets").cast("array<int>").alias("buckets"),
+    )
 
 
 def _target_str(value) -> str:
@@ -102,6 +126,10 @@ def _target_str(value) -> str:
         "reproduce Spark's CAST(col AS STRING) rendering; pass the "
         "exact string Spark produces (e.g. '5.0' for a double)"
     )
+
+
+def _vkey_str(value) -> str:
+    return _NULL_VKEY if value is None else _target_str(value)
 
 
 def index_watermark(spark: SparkSession, index_root: str) -> int | None:
@@ -156,42 +184,105 @@ def refresh_value_index(
             # files without changing rows: advance the watermark with an
             # empty merge (commits a manifest carrying the new app_txns,
             # touches no data files)
-            empty = spark.createDataFrame(
-                [], "pair_key string, value string, bucket int"
-            )
+            empty = spark.createDataFrame([], _INDEX_SCHEMA)
             txlog_upsert(
-                spark, empty, index_root, key="pair_key",
+                spark, empty, index_root, key="vkey",
                 txn_app_id=INDEX_APP, txn_version=latest,
             )
             return latest
-    new_pairs = _with_pair_key(
+    new_arr = _value_arrays(
         _pairs_for_buckets(spark, table_root, manifest, col, touched)
     )
-    if since is not None:
-        # index rows for touched buckets that the recompute no longer
-        # justifies → delete (value vanished from that bucket); a
-        # modulus rebuild sweeps the WHOLE index (old-modulus bucket
-        # ids are meaningless now, whatever their value)
-        stale = read_txtable(spark, index_root)
-        if not rebuilt:
-            stale = stale.filter(
-                F.col("bucket").isin([int(b) for b in touched])
+    if since is None:
+        txlog_upsert(
+            spark, new_arr, index_root, key="vkey",
+            num_buckets=INDEX_NUM_BUCKETS,
+            txn_app_id=INDEX_APP, txn_version=latest,
+        )
+        return latest
+    if rebuilt:
+        # old-modulus bucket ids are meaningless whatever their value:
+        # the recomputed full-table arrays ARE the index — values no
+        # longer present anywhere drop via the full-sync merge
+        txlog_upsert(
+            spark, new_arr, index_root, key="vkey",
+            txn_app_id=INDEX_APP, txn_version=latest,
+            not_matched_by_source_delete=True,
+        )
+        return latest
+    # incremental: rewrite the bucket arrays of exactly the DIRTY
+    # values — those that had membership in a touched bucket (their
+    # array must shed it unless recomputed back) OR have membership
+    # now (their array must gain it, INCLUDING values whose other
+    # buckets are untouched — hence the semi-join, not just overlap)
+    t_lit = F.array(*[F.lit(int(b)) for b in touched])
+    old = read_txtable(spark, index_root)
+    relevant = (
+        old.filter(F.arrays_overlap(F.col("buckets"), t_lit))
+        .unionByName(old.join(new_arr.select("vkey"), "vkey", "left_semi"))
+        .dropDuplicates(["vkey"])
+        .select(
+            "vkey",
+            "value",
+            F.array_except(F.col("buckets"), t_lit).alias("__keep"),
+        )
+    )
+    merged = relevant.join(
+        new_arr.select(
+            "vkey",
+            F.col("value").alias("__v2"),
+            F.col("buckets").alias("__new"),
+        ),
+        "vkey",
+        "full_outer",
+    ).select(
+        "vkey",
+        F.coalesce("value", "__v2").alias("value"),
+        F.sort_array(
+            F.array_union(
+                F.coalesce(F.col("__keep"), F.array().cast("array<int>")),
+                F.coalesce(F.col("__new"), F.array().cast("array<int>")),
             )
-        stale = stale.join(
-            new_pairs.select("pair_key"), "pair_key", "left_anti"
-        ).select("pair_key")
-        if not stale.isEmpty():
-            txlog_delete(spark, index_root, keys=stale)
+        ).cast("array<int>").alias("buckets"),
+    )
+    gone = merged.filter(F.size("buckets") == 0).select("vkey")
+    if not gone.isEmpty():
+        txlog_delete(spark, index_root, keys=gone)
     txlog_upsert(
         spark,
-        new_pairs,
+        merged.filter(F.size("buckets") > 0),
         index_root,
-        key="pair_key",
-        num_buckets=8,
+        key="vkey",
         txn_app_id=INDEX_APP,
         txn_version=latest,
     )
     return latest
+
+
+def index_selected_buckets(
+    spark: SparkSession, index_root: str, value
+) -> list[int]:
+    """The source-bucket set a lookup would scan — resolved by a POINT
+    read of the single index bucket the value's key hashes to (the
+    python-side hash is bit-parity with ``F.xxhash64``; parity-tested
+    in the writer suite), never an index scan. Exposed so tests and
+    operators can assert pruning without touching data files."""
+    import pyarrow as pa
+
+    m = _latest_manifest(spark, index_root)
+    if m is None:
+        return []
+    from ..sources.txtable_writer import bucket_ids_for
+
+    vk = _vkey_str(value)
+    ib = int(bucket_ids_for(pa.array([vk]), "string", m["num_buckets"])[0])
+    rows = _read_buckets_logical(spark, index_root, m, [ib])
+    if rows is None:
+        return []
+    got = (
+        rows.filter(F.col("vkey") == F.lit(vk)).select("buckets").collect()
+    )
+    return sorted(got[0]["buckets"]) if got else []
 
 
 def _stale_scan_buckets(
@@ -245,15 +336,16 @@ def lookup_with_index(
     require_fresh: bool = False,
 ) -> DataFrame:
     """Equality read ``WHERE col = value`` through the index: resolves
-    the bucket set holding the value from the index (metadata-sized
-    read), then scans ONLY those buckets with the filter re-applied
-    (results exact by construction). A stale index (source committed
-    past the watermark) degrades to a HYBRID scan — index-pruned
-    untouched buckets plus a full read of only the buckets that
-    changed since the watermark, O(staleness) not O(table) — and only
-    falls all the way back to a full scan when pruning is impossible
-    (no watermark yet, watermark manifest vacuumed away, or a
-    rebucket changed the modulus). ``require_fresh`` raises instead."""
+    the bucket set holding the value from ONE index-bucket point read
+    (metadata-plus-one-file), then scans ONLY those buckets with the
+    filter re-applied (results exact by construction). A stale index
+    (source committed past the watermark) degrades to a HYBRID scan —
+    index-pruned untouched buckets plus a full read of only the
+    buckets that changed since the watermark, O(staleness) not
+    O(table) — and only falls all the way back to a full scan when
+    pruning is impossible (no watermark yet, watermark manifest
+    vacuumed away, or a rebucket changed the modulus).
+    ``require_fresh`` raises instead."""
     manifest = _latest_manifest(spark, table_root)
     if manifest is None:
         raise FileNotFoundError(f"no committed txtable at {table_root}")
@@ -277,42 +369,10 @@ def lookup_with_index(
         if rows is None:
             return read_txtable(spark, table_root).filter(pred).limit(0)
         return rows.filter(pred)
-    target = (
-        F.lit(None).cast("string")
-        if value is None
-        else F.lit(_target_str(value))
-    )
-    buckets = [
-        r["bucket"]
-        for r in read_txtable(spark, index_root)
-        .filter(F.col("value").eqNullSafe(target))
-        .select("bucket")
-        .collect()
-    ]
+    buckets = index_selected_buckets(spark, index_root, value)
     # logical read: a merge-on-read-deleted row must never surface in
     # a lookup result (the vectors anti-apply before the predicate)
-    rows = _read_buckets_logical(
-        spark, table_root, manifest, sorted(buckets)
-    )
+    rows = _read_buckets_logical(spark, table_root, manifest, buckets)
     if rows is None:
         return read_txtable(spark, table_root).filter(pred).limit(0)
     return rows.filter(pred)
-
-
-def index_selected_buckets(
-    spark: SparkSession, index_root: str, value
-) -> list[int]:
-    """The bucket set a lookup would scan — exposed so tests (and
-    operators) can assert pruning without touching data files."""
-    target = (
-        F.lit(None).cast("string")
-        if value is None
-        else F.lit(_target_str(value))
-    )
-    return sorted(
-        r["bucket"]
-        for r in read_txtable(spark, index_root)
-        .filter(F.col("value").eqNullSafe(target))
-        .select("bucket")
-        .collect()
-    )
