@@ -259,6 +259,9 @@ def jpeg_decode(payload: bytes):
             pos += 1
             continue
         marker = payload[pos + 1]
+        if marker == 0xFF:  # fill byte before a marker (B.1.1.2)
+            pos += 1
+            continue
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             pos += 2
             continue

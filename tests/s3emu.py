@@ -56,25 +56,30 @@ class _Handler(BaseHTTPRequestHandler):
         n = int(self.headers.get("Content-Length", 0))
         payload = self.rfile.read(n)
         conditional = self.headers.get("If-None-Match", "").strip() == "*"
+
+        def reply(code: int):
+            # bodyless HTTP/1.1 responses need an explicit zero
+            # Content-Length, else a keep-alive client reads to EOF
+            self.send_response(code)
+            self.send_header("Content-Length", "0")
+            self.end_headers()
+
         with self.server.lock:
             os.makedirs(os.path.dirname(local), exist_ok=True)
             if conditional:
                 try:
                     fd = os.open(local, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
                 except FileExistsError:
-                    self.send_response(412)
-                    self.end_headers()
+                    reply(412)
                     return
                 with os.fdopen(fd, "wb") as f:
                     f.write(payload)
                 self.server.conditional_wins += 1
-                self.send_response(201)
-                self.end_headers()
+                reply(201)
                 return
             with open(local, "wb") as f:
                 f.write(payload)
-        self.send_response(200)
-        self.end_headers()
+        reply(200)
 
     def _serve(self, body: bool):
         local = self._local()

@@ -255,3 +255,17 @@ def test_cross_format_near_dup_png_vs_jpeg(spark):
     }
     assert (1, 2) in pairs
     assert all(3 not in p for p in pairs)
+
+
+def test_fill_bytes_before_markers_are_skipped():
+    """T.81 B.1.1.2: any number of 0xFF fill bytes may precede a
+    marker; the segment walk must skip them instead of reading a
+    bogus length."""
+    img = _smooth(16, 16)
+    p = jpeg_encode(img, 16, 16)
+    # inject fill bytes before the SOF marker
+    i = p.find(b"\xff\xc0")
+    padded = p[:i] + b"\xff\xff\xff" + p[i:]
+    W, H, out = jpeg_decode(padded)
+    assert (W, H) == (16, 16)
+    assert (out == jpeg_decode(p)[2]).all()
