@@ -2890,3 +2890,69 @@ def q218_cross_format_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame
         .agg(F.count(F.lit(1)).alias("n_pairs"))
         .orderBy("formats", "hamming")
     )
+
+
+_DUCK_EXPECTATIONS = """
+    SELECT rule, n_rows, n_violations,
+           ROUND(CAST(n_violations AS DOUBLE) / n_rows, 6) AS violation_rate
+    FROM (
+      SELECT 'positive_total' AS rule,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(CASE WHEN NOT COALESCE(o_totalprice > 0, FALSE)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+      FROM orders
+      UNION ALL
+      SELECT 'priority_domain',
+             CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(CASE WHEN NOT COALESCE(o_orderpriority IN
+                  ('1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED','5-LOW'),
+                  FALSE) THEN 1 ELSE 0 END) AS BIGINT)
+      FROM orders
+      UNION ALL
+      SELECT 'urgent_is_big',
+             CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(CASE WHEN NOT COALESCE(
+                  o_orderpriority <> '1-URGENT' OR o_totalprice >= 1000,
+                  FALSE) THEN 1 ELSE 0 END) AS BIGINT)
+      FROM orders
+      UNION ALL
+      SELECT 'status_domain',
+             CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(CASE WHEN NOT COALESCE(
+                  o_orderstatus IN ('O','F','P'),
+                  FALSE) THEN 1 ELSE 0 END) AS BIGINT)
+      FROM orders
+    )
+    ORDER BY rule
+"""
+
+
+@register("q219_expectations", oracle=_DUCK_EXPECTATIONS)
+def q219_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality expectations readout (round 8,
+    operators/expectations.py — the Deequ / Delta-Live-Tables shape
+    the reference's print-based QA lacks): four named row-level rules
+    over the orders ledger (value positivity, two domain memberships,
+    a conditional business rule) stamped in ONE map-only
+    codegen pass, violation counts from one combinable aggregate. The
+    oracle replays each rule as SUM(CASE WHEN NOT COALESCE(cond,
+    FALSE)) — a hash match certifies the stamp/metric semantics
+    including the NULL-fails-the-rule convention.
+
+    Scale shape: rules are Column expressions (zero Python); metrics
+    are map-side combinable; the pass/quarantine split reuses the same
+    stamped plan. At 100 TB this is the ingest gate you run INSIDE the
+    landing scan."""
+    from ..operators.expectations import expectation_metrics
+
+    o = table(spark, sf_dir, "orders")
+    rules = {
+        "positive_total": F.col("o_totalprice") > 0,
+        "priority_domain": F.col("o_orderpriority").isin(
+            "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"
+        ),
+        "urgent_is_big": (F.col("o_orderpriority") != "1-URGENT")
+        | (F.col("o_totalprice") >= 1000),
+        "status_domain": F.col("o_orderstatus").isin("O", "F", "P"),
+    }
+    return expectation_metrics(o, rules)
