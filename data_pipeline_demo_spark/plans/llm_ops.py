@@ -2956,3 +2956,30 @@ def q219_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         "status_domain": F.col("o_orderstatus").isin("O", "F", "P"),
     }
     return expectation_metrics(o, rules)
+
+
+@register("q220_wordpiece_tokens")
+def q220_wordpiece_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece token counting (round 8, completing the tokenizer
+    family: BPE q79, unigram-LM q153, WordPiece here — the BERT
+    scheme): induce 60 merges from the documents corpus under the
+    count(pair)/(count(a)·count(b)) likelihood criterion (distributed
+    word-count, driver loop over the vocabulary-sized table, exact
+    integer cross-multiplied comparisons — bit-stable), tokenize
+    map-only via greedy longest-match with ## continuations and [UNK]
+    fallback, top-20 token frequencies. Rows-only: the training loop
+    is not SQL-expressible; the criterion's divergence from BPE, the
+    longest-match semantics, round-trip reconstruction, and
+    kernel≡driver parity are pinned in tests/test_wordpiece.py."""
+    from ..operators import wordpiece
+
+    docs = table(spark, sf_dir, "documents")
+    model = wordpiece.wordpiece_train(docs, num_merges=60)
+    tok = wordpiece.wordpiece_tokenize(docs, model)
+    return (
+        tok.select(F.explode("tokens").alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token"))
+        .limit(20)
+    )
