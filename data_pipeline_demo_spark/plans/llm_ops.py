@@ -2983,3 +2983,76 @@ def q220_wordpiece_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), F.col("token"))
         .limit(20)
     )
+
+
+_DUCK_SQL_LIFECYCLE = """
+    WITH base AS (
+      SELECT o_orderkey, o_custkey, o_totalprice
+      FROM orders WHERE o_orderkey < 2000
+    ),
+    v1 AS (  -- the UPDATE statement's image (clone target)
+      SELECT o_orderkey, o_custkey,
+             CASE WHEN o_orderkey % 3 = 0
+                  THEN ROUND(o_totalprice * 2, 2)
+                  ELSE o_totalprice END AS o_totalprice
+      FROM base
+    ),
+    cur AS (  -- the DELETE statement's survivors (current snapshot)
+      SELECT * FROM v1 WHERE o_orderkey % 7 != 0
+    )
+    SELECT cur.o_orderkey, cur.o_custkey,
+           CAST(cur.o_totalprice AS DOUBLE) AS o_totalprice,
+           CAST(v1.o_totalprice AS DOUBLE) AS totalprice_v1
+    FROM cur JOIN v1 USING (o_orderkey)
+"""
+
+
+@register("q221_sql_lifecycle", oracle=_DUCK_SQL_LIFECYCLE)
+def q221_sql_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-TEXT front-end driven end-to-end under the value-exact
+    oracle (round 8; sinks/sql_dml.py previously had pytest-only
+    attestation): after an API create, every verb runs as the Delta-
+    shaped STATEMENT — UPDATE ... SET ... WHERE, DELETE FROM ...,
+    CREATE TABLE ... SHALLOW CLONE ... VERSION AS OF 1 (the zero-copy
+    branch pinned to the post-update snapshot), then one time-travel
+    SELECT joining the current snapshot against the clone. The oracle
+    replays update→delete as pure SQL and joins the v1 image back: a
+    hash match certifies statement parsing, verb routing, clone
+    snapshot pinning, and the SELECT rewrite in one pass.
+
+    Scale: each statement becomes the bucket-pruned verb it names; the
+    clone is one JSON write whatever the table size."""
+    import tempfile
+
+    from ..sinks.sql_dml import txtable_sql
+    from ..sinks.txlog import txlog_upsert
+
+    tmp = tempfile.mkdtemp(prefix="q221-sql-")
+    root, clone = tmp + "/t", tmp + "/c"
+    base = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 2000)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+    txlog_upsert(spark, base, root, key="o_orderkey", num_buckets=8)
+    txtable_sql(
+        spark,
+        f"UPDATE txtable.`{root}` SET o_totalprice = "
+        "round(o_totalprice * 2, 2) WHERE o_orderkey % 3 = 0",
+    )
+    txtable_sql(
+        spark, f"DELETE FROM txtable.`{root}` WHERE o_orderkey % 7 = 0"
+    )
+    txtable_sql(
+        spark,
+        f"CREATE TABLE txtable.`{clone}` SHALLOW CLONE txtable.`{root}` "
+        "VERSION AS OF 1",
+    )
+    return txtable_sql(
+        spark,
+        "SELECT cur.o_orderkey, cur.o_custkey, "
+        "CAST(cur.o_totalprice AS DOUBLE) AS o_totalprice, "
+        "CAST(old.o_totalprice AS DOUBLE) AS totalprice_v1 "
+        f"FROM txtable.`{root}` cur JOIN txtable.`{clone}` old "
+        "USING (o_orderkey)",
+    )

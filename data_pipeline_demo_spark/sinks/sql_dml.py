@@ -23,6 +23,8 @@ the same statements they would against Delta:
     DESCRIBE HISTORY txtable.`/path/t`
     ALTER TABLE txtable.`/path/t` ADD COLUMN score double
     ALTER TABLE txtable.`/path/t` DROP COLUMN score
+    CREATE TABLE txtable.`/path/t2` [SHALLOW|DEEP] CLONE txtable.`/path/t`
+        [VERSION AS OF 2 | TIMESTAMP AS OF '2026-01-01T00:00:00']
 
 Statement SHAPES outside this grammar (conditional MERGE clauses,
 multi-action MERGE, subquery predicates) raise a clear
@@ -377,9 +379,45 @@ def txtable_sql(spark: SparkSession, sql: str) -> DataFrame | int | None:
             spark, m.group("path"), m.group("col").strip("`")
         )
 
+    m = re.match(
+        rf"CREATE{_WS}TABLE{_WS}txtable\.`(?P<dst>[^`]+)`"
+        rf"{_WS}(?:(?P<deep>DEEP){_WS}|SHALLOW{_WS})?CLONE"
+        rf"{_WS}txtable\.`(?P<src>[^`]+)`"
+        rf"(?:{_WS}VERSION{_WS}AS{_WS}OF{_WS}(?P<ver>\d+)"
+        rf"|{_WS}TIMESTAMP{_WS}AS{_WS}OF{_WS}'(?P<ts>[^']+)')?$",
+        text,
+        re.IGNORECASE,
+    )
+    if m:
+        # Delta's CLONE statement: SHALLOW (default, like Delta) is the
+        # zero-copy metadata branch; DEEP copies data files. Time travel
+        # clones the source AS OF the given version/timestamp.
+        from .txlog import deep_clone_txtable, shallow_clone_txtable
+
+        version = int(m.group("ver")) if m.group("ver") is not None else None
+        ts_ms = None
+        if m.group("ts") is not None:
+            import datetime as _dt
+
+            ts = _dt.datetime.fromisoformat(m.group("ts"))
+            if ts.tzinfo is None:
+                ts = ts.replace(tzinfo=_dt.timezone.utc)
+            ts_ms = int(ts.timestamp() * 1000)
+        if m.group("deep"):
+            return deep_clone_txtable(
+                spark, m.group("src"), m.group("dst"),
+                version=version, timestamp_ms=ts_ms,
+            )
+        if ts_ms is not None:
+            version = _version_at_timestamp(spark, m.group("src"), ts_ms)
+        return shallow_clone_txtable(
+            spark, m.group("src"), m.group("dst"), version=version
+        )
+
     raise UnsupportedSqlError(
         f"not a recognized txtable statement: {text[:120]!r}. Supported: "
         "MERGE INTO / UPDATE / DELETE FROM / RESTORE TABLE / VACUUM / OPTIMIZE / "
-        "DESCRIBE HISTORY / ALTER TABLE ... ADD|DROP COLUMN, each with "
+        "DESCRIBE HISTORY / ALTER TABLE ... ADD|DROP COLUMN / "
+        "CREATE TABLE ... [SHALLOW|DEEP] CLONE, each with "
         "txtable.`<path>` table refs"
     )

@@ -205,3 +205,42 @@ def test_sql_optimize_and_zorder(spark, t):
         spark, f"OPTIMIZE txtable.`{t}` ZORDER BY (amount)"
     ) >= 1
     assert _rows(spark, t) == before
+
+
+def test_sql_clone_shallow_deep_and_time_travel(spark, t, tmp_path):
+    """CREATE TABLE ... [SHALLOW|DEEP] CLONE routes to the clone verbs:
+    shallow is the zero-copy default, DEEP copies files, VERSION AS OF
+    clones the older snapshot, and cloning onto an existing table
+    refuses (the verb's own guard surfaces through the SQL path)."""
+    txtable_sql(spark, f"UPDATE txtable.`{t}` SET amount = amount + 1 WHERE id = 1")
+
+    c1 = str(tmp_path / "clone_shallow")
+    txtable_sql(spark, f"CREATE TABLE txtable.`{c1}` CLONE txtable.`{t}`")
+    assert _rows(spark, c1) == _rows(spark, t)
+
+    c2 = str(tmp_path / "clone_v0")
+    txtable_sql(
+        spark,
+        f"CREATE TABLE txtable.`{c2}` SHALLOW CLONE txtable.`{t}` "
+        "VERSION AS OF 0",
+    )
+    assert _rows(spark, c2)[1] == (10.0, "x")  # pre-update snapshot
+
+    c3 = str(tmp_path / "clone_deep")
+    txtable_sql(spark, f"CREATE TABLE txtable.`{c3}` DEEP CLONE txtable.`{t}`")
+    assert _rows(spark, c3) == _rows(spark, t)
+    # deep clone owns its files: every manifest ref resolves inside c3
+    import json
+    import pathlib
+
+    m = json.loads(
+        sorted((pathlib.Path(c3) / "_commits").glob("*.json"))[-1].read_text()
+    )
+    assert all(
+        not rel.startswith("/") and "/src/" not in rel
+        for rels in m["buckets"].values()
+        for rel in rels
+    )
+
+    with pytest.raises(FileExistsError):
+        txtable_sql(spark, f"CREATE TABLE txtable.`{c1}` CLONE txtable.`{t}`")
