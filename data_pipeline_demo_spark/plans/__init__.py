@@ -39,6 +39,18 @@ _GATE_ROTATE_IN = (
     "q216_mor_update_roundtrip",
     "q176_duplicate_payments",
     "q161_bfs_distances",
+    # Late-round-8 rotation: the three new-subsystem attestations —
+    # the hybrid stale index lookup, the declarative expectations
+    # readout, and the SQL-text lifecycle (statements end-to-end incl.
+    # SHALLOW CLONE + time-travel SELECT) — move in, displacing three
+    # family-redundant members (windows keep q18/q22; streaming keeps
+    # q34/q36-q39/q65/q67/q188/q198; joins keep q06/q07/q09/q68/
+    # q116/q117). All three pass the STRICT local mirror (the
+    # driver-faithful comparator the q74 burn bought) with gate-safe
+    # output dtypes.
+    "q217_stale_hybrid_lookup",
+    "q219_expectations",
+    "q221_sql_lifecycle",
 )
 _GATE_ROTATE_OUT = (
     "q05_join_left_outer",
@@ -53,6 +65,10 @@ _GATE_ROTATE_OUT = (
     "q26_union_all_multiset",
     "q29_string_math_fns",
     "q59_join_right_cross",
+    # late-round-8 displacements (family coverage retained in-gate)
+    "q19_window_offsets_frames",
+    "q35_sliding_window",
+    "q04_join_inner",
 )
 
 
