@@ -331,3 +331,89 @@ def test_stale_lookup_full_scan_only_when_modulus_changed(spark, tmp_path):
         for r in lookup_with_index(spark, root, idx, "color", "red").collect()
     }
     assert got == _truth(spark, root, "red")
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_vix_op = st.tuples(
+    st.sampled_from(["upsert", "delete", "mor_delete", "update", "refresh"]),
+    st.integers(min_value=1, max_value=8),   # row id
+    st.sampled_from(["red", "green", "blue", None]),  # color value
+)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=st.lists(_vix_op, min_size=1, max_size=6))
+def test_value_index_model_random_dml(spark, tmp_path_factory, ops):
+    """Model check for the round-8 value-grain refresh: after ANY short
+    random DML history (inserts, value updates, copy-on-write and
+    merge-on-read deletes) with refreshes interleaved at arbitrary
+    points, one final refresh makes the maintained index agree with a
+    from-scratch rebuild AND with brute-force truth for every value —
+    including NULL and a never-present value."""
+    import pyspark.sql.functions as F
+
+    from data_pipeline_demo_spark.sinks.txlog import txlog_update
+
+    tmp = tmp_path_factory.mktemp("vix_model")
+    root, ix, ix2 = str(tmp / "t"), str(tmp / "ix"), str(tmp / "ix2")
+
+    def _rows_df(pairs):
+        return spark.createDataFrame(pairs, "id long, color string")
+
+    txlog_upsert(
+        spark,
+        _rows_df([(1, "red"), (2, "green"), (3, None), (4, "blue")]),
+        root, num_buckets=4,
+    )
+    refresh_value_index(spark, root, ix, "color")
+    for i, (kind, rid, color) in enumerate(ops):
+        if kind == "upsert":
+            txlog_upsert(spark, _rows_df([(rid, color)]), root)
+        elif kind == "delete":
+            txlog_delete(spark, root, where=f"id = {rid}")
+        elif kind == "mor_delete":
+            pred = (
+                f"color = '{color}'" if color is not None else "color IS NULL"
+            )
+            txlog_delete(spark, root, where=pred, mode="merge-on-read")
+        elif kind == "update":
+            val = "NULL" if color is None else f"'{color}'"
+            txlog_update(spark, root, set={"color": val},
+                         where=f"id = {rid}")
+        else:
+            refresh_value_index(spark, root, ix, "color")
+    refresh_value_index(spark, root, ix, "color")
+    refresh_value_index(spark, root, ix2, "color")  # from-scratch build
+
+    snapshot = read_txtable(spark, root)
+    for color in ("red", "green", "blue", None, "never-present"):
+        truth_buckets = sorted(
+            r[0]
+            for r in snapshot.filter(F.col("color").eqNullSafe(F.lit(color)))
+            .select(F.pmod(F.xxhash64("id"), F.lit(4)).cast("int"))
+            .distinct()
+            .collect()
+        )
+        maintained = index_selected_buckets(spark, ix, color)
+        rebuilt = index_selected_buckets(spark, ix2, color)
+        assert maintained == truth_buckets, (color, ops)
+        assert rebuilt == truth_buckets, (color, ops)
+        got = {
+            r["id"]
+            for r in lookup_with_index(
+                spark, root, ix, "color", color, require_fresh=True
+            ).collect()
+        }
+        want = {
+            r["id"]
+            for r in snapshot.filter(
+                F.col("color").eqNullSafe(F.lit(color))
+            ).collect()
+        }
+        assert got == want, (color, ops)
