@@ -269,3 +269,42 @@ def test_fill_bytes_before_markers_are_skipped():
     W, H, out = jpeg_decode(padded)
     assert (W, H) == (16, 16)
     assert (out == jpeg_decode(p)[2]).all()
+
+
+def test_fuzz_roundtrip_random_images():
+    """Randomized round-trips across sizes, subsampling, and quality:
+    decoded output must stay within the quantization error envelope
+    and never crash on awkward dimensions (1xN, Nx1, primes)."""
+    rng = np.random.default_rng(1234)
+    for trial in range(12):
+        w = int(rng.integers(1, 70))
+        h = int(rng.integers(1, 70))
+        smooth = rng.integers(0, 2) == 0
+        if smooth:
+            yy, xx = np.mgrid[0:h, 0:w]
+            base = (xx * int(rng.integers(1, 9))
+                    + yy * int(rng.integers(1, 9)))
+            img = np.stack([(base * k) % 256 for k in (1, 2, 3)],
+                           axis=2).astype(np.uint8)
+        else:
+            img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        sub = "420" if rng.integers(0, 2) else "444"
+        q = int(rng.integers(70, 99))
+        ri = int(rng.integers(0, 3))
+        p = jpeg_encode(img, w, h, quality=q, subsampling=sub,
+                        restart_interval=ri)
+        W, H, out = jpeg_decode(p)
+        assert (W, H) == (w, h), (trial, w, h)
+        assert out.shape == (h, w, 3)
+        # the mod-256 wrap makes the 'smooth' family a sharp sawtooth,
+        # so both families share the high-frequency error envelope;
+        # tight per-content bounds live in the deterministic tests.
+        # 4:2:0 legitimately averages chroma 2x2 (sawtooth chroma error
+        # is unbounded by design), so its check is on LUMA — the
+        # channel subsampling never touches.
+        def _luma(a):
+            return (a.astype(np.uint32) @ np.array([299, 587, 114])) // 1000
+
+        if sub == "444":
+            assert _rmse(out, img) < 36.0, (trial, w, h, sub, q, ri)
+        assert _rmse(_luma(out), _luma(img)) < 24.0, (trial, w, h, sub, q, ri)
