@@ -1257,3 +1257,71 @@ def stream_vector_index_maintenance(
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
     return writer
+
+
+def stream_expectations_gate(
+    spark,
+    source_dir: str,
+    schema: str,
+    rules: dict,
+    key: str,
+    good_root: str,
+    quarantine_root: str,
+    checkpoint: str,
+    num_buckets: int = 8,
+    file_format: str = "parquet",
+):
+    """Continuous data-quality GATE (round 8, composing
+    ``operators/expectations`` with the transactional sink): a landing
+    stream splits per micro-batch into rule-passing rows and a
+    violations-carrying quarantine, each landing in its OWN txtable
+    under the shared batch-id txn watermark — so a re-delivered batch
+    is a log-level no-op on BOTH tables and a row never ends up on
+    both sides (the split shares one stamped plan).
+
+    Quarantine rows store ``_violations`` as a comma-joined string
+    (named rules, sorted) so triage queries need no array handling and
+    the quarantine table is itself bucket-pruned on the same key.
+
+    Scale: rule stamping is map-only codegen inside the micro-batch;
+    each side's upsert is the bucket-pruned MERGE. The gate adds ZERO
+    shuffles beyond the two sinks' own bucketing.
+
+    Returns the started StreamingQuery (AvailableNow: drain and stop,
+    the cron shape)."""
+    from ..operators.expectations import VIOLATIONS_COL, expect
+    from ..sinks.txlog import txlog_upsert
+
+    src = (
+        spark.readStream.schema(schema)
+        .format(file_format)
+        .load(source_dir)
+    )
+    app_id = checkpoint
+
+    def gate_batch(batch_df: DataFrame, batch_id: int) -> None:
+        good, bad = expect(batch_df, rules)
+        sess = batch_df.sparkSession
+        if not good.isEmpty():
+            txlog_upsert(
+                sess, good, good_root, key=key, num_buckets=num_buckets,
+                txn_app_id=app_id + "#good", txn_version=batch_id,
+            )
+        if not bad.isEmpty():
+            flat = bad.withColumn(
+                VIOLATIONS_COL,
+                F.array_join(F.array_sort(F.col(VIOLATIONS_COL)), ","),
+            )
+            txlog_upsert(
+                sess, flat, quarantine_root, key=key,
+                num_buckets=num_buckets,
+                txn_app_id=app_id + "#quarantine", txn_version=batch_id,
+            )
+
+    return (
+        src.writeStream.foreachBatch(gate_batch)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -131,3 +131,59 @@ def test_streaming_micro_batch_shape(spark, tmp_path):
     q.awaitTermination(120)
     assert seen["good"] == {1, 6}
     assert seen["bad"] == {2, 3, 4, 5}
+
+
+def test_stream_expectations_gate_exactly_once(spark, tmp_path):
+    """The continuous gate (streaming/jobs.stream_expectations_gate):
+    each micro-batch splits into the good txtable and the
+    violations-carrying quarantine txtable under the shared txn
+    watermark — new files flow on a second run, and a restart from the
+    same checkpoint never double-writes either side."""
+    from data_pipeline_demo_spark.sinks.txlog import (
+        read_txtable,
+        txtable_history,
+    )
+    from data_pipeline_demo_spark.streaming.jobs import (
+        stream_expectations_gate,
+    )
+
+    src = str(tmp_path / "in")
+    good_root = str(tmp_path / "good")
+    bad_root = str(tmp_path / "bad")
+    cp = str(tmp_path / "cp")
+    schema = "id long, amount double, cat string"
+    spark.createDataFrame(
+        [(1, 10.0, "A"), (2, -5.0, "A"), (3, 7.0, "Z")], schema
+    ).write.parquet(src)
+
+    def run():
+        q = stream_expectations_gate(
+            spark, src, schema, _rules(), "id", good_root, bad_root, cp,
+            num_buckets=4,
+        )
+        q.awaitTermination(120)
+
+    run()
+    assert {r.id for r in read_txtable(spark, good_root).collect()} == {1}
+    bad = {
+        r.id: r._violations for r in read_txtable(spark, bad_root).collect()
+    }
+    assert bad == {2: "positive", 3: "known_cat"}
+
+    # second landing file: only the new rows process
+    spark.createDataFrame(
+        [(4, 1.0, "B"), (5, -2.0, "Q")], schema
+    ).write.mode("append").parquet(src)
+    run()
+    assert {r.id for r in read_txtable(spark, good_root).collect()} == {1, 4}
+    bad = {
+        r.id: r._violations for r in read_txtable(spark, bad_root).collect()
+    }
+    assert bad == {2: "positive", 3: "known_cat", 5: "known_cat,positive"}
+
+    # drained restart: no new batch, no new commits on either table
+    g_v = len(txtable_history(spark, good_root))
+    b_v = len(txtable_history(spark, bad_root))
+    run()
+    assert len(txtable_history(spark, good_root)) == g_v
+    assert len(txtable_history(spark, bad_root)) == b_v
