@@ -3056,3 +3056,55 @@ def q221_sql_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"FROM txtable.`{root}` cur JOIN txtable.`{clone}` old "
         "USING (o_orderkey)",
     )
+
+
+_DUCK_QUARANTINE = """
+    WITH flags AS (
+      SELECT o_orderkey,
+             NOT COALESCE(o_totalprice > 0, FALSE) AS f_pos,
+             NOT COALESCE(o_orderkey % 2 != 0, FALSE) AS f_odd,
+             NOT COALESCE(o_orderpriority <> '1-URGENT'
+                          OR o_totalprice >= 50000, FALSE) AS f_big
+      FROM orders
+    )
+    SELECT o_orderkey,
+           CONCAT_WS(',',
+             CASE WHEN f_odd THEN 'odd_key' END,
+             CASE WHEN f_pos THEN 'positive_total' END,
+             CASE WHEN f_big THEN 'urgent_is_big' END) AS violations
+    FROM flags
+    WHERE f_pos OR f_odd OR f_big
+"""
+
+
+@register("q222_quarantine_split", oracle=_DUCK_QUARANTINE)
+def q222_quarantine_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The expectations QUARANTINE side under the value-exact oracle
+    (q219's sibling: that query certifies the metric counts, this one
+    certifies the per-row split and the violation attribution): three
+    rules where one never fires (positive totals — the negative
+    control), one fires on half the ledger, and one on the small-value
+    urgent band, so quarantine rows carry one- and two-rule
+    combinations. Violations emit as the sorted comma-joined rule
+    names; the oracle rebuilds the same string with NULL-skipping
+    CONCAT_WS over alphabetized CASE flags. A hash match certifies row
+    membership AND exact multi-rule attribution.
+
+    Scale: identical map-only stamped plan as q219 — the split IS the
+    filter."""
+    from ..operators.expectations import VIOLATIONS_COL, expect
+
+    o = table(spark, sf_dir, "orders")
+    rules = {
+        "positive_total": F.col("o_totalprice") > 0,
+        "odd_key": F.col("o_orderkey") % 2 != 0,
+        "urgent_is_big": (F.col("o_orderpriority") != "1-URGENT")
+        | (F.col("o_totalprice") >= 50000),
+    }
+    _, bad = expect(o, rules)
+    return bad.select(
+        "o_orderkey",
+        F.array_join(F.array_sort(F.col(VIOLATIONS_COL)), ",").alias(
+            "violations"
+        ),
+    )
