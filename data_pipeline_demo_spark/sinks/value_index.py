@@ -69,11 +69,46 @@ _NULL_VKEY = "\x00null"  # NULL's key render (NULL itself can't be a key)
 _INDEX_SCHEMA = "vkey string, value string, buckets array<int>"
 
 
+_SEP = "\x1f"
+
+
+def _cols_of(col) -> list[str]:
+    """Normalize the indexed-column argument: a plain string (the
+    round-6/7 single-column surface, unchanged) or a list/tuple of
+    columns (composite index, round 8)."""
+    if isinstance(col, str):
+        return [col]
+    cols = list(col)
+    if not cols or not all(isinstance(c, str) for c in cols):
+        raise ValueError(f"col must be a column name or a list of them: {col!r}")
+    return cols
+
+
+def _value_expr(cols: list[str]):
+    """The indexed value's string render. Single column: plain CAST
+    (back-compatible with existing indexes — NULL stays NULL).
+    Composite: injective concat of per-part renders with NULL markers
+    and escaped separator bytes (the join_view key encoding), so
+    ('a', NULL) never collides with (NULL, 'a') or with a value that
+    contains the separator."""
+    if len(cols) == 1:
+        return F.col(cols[0]).cast("string")
+
+    def part(c):
+        s = F.col(c).cast("string")
+        escaped = F.regexp_replace(
+            F.regexp_replace(s, "\x00", "\x00\x00"), _SEP, "\x00\x1f"
+        )
+        return F.coalesce(escaped, F.lit("\x00N"))
+
+    return F.concat_ws(_SEP, *[part(c) for c in cols])
+
+
 def _pairs_for_buckets(
     spark: SparkSession,
     table_root: str,
     manifest: dict,
-    col: str,
+    cols: list[str],
     buckets: list[int],
 ) -> DataFrame:
     """Distinct (value, bucket) pairs currently present in the given
@@ -87,7 +122,7 @@ def _pairs_for_buckets(
     if rows is None:
         return spark.createDataFrame([], "value string, bucket int")
     return rows.select(
-        F.col(col).cast("string").alias("value"),
+        _value_expr(cols).alias("value"),
         _bucket_of(key, nb).alias("bucket"),
     ).distinct()
 
@@ -128,7 +163,29 @@ def _target_str(value) -> str:
     )
 
 
-def _vkey_str(value) -> str:
+def _vkey_str(value, cols: list[str] | None = None) -> str:
+    """Key render of a lookup value. Single-column: NULL sentinel or
+    the CAST-string mirror. Composite (``value`` is a list/tuple
+    matching ``cols``): the python mirror of :func:`_value_expr`'s
+    escape-and-join encoding."""
+    if cols is not None and len(cols) > 1:
+        vals = list(value)
+        if len(vals) != len(cols):
+            raise ValueError(
+                f"composite lookup needs {len(cols)} values "
+                f"({cols}), got {len(vals)}"
+            )
+
+        def part(v):
+            if v is None:
+                return "\x00N"
+            return (
+                _target_str(v)
+                .replace("\x00", "\x00\x00")
+                .replace(_SEP, "\x00\x1f")
+            )
+
+        return _SEP.join(part(v) for v in vals)
     return _NULL_VKEY if value is None else _target_str(value)
 
 
@@ -145,12 +202,15 @@ def refresh_value_index(
     spark: SparkSession,
     table_root: str,
     index_root: str,
-    col: str,
+    col: str | list[str],
 ) -> int:
     """Bring the index up to the source's latest version. First call
     builds from the full table; later calls are CDC-driven over the
     changed buckets only. Same-version call is a no-op. Returns the
-    consumed source version."""
+    consumed source version. ``col`` may be a list of columns
+    (COMPOSITE index, round 8): the indexed value is the injective
+    multi-column render, and lookups pass a matching tuple."""
+    cols = _cols_of(col)
     manifest = _latest_manifest(spark, table_root)
     if manifest is None:
         raise FileNotFoundError(f"no committed txtable at {table_root}")
@@ -191,7 +251,7 @@ def refresh_value_index(
             )
             return latest
     new_arr = _value_arrays(
-        _pairs_for_buckets(spark, table_root, manifest, col, touched)
+        _pairs_for_buckets(spark, table_root, manifest, cols, touched)
     )
     if since is None:
         txlog_upsert(
@@ -260,13 +320,15 @@ def refresh_value_index(
 
 
 def index_selected_buckets(
-    spark: SparkSession, index_root: str, value
+    spark: SparkSession, index_root: str, value, col=None
 ) -> list[int]:
     """The source-bucket set a lookup would scan — resolved by a POINT
     read of the single index bucket the value's key hashes to (the
     python-side hash is bit-parity with ``F.xxhash64``; parity-tested
     in the writer suite), never an index scan. Exposed so tests and
-    operators can assert pruning without touching data files."""
+    operators can assert pruning without touching data files.
+    For a composite index pass ``col`` (the indexed column list) and a
+    matching value tuple."""
     import pyarrow as pa
 
     m = _latest_manifest(spark, index_root)
@@ -274,7 +336,7 @@ def index_selected_buckets(
         return []
     from ..sources.txtable_writer import bucket_ids_for
 
-    vk = _vkey_str(value)
+    vk = _vkey_str(value, _cols_of(col) if col is not None else None)
     ib = int(bucket_ids_for(pa.array([vk]), "string", m["num_buckets"])[0])
     rows = _read_buckets_logical(spark, index_root, m, [ib])
     if rows is None:
@@ -292,6 +354,7 @@ def _stale_scan_buckets(
     wm: int,
     latest: dict,
     value,
+    cols: list[str] | None = None,
 ) -> list[int] | None:
     """Bucket set a STALE lookup must read to stay exact, or None when
     index pruning cannot help.
@@ -322,7 +385,7 @@ def _stale_scan_buckets(
         for b in set(m_wm["buckets"]) | set(latest["buckets"])
         if _sig(m_wm, b) != _sig(latest, b)
     }
-    hits = set(index_selected_buckets(spark, index_root, value))
+    hits = set(index_selected_buckets(spark, index_root, value, col=cols))
     live = {int(b) for b in latest["buckets"]}
     return sorted((hits | changed) & live)
 
@@ -331,7 +394,7 @@ def lookup_with_index(
     spark: SparkSession,
     table_root: str,
     index_root: str,
-    col: str,
+    col: str | list[str],
     value,
     require_fresh: bool = False,
 ) -> DataFrame:
@@ -345,12 +408,26 @@ def lookup_with_index(
     O(table) — and only falls all the way back to a full scan when
     pruning is impossible (no watermark yet, watermark manifest
     vacuumed away, or a rebucket changed the modulus).
-    ``require_fresh`` raises instead."""
+    ``require_fresh`` raises instead. Composite: pass the indexed
+    column LIST and a matching value tuple — the re-applied predicate
+    is the AND of per-column null-safe equalities."""
+    cols = _cols_of(col)
     manifest = _latest_manifest(spark, table_root)
     if manifest is None:
         raise FileNotFoundError(f"no committed txtable at {table_root}")
     wm = index_watermark(spark, index_root)
-    pred = F.col(col).eqNullSafe(F.lit(value))
+    if len(cols) == 1:
+        pred = F.col(cols[0]).eqNullSafe(F.lit(value))
+    else:
+        vals = list(value)
+        if len(vals) != len(cols):
+            raise ValueError(
+                f"composite lookup needs {len(cols)} values ({cols}), "
+                f"got {len(vals)}"
+            )
+        pred = F.lit(True)
+        for c, v in zip(cols, vals):
+            pred = pred & F.col(c).eqNullSafe(F.lit(v))
     if wm is None or wm < manifest["version"]:
         if require_fresh:
             raise ValueError(
@@ -361,7 +438,7 @@ def lookup_with_index(
             None
             if wm is None
             else _stale_scan_buckets(spark, table_root, index_root, wm,
-                                     manifest, value)
+                                     manifest, value, cols=cols)
         )
         if scan is None:
             return read_txtable(spark, table_root).filter(pred)
@@ -369,7 +446,7 @@ def lookup_with_index(
         if rows is None:
             return read_txtable(spark, table_root).filter(pred).limit(0)
         return rows.filter(pred)
-    buckets = index_selected_buckets(spark, index_root, value)
+    buckets = index_selected_buckets(spark, index_root, value, col=cols)
     # logical read: a merge-on-read-deleted row must never surface in
     # a lookup result (the vectors anti-apply before the predicate)
     rows = _read_buckets_logical(spark, table_root, manifest, buckets)

@@ -417,3 +417,82 @@ def test_value_index_model_random_dml(spark, tmp_path_factory, ops):
             ).collect()
         }
         assert got == want, (color, ops)
+
+
+def test_composite_index_lookup_and_maintenance(spark, tmp_path):
+    """Round-8 composite index: (color, band) pairs index together —
+    the probe is one index-bucket point read keyed by the injective
+    two-part render (NULL parts distinct from the string 'None' and
+    from swapped positions), lookups re-apply per-column predicates,
+    and CDC refresh keeps the composite exact through DML."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_demo_spark.sinks.txlog import txlog_update
+
+    root = str(tmp_path / "t")
+    idx = str(tmp_path / "ix")
+    df = spark.createDataFrame(
+        [
+            (1, "red", "hi"), (2, "red", "lo"), (3, "green", "hi"),
+            (4, None, "hi"), (5, "red", None), (6, None, None),
+            (7, "red", "hi"),
+        ],
+        "id long, color string, band string",
+    )
+    txlog_upsert(spark, df, root, num_buckets=8)
+    refresh_value_index(spark, root, idx, ["color", "band"])
+
+    def truth(color, band):
+        return {
+            r["id"]
+            for r in read_txtable(spark, root)
+            .filter(
+                F.col("color").eqNullSafe(F.lit(color))
+                & F.col("band").eqNullSafe(F.lit(band))
+            )
+            .collect()
+        }
+
+    for combo in [("red", "hi"), ("red", "lo"), ("green", "hi"),
+                  (None, "hi"), ("red", None), (None, None),
+                  ("hi", "red"),  # swapped: must NOT alias ('red','hi')
+                  ("missing", "hi")]:
+        got = {
+            r["id"]
+            for r in lookup_with_index(
+                spark, root, idx, ["color", "band"], combo,
+                require_fresh=True,
+            ).collect()
+        }
+        assert got == truth(*combo), combo
+
+    # pruning is real: a combo present in ONE row selects few buckets
+    assert len(
+        index_selected_buckets(spark, idx, ("green", "hi"),
+                               col=["color", "band"])
+    ) == 1
+
+    # DML: move a row's band, delete another, refresh, stay exact
+    txlog_update(spark, root, set={"band": "'lo'"}, where="id = 3")
+    txlog_delete(spark, root, where="id = 2")
+    refresh_value_index(spark, root, idx, ["color", "band"])
+    assert {
+        r["id"]
+        for r in lookup_with_index(
+            spark, root, idx, ["color", "band"], ("green", "lo"),
+            require_fresh=True,
+        ).collect()
+    } == {3}
+    assert lookup_with_index(
+        spark, root, idx, ["color", "band"], ("green", "hi"),
+        require_fresh=True,
+    ).count() == 0
+    assert lookup_with_index(
+        spark, root, idx, ["color", "band"], ("red", "lo"),
+        require_fresh=True,
+    ).count() == 0
+
+    # arity mismatch refuses loudly
+    with pytest.raises(ValueError, match="composite lookup needs 2"):
+        lookup_with_index(spark, root, idx, ["color", "band"], ("red",),
+                          require_fresh=True)
