@@ -135,7 +135,14 @@ def expect_references(
     the foreign key holds. Broadcast anti-join when the dimension is
     dim-sized (the common case); NULL foreign keys are treated as
     violations (use an explicit NULL-allowing rule if optional)."""
-    keys = dim.select(F.col(dim_col).alias("__ref")).dropDuplicates()
+    # NULLs are dropped from the reference key set BEFORE the anti-join:
+    # with eqNullSafe a NULL in dim[dim_col] would match NULL foreign
+    # keys and silently absolve them, contradicting the contract above.
+    keys = (
+        dim.select(F.col(dim_col).alias("__ref"))
+        .where(F.col(dim_col).isNotNull())
+        .dropDuplicates()
+    )
     matched = df.join(
         F.broadcast(keys), df[col].eqNullSafe(F.col("__ref")), "left_anti"
     )

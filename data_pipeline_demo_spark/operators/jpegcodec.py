@@ -307,6 +307,15 @@ def jpeg_decode(payload: bytes):
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", body[:2])
         elif marker == 0xDA:  # SOS
+            if scan is not None:
+                # A second SOS in a baseline stream means multi-scan
+                # (one scan per component, spec-legal but rare). Silently
+                # keeping only the last scan would decode garbage —
+                # reject as loudly as the SOF2 branch above.
+                raise ValueError(
+                    "multi-scan baseline JPEG unsupported: single "
+                    "interleaved scan only"
+                )
             ns = body[0]
             scan_comps = []
             for c in range(ns):

@@ -392,7 +392,11 @@ def txtable_sql(spark: SparkSession, sql: str) -> DataFrame | int | None:
         # Delta's CLONE statement: SHALLOW (default, like Delta) is the
         # zero-copy metadata branch; DEEP copies data files. Time travel
         # clones the source AS OF the given version/timestamp.
-        from .txlog import deep_clone_txtable, shallow_clone_txtable
+        from .txlog import (
+            _version_at_timestamp,
+            deep_clone_txtable,
+            shallow_clone_txtable,
+        )
 
         version = int(m.group("ver")) if m.group("ver") is not None else None
         ts_ms = None

@@ -107,6 +107,18 @@ def test_expect_references_finds_orphans_and_null_fk(spark):
     assert "Broadcast" in plan  # dimension side broadcasts
 
 
+def test_expect_references_null_in_dim_does_not_absolve_null_fk(spark):
+    """Advisor round-8 low: a NULL in dim[dim_col] used to match NULL
+    foreign keys through eqNullSafe and silently drop them from the
+    violation set. NULL fks stay violations regardless of dim NULLs."""
+    facts = spark.createDataFrame(
+        [(1, 10), (2, 99), (3, None)], "id long, fk int"
+    )
+    dim = spark.createDataFrame([(10,), (None,)], "k int")
+    orphans = expect_references(facts, "fk", dim, "k")
+    assert {r.id for r in orphans.collect()} == {2, 3}
+
+
 def test_streaming_micro_batch_shape(spark, tmp_path):
     """The stamped split is map-only, so the same rules run unchanged
     inside a foreachBatch micro-batch — prove it on a real stream."""

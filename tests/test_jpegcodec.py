@@ -155,6 +155,21 @@ def test_progressive_rejected_loudly():
         jpeg_decode(bytes(p))
 
 
+def test_multiscan_baseline_rejected_loudly():
+    """Advisor round-8 low: a second SOS used to overwrite the first
+    scan's state, silently decoding only the last scan of a spec-legal
+    multi-scan baseline stream. It now refuses as loudly as SOF2."""
+    img = _smooth(16, 16)
+    p = bytearray(jpeg_encode(img, 16, 16))
+    i = p.find(b"\xff\xda")
+    seglen = struct.unpack(">H", p[i + 2 : i + 4])[0]
+    sos_segment = bytes(p[i : i + 2 + seglen])
+    # splice a duplicate SOS (+1 entropy byte) ahead of EOI
+    multi = bytes(p[:-2]) + sos_segment + b"\x55" + b"\xff\xd9"
+    with pytest.raises(ValueError, match="multi-scan baseline"):
+        jpeg_decode(multi)
+
+
 def test_truncated_and_corrupt_streams_raise():
     with pytest.raises(ValueError, match="SOI"):
         jpeg_decode(b"\x00\x01\x02\x03")

@@ -244,3 +244,41 @@ def test_sql_clone_shallow_deep_and_time_travel(spark, t, tmp_path):
 
     with pytest.raises(FileExistsError):
         txtable_sql(spark, f"CREATE TABLE txtable.`{c1}` CLONE txtable.`{t}`")
+
+
+def test_sql_shallow_clone_timestamp_as_of(spark, t, tmp_path):
+    """SHALLOW CLONE ... TIMESTAMP AS OF resolves the timestamp to a
+    version through the shallow branch too (advisor round-8 medium: the
+    branch referenced _version_at_timestamp without importing it, so
+    this spec-advertised form raised NameError; only VERSION AS OF and
+    the DEEP path were covered)."""
+    import datetime as dt
+    import json
+    from pathlib import Path
+
+    txtable_sql(spark, f"UPDATE txtable.`{t}` SET amount = 0.0 WHERE id = 2")
+    v0_ms = json.loads(
+        sorted(Path(t, "_commits").glob("*.json"))[0].read_text()
+    )["committed_at_ms"]
+    ts = dt.datetime.fromtimestamp(
+        v0_ms / 1000, tz=dt.timezone.utc
+    ).isoformat()
+
+    c = str(tmp_path / "clone_ts")
+    txtable_sql(
+        spark,
+        f"CREATE TABLE txtable.`{c}` SHALLOW CLONE txtable.`{t}` "
+        f"TIMESTAMP AS OF '{ts}'",
+    )
+    assert _rows(spark, c)[2] == (20.0, "x")  # pre-update snapshot
+
+    # a timestamp before the first commit refuses, same as the verb
+    early = dt.datetime.fromtimestamp(
+        (v0_ms - 60_000) / 1000, tz=dt.timezone.utc
+    ).isoformat()
+    with pytest.raises(ValueError, match="at or before"):
+        txtable_sql(
+            spark,
+            f"CREATE TABLE txtable.`{tmp_path / 'clone_early'}` SHALLOW "
+            f"CLONE txtable.`{t}` TIMESTAMP AS OF '{early}'",
+        )
