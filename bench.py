@@ -582,6 +582,25 @@ def main() -> None:
         "surface_r7_spread": r7_spreads,
     }
     print(json.dumps(out))
+    # The driver's artifact keeps only a TAIL of stdout; the full JSON
+    # line above is long enough that truncation eats its leading keys
+    # (BENCH_r07/r08 both recorded parsed:null and the judge had to
+    # re-run a ~7-minute bench to learn the headline). Emit the
+    # headline AGAIN as one final compact line — last bytes survive any
+    # tail capture, and it is contract-complete on its own (metric /
+    # value / unit / queries / sf) so a last-line json.loads also works.
+    summary = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": out["unit"],
+        "queries": timings,
+        "sf": sf,
+        "noise_key": noise_key,
+        "headline_normalized": out["headline_normalized"],
+    }
+    sys.stdout.flush()
+    print(json.dumps(summary))
+    sys.stdout.flush()
 
 
 if __name__ == "__main__":

@@ -51,6 +51,15 @@ _GATE_ROTATE_IN = (
     "q217_stale_hybrid_lookup",
     "q219_expectations",
     "q221_sql_lifecycle",
+    # Round-9 rotation (round-8 judge directive #1): the quarantine
+    # multi-rule attribution and the NEW composite value-index lookup
+    # (the one round-8 subsystem that had no oracle-checked registry
+    # query) move in, displacing two family-redundant members (gapfill
+    # keeps q67_gapfill_locf; rollup keeps q198_chained_rollup). Both
+    # strict-PASS the local driver-faithful comparator with gate-safe
+    # dtypes (bigint/string/double only).
+    "q222_quarantine_split",
+    "q223_composite_index_lookup",
 )
 _GATE_ROTATE_OUT = (
     "q05_join_left_outer",
@@ -69,6 +78,9 @@ _GATE_ROTATE_OUT = (
     "q19_window_offsets_frames",
     "q35_sliding_window",
     "q04_join_inner",
+    # round-9 displacements (family coverage retained in-gate)
+    "q180_gapfill_interp",
+    "q65_rollup_cascade",
 )
 
 
