@@ -1,0 +1,171 @@
+"""Unit tests for the tree-aware plan-audit core (round-8 judge
+directive #5): the flat-text heuristic tolerated an unpartitioned
+window / single-partition exchange whenever ANY aggregate marker
+appeared within 2,000 chars below it — including one from a SIBLING
+branch of a join, masking a genuinely unbounded feed. The tree parser
+attributes boundedness to the node's OWN subtree only, so the
+sibling-masking shape now flags. Plans here are synthetic explain
+strings shaped exactly like Spark 4.x `executedPlan().toString()`
+output (no session needed — this is a pure string-level audit)."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(
+    0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools")
+)
+
+from plan_audit import _input_bounded, _parse_tree, audit_plan  # noqa: E402
+
+WINDOW_UNBOUNDED = (
+    "Window [sum(x) windowspecdefinition(y ASC NULLS FIRST, specifiedwindowframe("
+    "RangeFrame, unboundedpreceding$(), currentrow$())) AS s], [y ASC NULLS FIRST]"
+)
+
+
+def test_parse_tree_depths_and_parents():
+    plan = (
+        "*(5) Project [a]\n"
+        "+- *(5) SortMergeJoin [a], [b], Inner\n"
+        "   :- *(2) Sort [a ASC NULLS FIRST], false, 0\n"
+        "   :  +- Exchange hashpartitioning(a, 8)\n"
+        "   :     +- *(1) Scan parquet [a]\n"
+        "   +- *(4) Sort [b ASC NULLS FIRST], false, 0\n"
+        "      +- Exchange hashpartitioning(b, 8)\n"
+        "         +- *(3) Scan parquet [b]\n"
+    )
+    nodes = _parse_tree(plan)
+    texts = [t for _, _, t in nodes]
+    assert texts[0].startswith("*(5) Project")
+    assert nodes[1][1] == 0  # join's parent is the project
+    assert nodes[2][1] == 1 and nodes[5][1] == 1  # both sorts under join
+    assert nodes[4][1] == 3  # left scan under left exchange
+    assert nodes[7][1] == 6  # right scan under right exchange
+
+
+def test_sibling_agg_no_longer_masks_unbounded_window():
+    """The regression the directive names: a HashAggregate on the
+    join's OTHER side sits within 2,000 chars below the window line,
+    which satisfied the flat heuristic; the window's own subtree is a
+    bare scan. Tree-aware audit must flag it."""
+    plan = (
+        "*(6) BroadcastHashJoin [k], [k2], Inner, BuildRight, false\n"
+        ":- " + WINDOW_UNBOUNDED + "\n"
+        ":  +- *(1) Sort [y ASC NULLS FIRST], false, 0\n"
+        ":     +- Exchange SinglePartition, ENSURE_REQUIREMENTS\n"
+        ":        +- *(0) Scan parquet [x, y, k]\n"
+        "+- BroadcastExchange HashedRelationBroadcastMode\n"
+        "   +- *(5) HashAggregate(keys=[k2], functions=[count(1)])\n"
+        "      +- Exchange hashpartitioning(k2, 8)\n"
+        "         +- *(4) Scan parquet [k2]\n"
+    )
+    flags = audit_plan(plan)
+    assert "unpartitioned_window" in flags
+    assert "single_partition_feed" in flags
+
+
+def test_window_over_own_aggregate_is_tolerated():
+    plan = (
+        WINDOW_UNBOUNDED + "\n"
+        "+- *(2) Sort [y ASC NULLS FIRST], false, 0\n"
+        "   +- Exchange SinglePartition, ENSURE_REQUIREMENTS\n"
+        "      +- *(1) HashAggregate(keys=[y], functions=[sum(x)])\n"
+        "         +- Exchange hashpartitioning(y, 8)\n"
+        "            +- *(0) Scan parquet [x, y]\n"
+    )
+    assert audit_plan(plan) == []
+
+
+def test_one_unbounded_leaf_among_bounded_ones_flags():
+    """Boundedness means EVERY leaf path passes an aggregate — a union
+    feeding a single-partition exchange where one arm is raw flags."""
+    plan = (
+        "Exchange SinglePartition, ENSURE_REQUIREMENTS\n"
+        "+- Union\n"
+        "   :- *(1) HashAggregate(keys=[k], functions=[count(1)])\n"
+        "   :  +- Exchange hashpartitioning(k, 8)\n"
+        "   :     +- *(0) Scan parquet [k]\n"
+        "   +- *(2) Scan parquet [k]\n"
+    )
+    assert audit_plan(plan) == ["single_partition_feed"]
+
+
+def test_partitioned_window_not_flagged():
+    plan = (
+        "Window [rank() windowspecdefinition(g, y ASC NULLS FIRST, "
+        "specifiedwindowframe(RowFrame, unboundedpreceding$(), currentrow$())) "
+        "AS r], [g], [y ASC NULLS FIRST]\n"
+        "+- *(1) Sort [g ASC NULLS FIRST, y ASC NULLS FIRST], false, 0\n"
+        "   +- Exchange hashpartitioning(g, 8)\n"
+        "      +- *(0) Scan parquet [g, x, y]\n"
+    )
+    assert audit_plan(plan) == []
+
+
+def test_bnlj_with_bounded_identity_broadcast_tolerated():
+    plan = (
+        "BroadcastNestedLoopJoin BuildRight, Inner, (a >= lo)\n"
+        ":- *(1) Scan parquet [a]\n"
+        "+- BroadcastExchange IdentityBroadcastMode\n"
+        "   +- *(2) HashAggregate(keys=[], functions=[min(lo)])\n"
+        "      +- Exchange SinglePartition\n"
+        "         +- *(1) HashAggregate(keys=[], functions=[partial_min(lo)])\n"
+        "            +- *(0) Scan parquet [lo]\n"
+    )
+    assert audit_plan(plan) == []
+
+
+def test_bnlj_with_raw_identity_broadcast_flags():
+    plan = (
+        "BroadcastNestedLoopJoin BuildRight, Inner, (a >= lo)\n"
+        ":- *(1) Scan parquet [a]\n"
+        "+- BroadcastExchange IdentityBroadcastMode\n"
+        "   +- *(0) Scan parquet [lo]\n"
+    )
+    assert audit_plan(plan) == ["cartesian"]
+
+
+def test_input_bounded_walks_the_right_subtree():
+    plan = (
+        "Join\n"
+        ":- Exchange SinglePartition\n"
+        ":  +- CollectLimit 21\n"
+        ":     +- Scan parquet [a]\n"
+        "+- Scan parquet [b]\n"
+    )
+    nodes = _parse_tree(plan)
+    assert _input_bounded(nodes, 1)  # the exchange: limit-bounded
+    assert not _input_bounded(nodes, 0)  # the join: right arm is raw
+
+
+def test_small_literal_range_leaf_is_bounded():
+    """The q108 shape the tree-aware sweep surfaced: a BNLJ whose
+    broadcast side is the literal 10-row bin grid (``Range (0, 10)``)
+    is bounded BY CONSTRUCTION — no aggregate needed; a parameterless
+    unbounded-looking Range is not special-cased."""
+    plan = (
+        "BroadcastNestedLoopJoin BuildRight, Cross\n"
+        ":- *(1) Scan parquet [a]\n"
+        "+- BroadcastExchange IdentityBroadcastMode\n"
+        "   +- *(0) Project [id AS bin]\n"
+        "      +- Range (0, 10, step=1, splits=4)\n"
+    )
+    assert audit_plan(plan) == []
+    big = plan.replace("Range (0, 10,", "Range (0, 100000000,")
+    assert audit_plan(big) == ["cartesian"]
+
+
+def test_subquery_sections_parse_as_separate_trees():
+    plan = (
+        "*(2) Project [a]\n"
+        "+- *(1) Scan parquet [a]\n"
+        "\n"
+        "===== Subqueries =====\n"
+        "\n"
+        "Subquery:1 Hosting operator id = 1 Hosting Expression = scalar-subquery#1\n"
+        + WINDOW_UNBOUNDED + "\n"
+        "+- *(1) Scan parquet [x, y]\n"
+    )
+    assert audit_plan(plan) == ["unpartitioned_window"]
