@@ -8,15 +8,22 @@ no PIL required. Everything here derives from ITU-T T.81 (the quant /
 Huffman tables are the spec's own Annex K examples, reproduced in
 every public JPEG text) plus the JFIF YCbCr conversion.
 
-Decoder coverage: baseline sequential DCT (SOF0), 8-bit, 1- or
-3-component, arbitrary sampling factors up to 2x2 (4:4:4 / 4:2:2 /
-4:2:0), restart intervals, byte stuffing. Progressive (SOF2) and
-arithmetic coding are out of scope and raise loudly.
+Decoder coverage: baseline sequential DCT (SOF0/1) AND progressive
+DCT (SOF2, round-9 — spectral selection + successive approximation,
+T.81 Annex G), 8-bit, 1- or 3-component, arbitrary sampling factors
+up to 2x2 (4:4:4 / 4:2:2 / 4:2:0), restart intervals, byte stuffing,
+EOB runs, per-scan Huffman table redefinition. Arithmetic coding,
+lossless/hierarchical modes, and 12-bit depth raise loudly.
 
 Encoder coverage: baseline, quality-scaled Annex-K quantization,
 standard Huffman tables, 4:4:4 or 4:2:0 chroma, optional restart
 interval — enough to hermetically round-trip-test the decoder in this
-container and to emit spec-valid files any viewer opens.
+container and to emit spec-valid files any viewer opens. A progressive
+emitter (``jpeg_encode_progressive``, scan-script-driven) exists so
+the SOF2 decoder's EOB-run and correction-bit paths are fuzzable
+hermetically: both organizations carry the SAME quantized
+coefficients, so decoding a progressive re-encode must be BIT-EQUAL
+to decoding the baseline encode.
 
 Scale shape: like the PNG codec, this is per-item byte work inside
 ``mapInPandas`` Arrow batches — map-only, no shuffle. The entropy
@@ -235,12 +242,182 @@ class _BitWriter:
 # ---------------------------------------------------------------------------
 
 
+def _split_segments(scan: bytes) -> list[bytes]:
+    """Split entropy bytes on restart markers, unstuffing 0xFF00."""
+    segments = []
+    cur = bytearray()
+    i = 0
+    while i < len(scan):
+        b = scan[i]
+        if b == 0xFF and i + 1 < len(scan):
+            nxt = scan[i + 1]
+            if nxt == 0x00:
+                cur.append(0xFF)
+                i += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:
+                segments.append(bytes(cur))
+                cur = bytearray()
+                i += 2
+                continue
+        cur.append(b)
+        i += 1
+    segments.append(bytes(cur))
+    return segments
+
+
+def _decode_block_first(reader, blk, ss, se, al, dc_codes, ac_codes,
+                        preds, idx, state):
+    """First-pass (Ah=0) block decode over the band [ss, se]: the
+    sequential Huffman coding of T.81 F.2 with Annex-G EOB runs and
+    the Al point transform. Baseline IS the ss=0, se=63, al=0 case."""
+    if ss == 0:
+        s = _huff_decode(reader, dc_codes)
+        diff = _extend(reader.read(s), s) if s else 0
+        preds[idx] += diff
+        blk[0] = preds[idx] << al
+        k = 1
+    else:
+        k = ss
+    if k > se:
+        return
+    if state["eobrun"] > 0:
+        state["eobrun"] -= 1
+        return
+    while k <= se:
+        rs = _huff_decode(reader, ac_codes)
+        r, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            # EOBn: this block's band ends; r extra bits extend the run
+            state["eobrun"] = (1 << r) - 1
+            if r:
+                state["eobrun"] += reader.read(r)
+            break
+        k += r
+        if k > se:
+            raise ValueError("JPEG AC run overflow")
+        blk[k] = _extend(reader.read(s), s) << al
+        k += 1
+
+
+def _decode_block_dc_refine(reader, blk, al):
+    if reader.read_bit():
+        blk[0] |= 1 << al
+
+
+def _decode_block_ac_refine(reader, blk, ss, se, al, ac_codes, state):
+    """Successive-approximation AC refinement (T.81 G.1.2.3): newly
+    significant coefficients arrive as ±2^Al; already-significant ones
+    get one correction bit each as the scan passes over them."""
+    p1 = 1 << al
+    k = ss
+    if state["eobrun"] == 0:
+        while k <= se:
+            rs = _huff_decode(reader, ac_codes)
+            r, s = rs >> 4, rs & 0xF
+            if s == 0:
+                if r < 15:
+                    # EOBn counts the CURRENT block too: its remaining
+                    # positions still take correction bits in the tail
+                    # loop below (which then decrements the run) —
+                    # unlike the first pass, where EOB ends the block
+                    # with nothing left to read
+                    state["eobrun"] = 1 << r
+                    if r:
+                        state["eobrun"] += reader.read(r)
+                    break
+                val = 0  # ZRL: skip 16 zero-history positions
+            else:
+                if s != 1:
+                    raise ValueError("invalid JPEG AC refinement magnitude")
+                val = p1 if reader.read_bit() else -p1
+            while k <= se:
+                if blk[k] != 0:
+                    if reader.read_bit() and (abs(int(blk[k])) & p1) == 0:
+                        blk[k] += p1 if blk[k] > 0 else -p1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                blk[k] = val
+            k += 1
+    if state["eobrun"] > 0:
+        while k <= se:
+            if blk[k] != 0 and reader.read_bit() and (
+                abs(int(blk[k])) & p1
+            ) == 0:
+                blk[k] += p1 if blk[k] > 0 else -p1
+            k += 1
+        state["eobrun"] -= 1
+
+
+def _decode_scan(scan, comps, planes, hmax, vmax, width, height, ncomp):
+    """Decode one scan's entropy data into the coefficient planes."""
+    ss, se, ah, al = scan["ss"], scan["se"], scan["ah"], scan["al"]
+    order = scan["order"]  # (idx, dc_codes, ac_codes, h, v)
+    ri = scan["ri"]
+    segments = _split_segments(scan["entropy"])
+    seg_iter = iter(segments)
+    reader = _BitReader(next(seg_iter))
+    preds = [0] * ncomp
+    state = {"eobrun": 0}
+    unit_in_seg = 0
+
+    def _decode_one(blk, dc_codes, ac_codes, idx):
+        if ah == 0:
+            _decode_block_first(
+                reader, blk, ss, se, al, dc_codes, ac_codes, preds, idx, state
+            )
+        elif ss == 0:
+            _decode_block_dc_refine(reader, blk, al)
+        else:
+            _decode_block_ac_refine(reader, blk, ss, se, al, ac_codes, state)
+
+    if len(order) > 1:  # interleaved: MCU grid from FRAME hmax/vmax
+        mcux = -(-width // (8 * hmax))
+        mcuy = -(-height // (8 * vmax))
+        for _my in range(mcuy):
+            for _mx in range(mcux):
+                if ri and unit_in_seg == ri:
+                    reader = _BitReader(next(seg_iter))
+                    preds = [0] * ncomp
+                    state["eobrun"] = 0
+                    unit_in_seg = 0
+                for idx, dc_codes, ac_codes, h, v in order:
+                    for by in range(v):
+                        for bx in range(h):
+                            _decode_one(
+                                planes[idx][_my * v + by, _mx * h + bx],
+                                dc_codes, ac_codes, idx,
+                            )
+                unit_in_seg += 1
+    else:  # non-interleaved: the component's OWN block grid, MCU = 1 block
+        idx, dc_codes, ac_codes, h, v = order[0]
+        bw = -(-(-(-width * h // hmax)) // 8)
+        bh = -(-(-(-height * v // vmax)) // 8)
+        for by in range(bh):
+            for bx in range(bw):
+                if ri and unit_in_seg == ri:
+                    reader = _BitReader(next(seg_iter))
+                    preds = [0] * ncomp
+                    state["eobrun"] = 0
+                    unit_in_seg = 0
+                _decode_one(planes[idx][by, bx], dc_codes, ac_codes, idx)
+                unit_in_seg += 1
+
+
 def jpeg_decode(payload: bytes):
-    """Baseline JPEG bytes → (width, height, (h, w, 3) uint8 RGB).
+    """Baseline (SOF0/1) or progressive (SOF2) JPEG bytes →
+    (width, height, (h, w, 3) uint8 RGB).
 
     Grayscale JPEGs are replicated to 3 channels so the return shape
     matches ``imagecodec.decode_rgb``. Raises ``ValueError`` on
-    progressive/arithmetic/12-bit streams with an explicit message.
+    arithmetic/lossless/12-bit streams with an explicit message.
     """
     import numpy as np
 
@@ -251,9 +428,9 @@ def jpeg_decode(payload: bytes):
     comps = []  # (cid, h, v, tq)
     width = height = None
     restart_interval = 0
+    progressive = False
     pos = 2
-    scan = None
-    scan_comps = None
+    scans = []
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             pos += 1
@@ -288,39 +465,71 @@ def jpeg_decode(payload: bytes):
                 values = tuple(body[i + 17 : i + 17 + n])
                 huff[(tc, th)] = _canonical_codes(bits, values)
                 i += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             depth = body[0]
             if depth != 8:
                 raise ValueError(f"{depth}-bit JPEG unsupported (8-bit only)")
+            progressive = marker == 0xC2
             height, width = struct.unpack(">HH", body[1:5])
             ncomp = body[5]
             comps = []
             for c in range(ncomp):
                 cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
                 comps.append((cid, hv >> 4, hv & 0xF, tq))
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise ValueError(
                 f"unsupported JPEG coding (SOF{marker - 0xC0}): baseline "
-                "sequential (SOF0/1) only"
+                "sequential (SOF0/1) and progressive (SOF2) only"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", body[:2])
         elif marker == 0xDA:  # SOS
-            if scan is not None:
+            if scans and not progressive:
                 # A second SOS in a baseline stream means multi-scan
-                # (one scan per component, spec-legal but rare). Silently
-                # keeping only the last scan would decode garbage —
-                # reject as loudly as the SOF2 branch above.
+                # (one scan per component, spec-legal but rare).
+                # Silently keeping only the last scan would decode
+                # garbage — reject loudly (progressive multi-scan is
+                # the supported path).
                 raise ValueError(
                     "multi-scan baseline JPEG unsupported: single "
                     "interleaved scan only"
                 )
+            if not comps:
+                raise ValueError("JPEG SOS before SOF")
             ns = body[0]
-            scan_comps = []
+            comp_by_id = {
+                cid: (idx, h, v)
+                for idx, (cid, h, v, _tq) in enumerate(comps)
+            }
+            order = []
             for c in range(ns):
                 cs, tables = body[1 + 2 * c : 3 + 2 * c]
-                scan_comps.append((cs, tables >> 4, tables & 0xF))
+                idx, h, v = comp_by_id[cs]
+                # snapshot the CURRENT table definitions: DHT between
+                # scans redefines them (standard in progressive files)
+                order.append((
+                    idx,
+                    huff.get((0, tables >> 4)),
+                    huff.get((1, tables & 0xF)),
+                    h,
+                    v,
+                ))
+            ss = body[1 + 2 * ns]
+            se = body[2 + 2 * ns]
+            ahal = body[3 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0xF
+            if not progressive:
+                ss, se, ah, al = 0, 63, 0, 0  # baseline band, per spec
+            elif ss == 0 and se != 0 and len(scans) == 0 and ah == 0:
+                # spec-legal only as 0/0 for progressive DC; tolerate
+                # files that mark a full sequential band (some encoders
+                # emit SOF2 with one 0..63 scan) by decoding it as-is
+                pass
+            if progressive and ss > 0 and ns != 1:
+                raise ValueError(
+                    "progressive AC scan must be non-interleaved"
+                )
             scan_start = pos + 2 + seglen
             # find end of entropy data: next marker that is not RST/stuffed
             j = scan_start
@@ -330,11 +539,19 @@ def jpeg_decode(payload: bytes):
                 ):
                     break
                 j += 1
-            scan = payload[scan_start:j]
+            scans.append({
+                "order": order,
+                "ss": ss,
+                "se": se,
+                "ah": ah,
+                "al": al,
+                "ri": restart_interval,
+                "entropy": payload[scan_start:j],
+            })
             pos = j
             continue
         pos += 2 + seglen
-    if width is None or scan is None:
+    if width is None or not scans:
         raise ValueError("JPEG missing SOF/SOS")
 
     hmax = max(c[1] for c in comps)
@@ -342,71 +559,15 @@ def jpeg_decode(payload: bytes):
     mcux = -(-width // (8 * hmax))
     mcuy = -(-height // (8 * vmax))
 
-    # split on restart markers, unstuff each segment
-    segments = []
-    cur = bytearray()
-    i = 0
-    while i < len(scan):
-        b = scan[i]
-        if b == 0xFF and i + 1 < len(scan):
-            nxt = scan[i + 1]
-            if nxt == 0x00:
-                cur.append(0xFF)
-                i += 2
-                continue
-            if 0xD0 <= nxt <= 0xD7:
-                segments.append(bytes(cur))
-                cur = bytearray()
-                i += 2
-                continue
-        cur.append(b)
-        i += 1
-    segments.append(bytes(cur))
-
     # per-component coefficient planes (block grid covering all MCUs)
     planes = {}
     for idx, (cid, h, v, tq) in enumerate(comps):
         planes[idx] = np.zeros((mcuy * v, mcux * h, 64), dtype=np.int32)
 
-    comp_by_id = {cid: (idx, h, v, tq) for idx, (cid, h, v, tq) in enumerate(comps)}
-    order = []  # (comp_idx, dc_table, ac_table, h, v, tq)
-    for cs, td, ta in scan_comps:
-        idx, h, v, tq = comp_by_id[cs]
-        order.append((idx, huff[(0, td)], huff[(1, ta)], h, v, tq))
-
-    seg_iter = iter(segments)
-    reader = _BitReader(next(seg_iter))
-    preds = [0] * len(comps)
-    mcu_in_seg = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if restart_interval and mcu_in_seg == restart_interval:
-                reader = _BitReader(next(seg_iter))
-                preds = [0] * len(comps)
-                mcu_in_seg = 0
-            for idx, dc_codes, ac_codes, h, v, tq in order:
-                for by in range(v):
-                    for bx in range(h):
-                        blk = planes[idx][my * v + by, mx * h + bx]
-                        s = _huff_decode(reader, dc_codes)
-                        diff = _extend(reader.read(s), s) if s else 0
-                        preds[idx] += diff
-                        blk[0] = preds[idx]
-                        k = 1
-                        while k < 64:
-                            rs = _huff_decode(reader, ac_codes)
-                            r, s = rs >> 4, rs & 0xF
-                            if s == 0:
-                                if r == 15:  # ZRL
-                                    k += 16
-                                    continue
-                                break  # EOB
-                            k += r
-                            if k > 63:
-                                raise ValueError("JPEG AC run overflow")
-                            blk[k] = _extend(reader.read(s), s)
-                            k += 1
-            mcu_in_seg += 1
+    for scan in scans:
+        _decode_scan(
+            scan, comps, planes, hmax, vmax, width, height, len(comps)
+        )
 
     # dequantize + inverse zigzag + IDCT, whole component at once
     C = _dct_matrix()
@@ -514,11 +675,13 @@ def _blockify(plane):
     )
 
 
-def jpeg_encode(pixels, width: int, height: int, quality: int = 85,
-                subsampling: str = "444", restart_interval: int = 0) -> bytes:
-    """RGB8 pixels ((h, w, 3) uint8 array or h*w*3 bytes) → baseline
-    JFIF bytes. ``subsampling`` is '444' or '420'; ``restart_interval``
-    (MCUs per restart segment) exercises the decoder's RST path."""
+def _prepare_components(pixels, width: int, height: int, quality: int,
+                        subsampling: str):
+    """Shared encoder front half: RGB → YCbCr → pad/subsample →
+    quantized zigzag coefficient blocks per component. Returns
+    ``(blocks, strides, sub, qy_zz, qc_zz)`` where ``blocks[c]`` is the
+    (n, 64) int32 coefficient array for component ``c`` in raster
+    order over the PADDED plane and ``strides[c]`` its blocks-per-row."""
     import numpy as np
 
     if isinstance(pixels, (bytes, bytearray)):
@@ -554,25 +717,41 @@ def jpeg_encode(pixels, width: int, height: int, quality: int = 85,
         cbs = _pad(cb, 8)
         crs = _pad(cr, 8)
 
-    qy = _quality_scale(QT_LUMA, quality)  # zigzag-natural order table
+    qy = _quality_scale(QT_LUMA, quality)  # natural-order table
     qc = _quality_scale(QT_CHROMA, quality)
-    # tables above are in natural order; zigzag them for the DQT segment
+    # zigzag them for the DQT segment / coefficient order
     qy_zz = qy[np.array(ZIGZAG)]
     qc_zz = qc[np.array(ZIGZAG)]
 
-    y_blocks = _encode_block_coeffs(_blockify(yp) - 128.0, qy_zz)
-    cb_blocks = _encode_block_coeffs(_blockify(cbs) - 128.0, qc_zz)
-    cr_blocks = _encode_block_coeffs(_blockify(crs) - 128.0, qc_zz)
+    blocks = [
+        _encode_block_coeffs(_blockify(yp) - 128.0, qy_zz),
+        _encode_block_coeffs(_blockify(cbs) - 128.0, qc_zz),
+        _encode_block_coeffs(_blockify(crs) - 128.0, qc_zz),
+    ]
+    strides = [yp.shape[1] // 8, cbs.shape[1] // 8, crs.shape[1] // 8]
+    return blocks, strides, sub, qy_zz, qc_zz
+
+
+def jpeg_encode(pixels, width: int, height: int, quality: int = 85,
+                subsampling: str = "444", restart_interval: int = 0) -> bytes:
+    """RGB8 pixels ((h, w, 3) uint8 array or h*w*3 bytes) → baseline
+    JFIF bytes. ``subsampling`` is '444' or '420'; ``restart_interval``
+    (MCUs per restart segment) exercises the decoder's RST path."""
+    import numpy as np
+
+    blocks, strides, sub, qy_zz, qc_zz = _prepare_components(
+        pixels, width, height, quality, subsampling
+    )
+    y_blocks, cb_blocks, cr_blocks = blocks
 
     dc_l = _encode_codes(*HT_DC_LUMA)
     ac_l = _encode_codes(*HT_AC_LUMA)
     dc_c = _encode_codes(*HT_DC_CHROMA)
     ac_c = _encode_codes(*HT_AC_CHROMA)
 
-    ybw = yp.shape[1] // 8  # luma blocks per row
-    cbw = cbs.shape[1] // 8
-    mcux = yp.shape[1] // mcu
-    mcuy = yp.shape[0] // mcu
+    ybw, cbw = strides[0], strides[1]  # blocks per row
+    mcux = ybw // sub
+    mcuy = (len(y_blocks) // ybw) // sub
 
     writer = _BitWriter()
     chunks = []
@@ -622,5 +801,256 @@ def jpeg_encode(pixels, width: int, height: int, quality: int = 85,
         out += seg(0xDD, struct.pack(">H", restart_interval))
     out += seg(0xDA, bytes((3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0)))
     out += entropy
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Progressive encoder (scan-script-driven) — exists so the SOF2
+# decoder's spectral-selection / successive-approximation / EOB-run /
+# correction-bit paths are hermetically fuzzable in this container.
+# ---------------------------------------------------------------------------
+
+# Flat Huffman tables: near-fixed-length canonical codes (5-bit DC
+# over 16 symbols; 9-bit AC over symbols 0..254 plus a 10-bit code for
+# 255 — DHT's per-length count is one byte, so 256 codes can't share a
+# length). Both are Kraft-valid incomplete codes. Standard Annex-K AC
+# tables lack the EOBn symbols (r<<4 for r=1..14) progressive EOB runs
+# need; real encoders build custom tables per scan, and a flat table
+# is the simplest valid one.
+HT_DC_FLAT = ((0, 0, 0, 0, 16, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0),
+              tuple(range(16)))
+HT_AC_FLAT = ((0, 0, 0, 0, 0, 0, 0, 0, 255, 1, 0, 0, 0, 0, 0, 0),
+              tuple(range(256)))
+
+# libjpeg-shaped default scan script for 3 components: coarse DC,
+# coarse low-frequency luma AC, full-band chroma, high-frequency luma,
+# then successive-approximation refinements down to full precision.
+# Entries are (component_ids, Ss, Se, Ah, Al).
+DEFAULT_PROGRESSIVE_SCRIPT = (
+    ((0, 1, 2), 0, 0, 0, 1),
+    ((0,), 1, 5, 0, 2),
+    ((2,), 1, 63, 0, 1),
+    ((1,), 1, 63, 0, 1),
+    ((0,), 6, 63, 0, 2),
+    ((0,), 1, 63, 2, 1),
+    ((0, 1, 2), 0, 0, 1, 0),
+    ((2,), 1, 63, 1, 0),
+    ((1,), 1, 63, 1, 0),
+    ((0,), 1, 63, 1, 0),
+)
+
+
+class _EobState:
+    """Pending EOB run + the correction bits buffered with it."""
+
+    __slots__ = ("run", "bits")
+
+    def __init__(self):
+        self.run = 0
+        self.bits = []
+
+
+def _flush_eobrun(writer, ac_codes, state: _EobState):
+    if state.run > 0:
+        r = state.run.bit_length() - 1
+        length, code = ac_codes[r << 4]
+        writer.write(code, length)
+        if r:
+            writer.write(state.run - (1 << r), r)
+        state.run = 0
+    for b in state.bits:
+        writer.write(b, 1)
+    state.bits = []
+
+
+def _emit_dc_progressive(writer, blk, pred, al, ah, dc_codes):
+    """One block's DC contribution; returns the new predictor."""
+    dc = int(blk[0]) >> al  # DC point transform is an arithmetic shift
+    if ah == 0:
+        diff = dc - pred
+        s = abs(diff)
+        nbits = s.bit_length()
+        length, code = dc_codes[nbits]
+        writer.write(code, length)
+        if nbits:
+            writer.write(diff if diff > 0 else diff + (1 << nbits) - 1, nbits)
+        return dc
+    writer.write(dc & 1, 1)  # refinement: one raw bit
+    return pred
+
+
+def _emit_ac_first(writer, blk, ss, se, al, ac_codes, state: _EobState):
+    r = 0
+    for k in range(ss, se + 1):
+        v = int(blk[k])
+        t = abs(v) >> al
+        if t == 0:
+            r += 1
+            continue
+        _flush_eobrun(writer, ac_codes, state)
+        while r > 15:
+            length, code = ac_codes[0xF0]
+            writer.write(code, length)
+            r -= 16
+        nb = t.bit_length()
+        length, code = ac_codes[(r << 4) | nb]
+        writer.write(code, length)
+        tv = t if v > 0 else -t
+        writer.write(tv if tv > 0 else tv + (1 << nb) - 1, nb)
+        r = 0
+    if r > 0:
+        state.run += 1
+        if state.run == 0x7FFF:
+            _flush_eobrun(writer, ac_codes, state)
+
+
+def _emit_ac_refine(writer, blk, ss, se, al, ac_codes, state: _EobState):
+    """T.81 G.1.2.3 refinement emission (the jcphuff shape): ZRLs fold
+    into EOB runs past the last newly-significant coefficient, and
+    already-significant coefficients buffer one correction bit each,
+    flushed right after the next emitted symbol."""
+    mags = [(abs(int(blk[k])) >> al, int(blk[k])) for k in range(ss, se + 1)]
+    eob_off = -1  # offset of the LAST newly-significant coefficient
+    for off, (a, _v) in enumerate(mags):
+        if a == 1:
+            eob_off = off
+    r = 0
+    br: list[int] = []
+    for off, (a, v) in enumerate(mags):
+        if a == 0:
+            r += 1
+            continue
+        while r > 15 and off <= eob_off:
+            _flush_eobrun(writer, ac_codes, state)
+            length, code = ac_codes[0xF0]
+            writer.write(code, length)
+            r -= 16
+            for b in br:
+                writer.write(b, 1)
+            br = []
+        if a > 1:
+            br.append(a & 1)
+            continue
+        _flush_eobrun(writer, ac_codes, state)
+        length, code = ac_codes[(r << 4) | 1]
+        writer.write(code, length)
+        writer.write(1 if v > 0 else 0, 1)
+        for b in br:
+            writer.write(b, 1)
+        br = []
+        r = 0
+    if r > 0 or br:
+        state.run += 1
+        state.bits.extend(br)
+        if state.run == 0x7FFF:
+            _flush_eobrun(writer, ac_codes, state)
+
+
+def jpeg_encode_progressive(pixels, width: int, height: int,
+                            quality: int = 85, subsampling: str = "444",
+                            restart_interval: int = 0,
+                            scan_script=None) -> bytes:
+    """RGB8 pixels → progressive (SOF2) JFIF bytes carrying the SAME
+    quantized coefficients as ``jpeg_encode`` at the same quality /
+    subsampling — so ``jpeg_decode`` of both must be bit-equal, which
+    is exactly what the hermetic round-trip tests assert."""
+    import numpy as np  # noqa: F401 - coefficient arrays
+
+    blocks, strides, sub, qy_zz, qc_zz = _prepare_components(
+        pixels, width, height, quality, subsampling
+    )
+    script = scan_script if scan_script is not None else (
+        DEFAULT_PROGRESSIVE_SCRIPT
+    )
+    hv = [(sub, sub), (1, 1), (1, 1)]
+    hmax = vmax = sub
+    mcux = -(-width // (8 * hmax))
+    mcuy = -(-height // (8 * vmax))
+    dc_codes = _encode_codes(*HT_DC_FLAT)
+    ac_codes = _encode_codes(*HT_AC_FLAT)
+
+    def seg(marker, body):
+        return bytes((0xFF, marker)) + struct.pack(">H", len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, bytes([0]) + bytes(int(v) for v in qy_zz))
+    out += seg(0xDB, bytes([1]) + bytes(int(v) for v in qc_zz))
+    sof = struct.pack(">BHHB", 8, height, width, 3)
+    sof += bytes((1, (sub << 4) | sub, 0, 2, 0x11, 1, 3, 0x11, 1))
+    out += seg(0xC2, sof)  # SOF2: progressive DCT
+    out += seg(0xC4, bytes([0x00]) + bytes(HT_DC_FLAT[0]) + bytes(HT_DC_FLAT[1]))
+    out += seg(0xC4, bytes([0x10]) + bytes(HT_AC_FLAT[0]) + bytes(HT_AC_FLAT[1]))
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+
+    for comp_ids, ss, se, ah, al in script:
+        writer = _BitWriter()
+        chunks = []
+        state = _EobState()
+        preds = [0, 0, 0]
+        n_rst = 0
+        unit_in_seg = 0
+
+        def _restart_if_due():
+            nonlocal writer, preds, n_rst, unit_in_seg
+            if restart_interval and unit_in_seg == restart_interval:
+                _flush_eobrun(writer, ac_codes, state)
+                writer.flush()
+                chunks.append(bytes(writer.out))
+                chunks.append(bytes((0xFF, 0xD0 + (n_rst & 7))))
+                n_rst += 1
+                writer = _BitWriter()
+                preds = [0, 0, 0]
+                unit_in_seg = 0
+
+        if len(comp_ids) > 1:  # interleaved (DC scans)
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    _restart_if_due()
+                    for c in comp_ids:
+                        h, v = hv[c]
+                        for by in range(v):
+                            for bx in range(h):
+                                bidx = (my * v + by) * strides[c] + (
+                                    mx * h + bx
+                                )
+                                preds[c] = _emit_dc_progressive(
+                                    writer, blocks[c][bidx], preds[c],
+                                    al, ah, dc_codes,
+                                )
+                    unit_in_seg += 1
+        else:  # non-interleaved: the component's OWN block grid
+            c = comp_ids[0]
+            h, v = hv[c]
+            bw = -(-(-(-width * h // hmax)) // 8)
+            bh = -(-(-(-height * v // vmax)) // 8)
+            for by in range(bh):
+                for bx in range(bw):
+                    _restart_if_due()
+                    blk = blocks[c][by * strides[c] + bx]
+                    if ss == 0:
+                        preds[c] = _emit_dc_progressive(
+                            writer, blk, preds[c], al, ah, dc_codes
+                        )
+                    elif ah == 0:
+                        _emit_ac_first(
+                            writer, blk, ss, se, al, ac_codes, state
+                        )
+                    else:
+                        _emit_ac_refine(
+                            writer, blk, ss, se, al, ac_codes, state
+                        )
+                    unit_in_seg += 1
+        _flush_eobrun(writer, ac_codes, state)
+        writer.flush()
+        chunks.append(bytes(writer.out))
+        sos = bytearray([len(comp_ids)])
+        for c in comp_ids:
+            sos += bytes((c + 1, 0x00))  # cid = c+1; flat tables id 0
+        sos += bytes((ss, se, (ah << 4) | al))
+        out += seg(0xDA, bytes(sos))
+        out += b"".join(chunks)
     out += b"\xff\xd9"
     return bytes(out)
