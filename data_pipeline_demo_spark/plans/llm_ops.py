@@ -3200,3 +3200,93 @@ def q223_composite_index_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         require_fresh=True,
     ).select(*cols)
     return probe_vv.unionByName(probe_vnull)
+
+
+_DUCK_RETRIEVAL_METRICS = """
+    WITH runs AS (
+      SELECT source AS query_id, doc_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY source ORDER BY n_chars DESC, doc_id ASC
+             ) AS rank
+      FROM documents
+    ), qrels AS (
+      SELECT source AS query_id, doc_id,
+             CASE WHEN doc_id % 7 = 0 THEN 2 ELSE 1 END AS rel
+      FROM documents
+      WHERE doc_id % 7 = 0 OR doc_id % 3 = 0
+    ), topk AS (
+      SELECT r.query_id, r.rank, COALESCE(j.rel, 0) AS rel
+      FROM runs r LEFT JOIN qrels j
+        ON r.query_id = j.query_id AND r.doc_id = j.doc_id
+      WHERE r.rank <= 10
+    ), per_run AS (
+      SELECT query_id,
+             SUM((POWER(2, rel) - 1) / LOG2(rank + 1)) AS dcg,
+             SUM(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS hits,
+             MIN(CASE WHEN rel > 0 THEN rank END) AS first_rel
+      FROM topk GROUP BY query_id
+    ), ideal AS (
+      SELECT query_id,
+             SUM(CASE WHEN irank <= 10
+                 THEN (POWER(2, rel) - 1) / LOG2(irank + 1)
+                 ELSE 0 END) AS idcg,
+             COUNT(*) AS n_rel
+      FROM (
+        SELECT query_id, rel, ROW_NUMBER() OVER (
+          PARTITION BY query_id ORDER BY rel DESC, doc_id ASC
+        ) AS irank
+        FROM qrels
+      ) GROUP BY query_id
+    )
+    SELECT i.query_id,
+           ROUND(COALESCE(p.dcg, 0) / i.idcg, 6) AS ndcg_at_k,
+           ROUND(COALESCE(1.0 / p.first_rel, 0), 6) AS mrr_at_k,
+           ROUND(COALESCE(p.hits, 0) * 1.0 / i.n_rel, 6) AS recall_at_k,
+           ROUND(COALESCE(p.hits, 0) / 10.0, 6) AS precision_at_k,
+           CAST(i.n_rel AS BIGINT) AS n_rel
+    FROM ideal i LEFT JOIN per_run p ON i.query_id = p.query_id
+    ORDER BY i.query_id
+"""
+
+
+@register("q224_retrieval_metrics", oracle=_DUCK_RETRIEVAL_METRICS)
+def q224_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality metrics under the value-exact oracle (round-8
+    judge stretch directive #9): each document ``source`` acts as a
+    query; the "run" ranks its documents by length (row_number within
+    source — deterministic tie-break on doc_id), and the judged-pairs
+    relation grades every 7th doc rel=2 and every remaining 3rd doc
+    rel=1. ``retrieval_metrics`` (operators/retrieval.py) then scores
+    nDCG@10 / MRR@10 / recall@10 / precision@10 per query, and the
+    oracle replays the textbook formulas (exponential-gain DCG, ideal
+    ranking by rel desc, reciprocal first-hit rank) as plain SQL. A
+    hash match certifies the whole eval loop the BM25/kNN/RRF/MMR
+    family feeds into.
+
+    Scale: one window partitioned by query (judgment-sized), two
+    grouped aggregates, one (query, doc) hash join — everything is
+    evaluation-sized; the corpus-scale work happened in the upstream
+    retriever that produced the run."""
+    from pyspark.sql import Window
+
+    from ..operators.retrieval import retrieval_metrics
+
+    docs = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    runs = docs.select(
+        F.col("source").alias("query_id"),
+        "doc_id",
+        F.row_number().over(w).cast("bigint").alias("rank"),
+    )
+    qrels = docs.filter(
+        (F.col("doc_id") % 7 == 0) | (F.col("doc_id") % 3 == 0)
+    ).select(
+        F.col("source").alias("query_id"),
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 0, F.lit(2)).otherwise(F.lit(1)).alias(
+            "rel"
+        ),
+    )
+    return retrieval_metrics(runs, qrels, k=10)

@@ -374,3 +374,93 @@ def test_cluster_routing_arrow_equals_expr(spark):
     assert a == e
     with pytest.raises(ValueError, match="engine"):
         cluster_embeddings(corpus, engine="gpu")
+
+
+def test_retrieval_metrics_hand_computed(spark):
+    """nDCG@k / MRR@k / recall@k / precision@k against hand-derived
+    values (textbook exponential-gain DCG):
+
+    query a — run [d1(rel2), d2(rel0), d3(rel1)], judged {d1:2, d3:1,
+    d9:1}; k=3. DCG = 3/log2(2) + 0 + 1/log2(4) = 3.5; ideal ranking
+    [2,1,1] → IDCG = 3 + 1/log2(3) + 1/2 = 4.130930; nDCG = 0.847266;
+    MRR = 1/1; recall = 2/3; precision = 2/3.
+    query b — run has NO relevant in top-k: all metrics 0, n_rel = 1.
+    """
+    import math
+
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from data_pipeline_demo_spark.operators.retrieval import (
+        retrieval_metrics,
+    )
+
+    runs = spark.createDataFrame(
+        [
+            ("a", "d1", 1), ("a", "d2", 2), ("a", "d3", 3), ("a", "d4", 4),
+            ("b", "d5", 1), ("b", "d6", 2),
+        ],
+        "query_id string, doc_id string, rank long",
+    )
+    qrels = spark.createDataFrame(
+        [("a", "d1", 2), ("a", "d3", 1), ("a", "d9", 1), ("b", "d7", 1)],
+        "query_id string, doc_id string, rel long",
+    )
+    got = {
+        r["query_id"]: r.asDict()
+        for r in retrieval_metrics(runs, qrels, k=3).collect()
+    }
+    idcg = 3.0 + 1.0 / math.log2(3.0) + 0.5
+    assert got["a"]["ndcg_at_k"] == round(3.5 / idcg, 6)
+    assert got["a"]["mrr_at_k"] == 1.0
+    assert got["a"]["recall_at_k"] == round(2 / 3, 6)
+    assert got["a"]["precision_at_k"] == round(2 / 3, 6)
+    assert got["a"]["n_rel"] == 3
+    assert got["b"] == {
+        "query_id": "b", "ndcg_at_k": 0.0, "mrr_at_k": 0.0,
+        "recall_at_k": 0.0, "precision_at_k": 0.0, "n_rel": 1,
+    }
+
+
+def test_retrieval_metrics_perfect_run_is_one(spark):
+    """A run that lists the judged docs in ideal order scores
+    nDCG = MRR = recall = 1 exactly."""
+    from data_pipeline_demo_spark.operators.retrieval import (
+        retrieval_metrics,
+    )
+
+    runs = spark.createDataFrame(
+        [("q", "d1", 1), ("q", "d2", 2)],
+        "query_id string, doc_id string, rank long",
+    )
+    qrels = spark.createDataFrame(
+        [("q", "d1", 3), ("q", "d2", 1)],
+        "query_id string, doc_id string, rel long",
+    )
+    row = retrieval_metrics(runs, qrels, k=5).collect()[0]
+    assert row["ndcg_at_k"] == 1.0
+    assert row["mrr_at_k"] == 1.0
+    assert row["recall_at_k"] == 1.0
+    assert row["n_rel"] == 2
+
+
+def test_retrieval_metrics_window_is_query_partitioned(spark):
+    """Scale shape: the only Window in the plan partitions by the
+    query column — never an unpartitioned total order."""
+    from data_pipeline_demo_spark.operators.retrieval import (
+        retrieval_metrics,
+    )
+
+    runs = spark.createDataFrame(
+        [("q", "d1", 1)], "query_id string, doc_id string, rank long"
+    )
+    qrels = spark.createDataFrame(
+        [("q", "d1", 1)], "query_id string, doc_id string, rel long"
+    )
+    plan = retrieval_metrics(runs, qrels)._jdf.queryExecution(
+    ).executedPlan().toString()
+    import re
+
+    for ln in plan.splitlines():
+        if re.search(r"\bWindow \[", ln):
+            assert "partitionBy" not in ln  # physical prints spec groups
+            assert "query_id" in ln.split("windowspecdefinition")[1][:60]
