@@ -354,16 +354,51 @@ def bucket_ids_for(col, key_kind: str, num_buckets: int):
 # ---------------------------------------------------------------------------
 
 
-def put_manifest_if_absent(fs, root: str, version: int, payload: bytes) -> bool:
+def _http_conditional_put(base_url: str, store_root: str, path: str,
+                          payload: bytes) -> bool:
+    """S3-shaped conditional create over HTTP: ``PUT`` with
+    ``If-None-Match: *`` — 2xx claims, 412 means another writer holds
+    the version. This is how the DataSource's driver-side python worker
+    (no SparkSession, so no JVM LogStore) claims commits against a real
+    object store; the server enforces the atomicity."""
+    import urllib.error
+    import urllib.request
+
+    rel = path
+    root = store_root.rstrip("/")
+    if rel.startswith(root):
+        rel = rel[len(root):]
+    req = urllib.request.Request(
+        base_url.rstrip("/") + "/" + rel.lstrip("/"),
+        data=payload,
+        method="PUT",
+        headers={"If-None-Match": "*"},
+    )
+    try:
+        with urllib.request.urlopen(req) as resp:
+            return 200 <= resp.status < 300
+    except urllib.error.HTTPError as exc:
+        if exc.code == 412:
+            return False
+        raise
+
+
+def put_manifest_if_absent(fs, root: str, version: int, payload: bytes,
+                           http_claim: tuple[str, str] | None = None) -> bool:
     """Publish ``_commits/<version>.json`` iff that version is unclaimed;
-    True = this writer won. Local: tmp + ``os.link`` (atomic claim AND
-    content-atomic — the final name never exists with partial bytes).
-    fsspec: exclusive-create (``mode='xb'``) where the backend supports
-    it, else exists-check-then-write (best effort — raw object stores
-    wanting a hard guarantee use the JVM ConditionalPutLogStore path,
-    ``sinks/txlog.py:251``)."""
+    True = this writer won. ``http_claim=(base_url, store_root)`` routes
+    the claim through an S3-shaped conditional PUT endpoint (the raw
+    object-store deployment — server-side atomicity, python-side
+    equivalent of the JVM ``ConditionalPutLogStore``). Local: tmp +
+    ``os.link`` (atomic claim AND content-atomic — the final name never
+    exists with partial bytes). fsspec: exclusive-create (``mode='xb'``)
+    where the backend supports it, else exists-check-then-write (best
+    effort — raw object stores wanting a hard guarantee use the HTTP
+    claim or the JVM ConditionalPutLogStore path, ``sinks/txlog.py``)."""
     commits = root.rstrip("/") + "/" + COMMITS_DIR
     dst = f"{commits}/{version:020d}.json"
+    if http_claim is not None:
+        return _http_conditional_put(http_claim[0], http_claim[1], dst, payload)
     if isinstance(fs, _LocalFS):
         os.makedirs(commits, exist_ok=True)
         tmp = f"{commits}/.tmp-{uuid.uuid4().hex}"
@@ -725,6 +760,19 @@ def _resolve_table_spec(fs, root: str, options: dict, schema) -> dict:
         "true",
         "yes",
     )
+    # Object-store claim endpoint: when set, manifest claims travel as
+    # HTTP conditional PUTs (If-None-Match) instead of local link/xb —
+    # the deployment shape where the store, not the filesystem, is the
+    # commit arbiter. Both options must come together.
+    claim_url = options.get("claimbaseurl")
+    claim_root = options.get("claimstoreroot")
+    if (claim_url is None) != (claim_root is None):
+        raise ValueError(
+            "claimBaseUrl and claimStoreRoot must be set together"
+        )
+    spec["http_claim"] = (
+        (claim_url, claim_root) if claim_url is not None else None
+    )
     return spec
 
 
@@ -1027,7 +1075,9 @@ def commit_files(
             "committed_at_ms": _now_ms(),
         }
         payload = json.dumps(manifest).encode("utf-8")
-        if put_manifest_if_absent(fs, root, version, payload):
+        if put_manifest_if_absent(
+            fs, root, version, payload, http_claim=spec.get("http_claim")
+        ):
             return True
     raise ConcurrentCommitError(
         f"lost {_MAX_COMMIT_RETRIES} commit races at {root}"
@@ -1225,6 +1275,8 @@ def write_txtable(
     num_buckets: int = 32,
     mode: str = "append",
     stats_columns: list[str] | None = None,
+    claim_base_url: str | None = None,
+    claim_store_root: str | None = None,
 ) -> None:
     """Convenience writer that aligns the input's partitioning with the
     table's bucketing BEFORE the DataSource write. The DSv2 python API
@@ -1257,4 +1309,13 @@ def write_txtable(
     )
     if stats_columns:
         w = w.option("statsColumns", ",".join(stats_columns))
+    if claim_base_url is not None:
+        if claim_store_root is None:
+            raise ValueError(
+                "claim_base_url and claim_store_root must be set together"
+            )
+        # claims travel as HTTP conditional PUTs to the object store
+        w = w.option("claimBaseUrl", claim_base_url).option(
+            "claimStoreRoot", claim_store_root
+        )
     w.save(path)
