@@ -3290,3 +3290,69 @@ def q224_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return retrieval_metrics(runs, qrels, k=10)
+
+
+_DUCK_RANGE_LOOKUP = """
+    WITH final_state AS (
+      SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice
+      FROM orders
+      WHERE o_orderkey < 3400         -- seed slice + stale-period insert
+        AND NOT (o_orderkey < 3000 AND o_orderkey % 6 = 0)  -- MOR delete
+    )
+    SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice
+    FROM final_state
+    WHERE o_orderdate >= DATE '1995-01-01'
+      AND o_orderdate <= DATE '1995-03-31'
+"""
+
+
+@register("q225_index_range_lookup", oracle=_DUCK_RANGE_LOOKUP)
+def q225_index_range_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE probe through the value index (round 9 — the equality
+    probe's sibling, certified the q95/q217 way): an orders slice
+    lands in a txtable, the o_orderdate value index is built, the
+    table moves through a merge-on-read DELETE and an insert batch
+    carrying NEW dates, a CDC refresh brings the index to the head,
+    and a one-quarter date-range probe runs fresh through
+    ``lookup_range_with_index``. The bucket set comes from the
+    value-grain index rows inside the bounds — range predicates on a
+    non-clustered, non-stats column, where zone maps are defeated by
+    value scatter. The oracle replays delete→insert→range-filter as
+    plain SQL: a hash match certifies bound handling (dates, closed
+    range), CDC maintenance, and that the pruned read loses nothing.
+
+    Scale: the index scan is one row per DISTINCT date of one column
+    (metadata-sized next to the data); the data read is only the
+    buckets holding in-range dates."""
+    import tempfile
+
+    from ..sinks.txlog import txlog_delete, txlog_upsert
+    from ..sinks.value_index import (
+        lookup_range_with_index,
+        refresh_value_index,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="q225-range-")
+    root, idx = tmp + "/t", tmp + "/ix"
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    txlog_upsert(
+        spark, o.filter(F.col("o_orderkey") < 3000), root,
+        key="o_orderkey", num_buckets=16,
+    )
+    refresh_value_index(spark, root, idx, "o_orderdate")
+    txlog_delete(spark, root, where="o_orderkey % 6 = 0", mode="merge-on-read")
+    txlog_upsert(
+        spark,
+        o.filter((F.col("o_orderkey") >= 3000) & (F.col("o_orderkey") < 3400)),
+        root,
+    )
+    refresh_value_index(spark, root, idx, "o_orderdate")
+    import datetime as dt
+
+    return lookup_range_with_index(
+        spark, root, idx, "o_orderdate",
+        dt.date(1995, 1, 1), dt.date(1995, 3, 31),
+        require_fresh=True,
+    ).select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")

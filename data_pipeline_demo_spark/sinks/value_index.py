@@ -347,6 +347,31 @@ def index_selected_buckets(
     return sorted(got[0]["buckets"]) if got else []
 
 
+def _changed_since(
+    spark: SparkSession, table_root: str, wm: int, latest: dict
+) -> set[int] | None:
+    """Source buckets whose file list or deletion-vector list changed
+    since watermark version ``wm`` — the staleness the hybrid scan must
+    raw-read. None when the watermark manifest is gone (vacuumed) or
+    the bucket modulus changed (old bucket ids are meaningless after
+    ``rebucket_txtable``) — index pruning cannot help there."""
+    try:
+        m_wm = _read_manifest(spark, table_root, wm)
+    except Exception:
+        return None
+    if m_wm["num_buckets"] != latest["num_buckets"]:
+        return None
+
+    def _sig(m, b):
+        return (m["buckets"].get(b), m.get("bucket_dvs", {}).get(b))
+
+    return {
+        int(b)
+        for b in set(m_wm["buckets"]) | set(latest["buckets"])
+        if _sig(m_wm, b) != _sig(latest, b)
+    }
+
+
 def _stale_scan_buckets(
     spark: SparkSession,
     table_root: str,
@@ -365,26 +390,10 @@ def _stale_scan_buckets(
     bucket whose file list or deletion-vector list changed since the
     watermark must be scanned outright. Result:
     ``(index hits ∪ changed buckets) ∩ live buckets`` — the changed
-    set bounds the extra IO by the table's staleness, not its size.
-
-    Returns None (→ caller full-scans) when the watermark manifest is
-    gone (vacuumed) or the bucket modulus changed (old bucket ids are
-    meaningless after ``rebucket_txtable``)."""
-    try:
-        m_wm = _read_manifest(spark, table_root, wm)
-    except Exception:
+    set bounds the extra IO by the table's staleness, not its size."""
+    changed = _changed_since(spark, table_root, wm, latest)
+    if changed is None:
         return None
-    if m_wm["num_buckets"] != latest["num_buckets"]:
-        return None
-
-    def _sig(m, b):
-        return (m["buckets"].get(b), m.get("bucket_dvs", {}).get(b))
-
-    changed = {
-        int(b)
-        for b in set(m_wm["buckets"]) | set(latest["buckets"])
-        if _sig(m_wm, b) != _sig(latest, b)
-    }
     hits = set(index_selected_buckets(spark, index_root, value, col=cols))
     live = {int(b) for b in latest["buckets"]}
     return sorted((hits | changed) & live)
@@ -449,6 +458,136 @@ def lookup_with_index(
     buckets = index_selected_buckets(spark, index_root, value, col=cols)
     # logical read: a merge-on-read-deleted row must never surface in
     # a lookup result (the vectors anti-apply before the predicate)
+    rows = _read_buckets_logical(spark, table_root, manifest, buckets)
+    if rows is None:
+        return read_txtable(spark, table_root).filter(pred).limit(0)
+    return rows.filter(pred)
+
+
+def _range_cast_type(lower, upper) -> str:
+    """Spark cast type for range bounds — the type the index's stored
+    ``CAST(col AS STRING)`` renders round-trip exactly through."""
+    import datetime as _dt
+
+    probe = lower if lower is not None else upper
+    if probe is None:
+        raise ValueError("range lookup needs at least one bound")
+    for other in (lower, upper):
+        if other is not None and type(other) is not type(probe):
+            raise ValueError(
+                f"range bounds must share a type: {type(lower).__name__} "
+                f"vs {type(upper).__name__}"
+            )
+    if isinstance(probe, bool):
+        return "boolean"
+    if isinstance(probe, int):
+        return "bigint"
+    if isinstance(probe, float):
+        return "double"
+    if isinstance(probe, _dt.datetime):
+        return "timestamp"
+    if isinstance(probe, _dt.date):
+        return "date"
+    if isinstance(probe, str):
+        return "string"
+    raise ValueError(
+        f"unsupported range bound type {type(probe).__name__}"
+    )
+
+
+def index_selected_buckets_range(
+    spark: SparkSession,
+    index_root: str,
+    lower,
+    upper,
+) -> list[int]:
+    """The source-bucket set a RANGE lookup would scan: the union of
+    the bucket arrays of every indexed value inside [lower, upper]
+    (either bound may be None = open). Unlike the equality probe's
+    single-bucket point read, a range must consult every index bucket
+    — but the index is at VALUE grain, so this is a scan of one row
+    per distinct value of ONE column, metadata-sized next to the data
+    (and the result is bounded by the source's bucket count). NULL
+    never joins a range (SQL comparison semantics)."""
+    m = _latest_manifest(spark, index_root)
+    if m is None:
+        return []
+    cast_t = _range_cast_type(lower, upper)
+    rows = read_txtable(spark, index_root).filter(
+        F.col("vkey") != F.lit(_NULL_VKEY)
+    )
+    val = F.col("value").cast(cast_t)
+    if lower is not None:
+        rows = rows.filter(val >= F.lit(lower))
+    if upper is not None:
+        rows = rows.filter(val <= F.lit(upper))
+    got = (
+        rows.select(F.explode("buckets").alias("b"))
+        .distinct()
+        .collect()
+    )
+    return sorted(int(r["b"]) for r in got)
+
+
+def lookup_range_with_index(
+    spark: SparkSession,
+    table_root: str,
+    index_root: str,
+    col: str,
+    lower=None,
+    upper=None,
+    require_fresh: bool = False,
+) -> DataFrame:
+    """Range read ``WHERE lower <= col <= upper`` through the value
+    index (round 9 — the equality probe's sibling): resolves the
+    bucket set from the value-grain index rows inside the bounds, then
+    scans ONLY those buckets with the predicate re-applied (results
+    exact by construction). Zone maps already prune ranges on DECLARED
+    stats columns clustered by the layout; this serves range predicates
+    on any OTHER indexed column, where value scatter defeats zone maps.
+    Staleness degrades to the same HYBRID scan as the equality path
+    (index-pruned untouched buckets + raw reads of buckets changed
+    since the watermark, O(staleness) not O(table)); ``require_fresh``
+    raises instead. Single-column indexes only — a composite render's
+    string order is not the component order."""
+    cols = _cols_of(col)
+    if len(cols) != 1:
+        raise ValueError(
+            "range lookup supports single-column indexes only"
+        )
+    manifest = _latest_manifest(spark, table_root)
+    if manifest is None:
+        raise FileNotFoundError(f"no committed txtable at {table_root}")
+    cast_t = _range_cast_type(lower, upper)  # validates bounds
+    c = F.col(cols[0]).cast(cast_t)
+    pred = F.lit(True)
+    if lower is not None:
+        pred = pred & (c >= F.lit(lower))
+    if upper is not None:
+        pred = pred & (c <= F.lit(upper))
+    wm = index_watermark(spark, index_root)
+    if wm is None or wm < manifest["version"]:
+        if require_fresh:
+            raise ValueError(
+                f"value index at {index_root} is at source version {wm}, "
+                f"table is at {manifest['version']} — refresh_value_index "
+                "first"
+            )
+        if wm is None:
+            return read_txtable(spark, table_root).filter(pred)
+        changed = _changed_since(spark, table_root, wm, manifest)
+        if changed is None:
+            return read_txtable(spark, table_root).filter(pred)
+        hits = set(
+            index_selected_buckets_range(spark, index_root, lower, upper)
+        )
+        live = {int(b) for b in manifest["buckets"]}
+        scan = sorted((hits | changed) & live)
+        rows = _read_buckets_logical(spark, table_root, manifest, scan)
+        if rows is None:
+            return read_txtable(spark, table_root).filter(pred).limit(0)
+        return rows.filter(pred)
+    buckets = index_selected_buckets_range(spark, index_root, lower, upper)
     rows = _read_buckets_logical(spark, table_root, manifest, buckets)
     if rows is None:
         return read_txtable(spark, table_root).filter(pred).limit(0)

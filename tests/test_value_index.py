@@ -496,3 +496,143 @@ def test_composite_index_lookup_and_maintenance(spark, tmp_path):
     with pytest.raises(ValueError, match="composite lookup needs 2"):
         lookup_with_index(spark, root, idx, ["color", "band"], ("red",),
                           require_fresh=True)
+
+
+def test_range_lookup_equals_full_scan_and_prunes(spark, tmp_path):
+    """Round-9 range probe: lookup_range_with_index over a numeric
+    non-key column matches the plain filtered scan for closed, open,
+    and empty ranges, and a range confined to planted values selects a
+    strict subset of the buckets."""
+    from data_pipeline_demo_spark.sinks.value_index import (
+        index_selected_buckets_range,
+        lookup_range_with_index,
+    )
+
+    root = str(tmp_path / "t")
+    idx = str(tmp_path / "ix")
+    df = spark.createDataFrame(
+        [(i, i % 50, f"g{i % 4}") for i in range(300)],
+        "id long, score long, grp string",
+    )
+    txlog_upsert(spark, df, root, num_buckets=16)
+    refresh_value_index(spark, root, idx, "score")
+
+    def truth(lo, hi):
+        rows = read_txtable(spark, root)
+        if lo is not None:
+            rows = rows.filter(F.col("score") >= lo)
+        if hi is not None:
+            rows = rows.filter(F.col("score") <= hi)
+        return {r["id"] for r in rows.collect()}
+
+    for lo, hi in [(10, 20), (None, 5), (45, None), (60, 90), (20, 10)]:
+        got = {
+            r["id"]
+            for r in lookup_range_with_index(
+                spark, root, idx, "score", lo, hi, require_fresh=True
+            ).collect()
+        }
+        assert got == truth(lo, hi), (lo, hi)
+
+    # pruning is real: plant one row with an outlying score — probing
+    # around it selects that row's bucket only
+    txlog_upsert(
+        spark,
+        spark.createDataFrame([(7, 10_000, "g0")],
+                              "id long, score long, grp string"),
+        root,
+    )
+    refresh_value_index(spark, root, idx, "score")
+    assert len(index_selected_buckets_range(spark, idx, 9_999, 10_001)) == 1
+    got = {
+        r["id"]
+        for r in lookup_range_with_index(
+            spark, root, idx, "score", 9_999, 10_001, require_fresh=True
+        ).collect()
+    }
+    assert got == {7}
+
+
+def test_range_lookup_stale_hybrid_and_guards(spark, tmp_path):
+    """Stale index: the hybrid range scan stays exact through inserts
+    (new values in new buckets), merge-on-read deletes (DV-only bucket
+    change), and updates; require_fresh raises; bounds of mixed types
+    and composite indexes refuse."""
+    from data_pipeline_demo_spark.sinks.value_index import (
+        lookup_range_with_index,
+    )
+
+    root = str(tmp_path / "t")
+    idx = str(tmp_path / "ix")
+    df = spark.createDataFrame(
+        [(i, i % 50, f"g{i % 4}") for i in range(200)],
+        "id long, score long, grp string",
+    )
+    txlog_upsert(spark, df, root, num_buckets=16)
+    refresh_value_index(spark, root, idx, "score")
+    # the table moves on: insert outliers, MOR-delete a band, update
+    txlog_upsert(
+        spark,
+        spark.createDataFrame(
+            [(1000 + i, 200 + i, "gx") for i in range(10)],
+            "id long, score long, grp string",
+        ),
+        root,
+    )
+    txlog_delete(spark, root, where="score >= 10 AND score < 15",
+                 mode="merge-on-read")
+    txlog_update(spark, root, set={"score": "score + 1"},
+                 where="id = 0")
+
+    def truth(lo, hi):
+        rows = read_txtable(spark, root).filter(
+            (F.col("score") >= lo) & (F.col("score") <= hi)
+        )
+        return {r["id"] for r in rows.collect()}
+
+    for lo, hi in [(0, 20), (195, 230), (5, 14)]:
+        got = {
+            r["id"]
+            for r in lookup_range_with_index(
+                spark, root, idx, "score", lo, hi
+            ).collect()
+        }
+        assert got == truth(lo, hi), (lo, hi)
+
+    with pytest.raises(ValueError, match="refresh_value_index"):
+        lookup_range_with_index(
+            spark, root, idx, "score", 0, 20, require_fresh=True
+        )
+    with pytest.raises(ValueError, match="share a type"):
+        lookup_range_with_index(spark, root, idx, "score", 0, "z")
+    with pytest.raises(ValueError, match="at least one bound"):
+        lookup_range_with_index(spark, root, idx, "score")
+    with pytest.raises(ValueError, match="single-column"):
+        lookup_range_with_index(
+            spark, root, idx, ["score", "grp"], 0, 20
+        )
+
+
+def test_range_lookup_null_values_never_match(spark, tmp_path):
+    """NULLs in the indexed column stay out of every range (SQL
+    comparison semantics), and their index row never pollutes the
+    bucket set."""
+    from data_pipeline_demo_spark.sinks.value_index import (
+        lookup_range_with_index,
+    )
+
+    root = str(tmp_path / "t")
+    idx = str(tmp_path / "ix")
+    df = spark.createDataFrame(
+        [(1, 5), (2, None), (3, 15), (4, None), (5, 25)],
+        "id long, score long",
+    )
+    txlog_upsert(spark, df, root, num_buckets=4)
+    refresh_value_index(spark, root, idx, "score")
+    got = {
+        r["id"]
+        for r in lookup_range_with_index(
+            spark, root, idx, "score", 0, 20, require_fresh=True
+        ).collect()
+    }
+    assert got == {1, 3}
