@@ -3356,3 +3356,59 @@ def q225_index_range_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         dt.date(1995, 1, 1), dt.date(1995, 3, 31),
         require_fresh=True,
     ).select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+
+
+_DUCK_SQL_CDC = """
+    WITH seed AS (
+      SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey < 2000
+    )
+    SELECT o_orderkey, 'update' AS change_type,
+           ROUND(o_totalprice * 1.1, 2) AS o_totalprice
+    FROM seed WHERE o_orderkey % 4 = 0
+    UNION ALL
+    SELECT o_orderkey, 'delete' AS change_type, o_totalprice
+    FROM seed WHERE o_orderkey % 10 = 7
+"""
+
+
+@register("q226_sql_cdc_read", oracle=_DUCK_SQL_CDC)
+def q226_sql_cdc_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CDC read through the SQL surface (round 9 — Delta's
+    ``table_changes`` TVF shape, q221's sibling): an orders slice
+    lands in a txtable, a SQL UPDATE re-prices the %4 band (commit 1)
+    and a SQL DELETE drops the %10=7 band (commit 2, disjoint from the
+    update band), then ONE SQL statement reads the change feed from
+    starting version 1 — updates reporting NEW values, deletes the OLD
+    ones, the inclusive-start version bound resolved inside the TVF.
+    The oracle rebuilds the feed as plain SQL over the seed: a hash
+    match certifies the TVF rewrite, the version-bound semantics, and
+    the CDC verbs behind it end-to-end.
+
+    Scale: the feed reads only buckets whose file list differs between
+    the bounding manifests — a small commit's CDC touches a handful of
+    buckets at any table size (sinks/txlog.py:txtable_changes)."""
+    import tempfile
+
+    from ..sinks.sql_dml import txtable_sql
+    from ..sinks.txlog import txlog_upsert
+
+    root = tempfile.mkdtemp(prefix="q226-cdc-") + "/t"
+    base = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 2000)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+    txlog_upsert(spark, base, root, key="o_orderkey", num_buckets=8)
+    txtable_sql(
+        spark,
+        f"UPDATE txtable.`{root}` SET o_totalprice = "
+        "round(o_totalprice * 1.1, 2) WHERE o_orderkey % 4 = 0",
+    )
+    txtable_sql(
+        spark, f"DELETE FROM txtable.`{root}` WHERE o_orderkey % 10 = 7"
+    )
+    return txtable_sql(
+        spark,
+        "SELECT o_orderkey, _change_type AS change_type, o_totalprice "
+        f"FROM table_changes(txtable.`{root}`, 1)",
+    )

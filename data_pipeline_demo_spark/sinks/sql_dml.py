@@ -164,13 +164,69 @@ _TBL_REF = re.compile(
     re.IGNORECASE,
 )
 
+# Delta's CDC read TVF: table_changes(txtable.`/p`, from[, to]) with
+# versions as integers or timestamps as quoted ISO strings; the
+# optional PREIMAGES flag switches updates to the two-row
+# update_preimage/update_postimage shape.
+_CHANGES_REF = re.compile(
+    r"table_changes\s*\(\s*txtable\.`(?P<path>[^`]+)`\s*,\s*"
+    r"(?P<frm>\d+|'[^']+')"
+    r"(?:\s*,\s*(?P<to>\d+|'[^']+'))?"
+    r"(?:\s*,\s*(?P<pre>PREIMAGES))?\s*\)",
+    re.IGNORECASE,
+)
+
+
+def _bound_version(spark: SparkSession, path: str, token: str) -> int:
+    """A table_changes bound: integer version, or a quoted ISO
+    timestamp resolved to the greatest version at or before it."""
+    if token.startswith("'"):
+        import datetime as _dt
+
+        from .txlog import _version_at_timestamp
+
+        ts = _dt.datetime.fromisoformat(token[1:-1])
+        if ts.tzinfo is None:
+            ts = ts.replace(tzinfo=_dt.timezone.utc)
+        return _version_at_timestamp(spark, path, int(ts.timestamp() * 1000))
+    return int(token)
+
 
 def _rewrite_selects(spark: SparkSession, text: str) -> str:
     """Replace every ``txtable.`<path>` [VERSION/TIMESTAMP AS OF ...]``
     table reference in a SELECT with a registered temp view over the
     resolved snapshot — Delta's ``SELECT * FROM delta.`/p` VERSION AS
-    OF n`` surface."""
-    from .txlog import _version_at_timestamp, read_txtable
+    OF n`` surface — and every ``table_changes(txtable.`<path>`,
+    from[, to][, PREIMAGES])`` TVF reference with a view over the CDC
+    feed (Delta's ``table_changes`` read shape; bounds are versions or
+    quoted timestamps)."""
+    from .txlog import _version_at_timestamp, read_txtable, txtable_changes
+
+    def sub_changes(m: re.Match) -> str:
+        path = m.group("path")
+        frm = _bound_version(spark, path, m.group("frm"))
+        to = (
+            _bound_version(spark, path, m.group("to"))
+            if m.group("to") is not None
+            else None
+        )
+        # Delta's TVF bounds are commit versions, INCLUSIVE of the
+        # starting commit; the API diffs snapshots, so the base is
+        # from-1. Version 0 is the table's creation — it has no
+        # predecessor snapshot to diff against.
+        if frm < 1:
+            raise UnsupportedSqlError(
+                "table_changes starting version must be >= 1 (version 0 "
+                "is the table's creation; read it with VERSION AS OF 0)"
+            )
+        name = "txchanges_" + uuid.uuid4().hex[:12]
+        txtable_changes(
+            spark, path, frm - 1, to,
+            include_preimages=m.group("pre") is not None,
+        ).createOrReplaceTempView(name)
+        return name
+
+    text = _CHANGES_REF.sub(sub_changes, text)
 
     def sub(m: re.Match) -> str:
         path = m.group("path")

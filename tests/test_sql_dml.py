@@ -282,3 +282,65 @@ def test_sql_shallow_clone_timestamp_as_of(spark, t, tmp_path):
             f"CREATE TABLE txtable.`{tmp_path / 'clone_early'}` SHALLOW "
             f"CLONE txtable.`{t}` TIMESTAMP AS OF '{early}'",
         )
+
+
+def test_sql_table_changes_tvf(spark, t):
+    """``table_changes(txtable.`p`, from[, to][, PREIMAGES])`` in a
+    SELECT resolves to the CDC feed (Delta's CDC read shape, round 9):
+    version bounds, an optional timestamp bound, and the two-row
+    preimage form all route through txtable_changes."""
+    import json
+    from pathlib import Path
+
+    txtable_sql(spark, f"UPDATE txtable.`{t}` SET amount = 0.0 WHERE id <= 2")
+    txtable_sql(spark, f"DELETE FROM txtable.`{t}` WHERE id = 8")
+
+    rows = txtable_sql(
+        spark,
+        f"SELECT id, _change_type FROM table_changes(txtable.`{t}`, 1) "
+        "ORDER BY id",
+    ).collect()
+    assert {(r.id, r._change_type) for r in rows} == {
+        (1, "update"), (2, "update"), (8, "delete"),
+    }
+    # bounded window: only the UPDATE commit (version 1, inclusive)
+    rows = txtable_sql(
+        spark,
+        f"SELECT _change_type, count(*) AS n FROM "
+        f"table_changes(txtable.`{t}`, 1, 1) GROUP BY _change_type",
+    ).collect()
+    assert {(r._change_type, r.n) for r in rows} == {("update", 2)}
+    # version 0 (the creation) has no predecessor snapshot: refuse
+    from data_pipeline_demo_spark.sinks.sql_dml import UnsupportedSqlError as _E
+    import pytest as _pytest
+    with _pytest.raises(_E, match="starting version"):
+        txtable_sql(
+            spark, f"SELECT * FROM table_changes(txtable.`{t}`, 0)"
+        )
+    # PREIMAGES: updates split into pre/post rows with old/new values
+    rows = txtable_sql(
+        spark,
+        f"SELECT id, amount, _change_type FROM "
+        f"table_changes(txtable.`{t}`, 1, 1, PREIMAGES) ORDER BY id",
+    ).collect()
+    got = {(r.id, r.amount, r._change_type) for r in rows}
+    assert got == {
+        (1, 10.0, "update_preimage"), (1, 0.0, "update_postimage"),
+        (2, 20.0, "update_preimage"), (2, 0.0, "update_postimage"),
+    }
+    # timestamp bound resolves to a version (v1's commit time -> from=1)
+    ts_ms = json.loads(
+        sorted(Path(t, "_commits").glob("*.json"))[1].read_text()
+    )["committed_at_ms"]
+    import datetime as dt
+
+    iso = dt.datetime.fromtimestamp(
+        ts_ms / 1000, tz=dt.timezone.utc
+    ).isoformat()
+    rows = txtable_sql(
+        spark,
+        f"SELECT id, _change_type FROM table_changes(txtable.`{t}`, '{iso}')",
+    ).collect()
+    assert {(r.id, r._change_type) for r in rows} == {
+        (1, "update"), (2, "update"), (8, "delete"),
+    }
