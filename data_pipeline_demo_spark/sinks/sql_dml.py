@@ -436,6 +436,33 @@ def txtable_sql(spark: SparkSession, sql: str) -> DataFrame | int | None:
         )
 
     m = re.match(
+        rf"ALTER{_WS}TABLE{_WS}{_TBL}{_WS}ADD{_WS}CONSTRAINT"
+        rf"{_WS}(?P<name>\w+){_WS}CHECK{_WS}\((?P<pred>.+)\)$",
+        text,
+        re.IGNORECASE,
+    )
+    if m:
+        # Delta's ADD CONSTRAINT: validates existing rows, then every
+        # later write. Returns None like Delta's DDL.
+        from .txlog import set_table_constraint
+
+        set_table_constraint(
+            spark, m.group("path"), m.group("name"), m.group("pred").strip()
+        )
+        return None
+
+    m = re.match(
+        rf"ALTER{_WS}TABLE{_WS}{_TBL}{_WS}DROP{_WS}CONSTRAINT"
+        rf"{_WS}(?P<name>\w+)$",
+        text,
+        re.IGNORECASE,
+    )
+    if m:
+        from .txlog import drop_table_constraint
+
+        return drop_table_constraint(spark, m.group("path"), m.group("name"))
+
+    m = re.match(
         rf"CREATE{_WS}TABLE{_WS}txtable\.`(?P<dst>[^`]+)`"
         rf"{_WS}(?:(?P<deep>DEEP){_WS}|SHALLOW{_WS})?CLONE"
         rf"{_WS}txtable\.`(?P<src>[^`]+)`"
@@ -478,6 +505,7 @@ def txtable_sql(spark: SparkSession, sql: str) -> DataFrame | int | None:
         f"not a recognized txtable statement: {text[:120]!r}. Supported: "
         "MERGE INTO / UPDATE / DELETE FROM / RESTORE TABLE / VACUUM / OPTIMIZE / "
         "DESCRIBE HISTORY / ALTER TABLE ... ADD|DROP COLUMN / "
+        "ALTER TABLE ... ADD CONSTRAINT name CHECK (pred) | DROP CONSTRAINT / "
         "CREATE TABLE ... [SHALLOW|DEEP] CLONE, each with "
         "txtable.`<path>` table refs"
     )

@@ -344,3 +344,38 @@ def test_sql_table_changes_tvf(spark, t):
     assert {(r.id, r._change_type) for r in rows} == {
         (1, "update"), (2, "update"), (8, "delete"),
     }
+
+
+def test_sql_add_and_drop_constraint(spark, t):
+    """ALTER TABLE ... ADD CONSTRAINT name CHECK (pred) routes to
+    set_table_constraint (validates existing rows first — Delta's ADD
+    CONSTRAINT scan) and the constraint then blocks violating SQL DML;
+    DROP CONSTRAINT lifts it."""
+    from data_pipeline_demo_spark.sinks.txlog import table_constraints
+
+    txtable_sql(
+        spark,
+        f"ALTER TABLE txtable.`{t}` ADD CONSTRAINT amount_pos "
+        "CHECK (amount >= 0)",
+    )
+    assert table_constraints(spark, t) == {"amount_pos": "amount >= 0"}
+    with pytest.raises(ValueError, match="amount_pos"):
+        txtable_sql(
+            spark, f"UPDATE txtable.`{t}` SET amount = -1.0 WHERE id = 1"
+        )
+    assert _rows(spark, t)[1] == (10.0, "x")  # blocked write left no trace
+    # a constraint the CURRENT data violates refuses to attach
+    with pytest.raises(ValueError, match="amount_big"):
+        txtable_sql(
+            spark,
+            f"ALTER TABLE txtable.`{t}` ADD CONSTRAINT amount_big "
+            "CHECK (amount > 1000)",
+        )
+    assert txtable_sql(
+        spark, f"ALTER TABLE txtable.`{t}` DROP CONSTRAINT amount_pos"
+    ) is True
+    assert txtable_sql(
+        spark, f"ALTER TABLE txtable.`{t}` DROP CONSTRAINT amount_pos"
+    ) is False
+    txtable_sql(spark, f"UPDATE txtable.`{t}` SET amount = -1.0 WHERE id = 1")
+    assert _rows(spark, t)[1] == (-1.0, "x")
