@@ -392,6 +392,49 @@ def txtable_sql(spark: SparkSession, sql: str) -> DataFrame | int | None:
         return txtable_history(spark, m.group("path"))
 
     m = re.match(
+        rf"DESCRIBE{_WS}DETAIL{_WS}{_TBL}$", text, re.IGNORECASE
+    )
+    if m:
+        # Delta's DESCRIBE DETAIL: one metadata dict for the current
+        # snapshot — manifest-only plus one fs stat pass over the live
+        # file refs (metadata-sized at any table size).
+        from .txlog import (
+            _hadoop_fs,
+            _latest_manifest,
+            table_constraints,
+        )
+
+        path = m.group("path")
+        man = _latest_manifest(spark, path)
+        if man is None:
+            raise FileNotFoundError(f"no committed txtable at {path}")
+        fs, root = _hadoop_fs(spark, path)
+        jvm = spark._jvm
+        num_files = 0
+        size_bytes = 0
+        for rels in man["buckets"].values():
+            for rel in rels:
+                p = jvm.org.apache.hadoop.fs.Path(root, rel)
+                num_files += 1
+                size_bytes += int(fs.getFileStatus(p).getLen())
+        return {
+            "location": path,
+            "version": man["version"],
+            "key": man["key"],
+            "num_buckets": man["num_buckets"],
+            "num_files": num_files,
+            "size_bytes": size_bytes,
+            "num_rows": sum(
+                int(v) for v in man.get("row_counts", {}).values()
+            ),
+            "stats_columns": man.get("stats_columns", []),
+            "bloom_columns": man.get("bloom_columns", []),
+            "table_features": man.get("requires", []),
+            "constraints": table_constraints(spark, path),
+            "committed_at_ms": man.get("committed_at_ms"),
+        }
+
+    m = re.match(
         rf"OPTIMIZE{_WS}{_TBL}"
         rf"(?:{_WS}ZORDER{_WS}BY{_WS}\((?P<cols>[^)]+)\))?$",
         text,
@@ -504,7 +547,8 @@ def txtable_sql(spark: SparkSession, sql: str) -> DataFrame | int | None:
     raise UnsupportedSqlError(
         f"not a recognized txtable statement: {text[:120]!r}. Supported: "
         "MERGE INTO / UPDATE / DELETE FROM / RESTORE TABLE / VACUUM / OPTIMIZE / "
-        "DESCRIBE HISTORY / ALTER TABLE ... ADD|DROP COLUMN / "
+        "DESCRIBE HISTORY / DESCRIBE DETAIL / "
+        "ALTER TABLE ... ADD|DROP COLUMN / "
         "ALTER TABLE ... ADD CONSTRAINT name CHECK (pred) | DROP CONSTRAINT / "
         "CREATE TABLE ... [SHALLOW|DEEP] CLONE, each with "
         "txtable.`<path>` table refs"

@@ -379,3 +379,23 @@ def test_sql_add_and_drop_constraint(spark, t):
     ) is False
     txtable_sql(spark, f"UPDATE txtable.`{t}` SET amount = -1.0 WHERE id = 1")
     assert _rows(spark, t)[1] == (-1.0, "x")
+
+
+def test_sql_describe_detail(spark, t):
+    """DESCRIBE DETAIL returns the current snapshot's metadata dict —
+    manifest facts plus one fs stat pass over the live file refs."""
+    txtable_sql(
+        spark,
+        f"ALTER TABLE txtable.`{t}` ADD CONSTRAINT pos CHECK (amount >= 0)",
+    )
+    d = txtable_sql(spark, f"DESCRIBE DETAIL txtable.`{t}`")
+    assert d["location"] == t
+    assert d["key"] == "id" and d["num_buckets"] == 4
+    assert d["num_rows"] == 8
+    assert d["num_files"] >= 1 and d["size_bytes"] > 0
+    assert d["constraints"] == {"pos": "amount >= 0"}
+    assert d["version"] == len(txtable_history(spark, t)) - 1
+    # metadata tracks DML: a delete drops the row count
+    txtable_sql(spark, f"DELETE FROM txtable.`{t}` WHERE id > 6")
+    d2 = txtable_sql(spark, f"DESCRIBE DETAIL txtable.`{t}`")
+    assert d2["num_rows"] == 6 and d2["version"] == d["version"] + 1
