@@ -39,6 +39,7 @@ bucket-pruned verb it names.
 
 from __future__ import annotations
 
+import os
 import re
 import uuid
 
@@ -544,12 +545,35 @@ def txtable_sql(spark: SparkSession, sql: str) -> DataFrame | int | None:
             spark, m.group("src"), m.group("dst"), version=version
         )
 
+    m = re.match(
+        rf"CREATE{_WS}TABLE{_WS}txtable\.`(?P<dst>[^`]+)`"
+        rf"(?:{_WS}KEY{_WS}(?P<key>`[^`]+`|\w+))?"
+        rf"(?:{_WS}BUCKETS{_WS}(?P<nb>\d+))?"
+        rf"{_WS}AS{_WS}(?P<sel>(?:SELECT|WITH)\b.+)$",
+        text,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if m:
+        # CTAS: materialize the SELECT (txtable refs, time travel, and
+        # table_changes all resolve inside it) into a NEW txtable.
+        # KEY defaults to the result's first column; BUCKETS to 16.
+        dst = m.group("dst")
+        if os.path.exists(os.path.join(dst, "_commits")):
+            raise FileExistsError(f"txtable already exists at {dst}")
+        df = spark.sql(_rewrite_selects(spark, m.group("sel")))
+        key = (m.group("key") or df.columns[0]).strip("`")
+        return txlog_upsert(
+            spark, df, dst, key=key,
+            num_buckets=int(m.group("nb") or 16),
+        )
+
     raise UnsupportedSqlError(
         f"not a recognized txtable statement: {text[:120]!r}. Supported: "
         "MERGE INTO / UPDATE / DELETE FROM / RESTORE TABLE / VACUUM / OPTIMIZE / "
         "DESCRIBE HISTORY / DESCRIBE DETAIL / "
         "ALTER TABLE ... ADD|DROP COLUMN / "
         "ALTER TABLE ... ADD CONSTRAINT name CHECK (pred) | DROP CONSTRAINT / "
-        "CREATE TABLE ... [SHALLOW|DEEP] CLONE, each with "
+        "CREATE TABLE ... [SHALLOW|DEEP] CLONE / "
+        "CREATE TABLE ... [KEY k] [BUCKETS n] AS SELECT, each with "
         "txtable.`<path>` table refs"
     )

@@ -399,3 +399,33 @@ def test_sql_describe_detail(spark, t):
     txtable_sql(spark, f"DELETE FROM txtable.`{t}` WHERE id > 6")
     d2 = txtable_sql(spark, f"DESCRIBE DETAIL txtable.`{t}`")
     assert d2["num_rows"] == 6 and d2["version"] == d["version"] + 1
+
+
+def test_sql_ctas(spark, t, tmp_path):
+    """CREATE TABLE ... [KEY k] [BUCKETS n] AS SELECT materializes a
+    query (txtable refs and time travel resolve inside it) into a new
+    txtable; existing destinations refuse."""
+    dst = str(tmp_path / "ctas")
+    n = txtable_sql(
+        spark,
+        f"CREATE TABLE txtable.`{dst}` KEY id BUCKETS 2 AS "
+        f"SELECT id, amount * 2 AS amount FROM txtable.`{t}` WHERE id <= 4",
+    )
+    assert n == 4
+    got = {r.id: r.amount for r in read_txtable(spark, dst).collect()}
+    assert got == {1: 20.0, 2: 40.0, 3: 60.0, 4: 80.0}
+    # the new table takes DML like any other
+    assert txtable_sql(spark, f"DELETE FROM txtable.`{dst}` WHERE id = 1") == 1
+    with pytest.raises(FileExistsError):
+        txtable_sql(
+            spark,
+            f"CREATE TABLE txtable.`{dst}` AS SELECT 1 AS id",
+        )
+    # defaults: first column is the key; time-travel source works
+    dst2 = str(tmp_path / "ctas2")
+    txtable_sql(
+        spark,
+        f"CREATE TABLE txtable.`{dst2}` AS "
+        f"SELECT id, tag FROM txtable.`{t}` VERSION AS OF 0",
+    )
+    assert read_txtable(spark, dst2).count() == 8
