@@ -158,6 +158,59 @@ def _split_set_clause(text: str) -> dict[str, str]:
     return out
 
 
+_BETWEEN_LIT = r"(?:DATE\s+'[^']+'|'[^']*'|-?\d+(?:\.\d+)?)"
+_BETWEEN_RE = re.compile(
+    rf"(?P<col>`[^`]+`|\w+)\s+BETWEEN\s+(?P<lo>{_BETWEEN_LIT})"
+    rf"\s+AND\s+(?P<hi>{_BETWEEN_LIT})",
+    re.IGNORECASE,
+)
+
+
+def _between_lit(token: str):
+    """One OPTIMIZE-scope literal: DATE 'iso', 'string', int, float."""
+    if token.upper().startswith("DATE"):
+        import datetime as _dt
+
+        return _dt.date.fromisoformat(token.split("'")[1])
+    if token.startswith("'"):
+        return token[1:-1]
+    return float(token) if "." in token else int(token)
+
+
+def _parse_between_scope(scope: str) -> dict[str, tuple]:
+    """``col BETWEEN a AND b [AND col2 BETWEEN c AND d ...]`` → the
+    ``prune_between`` dict ``compact_txtable`` scopes with. Only
+    BETWEEN conjunctions are accepted — the scope maps onto zone maps,
+    so arbitrary predicates would be silently unenforceable."""
+    out: dict[str, tuple] = {}
+    pos = 0
+    scope = scope.strip()
+    while pos < len(scope):
+        while pos < len(scope) and scope[pos].isspace():
+            pos += 1
+        m = _BETWEEN_RE.match(scope, pos)
+        if not m:
+            raise UnsupportedSqlError(
+                f"OPTIMIZE ... WHERE supports only conjunctions of "
+                f"`col BETWEEN lit AND lit` (zone-map-scopeable); got "
+                f"{scope[pos:][:60]!r}"
+            )
+        out[m.group("col").strip("`")] = (
+            _between_lit(m.group("lo")),
+            _between_lit(m.group("hi")),
+        )
+        pos = m.end()
+        rest = scope[pos:].lstrip()
+        if not rest:
+            break
+        if not rest.upper().startswith("AND "):
+            raise UnsupportedSqlError(
+                f"OPTIMIZE ... WHERE clauses join with AND; got {rest[:40]!r}"
+            )
+        pos = len(scope) - len(rest) + 4
+    return out
+
+
 _TBL_REF = re.compile(
     r"txtable\.`(?P<path>[^`]+)`"
     r"(?:\s+VERSION\s+AS\s+OF\s+(?P<ver>\d+)"
@@ -437,9 +490,10 @@ def txtable_sql(spark: SparkSession, sql: str) -> DataFrame | int | None:
 
     m = re.match(
         rf"OPTIMIZE{_WS}{_TBL}"
+        rf"(?:{_WS}WHERE{_WS}(?P<scope>.+?))?"
         rf"(?:{_WS}ZORDER{_WS}BY{_WS}\((?P<cols>[^)]+)\))?$",
         text,
-        re.IGNORECASE,
+        re.IGNORECASE | re.DOTALL,
     )
     if m:
         from .txlog import compact_txtable
@@ -448,7 +502,16 @@ def txtable_sql(spark: SparkSession, sql: str) -> DataFrame | int | None:
         zorder = (
             [c.strip().strip("`") for c in cols.split(",")] if cols else None
         )
-        return compact_txtable(spark, m.group("path"), zorder_by=zorder)
+        return compact_txtable(
+            spark,
+            m.group("path"),
+            zorder_by=zorder,
+            prune_between=(
+                _parse_between_scope(m.group("scope"))
+                if m.group("scope")
+                else None
+            ),
+        )
 
     m = re.match(
         rf"ALTER{_WS}TABLE{_WS}{_TBL}{_WS}ADD{_WS}COLUMN"

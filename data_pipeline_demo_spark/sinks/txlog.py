@@ -1328,6 +1328,78 @@ def _version_at_timestamp(
     return candidates[-1]
 
 
+def _zonemap_overlapping_buckets(
+    manifest: dict,
+    prune_between: dict[str, tuple],
+    live: list[str],
+    root_path: str,
+) -> list[str]:
+    """Buckets from ``live`` whose zone maps MAY overlap every
+    ``{col: (lo, hi)}`` window — the manifest-level range pruning shared
+    by ``read_txtable(prune_between=...)`` and the predicate-scoped
+    ``compact_txtable(prune_between=...)``. Validates that every probed
+    column has declared stats and that bounds are comparable; buckets
+    without recorded stats are conservatively kept."""
+    recorded = set(manifest.get("stats_columns", []))
+    missing = set(prune_between) - recorded
+    if missing:
+        raise ValueError(
+            f"txtable {root_path} has no zone maps for {sorted(missing)}; "
+            f"stats_columns={sorted(recorded)} (fixed at table creation)"
+        )
+    import datetime as _dt
+    import decimal as _dec
+
+    _ok_bounds = (int, float, str, bool, _dt.date, _dt.datetime, _dec.Decimal)
+    for c, (lo, hi) in prune_between.items():
+        for v in (lo, hi):
+            if v is not None and not isinstance(v, _ok_bounds):
+                raise ValueError(
+                    f"prune_between bound for {c!r} has type "
+                    f"{type(v).__name__}, which is not comparable with "
+                    "zone-map stats; pass a numeric/string/bool/date/"
+                    "datetime/Decimal value"
+                )
+    stats = manifest.get("bucket_stats", {})
+
+    def overlaps(b: str) -> bool:
+        st = stats.get(b)
+        if st is None:
+            return True  # no stats recorded: must keep
+        for c, (lo, hi) in prune_between.items():
+            mn, mx = st.get(c, [None, None])
+            if mn is None or mx is None:
+                continue  # all-null bucket column: keep
+            # stats were JSON-serialized through _stat_value (dates
+            # etc. → ISO strings); coerce the caller's bounds the
+            # same way so both sides always compare like-for-like
+            dec_bound = any(
+                isinstance(v, _dec.Decimal)
+                for v in (lo, hi)
+                if v is not None
+            )
+            lo_s, hi_s = _stat_value(lo), _stat_value(hi)
+            try:
+                if lo_s is not None:
+                    mx_c, lo_c = _stat_cmp_pair(mx, lo_s, dec_bound)
+                    if mx_c < lo_c:
+                        return False
+                if hi_s is not None:
+                    mn_c, hi_c = _stat_cmp_pair(mn, hi_s, dec_bound)
+                    if mn_c > hi_c:
+                        return False
+            except TypeError:
+                raise ValueError(
+                    f"prune_between bound for {c!r} ({type(lo or hi).__name__}) "
+                    f"is not comparable with the stored zone-map stats "
+                    f"({type(mn).__name__}); pass the column's native "
+                    "numeric/string type or a date/decimal value"
+                ) from None
+        return True
+
+    return [b for b in live if overlaps(b)]
+
+
 def read_txtable(
     spark: SparkSession,
     root_path: str,
@@ -1388,66 +1460,9 @@ def read_txtable(
     live = sorted(manifest["buckets"], key=int)
     predicate = None
     if prune_between:
-        recorded = set(manifest.get("stats_columns", []))
-        missing = set(prune_between) - recorded
-        if missing:
-            raise ValueError(
-                f"txtable {root_path} has no zone maps for {sorted(missing)}; "
-                f"stats_columns={sorted(recorded)} (fixed at table creation)"
-            )
-        import datetime as _dt
-        import decimal as _dec
-
-        _ok_bounds = (int, float, str, bool, _dt.date, _dt.datetime, _dec.Decimal)
-        for c, (lo, hi) in prune_between.items():
-            for v in (lo, hi):
-                if v is not None and not isinstance(v, _ok_bounds):
-                    raise ValueError(
-                        f"prune_between bound for {c!r} has type "
-                        f"{type(v).__name__}, which is not comparable with "
-                        "zone-map stats; pass a numeric/string/bool/date/"
-                        "datetime/Decimal value"
-                    )
-        stats = manifest.get("bucket_stats", {})
-
-        def overlaps(b: str) -> bool:
-            st = stats.get(b)
-            if st is None:
-                return True  # no stats recorded: must keep
-            for c, (lo, hi) in prune_between.items():
-                mn, mx = st.get(c, [None, None])
-                if mn is None or mx is None:
-                    continue  # all-null bucket column: keep
-                # stats were JSON-serialized through _stat_value (dates
-                # etc. → ISO strings); coerce the caller's bounds the
-                # same way so both sides always compare like-for-like
-                import decimal as _dec
-
-                dec_bound = any(
-                    isinstance(v, _dec.Decimal)
-                    for v in (lo, hi)
-                    if v is not None
-                )
-                lo_s, hi_s = _stat_value(lo), _stat_value(hi)
-                try:
-                    if lo_s is not None:
-                        mx_c, lo_c = _stat_cmp_pair(mx, lo_s, dec_bound)
-                        if mx_c < lo_c:
-                            return False
-                    if hi_s is not None:
-                        mn_c, hi_c = _stat_cmp_pair(mn, hi_s, dec_bound)
-                        if mn_c > hi_c:
-                            return False
-                except TypeError:
-                    raise ValueError(
-                        f"prune_between bound for {c!r} ({type(lo or hi).__name__}) "
-                        f"is not comparable with the stored zone-map stats "
-                        f"({type(mn).__name__}); pass the column's native "
-                        "numeric/string type or a date/decimal value"
-                    ) from None
-            return True
-
-        live = [b for b in live if overlaps(b)]
+        live = _zonemap_overlapping_buckets(
+            manifest, prune_between, live, root_path
+        )
         for c, (lo, hi) in prune_between.items():
             cond = F.lit(True)
             if lo is not None:
@@ -2824,6 +2839,7 @@ def compact_txtable(
     target_file_bytes: int = 128 * 1024 * 1024,
     min_files: int = 2,
     zorder_by: list[str] | None = None,
+    prune_between: dict[str, tuple] | None = None,
 ) -> int:
     """OPTIMIZE for the log-backed table: rewrite buckets whose file
     count exceeds what their byte size warrants into size-appropriate
@@ -2842,6 +2858,14 @@ def compact_txtable(
     min/max scaling comes from one per-bucket aggregate row, and the
     Z-value never persists (``sinks/layout.py`` machinery).
 
+    ``prune_between={col: (lo, hi)}`` SCOPES the pass (Delta's
+    ``OPTIMIZE ... WHERE`` shape): only buckets whose zone maps may
+    overlap every window are candidates — on a 100 TB table you
+    compact the hot date band, never the world. Purely a scoping hint:
+    compaction is layout-only, so restricting it never affects
+    correctness; buckets without recorded stats conservatively stay
+    in scope.
+
     Pairs with the streaming bridge: micro-batch commits accumulate
     small files per touched bucket; run this on a maintenance cadence
     and vacuum afterwards.
@@ -2853,8 +2877,17 @@ def compact_txtable(
     jvm = spark._jvm
     fs, root = _hadoop_fs(spark, root_path)
     dv_buckets = set(manifest.get("bucket_dvs", {}))
+    scope = set(manifest["buckets"])
+    if prune_between:
+        scope = set(
+            _zonemap_overlapping_buckets(
+                manifest, prune_between, sorted(scope, key=int), root_path
+            )
+        )
     todo: dict[str, list[str]] = {}
     for b, rels in manifest["buckets"].items():
+        if b not in scope:
+            continue
         if zorder_by or b in dv_buckets:
             # deletion-vector materialization: a DV-bearing bucket is
             # rewritten regardless of file count — compaction is the

@@ -429,3 +429,67 @@ def test_sql_ctas(spark, t, tmp_path):
         f"SELECT id, tag FROM txtable.`{t}` VERSION AS OF 0",
     )
     assert read_txtable(spark, dst2).count() == 8
+
+
+def test_sql_optimize_where_scopes_by_zone_maps(spark, tmp_path):
+    """OPTIMIZE ... WHERE col BETWEEN a AND b compacts ONLY buckets
+    whose zone maps may overlap the window (Delta's OPTIMIZE WHERE
+    shape) — the 100 TB maintenance lever: compact the hot band, not
+    the world."""
+    import json
+    from pathlib import Path
+
+    from data_pipeline_demo_spark.sinks.sql_dml import UnsupportedSqlError
+
+    from data_pipeline_demo_spark.sources.txtable_source import (
+        register_txtable_source,
+    )
+    from data_pipeline_demo_spark.sources.txtable_writer import write_txtable
+
+    register_txtable_source(spark)
+    root = str(tmp_path / "scoped")
+    # MERGE rewrites touched buckets to single files, so fragmentation
+    # comes from the python DSv2 APPEND path (one extra file per
+    # bucket per commit) — the streaming-bridge shape OPTIMIZE exists
+    # to clean up
+    df1 = spark.createDataFrame(
+        [(i, i) for i in range(100)], "id long, band long"
+    )
+    df2 = spark.createDataFrame(
+        [(i + 100, i + 100) for i in range(100)], "id long, band long"
+    )
+    txlog_upsert(spark, df1, root, key="id", num_buckets=8,
+                 stats_columns=["band"])
+    write_txtable(df2, root, key="id", num_buckets=8)
+    man = json.loads(
+        sorted(Path(root, "_commits").glob("*.json"))[-1].read_text()
+    )
+    frag = [b for b, rels in man["buckets"].items() if len(rels) > 1]
+    assert frag  # appends really fragmented buckets
+    # a window that excludes NOTHING scopes to all fragmented buckets
+    n_all = txtable_sql(
+        spark, f"OPTIMIZE txtable.`{root}` WHERE band BETWEEN 0 AND 500"
+    )
+    assert n_all == len(frag)
+    # refragment with fresh keys, then scope to a window covering NO
+    # bucket: no-op
+    df3 = spark.createDataFrame(
+        [(i + 200, i + 200) for i in range(100)], "id long, band long"
+    )
+    write_txtable(df3, root, key="id", num_buckets=8)
+    assert txtable_sql(
+        spark, f"OPTIMIZE txtable.`{root}` WHERE band BETWEEN 900 AND 999"
+    ) == 0
+    # arbitrary predicates refuse (zone maps can't enforce them)
+    with pytest.raises(UnsupportedSqlError, match="BETWEEN"):
+        txtable_sql(
+            spark, f"OPTIMIZE txtable.`{root}` WHERE band LIKE 'x%'"
+        )
+    # scoping composes with ZORDER
+    assert txtable_sql(
+        spark,
+        f"OPTIMIZE txtable.`{root}` WHERE band BETWEEN 0 AND 500 "
+        "ZORDER BY (band)",
+    ) >= 1
+    got = {r.id for r in read_txtable(spark, root).collect()}
+    assert got == set(range(300))  # rows untouched throughout
