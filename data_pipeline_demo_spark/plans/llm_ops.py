@@ -3412,3 +3412,27 @@ def q226_sql_cdc_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT o_orderkey, _change_type AS change_type, o_totalprice "
         f"FROM table_changes(txtable.`{root}`, 1)",
     )
+
+
+@register("q227_dtw_topk")
+def q227_dtw_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k DTW similarity search over per-user event-value sequences
+    (rows-only: banded dynamic time warping is not SQL-expressible —
+    the pruned≡brute-force equality and the LB≤DTW invariant are
+    pytest-certified instead, tests/test_trajsim.py). The retrieved
+    corpus plants this family (REPOSE ICDE'21 distributed top-k
+    trajectory similarity; EDBT'20 incremental top-k): per-user series
+    resample onto a fixed grid, the probe's LB_Keogh envelope prunes
+    map-only, exact DTW runs only on candidates the bound cannot
+    exclude, and the result is exact by the τ-certificate
+    (operators/trajsim.py).
+
+    Scale: one entity-grain groupBy + two map-only Arrow passes + two
+    TakeOrderedAndProject top-k's; DTW cost is confined to the bound's
+    survivors, never all pairs."""
+    from ..operators.trajsim import dtw_topk, entity_sequences
+
+    ev = table(spark, sf_dir, "events")
+    seqs = entity_sequences(ev, length=48, min_points=4)
+    probe = seqs.agg(F.min("entity").alias("p")).collect()[0]["p"]
+    return dtw_topk(seqs, probe_entity=probe, k=10, band=6)

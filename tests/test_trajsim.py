@@ -1,0 +1,113 @@
+"""Top-k DTW similarity search (operators/trajsim.py): hand-computed
+DTW cases, the LB_Keogh ≤ DTW invariant the pruning's exactness rests
+on, and the certified prune ≡ brute force equality."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from data_pipeline_demo_spark.operators.trajsim import (
+    dtw_distance,
+    dtw_topk,
+    entity_sequences,
+    lb_keogh,
+)
+
+
+def test_dtw_hand_cases():
+    assert dtw_distance([1, 2, 3], [1, 2, 3], band=1) == 0.0
+    # constant offset, band irrelevant: each aligned step pays 1
+    assert dtw_distance([0, 0, 0], [1, 1, 1], band=1) == 3.0
+    # warping absorbs a shift a plain L1 would pay for:
+    # dtw([1,2,3,3],[1,1,2,3]) aligns 1->(1,1), (3,3)->3
+    assert dtw_distance([1, 2, 3, 3], [1, 1, 2, 3], band=2) == 0.0
+    # band=1 forbids the warp the band=3 path uses
+    wide = dtw_distance([0, 5, 0, 0, 0], [0, 0, 0, 5, 0], band=4)
+    narrow = dtw_distance([0, 5, 0, 0, 0], [0, 0, 0, 5, 0], band=1)
+    assert wide < narrow
+
+
+def test_lb_keogh_is_a_lower_bound():
+    rng = np.random.default_rng(3)
+    for _ in range(200):
+        n = 32
+        band = int(rng.integers(1, 9))
+        q = rng.normal(size=n).cumsum()
+        c = rng.normal(size=n).cumsum()
+        lb = lb_keogh(q, c, band)
+        d = dtw_distance(q, c, band)
+        assert lb <= d + 1e-9, (band, lb, d)
+
+
+def test_lb_keogh_zero_inside_envelope():
+    q = [0.0, 1.0, 2.0, 3.0]
+    assert lb_keogh(q, [0.5, 1.5, 2.5, 2.5], band=1) == 0.0
+
+
+def test_entity_sequences_resample_contract(spark):
+    import datetime as dt
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 0, 0, s), float(s)) for s in range(10)
+    ] + [(2, dt.datetime(2024, 1, 1), 7.0)]  # single point: drops
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    seqs = entity_sequences(df, length=16)
+    got = {r["entity"]: r["seq"] for r in seqs.collect()}
+    assert set(got) == {1}
+    s = got[1]
+    assert len(s) == 16
+    # linear ramp resamples to a linear ramp
+    assert s[0] == pytest.approx(0.0) and s[-1] == pytest.approx(9.0)
+    diffs = np.diff(s)
+    assert np.allclose(diffs, diffs[0])
+
+
+def test_dtw_topk_equals_bruteforce(spark):
+    """The certified prune returns EXACTLY the brute-force top-k
+    (distance, entity) ranking — the pruning never costs recall."""
+    rng = np.random.default_rng(11)
+    L, n_ent, band, k = 32, 40, 4, 7
+    base = rng.normal(size=L).cumsum()
+    rows = []
+    for e in range(n_ent):
+        noise = rng.normal(scale=0.1 + (e % 10) * 0.35, size=L)
+        seq = (base + noise).tolist()
+        rows.append((e, seq))
+    seqs = spark.createDataFrame(rows, "entity long, seq array<double>")
+    got = [
+        (r["entity"], r["dtw"])
+        for r in dtw_topk(seqs, probe_entity=0, k=k, band=band).collect()
+    ]
+    probe = rows[0][1]
+    brute = sorted(
+        (round(dtw_distance(probe, seq, band), 6), e)
+        for e, seq in rows
+        if e != 0
+    )[:k]
+    assert got == [(e, d) for d, e in brute]
+
+
+def test_dtw_topk_fewer_candidates_than_k(spark):
+    seqs = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [1.0, 1.0]), (3, [5.0, 5.0])],
+        "entity long, seq array<double>",
+    )
+    got = dtw_topk(seqs, probe_entity=1, k=10, band=1).collect()
+    assert [(r["entity"], r["dtw"], r["rk"]) for r in got] == [
+        (2, 2.0, 1), (3, 10.0, 2),
+    ]
+    with pytest.raises(ValueError, match="no sequence"):
+        dtw_topk(seqs, probe_entity=99, k=2, band=1)
+
+
+def test_dtw_topk_plan_has_no_global_window_or_cartesian(spark):
+    seqs = spark.createDataFrame(
+        [(e, [float(e), float(e + 1)]) for e in range(20)],
+        "entity long, seq array<double>",
+    )
+    df = dtw_topk(seqs, probe_entity=0, k=3, band=1)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan  # top-k, not a global sort
