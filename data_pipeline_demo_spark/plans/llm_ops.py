@@ -3436,3 +3436,45 @@ def q227_dtw_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     seqs = entity_sequences(ev, length=48, min_points=4)
     probe = seqs.agg(F.min("entity").alias("p")).collect()[0]["p"]
     return dtw_topk(seqs, probe_entity=probe, k=10, band=6)
+
+
+_DUCK_SENTIMENT = """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+    ), scored AS (
+      SELECT doc_id,
+             CAST(2 * len(list_filter(tk, x -> x = 'fast'))
+                - 2 * len(list_filter(tk, x -> x = 'slow'))
+                + 1 * len(list_filter(tk, x -> x = 'big'))
+                - 1 * len(list_filter(tk, x -> x = 'small'))
+                - 3 * len(list_filter(tk, x -> x = 'dup'))
+               AS BIGINT) AS sentiment_score
+      FROM toks
+    )
+    SELECT doc_id, sentiment_score,
+           CASE WHEN sentiment_score > 0 THEN 'positive'
+                WHEN sentiment_score < 0 THEN 'negative'
+                ELSE 'neutral' END AS sentiment
+    FROM scored
+"""
+
+
+@register("q228_lexicon_sentiment", oracle=_DUCK_SENTIMENT)
+def q228_lexicon_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon sentiment over the corpus under the value-exact oracle
+    (the EDBT'16 Spark-sentiment shape, distributed the map-only way):
+    integer word weights score every document in ONE codegen
+    expression pass — ``size(filter(tokens, = word))`` per lexicon
+    word, no explode, no shuffle, no Python — and the label is the
+    score's sign. The oracle replays the same token filters as DuckDB
+    list lambdas: integer scores hash engine-exact.
+
+    Scale: the ≤64-word lexicon tier is a pure scan-stream expression
+    (the filter you run inline at ingest); AFINN-scale lexicons switch
+    to explode + broadcast join + grouped sum inside the same operator
+    (equality of the two strategies is pytest-certified)."""
+    from ..operators.textstats import lexicon_sentiment
+
+    docs = table(spark, sf_dir, "documents")
+    lex = {"fast": 2, "slow": -2, "big": 1, "small": -1, "dup": -3}
+    return lexicon_sentiment(docs, lex)

@@ -1598,3 +1598,40 @@ def test_gopher_flags_edges(spark):
     assert got[3]["flag_symbol_ratio"] == 0
     assert got[4]["flag_alpha_words"] == 0
     assert got[4]["flag_stopwords"] == 1  # 'the' + 'of' distinct hits
+
+
+def test_lexicon_sentiment_strategies_equal_and_hand_case(spark):
+    """The pure-expression tier and the explode+broadcast-join tier
+    produce IDENTICAL results (zero-hit docs included), and a
+    hand-scored example pins the semantics."""
+    from data_pipeline_demo_spark.operators.textstats import (
+        lexicon_sentiment,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "fast fast slow big"),      # 2+2-2+1 = 3 -> positive
+            (2, "slow slow dup"),           # -2-2-3 = -7 -> negative
+            (3, "table scan join"),         # 0 -> neutral
+            (4, "fast slow"),               # 0 -> neutral
+        ],
+        "doc_id long, text string",
+    )
+    lex = {"fast": 2, "slow": -2, "big": 1, "small": -1, "dup": -3}
+    expr = lexicon_sentiment(docs, lex, expr_max_words=64)
+    joined = lexicon_sentiment(docs, lex, expr_max_words=1)  # force join
+    want = {
+        1: (3, "positive"), 2: (-7, "negative"),
+        3: (0, "neutral"), 4: (0, "neutral"),
+    }
+    for df in (expr, joined):
+        got = {
+            r["doc_id"]: (r["sentiment_score"], r["sentiment"])
+            for r in df.collect()
+        }
+        assert got == want
+    # plan shapes: the expression tier stays shuffle- and explode-free
+    plan = expr._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Generate" not in plan
+    jplan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in jplan and "Generate" in jplan
