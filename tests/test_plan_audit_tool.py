@@ -169,3 +169,58 @@ def test_subquery_sections_parse_as_separate_trees():
         "+- *(1) Scan parquet [x, y]\n"
     )
     assert audit_plan(plan) == ["unpartitioned_window"]
+
+
+def _render(tree, prefix="", is_root=True):
+    """Render a nested-tuple tree (text, [children]) exactly the way
+    Spark's explain draws it: children prefixed ``:-`` (when a later
+    sibling follows) or ``+-`` (last child), continuation columns
+    ``:  `` / ``   ``."""
+    text, children = tree
+    lines = [prefix + text if is_root else text]
+    for i, ch in enumerate(children):
+        last = i == len(children) - 1
+        head = prefix + ("+- " if last else ":- ")
+        cont = prefix + ("   " if last else ":  ")
+        sub = _render(ch, cont, is_root=False)
+        lines.append(head + sub[0])
+        lines.extend(sub[1:])
+    return lines
+
+
+def test_parser_recovers_parents_on_random_trees():
+    """Property: for random trees rendered with the explain drawing
+    rules, _parse_tree recovers every parent index exactly."""
+    import random
+
+    rng = random.Random(7)
+    for trial in range(50):
+        counter = [0]
+
+        def make(depth):
+            counter[0] += 1
+            name = f"Op{counter[0]} [c{counter[0]}]"
+            kids = []
+            if depth < 4:
+                for _ in range(rng.randint(0, 3 if depth < 2 else 2)):
+                    kids.append(make(depth + 1))
+            return (name, kids)
+
+        tree = make(0)
+        plan = "\n".join(_render(tree))
+        nodes = _parse_tree(plan)
+        # rebuild expected parent relation by walking the tuple tree in
+        # the same pre-order the renderer emits
+        expected = []
+
+        def walk(t, parent):
+            idx = len(expected)
+            expected.append(parent)
+            for ch in t[1]:
+                walk(ch, idx)
+
+        walk(tree, -1)
+        assert [p for _, p, _ in nodes] == expected, f"trial {trial}\n{plan}"
+        assert [t.split(" ")[0] for _, _, t in nodes] == [
+            f"Op{i + 1}" for i in range(len(expected))
+        ]
