@@ -207,9 +207,12 @@ def dtw_topk(
     # phase 2: exact DTW on the k lowest-LB seeds -> tau (1-row agg)
     seeds = with_lb.orderBy(F.col("lb").asc(), F.col("entity").asc()).limit(k)
     seed_d = seeds.select(dtw_udf("seq").alias("d"))
-    tau_row = seed_d.orderBy(F.col("d").asc()).limit(k).agg(
-        F.max("d").alias("tau")
-    ).collect()[0]
+    tau_row = seed_d.agg(F.max("d").alias("tau")).collect()[0]
+    if tau_row["tau"] is None:  # probe is the only sequence
+        return seqs.sparkSession.createDataFrame(
+            [], "entity " + dict(seqs.dtypes)["entity"] + ", dtw double, "
+            "rk bigint"
+        )
     tau = float(tau_row["tau"])
     # phase 3: DTW only where the bound cannot certify exclusion
     survivors = with_lb.filter(F.col("lb") <= F.lit(tau))

@@ -39,7 +39,6 @@ bucket-pruned verb it names.
 
 from __future__ import annotations
 
-import os
 import re
 import uuid
 
@@ -223,7 +222,7 @@ _TBL_REF = re.compile(
 # optional PREIMAGES flag switches updates to the two-row
 # update_preimage/update_postimage shape.
 _CHANGES_REF = re.compile(
-    r"table_changes\s*\(\s*txtable\.`(?P<path>[^`]+)`\s*,\s*"
+    r"\btable_changes\s*\(\s*txtable\.`(?P<path>[^`]+)`\s*,\s*"
     r"(?P<frm>\d+|'[^']+')"
     r"(?:\s*,\s*(?P<to>\d+|'[^']+'))?"
     r"(?:\s*,\s*(?P<pre>PREIMAGES))?\s*\)",
@@ -620,8 +619,13 @@ def txtable_sql(spark: SparkSession, sql: str) -> DataFrame | int | None:
         # CTAS: materialize the SELECT (txtable refs, time travel, and
         # table_changes all resolve inside it) into a NEW txtable.
         # KEY defaults to the result's first column; BUCKETS to 16.
+        # Existence goes through the manifest reader (scheme-agnostic —
+        # an os.path check would miss non-local tables and silently
+        # MERGE into them).
+        from .txlog import _latest_manifest
+
         dst = m.group("dst")
-        if os.path.exists(os.path.join(dst, "_commits")):
+        if _latest_manifest(spark, dst) is not None:
             raise FileExistsError(f"txtable already exists at {dst}")
         df = spark.sql(_rewrite_selects(spark, m.group("sel")))
         key = (m.group("key") or df.columns[0]).strip("`")
