@@ -15,6 +15,11 @@ the same statements they would against Delta:
     MERGE INTO txtable.`/path/t` AS t USING src ON t.id = src.id
         WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *
         [WHEN NOT MATCHED BY SOURCE [AND <pred>] THEN DELETE]
+    INSERT INTO txtable.`/path/t` [(col, ...)] VALUES (...), (...)
+    INSERT INTO txtable.`/path/t` [(col, ...)] SELECT ...
+    INSERT OVERWRITE txtable.`/path/t` SELECT ...
+    CREATE TABLE txtable.`/path/t` (a BIGINT, b STRING)
+        [KEY a] [BUCKETS n] [STATS (col, ...)] [BLOOM (col, ...)]
     UPDATE txtable.`/path/t` SET amount = amount * 2 WHERE id < 5
     DELETE FROM txtable.`/path/t` WHERE id = 3
     RESTORE TABLE txtable.`/path/t` TO VERSION AS OF 2
@@ -202,11 +207,117 @@ def _parse_between_scope(scope: str) -> dict[str, tuple]:
         rest = scope[pos:].lstrip()
         if not rest:
             break
-        if not rest.upper().startswith("AND "):
+        sep = re.match(r"AND\s+", rest, re.IGNORECASE)
+        if not sep:
             raise UnsupportedSqlError(
                 f"OPTIMIZE ... WHERE clauses join with AND; got {rest[:40]!r}"
             )
-        pos = len(scope) - len(rest) + 4
+        pos = len(scope) - len(rest) + sep.end()
+    return out
+
+
+def _require_unique_key(df: DataFrame, key: str, clause: str) -> None:
+    """Standard CTAS keeps every row; ``txlog_upsert`` keeps one
+    arbitrary row per key and collapses NULL keys. A CTAS over a
+    non-unique (or nullable) key column would therefore silently drop
+    rows — refuse loudly instead, pointing at the KEY clause. One
+    aggregate action over the already-materialized result: count(*) ==
+    count(key) rules out NULLs, count(key) == count_distinct(key) rules
+    out duplicates."""
+    from pyspark.sql import functions as F
+
+    if key not in df.columns:
+        raise UnsupportedSqlError(
+            f"{clause} KEY column {key!r} is not in the SELECT result "
+            f"columns {df.columns}"
+        )
+    total, nonnull, distinct = df.agg(
+        F.count(F.lit(1)), F.count(key), F.count_distinct(key)
+    ).first()
+    if nonnull != total:
+        raise UnsupportedSqlError(
+            f"{clause} key column {key!r} has {total - nonnull} NULL "
+            f"value(s); the table key must be non-null — pick a unique "
+            f"key with the KEY clause or filter NULLs in the SELECT"
+        )
+    if distinct != nonnull:
+        raise UnsupportedSqlError(
+            f"{clause} key column {key!r} is not unique ({nonnull} rows, "
+            f"{distinct} distinct keys) — materializing would keep one "
+            f"arbitrary row per key; pick a unique key with the KEY "
+            f"clause (it defaults to the SELECT's first column)"
+        )
+
+
+def _align_insert(
+    spark: SparkSession, df: DataFrame, man: dict, cols_clause: str | None
+) -> DataFrame:
+    """Standard-SQL INSERT column resolution against the table's
+    manifest schema: without a column list the source aligns by
+    POSITION (width must match); with one, listed columns bind by name
+    and every unlisted table column gets NULL (or its generated-column
+    expression). Source values cast up to the table type when the cast
+    is lossless (``_upcast_ok`` — covers VALUES literals like int→long
+    and decimal-literal→double); a lossy or incompatible type is left
+    for the writer's schema enforcement to refuse loudly."""
+    from pyspark.sql import functions as F
+
+    from .txlog import (
+        _apply_generated_columns,
+        _manifest_struct,
+        _upcast_ok,
+    )
+
+    tbl = _manifest_struct(man)
+    if tbl is None:  # legacy pre-schema-tracking manifest: append as-is
+        return df
+    # source columns bind by POSITION; their own names are often
+    # expression strings (`CAST(0.1 AS DOUBLE)`) whose dots/parens
+    # break name resolution — rename to safe positional handles first
+    df = df.toDF(*[f"_ins_src_{i}" for i in range(len(df.columns))])
+    fields = man["schema"]
+    names = [f["name"] for f in fields]
+    gen = man.get("generated_columns") or {}
+    if cols_clause is not None:
+        listed = [c.strip().strip("`") for c in cols_clause.split(",")]
+        unknown = [c for c in listed if c not in names]
+        if unknown:
+            raise UnsupportedSqlError(
+                f"INSERT column(s) {unknown} not in table schema {names}"
+            )
+        if len(listed) != len(df.columns):
+            raise UnsupportedSqlError(
+                f"INSERT names {len(listed)} column(s) but the source "
+                f"provides {len(df.columns)}"
+            )
+        src = dict(zip(listed, df.columns))
+    else:
+        insertable = [n for n in names if n not in gen]
+        if len(df.columns) != len(insertable):
+            raise UnsupportedSqlError(
+                f"INSERT source has {len(df.columns)} column(s) but the "
+                f"table takes {len(insertable)} ({insertable}); use an "
+                "explicit column list to insert a subset"
+            )
+        src = dict(zip(insertable, df.columns))
+    df_types = {
+        f["name"]: f["type"] for f in df.schema.jsonValue()["fields"]
+    }
+    exprs = []
+    for f in fields:
+        n, t = f["name"], f["type"]
+        if n in src:
+            c = F.col(src[n])
+            if df_types[src[n]] != t and _upcast_ok(df_types[src[n]], t):
+                c = c.cast(tbl[n].dataType)
+            exprs.append(c.alias(n))
+        elif n in gen:
+            continue  # computed below from its expression
+        else:
+            exprs.append(F.lit(None).cast(tbl[n].dataType).alias(n))
+    out = df.select(*exprs)
+    if gen:
+        out = _apply_generated_columns(spark, out, gen)
     return out
 
 
@@ -230,18 +341,28 @@ _CHANGES_REF = re.compile(
 )
 
 
-def _bound_version(spark: SparkSession, path: str, token: str) -> int:
+def _bound_version(
+    spark: SparkSession, path: str, token: str, side: str = "from"
+) -> int:
     """A table_changes bound: integer version, or a quoted ISO
-    timestamp resolved to the greatest version at or before it."""
+    timestamp. Timestamp resolution is ASYMMETRIC, mirroring Delta's
+    CDC contract: the FROM bound resolves to the earliest version
+    committed at or after the timestamp (changes committed AT OR AFTER
+    startingTimestamp — a ts falling between commits must exclude the
+    preceding commit), while the TO bound resolves to the greatest
+    version at or before it."""
     if token.startswith("'"):
         import datetime as _dt
 
-        from .txlog import _version_at_timestamp
+        from .txlog import _version_at_timestamp, _version_from_timestamp
 
         ts = _dt.datetime.fromisoformat(token[1:-1])
         if ts.tzinfo is None:
             ts = ts.replace(tzinfo=_dt.timezone.utc)
-        return _version_at_timestamp(spark, path, int(ts.timestamp() * 1000))
+        ts_ms = int(ts.timestamp() * 1000)
+        if side == "from":
+            return _version_from_timestamp(spark, path, ts_ms)
+        return _version_at_timestamp(spark, path, ts_ms)
     return int(token)
 
 
@@ -257,9 +378,9 @@ def _rewrite_selects(spark: SparkSession, text: str) -> str:
 
     def sub_changes(m: re.Match) -> str:
         path = m.group("path")
-        frm = _bound_version(spark, path, m.group("frm"))
+        frm = _bound_version(spark, path, m.group("frm"), side="from")
         to = (
-            _bound_version(spark, path, m.group("to"))
+            _bound_version(spark, path, m.group("to"), side="to")
             if m.group("to") is not None
             else None
         )
@@ -350,6 +471,64 @@ def txtable_sql(spark: SparkSession, sql: str) -> DataFrame | int | None:
                 where=where or "true",
                 mode="merge-on-read" if m.group("hint") else "copy-on-write",
             )
+
+    m = re.match(
+        rf"INSERT{_WS}(?P<ow>INTO|OVERWRITE){_WS}{_TBL}"
+        rf"(?:{_WS}?\((?P<cols>[^)]+)\){_WS}?|{_WS})"
+        rf"(?P<body>(?:SELECT|WITH|VALUES)\b.+)$",
+        text,
+        re.IGNORECASE,
+    )
+    if m:
+        # The single most common DML verb (and the reference's own
+        # ledger op, data_pipeline.py:241-261): a BLIND append through
+        # the bucket-aligned DSv2 write path — no matching pass, no
+        # key dedup (Delta's INSERT semantics; tables here have a
+        # bucketing key, not a uniqueness constraint). INSERT OVERWRITE
+        # replaces the snapshot (mode("overwrite") — time travel keeps
+        # the old versions). Returns the inserted row count.
+        from ..sources.txtable_source import register_txtable_source
+        from ..sources.txtable_writer import write_txtable
+        from .txlog import _latest_manifest
+
+        path = m.group("path")
+        man = _latest_manifest(spark, path)
+        if man is None:
+            raise FileNotFoundError(
+                f"no committed txtable at {path} — create it first with "
+                "CREATE TABLE txtable.`<path>` (<schema>) [KEY k] "
+                "[BUCKETS n], or CREATE TABLE ... AS SELECT"
+            )
+        body = m.group("body")
+        if re.match(r"VALUES\b", body, re.IGNORECASE):
+            df = spark.sql("SELECT * FROM " + body)
+        else:
+            df = spark.sql(_rewrite_selects(spark, body))
+        df = _align_insert(spark, df, man, m.group("cols"))
+        overwrite = m.group("ow").upper() == "OVERWRITE"
+        prev_rows = 0 if overwrite else sum(
+            int(v) for v in man.get("row_counts", {}).values()
+        ) - sum(int(v) for v in man.get("dv_counts", {}).values())
+        register_txtable_source(spark)
+        write_txtable(
+            df,
+            path,
+            key=man["key"],
+            num_buckets=int(man["num_buckets"]),
+            mode="overwrite" if overwrite else "append",
+            # _align_insert computed+validated any GENERATED ALWAYS AS
+            # columns already, so the writer-feature gate may lift
+            generated_handled=bool(man.get("generated_columns")),
+        )
+        # inserted count from manifest bookkeeping — no re-scan of the
+        # SELECT (an INSERT ... SELECT over a big source must not run
+        # twice just to report its count)
+        post = _latest_manifest(spark, path)
+        return (
+            sum(int(v) for v in post.get("row_counts", {}).values())
+            - sum(int(v) for v in post.get("dv_counts", {}).values())
+            - prev_rows
+        )
 
     m = re.match(
         rf"MERGE{_WS}INTO{_WS}{_TBL}(?:{_WS}AS{_WS}(?P<talias>\w+))?"
@@ -470,6 +649,18 @@ def txtable_sql(spark: SparkSession, sql: str) -> DataFrame | int | None:
                 p = jvm.org.apache.hadoop.fs.Path(root, rel)
                 num_files += 1
                 size_bytes += int(fs.getFileStatus(p).getLen())
+        # deletion vectors: row_counts is PHYSICAL bookkeeping (txlog.py
+        # contract: logical rows = row_counts − dv_counts), so a table
+        # with outstanding merge-on-read deletes must subtract them —
+        # and the DV files themselves are reported separately, not
+        # folded into the data-file census.
+        num_dv_files = 0
+        dv_size_bytes = 0
+        for rels in man.get("bucket_dvs", {}).values():
+            for rel in rels:
+                p = jvm.org.apache.hadoop.fs.Path(root, rel)
+                num_dv_files += 1
+                dv_size_bytes += int(fs.getFileStatus(p).getLen())
         return {
             "location": path,
             "version": man["version"],
@@ -479,7 +670,10 @@ def txtable_sql(spark: SparkSession, sql: str) -> DataFrame | int | None:
             "size_bytes": size_bytes,
             "num_rows": sum(
                 int(v) for v in man.get("row_counts", {}).values()
-            ),
+            )
+            - sum(int(v) for v in man.get("dv_counts", {}).values()),
+            "num_deletion_vector_files": num_dv_files,
+            "deletion_vector_size_bytes": dv_size_bytes,
             "stats_columns": man.get("stats_columns", []),
             "bloom_columns": man.get("bloom_columns", []),
             "table_features": man.get("requires", []),
@@ -629,18 +823,69 @@ def txtable_sql(spark: SparkSession, sql: str) -> DataFrame | int | None:
             raise FileExistsError(f"txtable already exists at {dst}")
         df = spark.sql(_rewrite_selects(spark, m.group("sel")))
         key = (m.group("key") or df.columns[0]).strip("`")
+        _require_unique_key(df, key, clause="CTAS")
         return txlog_upsert(
             spark, df, dst, key=key,
             num_buckets=int(m.group("nb") or 16),
         )
 
+    m = re.match(
+        rf"CREATE{_WS}TABLE{_WS}txtable\.`(?P<dst>[^`]+)`"
+        rf"{_WS}?\((?P<schema>.+?)\)"
+        rf"(?:{_WS}KEY{_WS}(?P<key>`[^`]+`|\w+))?"
+        rf"(?:{_WS}BUCKETS{_WS}(?P<nb>\d+))?"
+        rf"(?:{_WS}STATS{_WS}\((?P<stats>[^)]+)\))?"
+        rf"(?:{_WS}BLOOM{_WS}\((?P<bloom>[^)]+)\))?$",
+        text,
+        re.IGNORECASE,
+    )
+    if m:
+        # The empty-table case CTAS can't express: commit a version-0
+        # manifest with the declared schema and zero data files, so
+        # INSERT INTO / MERGE have a typed table to land in. The
+        # parenthesized schema is Spark DDL verbatim (`a BIGINT, b
+        # STRING`, nested types included). KEY defaults to the first
+        # column; BUCKETS to 16 (the CTAS default); optional STATS /
+        # BLOOM clauses set the creation-time zone-map / bloom-filter
+        # column lists.
+        from pyspark.sql.types import StructType
+
+        from .txlog import _latest_manifest
+
+        dst = m.group("dst")
+        if _latest_manifest(spark, dst) is not None:
+            raise FileExistsError(f"txtable already exists at {dst}")
+        try:
+            schema = StructType.fromDDL(m.group("schema"))
+        except Exception as e:
+            raise UnsupportedSqlError(
+                f"cannot parse CREATE TABLE schema "
+                f"{m.group('schema')!r}: {e}"
+            ) from e
+        key = (m.group("key") or schema.fieldNames()[0]).strip("`")
+        if key not in schema.fieldNames():
+            raise UnsupportedSqlError(
+                f"KEY column {key!r} is not in the declared schema "
+                f"{schema.fieldNames()}"
+            )
+        empty = spark.createDataFrame([], schema)
+        split = lambda s: [c.strip().strip("`") for c in s.split(",")]  # noqa: E731
+        return txlog_upsert(
+            spark, empty, dst, key=key,
+            num_buckets=int(m.group("nb") or 16),
+            stats_columns=split(m.group("stats")) if m.group("stats") else None,
+            bloom_columns=split(m.group("bloom")) if m.group("bloom") else None,
+        )
+
     raise UnsupportedSqlError(
         f"not a recognized txtable statement: {text[:120]!r}. Supported: "
+        "INSERT INTO|OVERWRITE ... VALUES|SELECT / "
         "MERGE INTO / UPDATE / DELETE FROM / RESTORE TABLE / VACUUM / OPTIMIZE / "
         "DESCRIBE HISTORY / DESCRIBE DETAIL / "
         "ALTER TABLE ... ADD|DROP COLUMN / "
         "ALTER TABLE ... ADD CONSTRAINT name CHECK (pred) | DROP CONSTRAINT / "
         "CREATE TABLE ... [SHALLOW|DEEP] CLONE / "
-        "CREATE TABLE ... [KEY k] [BUCKETS n] AS SELECT, each with "
+        "CREATE TABLE ... [KEY k] [BUCKETS n] AS SELECT / "
+        "CREATE TABLE ... (<DDL schema>) [KEY k] [BUCKETS n], each with "
         "txtable.`<path>` table refs"
     )

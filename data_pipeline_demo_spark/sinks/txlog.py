@@ -1328,6 +1328,35 @@ def _version_at_timestamp(
     return candidates[-1]
 
 
+def _version_from_timestamp(
+    spark: SparkSession, root_path: str, timestamp_ms: int
+) -> int:
+    """Earliest version committed at or after ``timestamp_ms`` — Delta's
+    CDC ``startingTimestamp`` resolution, the ASYMMETRIC twin of
+    :func:`_version_at_timestamp` (endingTimestamp keeps at-or-before).
+    A timestamp falling BETWEEN two commits must exclude the earlier
+    one: the change feed reads "changes committed at or after ts", and
+    the at-or-before resolution would wrongly include the preceding
+    commit's changes. Raises when the timestamp postdates the table's
+    last commit (Delta raises the same way)."""
+    jvm = spark._jvm
+    fs, root = _hadoop_fs(spark, root_path)
+    commits = jvm.org.apache.hadoop.fs.Path(root, COMMITS_DIR)
+    candidates = [
+        v
+        for v in _manifest_versions(fs, commits)
+        if _read_manifest(spark, root_path, v).get("committed_at_ms", 0)
+        >= timestamp_ms
+    ]
+    if not candidates:
+        raise ValueError(
+            f"no txtable commit at {root_path} at or after "
+            f"timestamp_ms={timestamp_ms} (starting timestamp is past "
+            f"the table's latest commit)"
+        )
+    return candidates[0]
+
+
 def _zonemap_overlapping_buckets(
     manifest: dict,
     prune_between: dict[str, tuple],
@@ -1566,20 +1595,24 @@ def read_txtable(
         _abs(root_path, rel) for b in live for rel in manifest["buckets"][b]
     ]
     if not files:
+        # a schema-bearing manifest with zero live data files is a
+        # valid snapshot (empty CREATE TABLE, or everything pruned):
+        # return the typed empty frame. Only a LEGACY schemaless
+        # manifest with no pruning context has nothing to type it with.
+        st = _manifest_struct(manifest)
+        if st is not None:  # empty frame, no IO at all
+            # JVM-side construction: createDataFrame([], st) pays
+            # ~0.35s of Python-side plan setup per call, which made
+            # the metadata-only fast path SLOWER than the scan it
+            # skips at small scale; range(0) + typed null casts is
+            # pure Catalyst (~ms), so pruning wins at every size
+            return spark.range(0).select(
+                *[
+                    F.lit(None).cast(f.dataType).alias(f.name)
+                    for f in st.fields
+                ]
+            )
         if prune_between or bloom_eq or bloom_in or prune_is_null:
-            st = _manifest_struct(manifest)
-            if st is not None:  # everything pruned: empty frame, no IO at all
-                # JVM-side construction: createDataFrame([], st) pays
-                # ~0.35s of Python-side plan setup per call, which made
-                # the metadata-only fast path SLOWER than the scan it
-                # skips at small scale; range(0) + typed null casts is
-                # pure Catalyst (~ms), so pruning wins at every size
-                return spark.range(0).select(
-                    *[
-                        F.lit(None).cast(f.dataType).alias(f.name)
-                        for f in st.fields
-                    ]
-                )
             schema_files = [
                 _abs(root_path, rel)
                 for b in sorted(manifest["buckets"], key=int)

@@ -773,6 +773,13 @@ def _resolve_table_spec(fs, root: str, options: dict, schema) -> dict:
     spec["http_claim"] = (
         (claim_url, claim_root) if claim_url is not None else None
     )
+    # generatedColumnsHandled: the caller attests it already COMPUTED
+    # and VALIDATED the table's GENERATED ALWAYS AS columns driver-side
+    # (the SQL INSERT front-end does, via _apply_generated_columns) —
+    # lifts the writer-feature gate below for that caller only
+    spec["generated_handled"] = str(
+        options.get("generatedcolumnshandled", "false")
+    ).lower() in ("1", "true", "yes")
     return spec
 
 
@@ -787,11 +794,17 @@ def _resolve_commit_schema(prev: dict | None, spec: dict, overwrite: bool):
     (pre-tracking) tables skip both. Raises ValueError on violation —
     before the manifest is claimed, so the staged files stay invisible
     and vacuum-able."""
-    if prev is not None and prev.get("generated_columns"):
+    if (
+        prev is not None
+        and prev.get("generated_columns")
+        and not spec.get("generated_handled")
+    ):
         # writer-feature gate (Delta's protocol-version behavior): this
         # write path sees only Arrow batches — it can neither compute
         # nor validate GENERATED ALWAYS AS expressions, and writing
-        # around them would corrupt the invariant they guarantee
+        # around them would corrupt the invariant they guarantee.
+        # The generatedColumnsHandled option lifts the gate for a
+        # front-end that computed+validated them driver-side already.
         raise ValueError(
             "table declares generated_columns="
             f"{sorted(prev['generated_columns'])}; the python DSv2 "
@@ -1277,6 +1290,7 @@ def write_txtable(
     stats_columns: list[str] | None = None,
     claim_base_url: str | None = None,
     claim_store_root: str | None = None,
+    generated_handled: bool = False,
 ) -> None:
     """Convenience writer that aligns the input's partitioning with the
     table's bucketing BEFORE the DataSource write. The DSv2 python API
@@ -1309,6 +1323,10 @@ def write_txtable(
     )
     if stats_columns:
         w = w.option("statsColumns", ",".join(stats_columns))
+    if generated_handled:
+        # caller attests generated columns were computed+validated
+        # driver-side (the SQL INSERT front-end) — see _write_spec
+        w = w.option("generatedColumnsHandled", "true")
     if claim_base_url is not None:
         if claim_store_root is None:
             raise ValueError(

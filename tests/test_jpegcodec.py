@@ -221,6 +221,44 @@ def test_pil_cross_decoder_parity():
         assert _rmse(ours, theirs) < 2.0
 
 
+@pytest.mark.skipif(not pil_available(), reason="PIL not installed")
+def test_pil_cross_decoder_parity_progressive():
+    """Advisor r9: the progressive (SOF2) path needs an INDEPENDENT
+    oracle too — hermetic encoder↔decoder bit-equality would pass a
+    shared Annex-G misreading. Both directions: (a) PIL decodes OUR
+    progressive bitstream; (b) our decoder reads a PIL/libjpeg-produced
+    progressive JPEG."""
+    import io
+
+    import PIL.Image
+
+    from data_pipeline_demo_spark.operators.jpegcodec import (
+        jpeg_encode_progressive,
+    )
+
+    img = _smooth(48, 32)
+    # (a) our progressive stream through libjpeg's decoder
+    for sub in ("444", "420"):
+        p = jpeg_encode_progressive(img, 48, 32, quality=90, subsampling=sub)
+        ours = jpeg_decode(p)[2]
+        theirs = np.asarray(
+            PIL.Image.open(io.BytesIO(p)).convert("RGB"), dtype=np.uint8
+        )
+        assert _rmse(ours, theirs) < 2.0
+    # (b) a libjpeg progressive stream through OUR decoder
+    buf = io.BytesIO()
+    PIL.Image.fromarray(img).save(
+        buf, format="JPEG", quality=90, progressive=True
+    )
+    w, h, pix = jpeg_decode(buf.getvalue())
+    assert (w, h) == (48, 32)
+    theirs = np.asarray(
+        PIL.Image.open(io.BytesIO(buf.getvalue())).convert("RGB"),
+        dtype=np.uint8,
+    )
+    assert _rmse(pix, theirs) < 2.0
+
+
 # ---------------------------------------------------------------------------
 # Spark pipeline over mixed PNG + JPEG payloads — the cross-format
 # near-dup case that motivates a perceptual (not byte) signature.
