@@ -60,6 +60,18 @@ _GATE_ROTATE_IN = (
     # dtypes (bigint/string/double only).
     "q222_quarantine_split",
     "q223_composite_index_lookup",
+    # Round-10 rotation (round-9 judge directive #4 + #1): the SQL CDC
+    # TVF read, the lexicon-sentiment two-tier operator, and the NEW
+    # INSERT-lifecycle attestation (grammar completion: CREATE TABLE
+    # with DDL schema + INSERT INTO VALUES/SELECT/column-list + blind
+    # append) move in, displacing three family-redundant members
+    # (streaming keeps q36-q39/q67/q188/q198; timeseries keeps
+    # q181/q190/q191; scalars keep q27/q28/q32/q53/q66). All three
+    # strict-PASS the local driver-faithful comparator with gate-safe
+    # dtypes (bigint/string/double only).
+    "q226_sql_cdc_read",
+    "q228_lexicon_sentiment",
+    "q229_sql_insert_lifecycle",
 )
 _GATE_ROTATE_OUT = (
     "q05_join_left_outer",
@@ -81,6 +93,10 @@ _GATE_ROTATE_OUT = (
     # round-9 displacements (family coverage retained in-gate)
     "q180_gapfill_interp",
     "q65_rollup_cascade",
+    # round-10 displacements (family coverage retained in-gate)
+    "q34_tumbling_window",
+    "q182_autocorrelation",
+    "q60_array_map_fns",
 )
 
 

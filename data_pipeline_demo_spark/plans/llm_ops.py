@@ -3478,3 +3478,73 @@ def q228_lexicon_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     lex = {"fast": 2, "slow": -2, "big": 1, "small": -1, "dup": -3}
     return lexicon_sentiment(docs, lex)
+
+
+_DUCK_INSERT_LIFECYCLE = """
+    WITH src AS (
+      SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice
+      FROM orders WHERE o_orderkey < 2000
+    )
+    SELECT * FROM src
+    UNION ALL SELECT -1, 101, 10.5
+    UNION ALL SELECT -2, 102, 20.5
+    UNION ALL SELECT -3, 42, NULL
+    UNION ALL SELECT 1, 999, 0.25
+"""
+
+
+@register("q229_sql_insert_lifecycle", oracle=_DUCK_INSERT_LIFECYCLE)
+def q229_sql_insert_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-10 SQL-grammar completion under the value-exact
+    oracle: the single most common DML verb, driven end-to-end as
+    STATEMENTS (the reference's own ledger op is an INSERT,
+    data_pipeline.py:241-261). CREATE TABLE with a declared DDL schema
+    commits a typed, EMPTY version-0 manifest (the case CTAS can't
+    express); INSERT INTO ... SELECT appends the query result through
+    the bucket-aligned write path; INSERT ... VALUES lands literal
+    rows with lossless upcasts (int→bigint, decimal-literal→double); a
+    COLUMN-LIST insert fills the unlisted column with NULL; and a
+    duplicate-key insert lands as a SECOND row — Delta's blind-append
+    INSERT semantics, not an upsert. The oracle replays the whole
+    lifecycle as UNION ALLs over the source: a hash match certifies
+    statement parsing, schema/column alignment, the typed-empty v0
+    read, and blind-append semantics in one pass.
+
+    Scale: each INSERT is one bucket-aligned append commit — no
+    matching pass, no table re-read; the returned count comes from
+    manifest bookkeeping, so INSERT ... SELECT never runs twice."""
+    import tempfile
+
+    from ..sinks.sql_dml import txtable_sql
+
+    root = tempfile.mkdtemp(prefix="q229-ins-") + "/t"
+    txtable_sql(
+        spark,
+        f"CREATE TABLE txtable.`{root}` (o_orderkey BIGINT, "
+        "o_custkey BIGINT, o_totalprice DOUBLE) KEY o_orderkey BUCKETS 8",
+    )
+    table(spark, sf_dir, "orders").createOrReplaceTempView("q229_orders_src")
+    txtable_sql(
+        spark,
+        f"INSERT INTO txtable.`{root}` "
+        "SELECT o_orderkey, o_custkey, o_totalprice "
+        "FROM q229_orders_src WHERE o_orderkey < 2000",
+    )
+    txtable_sql(
+        spark,
+        f"INSERT INTO txtable.`{root}` "
+        "VALUES (-1, 101, 10.5), (-2, 102, 20.5)",
+    )
+    txtable_sql(
+        spark,
+        f"INSERT INTO txtable.`{root}` (o_orderkey, o_custkey) "
+        "VALUES (-3, 42)",
+    )
+    # blind append: key 1 already exists — the INSERT lands a second row
+    txtable_sql(
+        spark, f"INSERT INTO txtable.`{root}` VALUES (1, 999, 0.25)"
+    )
+    return txtable_sql(
+        spark,
+        f"SELECT o_orderkey, o_custkey, o_totalprice FROM txtable.`{root}`",
+    )
