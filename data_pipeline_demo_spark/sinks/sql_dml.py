@@ -28,6 +28,7 @@ the same statements they would against Delta:
     DESCRIBE HISTORY txtable.`/path/t`
     ALTER TABLE txtable.`/path/t` ADD COLUMN score double
     ALTER TABLE txtable.`/path/t` DROP COLUMN score
+    ALTER TABLE txtable.`/path/t` RENAME COLUMN score TO rating
     CREATE TABLE txtable.`/path/t2` [SHALLOW|DEEP] CLONE txtable.`/path/t`
         [VERSION AS OF 2 | TIMESTAMP AS OF '2026-01-01T00:00:00']
 
@@ -736,6 +737,24 @@ def txtable_sql(spark: SparkSession, sql: str) -> DataFrame | int | None:
         )
 
     m = re.match(
+        rf"ALTER{_WS}TABLE{_WS}{_TBL}{_WS}RENAME{_WS}COLUMN"
+        rf"{_WS}(?P<old>`[^`]+`|\w+){_WS}TO{_WS}(?P<new>`[^`]+`|\w+)$",
+        text,
+        re.IGNORECASE,
+    )
+    if m:
+        # Delta's RENAME COLUMN — metadata-only via column mapping (the
+        # logical name changes; the in-file physical name stays)
+        from .txlog import txlog_rename_column
+
+        return txlog_rename_column(
+            spark,
+            m.group("path"),
+            m.group("old").strip("`"),
+            m.group("new").strip("`"),
+        )
+
+    m = re.match(
         rf"ALTER{_WS}TABLE{_WS}{_TBL}{_WS}ADD{_WS}CONSTRAINT"
         rf"{_WS}(?P<name>\w+){_WS}CHECK{_WS}\((?P<pred>.+)\)$",
         text,
@@ -882,7 +901,7 @@ def txtable_sql(spark: SparkSession, sql: str) -> DataFrame | int | None:
         "INSERT INTO|OVERWRITE ... VALUES|SELECT / "
         "MERGE INTO / UPDATE / DELETE FROM / RESTORE TABLE / VACUUM / OPTIMIZE / "
         "DESCRIBE HISTORY / DESCRIBE DETAIL / "
-        "ALTER TABLE ... ADD|DROP COLUMN / "
+        "ALTER TABLE ... ADD|DROP|RENAME COLUMN / "
         "ALTER TABLE ... ADD CONSTRAINT name CHECK (pred) | DROP CONSTRAINT / "
         "CREATE TABLE ... [SHALLOW|DEEP] CLONE / "
         "CREATE TABLE ... [KEY k] [BUCKETS n] AS SELECT / "

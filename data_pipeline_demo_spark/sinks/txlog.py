@@ -395,6 +395,83 @@ def _manifest_struct(manifest: dict):
     return StructType.fromJson({"type": "struct", "fields": fields})
 
 
+# --- column mapping (Delta's name-mode, round-10) ---------------------------
+#
+# Every schema field reads data from a PHYSICAL parquet column name,
+# recorded in the field's metadata ("physical"); absent means physical
+# == logical (every pre-mapping table, unchanged on disk). RENAME is
+# then metadata-only (logical changes, physical stays), and re-adding
+# a previously DROPPED name is safe (the new field mints a FRESH
+# physical name no live file carries, so old values cannot resurrect).
+# The boundary discipline: everything INSIDE the engine — merge logic,
+# stats, constraints, CDC compare — speaks logical names; the mapping
+# applies exactly twice, renaming file columns to logical right after
+# a parquet read and logical to physical right before a parquet write.
+
+
+def _phys_of(f: dict) -> str:
+    """A schema field's physical (in-file) column name."""
+    return (f.get("metadata") or {}).get("physical") or f["name"]
+
+
+def _mapping_of(manifest: dict) -> dict[str, str]:
+    """logical → physical for fields where they DIFFER (empty dict =
+    mapping inactive, the fast path)."""
+    return {
+        f["name"]: _phys_of(f)
+        for f in manifest.get("schema", [])
+        if _phys_of(f) != f["name"]
+    }
+
+
+def _physical_struct(manifest: dict):
+    """The manifest schema as a StructType under PHYSICAL names — what
+    the parquet files actually contain."""
+    fields = manifest.get("schema")
+    if not fields:
+        return None
+    from pyspark.sql.types import StructType
+
+    return StructType.fromJson(
+        {
+            "type": "struct",
+            "fields": [
+                {**f, "name": _phys_of(f), "metadata": {}} for f in fields
+            ],
+        }
+    )
+
+
+def _to_logical(df, manifest: dict):
+    """Rename a physically-named frame to logical names (post-read)."""
+    mapping = _mapping_of(manifest)
+    if not mapping:
+        return df
+    phys_to_log = {p: l for l, p in mapping.items()}
+    return df.select(
+        *[
+            F.col(c).alias(phys_to_log[c]) if c in phys_to_log else F.col(c)
+            for c in df.columns
+        ]
+    )
+
+
+def _to_physical(df, manifest: dict | None):
+    """Rename a logically-named frame to physical names (pre-write).
+    Columns outside the schema (BUCKET_COL, helper cols) pass through."""
+    if manifest is None:
+        return df
+    mapping = _mapping_of(manifest)
+    if not mapping:
+        return df
+    return df.select(
+        *[
+            F.col(c).alias(mapping[c]) if c in mapping else F.col(c)
+            for c in df.columns
+        ]
+    )
+
+
 def _evolved_schema(
     prev_fields: list[dict],
     df: DataFrame,
@@ -555,10 +632,13 @@ def _read_snapshot_files(spark: SparkSession, manifest: dict, files: list[str]):
     """Read a snapshot's parquet files under the manifest's recorded
     schema (explicit-schema read: no footer-merge pass, missing columns
     null, dropped columns projected away); legacy manifests fall back
-    to mergeSchema."""
+    to mergeSchema. Column mapping applies here: files are read under
+    PHYSICAL names and aliased to the manifest's logical names — the
+    one read-side mapping point every snapshot consumer shares."""
     st = _manifest_struct(manifest)
     if st is not None:
-        return spark.read.schema(st).parquet(*files)
+        phys = _physical_struct(manifest)
+        return _to_logical(spark.read.schema(phys).parquet(*files), manifest)
     return spark.read.option("mergeSchema", "true").parquet(*files)
 
 
@@ -927,6 +1007,7 @@ def _publish_touched_buckets(
     bucket_blooms: dict[str, dict] | None = None,
     bloom_bits: int = BLOOM_BITS,
     bucket_nulls: dict[str, dict] | None = None,
+    manifest: dict | None = None,
 ) -> None:
     """Write ``df`` (carrying BUCKET_COL) into a fresh immutable
     ``data/<uuid>/`` dir partitioned by bucket, then update the manifest
@@ -935,6 +1016,12 @@ def _publish_touched_buckets(
     out empty). Untouched buckets are never read, written, or listed.
     The caller commits the manifest; a crash before that leaves these
     files invisible (and vacuum-able).
+
+    ``manifest`` (the previous snapshot, when one exists) supplies the
+    column mapping: ``df`` arrives under LOGICAL names (stats/bloom
+    aggregates below use them), and the parquet write lands under
+    PHYSICAL names — renamed columns keep reading from their original
+    in-file name across every rewrite.
 
     ``stats_columns``: zone-map columns — per-bucket min/max land in
     ``bucket_stats`` (same one-pass aggregate as the row counts), so
@@ -992,7 +1079,10 @@ def _publish_touched_buckets(
         # bucket per commit is the Delta optimizeWrite shape; oversized
         # buckets are re-split by size in compact_txtable.
         (
-            df.repartition(max(len(touched), 1), F.col(BUCKET_COL))
+            _to_physical(
+                df.repartition(max(len(touched), 1), F.col(BUCKET_COL)),
+                manifest,
+            )
             .write.mode("error")
             .partitionBy(BUCKET_COL)
             .parquet(out_dir)
@@ -1268,6 +1358,7 @@ def txlog_upsert(
         bucket_blooms=bucket_blooms,
         bloom_bits=bloom_bits,
         bucket_nulls=bucket_nulls,
+        manifest=prev,
     )
 
     _commit_manifest(
@@ -1748,6 +1839,7 @@ def txlog_delete(
         bucket_blooms=bucket_blooms,
         bloom_bits=int(prev.get("bloom_bits", BLOOM_BITS)),
         bucket_nulls=bucket_nulls,
+        manifest=prev,
     )
     kept = sum(row_counts.get(str(b), 0) for b in touched)
     _commit_manifest(
@@ -1975,7 +2067,9 @@ def _txlog_update_mor(
         touched = sorted(per_new, key=int)
         shuffle_n = 1 if n < 200_000 else max(len(touched), 1)
         (
-            updated.repartition(shuffle_n, F.col(BUCKET_COL))
+            _to_physical(
+                updated.repartition(shuffle_n, F.col(BUCKET_COL)), prev
+            )
             .write.mode("error")
             .partitionBy(BUCKET_COL)
             .parquet(_abs(root_path, out_rel))
@@ -2144,6 +2238,7 @@ def txlog_update(
         bucket_blooms=bucket_blooms,
         bloom_bits=int(prev.get("bloom_bits", BLOOM_BITS)),
         bucket_nulls=bucket_nulls,
+        manifest=prev,
     )
     _commit_manifest(
         spark,
@@ -2220,9 +2315,15 @@ def txlog_add_column(
     O(1) regardless of table size. ``type_ddl`` is a Spark DDL type
     string (``"bigint"``, ``"array<double>"``, ...). Old versions keep
     their own schema under time travel; the change feed between the
-    two versions is empty (no row changed). Re-adding a previously
-    DROPPED name raises — live files may still hold the old values and
-    would resurrect them. Returns the new version.
+    two versions is empty (no row changed).
+
+    Re-adding a previously DROPPED name works via column mapping
+    (round 10, Delta's name-mode): the new field mints a FRESH
+    physical name no live file carries, so old file values cannot
+    resurrect — existing rows read null, exactly like any added
+    column. The same minting applies when the name collides with
+    another field's physical name (e.g. the original name of a since-
+    renamed column). Returns the new version.
 
     Requires a schema-tracked table (any table created since schema
     tracking; legacy tables must take one write first)."""
@@ -2240,19 +2341,21 @@ def txlog_add_column(
     if any(f["name"] == name for f in fields):
         raise ValueError(f"column {name!r} already exists")
     dropped = list(prev.get("dropped_columns", []))
-    if name in dropped:
-        raise ValueError(
-            f"column {name!r} was previously dropped; live data files "
-            "may still hold its old values, so re-adding the name would "
-            "resurrect them — use a fresh column name"
-        )
     parsed = StructType.fromDDL(f"`{name}` {type_ddl}")
+    # physical-name safety: the name must not read any bytes a live or
+    # historical file could hold under it — tombstoned (dropped)
+    # physicals and every current field's physical are off-limits;
+    # mint a unique physical and map the logical name onto it
+    taken = set(dropped) | {_phys_of(f) for f in fields}
+    meta: dict = {}
+    if name in taken:
+        meta["physical"] = f"{name}__p{prev['version'] + 1}_{uuid.uuid4().hex[:8]}"
     fields.append(
         {
             "name": name,
             "type": parsed.fields[0].dataType.jsonValue(),
             "nullable": True,
-            "metadata": {},
+            "metadata": meta,
         }
     )
     return _alter_commit(spark, root_path, prev, fields, dropped)
@@ -2262,13 +2365,13 @@ def txlog_drop_column(spark: SparkSession, root_path: str, name: str) -> int:
     """ALTER TABLE DROP COLUMN as a metadata-only LOGICAL drop: the
     column leaves the manifest schema (reads project it away via the
     explicit-schema scan) while data files stay untouched — O(1) at any
-    table size, and old versions still time-travel to it. The name is
-    TOMBSTONED: re-adding it raises, because files still holding the
-    old values would silently resurrect them under a same-name column
-    (the reason Delta requires column mapping here — the tombstone is
-    the mapping-free safe subset). The table key, declared zone-map
-    stats columns, and bloom columns cannot be dropped. Returns the
-    new version."""
+    table size, and old versions still time-travel to it. The column's
+    PHYSICAL name is tombstoned: files still holding the old values
+    must never be read under a reused name. Re-adding the LOGICAL name
+    is fine — ``txlog_add_column`` mints a fresh physical for it
+    (column mapping, round 10), so old values cannot resurrect. The
+    table key, declared zone-map stats columns, and bloom columns
+    cannot be dropped. Returns the new version."""
     prev = _latest_manifest(spark, root_path)
     if prev is None:
         raise FileNotFoundError(f"no committed txtable at {root_path}")
@@ -2303,11 +2406,89 @@ def txlog_drop_column(spark: SparkSession, root_path: str, name: str) -> int:
             f"cannot drop {name!r}: generated column(s) {referers} "
             "reference it (drop those first)"
         )
+    # tombstone the PHYSICAL name (what files actually hold the bytes
+    # under); for unmapped fields that is the logical name, unchanged
+    # pre-mapping behavior
+    doomed_phys = next(_phys_of(f) for f in fields if f["name"] == name)
     fields = [f for f in fields if f["name"] != name]
     dropped = list(prev.get("dropped_columns", []))
-    dropped.append(name)
+    dropped.append(doomed_phys)
     return _alter_commit(
         spark, root_path, prev, fields, dropped, generated=generated
+    )
+
+
+def txlog_rename_column(
+    spark: SparkSession, root_path: str, old: str, new: str
+) -> int:
+    """ALTER TABLE RENAME COLUMN as a metadata-only commit via column
+    mapping (Delta's name-mode, round 10): the field's LOGICAL name
+    changes while its PHYSICAL (in-file) name stays what it always was
+    — zero data IO at any table size, and time travel reads each
+    version under its own names. Every later bucket rewrite keeps
+    writing the physical name, so old and new files stay mutually
+    readable forever.
+
+    Refusals (the honest seams, same policy as DROP): the table key
+    (bucketing identity), declared stats/bloom columns (manifest stats
+    are keyed by name at creation), and columns referenced by a
+    generated-column expression cannot rename. The new name must not
+    collide with a live logical name. Renaming TO a previously-dropped
+    name is safe — reads select the renamed field's physical, never
+    the tombstoned one. Returns the new version."""
+    import re as _re
+
+    prev = _latest_manifest(spark, root_path)
+    if prev is None:
+        raise FileNotFoundError(f"no committed txtable at {root_path}")
+    if "schema" not in prev:
+        raise ValueError(
+            f"txtable {root_path} predates schema tracking; run one "
+            "MERGE/UPDATE to record a schema before ALTERing it"
+        )
+    if old == prev["key"]:
+        raise ValueError(f"cannot rename the table key {old!r}")
+    if old in prev.get("stats_columns", []) or old in prev.get(
+        "bloom_columns", []
+    ):
+        raise ValueError(
+            f"cannot rename {old!r}: it is a declared stats/bloom column "
+            "(fixed at table creation)"
+        )
+    generated = dict(prev.get("generated_columns", {}))
+    if old in generated:
+        raise ValueError(
+            f"cannot rename {old!r}: it is a generated column (drop and "
+            "re-add with the new name and expression)"
+        )
+    referers = [
+        c
+        for c, expr in generated.items()
+        if _re.search(rf"\b{_re.escape(old)}\b", expr)
+    ]
+    if referers:
+        raise ValueError(
+            f"cannot rename {old!r}: generated column(s) {referers} "
+            "reference it by name in their expressions"
+        )
+    fields = [dict(f) for f in prev["schema"]]
+    if not any(f["name"] == old for f in fields):
+        raise ValueError(f"column {old!r} does not exist")
+    if any(f["name"] == new for f in fields):
+        raise ValueError(f"column {new!r} already exists")
+    for f in fields:
+        if f["name"] == old:
+            meta = dict(f.get("metadata") or {})
+            meta["physical"] = _phys_of(f)  # pin the in-file name
+            f["name"] = new
+            f["metadata"] = meta
+    return _alter_commit(
+        spark,
+        root_path,
+        prev,
+        fields,
+        list(prev.get("dropped_columns", [])),
+        generated=generated,
     )
 
 
@@ -2388,12 +2569,31 @@ def txtable_changes(
         for m in (m_to, m_from):
             if m["buckets"]:
                 src = _abs(root_path, next(iter(m["buckets"].values()))[0])
-                df = spark.read.parquet(src).limit(0)
+                # through the mapped snapshot reader, so the borrowed
+                # schema carries LOGICAL names, not in-file physicals
+                df = _read_snapshot_files(spark, m, [src]).limit(0)
                 return df.select(*sorted(df.columns)).withColumn(
                     "_change_type", F.lit(None).cast("string")
                 )
         return spark.createDataFrame([], f"{key} string").withColumn(
             "_change_type", F.lit(None).cast("string")
+        )
+    # CDC across a column RENAME is ambiguous (which name does the
+    # feed report?) — Delta refuses CDF reads across column-mapping
+    # schema changes; so do we. Checked only when data actually
+    # changed in the window: a rename-only window has no changed
+    # buckets and returned the empty feed above.
+    by_phys: dict[str, set] = {}
+    for mm in (m_from, m_to):
+        for f in mm.get("schema", []):
+            by_phys.setdefault(_phys_of(f), set()).add(f["name"])
+    conflicted = sorted(p for p, names in by_phys.items() if len(names) > 1)
+    if conflicted:
+        raise ValueError(
+            f"cannot read changes across a column rename (physical "
+            f"column(s) {conflicted} carry different names between "
+            f"versions {m_from['version']} and {m_to['version']}); "
+            "read each side with VERSION AS OF time travel instead"
         )
     old = (
         _read_buckets_logical(spark, root_path, m_from, changed)
@@ -2999,7 +3199,9 @@ def compact_txtable(
             )
         else:
             out = df.repartition(want)
-        out.write.mode("error").parquet(_abs(root_path, bucket_rel))
+        _to_physical(out, manifest).write.mode("error").parquet(
+            _abs(root_path, bucket_rel)
+        )
         sub = jvm.org.apache.hadoop.fs.Path(root, bucket_rel)
         buckets[b] = sorted(
             bucket_rel + "/" + st.getPath().getName()
@@ -3250,6 +3452,7 @@ def rebucket_txtable(
             bucket_blooms=bucket_blooms,
             bloom_bits=int(prev.get("bloom_bits", BLOOM_BITS)),
             bucket_nulls=bucket_nulls,
+            manifest=prev,
         )
     _commit_manifest(
         spark,

@@ -356,9 +356,25 @@ def _union_arrow_schema(refs: list[tuple]):
     return pa.schema(list(fields.values()))
 
 
-def _aligned_table(ref: tuple, schema):
+def _mapping_from_manifest(manifest: dict) -> dict[str, str]:
+    """logical → PHYSICAL (in-file) column name, for fields where they
+    differ (column mapping, Delta's name-mode — agreement with the JVM
+    reader's ``sinks/txlog.py:_mapping_of``). Empty = inactive."""
+    out = {}
+    for f in manifest.get("schema", []):
+        phys = (f.get("metadata") or {}).get("physical") or f["name"]
+        if phys != f["name"]:
+            out[f["name"]] = phys
+    return out
+
+
+def _aligned_table(ref: tuple, schema, mapping: dict | None = None):
     """Read one parquet file aligned to the union schema: missing
-    columns null-filled, order normalized."""
+    columns null-filled, order normalized. ``mapping`` (logical →
+    physical) routes each LOGICAL field to the in-file column that
+    actually holds its bytes — renamed columns keep reading their
+    original physical name; re-added columns read their fresh minted
+    name (absent from old files → null, never the tombstoned data)."""
     import pyarrow as pa
 
     fs, path = ref
@@ -366,8 +382,9 @@ def _aligned_table(ref: tuple, schema):
     n = t.num_rows
     cols = []
     for field in schema:
-        if field.name in t.column_names:
-            col = t.column(field.name)
+        src = (mapping or {}).get(field.name, field.name)
+        if src in t.column_names:
+            col = t.column(src)
             if col.type != field.type:
                 col = col.cast(field.type)
         else:
@@ -384,16 +401,22 @@ def _empty_table(schema):
     )
 
 
-def _concat_aligned(refs: list[tuple], schema):
+def _concat_aligned(refs: list[tuple], schema, mapping: dict | None = None):
     import pyarrow as pa
 
     if not refs:
         return _empty_table(schema)
-    return pa.concat_tables([_aligned_table(r, schema) for r in refs])
+    return pa.concat_tables(
+        [_aligned_table(r, schema, mapping) for r in refs]
+    )
 
 
 def _concat_aligned_logical(
-    refs: list[tuple], rels: list[str], dv_refs: list[tuple], schema
+    refs: list[tuple],
+    rels: list[str],
+    dv_refs: list[tuple],
+    schema,
+    mapping: dict | None = None,
 ):
     """One snapshot side's LOGICAL rows: each file anti-filtered by its
     deletion-vector positions BEFORE concatenation (positions are
@@ -403,11 +426,13 @@ def _concat_aligned_logical(
     if not refs:
         return _empty_table(schema)
     if not dv_refs:
-        return _concat_aligned(refs, schema)
+        return _concat_aligned(refs, schema, mapping)
     dv_positions = _load_dv_positions(dv_refs)
     return pa.concat_tables(
         [
-            _dv_anti_filter(_aligned_table(r, schema), rel, dv_positions)
+            _dv_anti_filter(
+                _aligned_table(r, schema, mapping), rel, dv_positions
+            )
             for r, rel in zip(refs, rels)
         ]
     )
@@ -453,6 +478,8 @@ def _bucket_change_batches(
     include_preimages: bool = False,
     old_side: tuple = ((), ()),
     new_side: tuple = ((), ()),
+    old_mapping: dict | None = None,
+    new_mapping: dict | None = None,
 ) -> Iterator:
     """insert/update/delete Arrow batches for ONE bucket between two
     snapshots: a hash key-compare (``index_in``) plus vectorized
@@ -466,8 +493,12 @@ def _bucket_change_batches(
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    old = _concat_aligned_logical(old_refs, old_side[0], old_side[1], schema)
-    new = _concat_aligned_logical(new_refs, new_side[0], new_side[1], schema)
+    old = _concat_aligned_logical(
+        old_refs, old_side[0], old_side[1], schema, old_mapping
+    )
+    new = _concat_aligned_logical(
+        new_refs, new_side[0], new_side[1], schema, new_mapping
+    )
     for t in (old, new):
         if t.num_rows and pc.any(pc.is_null(t.column(key))).as_py():
             raise ValueError(
@@ -584,6 +615,7 @@ class _TxTableBatchReader(DataSourceReader):
         self.fs_options = fs_options
         self.manifest = _read_manifest(fs, root, version)
         self.arrow_schema = _manifest_arrow_schema(self.manifest)
+        self.mapping = _mapping_from_manifest(self.manifest)
         if self.arrow_schema is None:  # legacy manifest: union of footers
             refs = _snapshot_refs(fs, root, self.manifest, fs_options)
             self.arrow_schema = _union_arrow_schema(refs) if refs else None
@@ -621,7 +653,7 @@ class _TxTableBatchReader(DataSourceReader):
             else {}
         )
         for i, ref in enumerate(partition.refs):
-            t = _aligned_table(ref, self.arrow_schema)
+            t = _aligned_table(ref, self.arrow_schema, self.mapping)
             if dv_positions:
                 t = _dv_anti_filter(t, partition.rels[i], dv_positions)
             yield from t.to_batches()
@@ -683,6 +715,8 @@ class _ChangesPartition(InputPartition):
         pre: bool = False,
         old_side: tuple = ((), ()),
         new_side: tuple = ((), ()),
+        old_mapping: dict | None = None,
+        new_mapping: dict | None = None,
     ):
         self.old_refs = old_refs
         self.new_refs = new_refs
@@ -693,6 +727,9 @@ class _ChangesPartition(InputPartition):
         # empty for DV-free snapshots
         self.old_side = old_side
         self.new_side = new_side
+        # logical→physical column mapping per side (column mapping)
+        self.old_mapping = old_mapping
+        self.new_mapping = new_mapping
 
 
 def _bucket_side(fs, root: str, m: dict, b: str, fs_options: dict):
@@ -732,8 +769,32 @@ def _change_partitions(
             "sinks.txlog.txtable_changes, or restart the feed from the "
             "rebucketed version"
         )
+    changed = _changed_buckets(m_from, m_to)
+    if changed:
+        # CDC across a column RENAME is ambiguous (which name does the
+        # feed report?) — refuse, matching the JVM txtable_changes and
+        # Delta's CDF-vs-column-mapping policy. Rename-only windows
+        # have no changed buckets and fall through to the empty feed.
+        by_phys: dict[str, set] = {}
+        for mm in (m_from, m_to):
+            for f in mm.get("schema", []):
+                phys = (f.get("metadata") or {}).get("physical") or f["name"]
+                by_phys.setdefault(phys, set()).add(f["name"])
+        conflicted = sorted(
+            p for p, names in by_phys.items() if len(names) > 1
+        )
+        if conflicted:
+            raise ValueError(
+                f"cannot read changes across a column rename (physical "
+                f"column(s) {conflicted} carry different names between "
+                f"versions {m_from.get('version')} and "
+                f"{m_to.get('version')}); read each side with time "
+                "travel instead"
+            )
+    old_mapping = _mapping_from_manifest(m_from)
+    new_mapping = _mapping_from_manifest(m_to)
     parts = []
-    for b in _changed_buckets(m_from, m_to):
+    for b in changed:
         o_refs, o_rels, o_dvs = _bucket_side(fs, root, m_from, b, fs_options)
         n_refs, n_rels, n_dvs = _bucket_side(fs, root, m_to, b, fs_options)
         parts.append(
@@ -745,6 +806,8 @@ def _change_partitions(
                 pre,
                 old_side=(o_rels, o_dvs),
                 new_side=(n_rels, n_dvs),
+                old_mapping=old_mapping,
+                new_mapping=new_mapping,
             )
         )
     # the API needs >=1 partition; an empty diff reads as no rows
@@ -819,6 +882,8 @@ class _TxTableChangesBatchReader(DataSourceReader):
             getattr(partition, "pre", False),
             getattr(partition, "old_side", ((), ())),
             getattr(partition, "new_side", ((), ())),
+            getattr(partition, "old_mapping", None),
+            getattr(partition, "new_mapping", None),
         )
 
 
@@ -878,6 +943,8 @@ class _TxTableStreamReader(DataSourceStreamReader):
             getattr(partition, "pre", False),
             getattr(partition, "old_side", ((), ())),
             getattr(partition, "new_side", ((), ())),
+            getattr(partition, "old_mapping", None),
+            getattr(partition, "new_mapping", None),
         )
 
     def commit(self, end: dict) -> None:

@@ -794,6 +794,21 @@ def _resolve_commit_schema(prev: dict | None, spec: dict, overwrite: bool):
     (pre-tracking) tables skip both. Raises ValueError on violation —
     before the manifest is claimed, so the staged files stay invisible
     and vacuum-able."""
+    if prev is not None and any(
+        (f.get("metadata") or {}).get("physical") not in (None, f["name"])
+        for f in prev.get("schema", [])
+    ):
+        # writer-feature gate (Delta's protocol-version model): the
+        # table uses column mapping (a renamed or re-added column) —
+        # this writer lands parquet under the batch's own column names,
+        # which would diverge from the manifest's physical names and
+        # corrupt every later read. The txlog verbs map names at the
+        # write boundary; use them.
+        raise ValueError(
+            "table uses column mapping (renamed/re-added columns); the "
+            "python DSv2 writer cannot write physical column names — "
+            "write through sinks.txlog.txlog_upsert instead"
+        )
     if (
         prev is not None
         and prev.get("generated_columns")

@@ -162,11 +162,11 @@ def test_sql_alter_add_and_drop_column(spark, t):
     assert got[1] == 1.5
     txtable_sql(spark, f"ALTER TABLE txtable.`{t}` DROP COLUMN score")
     assert "score" not in read_txtable(spark, t).columns
-    # tombstone propagates through the SQL surface too
-    with pytest.raises(ValueError, match="previously dropped"):
-        txtable_sql(
-            spark, f"ALTER TABLE txtable.`{t}` ADD COLUMN score double"
-        )
+    # re-add works via column mapping (round 10): a fresh physical
+    # name is minted, so the old values do NOT resurrect
+    txtable_sql(spark, f"ALTER TABLE txtable.`{t}` ADD COLUMN score double")
+    got = {r["id"]: r["score"] for r in read_txtable(spark, t).collect()}
+    assert set(got.values()) == {None}
 
 
 def test_sql_delete_merge_on_read_hint(spark, t):

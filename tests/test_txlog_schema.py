@@ -127,9 +127,9 @@ def test_drop_column_logical_and_tombstoned(spark, tmp_path):
     assert read_txtable(spark, root).columns == ["id"]
     # old version still time-travels to it
     assert read_txtable(spark, root, version=0).columns == ["id", "v"]
-    # resurrection guard: the name is tombstoned both ways
-    with pytest.raises(ValueError, match="previously dropped"):
-        txlog_add_column(spark, root, "v", "string")
+    # the WRITE-evolution path keeps refusing the tombstoned name
+    # (schema changes through writes stay conservative; re-adding is
+    # an explicit ALTER, which mints a fresh physical — round 10)
     with pytest.raises(ValueError, match="previously dropped"):
         txlog_upsert(
             spark,
@@ -140,6 +140,38 @@ def test_drop_column_logical_and_tombstoned(spark, tmp_path):
     # key + declared index columns can't drop
     with pytest.raises(ValueError, match="table key"):
         txlog_drop_column(spark, root, "id")
+
+
+def test_drop_then_readd_reads_null_not_old_values(spark, tmp_path):
+    """Round-10 column mapping: re-adding a dropped name mints a FRESH
+    physical column, so existing rows read NULL — the old file bytes
+    under the tombstoned physical can never resurrect."""
+    root = _base(spark, tmp_path)
+    txlog_drop_column(spark, root, "v")
+    txlog_add_column(spark, root, "v", "string")
+    got = {r["id"]: r["v"] for r in read_txtable(spark, root).collect()}
+    assert got == {1: None, 2: None}  # NOT the original 'a'/'b'
+    # the minted physical is recorded and distinct from the tombstone
+    import json
+    import pathlib
+
+    man = json.loads(
+        sorted((pathlib.Path(root) / "_commits").glob("*.json"))[-1]
+        .read_text()
+    )
+    fld = next(f for f in man["schema"] if f["name"] == "v")
+    assert fld["metadata"]["physical"] != "v"
+    assert "v" in man["dropped_columns"]
+    # and the re-added column is fully writable
+    n = txlog_update(spark, root, set={"v": "'fresh'"}, where="id = 2")
+    assert n == 1
+    got = {r["id"]: r["v"] for r in read_txtable(spark, root).collect()}
+    assert got == {1: None, 2: "fresh"}
+    # time travel: each version reads its own schema and values
+    assert {
+        r["id"]: r["v"] for r in read_txtable(spark, root, version=0).collect()
+    } == {1: "a", 2: "b"}
+    assert read_txtable(spark, root, version=1).columns == ["id"]
 
 
 def test_lossless_upcasts_accepted_data_cast_up(spark, tmp_path):
