@@ -481,13 +481,23 @@ def test_optimize_where_races_dml_over_http(spark, tmp_path):
                 t.join()
             assert failures == []
 
-            # deterministic post-storm zone-scoped pass: fragment the
-            # hot band, then OPTIMIZE WHERE must find and consolidate
-            # it (and fold any DVs still outstanding in the band)
+            # deterministic post-storm zone-scoped pass: upserts are
+            # whole-bucket copy-on-write rewrites (one file per touched
+            # bucket), so to guarantee the final OPTIMIZE WHERE has
+            # in-band work we leave a merge-on-read delete outstanding —
+            # a DV-bearing bucket is compaction-eligible regardless of
+            # file count, and folding it exercises the exact
+            # maintenance-vs-DV interaction this storm is about
             retrying(
                 "frag",
                 lambda: txlog_upsert(
                     spark, _rows(spark, [(25, "frag")]), root
+                ),
+            )
+            retrying(
+                "dv-tail",
+                lambda: txlog_delete(
+                    spark, root, where="id = 20", mode="merge-on-read"
                 ),
             )
             assert failures == []
@@ -497,17 +507,18 @@ def test_optimize_where_races_dml_over_http(spark, tmp_path):
 
             got = _as_dict(read_txtable(spark, root))
             want = {j: "a2" for j in range(10)}          # merger band
-            # 10..17 deleted (CoW + MOR); 18..24 seed; 25 frag
-            want.update({j: "seed" for j in range(18, 25)})
+            # 10..17 deleted (CoW + MOR); 18..24 seed minus the DV-tail
+            # delete of 20; 25 frag
+            want.update({j: "seed" for j in range(18, 25) if j != 20})
             want[25] = "frag"
             want.update({j: "seed" for j in range(26, 40)})
             want.update({200 + j: "py" for j in range(6)})
             assert got == want
             versions = [h["version"] for h in txtable_history(spark, root)]
             assert versions == list(range(len(versions)))  # gapless
-            # seed + 2 merges + 2 deletes + 6 appends + frag + final
-            # optimize (mid-storm passes may add more)
-            assert len(versions) >= 12
+            # seed + 2 merges + 2 deletes + 6 appends + frag + dv-tail
+            # + final optimize (mid-storm passes may add more)
+            assert len(versions) >= 13
             # every commit claimed over HTTP — neither engine nor the
             # maintenance path bypassed the store's arbiter
             assert emu.conditional_wins == len(versions)
