@@ -72,6 +72,13 @@ _GATE_ROTATE_IN = (
     "q226_sql_cdc_read",
     "q228_lexicon_sentiment",
     "q229_sql_insert_lifecycle",
+    # Late-round-10: COPY INTO — file-level exactly-once ingest, the
+    # verb that mirrors the reference's own per-file dedup guard
+    # (data_pipeline.py:106-161) — gets driver attestation the round it
+    # ships. Displaces one family-redundant streaming member (streaming
+    # keeps q36/q38/q39/q67/q188/q198; exact event dedup stays
+    # certified past the cap and as ingest-time stream tests).
+    "q230_copy_into_lifecycle",
 )
 _GATE_ROTATE_OUT = (
     "q05_join_left_outer",
@@ -97,6 +104,9 @@ _GATE_ROTATE_OUT = (
     "q34_tumbling_window",
     "q182_autocorrelation",
     "q60_array_map_fns",
+    # late-round-10 displacement (q37's dedup semantics stay covered by
+    # streaming ingest-dedup tests and check_oracle past the cap)
+    "q37_event_dedup",
 )
 
 

@@ -3548,3 +3548,93 @@ def q229_sql_insert_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         f"SELECT o_orderkey, o_custkey, o_totalprice FROM txtable.`{root}`",
     )
+
+
+_DUCK_COPY_LIFECYCLE = """
+    SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice
+    FROM orders WHERE o_orderkey < 3000
+    UNION ALL SELECT -1, 7, 1.25
+    UNION ALL SELECT -2, 8, 2.50
+"""
+
+
+@register("q230_copy_into_lifecycle", oracle=_DUCK_COPY_LIFECYCLE)
+def q230_copy_into_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COPY INTO — file-level exactly-once bulk ingest — driven as
+    STATEMENTS end-to-end under the value-exact oracle. The reference's
+    ingestion loop processes each landing file exactly once via a
+    ledger check (data_pipeline.py:106-161); COPY INTO is the
+    lakehouse-native form: the loaded-file set (path+size+mtime)
+    commits atomically WITH the rows. The lifecycle lands a parquet
+    delivery, COPY INTOs it TWICE (the re-run must load zero files —
+    a double load breaks the oracle hash, so idempotency itself is
+    hash-certified), lands a second delivery (only IT loads), then a
+    CSV delivery parsed under the TABLE's schema with FORMAT_OPTIONS.
+    The oracle replays the deliveries as plain SELECT + UNION ALLs.
+
+    Scale: each COPY is one blind-append commit over ONLY the new
+    files — O(new rows), no table re-read; skip decisions are
+    metadata-only (one manifest read vs the landing listing)."""
+    import glob as _glob
+    import os
+    import shutil
+    import tempfile
+
+    from ..sinks.sql_dml import txtable_sql
+
+    base = tempfile.mkdtemp(prefix="q230-copy-")
+    land, root = base + "/landing", base + "/t"
+    os.makedirs(land)
+
+    def _land(name: str, predicate: str) -> None:
+        tmp = os.path.join(land, "__tmp")
+        (
+            table(spark, sf_dir, "orders")
+            .where(predicate)
+            .selectExpr(
+                "o_orderkey",
+                "o_custkey",
+                "CAST(o_totalprice AS DOUBLE) AS o_totalprice",
+            )
+            .coalesce(1)
+            .write.parquet(tmp)
+        )
+        [part] = _glob.glob(os.path.join(tmp, "*.parquet"))
+        shutil.move(part, os.path.join(land, name))
+        shutil.rmtree(tmp)
+
+    txtable_sql(
+        spark,
+        f"CREATE TABLE txtable.`{root}` (o_orderkey BIGINT, "
+        "o_custkey BIGINT, o_totalprice DOUBLE) KEY o_orderkey BUCKETS 8",
+    )
+    _land("d1.parquet", "o_orderkey < 1500")
+    txtable_sql(
+        spark,
+        f"COPY INTO txtable.`{root}` FROM '{land}' FILEFORMAT = PARQUET "
+        "PATTERN = '*.parquet'",
+    )
+    # idempotent re-run: zero files load — if this double-loaded, every
+    # d1 row would appear twice and the oracle hash would catch it
+    txtable_sql(
+        spark,
+        f"COPY INTO txtable.`{root}` FROM '{land}' FILEFORMAT = PARQUET "
+        "PATTERN = '*.parquet'",
+    )
+    _land("d2.parquet", "o_orderkey >= 1500 AND o_orderkey < 3000")
+    txtable_sql(
+        spark,
+        f"COPY INTO txtable.`{root}` FROM '{land}' FILEFORMAT = PARQUET "
+        "PATTERN = '*.parquet'",
+    )
+    with open(os.path.join(land, "d3.csv"), "w") as fh:
+        fh.write("o_orderkey,o_custkey,o_totalprice\n-1,7,1.25\n-2,8,2.50\n")
+    txtable_sql(
+        spark,
+        f"COPY INTO txtable.`{root}` FROM '{land}' FILEFORMAT = CSV "
+        "PATTERN = '*.csv' FORMAT_OPTIONS ('header' = 'true')",
+    )
+    return txtable_sql(
+        spark,
+        f"SELECT o_orderkey, o_custkey, o_totalprice FROM txtable.`{root}`",
+    )

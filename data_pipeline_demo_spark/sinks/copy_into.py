@@ -1,0 +1,406 @@
+"""COPY INTO — idempotent, file-level exactly-once bulk ingest into a
+txtable (Databricks' ``COPY INTO`` verb, re-expressed for the txlog).
+
+Reference parity: the reference's ingestion loop processes each landing
+file exactly once by checking a ledger before acting
+(``/root/reference/data_pipeline.py:106-161`` — the per-file dedup
+guard). COPY INTO is the lakehouse-native form of that guarantee: the
+set of already-loaded files (identity = qualified path + size + mtime)
+is recorded IN THE SAME manifest commit as the rows they produced, so
+a re-run — crash replay, scheduler retry, double-submitted job — loads
+nothing twice, and a crash between data write and commit loads nothing
+at all (the staged files are invisible and vacuum-able).
+
+Design for 100 TB:
+
+- The data plane is a BLIND APPEND: only the new files are read, only
+  the buckets they hash into gain files, and no existing data file is
+  read or rewritten — cost is O(new rows), never O(table). Bucket
+  bookkeeping (row counts, zone-map min/max, null counts, Bloom words)
+  merges with the same append algebra the streaming/python writer uses
+  (``sources/txtable_writer.py:commit_files``): counts sum, stats
+  widen value-aware, Blooms OR, and any bucket whose prior coverage is
+  unknowable goes conservatively stat-less rather than wrong.
+- Load history rides the manifest (``copy_files``), so it time-travels
+  with the data: RESTORE returns the history as of that version, CLONE
+  copies it, and every other verb carries it forward
+  (``sinks/txlog._copy_carry``). At extreme file counts (millions of
+  loaded files) the history should graduate to a compacted sidecar —
+  documented trade-off; the manifest stays metadata-sized for the
+  file counts a daily-batch landing zone produces.
+- Concurrency: the version claim is the only arbitration point. A lost
+  race raises :class:`ConcurrentCommitError`; the caller re-runs
+  ``copy_into``, which re-reads the winner's manifest and re-filters —
+  files the winner already loaded are skipped, so racing loaders of
+  the same landing dir still give exactly-once per file.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from .txlog import (
+    FEATURE_DV,
+    _apply_generated_columns,
+    _check_features,
+    _commit_manifest,
+    _copy_carry,
+    _dv_carry,
+    _enforce_table_constraints,
+    _evolved_schema,
+    _latest_manifest,
+    _publish_touched_buckets,
+)
+from .upsert import BUCKET_COL, _bucket_of, _hadoop_fs
+
+_FORMATS = {"parquet", "csv", "json"}
+
+
+def _list_source_files(
+    spark: SparkSession, source: str, pattern: str | None
+) -> list[tuple[str, int, int]]:
+    """(qualified path, size, mtime_ms) for every data file the source
+    names. ``source`` may be a directory, a single file, or a Hadoop
+    glob; ``pattern`` is a glob applied UNDER a directory source.
+    Hidden/metadata names (``_SUCCESS``, ``.crc``, …) are skipped, the
+    same convention Spark's own file listing uses."""
+    jvm = spark._jvm
+    fs, src = _hadoop_fs(spark, source)
+    if pattern:
+        glob = jvm.org.apache.hadoop.fs.Path(src, pattern)
+    elif fs.exists(src) and fs.getFileStatus(src).isDirectory():
+        glob = jvm.org.apache.hadoop.fs.Path(src, "*")
+    else:
+        glob = src
+    statuses = fs.globStatus(glob)
+    out = []
+    for st in statuses or []:
+        if not st.isFile():
+            continue
+        name = st.getPath().getName()
+        if name.startswith("_") or name.startswith("."):
+            continue
+        out.append(
+            (
+                st.getPath().toString(),
+                int(st.getLen()),
+                int(st.getModificationTime()),
+            )
+        )
+    return sorted(out)
+
+
+def _read_new_files(
+    spark: SparkSession,
+    paths: list[str],
+    file_format: str,
+    format_options: dict | None,
+    manifest: dict,
+) -> DataFrame:
+    """Read exactly the new files. Parquet is self-describing; CSV and
+    JSON read under the TABLE's recorded schema (minus generated
+    columns, which are computed, and CSV's positional mapping must not
+    expect them in the file) — the lakehouse owns the contract, the
+    landing files conform or their rows surface as nulls/raise."""
+    reader = spark.read.options(**(format_options or {}))
+    if file_format == "parquet":
+        return reader.parquet(*paths)
+    fields = manifest.get("schema")
+    if not fields:
+        raise ValueError(
+            "COPY INTO with FILEFORMAT = "
+            f"{file_format.upper()} needs the table's recorded schema "
+            "to parse text files, but this table's manifest predates "
+            "schema tracking — load via parquet, or recreate the table "
+            "with a schema (CREATE TABLE ... (schema))"
+        )
+    gen = set(manifest.get("generated_columns", {}))
+    want = StructType.fromJson(
+        {
+            "type": "struct",
+            "fields": [f for f in fields if f["name"] not in gen],
+        }
+    )
+    return reader.schema(want).format(file_format).load(paths)
+
+
+def copy_into(
+    spark: SparkSession,
+    root_path: str,
+    source: str,
+    file_format: str,
+    pattern: str | None = None,
+    format_options: dict | None = None,
+    force: bool = False,
+    merge_schema: bool = False,
+) -> dict:
+    """Load the source's not-yet-loaded files into the txtable at
+    ``root_path`` as one atomic append commit; return
+    ``{"num_loaded_files", "num_skipped_files", "rows_loaded",
+    "version"}``. Re-running is a no-op for unchanged files; a file
+    whose size or mtime changed counts as new (it re-loads — the
+    landing convention is immutable files, so a change means a new
+    delivery under an old name); ``force=True`` reloads everything it
+    matched. ``merge_schema`` permits the batch to ADD columns (Delta's
+    ``mergeSchema`` copy option); type conflicts always raise.
+
+    The target table must already exist (``CREATE TABLE`` /
+    CTAS / a first write) — COPY INTO appends to a contract, it does
+    not invent one. Raises :class:`ConcurrentCommitError` on a lost
+    version race; re-run to retry (already-loaded files re-filter
+    against the winner's history, so the retry stays exactly-once)."""
+    fmt = file_format.lower()
+    if fmt not in _FORMATS:
+        raise ValueError(
+            f"COPY INTO FILEFORMAT must be one of {sorted(_FORMATS)}; "
+            f"got {file_format!r}"
+        )
+    prev = _latest_manifest(spark, root_path)
+    if prev is None:
+        raise FileNotFoundError(
+            f"no committed txtable at {root_path} — create it first "
+            "with CREATE TABLE txtable.`<path>` (<schema>) [KEY k] "
+            "[BUCKETS n], or CREATE TABLE ... AS SELECT"
+        )
+    _check_features(prev, frozenset({FEATURE_DV}), "COPY INTO")
+
+    files = _list_source_files(spark, source, pattern)
+    history = prev.get("copy_files", {})
+    new_files = [
+        (p, sz, mt)
+        for p, sz, mt in files
+        if force or list(history.get(p, ())[:2]) != [sz, mt]
+    ]
+    if not new_files:
+        return {
+            "num_loaded_files": 0,
+            "num_skipped_files": len(files),
+            "rows_loaded": 0,
+            "version": prev["version"],
+        }
+
+    batch = _read_new_files(
+        spark, [p for p, _, _ in new_files], fmt, format_options, prev
+    )
+
+    # schema enforcement/evolution + lossless upcasts — the same gate
+    # every other write path applies (txlog_upsert's block)
+    dropped_columns = list(prev.get("dropped_columns", []))
+    schema_fields = None
+    if "schema" in prev:
+        schema_fields = _evolved_schema(
+            prev["schema"], batch, merge_schema, dropped_columns
+        )
+        want = StructType.fromJson(
+            {"type": "struct", "fields": schema_fields}
+        )
+        casts = [
+            (f.name, f.dataType)
+            for f in want.fields
+            if f.name in set(batch.columns)
+            and batch.schema[f.name].dataType != f.dataType
+        ]
+        if casts:
+            batch = batch.withColumns(
+                {n: F.col(n).cast(t) for n, t in casts}
+            )
+
+    generated_columns = dict(prev.get("generated_columns", {}))
+    if generated_columns:
+        batch = _apply_generated_columns(spark, batch, generated_columns)
+    _enforce_table_constraints(spark, root_path, batch)
+
+    key = prev["key"]
+    num_buckets = int(prev["num_buckets"])
+    stats_columns = list(prev.get("stats_columns", []))
+    bloom_columns = list(prev.get("bloom_columns", []))
+    bloom_bits = int(prev.get("bloom_bits", 1024))
+
+    batch = batch.withColumn(BUCKET_COL, _bucket_of(key, num_buckets))
+    touched = sorted(
+        r[0] for r in batch.select(BUCKET_COL).distinct().collect()
+    )
+    # fresh dicts: _publish writes the files and fills ONLY the new
+    # files' bookkeeping; the append algebra below merges it into the
+    # previous snapshot's without reading any existing file
+    new_buckets: dict[str, list[str]] = {}
+    new_counts: dict[str, int] = {}
+    new_stats: dict[str, dict] = {}
+    new_blooms: dict[str, dict] = {}
+    new_nulls: dict[str, dict] = {}
+    _publish_touched_buckets(
+        spark,
+        root_path,
+        batch,
+        touched,
+        new_buckets,
+        new_counts,
+        stats_columns=stats_columns,
+        bucket_stats=new_stats,
+        bloom_columns=bloom_columns,
+        bucket_blooms=new_blooms,
+        bloom_bits=bloom_bits,
+        bucket_nulls=new_nulls,
+        manifest=prev,
+    )
+
+    buckets = {b: list(fl) for b, fl in prev["buckets"].items()}
+    row_counts = dict(prev["row_counts"])
+    bucket_stats = {
+        b: dict(st) for b, st in prev.get("bucket_stats", {}).items()
+    }
+    bucket_blooms = {
+        b: dict(w) for b, w in prev.get("bucket_blooms", {}).items()
+    }
+    bucket_nulls = {
+        b: dict(n) for b, n in prev.get("bucket_nulls", {}).items()
+    }
+    dec_cols = {
+        f["name"]
+        for f in (schema_fields or prev.get("schema") or [])
+        if str(f.get("type", "")).startswith("decimal")
+    }
+    from ..sources.txtable_writer import _widen
+
+    for bs, rels in new_buckets.items():
+        prior_files = bool(buckets.get(bs))
+        buckets[bs] = list(buckets.get(bs, [])) + list(rels)
+        row_counts[bs] = int(row_counts.get(bs, 0)) + int(new_counts[bs])
+        if stats_columns:
+            # null counts SUM (physical, per file); a bucket with prior
+            # files but no recorded counts stays absent — recording
+            # only the new files' nulls would wrongly prune IS NULL
+            if prior_files and bs not in prev.get("bucket_nulls", {}):
+                bucket_nulls.pop(bs, None)
+            else:
+                cur_n = bucket_nulls.get(bs, {})
+                add_n = new_nulls.get(bs, {})
+                bucket_nulls[bs] = {
+                    c: int(cur_n.get(c, 0)) + int(add_n.get(c, 0))
+                    for c in stats_columns
+                }
+            # zone maps widen value-aware; an all-null (or absent — the
+            # batch may predate the column) new range keeps the old
+            # bounds EXACT, and a bucket whose old rows have no recorded
+            # range stays range-less (same rules as commit_files)
+            new_st = {
+                c: (
+                    None
+                    if (v := new_stats.get(bs, {}).get(c)) in (None, [None, None])
+                    else v
+                )
+                for c in stats_columns
+            }
+            if prior_files:
+                old_st = bucket_stats.get(bs)
+                if old_st is None:
+                    merged = None
+                else:
+                    merged = {}
+                    for c in stats_columns:
+                        old_c, new_c = old_st.get(c), new_st.get(c)
+                        w = (
+                            old_c
+                            if new_c is None
+                            else _widen(old_c, new_c, decimal=c in dec_cols)
+                        )
+                        if w is not None:
+                            merged[c] = w
+            else:
+                merged = {c: v for c, v in new_st.items() if v is not None}
+            if merged:
+                bucket_stats[bs] = merged
+            else:
+                bucket_stats.pop(bs, None)
+        if bloom_columns:
+            # Bloom words OR (append commutes on filters); a column the
+            # batch doesn't carry contributes nothing — its new rows
+            # read NULL, which no equality probe matches, so the old
+            # filter stays exact. A bucket that already LOST its filter
+            # stays filter-less (old rows' bits are unrecoverable).
+            cur = bucket_blooms.get(bs)
+            nb = new_blooms.get(bs, {})
+            if prior_files and cur is None:
+                bucket_blooms.pop(bs, None)
+            else:
+                merged_bloom = dict(cur or {})
+                for c in bloom_columns:
+                    old_w = dict(merged_bloom.get(c, {}))
+                    for k, hx in (nb.get(c) or {}).items():
+                        pv = old_w.get(k)
+                        old_w[k] = format(
+                            int(hx, 16) | (int(pv, 16) if pv else 0), "016x"
+                        )
+                    if old_w:
+                        merged_bloom[c] = old_w
+                if merged_bloom:
+                    bucket_blooms[bs] = merged_bloom
+
+    version = prev["version"] + 1
+    copy_files = dict(history)
+    for p, sz, mt in new_files:
+        copy_files[p] = [sz, mt, version]
+
+    _commit_manifest(
+        spark,
+        root_path,
+        {
+            "version": version,
+            "key": key,
+            "num_buckets": num_buckets,
+            "buckets": buckets,
+            "row_counts": row_counts,
+            "app_txns": dict(prev.get("app_txns", {})),
+            "stats_columns": stats_columns,
+            "bucket_stats": bucket_stats,
+            "bloom_columns": bloom_columns,
+            "bucket_blooms": bucket_blooms,
+            "bloom_bits": bloom_bits,
+            **({"bucket_nulls": bucket_nulls} if bucket_nulls else {}),
+            **(
+                {"schema": schema_fields}
+                if schema_fields is not None
+                else {}
+            ),
+            **({"dropped_columns": dropped_columns} if dropped_columns else {}),
+            **(
+                {"generated_columns": generated_columns}
+                if generated_columns
+                else {}
+            ),
+            **_dv_carry(prev),
+            "copy_files": copy_files,
+            "committed_at_ms": int(time.time() * 1000),
+        },
+    )
+    return {
+        "num_loaded_files": len(new_files),
+        "num_skipped_files": len(files) - len(new_files),
+        "rows_loaded": int(sum(new_counts.values())),
+        "version": version,
+    }
+
+
+def copy_history(spark: SparkSession, root_path: str) -> list[dict]:
+    """The table's COPY INTO load history at the current version: one
+    row per loaded file — ``{"file", "size", "mtime_ms", "version"}``,
+    sorted by (version, file). Metadata-only (one manifest read)."""
+    man = _latest_manifest(spark, root_path)
+    if man is None:
+        raise FileNotFoundError(f"no committed txtable at {root_path}")
+    return sorted(
+        (
+            {
+                "file": p,
+                "size": int(rec[0]),
+                "mtime_ms": int(rec[1]),
+                "version": int(rec[2]) if len(rec) > 2 else None,
+            }
+            for p, rec in man.get("copy_files", {}).items()
+        ),
+        key=lambda r: (r["version"], r["file"]),
+    )

@@ -18,6 +18,9 @@ the same statements they would against Delta:
     INSERT INTO txtable.`/path/t` [(col, ...)] VALUES (...), (...)
     INSERT INTO txtable.`/path/t` [(col, ...)] SELECT ...
     INSERT OVERWRITE txtable.`/path/t` SELECT ...
+    COPY INTO txtable.`/path/t` FROM '/landing/dir' FILEFORMAT = PARQUET
+        [PATTERN = '*.parquet'] [FORMAT_OPTIONS ('header' = 'true')]
+        [COPY_OPTIONS ('force' = 'true', 'mergeSchema' = 'true')]
     CREATE TABLE txtable.`/path/t` (a BIGINT, b STRING)
         [KEY a] [BUCKETS n] [STATS (col, ...)] [BLOOM (col, ...)]
     UPDATE txtable.`/path/t` SET amount = amount * 2 WHERE id < 5
@@ -424,6 +427,26 @@ def _rewrite_selects(spark: SparkSession, text: str) -> str:
     return _TBL_REF.sub(sub, text)
 
 
+def _parse_quoted_kv(body: str | None) -> dict[str, str]:
+    """Parse an OPTIONS tuple body — ``'k' = 'v', 'k2' = 'v2'`` (the
+    Databricks FORMAT_OPTIONS/COPY_OPTIONS shape). Empty/absent → {}."""
+    if body is None or not body.strip():
+        return {}
+    out: dict[str, str] = {}
+    pair = re.compile(r"'(?P<k>[^']+)'\s*=\s*'(?P<v>[^']*)'\s*(?:,\s*|$)")
+    pos, rest = 0, body.strip()
+    while pos < len(rest):
+        m = pair.match(rest, pos)
+        if not m:
+            raise UnsupportedSqlError(
+                f"cannot parse options near {rest[pos:pos + 40]!r}; "
+                "expected 'key' = 'value' pairs"
+            )
+        out[m.group("k")] = m.group("v")
+        pos = m.end()
+    return out
+
+
 def txtable_sql(spark: SparkSession, sql: str) -> DataFrame | int | None:
     """Execute one txtable statement (grammar above). SELECT/WITH
     queries run through Spark SQL with every ``txtable.`<path>``
@@ -530,6 +553,46 @@ def txtable_sql(spark: SparkSession, sql: str) -> DataFrame | int | None:
             - sum(int(v) for v in post.get("dv_counts", {}).values())
             - prev_rows
         )
+
+    m = re.match(
+        rf"COPY{_WS}INTO{_WS}{_TBL}"
+        rf"{_WS}FROM{_WS}'(?P<src>[^']+)'"
+        rf"{_WS}FILEFORMAT{_WS}?={_WS}?(?P<fmt>\w+)"
+        rf"(?:{_WS}PATTERN{_WS}?={_WS}?'(?P<pat>[^']+)')?"
+        rf"(?:{_WS}FORMAT_OPTIONS{_WS}?\((?P<fopts>[^)]*)\))?"
+        rf"(?:{_WS}COPY_OPTIONS{_WS}?\((?P<copts>[^)]*)\))?$",
+        text,
+        re.IGNORECASE,
+    )
+    if m:
+        # Databricks' COPY INTO: file-level exactly-once bulk ingest —
+        # already-loaded files (path+size+mtime, recorded in the same
+        # commit as their rows) are skipped on re-run. Returns the
+        # loaded row count (0 for a fully-skipped idempotent re-run).
+        from .copy_into import copy_into
+
+        copts = {
+            k.lower(): v
+            for k, v in _parse_quoted_kv(m.group("copts")).items()
+        }
+        unknown = set(copts) - {"force", "mergeschema"}
+        if unknown:
+            raise UnsupportedSqlError(
+                f"COPY_OPTIONS {sorted(unknown)} not supported; "
+                "known: 'force', 'mergeSchema'"
+            )
+        res = copy_into(
+            spark,
+            m.group("path"),
+            m.group("src"),
+            m.group("fmt").lower(),
+            pattern=m.group("pat"),
+            format_options=_parse_quoted_kv(m.group("fopts")) or None,
+            force=copts.get("force", "false").lower() == "true",
+            merge_schema=copts.get("mergeschema", "false").lower()
+            == "true",
+        )
+        return res["rows_loaded"]
 
     m = re.match(
         rf"MERGE{_WS}INTO{_WS}{_TBL}(?:{_WS}AS{_WS}(?P<talias>\w+))?"
@@ -898,7 +961,7 @@ def txtable_sql(spark: SparkSession, sql: str) -> DataFrame | int | None:
 
     raise UnsupportedSqlError(
         f"not a recognized txtable statement: {text[:120]!r}. Supported: "
-        "INSERT INTO|OVERWRITE ... VALUES|SELECT / "
+        "INSERT INTO|OVERWRITE ... VALUES|SELECT / COPY INTO ... FROM / "
         "MERGE INTO / UPDATE / DELETE FROM / RESTORE TABLE / VACUUM / OPTIMIZE / "
         "DESCRIBE HISTORY / DESCRIBE DETAIL / "
         "ALTER TABLE ... ADD|DROP|RENAME COLUMN / "

@@ -734,6 +734,19 @@ def _dv_carry(prev: dict, cleared_buckets=()) -> dict:
     return {**fields, **_requires_of(fields)}
 
 
+def _copy_carry(prev: dict | None) -> dict:
+    """COPY INTO load-history fields carried forward from ``prev``
+    unchanged. Every commit that evolves a snapshot (MERGE, DELETE,
+    UPDATE, ALTER, OPTIMIZE, REBUCKET) must carry ``copy_files`` — a
+    commit that dropped it would silently re-arm already-loaded files
+    for a double load. RESTORE and CLONE carry from their SOURCE
+    manifest, so load history time-travels/copies consistently with
+    the data it describes. Returns {} for tables never COPY'd into."""
+    if prev and prev.get("copy_files"):
+        return {"copy_files": dict(prev["copy_files"])}
+    return {}
+
+
 def _norm_fs_path(p: str) -> str:
     """Canonical form for comparing a manifest-derived absolute path
     with Spark's ``_metadata.file_path`` URI: local-fs 'file:' schemes
@@ -1385,6 +1398,7 @@ def txlog_upsert(
                 else {}
             ),
             **(_dv_carry(prev, touched) if prev is not None else {}),
+            **_copy_carry(prev),
             "committed_at_ms": int(time.time() * 1000),
         },
     )
@@ -1860,6 +1874,7 @@ def txlog_delete(
             **({"bucket_nulls": bucket_nulls} if bucket_nulls else {}),
             **_schema_carry(prev),
             **_dv_carry(prev, touched),
+            **_copy_carry(prev),
             "committed_at_ms": int(time.time() * 1000),
         },
     )
@@ -1964,6 +1979,7 @@ def _txlog_delete_mor(
             **_schema_carry(prev),
             **fields,
             **_requires_of(fields),
+            **_copy_carry(prev),
             "committed_at_ms": int(time.time() * 1000),
         },
     )
@@ -2115,6 +2131,7 @@ def _txlog_update_mor(
             **_schema_carry(prev),
             **fields,
             **_requires_of(fields),
+            **_copy_carry(prev),
             "committed_at_ms": int(time.time() * 1000),
         },
     )
@@ -2258,6 +2275,7 @@ def txlog_update(
             **({"bucket_nulls": bucket_nulls} if bucket_nulls else {}),
             **_schema_carry(prev),
             **_dv_carry(prev, touched),
+            **_copy_carry(prev),
             "committed_at_ms": int(time.time() * 1000),
         },
     )
@@ -2300,6 +2318,7 @@ def _alter_commit(
                 else {}
             ),
             **_dv_carry(prev),
+            **_copy_carry(prev),
             "committed_at_ms": int(time.time() * 1000),
         },
     )
@@ -2744,6 +2763,7 @@ def shallow_clone_txtable(
                 else {}
             ),
             **_schema_carry(src),
+            **_copy_carry(src),
             "committed_at_ms": int(time.time() * 1000),
         },
     )
@@ -2907,6 +2927,7 @@ def restore_txtable(
             **_schema_carry(src),
             **_dv_carry(src),
             "restored_from_version": version,
+            **_copy_carry(src),
             "committed_at_ms": int(time.time() * 1000),
         },
     )
@@ -3237,6 +3258,7 @@ def compact_txtable(
             **({"bucket_nulls": bucket_nulls} if bucket_nulls else {}),
             **_schema_carry(manifest),
             **_dv_carry(manifest, todo.keys()),
+            **_copy_carry(manifest),
             "committed_at_ms": int(time.time() * 1000),
         },
     )
@@ -3471,6 +3493,7 @@ def rebucket_txtable(
             "bloom_bits": int(prev.get("bloom_bits", BLOOM_BITS)),
             **({"bucket_nulls": bucket_nulls} if bucket_nulls else {}),
             **_schema_carry(prev),
+            **_copy_carry(prev),
             "committed_at_ms": int(time.time() * 1000),
         },
     )

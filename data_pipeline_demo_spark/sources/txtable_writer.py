@@ -1084,6 +1084,20 @@ def commit_files(
                     bucket_stats[bs] = merged
                 else:
                     bucket_stats.pop(bs, None)
+        # table-level declarations carry forward on APPEND (a blind
+        # insert changes rows, never the table's contract); OVERWRITE
+        # replaces the snapshot and resets them with the schema.
+        # generated_columns: dropping it here would silently strip the
+        # GENERATED ALWAYS AS invariant from every later commit (the
+        # next upsert omitting the column would insert NULLs instead of
+        # computing the expression). copy_files: dropping it would
+        # re-arm already-COPY-INTO-loaded files for a double load.
+        carried = {}
+        if prev is not None and not overwrite:
+            if prev.get("generated_columns"):
+                carried["generated_columns"] = dict(prev["generated_columns"])
+            if prev.get("copy_files"):
+                carried["copy_files"] = dict(prev["copy_files"])
         manifest = {
             "version": version,
             "key": spec["key"],
@@ -1100,6 +1114,7 @@ def commit_files(
             **({"dropped_columns": dropped_columns} if dropped_columns else {}),
             **({"bucket_nulls": bucket_nulls} if bucket_nulls else {}),
             **dv_fields,
+            **carried,
             "committed_at_ms": _now_ms(),
         }
         payload = json.dumps(manifest).encode("utf-8")

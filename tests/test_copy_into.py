@@ -1,0 +1,358 @@
+"""COPY INTO — file-level exactly-once bulk ingest (Databricks verb).
+
+Reference parity: the reference's ingestion loop processes each landing
+file exactly once via a ledger check (data_pipeline.py:106-161); COPY
+INTO is the lakehouse-native form — the loaded-file set commits
+atomically WITH the rows, so replays/retries/races never double-load.
+"""
+
+import glob
+import os
+import shutil
+import threading
+
+import pytest
+
+from data_pipeline_demo_spark.sinks.copy_into import copy_history, copy_into
+from data_pipeline_demo_spark.sinks.sql_dml import (
+    UnsupportedSqlError,
+    txtable_sql,
+)
+from data_pipeline_demo_spark.sinks.txlog import (
+    ConcurrentCommitError,
+    ConstraintViolationError,
+    _latest_manifest,
+    compact_txtable,
+    read_txtable,
+    restore_txtable,
+    set_table_constraint,
+    shallow_clone_txtable,
+    txlog_add_column,
+    txlog_delete,
+    txlog_rename_column,
+    txlog_update,
+    txlog_upsert,
+)
+
+
+def _land_parquet(spark, dest_dir, name, rows, schema):
+    """Write rows as ONE parquet file named ``<name>.parquet`` in
+    ``dest_dir`` (landing-zone shape: flat immutable files)."""
+    os.makedirs(dest_dir, exist_ok=True)
+    tmp = os.path.join(dest_dir, f"__tmp_{name}")
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(tmp)
+    [part] = glob.glob(os.path.join(tmp, "*.parquet"))
+    final = os.path.join(dest_dir, f"{name}.parquet")
+    shutil.move(part, final)
+    shutil.rmtree(tmp)
+    return final
+
+
+def _create(spark, root, ddl="id BIGINT, v STRING", extra=""):
+    txtable_sql(
+        spark, f"CREATE TABLE txtable.`{root}` ({ddl}) KEY id BUCKETS 4 {extra}"
+    )
+
+
+def _vals(spark, root):
+    return sorted((r.id, r.v) for r in read_txtable(spark, root).collect())
+
+
+def test_copy_into_idempotent_then_incremental(spark, tmp_path):
+    land = str(tmp_path / "land")
+    root = str(tmp_path / "t")
+    _land_parquet(spark, land, "a", [(1, "a"), (2, "b")], "id long, v string")
+    _create(spark, root)
+    r1 = copy_into(spark, root, land, "parquet")
+    assert (r1["num_loaded_files"], r1["rows_loaded"]) == (1, 2)
+    # re-run: nothing new, NO commit (version unchanged)
+    r2 = copy_into(spark, root, land, "parquet")
+    assert (r2["num_loaded_files"], r2["num_skipped_files"]) == (0, 1)
+    assert r2["rows_loaded"] == 0
+    assert r2["version"] == r1["version"]
+    # a new landing file: only IT loads
+    _land_parquet(spark, land, "b", [(3, "c")], "id long, v string")
+    r3 = copy_into(spark, root, land, "parquet")
+    assert (r3["num_loaded_files"], r3["num_skipped_files"]) == (1, 1)
+    assert _vals(spark, root) == [(1, "a"), (2, "b"), (3, "c")]
+    hist = copy_history(spark, root)
+    assert [h["version"] for h in hist] == [r1["version"], r3["version"]]
+
+
+def test_copy_into_changed_file_reloads_and_force(spark, tmp_path):
+    land = str(tmp_path / "land")
+    root = str(tmp_path / "t")
+    f = _land_parquet(spark, land, "a", [(1, "a")], "id long, v string")
+    _create(spark, root)
+    copy_into(spark, root, land, "parquet")
+    # same name, new content (size/mtime change) = a new delivery
+    os.unlink(f)
+    _land_parquet(spark, land, "a", [(1, "a"), (9, "z")], "id long, v string")
+    r = copy_into(spark, root, land, "parquet")
+    assert r["num_loaded_files"] == 1
+    # blind append: the old delivery's row remains (documented)
+    assert _vals(spark, root) == [(1, "a"), (1, "a"), (9, "z")]
+    # FORCE reloads even unchanged files
+    r = copy_into(spark, root, land, "parquet", force=True)
+    assert r["num_loaded_files"] == 1 and r["rows_loaded"] == 2
+
+
+def test_copy_into_sql_grammar(spark, tmp_path):
+    land = str(tmp_path / "land")
+    root = str(tmp_path / "t")
+    _land_parquet(spark, land, "a", [(1, "a")], "id long, v string")
+    os.makedirs(os.path.join(land, "sub"), exist_ok=True)
+    _create(spark, root)
+    n = txtable_sql(
+        spark,
+        f"COPY INTO txtable.`{root}` FROM '{land}' FILEFORMAT = PARQUET "
+        "PATTERN = '*.parquet'",
+    )
+    assert n == 1
+    # idempotent through SQL too
+    assert txtable_sql(
+        spark,
+        f"COPY INTO txtable.`{root}` FROM '{land}' FILEFORMAT = PARQUET",
+    ) == 0
+    with pytest.raises(UnsupportedSqlError, match="COPY_OPTIONS"):
+        txtable_sql(
+            spark,
+            f"COPY INTO txtable.`{root}` FROM '{land}' FILEFORMAT = PARQUET "
+            "COPY_OPTIONS ('bogus' = '1')",
+        )
+    with pytest.raises(ValueError, match="FILEFORMAT"):
+        txtable_sql(
+            spark,
+            f"COPY INTO txtable.`{root}` FROM '{land}' FILEFORMAT = AVRO",
+        )
+
+
+def test_copy_into_csv_and_json_use_table_schema(spark, tmp_path):
+    land_csv = str(tmp_path / "csv")
+    land_json = str(tmp_path / "json")
+    os.makedirs(land_csv)
+    os.makedirs(land_json)
+    with open(os.path.join(land_csv, "a.csv"), "w") as fh:
+        fh.write("id,v\n1,a\n2,b\n")
+    with open(os.path.join(land_json, "a.json"), "w") as fh:
+        fh.write('{"id": 3, "v": "c"}\n{"id": 4, "v": "d"}\n')
+    root = str(tmp_path / "t")
+    _create(spark, root)
+    n = txtable_sql(
+        spark,
+        f"COPY INTO txtable.`{root}` FROM '{land_csv}' FILEFORMAT = CSV "
+        "FORMAT_OPTIONS ('header' = 'true')",
+    )
+    assert n == 2
+    assert copy_into(spark, root, land_json, "json")["rows_loaded"] == 2
+    assert _vals(spark, root) == [(1, "a"), (2, "b"), (3, "c"), (4, "d")]
+
+
+def test_copy_into_requires_existing_table_and_schema_gate(spark, tmp_path):
+    land = str(tmp_path / "land")
+    _land_parquet(
+        spark, land, "a", [(1, "a", 1.5)], "id long, v string, extra double"
+    )
+    root = str(tmp_path / "t")
+    with pytest.raises(FileNotFoundError, match="create it first"):
+        copy_into(spark, root, land, "parquet")
+    _create(spark, root)
+    # batch carries a column the table lacks: refuse without mergeSchema
+    with pytest.raises(ValueError, match="extra"):
+        copy_into(spark, root, land, "parquet")
+    r = copy_into(spark, root, land, "parquet", merge_schema=True)
+    assert r["rows_loaded"] == 1
+    df = read_txtable(spark, root)
+    assert "extra" in df.columns
+    assert df.collect()[0]["extra"] == 1.5
+
+
+def test_copy_into_generated_columns_and_constraints(spark, tmp_path):
+    root = str(tmp_path / "t")
+    txlog_upsert(
+        spark,
+        spark.createDataFrame([(1, 2.0, 4.0)], "id long, a double, d double"),
+        root,
+        key="id",
+        num_buckets=2,
+        generated_columns={"d": "a * 2"},
+    )
+    land = str(tmp_path / "land")
+    _land_parquet(spark, land, "x", [(2, 5.0)], "id long, a double")
+    copy_into(spark, root, land, "parquet")
+    rows = {r.id: r.d for r in read_txtable(spark, root).collect()}
+    assert rows == {1: 4.0, 2: 10.0}  # generated column computed on load
+    set_table_constraint(spark, root, "pos_a", "a > 0")
+    _land_parquet(spark, land, "bad", [(3, -1.0)], "id long, a double")
+    with pytest.raises(ConstraintViolationError):
+        copy_into(spark, root, land, "parquet")
+
+
+def test_python_append_carries_generated_columns_regression(spark, tmp_path):
+    """r10 bugfix: a SQL INSERT (python DSv2 append) used to DROP
+    generated_columns from the manifest — the next upsert omitting the
+    column then inserted NULL instead of computing the expression."""
+    root = str(tmp_path / "gen_t")
+    txlog_upsert(
+        spark,
+        spark.createDataFrame([(1, 10.0, 20.0)], "id long, a double, d double"),
+        root,
+        key="id",
+        num_buckets=2,
+        generated_columns={"d": "a * 2"},
+    )
+    txtable_sql(
+        spark, f"INSERT INTO txtable.`{root}` (id, a) VALUES (2, 3.0)"
+    )
+    assert _latest_manifest(spark, root).get("generated_columns") == {
+        "d": "a * 2"
+    }
+    txlog_upsert(
+        spark, spark.createDataFrame([(3, 5.0)], "id long, a double"), root
+    )
+    rows = {r.id: r.d for r in read_txtable(spark, root).collect()}
+    assert rows == {1: 20.0, 2: 6.0, 3: 10.0}
+
+
+def test_copy_history_survives_every_verb(spark, tmp_path):
+    """The cross-cutting carry: EVERY snapshot-evolving commit must
+    propagate copy_files — any path that drops it re-arms loaded files
+    for a silent double load."""
+    land = str(tmp_path / "land")
+    root = str(tmp_path / "t")
+    _land_parquet(spark, land, "a", [(1, "a"), (2, "b")], "id long, v string")
+    _create(spark, root, extra="STATS (id)")
+    copy_into(spark, root, land, "parquet")
+
+    txlog_upsert(
+        spark, spark.createDataFrame([(5, "m")], "id long, v string"), root
+    )
+    txlog_update(spark, root, set={"v": "'u'"}, where="id = 5")
+    txlog_delete(spark, root, where="id = 5")
+    txlog_delete(spark, root, where="id = 2", mode="merge-on-read")
+    compact_txtable(spark, root, min_files=1)
+    txtable_sql(spark, f"INSERT INTO txtable.`{root}` (id, v) VALUES (7, 'p')")
+    txlog_add_column(spark, root, "w", "double")
+    # (rename engages column mapping — the python DSv2 writer refuses
+    # mapped tables by design, so the SQL INSERT above runs first)
+    txlog_rename_column(spark, root, "w", "w2")
+    set_table_constraint(spark, root, "idpos", "id >= 0")
+    # after ALL of that, the landing file is still known-loaded
+    r = copy_into(spark, root, land, "parquet")
+    assert r["num_loaded_files"] == 0 and r["num_skipped_files"] == 1
+    # clone copies the history with the data
+    clone_root = str(tmp_path / "clone")
+    shallow_clone_txtable(spark, root, clone_root)
+    rc = copy_into(spark, clone_root, land, "parquet")
+    assert rc["num_loaded_files"] == 0
+
+
+def test_copy_history_time_travels_with_restore(spark, tmp_path):
+    """RESTORE returns the history as of the restored version: rolling
+    back to before the COPY re-arms the files — consistent with the
+    rows themselves disappearing."""
+    land = str(tmp_path / "land")
+    root = str(tmp_path / "t")
+    _land_parquet(spark, land, "a", [(1, "a")], "id long, v string")
+    _create(spark, root)
+    v_before = _latest_manifest(spark, root)["version"]
+    copy_into(spark, root, land, "parquet")
+    assert len(copy_history(spark, root)) == 1
+    restore_txtable(spark, root, version=v_before)
+    assert copy_history(spark, root) == []
+    r = copy_into(spark, root, land, "parquet")
+    assert r["num_loaded_files"] == 1  # re-armed, consistent with rows
+    assert _vals(spark, root) == [(1, "a")]
+
+
+def test_copy_into_pruning_stays_exact_after_append(spark, tmp_path):
+    """Appends must leave zone maps / Bloom filters EXACT: widened
+    bounds still admit the new rows, old rows keep matching."""
+    land = str(tmp_path / "land")
+    root = str(tmp_path / "t")
+    txtable_sql(
+        spark,
+        f"CREATE TABLE txtable.`{root}` (id BIGINT, v STRING) KEY id "
+        "BUCKETS 4 STATS (id) BLOOM (v)",
+    )
+    txlog_upsert(
+        spark,
+        spark.createDataFrame(
+            [(i, f"s{i}") for i in range(10)], "id long, v string"
+        ),
+        root,
+    )
+    _land_parquet(
+        spark,
+        land,
+        "hi",
+        [(100 + i, f"n{i}") for i in range(5)],
+        "id long, v string",
+    )
+    copy_into(spark, root, land, "parquet")
+    # zone maps widened: a range probe over the APPENDED band finds all
+    got = sorted(
+        r.id
+        for r in read_txtable(
+            spark, root, prune_between={"id": (100, 200)}
+        ).collect()
+        if 100 <= r.id <= 200
+    )
+    assert got == [100 + i for i in range(5)]
+    # bloom: appended value found, old value still found
+    assert (
+        read_txtable(spark, root, bloom_eq={"v": "n3"})
+        .filter("v = 'n3'")
+        .count()
+        == 1
+    )
+    assert (
+        read_txtable(spark, root, bloom_eq={"v": "s7"})
+        .filter("v = 's7'")
+        .count()
+        == 1
+    )
+
+
+def test_copy_into_racing_loaders_stay_exactly_once(spark, tmp_path):
+    """Two loaders racing the same landing dir: the version claim
+    arbitrates; the loser retries, re-filters against the winner's
+    history, and loads nothing twice."""
+    land = str(tmp_path / "land")
+    root = str(tmp_path / "t")
+    for i in range(3):
+        _land_parquet(
+            spark, land, f"f{i}", [(i, f"v{i}")], "id long, v string"
+        )
+    _create(spark, root)
+    errs = []
+
+    def loader():
+        for _ in range(10):
+            try:
+                copy_into(spark, root, land, "parquet")
+                return
+            except ConcurrentCommitError:
+                continue
+        errs.append("gave up")
+
+    threads = [threading.Thread(target=loader) for _ in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert errs == []
+    assert _vals(spark, root) == [(0, "v0"), (1, "v1"), (2, "v2")]
+    assert len(copy_history(spark, root)) == 3
+
+
+def test_copy_into_time_travel_excludes_later_loads(spark, tmp_path):
+    land = str(tmp_path / "land")
+    root = str(tmp_path / "t")
+    _land_parquet(spark, land, "a", [(1, "a")], "id long, v string")
+    _create(spark, root)
+    r1 = copy_into(spark, root, land, "parquet")
+    _land_parquet(spark, land, "b", [(2, "b")], "id long, v string")
+    copy_into(spark, root, land, "parquet")
+    old = read_txtable(spark, root, version=r1["version"])
+    assert sorted((r.id, r.v) for r in old.collect()) == [(1, "a")]
