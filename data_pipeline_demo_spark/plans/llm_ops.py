@@ -3638,3 +3638,40 @@ def q230_copy_into_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         f"SELECT o_orderkey, o_custkey, o_totalprice FROM txtable.`{root}`",
     )
+
+
+_MOJI_SUFFIX = " — café™ “naïve” №…"
+
+_DUCK_MOJIBAKE = f"""
+    SELECT doc_id, text || '{_MOJI_SUFFIX}' AS text
+    FROM documents
+"""
+
+
+@register("q231_mojibake_repair", oracle=_DUCK_MOJIBAKE)
+def q231_mojibake_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding repair (ftfy's core fix) certified by inversion: every
+    document gets a non-ASCII suffix, is corrupted IN-PLAN into
+    UTF-8-read-as-cp1252 mojibake (``cafÃ©``, ``â€œ`` — the defect
+    scraped/exported corpora actually carry; the reference's CSV/HTML
+    payloads, data_pipeline.py:352-572, are where it originates), then
+    repaired. The oracle only knows the CLEAN text — a value-hash match
+    proves repair∘corrupt ≡ identity on the whole corpus without DuckDB
+    needing any charset machinery.
+
+    Scale: both corrupt and repair are single codegen expressions
+    (translate/encode/decode/is_valid_utf8) — no UDF, no shuffle, no
+    Python; the fix streams through the scan and runs inline at ingest
+    on a 100 TB corpus."""
+    from ..operators.encodings import fix_mojibake, simulate_mojibake
+
+    docs = table(spark, sf_dir, "documents")
+    dirty = docs.select(
+        "doc_id",
+        simulate_mojibake(F.concat(F.col("text"), F.lit(_MOJI_SUFFIX))).alias(
+            "garbled"
+        ),
+    )
+    return dirty.select(
+        "doc_id", fix_mojibake("garbled").alias("text")
+    )

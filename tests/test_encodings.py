@@ -1,0 +1,161 @@
+"""Mojibake repair (ftfy's core fix as pure codegen expressions).
+
+Ground truth throughout is Python's codecs module: corruption is
+"UTF-8 bytes decoded as cp1252" (HTML5/Java table — the five undefined
+bytes 0x81 8D 8F 90 9D surface as their C1 controls), and repair must
+invert it exactly while leaving clean text byte-identical.
+"""
+
+import string
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from data_pipeline_demo_spark.operators.encodings import (
+    _CP1252_DST,
+    _CP1252_SRC,
+    fix_mojibake,
+    simulate_mojibake,
+    strip_bom,
+)
+
+
+def corrupt_py(s: str) -> str:
+    """Reference corruption via Python codecs (HTML5 cp1252 table)."""
+    holes = {0x81: "\x81", 0x8D: "\x8d", 0x8F: "\x8f", 0x90: "\x90", 0x9D: "\x9d"}
+    out = []
+    for b in s.encode("utf-8"):
+        try:
+            out.append(bytes([b]).decode("windows-1252"))
+        except UnicodeDecodeError:
+            out.append(holes[b])
+    return "".join(out)
+
+
+def test_cp1252_table_matches_python_codecs():
+    assert len(_CP1252_SRC) == len(_CP1252_DST) == 27
+    for ch, ctrl in zip(_CP1252_SRC, _CP1252_DST):
+        assert ch.encode("windows-1252") == bytes([ord(ctrl)])
+
+
+CASES = [
+    "café",
+    "naïve—dash",
+    "™ and € signs",
+    "“smart quotes” and ‘apostrophes’",
+    "São Paulo Straße",
+    "ellipsis… bullet• dagger†",
+]
+
+
+def _run(spark, rows, expr, alias="out"):
+    df = spark.createDataFrame([(r,) for r in rows], "t string")
+    return [r[alias] for r in df.select(expr.alias(alias)).collect()]
+
+
+def test_repair_inverts_corruption(spark):
+    corrupted = [corrupt_py(s) for s in CASES]
+    fixed = _run(spark, corrupted, fix_mojibake("t"))
+    assert fixed == CASES
+
+
+def test_clean_text_is_fixed_point(spark):
+    clean = CASES + [
+        "plain ascii",
+        "",
+        "question? marks?",
+        "日本語テキスト",
+        "mixed 中文 with café",
+        "emoji 🎉 party",
+        "tabs\tand\nnewlines",
+    ]
+    fixed = _run(spark, clean, fix_mojibake("t"))
+    assert fixed == clean
+
+
+def test_null_safe(spark):
+    df = spark.createDataFrame([(None,)], "t string")
+    assert df.select(fix_mojibake("t").alias("f")).collect()[0].f is None
+
+
+def test_double_mojibake_unwinds_with_two_passes(spark):
+    s = "café—test“q”"
+    d2 = corrupt_py(corrupt_py(s))
+    [fixed] = _run(spark, [d2], fix_mojibake("t", passes=2))
+    assert fixed == s
+    # one pass unwinds exactly one layer
+    [once] = _run(spark, [d2], fix_mojibake("t", passes=1))
+    assert once == corrupt_py(s)
+
+
+def test_simulate_mojibake_matches_python(spark):
+    got = _run(spark, CASES, simulate_mojibake("t"))
+    assert got == [corrupt_py(s) for s in CASES]
+
+
+def test_strip_bom(spark):
+    rows = ["﻿hello", "hello", "", "﻿", "mid﻿dle"]
+    got = _run(spark, rows, strip_bom("t"))
+    assert got == ["hello", "hello", "", "", "mid﻿dle"]
+
+
+# latin-1-ish text plus the cp1252 punctuation — the domain where
+# single-encoding corruption round-trips losslessly
+_LATINISH = st.text(
+    alphabet=string.ascii_letters
+    + string.digits
+    + " .,;:!?'\"()-"
+    + "àâäéèêëîïôöùûüçñÀÉÈÊÎÔÛÜ߀™•–—“”‘’…†‡ŠœŽŸ",
+    max_size=60,
+)
+
+
+@settings(max_examples=40, deadline=None)
+@given(_LATINISH)
+def test_fuzz_repair_inverts_corruption(spark, s):
+    [fixed] = _run(spark, [corrupt_py(s)], fix_mojibake("t"))
+    assert fixed == s
+
+
+_ANY_TEXT = st.text(max_size=60).filter(
+    # exclude strings that ARE genuine mojibake patterns (the documented
+    # ftfy-shared false-positive class): anything whose cp1252 encoding
+    # is itself valid multi-byte UTF-8
+    lambda s: not _is_accidental_mojibake(s)
+)
+
+
+def _is_accidental_mojibake(s: str) -> bool:
+    try:
+        b = s.encode("windows-1252")
+    except UnicodeEncodeError:
+        return False
+    try:
+        dec = b.decode("utf-8")
+    except UnicodeDecodeError:
+        return False
+    return len(dec) < len(s)
+
+
+@settings(max_examples=40, deadline=None)
+@given(_ANY_TEXT)
+def test_fuzz_arbitrary_clean_text_is_fixed_point(spark, s):
+    [fixed] = _run(spark, [s], fix_mojibake("t"))
+    assert fixed == s
+
+
+@pytest.mark.parametrize("q", ["fix", "sim"])
+def test_plan_is_pure_codegen(spark, q):
+    """No BatchEvalPython, no exchange — the fix is a scan-stream
+    expression."""
+    df = spark.createDataFrame([("x",)], "t string")
+    expr = fix_mojibake("t") if q == "fix" else simulate_mojibake("t")
+    plan = (
+        df.select(expr.alias("o"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan
+    assert "Exchange" not in plan
