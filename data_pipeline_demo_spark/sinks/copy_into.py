@@ -57,7 +57,7 @@ from .txlog import (
 )
 from .upsert import BUCKET_COL, _bucket_of, _hadoop_fs
 
-_FORMATS = {"parquet", "csv", "json"}
+_FORMATS = {"parquet", "orc", "csv", "json"}
 
 
 def _list_source_files(
@@ -109,6 +109,8 @@ def _read_new_files(
     reader = spark.read.options(**(format_options or {}))
     if file_format == "parquet":
         return reader.parquet(*paths)
+    if file_format == "orc":
+        return reader.orc(*paths)
     fields = manifest.get("schema")
     if not fields:
         raise ValueError(

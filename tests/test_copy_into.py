@@ -148,6 +148,29 @@ def test_copy_into_csv_and_json_use_table_schema(spark, tmp_path):
     assert _vals(spark, root) == [(1, "a"), (2, "b"), (3, "c"), (4, "d")]
 
 
+def test_copy_into_orc(spark, tmp_path):
+    """ORC landing files load through Spark's native ORC reader with
+    the same exactly-once file tracking."""
+    land = str(tmp_path / "orc")
+    os.makedirs(land)
+    tmp = os.path.join(land, "__tmp")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, v string"
+    ).coalesce(1).write.orc(tmp)
+    [part] = glob.glob(os.path.join(tmp, "*.orc"))
+    shutil.move(part, os.path.join(land, "a.orc"))
+    shutil.rmtree(tmp)
+    root = str(tmp_path / "t")
+    _create(spark, root)
+    n = txtable_sql(
+        spark,
+        f"COPY INTO txtable.`{root}` FROM '{land}' FILEFORMAT = ORC",
+    )
+    assert n == 2
+    assert copy_into(spark, root, land, "orc")["num_loaded_files"] == 0
+    assert _vals(spark, root) == [(1, "a"), (2, "b")]
+
+
 def test_copy_into_requires_existing_table_and_schema_gate(spark, tmp_path):
     land = str(tmp_path / "land")
     _land_parquet(
