@@ -3675,3 +3675,56 @@ def q231_mojibake_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dirty.select(
         "doc_id", fix_mojibake("garbled").alias("text")
     )
+
+
+_DUCK_TRUNCATE_LIFECYCLE = """
+    SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice
+    FROM orders WHERE o_orderkey >= 5000 AND o_orderkey < 6000
+    UNION ALL SELECT -7, 1, 7.0
+"""
+
+
+@register("q232_sql_truncate_lifecycle", oracle=_DUCK_TRUNCATE_LIFECYCLE)
+def q232_sql_truncate_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUNCATE TABLE as a statement, value-certified: load a band of
+    orders, TRUNCATE (ONE metadata-only empty-bucket commit — O(1) at
+    any table size, no data file read/written/deleted, prior versions
+    stay time-travelable), then refill with a different band + a
+    literal row. The oracle sees only the post-truncate content — a
+    hash match proves truncation removed EVERYTHING the first load put
+    in and NOTHING the refill added, and that the table's schema/key
+    survive the wipe.
+
+    Scale: this is the verb that makes 'clear a 100 TB staging table'
+    a manifest write instead of a delete-scan; vacuum reclaims bytes
+    on its own cadence."""
+    import tempfile
+
+    from ..sinks.sql_dml import txtable_sql
+
+    root = tempfile.mkdtemp(prefix="q232-trunc-") + "/t"
+    txtable_sql(
+        spark,
+        f"CREATE TABLE txtable.`{root}` (o_orderkey BIGINT, "
+        "o_custkey BIGINT, o_totalprice DOUBLE) KEY o_orderkey BUCKETS 8",
+    )
+    table(spark, sf_dir, "orders").createOrReplaceTempView("q232_orders_src")
+    txtable_sql(
+        spark,
+        f"INSERT INTO txtable.`{root}` "
+        "SELECT o_orderkey, o_custkey, o_totalprice "
+        "FROM q232_orders_src WHERE o_orderkey < 5000",
+    )
+    assert txtable_sql(spark, f"TRUNCATE TABLE txtable.`{root}`") > 0
+    txtable_sql(
+        spark,
+        f"INSERT INTO txtable.`{root}` "
+        "SELECT o_orderkey, o_custkey, o_totalprice "
+        "FROM q232_orders_src "
+        "WHERE o_orderkey >= 5000 AND o_orderkey < 6000",
+    )
+    txtable_sql(spark, f"INSERT INTO txtable.`{root}` VALUES (-7, 1, 7.0)")
+    return txtable_sql(
+        spark,
+        f"SELECT o_orderkey, o_custkey, o_totalprice FROM txtable.`{root}`",
+    )

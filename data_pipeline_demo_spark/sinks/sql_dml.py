@@ -27,6 +27,8 @@ the same statements they would against Delta:
     DELETE FROM txtable.`/path/t` WHERE id = 3
     RESTORE TABLE txtable.`/path/t` TO VERSION AS OF 2
     VACUUM txtable.`/path/t` RETAIN 168 HOURS [DRY RUN]
+    TRUNCATE TABLE txtable.`/path/t`
+    DROP TABLE txtable.`/path/t`
     OPTIMIZE txtable.`/path/t` [ZORDER BY (col, ...)]
     DESCRIBE HISTORY txtable.`/path/t`
     ALTER TABLE txtable.`/path/t` ADD COLUMN score double
@@ -681,6 +683,21 @@ def txtable_sql(spark: SparkSession, sql: str) -> DataFrame | int | None:
             kwargs["retain_hours"] = float(m.group("hours"))
         return vacuum_txtable(spark, m.group("path"), **kwargs)
 
+    m = re.match(rf"TRUNCATE{_WS}TABLE{_WS}{_TBL}$", text, re.IGNORECASE)
+    if m:
+        # metadata-only: one empty-bucket commit, O(1) at any size —
+        # old snapshots stay time-travelable until vacuum
+        from .txlog import truncate_txtable
+
+        return truncate_txtable(spark, m.group("path"))
+
+    m = re.match(rf"DROP{_WS}TABLE{_WS}{_TBL}$", text, re.IGNORECASE)
+    if m:
+        # destructive by SQL semantics: data + log + time travel go
+        from .txlog import drop_txtable
+
+        return int(drop_txtable(spark, m.group("path")))
+
     m = re.match(
         rf"DESCRIBE{_WS}HISTORY{_WS}{_TBL}$", text, re.IGNORECASE
     )
@@ -962,7 +979,8 @@ def txtable_sql(spark: SparkSession, sql: str) -> DataFrame | int | None:
     raise UnsupportedSqlError(
         f"not a recognized txtable statement: {text[:120]!r}. Supported: "
         "INSERT INTO|OVERWRITE ... VALUES|SELECT / COPY INTO ... FROM / "
-        "MERGE INTO / UPDATE / DELETE FROM / RESTORE TABLE / VACUUM / OPTIMIZE / "
+        "MERGE INTO / UPDATE / DELETE FROM / TRUNCATE TABLE / DROP TABLE / "
+        "RESTORE TABLE / VACUUM / OPTIMIZE / "
         "DESCRIBE HISTORY / DESCRIBE DETAIL / "
         "ALTER TABLE ... ADD|DROP|RENAME COLUMN / "
         "ALTER TABLE ... ADD CONSTRAINT name CHECK (pred) | DROP CONSTRAINT / "

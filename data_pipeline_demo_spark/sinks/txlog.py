@@ -2934,6 +2934,61 @@ def restore_txtable(
     return cur["version"] + 1
 
 
+def truncate_txtable(spark: SparkSession, root_path: str) -> int:
+    """``TRUNCATE TABLE``: remove every row as ONE metadata-only commit
+    — the next version simply references zero buckets. No data file is
+    read, written, or deleted (old snapshots stay time-travelable until
+    vacuum), so the cost is O(1) regardless of table size — the reason
+    TRUNCATE exists as a verb distinct from ``DELETE FROM t`` (which
+    scans for matches). Returns the number of logical rows removed.
+
+    The change feed reports the truncation as deletes of every prior
+    row (manifest diff: all old files removed). COPY INTO load history
+    RESETS — history follows content, same rule as INSERT OVERWRITE:
+    a truncated table re-loads its landing files on the next COPY.
+    Deletion vectors clear with the buckets they annotated."""
+    prev = _latest_manifest(spark, root_path)
+    if prev is None:
+        raise FileNotFoundError(f"no committed txtable at {root_path}")
+    _check_features(prev, frozenset({FEATURE_DV}), "truncate")
+    removed = sum(int(v) for v in prev.get("row_counts", {}).values()) - sum(
+        int(v) for v in prev.get("dv_counts", {}).values()
+    )
+    _commit_manifest(
+        spark,
+        root_path,
+        {
+            "version": prev["version"] + 1,
+            "key": prev["key"],
+            "num_buckets": prev["num_buckets"],
+            "buckets": {},
+            "row_counts": {},
+            "app_txns": dict(prev.get("app_txns", {})),
+            "stats_columns": list(prev.get("stats_columns", [])),
+            "bucket_stats": {},
+            "bloom_columns": list(prev.get("bloom_columns", [])),
+            "bucket_blooms": {},
+            "bloom_bits": int(prev.get("bloom_bits", BLOOM_BITS)),
+            **_schema_carry(prev),
+            "committed_at_ms": int(time.time() * 1000),
+        },
+    )
+    return removed
+
+
+def drop_txtable(spark: SparkSession, root_path: str) -> bool:
+    """``DROP TABLE``: remove the table — data, log, constraints,
+    indexes under the root — irreversibly (path-based tables have no
+    catalog soft-delete; this is ``rm -r`` through the Hadoop FS API,
+    so it works on any scheme). Time travel dies with the log by
+    definition; use RESTORE + VACUUM for reversible cleanup. Returns
+    True if something existed and was removed."""
+    fs, root = _hadoop_fs(spark, root_path)
+    if not fs.exists(root):
+        return False
+    return bool(fs.delete(root, True))
+
+
 def vacuum_txtable(
     spark: SparkSession,
     root_path: str,

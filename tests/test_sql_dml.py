@@ -114,8 +114,9 @@ def test_sql_unsupported_shapes_refuse_with_guidance(spark, t):
             "ON tgt.id = s.other "
             "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *",
         )
+    # (TRUNCATE graduated from this list to a real verb in round 10)
     with pytest.raises(UnsupportedSqlError, match="Supported"):
-        txtable_sql(spark, f"TRUNCATE TABLE txtable.`{t}`")
+        txtable_sql(spark, f"GRANT SELECT ON txtable.`{t}` TO someone")
 
 
 def test_sql_set_clause_commas_inside_exprs(spark, t):
@@ -805,3 +806,117 @@ def test_optimize_where_separator_whitespace():
         "a BETWEEN 1 AND 5 AND\tb BETWEEN 2 AND 6 AND\nc BETWEEN 'x' AND 'y'"
     )
     assert got == {"a": (1, 5), "b": (2, 6), "c": ("x", "y")}
+
+
+# ---------------------------------------------------------------------------
+# round 10: TRUNCATE TABLE / DROP TABLE
+
+
+def test_sql_truncate_is_metadata_only_and_time_travels(spark, tmp_path):
+    """TRUNCATE removes every row as ONE empty-bucket commit: O(1), no
+    data file touched, old snapshot still time-travelable, CDC reports
+    the rows as deletes."""
+    from data_pipeline_demo_spark.sinks.txlog import (
+        read_txtable,
+        txlog_upsert,
+        txtable_changes,
+    )
+
+    root = str(tmp_path / "t")
+    txlog_upsert(
+        spark,
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(20)], "id long, v string"
+        ),
+        root,
+        key="id",
+        num_buckets=4,
+    )
+    n = txtable_sql(spark, f"TRUNCATE TABLE txtable.`{root}`")
+    assert n == 20
+    assert read_txtable(spark, root).count() == 0
+    assert read_txtable(spark, root, version=0).count() == 20
+    cdc = txtable_changes(spark, root, from_version=0)
+    ops = {r["_change_type"] for r in cdc.collect()}
+    assert ops == {"delete"}
+    assert cdc.count() == 20
+    # table stays writable with its schema/key intact
+    txtable_sql(spark, f"INSERT INTO txtable.`{root}` VALUES (99, 'x')")
+    assert [(r.id, r.v) for r in read_txtable(spark, root).collect()] == [
+        (99, "x")
+    ]
+
+
+def test_sql_truncate_resets_copy_history(spark, tmp_path):
+    """History follows content (the INSERT OVERWRITE rule): a truncated
+    table re-loads its landing files on the next COPY INTO."""
+    import glob as _glob
+    import os
+    import shutil
+
+    from data_pipeline_demo_spark.sinks.copy_into import copy_into
+    from data_pipeline_demo_spark.sinks.txlog import read_txtable
+
+    land = str(tmp_path / "land")
+    os.makedirs(land)
+    tmp = os.path.join(land, "__tmp")
+    spark.createDataFrame([(1, "a")], "id long, v string").coalesce(
+        1
+    ).write.parquet(tmp)
+    [part] = _glob.glob(os.path.join(tmp, "*.parquet"))
+    shutil.move(part, os.path.join(land, "a.parquet"))
+    shutil.rmtree(tmp)
+    root = str(tmp_path / "t")
+    txtable_sql(
+        spark,
+        f"CREATE TABLE txtable.`{root}` (id BIGINT, v STRING) KEY id BUCKETS 2",
+    )
+    assert copy_into(spark, root, land, "parquet")["num_loaded_files"] == 1
+    txtable_sql(spark, f"TRUNCATE TABLE txtable.`{root}`")
+    assert copy_into(spark, root, land, "parquet")["num_loaded_files"] == 1
+    assert read_txtable(spark, root).count() == 1
+
+
+def test_sql_truncate_clears_deletion_vectors(spark, tmp_path):
+    from data_pipeline_demo_spark.sinks.txlog import (
+        _latest_manifest,
+        read_txtable,
+        txlog_delete,
+        txlog_upsert,
+    )
+
+    root = str(tmp_path / "t")
+    txlog_upsert(
+        spark,
+        spark.createDataFrame(
+            [(i, i * 1.0) for i in range(10)], "id long, x double"
+        ),
+        root,
+        key="id",
+        num_buckets=2,
+    )
+    txlog_delete(spark, root, where="id < 3", mode="merge-on-read")
+    assert txtable_sql(spark, f"TRUNCATE TABLE txtable.`{root}`") == 7
+    man = _latest_manifest(spark, root)
+    assert man.get("bucket_dvs", {}) == {}
+    assert "deletion-vectors" not in man.get("requires", [])
+    assert read_txtable(spark, root).count() == 0
+
+
+def test_sql_drop_table_removes_everything(spark, tmp_path):
+    from data_pipeline_demo_spark.sinks.txlog import txlog_upsert
+
+    root = str(tmp_path / "t")
+    txlog_upsert(
+        spark,
+        spark.createDataFrame([(1, "a")], "id long, v string"),
+        root,
+        key="id",
+        num_buckets=2,
+    )
+    assert txtable_sql(spark, f"DROP TABLE txtable.`{root}`") == 1
+    import os
+
+    assert not os.path.exists(root)
+    # dropping a non-existent table is a no-op returning 0
+    assert txtable_sql(spark, f"DROP TABLE txtable.`{root}`") == 0
