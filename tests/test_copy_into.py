@@ -12,6 +12,7 @@ import shutil
 import threading
 
 import pytest
+from pyspark.sql import functions as F
 
 from data_pipeline_demo_spark.sinks.copy_into import copy_history, copy_into
 from data_pipeline_demo_spark.sinks.sql_dml import (
@@ -379,3 +380,83 @@ def test_copy_into_time_travel_excludes_later_loads(spark, tmp_path):
     copy_into(spark, root, land, "parquet")
     old = read_txtable(spark, root, version=r1["version"])
     assert sorted((r.id, r.v) for r in old.collect()) == [(1, "a")]
+
+
+def test_randomized_pruning_stays_exact_under_mixed_writes(spark, tmp_path):
+    """Property: after ANY interleaving of upserts (bucket rewrites,
+    stats recomputed exactly) and COPY INTO appends (stats widened,
+    blooms OR'd, null counts summed), every metadata-pruned read
+    returns exactly what the unpruned read filters to. Randomized but
+    seeded — the sequence is reproducible."""
+    import random
+
+    rng = random.Random(20260816)
+    root = str(tmp_path / "t")
+    txtable_sql(
+        spark,
+        f"CREATE TABLE txtable.`{root}` (id BIGINT, v STRING, x BIGINT) "
+        "KEY id BUCKETS 4 STATS (x) BLOOM (v)",
+    )
+    land_i = [0]
+
+    def mk_rows(n):
+        return [
+            (
+                rng.randrange(0, 500),
+                rng.choice(["a", "b", "c", "d", None]),
+                rng.choice([rng.randrange(-100, 1000), None]),
+            )
+            for _ in range(n)
+        ]
+
+    for step in range(6):
+        rows = mk_rows(rng.randrange(5, 40))
+        df = spark.createDataFrame(rows, "id long, v string, x long")
+        if rng.random() < 0.5:
+            txlog_upsert(spark, df, root)
+        else:
+            land = str(tmp_path / f"land{land_i[0]}")
+            land_i[0] += 1
+            os.makedirs(land)
+            tmp = os.path.join(land, "__tmp")
+            df.coalesce(1).write.parquet(tmp)
+            [part] = glob.glob(os.path.join(tmp, "*.parquet"))
+            shutil.move(part, os.path.join(land, "d.parquet"))
+            shutil.rmtree(tmp)
+            copy_into(spark, root, land, "parquet")
+
+    full = read_txtable(spark, root).collect()
+    # range probes on the zone-mapped column
+    for lo, hi in [(-100, 0), (0, 100), (400, 1000), (999, 2000), (50, 50)]:
+        want = sorted(
+            (r.id, r.v, r.x)
+            for r in full
+            if r.x is not None and lo <= r.x <= hi
+        )
+        got = sorted(
+            (r.id, r.v, r.x)
+            for r in read_txtable(
+                spark, root, prune_between={"x": (lo, hi)}
+            ).collect()
+            if r.x is not None and lo <= r.x <= hi
+        )
+        assert got == want, (lo, hi)
+    # bloom probes on the filtered column
+    for v in ["a", "b", "c", "d", "zzz"]:
+        want = sorted((r.id, r.x) for r in full if r.v == v)
+        got = sorted(
+            (r.id, r.x)
+            for r in read_txtable(spark, root, bloom_eq={"v": v})
+            .filter(F.col("v") == v)
+            .collect()
+        )
+        assert got == want, v
+    # IS NULL pruning on the stats column
+    want = sorted((r.id, r.v) for r in full if r.x is None)
+    got = sorted(
+        (r.id, r.v)
+        for r in read_txtable(spark, root, prune_is_null={"x": True})
+        .filter(F.col("x").isNull())
+        .collect()
+    )
+    assert got == want
