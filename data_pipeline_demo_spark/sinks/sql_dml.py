@@ -21,6 +21,7 @@ the same statements they would against Delta:
     COPY INTO txtable.`/path/t` FROM '/landing/dir' FILEFORMAT = PARQUET
         [PATTERN = '*.parquet'] [FORMAT_OPTIONS ('header' = 'true')]
         [COPY_OPTIONS ('force' = 'true', 'mergeSchema' = 'true')]
+    SELECT ... FROM copy_history(txtable.`/path/t`)
     CREATE TABLE txtable.`/path/t` (a BIGINT, b STRING)
         [KEY a] [BUCKETS n] [STATS (col, ...)] [BLOOM (col, ...)]
     UPDATE txtable.`/path/t` SET amount = amount * 2 WHERE id < 5
@@ -346,6 +347,13 @@ _CHANGES_REF = re.compile(
     re.IGNORECASE,
 )
 
+# COPY INTO load-history TVF: copy_history(txtable.`/p`) — one row per
+# loaded file (file, size, mtime_ms, version), metadata-only.
+_COPY_HISTORY_REF = re.compile(
+    r"\bcopy_history\s*\(\s*txtable\.`(?P<path>[^`]+)`\s*\)",
+    re.IGNORECASE,
+)
+
 
 def _bound_version(
     spark: SparkSession, path: str, token: str, side: str = "from"
@@ -407,6 +415,22 @@ def _rewrite_selects(spark: SparkSession, text: str) -> str:
         return name
 
     text = _CHANGES_REF.sub(sub_changes, text)
+
+    def sub_copy_history(m: re.Match) -> str:
+        from .copy_into import copy_history
+
+        rows = copy_history(spark, m.group("path"))
+        name = "txcopyhist_" + uuid.uuid4().hex[:12]
+        spark.createDataFrame(
+            [
+                (r["file"], r["size"], r["mtime_ms"], r["version"])
+                for r in rows
+            ],
+            "file string, size bigint, mtime_ms bigint, version bigint",
+        ).createOrReplaceTempView(name)
+        return name
+
+    text = _COPY_HISTORY_REF.sub(sub_copy_history, text)
 
     def sub(m: re.Match) -> str:
         path = m.group("path")

@@ -460,3 +460,33 @@ def test_randomized_pruning_stays_exact_under_mixed_writes(spark, tmp_path):
         .collect()
     )
     assert got == want
+
+
+def test_copy_history_tvf_in_sql(spark, tmp_path):
+    """SQL users read the load history via the copy_history(...) TVF —
+    one metadata-sized row per loaded file."""
+    land = str(tmp_path / "land")
+    root = str(tmp_path / "t")
+    _land_parquet(spark, land, "a", [(1, "a")], "id long, v string")
+    _land_parquet(spark, land, "b", [(2, "b")], "id long, v string")
+    _create(spark, root)
+    copy_into(spark, root, land, "parquet")
+    rows = txtable_sql(
+        spark,
+        f"SELECT file, version FROM copy_history(txtable.`{root}`) "
+        "ORDER BY file",
+    ).collect()
+    assert [r.version for r in rows] == [1, 1]
+    assert [r.file.rsplit("/", 1)[1] for r in rows] == [
+        "a.parquet",
+        "b.parquet",
+    ]
+    # empty history on a never-copied table
+    root2 = str(tmp_path / "t2")
+    _create(spark, root2)
+    assert (
+        txtable_sql(
+            spark, f"SELECT * FROM copy_history(txtable.`{root2}`)"
+        ).count()
+        == 0
+    )
