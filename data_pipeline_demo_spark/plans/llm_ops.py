@@ -3728,3 +3728,42 @@ def q232_sql_truncate_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         f"SELECT o_orderkey, o_custkey, o_totalprice FROM txtable.`{root}`",
     )
+
+
+@register("q233_phash_recompressed_dedup")
+def q233_phash_recompressed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DCT perceptual-hash (pHash) near-dup over a recompressed
+    cross-format corpus (rows-only: perceptual hashing isn't
+    SQL-expressible). Planted groups of 4 share a smooth low-frequency
+    image; members alternate PNG and QUALITY-70 JPEG — recompression
+    heavy enough that byte/sha dedup finds nothing across containers
+    and adjacent-pixel signatures get noisy, while pHash's 8×8
+    low-frequency DCT block barely moves. The banded Hamming join
+    (same pigeonhole machinery as the dHash tier and MinHash LSH)
+    pairs png↔jpeg members; output = pair counts by
+    (format-combination, hamming).
+
+    Scale shape: 8-byte signatures, banded candidates, popcount verify
+    on collisions only; the DCT is two 32×32 matmuls per image inside
+    the same map-only mapInPandas stage."""
+    from ..operators import multimodal
+
+    docs = table(spark, sf_dir, "documents").limit(1200)
+    media = multimodal.synthesize_smooth_image_media(docs)
+    pairs = multimodal.image_near_dup_pairs(
+        media, max_hamming=6, method="phash"
+    )
+    fmt = lambda c: F.when(c % 2 == 0, F.lit("png")).otherwise(F.lit("jpeg"))  # noqa: E731
+    return (
+        pairs.withColumn(
+            "formats",
+            F.concat_ws(
+                "<->",
+                F.least(fmt(F.col("id_a")), fmt(F.col("id_b"))),
+                F.greatest(fmt(F.col("id_a")), fmt(F.col("id_b"))),
+            ),
+        )
+        .groupBy("formats", "hamming")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("formats", "hamming")
+    )

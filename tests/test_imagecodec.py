@@ -318,3 +318,114 @@ def test_pil_decodes_our_png_and_jpeg_roundtrip(spark):
     assert image_dims(payload) == (50, 40)
     w, h, rgb = decode_rgb(payload)
     assert (w, h) == (50, 40) and rgb.shape == (40, 50, 3)
+
+
+# ---------------------------------------------------------------------------
+# round 10: pHash (DCT perceptual hash) tier.
+# ---------------------------------------------------------------------------
+
+
+def _grad_img(n=64):
+    y, x = np.mgrid[0:n, 0:n]
+    return np.stack(
+        [(x * 4) % 256, (y * 4) % 256, ((x + y) * 2) % 256], -1
+    ).astype(np.uint8)
+
+
+def _smooth_img(n=64):
+    """Natural-image stand-in: low-frequency sinusoid mix. The mod-256
+    sawtooth `_grad_img` is DEGENERATE for pHash — a linear ramp's 8×8
+    low-frequency DCT block is all ~0 except the first column, so the
+    median threshold sits on the noise floor and bits flip arbitrarily.
+    pHash's robustness claim is about natural low-frequency structure;
+    test it on an image that has some."""
+    y, x = np.mgrid[0:n, 0:n].astype(np.float64)
+    img = (
+        120 + 60 * np.sin(x / 10) + 50 * np.cos(y / 13)
+        + 25 * np.sin((x + y) / 17)
+    ).clip(0, 255)
+    return np.stack(
+        [img, img * 0.8 + 20, img * 0.6 + 40], -1
+    ).astype(np.uint8)
+
+
+def test_phash_survives_jpeg_recompression():
+    """The property dHash lacks by construction: pHash lives in
+    low-frequency DCT structure, so lossy re-encoding moves few bits."""
+    from data_pipeline_demo_spark.operators.imagecodec import phash64
+    from data_pipeline_demo_spark.operators.jpegcodec import jpeg_encode
+
+    img = _smooth_img()
+    h_png = phash64(png_encode(img, 64, 64))
+    for q in (95, 85, 70):
+        jp = jpeg_encode(img, 64, 64, quality=q)
+        assert bin(h_png ^ phash64(jp)).count("1") <= 6, q
+
+
+def test_phash_resize_invariance_and_sensitivity():
+    from data_pipeline_demo_spark.operators.imagecodec import phash64
+
+    grad = _grad_img()
+    h_big = phash64(png_encode(grad, 64, 64))
+    h_small = phash64(png_encode(resize_rgb(grad, 32, 32), 32, 32))
+    assert bin(h_big ^ h_small).count("1") <= 6
+    other = phash64(png_encode(_img(64, 64, seed=9), 64, 64))
+    assert bin(h_big ^ other).count("1") > 10
+
+
+def test_phash_deterministic_and_dct_orthonormal():
+    from data_pipeline_demo_spark.operators.imagecodec import (
+        _dct2_mat,
+        phash64,
+    )
+
+    d = _dct2_mat(32)
+    assert np.allclose(d @ d.T, np.eye(32), atol=1e-10)
+    png = png_encode(_grad_img(), 64, 64)
+    assert phash64(png) == phash64(png)
+
+
+def test_phash_blocked_pairs_match_bruteforce(spark):
+    """method="phash" through the same banded Hamming join: blocked
+    result ≡ brute-force popcount over the signature relation — and
+    the planted JPEG-recompressed variant pairs with its PNG original,
+    which the dHash tier is NOT asserted to do (that brittleness is
+    why the tier exists)."""
+    import itertools
+
+    from data_pipeline_demo_spark.operators.jpegcodec import jpeg_encode
+    from data_pipeline_demo_spark.operators.multimodal import (
+        image_near_dup_pairs,
+        image_phash,
+    )
+
+    img = _smooth_img()
+    rows = []
+    import hashlib
+
+    for mid, payload in [
+        (1, png_encode(img, 64, 64)),
+        (2, jpeg_encode(img, 64, 64, quality=80)),   # recompressed dup
+        (3, png_encode(_img(64, 64, seed=11), 64, 64)),
+        (4, png_encode(_img(64, 64, seed=12), 64, 64)),
+    ]:
+        rows.append(
+            (mid, payload, hashlib.sha256(payload).hexdigest())
+        )
+    media = spark.createDataFrame(
+        rows, "media_id long, payload binary, sha string"
+    )
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in image_near_dup_pairs(
+            media, max_hamming=6, method="phash"
+        ).collect()
+    }
+    assert (1, 2) in got
+    sigs = {r.media_id: r.phash for r in image_phash(media).collect()}
+    want = {
+        (a, b)
+        for a, b in itertools.combinations(sorted(sigs), 2)
+        if bin((sigs[a] ^ sigs[b]) & ((1 << 64) - 1)).count("1") <= 6
+    }
+    assert set(got) == want
