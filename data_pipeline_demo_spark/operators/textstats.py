@@ -831,3 +831,156 @@ def lexicon_sentiment(
         .otherwise(F.lit("neutral"))
         .alias("sentiment"),
     )
+
+
+# --- PMI collocations --------------------------------------------------------
+
+
+def pmi_collocations(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    top_k: int = 20,
+) -> DataFrame:
+    """Bigram collocations ranked by pointwise mutual information — the
+    classic corpus-analysis pass (Church & Hanks 1990) that surfaces
+    multiword terms ("machine learning", "new york") for vocabulary
+    induction and tokenizer seeding.
+
+    PMI(w1, w2) = ln( P(w1,w2) / (P(w1)·P(w2)) ) with the joint from
+    bigram counts over N_bigrams and marginals from unigram counts
+    over N_unigrams; computed as ONE ln of a double ratio and rounded
+    to 6 decimals so the value is engine-replayable bit-for-bit (the
+    ratio's integer inputs are exact; a final-ulp ln difference washes
+    out in the rounding). ``min_count`` drops rare bigrams (PMI's
+    known pathology: hapax pairs score highest).
+
+    Scale: two grouped integer counts over the token stream (bigrams
+    via one self-zip of the token array — map-only before the
+    groupBy), one broadcast-joinable unigram relation (vocabulary-
+    sized), top-k as TakeOrdered. No all-pairs anything; the token
+    stream is scanned once."""
+    toks = F.filter(
+        F.split(F.col(text_col), " "), lambda t: F.length(t) > 0
+    )
+    pairs = docs.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))).alias("w1"),
+                F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))).alias("w2"),
+            )
+        ).alias("bg")
+    ).select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    words = docs.select(F.explode(toks).alias("w"))
+    uni = words.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    n_uni = words.count()
+    big = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    n_big = pairs.count()
+    scored = (
+        big.filter(F.col("c12") >= min_count)
+        .join(F.broadcast(uni.withColumnRenamed("c", "c1")), big.w1 == uni.w)
+        .drop("w")
+        .join(
+            F.broadcast(
+                uni.select(F.col("w").alias("w_"), F.col("c").alias("c2"))
+            ),
+            F.col("w2") == F.col("w_"),
+        )
+        .drop("w_")
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            F.round(
+                F.log(
+                    (
+                        F.col("c12").cast("double")
+                        * F.lit(float(n_uni))
+                        * F.lit(float(n_uni))
+                    )
+                    / (
+                        F.lit(float(n_big))
+                        * F.col("c1").cast("double")
+                        * F.col("c2").cast("double")
+                    )
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(
+        F.col("pmi").desc(), F.col("w1"), F.col("w2")
+    ).limit(top_k)
+
+
+# --- RAKE keyword extraction -------------------------------------------------
+
+RAKE_STOPWORDS = (
+    "the", "a", "an", "of", "and", "or", "to", "in", "on", "for",
+    "with", "is", "are", "was", "be", "by", "as", "at", "this",
+    "that", "it", "from",
+)
+
+
+def rake_keywords(
+    docs: DataFrame,
+    text_col: str = "text",
+    stopwords: tuple[str, ...] = RAKE_STOPWORDS,
+    max_phrase_len: int = 4,
+    top_k: int = 15,
+) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010): candidate phrases
+    are the maximal stopword-free token runs; each word scores
+    degree/frequency (degree = Σ length of phrases containing it,
+    counted over phrase OCCURRENCES); a phrase scores the sum of its
+    words' scores. Returns the corpus-level top-k phrase types with
+    occurrence counts — the classic unsupervised keyword pass for
+    corpus topic profiling.
+
+    Everything is built-in array expressions: stopword marking is a
+    ``transform`` to a '|' sentinel, phrase splitting one
+    ``split(array_join(...))`` — no UDF; the shuffles are two grouped
+    integer/double aggregates at word and phrase-type grain
+    (vocabulary-sized), plus a TakeOrdered top-k. Phrases longer than
+    ``max_phrase_len`` words drop (RAKE's hapax-run pathology — and a
+    stopword-free document would otherwise become one giant phrase).
+    Scores round to 6 decimals: the sum of ≤max_phrase_len doubles is
+    engine-replayable under rounding."""
+    toks = F.filter(
+        F.split(F.col(text_col), " "), lambda t: F.length(t) > 0
+    )
+    marked = F.transform(
+        toks,
+        lambda t: F.when(t.isin(*stopwords), F.lit("|")).otherwise(t),
+    )
+    phrases = F.filter(
+        F.transform(
+            F.split(F.array_join(marked, " "), "\\|"),
+            lambda p: F.trim(p),
+        ),
+        lambda p: p != "",
+    )
+    occ = docs.select(F.explode(phrases).alias("phrase")).filter(
+        F.size(F.split("phrase", " ")) <= max_phrase_len
+    )
+    occ_words = occ.select(
+        F.explode(F.split("phrase", " ")).alias("w"),
+        F.size(F.split("phrase", " ")).alias("plen"),
+    )
+    wscore = occ_words.groupBy("w").agg(
+        (
+            F.sum("plen").cast("double") / F.count(F.lit(1)).cast("double")
+        ).alias("wscore")
+    )
+    ptype = occ.groupBy("phrase").agg(F.count(F.lit(1)).alias("n_occ"))
+    scored = (
+        ptype.select(
+            "phrase", "n_occ", F.explode(F.split("phrase", " ")).alias("w")
+        )
+        .join(F.broadcast(wscore), "w")
+        .groupBy("phrase", "n_occ")
+        .agg(F.round(F.sum("wscore"), 6).alias("score"))
+    )
+    return scored.orderBy(F.col("score").desc(), F.col("phrase")).limit(
+        top_k
+    )

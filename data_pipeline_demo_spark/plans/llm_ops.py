@@ -3767,3 +3767,108 @@ def q233_phash_recompressed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame
         .agg(F.count(F.lit(1)).alias("n_pairs"))
         .orderBy("formats", "hamming")
     )
+
+
+_DUCK_PMI = """
+    WITH toks AS (
+      SELECT list_filter(string_split(text, ' '), t -> len(t) > 0) AS tk
+      FROM documents
+    ), pairs AS (
+      SELECT u.s[1] AS w1, u.s[2] AS w2
+      FROM toks, unnest(list_zip(tk[1:len(tk)-1], tk[2:])) AS u(s)
+    ), uni AS (
+      SELECT unnest(tk) AS w FROM toks
+    ), ucnt AS (
+      SELECT w, COUNT(*) AS c FROM uni GROUP BY w
+    ), bcnt AS (
+      SELECT w1, w2, COUNT(*) AS c12 FROM pairs GROUP BY w1, w2
+    ), tot AS (
+      SELECT (SELECT COUNT(*) FROM uni) AS n_uni,
+             (SELECT COUNT(*) FROM pairs) AS n_big
+    )
+    SELECT w1, w2, c12,
+           ROUND(LN(CAST(c12 AS DOUBLE) * n_uni * n_uni
+                    / (CAST(n_big AS DOUBLE) * u1.c * u2.c)), 6) AS pmi
+    FROM bcnt, tot
+    JOIN ucnt u1 ON bcnt.w1 = u1.w
+    JOIN ucnt u2 ON bcnt.w2 = u2.w
+    WHERE c12 >= 5
+    ORDER BY pmi DESC, w1, w2
+    LIMIT 20
+"""
+
+
+@register("q234_pmi_collocations", oracle=_DUCK_PMI)
+def q234_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram collocations by pointwise mutual information (Church &
+    Hanks 1990) over the corpus — the vocabulary-induction pass that
+    surfaces multiword terms for tokenizer seeding and phrase mining.
+    PMI computes as ONE ln of a double ratio from exact integer counts
+    (rounded to 6 so a final-ulp ln difference can't break the hash);
+    min_count=5 drops the hapax pairs PMI famously over-scores.
+
+    Scale: two grouped integer counts over one scan of the token
+    stream (bigrams from a self-zip of the token array, map-only
+    before the groupBy), vocabulary-sized broadcast joins for the
+    marginals, TakeOrdered top-k. Nothing is all-pairs."""
+    from ..operators.textstats import pmi_collocations
+
+    return pmi_collocations(
+        table(spark, sf_dir, "documents"), min_count=5, top_k=20
+    )
+
+
+_DUCK_RAKE = """
+    WITH toks AS (
+      SELECT list_filter(string_split(text, ' '), t -> len(t) > 0) AS tk
+      FROM documents
+    ), marked AS (
+      SELECT list_transform(tk, t -> CASE WHEN t IN
+        ('the','a','an','of','and','or','to','in','on','for','with',
+         'is','are','was','be','by','as','at','this','that','it','from')
+        THEN '|' ELSE t END) AS mk
+      FROM toks
+    ), occ AS (
+      SELECT trim(p) AS phrase
+      FROM marked, unnest(string_split(array_to_string(mk, ' '), '|')) AS u(p)
+      WHERE trim(p) <> ''
+        AND len(string_split(trim(p), ' ')) <= 4
+    ), occ_words AS (
+      SELECT u.w AS w, len(string_split(phrase, ' ')) AS plen
+      FROM occ, unnest(string_split(phrase, ' ')) AS u(w)
+    ), wscore AS (
+      SELECT w, CAST(SUM(plen) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS wscore
+      FROM occ_words GROUP BY w
+    ), ptype AS (
+      SELECT phrase, CAST(COUNT(*) AS BIGINT) AS n_occ FROM occ GROUP BY phrase
+    ), scored AS (
+      SELECT phrase, n_occ, ROUND(SUM(wscore), 6) AS score
+      FROM (
+        SELECT p.phrase, p.n_occ, u.w
+        FROM ptype p, unnest(string_split(p.phrase, ' ')) AS u(w)
+      ) pw JOIN wscore USING (w)
+      GROUP BY phrase, n_occ
+    )
+    SELECT phrase, n_occ, score FROM scored
+    ORDER BY score DESC, phrase
+    LIMIT 15
+"""
+
+
+@register("q235_rake_keywords", oracle=_DUCK_RAKE)
+def q235_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010) over the corpus,
+    value-certified: candidate phrases are maximal stopword-free token
+    runs, words score degree/frequency over phrase occurrences, a
+    phrase scores the sum of its words — the unsupervised keyword pass
+    for topic profiling and tokenizer/vocabulary seeding. The oracle
+    replays the whole algorithm in DuckDB list lambdas; double scores
+    round to 6 so the ≤4-addend sums hash engine-exact.
+
+    Scale: phrase splitting is pure array codegen (transform to a
+    sentinel + one split(array_join) — no UDF, no per-token shuffle);
+    aggregates are vocabulary- and phrase-type-grain; top-k is
+    TakeOrdered."""
+    from ..operators.textstats import rake_keywords
+
+    return rake_keywords(table(spark, sf_dir, "documents"), top_k=15)

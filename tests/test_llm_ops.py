@@ -1635,3 +1635,65 @@ def test_lexicon_sentiment_strategies_equal_and_hand_case(spark):
     assert "Exchange" not in plan and "Generate" not in plan
     jplan = joined._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in jplan and "Generate" in jplan
+
+
+def test_pmi_collocations_hand_case(spark):
+    """Hand-computed PMI on a tiny corpus: 'big data' always adjacent,
+    'foo'/'bar' never — the collocation outranks independents."""
+    import math
+
+    from data_pipeline_demo_spark.operators.textstats import (
+        pmi_collocations,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "big data foo bar") for i in range(6)]
+        + [(100 + i, "foo big data bar") for i in range(6)],
+        "doc_id long, text string",
+    )
+    rows = pmi_collocations(docs, min_count=2, top_k=50).collect()
+    got = {(r.w1, r.w2): (r.c12, r.pmi) for r in rows}
+    # corpus: 12 docs x 4 tokens = 48 unigrams, 12 x 3 = 36 bigrams;
+    # each word appears 12 times; 'big data' occurs 12 times
+    c12, pmi = got[("big", "data")]
+    assert c12 == 12
+    want = round(math.log((12.0 * 48 * 48) / (36.0 * 12 * 12)), 6)
+    assert pmi == want
+    # 'data foo' occurs only in the first 6 docs
+    assert got[("data", "foo")][0] == 6
+    assert got[("big", "data")][1] > got[("data", "foo")][1]
+
+
+def test_rake_keywords_hand_case(spark):
+    """Hand-computed RAKE: phrase splitting at stopwords, word score
+    degree/freq, phrase score = sum of member scores."""
+    from data_pipeline_demo_spark.operators.textstats import rake_keywords
+
+    # one doc: phrases are "deep learning systems" and "deep learning"
+    docs = spark.createDataFrame(
+        [(1, "deep learning systems of the deep learning")],
+        "doc_id long, text string",
+    )
+    rows = rake_keywords(docs, top_k=10).collect()
+    got = {r.phrase: (r.n_occ, r.score) for r in rows}
+    # occurrences: "deep learning systems" (len 3), "deep learning" (2)
+    # deep: freq 2, degree 3+2=5 -> 2.5 ; learning: same 2.5
+    # systems: freq 1, degree 3 -> 3.0
+    assert got["deep learning systems"] == (1, 8.0)   # 2.5+2.5+3.0
+    assert got["deep learning"] == (1, 5.0)           # 2.5+2.5
+    # stopwords never appear inside phrases
+    assert all(
+        w not in ("of", "the")
+        for p in got
+        for w in p.split(" ")
+    )
+
+
+def test_rake_drops_overlong_stopword_free_runs(spark):
+    from data_pipeline_demo_spark.operators.textstats import rake_keywords
+
+    docs = spark.createDataFrame(
+        [(1, "one two three four five six")],  # no stopwords: one run of 6
+        "doc_id long, text string",
+    )
+    assert rake_keywords(docs).count() == 0
