@@ -74,11 +74,15 @@ _GATE_ROTATE_IN = (
     "q229_sql_insert_lifecycle",
     # Late-round-10: COPY INTO — file-level exactly-once ingest, the
     # verb that mirrors the reference's own per-file dedup guard
-    # (data_pipeline.py:106-161) — gets driver attestation the round it
-    # ships. Displaces one family-redundant streaming member (streaming
-    # keeps q36/q38/q39/q67/q188/q198; exact event dedup stays
-    # certified past the cap and as ingest-time stream tests).
+    # (data_pipeline.py:106-161) — and the conditional/multi-action
+    # MERGE grammar (Delta's full clause surface: conditional DELETE,
+    # explicit SET expressions over both sides, conditional INSERT
+    # with value exprs, first-clause-wins) get driver attestation the
+    # round they ship. Displace two family-redundant streaming members
+    # (streaming keeps q36/q38/q39/q67/q198; q37/q188 stay certified
+    # past the cap and as live stream tests).
     "q230_copy_into_lifecycle",
+    "q236_sql_conditional_merge",
 )
 _GATE_ROTATE_OUT = (
     "q05_join_left_outer",
@@ -104,9 +108,12 @@ _GATE_ROTATE_OUT = (
     "q34_tumbling_window",
     "q182_autocorrelation",
     "q60_array_map_fns",
-    # late-round-10 displacement (q37's dedup semantics stay covered by
-    # streaming ingest-dedup tests and check_oracle past the cap)
+    # late-round-10 displacements (q37's dedup semantics stay covered
+    # by streaming ingest-dedup tests, q188's dynamic sessions by the
+    # session-window member q36 + live stream tests; both certified by
+    # check_oracle past the cap)
     "q37_event_dedup",
+    "q188_dynamic_session",
 )
 
 

@@ -3872,3 +3872,86 @@ def q235_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.textstats import rake_keywords
 
     return rake_keywords(table(spark, sf_dir, "documents"), top_k=15)
+
+
+_DUCK_COND_MERGE = """
+    WITH tgt AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(o_totalprice AS DOUBLE) AS o_totalprice
+      FROM orders WHERE o_orderkey < 3000
+    ), src AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(o_totalprice AS DOUBLE) AS o_totalprice
+      FROM orders WHERE o_orderkey >= 2000 AND o_orderkey < 5000
+    )
+    -- matched rows: first-clause-wins replay of the MERGE
+    SELECT t.o_orderkey,
+           t.o_custkey,
+           CASE WHEN s.o_totalprice > 150000
+                THEN t.o_totalprice + s.o_totalprice
+                ELSE t.o_totalprice END AS o_totalprice
+    FROM tgt t JOIN src s USING (o_orderkey)
+    WHERE NOT (s.o_totalprice <= 50000)
+    UNION ALL
+    -- target-only rows: untouched
+    SELECT t.* FROM tgt t ANTI JOIN src s USING (o_orderkey)
+    UNION ALL
+    -- source-only rows: conditional INSERT with expressions
+    SELECT s.o_orderkey, s.o_custkey, s.o_totalprice / 2
+    FROM src s ANTI JOIN tgt t USING (o_orderkey)
+    WHERE s.o_totalprice > 100000
+"""
+
+
+@register("q236_sql_conditional_merge", oracle=_DUCK_COND_MERGE)
+def q236_sql_conditional_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta's FULL MERGE clause surface as one statement,
+    value-certified: WHEN MATCHED AND <cond> THEN DELETE, a second
+    WHEN MATCHED with explicit SET expressions referencing BOTH sides
+    (first-satisfied-clause-wins ordering), and a conditional
+    WHEN NOT MATCHED INSERT with column list and value expressions.
+    The oracle replays the row fates as join/anti-join algebra — the
+    hash certifies clause ordering, condition evaluation, expression
+    results, and the untouched-row guarantee in one pass.
+
+    Scale: the source's keys select the touched buckets; only they are
+    read, classified by ONE nested-CASE codegen tag, and republished —
+    untouched buckets carry forward with zero file opens (pytest
+    asserts the manifest file lists), exactly the plain upsert's
+    cost."""
+    import tempfile
+
+    from ..sinks.sql_dml import txtable_sql
+
+    root = tempfile.mkdtemp(prefix="q236-merge-") + "/t"
+    txtable_sql(
+        spark,
+        f"CREATE TABLE txtable.`{root}` (o_orderkey BIGINT, "
+        "o_custkey BIGINT, o_totalprice DOUBLE) KEY o_orderkey BUCKETS 8",
+    )
+    orders = table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("q236_orders_src")
+    txtable_sql(
+        spark,
+        f"INSERT INTO txtable.`{root}` "
+        "SELECT o_orderkey, o_custkey, o_totalprice "
+        "FROM q236_orders_src WHERE o_orderkey < 3000",
+    )
+    orders.filter("o_orderkey >= 2000 AND o_orderkey < 5000").selectExpr(
+        "o_orderkey", "o_custkey", "CAST(o_totalprice AS DOUBLE) AS o_totalprice"
+    ).createOrReplaceTempView("q236_merge_src")
+    txtable_sql(
+        spark,
+        f"MERGE INTO txtable.`{root}` AS t USING q236_merge_src AS s "
+        "ON t.o_orderkey = s.o_orderkey "
+        "WHEN MATCHED AND s.o_totalprice <= 50000 THEN DELETE "
+        "WHEN MATCHED AND s.o_totalprice > 150000 THEN UPDATE SET "
+        "o_totalprice = t.o_totalprice + s.o_totalprice "
+        "WHEN NOT MATCHED AND s.o_totalprice > 100000 THEN INSERT "
+        "(o_orderkey, o_custkey, o_totalprice) VALUES "
+        "(s.o_orderkey, s.o_custkey, s.o_totalprice / 2)",
+    )
+    return txtable_sql(
+        spark,
+        f"SELECT o_orderkey, o_custkey, o_totalprice FROM txtable.`{root}`",
+    )

@@ -1,0 +1,339 @@
+"""Conditional / multi-action MERGE for the txtable (Delta's full
+``MERGE INTO`` clause surface).
+
+``txlog_upsert`` covers the dominant shape — ``WHEN MATCHED THEN UPDATE
+SET * WHEN NOT MATCHED THEN INSERT *`` — as a whole-row supersede.
+This module adds the rest of the standard grammar:
+
+    WHEN MATCHED [AND <cond>] THEN UPDATE SET col = expr, ...
+    WHEN MATCHED [AND <cond>] THEN DELETE
+    WHEN NOT MATCHED [AND <cond>] THEN INSERT (cols) VALUES (exprs)
+    WHEN NOT MATCHED BY SOURCE [AND <cond>] THEN DELETE
+
+with Delta's evaluation rule: clauses are tried in declaration order
+and the FIRST whose condition holds acts; a matched row no clause
+claims stays untouched. Conditions and expressions are arbitrary Spark
+SQL over ``t.*`` (target) and ``s.*`` (source) — they evaluate against
+an alias-joined frame, so anything Spark parses works.
+
+Execution shape (the reason this scales like the plain upsert): the
+source's keys select the touched buckets; ONLY those buckets are read,
+classified row-by-row via ONE nested-CASE tag column (pure codegen),
+rewritten, and republished — untouched buckets carry forward with zero
+file opens. ``WHEN NOT MATCHED BY SOURCE`` widens the touched set to
+every bucket (it must examine every target row — same cost Delta
+pays). One extra grouped count over the classified frame reports
+(updated, deleted, inserted) exactly.
+
+Same table contract as every other verb: schema enforced, CHECK
+constraints gate the result, GENERATED ALWAYS AS columns recompute
+(assigning one directly raises), duplicate source keys collapse to an
+arbitrary single row (the upsert's documented convention), and the
+commit is one atomic manifest claim — losers get
+:class:`ConcurrentCommitError` and re-merge against the winner.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .txlog import (
+    BLOOM_BITS,
+    ConcurrentCommitError,  # noqa: F401  (re-export for callers)
+    _apply_generated_columns,
+    _bucket_of,
+    _check_features,
+    _commit_manifest,
+    _copy_carry,
+    _dv_carry,
+    _enforce_table_constraints,
+    _latest_manifest,
+    _publish_touched_buckets,
+    _read_buckets_logical,
+    FEATURE_DV,
+)
+from .upsert import BUCKET_COL
+
+
+@dataclass
+class MatchedClause:
+    """``WHEN MATCHED [AND condition] THEN UPDATE SET .../DELETE``.
+    ``assignments=None`` means ``UPDATE SET *`` (every source column
+    that exists in the table, by name)."""
+
+    action: str  # "update" | "delete"
+    condition: str | None = None
+    assignments: dict[str, str] | None = None
+
+
+@dataclass
+class NotMatchedClause:
+    """``WHEN NOT MATCHED [AND condition] THEN INSERT ...``.
+    ``columns=None`` means ``INSERT *``."""
+
+    condition: str | None = None
+    columns: list[str] | None = None
+    values: list[str] | None = None
+
+
+@dataclass
+class MergeResult:
+    rows_updated: int = 0
+    rows_deleted: int = 0
+    rows_inserted: int = 0
+    version: int = field(default=-1)
+
+    @property
+    def rows_affected(self) -> int:
+        return self.rows_updated + self.rows_deleted + self.rows_inserted
+
+
+def txlog_merge(
+    spark: SparkSession,
+    source: DataFrame,
+    root_path: str,
+    matched: list[MatchedClause] = (),
+    not_matched: list[NotMatchedClause] = (),
+    not_matched_by_source_delete: bool | str = False,
+    on_key: str | None = None,
+) -> MergeResult:
+    """Run a conditional/multi-action MERGE of ``source`` into the
+    txtable at ``root_path`` (ON is always the table's key — the same
+    key-equality contract every verb here shares; a differing
+    ``on_key`` raises rather than silently merging by the wrong
+    column). Returns a :class:`MergeResult` with exact per-action row
+    counts."""
+    prev = _latest_manifest(spark, root_path)
+    if prev is None:
+        raise FileNotFoundError(
+            f"no committed txtable at {root_path} — MERGE needs an "
+            "existing target; create it with CREATE TABLE or a first "
+            "write"
+        )
+    _check_features(prev, frozenset({FEATURE_DV}), "merge")
+    key = prev["key"]
+    if on_key is not None and on_key != key:
+        raise ValueError(
+            f"txtable at {root_path} is keyed on {key!r}; MERGE ON "
+            f"names {on_key!r} — merging by a non-key column would "
+            "corrupt the bucketing"
+        )
+    num_buckets = int(prev["num_buckets"])
+    table_cols = (
+        [f["name"] for f in prev["schema"]]
+        if "schema" in prev
+        else None
+    )
+    generated = dict(prev.get("generated_columns", {}))
+    for cl in matched:
+        if cl.action == "update" and cl.assignments:
+            hit = sorted(set(cl.assignments) & set(generated))
+            if hit:
+                raise ValueError(
+                    f"cannot UPDATE SET generated column(s) {hit}; they "
+                    "recompute from their expressions"
+                )
+
+    if key not in source.columns:
+        raise ValueError(
+            f"MERGE source must carry the table key {key!r}; has "
+            f"{source.columns}"
+        )
+    src = source.dropDuplicates([key])
+    touched = sorted(
+        r[0]
+        for r in src.select(
+            _bucket_of(key, num_buckets).alias("b")
+        )
+        .distinct()
+        .collect()
+    )
+    if not_matched_by_source_delete:
+        touched = sorted(set(touched) | {int(b) for b in prev["buckets"]})
+
+    current = _read_buckets_logical(spark, root_path, prev, touched)
+    t_cols = current.columns
+    if table_cols is None:
+        table_cols = t_cols
+
+    joined = current.withColumn("__t", F.lit(True)).alias("t").join(
+        src.withColumn("__s", F.lit(True)).alias("s"),
+        F.col(f"t.{key}").eqNullSafe(F.col(f"s.{key}")),
+        "full_outer",
+    )
+    is_matched = F.col("t.__t").isNotNull() & F.col("s.__s").isNotNull()
+    s_only = F.col("t.__t").isNull() & F.col("s.__s").isNotNull()
+    t_only = F.col("t.__t").isNotNull() & F.col("s.__s").isNull()
+
+    def _cond(c: str | None):
+        return F.lit(True) if c is None else F.coalesce(
+            F.expr(c).cast("boolean"), F.lit(False)
+        )
+
+    # ONE nested-CASE tag per row: first satisfied clause wins (Delta's
+    # rule); untagged matched/t-only rows keep, untagged s-only drop.
+    tag = F.when(F.lit(False), F.lit(""))
+    for i, cl in enumerate(matched):
+        tag = tag.when(is_matched & _cond(cl.condition), F.lit(f"m{i}"))
+    for i, cl in enumerate(not_matched):
+        tag = tag.when(s_only & _cond(cl.condition), F.lit(f"i{i}"))
+    if not_matched_by_source_delete is True:
+        tag = tag.when(t_only, F.lit("ds"))
+    elif not_matched_by_source_delete:
+        tag = tag.when(
+            t_only
+            & F.coalesce(
+                F.expr(not_matched_by_source_delete).cast("boolean"),
+                F.lit(False),
+            ),
+            F.lit("ds"),
+        )
+    tagged = joined.withColumn(
+        "__tag",
+        tag.otherwise(
+            F.when(s_only, F.lit("drop")).otherwise(F.lit("keep"))
+        ),
+    ).persist()
+    try:
+        counts = {
+            r["__tag"]: r["n"]
+            for r in tagged.groupBy("__tag")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        res = MergeResult()
+        for i, cl in enumerate(matched):
+            n = int(counts.get(f"m{i}", 0))
+            if cl.action == "update":
+                res.rows_updated += n
+            else:
+                res.rows_deleted += n
+        for i in range(len(not_matched)):
+            res.rows_inserted += int(counts.get(f"i{i}", 0))
+        res.rows_deleted += int(counts.get("ds", 0))
+
+        # output expression per table column: CASE over the tag
+        drop_tags = {"drop", "ds"} | {
+            f"m{i}" for i, cl in enumerate(matched) if cl.action == "delete"
+        }
+        live = tagged.filter(~F.col("__tag").isin(*sorted(drop_tags)))
+
+        def _out(col: str):
+            e = F.when(F.lit(False), F.lit(None))
+            for i, cl in enumerate(matched):
+                if cl.action != "update":
+                    continue
+                assigns = cl.assignments
+                if assigns is None:
+                    assigns = {
+                        c: f"s.{c}"
+                        for c in src.columns
+                        if c in table_cols and c not in generated
+                    }
+                expr = assigns.get(col)
+                if expr is not None:
+                    e = e.when(F.col("__tag") == f"m{i}", F.expr(expr))
+            for i, cl in enumerate(not_matched):
+                cols = cl.columns
+                vals = cl.values
+                if cols is None:
+                    cols = [c for c in src.columns if c in table_cols]
+                    vals = [f"s.{c}" for c in cols]
+                if col in cols:
+                    e = e.when(
+                        F.col("__tag") == f"i{i}",
+                        F.expr(vals[cols.index(col)]),
+                    )
+                elif col == key:
+                    # the key always comes from the source on insert
+                    e = e.when(F.col("__tag") == f"i{i}", F.col(f"s.{key}"))
+                else:
+                    e = e.when(F.col("__tag") == f"i{i}", F.lit(None))
+            return e.otherwise(F.col(f"t.{col}")).alias(col)
+
+        out_cols = [c for c in table_cols if c not in generated]
+        result = live.select(*[_out(c) for c in out_cols])
+        # cast up to the table's recorded types (INSERT literals arrive
+        # as whatever Spark inferred)
+        if "schema" in prev:
+            from pyspark.sql.types import StructType as _ST
+
+            want = _ST.fromJson(
+                {"type": "struct", "fields": prev["schema"]}
+            )
+            result = result.select(
+                *[
+                    F.col(c).cast(want[c].dataType).alias(c)
+                    if c in want.fieldNames()
+                    else F.col(c)
+                    for c in result.columns
+                ]
+            )
+        if generated:
+            result = _apply_generated_columns(spark, result, generated)
+        _enforce_table_constraints(spark, root_path, result)
+        result = result.withColumn(
+            BUCKET_COL, _bucket_of(key, num_buckets)
+        )
+
+        buckets = dict(prev["buckets"])
+        row_counts = dict(prev["row_counts"])
+        bucket_stats = dict(prev.get("bucket_stats", {}))
+        bucket_blooms = dict(prev.get("bucket_blooms", {}))
+        bucket_nulls = dict(prev.get("bucket_nulls", {}))
+        _publish_touched_buckets(
+            spark,
+            root_path,
+            result,
+            touched,
+            buckets,
+            row_counts,
+            stats_columns=list(prev.get("stats_columns", [])),
+            bucket_stats=bucket_stats,
+            bloom_columns=list(prev.get("bloom_columns", [])),
+            bucket_blooms=bucket_blooms,
+            bloom_bits=int(prev.get("bloom_bits", BLOOM_BITS)),
+            bucket_nulls=bucket_nulls,
+            manifest=prev,
+        )
+        version = prev["version"] + 1
+        _commit_manifest(
+            spark,
+            root_path,
+            {
+                "version": version,
+                "key": key,
+                "num_buckets": num_buckets,
+                "buckets": buckets,
+                "row_counts": row_counts,
+                "app_txns": dict(prev.get("app_txns", {})),
+                "stats_columns": list(prev.get("stats_columns", [])),
+                "bucket_stats": bucket_stats,
+                "bloom_columns": list(prev.get("bloom_columns", [])),
+                "bucket_blooms": bucket_blooms,
+                "bloom_bits": int(prev.get("bloom_bits", BLOOM_BITS)),
+                **({"bucket_nulls": bucket_nulls} if bucket_nulls else {}),
+                **(
+                    {"schema": [dict(f) for f in prev["schema"]]}
+                    if "schema" in prev
+                    else {}
+                ),
+                **(
+                    {"dropped_columns": list(prev["dropped_columns"])}
+                    if prev.get("dropped_columns")
+                    else {}
+                ),
+                **({"generated_columns": generated} if generated else {}),
+                **_dv_carry(prev, touched),
+                **_copy_carry(prev),
+                "committed_at_ms": int(time.time() * 1000),
+            },
+        )
+        res.version = version
+        return res
+    finally:
+        tagged.unpersist()

@@ -453,6 +453,174 @@ def _rewrite_selects(spark: SparkSession, text: str) -> str:
     return _TBL_REF.sub(sub, text)
 
 
+def _split_top_commas(text: str) -> list[str]:
+    """Split on top-level commas only (commas inside parens/quotes
+    belong to the item)."""
+    parts, depth, cur, quote = [], 0, [], None
+    for ch in text:
+        if quote:
+            cur.append(ch)
+            if ch == quote:
+                quote = None
+            continue
+        if ch in "'\"":
+            quote = ch
+        elif ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append("".join(cur).strip())
+            cur = []
+            continue
+        cur.append(ch)
+    tail = "".join(cur).strip()
+    if tail:
+        parts.append(tail)
+    return parts
+
+
+_MERGE_CLAUSE = re.compile(
+    r"WHEN\s+(?P<kind>NOT\s+MATCHED\s+BY\s+SOURCE|NOT\s+MATCHED|MATCHED)"
+    r"(?:\s+AND\s+(?P<cond>.+?))?\s+THEN\s+"
+    r"(?P<act>UPDATE\s+SET\s+.+?|DELETE|INSERT\s*\*"
+    r"|INSERT\s*\([^)]+\)\s*VALUES\s*\(.+?\))"
+    r"\s*(?=WHEN\s|$)",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _general_merge(spark: SparkSession, m: re.Match):
+    """Parse + run the conditional/multi-action MERGE grammar via
+    sinks.merge.txlog_merge. Alias-qualified references in conditions
+    and expressions rewrite to the executor's fixed ``t``/``s``
+    aliases."""
+    from .merge import MatchedClause, NotMatchedClause, txlog_merge
+
+    path = m.group("path")
+    src = m.group("src")
+    source_df = (
+        spark.sql(src[1:-1]) if src.startswith("(") else spark.table(src)
+    )
+    on = m.group("on")
+    eq = re.match(
+        r"\s*(?:(?P<q1>\w+)\.)?(?P<c1>\w+)\s*=\s*(?:(?P<q2>\w+)\.)?(?P<c2>\w+)\s*$",
+        on,
+    )
+    if not eq or eq.group("c1") != eq.group("c2"):
+        raise UnsupportedSqlError(
+            f"MERGE ON must be a single key equality "
+            f"(t.<key> = s.<key>); got {on!r}"
+        )
+
+    def rewrite(expr: str | None) -> str | None:
+        if expr is None:
+            return None
+        for alias, fixed in (
+            (m.group("talias"), "t"),
+            (m.group("salias"), "s"),
+        ):
+            if alias and alias.lower() not in ("t", "s"):
+                expr = re.sub(
+                    rf"\b{re.escape(alias)}\.", f"{fixed}.", expr,
+                    flags=re.IGNORECASE,
+                )
+        return expr
+
+    clauses_text = m.group("clauses").strip()
+    matched: list[MatchedClause] = []
+    not_matched: list[NotMatchedClause] = []
+    nmbs: bool | str = False
+    pos = 0
+    for cm in _MERGE_CLAUSE.finditer(clauses_text):
+        if clauses_text[pos:cm.start()].strip():
+            raise UnsupportedSqlError(
+                "cannot parse MERGE clause near "
+                f"{clauses_text[pos:cm.start()][:60]!r}"
+            )
+        pos = cm.end()
+        kind = re.sub(r"\s+", " ", cm.group("kind").upper())
+        cond = rewrite(cm.group("cond"))
+        act = cm.group("act").strip()
+        if kind == "MATCHED":
+            if act.upper() == "DELETE":
+                matched.append(MatchedClause("delete", condition=cond))
+            elif act.upper().startswith("UPDATE"):
+                body = re.sub(
+                    r"^UPDATE\s+SET\s+", "", act, flags=re.IGNORECASE
+                ).strip()
+                if body == "*":
+                    matched.append(
+                        MatchedClause("update", condition=cond)
+                    )
+                else:
+                    matched.append(
+                        MatchedClause(
+                            "update",
+                            condition=cond,
+                            assignments={
+                                k: rewrite(v)
+                                for k, v in _split_set_clause(body).items()
+                            },
+                        )
+                    )
+            else:
+                raise UnsupportedSqlError(
+                    f"WHEN MATCHED supports UPDATE SET/DELETE; got {act!r}"
+                )
+        elif kind == "NOT MATCHED":
+            if not act.upper().startswith("INSERT"):
+                raise UnsupportedSqlError(
+                    f"WHEN NOT MATCHED supports INSERT; got {act!r}"
+                )
+            body = act[len("INSERT"):].strip()
+            if body == "*":
+                not_matched.append(NotMatchedClause(condition=cond))
+            else:
+                im = re.match(
+                    r"\(([^)]+)\)\s*VALUES\s*\((.+)\)\s*$",
+                    body,
+                    re.IGNORECASE | re.DOTALL,
+                )
+                if not im:
+                    raise UnsupportedSqlError(
+                        f"cannot parse INSERT clause {act[:60]!r}"
+                    )
+                cols = [c.strip().strip("`") for c in im.group(1).split(",")]
+                vals = [rewrite(v) for v in _split_top_commas(im.group(2))]
+                if len(cols) != len(vals):
+                    raise UnsupportedSqlError(
+                        f"INSERT names {len(cols)} column(s) but "
+                        f"{len(vals)} value(s)"
+                    )
+                not_matched.append(
+                    NotMatchedClause(
+                        condition=cond, columns=cols, values=vals
+                    )
+                )
+        else:  # NOT MATCHED BY SOURCE
+            if act.upper() != "DELETE":
+                raise UnsupportedSqlError(
+                    "WHEN NOT MATCHED BY SOURCE supports DELETE; got "
+                    f"{act!r}"
+                )
+            nmbs = cond or True
+    if clauses_text[pos:].strip():
+        raise UnsupportedSqlError(
+            f"cannot parse MERGE clause near {clauses_text[pos:][:60]!r}"
+        )
+    res = txlog_merge(
+        spark,
+        source_df,
+        path,
+        matched=matched,
+        not_matched=not_matched,
+        not_matched_by_source_delete=nmbs,
+        on_key=eq.group("c1"),
+    )
+    return res.rows_affected
+
+
 def _parse_quoted_kv(body: str | None) -> dict[str, str]:
     """Parse an OPTIONS tuple body — ``'k' = 'v', 'k2' = 'v2'`` (the
     Databricks FORMAT_OPTIONS/COPY_OPTIONS shape). Empty/absent → {}."""
@@ -668,12 +836,28 @@ def txtable_sql(spark: SparkSession, sql: str) -> DataFrame | int | None:
             not_matched_by_source_delete=nmbs,
         )
 
+    m = re.match(
+        rf"MERGE{_WS}INTO{_WS}{_TBL}(?:{_WS}AS{_WS}(?P<talias>\w+))?"
+        rf"{_WS}USING{_WS}(?P<src>\(.+?\)|\w+)(?:{_WS}AS{_WS}(?P<salias>\w+))?"
+        rf"{_WS}ON{_WS}(?P<on>.+?)"
+        rf"(?P<clauses>{_WS}WHEN{_WS}.+)$",
+        text,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if m:
+        # the general conditional / multi-action grammar (Delta's full
+        # clause surface) — clause order is evaluation order, first
+        # satisfied clause acts (sinks.merge.txlog_merge)
+        return _general_merge(spark, m)
+
     if re.match(rf"MERGE{_WS}INTO{_WS}{_TBL}", text, re.IGNORECASE):
         raise UnsupportedSqlError(
-            "only the canonical upsert MERGE is supported in SQL text "
-            "(WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN "
-            "INSERT *); conditional or multi-action merges go through "
-            "sinks.txlog.txlog_upsert / txlog_update / txlog_delete"
+            "cannot parse this MERGE; supported: MERGE INTO "
+            "txtable.`<path>` [AS t] USING <src> [AS s] ON t.<key> = "
+            "s.<key> followed by WHEN MATCHED [AND cond] THEN UPDATE "
+            "SET */col = expr, ... | DELETE, WHEN NOT MATCHED [AND "
+            "cond] THEN INSERT * | (cols) VALUES (exprs), and WHEN NOT "
+            "MATCHED BY SOURCE [AND cond] THEN DELETE"
         )
 
     m = re.match(

@@ -1,0 +1,281 @@
+"""Conditional / multi-action MERGE (sinks/merge.py + the SQL grammar).
+
+Delta's full clause surface: WHEN MATCHED [AND cond] THEN UPDATE SET
+col = expr / DELETE, WHEN NOT MATCHED [AND cond] THEN INSERT (cols)
+VALUES (exprs), WHEN NOT MATCHED BY SOURCE [AND cond] THEN DELETE —
+clause order is evaluation order, first satisfied clause acts.
+"""
+
+import pytest
+
+from data_pipeline_demo_spark.sinks.merge import (
+    MatchedClause,
+    NotMatchedClause,
+    txlog_merge,
+)
+from data_pipeline_demo_spark.sinks.sql_dml import (
+    UnsupportedSqlError,
+    txtable_sql,
+)
+from data_pipeline_demo_spark.sinks.txlog import (
+    ConstraintViolationError,
+    _latest_manifest,
+    read_txtable,
+    set_table_constraint,
+    txlog_upsert,
+    txtable_changes,
+)
+
+
+def _mk(spark, tmp_path, rows=None):
+    root = str(tmp_path / "t")
+    txlog_upsert(
+        spark,
+        spark.createDataFrame(
+            rows
+            or [
+                (1, "a", 10.0),
+                (2, "b", 20.0),
+                (3, "c", 30.0),
+                (4, "d", 40.0),
+            ],
+            "id long, v string, amt double",
+        ),
+        root,
+        key="id",
+        num_buckets=4,
+    )
+    return root
+
+
+def _state(spark, root):
+    return {
+        r.id: (r.v, r.amt) for r in read_txtable(spark, root).collect()
+    }
+
+
+def test_multi_action_merge_sql_end_to_end(spark, tmp_path):
+    root = _mk(spark, tmp_path)
+    spark.createDataFrame(
+        [
+            (1, "A", 100.0),
+            (2, "B", -5.0),
+            (3, "C", 300.0),
+            (9, "Z", 900.0),
+            (10, "Y", -1.0),
+        ],
+        "id long, v string, amt double",
+    ).createOrReplaceTempView("m_src")
+    n = txtable_sql(
+        spark,
+        f"MERGE INTO txtable.`{root}` AS tgt USING m_src AS src "
+        "ON tgt.id = src.id "
+        "WHEN MATCHED AND src.amt < 0 THEN DELETE "
+        "WHEN MATCHED AND tgt.amt >= 20 THEN UPDATE SET "
+        "v = src.v, amt = tgt.amt + src.amt "
+        "WHEN NOT MATCHED AND src.amt > 0 THEN INSERT (id, v, amt) "
+        "VALUES (src.id, lower(src.v), src.amt * 2)",
+    )
+    assert n == 3  # 1 delete + 1 update + 1 insert
+    assert _state(spark, root) == {
+        1: ("a", 10.0),       # matched, no clause fired: untouched
+        3: ("C", 330.0),      # second clause: explicit SET exprs
+        4: ("d", 40.0),       # target-only, no BY SOURCE clause
+        9: ("z", 1800.0),     # conditional INSERT with exprs
+    }
+
+
+def test_clause_order_first_match_wins(spark, tmp_path):
+    root = _mk(spark, tmp_path)
+    src = spark.createDataFrame(
+        [(2, "x", 1.0)], "id long, v string, amt double"
+    )
+    # both clauses' conditions hold for id=2; declaration order decides
+    res = txlog_merge(
+        spark,
+        src,
+        root,
+        matched=[
+            MatchedClause(
+                "update", condition="t.amt > 0", assignments={"v": "'first'"}
+            ),
+            MatchedClause("delete", condition="t.amt > 0"),
+        ],
+    )
+    assert (res.rows_updated, res.rows_deleted) == (1, 0)
+    assert _state(spark, root)[2] == ("first", 20.0)
+
+
+def test_set_star_and_insert_star_through_general_path(spark, tmp_path):
+    root = _mk(spark, tmp_path)
+    spark.createDataFrame(
+        [(1, "upd", 111.0), (8, "new", 888.0)],
+        "id long, v string, amt double",
+    ).createOrReplaceTempView("m_star")
+    n = txtable_sql(
+        spark,
+        f"MERGE INTO txtable.`{root}` AS t2 USING m_star AS s2 "
+        "ON t2.id = s2.id "
+        "WHEN MATCHED AND s2.amt > 100 THEN UPDATE SET * "
+        "WHEN NOT MATCHED AND s2.amt > 0 THEN INSERT *",
+    )
+    assert n == 2
+    st = _state(spark, root)
+    assert st[1] == ("upd", 111.0) and st[8] == ("new", 888.0)
+    assert st[2] == ("b", 20.0)
+
+
+def test_not_matched_by_source_conditional_delete(spark, tmp_path):
+    root = _mk(spark, tmp_path)
+    src = spark.createDataFrame(
+        [(1, "a", 10.0)], "id long, v string, amt double"
+    )
+    res = txlog_merge(
+        spark,
+        src,
+        root,
+        matched=[MatchedClause("update")],
+        not_matched_by_source_delete="t.amt >= 30",
+    )
+    assert res.rows_deleted == 2  # ids 3, 4
+    assert sorted(_state(spark, root)) == [1, 2]
+
+
+def test_merge_counts_and_version(spark, tmp_path):
+    root = _mk(spark, tmp_path)
+    src = spark.createDataFrame(
+        [(1, "u", 0.0), (2, "u", 0.0), (99, "n", 1.0)],
+        "id long, v string, amt double",
+    )
+    res = txlog_merge(
+        spark,
+        src,
+        root,
+        matched=[MatchedClause("update", assignments={"v": "s.v"})],
+        not_matched=[NotMatchedClause()],
+    )
+    assert (res.rows_updated, res.rows_inserted, res.rows_deleted) == (
+        2,
+        1,
+        0,
+    )
+    assert res.version == 1
+    assert res.rows_affected == 3
+
+
+def test_merge_untouched_buckets_carry_without_rewrite(spark, tmp_path):
+    root = _mk(spark, tmp_path)
+    before = _latest_manifest(spark, root)["buckets"]
+    src = spark.createDataFrame(
+        [(1, "u", 1.0)], "id long, v string, amt double"
+    )
+    txlog_merge(
+        spark,
+        src,
+        root,
+        matched=[MatchedClause("update", assignments={"amt": "s.amt"})],
+    )
+    after = _latest_manifest(spark, root)["buckets"]
+    changed = [b for b in before if after.get(b) != before[b]]
+    assert len(changed) == 1  # only id=1's bucket rewrote
+
+
+def test_merge_generated_columns_recompute_and_direct_set_refuses(
+    spark, tmp_path
+):
+    root = str(tmp_path / "g")
+    txlog_upsert(
+        spark,
+        spark.createDataFrame(
+            [(1, 2.0, 4.0)], "id long, a double, d double"
+        ),
+        root,
+        key="id",
+        num_buckets=2,
+        generated_columns={"d": "a * 2"},
+    )
+    src = spark.createDataFrame([(1, 10.0)], "id long, a double")
+    txlog_merge(
+        spark,
+        src,
+        root,
+        matched=[MatchedClause("update", assignments={"a": "s.a"})],
+    )
+    row = read_txtable(spark, root).collect()[0]
+    assert (row.a, row.d) == (10.0, 20.0)  # generated recomputed
+    with pytest.raises(ValueError, match="generated"):
+        txlog_merge(
+            spark,
+            src,
+            root,
+            matched=[MatchedClause("update", assignments={"d": "99.0"})],
+        )
+
+
+def test_merge_constraints_gate_the_result(spark, tmp_path):
+    root = _mk(spark, tmp_path)
+    set_table_constraint(spark, root, "amt_pos", "amt > 0")
+    src = spark.createDataFrame(
+        [(1, "x", 1.0)], "id long, v string, amt double"
+    )
+    with pytest.raises(ConstraintViolationError):
+        txlog_merge(
+            spark,
+            src,
+            root,
+            matched=[MatchedClause("update", assignments={"amt": "-1.0"})],
+        )
+
+
+def test_merge_cdc_reports_every_action(spark, tmp_path):
+    root = _mk(spark, tmp_path)
+    src = spark.createDataFrame(
+        [(1, "u", 1.0), (2, "x", -1.0), (7, "n", 7.0)],
+        "id long, v string, amt double",
+    )
+    txlog_merge(
+        spark,
+        src,
+        root,
+        matched=[
+            MatchedClause("delete", condition="s.amt < 0"),
+            MatchedClause("update", assignments={"v": "s.v"}),
+        ],
+        not_matched=[NotMatchedClause()],
+    )
+    ops = {
+        (r.id, r["_change_type"])
+        for r in txtable_changes(spark, root, from_version=0).collect()
+    }
+    assert ops == {(1, "update"), (2, "delete"), (7, "insert")}
+
+
+def test_merge_refusals(spark, tmp_path):
+    root = _mk(spark, tmp_path)
+    spark.createDataFrame(
+        [(1, "x", 1.0)], "id long, v string, amt double"
+    ).createOrReplaceTempView("m_ref")
+    with pytest.raises(UnsupportedSqlError, match="key equality"):
+        txtable_sql(
+            spark,
+            f"MERGE INTO txtable.`{root}` AS t3 USING m_ref AS s3 "
+            "ON t3.id < s3.id WHEN MATCHED THEN DELETE",
+        )
+    with pytest.raises(UnsupportedSqlError, match="clause"):
+        txtable_sql(
+            spark,
+            f"MERGE INTO txtable.`{root}` AS t3 USING m_ref AS s3 "
+            "ON t3.id = s3.id WHEN MATCHED THEN FROB EVERYTHING",
+        )
+    # ON column that differs from the table key refuses loudly
+    src = spark.createDataFrame(
+        [(1, "x", 1.0)], "id long, v string, amt double"
+    )
+    with pytest.raises(ValueError, match="keyed on"):
+        txlog_merge(
+            spark,
+            src,
+            root,
+            matched=[MatchedClause("update")],
+            on_key="v",
+        )
