@@ -376,6 +376,7 @@ def copy_into(
             ),
             **_dv_carry(prev),
             "copy_files": copy_files,
+            "operation": "COPY INTO",
             "committed_at_ms": int(time.time() * 1000),
         },
     )

@@ -330,6 +330,7 @@ def txlog_merge(
                 **({"generated_columns": generated} if generated else {}),
                 **_dv_carry(prev, touched),
                 **_copy_carry(prev),
+                "operation": "MERGE",
                 "committed_at_ms": int(time.time() * 1000),
             },
         )

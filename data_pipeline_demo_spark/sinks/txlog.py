@@ -1399,6 +1399,7 @@ def txlog_upsert(
             ),
             **(_dv_carry(prev, touched) if prev is not None else {}),
             **_copy_carry(prev),
+            "operation": "MERGE" if prev is not None else "CREATE",
             "committed_at_ms": int(time.time() * 1000),
         },
     )
@@ -1875,6 +1876,7 @@ def txlog_delete(
             **_schema_carry(prev),
             **_dv_carry(prev, touched),
             **_copy_carry(prev),
+            "operation": "DELETE",
             "committed_at_ms": int(time.time() * 1000),
         },
     )
@@ -1980,6 +1982,7 @@ def _txlog_delete_mor(
             **fields,
             **_requires_of(fields),
             **_copy_carry(prev),
+            "operation": "DELETE",
             "committed_at_ms": int(time.time() * 1000),
         },
     )
@@ -2132,6 +2135,7 @@ def _txlog_update_mor(
             **fields,
             **_requires_of(fields),
             **_copy_carry(prev),
+            "operation": "UPDATE",
             "committed_at_ms": int(time.time() * 1000),
         },
     )
@@ -2276,6 +2280,7 @@ def txlog_update(
             **_schema_carry(prev),
             **_dv_carry(prev, touched),
             **_copy_carry(prev),
+            "operation": "UPDATE",
             "committed_at_ms": int(time.time() * 1000),
         },
     )
@@ -2283,7 +2288,8 @@ def txlog_update(
 
 
 def _alter_commit(
-    spark, root_path: str, prev: dict, fields, dropped, generated=None
+    spark, root_path: str, prev: dict, fields, dropped, generated=None,
+    operation: str = "ALTER",
 ) -> int:
     """Publish a METADATA-ONLY schema change: every file reference,
     row count, stat, and bloom carries forward untouched — the commit
@@ -2319,6 +2325,7 @@ def _alter_commit(
             ),
             **_dv_carry(prev),
             **_copy_carry(prev),
+            "operation": operation,
             "committed_at_ms": int(time.time() * 1000),
         },
     )
@@ -2764,6 +2771,7 @@ def shallow_clone_txtable(
             ),
             **_schema_carry(src),
             **_copy_carry(src),
+            "operation": "CLONE",
             "committed_at_ms": int(time.time() * 1000),
         },
     )
@@ -2828,6 +2836,22 @@ def deep_clone_txtable(
         _alter_commit(
             spark, target_root, tgt, tgt.get("schema"), dropped
         )
+    if m.get("copy_files"):
+        # COPY INTO load history travels with the content it describes
+        # (same rule as the shallow clone): without it a COPY on the
+        # clone would re-load files whose rows it already has
+        tgt = _latest_manifest(spark, target_root)
+        _commit_manifest(
+            spark,
+            target_root,
+            {
+                **tgt,
+                "version": tgt["version"] + 1,
+                "copy_files": dict(m["copy_files"]),
+                "operation": "CLONE",
+                "committed_at_ms": int(time.time() * 1000),
+            },
+        )
     return n
 
 
@@ -2846,6 +2870,11 @@ def txtable_history(spark: SparkSession, root_path: str) -> list[dict]:
         out.append(
             {
                 "version": v,
+                # what produced this version (Delta HISTORY's operation
+                # column): CREATE/MERGE/UPDATE/DELETE/APPEND/OVERWRITE/
+                # COPY INTO/TRUNCATE/ALTER/CLONE/RESTORE/OPTIMIZE/
+                # REBUCKET; None for manifests predating the field
+                "operation": m.get("operation"),
                 "num_buckets_live": len(m["buckets"]),
                 # logical rows: physical file rows minus DV deletions
                 "rows": sum(m["row_counts"].values())
@@ -2928,6 +2957,7 @@ def restore_txtable(
             **_dv_carry(src),
             "restored_from_version": version,
             **_copy_carry(src),
+            "operation": "RESTORE",
             "committed_at_ms": int(time.time() * 1000),
         },
     )
@@ -2970,6 +3000,7 @@ def truncate_txtable(spark: SparkSession, root_path: str) -> int:
             "bucket_blooms": {},
             "bloom_bits": int(prev.get("bloom_bits", BLOOM_BITS)),
             **_schema_carry(prev),
+            "operation": "TRUNCATE",
             "committed_at_ms": int(time.time() * 1000),
         },
     )
@@ -3314,6 +3345,7 @@ def compact_txtable(
             **_schema_carry(manifest),
             **_dv_carry(manifest, todo.keys()),
             **_copy_carry(manifest),
+            "operation": "OPTIMIZE",
             "committed_at_ms": int(time.time() * 1000),
         },
     )
@@ -3549,6 +3581,7 @@ def rebucket_txtable(
             **({"bucket_nulls": bucket_nulls} if bucket_nulls else {}),
             **_schema_carry(prev),
             **_copy_carry(prev),
+            "operation": "REBUCKET",
             "committed_at_ms": int(time.time() * 1000),
         },
     )

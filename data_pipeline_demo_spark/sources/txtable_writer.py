@@ -1115,6 +1115,7 @@ def commit_files(
             **({"bucket_nulls": bucket_nulls} if bucket_nulls else {}),
             **dv_fields,
             **carried,
+            "operation": "OVERWRITE" if overwrite else "APPEND",
             "committed_at_ms": _now_ms(),
         }
         payload = json.dumps(manifest).encode("utf-8")

@@ -279,3 +279,64 @@ def test_merge_refusals(spark, tmp_path):
             matched=[MatchedClause("update")],
             on_key="v",
         )
+
+
+def test_history_operation_audit_trail(spark, tmp_path):
+    """Every verb stamps its operation into the manifest; DESCRIBE
+    HISTORY's audit trail names what produced each version (Delta's
+    operation column)."""
+    import glob as _glob
+    import os
+    import shutil
+
+    from data_pipeline_demo_spark.sinks.copy_into import copy_into
+    from data_pipeline_demo_spark.sinks.txlog import (
+        compact_txtable,
+        deep_clone_txtable,
+        restore_txtable,
+        truncate_txtable,
+        txlog_add_column,
+        txlog_delete,
+        txlog_update,
+        txtable_history,
+    )
+
+    root = _mk(spark, tmp_path)  # v0 CREATE
+    src = spark.createDataFrame(
+        [(1, "u", 1.0)], "id long, v string, amt double"
+    )
+    txlog_merge(
+        spark, src, root,
+        matched=[MatchedClause("update", assignments={"v": "s.v"})],
+    )                                                   # v1 MERGE
+    txlog_update(spark, root, set={"v": "'x'"}, where="id = 2")  # v2
+    txlog_delete(spark, root, where="id = 3")           # v3 DELETE
+    txtable_sql(
+        spark, f"INSERT INTO txtable.`{root}` VALUES (7, 'p', 7.0)"
+    )                                                   # v4 APPEND
+    land = str(tmp_path / "land")
+    os.makedirs(land)
+    tmpd = os.path.join(land, "__t")
+    spark.createDataFrame(
+        [(50, "c", 5.0)], "id long, v string, amt double"
+    ).coalesce(1).write.parquet(tmpd)
+    [part] = _glob.glob(os.path.join(tmpd, "*.parquet"))
+    shutil.move(part, os.path.join(land, "a.parquet"))
+    shutil.rmtree(tmpd)
+    copy_into(spark, root, land, "parquet")             # v5 COPY INTO
+    txlog_add_column(spark, root, "w", "double")        # v6 ALTER
+    compact_txtable(spark, root, min_files=1)           # v7 OPTIMIZE
+    truncate_txtable(spark, root)                       # v8 TRUNCATE
+    restore_txtable(spark, root, version=5)             # v9 RESTORE
+    ops = [h["operation"] for h in txtable_history(spark, root)]
+    assert ops == [
+        "CREATE", "MERGE", "UPDATE", "DELETE", "APPEND", "COPY INTO",
+        "ALTER", "OPTIMIZE", "TRUNCATE", "RESTORE",
+    ]
+    # deep clone: v0 CREATE + CLONE metadata commit carrying history
+    clone = str(tmp_path / "dclone")
+    deep_clone_txtable(spark, root, clone)
+    cops = [h["operation"] for h in txtable_history(spark, clone)]
+    assert cops[0] == "CREATE" and "CLONE" in cops
+    rc = copy_into(spark, clone, land, "parquet")
+    assert rc["num_loaded_files"] == 0  # history traveled with content
