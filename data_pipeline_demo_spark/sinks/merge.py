@@ -100,13 +100,21 @@ def txlog_merge(
     not_matched: list[NotMatchedClause] = (),
     not_matched_by_source_delete: bool | str = False,
     on_key: str | None = None,
+    evolve_schema: bool = False,
 ) -> MergeResult:
     """Run a conditional/multi-action MERGE of ``source`` into the
     txtable at ``root_path`` (ON is always the table's key — the same
     key-equality contract every verb here shares; a differing
     ``on_key`` raises rather than silently merging by the wrong
     column). Returns a :class:`MergeResult` with exact per-action row
-    counts."""
+    counts.
+
+    ``evolve_schema`` (Delta's ``MERGE WITH SCHEMA EVOLUTION``): source
+    columns the table lacks APPEND to the schema — existing rows read
+    NULL for them, SET */INSERT * then carry them, and same-name type
+    conflicts still raise. Without it, extra source columns are
+    silently ignored by SET */INSERT * (and an explicit assignment to
+    an unknown column raises), Delta's default."""
     prev = _latest_manifest(spark, root_path)
     if prev is None:
         raise FileNotFoundError(
@@ -144,6 +152,17 @@ def txlog_merge(
             f"{source.columns}"
         )
     src = source.dropDuplicates([key])
+    schema_fields = (
+        [dict(f) for f in prev["schema"]] if "schema" in prev else None
+    )
+    dropped_columns = list(prev.get("dropped_columns", []))
+    if evolve_schema and schema_fields is not None:
+        from .txlog import _evolved_schema
+
+        schema_fields = _evolved_schema(
+            schema_fields, src, True, dropped_columns
+        )
+        table_cols = [f["name"] for f in schema_fields]
     touched = sorted(
         r[0]
         for r in src.select(
@@ -253,17 +272,43 @@ def txlog_merge(
                     e = e.when(F.col("__tag") == f"i{i}", F.col(f"s.{key}"))
                 else:
                     e = e.when(F.col("__tag") == f"i{i}", F.lit(None))
-            return e.otherwise(F.col(f"t.{col}")).alias(col)
+            # an evolved column has no target-side value: old rows null
+            base = (
+                F.col(f"t.{col}") if col in t_cols else F.lit(None)
+            )
+            return e.otherwise(base).alias(col)
+
+        known = set(table_cols)
+        for cl in matched:
+            if cl.action == "update" and cl.assignments:
+                unknown = sorted(set(cl.assignments) - known)
+                if unknown:
+                    raise ValueError(
+                        f"UPDATE SET names unknown column(s) {unknown}; "
+                        "table schema has "
+                        f"{table_cols} (use evolve_schema / WITH SCHEMA "
+                        "EVOLUTION to add source columns)"
+                    )
+        for cl in not_matched:
+            if cl.columns:
+                unknown = sorted(set(cl.columns) - known)
+                if unknown:
+                    raise ValueError(
+                        f"INSERT names unknown column(s) {unknown}; "
+                        "table schema has "
+                        f"{table_cols} (use evolve_schema / WITH SCHEMA "
+                        "EVOLUTION to add source columns)"
+                    )
 
         out_cols = [c for c in table_cols if c not in generated]
         result = live.select(*[_out(c) for c in out_cols])
         # cast up to the table's recorded types (INSERT literals arrive
         # as whatever Spark inferred)
-        if "schema" in prev:
+        if schema_fields is not None:
             from pyspark.sql.types import StructType as _ST
 
             want = _ST.fromJson(
-                {"type": "struct", "fields": prev["schema"]}
+                {"type": "struct", "fields": schema_fields}
             )
             result = result.select(
                 *[
@@ -318,13 +363,13 @@ def txlog_merge(
                 "bloom_bits": int(prev.get("bloom_bits", BLOOM_BITS)),
                 **({"bucket_nulls": bucket_nulls} if bucket_nulls else {}),
                 **(
-                    {"schema": [dict(f) for f in prev["schema"]]}
-                    if "schema" in prev
+                    {"schema": schema_fields}
+                    if schema_fields is not None
                     else {}
                 ),
                 **(
-                    {"dropped_columns": list(prev["dropped_columns"])}
-                    if prev.get("dropped_columns")
+                    {"dropped_columns": dropped_columns}
+                    if dropped_columns
                     else {}
                 ),
                 **({"generated_columns": generated} if generated else {}),

@@ -617,6 +617,7 @@ def _general_merge(spark: SparkSession, m: re.Match):
         not_matched=not_matched,
         not_matched_by_source_delete=nmbs,
         on_key=eq.group("c1"),
+        evolve_schema=m.group("evolve") is not None,
     )
     return res.rows_affected
 
@@ -837,7 +838,8 @@ def txtable_sql(spark: SparkSession, sql: str) -> DataFrame | int | None:
         )
 
     m = re.match(
-        rf"MERGE{_WS}INTO{_WS}{_TBL}(?:{_WS}AS{_WS}(?P<talias>\w+))?"
+        rf"MERGE(?P<evolve>{_WS}WITH{_WS}SCHEMA{_WS}EVOLUTION)?"
+        rf"{_WS}INTO{_WS}{_TBL}(?:{_WS}AS{_WS}(?P<talias>\w+))?"
         rf"{_WS}USING{_WS}(?P<src>\(.+?\)|\w+)(?:{_WS}AS{_WS}(?P<salias>\w+))?"
         rf"{_WS}ON{_WS}(?P<on>.+?)"
         rf"(?P<clauses>{_WS}WHEN{_WS}.+)$",
@@ -846,8 +848,9 @@ def txtable_sql(spark: SparkSession, sql: str) -> DataFrame | int | None:
     )
     if m:
         # the general conditional / multi-action grammar (Delta's full
-        # clause surface) — clause order is evaluation order, first
-        # satisfied clause acts (sinks.merge.txlog_merge)
+        # clause surface, incl. WITH SCHEMA EVOLUTION) — clause order
+        # is evaluation order, first satisfied clause acts
+        # (sinks.merge.txlog_merge)
         return _general_merge(spark, m)
 
     if re.match(rf"MERGE{_WS}INTO{_WS}{_TBL}", text, re.IGNORECASE):

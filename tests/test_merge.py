@@ -340,3 +340,47 @@ def test_history_operation_audit_trail(spark, tmp_path):
     assert cops[0] == "CREATE" and "CLONE" in cops
     rc = copy_into(spark, clone, land, "parquet")
     assert rc["num_loaded_files"] == 0  # history traveled with content
+
+
+def test_merge_with_schema_evolution(spark, tmp_path):
+    """Delta's MERGE WITH SCHEMA EVOLUTION: source columns the table
+    lacks append to the schema (old rows read NULL); without the
+    keyword, SET */INSERT * ignore them and an explicit assignment to
+    an unknown column raises with guidance."""
+    root = _mk(spark, tmp_path)
+    spark.createDataFrame(
+        [(1, "u", 1.0, "extra1"), (8, "n", 8.0, "extra8")],
+        "id long, v string, amt double, note string",
+    ).createOrReplaceTempView("m_evo")
+    # without evolution the canonical path's schema enforcement refuses
+    # the extra source column (Delta without autoMerge does too)
+    with pytest.raises(ValueError, match="evolve_schema"):
+        txtable_sql(
+            spark,
+            f"MERGE INTO txtable.`{root}` AS t USING m_evo AS s "
+            "ON t.id = s.id "
+            "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *",
+        )
+    # explicit assignment to unknown column refuses with guidance
+    with pytest.raises(ValueError, match="SCHEMA EVOLUTION"):
+        txtable_sql(
+            spark,
+            f"MERGE INTO txtable.`{root}` AS t USING m_evo AS s "
+            "ON t.id = s.id "
+            "WHEN MATCHED THEN UPDATE SET note = s.note",
+        )
+    # with evolution: the column appends; untouched rows read NULL
+    n = txtable_sql(
+        spark,
+        f"MERGE WITH SCHEMA EVOLUTION INTO txtable.`{root}` AS t "
+        "USING m_evo AS s ON t.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *",
+    )
+    assert n == 2
+    rows = {r.id: r.note for r in read_txtable(spark, root).collect()}
+    assert rows[1] == "extra1" and rows[8] == "extra8"
+    assert rows[2] is None and rows[3] is None  # untouched: NULL
+    # the schema evolved in the manifest, not just this read
+    assert "note" in [
+        f["name"] for f in _latest_manifest(spark, root)["schema"]
+    ]
