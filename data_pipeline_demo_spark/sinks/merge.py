@@ -175,6 +175,17 @@ def txlog_merge(
         touched = sorted(set(touched) | {int(b) for b in prev["buckets"]})
 
     current = _read_buckets_logical(spark, root_path, prev, touched)
+    if current is None:
+        # zero touched buckets (empty source / empty table): an empty
+        # frame under the table's schema keeps the plan total
+        from pyspark.sql.types import StructType as _ST
+
+        if schema_fields is not None:
+            current = spark.createDataFrame(
+                [], _ST.fromJson({"type": "struct", "fields": schema_fields})
+            )
+        else:
+            current = src.limit(0)
     t_cols = current.columns
     if table_cols is None:
         table_cols = t_cols

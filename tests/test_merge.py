@@ -384,3 +384,150 @@ def test_merge_with_schema_evolution(spark, tmp_path):
     assert "note" in [
         f["name"] for f in _latest_manifest(spark, root)["schema"]
     ]
+
+
+# ---------------------------------------------------------------------------
+# hypothesis MODEL check: random clause sets vs a pure-python replay
+
+
+def _model_merge(target, source, matched, not_matched, nmbs):
+    """Reference semantics in plain python dicts: first satisfied
+    clause acts, untouched rows keep, unclaimed source rows drop.
+    target/source: {id: v}."""
+
+    def holds(cond, t_v, s_v):
+        if cond is None:
+            return True
+        if cond == "s_even":
+            return s_v is not None and s_v % 2 == 0
+        if cond == "t_big":
+            return t_v is not None and t_v > 5
+        raise AssertionError(cond)
+
+    out = {}
+    for k, tv in target.items():
+        if k in source:
+            sv = source[k]
+            acted = False
+            for cl in matched:
+                if holds(cl["cond"], tv, sv):
+                    if cl["action"] == "delete":
+                        acted = True
+                    else:
+                        out[k] = (
+                            sv if cl["set"] == "sv" else tv + sv
+                            if cl["set"] == "sum" else 99
+                        )
+                        acted = True
+                    break
+            if not acted:
+                out[k] = tv
+        else:
+            if nmbs == "all" or (nmbs == "t_small" and tv < 3):
+                continue
+            out[k] = tv
+    for k, sv in source.items():
+        if k in target:
+            continue
+        for cl in not_matched:
+            if holds(cl["cond"], None, sv):
+                out[k] = sv if cl["ins"] == "sv" else sv * 10
+                break
+    return out
+
+
+def test_hypothesis_merge_model(spark, tmp_path):
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    cond = st.sampled_from([None, "s_even", "t_big"])
+    m_clause = st.fixed_dictionaries(
+        {
+            "action": st.sampled_from(["update", "delete"]),
+            "cond": cond,
+            "set": st.sampled_from(["sv", "sum", "const"]),
+        }
+    )
+    nm_clause = st.fixed_dictionaries(
+        {"cond": cond, "ins": st.sampled_from(["sv", "x10"])}
+    )
+
+    case = st.fixed_dictionaries(
+        {
+            "target": st.dictionaries(
+                st.integers(0, 12), st.integers(0, 9), max_size=8
+            ),
+            "source": st.dictionaries(
+                st.integers(0, 12), st.integers(0, 9), max_size=8
+            ),
+            "matched": st.lists(m_clause, max_size=2),
+            "not_matched": st.lists(nm_clause, max_size=1),
+            "nmbs": st.sampled_from([False, "all", "t_small"]),
+        }
+    )
+
+    COND_SQL = {None: None, "s_even": "s.v % 2 = 0", "t_big": "t.v > 5"}
+    SET_SQL = {"sv": "s.v", "sum": "t.v + s.v", "const": "99"}
+    INS_SQL = {"sv": "s.v", "x10": "s.v * 10"}
+    counter = [0]
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(case)
+    def run(c):
+        counter[0] += 1
+        root = str(tmp_path / f"h{counter[0]}")
+        txlog_upsert(
+            spark,
+            spark.createDataFrame(
+                [(k, v) for k, v in c["target"].items()] or [(None, None)],
+                "id long, v long",
+            ).filter("id IS NOT NULL"),
+            root,
+            key="id",
+            num_buckets=4,
+        )
+        src = spark.createDataFrame(
+            [(k, v) for k, v in c["source"].items()] or [(None, None)],
+            "id long, v long",
+        ).filter("id IS NOT NULL")
+        matched = [
+            MatchedClause(
+                cl["action"],
+                condition=COND_SQL[cl["cond"]],
+                assignments=(
+                    {"v": SET_SQL[cl["set"]]}
+                    if cl["action"] == "update"
+                    else None
+                ),
+            )
+            for cl in c["matched"]
+        ]
+        not_matched = [
+            NotMatchedClause(
+                condition=COND_SQL[cl["cond"]],
+                columns=["id", "v"],
+                values=["s.id", INS_SQL[cl["ins"]]],
+            )
+            for cl in c["not_matched"]
+        ]
+        nmbs = {False: False, "all": True, "t_small": "t.v < 3"}[c["nmbs"]]
+        txlog_merge(
+            spark,
+            src,
+            root,
+            matched=matched,
+            not_matched=not_matched,
+            not_matched_by_source_delete=nmbs,
+        )
+        got = {r.id: r.v for r in read_txtable(spark, root).collect()}
+        want = _model_merge(
+            c["target"], c["source"], c["matched"], c["not_matched"],
+            c["nmbs"],
+        )
+        assert got == want, (c, got, want)
+
+    run()
