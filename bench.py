@@ -410,6 +410,50 @@ def bench_lakehouse(spark, sf_dir: str, runs: int):
             runs,
             warmup_runs=1,
         )
+        # round-10 verbs: conditional MERGE (per-run cost = the touched-
+        # bucket classify+rewrite; same fresh ~0.1% slice convention as
+        # the delete pair so every run pays real work) and COPY INTO's
+        # metadata-only skip decision over an already-loaded landing dir
+        from data_pipeline_demo_spark.sinks.copy_into import copy_into
+        from data_pipeline_demo_spark.sinks.merge import (
+            MatchedClause,
+            NotMatchedClause,
+            txlog_merge,
+        )
+
+        cm_slice = iter(k for k in range(1, 1000) if k % 8 != 0)
+
+        def _cond_merge():
+            k = next(cm_slice)
+            src = base.filter(F.col("li_id") % 1000 == k)
+            return txlog_merge(
+                spark,
+                src,
+                root,
+                matched=[
+                    MatchedClause(
+                        "update",
+                        condition="s.l_quantity > 25",
+                        assignments={"l_quantity": "t.l_quantity + 1"},
+                    ),
+                    MatchedClause("delete", condition="s.l_quantity < 2"),
+                ],
+                not_matched=[NotMatchedClause()],
+            )
+
+        timings["lh_conditional_merge"], spreads["lh_conditional_merge"] = _timed(
+            lambda: _cond_merge(), runs
+        )
+        land = os.path.join(tmp, "copy_landing")
+        base.limit(50_000).coalesce(4).write.parquet(land)
+        copy_tab = os.path.join(tmp, "copy_tx")
+        txlog_upsert(
+            spark, base.limit(1), copy_tab, key="li_id", num_buckets=32
+        )
+        copy_into(spark, copy_tab, land, "parquet")  # untimed: the load
+        timings["lh_copy_skip_decision"], spreads["lh_copy_skip_decision"] = _timed(
+            lambda: copy_into(spark, copy_tab, land, "parquet"), runs
+        )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return timings, spreads
@@ -933,6 +977,10 @@ def main() -> None:
             "lh_zorder_pruned_read",
             "lh_py_reader_scan",
             "lh_jvm_reader_scan",
+            # round-10 verbs: classify+rewrite conditional MERGE and
+            # COPY INTO's metadata-only skip decision
+            "lh_conditional_merge",
+            "lh_copy_skip_decision",
         )
     }
     summary = {
