@@ -3955,3 +3955,80 @@ def q236_sql_conditional_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         f"SELECT o_orderkey, o_custkey, o_totalprice FROM txtable.`{root}`",
     )
+
+
+_DUCK_HISTORY = """
+    WITH base AS (
+      SELECT o_orderkey FROM orders WHERE o_orderkey < 6000
+    ), after_del AS (
+      SELECT o_orderkey FROM base WHERE o_orderkey < 4800
+    )
+    SELECT CAST(v AS INT) AS version, operation, CAST(rows AS BIGINT) AS rows
+    FROM (
+      SELECT 0 AS v, 'CREATE' AS operation,
+             (SELECT COUNT(*) FROM base) AS rows
+      UNION ALL SELECT 1, 'MERGE',    (SELECT COUNT(*) FROM base)
+      UNION ALL SELECT 2, 'DELETE',   (SELECT COUNT(*) FROM after_del)
+      UNION ALL SELECT 3, 'APPEND',   (SELECT COUNT(*) FROM after_del) + 1
+      UNION ALL SELECT 4, 'UPDATE',   (SELECT COUNT(*) FROM after_del) + 1
+      UNION ALL SELECT 5, 'TRUNCATE', 0
+      UNION ALL SELECT 6, 'RESTORE',  (SELECT COUNT(*) FROM after_del) + 1
+    )
+"""
+
+
+@register("q237_history_audit_trail", oracle=_DUCK_HISTORY)
+def q237_history_audit_trail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The operation audit trail, value-certified: a scratch table runs
+    CREATE→MERGE→DELETE→APPEND→UPDATE→TRUNCATE→RESTORE and DESCRIBE
+    HISTORY must name each version's operation and LOGICAL row count
+    exactly (Delta's history columns). The oracle is the literal
+    expected trail — a hash match certifies the operation stamps, the
+    row bookkeeping across verbs (counts come from manifest arithmetic,
+    never a re-scan), and RESTORE's row restoration in one pass.
+
+    Scale: DESCRIBE HISTORY is one manifest read per version —
+    metadata-sized at any table size."""
+    import tempfile
+
+    from ..sinks.sql_dml import txtable_sql
+    from ..sinks.txlog import (
+        restore_txtable,
+        truncate_txtable,
+        txlog_delete,
+        txlog_update,
+        txlog_upsert,
+        txtable_history,
+    )
+
+    root = tempfile.mkdtemp(prefix="q237-hist-") + "/t"
+    orders = table(spark, sf_dir, "orders").selectExpr(
+        "o_orderkey", "o_custkey",
+        "CAST(o_totalprice AS DOUBLE) AS o_totalprice",
+    )
+    txlog_upsert(
+        spark,
+        orders.filter("o_orderkey < 6000"),
+        root,
+        key="o_orderkey",
+        num_buckets=8,
+    )                                                    # v0 CREATE (1500)
+    txlog_upsert(
+        spark, orders.filter("o_orderkey < 1200"), root
+    )                                                    # v1 MERGE (1500)
+    txlog_delete(spark, root, where="o_orderkey >= 4800")  # v2 DELETE
+    txtable_sql(
+        spark,
+        f"INSERT INTO txtable.`{root}` VALUES (-1, 7, 1.5)",
+    )                                                    # v3 APPEND (1201)
+    txlog_update(
+        spark, root, set={"o_totalprice": "o_totalprice + 1"},
+        where="o_orderkey = -1",
+    )                                                    # v4 UPDATE (1201)
+    truncate_txtable(spark, root)                        # v5 TRUNCATE (0)
+    restore_txtable(spark, root, version=4)              # v6 RESTORE (1201)
+    hist = txtable_history(spark, root)
+    return spark.createDataFrame(
+        [(h["version"], h["operation"], h["rows"]) for h in hist],
+        "version int, operation string, rows bigint",
+    )
