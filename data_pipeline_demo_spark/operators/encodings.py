@@ -72,14 +72,18 @@ def _one_pass(col: Column) -> Column:
     ).otherwise(col)
 
 
-def fix_mojibake(col: Column | str, passes: int = 2) -> Column:
+def fix_mojibake(col: Column | str, passes: int = 1) -> Column:
     """Column expression repairing UTF-8-as-cp1252/Latin-1 mojibake;
     NULL-safe, non-mojibake text passes through byte-identical.
     ``passes`` bounds how many nested corruptions unwind (text
-    encoded-then-misdecoded N times needs N passes; 2 covers everything
-    seen in practice — each pass is cheap codegen, so the bound is a
-    latency choice, not a correctness risk: clean text is a fixed
-    point)."""
+    encoded-then-misdecoded N times needs N passes). The default is ONE
+    pass deliberately: each extra pass re-exposes the accidental-
+    mojibake false-positive class to ALREADY-CLEAN text — hypothesis
+    found that a second pass "repairs" the genuine string ``Èœ`` into
+    ``Ȝ`` (its cp1252 bytes happen to be valid UTF-8). ftfy iterates to
+    a fixpoint only because it adds plausibility scoring; without that
+    scoring, opt into ``passes=2`` when a feed is KNOWN to be
+    double-corrupted."""
     out = F.col(col) if isinstance(col, str) else col
     for _ in range(max(1, passes)):
         out = _one_pass(out)

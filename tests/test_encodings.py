@@ -127,12 +127,24 @@ _ANY_TEXT = st.text(max_size=60).filter(
 
 
 def _is_accidental_mojibake(s: str) -> bool:
+    """True when the string's HTML5-cp1252 byte form (C1 controls fall
+    back to their raw byte, the same convention the operator and
+    ``corrupt_py`` use) happens to be valid multi-byte UTF-8 — the
+    documented ftfy-shared false-positive class the fixed-point fuzz
+    must exclude (hypothesis found 'Â\\x80': a real encoding of
+    U+0080)."""
+    out = bytearray()
+    for ch in s:
+        try:
+            out += ch.encode("windows-1252")
+        except UnicodeEncodeError:
+            o = ord(ch)
+            if 0x80 <= o <= 0x9F:
+                out.append(o)
+            else:
+                return False  # not cp1252-representable at all
     try:
-        b = s.encode("windows-1252")
-    except UnicodeEncodeError:
-        return False
-    try:
-        dec = b.decode("utf-8")
+        dec = out.decode("utf-8")
     except UnicodeDecodeError:
         return False
     return len(dec) < len(s)
