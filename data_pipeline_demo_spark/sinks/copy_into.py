@@ -64,25 +64,49 @@ def _list_source_files(
     spark: SparkSession, source: str, pattern: str | None
 ) -> list[tuple[str, int, int]]:
     """(qualified path, size, mtime_ms) for every data file the source
-    names. ``source`` may be a directory, a single file, or a Hadoop
-    glob; ``pattern`` is a glob applied UNDER a directory source.
-    Hidden/metadata names (``_SUCCESS``, ``.crc``, …) are skipped, the
-    same convention Spark's own file listing uses."""
+    names. ``source`` may be a directory (listed RECURSIVELY — landing
+    zones conventionally nest date/batch subdirectories), a single
+    file, or a Hadoop glob; ``pattern`` is a glob applied UNDER a
+    directory source (globs are per-level: ``*.parquet`` for flat
+    landings, ``*/*.parquet`` for one-deep date partitions). A file is
+    skipped when ITS name or any path segment below the source starts
+    with ``_`` or ``.`` (``_SUCCESS``, ``.crc``, ``_spark_metadata/``
+    — Spark's own hidden-file convention)."""
     jvm = spark._jvm
     fs, src = _hadoop_fs(spark, source)
-    if pattern:
-        glob = jvm.org.apache.hadoop.fs.Path(src, pattern)
-    elif fs.exists(src) and fs.getFileStatus(src).isDirectory():
-        glob = jvm.org.apache.hadoop.fs.Path(src, "*")
-    else:
-        glob = src
-    statuses = fs.globStatus(glob)
+
+    def _hidden_below(path, base_str: str) -> bool:
+        rel = path.toString()[len(base_str):].lstrip("/")
+        return any(
+            seg.startswith(("_", ".")) for seg in rel.split("/") if seg
+        )
+
     out = []
-    for st in statuses or []:
+    if pattern is None and fs.exists(src) and fs.getFileStatus(
+        src
+    ).isDirectory():
+        base_str = src.toString()
+        it = fs.listFiles(src, True)  # recursive
+        while it.hasNext():
+            st = it.next()
+            if _hidden_below(st.getPath(), base_str):
+                continue
+            out.append(
+                (
+                    st.getPath().toString(),
+                    int(st.getLen()),
+                    int(st.getModificationTime()),
+                )
+            )
+        return sorted(out)
+    glob = (
+        jvm.org.apache.hadoop.fs.Path(src, pattern) if pattern else src
+    )
+    for st in fs.globStatus(glob) or []:
         if not st.isFile():
             continue
         name = st.getPath().getName()
-        if name.startswith("_") or name.startswith("."):
+        if name.startswith(("_", ".")):
             continue
         out.append(
             (

@@ -490,3 +490,52 @@ def test_copy_history_tvf_in_sql(spark, tmp_path):
         ).count()
         == 0
     )
+
+
+def test_copy_into_recursive_directory_listing(spark, tmp_path):
+    """A bare directory source lists RECURSIVELY (date-partitioned
+    landing zones are the norm); hidden segments (_spark_metadata/,
+    _SUCCESS, dotfiles) are skipped at any depth; PATTERN stays
+    per-level glob."""
+    land = str(tmp_path / "land")
+    _land_parquet(
+        spark,
+        os.path.join(land, "dt=2026-08-15"),
+        "a",
+        [(1, "a")],
+        "id long, v string",
+    )
+    _land_parquet(
+        spark,
+        os.path.join(land, "dt=2026-08-16"),
+        "b",
+        [(2, "b")],
+        "id long, v string",
+    )
+    # hidden at depth: must never load
+    os.makedirs(os.path.join(land, "_spark_metadata"), exist_ok=True)
+    with open(os.path.join(land, "_spark_metadata", "0"), "w") as fh:
+        fh.write("checkpoint junk")
+    with open(os.path.join(land, "dt=2026-08-16", "_SUCCESS"), "w") as fh:
+        fh.write("")
+    root = str(tmp_path / "t")
+    _create(spark, root)
+    r = copy_into(spark, root, land, "parquet")
+    assert r["num_loaded_files"] == 2
+    assert _vals(spark, root) == [(1, "a"), (2, "b")]
+    # idempotent across the recursive listing too
+    assert copy_into(spark, root, land, "parquet")["num_loaded_files"] == 0
+    # a new dated delivery is picked up
+    _land_parquet(
+        spark,
+        os.path.join(land, "dt=2026-08-17"),
+        "c",
+        [(3, "c")],
+        "id long, v string",
+    )
+    assert copy_into(spark, root, land, "parquet")["num_loaded_files"] == 1
+    # per-level PATTERN over the partitioned layout
+    root2 = str(tmp_path / "t2")
+    _create(spark, root2)
+    r2 = copy_into(spark, root2, land, "parquet", pattern="*/*.parquet")
+    assert r2["num_loaded_files"] == 3
