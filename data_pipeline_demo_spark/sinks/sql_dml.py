@@ -480,12 +480,18 @@ def _split_top_commas(text: str) -> list[str]:
     return parts
 
 
+# Clause boundaries are "WHEN [NOT] MATCHED" ONLY, and the clause's
+# THEN must introduce an action keyword — a CASE expression's own
+# WHEN/THEN inside a condition or SET value must never terminate the
+# scan (found by adversarial probing: "SET amt = CASE WHEN ... END"
+# previously split mid-expression).
 _MERGE_CLAUSE = re.compile(
     r"WHEN\s+(?P<kind>NOT\s+MATCHED\s+BY\s+SOURCE|NOT\s+MATCHED|MATCHED)"
-    r"(?:\s+AND\s+(?P<cond>.+?))?\s+THEN\s+"
+    r"(?:\s+AND\s+(?P<cond>.+?))?"
+    r"\s+THEN\s+(?=UPDATE\b|DELETE\b|INSERT\b)"
     r"(?P<act>UPDATE\s+SET\s+.+?|DELETE|INSERT\s*\*"
     r"|INSERT\s*\([^)]+\)\s*VALUES\s*\(.+?\))"
-    r"\s*(?=WHEN\s|$)",
+    r"\s*(?=WHEN\s+(?:NOT\s+)?MATCHED\b|$)",
     re.IGNORECASE | re.DOTALL,
 )
 

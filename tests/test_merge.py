@@ -531,3 +531,30 @@ def test_hypothesis_merge_model(spark, tmp_path):
         assert got == want, (c, got, want)
 
     run()
+
+
+def test_merge_case_expressions_inside_clauses(spark, tmp_path):
+    """Adversarial-probe regression: CASE WHEN ... THEN ... END inside
+    SET values and clause conditions must not terminate the clause
+    scanner (its WHEN/THEN are expression tokens, not clause
+    boundaries)."""
+    root = _mk(spark, tmp_path)
+    spark.createDataFrame(
+        [(1, 3.0), (2, 100.0), (9, 9.0)], "id long, bump double"
+    ).createOrReplaceTempView("m_case")
+    n = txtable_sql(
+        spark,
+        f"MERGE INTO txtable.`{root}` AS t USING "
+        "(SELECT id, bump FROM m_case) AS s ON t.id = s.id "
+        "WHEN MATCHED AND CASE WHEN s.bump > 50 THEN false ELSE true END "
+        "THEN UPDATE SET "
+        "amt = CASE WHEN t.amt > 5 THEN t.amt + s.bump ELSE 0 END, "
+        "v = upper(concat(t.v, '!')) "
+        "WHEN NOT MATCHED THEN INSERT (id, v, amt) VALUES "
+        "(s.id, 'new', CASE WHEN s.bump > 5 THEN s.bump ELSE -1 END)",
+    )
+    assert n == 2  # id=1 updated (cond true), id=2 skipped, id=9 inserted
+    st = _state(spark, root)
+    assert st[1] == ("A!", 13.0)
+    assert st[2] == ("b", 20.0)     # CASE condition evaluated false
+    assert st[9] == ("new", 9.0)    # CASE inside INSERT VALUES
