@@ -558,3 +558,93 @@ def test_merge_case_expressions_inside_clauses(spark, tmp_path):
     assert st[1] == ("A!", 13.0)
     assert st[2] == ("b", 20.0)     # CASE condition evaluated false
     assert st[9] == ("new", 9.0)    # CASE inside INSERT VALUES
+
+
+def test_merge_key_reassignment_refused(spark, tmp_path):
+    """Round-11 advisor HIGH: UPDATE SET <key> = expr would recompute
+    BUCKET_COL into buckets outside the touched set — rows written but
+    never published, silently vanishing (reproduced upstream as 20 rows
+    → 19 with rows_updated=1 reported). The key is immutable; refuse."""
+    root = _mk(
+        spark,
+        tmp_path,
+        rows=[(i, f"r{i}", float(i)) for i in range(20)],
+    )
+    src = spark.createDataFrame([(1, "x", 1.5)], "id long, v string, amt double")
+    with pytest.raises(ValueError, match="reassign the table key"):
+        txlog_merge(
+            spark,
+            src,
+            root,
+            matched=[
+                MatchedClause("update", assignments={"id": "t.id + 100"})
+            ],
+        )
+    # nothing committed, nothing lost
+    assert len(_state(spark, root)) == 20
+
+    # INSERT with a computed key value is the same hazard
+    with pytest.raises(ValueError, match="key from the source"):
+        txlog_merge(
+            spark,
+            spark.createDataFrame(
+                [(99, "n", 9.0)], "id long, v string, amt double"
+            ),
+            root,
+            not_matched=[
+                NotMatchedClause(
+                    columns=["id", "v", "amt"],
+                    values=["s.id + 1000", "s.v", "s.amt"],
+                )
+            ],
+        )
+    assert len(_state(spark, root)) == 20
+
+    # the no-op forms stay allowed: s.<key> / t.<key> are identical
+    # under the ON match, and INSERT taking the bare source key is the
+    # documented contract
+    res = txlog_merge(
+        spark,
+        spark.createDataFrame(
+            [(1, "upd", 1.5), (99, "new", 9.0)],
+            "id long, v string, amt double",
+        ),
+        root,
+        matched=[
+            MatchedClause(
+                "update", assignments={"id": "s.id", "v": "s.v"}
+            )
+        ],
+        not_matched=[
+            NotMatchedClause(
+                columns=["id", "v", "amt"],
+                values=["s.id", "s.v", "s.amt"],
+            )
+        ],
+    )
+    assert res.rows_updated == 1 and res.rows_inserted == 1
+    st = _state(spark, root)
+    assert st[1][0] == "upd" and st[99] == ("new", 9.0)
+
+
+def test_merge_duplicate_source_keys_refused(spark, tmp_path):
+    """Round-11 advisor: duplicate source keys made conditional clause
+    outcomes nondeterministic (which duplicate survived the collapse was
+    arbitrary). Delta raises 'multiple source rows matched'; so do we."""
+    root = _mk(spark, tmp_path)
+    src = spark.createDataFrame(
+        [(1, "x", 1.0), (1, "y", 2.0), (5, "n", 5.0)],
+        "id long, v string, amt double",
+    )
+    with pytest.raises(ValueError, match="duplicate values of the key"):
+        txlog_merge(
+            spark,
+            src,
+            root,
+            matched=[MatchedClause("update")],
+            not_matched=[NotMatchedClause()],
+        )
+    # nothing committed
+    assert _latest_manifest(spark, root)["version"] == 0
+    st = _state(spark, root)
+    assert st[1] == ("a", 10.0) and 5 not in st
