@@ -83,6 +83,17 @@ _GATE_ROTATE_IN = (
     # past the cap and as live stream tests).
     "q230_copy_into_lifecycle",
     "q236_sql_conditional_merge",
+    # Round-11 rotation (round-10 judge directive #5): the round-10
+    # text/DDL surface gets driver attestation — mojibake repair
+    # (repair∘corrupt ≡ identity, codegen-only), the TRUNCATE
+    # lifecycle, and the PMI-collocations + RAKE-keywords pair (RAKE's
+    # oracle replays the full algorithm in DuckDB list lambdas). All
+    # four strict-PASS the local driver-faithful comparator with
+    # gate-safe dtypes.
+    "q231_mojibake_repair",
+    "q232_sql_truncate_lifecycle",
+    "q234_pmi_collocations",
+    "q235_rake_keywords",
 )
 _GATE_ROTATE_OUT = (
     "q05_join_left_outer",
@@ -114,6 +125,18 @@ _GATE_ROTATE_OUT = (
     # check_oracle past the cap)
     "q37_event_dedup",
     "q188_dynamic_session",
+    # round-11 displacements (family coverage retained in-gate):
+    # q66 pivot/unpivot — reshaping stays attested via the rollup
+    # member q198 + agg members q11/q12; q200 KS test — the
+    # distribution-stats family keeps q201 (k-anonymity) and the drift
+    # machinery's pinned-math pytest; q190 attribution — event-sequence
+    # semantics stay attested via the funnel member q39; q211
+    # ABC/Pareto — ranking-over-aggregates stays via q18 (windows) +
+    # q198. All four stay check_oracle-certified past the cap.
+    "q66_pivot_unpivot",
+    "q200_ks_test",
+    "q190_attribution",
+    "q211_abc_pareto",
 )
 
 

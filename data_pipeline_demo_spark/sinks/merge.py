@@ -210,6 +210,39 @@ def txlog_merge(
             f"{source.columns}"
         )
     src = source
+    # the source KEY must carry the table's key type BEFORE bucketing:
+    # xxhash64 hashes int32 and int64 to different values, so an
+    # int-typed source key against a long-keyed table would select the
+    # wrong touched buckets and silently match nothing (found by
+    # round-11 adversarial probing; txlog_upsert has the same cast at
+    # sinks/txlog.py:1305). Lossless upcasts cast up; anything else
+    # refuses.
+    schema_fields_pre = (
+        [dict(f) for f in prev["schema"]] if "schema" in prev else None
+    )
+    if schema_fields_pre is not None:
+        from pyspark.sql.types import StructType as _ST
+
+        from .txlog import _upcast_ok
+
+        want_struct = _ST.fromJson(
+            {"type": "struct", "fields": schema_fields_pre}
+        )
+        if key in want_struct.fieldNames():
+            want_t = want_struct[key].dataType
+            have_t = src.schema[key].dataType
+            if have_t != want_t:
+                if not _upcast_ok(
+                    have_t.jsonValue(), want_t.jsonValue()
+                ):
+                    raise ValueError(
+                        f"MERGE source key {key!r} is "
+                        f"{have_t.simpleString()} but the table key is "
+                        f"{want_t.simpleString()} — cast the source "
+                        "key explicitly (a mismatched key type would "
+                        "hash to the wrong buckets)"
+                    )
+                src = src.withColumn(key, F.col(key).cast(want_t))
     schema_fields = (
         [dict(f) for f in prev["schema"]] if "schema" in prev else None
     )

@@ -648,3 +648,24 @@ def test_merge_duplicate_source_keys_refused(spark, tmp_path):
     assert _latest_manifest(spark, root)["version"] == 0
     st = _state(spark, root)
     assert st[1] == ("a", 10.0) and 5 not in st
+
+
+def test_merge_source_key_type_upcasts_before_bucketing(spark, tmp_path):
+    """Found by round-11 adversarial probing: an int-typed source key
+    against a long-keyed table hashed into the WRONG buckets (xxhash64
+    of int32 != int64), so the merge silently matched nothing. Lossless
+    upcasts now cast up before bucketing; lossy mismatches refuse."""
+    root = _mk(spark, tmp_path)
+    src = spark.sql(
+        "SELECT CAST(2 AS INT) AS id, 'upd' AS v, 2.5 AS amt"
+    )
+    res = txlog_merge(spark, src, root, matched=[MatchedClause("update")])
+    assert res.rows_updated == 1
+    assert _state(spark, root)[2] == ("upd", 2.5)
+    with pytest.raises(ValueError, match="key.*is.*string"):
+        txlog_merge(
+            spark,
+            spark.sql("SELECT '3' AS id, 'x' AS v, 1.0 AS amt"),
+            root,
+            matched=[MatchedClause("update")],
+        )

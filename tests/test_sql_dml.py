@@ -850,9 +850,10 @@ def test_sql_truncate_is_metadata_only_and_time_travels(spark, tmp_path):
     ]
 
 
-def test_sql_truncate_resets_copy_history(spark, tmp_path):
-    """History follows content (the INSERT OVERWRITE rule): a truncated
-    table re-loads its landing files on the next COPY INTO."""
+def test_sql_truncate_retains_copy_history(spark, tmp_path):
+    """Databricks parity (round-11 advisor finding): COPY INTO load
+    metadata SURVIVES TRUNCATE — a truncated table does not silently
+    re-load its landing files; COPY_OPTIONS('force'='true') reloads."""
     import glob as _glob
     import os
     import shutil
@@ -876,7 +877,17 @@ def test_sql_truncate_resets_copy_history(spark, tmp_path):
     )
     assert copy_into(spark, root, land, "parquet")["num_loaded_files"] == 1
     txtable_sql(spark, f"TRUNCATE TABLE txtable.`{root}`")
-    assert copy_into(spark, root, land, "parquet")["num_loaded_files"] == 1
+    # already-loaded files stay skipped after TRUNCATE (upstream parity)
+    res = copy_into(spark, root, land, "parquet")
+    assert res["num_loaded_files"] == 0 and res["num_skipped_files"] == 1
+    assert read_txtable(spark, root).count() == 0
+    # force=true is the reload path
+    assert (
+        copy_into(spark, root, land, "parquet", force=True)[
+            "num_loaded_files"
+        ]
+        == 1
+    )
     assert read_txtable(spark, root).count() == 1
 
 

@@ -1,29 +1,33 @@
-"""Same-box interleaved A/B of the headline set: HEAD vs the round-6
-tree (round-8 judge directive #3).
+"""Same-box interleaved A/B of the headline set: HEAD vs a pinned
+BASELINE tree (round-8 judge directive #3; label made self-describing
+per round-11 directive #7 — the artifact previously hardcoded "r6"
+whatever tree it actually compared).
 
-Judge-measured raw headline totals walked 7.85s (r6) -> 9.12s (r7) ->
-10.11s (r8) while the 15 headline queries' code barely changed; the
-noise probe that would attribute machine drift only exists from r8.
-This tool settles it: the r6-era package (extracted from the r6-end
-commit with its fully-relative imports, loaded under a renamed
-top-level dir) and HEAD run in ONE python process, ONE SparkSession,
-ONE box — each pass times every headline query under BOTH engines
-back-to-back, alternating which engine goes first per pass so ordering
-and cache effects cancel. Machine drift hits both sides of every pair
-identically; any systematic per-query ratio != 1 is a REAL regression.
+Raw cross-session headline totals are ±30% machine-state sensitive;
+this tool is the drift-proof signal: the baseline-era package
+(extracted from its end-of-round commit with its fully-relative
+imports, loaded under a renamed top-level dir) and HEAD run in ONE
+python process, ONE SparkSession, ONE box — each pass times every
+headline query under BOTH engines back-to-back, alternating which
+engine goes first per pass so ordering and cache effects cancel.
+Machine drift hits both sides of every pair identically; any
+systematic per-query ratio != 1 is a REAL regression.
 
 Setup (once)::
 
-    git worktree list  # or: mkdir -p /tmp/r6pkg
-    git archive <r6-end-commit> data_pipeline_demo_spark | tar -x -C /tmp/r6pkg/
-    mv /tmp/r6pkg/data_pipeline_demo_spark /tmp/r6pkg/dpds_r6
+    mkdir -p /tmp/basepkg
+    git archive <baseline-commit> data_pipeline_demo_spark | tar -x -C /tmp/basepkg/
+    mv /tmp/basepkg/data_pipeline_demo_spark /tmp/basepkg/dpds_base
+    git rev-parse --short <baseline-commit> > /tmp/basepkg/.baseline_commit
 
 Run::
 
-    python tools/ab_headline.py [--sf /root/testdata/sf0.1] [--passes 3]
+    python tools/ab_headline.py [--sf /root/testdata/sf0.1] [--passes 3] \
+        [--base-pkg /tmp/basepkg] [--baseline-label r10]
 
-Output: one JSON line with per-query medians for both engines, the
-ratio, and totals — plus a markdown parity table on stderr for SURVEY.
+Output: one JSON line with the baseline identity (label + commit),
+per-query medians for both engines, the ratio, and totals — plus a
+markdown parity table on stderr for SURVEY.
 """
 
 from __future__ import annotations
@@ -60,23 +64,39 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
     ap.add_argument("--passes", type=int, default=3)
-    ap.add_argument("--r6-pkg", default="/tmp/r6pkg")
+    ap.add_argument("--base-pkg", default="/tmp/basepkg")
+    ap.add_argument(
+        "--baseline-label",
+        default=None,
+        help="human label for the baseline tree (e.g. r10); defaults "
+        "to the dir's .baseline_commit content or the dir name",
+    )
     args = ap.parse_args()
 
-    sys.path.insert(0, args.r6_pkg)
-    import dpds_r6.plans as r6plans  # noqa: E402
-    from dpds_r6.operators import dedup as r6dedup  # noqa: E402
+    commit_file = os.path.join(args.base_pkg, ".baseline_commit")
+    baseline_commit = None
+    if os.path.exists(commit_file):
+        baseline_commit = open(commit_file).read().strip()
+    label = (
+        args.baseline_label
+        or baseline_commit
+        or os.path.basename(args.base_pkg.rstrip("/"))
+    )
+
+    sys.path.insert(0, args.base_pkg)
+    import dpds_base.plans as baseplans  # noqa: E402
+    from dpds_base.operators import dedup as basededup  # noqa: E402
 
     from data_pipeline_demo_spark.operators import dedup as headdedup  # noqa: E402
     from data_pipeline_demo_spark.plans import all_queries  # noqa: E402
     from data_pipeline_demo_spark.session import get_spark  # noqa: E402
 
     head_q, _ = all_queries()
-    r6_q, _ = r6plans.all_queries()
+    base_q, _ = baseplans.all_queries()
     spark = get_spark("ab-headline")
 
     engines = {
-        "r6": (r6_q, r6dedup.clear_shingle_scratch),
+        "base": (base_q, basededup.clear_shingle_scratch),
         "head": (head_q, headdedup.clear_shingle_scratch),
     }
 
@@ -97,7 +117,7 @@ def main() -> int:
         e: {n: [] for n in HEADLINE} for e in engines
     }
     for p in range(args.passes):
-        order = ("r6", "head") if p % 2 == 0 else ("head", "r6")
+        order = ("base", "head") if p % 2 == 0 else ("head", "base")
         for name in HEADLINE:
             for eng in order:
                 samples[eng][name].append(run_once(eng, name))
@@ -108,35 +128,47 @@ def main() -> int:
         for e in engines
     }
     ratio = {
-        n: round(med["head"][n] / med["r6"][n], 3) if med["r6"][n] > 0 else None
+        n: (
+            round(med["head"][n] / med["base"][n], 3)
+            if med["base"][n] > 0
+            else None
+        )
         for n in HEADLINE
     }
     out = {
-        "metric": "ab_headline_r6_vs_head",
+        "metric": f"ab_headline_{label}_vs_head",
+        "baseline": {"label": label, "commit": baseline_commit},
         "sf": args.sf,
         "passes": args.passes,
-        "r6_total": round(sum(med["r6"].values()), 3),
+        "base_total": round(sum(med["base"].values()), 3),
         "head_total": round(sum(med["head"].values()), 3),
         "total_ratio": round(
-            sum(med["head"].values()) / sum(med["r6"].values()), 3
+            sum(med["head"].values()) / sum(med["base"].values()), 3
         ),
         "per_query": {
-            n: {"r6": med["r6"][n], "head": med["head"][n], "ratio": ratio[n]}
+            n: {
+                "base": med["base"][n],
+                "head": med["head"][n],
+                "ratio": ratio[n],
+            }
             for n in HEADLINE
         },
         "samples": samples,
     }
     print(json.dumps(out))
-    print("| query | r6 (s) | head (s) | head/r6 |", file=sys.stderr)
+    print(
+        f"| query | {label} (s) | head (s) | head/{label} |",
+        file=sys.stderr,
+    )
     print("|---|---|---|---|", file=sys.stderr)
     for n in HEADLINE:
         print(
-            f"| {n} | {med['r6'][n]:.3f} | {med['head'][n]:.3f} "
+            f"| {n} | {med['base'][n]:.3f} | {med['head'][n]:.3f} "
             f"| {ratio[n]:.2f} |",
             file=sys.stderr,
         )
     print(
-        f"| **total** | {out['r6_total']:.3f} | {out['head_total']:.3f} "
+        f"| **total** | {out['base_total']:.3f} | {out['head_total']:.3f} "
         f"| {out['total_ratio']:.2f} |",
         file=sys.stderr,
     )
