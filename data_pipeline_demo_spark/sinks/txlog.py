@@ -1153,6 +1153,9 @@ def _publish_touched_buckets(
     bloom_bits: int = BLOOM_BITS,
     bucket_nulls: dict[str, dict] | None = None,
     manifest: dict | None = None,
+    tag_col: str | None = None,
+    tag_values: list[str] | None = None,
+    tag_counts: dict | None = None,
 ) -> None:
     """Write ``df`` (carrying BUCKET_COL) into a fresh immutable
     ``data/<uuid>/`` dir partitioned by bucket, then update the manifest
@@ -1171,7 +1174,13 @@ def _publish_touched_buckets(
     ``stats_columns``: zone-map columns — per-bucket min/max land in
     ``bucket_stats`` (same one-pass aggregate as the row counts), so
     the read path can prune buckets by value predicate from the
-    manifest alone, before any file IO."""
+    manifest alone, before any file IO.
+
+    ``tag_col``/``tag_values``/``tag_counts``: when set, the SAME
+    aggregate pass also counts rows per tag value into ``tag_counts``
+    (conditional MERGE's per-action bookkeeping — deterministic, no
+    Observation/AQE fragility, zero extra jobs) and the column is
+    dropped before the parquet write."""
     commit_id = uuid.uuid4().hex
     out_rel = f"{DATA_DIR}/{commit_id}"
     out_dir = _abs(root_path, out_rel)
@@ -1183,6 +1192,13 @@ def _publish_touched_buckets(
         stats_columns = [c for c in (stats_columns or []) if c in df.columns]
         bloom_columns = [c for c in (bloom_columns or []) if c in df.columns]
         aggs = [F.count(F.lit(1)).alias("__n")]
+        if tag_col and tag_values:
+            for t in tag_values:
+                aggs.append(
+                    F.sum((F.col(tag_col) == t).cast("long")).alias(
+                        f"__tc_{t}"
+                    )
+                )
         for c in stats_columns:
             aggs.append(F.min(c).alias(f"__lo_{c}"))
             aggs.append(F.max(c).alias(f"__hi_{c}"))
@@ -1194,6 +1210,11 @@ def _publish_touched_buckets(
             )
         stat_rows = df.groupBy(BUCKET_COL).agg(*aggs).collect()
         per_bucket = {str(r[BUCKET_COL]): r["__n"] for r in stat_rows}
+        if tag_col and tag_values and tag_counts is not None:
+            for t in tag_values:
+                tag_counts[t] = sum(
+                    int(r[f"__tc_{t}"] or 0) for r in stat_rows
+                )
         if stats_columns and bucket_stats is not None:
             for r in stat_rows:
                 bucket_stats[str(r[BUCKET_COL])] = {
@@ -1225,7 +1246,9 @@ def _publish_touched_buckets(
         # buckets are re-split by size in compact_txtable.
         (
             _to_physical(
-                df.repartition(max(len(touched), 1), F.col(BUCKET_COL)),
+                (df.drop(tag_col) if tag_col else df).repartition(
+                    max(len(touched), 1), F.col(BUCKET_COL)
+                ),
                 manifest,
             )
             .write.mode("error")
