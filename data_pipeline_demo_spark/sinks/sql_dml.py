@@ -1056,6 +1056,12 @@ def txtable_sql(spark: SparkSession, sql: str) -> DataFrame | int | None:
             - sum(int(v) for v in man.get("dv_counts", {}).values()),
             "num_deletion_vector_files": num_dv_files,
             "deletion_vector_size_bytes": dv_size_bytes,
+            # COPY INTO load-history size: O(1) from the sidecar-chain
+            # pointer (legacy embedded maps count their entries)
+            "num_copy_loaded_files": int(
+                (man.get("copy_log") or {}).get("count")
+                or len(man.get("copy_files") or {})
+            ),
             "stats_columns": man.get("stats_columns", []),
             "bloom_columns": man.get("bloom_columns", []),
             "table_features": man.get("requires", []),

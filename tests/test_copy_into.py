@@ -570,6 +570,9 @@ def test_copy_manifest_stays_flat_across_loads(spark, tmp_path):
     # and the skip-check still sees everything
     r = copy_into(spark, root, land, "parquet")
     assert r["num_loaded_files"] == 0 and r["num_skipped_files"] == 6
+    # DESCRIBE DETAIL reads the count from the O(1) pointer
+    d = txtable_sql(spark, f"DESCRIBE DETAIL txtable.`{root}`")
+    assert d["num_copy_loaded_files"] == 6
 
 
 def test_copy_chain_compacts_on_optimize_and_vacuum_sweeps(spark, tmp_path):
