@@ -134,6 +134,12 @@ def _mask(sql: str) -> tuple[str, list[str]]:
             e = sql.find("*/", i + 2)
             out.append(" ")
             i = n if e == -1 else e + 2
+        elif ch == "\x00":
+            # a raw NUL outside quotes is never valid SQL, but left in
+            # place it could alias into a sentinel and unmask as some
+            # literal's content (found by round-11 adversarial probing)
+            out.append(" ")
+            i += 1
         else:
             out.append(ch)
             i += 1

@@ -247,3 +247,19 @@ def test_backslash_escape_inside_literal(spark, t):
     )
     assert n == 1
     assert _state(spark, t)[1][0] == "it's WHEN MATCHED"
+
+
+def test_raw_nul_outside_quotes_cannot_alias_a_sentinel():
+    """Found by round-11 adversarial probing: a raw NUL byte OUTSIDE
+    quotes could assemble a sentinel pattern and unmask as some
+    literal's content. NULs outside quotes (never valid SQL) mask to a
+    space; a literal CONTAINING sentinel-shaped text still round-trips
+    byte-for-byte (re.sub never rescans replacements)."""
+    masked, lits = _mask("UPDATE t SET v = 'secret' WHERE v = \x000\x00")
+    restored = _unmask(masked, lits)
+    # the NULs became spaces (leaving the bare digit), so no sentinel
+    # could assemble — 'secret' appears ONLY inside its own quotes
+    assert restored == "UPDATE t SET v = 'secret' WHERE v =  0 "
+    # sentinel-shaped CONTENT inside a literal is preserved verbatim
+    masked, lits = _mask("SELECT '\x007\x00' AS weird")
+    assert _unmask(masked, lits) == "SELECT '\x007\x00' AS weird"
