@@ -890,6 +890,34 @@ def _norm_fs_path(p: str) -> str:
     return p
 
 
+# ASCII characters java.net.URI leaves raw in a path: RFC 2396
+# unreserved + mark + the pchar punctuation. Everything else ASCII
+# (space, '%', '#', '?', brackets, controls, ...) percent-encodes.
+_URI_RAW = frozenset(
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789"
+    "-_.!~*'()/:@&=+$,;"
+)
+
+
+def _uri_fs_path(p: str) -> str:
+    """Percent-encode a filesystem path the way ``java.net.URI``
+    spells it inside Spark's ``_metadata.file_path`` (probed on this
+    runtime: space → %20, '%' → %25, '#' → %23; RFC-2396 pchar
+    punctuation ``:@&=+$,;!~*'()`` and non-ASCII stay raw —
+    ``URI.toString()``, not ``toASCIIString()``). Identity for paths
+    with no special characters, so keying the file-ref lookup on this
+    form is always safe: Spark emits exactly this spelling."""
+    if all(c in _URI_RAW for c in p):
+        return p
+    out: list[str] = []
+    for ch in p:
+        if ord(ch) >= 0x80 or ch in _URI_RAW:
+            out.append(ch)
+        else:
+            out.extend("%%%02X" % b for b in ch.encode("utf-8"))
+    return "".join(out)
+
+
 def _dv_rels(manifest: dict, bucket_ids) -> list[str]:
     """Unique DV file refs for the given buckets — a flat (shared)
     sidecar appears in MANY buckets' lists; reading it once is both
@@ -904,7 +932,7 @@ def _file_ref_lookup(spark, root_path: str, manifest: dict, bucket_ids):
     snapshot's file list). The manifest REF is what deletion vectors
     store: spelling-independent and stable across reader URI forms."""
     pairs = [
-        (_norm_fs_path(_abs(root_path, rel)), rel)
+        (_uri_fs_path(_norm_fs_path(_abs(root_path, rel))), rel)
         for b in bucket_ids
         for rel in manifest["buckets"].get(str(b), [])
     ]
@@ -920,10 +948,12 @@ def _fp_norm():
 def _with_row_refs(spark, root_path: str, manifest: dict, df, bucket_ids):
     """Attach ``__dv_file`` (the manifest's file reference) and
     ``__dv_pos`` (row position within the file) to a raw snapshot
-    scan via one broadcast lookup join. LEFT join on purpose: a path
-    Spark spells differently than the lookup (URI-encoding of unusual
-    characters) yields a NULL ref, which no deletion vector matches —
-    the row SURVIVES. Fail-open is the only safe direction for a read
+    scan via one broadcast lookup join. The lookup keys carry the same
+    percent-encoding Spark emits (``_uri_fs_path``), so paths with
+    spaces / '%' / non-ASCII resolve. LEFT join on purpose as the
+    backstop: a spelling this still misses yields a NULL ref, which no
+    deletion vector matches — the row SURVIVES. Fail-open is the only
+    safe direction for a read
     (a dropped live row is data loss; an undeleted row is caught by
     the delete-time guard in ``_write_dv_files``)."""
     lookup = _file_ref_lookup(spark, root_path, manifest, bucket_ids)

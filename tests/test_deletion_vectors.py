@@ -395,3 +395,53 @@ def test_sql_mor_update_hint(spark, tmp_path):
     assert _as_dict(read_txtable(spark, root))[7] == "X"
     m = _manifest(tmp_path, "tx", 1)
     assert m.get("requires") == ["deletion-vectors"]
+
+
+def test_uri_fs_path_matches_spark_spelling():
+    """Pin the probed java.net.URI spelling: space/%/# encode; RFC-2396
+    pchar punctuation and non-ASCII stay raw; plain paths are identity."""
+    from data_pipeline_demo_spark.sinks.txlog import _uri_fs_path
+
+    assert _uri_fs_path("/tmp/plain/part-0.parquet") == (
+        "/tmp/plain/part-0.parquet"
+    )
+    assert _uri_fs_path("/a b/c%d/e#f") == "/a%20b/c%25d/e%23f"
+    # probed on this runtime (round 11): café 中 & = ; , ' ( ) ! ~ $ @ : +
+    # all pass through untouched
+    assert _uri_fs_path("/café 中&=;,'()!~$@:+/x") == (
+        "/café%20中&=;,'()!~$@:+/x"
+    )
+
+
+@pytest.mark.parametrize("dirname", ["spa ce dir", "pct%dir", "café 中"])
+def test_mor_delete_update_on_special_char_path(spark, tmp_path, dirname):
+    """Merge-on-read verbs on table roots whose paths percent-encode in
+    Spark's `_metadata.file_path` (spaces, '%', non-ASCII): the file-ref
+    lookup now keys on the URI spelling, so the former loud refusal is
+    gone and MOR ≡ COW holds on these paths too."""
+    root = str(tmp_path / dirname / "t")
+    txlog_upsert(
+        spark,
+        _rows(spark, [(i, f"v{i}") for i in range(20)]),
+        root,
+        num_buckets=4,
+    )
+    n = txlog_delete(
+        spark,
+        root,
+        keys=spark.createDataFrame([(3,), (7,)], "id long"),
+        mode="merge-on-read",
+    )
+    assert n == 2
+    got = _as_dict(read_txtable(spark, root))
+    assert len(got) == 18 and 3 not in got and 7 not in got
+    # stacking a MOR update on the same spacey root (update rewrites via
+    # DV-append too) and a predicate MOR delete
+    n = txlog_update(
+        spark, root, set={"v": "'X'"}, where="id = 5", mode="merge-on-read"
+    )
+    assert n == 1
+    n = txlog_delete(spark, root, where="id >= 18", mode="merge-on-read")
+    assert n == 2
+    got = _as_dict(read_txtable(spark, root))
+    assert got[5] == "X" and len(got) == 16

@@ -154,11 +154,11 @@ def test_path_with_keyword_and_spaces(spark, tmp_path):
     )
     assert n == 1
     assert read_txtable(spark, root).collect()[0].amt == 6.0
-    # copy-on-write delete on the spacey path (merge-on-read refuses
-    # space-bearing paths by design: URI-encoded file refs don't
-    # resolve — a separate, pre-existing loud wall)
+    # merge-on-read delete on the spacey path: the file-ref lookup keys
+    # on the URI spelling Spark emits, so the former refusal is gone
     n = txtable_sql(
-        spark, f"DELETE FROM txtable.`{root}` WHERE id = 1"
+        spark,
+        f"DELETE /*+ MERGE_ON_READ */ FROM txtable.`{root}` WHERE id = 1",
     )
     assert n == 1
 
