@@ -313,6 +313,137 @@ def sample_frames(media: DataFrame, every_n: int = 2) -> DataFrame:
     return media.select("media_id", "payload").mapInPandas(run, schema=FRAME_SCHEMA)
 
 
+# --- video: real ISO-BMFF (MP4) container tier -----------------------------
+#
+# The container seam, closed (round 11): `operators/mp4codec.py` is a
+# stdlib ISO/IEC 14496-12 muxer/demuxer, so REAL MP4 bytes flow through
+# this tier — box tree, stts/ctts timestamps, stss keyframes, the
+# stsc→stco chunk walk. Only the per-frame codec payload stays opaque
+# (no codec libs in this container), exactly like decode_image's seam.
+
+MP4_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("pts", T.LongType()),
+        T.StructField("duration", T.LongType()),
+        T.StructField("keyframe", T.BooleanType()),
+        T.StructField("frame_bytes", T.BinaryType()),
+        T.StructField("frame_sha256", T.StringType()),
+    ]
+)
+
+
+def _mp4_frame_payload(media_id: int, idx: int) -> bytes:
+    """Deterministic per-frame payload: 12-byte (media_id, idx) tag +
+    fill, total 20 + (idx*7)%13 bytes — the varying lengths force the
+    per-sample stsz form and make byte-range math attestable (the q238
+    oracle recomputes every length in SQL)."""
+    fill = 8 + (idx * 7) % 13
+    return struct.pack(">qi", media_id, idx) + bytes(
+        [(media_id + idx) % 251]
+    ) * fill
+
+
+def encode_video_mp4(media_id: int, n_frames: int) -> bytes:
+    """A structurally valid MP4 whose sample table varies in every
+    dimension the demuxer must walk: per-frame durations (stts runs),
+    composition offsets (ctts — pts ≠ dts on odd frames), keyframes
+    every 4th (stss), 3-sample chunks (stsc/stco), varying sizes
+    (stsz)."""
+    from .mp4codec import mux_mp4
+
+    return mux_mp4(
+        [
+            {
+                "payload": _mp4_frame_payload(media_id, i),
+                "duration": (i % 3 + 1) * 100,
+                "keyframe": i % 4 == 0,
+                "ctts": (i % 2) * 50,
+            }
+            for i in range(n_frames)
+        ],
+        timescale=600,
+        width=64,
+        height=48,
+        samples_per_chunk=3,
+    )
+
+
+def synthesize_video_mp4(documents: DataFrame) -> DataFrame:
+    """Derive a REAL-MP4 video table from `documents`: same frame-count
+    recipe as the fake tier (n_chars % 24 + 1) so the two containers
+    stay comparable, but payloads are genuine ISO-BMFF."""
+    d = documents.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("kind"),
+        (F.col("n_chars") % 24 + 1).cast("int").alias("n_frames"),
+    )
+
+    @F.pandas_udf(T.BinaryType())
+    def make_mp4(mid: pd.Series, nf: pd.Series) -> pd.Series:
+        return pd.Series(
+            [encode_video_mp4(int(m), int(n)) for m, n in zip(mid, nf)]
+        )
+
+    with_payload = d.withColumn("payload", make_mp4("media_id", "n_frames"))
+    return with_payload.select(
+        "media_id",
+        "kind",
+        "payload",
+        F.struct(
+            F.lit("video/mp4").alias("content_type"),
+            F.length("payload").cast("long").alias("n_bytes"),
+            F.sha2("payload", 256).alias("sha256"),
+        ).alias("meta"),
+        "n_frames",
+    )
+
+
+def demux_mp4_frames(
+    media: DataFrame, every_n: int = 1, keyframes_only: bool = False
+) -> DataFrame:
+    """REAL container demux: mapInPandas parses each MP4 payload's box
+    tree and sample table (operators/mp4codec.py) and explodes frames
+    into rows with presentation timestamps, durations, keyframe flags,
+    and the exact payload byte range.
+
+    Scale shape: map-only over payload partitions — no shuffle. With
+    ``keyframes_only`` the non-sync payload bytes are never copied out
+    of the container (the demuxer returns byte ranges; this is the
+    storage-side win of container-aware sampling: at 100 TB you read
+    every box TABLE but only the frames you keep)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .mp4codec import demux_mp4
+
+        for pdf in batches:
+            out: dict[str, list] = {f.name: [] for f in MP4_FRAME_SCHEMA}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                raw = bytes(payload)
+                movie = demux_mp4(raw, with_payload=False)
+                for s in movie["samples"]:
+                    if keyframes_only and not s["keyframe"]:
+                        continue
+                    if s["index"] % every_n:
+                        continue
+                    fb = raw[s["offset"] : s["offset"] + s["size"]]
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(s["index"])
+                    out["pts"].append(s["pts"])
+                    out["duration"].append(s["duration"])
+                    out["keyframe"].append(s["keyframe"])
+                    out["frame_bytes"].append(fb)
+                    out["frame_sha256"].append(
+                        hashlib.sha256(fb).hexdigest()
+                    )
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "payload").mapInPandas(
+        run, schema=MP4_FRAME_SCHEMA
+    )
+
+
 # --- audio tier ------------------------------------------------------------
 #
 # Completes the image/audio/video triad with the same seam pattern: a

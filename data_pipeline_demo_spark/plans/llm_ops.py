@@ -4032,3 +4032,60 @@ def q237_history_audit_trail(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(h["version"], h["operation"], h["rows"]) for h in hist],
         "version int, operation string, rows bigint",
     )
+
+
+# q238's oracle recomputes, in pure SQL, every value the REAL ISO-BMFF
+# demux walk must reproduce: pts from the stts run-length cumsum
+# ((i//3)*600 + the intra-group partial) plus the ctts composition
+# offset ((i%2)*50), durations from the stts runs, keyframe flags from
+# stss membership (every 4th), and byte-range lengths from the
+# stsc→stco→stsz chunk walk (20 + (i*7)%13). A value-hash match
+# certifies the muxer AND demuxer end-to-end — any drift in box
+# layout, chunk math, or timestamp accumulation changes some column.
+_DUCK_MP4_DEMUX = """
+    SELECT media_id,
+           CAST(i AS BIGINT) AS frame_idx,
+           CAST((i // 3) * 600
+                + CASE i % 3 WHEN 0 THEN 0 WHEN 1 THEN 100 ELSE 300 END
+                + (i % 2) * 50 AS BIGINT) AS pts,
+           CAST((i % 3 + 1) * 100 AS BIGINT) AS duration,
+           CAST(CASE WHEN i % 4 = 0 THEN 1 ELSE 0 END AS BIGINT)
+               AS keyframe,
+           CAST(20 + (i * 7) % 13 AS BIGINT) AS frame_len
+    FROM (
+        SELECT doc_id AS media_id,
+               unnest(generate_series(0, n_chars % 24)) AS i
+        FROM documents
+    )
+"""
+
+
+@register("q238_mp4_demux", oracle=_DUCK_MP4_DEMUX)
+def q238_mp4_demux(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video-container demux, value-certified: documents become
+    genuine ISO-BMFF MP4 payloads (operators/mp4codec.py — stdlib
+    14496-12 muxer: stts/ctts/stss/stsc/stsz/stco sample tables,
+    3-sample chunks, per-frame durations and composition offsets), then
+    mapInPandas parses the box tree back into per-frame rows. The
+    DuckDB oracle recomputes pts/duration/keyframe/byte-length
+    arithmetically from the synthesis recipe, so the hash certifies the
+    whole mux→demux round trip — the first multimodal query with a full
+    value oracle rather than a rows-only check.
+
+    Scale shape: map-only (synthesis and demux pipeline in one stage,
+    no shuffle); at 100 TB the demuxer reads sample TABLES and only the
+    frame bytes a sampler keeps."""
+    from ..operators import multimodal
+
+    video = multimodal.synthesize_video_mp4(
+        table(spark, sf_dir, "documents")
+    )
+    frames = multimodal.demux_mp4_frames(video)
+    return frames.select(
+        "media_id",
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        "pts",
+        "duration",
+        F.col("keyframe").cast("long").alias("keyframe"),
+        F.length("frame_bytes").cast("long").alias("frame_len"),
+    )
