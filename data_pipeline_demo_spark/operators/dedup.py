@@ -213,6 +213,31 @@ def jaccard_similarity_join(
     a 100× corpus.
     """
     sets = _materialized_sets(df, text_col, id_col, k)
+    return jaccard_join_on_sets(sets, id_col=id_col, threshold=threshold)
+
+
+def jaccard_join_on_sets(
+    sets: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    set_col: str = "sh",
+    threshold: float = 0.7,
+) -> DataFrame:
+    """The prefix-filtered exact-Jaccard self-join over CALLER-SUPPLIED
+    hash sets — ``sets`` is (id_col, set_col: array of comparable
+    values). Same algorithm and guarantees as
+    :func:`jaccard_similarity_join` (which now delegates here after
+    shingling); factored out so non-text modalities join on their own
+    set representation — e.g. a video's set of frame-payload hashes
+    (container-independent near-dup, `multimodal.demux_mp4_frames` →
+    collect_set) or any pre-tokenized corpus.
+
+    ``sets`` is consumed three times (doc-frequency, prefix, verify) —
+    at corpus scale, materialize it first (the text path's
+    ``_materialized_sets`` does exactly that)."""
+    if set_col != "sh":
+        sets = sets.withColumnRenamed(set_col, "sh")
+    sets = sets.select(id_col, F.array_distinct("sh").alias("sh"))
     idx = _index_from_sets(sets, id_col)
     dfreq = idx.groupBy("h").agg(F.count(F.lit(1)).alias("df_h"))
     by_doc = Window.partitionBy(id_col)

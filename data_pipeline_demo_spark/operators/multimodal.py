@@ -444,6 +444,74 @@ def demux_mp4_frames(
     )
 
 
+def synthesize_video_corpus_with_variants(
+    documents: DataFrame,
+    *,
+    drop_every: int = 7,
+    id_offset: int = 10_000_000,
+    min_frames: int = 8,
+) -> DataFrame:
+    """Originals + PLANTED near-duplicates: each document with ≥
+    ``min_frames`` frames also yields a re-encoded variant — the same
+    frame payloads minus every ``drop_every``-th frame, re-muxed with a
+    DIFFERENT chunk layout (2-sample chunks vs the originals' 3), so
+    the two containers share zero bytes beyond the frames themselves.
+    A container-independent near-dup pass must pair original with
+    variant at exactly Jaccard = (n − ⌈n/drop_every⌉)/n over frame-hash
+    sets — arithmetically known, which is what makes q239's full value
+    oracle possible."""
+    from .mp4codec import mux_mp4
+
+    base = documents.select(
+        F.col("doc_id").alias("content_id"),
+        (F.col("n_chars") % 24 + 1).cast("int").alias("n_frames"),
+    )
+    originals = base.select(
+        F.col("content_id").alias("media_id"),
+        "content_id",
+        "n_frames",
+        F.lit(False).alias("variant"),
+    )
+    variants = base.filter(F.col("n_frames") >= min_frames).select(
+        (F.col("content_id") + id_offset).alias("media_id"),
+        "content_id",
+        "n_frames",
+        F.lit(True).alias("variant"),
+    )
+    corpus = originals.unionByName(variants)
+
+    @F.pandas_udf(T.BinaryType())
+    def make(cid: pd.Series, nf: pd.Series, var: pd.Series) -> pd.Series:
+        out = []
+        for c, n, v in zip(cid, nf, var):
+            idxs = [
+                i
+                for i in range(int(n))
+                if not v or i % drop_every != 0
+            ]
+            out.append(
+                mux_mp4(
+                    [
+                        {
+                            # payload keyed by CONTENT id: original and
+                            # variant share frame bytes bit-for-bit
+                            "payload": _mp4_frame_payload(int(c), i),
+                            "duration": (i % 3 + 1) * 100,
+                            "keyframe": i % 4 == 0,
+                        }
+                        for i in idxs
+                    ],
+                    samples_per_chunk=2 if v else 3,
+                )
+            )
+        return pd.Series(out)
+
+    return corpus.select(
+        "media_id",
+        make("content_id", "n_frames", "variant").alias("payload"),
+    )
+
+
 # --- audio tier ------------------------------------------------------------
 #
 # Completes the image/audio/video triad with the same seam pattern: a

@@ -4089,3 +4089,56 @@ def q238_mp4_demux(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("keyframe").cast("long").alias("keyframe"),
         F.length("frame_bytes").cast("long").alias("frame_len"),
     )
+
+
+# q239's planted near-dups have arithmetically-known similarity: the
+# variant keeps frames with i % 7 != 0 out of n, and frame-payload
+# hashes are injective per (content, index), so Jaccard over frame-hash
+# sets is exactly (n - ceil(n/7)) / n — pure arithmetic on documents.
+_DUCK_VIDEO_NEARDUP = """
+    SELECT doc_id AS doc_a,
+           doc_id + 10000000 AS doc_b,
+           ROUND((n - CAST(CEIL(n / 7.0) AS BIGINT)) * 1.0 / n, 6)
+               AS jaccard
+    FROM (SELECT doc_id, n_chars % 24 + 1 AS n FROM documents)
+    WHERE n >= 8
+"""
+
+
+@register("q239_video_neardup", oracle=_DUCK_VIDEO_NEARDUP)
+def q239_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Container-independent video near-dup, value-certified end-to-end:
+    documents become real MP4s PLUS planted re-encoded variants (same
+    frame bytes minus every 7th frame, different chunk layout —
+    operators/multimodal.py:synthesize_video_corpus_with_variants), the
+    ISO-BMFF demux recovers per-frame payload hashes, and the
+    prefix-filtered exact-Jaccard self-join
+    (operators/dedup.py:jaccard_join_on_sets — the AllPairs/PPJoin
+    machinery, now factored to take any modality's hash sets) must
+    recover exactly the planted (original, variant) pairs at exactly
+    Jaccard (n − ⌈n/7⌉)/n. The DuckDB oracle computes those pairs and
+    similarities arithmetically — a hash match certifies the muxer, the
+    demuxer, the signature extraction, AND the similarity join in one
+    pass, with zero false pairs tolerated (frame hashes are injective
+    per content id, so cross-document Jaccard is 0).
+
+    Scale shape: demux is map-only; the join is the same
+    prefix-filtered shape as the text tier — no all-pairs, hot hashes
+    never join (100 TB: video dedup at frame-signature grain without
+    decoding a single codec payload)."""
+    from ..operators import multimodal
+    from ..operators.dedup import jaccard_join_on_sets
+
+    video = multimodal.synthesize_video_corpus_with_variants(
+        table(spark, sf_dir, "documents")
+    )
+    frames = multimodal.demux_mp4_frames(video)
+    sigs = frames.groupBy("media_id").agg(
+        F.collect_set("frame_sha256").alias("sh")
+    )
+    pairs = jaccard_join_on_sets(
+        sigs, id_col="media_id", threshold=0.7
+    )
+    return pairs.select(
+        "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")
+    )

@@ -191,3 +191,32 @@ def test_demux_mp4_frames_keyframes_only_and_stride(spark):
     assert sorted(r["frame_idx"] for r in key) == [0, 4, 8, 12, 16, 20]
     strided = multimodal.demux_mp4_frames(video, every_n=5).collect()
     assert sorted(r["frame_idx"] for r in strided) == [0, 5, 10, 15, 20]
+
+
+def test_video_neardup_planted_pairs(spark):
+    """Original↔variant pairs recovered at the arithmetically-known
+    Jaccard; no cross-content pairs (frame hashes are injective)."""
+    from data_pipeline_demo_spark.operators import multimodal
+    from data_pipeline_demo_spark.operators.dedup import jaccard_join_on_sets
+
+    docs = spark.createDataFrame(
+        [(1, 23), (2, 11), (3, 2)], "doc_id long, n_chars long"
+    )  # n_frames 24, 12, 3 → variants only for 1 and 2
+    video = multimodal.synthesize_video_corpus_with_variants(docs)
+    frames = multimodal.demux_mp4_frames(video)
+    from pyspark.sql import functions as F
+
+    sigs = frames.groupBy("media_id").agg(
+        F.collect_set("frame_sha256").alias("sh")
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): round(r["jaccard"], 6)
+        for r in jaccard_join_on_sets(
+            sigs, id_col="media_id", threshold=0.7
+        ).collect()
+    }
+    # n=24: drops ceil(24/7)=4 → 20/24; n=12: drops 2 → 10/12
+    assert got == {
+        (1, 10_000_001): round(20 / 24, 6),
+        (2, 10_000_002): round(10 / 12, 6),
+    }
