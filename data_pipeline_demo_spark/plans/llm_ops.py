@@ -4142,3 +4142,68 @@ def q239_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select(
         "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")
     )
+
+
+_DUCK_TBLPROPS = """
+    SELECT * FROM (VALUES
+        ('owner',          'ml-team'),
+        ('pipeline.stage', 'bronze'),
+        ('note',           'WHEN MATCHED, x = 1) UNSET')
+    ) AS t(key, value)
+"""
+
+
+@register("q240_tblproperties_lifecycle", oracle=_DUCK_TBLPROPS)
+def q240_tblproperties_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TBLPROPERTIES end-to-end, value-certified: SET (including a
+    keyword/comma/paren-bearing value that would mis-split an unmasked
+    parser), upsert-SET overwriting one key, UNSET IF EXISTS, survival
+    across a data verb (UPDATE), and SHOW TBLPROPERTIES reading the
+    final map — the oracle is the literal expected key/value rows.
+    Mirrors Delta's semantics: string/string, mutable (not
+    time-traveled), versioned sidecar for loud concurrent-change
+    conflicts.
+
+    Scale: every operation is one metadata-file read/claim —
+    table-size-independent."""
+    import tempfile
+
+    from ..sinks.sql_dml import txtable_sql
+    from ..sinks.txlog import txlog_update, txlog_upsert
+
+    root = tempfile.mkdtemp(prefix="q240-props-") + "/t"
+    orders = table(spark, sf_dir, "orders").selectExpr(
+        "o_orderkey", "CAST(o_totalprice AS DOUBLE) AS o_totalprice"
+    )
+    txlog_upsert(
+        spark,
+        orders.filter("o_orderkey < 2000"),
+        root,
+        key="o_orderkey",
+        num_buckets=4,
+    )
+    txtable_sql(
+        spark,
+        f"ALTER TABLE txtable.`{root}` SET TBLPROPERTIES ("
+        "'owner' = 'data-eng', 'pipeline.stage' = 'bronze', "
+        "'tmp' = 'x', "
+        "'note' = 'WHEN MATCHED, x = 1) UNSET')",
+    )
+    txtable_sql(
+        spark,
+        f"ALTER TABLE txtable.`{root}` SET TBLPROPERTIES "
+        "('owner' = 'ml-team')",
+    )
+    txtable_sql(
+        spark,
+        f"ALTER TABLE txtable.`{root}` UNSET TBLPROPERTIES IF EXISTS "
+        "('tmp', 'never-set')",
+    )
+    txlog_update(
+        spark, root, set={"o_totalprice": "o_totalprice + 1"},
+        where="o_orderkey = 7",
+    )
+    props = txtable_sql(spark, f"SHOW TBLPROPERTIES txtable.`{root}`")
+    return spark.createDataFrame(
+        sorted(props.items()), "key string, value string"
+    )

@@ -509,6 +509,16 @@ def _rewrite_selects(spark: SparkSession, text: str, u=None) -> str:
     return _TBL_REF.sub(sub, text)
 
 
+def _unquote_literal(s: str) -> str:
+    """Strip one layer of quoting from an (unmasked) ``'...'``/``"..."``
+    token and undo its in-literal quote escapes (doubled and
+    backslashed); bare tokens pass through."""
+    if len(s) >= 2 and s[0] in "'\"" and s[-1] == s[0]:
+        q = s[0]
+        return s[1:-1].replace(q + q, q).replace("\\" + q, q)
+    return s
+
+
 def _split_top_commas(text: str) -> list[str]:
     """Split on top-level commas only (commas inside parens/quotes
     belong to the item)."""
@@ -1022,6 +1032,7 @@ def txtable_sql(spark: SparkSession, sql: str) -> DataFrame | int | None:
             _hadoop_fs,
             _latest_manifest,
             table_constraints,
+            table_properties,
         )
 
         path = U(m.group("path"))
@@ -1068,6 +1079,8 @@ def txtable_sql(spark: SparkSession, sql: str) -> DataFrame | int | None:
                 (man.get("copy_log") or {}).get("count")
                 or len(man.get("copy_files") or {})
             ),
+            # Delta's DESCRIBE DETAIL `properties` column
+            "properties": table_properties(spark, path),
             "stats_columns": man.get("stats_columns", []),
             "bloom_columns": man.get("bloom_columns", []),
             "table_features": man.get("requires", []),
@@ -1211,6 +1224,82 @@ def txtable_sql(spark: SparkSession, sql: str) -> DataFrame | int | None:
         return drop_table_constraint(
             spark, U(m.group("path")), m.group("name")
         )
+
+    m = re.match(
+        rf"ALTER{_WS}TABLE{_WS}{_TBL}{_WS}SET{_WS}TBLPROPERTIES"
+        rf"\s*\(\s*(?P<kv>.+?)\s*\)$",
+        text,
+        re.IGNORECASE,
+    )
+    if m:
+        # Delta/Spark's SET TBLPROPERTIES: upsert string key/values.
+        # Keys/values may be quoted (masked to sentinels, so '=' or ','
+        # inside them can never mis-split) or bare dotted tokens.
+        from .txlog import set_table_properties
+
+        props: dict[str, str] = {}
+        for part in _split_top_commas(m.group("kv")):
+            pm = re.match(
+                r"\s*(?P<k>'[^']*'|\"[^\"]*\"|[A-Za-z_][\w.\-]*)"
+                r"\s*=\s*(?P<v>'[^']*'|\"[^\"]*\"|\S+)\s*$",
+                part,
+            )
+            if not pm:
+                raise UnsupportedSqlError(
+                    f"SET TBLPROPERTIES entry not parseable: {U(part)!r} "
+                    "— expected 'key' = 'value' pairs"
+                )
+            props[_unquote_literal(U(pm.group("k")))] = _unquote_literal(
+                U(pm.group("v"))
+            )
+        set_table_properties(spark, U(m.group("path")), props)
+        return None
+
+    m = re.match(
+        rf"ALTER{_WS}TABLE{_WS}{_TBL}{_WS}UNSET{_WS}TBLPROPERTIES"
+        rf"(?:{_WS}(?P<ife>IF{_WS}EXISTS))?"
+        rf"\s*\(\s*(?P<keys>.+?)\s*\)$",
+        text,
+        re.IGNORECASE,
+    )
+    if m:
+        # Spark semantics: a missing key raises unless IF EXISTS
+        from .txlog import unset_table_properties
+
+        keys = [
+            _unquote_literal(U(p.strip()))
+            for p in _split_top_commas(m.group("keys"))
+        ]
+        return unset_table_properties(
+            spark,
+            U(m.group("path")),
+            keys,
+            if_exists=m.group("ife") is not None,
+        )
+
+    m = re.match(
+        rf"SHOW{_WS}TBLPROPERTIES{_WS}{_TBL}"
+        rf"(?:\s*\(\s*(?P<key>'[^']*'|\"[^\"]*\"|[A-Za-z_][\w.\-]*)"
+        rf"\s*\))?$",
+        text,
+        re.IGNORECASE,
+    )
+    if m:
+        # the full map, or — Spark's single-key form — just that value;
+        # a missing single key raises loudly (Spark prints an error row;
+        # an exception is this front-end's loud equivalent)
+        from .txlog import table_properties
+
+        props = table_properties(spark, U(m.group("path")))
+        key = m.group("key")
+        if key is None:
+            return props
+        key = _unquote_literal(U(key))
+        if key not in props:
+            raise KeyError(
+                f"TBLPROPERTIES key {key!r} is not set on this table"
+            )
+        return {key: props[key]}
 
     m = re.match(
         rf"CREATE{_WS}TABLE{_WS}txtable\.`(?P<dst>[^`]+)`"
@@ -1360,6 +1449,7 @@ def txtable_sql(spark: SparkSession, sql: str) -> DataFrame | int | None:
         "DESCRIBE HISTORY / DESCRIBE DETAIL / "
         "ALTER TABLE ... ADD|DROP|RENAME COLUMN / "
         "ALTER TABLE ... ADD CONSTRAINT name CHECK (pred) | DROP CONSTRAINT / "
+        "ALTER TABLE ... SET|UNSET TBLPROPERTIES / SHOW TBLPROPERTIES / "
         "CREATE TABLE ... [SHALLOW|DEEP] CLONE / "
         "CREATE TABLE ... [KEY k] [BUCKETS n] AS SELECT / "
         "CREATE TABLE ... (<DDL schema>) [KEY k] [BUCKETS n], each with "

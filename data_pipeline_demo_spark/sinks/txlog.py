@@ -3354,11 +3354,17 @@ def vacuum_txtable(
             if not dry_run:
                 fs.delete(st.getPath(), False)
             deleted += 1
-    # Superseded constraint versions (and the legacy single file once a
-    # versioned one exists) are dead metadata — only the NEWEST version
-    # governs writes, so sweeping the rest never changes behavior.
-    cdir = jvm.org.apache.hadoop.fs.Path(root, CONSTRAINTS_DIR)
-    if fs.exists(cdir):
+    # Superseded constraint/property versions (and the legacy single
+    # file once a versioned one exists) are dead metadata — only the
+    # NEWEST version governs, so sweeping the rest never changes
+    # behavior.
+    for dir_name, legacy_name in (
+        (CONSTRAINTS_DIR, CONSTRAINTS_FILE),
+        (PROPERTIES_DIR, None),
+    ):
+        cdir = jvm.org.apache.hadoop.fs.Path(root, dir_name)
+        if not fs.exists(cdir):
+            continue
         cvers = []
         for st in fs.listStatus(cdir):
             nm = st.getPath().getName()
@@ -3377,11 +3383,12 @@ def vacuum_txtable(
                         False,
                     )
                 deleted += 1
-        legacy = jvm.org.apache.hadoop.fs.Path(root, CONSTRAINTS_FILE)
-        if cvers and fs.exists(legacy):
-            if not dry_run:
-                fs.delete(legacy, False)
-            deleted += 1
+        if legacy_name is not None:
+            legacy = jvm.org.apache.hadoop.fs.Path(root, legacy_name)
+            if cvers and fs.exists(legacy):
+                if not dry_run:
+                    fs.delete(legacy, False)
+                deleted += 1
     return deleted
 
 
@@ -3587,9 +3594,24 @@ def _latest_constraints(
     finding). A pre-versioning ``_constraints.json`` single file reads
     as version -1; the first versioned publish supersedes it. Returns
     ``(None, {})`` when the table has no constraints."""
+    return _latest_sidecar_json(
+        spark, root_path, CONSTRAINTS_DIR, legacy_file=CONSTRAINTS_FILE
+    )
+
+
+def _latest_sidecar_json(
+    spark: SparkSession,
+    root_path: str,
+    dir_name: str,
+    legacy_file: str | None = None,
+) -> tuple[int | None, dict]:
+    """Generic newest-version read of a versioned JSON sidecar dir
+    (``<dir>/<v>.json``, immutable, claimed create-no-overwrite) — the
+    mutable-table-metadata pattern constraints pioneered, shared by
+    TBLPROPERTIES. Returns ``(None, {})`` when absent."""
     jvm = spark._jvm
     fs, root = _hadoop_fs(spark, root_path)
-    d = jvm.org.apache.hadoop.fs.Path(root, CONSTRAINTS_DIR)
+    d = jvm.org.apache.hadoop.fs.Path(root, dir_name)
     best = None
     if fs.exists(d):
         for st in fs.listStatus(d):
@@ -3605,7 +3627,9 @@ def _latest_constraints(
     if best is not None:
         p = jvm.org.apache.hadoop.fs.Path(d, f"{best:020d}.json")
     else:
-        p = jvm.org.apache.hadoop.fs.Path(root, CONSTRAINTS_FILE)
+        if legacy_file is None:
+            return None, {}
+        p = jvm.org.apache.hadoop.fs.Path(root, legacy_file)
         if not fs.exists(p):
             return None, {}
         best = -1
@@ -3638,17 +3662,34 @@ def _publish_constraints(
     A concurrent constraint change that already claimed the version
     raises :class:`ConcurrentCommitError` — the caller re-reads and
     retries with intent intact, instead of silently losing an entry."""
+    _publish_sidecar_json(
+        spark, root_path, CONSTRAINTS_DIR, cons, base_version, "constraints"
+    )
+
+
+def _publish_sidecar_json(
+    spark: SparkSession,
+    root_path: str,
+    dir_name: str,
+    payload_obj: dict,
+    base_version: int | None,
+    what: str,
+) -> None:
+    """Generic claim of ``<dir>/<base+1>.json`` through the installed
+    LogStore (create-no-overwrite). A concurrent change that already
+    claimed the version raises :class:`ConcurrentCommitError` — the
+    caller re-reads and retries with intent intact."""
     jvm = spark._jvm
     fs, root = _hadoop_fs(spark, root_path)
-    d = jvm.org.apache.hadoop.fs.Path(root, CONSTRAINTS_DIR)
+    d = jvm.org.apache.hadoop.fs.Path(root, dir_name)
     fs.mkdirs(d)
     version = 0 if base_version is None else base_version + 1
     dst = jvm.org.apache.hadoop.fs.Path(d, f"{version:020d}.json")
-    payload = json.dumps(cons).encode("utf-8")
+    payload = json.dumps(payload_obj).encode("utf-8")
     if not _log_store.put_if_absent(spark, fs, d, dst, payload):
         raise ConcurrentCommitError(
-            f"constraints version {version} at {root_path} was claimed "
-            "by a concurrent constraint change; re-read and retry"
+            f"{what} version {version} at {root_path} was claimed "
+            f"by a concurrent {what} change; re-read and retry"
         )
 
 
@@ -3717,6 +3758,84 @@ def drop_table_constraint(
 def _enforce_table_constraints(spark, root_path, df) -> None:
     """Write-path hook: validate a batch about to be committed."""
     check_constraints(df, table_constraints(spark, root_path))
+
+
+# ---------------------------------------------------------------------------
+# TBLPROPERTIES: Delta's mutable string key/value table metadata.
+# ---------------------------------------------------------------------------
+
+PROPERTIES_DIR = "_properties"
+
+
+def table_properties(spark: SparkSession, root_path: str) -> dict[str, str]:
+    """The table's TBLPROPERTIES: ``{key: value}``, both strings.
+
+    Same stance as constraints (Delta keeps both in the same metadata
+    domain): properties are MUTABLE table metadata — they govern from
+    the moment they are set and are not time-traveled — but every
+    change is an immutable versioned ``_properties/<v>.json`` claimed
+    create-no-overwrite, so concurrent changes conflict loudly instead
+    of last-writer-wins dropping one. The engine attaches no behavior
+    to any key (like Delta with user properties); they are carried,
+    listed, and survive every data verb. RESTORE/TRUNCATE leave them
+    untouched; CLONE targets start without them (the constraints
+    stance); DROP TABLE removes them with the root."""
+    return _latest_sidecar_json(spark, root_path, PROPERTIES_DIR)[1]
+
+
+def set_table_properties(
+    spark: SparkSession, root_path: str, props: dict[str, str]
+) -> None:
+    """ALTER TABLE ... SET TBLPROPERTIES: upsert the given keys (Delta
+    semantics — existing keys overwrite, others persist untouched)."""
+    if not props:
+        raise ValueError("SET TBLPROPERTIES: need at least one key")
+    for k, v in props.items():
+        if not isinstance(k, str) or not k:
+            raise ValueError(f"property key must be a non-empty string: {k!r}")
+        if not isinstance(v, str):
+            raise ValueError(
+                f"property value for {k!r} must be a string (got "
+                f"{type(v).__name__}) — TBLPROPERTIES are string/string"
+            )
+    if _latest_manifest(spark, root_path) is None:
+        raise FileNotFoundError(f"no committed txtable at {root_path}")
+    base, cur = _latest_sidecar_json(spark, root_path, PROPERTIES_DIR)
+    cur.update(props)
+    _publish_sidecar_json(
+        spark, root_path, PROPERTIES_DIR, cur, base, "table properties"
+    )
+
+
+def unset_table_properties(
+    spark: SparkSession,
+    root_path: str,
+    keys: list[str],
+    if_exists: bool = False,
+) -> int:
+    """ALTER TABLE ... UNSET TBLPROPERTIES [IF EXISTS]: remove keys.
+    Spark/Delta semantics: a missing key raises unless IF EXISTS.
+    Returns how many keys were actually removed (a no-op change
+    publishes no new version)."""
+    if not keys:
+        raise ValueError("UNSET TBLPROPERTIES: need at least one key")
+    base, cur = _latest_sidecar_json(spark, root_path, PROPERTIES_DIR)
+    missing = [k for k in keys if k not in cur]
+    if missing and not if_exists:
+        raise KeyError(
+            f"TBLPROPERTIES key(s) not set on {root_path}: {missing} — "
+            "use UNSET TBLPROPERTIES IF EXISTS to ignore"
+        )
+    removed = 0
+    for k in keys:
+        if k in cur:
+            del cur[k]
+            removed += 1
+    if removed:
+        _publish_sidecar_json(
+            spark, root_path, PROPERTIES_DIR, cur, base, "table properties"
+        )
+    return removed
 
 
 def rebucket_txtable(

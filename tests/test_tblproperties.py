@@ -1,0 +1,173 @@
+"""TBLPROPERTIES (sinks/txlog.py + sinks/sql_dml.py): Delta's mutable
+string key/value table metadata — SET upsert semantics, UNSET [IF
+EXISTS], SHOW (full map + single key), survival across data verbs,
+DESCRIBE DETAIL's `properties` column, masking of keyword-bearing
+values, versioned-sidecar concurrency, and vacuum's superseded-version
+sweep."""
+
+import os
+
+import pytest
+
+from data_pipeline_demo_spark.sinks.sql_dml import txtable_sql
+from data_pipeline_demo_spark.sinks.txlog import (
+    PROPERTIES_DIR,
+    ConcurrentCommitError,
+    _publish_sidecar_json,
+    restore_txtable,
+    set_table_properties,
+    table_properties,
+    truncate_txtable,
+    txlog_update,
+    txlog_upsert,
+    unset_table_properties,
+    vacuum_txtable,
+)
+
+
+@pytest.fixture
+def t(spark, tmp_path):
+    root = str(tmp_path / "pt")
+    txlog_upsert(
+        spark,
+        spark.createDataFrame([(i, float(i)) for i in range(10)],
+                              "id long, v double"),
+        root,
+        key="id",
+        num_buckets=2,
+    )
+    return root
+
+
+def test_set_show_roundtrip_and_upsert(spark, t):
+    txtable_sql(
+        spark,
+        f"ALTER TABLE txtable.`{t}` SET TBLPROPERTIES "
+        "('owner' = 'data-eng', 'pipeline.stage' = 'bronze')",
+    )
+    assert txtable_sql(spark, f"SHOW TBLPROPERTIES txtable.`{t}`") == {
+        "owner": "data-eng",
+        "pipeline.stage": "bronze",
+    }
+    # second SET upserts: overwrites one key, keeps the other
+    txtable_sql(
+        spark,
+        f"ALTER TABLE txtable.`{t}` SET TBLPROPERTIES ('owner'='ml-team')",
+    )
+    assert table_properties(spark, t) == {
+        "owner": "ml-team",
+        "pipeline.stage": "bronze",
+    }
+    # single-key SHOW form
+    assert txtable_sql(
+        spark, f"SHOW TBLPROPERTIES txtable.`{t}` ('owner')"
+    ) == {"owner": "ml-team"}
+    with pytest.raises(KeyError):
+        txtable_sql(spark, f"SHOW TBLPROPERTIES txtable.`{t}` ('nope')")
+
+
+def test_bare_tokens_and_unset_semantics(spark, t):
+    # bare dotted key + bare value (Spark accepts both unquoted)
+    txtable_sql(
+        spark,
+        f"ALTER TABLE txtable.`{t}` SET TBLPROPERTIES "
+        "(delta.appendOnly = true, retention.days = 30)",
+    )
+    assert table_properties(spark, t) == {
+        "delta.appendOnly": "true",
+        "retention.days": "30",
+    }
+    # UNSET without IF EXISTS on a missing key: loud (Spark parity)
+    with pytest.raises(KeyError):
+        txtable_sql(
+            spark,
+            f"ALTER TABLE txtable.`{t}` UNSET TBLPROPERTIES ('missing')",
+        )
+    # with IF EXISTS: removes what exists, ignores the rest
+    n = txtable_sql(
+        spark,
+        f"ALTER TABLE txtable.`{t}` UNSET TBLPROPERTIES IF EXISTS "
+        "('missing', 'delta.appendOnly')",
+    )
+    assert n == 1
+    assert table_properties(spark, t) == {"retention.days": "30"}
+
+
+def test_keyword_and_quote_bearing_values_mask_safely(spark, t):
+    """Values carrying clause keywords, '=', ',', ')' and escaped
+    quotes can never mis-split the property list (the shared
+    pre-tokenizer masks them before parsing)."""
+    txtable_sql(
+        spark,
+        f"ALTER TABLE txtable.`{t}` SET TBLPROPERTIES ("
+        "'note' = 'WHEN MATCHED THEN DELETE, x = 1) SET', "
+        "'quote' = 'it''s fine')",
+    )
+    assert table_properties(spark, t) == {
+        "note": "WHEN MATCHED THEN DELETE, x = 1) SET",
+        "quote": "it's fine",
+    }
+
+
+def test_properties_survive_data_verbs_and_describe_detail(spark, t):
+    set_table_properties(spark, t, {"owner": "data-eng"})
+    txlog_update(spark, t, set={"v": "v + 1"}, where="id = 1")
+    truncate_txtable(spark, t)
+    restore_txtable(spark, t, version=0)
+    assert table_properties(spark, t) == {"owner": "data-eng"}
+    d = txtable_sql(spark, f"DESCRIBE DETAIL txtable.`{t}`")
+    assert d["properties"] == {"owner": "data-eng"}
+
+
+def test_set_on_missing_table_refuses(spark, tmp_path):
+    with pytest.raises(FileNotFoundError):
+        set_table_properties(
+            spark, str(tmp_path / "nope"), {"k": "v"}
+        )
+
+
+def test_non_string_value_refuses(spark, t):
+    with pytest.raises(ValueError):
+        set_table_properties(spark, t, {"k": 1})
+
+
+def test_concurrent_change_conflicts_loudly(spark, t):
+    set_table_properties(spark, t, {"a": "1"})
+    # two writers read base version 0 and both try to claim version 1:
+    # the second create-no-overwrite claim must raise, not overwrite
+    _publish_sidecar_json(
+        spark, t, PROPERTIES_DIR, {"a": "1", "b": "2"}, 0, "table properties"
+    )
+    with pytest.raises(ConcurrentCommitError):
+        _publish_sidecar_json(
+            spark, t, PROPERTIES_DIR, {"a": "1", "c": "3"}, 0,
+            "table properties",
+        )
+    # the retry path: re-read (sees b) and publish intent on top
+    set_table_properties(spark, t, {"c": "3"})
+    assert table_properties(spark, t) == {"a": "1", "b": "2", "c": "3"}
+
+
+def _versions(pdir):
+    return sorted(
+        f for f in os.listdir(pdir)
+        if f.endswith(".json") and not f.startswith(".")
+    )
+
+
+def test_vacuum_sweeps_superseded_property_versions(spark, t):
+    for i in range(4):
+        set_table_properties(spark, t, {"k": str(i)})
+    pdir = os.path.join(t, PROPERTIES_DIR)
+    assert len(_versions(pdir)) == 4
+    vacuum_txtable(spark, t, keep_last=1)
+    assert len(_versions(pdir)) == 1
+    assert table_properties(spark, t) == {"k": "3"}
+
+
+def test_unset_noop_publishes_no_version(spark, t):
+    set_table_properties(spark, t, {"k": "1"})
+    pdir = os.path.join(t, PROPERTIES_DIR)
+    n0 = len(_versions(pdir))
+    assert unset_table_properties(spark, t, ["zzz"], if_exists=True) == 0
+    assert len(_versions(pdir)) == n0
