@@ -2964,7 +2964,32 @@ def shallow_clone_txtable(
             "committed_at_ms": int(time.time() * 1000),
         },
     )
+    _clone_mutable_metadata(spark, source_root, target_root)
     return sum(src["row_counts"].values())
+
+
+def _clone_mutable_metadata(
+    spark: SparkSession, source_root: str, target_root: str
+) -> None:
+    """Delta CLONE parity: table properties and CHECK constraints
+    (Delta's 'invariants') copy onto the clone target as its own
+    version-0 sidecars; afterwards the two tables' metadata diverge
+    independently. CURRENT metadata is what copies (properties and
+    constraints are mutable, not time-traveled, so an AS OF clone
+    still carries today's values — the only coherent reading under
+    this engine's metadata stance). Writer-idempotency watermarks
+    stay excluded as before."""
+    cons = _latest_constraints(spark, source_root)[1]
+    if cons:
+        _publish_sidecar_json(
+            spark, target_root, CONSTRAINTS_DIR, cons, None, "constraints"
+        )
+    props = _latest_sidecar_json(spark, source_root, PROPERTIES_DIR)[1]
+    if props:
+        _publish_sidecar_json(
+            spark, target_root, PROPERTIES_DIR, props, None,
+            "table properties",
+        )
 
 
 def deep_clone_txtable(
@@ -3042,6 +3067,7 @@ def deep_clone_txtable(
                 "committed_at_ms": int(time.time() * 1000),
             },
         )
+    _clone_mutable_metadata(spark, source_root, target_root)
     return n
 
 
@@ -3778,8 +3804,10 @@ def table_properties(spark: SparkSession, root_path: str) -> dict[str, str]:
     of last-writer-wins dropping one. The engine attaches no behavior
     to any key (like Delta with user properties); they are carried,
     listed, and survive every data verb. RESTORE/TRUNCATE leave them
-    untouched; CLONE targets start without them (the constraints
-    stance); DROP TABLE removes them with the root."""
+    untouched; CLONE copies the source's current properties and
+    constraints onto the target (Delta parity — ``CLONE`` carries
+    table properties and invariants), after which the two diverge;
+    DROP TABLE removes them with the root."""
     return _latest_sidecar_json(spark, root_path, PROPERTIES_DIR)[1]
 
 

@@ -171,3 +171,27 @@ def test_unset_noop_publishes_no_version(spark, t):
     n0 = len(_versions(pdir))
     assert unset_table_properties(spark, t, ["zzz"], if_exists=True) == 0
     assert len(_versions(pdir)) == n0
+
+
+def test_clone_carries_properties_and_constraints(spark, t, tmp_path):
+    """Delta CLONE parity: properties + CHECK constraints copy to the
+    target, then diverge independently."""
+    from data_pipeline_demo_spark.sinks.txlog import (
+        deep_clone_txtable,
+        set_table_constraint,
+        shallow_clone_txtable,
+        table_constraints,
+    )
+
+    set_table_properties(spark, t, {"owner": "data-eng"})
+    set_table_constraint(spark, t, "v_nonneg", "v >= 0")
+    sh = str(tmp_path / "sh")
+    dp = str(tmp_path / "dp")
+    shallow_clone_txtable(spark, t, sh)
+    deep_clone_txtable(spark, t, dp)
+    for c in (sh, dp):
+        assert table_properties(spark, c) == {"owner": "data-eng"}
+        assert table_constraints(spark, c) == {"v_nonneg": "v >= 0"}
+    # divergence: changing the clone leaves the source untouched
+    set_table_properties(spark, sh, {"owner": "ml-team"})
+    assert table_properties(spark, t) == {"owner": "data-eng"}
