@@ -509,6 +509,28 @@ def _rewrite_selects(spark: SparkSession, text: str, u=None) -> str:
     return _TBL_REF.sub(sub, text)
 
 
+def _parse_props_kv(kv_masked: str, U) -> dict[str, str]:
+    """Parse a masked TBLPROPERTIES pair list — ``'k' = 'v', bare.key =
+    bare`` — into {key: value}. Quoted tokens arrive as sentinels, so
+    '=', ',' and keywords inside them can never mis-split."""
+    props: dict[str, str] = {}
+    for part in _split_top_commas(kv_masked):
+        pm = re.match(
+            r"\s*(?P<k>'[^']*'|\"[^\"]*\"|[A-Za-z_][\w.\-]*)"
+            r"\s*=\s*(?P<v>'[^']*'|\"[^\"]*\"|\S+)\s*$",
+            part,
+        )
+        if not pm:
+            raise UnsupportedSqlError(
+                f"TBLPROPERTIES entry not parseable: {U(part)!r} "
+                "— expected 'key' = 'value' pairs"
+            )
+        props[_unquote_literal(U(pm.group("k")))] = _unquote_literal(
+            U(pm.group("v"))
+        )
+    return props
+
+
 def _unquote_literal(s: str) -> str:
     """Strip one layer of quoting from an (unmasked) ``'...'``/``"..."``
     token and undo its in-literal quote escapes (doubled and
@@ -1237,22 +1259,9 @@ def txtable_sql(spark: SparkSession, sql: str) -> DataFrame | int | None:
         # inside them can never mis-split) or bare dotted tokens.
         from .txlog import set_table_properties
 
-        props: dict[str, str] = {}
-        for part in _split_top_commas(m.group("kv")):
-            pm = re.match(
-                r"\s*(?P<k>'[^']*'|\"[^\"]*\"|[A-Za-z_][\w.\-]*)"
-                r"\s*=\s*(?P<v>'[^']*'|\"[^\"]*\"|\S+)\s*$",
-                part,
-            )
-            if not pm:
-                raise UnsupportedSqlError(
-                    f"SET TBLPROPERTIES entry not parseable: {U(part)!r} "
-                    "— expected 'key' = 'value' pairs"
-                )
-            props[_unquote_literal(U(pm.group("k")))] = _unquote_literal(
-                U(pm.group("v"))
-            )
-        set_table_properties(spark, U(m.group("path")), props)
+        set_table_properties(
+            spark, U(m.group("path")), _parse_props_kv(m.group("kv"), U)
+        )
         return None
 
     m = re.match(
@@ -1345,6 +1354,7 @@ def txtable_sql(spark: SparkSession, sql: str) -> DataFrame | int | None:
         rf"CREATE{_WS}TABLE{_WS}txtable\.`(?P<dst>[^`]+)`"
         rf"(?:{_WS}KEY{_WS}(?P<key>`[^`]+`|\w+))?"
         rf"(?:{_WS}BUCKETS{_WS}(?P<nb>\d+))?"
+        rf"(?:{_WS}TBLPROPERTIES\s*\(\s*(?P<props>.+?)\s*\))?"
         rf"{_WS}AS{_WS}(?P<sel>(?:SELECT|WITH)\b.+)$",
         text,
         re.IGNORECASE | re.DOTALL,
@@ -1364,10 +1374,17 @@ def txtable_sql(spark: SparkSession, sql: str) -> DataFrame | int | None:
         df = spark.sql(U(_rewrite_selects(spark, m.group("sel"), U)))
         key = (U(m.group("key")) or df.columns[0]).strip("`")
         _require_unique_key(df, key, clause="CTAS")
-        return txlog_upsert(
+        n = txlog_upsert(
             spark, df, dst, key=key,
             num_buckets=int(m.group("nb") or 16),
         )
+        if m.group("props"):
+            from .txlog import set_table_properties
+
+            set_table_properties(
+                spark, dst, _parse_props_kv(m.group("props"), U)
+            )
+        return n
 
     if re.match(rf"CREATE{_WS}TABLE\b", text, re.IGNORECASE) and re.search(
         rf"PARTITIONED{_WS}BY\b", text, re.IGNORECASE
@@ -1384,7 +1401,8 @@ def txtable_sql(spark: SparkSession, sql: str) -> DataFrame | int | None:
         rf"(?:{_WS}KEY{_WS}(?P<key>`[^`]+`|\w+))?"
         rf"(?:{_WS}BUCKETS{_WS}(?P<nb>\d+))?"
         rf"(?:{_WS}STATS{_WS}\((?P<stats>[^)]+)\))?"
-        rf"(?:{_WS}BLOOM{_WS}\((?P<bloom>[^)]+)\))?$",
+        rf"(?:{_WS}BLOOM{_WS}\((?P<bloom>[^)]+)\))?"
+        rf"(?:{_WS}TBLPROPERTIES\s*\(\s*(?P<props>.+?)\s*\))?$",
         text,
         re.IGNORECASE,
     )
@@ -1421,12 +1439,19 @@ def txtable_sql(spark: SparkSession, sql: str) -> DataFrame | int | None:
         split = lambda s: [  # noqa: E731
             U(c.strip()).strip("`") for c in s.split(",")
         ]
-        return txlog_upsert(
+        n = txlog_upsert(
             spark, empty, dst, key=key,
             num_buckets=int(m.group("nb") or 16),
             stats_columns=split(m.group("stats")) if m.group("stats") else None,
             bloom_columns=split(m.group("bloom")) if m.group("bloom") else None,
         )
+        if m.group("props"):
+            from .txlog import set_table_properties
+
+            set_table_properties(
+                spark, dst, _parse_props_kv(m.group("props"), U)
+            )
+        return n
 
     if re.match(rf"CREATE{_WS}OR{_WS}REPLACE{_WS}TABLE\b", text, re.IGNORECASE):
         raise UnsupportedSqlError(

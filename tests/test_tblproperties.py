@@ -195,3 +195,27 @@ def test_clone_carries_properties_and_constraints(spark, t, tmp_path):
     # divergence: changing the clone leaves the source untouched
     set_table_properties(spark, sh, {"owner": "ml-team"})
     assert table_properties(spark, t) == {"owner": "data-eng"}
+
+
+def test_create_table_with_tblproperties(spark, tmp_path):
+    """Both CREATE forms accept a TBLPROPERTIES clause (Spark/Delta
+    grammar): DDL schema and CTAS."""
+    ddl = str(tmp_path / "ddl")
+    txtable_sql(
+        spark,
+        f"CREATE TABLE txtable.`{ddl}` (id BIGINT, amt DECIMAL(10,2)) "
+        "KEY id BUCKETS 2 TBLPROPERTIES ('owner' = 'data-eng')",
+    )
+    assert table_properties(spark, ddl) == {"owner": "data-eng"}
+    ctas = str(tmp_path / "ctas")
+    spark.createDataFrame([(1, 2.0)], "id long, v double") \
+        .createOrReplaceTempView("props_src")
+    txtable_sql(
+        spark,
+        f"CREATE TABLE txtable.`{ctas}` KEY id BUCKETS 2 "
+        "TBLPROPERTIES ('stage'='gold', mode = fast) "
+        "AS SELECT * FROM props_src",
+    )
+    assert table_properties(spark, ctas) == {
+        "stage": "gold", "mode": "fast",
+    }
