@@ -1296,10 +1296,15 @@ def txtable_sql(spark: SparkSession, sql: str) -> DataFrame | int | None:
     if m:
         # the full map, or — Spark's single-key form — just that value;
         # a missing single key raises loudly (Spark prints an error row;
-        # an exception is this front-end's loud equivalent)
-        from .txlog import table_properties
+        # an exception is this front-end's loud equivalent), and so
+        # does a missing TABLE (Spark parity — a bare {} would read as
+        # "exists, no properties")
+        from .txlog import _latest_manifest, table_properties
 
-        props = table_properties(spark, U(m.group("path")))
+        path = U(m.group("path"))
+        if _latest_manifest(spark, path) is None:
+            raise FileNotFoundError(f"no committed txtable at {path}")
+        props = table_properties(spark, path)
         key = m.group("key")
         if key is None:
             return props

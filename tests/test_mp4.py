@@ -220,3 +220,32 @@ def test_video_neardup_planted_pairs(spark):
         (1, 10_000_001): round(20 / 24, 6),
         (2, 10_000_002): round(10 / 12, 6),
     }
+
+
+def test_demux_skips_non_video_and_mdia_less_traks():
+    """A movie whose moov leads with a bare trak and an audio trak must
+    still resolve the video track (the walk filters on hdlr 'vide')."""
+    from data_pipeline_demo_spark.operators.mp4codec import _box, _full
+
+    blob = mux_mp4([{"payload": b"abc", "duration": 100}])
+    idx = blob.rindex(b"moov") - 4
+    (size,) = struct.unpack_from(">I", blob, idx)
+    moov_payload = blob[idx + 8 : idx + size]
+    hdlr = _full(
+        b"hdlr", 0, 0,
+        struct.pack(">I", 0) + b"soun" + b"\x00" * 12 + b"x\x00",
+    )
+    extra = _box(b"trak", b"") + _box(b"trak", _box(b"mdia", hdlr))
+    out = demux_mp4(blob[:idx] + _box(b"moov", extra + moov_payload))
+    assert [s["payload"] for s in out["samples"]] == [b"abc"]
+
+
+def test_demux_refuses_stsc_not_covering_stco():
+    from data_pipeline_demo_spark.operators.mp4codec import _full
+
+    blob = mux_mp4([{"payload": b"abc", "duration": 100}])
+    good = _full(b"stsc", 0, 0, struct.pack(">IIII", 1, 1, 1, 1))
+    bad = _full(b"stsc", 0, 0, struct.pack(">IIII", 1, 2, 1, 1))
+    assert good in blob
+    with pytest.raises(Mp4FormatError):
+        demux_mp4(blob.replace(good, bad))

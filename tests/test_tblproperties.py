@@ -219,3 +219,10 @@ def test_create_table_with_tblproperties(spark, tmp_path):
     assert table_properties(spark, ctas) == {
         "stage": "gold", "mode": "fast",
     }
+
+
+def test_show_on_missing_table_refuses(spark):
+    with pytest.raises(FileNotFoundError):
+        txtable_sql(
+            spark, "SHOW TBLPROPERTIES txtable.`/tmp/definitely-missing-xyz`"
+        )
