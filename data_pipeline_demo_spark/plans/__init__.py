@@ -94,6 +94,18 @@ _GATE_ROTATE_IN = (
     "q232_sql_truncate_lifecycle",
     "q234_pmi_collocations",
     "q235_rake_keywords",
+    # Extended-round-11 rotation: the multimodal family gets its FIRST
+    # gate attestations — the real ISO-BMFF demux whose oracle
+    # recomputes pts/keyframe/byte-range arithmetic (q238) and the
+    # container-independent video near-dup whose planted pairs carry
+    # arithmetically-known Jaccard through the factored PPJoin (q239) —
+    # plus the new TBLPROPERTIES verb surface (q240, literal-expected
+    # oracle through the masker). All three strict-PASS the local
+    # driver-faithful comparator with gate-safe dtypes (bigint/string/
+    # double only).
+    "q238_mp4_demux",
+    "q239_video_neardup",
+    "q240_tblproperties_lifecycle",
 )
 _GATE_ROTATE_OUT = (
     "q05_join_left_outer",
@@ -137,6 +149,16 @@ _GATE_ROTATE_OUT = (
     "q200_ks_test",
     "q190_attribution",
     "q211_abc_pareto",
+    # extended-round-11 displacements (family coverage retained
+    # in-gate): q53 HTML extraction — the scalar/cleaning family keeps
+    # q27/q28/q32; q22 ntile/offsets — windows keep q18 (rank) and the
+    # frame semantics stay check_oracle-certified past the cap; q181
+    # Kaplan-Meier — timeseries keeps q191 (seasonal) + q67 (gapfill),
+    # and the survival math has its own pinned pytest. All three stay
+    # check_oracle-certified past the cap every round.
+    "q53_html_extract",
+    "q22_window_ntile_first_last",
+    "q181_kaplan_meier",
 )
 
 
