@@ -4207,3 +4207,47 @@ def q240_tblproperties_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         sorted(props.items()), "key string, value string"
     )
+
+
+# q241's oracle replays the Aho-Corasick semantics (ALL occurrences,
+# overlapping included) as a brute-force position-scan lambda in
+# DuckDB: for each (doc, term), count the i where substr(text, i,
+# len(term)) == term. The engine's one-pass automaton must agree
+# exactly — a hash match certifies the goto/fail/output construction
+# (suffix-chain hits included: 'a' fires inside 'table' and 'scan').
+_DUCK_DICT_MATCH = """
+    SELECT * FROM (
+        SELECT doc_id,
+               term,
+               CAST(len(list_filter(
+                   range(1, len(text) - len(term) + 2),
+                   i -> substr(text, i, len(term)) = term)) AS BIGINT)
+                   AS n
+        FROM documents d
+        CROSS JOIN (VALUES ('table'), ('scan slow'), ('a'),
+                           ('big query'), ('merge batch')) t(term)
+    ) WHERE n > 0
+"""
+
+
+@register("q241_dictionary_match", oracle=_DUCK_DICT_MATCH)
+def q241_dictionary_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aho-Corasick multi-pattern dictionary scan, value-certified: one
+    linear automaton pass per document counts every occurrence of every
+    dictionary term (operators/dictmatch.py — goto trie, BFS fail
+    links flattened into a DFA, outputs merged along suffix chains),
+    including overlapping and within-word hits. The DuckDB oracle is
+    the brute-force all-position scan — agreement certifies the
+    automaton construction end-to-end.
+
+    Scale shape: automaton builds once driver-side (O(Σ|term|),
+    dictionary-sized), ships in the task closure, and the scan is
+    map-only O(text) per document — the 100 TB blocklist/PII-gazetteer
+    shape where a 100k-term regex alternation or per-term contains()
+    pass would be O(terms × corpus)."""
+    from ..operators.dictmatch import dictionary_match
+
+    d = table(spark, sf_dir, "documents")
+    return dictionary_match(
+        d, ["table", "scan slow", "a", "big query", "merge batch"]
+    )
