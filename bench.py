@@ -451,6 +451,41 @@ def bench_lakehouse(spark, sf_dir: str, runs: int):
         timings["lh_conditional_merge"], spreads["lh_conditional_merge"] = _timed(
             lambda: _cond_merge(), runs
         )
+        # Drift-proof conditional-merge cost ratio (round-11 open item:
+        # the two raw keys live in distant bench sections, so their
+        # cross-key ratio is spread-dominated run-to-run, 1.02-1.56).
+        # Here plain upsert and conditional merge ALTERNATE on identical
+        # fresh ~0.1% slices in one session — machine drift cancels and
+        # the median ratio is the number to trust round-over-round.
+        ratios = []
+        for _ in range(3):
+            k1, k2 = next(cm_slice), next(cm_slice)
+            src_u = base.filter(F.col("li_id") % 1000 == k1).dropDuplicates(
+                ["li_id"]
+            )
+            t0 = time.perf_counter()
+            txlog_upsert(spark, src_u, root)
+            t_up = time.perf_counter() - t0
+            src_c = base.filter(F.col("li_id") % 1000 == k2).dropDuplicates(
+                ["li_id"]
+            )
+            t0 = time.perf_counter()
+            txlog_merge(
+                spark,
+                src_c,
+                root,
+                matched=[
+                    MatchedClause(
+                        "update",
+                        condition="s.l_quantity > 25",
+                        assignments={"l_quantity": "t.l_quantity + 1"},
+                    ),
+                    MatchedClause("delete", condition="s.l_quantity < 2"),
+                ],
+                not_matched=[NotMatchedClause()],
+            )
+            ratios.append((time.perf_counter() - t0) / max(t_up, 1e-9))
+        timings["lh_cond_vs_upsert_x"] = round(sorted(ratios)[1], 3)
         land = os.path.join(tmp, "copy_landing")
         base.limit(50_000).coalesce(4).write.parquet(land)
         copy_tab = os.path.join(tmp, "copy_tx")
@@ -1016,6 +1051,9 @@ def main() -> None:
             # round-10 verbs: classify+rewrite conditional MERGE and
             # COPY INTO's metadata-only skip decision
             "lh_conditional_merge",
+            # the interleaved same-slice ratio — the drift-proof form
+            # of the conditional-merge/upsert comparison
+            "lh_cond_vs_upsert_x",
             "lh_copy_skip_decision",
             # round-11 file-count stress: 1,000-file landing load and
             # its metadata-flat skip decision
