@@ -4251,3 +4251,51 @@ def q241_dictionary_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dictionary_match(
         d, ["table", "scan slow", "a", "big query", "merge batch"]
     )
+
+
+_DUCK_ANALYZE = """
+    SELECT o_orderkey,
+           CAST(o_totalprice AS DOUBLE) AS o_totalprice
+    FROM orders
+    WHERE o_orderkey < 4000
+      AND o_totalprice BETWEEN 100000 AND 150000
+"""
+
+
+@register("q242_analyze_retrofit", oracle=_DUCK_ANALYZE)
+def q242_analyze_retrofit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE TABLE end-to-end, value-certified: a txtable created
+    WITHOUT stats columns gets zone maps retrofitted by ANALYZE TABLE
+    ... COMPUTE STATISTICS FOR COLUMNS (one O(snapshot) aggregate + one
+    metadata commit, no data rewrite — sinks/txlog.py:analyze_txtable),
+    then a zone-pruned BETWEEN read must return exactly the plain
+    filter's rows. The oracle is that plain filter over orders — a hash
+    match certifies the backfilled per-bucket min/max are sound (a
+    wrong zone map silently drops or duplicates rows).
+
+    Scale: the retrofit is the maintenance-verb cost class (one scan);
+    every read after it prunes buckets from the manifest alone."""
+    import tempfile
+
+    from ..sinks.sql_dml import txtable_sql
+    from ..sinks.txlog import read_txtable, txlog_upsert
+
+    root = tempfile.mkdtemp(prefix="q242-analyze-") + "/t"
+    orders = table(spark, sf_dir, "orders").selectExpr(
+        "o_orderkey", "CAST(o_totalprice AS DOUBLE) AS o_totalprice"
+    )
+    txlog_upsert(
+        spark,
+        orders.filter("o_orderkey < 4000"),
+        root,
+        key="o_orderkey",
+        num_buckets=8,
+    )  # deliberately created with NO stats_columns
+    txtable_sql(
+        spark,
+        f"ANALYZE TABLE txtable.`{root}` COMPUTE STATISTICS "
+        "FOR COLUMNS o_totalprice",
+    )
+    return read_txtable(
+        spark, root, prune_between={"o_totalprice": (100000.0, 150000.0)}
+    ).select("o_orderkey", "o_totalprice")

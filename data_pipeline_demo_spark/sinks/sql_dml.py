@@ -1248,6 +1248,31 @@ def txtable_sql(spark: SparkSession, sql: str) -> DataFrame | int | None:
         )
 
     m = re.match(
+        rf"ANALYZE{_WS}TABLE{_WS}{_TBL}{_WS}COMPUTE{_WS}STATISTICS"
+        rf"(?:{_WS}FOR{_WS}COLUMNS{_WS}(?P<cols>[^()]+?))?"
+        rf"(?:{_WS}BLOOM\s*\(\s*(?P<bloom>[^)]+?)\s*\))?$",
+        text,
+        re.IGNORECASE,
+    )
+    if m:
+        # Databricks' ANALYZE TABLE ... COMPUTE STATISTICS FOR COLUMNS,
+        # retargeted at the manifest's pruning metadata: retrofit zone
+        # maps (FOR COLUMNS a, b) and Bloom filters (BLOOM (c, ...))
+        # onto an existing table, backfilled for current data. Without
+        # FOR COLUMNS the existing sets recompute in place.
+        from .txlog import analyze_txtable
+
+        split = lambda s: [  # noqa: E731
+            U(c.strip()).strip("`") for c in s.split(",")
+        ]
+        return analyze_txtable(
+            spark,
+            U(m.group("path")),
+            stats_columns=split(m.group("cols")) if m.group("cols") else None,
+            bloom_columns=split(m.group("bloom")) if m.group("bloom") else None,
+        )
+
+    m = re.match(
         rf"ALTER{_WS}TABLE{_WS}{_TBL}{_WS}SET{_WS}TBLPROPERTIES"
         rf"\s*\(\s*(?P<kv>.+?)\s*\)$",
         text,

@@ -1423,14 +1423,18 @@ def txlog_upsert(
         ):
             raise ValueError(
                 f"txtable {root_path} was created with stats_columns="
-                f"{prev.get('stats_columns', [])}; got {stats_columns}"
+                f"{prev.get('stats_columns', [])}; got {stats_columns} — "
+                "change the set with analyze_txtable (ANALYZE TABLE), "
+                "which backfills the zone maps for existing data"
             )
         if bloom_columns is not None and bloom_columns != prev.get(
             "bloom_columns", []
         ):
             raise ValueError(
                 f"txtable {root_path} was created with bloom_columns="
-                f"{prev.get('bloom_columns', [])}; got {bloom_columns}"
+                f"{prev.get('bloom_columns', [])}; got {bloom_columns} — "
+                "change the set with analyze_txtable (ANALYZE TABLE), "
+                "which backfills the filters for existing data"
             )
         if generated_columns is not None and generated_columns != prev.get(
             "generated_columns", {}
@@ -3864,6 +3868,132 @@ def unset_table_properties(
             spark, root_path, PROPERTIES_DIR, cur, base, "table properties"
         )
     return removed
+
+
+def analyze_txtable(
+    spark: SparkSession,
+    root_path: str,
+    stats_columns: list[str] | None = None,
+    bloom_columns: list[str] | None = None,
+    bloom_bits: int | None = None,
+) -> int:
+    """``ANALYZE TABLE ... COMPUTE STATISTICS`` retargeted at this
+    engine's manifest pruning metadata: set (or change) the table's
+    zone-map ``stats_columns`` and Bloom ``bloom_columns`` AFTER
+    creation, backfilling per-bucket min/max, null counts, and Bloom
+    filters for the CURRENT snapshot in one pass. ``None`` keeps a
+    set unchanged (but still recomputes it); ``[]`` drops it.
+
+    This turns the creation-time restriction ("stats/bloom columns are
+    fixed at CREATE") into a maintenance verb: a table that grew a new
+    query pattern retrofits the pruning metadata its reads now need.
+    The backfill aggregates over the snapshot's PHYSICAL rows — the
+    exact semantics every write-path stats pass uses (deletion vectors
+    never decrement; pruning stays conservative and exact) — and the
+    commit carries every file reference forward untouched: one
+    O(table-scan) aggregate job + one manifest write, no data rewrite.
+    Subsequent writes maintain the new columns incrementally, same as
+    creation-time ones.
+
+    Returns the new version number."""
+    prev = _latest_manifest(spark, root_path)
+    if prev is None:
+        raise FileNotFoundError(f"no committed txtable at {root_path}")
+    _check_features(prev, frozenset({FEATURE_DV}), "analyze")
+    stats_columns = (
+        list(prev.get("stats_columns", []))
+        if stats_columns is None
+        else list(stats_columns)
+    )
+    bloom_columns = (
+        list(prev.get("bloom_columns", []))
+        if bloom_columns is None
+        else list(bloom_columns)
+    )
+    bits = int(bloom_bits or prev.get("bloom_bits", BLOOM_BITS))
+    key = prev["key"]
+    num_buckets = int(prev["num_buckets"])
+    live = sorted(prev["buckets"], key=int)
+    files = [
+        _abs(root_path, rel) for b in live for rel in prev["buckets"][b]
+    ]
+    bucket_stats: dict[str, dict] = {}
+    bucket_nulls: dict[str, dict] = {}
+    bucket_blooms: dict[str, dict] = {}
+    if files and (stats_columns or bloom_columns):
+        df = _read_snapshot_files(spark, prev, files)
+        unknown = [
+            c for c in {*stats_columns, *bloom_columns}
+            if c not in df.columns
+        ]
+        if unknown:
+            raise ValueError(
+                f"ANALYZE columns not in table schema: {sorted(unknown)}"
+            )
+        df = df.select(
+            "*", _bucket_of(key, num_buckets).alias(BUCKET_COL)
+        ).persist()
+        try:
+            if stats_columns:
+                aggs = []
+                for c in stats_columns:
+                    aggs.append(F.min(c).alias(f"__lo_{c}"))
+                    aggs.append(F.max(c).alias(f"__hi_{c}"))
+                    aggs.append(
+                        F.sum(F.col(c).isNull().cast("long")).alias(
+                            f"__nn_{c}"
+                        )
+                    )
+                for r in df.groupBy(BUCKET_COL).agg(*aggs).collect():
+                    bs = str(r[BUCKET_COL])
+                    bucket_stats[bs] = {
+                        c: [
+                            _stat_value(r[f"__lo_{c}"]),
+                            _stat_value(r[f"__hi_{c}"]),
+                        ]
+                        for c in stats_columns
+                    }
+                    bucket_nulls[bs] = {
+                        c: int(r[f"__nn_{c}"] or 0) for c in stats_columns
+                    }
+            for c in bloom_columns:
+                for bs, words in _bloom_sparse_words(df, c, bits).items():
+                    bucket_blooms.setdefault(bs, {})[c] = words
+        finally:
+            df.unpersist()
+    new_version = prev["version"] + 1
+    _commit_manifest(
+        spark,
+        root_path,
+        {
+            **{
+                k: v
+                for k, v in prev.items()
+                if k
+                not in (
+                    "version",
+                    "stats_columns",
+                    "bucket_stats",
+                    "bucket_nulls",
+                    "bloom_columns",
+                    "bucket_blooms",
+                    "bloom_bits",
+                    "operation",
+                    "committed_at_ms",
+                )
+            },
+            "version": new_version,
+            "stats_columns": stats_columns,
+            "bucket_stats": bucket_stats,
+            "bloom_columns": bloom_columns,
+            "bucket_blooms": bucket_blooms,
+            "bloom_bits": bits,
+            **({"bucket_nulls": bucket_nulls} if bucket_nulls else {}),
+            "operation": "ANALYZE",
+            "committed_at_ms": int(time.time() * 1000),
+        },
+    )
+    return new_version
 
 
 def rebucket_txtable(
