@@ -4299,3 +4299,65 @@ def q242_analyze_retrofit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_txtable(
         spark, root, prune_between={"o_totalprice": (100000.0, 150000.0)}
     ).select("o_orderkey", "o_totalprice")
+
+
+# q243's oracle replays winnowing (Schleimer et al. 2003) in DuckDB
+# list lambdas: the identical polynomial k-gram hash fold, the same
+# window argmin with rightmost tie-break (list_max over the positions
+# attaining list_min), 1-based list index arithmetic mapped to the
+# same 0-based output positions. Validated bit-exact against a python
+# reference of the paper before registration.
+_K_WINNOW, _W_WINNOW = 4, 5
+_DUCK_WINNOW = f"""
+    WITH h AS (
+      SELECT doc_id,
+             list_transform(range(1, greatest(len(text) - {_K_WINNOW} + 2, 1)),
+               i -> list_reduce(
+                      list_transform(range(0, {_K_WINNOW}),
+                                     j -> ascii(text[i+j])),
+                      (a, b) -> (CAST(a AS BIGINT) * 31 + b) % 1000000007))
+                 AS hs
+      FROM documents
+      WHERE len(text) >= {_K_WINNOW}
+    ),
+    w AS (
+      SELECT doc_id, hs,
+             unnest(range(1, greatest(len(hs) - {_W_WINNOW - 1}, 1) + 1)) AS t
+      FROM h
+    )
+    SELECT DISTINCT doc_id,
+           CAST(jm - 1 AS BIGINT) AS pos,
+           hs[jm] AS fp
+    FROM (
+      SELECT doc_id, hs,
+             list_max(list_filter(
+                 range(t, least(t + {_W_WINNOW - 1}, len(hs)) + 1),
+                 j -> hs[j] = list_min(
+                     hs[t : least(t + {_W_WINNOW - 1}, len(hs))]))) AS jm
+      FROM w
+    )
+"""
+
+
+@register("q243_winnow_fingerprints", oracle=_DUCK_WINNOW)
+def q243_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (the MOSS algorithm),
+    value-certified: every k-gram polynomial hash, every window's
+    rightmost-minimum selection, and the distinct (doc, pos, fp) set
+    must match DuckDB's lambda replay exactly (~43k selections at
+    sf0.01). Winnowing guarantees any shared substring of length ≥
+    w+k−1 across documents shares a fingerprint — the positional
+    copy-detection primitive (boilerplate, license text, train/eval
+    contamination at substring grain) the whole-document MinHash family
+    cannot give.
+
+    Scale shape: pure higher-order codegen per document (no UDF, no
+    shuffle); selected density ~2/(w+1) per position bounds the output,
+    and downstream copy detection is an integer equi-join on fp."""
+    from ..operators.winnow import winnow_fingerprints
+
+    return winnow_fingerprints(
+        table(spark, sf_dir, "documents"),
+        k=_K_WINNOW,
+        w=_W_WINNOW,
+    )
