@@ -106,6 +106,15 @@ _GATE_ROTATE_IN = (
     "q238_mp4_demux",
     "q239_video_neardup",
     "q240_tblproperties_lifecycle",
+    # Extended-round-11 rotation, second wave — the session's other
+    # three new subsystems, each strict-PASS with gate-safe dtypes:
+    # Aho-Corasick dictionary matching (q241 — oracle is the
+    # brute-force position scan), ANALYZE TABLE retrofit (q242 —
+    # zone-pruned read ≡ plain filter), winnowing fingerprints (q243 —
+    # oracle replays the MOSS algorithm in DuckDB lambdas).
+    "q241_dictionary_match",
+    "q242_analyze_retrofit",
+    "q243_winnow_fingerprints",
 )
 _GATE_ROTATE_OUT = (
     "q05_join_left_outer",
@@ -159,6 +168,17 @@ _GATE_ROTATE_OUT = (
     "q53_html_extract",
     "q22_window_ntile_first_last",
     "q181_kaplan_meier",
+    # second-wave displacements (family coverage retained in-gate):
+    # q215 Apriori — the mining family keeps q206 (skyline) and q208's
+    # local PASS vs its naive oracle; q203 Fellegi-Sunter linkage —
+    # the fuzzy-matching family keeps q176 (grid-blocked duplicate
+    # payments, certified against the all-pairs spec); q68 local
+    # supplier revenue — the TPC-H family keeps q116 (Q3) and q117
+    # (Q10) in-gate with all 22 classics certified past the cap. All
+    # three stay check_oracle-certified every round.
+    "q215_apriori_triples",
+    "q203_record_linkage",
+    "q68_local_supplier_revenue",
 )
 
 
