@@ -1248,6 +1248,63 @@ def txtable_sql(spark: SparkSession, sql: str) -> DataFrame | int | None:
         )
 
     m = re.match(
+        rf"SHOW{_WS}CREATE{_WS}TABLE{_WS}{_TBL}$", text, re.IGNORECASE
+    )
+    if m:
+        # Delta's SHOW CREATE TABLE: a statement script that recreates
+        # the table SHAPE on a fresh path — CREATE (schema, KEY,
+        # BUCKETS, STATS, BLOOM, TBLPROPERTIES) plus one ALTER ... ADD
+        # CONSTRAINT per CHECK constraint, ';\n'-joined (feed each
+        # piece back through txtable_sql). Data does not travel (use
+        # CLONE for that); generated columns have no CREATE grammar
+        # here, so such tables refuse with the API verb named.
+        from .txlog import (
+            _latest_manifest,
+            _manifest_struct,
+            read_txtable,
+            table_constraints,
+            table_properties,
+        )
+
+        path = U(m.group("path"))
+        man = _latest_manifest(spark, path)
+        if man is None:
+            raise FileNotFoundError(f"no committed txtable at {path}")
+        if man.get("generated_columns"):
+            raise UnsupportedSqlError(
+                "SHOW CREATE TABLE: this table has GENERATED ALWAYS AS "
+                "columns, which the CREATE grammar cannot express — "
+                "recreate via txlog_upsert(generated_columns=...)"
+            )
+        st = _manifest_struct(man) or read_txtable(spark, path).schema
+        cols = ", ".join(
+            f"{f.name} {f.dataType.simpleString().upper()}" for f in st.fields
+        )
+        stmt = (
+            f"CREATE TABLE txtable.`{path}` ({cols}) "
+            f"KEY {man['key']} BUCKETS {man['num_buckets']}"
+        )
+        if man.get("stats_columns"):
+            stmt += " STATS (" + ", ".join(man["stats_columns"]) + ")"
+        if man.get("bloom_columns"):
+            stmt += " BLOOM (" + ", ".join(man["bloom_columns"]) + ")"
+        props = table_properties(spark, path)
+        if props:
+            stmt += " TBLPROPERTIES (" + ", ".join(
+                "'{}' = '{}'".format(
+                    k.replace("'", "''"), v.replace("'", "''")
+                )
+                for k, v in sorted(props.items())
+            ) + ")"
+        pieces = [stmt]
+        for name, pred in sorted(table_constraints(spark, path).items()):
+            pieces.append(
+                f"ALTER TABLE txtable.`{path}` ADD CONSTRAINT {name} "
+                f"CHECK ({pred})"
+            )
+        return ";\n".join(pieces)
+
+    m = re.match(
         rf"ANALYZE{_WS}TABLE{_WS}{_TBL}{_WS}COMPUTE{_WS}STATISTICS"
         rf"(?:{_WS}FOR{_WS}COLUMNS{_WS}(?P<cols>[^()]+?))?"
         rf"(?:{_WS}BLOOM\s*\(\s*(?P<bloom>[^)]+?)\s*\))?$",

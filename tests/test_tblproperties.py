@@ -226,3 +226,54 @@ def test_show_on_missing_table_refuses(spark):
         txtable_sql(
             spark, "SHOW TBLPROPERTIES txtable.`/tmp/definitely-missing-xyz`"
         )
+
+
+def test_show_create_table_roundtrip(spark, tmp_path):
+    """SHOW CREATE TABLE emits a script that recreates the table SHAPE
+    (schema, key, buckets, stats/bloom, properties, constraints) on a
+    fresh path."""
+    src = str(tmp_path / "src")
+    txtable_sql(
+        spark,
+        f"CREATE TABLE txtable.`{src}` "
+        "(id BIGINT, amt DECIMAL(10,2), tag STRING) "
+        "KEY id BUCKETS 4 STATS (amt) BLOOM (tag) "
+        "TBLPROPERTIES ('owner' = 'it''s data-eng')",
+    )
+    txtable_sql(
+        spark,
+        f"ALTER TABLE txtable.`{src}` ADD CONSTRAINT amt_pos CHECK (amt >= 0)",
+    )
+    script = txtable_sql(spark, f"SHOW CREATE TABLE txtable.`{src}`")
+    dst = str(tmp_path / "dst")
+    for stmt in script.replace(src, dst).split(";\n"):
+        txtable_sql(spark, stmt)
+    from data_pipeline_demo_spark.sinks.txlog import table_constraints
+
+    d_src = txtable_sql(spark, f"DESCRIBE DETAIL txtable.`{src}`")
+    d_dst = txtable_sql(spark, f"DESCRIBE DETAIL txtable.`{dst}`")
+    for f in ("key", "num_buckets", "properties", "constraints"):
+        assert d_src[f] == d_dst[f], f
+    m_src = txtable_sql(spark, f"SHOW TBLPROPERTIES txtable.`{src}`")
+    assert m_src == {"owner": "it's data-eng"}
+    assert table_constraints(spark, dst) == {"amt_pos": "amt >= 0"}
+    # schema parity via a second SHOW CREATE on the clone-by-script
+    assert txtable_sql(
+        spark, f"SHOW CREATE TABLE txtable.`{dst}`"
+    ) == script.replace(src, dst)
+
+
+def test_show_create_refuses_generated_columns(spark, tmp_path):
+    from data_pipeline_demo_spark.sinks.sql_dml import UnsupportedSqlError
+
+    root = str(tmp_path / "gen")
+    txlog_upsert(
+        spark,
+        spark.createDataFrame([(1, 2.0)], "id long, v double"),
+        root,
+        key="id",
+        num_buckets=2,
+        generated_columns={"v2": "v * 2"},
+    )
+    with pytest.raises(UnsupportedSqlError):
+        txtable_sql(spark, f"SHOW CREATE TABLE txtable.`{root}`")
