@@ -4361,3 +4361,82 @@ def q243_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=_K_WINNOW,
         w=_W_WINNOW,
     )
+
+
+_DUCK_COPY_DETECT = f"""
+    WITH h AS (
+      SELECT doc_id,
+             list_transform(range(1, greatest(len(text) - {_K_WINNOW} + 2, 1)),
+               i -> list_reduce(
+                      list_transform(range(0, {_K_WINNOW}),
+                                     j -> ascii(text[i+j])),
+                      (a, b) -> (CAST(a AS BIGINT) * 31 + b) % 1000000007))
+                 AS hs
+      FROM documents
+      WHERE len(text) >= {_K_WINNOW}
+    ),
+    w AS (
+      SELECT doc_id, hs,
+             unnest(range(1, greatest(len(hs) - {_W_WINNOW - 1}, 1) + 1)) AS t
+      FROM h
+    ),
+    fp AS (
+      SELECT DISTINCT doc_id, hs[jm] AS fp
+      FROM (
+        SELECT doc_id, hs,
+               list_max(list_filter(
+                   range(t, least(t + {_W_WINNOW - 1}, len(hs)) + 1),
+                   j -> hs[j] = list_min(
+                       hs[t : least(t + {_W_WINNOW - 1}, len(hs))]))) AS jm
+        FROM w)
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(COUNT(*) AS BIGINT) AS shared
+    FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= 45
+"""
+
+
+@register("q244_copy_detection", oracle=_DUCK_COPY_DETECT)
+def q244_copy_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document copy detection over winnowing fingerprints,
+    value-certified end-to-end: distinct (doc, fp) selections self-join
+    on the fingerprint VALUE (each shared fp witnesses a shared
+    substring — the winnowing guarantee), pairs aggregate shared-
+    fingerprint counts, and a threshold keeps strongly-overlapping
+    pairs. The DuckDB oracle replays the entire chain — selection AND
+    join AND counts — so the hash certifies the MOSS pipeline as a
+    whole, not just per-document selections (q243).
+
+    Scale shape: the join is an integer equi-join on fingerprints at
+    ~2/(w+1) density; hot fingerprints (common boilerplate) bound each
+    bucket's fan-out by their true document frequency — at 100 TB a
+    stopword-like fp is the skew to watch, and the AQE skew-join
+    setting splits it (SCALE.md §shuffles)."""
+    from ..operators.winnow import winnow_fingerprints
+
+    fp = (
+        winnow_fingerprints(
+            table(spark, sf_dir, "documents"),
+            k=_K_WINNOW,
+            w=_W_WINNOW,
+        )
+        .select("doc_id", "fp")
+        .distinct()
+    )
+    a = fp.alias("a")
+    b = fp.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= 45)
+    )
