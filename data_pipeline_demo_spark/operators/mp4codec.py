@@ -342,10 +342,17 @@ def _demux_stbl(data, stbl, timescale, with_payload):
 
     if b"stts" not in tables or b"stsz" not in tables:
         raise Mp4FormatError("sample table missing stts/stsz")
-    durations: list[int] = []
-    for n, d in _read_table(data, *tables[b"stts"], b"stts", ">II"):
-        durations.extend([d] * n)
+    # stsz's count is bounded by its own table bytes, so parse it FIRST
+    # and let it cap every run-length expansion below: a corrupted (or
+    # adversarial) stts/ctts run count of 0xFFFFFFFF would otherwise
+    # materialize a multi-GB list BEFORE the cross-check (found by
+    # byte-flip fuzzing, round 11)
     n_samples_sz, sizes = _read_stsz(data, *tables[b"stsz"])
+    durations = _expand_runs(
+        _read_table(data, *tables[b"stts"], b"stts", ">II"),
+        n_samples_sz,
+        b"stts",
+    )
     if len(durations) != n_samples_sz:
         raise Mp4FormatError(
             f"stts covers {len(durations)} samples but stsz declares "
@@ -353,9 +360,11 @@ def _demux_stbl(data, stbl, timescale, with_payload):
         )
     offsets_pts = [0] * n_samples_sz
     if b"ctts" in tables:
-        flat: list[int] = []
-        for n, c in _read_table(data, *tables[b"ctts"], b"ctts", ">II"):
-            flat.extend([c] * n)
+        flat = _expand_runs(
+            _read_table(data, *tables[b"ctts"], b"ctts", ">II"),
+            n_samples_sz,
+            b"ctts",
+        )
         if len(flat) != n_samples_sz:
             raise Mp4FormatError("ctts sample count mismatch")
         offsets_pts = flat
@@ -373,10 +382,16 @@ def _demux_stbl(data, stbl, timescale, with_payload):
     if not stsc:
         raise Mp4FormatError("sample table missing stsc")
 
-    # expand the stsc runs into per-chunk sample counts
+    # expand the stsc runs into per-chunk sample counts; every `until`
+    # is clamped to the stco-derived chunk count so corrupted
+    # first_chunk values cannot blow the expansion up (same fuzz class
+    # as the stts/ctts run counts)
     per_chunk: list[int] = []
     for i, (first, spc, _sdi) in enumerate(stsc):
         until = stsc[i + 1][0] if i + 1 < len(stsc) else len(chunk_offs) + 1
+        until = min(until, len(chunk_offs) + 1)
+        if until - first > len(chunk_offs) - len(per_chunk):
+            raise Mp4FormatError("stsc chunk map overruns stco")
         per_chunk.extend([spc] * (until - first))
     if len(per_chunk) != len(chunk_offs):
         raise Mp4FormatError("stsc chunk map does not cover stco")
@@ -420,10 +435,34 @@ def _demux_stbl(data, stbl, timescale, with_payload):
     }
 
 
+def _expand_runs(
+    runs: list[tuple[int, int]], cap: int, typ: bytes
+) -> list[int]:
+    """Run-length expansion bounded by the independently-derived sample
+    count: a corrupted run count must refuse, not materialize."""
+    out: list[int] = []
+    for n, v in runs:
+        if n > cap - len(out):
+            raise Mp4FormatError(
+                f"{typ.decode()} run count overruns the declared "
+                f"{cap} samples"
+            )
+        out.extend([v] * n)
+    return out
+
+
 def _read_stsz(data: bytes, s: int, e: int) -> tuple[int, list[int]]:
     s, e = _full_payload(data, s, e, b"stsz")
     fixed, count = struct.unpack_from(">II", data, s)
     if fixed:
+        # fixed-size form: `count` is a bare u32 a corrupted file can
+        # set to 4 billion — bound it by the file itself before
+        # materializing (count * fixed bytes must fit in the movie)
+        if count * fixed > len(data):
+            raise Mp4FormatError(
+                f"stsz declares {count} samples of {fixed} bytes — "
+                "larger than the movie itself"
+            )
         return count, [fixed] * count
     s += 8
     if s + count * 4 > e:

@@ -249,3 +249,37 @@ def test_demux_refuses_stsc_not_covering_stco():
     assert good in blob
     with pytest.raises(Mp4FormatError):
         demux_mp4(blob.replace(good, bad))
+
+
+def test_fuzz_exception_discipline_and_bounded_expansion():
+    """Every truncation, byte flip, and garbage input either parses or
+    raises Mp4FormatError — never a raw struct/Index error, and never a
+    pathological expansion (a corrupted stts/ctts/stsc run count or
+    fixed-stsz sample count used to materialize multi-GB lists before
+    any cross-check; the whole sweep now runs in seconds)."""
+    import random
+
+    random.seed(42)
+    samples = [
+        {"payload": bytes([i]) * (10 + i % 7), "duration": (i % 3 + 1) * 100,
+         "keyframe": i % 4 == 0, "ctts": (i % 2) * 50}
+        for i in range(9)
+    ]
+    blob = mux_mp4(samples)
+
+    def check(b):
+        try:
+            demux_mp4(b)
+        except Mp4FormatError:
+            pass
+
+    for cut in range(0, len(blob), 7):
+        check(blob[:cut])
+    for _ in range(600):
+        i = random.randrange(len(blob))
+        b = bytearray(blob)
+        b[i] = random.randrange(256)
+        check(bytes(b))
+    for _ in range(150):
+        check(bytes(random.randrange(256)
+                    for _ in range(random.randrange(0, 200))))
