@@ -104,9 +104,16 @@ def _list_source_files(
 
         local = None
         if source.startswith("file:"):
-            local = source[len("file:"):]
-            while local.startswith("//"):
-                local = local[1:]
+            rest = source[len("file:"):]
+            # Only the authority-LESS forms are safe to read locally:
+            # ``file:///p`` / ``file:/p``. An authority form like
+            # ``file://host/p`` is read by Hadoop as ``/p`` (authority
+            # ignored), while a naive strip would read ``/host/p`` —
+            # fall through to the Hadoop listing so both paths agree.
+            if rest.startswith("///"):
+                local = rest[2:]
+            elif rest.startswith("/") and not rest.startswith("//"):
+                local = rest
         elif "://" not in source:
             local = source
         if local is not None and os.path.isdir(local):

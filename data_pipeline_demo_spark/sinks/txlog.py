@@ -809,8 +809,16 @@ def _copy_chain(
     """The manifest's copylog chain as ``[(rel, payload), ...]``,
     NEWEST first. Empty for tables without a sidecar pointer."""
     out: list[tuple[str, dict]] = []
+    seen: set[str] = set()
     node = (manifest.get("copy_log") or {}).get("head")
     while node:
+        if node in seen:
+            raise ValueError(
+                "txtable: corrupted copylog chain at "
+                f"{root_path!r}: sidecar {node!r} links back to "
+                "itself/an ancestor (cycle)"
+            )
+        seen.add(node)
         payload = _read_copylog_sidecar(spark, root_path, node)
         out.append((node, payload))
         node = payload.get("prev")
@@ -1327,6 +1335,7 @@ def txlog_upsert(
     evolve_schema: bool = False,
     generated_columns: dict[str, str] | None = None,
     not_matched_by_source_delete: bool | str = False,
+    replace: bool = False,
 ) -> int:
     """MERGE a batch into the log-backed table; returns the post-merge
     row count (touched rows counted from the merge output, untouched
@@ -1390,6 +1399,14 @@ def txlog_upsert(
     races because the version claim is atomic — a loser re-reads the
     log and re-evaluates the watermark.
 
+    ``replace`` (Delta's ``CREATE OR REPLACE TABLE``): an existing
+    table is redefined in ONE commit — new key/buckets/schema/stats/
+    bloom/generated columns, batch rows as the new contents, COPY
+    history and writer watermarks reset, constraints and TBLPROPERTIES
+    cleared — while every prior version stays time-travelable (RESTORE
+    to a pre-replace version brings the old table back). No-op when
+    the table doesn't exist yet (plain create).
+
     Crash safety: every write lands in a fresh ``data/<uuid>/`` dir; a
     crash anywhere before the manifest rename leaves the table bit-for-
     bit at the previous snapshot and the partial files invisible (and
@@ -1401,7 +1418,24 @@ def txlog_upsert(
         raise ValueError("txn_app_id and txn_version must be set together")
     prev = _latest_manifest(spark, root_path)
     if prev is not None:
-        _check_features(prev, frozenset({FEATURE_DV}), "MERGE into")
+        _check_features(
+            prev,
+            frozenset({FEATURE_DV}),
+            "REPLACE" if replace else "MERGE into",
+        )
+    replaced_version: int | None = None
+    if replace and prev is not None:
+        # CREATE OR REPLACE semantics (Delta parity): the next commit
+        # defines a brand-new table shape — fresh key/buckets/schema/
+        # stats/bloom/generated columns, empty starting snapshot, reset
+        # COPY history and writer watermarks — while every PRIOR version
+        # stays time-travelable under its own manifest (atomic: one
+        # manifest claim, same race rules as any write). Constraints
+        # and TBLPROPERTIES reset after the commit lands (they are
+        # write-side governance, not time-traveled state — Delta
+        # stores both in the replaced metadata too).
+        replaced_version = prev["version"]
+        prev = None
     version = 0
     buckets: dict[str, list[str]] = {}
     row_counts: dict[str, int] = {}
@@ -1474,6 +1508,8 @@ def txlog_upsert(
         generated_columns = dict(generated_columns or {})
         bucket_blooms = {}
         bucket_nulls = {}
+        if replaced_version is not None:
+            version = replaced_version + 1
     if txn_app_id is not None:
         app_txns[txn_app_id] = txn_version
 
@@ -1510,8 +1546,11 @@ def txlog_upsert(
         schema_fields = None
 
     # CHECK constraints gate the batch BEFORE any file is written
-    # (one counting pass, only when the table declares constraints)
-    _enforce_table_constraints(spark, root_path, updates)
+    # (one counting pass, only when the table declares constraints).
+    # REPLACE resets constraints, so the replaced table's old rules
+    # must not gate the new definition's first batch.
+    if replaced_version is None:
+        _enforce_table_constraints(spark, root_path, updates)
 
     updates = updates.dropDuplicates([key]).withColumn(
         BUCKET_COL, _bucket_of(key, num_buckets)
@@ -1588,10 +1627,25 @@ def txlog_upsert(
             ),
             **(_dv_carry(prev, touched) if prev is not None else {}),
             **_copy_carry(prev),
-            "operation": "MERGE" if prev is not None else "CREATE",
+            "operation": (
+                "REPLACE"
+                if replaced_version is not None
+                else ("MERGE" if prev is not None else "CREATE")
+            ),
             "committed_at_ms": int(time.time() * 1000),
         },
     )
+    if replaced_version is not None:
+        # reset write-side governance AFTER the commit landed (a lost
+        # commit race must not wipe the incumbent's constraints/props)
+        cv, cons = _latest_constraints(spark, root_path)
+        if cons:
+            _publish_constraints(spark, root_path, {}, cv)
+        pv, props = _latest_sidecar_json(spark, root_path, PROPERTIES_DIR)
+        if props:
+            _publish_sidecar_json(
+                spark, root_path, PROPERTIES_DIR, {}, pv, "table properties"
+            )
     remaining_dv = (
         _dv_carry(prev, touched).get("dv_counts", {})
         if prev is not None

@@ -692,3 +692,58 @@ def test_copy_chain_self_compacts_past_max(spark, tmp_path, monkeypatch):
     assert man["copy_log"]["count"] == 5
     r = CI.copy_into(spark, root, land, "parquet")
     assert r["num_skipped_files"] == 5
+
+
+def test_copy_chain_cycle_raises_loudly(spark, tmp_path):
+    """Round-12 advisor finding: a corrupted sidecar whose `prev`
+    points at itself (or an ancestor) must raise a corruption error,
+    not hang every chain walker in an infinite loop."""
+    import json as _json
+
+    from data_pipeline_demo_spark.sinks.txlog import _copy_chain
+
+    land = str(tmp_path / "land")
+    root = str(tmp_path / "t")
+    _create(spark, root)
+    _land_parquet(spark, land, "a", [(1, "a")], "id long, v string")
+    copy_into(spark, root, land, "parquet")
+    man = _latest_manifest(spark, root)
+    head = man["copy_log"]["head"]
+    p = os.path.join(root, head)
+    payload = _json.loads(open(p).read())
+    payload["prev"] = head  # self-link
+    open(p, "w").write(_json.dumps(payload))
+    crc = os.path.join(
+        os.path.dirname(p), "." + os.path.basename(p) + ".crc"
+    )
+    if os.path.exists(crc):  # drop Hadoop's stale local-FS checksum
+        os.remove(crc)
+    with pytest.raises(ValueError, match="cycle"):
+        _copy_chain(spark, root, man)
+    with pytest.raises(ValueError, match="cycle"):
+        copy_into(spark, root, land, "parquet")
+
+
+def test_list_source_files_authority_uri_uses_hadoop_path(spark, tmp_path):
+    """Round-12 advisor finding: `file://host/path` (authority form) is
+    read by Hadoop as /path — the local fast path must not read
+    /host/path for the same string. Authority-less forms still take
+    the fast path and agree with Hadoop."""
+    from data_pipeline_demo_spark.sinks.copy_into import _list_source_files
+
+    land = tmp_path / "land"
+    land.mkdir()
+    _land_parquet(
+        spark, str(land), "a", [(1, "a")], "id long, v string"
+    )
+    plain = _list_source_files(spark, str(land), None)
+    assert len(plain) == 1
+    # the two authority-less spellings agree with the bare path
+    for spelling in (f"file://{land}", f"file:{land}"):
+        assert _list_source_files(spark, spelling, None) == plain
+    # authority form falls through to Hadoop, which refuses it loudly
+    # ("Wrong FS") — before the fix the naive strip silently listed
+    # /<authority>/<path> locally instead
+    bogus = f"file://{str(land).lstrip('/')}"  # first segment = authority
+    with pytest.raises(Exception, match="Wrong FS|file://"):
+        _list_source_files(spark, bogus, None)

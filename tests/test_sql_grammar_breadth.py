@@ -82,10 +82,6 @@ def test_restore_short_forms(spark, t):
 def test_precise_refusals_for_common_delta_ddl(spark, t):
     cases = [
         (
-            f"CREATE OR REPLACE TABLE txtable.`{t}` (id BIGINT)",
-            "DROP TABLE then",
-        ),
-        (
             "CREATE TABLE txtable.`/x/new` (id BIGINT) USING DELTA",
             "already transactional",
         ),
