@@ -486,6 +486,7 @@ def copy_into(
             "operation": "COPY INTO",
             "committed_at_ms": int(time.time() * 1000),
         },
+        prev=prev,
     )
     return {
         "num_loaded_files": len(new_files),

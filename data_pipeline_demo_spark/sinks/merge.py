@@ -582,6 +582,7 @@ def txlog_merge(
             "operation": "MERGE",
             "committed_at_ms": int(time.time() * 1000),
         },
+        prev=prev,
     )
     res.version = version
     return res

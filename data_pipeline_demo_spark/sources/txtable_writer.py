@@ -70,6 +70,7 @@ from pyspark.sql.datasource import (
 
 from .txtable_source import (
     COMMITS_DIR,
+    SHARDS_DIR,
     _fs_root,
     _latest_version,
     _LocalFS,
@@ -1151,6 +1152,7 @@ def commit_files(
             "operation": "OVERWRITE" if overwrite else "APPEND",
             "committed_at_ms": _now_ms(),
         }
+        manifest = _deflate_manifest_py(fs, root, manifest, prev)
         payload = json.dumps(manifest).encode("utf-8")
         if put_manifest_if_absent(
             fs, root, version, payload, http_claim=spec.get("http_claim")
@@ -1159,6 +1161,70 @@ def commit_files(
     raise ConcurrentCommitError(
         f"lost {_MAX_COMMIT_RETRIES} commit races at {root}"
     )
+
+
+def _write_shard_py(fs, root: str, payload: dict) -> str:
+    """Write one immutable manifest shard through the python fs
+    abstraction; returns its root-relative path. No atomicity needed —
+    a shard is invisible until a committed root references it."""
+    import json
+
+    rel = f"{SHARDS_DIR}/{uuid.uuid4().hex}.json"
+    path = root.rstrip("/") + "/" + rel
+    data = json.dumps(payload).encode("utf-8")
+    if isinstance(fs, _LocalFS):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "wb") as f:
+            f.write(data)
+    else:
+        impl = fs.fs()
+        try:
+            impl.makedirs(root.rstrip("/") + "/" + SHARDS_DIR, exist_ok=True)
+        except Exception:
+            pass
+        impl.pipe_file(path, data)
+    return rel
+
+
+def _deflate_manifest_py(fs, root: str, manifest: dict, prev) -> dict:
+    """Python mirror of ``sinks.txlog._deflate_manifest``: on a sharded
+    table (config carried from ``prev`` — the python writer never
+    enables sharding itself), move the bucket file lists into per-group
+    shard files, reusing prev's immutable shard for every group whose
+    content is unchanged (proven by direct comparison against prev's
+    inflated buckets). Mutates and returns ``manifest``."""
+    cfg = (prev or {}).get("manifest_sharding")
+    if not cfg:
+        manifest.pop("manifest_shards", None)
+        return manifest
+    groups = max(1, int(cfg.get("groups", 32)))
+    buckets = manifest.pop("buckets", {}) or {}
+    by_group: dict[int, dict] = {}
+    for b, rels in buckets.items():
+        if rels:
+            by_group.setdefault(int(b) % groups, {})[str(b)] = list(rels)
+    prev_ptrs = {
+        int(g): rel
+        for g, rel in (prev.get("manifest_shards") or {}).items()
+    }
+    prev_groups: dict[int, dict] = {}
+    for b, rels in (prev.get("buckets") or {}).items():
+        if rels:
+            prev_groups.setdefault(int(b) % groups, {})[str(b)] = rels
+    ptrs: dict[str, str] = {}
+    for g in sorted(by_group):
+        if g in prev_ptrs and prev_groups.get(g) == by_group[g]:
+            ptrs[str(g)] = prev_ptrs[g]
+        else:
+            ptrs[str(g)] = _write_shard_py(
+                fs, root, {"buckets": by_group[g]}
+            )
+    manifest["manifest_sharding"] = {"groups": groups}
+    manifest["manifest_shards"] = ptrs
+    manifest["requires"] = sorted(
+        set(manifest.get("requires", [])) | {"manifest-shards"}
+    )
+    return manifest
 
 
 def _abort_files(fs, root: str, messages) -> None:
