@@ -39,6 +39,13 @@ import struct
 # Spec constants (ITU-T T.81 Annex K — public example tables).
 # ---------------------------------------------------------------------------
 
+# Decode-side cap on DECLARED pixel count (64 MP — beyond any phone
+# camera's stills): coefficient planes allocate O(w*h) int32 per
+# component straight off the SOF header, so a corrupted dimension field
+# must not materialize gigabytes (round-12 byte-flip fuzz finding,
+# same class as the MP4 demux run-count bound).
+JPEG_MAX_PIXELS = 64_000_000
+
 ZIGZAG = (
     0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
     12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
@@ -369,6 +376,18 @@ def _decode_scan(scan, comps, planes, hmax, vmax, width, height, ncomp):
     unit_in_seg = 0
 
     def _decode_one(blk, dc_codes, ac_codes, idx):
+        # Corruption bound (round-12 byte-flip fuzz, the q238-class
+        # hazard): the bit reader zero-pads past end-of-data — correct
+        # for a real stream's final-byte padding, but a corrupted SOF
+        # declaring huge dimensions would otherwise decode synthetic
+        # zeros for O(declared blocks) time. A legitimate stream never
+        # reads more than a byte or two past its end; 64 bytes of slack
+        # is generous, anything beyond is provably corrupt.
+        if reader.pos > len(reader.data) + 64:
+            raise ValueError(
+                "JPEG entropy data exhausted mid-scan (truncated or "
+                "corrupt stream)"
+            )
         if ah == 0:
             _decode_block_first(
                 reader, blk, ss, se, al, dc_codes, ac_codes, preds, idx, state
@@ -471,6 +490,19 @@ def jpeg_decode(payload: bytes):
                 raise ValueError(f"{depth}-bit JPEG unsupported (8-bit only)")
             progressive = marker == 0xC2
             height, width = struct.unpack(">HH", body[1:5])
+            if not width or not height:
+                raise ValueError("JPEG SOF declares zero dimension")
+            if width * height > JPEG_MAX_PIXELS:
+                # corruption bound (round-12 byte-flip fuzz): planes
+                # allocate O(w*h) int32 per component BEFORE any scan
+                # cross-checks the data — a flipped SOF byte must not
+                # materialize gigabytes (the q238-class hazard)
+                raise ValueError(
+                    f"JPEG SOF declares {width}x{height} "
+                    f"(> {JPEG_MAX_PIXELS} px cap; raise "
+                    "jpegcodec.JPEG_MAX_PIXELS for legitimate "
+                    "ultra-high-resolution streams)"
+                )
             ncomp = body[5]
             comps = []
             for c in range(ncomp):

