@@ -145,3 +145,40 @@ def winnow_fingerprints(
         )
     )
     return out
+
+
+def copy_detection_pairs(
+    fp: DataFrame,
+    min_shared: int,
+    id_col: str = "doc_id",
+    fp_col: str = "fp",
+) -> DataFrame:
+    """The cross-document copy-detection join (q244's shape, factored
+    so the skew stress can drive the exact production path): distinct
+    (doc, fp) selections self-join on the fingerprint VALUE, pairs
+    aggregate shared-fingerprint counts, a threshold keeps strongly-
+    overlapping pairs.
+
+    Scale shape: integer equi-join at ~2/(w+1) density. The skew to
+    watch at 100 TB is a stopword-grade fingerprint (common
+    boilerplate) whose bucket fans out quadratically; with AQE's
+    skew-join enabled Spark splits that partition at runtime —
+    tests/test_copy_skew.py plants a 30%-document-frequency
+    fingerprint and asserts the executed plan shows
+    ``SortMergeJoin(skew=true)``."""
+    sel = fp.select(id_col, fp_col).distinct()
+    a = sel.alias("a")
+    b = sel.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col(f"a.{fp_col}") == F.col(f"b.{fp_col}"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+    )

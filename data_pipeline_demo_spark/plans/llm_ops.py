@@ -4414,32 +4414,14 @@ def q244_copy_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket's fan-out by their true document frequency — at 100 TB a
     stopword-like fp is the skew to watch, and the AQE skew-join
     setting splits it (SCALE.md §shuffles)."""
-    from ..operators.winnow import winnow_fingerprints
+    from ..operators.winnow import copy_detection_pairs, winnow_fingerprints
 
-    fp = (
-        winnow_fingerprints(
-            table(spark, sf_dir, "documents"),
-            k=_K_WINNOW,
-            w=_W_WINNOW,
-        )
-        .select("doc_id", "fp")
-        .distinct()
+    fp = winnow_fingerprints(
+        table(spark, sf_dir, "documents"),
+        k=_K_WINNOW,
+        w=_W_WINNOW,
     )
-    a = fp.alias("a")
-    b = fp.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.fp") == F.col("b.fp"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-        )
-        .agg(F.count(F.lit(1)).alias("shared"))
-        .filter(F.col("shared") >= 45)
-    )
+    return copy_detection_pairs(fp, min_shared=45)
 
 
 # q245's oracle recomputes, in pure SQL, the per-frame PIXEL statistics
