@@ -71,7 +71,8 @@ _GATE_ROTATE_IN = (
     # dtypes (bigint/string/double only).
     "q226_sql_cdc_read",
     "q228_lexicon_sentiment",
-    "q229_sql_insert_lifecycle",
+    # (q229_sql_insert_lifecycle rotated in here round 10; moved to the
+    # rotate-OUT list round 12 — see its entry there for the reason)
     # Late-round-10: COPY INTO — file-level exactly-once ingest, the
     # verb that mirrors the reference's own per-file dedup guard
     # (data_pipeline.py:106-161) — and the conditional/multi-action
@@ -126,6 +127,12 @@ _GATE_ROTATE_IN = (
     # driver-faithful comparator with gate-safe dtypes.
     "q244_copy_detection",
     "q245_mjpeg_pixel_decode",
+    # Round-12, second wave: the sharded-manifest lakehouse attested
+    # through the SQL surface (q246 — CREATE+TBLPROPERTIES enables
+    # per-bucket-group shards, then INSERT/UPDATE/DELETE/SELECT run a
+    # full lifecycle on the sharded root; the oracle replays it
+    # arithmetically). Strict-PASS with gate-safe dtypes.
+    "q246_sharded_lifecycle",
 )
 _GATE_ROTATE_OUT = (
     "q05_join_left_outer",
@@ -198,6 +205,12 @@ _GATE_ROTATE_OUT = (
     # Both stay check_oracle-certified past the cap every round.
     "q206_skyline",
     "q191_seasonal_decompose",
+    # second wave: q229 INSERT-lifecycle — the INSERT statement forms
+    # stay attested in-gate via q232 (VALUES + SELECT refill after
+    # TRUNCATE) and q246 (SELECT bands into the sharded root); q229's
+    # column-list/OVERWRITE specifics stay check_oracle-certified past
+    # the cap every round.
+    "q229_sql_insert_lifecycle",
 )
 
 

@@ -4486,3 +4486,83 @@ def q245_mjpeg_pixel_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("min_pixel").cast("long").alias("min_pixel"),
         F.col("max_pixel").cast("long").alias("max_pixel"),
     )
+
+
+# q246's oracle recomputes the surviving rows of a full DML lifecycle
+# run against a SHARDED-manifest table (round-12 directive #1 made
+# SQL-reachable): band-1 insert, UPDATE bump under 1000, DELETE of the
+# %10=3 keys, band-2 insert AFTER the delete. A hash match certifies
+# that every verb (CREATE+TBLPROPERTIES, INSERT, UPDATE, DELETE,
+# SELECT) reads and writes the sharded root correctly — bucket file
+# lists live in _manifest_shards/ group files, never in the root.
+_DUCK_SHARDED_LIFECYCLE = """
+    SELECT o_orderkey, o_custkey,
+           CAST(o_totalprice
+                + CASE WHEN o_orderkey < 1000 THEN 10 ELSE 0 END
+                AS DOUBLE) AS o_totalprice
+    FROM orders WHERE o_orderkey < 4000 AND o_orderkey % 10 <> 3
+    UNION ALL
+    SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DOUBLE)
+    FROM orders WHERE o_orderkey >= 4000 AND o_orderkey < 5000
+"""
+
+
+@register("q246_sharded_lifecycle", oracle=_DUCK_SHARDED_LIFECYCLE)
+def q246_sharded_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sharded-manifest lakehouse, attested through the SQL
+    surface: CREATE TABLE ... TBLPROPERTIES('txtable.manifestShards'=
+    '8') commits a root that carries only O(groups) shard pointers
+    (file lists live in immutable _manifest_shards/ files; commits
+    rewrite only touched groups — the Iceberg manifest-list idea), then
+    the ordinary DML verbs run unchanged on top: INSERT a band, UPDATE
+    a sub-band, DELETE a key stripe, INSERT a second band, SELECT the
+    survivors. The DuckDB oracle replays the lifecycle arithmetically.
+
+    Scale: at 10^6+ files an unsharded commit rewrites an O(live
+    files) manifest every time; here commit metadata cost is flat
+    (measured: 0.13s vs 1.45s at 1M fabricated entries,
+    tools/manifest_soak.py) and pruning stats stay in the root."""
+    import tempfile
+
+    from ..sinks.sql_dml import txtable_sql
+    from ..sinks.txlog import _latest_manifest
+
+    root = tempfile.mkdtemp(prefix="q246-shard-") + "/t"
+    txtable_sql(
+        spark,
+        f"CREATE TABLE txtable.`{root}` (o_orderkey BIGINT, "
+        "o_custkey BIGINT, o_totalprice DOUBLE) KEY o_orderkey BUCKETS 8 "
+        "TBLPROPERTIES ('txtable.manifestShards' = '8')",
+    )
+    man = _latest_manifest(spark, root)
+    assert man.get("manifest_sharding") == {"groups": 8}, man.get(
+        "manifest_sharding"
+    )
+    table(spark, sf_dir, "orders").createOrReplaceTempView("q246_orders_src")
+    txtable_sql(
+        spark,
+        f"INSERT INTO txtable.`{root}` "
+        "SELECT o_orderkey, o_custkey, o_totalprice "
+        "FROM q246_orders_src WHERE o_orderkey < 4000",
+    )
+    txtable_sql(
+        spark,
+        f"UPDATE txtable.`{root}` SET o_totalprice = o_totalprice + 10 "
+        "WHERE o_orderkey < 1000",
+    )
+    txtable_sql(
+        spark, f"DELETE FROM txtable.`{root}` WHERE o_orderkey % 10 = 3"
+    )
+    txtable_sql(
+        spark,
+        f"INSERT INTO txtable.`{root}` "
+        "SELECT o_orderkey, o_custkey, o_totalprice "
+        "FROM q246_orders_src "
+        "WHERE o_orderkey >= 4000 AND o_orderkey < 5000",
+    )
+    man = _latest_manifest(spark, root)
+    assert man.get("manifest_sharding") == {"groups": 8}  # mode sticks
+    return txtable_sql(
+        spark,
+        f"SELECT o_orderkey, o_custkey, o_totalprice FROM txtable.`{root}`",
+    )

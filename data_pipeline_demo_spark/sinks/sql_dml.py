@@ -366,6 +366,29 @@ def _extract_generated_columns(
     return ", ".join(ddl_parts), gen
 
 
+def _shards_prop(props: dict) -> int | None:
+    """Delta-convention feature property: CREATE TABLE ...
+    TBLPROPERTIES('txtable.manifestShards'='32') enables per-bucket-
+    group manifest sharding at creation (the property stays visible in
+    SHOW TBLPROPERTIES as documentation; the manifest's own
+    ``manifest_sharding`` field is the source of truth)."""
+    v = props.get("txtable.manifestShards")
+    if v is None:
+        return None
+    try:
+        n = int(v)
+    except ValueError:
+        raise UnsupportedSqlError(
+            f"txtable.manifestShards must be an integer group count; "
+            f"got {v!r}"
+        ) from None
+    if n < 1:
+        raise UnsupportedSqlError(
+            "txtable.manifestShards must be >= 1"
+        )
+    return n
+
+
 def _bq(name: str) -> str:
     """Backtick-quote an identifier for emitted DDL (SHOW CREATE
     TABLE): spaces, reserved words, and dots stay one identifier;
@@ -1173,7 +1196,15 @@ def txtable_sql(
             "properties": table_properties(spark, path),
             "stats_columns": man.get("stats_columns", []),
             "bloom_columns": man.get("bloom_columns", []),
-            "table_features": man.get("requires", []),
+            # manifest sharding: 0 = unsharded root; the requires token
+            # is re-surfaced here (inflation satisfies and strips it)
+            "manifest_shard_groups": int(
+                (man.get("manifest_sharding") or {}).get("groups", 0)
+            ),
+            "table_features": sorted(
+                set(man.get("requires", []))
+                | ({"manifest-shards"} if man.get("manifest_sharding") else set())
+            ),
             "constraints": table_constraints(spark, path),
             "committed_at_ms": man.get("committed_at_ms"),
         }
@@ -1537,17 +1568,19 @@ def txtable_sql(
         df = spark.sql(U(_rewrite_selects(spark, m.group("sel"), U)))
         key = (U(m.group("key")) or df.columns[0]).strip("`")
         _require_unique_key(df, key, clause="CTAS")
+        props = (
+            _parse_props_kv(m.group("props"), U) if m.group("props") else {}
+        )
         n = txlog_upsert(
             spark, df, dst, key=key,
             num_buckets=int(m.group("nb") or 16),
             replace=bool(m.group("repl")),
+            manifest_shards=_shards_prop(props),
         )
-        if m.group("props"):
+        if props:
             from .txlog import set_table_properties
 
-            set_table_properties(
-                spark, dst, _parse_props_kv(m.group("props"), U)
-            )
+            set_table_properties(spark, dst, props)
         return n
 
     if re.match(
@@ -1613,6 +1646,9 @@ def txtable_sql(
         split = lambda s: [  # noqa: E731
             U(c.strip()).strip("`") for c in s.split(",")
         ]
+        props = (
+            _parse_props_kv(m.group("props"), U) if m.group("props") else {}
+        )
         n = txlog_upsert(
             spark, empty, dst, key=key,
             num_buckets=int(m.group("nb") or 16),
@@ -1620,13 +1656,12 @@ def txtable_sql(
             bloom_columns=split(m.group("bloom")) if m.group("bloom") else None,
             generated_columns=gen or None,
             replace=bool(m.group("repl")),
+            manifest_shards=_shards_prop(props),
         )
-        if m.group("props"):
+        if props:
             from .txlog import set_table_properties
 
-            set_table_properties(
-                spark, dst, _parse_props_kv(m.group("props"), U)
-            )
+            set_table_properties(spark, dst, props)
         return n
 
     if re.search(rf"{_WS}USING{_WS}DELTA\b", text, re.IGNORECASE) and re.match(
