@@ -1393,7 +1393,15 @@ def txtable_sql(
             stmt += " BLOOM (" + ", ".join(
                 _bq(c) for c in man["bloom_columns"]
             ) + ")"
-        props = table_properties(spark, path)
+        props = dict(table_properties(spark, path))
+        if man.get("manifest_sharding"):
+            # the manifest is the source of truth for sharding (a table
+            # enabled via txlog_upsert(manifest_shards=) carries no
+            # sidecar property) — emit it so the recreate script
+            # produces a sharded table too
+            props["txtable.manifestShards"] = str(
+                man["manifest_sharding"]["groups"]
+            )
         if props:
             stmt += " TBLPROPERTIES (" + ", ".join(
                 "'{}' = '{}'".format(

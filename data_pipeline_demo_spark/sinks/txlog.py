@@ -1564,9 +1564,11 @@ def txlog_upsert(
     table is redefined in ONE commit — new key/buckets/schema/stats/
     bloom/generated columns, batch rows as the new contents, COPY
     history and writer watermarks reset, constraints and TBLPROPERTIES
-    cleared — while every prior version stays time-travelable (RESTORE
-    to a pre-replace version brings the old table back). No-op when
-    the table doesn't exist yet (plain create).
+    cleared, manifest sharding reset (pass ``manifest_shards`` to keep
+    the replacement sharded) — while every prior version stays
+    time-travelable (RESTORE to a pre-replace version brings the old
+    table back). No-op when the table doesn't exist yet (plain
+    create).
 
     Crash safety: every write lands in a fresh ``data/<uuid>/`` dir; a
     crash anywhere before the manifest rename leaves the table bit-for-

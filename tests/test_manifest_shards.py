@@ -259,3 +259,38 @@ def test_commit_root_bytes_flat_as_files_grow(spark, tmp_path):
     )
     assert read_txtable(spark, sharded).count() == 22
     assert len(_latest_manifest(spark, sharded)["manifest_shards"]) == 8
+
+
+def test_show_create_roundtrip_keeps_sharding(spark, t, tmp_path):
+    from data_pipeline_demo_spark.sinks.sql_dml import txtable_sql
+
+    script = txtable_sql(spark, f"SHOW CREATE TABLE txtable.`{t}`")
+    assert "'txtable.manifestShards' = '4'" in script
+    dst = str(tmp_path / "rt")
+    for stmt in script.replace(t, dst).split(";\n"):
+        txtable_sql(spark, stmt)
+    man = _latest_manifest(spark, dst)
+    assert man.get("manifest_sharding") == {"groups": 4}
+    raw, _ = _root_json(dst)
+    assert "buckets" not in raw
+
+
+def test_replace_resets_sharding_unless_respecified(spark, t):
+    from data_pipeline_demo_spark.sinks.sql_dml import txtable_sql
+
+    txtable_sql(
+        spark,
+        f"CREATE OR REPLACE TABLE txtable.`{t}` (id BIGINT, v DOUBLE) "
+        "KEY id",
+    )
+    man = _latest_manifest(spark, t)
+    assert not man.get("manifest_sharding")
+    raw, _ = _root_json(t)
+    assert "manifest_shards" not in raw
+    # re-specifying through TBLPROPERTIES keeps the replacement sharded
+    txtable_sql(
+        spark,
+        f"CREATE OR REPLACE TABLE txtable.`{t}` (id BIGINT, v DOUBLE) "
+        "KEY id TBLPROPERTIES ('txtable.manifestShards' = '2')",
+    )
+    assert _latest_manifest(spark, t)["manifest_sharding"] == {"groups": 2}
