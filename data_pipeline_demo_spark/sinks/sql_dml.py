@@ -36,7 +36,8 @@ the same statements they would against Delta:
     ALTER TABLE txtable.`/path/t` ADD COLUMN score double
     ALTER TABLE txtable.`/path/t` DROP COLUMN score
     ALTER TABLE txtable.`/path/t` RENAME COLUMN score TO rating
-    CREATE TABLE txtable.`/path/t2` [SHALLOW|DEEP] CLONE txtable.`/path/t`
+    CREATE [OR REPLACE] TABLE txtable.`/path/t2` [SHALLOW|DEEP] CLONE
+        txtable.`/path/t`
         [VERSION AS OF 2 | TIMESTAMP AS OF '2026-01-01T00:00:00']
 
 Statement SHAPES outside this grammar (conditional MERGE clauses,
@@ -1511,7 +1512,8 @@ def txtable_sql(
         return {key: props[key]}
 
     m = re.match(
-        rf"CREATE{_WS}TABLE{_WS}txtable\.`(?P<dst>[^`]+)`"
+        rf"CREATE{_WS}(?:(?P<repl>OR{_WS}REPLACE){_WS})?"
+        rf"TABLE{_WS}txtable\.`(?P<dst>[^`]+)`"
         rf"{_WS}(?:(?P<deep>DEEP){_WS}|SHALLOW{_WS})?CLONE"
         rf"{_WS}txtable\.`(?P<src>[^`]+)`"
         rf"(?:{_WS}VERSION{_WS}AS{_WS}OF{_WS}(?P<ver>\d+)"
@@ -1522,7 +1524,9 @@ def txtable_sql(
     if m:
         # Delta's CLONE statement: SHALLOW (default, like Delta) is the
         # zero-copy metadata branch; DEEP copies data files. Time travel
-        # clones the source AS OF the given version/timestamp.
+        # clones the source AS OF the given version/timestamp. CREATE
+        # OR REPLACE redefines an existing target as the clone in one
+        # commit, target history preserved.
         from .txlog import (
             _version_at_timestamp,
             deep_clone_txtable,
@@ -1543,11 +1547,13 @@ def txtable_sql(
             return deep_clone_txtable(
                 spark, clone_src, clone_dst,
                 version=version, timestamp_ms=ts_ms,
+                replace=bool(m.group("repl")),
             )
         if ts_ms is not None:
             version = _version_at_timestamp(spark, clone_src, ts_ms)
         return shallow_clone_txtable(
-            spark, clone_src, clone_dst, version=version
+            spark, clone_src, clone_dst, version=version,
+            replace=bool(m.group("repl")),
         )
 
     m = re.match(

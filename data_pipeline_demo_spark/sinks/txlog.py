@@ -3131,6 +3131,7 @@ def shallow_clone_txtable(
     source_root: str,
     target_root: str,
     version: int | None = None,
+    replace: bool = False,
 ) -> int:
     """Zero-copy clone (Delta ``CLONE`` shallow semantics): create a new
     txtable at ``target_root`` whose version-0 manifest references the
@@ -3168,18 +3169,24 @@ def shallow_clone_txtable(
     # interplay across tables gets subtle. Materialize first
     # (compact_txtable) or deep-clone (reads logically).
     _check_features(src, frozenset(), "shallow-clone")
-    if _latest_manifest(spark, target_root) is not None:
+    tgt = _latest_manifest(spark, target_root)
+    if tgt is not None and not replace:
         raise FileExistsError(
             f"target {target_root} is already a txtable; clone onto a "
-            "fresh path"
+            "fresh path (or pass replace=True / CREATE OR REPLACE ... "
+            "CLONE to redefine it, history preserved)"
         )
+    if tgt is not None:
+        # CREATE OR REPLACE ... CLONE: the target is redefined as the
+        # clone in one commit; its prior versions stay time-travelable
+        _check_features(tgt, frozenset({FEATURE_DV}), "replace")
     fs, root = _hadoop_fs(spark, source_root)
     qualified = fs.makeQualified(root).toString()
     _commit_manifest(
         spark,
         target_root,
         {
-            "version": 0,
+            "version": 0 if tgt is None else tgt["version"] + 1,
             "key": src["key"],
             "num_buckets": src["num_buckets"],
             "buckets": {
@@ -3212,16 +3219,21 @@ def shallow_clone_txtable(
             # own copylog/ (the chain's rel paths are root-relative, so
             # a raw pointer copy would dangle across roots)
             **_clone_copy_fields(spark, source_root, src, target_root),
-            "operation": "CLONE",
+            "operation": "CLONE" if tgt is None else "REPLACE CLONE",
             "committed_at_ms": int(time.time() * 1000),
         },
     )
-    _clone_mutable_metadata(spark, source_root, target_root)
+    _clone_mutable_metadata(
+        spark, source_root, target_root, replace=tgt is not None
+    )
     return sum(src["row_counts"].values())
 
 
 def _clone_mutable_metadata(
-    spark: SparkSession, source_root: str, target_root: str
+    spark: SparkSession,
+    source_root: str,
+    target_root: str,
+    replace: bool = False,
 ) -> None:
     """Delta CLONE parity: table properties and CHECK constraints
     (Delta's 'invariants') copy onto the clone target as its own
@@ -3230,16 +3242,27 @@ def _clone_mutable_metadata(
     constraints are mutable, not time-traveled, so an AS OF clone
     still carries today's values — the only coherent reading under
     this engine's metadata stance). Writer-idempotency watermarks
-    stay excluded as before."""
+    stay excluded as before.
+
+    ``replace`` (CREATE OR REPLACE ... CLONE): the target already has
+    sidecar history — publish the source's metadata at the target's
+    next sidecar version, and publish even an EMPTY set when the
+    target had values (the replace must clear them)."""
     cons = _latest_constraints(spark, source_root)[1]
-    if cons:
-        _publish_sidecar_json(
-            spark, target_root, CONSTRAINTS_DIR, cons, None, "constraints"
-        )
+    tv, tcons = (
+        _latest_constraints(spark, target_root) if replace else (None, {})
+    )
+    if cons or tcons:
+        _publish_constraints(spark, target_root, cons, tv)
     props = _latest_sidecar_json(spark, source_root, PROPERTIES_DIR)[1]
-    if props:
+    pv, tprops = (
+        _latest_sidecar_json(spark, target_root, PROPERTIES_DIR)
+        if replace
+        else (None, {})
+    )
+    if props or tprops:
         _publish_sidecar_json(
-            spark, target_root, PROPERTIES_DIR, props, None,
+            spark, target_root, PROPERTIES_DIR, props, pv,
             "table properties",
         )
 
@@ -3250,6 +3273,7 @@ def deep_clone_txtable(
     target_root: str,
     version: int | None = None,
     timestamp_ms: int | None = None,
+    replace: bool = False,
 ) -> int:
     """Self-contained copy of a snapshot (Delta ``CLONE`` deep
     semantics): the snapshot's rows are REWRITTEN into the target's own
@@ -3277,9 +3301,12 @@ def deep_clone_txtable(
     )
     if m is None:
         raise FileNotFoundError(f"no committed txtable at {source_root}")
-    if _latest_manifest(spark, target_root) is not None:
+    target_exists = _latest_manifest(spark, target_root) is not None
+    if target_exists and not replace:
         raise FileExistsError(
-            f"deep clone target {target_root} is already a txtable"
+            f"deep clone target {target_root} is already a txtable "
+            "(pass replace=True / CREATE OR REPLACE ... DEEP CLONE to "
+            "redefine it, history preserved)"
         )
     rows = read_txtable(spark, source_root, version=version)
     n = txlog_upsert(
@@ -3293,6 +3320,7 @@ def deep_clone_txtable(
         bloom_bits=int(m.get("bloom_bits", BLOOM_BITS)),
         generated_columns=m.get("generated_columns", {}) or None,
         manifest_shards=_shard_groups_of(m.get("manifest_sharding")),
+        replace=replace,
     )
     # dropped-column tombstones must survive the clone (without them a
     # later ADD COLUMN of the same name would resurrect old file data
@@ -3321,7 +3349,9 @@ def deep_clone_txtable(
             },
             prev=tgt,
         )
-    _clone_mutable_metadata(spark, source_root, target_root)
+    _clone_mutable_metadata(
+        spark, source_root, target_root, replace=target_exists
+    )
     return n
 
 

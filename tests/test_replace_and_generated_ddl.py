@@ -255,3 +255,87 @@ def test_replace_resets_copy_history_and_app_txns(spark, tmp_path):
         txn_version=5,
     )
     assert read_txtable(spark, t).count() == 3
+
+
+def test_create_or_replace_shallow_clone(spark, tmp_path):
+    """CREATE OR REPLACE ... CLONE: the target is redefined as a
+    zero-copy clone of the source in one commit; target history
+    (including its pre-replace contents) stays time-travelable, and
+    the source's properties/constraints REPLACE the target's."""
+    from data_pipeline_demo_spark.sinks.txlog import (
+        read_txtable,
+        table_properties,
+        txtable_history,
+    )
+
+    src = str(tmp_path / "csrc")
+    dst = str(tmp_path / "cdst")
+    txtable_sql(
+        spark,
+        f"CREATE TABLE txtable.`{src}` AS SELECT id, id * 2.0 AS v "
+        "FROM range(10)",
+    )
+    txtable_sql(
+        spark,
+        f"ALTER TABLE txtable.`{src}` SET TBLPROPERTIES "
+        "('origin' = 'src')",
+    )
+    txtable_sql(
+        spark,
+        f"CREATE TABLE txtable.`{dst}` AS SELECT id, 'old' AS tag "
+        "FROM range(3)",
+    )
+    txtable_sql(
+        spark,
+        f"ALTER TABLE txtable.`{dst}` SET TBLPROPERTIES "
+        "('origin' = 'dst')",
+    )
+    n = txtable_sql(
+        spark,
+        f"CREATE OR REPLACE TABLE txtable.`{dst}` CLONE txtable.`{src}`",
+    )
+    assert n == 10
+    df = read_txtable(spark, dst)
+    assert df.count() == 10 and set(df.columns) == {"id", "v"}
+    assert table_properties(spark, dst) == {"origin": "src"}
+    ops = [h["operation"] for h in txtable_history(spark, dst)]
+    assert ops[-1] == "REPLACE CLONE"
+    # pre-replace contents still time-travelable
+    old = txtable_sql(
+        spark, f"SELECT * FROM txtable.`{dst}` VERSION AS OF 0"
+    )
+    assert {r.tag for r in old.collect()} == {"old"}
+    # plain CLONE still refuses an existing target
+    with pytest.raises(FileExistsError):
+        txtable_sql(
+            spark, f"CREATE TABLE txtable.`{dst}` CLONE txtable.`{src}`"
+        )
+
+
+def test_create_or_replace_deep_clone(spark, tmp_path):
+    from data_pipeline_demo_spark.sinks.txlog import read_txtable
+
+    src = str(tmp_path / "dsrc")
+    dst = str(tmp_path / "ddst")
+    txtable_sql(
+        spark,
+        f"CREATE TABLE txtable.`{src}` AS SELECT id, id + 0.5 AS v "
+        "FROM range(7)",
+    )
+    txtable_sql(
+        spark,
+        f"CREATE TABLE txtable.`{dst}` AS SELECT id, 'x' AS t FROM range(2)",
+    )
+    n = txtable_sql(
+        spark,
+        f"CREATE OR REPLACE TABLE txtable.`{dst}` DEEP CLONE "
+        f"txtable.`{src}`",
+    )
+    assert n == 7
+    df = read_txtable(spark, dst)
+    assert df.count() == 7 and set(df.columns) == {"id", "v"}
+    # deep clone detaches: source removal cannot break the target
+    import shutil
+
+    shutil.rmtree(src)
+    assert read_txtable(spark, dst).count() == 7
