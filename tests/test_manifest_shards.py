@@ -294,3 +294,23 @@ def test_replace_resets_sharding_unless_respecified(spark, t):
         "KEY id TBLPROPERTIES ('txtable.manifestShards' = '2')",
     )
     assert _latest_manifest(spark, t)["manifest_sharding"] == {"groups": 2}
+
+
+def test_rebucket_and_python_overwrite_stay_sharded(spark, t):
+    from data_pipeline_demo_spark.sinks.txlog import rebucket_txtable
+    from data_pipeline_demo_spark.sources.txtable_source import (
+        register_txtable_source,
+    )
+    from data_pipeline_demo_spark.sources.txtable_writer import write_txtable
+
+    rebucket_txtable(spark, t, new_num_buckets=16)
+    raw, _ = _root_json(t)
+    assert "buckets" not in raw and raw["num_buckets"] == 16
+    assert read_txtable(spark, t).count() == 200
+    register_txtable_source(spark)
+    write_txtable(
+        _df(spark, 0, 30), t, key="id", num_buckets=16, mode="overwrite"
+    )
+    raw, _ = _root_json(t)
+    assert "buckets" not in raw, "python overwrite must keep sharding"
+    assert read_txtable(spark, t).count() == 30
