@@ -4566,3 +4566,80 @@ def q246_sharded_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         f"SELECT o_orderkey, o_custkey, o_totalprice FROM txtable.`{root}`",
     )
+
+
+# q247's oracle recomputes canonical URLs arithmetically from the
+# synthesis recipe: doc_id -> (g = doc_id//3, v = doc_id%3) where v
+# picks a messy spelling (scheme case, host case, explicit default
+# port, trailing slash, scrambled param order, a utm_ tracking param,
+# a fragment) and g fixes the page identity. The Spark side must parse
+# and normalize the messy STRING (parse_url + codegen string ops) back
+# to exactly the oracle's arithmetic canonical form — one group of 3
+# spellings per g.
+_DUCK_URL_CANON = """
+    SELECT 'http://example' || (g % 50) || '.com/docs/' || g
+               || '/page?a=' || (g % 7) || '&b=' || (g % 5)
+               AS canonical_url,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           MIN(doc_id) AS min_doc
+    FROM (SELECT doc_id, doc_id // 3 AS g FROM documents)
+    GROUP BY g
+"""
+
+
+@register("q247_url_canonicalize", oracle=_DUCK_URL_CANON)
+def q247_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + URL-level dedup
+    (operators/urltools.py): three messy crawl spellings per page —
+    mixed-case scheme/host, explicit default port, trailing slash,
+    scrambled parameter order, a utm_ tracking parameter, a fragment —
+    must collapse to ONE canonical key per page, certified
+    value-for-value against the oracle's arithmetic replay.
+
+    Scale shape: canonicalization is whole-stage codegen over Spark's
+    built-in parse_url (no UDF, no shuffle); the dedup groupBy
+    shuffles once on the canonical key. At 100 TB this is the
+    crawl-dedup step that runs before any content hashing."""
+    from ..operators.urltools import url_dedup_groups
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") / 3).cast("long").alias("g"),
+        (F.col("doc_id") % 3).cast("int").alias("v"),
+    )
+    messy = d.select(
+        "doc_id",
+        F.concat(
+            # scheme spelling varies
+            F.element_at(
+                F.array(F.lit("HTTP"), F.lit("http"), F.lit("hTTp")),
+                F.col("v") + 1,
+            ),
+            F.lit("://"),
+            # host case varies; v==0 also spells the default port
+            F.when(
+                F.col("v") == 1,
+                F.upper(F.format_string("EXAMPLE%d.COM", F.col("g") % 50)),
+            ).otherwise(F.format_string("example%d.com", F.col("g") % 50)),
+            F.when(F.col("v") == 0, F.lit(":80")).otherwise(F.lit("")),
+            F.format_string("/docs/%d/page", F.col("g")),
+            F.when(F.col("v") == 2, F.lit("/")).otherwise(F.lit("")),
+            # param order scrambles; tracking param always present
+            F.when(
+                F.col("v") == 1,
+                F.format_string(
+                    "?b=%d&utm_source=feed&a=%d",
+                    F.col("g") % 5,
+                    F.col("g") % 7,
+                ),
+            ).otherwise(
+                F.format_string(
+                    "?a=%d&utm_source=feed&b=%d",
+                    F.col("g") % 7,
+                    F.col("g") % 5,
+                )
+            ),
+            F.format_string("#s%d", F.col("v")),
+        ).alias("url"),
+    )
+    return url_dedup_groups(messy)
