@@ -1142,3 +1142,112 @@ def synthesize_smooth_image_media(documents: DataFrame) -> DataFrame:
             F.sha2("payload", 256).alias("sha256"),
         ).alias("meta"),
     )
+
+
+# --- audio near-dup: block-fingerprint sets over REAL WAV ------------------
+
+AUDIO_BLOCK = 1024  # samples per fingerprint block
+
+
+def _audio_block_samples(content_id: int, block: int):
+    """One deterministic 1024-sample int16 block, INJECTIVE per
+    (content, block index): a weyl-sequence keyed by both, so no two
+    blocks repeat (a pure sine would repeat whenever its period
+    divides the block — collapsing the hash sets q248's arithmetic
+    oracle depends on)."""
+    import numpy as np
+
+    seed = (content_id * 2_654_435_761 + block * 40_503) & 0xFFFFFFFF
+    idx = np.arange(AUDIO_BLOCK, dtype=np.uint64)
+    vals = (seed + idx * np.uint64(2_654_435_761)) & np.uint64(0xFFFF)
+    return (vals.astype(np.int64) - 32_768).astype("<i2")
+
+
+def synthesize_audio_corpus_with_variants(
+    documents: DataFrame,
+    *,
+    drop_every: int = 7,
+    id_offset: int = 10_000_000,
+    min_blocks: int = 8,
+    rate: int = 16_000,
+) -> DataFrame:
+    """Originals + PLANTED near-duplicates at the WAV tier (the audio
+    analog of the video variant corpus): each document with ≥
+    ``min_blocks`` blocks also yields a re-encoded variant — the same
+    sample blocks minus every ``drop_every``-th block, re-encoded as a
+    fresh RIFF/WAVE container. Jaccard over per-block hash sets is
+    exactly (n − ⌈n/drop_every⌉)/n — arithmetically known, which is
+    what makes q248's full value oracle possible."""
+    import numpy as np
+
+    base = documents.select(
+        F.col("doc_id").alias("content_id"),
+        (F.col("n_chars") % 24 + 1).cast("int").alias("n_blocks"),
+    )
+    originals = base.select(
+        F.col("content_id").alias("media_id"),
+        "content_id",
+        "n_blocks",
+        F.lit(False).alias("variant"),
+    )
+    variants = base.filter(F.col("n_blocks") >= min_blocks).select(
+        (F.col("content_id") + id_offset).alias("media_id"),
+        "content_id",
+        "n_blocks",
+        F.lit(True).alias("variant"),
+    )
+    corpus = originals.unionByName(variants)
+
+    @F.pandas_udf(T.BinaryType())
+    def make(cid: pd.Series, nb: pd.Series, var: pd.Series) -> pd.Series:
+        out = []
+        for c, n, v in zip(cid, nb, var):
+            blocks = [
+                _audio_block_samples(int(c), i)
+                for i in range(int(n))
+                if not v or i % drop_every != 0
+            ]
+            out.append(wav_encode(np.concatenate(blocks), rate))
+        return pd.Series(out)
+
+    return corpus.select(
+        "media_id",
+        make("content_id", "n_blocks", "variant").alias("payload"),
+    )
+
+
+AUDIO_BLOCK_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("block_idx", T.IntegerType()),
+        T.StructField("block_sha256", T.StringType()),
+    ]
+)
+
+
+def audio_block_fingerprints(media: DataFrame) -> DataFrame:
+    """REAL WAV decode → per-block content hashes: the
+    container-independent audio signature (whatever RIFF layout or
+    chunk padding produced the bytes, identical samples give identical
+    hashes). Map-only mapInPandas; no shuffle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {f.name: [] for f in AUDIO_BLOCK_SCHEMA}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                _rate, samples = wav_decode(bytes(payload))
+                n = len(samples) // AUDIO_BLOCK
+                for b in range(n):
+                    blk = samples[
+                        b * AUDIO_BLOCK : (b + 1) * AUDIO_BLOCK
+                    ].tobytes()
+                    out["media_id"].append(mid)
+                    out["block_idx"].append(b)
+                    out["block_sha256"].append(
+                        hashlib.sha256(blk).hexdigest()
+                    )
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "payload").mapInPandas(
+        run, schema=AUDIO_BLOCK_SCHEMA
+    )

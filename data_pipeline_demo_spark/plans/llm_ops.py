@@ -4643,3 +4643,52 @@ def q247_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("url"),
     )
     return url_dedup_groups(messy)
+
+
+# q248: the audio analog of q239 — planted WAV near-dups at
+# arithmetically-known Jaccard. The variant keeps blocks with
+# i % 7 != 0 of n; block hashes are injective per (content, index)
+# (weyl-sequence samples — a pure sine could repeat and collapse the
+# sets), so Jaccard over block-hash sets is exactly
+# (n − ⌈n/7⌉)/n, and cross-document similarity is 0.
+_DUCK_AUDIO_NEARDUP = """
+    SELECT doc_id AS doc_a,
+           doc_id + 10000000 AS doc_b,
+           ROUND((n - CAST(CEIL(n / 7.0) AS BIGINT)) * 1.0 / n, 6)
+               AS jaccard
+    FROM (SELECT doc_id, n_chars % 24 + 1 AS n FROM documents)
+    WHERE n >= 8
+"""
+
+
+@register("q248_audio_neardup", oracle=_DUCK_AUDIO_NEARDUP)
+def q248_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Container-independent AUDIO near-dup, value-certified
+    end-to-end: documents become real RIFF/WAVE PCM16 payloads plus
+    planted re-encoded variants (same sample blocks minus every 7th —
+    operators/multimodal.py:synthesize_audio_corpus_with_variants),
+    the real WAV decoder recovers per-block content hashes, and the
+    prefix-filtered exact-Jaccard self-join
+    (operators/dedup.py:jaccard_join_on_sets) must recover exactly the
+    planted (original, variant) pairs at exactly Jaccard
+    (n − ⌈n/7⌉)/n. Completes the modality triad: text (q41), video
+    (q239), audio (this) all run through the SAME factored similarity
+    machinery.
+
+    Scale shape: decode+hash is map-only mapInPandas; the join is the
+    prefix-filtered PPJoin shape — no all-pairs, dedup at
+    block-signature grain without any DSP beyond the codec."""
+    from ..operators import multimodal
+    from ..operators.dedup import jaccard_join_on_sets
+
+    audio = multimodal.synthesize_audio_corpus_with_variants(
+        table(spark, sf_dir, "documents")
+    )
+    blocks = multimodal.audio_block_fingerprints(audio)
+    sigs = blocks.groupBy("media_id").agg(
+        F.collect_set("block_sha256").alias("sh")
+    )
+    pairs = jaccard_join_on_sets(sigs, id_col="media_id", threshold=0.7)
+    return pairs.select(
+        "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")
+    )

@@ -118,3 +118,64 @@ def test_byte_flip_fuzz_bounded(seed=99, cases=300):
         except Exception:
             pass
         assert time.perf_counter() - t0 < 3.0
+
+
+# --- audio near-dup unit coverage (q248's machinery) -----------------------
+
+
+def test_audio_blocks_injective_and_wav_roundtrip():
+    import numpy as np
+
+    from data_pipeline_demo_spark.operators.multimodal import (
+        AUDIO_BLOCK,
+        _audio_block_samples,
+        wav_decode,
+        wav_encode,
+    )
+
+    seen = set()
+    for cid in (1, 2):
+        for b in range(20):
+            blk = _audio_block_samples(cid, b)
+            assert blk.dtype.str == "<i2" and len(blk) == AUDIO_BLOCK
+            seen.add(blk.tobytes())
+    assert len(seen) == 40  # injective per (content, block)
+    full = np.concatenate(
+        [_audio_block_samples(5, b) for b in range(4)]
+    )
+    rate, back = wav_decode(wav_encode(full, 16_000))
+    assert rate == 16_000 and np.array_equal(back, full)
+
+
+def test_audio_variant_jaccard_exact(spark):
+    from pyspark.sql import functions as F
+
+    from data_pipeline_demo_spark.operators.dedup import (
+        jaccard_join_on_sets,
+    )
+    from data_pipeline_demo_spark.operators.multimodal import (
+        audio_block_fingerprints,
+        synthesize_audio_corpus_with_variants,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, 13), (2, 21), (3, 3)], "doc_id long, n long"
+    ).select("doc_id", (F.col("n") - 1).alias("n_chars"))
+    # n_blocks = n_chars % 24 + 1 = n
+    audio = synthesize_audio_corpus_with_variants(docs)
+    sigs = audio_block_fingerprints(audio).groupBy("media_id").agg(
+        F.collect_set("block_sha256").alias("sh")
+    )
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in jaccard_join_on_sets(
+            sigs, id_col="media_id", threshold=0.5
+        ).collect()
+    }
+    import math
+
+    expect = {
+        (d, d + 10_000_000): round((n - math.ceil(n / 7)) / n, 6)
+        for d, n in ((1, 13), (2, 21))  # doc 3 too short for a variant
+    }
+    assert {k: round(v, 6) for k, v in got.items()} == expect
