@@ -70,9 +70,9 @@ _GATE_ROTATE_IN = (
     # strict-PASS the local driver-faithful comparator with gate-safe
     # dtypes (bigint/string/double only).
     "q226_sql_cdc_read",
-    "q228_lexicon_sentiment",
-    # (q229_sql_insert_lifecycle rotated in here round 10; moved to the
-    # rotate-OUT list round 12 — see its entry there for the reason)
+    # (q228_lexicon_sentiment and q229_sql_insert_lifecycle rotated in
+    # here round 10; moved to the rotate-OUT list round 12 — see their
+    # entries there for the reasons)
     # Late-round-10: COPY INTO — file-level exactly-once ingest, the
     # verb that mirrors the reference's own per-file dedup guard
     # (data_pipeline.py:106-161) — and the conditional/multi-action
@@ -105,7 +105,8 @@ _GATE_ROTATE_IN = (
     # driver-faithful comparator with gate-safe dtypes (bigint/string/
     # double only).
     "q238_mp4_demux",
-    "q239_video_neardup",
+    # (q239_video_neardup rotated in here extended-round-11; moved to
+    # the rotate-OUT list round 12 — see its entry there)
     "q240_tblproperties_lifecycle",
     # Extended-round-11 rotation, second wave — the session's other
     # three new subsystems, each strict-PASS with gate-safe dtypes:
@@ -133,6 +134,16 @@ _GATE_ROTATE_IN = (
     # full lifecycle on the sharded root; the oracle replays it
     # arithmetically). Strict-PASS with gate-safe dtypes.
     "q246_sharded_lifecycle",
+    # Round-12, third wave — the session's other two new subsystems,
+    # attested the round they ship: URL canonicalization + URL-level
+    # dedup (q247 — parse_url-based codegen normalization, oracle
+    # replays the canonical form arithmetically; the crawl-dedup
+    # family's FIRST gate member) and audio near-dup over WAV block
+    # fingerprints (q248 — planted variants at arithmetically-known
+    # Jaccard through the same factored PPJoin the text and video
+    # tiers use). Both strict-PASS with gate-safe dtypes.
+    "q247_url_canonicalize",
+    "q248_audio_neardup",
 )
 _GATE_ROTATE_OUT = (
     "q05_join_left_outer",
@@ -211,6 +222,15 @@ _GATE_ROTATE_OUT = (
     # column-list/OVERWRITE specifics stay check_oracle-certified past
     # the cap every round.
     "q229_sql_insert_lifecycle",
+    # third wave: q239 video near-dup — every layer it composes stays
+    # attested in-gate by round-12 members: the MP4 mux/demux by
+    # q238/q245 (q245 decodes all the way to pixels), the factored
+    # jaccard_join_on_sets PPJoin by q248 (audio, identical join path)
+    # and q41 (text headline); q228 lexicon sentiment — the
+    # text-analysis family keeps q234 (PMI) + q235 (RAKE) + q51. Both
+    # stay check_oracle-certified past the cap every round.
+    "q239_video_neardup",
+    "q228_lexicon_sentiment",
 )
 
 
