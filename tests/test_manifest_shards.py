@@ -314,3 +314,22 @@ def test_rebucket_and_python_overwrite_stay_sharded(spark, t):
     raw, _ = _root_json(t)
     assert "buckets" not in raw, "python overwrite must keep sharding"
     assert read_txtable(spark, t).count() == 30
+
+
+def test_copy_into_on_sharded_table(spark, t, tmp_path):
+    import pandas as pd
+
+    from data_pipeline_demo_spark.sinks.copy_into import copy_into
+
+    land = tmp_path / "land"
+    land.mkdir()
+    pd.DataFrame({"id": [500, 501], "v": [1.0, 2.0]}).to_parquet(
+        land / "a.parquet"
+    )
+    r = copy_into(spark, t, str(land), "parquet")
+    assert r["rows_loaded"] == 2
+    raw, _ = _root_json(t)
+    assert "buckets" not in raw, "COPY INTO must keep the table sharded"
+    assert read_txtable(spark, t).count() == 202
+    r = copy_into(spark, t, str(land), "parquet")  # idempotent re-run
+    assert r["rows_loaded"] == 0 and r["num_skipped_files"] == 1
