@@ -738,6 +738,10 @@ def _schema_carry(manifest: dict) -> dict:
         out["dropped_columns"] = list(manifest["dropped_columns"])
     if manifest.get("generated_columns"):
         out["generated_columns"] = dict(manifest["generated_columns"])
+    # identity config AND its mutable high-water mark travel with the
+    # schema state: a commit path that dropped the mark would re-issue
+    # already-used ids (see _identity_carry)
+    out.update(_identity_carry(manifest))
     return out
 
 
@@ -774,6 +778,272 @@ def _apply_generated_columns(
                     "column (it is computed) or provide matching values"
                 )
     return updates
+
+
+def _validate_identity_columns(
+    ident: dict, schema_fields, key: str, generated: dict
+) -> None:
+    """Creation-time identity-column validation (Delta's ``GENERATED
+    {ALWAYS|BY DEFAULT} AS IDENTITY`` rules): BIGINT only (allocation
+    is 64-bit arithmetic — a narrower declared type would overflow
+    through an ANSI-off cast into silent nulls), never the bucketing
+    KEY (merge batches omit identity values, leaving nothing to bucket
+    or match on), never also a GENERATED-expression column (one rule
+    per column), never referenced by a generated expression (those
+    compute BEFORE allocation fills the column), non-zero integer
+    step. The reference pipeline has no DDL at all; this tier is pure
+    lakehouse parity."""
+    import re as _re
+
+    types = {f["name"]: f["type"] for f in (schema_fields or [])}
+    for c, cfg in ident.items():
+        if schema_fields is not None:
+            if c not in types:
+                raise ValueError(
+                    f"identity column {c!r} is not in the table schema "
+                    f"{sorted(types)}"
+                )
+            if types[c] != "long":
+                raise ValueError(
+                    f"identity column {c!r} must be BIGINT (got "
+                    f"{types[c]!r}) — allocation is 64-bit arithmetic "
+                    "(Delta's rule)"
+                )
+        if c == key:
+            raise ValueError(
+                f"identity column {c!r} cannot be the bucketing KEY: "
+                "merge batches omit identity values, so there would be "
+                "nothing to bucket or match on — key on a natural "
+                "column and let the identity ride along"
+            )
+        if c in generated:
+            raise ValueError(
+                f"{c!r} cannot be both GENERATED ALWAYS AS (expr) and "
+                "an identity column — one generation rule per column"
+            )
+        step = cfg.get("step", 1)
+        if not isinstance(step, int) or isinstance(step, bool) or step == 0:
+            raise ValueError(
+                f"identity column {c!r}: INCREMENT BY must be a "
+                f"non-zero integer (got {step!r})"
+            )
+        start = cfg.get("start", 1)
+        if not isinstance(start, int) or isinstance(start, bool):
+            raise ValueError(
+                f"identity column {c!r}: START WITH must be an integer "
+                f"(got {start!r})"
+            )
+    for g, expr in (generated or {}).items():
+        hit = [c for c in ident if _re.search(rf"\b{_re.escape(c)}\b", expr)]
+        if hit:
+            raise ValueError(
+                f"generated column {g!r} references identity column(s) "
+                f"{hit}: generated expressions compute BEFORE identity "
+                "allocation fills the column"
+            )
+
+
+def _allocate_identity_columns(
+    spark: SparkSession,
+    updates: DataFrame,
+    ident: dict,
+    hwms: dict,
+    key: str,
+    existing: DataFrame | None = None,
+):
+    """Fill identity columns (Delta's ``GENERATED ... AS IDENTITY``) on
+    a write path; returns ``(filled_df, new_high_water_map, pinned)``
+    where ``pinned`` is the persisted base frame the CALLER unpersists
+    once its files are written — allocation joins on a
+    ``monotonically_increasing_id`` row handle, which is only stable
+    across the allocation's jobs and the final write because the
+    evaluation is pinned in the cache.
+
+    Semantics per column (Delta identity-column parity):
+
+    - a row whose key exists in ``existing`` (the merge path's
+      touched-bucket snapshot) KEEPS its stored value; a batch that
+      re-states it null-safely passes (idempotent re-delivery), one
+      that reassigns it raises — identity values are write-once.
+    - ``GENERATED ALWAYS`` refuses any other provided value (Delta:
+      explicit inserts into ALWAYS identity columns are errors);
+      ``BY DEFAULT`` honors provided non-null values and advances the
+      high-water mark past them (Delta's ``SYNC IDENTITY`` folded into
+      the write), so later allocations never collide.
+    - every remaining row allocates ``hwm + step * rank`` where rank is
+      its 1-based position in KEY order over the rows being allocated —
+      deterministic whenever keys are unique (what makes the lifecycle
+      replayable by a SQL oracle), computed with the two-pass
+      range-partitioned ranking recipe
+      (``operators/sampling.py:global_row_index`` — counts, offsets,
+      and local ranks share one exchange inside each action, and the
+      per-partition tally relation is numPartitions-sized), never a
+      single-partition global window.
+
+    Cost: one batch-sized persist plus, per identity column, one
+    violation/count aggregate and the lazy ranking join — O(batch +
+    touched buckets), never O(table).
+    """
+    from pyspark.sql.window import Window
+
+    out = updates.withColumn("__idrow", F.monotonically_increasing_id())
+    pinned = out.persist()
+    new_hwms = dict(hwms)
+    for c, cfg in ident.items():
+        step = int(cfg.get("step", 1))
+        always = bool(cfg.get("always", True))
+        hwm = int(new_hwms[c])
+        if c not in out.columns:
+            out = out.withColumn(c, F.lit(None).cast("long"))
+        else:
+            out = out.withColumn(c, F.col(c).cast("long"))
+        if existing is not None and c in existing.columns:
+            ex = existing.select(
+                F.col(key).alias("__idk"),
+                F.col(c).cast("long").alias("__idex"),
+            )
+            out = out.join(
+                ex, F.col(key).eqNullSafe(F.col("__idk")), "left"
+            ).drop("__idk")
+        else:
+            out = out.withColumn("__idex", F.lit(None).cast("long"))
+        probe = out.agg(
+            F.sum(
+                (
+                    F.col(c).isNotNull()
+                    & F.col("__idex").isNotNull()
+                    & (F.col(c) != F.col("__idex"))
+                ).cast("long")
+            ).alias("reassign"),
+            F.sum(
+                (F.col(c).isNotNull() & F.col("__idex").isNull()).cast(
+                    "long"
+                )
+            ).alias("fresh"),
+            F.sum(
+                F.coalesce(F.col(c), F.col("__idex")).isNull().cast("long")
+            ).alias("nalloc"),
+            F.max(F.col(c)).alias("mx"),
+            F.min(F.col(c)).alias("mn"),
+        ).collect()[0]
+        if probe["reassign"]:
+            raise ValueError(
+                f"identity column {c!r}: {probe['reassign']} row(s) "
+                "reassign an existing row's identity value — identity "
+                "values are write-once (omit the column, or re-state "
+                "the stored value exactly)"
+            )
+        if always and probe["fresh"]:
+            raise ValueError(
+                f"identity column {c!r} is GENERATED ALWAYS AS "
+                f"IDENTITY: {probe['fresh']} row(s) provide explicit "
+                "values for new keys — omit the column (values are "
+                "allocated), or declare it GENERATED BY DEFAULT AS "
+                "IDENTITY to accept caller-supplied ids"
+            )
+        out = out.withColumn(
+            c, F.coalesce(F.col(c), F.col("__idex"))
+        ).drop("__idex")
+        need = out.filter(F.col(c).isNull()).select(
+            "__idrow", F.col(key).alias("__idk")
+        )
+        ranged = need.repartitionByRange(
+            F.col("__idk"), F.col("__idrow")
+        ).withColumn("__pid", F.spark_partition_id())
+        w = Window.partitionBy("__pid").orderBy("__idk", "__idrow")
+        local = ranged.withColumn("__lrn", F.row_number().over(w))
+        counts = local.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n"))
+        w2 = Window.orderBy("__pid").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        offsets = counts.withColumn(
+            "__off", F.coalesce(F.sum("__n").over(w2), F.lit(0))
+        ).select("__pid", "__off")
+        amap = local.join(F.broadcast(offsets), "__pid").select(
+            "__idrow",
+            (
+                F.lit(hwm) + F.lit(step) * (F.col("__off") + F.col("__lrn"))
+            )
+            .cast("long")
+            .alias("__idalloc"),
+        )
+        out = (
+            out.join(amap, "__idrow", "left")
+            .withColumn(c, F.coalesce(F.col(c), F.col("__idalloc")))
+            .drop("__idalloc")
+        )
+        n_alloc = int(probe["nalloc"] or 0)
+        new = hwm + step * n_alloc
+        if not always:
+            # BY DEFAULT sync: caller-supplied ids push the mark so
+            # future allocations never collide (sign-aware)
+            ext = probe["mx"] if step > 0 else probe["mn"]
+            if ext is not None:
+                new = (
+                    max(new, int(ext)) if step > 0 else min(new, int(ext))
+                )
+        new_hwms[c] = new
+    return out.drop("__idrow"), new_hwms, pinned
+
+
+def _normalize_identity(ident: dict) -> dict:
+    """Canonical manifest form of an identity-column spec: explicit
+    ``start``/``step``/``always`` on every entry, so creation-time
+    shorthand (``{"doc_id": {}}``) and the stored form compare equal."""
+    return {
+        c: {
+            "start": int(cfg.get("start", 1)),
+            "step": int(cfg.get("step", 1)),
+            "always": bool(cfg.get("always", True)),
+        }
+        for c, cfg in (ident or {}).items()
+    }
+
+
+def _identity_carry(manifest: dict) -> dict:
+    """Identity config + high-water manifest entries, carried through
+    every commit of a table that declares them. The high-water mark is
+    the one MUTABLE piece of schema-adjacent state: losing it on any
+    commit path would re-issue already-used ids (actual corruption, not
+    just a dropped rule), so every commit shape carries it."""
+    if not manifest.get("identity_columns"):
+        return {}
+    return {
+        "identity_columns": {
+            c: dict(cfg)
+            for c, cfg in manifest["identity_columns"].items()
+        },
+        "identity_high_water": dict(
+            manifest.get("identity_high_water", {})
+        ),
+    }
+
+
+def _identity_restore_carry(src: dict, cur: dict) -> dict:
+    """RESTORE must never regress the identity high-water mark (a
+    restored table that re-issued ids already given out by the undone
+    versions would collide with data copied elsewhere): per column,
+    keep the sign-aware extreme of the restored version's mark and the
+    current one."""
+    ident = src.get("identity_columns") or {}
+    if not ident:
+        return {}
+    old = dict(src.get("identity_high_water", {}))
+    now = dict(cur.get("identity_high_water", {}))
+    merged = {}
+    for c, cfg in ident.items():
+        a = old.get(c)
+        b = now.get(c, a)
+        if a is None:
+            continue
+        step = int(cfg.get("step", 1))
+        merged[c] = (
+            max(int(a), int(b)) if step > 0 else min(int(a), int(b))
+        )
+    return {
+        "identity_columns": {c: dict(cfg) for c, cfg in ident.items()},
+        "identity_high_water": merged,
+    }
 
 
 def _read_snapshot_files(spark: SparkSession, manifest: dict, files: list[str]):
@@ -1482,6 +1752,7 @@ def txlog_upsert(
     bloom_bits: int = BLOOM_BITS,
     evolve_schema: bool = False,
     generated_columns: dict[str, str] | None = None,
+    identity_columns: dict[str, dict] | None = None,
     not_matched_by_source_delete: bool | str = False,
     replace: bool = False,
     manifest_shards: int | bool | None = None,
@@ -1508,6 +1779,21 @@ def txlog_upsert(
     schema; existing rows read null), a same-name type conflict raises
     always, and a batch MISSING table columns is fine (inserted rows
     carry nulls). Old versions keep their own schema under time travel.
+
+    ``identity_columns`` (creation-time, Delta's ``GENERATED {ALWAYS|
+    BY DEFAULT} AS IDENTITY``): ``{col: {"start": s, "step": k,
+    "always": bool}}``. BIGINT surrogate-key columns whose values the
+    TABLE allocates: a batch omitting the column gets ``hwm + step *
+    rank`` per new key (rank = position in key order over the rows
+    being allocated — deterministic for unique keys), matched keys
+    keep their stored value (write-once), ``always=True`` refuses
+    caller-supplied values, ``always=False`` (BY DEFAULT) honors them
+    and advances the high-water mark past them so later allocations
+    never collide. The mark lives in the manifest
+    (``identity_high_water``), carries through every commit shape,
+    never regresses (RESTORE keeps the extreme), and survives
+    TRUNCATE — deleted ids are never re-issued. See
+    :func:`_allocate_identity_columns` for the allocation plan.
 
     ``bloom_columns`` (creation-time, like ``stats_columns``): columns
     whose per-bucket Bloom filters are maintained in the manifest —
@@ -1641,12 +1927,22 @@ def txlog_upsert(
                 f"{prev.get('generated_columns', {})}; got "
                 f"{generated_columns} (fixed at table creation)"
             )
+        if identity_columns is not None and _normalize_identity(
+            identity_columns
+        ) != prev.get("identity_columns", {}):
+            raise ValueError(
+                f"txtable {root_path} was created with identity_columns="
+                f"{prev.get('identity_columns', {})}; got "
+                f"{identity_columns} (fixed at table creation)"
+            )
         version = prev["version"] + 1
         key = prev["key"]
         num_buckets = prev["num_buckets"]
         stats_columns = prev.get("stats_columns", [])
         bloom_columns = prev.get("bloom_columns", [])
         generated_columns = dict(prev.get("generated_columns", {}))
+        identity_columns = dict(prev.get("identity_columns", {}))
+        identity_hwm = dict(prev.get("identity_high_water", {}))
         bloom_bits = int(prev.get("bloom_bits", BLOOM_BITS))
         buckets = dict(prev["buckets"])
         row_counts = dict(prev["row_counts"])
@@ -1669,6 +1965,11 @@ def txlog_upsert(
         stats_columns = list(stats_columns or [])
         bloom_columns = list(bloom_columns or [])
         generated_columns = dict(generated_columns or {})
+        identity_columns = _normalize_identity(identity_columns)
+        identity_hwm = {
+            c: cfg["start"] - cfg["step"]
+            for c, cfg in identity_columns.items()
+        }
         bucket_blooms = {}
         bucket_nulls = {}
         if replaced_version is not None:
@@ -1708,10 +2009,19 @@ def txlog_upsert(
     else:
         schema_fields = None
 
+    # identity config validates at table definition time (creation or
+    # REPLACE — the only commits that can introduce it)
+    if identity_columns and prev is None:
+        _validate_identity_columns(
+            identity_columns, schema_fields, key, generated_columns
+        )
+
     # CHECK constraints gate the batch BEFORE any file is written
     # (one counting pass, only when the table declares constraints).
     # REPLACE resets constraints, so the replaced table's old rules
-    # must not gate the new definition's first batch.
+    # must not gate the new definition's first batch. Constraints
+    # cannot reference identity columns (set_table_constraint refuses
+    # them), so gating BEFORE identity allocation is sound.
     if replaced_version is None:
         _enforce_table_constraints(spark, root_path, updates)
 
@@ -1732,6 +2042,20 @@ def txlog_upsert(
     )
     if current is not None:
         current = current.withColumn(BUCKET_COL, _bucket_of(key, num_buckets))
+    # identity fill AFTER the touched-bucket read (matched keys must
+    # see their stored values to keep them) and BEFORE the anti-join
+    # union writes anything
+    _idpin = None
+    if identity_columns:
+        updates, identity_hwm, _idpin = _allocate_identity_columns(
+            spark,
+            updates,
+            identity_columns,
+            identity_hwm,
+            key,
+            existing=current,
+        )
+    if current is not None:
         upd_keys = updates.select(F.col(key).alias("__upd_key"))
         keep = current.join(
             upd_keys, F.col(key).eqNullSafe(F.col("__upd_key")), "left_anti"
@@ -1764,6 +2088,10 @@ def txlog_upsert(
         bucket_nulls=bucket_nulls,
         manifest=prev,
     )
+    if _idpin is not None:
+        # files are written; release the identity allocation's pinned
+        # evaluation (the cache existed to keep the row handle stable)
+        _idpin.unpersist()
 
     _commit_manifest(
         spark,
@@ -1786,6 +2114,14 @@ def txlog_upsert(
             **(
                 {"generated_columns": generated_columns}
                 if generated_columns
+                else {}
+            ),
+            **(
+                {
+                    "identity_columns": identity_columns,
+                    "identity_high_water": identity_hwm,
+                }
+                if identity_columns
                 else {}
             ),
             **(_dv_carry(prev, touched) if prev is not None else {}),
@@ -2444,6 +2780,12 @@ def _txlog_update_mor(
             "AS columns recompute from their expressions when their "
             "inputs change"
         )
+    id_hit = [c for c in set_map if c in prev.get("identity_columns", {})]
+    if id_hit:
+        raise ValueError(
+            f"cannot SET identity column(s) {id_hit}: identity values "
+            "are write-once, allocated when the row is inserted"
+        )
     num_buckets = prev["num_buckets"]
     buckets = {b: list(r) for b, r in prev["buckets"].items()}
     row_counts = dict(prev["row_counts"])
@@ -2629,6 +2971,12 @@ def txlog_update(
             "AS columns recompute from their expressions when their "
             "inputs change"
         )
+    id_hit = [c for c in set if c in prev.get("identity_columns", {})]
+    if id_hit:
+        raise ValueError(
+            f"cannot SET identity column(s) {id_hit}: identity values "
+            "are write-once, allocated when the row is inserted"
+        )
     num_buckets = prev["num_buckets"]
     buckets = dict(prev["buckets"])
     row_counts = dict(prev["row_counts"])
@@ -2717,11 +3065,23 @@ def txlog_update(
 
 def _alter_commit(
     spark, root_path: str, prev: dict, fields, dropped, generated=None,
-    operation: str = "ALTER",
+    operation: str = "ALTER", identity=None, identity_hwm=None,
 ) -> int:
     """Publish a METADATA-ONLY schema change: every file reference,
     row count, stat, and bloom carries forward untouched — the commit
-    is one manifest write, zero data IO, at any table size."""
+    is one manifest write, zero data IO, at any table size.
+    ``identity``/``identity_hwm`` override the carried identity state
+    (drop/rename of an identity column); ``None`` carries ``prev``'s."""
+    _i = (
+        dict(identity)
+        if identity is not None
+        else dict(prev.get("identity_columns", {}))
+    )
+    _ih = (
+        dict(identity_hwm)
+        if identity_hwm is not None
+        else dict(prev.get("identity_high_water", {}))
+    )
     _g = (
         dict(generated)
         if generated is not None
@@ -2746,6 +3106,11 @@ def _alter_commit(
             "schema": fields,
             **({"dropped_columns": dropped} if dropped else {}),
             **({"generated_columns": _g} if _g else {}),
+            **(
+                {"identity_columns": _i, "identity_high_water": _ih}
+                if _i
+                else {}
+            ),
             **(
                 {"bucket_nulls": dict(prev["bucket_nulls"])}
                 if prev.get("bucket_nulls")
@@ -2868,8 +3233,15 @@ def txlog_drop_column(spark: SparkSession, root_path: str, name: str) -> int:
     fields = [f for f in fields if f["name"] != name]
     dropped = list(prev.get("dropped_columns", []))
     dropped.append(doomed_phys)
+    # dropping an identity column drops its rule AND its high-water
+    # mark (the column is gone; nothing left to allocate)
+    identity = dict(prev.get("identity_columns", {}))
+    identity_hwm = dict(prev.get("identity_high_water", {}))
+    identity.pop(name, None)
+    identity_hwm.pop(name, None)
     return _alter_commit(
-        spark, root_path, prev, fields, dropped, generated=generated
+        spark, root_path, prev, fields, dropped, generated=generated,
+        identity=identity, identity_hwm=identity_hwm,
     )
 
 
@@ -2937,6 +3309,15 @@ def txlog_rename_column(
             meta["physical"] = _phys_of(f)  # pin the in-file name
             f["name"] = new
             f["metadata"] = meta
+    # an identity column renames freely (no expression references it —
+    # _validate_identity_columns refuses those at creation): the rule
+    # and its high-water mark just follow the new name
+    identity = dict(prev.get("identity_columns", {}))
+    identity_hwm = dict(prev.get("identity_high_water", {}))
+    if old in identity:
+        identity[new] = identity.pop(old)
+        if old in identity_hwm:
+            identity_hwm[new] = identity_hwm.pop(old)
     return _alter_commit(
         spark,
         root_path,
@@ -2944,6 +3325,8 @@ def txlog_rename_column(
         fields,
         list(prev.get("dropped_columns", [])),
         generated=generated,
+        identity=identity,
+        identity_hwm=identity_hwm,
     )
 
 
@@ -3460,6 +3843,10 @@ def restore_txtable(
                 else {}
             ),
             **_schema_carry(src),
+            # AFTER the carry: the identity high-water mark must never
+            # regress across a restore (ids issued by the undone
+            # versions stay burned)
+            **_identity_restore_carry(src, cur),
             **_dv_carry(src),
             "restored_from_version": version,
             **_copy_carry(src),
@@ -4067,6 +4454,21 @@ def set_table_constraint(
     validates incoming rows against it."""
     if not name or not name.isidentifier():
         raise ValueError(f"constraint name must be an identifier: {name!r}")
+    import re as _re
+
+    _man = _latest_manifest(spark, root_path)
+    _ident = (_man or {}).get("identity_columns", {})
+    _hit = [
+        c
+        for c in _ident
+        if _re.search(rf"\b{_re.escape(c)}\b", predicate)
+    ]
+    if _hit:
+        raise ValueError(
+            f"constraint {name!r} references identity column(s) {_hit}: "
+            "constraints gate batches BEFORE identity allocation fills "
+            "the column, so such a predicate would see nulls"
+        )
     try:
         current = read_txtable(spark, root_path)
         check_constraints(current, {name: predicate})
