@@ -49,6 +49,7 @@ from pyspark.sql.types import StructType
 
 from .txlog import (
     FEATURE_DV,
+    _allocate_identity_columns,
     _apply_generated_columns,
     _check_features,
     _commit_manifest,
@@ -309,6 +310,19 @@ def copy_into(
     _enforce_table_constraints(spark, root_path, batch)
 
     key = prev["key"]
+    # identity columns allocate over the loaded files exactly as a
+    # blind INSERT would (no matching pass — COPY INTO appends):
+    # GENERATED ALWAYS refuses files that carry the column, BY DEFAULT
+    # honors and syncs the high-water mark (re-loading exported data
+    # keeps its ids)
+    identity_columns = dict(prev.get("identity_columns", {}))
+    identity_hwm = dict(prev.get("identity_high_water", {}))
+    _idpin = None
+    if identity_columns:
+        batch, identity_hwm, _idpin = _allocate_identity_columns(
+            spark, batch, identity_columns, identity_hwm, key,
+            existing=None,
+        )
     num_buckets = int(prev["num_buckets"])
     stats_columns = list(prev.get("stats_columns", []))
     bloom_columns = list(prev.get("bloom_columns", []))
@@ -341,6 +355,8 @@ def copy_into(
         bucket_nulls=new_nulls,
         manifest=prev,
     )
+    if _idpin is not None:
+        _idpin.unpersist()
 
     buckets = {b: list(fl) for b, fl in prev["buckets"].items()}
     row_counts = dict(prev["row_counts"])
@@ -479,6 +495,14 @@ def copy_into(
             **(
                 {"generated_columns": generated_columns}
                 if generated_columns
+                else {}
+            ),
+            **(
+                {
+                    "identity_columns": identity_columns,
+                    "identity_high_water": identity_hwm,
+                }
+                if identity_columns
                 else {}
             ),
             **_dv_carry(prev),

@@ -159,6 +159,8 @@ def txlog_merge(
         else None
     )
     generated = dict(prev.get("generated_columns", {}))
+    identity = dict(prev.get("identity_columns", {}))
+    identity_hwm = dict(prev.get("identity_high_water", {}))
     for cl in matched:
         if cl.action == "update" and cl.assignments:
             hit = sorted(set(cl.assignments) & set(generated))
@@ -166,6 +168,13 @@ def txlog_merge(
                 raise ValueError(
                     f"cannot UPDATE SET generated column(s) {hit}; they "
                     "recompute from their expressions"
+                )
+            id_hit = sorted(set(cl.assignments) & set(identity))
+            if id_hit:
+                raise ValueError(
+                    f"cannot UPDATE SET identity column(s) {id_hit}: "
+                    "identity values are write-once, allocated when the "
+                    "row is inserted"
                 )
 
     # key immutability (see module docstring): a reassigned key would
@@ -489,6 +498,18 @@ def txlog_merge(
     )
     if generated:
         result = _apply_generated_columns(spark, result, generated)
+    # identity fill over the merged output: kept/updated rows re-state
+    # their stored value null-safely against `current` (the allocator's
+    # write-once check passes them through), INSERT-action rows arrive
+    # null and allocate in key order — the txlog_upsert semantics,
+    # one shared code path (sinks/txlog.py:_allocate_identity_columns)
+    _idpin = None
+    if identity:
+        from .txlog import _allocate_identity_columns
+
+        result, identity_hwm, _idpin = _allocate_identity_columns(
+            spark, result, identity, identity_hwm, key, existing=current
+        )
     _enforce_table_constraints(spark, root_path, result)
     result = result.withColumn(
         BUCKET_COL, _bucket_of(key, num_buckets)
@@ -534,6 +555,8 @@ def txlog_merge(
         tag_values=live_tags,
         tag_counts=tag_counts,
     )
+    if _idpin is not None:
+        _idpin.unpersist()
     # counts: updates/inserts from the publish aggregate's tag counts;
     # deletes (conditional-DELETE clauses + NOT MATCHED BY SOURCE) by
     # difference — every prior touched row is exactly one of
@@ -577,6 +600,14 @@ def txlog_merge(
                 else {}
             ),
             **({"generated_columns": generated} if generated else {}),
+            **(
+                {
+                    "identity_columns": identity,
+                    "identity_high_water": identity_hwm,
+                }
+                if identity
+                else {}
+            ),
             **_dv_carry(prev, touched),
             **_copy_carry(prev),
             "operation": "MERGE",

@@ -346,25 +346,52 @@ _GEN_COL_RE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 
+# Delta's identity-column clause: GENERATED {ALWAYS | BY DEFAULT} AS
+# IDENTITY [(START WITH s INCREMENT BY k)] — either sub-clause may
+# stand alone; matched BEFORE _GEN_COL_RE (the word IDENTITY vs an
+# opening paren disambiguates, but an expression column literally
+# starting with the identifier IDENTITY must not be swallowed — the
+# expression form requires '(' right after AS, so the two patterns
+# cannot both match one clause)
+_ID_COL_RE = re.compile(
+    r"^(?P<col>`[^`]+`|\w+)\s+(?P<type>.+?)\s+"
+    r"GENERATED\s+(?P<mode>ALWAYS|BY\s+DEFAULT)\s+AS\s+IDENTITY"
+    r"(?:\s*\(\s*(?:START\s+WITH\s+(?P<start>-?\d+))?"
+    r"\s*(?:INCREMENT\s+BY\s+(?P<step>-?\d+))?\s*\))?\s*$",
+    re.IGNORECASE,
+)
+
 
 def _extract_generated_columns(
     schema_text: str, U
-) -> tuple[str, dict[str, str]]:
-    """Peel ``GENERATED ALWAYS AS (expr)`` suffixes off the CREATE
-    column list: ``(plain DDL text, {col: expr})``. Operates on MASKED
-    text (string literals inside expressions are sentinels), so the
-    keyword scan cannot be fooled by literal content; returned
-    expressions come back unmasked."""
+) -> tuple[str, dict[str, str], dict[str, dict]]:
+    """Peel ``GENERATED ALWAYS AS (expr)`` and ``GENERATED {ALWAYS|BY
+    DEFAULT} AS IDENTITY [(START WITH s INCREMENT BY k)]`` suffixes off
+    the CREATE column list: ``(plain DDL text, {col: expr},
+    {col: identity spec})``. Operates on MASKED text (string literals
+    inside expressions are sentinels), so the keyword scan cannot be
+    fooled by literal content; returned expressions come back
+    unmasked."""
     ddl_parts: list[str] = []
     gen: dict[str, str] = {}
+    ident: dict[str, dict] = {}
     for part in _split_top_commas(schema_text):
+        mi = _ID_COL_RE.match(part)
+        if mi:
+            ident[U(mi.group("col")).strip("`")] = {
+                "start": int(mi.group("start") or 1),
+                "step": int(mi.group("step") or 1),
+                "always": mi.group("mode").upper() == "ALWAYS",
+            }
+            ddl_parts.append(f"{mi.group('col')} {mi.group('type')}")
+            continue
         m = _GEN_COL_RE.match(part)
         if m:
             gen[U(m.group("col")).strip("`")] = U(m.group("expr")).strip()
             ddl_parts.append(f"{m.group('col')} {m.group('type')}")
         else:
             ddl_parts.append(part)
-    return ", ".join(ddl_parts), gen
+    return ", ".join(ddl_parts), gen, ident
 
 
 def _shards_prop(props: dict) -> int | None:
@@ -426,6 +453,7 @@ def _align_insert(
     fields = man["schema"]
     names = [f["name"] for f in fields]
     gen = man.get("generated_columns") or {}
+    ident = man.get("identity_columns") or {}
     if cols_clause is not None:
         listed = [c.strip().strip("`") for c in cols_clause.split(",")]
         unknown = [c for c in listed if c not in names]
@@ -440,7 +468,10 @@ def _align_insert(
             )
         src = dict(zip(listed, df.columns))
     else:
-        insertable = [n for n in names if n not in gen]
+        # positional INSERT skips generated AND identity columns (both
+        # are table-computed); provide identity values — BY DEFAULT
+        # tables only — through an explicit column list
+        insertable = [n for n in names if n not in gen and n not in ident]
         if len(df.columns) != len(insertable):
             raise UnsupportedSqlError(
                 f"INSERT source has {len(df.columns)} column(s) but the "
@@ -936,17 +967,47 @@ def txtable_sql(
         prev_rows = 0 if overwrite else sum(
             int(v) for v in man.get("row_counts", {}).values()
         ) - sum(int(v) for v in man.get("dv_counts", {}).values())
+        # identity allocation happens HERE, driver-side (the DSv2
+        # writer only sees Arrow batches): blind-append semantics —
+        # existing rows are never matched, every inserted row missing
+        # the column allocates in key order. The post-allocation marks
+        # and the base they came from travel as write options so the
+        # commit detects a concurrent identity write (allocation does
+        # not commute; the loser re-runs).
+        ident = man.get("identity_columns") or {}
+        id_kwargs = {}
+        idpin = None
+        if ident:
+            from .txlog import _allocate_identity_columns
+
+            base = {
+                c: int(v)
+                for c, v in (man.get("identity_high_water") or {}).items()
+            }
+            df, new_hwm, idpin = _allocate_identity_columns(
+                spark, df, ident, base, man["key"], existing=None
+            )
+            id_kwargs = dict(
+                identity_handled=True,
+                identity_high_water=new_hwm,
+                identity_high_water_base=base,
+            )
         register_txtable_source(spark)
-        write_txtable(
-            df,
-            path,
-            key=man["key"],
-            num_buckets=int(man["num_buckets"]),
-            mode="overwrite" if overwrite else "append",
-            # _align_insert computed+validated any GENERATED ALWAYS AS
-            # columns already, so the writer-feature gate may lift
-            generated_handled=bool(man.get("generated_columns")),
-        )
+        try:
+            write_txtable(
+                df,
+                path,
+                key=man["key"],
+                num_buckets=int(man["num_buckets"]),
+                mode="overwrite" if overwrite else "append",
+                # _align_insert computed+validated any GENERATED ALWAYS
+                # AS columns already, so the writer-feature gate may lift
+                generated_handled=bool(man.get("generated_columns")),
+                **id_kwargs,
+            )
+        finally:
+            if idpin is not None:
+                idpin.unpersist()
         # inserted count from manifest bookkeeping — no re-scan of the
         # SELECT (an INSERT ... SELECT over a big source must not run
         # twice just to report its count)
@@ -1207,6 +1268,11 @@ def txtable_sql(
                 | ({"manifest-shards"} if man.get("manifest_sharding") else set())
             ),
             "constraints": table_constraints(spark, path),
+            # identity columns: the spec plus the current high-water
+            # mark (the last value handed out — Delta surfaces this
+            # through SYNC IDENTITY tooling; here it is plain metadata)
+            "identity_columns": man.get("identity_columns", {}),
+            "identity_high_water": man.get("identity_high_water", {}),
             "committed_at_ms": man.get("committed_at_ms"),
         }
 
@@ -1372,12 +1438,25 @@ def txtable_sql(
         if man is None:
             raise FileNotFoundError(f"no committed txtable at {path}")
         gen = man.get("generated_columns") or {}
+        ident = man.get("identity_columns") or {}
+
+        def _id_clause(c: str) -> str:
+            cfg = ident[c]
+            mode = "ALWAYS" if cfg.get("always", True) else "BY DEFAULT"
+            return (
+                f" GENERATED {mode} AS IDENTITY (START WITH "
+                f"{int(cfg.get('start', 1))} INCREMENT BY "
+                f"{int(cfg.get('step', 1))})"
+            )
+
         st = _manifest_struct(man) or read_txtable(spark, path).schema
         cols = ", ".join(
             f"{_bq(f.name)} {f.dataType.simpleString().upper()}"
             + (
                 f" GENERATED ALWAYS AS ({gen[f.name]})"
                 if f.name in gen
+                else _id_clause(f.name)
+                if f.name in ident
                 else ""
             )
             for f in st.fields
@@ -1637,7 +1716,9 @@ def txtable_sql(
         dst = U(m.group("dst"))
         if not m.group("repl") and _latest_manifest(spark, dst) is not None:
             raise FileExistsError(f"txtable already exists at {dst}")
-        ddl_text, gen = _extract_generated_columns(m.group("schema"), U)
+        ddl_text, gen, ident = _extract_generated_columns(
+            m.group("schema"), U
+        )
         try:
             schema = StructType.fromDDL(U(ddl_text))
         except Exception as e:
@@ -1669,6 +1750,7 @@ def txtable_sql(
             stats_columns=split(m.group("stats")) if m.group("stats") else None,
             bloom_columns=split(m.group("bloom")) if m.group("bloom") else None,
             generated_columns=gen or None,
+            identity_columns=ident or None,
             replace=bool(m.group("repl")),
             manifest_shards=_shards_prop(props),
         )

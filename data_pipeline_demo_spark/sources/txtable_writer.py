@@ -806,6 +806,29 @@ def _resolve_table_spec(fs, root: str, options: dict, schema) -> dict:
     spec["generated_handled"] = str(
         options.get("generatedcolumnshandled", "false")
     ).lower() in ("1", "true", "yes")
+    # identityColumnsHandled / identityHighWater / identityHighWaterBase:
+    # a front-end that allocated identity values driver-side (SQL
+    # INSERT) attests it did, ships the post-allocation high-water
+    # marks, and pins the marks the allocation was BASED on — commit
+    # re-checks the base so a concurrent identity write can never be
+    # silently replayed over (allocation does not commute)
+    import json as _json
+
+    spec["identity_handled"] = str(
+        options.get("identitycolumnshandled", "false")
+    ).lower() in ("1", "true", "yes")
+    ihw = options.get("identityhighwater")
+    spec["identity_hwm"] = (
+        {c: int(v) for c, v in _json.loads(ihw).items()}
+        if ihw is not None
+        else None
+    )
+    ihb = options.get("identityhighwaterbase")
+    spec["identity_hwm_base"] = (
+        {c: int(v) for c, v in _json.loads(ihb).items()}
+        if ihb is not None
+        else None
+    )
     return spec
 
 
@@ -847,6 +870,23 @@ def _resolve_commit_schema(prev: dict | None, spec: dict, overwrite: bool):
             f"{sorted(prev['generated_columns'])}; the python DSv2 "
             "writer cannot compute or validate generated expressions — "
             "write through sinks.txlog.txlog_upsert instead"
+        )
+    if (
+        prev is not None
+        and prev.get("identity_columns")
+        and not spec.get("identity_handled")
+    ):
+        # same writer-feature shape as generated columns (Delta
+        # classifies identityColumns as a writer feature too): this
+        # path sees only Arrow batches and cannot allocate against the
+        # table's high-water mark — writing around it would hand out
+        # duplicate ids. The SQL INSERT front-end allocates driver-side
+        # and attests with identityColumnsHandled.
+        raise ValueError(
+            "table declares identity_columns="
+            f"{sorted(prev['identity_columns'])}; the python DSv2 "
+            "writer cannot allocate identity values — write through "
+            "sinks.txlog.txlog_upsert, SQL INSERT, or COPY INTO"
         )
     if prev is None or overwrite:
         return spec.get("schema_fields"), []
@@ -928,6 +968,25 @@ def commit_files(
                 f"txtable at {root} requires table feature(s) "
                 f"{unknown_req} the python writer does not support"
             )
+        if spec.get("identity_hwm_base") is not None and prev is not None:
+            # identity allocation does NOT commute: the task files
+            # already hold ids computed against the base marks, so if
+            # ANOTHER identity write landed first, replaying this
+            # commit would hand out duplicate ids. Refuse loudly
+            # (the caller re-runs the INSERT against the new snapshot)
+            # instead of retrying like an ordinary append.
+            cur_hwm = {
+                c: int(v)
+                for c, v in (prev.get("identity_high_water") or {}).items()
+            }
+            if cur_hwm != spec["identity_hwm_base"]:
+                raise ConcurrentCommitError(
+                    f"identity high-water mark moved under this write "
+                    f"(allocation based on {spec['identity_hwm_base']}, "
+                    f"table now at {cur_hwm}) — re-run the statement; "
+                    "identity allocation cannot be replayed against a "
+                    "newer snapshot"
+                )
         if prev is not None and not overwrite:
             # re-validate the PLAN-time spec against the manifest present
             # at COMMIT time: a lost creation race (or a concurrent
@@ -1132,6 +1191,34 @@ def commit_files(
                 carried["copy_files"] = dict(prev["copy_files"])
             if prev.get("copy_log"):  # O(1) sidecar-chain pointer
                 carried["copy_log"] = dict(prev["copy_log"])
+        if prev is not None and prev.get("identity_columns"):
+            # identity carries on OVERWRITE too (unlike generated
+            # columns, which reset with the snapshot): losing the
+            # high-water mark would re-issue already-used ids — actual
+            # corruption, not just a dropped rule. The config survives
+            # per column as long as the column is still in the schema;
+            # the mark is monotone across overwrites.
+            new_names = (
+                {f["name"] for f in schema_fields}
+                if (overwrite and schema_fields)
+                else None
+            )
+            keep = {
+                c: dict(cfg)
+                for c, cfg in prev["identity_columns"].items()
+                if new_names is None or c in new_names
+            }
+            if keep:
+                prev_hwm = dict(prev.get("identity_high_water", {}))
+                hwm = (
+                    dict(spec["identity_hwm"])
+                    if spec.get("identity_hwm") is not None
+                    else prev_hwm
+                )
+                carried["identity_columns"] = keep
+                carried["identity_high_water"] = {
+                    c: int(hwm.get(c, prev_hwm.get(c))) for c in keep
+                }
         manifest = {
             "version": version,
             "key": spec["key"],
@@ -1425,6 +1512,9 @@ def write_txtable(
     claim_base_url: str | None = None,
     claim_store_root: str | None = None,
     generated_handled: bool = False,
+    identity_handled: bool = False,
+    identity_high_water: dict | None = None,
+    identity_high_water_base: dict | None = None,
 ) -> None:
     """Convenience writer that aligns the input's partitioning with the
     table's bucketing BEFORE the DataSource write. The DSv2 python API
@@ -1461,6 +1551,22 @@ def write_txtable(
         # caller attests generated columns were computed+validated
         # driver-side (the SQL INSERT front-end) — see _write_spec
         w = w.option("generatedColumnsHandled", "true")
+    if identity_handled:
+        import json as _json
+
+        # caller attests identity values were allocated driver-side;
+        # the post-allocation marks and their base travel with the
+        # write so commit can detect a concurrent identity write
+        w = w.option("identityColumnsHandled", "true")
+        if identity_high_water is not None:
+            w = w.option(
+                "identityHighWater", _json.dumps(identity_high_water)
+            )
+        if identity_high_water_base is not None:
+            w = w.option(
+                "identityHighWaterBase",
+                _json.dumps(identity_high_water_base),
+            )
     if claim_base_url is not None:
         if claim_store_root is None:
             raise ValueError(
