@@ -4692,3 +4692,99 @@ def q248_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select(
         "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")
     )
+
+
+# q249's oracle replays identity allocation arithmetically: phase-A
+# rows take start + step*(rank-1) in key order, the merge's new keys
+# continue from the phase-A high-water mark, and matched keys KEEP
+# their phase-A id while taking the merge's bumped price — a hash
+# match certifies key-order-deterministic allocation, write-once
+# preservation through MERGE, and high-water continuation across
+# commits, end to end through the SQL surface.
+_DUCK_IDENTITY_LIFECYCLE = """
+    WITH a AS (
+      SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey < 3000
+    ), b AS (
+      SELECT o_orderkey, o_totalprice + 100 AS o_totalprice FROM orders
+      WHERE o_orderkey >= 2000 AND o_orderkey < 4000
+    ), a_ids AS (
+      SELECT o_orderkey,
+             1000 + 3 * (ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1)
+               AS row_sid
+      FROM a
+    ), b_new AS (
+      SELECT o_orderkey, o_totalprice FROM b
+      WHERE o_orderkey NOT IN (SELECT o_orderkey FROM a)
+    ), b_ids AS (
+      SELECT o_orderkey,
+             (SELECT MAX(row_sid) FROM a_ids)
+               + 3 * ROW_NUMBER() OVER (ORDER BY o_orderkey) AS row_sid
+      FROM b_new
+    )
+    SELECT ai.o_orderkey, CAST(ai.row_sid AS BIGINT) AS row_sid,
+           CAST(COALESCE(bb.o_totalprice, aa.o_totalprice) AS DOUBLE)
+             AS o_totalprice
+    FROM a_ids ai
+    JOIN a aa ON ai.o_orderkey = aa.o_orderkey
+    LEFT JOIN b bb ON ai.o_orderkey = bb.o_orderkey
+    UNION ALL
+    SELECT bi.o_orderkey, CAST(bi.row_sid AS BIGINT) AS row_sid,
+           CAST(bn.o_totalprice AS DOUBLE) AS o_totalprice
+    FROM b_ids bi JOIN b_new bn ON bi.o_orderkey = bn.o_orderkey
+"""
+
+
+@register("q249_identity_lifecycle", oracle=_DUCK_IDENTITY_LIFECYCLE)
+def q249_identity_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Identity columns (Delta's GENERATED ALWAYS AS IDENTITY,
+    sinks/txlog.py:_allocate_identity_columns) attested through the
+    SQL surface: CREATE declares ``row_sid BIGINT GENERATED ALWAYS AS
+    IDENTITY (START WITH 1000 INCREMENT BY 3)``, INSERT ... SELECT
+    allocates ids for a key band in key order, and a conditional MERGE
+    bumps matched prices WITHOUT touching their ids while its insert
+    branch continues allocation from the table's high-water mark. The
+    DuckDB oracle replays every allocated value arithmetically
+    (ROW_NUMBER in key order) — ids are data, not metadata, in this
+    check.
+
+    Scale shape: allocation is the two-pass range-partitioned ranking
+    recipe (per-partition window + a numPartitions-sized offset tally
+    — never a single-partition global window), joined back on a pinned
+    row handle; cost is O(batch + touched buckets) per commit, never
+    O(table)."""
+    import tempfile
+
+    from ..sinks.sql_dml import txtable_sql
+
+    root = tempfile.mkdtemp(prefix="q249-ident-") + "/t"
+    txtable_sql(
+        spark,
+        f"CREATE TABLE txtable.`{root}` (o_orderkey BIGINT, "
+        "o_totalprice DOUBLE, row_sid BIGINT GENERATED ALWAYS AS "
+        "IDENTITY (START WITH 1000 INCREMENT BY 3)) "
+        "KEY o_orderkey BUCKETS 8",
+    )
+    table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "q249_orders_src"
+    )
+    txtable_sql(
+        spark,
+        f"INSERT INTO txtable.`{root}` "
+        "SELECT o_orderkey, o_totalprice "
+        "FROM q249_orders_src WHERE o_orderkey < 3000",
+    )
+    txtable_sql(
+        spark,
+        f"MERGE INTO txtable.`{root}` t USING ("
+        "SELECT o_orderkey, o_totalprice + 100 AS o_totalprice "
+        "FROM q249_orders_src "
+        "WHERE o_orderkey >= 2000 AND o_orderkey < 4000) s "
+        "ON t.o_orderkey = s.o_orderkey "
+        "WHEN MATCHED THEN UPDATE SET o_totalprice = s.o_totalprice "
+        "WHEN NOT MATCHED THEN INSERT (o_orderkey, o_totalprice) "
+        "VALUES (s.o_orderkey, s.o_totalprice)",
+    )
+    return txtable_sql(
+        spark,
+        f"SELECT o_orderkey, row_sid, o_totalprice FROM txtable.`{root}`",
+    )

@@ -738,6 +738,8 @@ def _schema_carry(manifest: dict) -> dict:
         out["dropped_columns"] = list(manifest["dropped_columns"])
     if manifest.get("generated_columns"):
         out["generated_columns"] = dict(manifest["generated_columns"])
+    if manifest.get("column_defaults"):
+        out["column_defaults"] = dict(manifest["column_defaults"])
     # identity config AND its mutable high-water mark travel with the
     # schema state: a commit path that dropped the mark would re-issue
     # already-used ids (see _identity_carry)
@@ -778,6 +780,80 @@ def _apply_generated_columns(
                     "column (it is computed) or provide matching values"
                 )
     return updates
+
+
+def _apply_column_defaults(updates: DataFrame, defaults: dict) -> DataFrame:
+    """Column DEFAULTs on the write path (Delta's ``DEFAULT expr``
+    clause, the ``allowColumnDefaults`` writer feature): a defaulted
+    column ABSENT from the batch fills with its expression instead of
+    null. Omit-means-default is the table's declared meaning for an
+    absent value, so in this engine's whole-row merge it applies to
+    every batch row — matched keys included (the conditional-MERGE
+    path is finer-grained: unassigned columns keep the target value
+    there, and only INSERT-action rows take the default). A column
+    PRESENT in the batch is used verbatim, nulls included — SQL
+    semantics: only absence means default."""
+    for c, expr in defaults.items():
+        if c not in updates.columns:
+            updates = updates.withColumn(c, F.expr(expr))
+    return updates
+
+
+def _validate_column_defaults(
+    spark: SparkSession, defaults: dict, schema_fields, key: str,
+    generated: dict, ident: dict,
+) -> None:
+    """Creation-time DEFAULT validation: the expression must evaluate
+    row-free (constant-foldable — a default referencing other columns
+    has no defined value for an absent column), cast losslessly to the
+    declared type, and the column must not be the bucketing KEY (a
+    defaulted key would collapse every omitted-key row into one bucket
+    and one merge key) nor carry a second generation rule."""
+    types = {f["name"]: f["type"] for f in (schema_fields or [])}
+    from pyspark.sql.types import StructType as _ST
+
+    for c, expr in defaults.items():
+        if schema_fields is not None and c not in types:
+            raise ValueError(
+                f"DEFAULT column {c!r} is not in the table schema "
+                f"{sorted(types)}"
+            )
+        if c == key:
+            raise ValueError(
+                f"the bucketing KEY {c!r} cannot have a DEFAULT: an "
+                "omitted key would collapse every row into one bucket "
+                "and one merge key"
+            )
+        if c in generated:
+            raise ValueError(
+                f"{c!r} cannot have both GENERATED ALWAYS AS and a "
+                "DEFAULT — one rule per column"
+            )
+        if c in ident:
+            raise ValueError(
+                f"{c!r} cannot have both an identity rule and a "
+                "DEFAULT — identity already defines the absent value"
+            )
+        try:
+            probe = spark.range(1).select(F.expr(expr).alias(c))
+            if schema_fields is not None:
+                want = _ST.fromJson(
+                    {
+                        "type": "struct",
+                        "fields": [
+                            f for f in schema_fields if f["name"] == c
+                        ],
+                    }
+                )
+                probe = probe.select(
+                    F.col(c).cast(want.fields[0].dataType)
+                )
+            probe.collect()
+        except Exception as e:
+            raise ValueError(
+                f"DEFAULT for {c!r} does not evaluate as a constant "
+                f"of the declared type: {expr!r} ({e})"
+            ) from e
 
 
 def _validate_identity_columns(
@@ -1753,6 +1829,7 @@ def txlog_upsert(
     evolve_schema: bool = False,
     generated_columns: dict[str, str] | None = None,
     identity_columns: dict[str, dict] | None = None,
+    column_defaults: dict[str, str] | None = None,
     not_matched_by_source_delete: bool | str = False,
     replace: bool = False,
     manifest_shards: int | bool | None = None,
@@ -1935,6 +2012,14 @@ def txlog_upsert(
                 f"{prev.get('identity_columns', {})}; got "
                 f"{identity_columns} (fixed at table creation)"
             )
+        if column_defaults is not None and column_defaults != prev.get(
+            "column_defaults", {}
+        ):
+            raise ValueError(
+                f"txtable {root_path} was created with column_defaults="
+                f"{prev.get('column_defaults', {})}; got "
+                f"{column_defaults} (fixed at table creation)"
+            )
         version = prev["version"] + 1
         key = prev["key"]
         num_buckets = prev["num_buckets"]
@@ -1943,6 +2028,7 @@ def txlog_upsert(
         generated_columns = dict(prev.get("generated_columns", {}))
         identity_columns = dict(prev.get("identity_columns", {}))
         identity_hwm = dict(prev.get("identity_high_water", {}))
+        column_defaults = dict(prev.get("column_defaults", {}))
         bloom_bits = int(prev.get("bloom_bits", BLOOM_BITS))
         buckets = dict(prev["buckets"])
         row_counts = dict(prev["row_counts"])
@@ -1970,6 +2056,7 @@ def txlog_upsert(
             c: cfg["start"] - cfg["step"]
             for c, cfg in identity_columns.items()
         }
+        column_defaults = dict(column_defaults or {})
         bucket_blooms = {}
         bucket_nulls = {}
         if replaced_version is not None:
@@ -3713,6 +3800,25 @@ def deep_clone_txtable(
         tgt = _latest_manifest(spark, target_root)
         _alter_commit(
             spark, target_root, tgt, tgt.get("schema"), dropped
+        )
+    if m.get("identity_columns"):
+        # identity spec + high-water mark re-attach AFTER the data
+        # lands: the cloned rows legitimately CARRY their ids, which
+        # the creation write's ALWAYS check would refuse if the rule
+        # were active during it; the source's mark travels so the
+        # clone never re-issues an id the source already handed out
+        tgt = _latest_manifest(spark, target_root)
+        _commit_manifest(
+            spark,
+            target_root,
+            {
+                **tgt,
+                "version": tgt["version"] + 1,
+                **_identity_carry(m),
+                "operation": "CLONE",
+                "committed_at_ms": int(time.time() * 1000),
+            },
+            prev=tgt,
         )
     copy_fields = _clone_copy_fields(spark, source_root, m, target_root)
     if copy_fields:
