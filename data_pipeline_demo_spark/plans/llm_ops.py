@@ -4788,3 +4788,90 @@ def q249_identity_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         f"SELECT o_orderkey, row_sid, o_totalprice FROM txtable.`{root}`",
     )
+
+
+# q250's oracle replays the DEFAULT lifecycle arithmetically: every
+# band's status/priority is a declared constant (absent column means
+# DEFAULT), the UPDATE and the MERGE's matched branch never disturb
+# them, and the MERGE's insert branch takes the default for columns
+# its INSERT clause does not name. A hash match certifies the fill on
+# INSERT, the conditional MERGE's SQL-precise default semantics, and
+# NOT NULL riding the constraint machinery (the run would refuse,
+# not mismatch, if a null slipped through).
+_DUCK_DEFAULTS_LIFECYCLE = """
+    SELECT o_orderkey,
+           CAST(o_totalprice
+                + CASE WHEN o_orderkey < 1000 THEN 10 ELSE 0 END
+                + CASE WHEN o_orderkey >= 2500 THEN 100 ELSE 0 END
+                AS DOUBLE) AS o_totalprice,
+           CASE WHEN o_orderkey >= 2000 AND o_orderkey < 3000
+                THEN 'rush' ELSE 'open' END AS status,
+           CAST(7 AS BIGINT) AS priority
+    FROM orders WHERE o_orderkey < 3500
+"""
+
+
+@register("q250_defaults_lifecycle", oracle=_DUCK_DEFAULTS_LIFECYCLE)
+def q250_defaults_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column DEFAULTs + inline NOT NULL attested through the SQL
+    surface (sinks/txlog.py:_apply_column_defaults): CREATE declares
+    ``status STRING DEFAULT 'open'`` and ``priority BIGINT DEFAULT 7
+    NOT NULL``, INSERTs that omit those columns fill the declared
+    constants (not null), an UPDATE leaves them untouched, and a
+    conditional MERGE bumps matched prices while its insert branch
+    takes the default for every column its INSERT clause does not
+    name — SQL's omit-means-default, replayed arithmetically by the
+    DuckDB oracle. NOT NULL registers as a canonically-named CHECK
+    constraint, so a null leaking through any of these paths would
+    refuse the write rather than hash-mismatch.
+
+    Scale shape: the fill is a literal projection fused into each
+    write's existing pass (zero extra jobs, zero shuffle); enforcement
+    is the constraint machinery's one counting aggregate per batch."""
+    import tempfile
+
+    from ..sinks.sql_dml import txtable_sql
+
+    root = tempfile.mkdtemp(prefix="q250-dflt-") + "/t"
+    txtable_sql(
+        spark,
+        f"CREATE TABLE txtable.`{root}` (o_orderkey BIGINT, "
+        "o_totalprice DOUBLE, status STRING DEFAULT 'open', "
+        "priority BIGINT DEFAULT 7 NOT NULL) KEY o_orderkey BUCKETS 8",
+    )
+    table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "q250_orders_src"
+    )
+    txtable_sql(
+        spark,
+        f"INSERT INTO txtable.`{root}` (o_orderkey, o_totalprice) "
+        "SELECT o_orderkey, o_totalprice FROM q250_orders_src "
+        "WHERE o_orderkey < 2000",
+    )
+    txtable_sql(
+        spark,
+        f"INSERT INTO txtable.`{root}` (o_orderkey, o_totalprice, status) "
+        "SELECT o_orderkey, o_totalprice, 'rush' FROM q250_orders_src "
+        "WHERE o_orderkey >= 2000 AND o_orderkey < 3000",
+    )
+    txtable_sql(
+        spark,
+        f"UPDATE txtable.`{root}` SET o_totalprice = o_totalprice + 10 "
+        "WHERE o_orderkey < 1000",
+    )
+    txtable_sql(
+        spark,
+        f"MERGE INTO txtable.`{root}` t USING ("
+        "SELECT o_orderkey, o_totalprice + 100 AS o_totalprice "
+        "FROM q250_orders_src "
+        "WHERE o_orderkey >= 2500 AND o_orderkey < 3500) s "
+        "ON t.o_orderkey = s.o_orderkey "
+        "WHEN MATCHED THEN UPDATE SET o_totalprice = s.o_totalprice "
+        "WHEN NOT MATCHED THEN INSERT (o_orderkey, o_totalprice) "
+        "VALUES (s.o_orderkey, s.o_totalprice)",
+    )
+    return txtable_sql(
+        spark,
+        f"SELECT o_orderkey, o_totalprice, status, priority "
+        f"FROM txtable.`{root}`",
+    )

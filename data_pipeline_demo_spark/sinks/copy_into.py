@@ -50,6 +50,7 @@ from pyspark.sql.types import StructType
 from .txlog import (
     FEATURE_DV,
     _allocate_identity_columns,
+    _apply_column_defaults,
     _apply_generated_columns,
     _check_features,
     _commit_manifest,
@@ -304,6 +305,10 @@ def copy_into(
                 {n: F.col(n).cast(t) for n, t in casts}
             )
 
+    column_defaults = dict(prev.get("column_defaults", {}))
+    if column_defaults:
+        # files missing a defaulted column load its DEFAULT, not null
+        batch = _apply_column_defaults(batch, column_defaults)
     generated_columns = dict(prev.get("generated_columns", {}))
     if generated_columns:
         batch = _apply_generated_columns(spark, batch, generated_columns)
@@ -503,6 +508,11 @@ def copy_into(
                     "identity_high_water": identity_hwm,
                 }
                 if identity_columns
+                else {}
+            ),
+            **(
+                {"column_defaults": column_defaults}
+                if column_defaults
                 else {}
             ),
             **_dv_carry(prev),

@@ -161,6 +161,7 @@ def txlog_merge(
     generated = dict(prev.get("generated_columns", {}))
     identity = dict(prev.get("identity_columns", {}))
     identity_hwm = dict(prev.get("identity_high_water", {}))
+    defaults = dict(prev.get("column_defaults", {}))
     for cl in matched:
         if cl.action == "update" and cl.assignments:
             hit = sorted(set(cl.assignments) & set(generated))
@@ -430,6 +431,12 @@ def txlog_merge(
             elif col == key:
                 # the key always comes from the source on insert
                 e = e.when(F.col("__tag") == f"i{i}", F.col(f"s.{key}"))
+            elif col in defaults:
+                # SQL semantics: a column the INSERT clause does not
+                # name takes its declared DEFAULT, not null
+                e = e.when(
+                    F.col("__tag") == f"i{i}", F.expr(defaults[col])
+                )
             else:
                 e = e.when(F.col("__tag") == f"i{i}", F.lit(None))
         return e.otherwise(F.lit(None)).alias(col)
@@ -608,6 +615,7 @@ def txlog_merge(
                 if identity
                 else {}
             ),
+            **({"column_defaults": defaults} if defaults else {}),
             **_dv_carry(prev, touched),
             **_copy_carry(prev),
             "operation": "MERGE",

@@ -362,23 +362,60 @@ _ID_COL_RE = re.compile(
 )
 
 
+_NN_SUFFIX_RE = re.compile(r"\s+NOT\s+NULL\s*$", re.IGNORECASE)
+_DFLT_SUFFIX_RE = re.compile(
+    r"\s+DEFAULT\s+(?P<expr>.+?)\s*$", re.IGNORECASE | re.DOTALL
+)
+
+
 def _extract_generated_columns(
     schema_text: str, U
-) -> tuple[str, dict[str, str], dict[str, dict]]:
-    """Peel ``GENERATED ALWAYS AS (expr)`` and ``GENERATED {ALWAYS|BY
-    DEFAULT} AS IDENTITY [(START WITH s INCREMENT BY k)]`` suffixes off
-    the CREATE column list: ``(plain DDL text, {col: expr},
-    {col: identity spec})``. Operates on MASKED text (string literals
-    inside expressions are sentinels), so the keyword scan cannot be
-    fooled by literal content; returned expressions come back
+) -> tuple[
+    str, dict[str, str], dict[str, dict], dict[str, str], list[str]
+]:
+    """Peel the per-column clauses off the CREATE column list:
+    ``GENERATED ALWAYS AS (expr)``, ``GENERATED {ALWAYS|BY DEFAULT} AS
+    IDENTITY [(START WITH s INCREMENT BY k)]``, ``DEFAULT <expr>``, and
+    ``NOT NULL`` (either order around DEFAULT) — returning ``(plain
+    DDL text, {col: generated expr}, {col: identity spec},
+    {col: default expr}, [not-null cols])``. Operates on MASKED text
+    (string literals inside expressions are sentinels), so the keyword
+    scan cannot be fooled by literal content — ``DEFAULT 'NOT NULL'``
+    is a value, not a constraint; returned expressions come back
     unmasked."""
     ddl_parts: list[str] = []
     gen: dict[str, str] = {}
     ident: dict[str, dict] = {}
+    defaults: dict[str, str] = {}
+    not_null: list[str] = []
     for part in _split_top_commas(schema_text):
+        nn = False
+        dflt = None
+        # peel trailing NOT NULL / DEFAULT in either order (at most
+        # one of each); DEFAULT's expression runs to the end of the
+        # clause, so NOT NULL after it must come off first
+        for _ in range(2):
+            m = _NN_SUFFIX_RE.search(part)
+            if m and not nn:
+                nn = True
+                part = part[: m.start()]
+                continue
+            m = _DFLT_SUFFIX_RE.search(part)
+            if m and dflt is None:
+                dflt = U(m.group("expr")).strip()
+                part = part[: m.start()]
+                continue
+            break
         mi = _ID_COL_RE.match(part)
         if mi:
-            ident[U(mi.group("col")).strip("`")] = {
+            col = U(mi.group("col")).strip("`")
+            if dflt is not None or nn:
+                raise UnsupportedSqlError(
+                    f"identity column {col!r} cannot combine with "
+                    "DEFAULT or NOT NULL — identity already defines "
+                    "the absent value and is never null"
+                )
+            ident[col] = {
                 "start": int(mi.group("start") or 1),
                 "step": int(mi.group("step") or 1),
                 "always": mi.group("mode").upper() == "ALWAYS",
@@ -387,11 +424,25 @@ def _extract_generated_columns(
             continue
         m = _GEN_COL_RE.match(part)
         if m:
-            gen[U(m.group("col")).strip("`")] = U(m.group("expr")).strip()
+            col = U(m.group("col")).strip("`")
+            if dflt is not None:
+                raise UnsupportedSqlError(
+                    f"generated column {col!r} cannot also have a "
+                    "DEFAULT — one rule per column"
+                )
+            gen[col] = U(m.group("expr")).strip()
+            if nn:
+                not_null.append(col)
             ddl_parts.append(f"{m.group('col')} {m.group('type')}")
-        else:
-            ddl_parts.append(part)
-    return ", ".join(ddl_parts), gen, ident
+            continue
+        ddl_parts.append(part)
+        mc = re.match(r"\s*(`[^`]+`|\w+)", part)
+        col = U(mc.group(1)).strip("`") if mc else part.strip()
+        if dflt is not None:
+            defaults[col] = dflt
+        if nn:
+            not_null.append(col)
+    return ", ".join(ddl_parts), gen, ident, defaults, not_null
 
 
 def _shards_prop(props: dict) -> int | None:
@@ -415,6 +466,13 @@ def _shards_prop(props: dict) -> int | None:
             "txtable.manifestShards must be >= 1"
         )
     return n
+
+
+def _nn_name(col: str) -> str:
+    """Canonical constraint name for an inline ``NOT NULL`` clause —
+    recognized by SHOW CREATE TABLE to fold the constraint back into
+    the column definition."""
+    return "nn_" + re.sub(r"\W", "_", col)
 
 
 def _bq(name: str) -> str:
@@ -454,6 +512,7 @@ def _align_insert(
     names = [f["name"] for f in fields]
     gen = man.get("generated_columns") or {}
     ident = man.get("identity_columns") or {}
+    dflt = man.get("column_defaults") or {}
     if cols_clause is not None:
         listed = [c.strip().strip("`") for c in cols_clause.split(",")]
         unknown = [c for c in listed if c not in names]
@@ -492,6 +551,12 @@ def _align_insert(
             exprs.append(c.alias(n))
         elif n in gen:
             continue  # computed below from its expression
+        elif n in dflt:
+            # SQL semantics: an unlisted defaulted column takes its
+            # declared DEFAULT, not null
+            exprs.append(
+                F.expr(dflt[n]).cast(tbl[n].dataType).alias(n)
+            )
         else:
             exprs.append(F.lit(None).cast(tbl[n].dataType).alias(n))
     out = df.select(*exprs)
@@ -1003,6 +1068,7 @@ def txtable_sql(
                 # _align_insert computed+validated any GENERATED ALWAYS
                 # AS columns already, so the writer-feature gate may lift
                 generated_handled=bool(man.get("generated_columns")),
+                defaults_handled=bool(man.get("column_defaults")),
                 **id_kwargs,
             )
         finally:
@@ -1273,6 +1339,7 @@ def txtable_sql(
             # through SYNC IDENTITY tooling; here it is plain metadata)
             "identity_columns": man.get("identity_columns", {}),
             "identity_high_water": man.get("identity_high_water", {}),
+            "column_defaults": man.get("column_defaults", {}),
             "committed_at_ms": man.get("committed_at_ms"),
         }
 
@@ -1449,6 +1516,14 @@ def txtable_sql(
                 f"{int(cfg.get('step', 1))})"
             )
 
+        dflt = man.get("column_defaults") or {}
+        cons_all = table_constraints(spark, path)
+        # canonical nn_<col> constraints fold back to inline NOT NULL
+        nn_cols = {
+            c
+            for c in (f.name for f in (_manifest_struct(man) or read_txtable(spark, path).schema).fields)
+            if cons_all.get(_nn_name(c)) == f"`{c}` IS NOT NULL"
+        }
         st = _manifest_struct(man) or read_txtable(spark, path).schema
         cols = ", ".join(
             f"{_bq(f.name)} {f.dataType.simpleString().upper()}"
@@ -1457,8 +1532,11 @@ def txtable_sql(
                 if f.name in gen
                 else _id_clause(f.name)
                 if f.name in ident
+                else f" DEFAULT {dflt[f.name]}"
+                if f.name in dflt
                 else ""
             )
+            + (" NOT NULL" if f.name in nn_cols else "")
             for f in st.fields
         )
         stmt = (
@@ -1490,7 +1568,10 @@ def txtable_sql(
                 for k, v in sorted(props.items())
             ) + ")"
         pieces = [stmt]
-        for name, pred in sorted(table_constraints(spark, path).items()):
+        folded = {_nn_name(c) for c in nn_cols}
+        for name, pred in sorted(cons_all.items()):
+            if name in folded:
+                continue  # emitted inline as NOT NULL above
             pieces.append(
                 f"ALTER TABLE txtable.`{path}` ADD CONSTRAINT {name} "
                 f"CHECK ({pred})"
@@ -1716,7 +1797,7 @@ def txtable_sql(
         dst = U(m.group("dst"))
         if not m.group("repl") and _latest_manifest(spark, dst) is not None:
             raise FileExistsError(f"txtable already exists at {dst}")
-        ddl_text, gen, ident = _extract_generated_columns(
+        ddl_text, gen, ident, dflts, not_null = _extract_generated_columns(
             m.group("schema"), U
         )
         try:
@@ -1751,6 +1832,7 @@ def txtable_sql(
             bloom_columns=split(m.group("bloom")) if m.group("bloom") else None,
             generated_columns=gen or None,
             identity_columns=ident or None,
+            column_defaults=dflts or None,
             replace=bool(m.group("repl")),
             manifest_shards=_shards_prop(props),
         )
@@ -1758,6 +1840,17 @@ def txtable_sql(
             from .txlog import set_table_properties
 
             set_table_properties(spark, dst, props)
+        if not_null:
+            # NOT NULL registers as a canonically-named CHECK
+            # constraint (`nn_<col>`: `col` IS NOT NULL) — it rides
+            # the existing constraint machinery on every write path,
+            # and SHOW CREATE folds it back to the inline syntax
+            from .txlog import set_table_constraint
+
+            for c in not_null:
+                set_table_constraint(
+                    spark, dst, _nn_name(c), f"`{c}` IS NOT NULL"
+                )
         return n
 
     if re.search(rf"{_WS}USING{_WS}DELTA\b", text, re.IGNORECASE) and re.match(

@@ -2064,8 +2064,12 @@ def txlog_upsert(
     if txn_app_id is not None:
         app_txns[txn_app_id] = txn_version
 
-    # GENERATED ALWAYS AS columns compute/validate before anything else
-    # (the computed columns are part of the schema being enforced)
+    # column DEFAULTs fill absent columns FIRST (a generated expression
+    # may reference a defaulted column), then GENERATED ALWAYS AS
+    # computes/validates — both before schema enforcement (the filled
+    # and computed columns are part of the schema being enforced)
+    if column_defaults:
+        updates = _apply_column_defaults(updates, column_defaults)
     if generated_columns:
         updates = _apply_generated_columns(spark, updates, generated_columns)
 
@@ -2096,11 +2100,16 @@ def txlog_upsert(
     else:
         schema_fields = None
 
-    # identity config validates at table definition time (creation or
-    # REPLACE — the only commits that can introduce it)
+    # identity / DEFAULT configs validate at table definition time
+    # (creation or REPLACE — the only commits that can introduce them)
     if identity_columns and prev is None:
         _validate_identity_columns(
             identity_columns, schema_fields, key, generated_columns
+        )
+    if column_defaults and prev is None:
+        _validate_column_defaults(
+            spark, column_defaults, schema_fields, key,
+            generated_columns, identity_columns,
         )
 
     # CHECK constraints gate the batch BEFORE any file is written
@@ -2209,6 +2218,11 @@ def txlog_upsert(
                     "identity_high_water": identity_hwm,
                 }
                 if identity_columns
+                else {}
+            ),
+            **(
+                {"column_defaults": column_defaults}
+                if column_defaults
                 else {}
             ),
             **(_dv_carry(prev, touched) if prev is not None else {}),
@@ -3153,6 +3167,7 @@ def txlog_update(
 def _alter_commit(
     spark, root_path: str, prev: dict, fields, dropped, generated=None,
     operation: str = "ALTER", identity=None, identity_hwm=None,
+    defaults=None,
 ) -> int:
     """Publish a METADATA-ONLY schema change: every file reference,
     row count, stat, and bloom carries forward untouched — the commit
@@ -3174,6 +3189,11 @@ def _alter_commit(
         if generated is not None
         else dict(prev.get("generated_columns", {}))
     )
+    _d = (
+        dict(defaults)
+        if defaults is not None
+        else dict(prev.get("column_defaults", {}))
+    )
     new_version = prev["version"] + 1
     _commit_manifest(
         spark,
@@ -3193,6 +3213,7 @@ def _alter_commit(
             "schema": fields,
             **({"dropped_columns": dropped} if dropped else {}),
             **({"generated_columns": _g} if _g else {}),
+            **({"column_defaults": _d} if _d else {}),
             **(
                 {"identity_columns": _i, "identity_high_water": _ih}
                 if _i
@@ -3321,14 +3342,17 @@ def txlog_drop_column(spark: SparkSession, root_path: str, name: str) -> int:
     dropped = list(prev.get("dropped_columns", []))
     dropped.append(doomed_phys)
     # dropping an identity column drops its rule AND its high-water
-    # mark (the column is gone; nothing left to allocate)
+    # mark (the column is gone; nothing left to allocate); a DEFAULT
+    # drops with its column the same way
     identity = dict(prev.get("identity_columns", {}))
     identity_hwm = dict(prev.get("identity_high_water", {}))
     identity.pop(name, None)
     identity_hwm.pop(name, None)
+    defaults = dict(prev.get("column_defaults", {}))
+    defaults.pop(name, None)
     return _alter_commit(
         spark, root_path, prev, fields, dropped, generated=generated,
-        identity=identity, identity_hwm=identity_hwm,
+        identity=identity, identity_hwm=identity_hwm, defaults=defaults,
     )
 
 
@@ -3405,6 +3429,9 @@ def txlog_rename_column(
         identity[new] = identity.pop(old)
         if old in identity_hwm:
             identity_hwm[new] = identity_hwm.pop(old)
+    defaults = dict(prev.get("column_defaults", {}))
+    if old in defaults:
+        defaults[new] = defaults.pop(old)
     return _alter_commit(
         spark,
         root_path,
@@ -3414,6 +3441,7 @@ def txlog_rename_column(
         generated=generated,
         identity=identity,
         identity_hwm=identity_hwm,
+        defaults=defaults,
     )
 
 

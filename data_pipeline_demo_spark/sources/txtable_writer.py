@@ -817,6 +817,9 @@ def _resolve_table_spec(fs, root: str, options: dict, schema) -> dict:
     spec["identity_handled"] = str(
         options.get("identitycolumnshandled", "false")
     ).lower() in ("1", "true", "yes")
+    spec["defaults_handled"] = str(
+        options.get("columndefaultshandled", "false")
+    ).lower() in ("1", "true", "yes")
     ihw = options.get("identityhighwater")
     spec["identity_hwm"] = (
         {c: int(v) for c, v in _json.loads(ihw).items()}
@@ -871,6 +874,27 @@ def _resolve_commit_schema(prev: dict | None, spec: dict, overwrite: bool):
             "writer cannot compute or validate generated expressions — "
             "write through sinks.txlog.txlog_upsert instead"
         )
+    if (
+        prev is not None
+        and prev.get("column_defaults")
+        and not spec.get("defaults_handled")
+        and not overwrite
+    ):
+        missing = sorted(
+            set(prev["column_defaults"])
+            - {f["name"] for f in (spec.get("schema_fields") or [])}
+        )
+        if missing:
+            # Delta's allowColumnDefaults writer feature: appending
+            # WITHOUT a defaulted column would silently land null where
+            # the table's contract says DEFAULT. A write that carries
+            # every defaulted column is fine as-is.
+            raise ValueError(
+                f"table declares DEFAULTs for {missing} and this write "
+                "omits them; the python DSv2 writer cannot fill "
+                "defaults — include the columns, or write through SQL "
+                "INSERT / sinks.txlog.txlog_upsert"
+            )
     if (
         prev is not None
         and prev.get("identity_columns")
@@ -1187,6 +1211,8 @@ def commit_files(
         if prev is not None and not overwrite:
             if prev.get("generated_columns"):
                 carried["generated_columns"] = dict(prev["generated_columns"])
+            if prev.get("column_defaults"):
+                carried["column_defaults"] = dict(prev["column_defaults"])
             if prev.get("copy_files"):
                 carried["copy_files"] = dict(prev["copy_files"])
             if prev.get("copy_log"):  # O(1) sidecar-chain pointer
@@ -1512,6 +1538,7 @@ def write_txtable(
     claim_base_url: str | None = None,
     claim_store_root: str | None = None,
     generated_handled: bool = False,
+    defaults_handled: bool = False,
     identity_handled: bool = False,
     identity_high_water: dict | None = None,
     identity_high_water_base: dict | None = None,
@@ -1551,6 +1578,9 @@ def write_txtable(
         # caller attests generated columns were computed+validated
         # driver-side (the SQL INSERT front-end) — see _write_spec
         w = w.option("generatedColumnsHandled", "true")
+    if defaults_handled:
+        # caller attests defaulted columns were filled driver-side
+        w = w.option("columnDefaultsHandled", "true")
     if identity_handled:
         import json as _json
 
