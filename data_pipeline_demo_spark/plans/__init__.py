@@ -48,7 +48,8 @@ _GATE_ROTATE_IN = (
     # q116/q117). All three pass the STRICT local mirror (the
     # driver-faithful comparator the q74 burn bought) with gate-safe
     # output dtypes.
-    "q217_stale_hybrid_lookup",
+    # (q217_stale_hybrid_lookup rotated in here round-8; moved to the
+    # rotate-OUT list in the round-12 extension — see its entry there)
     "q219_expectations",
     "q221_sql_lifecycle",
     # Round-9 rotation (round-8 judge directive #1): the quarantine
@@ -83,7 +84,9 @@ _GATE_ROTATE_IN = (
     # (streaming keeps q36/q38/q39/q67/q198; q37/q188 stay certified
     # past the cap and as live stream tests).
     "q230_copy_into_lifecycle",
-    "q236_sql_conditional_merge",
+    # (q236_sql_conditional_merge rotated in here round-10; moved to
+    # the rotate-OUT list in the round-12 extension — see its entry
+    # there)
     # Round-11 rotation (round-10 judge directive #5): the round-10
     # text/DDL surface gets driver attestation — mojibake repair
     # (repair∘corrupt ≡ identity, codegen-only), the TRUNCATE
@@ -144,6 +147,16 @@ _GATE_ROTATE_IN = (
     # tiers use). Both strict-PASS with gate-safe dtypes.
     "q247_url_canonicalize",
     "q248_audio_neardup",
+    # Round-12, fourth wave (extension session) — the schema-governance
+    # tier, attested the round it ships: identity columns (q249 — the
+    # oracle replays every allocated id arithmetically: key-order
+    # ROW_NUMBER, write-once preservation through MERGE, high-water
+    # continuation across commits) and column DEFAULTs + inline NOT
+    # NULL (q250 — every band's fill is a declared constant the oracle
+    # restates; a null leaking through any path would refuse, not
+    # mismatch). Both strict-PASS with gate-safe dtypes.
+    "q249_identity_lifecycle",
+    "q250_defaults_lifecycle",
 )
 _GATE_ROTATE_OUT = (
     "q05_join_left_outer",
@@ -231,6 +244,17 @@ _GATE_ROTATE_OUT = (
     # stay check_oracle-certified past the cap every round.
     "q239_video_neardup",
     "q228_lexicon_sentiment",
+    # fourth wave (extension session): q217 stale-hybrid lookup — the
+    # value-index family keeps q95 (fresh index) and q223 (composite
+    # index) in-gate; the stale-hybrid union semantics stay
+    # check_oracle-certified past the cap every round. q236
+    # conditional MERGE — the conditional-MERGE front-end stays
+    # attested in-gate via q249 (matched UPDATE + NOT MATCHED INSERT
+    # with identity preservation through the same clause builder) and
+    # q250 (same shapes with DEFAULT fill); q236's multi-action /
+    # conditional-DELETE specifics stay certified past the cap.
+    "q217_stale_hybrid_lookup",
+    "q236_sql_conditional_merge",
 )
 
 
