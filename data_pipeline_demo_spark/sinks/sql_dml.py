@@ -23,7 +23,10 @@ the same statements they would against Delta:
         [COPY_OPTIONS ('force' = 'true', 'mergeSchema' = 'true')]
     SELECT ... FROM copy_history(txtable.`/path/t`)
     CREATE [OR REPLACE] TABLE txtable.`/path/t` (a BIGINT, b STRING
-        [, day DATE GENERATED ALWAYS AS (CAST(ts AS DATE))])
+        [, day DATE GENERATED ALWAYS AS (CAST(ts AS DATE))]
+        [, sid BIGINT GENERATED {ALWAYS|BY DEFAULT} AS IDENTITY
+              [(START WITH s INCREMENT BY k)]]
+        [, status STRING DEFAULT 'pending' [NOT NULL]])
         [KEY a] [BUCKETS n] [STATS (col, ...)] [BLOOM (col, ...)]
     UPDATE txtable.`/path/t` SET amount = amount * 2 WHERE id < 5
     DELETE FROM txtable.`/path/t` WHERE id = 3
@@ -33,9 +36,11 @@ the same statements they would against Delta:
     DROP TABLE txtable.`/path/t`
     OPTIMIZE txtable.`/path/t` [ZORDER BY (col, ...)]
     DESCRIBE HISTORY txtable.`/path/t`
-    ALTER TABLE txtable.`/path/t` ADD COLUMN score double
+    ALTER TABLE txtable.`/path/t` ADD COLUMN score double [DEFAULT 0.0]
     ALTER TABLE txtable.`/path/t` DROP COLUMN score
     ALTER TABLE txtable.`/path/t` RENAME COLUMN score TO rating
+    ALTER TABLE txtable.`/path/t` ALTER COLUMN c SET DEFAULT expr
+    ALTER TABLE txtable.`/path/t` ALTER COLUMN c DROP DEFAULT
     CREATE [OR REPLACE] TABLE txtable.`/path/t2` [SHALLOW|DEEP] CLONE
         txtable.`/path/t`
         [VERSION AS OF 2 | TIMESTAMP AS OF '2026-01-01T00:00:00']
@@ -1408,14 +1413,23 @@ def txtable_sql(
         re.IGNORECASE,
     )
     if m:
-        from .txlog import txlog_add_column
+        from .txlog import set_column_default, txlog_add_column
 
-        return txlog_add_column(
-            spark,
-            U(m.group("path")),
-            U(m.group("col")).strip("`"),
-            U(m.group("type")).strip(),
-        )
+        path = U(m.group("path"))
+        col = U(m.group("col")).strip("`")
+        typ = m.group("type")
+        # optional trailing DEFAULT: the new column's absent-value for
+        # FUTURE writes (existing rows read null — Delta parity, no
+        # backfill)
+        dm = _DFLT_SUFFIX_RE.search(typ)
+        dflt = None
+        if dm:
+            dflt = U(dm.group("expr")).strip()
+            typ = typ[: dm.start()]
+        n = txlog_add_column(spark, path, col, U(typ).strip())
+        if dflt is not None:
+            n = set_column_default(spark, path, col, dflt)
+        return n
 
     m = re.match(
         rf"ALTER{_WS}TABLE{_WS}{_TBL}{_WS}DROP{_WS}COLUMN"
@@ -1446,6 +1460,25 @@ def txtable_sql(
             U(m.group("path")),
             U(m.group("old")).strip("`"),
             U(m.group("new")).strip("`"),
+        )
+
+    m = re.match(
+        rf"ALTER{_WS}TABLE{_WS}{_TBL}{_WS}ALTER{_WS}COLUMN"
+        rf"{_WS}(?P<col>`[^`]+`|\w+)"
+        rf"{_WS}(?:SET{_WS}DEFAULT{_WS}(?P<expr>.+)|DROP{_WS}DEFAULT)$",
+        text,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if m:
+        # Delta's ALTER COLUMN SET/DROP DEFAULT — one metadata-only
+        # commit; applies to FUTURE writes (defaults never backfill)
+        from .txlog import set_column_default
+
+        return set_column_default(
+            spark,
+            U(m.group("path")),
+            U(m.group("col")).strip("`"),
+            U(m.group("expr")).strip() if m.group("expr") else None,
         )
 
     m = re.match(
@@ -1867,6 +1900,7 @@ def txtable_sql(
         "RESTORE TABLE / VACUUM / OPTIMIZE / "
         "DESCRIBE HISTORY / DESCRIBE DETAIL / "
         "ALTER TABLE ... ADD|DROP|RENAME COLUMN / "
+        "ALTER TABLE ... ALTER COLUMN c SET DEFAULT expr | DROP DEFAULT / "
         "ALTER TABLE ... ADD CONSTRAINT name CHECK (pred) | DROP CONSTRAINT / "
         "ALTER TABLE ... SET|UNSET TBLPROPERTIES / SHOW TBLPROPERTIES / "
         "CREATE TABLE ... [SHALLOW|DEEP] CLONE / "

@@ -3872,6 +3872,52 @@ def deep_clone_txtable(
     return n
 
 
+def set_column_default(
+    spark: SparkSession, root_path: str, col: str, expr: str | None
+) -> int:
+    """``ALTER TABLE ... ALTER COLUMN c SET DEFAULT expr`` / ``DROP
+    DEFAULT`` (Delta's verb): change a column's declared absent-value
+    as ONE metadata-only commit — zero data IO at any table size.
+    ``expr=None`` drops the default. Applies to FUTURE writes only;
+    existing rows are untouched (Delta parity: defaults never
+    backfill — a row written while the column was absent and
+    undefaulted stays null)."""
+    prev = _latest_manifest(spark, root_path)
+    if prev is None:
+        raise FileNotFoundError(f"no committed txtable at {root_path}")
+    if "schema" not in prev:
+        raise ValueError(
+            f"txtable {root_path} predates schema tracking; run one "
+            "MERGE/UPDATE to record a schema before ALTERing it"
+        )
+    fields = [dict(f) for f in prev["schema"]]
+    if not any(f["name"] == col for f in fields):
+        raise ValueError(f"column {col!r} does not exist")
+    defaults = dict(prev.get("column_defaults", {}))
+    if expr is None:
+        if col not in defaults:
+            raise ValueError(f"column {col!r} has no DEFAULT to drop")
+        defaults.pop(col)
+    else:
+        _validate_column_defaults(
+            spark,
+            {col: expr},
+            fields,
+            prev["key"],
+            dict(prev.get("generated_columns", {})),
+            dict(prev.get("identity_columns", {})),
+        )
+        defaults[col] = expr
+    return _alter_commit(
+        spark,
+        root_path,
+        prev,
+        fields,
+        list(prev.get("dropped_columns", [])),
+        defaults=defaults,
+    )
+
+
 def txtable_history(spark: SparkSession, root_path: str) -> list[dict]:
     """All committed versions, oldest first: version, buckets touched
     count, total rows — the audit trail a lakehouse DESCRIBE HISTORY

@@ -239,3 +239,46 @@ def test_copy_into_fills_defaults(spark, tmp_path):
         spark, f"SELECT status, v FROM txtable.`{root}`"
     ).collect()[0]
     assert (r["status"], r["v"]) == ("loaded", 1.0)
+
+
+def test_alter_column_set_drop_default(spark):
+    root = _root("altdef")
+    txtable_sql(
+        spark,
+        f"CREATE TABLE txtable.`{root}` (k STRING, v DOUBLE) KEY k BUCKETS 2",
+    )
+    txtable_sql(spark, f"INSERT INTO txtable.`{root}` VALUES ('a', 1.0)")
+    txtable_sql(
+        spark, f"ALTER TABLE txtable.`{root}` ALTER COLUMN v SET DEFAULT 9.9"
+    )
+    txtable_sql(spark, f"INSERT INTO txtable.`{root}` (k) VALUES ('b')")
+    txtable_sql(
+        spark, f"ALTER TABLE txtable.`{root}` ALTER COLUMN v DROP DEFAULT"
+    )
+    txtable_sql(spark, f"INSERT INTO txtable.`{root}` (k) VALUES ('c')")
+    rows = {
+        r["k"]: r["v"]
+        for r in txtable_sql(
+            spark, f"SELECT k, v FROM txtable.`{root}`"
+        ).collect()
+    }
+    assert rows == {"a": 1.0, "b": 9.9, "c": None}
+    with pytest.raises(ValueError, match="no DEFAULT to drop"):
+        txtable_sql(
+            spark, f"ALTER TABLE txtable.`{root}` ALTER COLUMN v DROP DEFAULT"
+        )
+    # ADD COLUMN ... DEFAULT: no backfill, future writes fill
+    txtable_sql(
+        spark,
+        f"ALTER TABLE txtable.`{root}` ADD COLUMN tag STRING DEFAULT 'fresh'",
+    )
+    txtable_sql(spark, f"INSERT INTO txtable.`{root}` (k) VALUES ('d')")
+    rows = {
+        r["k"]: r["tag"]
+        for r in txtable_sql(
+            spark, f"SELECT k, tag FROM txtable.`{root}`"
+        ).collect()
+    }
+    assert rows == {"a": None, "b": None, "c": None, "d": "fresh"}
+    script = txtable_sql(spark, f"SHOW CREATE TABLE txtable.`{root}`")
+    assert "DEFAULT 'fresh'" in script
