@@ -550,3 +550,59 @@ def test_positional_insert_excludes_identity(spark):
             spark,
             f"INSERT INTO txtable.`{root}` (k, v, rid) VALUES ('a', 1.0, 5)",
         )
+
+
+def test_allocation_determinism_at_scale(spark):
+    # 20k keys across real shuffle partitions: allocated ids must equal
+    # EXACTLY start + step*(rank-1) in key order — the property the
+    # q249 oracle replays, exercised here at a size where the two-pass
+    # rank genuinely spans partitions (counts/offsets/local ranks must
+    # share one exchange; a boundary mismatch would misnumber whole
+    # partitions)
+    root = _root("scale")
+    df = (
+        spark.range(20000)
+        .select(
+            F.concat(F.lit("k"), F.format_string("%06d", F.col("id")))
+            .alias("k"),
+            F.rand(seed=7).alias("v"),
+        )
+    )
+    txlog_upsert(
+        spark,
+        df.withColumn("rid", F.lit(None).cast("long")),
+        root,
+        key="k",
+        num_buckets=16,
+        identity_columns={"rid": {"start": 1000, "step": 2}},
+    )
+    got = (
+        read_txtable(spark, root)
+        .select("k", "rid")
+        .orderBy("k")
+        .collect()
+    )
+    assert [r["rid"] for r in got] == [1000 + 2 * i for i in range(20000)]
+    # second batch: 5k new interleaved keys continue densely
+    df2 = (
+        spark.range(5000)
+        .select(
+            F.concat(F.lit("k"), F.format_string("%06d", F.col("id") * 4 + 1))
+            .alias("k2"),
+        )
+        .select(F.concat(F.col("k2"), F.lit("x")).alias("k"))
+    )
+    txlog_upsert(
+        spark, df2.withColumn("v", F.lit(0.0)), root
+    )
+    man = _latest_manifest(spark, root)
+    assert man["identity_high_water"] == {"rid": 1000 + 2 * 24999}
+    new = (
+        read_txtable(spark, root)
+        .filter(F.col("k").endswith("x"))
+        .orderBy("k")
+        .collect()
+    )
+    assert [r["rid"] for r in new] == [
+        1000 + 2 * (20000 + i) for i in range(5000)
+    ]
