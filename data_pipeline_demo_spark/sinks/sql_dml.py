@@ -971,13 +971,32 @@ def txtable_sql(
             re.IGNORECASE,
         )
         if m:
+            path = U(m.group("path"))
+            set_map = {
+                U(k): v
+                for k, v in _split_set_clause(m.group("set")).items()
+            }
+            # SQL-standard `SET c = DEFAULT`: the bare keyword (on
+            # MASKED text — a 'DEFAULT' string literal is a sentinel
+            # here, so it cannot fake this) resolves to the column's
+            # declared default; refuse if the column has none
+            if any(v.strip().upper() == "DEFAULT" for v in set_map.values()):
+                from .txlog import _latest_manifest
+
+                dman = _latest_manifest(spark, path) or {}
+                dflts = dman.get("column_defaults") or {}
+                for c, v in list(set_map.items()):
+                    if v.strip().upper() == "DEFAULT":
+                        if c not in dflts:
+                            raise UnsupportedSqlError(
+                                f"SET {c} = DEFAULT: column {c!r} has "
+                                "no declared DEFAULT"
+                            )
+                        set_map[c] = dflts[c]
             return txlog_update(
                 spark,
-                U(m.group("path")),
-                set={
-                    U(k): U(v)
-                    for k, v in _split_set_clause(m.group("set")).items()
-                },
+                path,
+                set={c: U(v) for c, v in set_map.items()},
                 where=U(where) or "true",
                 mode="merge-on-read" if m.group("hint") else "copy-on-write",
             )

@@ -282,3 +282,24 @@ def test_alter_column_set_drop_default(spark):
     assert rows == {"a": None, "b": None, "c": None, "d": "fresh"}
     script = txtable_sql(spark, f"SHOW CREATE TABLE txtable.`{root}`")
     assert "DEFAULT 'fresh'" in script
+
+
+def test_update_set_default_keyword(spark):
+    root = _mk(spark, _root("setdef"))
+    txtable_sql(
+        spark,
+        f"UPDATE txtable.`{root}` SET status = DEFAULT WHERE k = 'a'",
+    )
+    r = read_txtable(spark, root).collect()[0]
+    assert r["status"] == "pending"
+    # a quoted 'DEFAULT' literal is a VALUE, not the keyword
+    txtable_sql(
+        spark,
+        f"UPDATE txtable.`{root}` SET status = 'DEFAULT' WHERE k = 'a'",
+    )
+    assert read_txtable(spark, root).collect()[0]["status"] == "DEFAULT"
+    # no declared default -> precise refusal
+    with pytest.raises(UnsupportedSqlError, match="no declared DEFAULT"):
+        txtable_sql(
+            spark, f"UPDATE txtable.`{root}` SET k = DEFAULT WHERE true"
+        )

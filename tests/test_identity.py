@@ -606,3 +606,36 @@ def test_allocation_determinism_at_scale(spark):
     assert [r["rid"] for r in new] == [
         1000 + 2 * (20000 + i) for i in range(5000)
     ]
+
+
+def test_txn_replay_never_double_allocates(spark):
+    # the streaming bridge's exactly-once contract composes with
+    # identity: a replayed foreachBatch delivery is skipped by the
+    # txn watermark BEFORE allocation runs, so the high-water mark
+    # does not advance and no id is burned
+    root = _root("txn")
+    df = spark.createDataFrame(
+        [("a", 1.0)], "k string, v double"
+    ).withColumn("rid", F.lit(None).cast("long"))
+    txlog_upsert(
+        spark, df, root, key="k", num_buckets=4,
+        identity_columns={"rid": {}},
+        txn_app_id="stream-1", txn_version=1,
+    )
+    assert _latest_manifest(spark, root)["identity_high_water"] == {"rid": 1}
+    # replay of version 1: skipped, mark unchanged
+    txlog_upsert(
+        spark,
+        spark.createDataFrame([("b", 2.0)], "k string, v double"),
+        root, txn_app_id="stream-1", txn_version=1,
+    )
+    man = _latest_manifest(spark, root)
+    assert man["identity_high_water"] == {"rid": 1}
+    assert _ids(spark, root) == {"a": 1}
+    # next version allocates normally
+    txlog_upsert(
+        spark,
+        spark.createDataFrame([("b", 2.0)], "k string, v double"),
+        root, txn_app_id="stream-1", txn_version=2,
+    )
+    assert _ids(spark, root) == {"a": 1, "b": 2}
