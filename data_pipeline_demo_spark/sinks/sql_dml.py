@@ -394,6 +394,27 @@ def _extract_generated_columns(
     defaults: dict[str, str] = {}
     not_null: list[str] = []
     for part in _split_top_commas(schema_text):
+        # identity / generated clauses match on the RAW part FIRST:
+        # ``GENERATED BY DEFAULT AS IDENTITY`` contains the word
+        # DEFAULT, so the suffix peel below would mangle it into
+        # ``GENERATED BY`` + a bogus default of ``AS IDENTITY``
+        # (caught by the full-suite run of the round-12 extension)
+        mi = _ID_COL_RE.match(part)
+        if mi:
+            ident[U(mi.group("col")).strip("`")] = {
+                "start": int(mi.group("start") or 1),
+                "step": int(mi.group("step") or 1),
+                "always": mi.group("mode").upper() == "ALWAYS",
+            }
+            ddl_parts.append(f"{mi.group('col')} {mi.group('type')}")
+            continue
+        mg = _GEN_COL_RE.match(part)
+        if mg:
+            gen[U(mg.group("col")).strip("`")] = U(
+                mg.group("expr")
+            ).strip()
+            ddl_parts.append(f"{mg.group('col')} {mg.group('type')}")
+            continue
         nn = False
         dflt = None
         # peel trailing NOT NULL / DEFAULT in either order (at most
