@@ -334,9 +334,14 @@ def copy_into(
     bloom_bits = int(prev.get("bloom_bits", 1024))
 
     batch = batch.withColumn(BUCKET_COL, _bucket_of(key, num_buckets))
-    touched = sorted(
-        r[0] for r in batch.select(BUCKET_COL).distinct().collect()
-    )
+    # blind append (r12 optimization, guide §1.2): no pre-scan of the
+    # landing files for their touched-bucket set — the old
+    # distinct().collect() read EVERY new file once before the write
+    # read them again. An append replaces no bucket's bookkeeping (the
+    # fresh dicts below only ever gain file-bearing buckets, and the
+    # merge algebra adds), so "touched" can safely name every bucket:
+    # the write itself reveals which ones actually received files.
+    touched = list(range(num_buckets))
     # fresh dicts: _publish writes the files and fills ONLY the new
     # files' bookkeeping; the append algebra below merges it into the
     # previous snapshot's without reading any existing file

@@ -53,6 +53,15 @@ from .upsert import BUCKET_COL, _bucket_of, _hadoop_fs
 COMMITS_DIR = "_commits"
 DATA_DIR = "data"
 
+# Per-bucket commit bookkeeping (row counts + zone-map min/max/null
+# counts) rides the write action's own Observation when the conditional
+# aggregate count stays under this budget — beyond it (huge touched
+# sets × many stats columns: per-row evaluation cost and plan size grow
+# with touched × columns) the publish falls back to a column-pruned
+# readback of the just-written files. len(touched) × (1 + 3 ×
+# len(stats_columns)) expressions.
+OBS_STATS_MAX_EXPRS = 1024
+
 
 class ConcurrentCommitError(RuntimeError):
     """Another writer committed this version first. The table is intact
@@ -1718,16 +1727,18 @@ def _publish_touched_buckets(
     Execution shape (r12 optimization round, guide §1.2/§5): ONE pass.
     The old shape persisted ``df``, ran a pre-write stat aggregate
     (collect), re-derived blooms from cache, then wrote — two actions
-    plus an executor-memory cache of the full merged relation, and
-    6-8 AQE stage-materialization jobs per commit where per-job fixed
-    cost dominates small commits (streaming triggers, point MERGEs).
-    Now the write is the only action over the merge plan; row counts,
-    zone maps, null counts and blooms recompute from the just-written
-    files — a column-pruned read of exactly the new files (count-only
-    readback touches parquet footers, not data), no cache resident
-    anywhere, and the stats describe the durable bytes by
-    construction. Measured at the 0.1%-slice merge grain: 12 → 9
-    jobs; plain upsert 10 → 8 (see OPTIMIZATION_r12.md)."""
+    plus an executor-memory cache of the full merged relation, where
+    per-job fixed cost dominates small commits (streaming triggers,
+    point MERGEs) and the cache competes with execution memory at
+    scale. Now the write is the only action over the merge plan, and
+    per-bucket bookkeeping (row counts, zone-map min/max, null counts)
+    rides the SAME action's ``Observation`` as conditional aggregates —
+    zero extra passes — while the expression budget holds
+    (``OBS_STATS_MAX_EXPRS``). Tables with bloom columns (per-bucket
+    array aggregates that cannot ride a global Observation) or very
+    large touched × stats products instead recompute bookkeeping from
+    the just-written files: a column-pruned read of exactly the new
+    files, no cache resident anywhere (see OPTIMIZATION_r12.md)."""
     commit_id = uuid.uuid4().hex
     out_rel = f"{DATA_DIR}/{commit_id}"
     out_dir = _abs(root_path, out_rel)
@@ -1738,17 +1749,47 @@ def _publish_touched_buckets(
     bloom_columns = [c for c in (bloom_columns or []) if c in df.columns]
     obs = None
     towrite = df
+    obs_exprs = []
     if tag_col and tag_values:
+        obs_exprs.extend(
+            F.sum((F.col(tag_col) == t).cast("long")).alias(f"__tc_{t}")
+            for t in tag_values
+        )
+    # per-bucket bookkeeping rides the SAME Observation when the
+    # conditional-aggregate budget allows and no bloom columns force a
+    # readback anyway (bloom words are per-bucket array aggregates that
+    # cannot ride a global Observation): the readback job below then
+    # disappears entirely — one fewer action AND zero re-read of the
+    # just-written bytes (guide §1.2: remove passes)
+    use_obs_stats = (
+        not bloom_columns
+        and touched
+        and len(touched) * (1 + 3 * len(stats_columns))
+        <= OBS_STATS_MAX_EXPRS
+    )
+    if use_obs_stats:
+        for b in touched:
+            hit = F.col(BUCKET_COL) == b
+            obs_exprs.append(F.sum(hit.cast("long")).alias(f"__nb_{b}"))
+            for c in stats_columns:
+                obs_exprs.append(
+                    F.min(F.when(hit, F.col(c))).alias(f"__lo_{b}_{c}")
+                )
+                obs_exprs.append(
+                    F.max(F.when(hit, F.col(c))).alias(f"__hi_{b}_{c}")
+                )
+                obs_exprs.append(
+                    F.sum((hit & F.col(c).isNull()).cast("long")).alias(
+                        f"__nn_{b}_{c}"
+                    )
+                )
+    if obs_exprs:
         from pyspark.sql import Observation
 
         obs = Observation()
-        towrite = towrite.observe(
-            obs,
-            *[
-                F.sum((F.col(tag_col) == t).cast("long")).alias(f"__tc_{t}")
-                for t in tag_values
-            ],
-        ).drop(tag_col)
+        towrite = towrite.observe(obs, *obs_exprs)
+    if tag_col and tag_values:
+        towrite = towrite.drop(tag_col)
     # one shuffle on the bucket column so each bucket's rows sit in
     # ONE task before the partitioned write: without it every task
     # writes a sliver into every touched bucket dir — tasks×buckets
@@ -1781,23 +1822,44 @@ def _publish_touched_buckets(
         if files:
             new_files[str(b)] = files
 
-    if obs is not None and tag_counts is not None:
-        if not new_files:
-            # a provably-empty merge result is optimized to an empty
-            # relation and the CollectMetrics node with it — no metric
-            # row exists, and no rows flowed: every tag count is 0
-            for t in tag_values:
-                tag_counts[t] = 0
-        else:
-            got = obs.get
-            for t in tag_values:
-                tag_counts[t] = int(got.get(f"__tc_{t}") or 0)
+    got: dict = {}
+    if obs is not None and new_files:
+        # (a provably-empty merge result is optimized to an empty
+        # relation and the CollectMetrics node with it — no metric row
+        # exists; new_files is empty then, and no rows flowed: tag
+        # counts are 0 and every touched bucket's stats are popped)
+        got = obs.get
+    if tag_col and tag_values and tag_counts is not None:
+        for t in tag_values:
+            tag_counts[t] = int(got.get(f"__tc_{t}") or 0)
 
-    # bookkeeping readback over ONLY the new files: logical column
-    # names restored from the physical write mapping; with no stats or
-    # bloom columns this is a footer-only count (no data pages read)
     per_bucket: dict[str, int] = {}
-    if new_files:
+    if new_files and use_obs_stats:
+        # bookkeeping straight off the write's Observation: zero extra
+        # actions, zero re-read of the just-written bytes
+        for b in touched:
+            bs = str(b)
+            if bs not in new_files:
+                continue
+            per_bucket[bs] = int(got.get(f"__nb_{b}") or 0)
+            if stats_columns and bucket_stats is not None:
+                bucket_stats[bs] = {
+                    c: [
+                        _stat_value(got.get(f"__lo_{b}_{c}")),
+                        _stat_value(got.get(f"__hi_{b}_{c}")),
+                    ]
+                    for c in stats_columns
+                }
+            if stats_columns and bucket_nulls is not None:
+                bucket_nulls[bs] = {
+                    c: int(got.get(f"__nn_{b}_{c}") or 0)
+                    for c in stats_columns
+                }
+    elif new_files:
+        # bookkeeping readback over ONLY the new files: logical column
+        # names restored from the physical write mapping; with no stats
+        # or bloom columns this is a footer-only count (no data pages
+        # read)
         mapping = _mapping_of(manifest) if manifest else {}
         need = list(dict.fromkeys(stats_columns + bloom_columns))
         rb = spark.read.option("basePath", out_dir).parquet(out_dir).select(

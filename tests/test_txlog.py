@@ -1464,3 +1464,43 @@ def test_null_count_pruning(spark, tmp_path):
     # undeclared column refuses loudly
     with pytest.raises(ValueError, match="no null counts"):
         read_txtable(spark, root, prune_is_null={"id": True})
+
+
+def test_publish_obs_stats_equals_readback(spark, tmp_path, monkeypatch):
+    """Round-12 publish internals: per-bucket bookkeeping (row counts,
+    zone-map min/max, null counts) computed on the write action's
+    Observation must be IDENTICAL to the readback fallback's (the path
+    bloom tables and over-budget touched sets take)."""
+    from datetime import date
+
+    from data_pipeline_demo_spark.sinks import txlog as T
+
+    rows = [
+        (i, float(i % 7), date(1994, 1 + i % 12, 1 + i % 28) if i % 5 else None)
+        for i in range(200)
+    ]
+
+    def build(root):
+        df = spark.createDataFrame(rows, "id long, v double, d date")
+        txlog_upsert(
+            spark, df, root, num_buckets=8, stats_columns=["v", "d"]
+        )
+        # second commit: update slice + fresh inserts (exercises the
+        # merge union plan above the publish)
+        upd = spark.createDataFrame(
+            [(i, 99.5, None) for i in range(0, 200, 50)]
+            + [(1000 + i, -1.0, date(2001, 1, 1)) for i in range(3)],
+            "id long, v double, d date",
+        )
+        txlog_upsert(spark, upd, root)
+        return json.loads(
+            (tmp_path / root.rsplit("/", 1)[-1] / "_commits" / f"{1:020d}.json")
+            .read_text()
+        )
+
+    m_obs = build(str(tmp_path / "obs"))
+    monkeypatch.setattr(T, "OBS_STATS_MAX_EXPRS", 0)  # force readback
+    m_rb = build(str(tmp_path / "rb"))
+    assert m_obs["row_counts"] == m_rb["row_counts"]
+    assert m_obs["bucket_stats"] == m_rb["bucket_stats"]
+    assert m_obs.get("bucket_nulls") == m_rb.get("bucket_nulls")
