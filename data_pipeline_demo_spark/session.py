@@ -24,6 +24,17 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # AQE merges post-shuffle partitions up to a 1 MB floor by default.
+    # Shuffle bytes in the similarity/dedup family are compressed long
+    # arrays whose per-byte CPU (array_intersect verify, window ranks)
+    # is orders of magnitude above a scan's: measured at sf0.1, the
+    # Jaccard verify stage coalesced to 3 tasks × ~1 MB × ~0.5 s CPU
+    # each while 29 cores idled (r12, OPTIMIZATION_r12.md). A 128 KB
+    # floor still merges true slivers but lets parallelismFirst use the
+    # cores; at cluster scale stage inputs dwarf either floor, so this
+    # only bites the small-bytes/CPU-dense stages (and skew-split
+    # chunk sizing, which the same floor governs) where it should.
+    "spark.sql.adaptive.coalescePartitions.minPartitionSize": "131072",
     # Arrow for any pandas_udf / toPandas path.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
 }

@@ -2763,7 +2763,11 @@ def txlog_delete(
     row_counts = dict(prev["row_counts"])
 
     if keys is not None:
-        del_keys = keys.select(F.col(key).alias("__del_key")).dropDuplicates()
+        # no dropDuplicates on the delete keys (r12): both consumers —
+        # the touched-bucket distinct and the LEFT ANTI below — are
+        # duplicate-insensitive, so the pre-dedup was a pure extra
+        # exchange over the key set
+        del_keys = keys.select(F.col(key).alias("__del_key"))
         touched = sorted(
             r[0]
             for r in del_keys.select(
@@ -2864,7 +2868,9 @@ def _txlog_delete_mor(
     num_buckets = prev["num_buckets"]
     buckets = prev["buckets"]
     if keys is not None:
-        del_keys = keys.select(F.col(key).alias("__del_key")).dropDuplicates()
+        # duplicate keys need no pre-dedup: LEFT SEMI matches once per
+        # target row regardless (r12 — one exchange fewer)
+        del_keys = keys.select(F.col(key).alias("__del_key"))
         scan = sorted(
             r[0]
             for r in del_keys.select(

@@ -1697,3 +1697,45 @@ def test_rake_drops_overlong_stopword_free_runs(spark):
         "doc_id long, text string",
     )
     assert rake_keywords(docs).count() == 0
+
+
+def test_jaccard_positional_filter_bruteforce_parity(spark):
+    """r12: the PPJoin positional filter must not change the output —
+    randomized sets plus engineered EXACT-boundary pairs (J == t) vs a
+    driver-side brute force, at two thresholds."""
+    import itertools
+    import random
+
+    rng = random.Random(12012)
+    rows = []
+    # random sets of wildly varying sizes
+    for i in range(120):
+        n = rng.randint(1, 40)
+        rows.append((i, sorted(rng.sample(range(300), n))))
+    # engineered boundary pairs: |A∩B| = 7, |A∪B| = 10 → J = 0.7 exactly
+    base = list(range(1000, 1007))
+    rows.append((500, base + [2001, 2002, 2003]))
+    rows.append((501, base))
+    # J just under: 6/10
+    rows.append((502, base[:6] + [2004, 2005, 2006, 2007]))
+    rows.append((503, base[:6]))
+
+    def jac(a, b):
+        sa, sb = set(a), set(b)
+        u = len(sa | sb)
+        return len(sa & sb) / u if u else 0.0
+
+    for t in (0.7, 0.3):
+        want = {
+            (x, y)
+            for (x, sa), (y, sb) in itertools.combinations(rows, 2)
+            if jac(sa, sb) >= t
+        }
+        df = spark.createDataFrame(rows, "doc_id int, sh array<int>")
+        got = {
+            (min(r["doc_a"], r["doc_b"]), max(r["doc_a"], r["doc_b"]))
+            for r in dedup.jaccard_join_on_sets(df, threshold=t).collect()
+        }
+        assert got == want
+    # the exact-boundary pair must survive the positional filter
+    assert (500, 501) in want or jac(rows[-4][1], rows[-3][1]) >= 0.7
