@@ -763,6 +763,17 @@ def _refine_centroids(
     if dim_row is None:
         return cents
     dim = int(dim_row["d"])
+    # NOTE (r12 optimization round, measured and deliberately REVERTED):
+    # materializing the centroids per iteration (collect + literal
+    # relation — the guide-§3.3 plan-truncation move, what MLlib does)
+    # flattens this loop's nested plan (113 Exchange nodes at 5
+    # iterations) but made q151 ~30× slower steady-state: the eager
+    # per-iteration collects execute BEFORE Spark's CacheManager can
+    # substitute the caller's persisted `assignments` relation, so every
+    # call re-pays ~1.1 s/iteration interpreted-HOF routing + ~2.3 s/
+    # iteration of the 64-wide decimal-avg aggregate that the lazy form
+    # amortizes across consumers and repeat runs within a session. The
+    # lazy nest's one-time planning cost is real but paid once.
     for _ in range(iters):
         assign = _best_centroids(
             corpus, cents, id_col, vec_col, n_best=1, engine=engine
