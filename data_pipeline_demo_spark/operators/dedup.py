@@ -238,13 +238,21 @@ def jaccard_join_on_sets(
     if set_col != "sh":
         sets = sets.withColumnRenamed(set_col, "sh")
     sets = sets.select(id_col, F.array_distinct("sh").alias("sh"))
-    idx = _index_from_sets(sets, id_col)
+    # n_sh is just the distinct-set size (minus null elements, which the
+    # index filter drops) — computing it as a COUNT window over the
+    # exploded index cost a second WindowExec pass per join side (r12:
+    # the array size rides the explode as one int column instead)
+    sized = sets.select(
+        id_col, "sh", F.size(F.array_compact("sh")).alias("n_sh")
+    )
+    idx = (
+        sized.select(id_col, "n_sh", F.explode_outer("sh").alias("h"))
+        .filter(F.col("h").isNotNull())
+    )
     dfreq = idx.groupBy("h").agg(F.count(F.lit(1)).alias("df_h"))
     by_doc = Window.partitionBy(id_col)
-    ranked = (
-        idx.join(dfreq, "h")
-        .withColumn("rnk", F.row_number().over(by_doc.orderBy("df_h", "h")))
-        .withColumn("n_sh", F.count(F.lit(1)).over(by_doc))
+    ranked = idx.join(dfreq, "h").withColumn(
+        "rnk", F.row_number().over(by_doc.orderBy("df_h", "h"))
     )
     prefix_len = F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
     prefix = ranked.filter(F.col("rnk") <= prefix_len).select(
