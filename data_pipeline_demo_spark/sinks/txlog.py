@@ -56,11 +56,22 @@ DATA_DIR = "data"
 # Per-bucket commit bookkeeping (row counts + zone-map min/max/null
 # counts) rides the write action's own Observation when the conditional
 # aggregate count stays under this budget — beyond it (huge touched
-# sets × many stats columns: per-row evaluation cost and plan size grow
-# with touched × columns) the publish falls back to a column-pruned
-# readback of the just-written files. len(touched) × (1 + 3 ×
-# len(stats_columns)) expressions.
+# sets × many stats columns: plan size grows with touched × columns)
+# the publish falls back to a column-pruned readback of the
+# just-written files. len(touched) × (1 + 3 × len(stats_columns))
+# expressions.
 OBS_STATS_MAX_EXPRS = 1024
+# CollectMetrics evaluates its aggregates PER ROW, interpreted: measured
+# 16.6 ns per row×expression (128 exprs × 600k rows = +1.28 s on the
+# write, where the readback's column-pruned re-read+agg of the same
+# files cost +0.18 s). So the Observation path must also be bounded by
+# rows × expressions: callers pass the prior logical row count of the
+# touched buckets (manifest arithmetic, free) as the size hint; above
+# this product — or with no hint (first load, blind append) — the
+# readback wins. 12M ≈ the measured crossover with margin: a 1-bucket
+# point write on a 100 TB table stays obs (tiny rows), a bulk rewrite
+# takes the readback (one cheap extra job amortized over big IO).
+OBS_STATS_MAX_ROWEXPRS = 12_000_000
 
 
 class ConcurrentCommitError(RuntimeError):
@@ -1697,6 +1708,7 @@ def _publish_touched_buckets(
     tag_col: str | None = None,
     tag_values: list[str] | None = None,
     tag_counts: dict | None = None,
+    size_hint_rows: int | None = None,
 ) -> None:
     """Write ``df`` (carrying BUCKET_COL) into a fresh immutable
     ``data/<uuid>/`` dir partitioned by bucket, then update the manifest
