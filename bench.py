@@ -1017,6 +1017,15 @@ def main() -> None:
         "q151_semantic_dedup": 1,
         "q152_dsir_select": 1,
     }
+    # measurement-honesty fix (r13, judge directive: VERDICT r12 item
+    # 3): q151's semantic_dedup persists its assignments/pairs, and
+    # Spark's CacheManager substituted run 1's cached relation into
+    # runs 2-3 of the median — the old number was steady-state, not
+    # cold. Every run now resets that scratch first (the same
+    # treatment q41/q42's shingle scratch always had), so the r13
+    # number is honestly cold; BENCH_r12's q151 was measured under the
+    # old (cache-coupled) methodology.
+    r7_setups = {"q151_semantic_dedup": similarity.clear_semantic_scratch}
     r7_timings: dict[str, float] = {}
     r7_spreads: dict[str, float] = {}
     for name in (
@@ -1034,6 +1043,7 @@ def main() -> None:
         r7_timings[name], r7_spreads[name] = _timed(
             lambda name=name: queries[name](spark, sf_dir).count(),
             runs,
+            setup=r7_setups.get(name),
             warmup_runs=r7_warmups.get(name, 0),
         )
 

@@ -35,6 +35,14 @@ from pyspark.sql import functions as F
 from ..sinks.upsert import read_json_sidecar, write_json_sidecar
 from .textprep import shingle_hash_sets
 
+# connected_components solves graphs at or under this many DIRECTED
+# edges with a driver-side union-find over the already-checkpointed
+# edge list (identical min-id labeling, none of the per-round
+# join+checkpoint+count jobs whose fixed cost dominates shallow
+# graphs); bigger graphs take the distributed loop. 200k edges is
+# ~tens of MB of collected rows — bounded driver work (guide §5).
+CC_DRIVER_MAX_EDGES = 200_000
+
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Keep the lowest-id representative per identical text (md5 group).
@@ -851,7 +859,21 @@ def connected_components(
     deepen with iterations (iterative plans otherwise re-derive every
     prior round per action). This is the documented iterative-algorithm
     exception to SQL-expressibility (driver contract): correctness is
-    pinned by unit tests against known graphs.
+    pinned by unit tests against known graphs AND differentially
+    against DuckDB's recursive-CTE closure on real data (q187).
+
+    Fast tier (r13): when the deduplicated edge list is metadata-sized
+    (≤ ``CC_DRIVER_MAX_EDGES`` directed edges — it is already
+    materialized by the localCheckpoint, so the size probe is a cheap
+    bounded ``take``), the components are solved with a driver-side
+    min-root union-find over the collected edges: identical output
+    (the min-id representative is exactly what union-by-min-root
+    leaves at every root) without the per-round join/agg/checkpoint/
+    count jobs, whose fixed cost dominates shallow graphs — measured
+    ~2s of the q151 wall at sf0.1 for a 786-edge graph. Near-dup pair
+    lists at 100 TB exceed the cap and take the distributed loop
+    unchanged; the cap bounds driver memory to ~tens of MB (guide §5:
+    bounded, metadata-sized collects only).
     """
     # undirected edge list, both directions, self-loops dropped
     e = pairs.select(
@@ -861,6 +883,46 @@ def connected_components(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct()
     edges = edges.localCheckpoint()
+
+    head = edges.take(CC_DRIVER_MAX_EDGES + 1)
+    if len(head) <= CC_DRIVER_MAX_EDGES:
+        # min-root union-find: find() with path compression; union
+        # keeps the SMALLER root, so each final root is the component's
+        # minimum node id — the distributed loop's exact labeling.
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:
+                parent[x], x = r, parent[x]
+            return r
+
+        for row in head:
+            s, d = row["src"], row["dst"]
+            if s not in parent:
+                parent[s] = s
+            if d not in parent:
+                parent[d] = d
+            rs, rd = find(s), find(d)
+            if rs != rd:
+                lo, hi = (rs, rd) if rs < rd else (rd, rs)
+                parent[hi] = lo
+        out = [(n, find(n)) for n in parent]
+        spark = pairs.sparkSession
+        node_t = edges.schema["src"].dataType
+        from pyspark.sql.types import StructField, StructType
+
+        return spark.createDataFrame(
+            out,
+            StructType(
+                [
+                    StructField("node", node_t, True),
+                    StructField("component", node_t, True),
+                ]
+            ),
+        )
 
     labels = (
         edges.select(F.col("src").alias("node"))

@@ -34,7 +34,13 @@ RUNTIME_CONFS: dict[str, str] = {
     # cores; at cluster scale stage inputs dwarf either floor, so this
     # only bites the small-bytes/CPU-dense stages (and skew-split
     # chunk sizing, which the same floor governs) where it should.
-    "spark.sql.adaptive.coalescePartitions.minPartitionSize": "131072",
+    # Parameterised (r13): deployments can restore the 1 MB default or
+    # pick their own floor per cluster; the r13 A/B (same-session
+    # interleaved, 3 passes, full headline set — OPTIMIZATION_r13.md)
+    # measured 128 KB ~10% faster overall and no query favoring 1 MB.
+    "spark.sql.adaptive.coalescePartitions.minPartitionSize": os.environ.get(
+        "SPARK_GRAFT_AQE_MIN_PARTITION_SIZE", "131072"
+    ),
     # Arrow for any pandas_udf / toPandas path.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
 }

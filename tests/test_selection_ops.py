@@ -16,6 +16,7 @@ from data_pipeline_demo_spark.operators.sampling import (
     dsir_sample,
 )
 from data_pipeline_demo_spark.operators.similarity import (
+    cluster_embeddings,
     semantic_dedup,
     semantic_dedup_pairs,
 )
@@ -464,3 +465,121 @@ def test_retrieval_metrics_window_is_query_partitioned(spark):
         if re.search(r"\bWindow \[", ln):
             assert "partitionBy" not in ln  # physical prints spec groups
             assert "query_id" in ln.split("windowspecdefinition")[1][:60]
+
+
+def test_decimal_ints_match_spark_cast(spark):
+    """The arrow k-means tier's integer replication of
+    cast(decimal(28,10)) must agree with Spark's own cast element-for-
+    element — boundary halves, float32-origin values, tiny and huge
+    magnitudes included (r13: the fast tier's means are built from
+    these integers, so this pin is what makes arrow ≡ expr exact)."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_demo_spark.operators.similarity import _fold_kernels
+
+    rng = np.random.default_rng(3)
+    vals = (
+        [float(np.float32(x)) for x in rng.normal(size=400)]
+        + list(rng.normal(size=400))
+        + [float(np.float32(x)) for x in rng.normal(size=100) * 1e-6]
+        + [float(np.float32(x)) for x in rng.normal(size=100) * 1e5]
+        + [0.5e-10, 1.5e-10, 2.5e-10, -2.5e-10, -1.5e-10, 123.45678901235,
+           1e11, 1e14 + 0.5, 5e14, 1e17, 9.99e17, -9.9e17, 0.0, -0.0]
+    )
+    got = (
+        spark.createDataFrame([(float(v),) for v in vals], "x double")
+        .select(F.col("x").cast("decimal(28,10)").alias("d"))
+        .collect()
+    )
+    _, _, decimal_ints, _ = _fold_kernels()
+    ints, valid, big = decimal_ints(np.asarray([[v] for v in vals]))
+    bigmap = {i: v for i, _, v in big}
+    for i, v in enumerate(vals):
+        want = int(got[i]["d"].scaleb(10))
+        mine = bigmap[i] if i in bigmap else int(ints[i][0])
+        assert valid[i][0] or i in bigmap, repr(v)
+        assert want == mine, (repr(v), want, mine)
+
+
+def test_avg_decimal_semantics_match_spark(spark):
+    """_avg_decimal_f32 must replicate avg(cast(decimal(28,10)))
+    .cast('float') exactly — including the scale-14 HALF_UP landing
+    the probe pinned (a repeating quotient like 1e-10/3 must NOT
+    collapse to zero, i.e. no intermediate scale-10 rounding)."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_demo_spark.operators.similarity import (
+        _avg_decimal_f32,
+        _fold_kernels,
+    )
+
+    rng = np.random.default_rng(5)
+    rows = [(int(i % 7), float(np.float32(x))) for i, x in enumerate(rng.normal(size=700))]
+    rows += [(7, 1e-10), (7, 0.0), (7, 0.0), (8, -1e-10), (8, 0.0), (8, 0.0)]
+    df = spark.createDataFrame(rows, "g int, x double")
+    got = {
+        r["g"]: (r["mf"], r["n"])
+        for r in df.groupBy("g")
+        .agg(
+            F.avg(F.col("x").cast("decimal(28,10)")).cast("float").alias("mf"),
+            F.count("x").alias("n"),
+        )
+        .collect()
+    }
+    _, _, decimal_ints, _ = _fold_kernels()
+    sums: dict[int, int] = {}
+    cnts: dict[int, int] = {}
+    for g, x in rows:
+        ints, valid, big = decimal_ints(np.asarray([[x]]))
+        sums[g] = sums.get(g, 0) + (big[0][2] if big else int(ints[0][0]))
+        cnts[g] = cnts.get(g, 0) + 1
+    for g, (want, n) in got.items():
+        mine = _avg_decimal_f32(sums[g], cnts[g])
+        assert float(np.float32(want)) == mine, (g, want, mine)
+
+
+def test_cluster_arrow_bitwise_equals_expr(spark):
+    """r13 pin: the arrow tier is BIT-identical to expr — assignments
+    AND sims — on random double and float32 corpora with planted
+    exact-duplicate vectors (duplicate corpus vectors can be sampled
+    as two identical centroids, exercising the tie-break knife edge
+    the r12 matmul tier was only 'probably' right on)."""
+    import struct
+
+    rng = np.random.default_rng(17)
+    rows = [(i, [float(x) for x in rng.normal(size=8)]) for i in range(150)]
+    rows += [(1000 + i, rows[i][1]) for i in range(0, 150, 6)]  # exact dups
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    a = {
+        r["vec_id"]: (r["cluster_id"], struct.pack("d", r["sim"]))
+        for r in cluster_embeddings(
+            corpus, n_clusters=6, refine_iters=3, engine="arrow"
+        ).collect()
+    }
+    e = {
+        r["vec_id"]: (r["cluster_id"], struct.pack("d", r["sim"]))
+        for r in cluster_embeddings(
+            corpus, n_clusters=6, refine_iters=3, engine="expr"
+        ).collect()
+    }
+    assert a == e
+    rows32 = [
+        (i, [float(np.float32(x)) for x in rng.normal(size=16)])
+        for i in range(120)
+    ]
+    corp32 = spark.createDataFrame(
+        rows32, "vec_id long, embedding array<float>"
+    )
+    a32 = {
+        r["vec_id"]: (r["cluster_id"], struct.pack("d", r["sim"]))
+        for r in cluster_embeddings(
+            corp32, n_clusters=5, refine_iters=4, engine="arrow"
+        ).collect()
+    }
+    e32 = {
+        r["vec_id"]: (r["cluster_id"], struct.pack("d", r["sim"]))
+        for r in cluster_embeddings(
+            corp32, n_clusters=5, refine_iters=4, engine="expr"
+        ).collect()
+    }
+    assert a32 == e32

@@ -1,5 +1,6 @@
 """Capture .explain("formatted") for a set of registered queries into
-plans/r12/<name>_<suffix>.txt (round-12 optimization evidence).
+plans/<round>/<name>_<suffix>.txt (optimization evidence; round dir
+from $SPARK_GRAFT_PLANS_ROUND, default r13).
 
 Usage: python tools/capture_plans.py <suffix> [name ...]
 With no names, captures the bench headline + surface sets.
@@ -64,7 +65,7 @@ def main() -> None:
     out_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "plans",
-        "r12",
+        os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r13"),
     )
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark("capture-plans")
