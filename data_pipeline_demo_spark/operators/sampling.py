@@ -499,6 +499,27 @@ def dsir_importance_weights(
         raise ValueError(f"buckets must be positive, got {buckets}")
     if alpha <= 0:
         raise ValueError(f"alpha must be positive, got {alpha}")
+    scored = _dsir_scores(raw, target, text_col, id_col, buckets, alpha)
+    ids = raw.select(id_col).distinct()
+    return ids.join(scored, id_col, "left").select(
+        id_col, F.coalesce(F.col("log_weight"), F.lit(0.0)).alias("log_weight")
+    )
+
+
+def _dsir_scores(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str,
+    id_col: str,
+    buckets: int,
+    alpha: float,
+) -> DataFrame:
+    """SPARSE DSIR scores: ``(id_col, log_weight)`` for raw docs with at
+    least one token (token-less docs are simply absent — callers decide
+    the dense completion: :func:`dsir_importance_weights` left-joins the
+    distinct id set to emit 0.0 rows, :func:`dsir_sample` coalesces at
+    its existing raw join instead of paying a third raw scan + distinct
+    exchange for ids it already has — r13)."""
     raw_feats = _dsir_features(raw, text_col, id_col, buckets)
     tgt_lp = _dsir_log_probs(
         _dsir_features(target, text_col, id_col, buckets), buckets, alpha
@@ -511,7 +532,7 @@ def dsir_importance_weights(
     consts = tgt_lp.limit(1).select("__lpt0").crossJoin(
         raw_lp.limit(1).select("__lpr0")
     )
-    scored = (
+    return (
         raw_feats.join(F.broadcast(tgt_lp.drop("__lpt0")), "bucket", "left")
         .join(F.broadcast(raw_lp.drop("__lpr0")), "bucket", "left")
         .crossJoin(F.broadcast(consts))
@@ -527,10 +548,6 @@ def dsir_importance_weights(
         )
         .groupBy(id_col)
         .agg(F.sum("__c").alias("log_weight"))
-    )
-    ids = raw.select(id_col).distinct()
-    return ids.join(scored, id_col, "left").select(
-        id_col, F.coalesce(F.col("log_weight"), F.lit(0.0)).alias("log_weight")
     )
 
 
@@ -552,20 +569,25 @@ def dsir_sample(
     Gumbel draw derives from ``xxhash64(id, salt)``, not ``rand()`` —
     deterministic, retry-safe, independent across salts.
 
-    Scale shape: weights per :func:`dsir_importance_weights`; the
-    selection is one scan ranking by ``log_weight + gumbel`` planned
-    as TakeOrderedAndProject (per-partition heaps, k-row merge — never
-    a global sort). Returns the selected raw rows with ``log_weight``
-    attached."""
-    lw = dsir_importance_weights(
-        raw, target, text_col=text_col, id_col=id_col,
-        buckets=buckets, alpha=alpha,
-    )
+    Scale shape: weights per :func:`_dsir_scores` (the sparse form —
+    token-less docs coalesce to weight 0.0 at the join below, saving
+    the dense completion's third raw scan + id-distinct exchange, r13);
+    the selection is one scan ranking by ``log_weight + gumbel``
+    planned as TakeOrderedAndProject (per-partition heaps, k-row merge
+    — never a global sort). Returns the selected raw rows with
+    ``log_weight`` attached."""
+    lw = _dsir_scores(raw, target, text_col, id_col, buckets, alpha)
     # u in (0,1) OPEN on both ends — u=1.0 would make the Gumbel +inf
     u = (_bucket(F.col(id_col), salt) + 1).cast("double") / F.lit(float(_M + 1))
     gumbel = -F.log(-F.log(u))
     return (
-        raw.join(lw, id_col)
+        # null-id rows never survived the old id-keyed inner join —
+        # keep that contract explicitly now that the join is LEFT
+        raw.filter(F.col(id_col).isNotNull())
+        .join(lw, id_col, "left")
+        .withColumn(
+            "log_weight", F.coalesce(F.col("log_weight"), F.lit(0.0))
+        )
         .withColumn("__gk", F.col("log_weight") + gumbel)
         .orderBy(F.col("__gk").desc(), F.col(id_col))
         .limit(k)

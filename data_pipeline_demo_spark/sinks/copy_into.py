@@ -178,6 +178,72 @@ def _list_source_files(
     return sorted(out)
 
 
+def _norm_path(p: str) -> str:
+    """Scheme-insensitive local-path normalization for set comparison:
+    ``file:///x``, ``file:/x`` and ``/x`` all name the same file."""
+    if p.startswith("file:"):
+        p = p[len("file:"):]
+        while p.startswith("//"):
+            p = p[1:]
+    return p
+
+
+def _plan_batch_read(
+    spark: SparkSession,
+    source: str,
+    pattern: str | None,
+    files: list[tuple],
+    new_files: list[tuple],
+    fmt: str,
+    format_options: dict | None,
+    prev: dict,
+) -> DataFrame:
+    """Build the new-file batch DataFrame, taking the FLAT-DIRECTORY
+    fast path when it provably reads the same file set (r13, guide §6):
+    resolving N explicit paths costs the driver one glob-check +
+    qualification EACH (measured 3.0-3.6 s for a 1,000-file landing dir
+    vs 0.05 s for the directory itself — the dominant cost of
+    `lh_copy_1kfiles_load`), while a directory load is ONE listing.
+    Eligible when every matched file is new (the common landing-dir
+    case: fresh deliveries, force reloads), no pattern narrows the set,
+    and every file is a direct child of the source dir — then Spark's
+    own hidden-file rules (`_`/`.` prefixes) coincide with the
+    lister's. The file set Spark's index actually resolved is compared
+    against the listed set afterwards; ANY difference (a concurrent
+    delivery landing between the listing and the load, a
+    ``._COPYING_`` temp Spark filters that the lister kept, ...) falls
+    back to the explicit-path read, which preserves the old behavior
+    bit-for-bit — exactly-once attribution is decided by the listed
+    set either way."""
+    explicit = [p for p, _, _ in new_files]
+    if pattern is None and len(new_files) == len(files) and files:
+        from .upsert import _hadoop_fs
+
+        fs, src = _hadoop_fs(spark, source)
+        try:
+            is_dir = fs.getFileStatus(src).isDirectory()
+        except Exception:
+            is_dir = False
+        if is_dir:
+            base = src.toString().rstrip("/")
+            rels = [
+                p[len(base):].lstrip("/")
+                for p, _, _ in files
+                if p.startswith(base)
+            ]
+            if len(rels) == len(files) and all(
+                r and "/" not in r for r in rels
+            ):
+                batch = _read_new_files(
+                    spark, [base], fmt, format_options, prev
+                )
+                want = {_norm_path(p) for p, _, _ in files}
+                got = {_norm_path(p) for p in batch.inputFiles()}
+                if got == want:
+                    return batch
+    return _read_new_files(spark, explicit, fmt, format_options, prev)
+
+
 def _read_new_files(
     spark: SparkSession,
     paths: list[str],
@@ -279,8 +345,8 @@ def copy_into(
             "version": prev["version"],
         }
 
-    batch = _read_new_files(
-        spark, [p for p, _, _ in new_files], fmt, format_options, prev
+    batch = _plan_batch_read(
+        spark, source, pattern, files, new_files, fmt, format_options, prev
     )
 
     # schema enforcement/evolution + lossless upcasts — the same gate

@@ -561,6 +561,7 @@ def txlog_merge(
         tag_col="__tag",
         tag_values=live_tags,
         tag_counts=tag_counts,
+        size_hint_rows=prior_touched_rows,
     )
     if _idpin is not None:
         _idpin.unpersist()

