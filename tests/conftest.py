@@ -30,17 +30,33 @@ def pytest_addoption(parser):
     )
 
 
+def _slow_manifest() -> set[str]:
+    """Measured slow tier: one nodeid (without parametrization) per
+    line in tests/slow_tests.txt — see that file's header for the
+    selection rule and how to regenerate it."""
+    path = Path(__file__).with_name("slow_tests.txt")
+    out: set[str] = set()
+    if path.exists():
+        for line in path.read_text().splitlines():
+            line = line.split("#", 1)[0].strip()
+            if line:
+                out.add(line.removeprefix("tests/"))
+    return out
+
+
 def pytest_collection_modifyitems(config, items):
     if config.getoption("--runslow") or os.environ.get(
         "SPARK_GRAFT_RUN_SLOW"
     ):
         return
+    slow_ids = _slow_manifest()
     skip = pytest.mark.skip(
-        reason="slow tier (soak/fuzz/battery): --runslow or "
-        "SPARK_GRAFT_RUN_SLOW=1 to run"
+        reason="slow tier (soak/fuzz/battery/integration tail): "
+        "--runslow or SPARK_GRAFT_RUN_SLOW=1 to run"
     )
     for item in items:
-        if "slow" in item.keywords:
+        base_id = item.nodeid.split("[")[0].removeprefix("tests/")
+        if "slow" in item.keywords or base_id in slow_ids:
             item.add_marker(skip)
 
 
